@@ -1,0 +1,232 @@
+package graft.compaction
+
+import java.nio.file.Paths
+import java.util.concurrent.{Executors, TimeUnit}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+import graft.meta._
+import graft.selection._
+import graft.exec._
+
+/** A planned unit of work: one file group against one snapshot of one
+  * branch (core/src/compaction/mod.rs:1227-1235). */
+final case class CompactionPlan(
+    fileGroup: FileGroup,
+    toBranch: String,
+    snapshotId: Long
+)
+
+final case class RewriteOutcome(plan: CompactionPlan, result: RewriteResult)
+
+final case class CompactionResult(
+    addedFiles: Seq[FileEntry],
+    stats: Seq[RewriteStats],
+    table: Option[TableMetadata]
+)
+
+final case class CommitRetryConfig(
+    maxRetries: Int = 3,
+    initialDelayMs: Long = 1000L,
+    maxDelayMs: Long = 10000L
+)
+
+/** The managed compaction workflow over the local table format, keeping the
+  * reference's composable 3-method public API (plan / rewrite / commit) plus
+  * the one-shot `compact()` (core/src/compaction/mod.rs:193-303).
+  */
+final class Compaction(
+    val catalog: Catalog,
+    val tableName: String,
+    val spark: SparkSession,
+    val config: PlanningConfig = SmallFilesConfig(),
+    val executor: CompactionExecutor = SparkExecutor,
+    val toBranch: String = "main",
+    val targetFileSizeBytes: Long = Defaults.TargetFileSize,
+    val maxConcurrentPlans: Int = Defaults.MaxConcurrentCompactionPlans,
+    val enableValidate: Boolean = false,
+    val retry: CommitRetryConfig = CommitRetryConfig(),
+    val metrics: Metrics = new Metrics
+) {
+
+  /** Stage 1 — metadata-only planning (mod.rs:448-461,1307-1336). */
+  def planCompaction(): Seq[CompactionPlan] = {
+    val table = catalog.loadTable(tableName)
+    val snapshot = table.snapshotForRef(toBranch).orElse(table.currentSnapshot)
+    snapshot match {
+      case None => Nil
+      case Some(snap) =>
+        val tasks = table.scanTasks(snap) // op 1: data files w/ deletes attached
+        val byPath = snap.manifest.map(f => f.path -> f).toMap
+        val strategy = PlanStrategy.fromConfig(config)
+        val groups = strategy.execute(tasks, config.params, byPath.get)
+        groups.filterNot(_.isEmpty).map(g => CompactionPlan(g, toBranch, snap.snapshotId))
+    }
+  }
+
+  /** Stage 2 — execute one plan as a single Spark job. */
+  def rewritePlan(plan: CompactionPlan): RewriteOutcome = {
+    val table = catalog.loadTable(tableName)
+    val req = RewriteRequest(
+      group = plan.fileGroup,
+      schemaColumns = table.schemaColumns,
+      outputDir = Paths.get(table.location, "data").toString,
+      targetFileSizeBytes = targetFileSizeBytes,
+      partitionSpec = table.partitionSpec,
+      sortOrder = table.sortOrder,
+      formatVersion = table.formatVersion
+    )
+    val res = executor.rewriteFiles(spark, req)
+    metrics.recordRewrite(res.stats)
+    RewriteOutcome(plan, res)
+  }
+
+  /** Bounded-concurrency plan execution (mod.rs:523-540; default 4).
+    * Each plan is an independent Spark job; Spark's scheduler interleaves
+    * their stages across the shared executor pool. */
+  def concurrentRewritePlans(plans: Seq[CompactionPlan]): Seq[RewriteOutcome] = {
+    if (plans.isEmpty) return Nil
+    val pool = Executors.newFixedThreadPool(math.max(1, math.min(maxConcurrentPlans, plans.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = plans.map(p => Future(rewritePlan(p)))
+      Await.result(Future.sequence(futs), Duration.Inf)
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, TimeUnit.SECONDS)
+    }
+  }
+
+  /** Stage 3 — one transaction for all results (mod.rs:472-516). */
+  def commitRewriteResults(outcomes: Seq[RewriteOutcome]): TableMetadata = {
+    require(outcomes.nonEmpty, "No rewrite results to commit")
+    validateResultsConsistency(outcomes)
+    val cm = new CommitManager(catalog, tableName, retry, metrics)
+    cm.rewriteFiles(
+      added = outcomes.flatMap(_.result.addedFiles),
+      rewrittenPaths = outcomes.flatMap(_.plan.fileGroup.dataFiles.map(_.path)),
+      toBranch = toBranch,
+      startingSnapshotId = outcomes.head.plan.snapshotId,
+      useStartingSequenceNumber = true
+    )
+  }
+
+  /** All results must target one branch + snapshot before a single-
+    * transaction commit (mod.rs:55-76). */
+  def validateResultsConsistency(outcomes: Seq[RewriteOutcome]): Unit = {
+    val snapshotId = outcomes.head.plan.snapshotId
+    outcomes.foreach { o =>
+      require(o.plan.toBranch == toBranch,
+        s"inconsistent branch: ${o.plan.toBranch} != $toBranch")
+      require(o.plan.snapshotId == snapshotId,
+        s"inconsistent snapshot: ${o.plan.snapshotId} != $snapshotId")
+    }
+  }
+
+  /** Managed workflow: plan -> concurrent rewrite -> commit -> validate
+    * (mod.rs:259-303). Empty plans -> no-op result. */
+  def compact(): CompactionResult = {
+    val plans = planCompaction()
+    if (plans.isEmpty) return CompactionResult(Nil, Nil, None)
+    val outcomes = concurrentRewritePlans(plans)
+    val committed = commitRewriteResults(outcomes)
+    if (enableValidate) {
+      val table = committed
+      outcomes.foreach { o =>
+        Validator.validate(spark, o.plan.fileGroup, o.result.addedFiles,
+          table.schemaColumns, table.formatVersion)
+      }
+    }
+    CompactionResult(outcomes.flatMap(_.result.addedFiles), outcomes.map(_.result.stats), Some(committed))
+  }
+}
+
+/** Commit with optimistic retry + exponential backoff (mod.rs:763-782,
+  * 950-1061): reloads the table on every attempt, checks rewritten files
+  * still exist, stamps added files with the starting snapshot's sequence
+  * number so they don't outrank concurrent deletes, preserves custom
+  * snapshot summary properties.
+  */
+final class CommitManager(
+    catalog: Catalog,
+    tableName: String,
+    retry: CommitRetryConfig = CommitRetryConfig(),
+    metrics: Metrics = new Metrics
+) {
+
+  def rewriteFiles(
+      added: Seq[FileEntry],
+      rewrittenPaths: Seq[String],
+      toBranch: String,
+      startingSnapshotId: Long,
+      useStartingSequenceNumber: Boolean
+  ): TableMetadata = retryLoop { () =>
+    val table = catalog.loadTable(tableName) // reload every attempt
+    val starting = table.snapshotById(startingSnapshotId).getOrElse(
+      throw new IllegalStateException(s"No snapshot found with id $startingSnapshotId"))
+    val current = table.snapshotForRef(toBranch).orElse(table.currentSnapshot).getOrElse(starting)
+
+    // file-existence check (set_check_file_existence(true))
+    val currentPaths = current.manifest.map(_.path).toSet
+    val missing = rewrittenPaths.filterNot(currentPaths.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"rewritten files no longer in snapshot: ${missing.take(3).mkString(",")}...")
+
+    val newSeq = table.lastSequenceNumber + 1
+    val fileSeq = if (useStartingSequenceNumber) starting.sequenceNumber else newSeq
+    val stamped = added.map(_.copy(sequenceNumber = fileSeq, content = FileContent.Data))
+
+    val removed = rewrittenPaths.toSet
+    val newManifest = current.manifest.filterNot(f => removed.contains(f.path)) ++ stamped
+    val snapshotId = table.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+    val snap = Snapshot(
+      snapshotId = snapshotId,
+      parentId = Some(current.snapshotId),
+      sequenceNumber = newSeq,
+      timestampMs = System.currentTimeMillis(),
+      manifest = newManifest,
+      // custom (non-auto-computed) summary properties carry forward
+      // (mod.rs:1187-1224)
+      summary = TableMetadata.preservedProperties(current.summary) +
+        ("operation" -> "replace")
+    )
+    val updated = table.copy(
+      currentSnapshotId = Some(snapshotId),
+      refs = table.refs + (toBranch -> snapshotId),
+      snapshots = table.snapshots :+ snap,
+      lastSequenceNumber = newSeq
+    )
+    val committed = catalog.commit(table, updated)
+    metrics.commitSucceeded.incrementAndGet()
+    committed
+  }
+
+  private def retryLoop(op: () => TableMetadata): TableMetadata = {
+    var attempt = 0
+    var delay = retry.initialDelayMs
+    while (true) {
+      try return op()
+      catch {
+        case NonFatal(e) if attempt < retry.maxRetries && isRetriable(e) =>
+          metrics.commitFailed.incrementAndGet()
+          attempt += 1
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, retry.maxDelayMs)
+        case NonFatal(e) =>
+          metrics.commitFailed.incrementAndGet()
+          throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def isRetriable(e: Throwable): Boolean = e match {
+    case _: CommitConflictException => true
+    case _: IllegalStateException   => true // DataInvalid / Unexpected analogue
+    case _                          => false
+  }
+}

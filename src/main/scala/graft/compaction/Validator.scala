@@ -1,0 +1,31 @@
+package graft.compaction
+
+import org.apache.spark.sql.SparkSession
+
+import graft.meta.FileEntry
+import graft.selection.FileGroup
+import graft.exec.Mor
+
+/** Post-commit validation: re-run the MOR query over the inputs and compare
+  * its row count with a plain scan of the outputs
+  * (core/src/compaction/validator.rs:37-177). Counts, not hashes — same
+  * contract as the reference. */
+object Validator {
+  final case class ValidationFailure(inputRows: Long, outputRows: Long)
+      extends RuntimeException(
+        s"compaction validation failed: input MOR rows $inputRows != output rows $outputRows")
+
+  def validate(
+      spark: SparkSession,
+      inputGroup: FileGroup,
+      outputFiles: Seq[FileEntry],
+      schemaColumns: Seq[String],
+      formatVersion: Int
+  ): Unit = {
+    val inputRows = Mor.dataFrame(spark, inputGroup, schemaColumns, formatVersion).count()
+    val outputRows =
+      if (outputFiles.isEmpty) 0L
+      else spark.read.parquet(outputFiles.map(_.path): _*).count()
+    if (inputRows != outputRows) throw ValidationFailure(inputRows, outputRows)
+  }
+}

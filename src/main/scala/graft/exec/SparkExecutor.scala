@@ -1,0 +1,169 @@
+package graft.exec
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{FileContent, FileEntry, PartitionField, SortField}
+import graft.selection.FileGroup
+
+/** One rewrite job: inputs (a planned file group) -> new data files. */
+final case class RewriteRequest(
+    group: FileGroup,
+    schemaColumns: Seq[String],
+    outputDir: String,
+    targetFileSizeBytes: Long,
+    partitionSpec: Seq[PartitionField] = Nil,
+    sortOrder: Seq[SortField] = Nil,
+    formatVersion: Int = 2
+)
+
+final case class RewriteStats(
+    inputFiles: Int,
+    inputBytes: Long,
+    outputFiles: Int,
+    outputBytes: Long,
+    outputRecords: Long,
+    durationMs: Long
+)
+
+final case class RewriteResult(addedFiles: Seq[FileEntry], stats: RewriteStats)
+
+/** Executor seam, mirroring the reference's `CompactionExecutor` trait
+  * (core/src/executor/mod.rs:36-38). */
+trait CompactionExecutor {
+  def rewriteFiles(spark: SparkSession, req: RewriteRequest): RewriteResult
+}
+
+/** Test seam, like core/src/executor/mock.rs:22-29. */
+object MockExecutor extends CompactionExecutor {
+  override def rewriteFiles(spark: SparkSession, req: RewriteRequest): RewriteResult =
+    RewriteResult(Nil, RewriteStats(0, 0L, 0, 0L, 0L, 0L))
+}
+
+/** The Spark executor: MOR scan -> anti joins -> repartition -> sort ->
+  * rolling parquet write, all one Spark job (the reference runs the same
+  * shape on DataFusion, executor/datafusion/mod.rs:51-161).
+  *
+  * Scale design: the only exchange in the plan is the final
+  * `repartition(outputParallelism)` (the reference's RepartitionExec,
+  * datafusion_processor.rs:180-189); deletes are broadcast so the data path
+  * is scan -> BHJ* -> exchange -> sort-within-partition -> write. Target
+  * file size is enforced with `maxRecordsPerFile` derived from the observed
+  * input bytes/record ratio — same estimation gap as the reference's
+  * rolling writer (it also sizes by uncompressed heuristics).
+  */
+object SparkExecutor extends CompactionExecutor {
+
+  /** Identity partition value column, or a bucket column. Buckets use a
+    * murmur3 hash mod n — consistent within this table format (real Iceberg
+    * bucket transforms use a different hash; we never claim cross-engine
+    * bucket compatibility). */
+  private def partitionExpr(p: PartitionField): Column = p.bucketN match {
+    case Some(n) => pmod(hash(col(p.column)), lit(n))
+    case None    => col(p.column)
+  }
+
+  /** Directory-encoded partition columns are written from *copies* so data
+    * files keep the full schema and remain readable by direct path (our
+    * manifests address individual files, not directories). */
+  private def partDirCol(p: PartitionField): String = s"__part_${p.column}"
+
+  override def rewriteFiles(spark: SparkSession, req: RewriteRequest): RewriteResult = {
+    val t0 = System.nanoTime()
+    val g = req.group
+    var df = Mor.dataFrame(spark, g, req.schemaColumns, req.formatVersion)
+
+    // fan-out by partition when partitioned, else round-robin, to exactly
+    // outputParallelism write tasks (reference: RepartitionExec +
+    // RecordBatchPartitionSplitter fan-out, executor/datafusion/mod.rs:163-223)
+    val partCols = req.partitionSpec.map(p => partDirCol(p))
+    if (req.partitionSpec.nonEmpty) {
+      df = req.partitionSpec.foldLeft(df)((d, p) => d.withColumn(partDirCol(p), partitionExpr(p)))
+      df = df.repartition(g.outputParallelism, partCols.map(col): _*)
+    } else if (g.outputParallelism > 0) {
+      df = df.repartition(g.outputParallelism)
+    }
+
+    // per-partition sort by table sort order, identity transforms only
+    // (SortExec with preserve_partitioning, datafusion_processor.rs:193-213)
+    if (req.sortOrder.nonEmpty) {
+      val sortCols = req.sortOrder.map { s =>
+        (s.ascending, s.nullsFirst) match {
+          case (true, true)   => col(s.column).asc_nulls_first
+          case (true, false)  => col(s.column).asc_nulls_last
+          case (false, true)  => col(s.column).desc_nulls_first
+          case (false, false) => col(s.column).desc_nulls_last
+        }
+      }
+      df = df.sortWithinPartitions(sortCols: _*)
+    }
+
+    // target-file-size enforcement: estimate records per target file from
+    // the input's bytes/record ratio
+    val inRecords = math.max(1L, g.dataFiles.map(_.recordCount).sum)
+    val inBytes = math.max(1L, g.totalSize)
+    val bytesPerRecord = math.max(1L, inBytes / inRecords)
+    val maxRecordsPerFile = math.max(1L, req.targetFileSizeBytes / bytesPerRecord)
+
+    val outDir = Paths.get(req.outputDir, UUID.randomUUID().toString).toString
+    var writer = df.write
+      .mode("overwrite")
+      .option("compression", "zstd")                      // config/mod.rs:297
+      .option("parquet.block.size", 128L * 1024 * 1024)   // config/mod.rs:35
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
+    writer.parquet(outDir)
+
+    val added = listWrittenFiles(spark, outDir, req.partitionSpec)
+    val stats = RewriteStats(
+      inputFiles = g.inputFilesCount,
+      inputBytes = g.inputTotalBytes,
+      outputFiles = added.size,
+      outputBytes = added.map(_.length).sum,
+      outputRecords = added.map(_.recordCount).sum,
+      durationMs = (System.nanoTime() - t0) / 1000000L
+    )
+    RewriteResult(added, stats)
+  }
+
+  /** Lists written parquet files with sizes + footer record counts and
+    * decodes partition values from directory names. */
+  def listWrittenFiles(
+      spark: SparkSession, dir: String, spec: Seq[PartitionField]): Seq[FileEntry] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return Nil
+    val files = Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { p =>
+      val rel = root.relativize(p).toString
+      val partVals = rel.split('/').dropRight(1).flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if k.startsWith("__part_") =>
+            Some(k.stripPrefix("__part_") -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+      FileEntry(
+        path = p.toString,
+        length = Files.size(p),
+        content = FileContent.Data,
+        recordCount = parquetRecordCount(conf, p),
+        sequenceNumber = 0L, // assigned at commit
+        partitionValues = partVals
+      )
+    }
+  }
+
+  def parquetRecordCount(conf: org.apache.hadoop.conf.Configuration, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+}

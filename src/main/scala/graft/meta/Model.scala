@@ -1,0 +1,116 @@
+package graft.meta
+
+/** Core table-format model ("icelite"): the minimal subset of an
+  * Iceberg-style table format that the reference engine actually touches
+  * (cf. /root/reference/core/src/compaction/mod.rs:384-516 and
+  * iceberg_file_task_scan.rs:681-702). Tables are a set of Parquet files
+  * tracked by versioned JSON metadata with snapshots, sequence numbers and
+  * data / position-delete / equality-delete content types.
+  */
+object FileContent extends Enumeration {
+  val Data, PositionDeletes, EqualityDeletes = Value
+}
+
+/** One tracked file (reference FileScanTask field list:
+  * iceberg_file_task_scan.rs:681-702). `length` == file size in bytes.
+  *
+  * @param partitionValues partition-column name -> stringified value; empty
+  *                        for unpartitioned files (strategy.rs:953-971).
+  * @param equalityIds     column names forming the equality-delete key
+  *                        (only for EqualityDeletes content).
+  * @param deletes         paths of delete files that apply to this data file
+  *                        (resolved at scan time, like `task.deletes`).
+  */
+final case class FileEntry(
+    path: String,
+    length: Long,
+    content: FileContent.Value,
+    recordCount: Long,
+    sequenceNumber: Long,
+    equalityIds: Seq[String] = Nil,
+    partitionValues: Map[String, String] = Map.empty,
+    deletes: Seq[String] = Nil
+)
+
+/** Sort-order field (identity transform only, like the reference:
+  * datafusion_processor.rs:242-278 rejects non-identity transforms). */
+final case class SortField(column: String, ascending: Boolean = true, nullsFirst: Boolean = true)
+
+/** Partition-spec field. Supported transforms: "identity", "bucket[n]"
+  * (the only transforms exercised by the reference's tests —
+  * SURVEY.md §1.2). */
+final case class PartitionField(column: String, transform: String = "identity") {
+  def isIdentity: Boolean = transform == "identity"
+  def bucketN: Option[Int] =
+    if (transform.startsWith("bucket[") && transform.endsWith("]"))
+      Some(transform.stripPrefix("bucket[").stripSuffix("]").toInt)
+    else None
+}
+
+/** A committed table version. `sequenceNumber` is the table-level sequence
+  * at commit time; files carry their own per-file sequence numbers. */
+final case class Snapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    manifest: Seq[FileEntry],
+    summary: Map[String, String] = Map.empty
+)
+
+/** Versioned table metadata; the unit the catalog CASes on commit. */
+final case class TableMetadata(
+    name: String,
+    location: String,
+    formatVersion: Int = 2,
+    schemaColumns: Seq[String] = Nil,
+    partitionSpec: Seq[PartitionField] = Nil,
+    sortOrder: Seq[SortField] = Nil,
+    currentSnapshotId: Option[Long] = None,
+    refs: Map[String, Long] = Map.empty, // branch name -> snapshot id
+    snapshots: Seq[Snapshot] = Nil,
+    lastSequenceNumber: Long = 0L,
+    version: Int = 0
+) {
+  def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+  def snapshotForRef(branch: String): Option[Snapshot] =
+    refs.get(branch).flatMap(snapshotById)
+  def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(snapshotById)
+
+  /** Data files of a snapshot with their delete files resolved, mirroring
+    * `get_all_files_from_snapshot` + task.deletes attachment
+    * (core/src/compaction/mod.rs:734-761). A delete file applies to a data
+    * file when (a) same partition values and (b) for equality deletes,
+    * deleteSeq > dataSeq; for position deletes, deleteSeq >= dataSeq. */
+  def scanTasks(snapshot: Snapshot): Seq[FileEntry] = {
+    val deletes = snapshot.manifest.filter(_.content != FileContent.Data)
+    snapshot.manifest.filter(_.content == FileContent.Data).map { d =>
+      val applicable = deletes.filter { del =>
+        del.partitionValues == d.partitionValues && (del.content match {
+          case FileContent.EqualityDeletes => del.sequenceNumber > d.sequenceNumber
+          case _                           => del.sequenceNumber >= d.sequenceNumber
+        })
+      }
+      d.copy(deletes = applicable.map(_.path))
+    }
+  }
+}
+
+object TableMetadata {
+  /** Summary keys auto-computed per snapshot; never copied forward when
+    * preserving custom snapshot properties (mod.rs:1187-1224). */
+  val ReservedSummaryKeys: Set[String] = Set(
+    "operation", "added-data-files", "deleted-data-files", "total-data-files",
+    "added-delete-files", "total-delete-files", "added-records", "deleted-records",
+    "total-records", "added-files-size", "removed-files-size", "total-files-size",
+    "added-position-deletes", "total-position-deletes", "added-equality-deletes",
+    "total-equality-deletes", "changed-partition-count", "total-position-delete-files",
+    "total-equality-delete-files", "added-position-delete-files",
+    "removed-position-delete-files", "added-equality-delete-files",
+    "removed-equality-delete-files"
+  )
+  def preservedProperties(summary: Map[String, String]): Map[String, String] =
+    summary.filterNot { case (k, _) =>
+      ReservedSummaryKeys.contains(k) || k.startsWith("partitions.")
+    }
+}

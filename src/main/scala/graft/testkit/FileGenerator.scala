@@ -1,0 +1,128 @@
+package graft.testkit
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta._
+import graft.exec.SparkExecutor
+
+/** Test fixture generator, the Scala analogue of the reference's
+  * FileGenerator (integration-tests/src/test_utils/generator.rs:113-601):
+  * fragments a source DataFrame into N small data files and emits position-
+  * and equality-delete files against them, then registers everything as one
+  * committed snapshot in the catalog.
+  *
+  * Delete-rate semantics mirror generator.rs:526-566: every
+  * `rows/deleteRows`-th row of a file gets a tombstone. Data files commit at
+  * sequence number 1, delete files at 2 (so equality deletes, which require
+  * deleteSeq > dataSeq, apply to all data files).
+  */
+object FileGenerator {
+
+  final case class Config(
+      dataFileCount: Int = 5,
+      eqDeleteRowsPerFile: Int = 0,
+      posDeleteRowsPerFile: Int = 0,
+      equalityIds: Seq[String] = Nil,
+      orderCol: String = "",
+      partitionSpec: Seq[PartitionField] = Nil,
+      sortOrder: Seq[SortField] = Nil,
+      formatVersion: Int = 2
+  )
+
+  /** Writes one parquet file (coalesce(1) + rename) and returns (path, size, rows). */
+  def writeSingleParquet(spark: SparkSession, df: DataFrame, target: Path): (String, Long, Long) = {
+    val tmp = Files.createTempDirectory(target.getParent, ".gen")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.walk(tmp).iterator().asScala
+      .find(p => p.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(target.getParent)
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val rows = SparkExecutor.parquetRecordCount(spark.sessionState.newHadoopConf(), target)
+    (target.toString, Files.size(target), rows)
+  }
+
+  /** Fragments `source` into data files + delete files and commits snapshot 1. */
+  def writeTable(
+      spark: SparkSession,
+      catalog: LocalCatalog,
+      tableName: String,
+      source: DataFrame,
+      cfg: Config
+  ): TableMetadata = {
+    val orderCol = if (cfg.orderCol.nonEmpty) cfg.orderCol else source.columns.head
+    val dataDir = catalog.dataDir(tableName)
+    Files.createDirectories(dataDir)
+
+    val total = source.count()
+    val per = math.max(1L, (total + cfg.dataFileCount - 1) / cfg.dataFileCount)
+    // deterministic global order -> stable file contents across runs
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    val indexed = source.withColumn("__rn", row_number().over(w) - 1)
+
+    var entries = Vector.empty[FileEntry]
+    var posDeleteRows = Vector.empty[(String, Long)]
+    var eqDeleteKeys: DataFrame = null
+
+    for (i <- 0 until cfg.dataFileCount) {
+      val lo = i * per
+      val hi = math.min(total, (i + 1) * per)
+      if (lo < hi) {
+        val slice = indexed.filter(col("__rn") >= lo && col("__rn") < hi)
+          .orderBy(col("__rn")).drop("__rn")
+        val target = dataDir.resolve(f"data-$i%05d.parquet")
+        val (p, size, rows) = writeSingleParquet(spark, slice, target)
+        entries :+= FileEntry(p, size, FileContent.Data, rows, sequenceNumber = 1L)
+
+        if (cfg.posDeleteRowsPerFile > 0 && rows > 0) {
+          val step = math.max(1L, rows / cfg.posDeleteRowsPerFile)
+          val positions = (0L until rows by step).take(cfg.posDeleteRowsPerFile)
+          posDeleteRows ++= positions.map(pos => (p, pos))
+        }
+        if (cfg.eqDeleteRowsPerFile > 0 && cfg.equalityIds.nonEmpty && rows > 0) {
+          val step = math.max(1L, rows / cfg.eqDeleteRowsPerFile)
+          val keys = slice.withColumn("__i", row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))) - 1)
+            .filter(col("__i") % step === 0 && col("__i") < step * cfg.eqDeleteRowsPerFile)
+            .select(cfg.equalityIds.map(col): _*)
+          eqDeleteKeys = if (eqDeleteKeys == null) keys else eqDeleteKeys.unionAll(keys)
+        }
+      }
+    }
+
+    if (posDeleteRows.nonEmpty) {
+      import spark.implicits._
+      val target = dataDir.resolve("pos-delete-00000.parquet")
+      val df = posDeleteRows.toDF("file_path", "pos")
+      val (p, size, rows) = writeSingleParquet(spark, df, target)
+      entries :+= FileEntry(p, size, FileContent.PositionDeletes, rows, sequenceNumber = 2L)
+    }
+    if (eqDeleteKeys != null) {
+      val target = dataDir.resolve("eq-delete-00000.parquet")
+      val (p, size, rows) = writeSingleParquet(spark, eqDeleteKeys, target)
+      entries :+= FileEntry(p, size, FileContent.EqualityDeletes, rows,
+        sequenceNumber = 2L, equalityIds = cfg.equalityIds)
+    }
+
+    val snapshot = Snapshot(
+      snapshotId = 1L, parentId = None, sequenceNumber = 2L,
+      timestampMs = System.currentTimeMillis(), manifest = entries)
+    val meta = TableMetadata(
+      name = tableName,
+      location = catalog.tableLocation(tableName).toString,
+      formatVersion = cfg.formatVersion,
+      schemaColumns = source.columns.toSeq,
+      partitionSpec = cfg.partitionSpec,
+      sortOrder = cfg.sortOrder,
+      currentSnapshotId = Some(1L),
+      refs = Map("main" -> 1L),
+      snapshots = Seq(snapshot),
+      lastSequenceNumber = 2L)
+    if (catalog.tableExists(tableName)) catalog.dropTable(tableName)
+    catalog.createTable(meta)
+  }
+}
