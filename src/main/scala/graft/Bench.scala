@@ -1,5 +1,17 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.meta._
+import graft.selection._
+import graft.compaction._
+import graft.testkit.FileGenerator
+
+/** Per-round benchmark: every SparkEntry query timed at SPARK_GRAFT_SF_DIR,
+  * plus the compaction workload mirroring the reference's bench harness
+  * (integration-tests/src/bin/bench.rs:87-92): fragment lineitem into small
+  * data files + pos/eq delete files, run the full MOR compaction, report
+  * wall-clock. Prints ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +19,43 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try f catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      results(name) = time { fn(spark, sfDir).count(): Unit }
+    }
+
+    // compaction bench: 8 data files + pos/eq deletes over lineitem, full
+    // MOR compaction end-to-end (plan -> rewrite -> commit -> validate)
+    results("compaction_mor") = time {
+      val wh = java.nio.file.Files.createTempDirectory("bench-wh")
+      val catalog = new LocalCatalog(wh)
+      val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      FileGenerator.writeTable(spark, catalog, "bench_li", src,
+        FileGenerator.Config(dataFileCount = 8, posDeleteRowsPerFile = 100,
+          eqDeleteRowsPerFile = 100, equalityIds = Seq("l_orderkey"), orderCol = "l_orderkey"))
+      val c = new Compaction(catalog, "bench_li", spark,
+        config = FullCompactionConfig(PlanningParams(
+          targetFileSizeBytes = 512L * 1024 * 1024,
+          maxInputParallelism = 4 * cpus.toInt, maxOutputParallelism = cpus.toInt)),
+        enableValidate = true)
+      val res = c.compact()
+      require(res.addedFiles.nonEmpty, "compaction produced no files")
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -51,6 +51,30 @@ object Mor {
     out.map { case (ids, fs) => (ids, fs.toSeq) }.toSeq
   }
 
+  /** Position-delete anti join: drop data rows whose (file_path, pos) has a
+    * tombstone (datafusion_processor.rs:489-522; reference RIGHT ANTI ==
+    * our LEFT ANTI). The delete side is broadcast: no data-side shuffle. */
+  def applyPositionDeletes(data: DataFrame, deletes: DataFrame): DataFrame =
+    data.join(broadcast(deletes), Seq(FilePathCol, PosCol), "left_anti")
+
+  /** Equality-delete anti join: drop data rows matching a tombstone's key
+    * columns with strictly newer sequence number
+    * (datafusion_processor.rs:524-571). `deletes` must carry the eq columns
+    * plus `delSeqCol`; empty `eqIds` degrades to the pure seq theta-join
+    * (-> BroadcastNestedLoopJoin, fine: delete side broadcast). */
+  def applyEqualityDeletes(
+      data: DataFrame, deletes: DataFrame, eqIds: Seq[String],
+      dataSeqCol: String = SeqNumCol, delSeqCol: String = "__del_seq"): DataFrame = {
+    val del = deletes.select(
+      eqIds.map(c => col(c).as(s"__del_$c")) :+ col(delSeqCol).as("__del_seq__"): _*)
+    // plain (null-unsafe) equality, matching the reference's generated `=`
+    // predicates (datafusion_processor.rs:533-545)
+    val eqCond = eqIds.map(c => data(c) === col(s"__del_$c")).reduceOption(_ && _)
+    val seqCond = data(dataSeqCol) < col("__del_seq__")
+    val cond = eqCond.map(_ && seqCond).getOrElse(seqCond)
+    data.join(broadcast(del), cond, "left_anti")
+  }
+
   /** Builds the MOR DataFrame for a file group.
     *
     * @param projectCols the table schema columns to produce (hidden columns
@@ -89,30 +113,18 @@ object Mor {
     }
 
     if (needFilePos) {
-      // position-delete anti join on (file_path, pos)
-      // (datafusion_processor.rs:489-522; reference RIGHT ANTI == our LEFT ANTI)
       val pos = spark.read.parquet(posDeletes.map(_.path): _*)
         .select(col("file_path").as(FilePathCol), col("pos").as(PosCol))
-      df = df.join(broadcast(pos), Seq(FilePathCol, PosCol), "left_anti")
+      df = applyPositionDeletes(df, pos)
     }
 
     // one anti join per equality-ids run, in manifest order
     // (datafusion_processor.rs:524-571)
-    for (((eqIds, files), _) <- equalityDeleteGroups(eqDeletes).zipWithIndex) {
-      val raw = spark.read.parquet(files.map(_.path): _*)
-      val del = raw
+    for ((eqIds, files) <- equalityDeleteGroups(eqDeletes)) {
+      val del = spark.read.parquet(files.map(_.path): _*)
         .select(eqIds.map(col) :+ normalizePath(col("_metadata.file_path")).as(FilePathCol): _*)
         .join(broadcast(seqMap(spark, files)), Seq(FilePathCol), "left")
-        .select(eqIds.map(c => col(c).as(s"__del_$c")) :+ col(SeqNumCol).as("__del_seq"): _*)
-      // plain (null-unsafe) equality, matching the reference's generated
-      // `=` predicates (datafusion_processor.rs:533-545)
-      val eqCond = eqIds.map(c => df(c) === col(s"__del_$c")).reduceOption(_ && _)
-      val seqCond = df(SeqNumCol) < col("__del_seq")
-      // empty equality_ids degrades to a pure seq theta-join
-      // (datafusion_processor.rs:556-560) -> BroadcastNestedLoopJoin;
-      // fine because the delete side is broadcast.
-      val cond = eqCond.map(_ && seqCond).getOrElse(seqCond)
-      df = df.join(broadcast(del), cond, "left_anti")
+      df = applyEqualityDeletes(df, del, eqIds, SeqNumCol, SeqNumCol)
     }
 
     df.select(projected: _*)

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, exact through
+  * approximate, each designed around its 100 TB shuffle profile:
+  *
+  *  - exact: one hash-aggregate on a fingerprint (map-side combine, one
+  *    shuffle keyed by digest — never by raw text);
+  *  - MinHash+LSH: shingle explode -> per-doc signature aggregate (one
+  *    shuffle on doc id) -> band bucket self-join (one shuffle on tiny
+  *    band hashes) -> candidate verify. Bucket-size cap bounds the
+  *    quadratic pair blowup on hot buckets (skew guard);
+  *  - SimHash: per-doc bit-majority aggregate, same single-shuffle shape;
+  *  - n-gram Jaccard: the exact (quadratic-in-candidates) baseline —
+  *    at scale it is only ever run AFTER LSH candidate generation;
+  *  - embedding near-dup: see [[Similarity]] for the LSH-bucketed scale
+  *    path; the brute pair scan here is the correctness baseline.
+  *
+  * All hashing is md5-based so results are reproducible across engines
+  * (and checkable against a SQL oracle).
+  */
+object Dedup {
+
+  /** distinct character n-gram shingles per id: (id, gram) — `transform`
+    * with an index lambda over `sequence`, then explode + distinct. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(expr(
+          s"transform(sequence(1, greatest(length($textCol) - ${n - 2}, 1)), i -> substring($textCol, i, $n))"
+        )).as("gram"))
+      .distinct()
+
+  /** Exact dedup: group rows by content fingerprint, keep the minimum id.
+    * Returns (fingerprint, keeper_id, n_dups). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: k md5-seeded min-hashes over the distinct shingle
+    * set. One explode + one aggregate; signature values are hex strings
+    * (string min is deterministic everywhere). */
+  def minHashSignatures(grams: DataFrame, k: Int = 16): DataFrame = {
+    val aggs = (0 until k).map(j => min(md5(concat(lit(s"$j:"), col("gram")))).as(s"mh$j"))
+    grams.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: k/rowsPerBand bands, band hash = md5 of the band's
+    * concatenated minhashes. Returns (id, band, bh). */
+  def lshBands(sig: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
+      sig.select(col("id"), lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
+    }
+    bands.reduce(_ unionAll _)
+  }
+
+  /** Candidate pairs from shared LSH buckets, with a bucket-size cap: a
+    * bucket holding b ids yields b^2/2 pairs, so one hot bucket (all-equal
+    * boilerplate docs) can dominate the job — cap drops those buckets for
+    * the exact-verify stage to handle separately. Returns (id1, id2). */
+  def lshCandidatePairs(bands: DataFrame, maxBucketSize: Int = 100): DataFrame = {
+    val sized = bands.withColumn("__n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__n") <= maxBucketSize)
+    val a = sized.select(col("band"), col("bh"), col("id").as("id1"))
+    val b = sized.select(col("band"), col("bh"), col("id").as("id2"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * sets. Returns pairs with jaccard >= threshold. */
+  def verifyJaccard(pairs: DataFrame, grams: DataFrame, threshold: Double): DataFrame = {
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val g1 = grams.select(col("id").as("id1"), col("gram"))
+    val g2 = grams.select(col("id").as("id2"), col("gram"))
+    val common = pairs.join(g1, Seq("id1")).join(g2, Seq("id2", "gram"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"), Seq("id2"))
+      .filter(col("c").cast("double") / (col("n1") + col("n2") - col("c")) >= threshold)
+      .select(col("id1"), col("id2"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline:
+    * shingle -> signature -> band -> bucket join -> exact verify. */
+  def minHashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, k: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
+    val grams = shingles(df, idCol, textCol, n).cache()
+    val pairs = lshCandidatePairs(lshBands(minHashSignatures(grams, k), k, rowsPerBand), maxBucketSize)
+    verifyJaccard(pairs, grams, threshold)
+  }
+
+  /** Exact n-gram Jaccard over ALL co-shingled pairs (no LSH): the
+    * correctness baseline. Quadratic in bucket sizes — at scale run
+    * [[minHashNearDupPairs]] instead. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val grams = shingles(df, idCol, textCol, n)
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val g1 = grams.select(col("id").as("id1"), col("gram"))
+    val g2 = grams.select(col("id").as("id2"), col("gram"))
+    val common = g1.join(g2, Seq("gram")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"), Seq("id2"))
+      .filter(col("c").cast("double") / (col("n1") + col("n2") - col("c")) >= threshold)
+      .select(col("id1"), col("id2"))
+  }
+
+  /** SimHash fingerprint: 32 dimensions, one per md5 hex nibble of each
+    * token; bit i is the sign of the token-count majority on that nibble's
+    * high bit. Returns (id, simhash-bitstring). Single aggregate pass. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitAggs = (1 to 32).map { i =>
+      sum(when(substring(col("h"), i, 1) >= "8", 1).otherwise(-1)).as(s"s$i")
+    }
+    val sums = toks.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val bits = (1 to 32).map(i => when(col(s"s$i") >= 0, "1").otherwise("0"))
+    sums.select(col("id"), concat(bits: _*).as("simhash"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus the decode / feature-extract
+  * stage shapes a training pipeline needs.
+  *
+  * The Spark-side plumbing here is real and tested — schema, partitioning,
+  * batch iteration via `mapPartitions` (the JVM analogue of a pandas-batch
+  * UDF: one iterator per partition, amortized per-batch setup). The codec
+  * itself is a STUB: this container ships no image/audio libraries, so
+  * `decodeStub` computes deterministic fake features from the raw bytes.
+  * Swapping in a real decoder means replacing only `decodeBytes`.
+  */
+object Multimodal {
+
+  /** typed metadata carried next to every payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  /** Wraps a text table as fake media rows: payload = utf-8 bytes, typed
+    * metadata derived deterministically. Stand-in for `spark.read.format
+    * ("binaryFile")` over an object store at scale. */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("fake/raw").as("format"),
+        (length(col(textCol)) % 640).cast("int").as("width"),
+        (length(col(textCol)) % 480).cast("int").as("height"),
+        length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB codec: a real implementation would decode image/audio bytes
+    * here (e.g. via a JNI codec or a pandas-batch UDF on PySpark). The
+    * deterministic fake keeps the pipeline testable end-to-end. */
+  private def decodeBytes(payload: Array[Byte]): Array[Double] = {
+    // ??? <- real decoder goes here; deterministic fake below
+    if (payload == null || payload.isEmpty) Array(0.0, 0.0)
+    else {
+      var sum = 0L; var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+      Array(payload.length.toDouble, sum.toDouble / payload.length)
+    }
+  }
+
+  /** Per-partition batched "decode + featurize": mapPartitions keeps any
+    * heavyweight codec init per-partition, not per-row — the same batch
+    * shape a pandas UDF gives PySpark. Output: (media_id, feat array). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition codec init would happen here
+        rows.map { r =>
+          Row(r.getLong(0), decodeBytes(r.getAs[Array[Byte]](1)))
+        }
+      }(enc)
+  }
+
+  /** "Frame sampling" stub: every k-th byte window of the payload — the
+    * partition-preserving slice shape of real video frame extraction. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 16, everyK: Int = 4): DataFrame =
+    media.select(col("media_id"), col("meta"),
+      posexplode(expr(
+        s"transform(sequence(0, greatest(cast(meta.n_bytes as int) div ($frameBytes * $everyK) - 1, 0)), " +
+          s"i -> substring(payload, i * $frameBytes * $everyK + 1, $frameBytes))"))
+        .as(Seq("frame_idx", "frame_bytes")))
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the brute-force path is the correctness baseline (and is
+  * the right tool for one-off small query sets — broadcast the queries,
+  * scan the corpus once, no shuffle of the corpus). The hyperplane-LSH
+  * path is the 100 TB shape: bucket assignment is a per-row map (no
+  * shuffle), candidate generation joins only within buckets, and the
+  * expected bucket population falls geometrically with the plane count.
+  *
+  * All arithmetic is double (exact widening from float), dot products via
+  * `zip_with`/`aggregate` (codegen'd, no UDF); similarities are rounded at
+  * 1e-6 before any threshold/rank so results are reproducible across
+  * engines.
+  */
+object Similarity {
+
+  /** elementwise double cast. */
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine similarity rounded to 6 decimals (cross-engine stable). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** cosine from precomputed norms: one dot per pair instead of three —
+    * the norms are computed once per row, not once per pair. This is what
+    * makes all-pairs / top-k scans tractable: pair cost drops to a single
+    * fused multiply-add loop over the vector. */
+  private def cosineWithNorms(a: Column, na: Column, b: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
+
+  private def withNorm(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn(out, norm(col(vecCol)))
+
+  /** Brute-force top-k cosine neighbors for a (small) query set.
+    * `queries`/`corpus`: (idCol, vecCol). The query side is broadcast; the
+    * corpus is scanned once; ranking tie-breaks on neighbor id. Returns
+    * (query_id, neighbor_id, rank, sim). */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, vecCol, "__qn")
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__qn"))
+    val c = withNorm(corpus, vecCol, "__cn")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineWithNorms(col("__qv"), col("__qn"), col("__cv"), col("__cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane sign for (plane, dim): +1 when
+    * md5's first hex digit has its high bit set. Reproducible everywhere —
+    * no RNG state to ship to executors. */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(substring(md5(concat(lit(s"$plane:"), dim.cast("string"))), 1, 1) >= "8", 1.0)
+      .otherwise(-1.0)
+
+  /** Random-hyperplane LSH bucket per row: `planes` sign-bits of
+    * sign(sum_i s(p,i) * v_i). Pure per-row map — embarrassingly parallel.
+    * Returns df + "bucket" (bitstring). */
+  def hyperplaneBuckets(df: DataFrame, vecCol: String, planes: Int = 8): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val bits = (0 until planes).map { p =>
+      // s = sum_i sign(p,i) * v[i]; aggregate over posexplode-free zip with
+      // the index sequence
+      val s = aggregate(
+        zip_with(v, sequence(lit(1), size(col(vecCol))), (x, i) => x * planeSign(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(round(s, 6) >= 0, "1").otherwise("0")
+    }
+    df.withColumn("bucket", concat(bits: _*))
+  }
+
+  /** Bucketed ANN: top-k by cosine within each query's bucket. Falls back
+    * to fewer-than-k results when a bucket is sparse (standard IVF/LSH
+    * recall trade-off; probe more buckets by lowering `planes`). */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+    val all = withNorm(hyperplaneBuckets(df, vecCol, planes), vecCol, "__cn")
+    val q = withNorm(hyperplaneBuckets(queries, vecCol, planes), vecCol, "__qn")
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__qn"), col("bucket"))
+    val c = all.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cn"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineWithNorms(col("__qv"), col("__qn"), col("__cv"), col("__cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold over co-bucketed
+    * pairs (or all pairs when `bruteForce`). Returns (id1, id2). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bruteForce: Boolean = false, planes: Int = 8): DataFrame = {
+    val base = withNorm(df, vecCol, "__n")
+    val simAtLeast = (v1: Column, n1: Column, v2: Column, n2: Column) =>
+      cosineWithNorms(v1, n1, v2, n2) >= threshold
+    if (bruteForce) {
+      // broadcast one full side: every partition of `a` scans the
+      // broadcast copy — parallel across a's splits (a constant-key join
+      // would funnel ALL pairs through one shuffle partition)
+      val a = base.select(col(idCol).as("id1"), col(vecCol).as("__v1"), col("__n").as("__n1"))
+      val b = base.select(col(idCol).as("id2"), col(vecCol).as("__v2"), col("__n").as("__n2"))
+      a.crossJoin(broadcast(b)).filter(col("id1") < col("id2"))
+        .filter(simAtLeast(col("__v1"), col("__n1"), col("__v2"), col("__n2")))
+        .select(col("id1"), col("id2"))
+    } else {
+      val bucketed = hyperplaneBuckets(base, vecCol, planes)
+      val a = bucketed.select(col("bucket"), col(idCol).as("id1"), col(vecCol).as("__v1"), col("__n").as("__n1"))
+      val b = bucketed.select(col("bucket"), col(idCol).as("id2"), col(vecCol).as("__v2"), col("__n").as("__n2"))
+      // each row has exactly one bucket, so a pair appears at most once —
+      // no distinct (and no extra shuffle) needed
+      a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+        .filter(simAtLeast(col("__v1"), col("__n1"), col("__v2"), col("__n2")))
+        .select(col("id1"), col("id2"))
+    }
+  }
+}

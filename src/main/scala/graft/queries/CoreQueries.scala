@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.exec.{Mor, ScanTaskSplit}
+import graft.selection.{FileGroup, ListPacker, PlanningParams}
+
+/** The DuckDB-oracle query set for SURVEY.md §2's t2-testable operators.
+  *
+  * MOR queries (ops 14/15/16/40) emulate the hidden columns
+  * (`sys_hidden_file_path`/`pos`/`seq_num`) with deterministic arithmetic
+  * over the TPC-H tables, so the *same* anti-join builders used by the real
+  * compaction path ([[graft.exec.Mor]]) are checkable against ANSI SQL on
+  * plain parquet. Planning ops (20/27/30) are driver-side math by design —
+  * metadata-only in the reference too — exposed as deterministic
+  * DataFrames with rows-only checks.
+  *
+  * Determinism rules for oracle parity (DuckDB vs Spark):
+  * money sums use exact bigint cents (`round(x*100)::bigint`), averages
+  * are rounded, timestamps are never output raw (formatted as strings),
+  * and no query relies on result ordering or ties.
+  */
+object CoreQueries {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events carries TIMESTAMP(NANOS) parquet timestamps, which Spark only
+    // reads as long with the legacy flag (ordering semantics unchanged)
+    if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** exact integer cents for a money expression (see class doc). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ---- emulated hidden columns (identical arithmetic in the oracle SQL) --
+
+  private def liWithHidden(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"),
+      concat(lit("f"), (col("l_orderkey") % 7).cast("string")).as(Mor.FilePathCol),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as(Mor.PosCol),
+      (lit(3) + col("l_orderkey") % 5).as(Mor.SeqNumCol))
+
+  private val liHiddenSql =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
+      |  'f' || CAST(l_orderkey % 7 AS VARCHAR) AS file_path,
+      |  l_orderkey * 10 + l_linenumber AS pos,
+      |  3 + l_orderkey % 5 AS seq
+      |FROM lineitem""".stripMargin
+
+  // ------------------------------------------------------------ queries --
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op 10/11/12: projection + filter, both pushed into the parquet scan
+    "q10_projection" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"), col("l_returnflag"))),
+
+    // op 14: position-delete anti join on (file_path, pos)
+    "q14_pos_anti_join" -> ((s, dir) => {
+      val data = liWithHidden(s, dir)
+      val dels = data.filter(col("l_partkey") % 13 === 0)
+        .select(col(Mor.FilePathCol), col(Mor.PosCol))
+      Mor.applyPositionDeletes(data, dels)
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // op 15: equality-delete anti join with strict seq condition
+    "q15_eq_anti_join_seq" -> ((s, dir) => {
+      val data = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), (col("o_orderkey") % 5).as(Mor.SeqNumCol))
+      val dels = tbl(s, dir, "orders").filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_custkey"), (col("o_orderkey") % 7).as("dseq"))
+      Mor.applyEqualityDeletes(data, dels, Seq("o_custkey"), Mor.SeqNumCol, "dseq")
+        .select(col("o_orderkey"))
+    }),
+
+    // op 16: chained deletes — pos join, then two equality groups
+    "q16_chained_deletes" -> ((s, dir) => {
+      val data = liWithHidden(s, dir)
+      val pos = data.filter(col("l_partkey") % 13 === 0)
+        .select(col(Mor.FilePathCol), col(Mor.PosCol))
+      val eq1 = data.filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_partkey"), (col("l_orderkey") % 12).as("dseq"))
+      val eq2 = data.filter(col("l_orderkey") % 53 === 0)
+        .select(col("l_suppkey"), col("l_partkey"), (col("l_orderkey") % 11).as("dseq"))
+      val afterPos = Mor.applyPositionDeletes(data, pos)
+      val after1 = Mor.applyEqualityDeletes(afterPos, eq1, Seq("l_partkey"), Mor.SeqNumCol, "dseq")
+      // second group uses a two-column equality key
+      Mor.applyEqualityDeletes(after1, eq2, Seq("l_suppkey", "l_partkey"), Mor.SeqNumCol, "dseq")
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // op 17: round-robin repartition preserves every row (aggregate proof)
+    "q17_repartition_rows" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").repartition(32).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"))),
+
+    // op 18: sortWithinPartitions — content is preserved as a multiset
+    // (per-partition ordering itself is asserted in SortSpec, not here)
+    "q18_sort_within_partitions" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .repartition(8, col("l_returnflag"))
+        .sortWithinPartitions(col("l_shipdate").asc_nulls_first)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))),
+
+    // op 40: MOR row-count validation — the validator's contract
+    "q40_mor_rowcount" -> ((s, dir) => {
+      val data = liWithHidden(s, dir)
+      val pos = data.filter(col("l_partkey") % 13 === 0)
+        .select(col(Mor.FilePathCol), col(Mor.PosCol))
+      Mor.applyPositionDeletes(data, pos).agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // headline: TPC-H Q1-style pricing summary (agg breadth: sum/avg/count)
+    "q1_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long"))
+            .as("sum_disc_e4"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // headline: 3-way join + group (TPC-H Q3 shape), dimension broadcast
+    "q3_join_agg" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = tbl(s, dir, "orders").filter(col("o_orderdate") < lit("1998-07-01"))
+      val li = tbl(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-01"))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long"))
+          .as("revenue_e4"))
+    }),
+
+    // headline: 5-way star join -> revenue per nation (TPC-H Q5 shape)
+    "q5_star_join" -> ((s, dir) => {
+      val region = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = tbl(s, dir, "nation")
+      val cust = tbl(s, dir, "customer")
+      val ord = tbl(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01"))
+      val li = tbl(s, dir, "lineitem")
+      val sup = tbl(s, dir, "supplier")
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long"))
+          .as("revenue_e4"))
+    }),
+
+    // window functions: top-3 events per user by time
+    "q_window_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"))
+    }),
+
+    // distinct aggregation
+    "q_distinct_agg" -> ((s, dir) =>
+      tbl(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))),
+
+    // op 20: deterministic LPT task split (planning math; rows-only check)
+    "q20_task_split" -> ((s, dir) => {
+      import s.implicits._
+      val items = (0 until 64).map(i => (s"file_$i", ((i * 2654435761L) % 1000L) + 1L))
+      val groups = ScanTaskSplit.splitNVecs(items, 8)(_._2)
+      groups.zipWithIndex.flatMap { case (g, gi) =>
+        g.map { case (f, w) => (f, w, gi) }
+      }.toDF("file", "weight", "group_id").orderBy("file")
+    }),
+
+    // op 27: FFD bin packing (planning math; rows-only check)
+    "q27_binpack" -> ((s, dir) => {
+      import s.implicits._
+      val items = (0 until 100).map(i => (s"f$i", ((i * 48271L) % 512L) + 1L))
+      val bins = new ListPacker(1024L).pack(items)(_._2)
+      bins.zipWithIndex.flatMap { case (bin, bi) =>
+        bin.map { case (f, w) => (f, w, bi) }
+      }.toDF("file", "weight", "bin_id").orderBy("file")
+    }),
+
+    // op 30: parallelism calculator outputs (planning math; rows-only)
+    "q30_parallelism" -> ((s, dir) => {
+      import s.implicits._
+      val GB = 1024L * 1024 * 1024
+      val cases = Seq(512L * 1024 * 1024, 2 * GB + 200 * 1024 * 1024, 10 * GB, 100 * GB)
+      cases.map { in =>
+        val t = GB
+        val exp = FileGroup.expectedOutputFiles(in, t, FileGroup.minFileSize(t), FileGroup.maxFileSize(t))
+        val split = FileGroup.inputSplitSize(in, t, FileGroup.minFileSize(t), FileGroup.maxFileSize(t))
+        (in, exp, split)
+      }.toDF("input_bytes", "expected_output_files", "input_split_size")
+    })
+  )
+
+  // ------------------------------------------------------------- oracles --
+
+  val oracles: Map[String, String] = Map(
+    "q10_projection" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty, l_returnflag
+        |FROM lineitem WHERE l_quantity > 45""".stripMargin,
+
+    "q14_pos_anti_join" ->
+      s"""WITH data AS ($liHiddenSql),
+         |dels AS (SELECT file_path, pos FROM data WHERE l_partkey % 13 = 0)
+         |SELECT l_orderkey, l_linenumber FROM data d
+         |WHERE NOT EXISTS (SELECT 1 FROM dels e
+         |  WHERE e.file_path = d.file_path AND e.pos = d.pos)""".stripMargin,
+
+    "q15_eq_anti_join_seq" ->
+      """WITH data AS (SELECT o_orderkey, o_custkey, o_orderkey % 5 AS seq FROM orders),
+        |dels AS (SELECT o_custkey AS k, o_orderkey % 7 AS dseq FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT o_orderkey FROM data d
+        |WHERE NOT EXISTS (SELECT 1 FROM dels e WHERE e.k = d.o_custkey AND d.seq < e.dseq)""".stripMargin,
+
+    "q16_chained_deletes" ->
+      s"""WITH data AS ($liHiddenSql),
+         |pos AS (SELECT file_path, pos FROM data WHERE l_partkey % 13 = 0),
+         |eq1 AS (SELECT l_partkey AS k, l_orderkey % 12 AS dseq FROM data WHERE l_orderkey % 97 = 0),
+         |eq2 AS (SELECT l_suppkey AS k1, l_partkey AS k2, l_orderkey % 11 AS dseq FROM data WHERE l_orderkey % 53 = 0)
+         |SELECT l_orderkey, l_linenumber FROM data d
+         |WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.file_path = d.file_path AND p.pos = d.pos)
+         |  AND NOT EXISTS (SELECT 1 FROM eq1 e WHERE e.k = d.l_partkey AND d.seq < e.dseq)
+         |  AND NOT EXISTS (SELECT 1 FROM eq2 e WHERE e.k1 = d.l_suppkey AND e.k2 = d.l_partkey AND d.seq < e.dseq)""".stripMargin,
+
+    "q17_repartition_rows" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem""".stripMargin,
+
+    "q18_sort_within_partitions" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty FROM lineitem""".stripMargin,
+
+    "q40_mor_rowcount" ->
+      s"""WITH data AS ($liHiddenSql),
+         |dels AS (SELECT file_path, pos FROM data WHERE l_partkey % 13 = 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows FROM data d
+         |WHERE NOT EXISTS (SELECT 1 FROM dels e
+         |  WHERE e.file_path = d.file_path AND e.pos = d.pos)""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-03-01'
+        |GROUP BY l_orderkey, orderdate""".stripMargin,
+
+    "q5_star_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn <= 3""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin
+    // q20_task_split / q27_binpack / q30_parallelism: driver-side planning
+    // math, not SQL-expressible -> rows-only checks
+  )
+}

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators as oracle-checked queries over the
+  * `documents` / `embeddings` tables.
+  *
+  * Near-dup corpora are seeded inside the query (documents UNION slightly
+  * modified / duplicated copies) so dedup operators have guaranteed
+  * positives at every scale factor, with identical seeding in the SQL
+  * oracle. All hashing is md5 (bit-identical across engines); Jaccard
+  * thresholds compare exact rationals; cosine thresholds sit far from the
+  * data's natural similarity range (max observed natural cosine ~0.51 vs
+  * thresholds at 0.9).
+  */
+object OpsQueries {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents + near-dup copies (doc_id%2=0 -> +100000 with one extra
+    * token) + exact copies (doc_id%3=0 -> +200000). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), concat(col("text"), lit(" extra")).as("text")))
+      .unionAll(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+
+  /** embeddings + exact copies of every 5th vector. */
+  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.unionAll(e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
+  private val embCorpusSql =
+    """ecorpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 5 = 0)""".stripMargin
+
+  /** DuckDB: distinct char-4-gram shingles of corpus (mirrors
+    * Dedup.shingles; note range() is exclusive where sequence() is
+    * inclusive, hence the +1). */
+  private val gramsSql =
+    """grams AS (
+      |  SELECT DISTINCT doc_id AS id, g AS gram FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(1, greatest(len(text) - 2, 1) + 1), i -> substr(text, i, 4))) AS g
+      |    FROM corpus))""".stripMargin
+
+  // normalized text in DuckDB ('g' flag: replace ALL whitespace runs)
+  private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+  private val toksSql = s"string_split(lower($normSql), ' ')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: fingerprint group -> keeper + multiplicity
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(corpus(s, dir), "doc_id", "text")),
+
+    // MinHash + LSH near-dup: shingle -> sign -> band -> bucket join -> verify
+    "d2_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashNearDupPairs(corpus(s, dir), "doc_id", "text",
+        n = 4, k = 16, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 100)),
+
+    // SimHash 32-bit fingerprints
+    "d3_simhash" -> ((s, dir) =>
+      Dedup.simHash(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // exact n-gram Jaccard pairs — the quadratic baseline for the LSH
+    // path, so it runs on a bounded deterministic slice (doc_id < 1000:
+    // the whole corpus at sf<=0.01, a fixed 1000-doc slice above). The
+    // unbounded-scale variant IS d2 (MinHash+LSH).
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
+        "doc_id", "text", n = 4, threshold = 0.6)),
+
+    // embedding cosine near-dup (brute-force baseline; LSH path in s2)
+    "d5_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(embCorpus(s, dir), "vec_id", "embedding",
+        threshold = 0.9, bruteForce = true)),
+
+    // brute-force ANN top-3 for 10 query vectors
+    "s1_ann_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // hyperplane-LSH bucket assignment (the ANN scale path)
+    "s2_ann_lsh_buckets" -> ((s, dir) =>
+      Similarity.hyperplaneBuckets(tbl(s, dir, "embeddings"), "embedding", planes = 8)
+        .select(col("vec_id"), col("bucket"))),
+
+    // text analysis family
+    "t1_langid" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))),
+    "t2_quality" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))),
+    "t3_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).cast("long").as("re_tokens"))),
+    "t4_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    // multimodal plumbing: binary payload + typed metadata + digest
+    "m1_multimodal" -> ((s, dir) =>
+      Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("meta.n_bytes").as("byte_len"),
+          sha2(col("payload"), 256).as("sha"))),
+
+    // multimodal feature extraction (mapPartitions stub codec; rows-only)
+    "m2_media_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(s, media)
+        .select(col("media_id"),
+          element_at(col("features"), 1).as("feat_len"),
+          round(element_at(col("features"), 2), 4).as("feat_avg"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracles --
+
+  private val minhashSigSql: String = {
+    val mhs = (0 until 16).map(j => s"min(md5('$j:' || gram)) AS mh$j").mkString(", ")
+    s"sig AS (SELECT id, $mhs FROM grams GROUP BY id)"
+  }
+
+  private val bandsSql: String = {
+    val bands = (0 until 4).map { b =>
+      val cols = (b * 4 until (b + 1) * 4).map(j => s"mh$j").mkString(" || ")
+      s"SELECT id, $b AS band, md5($cols) AS bh FROM sig"
+    }
+    s"bands AS (${bands.mkString(" UNION ALL ")})"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""WITH $corpusSql
+         |SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         |  min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_dups
+         |FROM corpus GROUP BY 1""".stripMargin,
+
+    "d2_minhash_pairs" ->
+      s"""WITH $corpusSql,
+         |$gramsSql,
+         |$minhashSigSql,
+         |$bandsSql,
+         |sized AS (
+         |  SELECT b.* FROM bands b
+         |  JOIN (SELECT band, bh, count(*) AS n FROM bands GROUP BY 1,2) z
+         |    ON b.band = z.band AND b.bh = z.bh
+         |  WHERE z.n <= 100),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM sized a JOIN sized b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+         |common AS (
+         |  SELECT c.id1, c.id2, count(*) AS c
+         |  FROM cand c
+         |  JOIN grams g1 ON g1.id = c.id1
+         |  JOIN grams g2 ON g2.id = c.id2 AND g2.gram = g1.gram
+         |  GROUP BY c.id1, c.id2)
+         |SELECT id1, id2 FROM common
+         |JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+         |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5""".stripMargin,
+
+    "d3_simhash" -> {
+      val aggs = (1 to 32).map(i =>
+        s"sum(CASE WHEN substr(h, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+      val bits = (1 to 32).map(i => s"CASE WHEN s$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, md5(unnest($toksSql)) AS h FROM documents),
+         |sums AS (SELECT id, $aggs FROM toks GROUP BY id)
+         |SELECT id, $bits AS simhash FROM sums""".stripMargin
+    },
+
+    "d4_ngram_jaccard" ->
+      s"""WITH ${corpusSql.replace(
+        "corpus AS (",
+        "corpus0 AS (")},
+         |corpus AS (SELECT * FROM corpus0 WHERE doc_id % 100000 < 1000),
+         |$gramsSql,
+         |sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+         |common AS (
+         |  SELECT a.id AS id1, b.id AS id2, count(*) AS c
+         |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2 FROM common
+         |JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+         |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6""".stripMargin,
+
+    "d5_embed_neardup" ->
+      s"""WITH $embCorpusSql,
+         |pairs AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+         |  FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id)
+         |SELECT DISTINCT id1, id2 FROM pairs WHERE sim >= 0.9""".stripMargin,
+
+    "s1_ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "s2_ann_lsh_buckets" -> {
+      // embeddings are fixed 64-dim; list_sum over a per-plane signed copy
+      val bits = (0 until 8).map { p =>
+        s"""CASE WHEN round(list_sum(list_transform(range(1, 65), i ->
+           |  e.embedding[i]::DOUBLE *
+           |  CASE WHEN substr(md5('$p:' || CAST(i AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), 6)
+           |  >= 0 THEN '1' ELSE '0' END""".stripMargin
+      }.mkString(" || ")
+      s"SELECT e.vec_id, $bits AS bucket FROM embeddings e"
+    },
+
+    "t1_langid" -> {
+      def cnt(words: Seq[String]) =
+        s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+      val en = cnt(Seq("the", "a", "of", "and", "to", "is", "in"))
+      val fr = cnt(Seq("le", "la", "les", "et", "de", "un", "une"))
+      val es = cnt(Seq("el", "los", "y", "que", "en", "un", "una"))
+      val de = cnt(Seq("der", "die", "das", "und", "ein", "nicht"))
+      val cjk = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+      s"""SELECT doc_id,
+         |  CASE WHEN $cjk > 0 THEN 'zh'
+         |       WHEN $de > 0 AND $de >= $fr AND $de >= $es AND $de >= $en THEN 'de'
+         |       WHEN $fr > 0 AND $fr >= $es AND $fr >= $en THEN 'fr'
+         |       WHEN $es > 0 AND $es >= $en THEN 'es'
+         |       ELSE 'en' END AS pred_lang
+         |FROM documents""".stripMargin
+    },
+
+    "t2_quality" -> {
+      val punct = "round(len(regexp_extract_all(text, '[.,;:!?]')) / greatest(len(text), 1), 4)"
+      val nTok = s"len($toksSql)"
+      val stop = s"len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','is','in')))"
+      s"""SELECT doc_id,
+         |  $punct AS punct_ratio,
+         |  round($stop / CAST(greatest($nTok, 1) AS DOUBLE), 4) AS stopword_ratio,
+         |  round(least(n_chars / 500.0, 1.0) * 0.3 + (1.0 - $punct) * 0.4 +
+         |        least($nTok / 100.0, 1.0) * 0.3, 4) AS quality
+         |FROM documents""".stripMargin
+    },
+
+    "t3_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS re_tokens
+         |FROM documents""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""SELECT doc_id, md5(lower($normSql)) AS fingerprint FROM documents""".stripMargin,
+
+    "m1_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha
+        |FROM documents""".stripMargin
+    // m2_media_features: mapPartitions stub codec -> rows-only check
+  )
+}

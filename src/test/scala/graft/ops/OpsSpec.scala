@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup groups identical texts under one fingerprint") {
+    val corpus = docs.select($"doc_id", $"text")
+      .unionAll(docs.select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    val out = Dedup.exact(corpus, "doc_id", "text")
+    assert(out.count() == docs.count()) // every text now has exactly 2 copies
+    assert(out.agg(max($"n_dups")).head.getLong(0) == 2)
+    assert(out.agg(sum($"n_dups")).head.getLong(0) == 2 * docs.count())
+  }
+
+  test("minhash LSH finds seeded near-duplicates") {
+    val seeded = docs.select($"doc_id", $"text").limit(50)
+    val corpus = seeded.unionAll(
+      seeded.select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" x")).as("text")))
+    val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = seeded.select($"doc_id").as[Long].collect()
+    // every (id, id+100000) pair is a near-dup and must be found
+    ids.foreach { id => assert(pairs.contains((id, id + 100000)), s"missing pair for $id") }
+  }
+
+  test("simhash: 32 bits, deterministic, near-dups collide closely") {
+    val out = Dedup.simHash(docs, "doc_id", "text")
+    val lens = out.select(length($"simhash")).distinct().as[Int].collect()
+    assert(lens.toSeq == Seq(32))
+    val again = Dedup.simHash(docs, "doc_id", "text")
+    assert(out.exceptAll(again).isEmpty)
+    // a doc and its one-token-appended copy differ in few bits
+    val a = out.filter($"id" === 0).head.getString(1)
+    val bDf = Dedup.simHash(
+      docs.filter($"doc_id" === 0).select($"doc_id", concat($"text", lit(" x")).as("text")),
+      "doc_id", "text")
+    val b = bDf.head.getString(1)
+    val hamming = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming <= 6, s"hamming $hamming too large for a near-dup")
+  }
+
+  test("embedding near-dup finds exact vector copies and nothing natural above 0.9") {
+    val corpus = embs.select($"vec_id", $"embedding")
+      .unionAll(embs.filter($"vec_id" < 20)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val found = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9, bruteForce = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach { id => assert(found.contains((id, id + 100000))) }
+    assert(found.size == 20) // natural max cosine ~0.51 < 0.9
+  }
+
+  test("brute-force ANN ranks an exact copy first") {
+    val corpus = embs.select($"vec_id", $"embedding")
+      .unionAll(embs.filter($"vec_id" === 3)
+        .select(lit(999999L).as("vec_id"), $"embedding"))
+    val top = Similarity.bruteForceTopK(
+      corpus.filter($"vec_id" === 3), corpus, "vec_id", "embedding", k = 1)
+    val row = top.head
+    assert(row.getLong(1) == 999999L && row.getAs[Double]("sim") == 1.0)
+  }
+
+  test("LSH buckets: copies land in the same bucket; recall vs brute force is sane") {
+    val b = Similarity.hyperplaneBuckets(embs, "embedding", planes = 8)
+    assert(b.select($"bucket").distinct().count() > 1)
+    // identical vectors -> identical buckets (pure function of the vector)
+    val b2 = Similarity.hyperplaneBuckets(embs, "embedding", planes = 8)
+    assert(b.select($"vec_id", $"bucket").exceptAll(b2.select($"vec_id", $"bucket")).isEmpty)
+  }
+
+  test("text analysis columns are sane") {
+    val out = TextAnalysis.analyze(docs)
+    val row = out.filter($"doc_id" === 0).head
+    assert(row.getAs[Long]("ws_tokens") > 0)
+    assert(row.getAs[Long]("re_tokens") >= row.getAs[Long]("ws_tokens"))
+    val q = row.getAs[Double]("quality")
+    assert(q >= 0.0 && q <= 1.0)
+    assert(row.getAs[String]("fingerprint").length == 32)
+    val langs = out.select($"pred_lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "fr", "es", "de", "zh")))
+  }
+
+  test("multimodal: features are deterministic functions of payload bytes") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.count() == docs.count())
+    val joined = feats.join(docs, feats("media_id") === docs("doc_id"))
+    // feature[0] == byte length == n_chars (ascii corpus)
+    val bad = joined.filter(element_at($"features", 1) =!= $"n_chars".cast("double")).count()
+    assert(bad == 0)
+    val frames = Multimodal.sampleFrames(media.limit(5))
+    assert(frames.count() > 5)
+  }
+}
