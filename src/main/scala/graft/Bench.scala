@@ -31,6 +31,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // untimed warmup so JVM/codegen startup isn't charged to the first query
+    time { SparkEntry.queries("q10_projection")(spark, sfDir).count(): Unit }
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.foreach { case (name, fn) =>
       results(name) = time { fn(spark, sfDir).count(): Unit }

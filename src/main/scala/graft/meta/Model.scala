@@ -80,13 +80,16 @@ final case class TableMetadata(
   /** Data files of a snapshot with their delete files resolved, mirroring
     * `get_all_files_from_snapshot` + task.deletes attachment
     * (core/src/compaction/mod.rs:734-761). A delete file applies to a data
-    * file when (a) same partition values and (b) for equality deletes,
-    * deleteSeq > dataSeq; for position deletes, deleteSeq >= dataSeq. */
+    * file when (a) it is partition-scoped to the same partition values, or
+    * global (empty partition values — Iceberg's unpartitioned-spec delete),
+    * and (b) for equality deletes, deleteSeq > dataSeq; for position
+    * deletes, deleteSeq >= dataSeq. */
   def scanTasks(snapshot: Snapshot): Seq[FileEntry] = {
     val deletes = snapshot.manifest.filter(_.content != FileContent.Data)
     snapshot.manifest.filter(_.content == FileContent.Data).map { d =>
       val applicable = deletes.filter { del =>
-        del.partitionValues == d.partitionValues && (del.content match {
+        (del.partitionValues.isEmpty || del.partitionValues == d.partitionValues) &&
+        (del.content match {
           case FileContent.EqualityDeletes => del.sequenceNumber > d.sequenceNumber
           case _                           => del.sequenceNumber >= d.sequenceNumber
         })

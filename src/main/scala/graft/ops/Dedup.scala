@@ -38,12 +38,22 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: k md5-seeded min-hashes over the distinct shingle
-    * set. One explode + one aggregate; signature values are hex strings
-    * (string min is deterministic everywhere). */
+  /** MinHash signature: k min-hashes over the distinct shingle set. md5 is
+    * the hash family, but each digest is split into four independent
+    * 8-hex-char lanes, so k=16 costs 4 md5 calls per shingle instead of 16
+    * (md5 dominates the signature stage). Signature values are hex strings
+    * (string min is deterministic everywhere). One explode + one
+    * aggregate with map-side partial min. */
   def minHashSignatures(grams: DataFrame, k: Int = 16): DataFrame = {
-    val aggs = (0 until k).map(j => min(md5(concat(lit(s"$j:"), col("gram")))).as(s"mh$j"))
-    grams.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    require(k % 4 == 0, "k must be a multiple of 4 (4 lanes per md5)")
+    val seeds = k / 4
+    val hashed = (0 until seeds).foldLeft(grams) { (df, s) =>
+      df.withColumn(s"__h$s", md5(concat(lit(s"$s:"), col("gram"))))
+    }
+    val aggs = (0 until k).map { j =>
+      min(substring(col(s"__h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"mh$j")
+    }
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: k/rowsPerBand bands, band hash = md5 of the band's

@@ -171,6 +171,17 @@ object CoreQueries {
         .select(col("user_id"), col("event_id"), col("rn"))
     }),
 
+    // streaming-shaped tumbling-window aggregation in batch mode (the
+    // exact same transform runs under readStream: see
+    // graft.streaming.EventPipeline / StreamingSpec)
+    "q_stream_window" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        // integer div: ts is epoch *nanos* (~1.7e18), beyond double's exact
+        // integer range — float division would corrupt bucket boundaries
+        .groupBy(expr("ts div 300000000000").as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 10000).cast("long")).as("value_e4"))),
+
     // distinct aggregation
     "q_distinct_agg" -> ((s, dir) =>
       tbl(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
@@ -295,6 +306,12 @@ object CoreQueries {
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events) t WHERE rn <= 3""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT CAST(epoch_ns(ts) // 300000000000 AS BIGINT) AS bucket, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT o_orderstatus,

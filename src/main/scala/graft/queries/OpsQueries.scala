@@ -141,8 +141,11 @@ object OpsQueries {
   // ------------------------------------------------------------- oracles --
 
   private val minhashSigSql: String = {
-    val mhs = (0 until 16).map(j => s"min(md5('$j:' || gram)) AS mh$j").mkString(", ")
-    s"sig AS (SELECT id, $mhs FROM grams GROUP BY id)"
+    // 4 lanes per md5, mirroring Dedup.minHashSignatures
+    val hs = (0 until 4).map(s => s"md5('$s:' || gram) AS h$s").mkString(", ")
+    val mhs = (0 until 16).map(j =>
+      s"min(substr(h${j / 4}, ${(j % 4) * 8 + 1}, 8)) AS mh$j").mkString(", ")
+    s"hashed AS (SELECT id, $hs FROM grams), sig AS (SELECT id, $mhs FROM hashed GROUP BY id)"
   }
 
   private val bandsSql: String = {

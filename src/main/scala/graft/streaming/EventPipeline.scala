@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming pipeline over the `events` stream table.
+  *
+  * The reference engine is bounded-batch only (Boundedness::Bounded,
+  * iceberg_file_task_scan.rs:228); streaming is part of the training-data
+  * pipeline extension surface. Everything here follows the standard
+  * Spark shape: `readStream -> transform -> writeStream`, watermarks for
+  * late data, `flatMapGroupsWithState` for custom session state. The same
+  * transforms run identically on a batch DataFrame (used by the batch
+  * oracle query `q_stream_window`).
+  */
+object EventPipeline {
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
+  final case class Session(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long, total_value: Double)
+  private final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** 5-minute tumbling-window counts per event type. `ts` is epoch nanos
+    * (the events table's physical type); works identically on batch and
+    * streaming frames. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_sec", timestamp_seconds(col("ts") / lit(1000000000L)))
+      .withWatermark("ts_sec", "10 minutes")
+      .groupBy(window(col("ts_sec"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+
+  /** Gap-based sessionization with explicit state:
+    * a session closes after `gapNanos` of user inactivity. Streaming uses
+    * event-time timeouts via `flatMapGroupsWithState`. */
+  def sessionize(events: Dataset[Event], gapNanos: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-mode semantics: fold the user's events in ts order,
+          // emitting a session per inactivity gap
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur: Option[SessionState] = state.getOption
+          for (e <- sorted) {
+            cur match {
+              case Some(s) if e.ts - s.last <= gapNanos =>
+                cur = Some(SessionState(s.start, e.ts, s.n + 1, s.total + e.value))
+              case Some(s) =>
+                out += Session(userId, s.start, s.last, s.n, s.total)
+                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+            }
+          }
+          // close the trailing session in batch mode; a streaming run
+          // would keep it in state and emit on timeout
+          cur.foreach(s => out += Session(userId, s.start, s.last, s.n, s.total))
+          state.remove()
+          out.iterator
+      }
+  }
+
+  /** Streaming entry: parquet source dir -> windowed counts -> memory sink;
+    * returns the started query (caller drives processAllAvailable). */
+  def streamWindowedCounts(spark: SparkSession, sourceDir: String, queryName: String) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    windowedCounts(src)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+}

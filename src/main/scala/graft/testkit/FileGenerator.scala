@@ -29,6 +29,8 @@ object FileGenerator {
       equalityIds: Seq[String] = Nil,
       orderCol: String = "",
       partitionSpec: Seq[PartitionField] = Nil,
+      /** with a partition spec: data files per partition value. */
+      filesPerPartition: Int = 2,
       sortOrder: Seq[SortField] = Nil,
       formatVersion: Int = 2
   )
@@ -58,39 +60,64 @@ object FileGenerator {
     val dataDir = catalog.dataDir(tableName)
     Files.createDirectories(dataDir)
 
-    val total = source.count()
-    val per = math.max(1L, (total + cfg.dataFileCount - 1) / cfg.dataFileCount)
-    // deterministic global order -> stable file contents across runs
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
-    val indexed = source.withColumn("__rn", row_number().over(w) - 1)
-
     var entries = Vector.empty[FileEntry]
     var posDeleteRows = Vector.empty[(String, Long)]
     var eqDeleteKeys: DataFrame = null
 
-    for (i <- 0 until cfg.dataFileCount) {
-      val lo = i * per
-      val hi = math.min(total, (i + 1) * per)
-      if (lo < hi) {
-        val slice = indexed.filter(col("__rn") >= lo && col("__rn") < hi)
-          .orderBy(col("__rn")).drop("__rn")
-        val target = dataDir.resolve(f"data-$i%05d.parquet")
-        val (p, size, rows) = writeSingleParquet(spark, slice, target)
-        entries :+= FileEntry(p, size, FileContent.Data, rows, sequenceNumber = 1L)
+    /** writes `slices` of `df` as data files tagged with `partVals`. */
+    def writeSlices(df: DataFrame, nFiles: Int, partVals: Map[String, String], tag: String): Unit = {
+      val total = df.count()
+      val per = math.max(1L, (total + nFiles - 1) / nFiles)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+      val indexed = df.withColumn("__rn", row_number().over(w) - 1)
+      for (i <- 0 until nFiles) {
+        val lo = i * per
+        val hi = math.min(total, (i + 1) * per)
+        if (lo < hi) {
+          val slice = indexed.filter(col("__rn") >= lo && col("__rn") < hi)
+            .orderBy(col("__rn")).drop("__rn")
+          val target = dataDir.resolve(f"data-$tag-$i%05d.parquet")
+          val (p, size, rows) = writeSingleParquet(spark, slice, target)
+          entries :+= FileEntry(p, size, FileContent.Data, rows,
+            sequenceNumber = 1L, partitionValues = partVals)
 
-        if (cfg.posDeleteRowsPerFile > 0 && rows > 0) {
-          val step = math.max(1L, rows / cfg.posDeleteRowsPerFile)
-          val positions = (0L until rows by step).take(cfg.posDeleteRowsPerFile)
-          posDeleteRows ++= positions.map(pos => (p, pos))
+          if (cfg.posDeleteRowsPerFile > 0 && rows > 0) {
+            val step = math.max(1L, rows / cfg.posDeleteRowsPerFile)
+            val positions = (0L until rows by step).take(cfg.posDeleteRowsPerFile)
+            posDeleteRows ++= positions.map(pos => (p, pos))
+          }
+          if (cfg.eqDeleteRowsPerFile > 0 && cfg.equalityIds.nonEmpty && rows > 0) {
+            val step = math.max(1L, rows / cfg.eqDeleteRowsPerFile)
+            val keys = slice.withColumn("__i", row_number().over(
+                org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))) - 1)
+              .filter(col("__i") % step === 0 && col("__i") < step * cfg.eqDeleteRowsPerFile)
+              .select(cfg.equalityIds.map(col): _*)
+            eqDeleteKeys = if (eqDeleteKeys == null) keys else eqDeleteKeys.unionAll(keys)
+          }
         }
-        if (cfg.eqDeleteRowsPerFile > 0 && cfg.equalityIds.nonEmpty && rows > 0) {
-          val step = math.max(1L, rows / cfg.eqDeleteRowsPerFile)
-          val keys = slice.withColumn("__i", row_number().over(
-              org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))) - 1)
-            .filter(col("__i") % step === 0 && col("__i") < step * cfg.eqDeleteRowsPerFile)
-            .select(cfg.equalityIds.map(col): _*)
-          eqDeleteKeys = if (eqDeleteKeys == null) keys else eqDeleteKeys.unionAll(keys)
+      }
+    }
+
+    if (cfg.partitionSpec.isEmpty) {
+      writeSlices(source, cfg.dataFileCount, Map.empty, "t")
+    } else {
+      // fragment per partition tuple (identity value or bucket id, matching
+      // SparkExecutor.partitionExpr), filesPerPartition files each
+      val partExprs = cfg.partitionSpec.map { p =>
+        p.bucketN match {
+          case Some(n) => pmod(hash(col(p.column)), lit(n)).cast("string").as(s"__pv_${p.column}")
+          case None    => col(p.column).cast("string").as(s"__pv_${p.column}")
         }
+      }
+      val tagged = source.select(col("*") +: partExprs: _*)
+      val tuples = tagged.select(cfg.partitionSpec.map(p => col(s"__pv_${p.column}")): _*)
+        .distinct().collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(","))
+      for ((tuple, ti) <- tuples.zipWithIndex) {
+        val cond = cfg.partitionSpec.zip(tuple)
+          .map { case (p, v) => col(s"__pv_${p.column}") === v }.reduce(_ && _)
+        val partVals = cfg.partitionSpec.zip(tuple).map { case (p, v) => p.column -> v }.toMap
+        val slice = tagged.filter(cond).drop(cfg.partitionSpec.map(p => s"__pv_${p.column}"): _*)
+        writeSlices(slice, cfg.filesPerPartition, partVals, f"p$ti%03d")
       }
     }
 

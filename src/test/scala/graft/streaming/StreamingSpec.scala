@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+  }
+
+  test("streaming windowed counts match the batch computation") {
+    // readStream needs a directory source
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventPipeline.streamWindowedCounts(spark, dir.toString, "stream_out")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_out")
+        .select($"window.start".as("ws"), $"event_type", $"n", $"total_value")
+      val batch = EventPipeline.windowedCounts(events)
+        .select($"window.start".as("ws"), $"event_type", $"n", $"total_value")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      assert(batch.count() > 0)
+    } finally q.stop()
+  }
+
+  test("sessionization: gap splits sessions, totals preserved") {
+    import EventPipeline.Event
+    val gap = 60L * 1000000000L // 1 minute in nanos
+    val data = Seq(
+      Event(1, 0L, 7L, "a", 1.0),
+      Event(2, 30L * 1000000000L, 7L, "a", 2.0),     // same session (30s gap)
+      Event(3, 200L * 1000000000L, 7L, "b", 3.0),    // new session (170s gap)
+      Event(4, 0L, 8L, "a", 5.0)                     // other user
+    ).toDS()
+    val sessions = EventPipeline.sessionize(data, gap).collect().sortBy(s => (s.user_id, s.start_ts))
+    assert(sessions.length == 3)
+    val s1 = sessions(0)
+    assert(s1.user_id == 7 && s1.n_events == 2 && s1.total_value == 3.0)
+    val s2 = sessions(1)
+    assert(s2.user_id == 7 && s2.n_events == 1 && s2.total_value == 3.0)
+    assert(sessions(2).user_id == 8)
+  }
+
+  test("sessionization on real events: every event lands in exactly one session") {
+    import EventPipeline.Event
+    val ds = events.select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    val gap = 3600L * 1000000000L // 1 hour
+    val sessions = EventPipeline.sessionize(ds, gap)
+    assert(sessions.agg(sum($"n_events")).head.getLong(0) == ds.count())
+  }
+}
