@@ -101,7 +101,16 @@ final class Compaction(
   }
 
   /** Stage 3 — one transaction for all results (mod.rs:472-516). */
-  def commitRewriteResults(outcomes: Seq[RewriteOutcome]): TableMetadata = {
+  def commitRewriteResults(outcomes: Seq[RewriteOutcome]): TableMetadata =
+    commitResults(outcomes, overwrite = false)
+
+  /** OverwriteFiles variant (mod.rs:1068-1177): same add/remove swap but
+    * WITHOUT the starting-sequence-number rule — new files take a fresh
+    * sequence number, so they outrank deletes committed since planning. */
+  def commitOverwriteResults(outcomes: Seq[RewriteOutcome]): TableMetadata =
+    commitResults(outcomes, overwrite = true)
+
+  private def commitResults(outcomes: Seq[RewriteOutcome], overwrite: Boolean): TableMetadata = {
     require(outcomes.nonEmpty, "No rewrite results to commit")
     validateResultsConsistency(outcomes)
     val cm = new CommitManager(catalog, tableName, retry, metrics)
@@ -110,7 +119,8 @@ final class Compaction(
       rewrittenPaths = outcomes.flatMap(_.plan.fileGroup.dataFiles.map(_.path)),
       toBranch = toBranch,
       startingSnapshotId = outcomes.head.plan.snapshotId,
-      useStartingSequenceNumber = true
+      useStartingSequenceNumber = !overwrite,
+      operation = if (overwrite) "overwrite" else "replace"
     )
   }
 
@@ -162,7 +172,8 @@ final class CommitManager(
       rewrittenPaths: Seq[String],
       toBranch: String,
       startingSnapshotId: Long,
-      useStartingSequenceNumber: Boolean
+      useStartingSequenceNumber: Boolean,
+      operation: String = "replace"
   ): TableMetadata = retryLoop { () =>
     val table = catalog.loadTable(tableName) // reload every attempt
     val starting = table.snapshotById(startingSnapshotId).getOrElse(
@@ -192,7 +203,7 @@ final class CommitManager(
       // custom (non-auto-computed) summary properties carry forward
       // (mod.rs:1187-1224)
       summary = TableMetadata.preservedProperties(current.summary) +
-        ("operation" -> "replace")
+        ("operation" -> operation)
     )
     val updated = table.copy(
       currentSnapshotId = Some(snapshotId),

@@ -32,6 +32,17 @@ object Dedup {
         )).as("gram"))
       .distinct()
 
+  /** distinct word n-gram shingles per id: the standard MinHash document
+    * representation — ~5x fewer shingles than char 4-grams on prose, which
+    * directly divides the signature stage's md5 bill. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(expr(
+          s"transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)), i -> concat_ws(' ', slice(__toks, i, $n)))"
+        )).as("gram"))
+      .distinct()
+
   /** Exact dedup: group rows by content fingerprint, keep the minimum id.
     * Returns (fingerprint, keeper_id, n_dups). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -96,13 +107,13 @@ object Dedup {
       .select(col("id1"), col("id2"))
   }
 
-  /** Full MinHash+LSH near-dup pipeline:
+  /** Full MinHash+LSH near-dup pipeline over word shingles:
     * shingle -> signature -> band -> bucket join -> exact verify. */
   def minHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, k: Int = 16, rowsPerBand: Int = 4,
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
-    val grams = shingles(df, idCol, textCol, n).cache()
+    val grams = wordShingles(df, idCol, textCol, n).cache()
     val pairs = lshCandidatePairs(lshBands(minHashSignatures(grams, k), k, rowsPerBand), maxBucketSize)
     verifyJaccard(pairs, grams, threshold)
   }

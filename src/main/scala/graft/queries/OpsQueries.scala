@@ -62,6 +62,17 @@ object OpsQueries {
       |      range(1, greatest(len(text) - 2, 1) + 1), i -> substr(text, i, 4))) AS g
       |    FROM corpus))""".stripMargin
 
+  /** DuckDB: distinct word-3-shingles (mirrors Dedup.wordShingles; list
+    * slicing is 1-based inclusive in both engines here). `def`: refers to
+    * toksSql which initializes later in the object. */
+  private def wordGramsSql =
+    s"""grams AS (
+       |  SELECT DISTINCT doc_id AS id, g AS gram FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(toks) - 2, 1) + 1),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS g
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM corpus)))""".stripMargin
+
   // normalized text in DuckDB ('g' flag: replace ALL whitespace runs)
   private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
   private val toksSql = s"string_split(lower($normSql), ' ')"
@@ -74,7 +85,7 @@ object OpsQueries {
     // MinHash + LSH near-dup: shingle -> sign -> band -> bucket join -> verify
     "d2_minhash_pairs" -> ((s, dir) =>
       Dedup.minHashNearDupPairs(corpus(s, dir), "doc_id", "text",
-        n = 4, k = 16, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 100)),
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 100)),
 
     // SimHash 32-bit fingerprints
     "d3_simhash" -> ((s, dir) =>
@@ -165,7 +176,7 @@ object OpsQueries {
 
     "d2_minhash_pairs" ->
       s"""WITH $corpusSql,
-         |$gramsSql,
+         |$wordGramsSql,
          |$minhashSigSql,
          |$bandsSql,
          |sized AS (

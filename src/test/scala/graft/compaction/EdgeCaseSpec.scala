@@ -1,0 +1,103 @@
+package graft.compaction
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.meta._
+import graft.selection._
+import graft.testkit.FileGenerator
+
+/** Edge cases mirrored from the reference's integration layer: SQL-keyword
+  * schemas (integration_tests.rs:46-56), branch-targeted commits, and the
+  * OverwriteFiles commit variant (mod.rs:1068-1177). */
+class EdgeCaseSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def newCatalog(): LocalCatalog =
+    LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+
+  test("SQL-keyword column names survive the whole pipeline") {
+    val catalog = newCatalog()
+    // columns named select/from/where/order (FIXTURES.md §2)
+    val src = spark.range(300).select(
+      col("id").cast("int").as("select"),
+      concat(lit("s"), col("id")).as("from"),
+      (col("id") * 1.5).as("where"),
+      col("id").as("order"))
+    FileGenerator.writeTable(spark, catalog, "keyword_table", src,
+      FileGenerator.Config(dataFileCount = 5, eqDeleteRowsPerFile = 10,
+        equalityIds = Seq("select"), orderCol = "order"))
+    val c = new Compaction(catalog, "keyword_table", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 2)),
+      enableValidate = true)
+    val res = c.compact()
+    assert(res.addedFiles.nonEmpty)
+    val after = catalog.loadTable("keyword_table")
+    val out = spark.read.parquet(after.currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data).map(_.path): _*)
+    assert(out.columns.toSeq == Seq("select", "from", "where", "order"))
+    assert(out.count() == 300 - 50) // 5 files x 10 eq-deleted unique keys
+  }
+
+  test("compaction targeting a branch leaves main's ref intact") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_branch", src,
+      FileGenerator.Config(dataFileCount = 2, orderCol = "r_regionkey"))
+    // fork a branch pointing at the current snapshot
+    val meta = catalog.loadTable("t_branch")
+    catalog.commit(meta, meta.copy(refs = meta.refs + ("audit" -> meta.currentSnapshotId.get)))
+
+    val c = new Compaction(catalog, "t_branch", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)),
+      toBranch = "audit")
+    c.compact()
+    val after = catalog.loadTable("t_branch")
+    assert(after.refs("main") == 1L)       // untouched
+    assert(after.refs("audit") != 1L)      // advanced by the commit
+    val auditSnap = after.snapshotForRef("audit").get
+    assert(auditSnap.manifest.count(_.content == FileContent.Data) == 1)
+  }
+
+  test("overwrite commit stamps a fresh sequence number; rewrite keeps the starting one") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_ow", src,
+      FileGenerator.Config(dataFileCount = 2, orderCol = "r_regionkey"))
+
+    val c1 = new Compaction(catalog, "t_ow", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)))
+    val outcomes1 = c1.concurrentRewritePlans(c1.planCompaction())
+    val t1 = c1.commitRewriteResults(outcomes1)
+    val seqAfterRewrite = t1.currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data).map(_.sequenceNumber).max
+    // rewrite: files keep the STARTING snapshot's sequence number (2)
+    assert(seqAfterRewrite == 2L)
+    assert(t1.currentSnapshot.get.summary("operation") == "replace")
+
+    val c2 = new Compaction(catalog, "t_ow", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)))
+    val outcomes2 = c2.concurrentRewritePlans(c2.planCompaction())
+    val t2 = c2.commitOverwriteResults(outcomes2)
+    val seqAfterOverwrite = t2.currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data).map(_.sequenceNumber).max
+    // overwrite: files take the NEW sequence number
+    assert(seqAfterOverwrite == t2.lastSequenceNumber)
+    assert(t2.currentSnapshot.get.summary("operation") == "overwrite")
+  }
+
+  test("empty table and single-file table produce no plans under small-files") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_single", src,
+      FileGenerator.Config(dataFileCount = 1, orderCol = "r_regionkey"))
+    // auto planner refuses single-file tables (total_data_files <= 1)
+    val report = new AutoCompactionPlanner(AutoCompactionConfig())
+      .planReport(catalog, "t_single")
+    assert(report.reason == AutoPlanReason.NoCandidate)
+  }
+}
