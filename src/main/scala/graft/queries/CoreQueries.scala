@@ -182,6 +182,31 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 10000).cast("long")).as("value_e4"))),
 
+    // TPC-H Q6 shape: tight filter + scalar aggregate (full pushdown)
+    "q6_filter_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 10000).cast("long"))
+          .as("revenue_e4"), count(lit(1)).as("n"))),
+
+    // left outer join: preserve dimension rows with no facts
+    "q_outer_join" -> ((s, dir) => {
+      val nation = tbl(s, dir, "nation")
+      val cust = tbl(s, dir, "customer")
+      nation.join(cust, nation("n_nationkey") === cust("c_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_cust"))
+    }),
+
+    // left semi join (EXISTS)
+    "q_semi_join" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val ord = tbl(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+    }),
+
     // distinct aggregation
     "q_distinct_agg" -> ((s, dir) =>
       tbl(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
@@ -312,6 +337,24 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT n_name, CAST(count(c_custkey) AS BIGINT) AS n_cust
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT o_orderstatus,
