@@ -52,10 +52,14 @@ final class Compaction(
     val metrics: Metrics = new Metrics
 ) {
 
-  /** Stage 1 — metadata-only planning (mod.rs:448-461,1307-1336). */
+  /** Stage 1 — metadata-only planning (mod.rs:448-461,1307-1336).
+    * Branch resolution is strict for non-main branches (an explicit branch
+    * that doesn't exist must not silently plan against main's data). */
   def planCompaction(): Seq[CompactionPlan] = {
     val table = catalog.loadTable(tableName)
-    val snapshot = table.snapshotForRef(toBranch).orElse(table.currentSnapshot)
+    val snapshot =
+      if (toBranch == "main") table.snapshotForRef(toBranch).orElse(table.currentSnapshot)
+      else table.snapshotForRef(toBranch)
     snapshot match {
       case None => Nil
       case Some(snap) =>
