@@ -149,21 +149,55 @@ object SparkExecutor extends CompactionExecutor {
           case _ => None
         }
       }.toMap
+      val (rows, stats) = parquetFooterInfo(conf, p)
       FileEntry(
         path = p.toString,
         length = Files.size(p),
         content = FileContent.Data,
-        recordCount = parquetRecordCount(conf, p),
+        recordCount = rows,
         sequenceNumber = 0L, // assigned at commit
-        partitionValues = partVals
+        partitionValues = partVals,
+        columnStats = stats
       )
     }
   }
 
-  def parquetRecordCount(conf: org.apache.hadoop.conf.Configuration, p: Path): Long = {
+  def parquetRecordCount(conf: org.apache.hadoop.conf.Configuration, p: Path): Long =
+    parquetFooterInfo(conf, p)._1
+
+  /** (rowCount, numeric per-column zone maps) from the parquet footer —
+    * min/max merged across row groups, numeric primitives only. This is
+    * the manifest's file-skipping index: collected once at write time,
+    * consulted driver-side before any scan is planned. */
+  def parquetFooterInfo(
+      conf: org.apache.hadoop.conf.Configuration,
+      p: Path): (Long, Map[String, (String, String)]) = {
+    import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      val acc = scala.collection.mutable.Map.empty[String, (BigDecimal, BigDecimal)]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val st = c.getStatistics
+        if (st != null && st.hasNonNullValue && c.getPath.size() == 1) {
+          val name = c.getPath.toDotString
+          val mm: Option[(BigDecimal, BigDecimal)] = (st.genericGetMin, st.genericGetMax) match {
+            case (mn: java.lang.Number, mx: java.lang.Number) =>
+              // NaN / infinite double stats are not representable: skip
+              scala.util.Try((BigDecimal(mn.toString), BigDecimal(mx.toString))).toOption
+            case _ => None // binary/bool/nested: no zone map
+          }
+          mm.foreach { case (mn, mx) =>
+            acc.updateWith(name) {
+              case Some((lo, hi)) => Some((lo.min(mn), hi.max(mx)))
+              case None           => Some((mn, mx))
+            }
+          }
+        }
+      }
+      (r.getRecordCount, acc.map { case (k, (mn, mx)) => k -> (mn.toString, mx.toString) }.toMap)
+    } finally r.close()
   }
 }

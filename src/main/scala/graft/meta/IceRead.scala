@@ -25,8 +25,66 @@ object IceRead {
     val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
                 else meta.snapshotForRef(branch))
       .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
-    val tasks = meta.scanTasks(snap)
-    require(tasks.nonEmpty, s"table $name is empty")
+    ofSnapshot(spark, meta, snap)
+  }
+
+  /** Time travel: the MOR view of a specific historical snapshot. */
+  def tableAt(spark: SparkSession, catalog: Catalog, name: String, snapshotId: Long): DataFrame = {
+    val meta = catalog.loadTable(name)
+    val snap = meta.snapshotById(snapshotId)
+      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot $snapshotId"))
+    ofSnapshot(spark, meta, snap)
+  }
+
+  /** Partition-pruned read: drops manifest entries whose partition values
+    * don't match before any Spark plan exists — at 100 TB this is the
+    * difference between scanning one partition's files and listing a
+    * million. `partitionFilter` matches identity/bucket values as recorded
+    * in the manifest (stringified). Delete files are pruned by the same
+    * rule through scanTasks' partition scoping. */
+  def tablePartition(spark: SparkSession, catalog: Catalog, name: String,
+      partitionFilter: Map[String, String], branch: String = "main"): DataFrame = {
+    val meta = catalog.loadTable(name)
+    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+                else meta.snapshotForRef(branch))
+      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    ofSnapshot(spark, meta, snap, t =>
+      partitionFilter.forall { case (k, v) => t.partitionValues.get(k).contains(v) })
+  }
+
+  /** Zone-map-pruned range read: files whose manifest min/max for `col`
+    * cannot intersect [lo, hi] are dropped before planning (files without
+    * stats are kept); the residual row filter is applied on top, so the
+    * result equals `table(...).filter(col between lo and hi)` while
+    * scanning only the matching files. */
+  def tableRange(spark: SparkSession, catalog: Catalog, name: String,
+      colName: String, lo: BigDecimal, hi: BigDecimal, branch: String = "main"): DataFrame = {
+    val meta = catalog.loadTable(name)
+    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+                else meta.snapshotForRef(branch))
+      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    import org.apache.spark.sql.functions.col
+    ofSnapshot(spark, meta, snap, _.mayContainRange(colName, lo, hi))
+      .filter(col(colName) >= lo.toDouble && col(colName) <= hi.toDouble)
+  }
+
+  /** Manifest entries a range read would scan (for tests/inspection). */
+  def selectFilesByRange(meta: TableMetadata, snap: Snapshot,
+      colName: String, lo: BigDecimal, hi: BigDecimal): Seq[FileEntry] =
+    meta.scanTasks(snap).filter(_.mayContainRange(colName, lo, hi))
+
+  private def ofSnapshot(spark: SparkSession, meta: TableMetadata, snap: Snapshot,
+      keep: FileEntry => Boolean = _ => true): DataFrame = {
+    val all = meta.scanTasks(snap)
+    require(all.nonEmpty, s"table ${meta.name} is empty")
+    val tasks = all.filter(keep)
+    if (tasks.isEmpty) {
+      // pruned to nothing: an empty frame with the table schema, not an
+      // error — a filter that matches no partition/zone is a valid query
+      val schema = spark.read.parquet(all.head.path).select(meta.schemaColumns.map(
+        org.apache.spark.sql.functions.col): _*).schema
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val byPath = snap.manifest.map(f => f.path -> f).toMap
     val group = FileGroup.fromDataFiles(tasks, byPath.get)
     Mor.dataFrame(spark, group, meta.schemaColumns, meta.formatVersion)

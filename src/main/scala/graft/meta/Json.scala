@@ -42,7 +42,9 @@ object MetadataJson {
     "record-count" -> JLong(f.recordCount),
     "sequence-number" -> JLong(f.sequenceNumber),
     "equality-ids" -> JArray(f.equalityIds.map(str).toList),
-    "partition" -> JObject(f.partitionValues.toList.map { case (k, v) => k -> (str(v): JValue) })
+    "partition" -> JObject(f.partitionValues.toList.map { case (k, v) => k -> (str(v): JValue) }),
+    "column-stats" -> JObject(f.columnStats.toList.map { case (k, (mn, mx)) =>
+      k -> (JObject("min" -> str(mn), "max" -> str(mx)): JValue) })
   )
 
   def write(m: TableMetadata): String = JsonMethods.pretty(JsonMethods.render(toJson(m)))
@@ -68,7 +70,11 @@ object MetadataJson {
         recordCount = fLong(m("record-count")),
         sequenceNumber = fLong(m("sequence-number")),
         equalityIds = arr(m.getOrElse("equality-ids", JArray(Nil))).map(fStr),
-        partitionValues = obj(m.getOrElse("partition", JObject())).map { case (k, x) => k -> fStr(x) }.toMap
+        partitionValues = obj(m.getOrElse("partition", JObject())).map { case (k, x) => k -> fStr(x) }.toMap,
+        columnStats = obj(m.getOrElse("column-stats", JObject())).map { case (k, x) =>
+          val sm = obj(x).toMap
+          k -> (fStr(sm("min")), fStr(sm("max")))
+        }.toMap
       )
     }
     def snap(v: JValue): Snapshot = {

@@ -29,8 +29,22 @@ final case class FileEntry(
     sequenceNumber: Long,
     equalityIds: Seq[String] = Nil,
     partitionValues: Map[String, String] = Map.empty,
-    deletes: Seq[String] = Nil
-)
+    deletes: Seq[String] = Nil,
+    /** per-column numeric zone maps (min, max), decimal-string encoded —
+      * collected from parquet footers at write time; used for manifest-
+      * level file skipping on range predicates. */
+    columnStats: Map[String, (String, String)] = Map.empty
+) {
+  /** true when the file may contain rows with `col` in [lo, hi]; files
+    * without stats for the column are conservatively kept. */
+  def mayContainRange(colName: String, lo: BigDecimal, hi: BigDecimal): Boolean =
+    columnStats.get(colName) match {
+      case Some((mn, mx)) =>
+        try BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
+        catch { case _: NumberFormatException => true }
+      case None => true
+    }
+}
 
 /** Sort-order field (identity transform only, like the reference:
   * datafusion_processor.rs:242-278 rejects non-identity transforms). */

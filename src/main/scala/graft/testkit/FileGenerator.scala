@@ -35,8 +35,10 @@ object FileGenerator {
       formatVersion: Int = 2
   )
 
-  /** Writes one parquet file (coalesce(1) + rename) and returns (path, size, rows). */
-  def writeSingleParquet(spark: SparkSession, df: DataFrame, target: Path): (String, Long, Long) = {
+  /** Writes one parquet file (coalesce(1) + rename); returns
+    * (path, size, rows, numeric column zone maps). */
+  def writeSingleParquet(
+      spark: SparkSession, df: DataFrame, target: Path): (String, Long, Long, Map[String, (String, String)]) = {
     val tmp = Files.createTempDirectory(target.getParent, ".gen")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = Files.walk(tmp).iterator().asScala
@@ -44,8 +46,8 @@ object FileGenerator {
     Files.createDirectories(target.getParent)
     Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
     Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    val rows = SparkExecutor.parquetRecordCount(spark.sessionState.newHadoopConf(), target)
-    (target.toString, Files.size(target), rows)
+    val (rows, stats) = SparkExecutor.parquetFooterInfo(spark.sessionState.newHadoopConf(), target)
+    (target.toString, Files.size(target), rows, stats)
   }
 
   /** Fragments `source` into data files + delete files and commits snapshot 1. */
@@ -77,9 +79,9 @@ object FileGenerator {
           val slice = indexed.filter(col("__rn") >= lo && col("__rn") < hi)
             .orderBy(col("__rn")).drop("__rn")
           val target = dataDir.resolve(f"data-$tag-$i%05d.parquet")
-          val (p, size, rows) = writeSingleParquet(spark, slice, target)
+          val (p, size, rows, stats) = writeSingleParquet(spark, slice, target)
           entries :+= FileEntry(p, size, FileContent.Data, rows,
-            sequenceNumber = 1L, partitionValues = partVals)
+            sequenceNumber = 1L, partitionValues = partVals, columnStats = stats)
 
           if (cfg.posDeleteRowsPerFile > 0 && rows > 0) {
             val step = math.max(1L, rows / cfg.posDeleteRowsPerFile)
@@ -125,12 +127,12 @@ object FileGenerator {
       import spark.implicits._
       val target = dataDir.resolve("pos-delete-00000.parquet")
       val df = posDeleteRows.toDF("file_path", "pos")
-      val (p, size, rows) = writeSingleParquet(spark, df, target)
+      val (p, size, rows, _) = writeSingleParquet(spark, df, target)
       entries :+= FileEntry(p, size, FileContent.PositionDeletes, rows, sequenceNumber = 2L)
     }
     if (eqDeleteKeys != null) {
       val target = dataDir.resolve("eq-delete-00000.parquet")
-      val (p, size, rows) = writeSingleParquet(spark, eqDeleteKeys, target)
+      val (p, size, rows, _) = writeSingleParquet(spark, eqDeleteKeys, target)
       entries :+= FileEntry(p, size, FileContent.EqualityDeletes, rows,
         sequenceNumber = 2L, equalityIds = cfg.equalityIds)
     }

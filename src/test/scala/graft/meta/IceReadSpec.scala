@@ -34,6 +34,58 @@ class IceReadSpec extends AnyFunSuite {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("time travel reads the historical snapshot") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_tt", src,
+      FileGenerator.Config(dataFileCount = 3, orderCol = "n_nationkey"))
+    new Compaction(catalog, "t_tt", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1))).compact()
+    val meta = catalog.loadTable("t_tt")
+    assert(meta.snapshots.size == 2)
+    val old = IceRead.tableAt(spark, catalog, "t_tt", snapshotId = 1L)
+    val cur = IceRead.table(spark, catalog, "t_tt")
+    assert(old.count() == 25 && cur.count() == 25)
+    assert(old.exceptAll(cur).isEmpty)
+    intercept[IllegalStateException] { IceRead.tableAt(spark, catalog, "t_tt", 99L) }
+  }
+
+  test("partition-pruned read touches only the matching partition's files") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_pp", src,
+      FileGenerator.Config(orderCol = "n_nationkey",
+        partitionSpec = Seq(graft.meta.PartitionField("n_regionkey")), filesPerPartition = 2))
+    val df = IceRead.tablePartition(spark, catalog, "t_pp", Map("n_regionkey" -> "2"))
+    val expected = src.filter(col("n_regionkey") === 2)
+    assert(df.count() == expected.count())
+    assert(df.exceptAll(expected).isEmpty)
+    // only that partition's 2 files appear in the scan
+    val scanned = df.select(input_file_name()).distinct().count()
+    assert(scanned == 2)
+  }
+
+  test("zone-map range read skips non-intersecting files, result is exact") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val src = spark.read.parquet(s"$sf/lineitem.parquet")
+    // ordered fragmentation -> disjoint l_orderkey ranges per file
+    FileGenerator.writeTable(spark, catalog, "t_zone", src,
+      FileGenerator.Config(dataFileCount = 6, orderCol = "l_orderkey"))
+    val meta = catalog.loadTable("t_zone")
+    val snap = meta.currentSnapshot.get
+    assert(snap.manifest.filter(_.content == graft.meta.FileContent.Data)
+      .forall(_.columnStats.contains("l_orderkey")))
+
+    val lo = BigDecimal(100); val hi = BigDecimal(500)
+    val selected = IceRead.selectFilesByRange(meta, snap, "l_orderkey", lo, hi)
+    assert(selected.size < 6 && selected.nonEmpty) // pruning happened
+
+    val got = IceRead.tableRange(spark, catalog, "t_zone", "l_orderkey", lo, hi)
+    val expected = src.filter(col("l_orderkey") >= 100 && col("l_orderkey") <= 500)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("SQL over the registered MOR view") {
     val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
     val src = spark.read.parquet(s"$sf/region.parquet")
