@@ -1,0 +1,57 @@
+package graft.compaction
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.meta._
+import graft.selection._
+import graft.testkit.FileGenerator
+
+class MaintenanceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("expire + orphan cycle reclaims rewritten files without touching live data") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_gc", src,
+      FileGenerator.Config(dataFileCount = 4, orderCol = "n_nationkey"))
+
+    new Compaction(catalog, "t_gc", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1))).compact()
+
+    // before expiry: snapshot 1 still references the 4 original files
+    assert(Maintenance.orphanFiles(catalog, "t_gc").isEmpty)
+
+    val trimmed = Maintenance.expireSnapshots(catalog, "t_gc", keepLast = 1)
+    assert(trimmed.snapshots.size == 1)
+    val orphans = Maintenance.orphanFiles(catalog, "t_gc")
+    assert(orphans.size == 4) // the rewritten originals
+
+    val deleted = Maintenance.deleteOrphans(catalog, "t_gc", orphans)
+    assert(deleted == 4)
+    orphans.foreach(p => assert(!Files.exists(Paths.get(p))))
+
+    // the live table still reads fine
+    val rows = IceRead.table(spark, catalog, "t_gc").count()
+    assert(rows == 25)
+    assert(Maintenance.orphanFiles(catalog, "t_gc").isEmpty)
+  }
+
+  test("expiry never drops ref-pinned snapshots") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_pin", src,
+      FileGenerator.Config(dataFileCount = 2, orderCol = "r_regionkey"))
+    // pin snapshot 1 on a branch, then compact twice -> 3 snapshots
+    val m0 = catalog.loadTable("t_pin")
+    catalog.commit(m0, m0.copy(refs = m0.refs + ("pinned" -> 1L)))
+    new Compaction(catalog, "t_pin", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1))).compact()
+
+    val trimmed = Maintenance.expireSnapshots(catalog, "t_pin", keepLast = 1)
+    assert(trimmed.snapshots.map(_.snapshotId).toSet.contains(1L)) // pinned survives
+  }
+}
