@@ -68,13 +68,15 @@ object Dedup {
   }
 
   /** LSH banding: k/rowsPerBand bands, band hash = md5 of the band's
-    * concatenated minhashes. Returns (id, band, bh). */
+    * concatenated minhashes. One posexplode pass — a union of per-band
+    * selects would recompute the upstream signature aggregate once per
+    * band. Returns (id, band, bh). */
   def lshBands(sig: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val bands = (0 until k / rowsPerBand).map { b =>
+    val bandHashes = (0 until k / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
-      sig.select(col("id"), lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
+      md5(concat(cols: _*))
     }
-    bands.reduce(_ unionAll _)
+    sig.select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
   }
 
   /** Candidate pairs from shared LSH buckets, with a bucket-size cap: a
