@@ -62,7 +62,7 @@ object SparkExecutor extends CompactionExecutor {
     * murmur3 hash mod n — consistent within this table format (real Iceberg
     * bucket transforms use a different hash; we never claim cross-engine
     * bucket compatibility). */
-  private def partitionExpr(p: PartitionField): Column = p.bucketN match {
+  private[exec] def partitionExpr(p: PartitionField): Column = p.bucketN match {
     case Some(n) => pmod(hash(col(p.column)), lit(n))
     case None    => col(p.column)
   }
@@ -70,28 +70,30 @@ object SparkExecutor extends CompactionExecutor {
   /** Directory-encoded partition columns are written from *copies* so data
     * files keep the full schema and remain readable by direct path (our
     * manifests address individual files, not directories). */
-  private def partDirCol(p: PartitionField): String = s"__part_${p.column}"
+  private[exec] def partDirCol(p: PartitionField): String = s"__part_${p.column}"
 
-  override def rewriteFiles(spark: SparkSession, req: RewriteRequest): RewriteResult = {
-    val t0 = System.nanoTime()
-    val g = req.group
-    var df = Mor.dataFrame(spark, g, req.schemaColumns, req.formatVersion)
-
-    // fan-out by partition when partitioned, else round-robin, to exactly
-    // outputParallelism write tasks (reference: RepartitionExec +
-    // RecordBatchPartitionSplitter fan-out, executor/datafusion/mod.rs:163-223)
-    val partCols = req.partitionSpec.map(p => partDirCol(p))
-    if (req.partitionSpec.nonEmpty) {
-      df = req.partitionSpec.foldLeft(df)((d, p) => d.withColumn(partDirCol(p), partitionExpr(p)))
-      df = df.repartition(g.outputParallelism, partCols.map(col): _*)
-    } else if (g.outputParallelism > 0) {
-      df = df.repartition(g.outputParallelism)
+  /** Shared rolling parquet sink: optional partition fan-out + per-
+    * partition sort + size-targeted zstd files under a fresh uuid dir;
+    * returns the written entries (with footer stats). Used by both the
+    * compaction rewrite and the append/ingest write paths. */
+  def writeDataFiles(
+      spark: SparkSession,
+      input: DataFrame,
+      outputDir: String,
+      partitionSpec: Seq[PartitionField],
+      sortOrder: Seq[SortField],
+      maxRecordsPerFile: Long,
+      repartitionTo: Int = 0): Seq[FileEntry] = {
+    var df = input
+    val partCols = partitionSpec.map(partDirCol)
+    if (partitionSpec.nonEmpty) {
+      df = partitionSpec.foldLeft(df)((d, p) => d.withColumn(partDirCol(p), partitionExpr(p)))
+      if (repartitionTo > 0) df = df.repartition(repartitionTo, partCols.map(col): _*)
+    } else if (repartitionTo > 0) {
+      df = df.repartition(repartitionTo)
     }
-
-    // per-partition sort by table sort order, identity transforms only
-    // (SortExec with preserve_partitioning, datafusion_processor.rs:193-213)
-    if (req.sortOrder.nonEmpty) {
-      val sortCols = req.sortOrder.map { s =>
+    if (sortOrder.nonEmpty) {
+      val sortCols = sortOrder.map { s =>
         (s.ascending, s.nullsFirst) match {
           case (true, true)   => col(s.column).asc_nulls_first
           case (true, false)  => col(s.column).asc_nulls_last
@@ -101,6 +103,21 @@ object SparkExecutor extends CompactionExecutor {
       }
       df = df.sortWithinPartitions(sortCols: _*)
     }
+    val outDir = Paths.get(outputDir, UUID.randomUUID().toString).toString
+    var writer = df.write
+      .mode("overwrite")
+      .option("compression", "zstd")                      // config/mod.rs:297
+      .option("parquet.block.size", 128L * 1024 * 1024)   // config/mod.rs:35
+      .option("maxRecordsPerFile", math.max(1L, maxRecordsPerFile))
+    if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
+    writer.parquet(outDir)
+    listWrittenFiles(spark, outDir, partitionSpec)
+  }
+
+  override def rewriteFiles(spark: SparkSession, req: RewriteRequest): RewriteResult = {
+    val t0 = System.nanoTime()
+    val g = req.group
+    val df = Mor.dataFrame(spark, g, req.schemaColumns, req.formatVersion)
 
     // target-file-size enforcement: estimate records per target file from
     // the input's bytes/record ratio
@@ -109,16 +126,13 @@ object SparkExecutor extends CompactionExecutor {
     val bytesPerRecord = math.max(1L, inBytes / inRecords)
     val maxRecordsPerFile = math.max(1L, req.targetFileSizeBytes / bytesPerRecord)
 
-    val outDir = Paths.get(req.outputDir, UUID.randomUUID().toString).toString
-    var writer = df.write
-      .mode("overwrite")
-      .option("compression", "zstd")                      // config/mod.rs:297
-      .option("parquet.block.size", 128L * 1024 * 1024)   // config/mod.rs:35
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
-    writer.parquet(outDir)
-
-    val added = listWrittenFiles(spark, outDir, req.partitionSpec)
+    // fan-out by partition when partitioned, else round-robin, to exactly
+    // outputParallelism write tasks (reference: RepartitionExec +
+    // RecordBatchPartitionSplitter fan-out, executor/datafusion/mod.rs:163-223);
+    // per-partition sort by table sort order (SortExec with
+    // preserve_partitioning, datafusion_processor.rs:193-213)
+    val added = writeDataFiles(spark, df, req.outputDir, req.partitionSpec,
+      req.sortOrder, maxRecordsPerFile, repartitionTo = g.outputParallelism)
     val stats = RewriteStats(
       inputFiles = g.inputFilesCount,
       inputBytes = g.inputTotalBytes,

@@ -1,0 +1,100 @@
+package graft.meta
+
+import java.nio.file.Files
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.compaction._
+import graft.selection._
+
+class IceWriteSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def newCatalog(): LocalCatalog =
+    LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+
+  test("create -> append -> read lifecycle") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    IceWrite.create(spark, catalog, "t_w", src)
+    assert(IceRead.table(spark, catalog, "t_w").count() == 5)
+
+    IceWrite.append(spark, catalog, "t_w",
+      src.withColumn("r_regionkey", col("r_regionkey") + 100))
+    val after = IceRead.table(spark, catalog, "t_w")
+    assert(after.count() == 10)
+    val meta = catalog.loadTable("t_w")
+    assert(meta.snapshots.size == 2)
+    assert(meta.currentSnapshot.get.summary("operation") == "append")
+  }
+
+  test("equality-delete append hides matching keys from the MOR view") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    IceWrite.create(spark, catalog, "t_del", src)
+    val keys = src.filter($"o_orderkey" % 10 === 0).select($"o_orderkey")
+    val nDeleted = keys.count()
+    IceWrite.appendEqualityDeletes(spark, catalog, "t_del", keys, Seq("o_orderkey"))
+
+    val view = IceRead.table(spark, catalog, "t_del")
+    assert(view.count() == src.count() - nDeleted)
+    assert(view.filter($"o_orderkey" % 10 === 0).count() == 0)
+
+    // rows appended AFTER the delete (newer sequence) are NOT affected
+    IceWrite.append(spark, catalog, "t_del", src.filter($"o_orderkey" === 10))
+    assert(IceRead.table(spark, catalog, "t_del").filter($"o_orderkey" === 10).count() > 0)
+  }
+
+  test("position-delete append removes exact rows") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val meta = IceWrite.create(spark, catalog, "t_pos", src)
+    val firstFile = meta.currentSnapshot.get.manifest.head.path
+    import spark.implicits._
+    val pos = Seq((firstFile, 0L), (firstFile, 2L)).toDF("file_path", "pos")
+    IceWrite.appendPositionDeletes(spark, catalog, "t_pos", pos)
+    assert(IceRead.table(spark, catalog, "t_pos").count() == 3)
+  }
+
+  test("concurrent appends both survive via CAS retry") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    IceWrite.create(spark, catalog, "t_cc", src)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val futs = (1 to 2).map { i =>
+      Future {
+        IceWrite.append(spark, catalog, "t_cc",
+          src.withColumn("r_regionkey", col("r_regionkey") + i * 100))
+      }
+    }
+    Await.result(Future.sequence(futs), 120.seconds)
+    pool.shutdown()
+    assert(IceRead.table(spark, catalog, "t_cc").count() == 15) // 5 + 5 + 5
+    assert(catalog.loadTable("t_cc").snapshots.size == 3)
+  }
+
+  test("ingested table compacts and reads back identically") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    IceWrite.create(spark, catalog, "t_ing", src.limit(50))
+    IceWrite.append(spark, catalog, "t_ing", src.filter($"c_custkey" > 50).limit(50))
+    IceWrite.appendEqualityDeletes(spark, catalog, "t_ing",
+      src.limit(10).select($"c_custkey"), Seq("c_custkey"))
+    val before = IceRead.table(spark, catalog, "t_ing").cache()
+    val n = before.count()
+    new Compaction(catalog, "t_ing", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1))).compact()
+    val after = IceRead.table(spark, catalog, "t_ing")
+    assert(after.count() == n)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+  }
+}

@@ -33,6 +33,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingestion into the table format: one snapshot per micro-batch") {
+    import graft.meta.{IceRead, IceWrite, LocalCatalog, TableMetadata}
+    val catalog = LocalCatalog(java.nio.file.Files.createTempDirectory("ing-wh").toString)
+    val srcDir = java.nio.file.Files.createTempDirectory("events-src")
+
+    // create the (empty-schema) table first from a static read
+    val full = events
+    catalog.createTable(TableMetadata(
+      name = "ev", location = "", schemaColumns = full.columns.toSeq))
+
+    val schema = full.schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.foreachBatch(IceWrite.streamingAppend(catalog, "ev"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ing-ck").toString)
+      .start()
+    try {
+      // batch 1: first half
+      java.nio.file.Files.createDirectories(srcDir.resolve("b1"))
+      graft.testkit.FileGenerator.writeSingleParquet(spark,
+        full.filter($"event_id" < 500), srcDir.resolve("b1").resolve("p.parquet"))
+      java.nio.file.Files.move(srcDir.resolve("b1").resolve("p.parquet"), srcDir.resolve("b1.parquet"))
+      stream.processAllAvailable()
+      val n1 = IceRead.table(spark, catalog, "ev").count()
+      assert(n1 == full.filter($"event_id" < 500).count())
+
+      // batch 2: second half -> a second snapshot
+      java.nio.file.Files.createDirectories(srcDir.resolve("b2"))
+      graft.testkit.FileGenerator.writeSingleParquet(spark,
+        full.filter($"event_id" >= 500), srcDir.resolve("b2").resolve("p.parquet"))
+      java.nio.file.Files.move(srcDir.resolve("b2").resolve("p.parquet"), srcDir.resolve("b2.parquet"))
+      stream.processAllAvailable()
+      assert(IceRead.table(spark, catalog, "ev").count() == full.count())
+      assert(catalog.loadTable("ev").snapshots.size == 2)
+    } finally stream.stop()
+  }
+
   test("sessionization: gap splits sessions, totals preserved") {
     import EventPipeline.Event
     val gap = 60L * 1000000000L // 1 minute in nanos
