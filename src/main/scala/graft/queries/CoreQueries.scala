@@ -213,6 +213,25 @@ object CoreQueries {
         countDistinct(col("o_custkey")).as("n_cust"),
         count(lit(1)).as("n_orders"))),
 
+    // rollup: hierarchical aggregates with the null group keys coalesced
+    // to a sentinel so both engines hash identically
+    "q_rollup" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))),
+
+    // set operations: UNION ALL / INTERSECT / EXCEPT
+    "q_setops" -> ((s, dir) => {
+      val a = tbl(s, dir, "orders").filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val b = tbl(s, dir, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val inter = a.intersect(b).withColumn("src", lit("both"))
+      val onlyA = a.except(b).withColumn("src", lit("high_only"))
+      inter.unionAll(onlyA)
+    }),
+
     // op 20: deterministic LPT task split (planning math; rows-only check)
     "q20_task_split" -> ((s, dir) => {
       import s.implicits._
@@ -337,6 +356,19 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_setops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_custkey, 'both' AS src FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'high_only' AS src FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)""".stripMargin,
 
     "q6_filter_agg" ->
       """SELECT
