@@ -232,6 +232,23 @@ object CoreQueries {
       inter.unionAll(onlyA)
     }),
 
+    // exact (interpolated) percentiles — both engines use the standard
+    // linear-interpolation definition on sorted values
+    "q_percentile" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))),
+
+    // string functions: LIKE, substring, concat, length, case mapping
+    "q_string_funcs" -> ((s, dir) =>
+      tbl(s, dir, "part")
+        .filter(col("p_type").like("%ECO%") || col("p_name").like("%bolt%"))
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name8"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          length(col("p_name")).cast("long").as("name_len"))),
+
     // op 20: deterministic LPT task split (planning math; rows-only check)
     "q20_task_split" -> ((s, dir) => {
       import s.implicits._
@@ -356,6 +373,21 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 8)) AS name8,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  CAST(len(p_name) AS BIGINT) AS name_len
+        |FROM part
+        |WHERE p_type LIKE '%ECO%' OR p_name LIKE '%bolt%'""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
