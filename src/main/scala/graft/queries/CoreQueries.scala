@@ -232,6 +232,19 @@ object CoreQueries {
       inter.unionAll(onlyA)
     }),
 
+    // as-of join: attach the latest prior purchase value to each click,
+    // per user (graft.ops.AsOfJoin — one shuffle + window, no range blowup)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts", Seq("value"))
+        .select(col("user_id"), col("event_id"),
+          round(coalesce(col("asof_value"), lit(-1.0)), 4).as("last_purchase"))
+    }),
+
     // exact (interpolated) percentiles — both engines use the standard
     // linear-interpolation definition on sorted values
     "q_percentile" -> ((s, dir) =>
@@ -373,6 +386,16 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id,
+        |  round(coalesce(p.value, -1.0), 4) AS last_purchase
+        |FROM clicks c
+        |ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,
