@@ -178,6 +178,41 @@ object Dedup {
     verifyJaccard(cand, grams, threshold)
   }
 
+  /** Connected components over near-dup pairs: groups transitively linked
+    * documents into clusters labeled by their minimum id — the step that
+    * turns pairwise similarity into dedup groups (pick `min(id)` as the
+    * keeper per cluster).
+    *
+    * Min-label propagation iterated to a checked fixpoint: each round is
+    * one join + one min-aggregate (two shuffles), rounds needed = cluster
+    * diameter. Near-dup clusters are shallow in practice; the driver-side
+    * convergence check costs one count per round and guarantees the result
+    * equals the true transitive closure (what a recursive-CTE oracle
+    * computes). At web scale swap in the large-star/small-star (HashToMin)
+    * variant — same API. Returns (id, cluster_id); singletons (ids in no
+    * pair) are not emitted. */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionAll(nbr).groupBy(col("id")).agg(min(col("label")).as("label")).cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(converged, s"clusterPairs did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash fingerprint: 32 dimensions, one per md5 hex nibble of each
     * token; bit i is the sign of the token-count majority on that nibble's
     * high bit. Returns (id, simhash-bitstring). Single aggregate pass. */

@@ -87,6 +87,14 @@ object OpsQueries {
       Dedup.minHashNearDupPairs(corpus(s, dir), "doc_id", "text",
         n = 3, k = 16, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 100)),
 
+    // dedup clusters: connected components over the exact-Jaccard pairs
+    "d6_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
+        "doc_id", "text", n = 4, threshold = 0.6)
+      Dedup.clusterPairs(pairs)
+    }),
+
     // SimHash 32-bit fingerprints
     "d3_simhash" -> ((s, dir) =>
       Dedup.simHash(tbl(s, dir, "documents"), "doc_id", "text")),
@@ -197,6 +205,30 @@ object OpsQueries {
          |SELECT id1, id2 FROM common
          |JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
          |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5""".stripMargin,
+
+    "d6_dedup_clusters" ->
+      s"""WITH ${corpusSql.replace("corpus AS (", "corpus0 AS (")},
+         |corpus AS (SELECT * FROM corpus0 WHERE doc_id % 100000 < 1000),
+         |$gramsSql,
+         |sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+         |common AS (
+         |  SELECT a.id AS id1, b.id AS id2, count(*) AS c
+         |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+         |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(id, label) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id)
+         |  SELECT * FROM r)
+         |SELECT id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "d3_simhash" -> {
       val aggs = (1 to 32).map(i =>

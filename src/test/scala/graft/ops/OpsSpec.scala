@@ -44,6 +44,19 @@ class OpsSpec extends AnyFunSuite {
     assert(direct.count() > 0)
   }
 
+  test("clusterPairs: transitive chains collapse to the min-id cluster") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), separate pair 10-11, plus 20-21 + 21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id1", "id2")
+    val clusters = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
+    assert(Seq(10L, 11L).forall(clusters(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(clusters(_) == 20L))
+    assert(clusters.size == 9)
+  }
+
   test("simhash: 32 bits, deterministic, near-dups collide closely") {
     val out = Dedup.simHash(docs, "doc_id", "text")
     val lens = out.select(length($"simhash")).distinct().as[Int].collect()
