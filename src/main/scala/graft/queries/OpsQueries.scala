@@ -88,9 +88,11 @@ object OpsQueries {
         n = 3, k = 16, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 100)),
 
     // dedup clusters: connected components over the exact-Jaccard pairs
+    // (bounded to a 500-doc slice — the whole corpus at sf<=0.01 — since
+    // the pair stage is the d4 quadratic baseline run a second time)
     "d6_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(
-        corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
+        corpus(s, dir).filter(col("doc_id") % 100000 < 500),
         "doc_id", "text", n = 4, threshold = 0.6)
       Dedup.clusterPairs(pairs)
     }),
@@ -208,7 +210,7 @@ object OpsQueries {
 
     "d6_dedup_clusters" ->
       s"""WITH ${corpusSql.replace("corpus AS (", "corpus0 AS (")},
-         |corpus AS (SELECT * FROM corpus0 WHERE doc_id % 100000 < 1000),
+         |corpus AS (SELECT * FROM corpus0 WHERE doc_id % 100000 < 500),
          |$gramsSql,
          |sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
          |common AS (
