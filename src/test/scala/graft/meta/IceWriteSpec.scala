@@ -82,6 +82,42 @@ class IceWriteSpec extends AnyFunSuite {
     assert(catalog.loadTable("t_cc").snapshots.size == 3)
   }
 
+  test("two equality-delete schemas chain through real MOR read and compaction") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet(s"$sf/customer.parquet") // 150 rows
+    IceWrite.create(spark, catalog, "t_multi", src)
+    // group 1: delete by c_custkey; group 2: delete by (c_nationkey, c_mktsegment)
+    IceWrite.appendEqualityDeletes(spark, catalog, "t_multi",
+      src.filter($"c_custkey" <= 10).select($"c_custkey"), Seq("c_custkey"))
+    IceWrite.appendEqualityDeletes(spark, catalog, "t_multi",
+      src.filter($"c_custkey" === 60).select($"c_nationkey", $"c_mktsegment"),
+      Seq("c_nationkey", "c_mktsegment"))
+
+    val expected = {
+      val k60 = src.filter($"c_custkey" === 60).select($"c_nationkey", $"c_mktsegment")
+      src.filter($"c_custkey" > 10)
+        .join(k60, Seq("c_nationkey", "c_mktsegment"), "left_anti")
+    }
+    val view = IceRead.table(spark, catalog, "t_multi")
+    assert(view.count() == expected.count())
+    assert(view.select(src.columns.map(org.apache.spark.sql.functions.col): _*)
+      .exceptAll(expected.select(src.columns.map(org.apache.spark.sql.functions.col): _*)).isEmpty)
+
+    // the file group sees two distinct equality-id runs
+    val meta = catalog.loadTable("t_multi")
+    val tasks = meta.scanTasks(meta.currentSnapshot.get)
+    val byPath = meta.currentSnapshot.get.manifest.map(f => f.path -> f).toMap
+    val group = graft.selection.FileGroup.fromDataFiles(tasks, byPath.get)
+    assert(graft.exec.Mor.equalityDeleteGroups(group.equalityDeleteFiles).size == 2)
+
+    // compaction applies both groups and the compacted read is identical
+    new Compaction(catalog, "t_multi", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)),
+      enableValidate = true).compact()
+    val after = IceRead.table(spark, catalog, "t_multi")
+    assert(after.count() == expected.count())
+  }
+
   test("ingested table compacts and reads back identically") {
     val catalog = newCatalog()
     val src = spark.read.parquet(s"$sf/customer.parquet")
