@@ -1,19 +1,30 @@
 package graft.examples
+
+/** Prints a plan-characteristics table for representative queries:
+  * exchange counts, join strategies, pushdown evidence. Run with
+  * {{{ sbt "runMain graft.examples.PlanAudit" }}} — output recorded in
+  * docs/PLANS.md per round. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.adaptive.enabled","true")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("q10_projection","q14_pos_anti_join","q16_chained_deletes","q5_star_join","d2_minhash_pairs","s1_ann_topk")) {
+    println("| query | exchanges | broadcast joins | sort-merge joins | pushed filters |")
+    println("|---|---|---|---|---|")
+    for (q <- Seq("q10_projection","q14_pos_anti_join","q15_eq_anti_join_seq",
+        "q16_chained_deletes","q1_agg","q3_join_agg","q5_star_join","q6_filter_agg",
+        "q_outer_join","q_semi_join","q_window_topk","q_asof_join","q_rollup",
+        "d1_exact_dedup","d5_embed_neardup","s1_ann_topk","s2_ann_lsh_buckets")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
       val nSmj = "SortMergeJoin".r.findAllIn(plan).length
-      val pushed = plan.linesIterator.filter(_.contains("PushedFilters: [")).take(2).mkString(" | ")
-      println(s"PLAN $q exchanges=$nEx bhj=$nBhj smj=$nSmj")
-      if (pushed.nonEmpty) println(s"   $pushed")
+      val pushed = plan.linesIterator.count(l =>
+        l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+      println(s"| $q | $nEx | $nBhj | $nSmj | $pushed scans |")
     }
     spark.stop()
   }

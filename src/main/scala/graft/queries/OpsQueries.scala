@@ -143,6 +143,24 @@ object OpsQueries {
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // vocabulary: top tokens by frequency (deterministic tie-break)
+    "t5_vocab" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("tok").asc)
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+    }),
+
+    // document-length histogram (50-char buckets)
+    "t6_length_hist" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy(expr("n_chars div 50").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))),
+
     // multimodal plumbing: binary payload + typed metadata + digest
     "m1_multimodal" -> ((s, dir) =>
       Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
@@ -324,6 +342,19 @@ object OpsQueries {
 
     "t4_fingerprint" ->
       s"""SELECT doc_id, md5(lower($normSql)) AS fingerprint FROM documents""".stripMargin,
+
+    "t5_vocab" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |counted AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok)
+         |SELECT tok, cnt, rank FROM (
+         |  SELECT tok, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank
+         |  FROM counted) t WHERE rank <= 20""".stripMargin,
+
+    "t6_length_hist" ->
+      """SELECT n_chars // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "m1_multimodal" ->
       """SELECT doc_id AS media_id,
