@@ -11,6 +11,8 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-spark-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
