@@ -81,7 +81,8 @@ final class Compaction(
       targetFileSizeBytes = targetFileSizeBytes,
       partitionSpec = table.partitionSpec,
       sortOrder = table.sortOrder,
-      formatVersion = table.formatVersion
+      formatVersion = table.formatVersion,
+      tableSchema = table.schema
     )
     val res = executor.rewriteFiles(spark, req)
     metrics.recordRewrite(res.stats)
@@ -151,7 +152,7 @@ final class Compaction(
       val table = committed
       outcomes.foreach { o =>
         Validator.validate(spark, o.plan.fileGroup, o.result.addedFiles,
-          table.schemaColumns, table.formatVersion)
+          table.schemaColumns, table.formatVersion, table.schema)
       }
     }
     CompactionResult(outcomes.flatMap(_.result.addedFiles), outcomes.map(_.result.stats), Some(committed))

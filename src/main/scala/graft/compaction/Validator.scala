@@ -2,7 +2,7 @@ package graft.compaction
 
 import org.apache.spark.sql.SparkSession
 
-import graft.meta.FileEntry
+import graft.meta.{FileEntry, SchemaField}
 import graft.selection.FileGroup
 import graft.exec.Mor
 
@@ -20,9 +20,10 @@ object Validator {
       inputGroup: FileGroup,
       outputFiles: Seq[FileEntry],
       schemaColumns: Seq[String],
-      formatVersion: Int
+      formatVersion: Int,
+      tableSchema: Seq[SchemaField] = Nil
   ): Unit = {
-    val inputRows = Mor.dataFrame(spark, inputGroup, schemaColumns, formatVersion).count()
+    val inputRows = Mor.dataFrame(spark, inputGroup, schemaColumns, formatVersion, tableSchema).count()
     val outputRows =
       if (outputFiles.isEmpty) 0L
       else spark.read.parquet(outputFiles.map(_.path): _*).count()

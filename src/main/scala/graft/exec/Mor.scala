@@ -2,7 +2,8 @@ package graft.exec
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.meta.FileEntry
+import org.apache.spark.sql.types.StructType
+import graft.meta.{FileEntry, SchemaField}
 import graft.selection.FileGroup
 
 /** Merge-on-read DataFrame construction.
@@ -20,15 +21,28 @@ import graft.selection.FileGroup
   *    any window/shuffle, split-safe and fully distributed;
   *  - the per-file `sys_hidden_seq_num` constant is attached via a
   *    broadcast join against the (tiny) file->sequence-number manifest map;
-  *  - delete sides are explicitly `broadcast()` — delete files are small
-  *    relative to data by construction, so each anti join stays a
-  *    BroadcastHashJoin with zero shuffle of the data side, which is the
-  *    plan you want at 100 TB (shuffle-free scan -> joins -> write).
+  *  - delete sides are broadcast ONLY while their manifest byte sum stays
+  *    under [[Mor.BroadcastDeleteBytesMax]] — delete files are small
+  *    relative to data by construction, so the anti joins normally stay
+  *    BroadcastHashJoins with zero shuffle of the data side (the plan you
+  *    want at 100 TB); but a delete-heavy table (the FilesWithDeletes
+  *    strategy exists precisely for those) must not OOM the driver, so
+  *    above the gate Catalyst picks a shuffled join instead;
+  *  - with a typed field-id schema ([[SchemaField]]), files are read by
+  *    parquet field id instead of name, making the read correct across
+  *    renames (the reference's `field_by_id` addressing,
+  *    datafusion_processor.rs:693,741).
   */
 object Mor {
   val SeqNumCol = "sys_hidden_seq_num"
   val FilePathCol = "sys_hidden_file_path"
   val PosCol = "sys_hidden_pos"
+
+  /** Broadcast gate for delete sides, in manifest (compressed parquet)
+    * bytes. 64 MiB compressed unpacks to a few hundred MB of hashed
+    * relation — near the edge of what a driver/executor should hold; past
+    * it, a shuffled join is the safe plan. */
+  val BroadcastDeleteBytesMax: Long = 64L * 1024 * 1024
 
   /** `_metadata.file_path` is a URI (file:///x); manifest paths are plain
     * absolute paths. Normalize URIs to paths for joining. */
@@ -38,6 +52,12 @@ object Mor {
     import spark.implicits._
     files.map(f => (f.path, f.sequenceNumber)).toDF(FilePathCol, SeqNumCol)
   }
+
+  /** Broadcast when the manifest says the delete side is small; otherwise
+    * leave the join strategy to Catalyst (SMJ/SHJ — shuffles the data side,
+    * but cannot OOM the driver). */
+  private def gated(df: DataFrame, manifestBytes: Long, maxBytes: Long): DataFrame =
+    if (manifestBytes <= maxBytes) broadcast(df) else df
 
   /** Groups equality-delete files into runs of consecutive identical
     * `equalityIds`, each run becoming one anti-join (the reference's
@@ -53,7 +73,7 @@ object Mor {
 
   /** Position-delete anti join: drop data rows whose (file_path, pos) has a
     * tombstone (datafusion_processor.rs:489-522; reference RIGHT ANTI ==
-    * our LEFT ANTI). The delete side is broadcast: no data-side shuffle. */
+    * our LEFT ANTI). */
   def applyPositionDeletes(data: DataFrame, deletes: DataFrame): DataFrame =
     data.join(broadcast(deletes), Seq(FilePathCol, PosCol), "left_anti")
 
@@ -84,20 +104,50 @@ object Mor {
     *                    reference does (datafusion_processor.rs:632-648);
     *                    position deletes are always applied by our scan
     *                    layer (equivalent to V3's reader-applied deletes).
+    * @param tableSchema typed field-id schema; when fully typed, data and
+    *                    equality-delete files are read BY FIELD ID (rename-
+    *                    safe) and equality keys resolve through
+    *                    `equalityFieldIds` to their current names.
+    * @param broadcastDeleteBytesMax per-join manifest-bytes gate for
+    *                    broadcasting delete sides.
     */
   def dataFrame(
       spark: SparkSession,
       group: FileGroup,
       projectCols: Seq[String],
-      formatVersion: Int = 2
+      formatVersion: Int = 2,
+      tableSchema: Seq[SchemaField] = Nil,
+      broadcastDeleteBytesMax: Long = BroadcastDeleteBytesMax
   ): DataFrame = {
     require(group.dataFiles.nonEmpty, "empty file group")
-    val eqDeletes = if (formatVersion >= 3) Nil else group.equalityDeleteFiles
+    val typed: Option[StructType] =
+      if (tableSchema.nonEmpty && tableSchema.forall(_.isTyped))
+        Some(StructType(tableSchema.map(_.toStructField)))
+      else None
+    // id-matched parquet reads; harmless for reads whose requested schema
+    // carries no field ids (those still match by name)
+    typed.foreach(_ => spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true"))
+
+    def readParquet(files: Seq[FileEntry], schema: Option[StructType]): DataFrame = {
+      val r = schema.fold(spark.read)(spark.read.schema)
+      r.parquet(files.map(_.path): _*)
+    }
+    // with a typed schema, the authoritative eq key is the field-id list;
+    // resolve to CURRENT names so the join condition survives renames
+    def resolveEq(f: FileEntry): FileEntry =
+      if (typed.isDefined && f.equalityFieldIds.nonEmpty)
+        f.copy(equalityIds = f.equalityFieldIds.map(id =>
+          tableSchema.find(_.id == id).getOrElse(sys.error(
+            s"equality-delete field id $id not in table schema")).name))
+      else f
+
+    val eqDeletes =
+      if (formatVersion >= 3) Nil else group.equalityDeleteFiles.map(resolveEq)
     val posDeletes = group.positionDeleteFiles
     val needSeq = eqDeletes.nonEmpty
     val needFilePos = posDeletes.nonEmpty
 
-    val base = spark.read.parquet(group.dataFiles.map(_.path): _*)
+    val base = readParquet(group.dataFiles, typed)
     val projected = projectCols.map(col)
 
     // no deletes: plain projected scan (datafusion_processor.rs:447-458)
@@ -113,18 +163,35 @@ object Mor {
     }
 
     if (needFilePos) {
-      val pos = spark.read.parquet(posDeletes.map(_.path): _*)
+      // position-delete files always carry plain (file_path, pos) — not
+      // table-schema columns, so never id-matched
+      val pos = readParquet(posDeletes, None)
         .select(col("file_path").as(FilePathCol), col("pos").as(PosCol))
-      df = applyPositionDeletes(df, pos)
+      df = df.join(gated(pos, posDeletes.map(_.length).sum, broadcastDeleteBytesMax),
+        Seq(FilePathCol, PosCol), "left_anti")
     }
 
     // one anti join per equality-ids run, in manifest order
     // (datafusion_processor.rs:524-571)
     for ((eqIds, files) <- equalityDeleteGroups(eqDeletes)) {
-      val del = spark.read.parquet(files.map(_.path): _*)
+      val delSchema = typed.map(_ => StructType(eqIds.map(n =>
+        tableSchema.find(_.name == n).getOrElse(sys.error(
+          s"equality-delete column $n not in table schema")).toStructField)))
+      val delRaw = readParquet(files, delSchema)
         .select(eqIds.map(col) :+ normalizePath(col("_metadata.file_path")).as(FilePathCol): _*)
         .join(broadcast(seqMap(spark, files)), Seq(FilePathCol), "left")
-      df = applyEqualityDeletes(df, del, eqIds, SeqNumCol, SeqNumCol)
+      val del = delRaw.select(
+        eqIds.map(c => col(c).as(s"__del_$c")) :+ col(SeqNumCol).as("__del_seq__"): _*)
+      val eqCond = eqIds.map(c => df(c) === col(s"__del_$c")).reduceOption(_ && _)
+      val seqCond = df(SeqNumCol) < col("__del_seq__")
+      val cond = eqCond.map(_ && seqCond).getOrElse(seqCond)
+      // empty-keys theta join stays broadcast regardless: a non-broadcast
+      // nested-loop over two big sides has no good plan anyway, and the
+      // reference emits the same degenerate shape
+      val gatedDel =
+        if (eqIds.isEmpty) broadcast(del)
+        else gated(del, files.map(_.length).sum, broadcastDeleteBytesMax)
+      df = df.join(gatedDel, cond, "left_anti")
     }
 
     df.select(projected: _*)

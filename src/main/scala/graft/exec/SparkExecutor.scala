@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.meta.{FileContent, FileEntry, PartitionField, SortField}
+import graft.meta.{FileContent, FileEntry, PartitionField, SchemaField, SortField}
 import graft.selection.FileGroup
 
 /** One rewrite job: inputs (a planned file group) -> new data files. */
@@ -18,7 +18,10 @@ final case class RewriteRequest(
     targetFileSizeBytes: Long,
     partitionSpec: Seq[PartitionField] = Nil,
     sortOrder: Seq[SortField] = Nil,
-    formatVersion: Int = 2
+    formatVersion: Int = 2,
+    /** typed field-id schema; threads id-matched reads through the rewrite
+      * so rewritten files keep their field ids (rename-safe round trip). */
+    tableSchema: Seq[SchemaField] = Nil
 )
 
 final case class RewriteStats(
@@ -84,6 +87,11 @@ object SparkExecutor extends CompactionExecutor {
       sortOrder: Seq[SortField],
       maxRecordsPerFile: Long,
       repartitionTo: Int = 0): Seq[FileEntry] = {
+    // columns whose StructField metadata carries `parquet.field.id` get the
+    // id written into the parquet footer (id-addressed reads depend on it);
+    // default-true in Spark 4, pinned here so a session override can't
+    // silently break rename safety
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     var df = input
     val partCols = partitionSpec.map(partDirCol)
     if (partitionSpec.nonEmpty) {
@@ -117,7 +125,7 @@ object SparkExecutor extends CompactionExecutor {
   override def rewriteFiles(spark: SparkSession, req: RewriteRequest): RewriteResult = {
     val t0 = System.nanoTime()
     val g = req.group
-    val df = Mor.dataFrame(spark, g, req.schemaColumns, req.formatVersion)
+    val df = Mor.dataFrame(spark, g, req.schemaColumns, req.formatVersion, req.tableSchema)
 
     // target-file-size enforcement: estimate records per target file from
     // the input's bytes/record ratio

@@ -81,13 +81,14 @@ object IceRead {
     if (tasks.isEmpty) {
       // pruned to nothing: an empty frame with the table schema, not an
       // error — a filter that matches no partition/zone is a valid query
-      val schema = spark.read.parquet(all.head.path).select(meta.schemaColumns.map(
-        org.apache.spark.sql.functions.col): _*).schema
+      val schema = meta.typedStruct.getOrElse(
+        spark.read.parquet(all.head.path).select(meta.schemaColumns.map(
+          org.apache.spark.sql.functions.col): _*).schema)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val byPath = snap.manifest.map(f => f.path -> f).toMap
     val group = FileGroup.fromDataFiles(tasks, byPath.get)
-    Mor.dataFrame(spark, group, meta.schemaColumns, meta.formatVersion)
+    Mor.dataFrame(spark, group, meta.schemaColumns, meta.formatVersion, meta.schema)
   }
 
   /** Registers the MOR view as a temp view for SQL access. */

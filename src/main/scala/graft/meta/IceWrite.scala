@@ -25,9 +25,11 @@ object IceWrite {
       sortOrder: Seq[SortField] = Nil,
       formatVersion: Int = 2,
       targetFileSizeBytes: Long = Defaults.TargetFileSize): TableMetadata = {
+    val schema = SchemaField.fromStruct(df.schema)
     val meta = catalog.createTable(TableMetadata(
       name = name, location = "", formatVersion = formatVersion,
-      schemaColumns = df.columns.toSeq, partitionSpec = partitionSpec, sortOrder = sortOrder))
+      schema = schema, lastColumnId = schema.map(_.id).foldLeft(0)(math.max),
+      partitionSpec = partitionSpec, sortOrder = sortOrder))
     appendInternal(spark, catalog, meta.name, df, FileContent.Data, Nil, targetFileSizeBytes)
   }
 
@@ -64,6 +66,25 @@ object IceWrite {
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) { append(batch.sparkSession, catalog, name, batch): Unit }
 
+  /** Stamps each column with its stable field id so the parquet writer puts
+    * ids in the file footer (Spark's `parquet.field.id` metadata +
+    * `spark.sql.parquet.fieldId.write.enabled`) — the write half of rename-
+    * safe id-addressed reads. Columns are emitted in table-schema order;
+    * absent (newly added, nullable) columns are simply not written and read
+    * back as NULL by id. */
+  private def withFieldIds(df: DataFrame, schema: Seq[SchemaField]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val names = schema.map(_.name).toSet
+    val unknown = df.columns.filterNot(names.contains)
+    require(unknown.isEmpty, s"columns not in table schema: ${unknown.mkString(",")}")
+    val present = df.columns.toSet
+    df.select(schema.filter(f => present.contains(f.name)).map { f =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(SchemaField.ParquetFieldIdKey, f.id.toLong).build()
+      col(f.name).as(f.name, md)
+    }: _*)
+  }
+
   private def appendInternal(
       spark: SparkSession,
       catalog: LocalCatalog,
@@ -73,10 +94,21 @@ object IceWrite {
       equalityIds: Seq[String],
       targetFileSizeBytes: Long): TableMetadata = {
     val table0 = catalog.loadTable(name)
+    val typed = table0.schema.nonEmpty && table0.schema.forall(_.isTyped)
+    // data and equality-delete files carry table-schema columns -> stamp
+    // field ids; position deletes carry (file_path, pos), never id-matched
+    val out =
+      if (typed && content != FileContent.PositionDeletes) withFieldIds(df, table0.schema)
+      else df
+    val eqFieldIds =
+      if (typed && content == FileContent.EqualityDeletes)
+        equalityIds.map(n => table0.fieldByName(n).getOrElse(
+          throw new IllegalArgumentException(s"equality column $n not in schema")).id)
+      else Nil
     // write the files once; only the metadata commit retries on conflict
     val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L) // ~256 B/row guess pre-stats
     val written = SparkExecutor.writeDataFiles(
-      spark, df, Paths.get(table0.location, "data").toString,
+      spark, out, Paths.get(table0.location, "data").toString,
       if (content == FileContent.Data) table0.partitionSpec else Nil,
       if (content == FileContent.Data) table0.sortOrder else Nil,
       maxRecordsPerFile = rowsEstimate)
@@ -88,7 +120,8 @@ object IceWrite {
       val current = meta.currentSnapshot
       val newSeq = meta.lastSequenceNumber + 1
       val stamped = written.map(_.copy(
-        content = content, sequenceNumber = newSeq, equalityIds = equalityIds))
+        content = content, sequenceNumber = newSeq, equalityIds = equalityIds,
+        equalityFieldIds = eqFieldIds))
       val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
       val snap = Snapshot(
         snapshotId = snapshotId,

@@ -13,7 +13,10 @@ object MetadataJson {
     "name" -> str(m.name),
     "location" -> str(m.location),
     "format-version" -> JInt(m.formatVersion),
-    "schema-columns" -> JArray(m.schemaColumns.map(str).toList),
+    "schema" -> JArray(m.schema.map(f =>
+      JObject("id" -> JInt(f.id), "name" -> str(f.name), "type" -> str(f.dataType),
+        "nullable" -> JBool(f.nullable))).toList),
+    "last-column-id" -> JInt(m.lastColumnId),
     "partition-spec" -> JArray(m.partitionSpec.map(p =>
       JObject("column" -> str(p.column), "transform" -> str(p.transform))).toList),
     "sort-order" -> JArray(m.sortOrder.map(s =>
@@ -42,6 +45,7 @@ object MetadataJson {
     "record-count" -> JLong(f.recordCount),
     "sequence-number" -> JLong(f.sequenceNumber),
     "equality-ids" -> JArray(f.equalityIds.map(str).toList),
+    "equality-field-ids" -> JArray(f.equalityFieldIds.map(i => JInt(i): JValue).toList),
     "partition" -> JObject(f.partitionValues.toList.map { case (k, v) => k -> (str(v): JValue) }),
     "column-stats" -> JObject(f.columnStats.toList.map { case (k, (mn, mx)) =>
       k -> (JObject("min" -> str(mn), "max" -> str(mx)): JValue) })
@@ -70,6 +74,7 @@ object MetadataJson {
         recordCount = fLong(m("record-count")),
         sequenceNumber = fLong(m("sequence-number")),
         equalityIds = arr(m.getOrElse("equality-ids", JArray(Nil))).map(fStr),
+        equalityFieldIds = arr(m.getOrElse("equality-field-ids", JArray(Nil))).map(v => fLong(v).toInt),
         partitionValues = obj(m.getOrElse("partition", JObject())).map { case (k, x) => k -> fStr(x) }.toMap,
         columnStats = obj(m.getOrElse("column-stats", JObject())).map { case (k, x) =>
           val sm = obj(x).toMap
@@ -93,7 +98,17 @@ object MetadataJson {
       name = fStr(m("name")),
       location = fStr(m("location")),
       formatVersion = fLong(m.getOrElse("format-version", JInt(2))).toInt,
-      schemaColumns = arr(m.getOrElse("schema-columns", JArray(Nil))).map(fStr),
+      // typed "schema" preferred; legacy "schema-columns" becomes an
+      // untyped (name-addressed) schema with positional ids
+      schema = m.get("schema") match {
+        case Some(JArray(xs)) if xs.nonEmpty => xs.map { f =>
+          val fm = obj(f).toMap
+          SchemaField(fLong(fm("id")).toInt, fStr(fm("name")),
+            fStr(fm.getOrElse("type", JString(""))),
+            fBool(fm.getOrElse("nullable", JBool(true))))
+        }
+        case _ => SchemaField.fromNames(arr(m.getOrElse("schema-columns", JArray(Nil))).map(fStr))
+      },
       partitionSpec = arr(m.getOrElse("partition-spec", JArray(Nil))).map { p =>
         val pm = obj(p).toMap
         PartitionField(fStr(pm("column")), fStr(pm.getOrElse("transform", JString("identity"))))
@@ -107,7 +122,8 @@ object MetadataJson {
       refs = obj(m.getOrElse("refs", JObject())).map { case (k, v) => k -> fLong(v) }.toMap,
       snapshots = arr(m.getOrElse("snapshots", JArray(Nil))).map(snap),
       lastSequenceNumber = fLong(m.getOrElse("last-sequence-number", JLong(0L))),
-      version = fLong(m.getOrElse("version", JInt(0))).toInt
+      version = fLong(m.getOrElse("version", JInt(0))).toInt,
+      lastColumnId = fLong(m.getOrElse("last-column-id", JInt(0))).toInt
     )
   }
 }

@@ -11,13 +11,58 @@ object FileContent extends Enumeration {
   val Data, PositionDeletes, EqualityDeletes = Value
 }
 
+/** One schema column, addressed by a stable field id — the property that
+  * makes rename/reorder/add-column safe without rewriting data files. The
+  * reference is field-id addressed throughout (`field_by_id`,
+  * `highest_field_id` — datafusion_processor.rs:693,741,835-841); the
+  * Spark-native equivalent is parquet field ids: ids ride in
+  * `StructField.metadata` under `parquet.field.id`, Spark writes them into
+  * file footers (`spark.sql.parquet.fieldId.write.enabled`) and matches
+  * read schemas against files BY ID instead of by name
+  * (`spark.sql.parquet.fieldId.read.enabled`).
+  *
+  * @param dataType DDL type string ("BIGINT", "ARRAY<FLOAT>", ...); empty
+  *                 for legacy/untyped tables, which read by column name.
+  */
+final case class SchemaField(id: Int, name: String, dataType: String = "", nullable: Boolean = true) {
+  def isTyped: Boolean = dataType.nonEmpty
+  def sparkType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DataType.fromDDL(dataType)
+  /** StructField carrying the parquet field id, for id-matched reads/writes. */
+  def toStructField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(name, sparkType, nullable,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(SchemaField.ParquetFieldIdKey, id.toLong).build())
+}
+
+object SchemaField {
+  /** Spark's native parquet field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
+  val ParquetFieldIdKey = "parquet.field.id"
+
+  /** Typed schema from a Spark schema, ids assigned 1..n. */
+  def fromStruct(st: org.apache.spark.sql.types.StructType): Seq[SchemaField] =
+    st.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      SchemaField(i + 1, f.name, f.dataType.sql, f.nullable)
+    }
+
+  /** Untyped (name-addressed) schema for legacy tables, ids positional. */
+  def fromNames(names: Seq[String]): Seq[SchemaField] =
+    names.zipWithIndex.map { case (n, i) => SchemaField(i + 1, n) }
+}
+
 /** One tracked file (reference FileScanTask field list:
   * iceberg_file_task_scan.rs:681-702). `length` == file size in bytes.
   *
   * @param partitionValues partition-column name -> stringified value; empty
   *                        for unpartitioned files (strategy.rs:953-971).
   * @param equalityIds     column names forming the equality-delete key
-  *                        (only for EqualityDeletes content).
+  *                        (only for EqualityDeletes content). Names are the
+  *                        key AS WRITTEN in the delete file; with a typed
+  *                        table schema, `equalityFieldIds` is authoritative
+  *                        (rename-safe — the reference keys deletes by field
+  *                        id, datafusion_processor.rs:700-728).
+  * @param equalityFieldIds stable field ids of the equality-delete key
+  *                        columns; empty for legacy name-addressed deletes.
   * @param deletes         paths of delete files that apply to this data file
   *                        (resolved at scan time, like `task.deletes`).
   */
@@ -28,6 +73,7 @@ final case class FileEntry(
     recordCount: Long,
     sequenceNumber: Long,
     equalityIds: Seq[String] = Nil,
+    equalityFieldIds: Seq[Int] = Nil,
     partitionValues: Map[String, String] = Map.empty,
     deletes: Seq[String] = Nil,
     /** per-column numeric zone maps (min, max), decimal-string encoded —
@@ -77,15 +123,29 @@ final case class TableMetadata(
     name: String,
     location: String,
     formatVersion: Int = 2,
-    schemaColumns: Seq[String] = Nil,
+    schema: Seq[SchemaField] = Nil,
     partitionSpec: Seq[PartitionField] = Nil,
     sortOrder: Seq[SortField] = Nil,
     currentSnapshotId: Option[Long] = None,
     refs: Map[String, Long] = Map.empty, // branch name -> snapshot id
     snapshots: Seq[Snapshot] = Nil,
     lastSequenceNumber: Long = 0L,
-    version: Int = 0
+    version: Int = 0,
+    /** highest field id ever assigned — never reused, so a re-added column
+      * name can't resurrect an old column's data (highest_field_id,
+      * datafusion_processor.rs:835-841). */
+    lastColumnId: Int = 0
 ) {
+  /** Current column names, in schema order. */
+  def schemaColumns: Seq[String] = schema.map(_.name)
+  def fieldById(id: Int): Option[SchemaField] = schema.find(_.id == id)
+  def fieldByName(name: String): Option[SchemaField] = schema.find(_.name == name)
+  /** The id-bearing Spark read schema when every field is typed; None for
+    * legacy name-addressed tables. */
+  def typedStruct: Option[org.apache.spark.sql.types.StructType] =
+    if (schema.nonEmpty && schema.forall(_.isTyped))
+      Some(org.apache.spark.sql.types.StructType(schema.map(_.toStructField)))
+    else None
   def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
   def snapshotForRef(branch: String): Option[Snapshot] =
     refs.get(branch).flatMap(snapshotById)

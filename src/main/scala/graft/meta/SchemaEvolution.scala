@@ -1,0 +1,83 @@
+package graft.meta
+
+/** Metadata-only schema evolution: rename / add / drop a column without
+  * touching any data file. Safe because the table schema is field-id
+  * addressed ([[SchemaField]]): data and equality-delete parquet files carry
+  * field ids in their footers, and the MOR read matches its requested schema
+  * against files by id, so a file written under the old name still resolves
+  * to the renamed column, and a file written before an added column reads
+  * NULL for it. Mirrors the reference's id-addressed schema handling
+  * (datafusion_processor.rs:693,741 `field_by_id`, 835-841
+  * `highest_field_id`).
+  *
+  * Each operation is one optimistic CAS commit of the next metadata version
+  * (no new snapshot — the data is untouched).
+  */
+object SchemaEvolution {
+
+  /** Renames `from` to `to`. The field keeps its id, so existing files
+    * (data and equality deletes) keep resolving. Sort-order entries follow
+    * the rename; renaming a partition-source column is rejected — manifest
+    * partition values are keyed by name, and silently detaching them from
+    * the spec would corrupt partition pruning (real Iceberg solves this
+    * with id-addressed partition specs; out of scope here). */
+  def renameColumn(catalog: Catalog, tableName: String, from: String, to: String): TableMetadata =
+    commitRetry(catalog, tableName) { meta =>
+      val field = meta.fieldByName(from).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $from"))
+      require(meta.fieldByName(to).isEmpty, s"column $to already exists")
+      require(!meta.partitionSpec.exists(_.column == from),
+        s"cannot rename partition column $from")
+      meta.copy(
+        schema = meta.schema.map(f => if (f.id == field.id) f.copy(name = to) else f),
+        sortOrder = meta.sortOrder.map(s => if (s.column == from) s.copy(column = to) else s))
+    }
+
+  /** Adds a nullable column with a fresh field id (never reused — a dropped
+    * and re-added name cannot resurrect old data). Existing files read NULL
+    * for it. `ddlType` is a Spark DDL type string ("BIGINT", "STRING", ...). */
+  def addColumn(catalog: Catalog, tableName: String, name: String, ddlType: String): TableMetadata =
+    commitRetry(catalog, tableName) { meta =>
+      require(meta.fieldByName(name).isEmpty, s"column $name already exists")
+      // validate the type eagerly — a bad DDL string must fail the commit,
+      // not the first read
+      org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+      val id = math.max(meta.lastColumnId, meta.schema.map(_.id).foldLeft(0)(math.max)) + 1
+      meta.copy(
+        schema = meta.schema :+ SchemaField(id, name, ddlType, nullable = true),
+        lastColumnId = id)
+    }
+
+  /** Drops a column from the schema; file data is untouched and simply no
+    * longer projected. Partition / sort-order / equality-delete key columns
+    * are load-bearing and cannot be dropped. */
+  def dropColumn(catalog: Catalog, tableName: String, name: String): TableMetadata =
+    commitRetry(catalog, tableName) { meta =>
+      val field = meta.fieldByName(name).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $name"))
+      require(meta.schema.size > 1, "cannot drop the last column")
+      require(!meta.partitionSpec.exists(_.column == name),
+        s"cannot drop partition column $name")
+      require(!meta.sortOrder.exists(_.column == name),
+        s"cannot drop sort-order column $name")
+      val liveEqIds = meta.snapshots.lastOption.toSeq.flatMap(_.manifest)
+        .filter(_.content == FileContent.EqualityDeletes)
+        .flatMap(f => f.equalityFieldIds ++ f.equalityIds.flatMap(n => meta.fieldByName(n).map(_.id)))
+      require(!liveEqIds.contains(field.id),
+        s"cannot drop equality-delete key column $name")
+      meta.copy(
+        schema = meta.schema.filterNot(_.id == field.id),
+        lastColumnId = math.max(meta.lastColumnId, field.id))
+    }
+
+  private def commitRetry(catalog: Catalog, tableName: String)(
+      f: TableMetadata => TableMetadata): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(tableName)
+      try return catalog.commit(meta, f(meta))
+      catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+}

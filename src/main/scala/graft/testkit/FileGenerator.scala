@@ -144,7 +144,10 @@ object FileGenerator {
       name = tableName,
       location = catalog.tableLocation(tableName).toString,
       formatVersion = cfg.formatVersion,
-      schemaColumns = source.columns.toSeq,
+      // untyped (name-addressed) schema: generator files are written from
+      // plain DataFrames without field-id footers, so reads must stay
+      // name-matched; the typed path is exercised through IceWrite
+      schema = SchemaField.fromNames(source.columns.toSeq),
       partitionSpec = cfg.partitionSpec,
       sortOrder = cfg.sortOrder,
       currentSnapshotId = Some(1L),

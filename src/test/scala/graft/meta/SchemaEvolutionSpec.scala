@@ -1,0 +1,174 @@
+package graft.meta
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.compaction.Compaction
+import graft.selection.{FullCompactionConfig, PlanningParams}
+
+/** Field-id schema evolution end-to-end: rename / add / drop are metadata-
+  * only commits, and the MOR read stays correct because files are matched
+  * by parquet field id, not name (the reference's `field_by_id` addressing,
+  * datafusion_processor.rs:693,741,835-841).
+  */
+class SchemaEvolutionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def newCatalog(): LocalCatalog =
+    LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+
+  private def df(rows: Seq[(Long, String, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "name", "qty")
+  }
+
+  test("rename: files written under the old name resolve by field id") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_ren",
+      df(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))))
+
+    val meta = SchemaEvolution.renameColumn(catalog, "t_ren", "qty", "quantity")
+    assert(meta.schemaColumns == Seq("id", "name", "quantity"))
+    // same field id, new name — no data file was touched
+    assert(meta.fieldByName("quantity").get.id == 3)
+
+    // append AFTER the rename: new files store the column as "quantity"
+    val s = spark
+    import s.implicits._
+    IceWrite.append(spark, catalog, "t_ren",
+      Seq((4L, "d", 40L)).toDF("id", "name", "quantity"))
+
+    val out = IceRead.table(spark, catalog, "t_ren")
+      .select("id", "quantity").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+  }
+
+  test("rename of an equality-delete key column keeps deletes applied") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_eqren",
+      df(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))))
+    val s = spark
+    import s.implicits._
+    // delete id=2 by equality key, under the ORIGINAL column name
+    IceWrite.appendEqualityDeletes(spark, catalog, "t_eqren",
+      Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    // rename the key column; the manifest's equalityFieldIds make the
+    // delete resolve to the new name, and the delete file reads by id
+    SchemaEvolution.renameColumn(catalog, "t_eqren", "id", "ident")
+
+    val out = IceRead.table(spark, catalog, "t_eqren")
+      .select("ident").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("rename survives compaction: rewritten files keep field ids") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_rencomp",
+      df((1L to 50L).map(i => (i, s"n$i", i * 10))), targetFileSizeBytes = 2048)
+    SchemaEvolution.renameColumn(catalog, "t_rencomp", "qty", "quantity")
+
+    val c = new Compaction(catalog, "t_rencomp", spark,
+      config = FullCompactionConfig(PlanningParams(
+        targetFileSizeBytes = 512L * 1024 * 1024,
+        maxInputParallelism = 4, maxOutputParallelism = 2)),
+      enableValidate = true)
+    val res = c.compact()
+    assert(res.addedFiles.nonEmpty)
+
+    val out = IceRead.table(spark, catalog, "t_rencomp")
+    assert(out.columns.toSeq == Seq("id", "name", "quantity"))
+    assert(out.agg(sum("quantity")).head.getLong(0) == (1L to 50L).map(_ * 10).sum)
+
+    // and a rename AFTER compaction still resolves the rewritten files
+    SchemaEvolution.renameColumn(catalog, "t_rencomp", "quantity", "qty2")
+    assert(IceRead.table(spark, catalog, "t_rencomp")
+      .agg(sum("qty2")).head.getLong(0) == (1L to 50L).map(_ * 10).sum)
+  }
+
+  test("add column: pre-existing files read NULL, new files carry values") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_add", df(Seq((1L, "a", 10L), (2L, "b", 20L))))
+    val meta = SchemaEvolution.addColumn(catalog, "t_add", "score", "BIGINT")
+    assert(meta.fieldByName("score").get.id == 4)
+    assert(meta.lastColumnId == 4)
+
+    val s = spark
+    import s.implicits._
+    IceWrite.append(spark, catalog, "t_add",
+      Seq((3L, "c", 30L, 99L)).toDF("id", "name", "qty", "score"))
+
+    val rows = IceRead.table(spark, catalog, "t_add")
+      .select("id", "score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows == Set((1L, -1L), (2L, -1L), (3L, 99L)))
+  }
+
+  test("drop column, then re-add same name: old data does NOT resurrect") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_drop", df(Seq((1L, "a", 10L), (2L, "b", 20L))))
+    SchemaEvolution.dropColumn(catalog, "t_drop", "qty")
+    assert(IceRead.table(spark, catalog, "t_drop").columns.toSeq == Seq("id", "name"))
+
+    // re-added name gets a FRESH id (4, not the dropped 3): the old files'
+    // qty data stays invisible
+    val meta = SchemaEvolution.addColumn(catalog, "t_drop", "qty", "BIGINT")
+    assert(meta.fieldByName("qty").get.id == 4)
+    val rows = IceRead.table(spark, catalog, "t_drop")
+      .select("id", "qty").collect()
+      .map(r => (r.getLong(0), r.isNullAt(1))).toSet
+    assert(rows == Set((1L, true), (2L, true)))
+  }
+
+  test("guards: partition-column rename and bad adds are rejected") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    IceWrite.create(spark, catalog, "t_guard",
+      Seq((1L, "x", 10L)).toDF("id", "name", "qty"),
+      partitionSpec = Seq(PartitionField("name")))
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.renameColumn(catalog, "t_guard", "name", "nm")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.addColumn(catalog, "t_guard", "id", "BIGINT") // duplicate
+    }
+    intercept[Exception] {
+      SchemaEvolution.addColumn(catalog, "t_guard", "bad", "NOT_A_TYPE")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.renameColumn(catalog, "t_guard", "ghost", "g2")
+    }
+  }
+
+  test("metadata JSON round-trips the typed schema and field ids") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_json", df(Seq((1L, "a", 10L))))
+    val s = spark
+    import s.implicits._
+    IceWrite.appendEqualityDeletes(spark, catalog, "t_json",
+      Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    val meta = catalog.loadTable("t_json")
+    val back = MetadataJson.read(MetadataJson.write(meta))
+    assert(back == meta)
+    assert(back.schema.map(f => (f.id, f.name, f.dataType)) ==
+      Seq((1, "id", "BIGINT"), (2, "name", "STRING"), (3, "qty", "BIGINT")))
+    val eq = back.currentSnapshot.get.manifest.find(_.content == FileContent.EqualityDeletes).get
+    assert(eq.equalityFieldIds == Seq(1))
+  }
+
+  test("legacy schema-columns metadata still loads (name-addressed)") {
+    val legacy =
+      """{"name":"old","location":"/tmp/x","format-version":2,
+        |"schema-columns":["a","b"],"partition-spec":[],"sort-order":[],
+        |"current-snapshot-id":null,"refs":{},"snapshots":[],
+        |"last-sequence-number":0,"version":1}""".stripMargin
+    val meta = MetadataJson.read(legacy)
+    assert(meta.schemaColumns == Seq("a", "b"))
+    assert(meta.schema.forall(!_.isTyped))
+    assert(meta.typedStruct.isEmpty)
+  }
+}

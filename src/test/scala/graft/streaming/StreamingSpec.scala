@@ -34,14 +34,14 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming ingestion into the table format: one snapshot per micro-batch") {
-    import graft.meta.{IceRead, IceWrite, LocalCatalog, TableMetadata}
+    import graft.meta.{IceRead, IceWrite, LocalCatalog, SchemaField, TableMetadata}
     val catalog = LocalCatalog(java.nio.file.Files.createTempDirectory("ing-wh").toString)
     val srcDir = java.nio.file.Files.createTempDirectory("events-src")
 
     // create the (empty-schema) table first from a static read
     val full = events
     catalog.createTable(TableMetadata(
-      name = "ev", location = "", schemaColumns = full.columns.toSeq))
+      name = "ev", location = "", schema = SchemaField.fromNames(full.columns.toSeq)))
 
     val schema = full.schema
     val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
