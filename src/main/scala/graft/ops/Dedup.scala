@@ -115,7 +115,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
-    val grams = wordShingles(df, idCol, textCol, n).cache()
+    // localCheckpoint, not cache(): computed once (signature + verify both
+    // read it), lineage truncated, and the blocks are released by the
+    // context cleaner when the result is dropped — cache() entries live in
+    // the CacheManager until explicitly unpersisted, which leaked across
+    // repeated pipeline invocations
+    val grams = wordShingles(df, idCol, textCol, n).localCheckpoint(false)
     val pairs = lshCandidatePairs(lshBands(minHashSignatures(grams, k), k, rowsPerBand), maxBucketSize)
     verifyJaccard(pairs, grams, threshold)
   }
@@ -144,6 +149,40 @@ object Dedup {
       .select(col("id1"), col("id2"))
   }
 
+  /** Exact n-gram Jaccard over a BOUNDED slice, broadcast formulation:
+    * each document's distinct gram set becomes a per-row SORTED array of
+    * xxhash64 gram hashes (no shuffle at all — set construction is a
+    * per-row expression), one side is broadcast, and the entire Jaccard
+    * test runs INSIDE the nested-loop join condition as the codegen'd
+    * sorted-merge [[graft.functions.SortedJaccardGe]]. Identical output
+    * to [[ngramJaccardPairs]] (hashes are engine-internal; the emitted
+    * pairs are the same id pairs).
+    *
+    * Why this wins for the baseline: the gram self-join shuffles
+    * |postings|^2 intermediate rows per gram (hundreds of millions on a
+    * 2k-doc slice of full documents) through two exchanges; and a
+    * post-join `size(array_intersect(...))` filter materializes both gram
+    * arrays into every candidate row (gigabytes of row copying). Here the
+    * only data movement is one small broadcast, failing pairs never
+    * produce a joined row, and the per-pair cost is a primitive merge
+    * loop. Still quadratic by construction — only ever for slices that
+    * fit a broadcast (the scale path remains [[minHashNearDupPairs]]). */
+  def ngramJaccardPairsBroadcast(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      expr(
+        s"""array_sort(array_distinct(transform(
+           |  array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 2}, 1)),
+           |                           i -> substring($textCol, i, $n))),
+           |  g -> xxhash64(g))))""".stripMargin
+      ).as("grams"))
+    val a = sets.select(col("id").as("id1"), col("grams").as("g1"))
+    val b = sets.select(col("id").as("id2"), col("grams").as("g2"))
+    b.join(broadcast(a), col("id1") < col("id2") &&
+        graft.functions.SetFunctions.jaccard_ge(col("g1"), col("g2"), threshold))
+      .select(col("id1"), col("id2"))
+  }
+
   /** Exact n-gram Jaccard pairs with a PPJoin-style prefix filter.
     *
     * Exactness argument: order every document's gram set by a global total
@@ -159,7 +198,8 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.6): DataFrame = {
-    val grams = shingles(df, idCol, textCol, n).cache()
+    // localCheckpoint not cache(): see minHashNearDupPairs
+    val grams = shingles(df, idCol, textCol, n).localCheckpoint(false)
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // global frequency order: df asc, gram asc (total, deterministic)
     val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
@@ -192,20 +232,26 @@ object Dedup {
     * variant — same API. Returns (id, cluster_id); singletons (ids in no
     * pair) are not emitted. */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // every round eagerly localCheckpoints: the plan tree is cut at each
+    // iteration (otherwise the lineage doubles per round and the PLAN
+    // itself becomes the bottleneck past ~15 rounds), the blocks replace
+    // cache() so nothing lingers in the CacheManager after the caller
+    // drops the result, and the materialized labels serve both the
+    // convergence check and the next round without recomputation
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"))
-      val next = labels.unionAll(nbr).groupBy(col("id")).agg(min(col("label")).as("label")).cache()
+      val next = labels.unionAll(nbr).groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = next
       iter += 1
     }

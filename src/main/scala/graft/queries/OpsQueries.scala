@@ -91,7 +91,7 @@ object OpsQueries {
     // (bounded to a 500-doc slice — the whole corpus at sf<=0.01 — since
     // the pair stage is the d4 quadratic baseline run a second time)
     "d6_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(
+      val pairs = Dedup.ngramJaccardPairsBroadcast(
         corpus(s, dir).filter(col("doc_id") % 100000 < 500),
         "doc_id", "text", n = 4, threshold = 0.6)
       Dedup.clusterPairs(pairs)
@@ -103,10 +103,12 @@ object OpsQueries {
 
     // exact n-gram Jaccard pairs — the quadratic baseline for the LSH
     // path, so it runs on a bounded deterministic slice (doc_id < 1000:
-    // the whole corpus at sf<=0.01, a fixed 1000-doc slice above). The
-    // unbounded-scale variant IS d2 (MinHash+LSH).
+    // the whole corpus at sf<=0.01, a fixed 1000-doc slice above) in the
+    // broadcast nested-loop formulation (zero shuffles; length prefilter
+    // gates the exact intersection). The unbounded-scale variant IS d2
+    // (MinHash+LSH).
     "d4_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(
+      Dedup.ngramJaccardPairsBroadcast(
         corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
         "doc_id", "text", n = 4, threshold = 0.6)),
 
@@ -143,15 +145,20 @@ object OpsQueries {
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
-    // vocabulary: top tokens by frequency (deterministic tie-break)
+    // vocabulary: top tokens by frequency (deterministic tie-break).
+    // orderBy().limit() plans TakeOrderedAndProject — fully parallel
+    // partial top-k, no single-partition window over the whole vocab
+    // (which at 100 TB is 10^7+ rows through one task); the rank window
+    // then runs over just the 20 survivors, partitioned by a constant so
+    // no global-window plan appears at all
     "t5_vocab" -> ((s, dir) => {
       val toks = tbl(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(20)
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("tok").asc)
-      toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 20)
+        .partitionBy(lit(1)).orderBy(col("cnt").desc, col("tok").asc)
+      top.withColumn("rank", row_number().over(w).cast("long"))
     }),
 
     // document-length histogram (50-char buckets)

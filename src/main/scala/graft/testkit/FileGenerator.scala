@@ -70,6 +70,9 @@ object FileGenerator {
     def writeSlices(df: DataFrame, nFiles: Int, partVals: Map[String, String], tag: String): Unit = {
       val total = df.count()
       val per = math.max(1L, (total + nFiles - 1) / nFiles)
+      // global (unpartitioned) window: intentional HERE ONLY — a test
+      // fixture writing one small file whose deterministic row order IS
+      // the point; never use this shape in a query path
       val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
       val indexed = df.withColumn("__rn", row_number().over(w) - 1)
       for (i <- 0 until nFiles) {

@@ -44,6 +44,25 @@ class OpsSpec extends AnyFunSuite {
     assert(direct.count() > 0)
   }
 
+  test("broadcast Jaccard is exact: identical pairs to the direct join") {
+    val corpus = docs.select($"doc_id", $"text").limit(120)
+      .unionAll(docs.limit(120).filter($"doc_id" % 2 === 0)
+        .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" extra")).as("text")))
+    val direct = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 4, 0.6)
+    val bcast = Dedup.ngramJaccardPairsBroadcast(corpus, "doc_id", "text", 4, 0.6)
+    assert(direct.exceptAll(bcast).isEmpty && bcast.exceptAll(direct).isEmpty)
+    assert(direct.count() > 0)
+  }
+
+  test("clusterPairs converges on a diameter-16 chain (lineage stays bounded)") {
+    // a 17-node path: min-label propagation needs 16 rounds — without the
+    // per-round checkpoint the plan tree alone would blow up well before
+    val pairs = (0L until 16L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val clusters = Dedup.clusterPairs(pairs, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 17 && clusters.values.forall(_ == 0L))
+  }
+
   test("clusterPairs: transitive chains collapse to the min-id cluster") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), separate pair 10-11, plus 20-21 + 21-22
