@@ -36,23 +36,42 @@ object Maintenance {
     sys.error("unreachable")
   }
 
+  /** Default orphan grace period: 3 days, same as Iceberg's
+    * removeOrphanFiles `olderThan` default — files land on disk BEFORE the
+    * metadata commit that references them, so a writer in flight always
+    * has some "orphan-looking" files; the age cutoff is what keeps GC from
+    * eating them. */
+  val DefaultOrphanGraceMs: Long = 3L * 24 * 60 * 60 * 1000
+
   /** Files under the table's data directory referenced by NO live
-    * snapshot — safe to delete after expiry. Detection only. */
-  def orphanFiles(catalog: Catalog, tableName: String): Seq[String] = {
+    * snapshot AND last-modified more than `olderThanMs` ago — safe to
+    * delete after expiry. Detection only.
+    *
+    * The grace period exists because file writes precede the metadata
+    * commit: an in-flight append/rewrite's files are unreferenced until
+    * its CAS lands, and deleting them makes the subsequent commit point at
+    * missing data. Pass a small `olderThanMs` ONLY when no writer can be
+    * concurrent (e.g. tests). */
+  def orphanFiles(catalog: Catalog, tableName: String,
+      olderThanMs: Long = DefaultOrphanGraceMs): Seq[String] = {
     val meta = catalog.loadTable(tableName)
     val live = meta.snapshots.flatMap(_.manifest.map(_.path)).toSet
     val dataDir = Paths.get(meta.location, "data")
     if (!Files.exists(dataDir)) return Nil
+    val cutoff = System.currentTimeMillis() - math.max(0L, olderThanMs)
     Files.walk(dataDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map(_.toString)
       .filterNot(live.contains)
       .toSeq.sorted
   }
 
-  /** Deletes the given orphans (paths must come from [[orphanFiles]]). */
-  def deleteOrphans(catalog: Catalog, tableName: String, paths: Seq[String]): Int = {
-    val current = orphanFiles(catalog, tableName).toSet
+  /** Deletes the given orphans (paths must come from [[orphanFiles]],
+    * called with the same `olderThanMs`). */
+  def deleteOrphans(catalog: Catalog, tableName: String, paths: Seq[String],
+      olderThanMs: Long = DefaultOrphanGraceMs): Int = {
+    val current = orphanFiles(catalog, tableName, olderThanMs).toSet
     val deletable = paths.filter(current.contains) // re-check before deleting
     deletable.count(p => Files.deleteIfExists(Paths.get(p)))
   }

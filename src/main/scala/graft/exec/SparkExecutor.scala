@@ -167,7 +167,15 @@ object SparkExecutor extends CompactionExecutor {
       val partVals = rel.split('/').dropRight(1).flatMap { seg =>
         seg.split("=", 2) match {
           case Array(k, v) if k.startsWith("__part_") =>
-            Some(k.stripPrefix("__part_") -> java.net.URLDecoder.decode(v, "UTF-8"))
+            // Spark escapes partition directory names with its own scheme
+            // (%-escapes that do NOT treat '+' as space) — decode with its
+            // exact inverse, not URLDecoder, or values like "a+b" corrupt
+            // and break partition-scoped delete matching / pruning
+            require(v != org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME,
+              s"null partition value in $rel: null partition keys are not supported " +
+                "by this table format (manifest partition values are strings)")
+            Some(k.stripPrefix("__part_") ->
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
           case _ => None
         }
       }.toMap

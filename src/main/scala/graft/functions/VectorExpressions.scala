@@ -20,12 +20,16 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Semantics match the HOF formulation exactly: elements are widened
   * float->double and accumulated left-to-right (same IEEE summation
   * order), so results are bit-identical to the previous implementation
-  * and to the DuckDB oracle.
+  * and to the DuckDB oracle. That includes the degenerate cases —
+  * `zip_with` pads a shorter array with nulls and `aggregate` propagates
+  * them, so a length mismatch or a null element yields NULL here too
+  * (not a silently truncated "plausible" number).
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // null on length mismatch / null elements, independent of input nullability
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -46,17 +50,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    def get(e: Expression, arr: ArrayData, i: Int): Double =
+      if (elemIsFloat(e)) arr.getFloat(i).toDouble else arr.getDouble(i)
     var acc = 0.0
     var i = 0
-    if (elemIsFloat(left) && elemIsFloat(right)) {
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    } else if (elemIsFloat(left)) {
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
-    } else if (elemIsFloat(right)) {
-      while (i < n) { acc += x.getDouble(i) * y.getFloat(i).toDouble; i += 1 }
-    } else {
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += get(left, x, i) * get(right, y, i)
+      i += 1
     }
     acc
   }
@@ -69,12 +72,17 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(left, a, i)} * ${get(right, b, i)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${get(left, a, i)} * ${get(right, b, i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

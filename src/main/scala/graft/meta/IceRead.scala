@@ -87,8 +87,21 @@ object IceRead {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val byPath = snap.manifest.map(f => f.path -> f).toMap
-    val group = FileGroup.fromDataFiles(tasks, byPath.get)
-    Mor.dataFrame(spark, group, meta.schemaColumns, meta.formatVersion, meta.schema)
+    // partition-scoped equality deletes must not be flattened into one
+    // table-wide group (they'd erase rows in other partitions): split into
+    // one MOR plan per partition and union — each branch keeps the same
+    // shuffle-free scan -> broadcast-anti-join shape, so the union is just
+    // more parallel scan partitions, not a different plan at scale
+    val hasScopedEq = tasks.exists(_.deletes.exists(p => byPath.get(p).exists(e =>
+      e.content == FileContent.EqualityDeletes && e.partitionValues.nonEmpty)))
+    val taskGroups =
+      if (hasScopedEq) tasks.groupBy(_.partitionValues).toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+        .map(_._2)
+      else Seq(tasks)
+    taskGroups.map { ts =>
+      val group = FileGroup.fromDataFiles(ts, byPath.get)
+      Mor.dataFrame(spark, group, meta.schemaColumns, meta.formatVersion, meta.schema)
+    }.reduce(_ unionAll _)
   }
 
   /** Registers the MOR view as a temp view for SQL access. */

@@ -81,10 +81,15 @@ object Similarity {
     * no shuffle. `maxDims` bounds the literals; longer vectors bucket on
     * their prefix. Returns df + "bucket" (bitstring). */
   def hyperplaneBuckets(df: DataFrame, vecCol: String, planes: Int = 8, maxDims: Int = 256): DataFrame = {
+    // vec_dot is null-strict on length mismatch, so the prefix semantics
+    // are explicit here: both the vector and the sign literal are sliced
+    // to the common length before the dot product
+    val n = least(size(col(vecCol)), lit(maxDims))
     val bits = (0 until planes).map { p =>
       // dims are 1-based, matching the oracle's sign derivation
       val signs = lit((1 to maxDims).map(i => planeSign(p, i)).toArray)
-      when(round(dot(col(vecCol), signs), 6) >= 0, "1").otherwise("0")
+      when(round(dot(slice(col(vecCol), lit(1), n), slice(signs, lit(1), n)), 6) >= 0, "1")
+        .otherwise("0")
     }
     df.withColumn("bucket", concat(bits: _*))
   }

@@ -31,12 +31,28 @@ object FileGroup {
 
   /** Builds a group from data files, resolving + dedup-ing their delete
     * files by path (strategy.rs:64-117). `resolveDelete` maps a delete path
-    * to its FileEntry (from the snapshot manifest). */
+    * to its FileEntry (from the snapshot manifest).
+    *
+    * Partition-scoped equality deletes lose their scope when flattened
+    * into a group (the MOR anti join matches keys + sequence only), so a
+    * scoped delete is only admitted when EVERY data file in the group
+    * lives in that delete's partition — otherwise it would erase matching
+    * rows in other partitions. Callers that mix partitions in one group
+    * (table scope, whole-table reads) must split per partition first;
+    * this require makes the latent cross-partition leak loud instead of
+    * silently wrong. Position deletes key on (file_path, pos) — file
+    * paths are partition-unique, so flattening cannot mis-apply them. */
   def fromDataFiles(dataFiles: Seq[FileEntry], resolveDelete: String => Option[FileEntry]): FileGroup = {
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     for (d <- dataFiles; p <- d.deletes; e <- resolveDelete(p)) seen.getOrElseUpdate(p, e)
     val (pos, eq) = seen.values.toSeq.partition(_.content == FileContent.PositionDeletes)
-    FileGroup(dataFiles, pos, eq.filter(_.content == FileContent.EqualityDeletes))
+    val eqOnly = eq.filter(_.content == FileContent.EqualityDeletes)
+    for (e <- eqOnly if e.partitionValues.nonEmpty)
+      require(dataFiles.forall(_.partitionValues == e.partitionValues),
+        s"partition-scoped equality delete ${e.path} (partition ${e.partitionValues}) " +
+          "cannot be flattened into a group spanning other partitions; " +
+          "build one group per partition")
+    FileGroup(dataFiles, pos, eqOnly)
   }
 
   def empty: FileGroup = FileGroup(Nil, Nil, Nil)

@@ -59,6 +59,10 @@ object FileGenerator {
       cfg: Config
   ): TableMetadata = {
     val orderCol = if (cfg.orderCol.nonEmpty) cfg.orderCol else source.columns.head
+    // drop BEFORE writing: dropTable deletes the whole table directory, so
+    // dropping after the writes below would delete the files the new
+    // manifest is about to reference
+    if (catalog.tableExists(tableName)) catalog.dropTable(tableName)
     val dataDir = catalog.dataDir(tableName)
     Files.createDirectories(dataDir)
 
@@ -157,7 +161,6 @@ object FileGenerator {
       refs = Map("main" -> 1L),
       snapshots = Seq(snapshot),
       lastSequenceNumber = 2L)
-    if (catalog.tableExists(tableName)) catalog.dropTable(tableName)
     catalog.createTable(meta)
   }
 }

@@ -23,21 +23,30 @@ class MaintenanceSpec extends AnyFunSuite {
       config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1))).compact()
 
     // before expiry: snapshot 1 still references the 4 original files
-    assert(Maintenance.orphanFiles(catalog, "t_gc").isEmpty)
+    // (olderThanMs = 0: no concurrent writers in this test)
+    assert(Maintenance.orphanFiles(catalog, "t_gc", olderThanMs = 0L).isEmpty)
 
     val trimmed = Maintenance.expireSnapshots(catalog, "t_gc", keepLast = 1)
     assert(trimmed.snapshots.size == 1)
-    val orphans = Maintenance.orphanFiles(catalog, "t_gc")
+
+    // the default grace period classifies NOTHING as orphan yet — the
+    // just-rewritten originals are too fresh, exactly the protection a
+    // concurrent in-flight writer needs
+    assert(Maintenance.orphanFiles(catalog, "t_gc").isEmpty)
+
+    val orphans = Maintenance.orphanFiles(catalog, "t_gc", olderThanMs = 0L)
     assert(orphans.size == 4) // the rewritten originals
 
-    val deleted = Maintenance.deleteOrphans(catalog, "t_gc", orphans)
+    // deleting with the default grace is a no-op for fresh files
+    assert(Maintenance.deleteOrphans(catalog, "t_gc", orphans) == 0)
+    val deleted = Maintenance.deleteOrphans(catalog, "t_gc", orphans, olderThanMs = 0L)
     assert(deleted == 4)
     orphans.foreach(p => assert(!Files.exists(Paths.get(p))))
 
     // the live table still reads fine
     val rows = IceRead.table(spark, catalog, "t_gc").count()
     assert(rows == 25)
-    assert(Maintenance.orphanFiles(catalog, "t_gc").isEmpty)
+    assert(Maintenance.orphanFiles(catalog, "t_gc", olderThanMs = 0L).isEmpty)
   }
 
   test("expiry never drops ref-pinned snapshots") {

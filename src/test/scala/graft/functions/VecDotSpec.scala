@@ -23,14 +23,21 @@ class VecDotSpec extends AnyFunSuite {
   test("vec_dot handles doubles, nulls, and mismatched lengths") {
     val df = Seq(
       (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
-      (2L, Seq(1.0), Seq(2.0, 99.0)) // truncates to min length
+      (2L, Seq(1.0), Seq(2.0, 99.0)) // length mismatch -> NULL (like zip_with+aggregate)
     ).toDF("id", "a", "b")
     val got = df.select($"id", VectorFunctions.vec_dot($"a", $"b").as("d"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(got(1L) == 32.0 && got(2L) == 2.0)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(32.0) && got(2L).isEmpty)
+    // null array -> NULL (id=2's array is nulled; id=1 still computes)
     val withNull = df.withColumn("a", when($"id" === 1, $"a"))
+      .select($"id", VectorFunctions.vec_dot($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!withNull(1L) && withNull(2L))
+    // null ELEMENT -> NULL, matching the HOF's null propagation
+    val elemNull = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 1.0, 1.0)))
+      .toDF("id", "a", "b")
       .select(VectorFunctions.vec_dot($"a", $"b").as("d"))
-    assert(withNull.collect().count(_.isNullAt(0)) == 1)
+    assert(elemNull.head.isNullAt(0))
   }
 
   test("vec_dot is SQL-callable after registration") {

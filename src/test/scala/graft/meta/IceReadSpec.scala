@@ -65,6 +65,43 @@ class IceReadSpec extends AnyFunSuite {
     assert(scanned == 2)
   }
 
+  test("partition-scoped equality deletes do not leak into other partitions") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val s = spark
+    import s.implicits._
+    // id=1 exists in BOTH partitions; the delete is scoped to part=1 only
+    val src = Seq((1L, 1L, "a"), (2L, 1L, "b"), (1L, 2L, "c"), (2L, 2L, "d"))
+      .toDF("id", "part", "v")
+    FileGenerator.writeTable(spark, catalog, "t_scoped", src,
+      FileGenerator.Config(orderCol = "id",
+        partitionSpec = Seq(graft.meta.PartitionField("part")), filesPerPartition = 1))
+
+    val meta = catalog.loadTable("t_scoped")
+    val snap = meta.currentSnapshot.get
+    val (p, size, rows, _) = FileGenerator.writeSingleParquet(spark,
+      Seq(Tuple1(1L)).toDF("id"), catalog.dataDir("t_scoped").resolve("eq-scoped.parquet"))
+    val delEntry = FileEntry(p, size, FileContent.EqualityDeletes, rows,
+      sequenceNumber = 3L, equalityIds = Seq("id"), partitionValues = Map("part" -> "1"))
+    val snap2 = Snapshot(2L, Some(snap.snapshotId), 3L, System.currentTimeMillis(),
+      snap.manifest :+ delEntry)
+    catalog.commit(meta, meta.copy(currentSnapshotId = Some(2L),
+      refs = meta.refs + ("main" -> 2L), snapshots = meta.snapshots :+ snap2,
+      lastSequenceNumber = 3L))
+
+    // (1, part=1) vanishes; (1, part=2) must survive
+    val out = IceRead.table(spark, catalog, "t_scoped").select("id", "part")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 1L), (1L, 2L), (2L, 2L)))
+
+    // flattening that scoped delete into a cross-partition group is refused
+    val meta2 = catalog.loadTable("t_scoped")
+    val snapNow = meta2.currentSnapshot.get
+    val byPath = snapNow.manifest.map(f => f.path -> f).toMap
+    intercept[IllegalArgumentException] {
+      graft.selection.FileGroup.fromDataFiles(meta2.scanTasks(snapNow), byPath.get)
+    }
+  }
+
   test("zone-map range read skips non-intersecting files, result is exact") {
     val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
     val src = spark.read.parquet(s"$sf/lineitem.parquet")
