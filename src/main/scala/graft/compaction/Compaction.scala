@@ -144,10 +144,12 @@ final class Compaction(
   /** Managed workflow: plan -> concurrent rewrite -> commit -> validate
     * (mod.rs:259-303). Empty plans -> no-op result. */
   def compact(): CompactionResult = {
+    val t0 = System.nanoTime()
     val plans = planCompaction()
     if (plans.isEmpty) return CompactionResult(Nil, Nil, None)
     val outcomes = concurrentRewritePlans(plans)
     val committed = commitRewriteResults(outcomes)
+    metrics.recordCompaction((System.nanoTime() - t0) / 1000000L)
     if (enableValidate) {
       val table = committed
       outcomes.foreach { o =>

@@ -367,7 +367,23 @@ object OpsQueries {
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS sha
-        |FROM documents""".stripMargin
-    // m2_media_features: mapPartitions stub codec -> rows-only check
+        |FROM documents""".stripMargin,
+
+    // the stub codec's features ARE oracle-expressible: feat_len = payload
+    // byte length, feat_avg = mean byte value, recomputed in DuckDB from
+    // hex(encode(text)) nibble pairs — so the whole mapPartitions decode
+    // pipeline (schema, batching, row plumbing) gets an independent
+    // hash-checked verdict, not just a row count
+    "m2_media_features" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
+        |                  octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(n AS DOUBLE) AS feat_len,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    round(CAST(list_sum(list_transform(range(0, n), i ->
+        |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 +
+        |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1))) AS DOUBLE) / n, 4)
+        |  END AS feat_avg
+        |FROM m""".stripMargin
   )
 }
