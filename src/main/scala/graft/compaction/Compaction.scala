@@ -141,6 +141,22 @@ final class Compaction(
     }
   }
 
+  /** Single-plan convenience (mod.rs:644-705): rewrite ONE planned group
+    * and commit it on its own — the incremental-compaction entry point for
+    * callers that plan once, then spread execution over time/budgets.
+    * Empty plan -> None, like the reference. */
+  def compactWithPlan(plan: CompactionPlan): Option[CompactionResult] = {
+    if (plan.fileGroup.isEmpty) return None
+    val t0 = System.nanoTime()
+    val outcome = rewritePlan(plan)
+    val committed = commitRewriteResults(Seq(outcome))
+    metrics.recordCompaction((System.nanoTime() - t0) / 1000000L)
+    if (enableValidate)
+      Validator.validate(spark, plan.fileGroup, outcome.result.addedFiles,
+        committed.schemaColumns, committed.formatVersion, committed.schema)
+    Some(CompactionResult(outcome.result.addedFiles, Seq(outcome.result.stats), Some(committed)))
+  }
+
   /** Managed workflow: plan -> concurrent rewrite -> commit -> validate
     * (mod.rs:259-303). Empty plans -> no-op result. */
   def compact(): CompactionResult = {

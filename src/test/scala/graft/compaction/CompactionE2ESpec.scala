@@ -27,6 +27,32 @@ class CompactionE2ESpec extends AnyFunSuite {
         maxInputParallelism = 8, maxOutputParallelism = 4)),
       enableValidate = true)
 
+  test("compactWithPlan executes one planned group at a time (incremental)") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_single", src,
+      FileGenerator.Config(orderCol = "n_nationkey",
+        partitionSpec = Seq(PartitionField("n_regionkey")), filesPerPartition = 2))
+
+    val c = fullCompaction(catalog, "t_single")
+    val plans = c.planCompaction()
+    assert(plans.size == 5) // one group per region partition
+
+    // compact the first two groups individually; later plans still commit
+    // against the live table because their input files are untouched
+    val r1 = c.compactWithPlan(plans.head)
+    val r2 = c.compactWithPlan(plans(1))
+    assert(r1.nonEmpty && r2.nonEmpty)
+    assert(c.compactWithPlan(plans.head.copy(fileGroup =
+      graft.selection.FileGroup.empty)).isEmpty) // empty plan -> None
+
+    val meta = catalog.loadTable("t_single")
+    assert(meta.snapshots.size == 3) // initial + 2 incremental commits
+    val out = IceRead.table(spark, catalog, "t_single")
+    assert(out.count() == 25)
+    assert(out.exceptAll(src).isEmpty && src.exceptAll(out).isEmpty)
+  }
+
   test("no-deletes compaction preserves rows and file content") {
     val catalog = newCatalog()
     val src = spark.read.parquet(s"$sf/lineitem.parquet")
