@@ -17,7 +17,8 @@ object PlanAudit {
     for (q <- Seq("q10_projection","q14_pos_anti_join","q15_eq_anti_join_seq",
         "q16_chained_deletes","q1_agg","q3_join_agg","q5_star_join","q6_filter_agg",
         "q_outer_join","q_semi_join","q_window_topk","q_asof_join","q_rollup",
-        "d1_exact_dedup","d5_embed_neardup","s1_ann_topk","s2_ann_lsh_buckets")) {
+        "d1_exact_dedup","d4_ngram_jaccard","d5_embed_neardup","s1_ann_topk",
+        "s2_ann_lsh_buckets","t5_vocab")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length

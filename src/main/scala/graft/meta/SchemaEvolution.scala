@@ -48,6 +48,33 @@ object SchemaEvolution {
         lastColumnId = id)
     }
 
+  /** Safe widening promotions (Iceberg's type-promotion table restricted
+    * to what Spark's vectorized parquet reader converts in place —
+    * verified: int32 files read as BIGINT, float as DOUBLE, with or
+    * without field-id matching). */
+  private val Widenings: Map[String, Set[String]] = Map(
+    "TINYINT" -> Set("SMALLINT", "INT", "BIGINT"),
+    "SMALLINT" -> Set("INT", "BIGINT"),
+    "INT" -> Set("BIGINT"),
+    "FLOAT" -> Set("DOUBLE"))
+
+  /** Widens a column's type (metadata-only; files keep their narrower
+    * physical type and the parquet reader up-converts). Only lossless
+    * promotions from [[Widenings]] are allowed — narrowing or changing
+    * type families would corrupt existing data. */
+  def widenColumnType(catalog: Catalog, tableName: String, name: String,
+      newDdlType: String): TableMetadata =
+    commitRetry(catalog, tableName) { meta =>
+      val field = meta.fieldByName(name).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $name"))
+      val from = field.dataType.toUpperCase
+      val to = newDdlType.toUpperCase
+      require(Widenings.get(from).exists(_.contains(to)),
+        s"cannot widen $name from $from to $to (allowed: ${Widenings.getOrElse(from, Set.empty).mkString(",")})")
+      meta.copy(schema = meta.schema.map(f =>
+        if (f.id == field.id) f.copy(dataType = to) else f))
+    }
+
   /** Drops a column from the schema; file data is untouched and simply no
     * longer projected. Partition / sort-order / equality-delete key columns
     * are load-bearing and cannot be dropped. */

@@ -63,6 +63,25 @@ object EventPipeline {
       }
   }
 
+  /** Streaming ingest dedup: drop events whose content fingerprint was
+    * already seen within the watermark horizon — the streaming face of
+    * `Dedup.exact` for an at-least-once ingest pipeline (retries and
+    * replays produce duplicate events; this bounds the dedup state to the
+    * watermark window instead of growing forever, which is the only shape
+    * that survives an unbounded stream). Works identically on batch
+    * frames, where `dropDuplicates` sees the whole input. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val keyed = events
+      .withColumn("ts_sec", timestamp_seconds(col("ts") / lit(1000000000L)))
+      .withColumn("fingerprint",
+        md5(concat_ws("",
+          col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))))
+    if (keyed.isStreaming)
+      keyed.withWatermark("ts_sec", watermark)
+        .dropDuplicatesWithinWatermark("fingerprint")
+    else keyed.dropDuplicates("fingerprint")
+  }
+
   /** Streaming entry: parquet source dir -> windowed counts -> memory sink;
     * returns the started query (caller drives processAllAvailable). */
   def streamWindowedCounts(spark: SparkSession, sourceDir: String, queryName: String) = {

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** SortedJaccardGe is load-bearing for d4/d6 correctness: its verdict IS
+  * pair membership. Property-check the interpreted eval against a plain
+  * Scala set computation, and the codegen path against the
+  * array_intersect formulation on a DataFrame. */
+class JaccardGeSpec extends AnyFunSuite {
+
+  private def samples[T](gen: Gen[T], n: Int = 200): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val setGen: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(0L, 60L)).map(_.distinct.sorted.toArray)
+
+  private def refJaccardGe(a: Array[Long], b: Array[Long], t: Double): Boolean = {
+    val c = a.toSet.intersect(b.toSet).size
+    c.toDouble / (a.length + b.length - c) >= t
+  }
+
+  test("interpreted eval matches the set-arithmetic reference") {
+    val lit = (a: Array[Long]) => Literal.create(ArrayData.toArrayData(a), ArrayType(LongType, false))
+    for {
+      (a, b) <- samples(Gen.zip(setGen, setGen))
+      if a.nonEmpty || b.nonEmpty
+      t <- Seq(0.0, 0.3, 0.5, 0.6, 1.0)
+    } {
+      val got = SortedJaccardGe(lit(a), lit(b), t).eval(null)
+      assert(got == refJaccardGe(a, b, t), s"a=${a.toSeq} b=${b.toSeq} t=$t")
+    }
+  }
+
+  test("codegen path agrees with array_intersect on a DataFrame") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val rows = samples(Gen.zip(setGen, setGen), 300)
+      .collect { case (a, b) if a.nonEmpty && b.nonEmpty => (a.toSeq, b.toSeq) }
+    val df = rows.toDF("a", "b")
+    val c = size(array_intersect($"a", $"b")).cast("double")
+    val expected = df.withColumn("ok", c / (size($"a") + size($"b") - c) >= 0.5)
+    val got = df.withColumn("ok", SetFunctions.jaccard_ge($"a", $"b", 0.5))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("null inputs yield null") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val df = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]])).toDF("a", "b")
+    assert(df.select(SetFunctions.jaccard_ge($"a", $"b", 0.5)).head.isNullAt(0))
+  }
+}

@@ -123,6 +123,44 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(rows == Set((1L, true), (2L, true)))
   }
 
+  test("widen column type: old int32/float files read as BIGINT/DOUBLE") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    IceWrite.create(spark, catalog, "t_widen",
+      Seq((1, 1.5f), (2, 2.5f)).toDF("a", "b"))
+    assert(catalog.loadTable("t_widen").schema.map(_.dataType) == Seq("INT", "FLOAT"))
+
+    SchemaEvolution.widenColumnType(catalog, "t_widen", "a", "BIGINT")
+    SchemaEvolution.widenColumnType(catalog, "t_widen", "b", "DOUBLE")
+    // append already-wide values; old narrow files up-convert on read
+    IceWrite.append(spark, catalog, "t_widen", Seq((3L, 3.5d)).toDF("a", "b"))
+
+    val out = IceRead.table(spark, catalog, "t_widen")
+    assert(out.schema.map(_.dataType.sql) == Seq("BIGINT", "DOUBLE"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows == Set((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+
+    // compaction rewrites the narrow files at the wide type; read stays right
+    val c = new Compaction(catalog, "t_widen", spark,
+      config = FullCompactionConfig(PlanningParams(
+        targetFileSizeBytes = 512L * 1024 * 1024,
+        maxInputParallelism = 2, maxOutputParallelism = 1)),
+      enableValidate = true)
+    c.compact()
+    val after = IceRead.table(spark, catalog, "t_widen")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(after == rows)
+
+    // narrowing and cross-family changes are rejected
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.widenColumnType(catalog, "t_widen", "a", "INT")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.widenColumnType(catalog, "t_widen", "b", "STRING")
+    }
+  }
+
   test("guards: partition-column rename and bad adds are rejected") {
     val catalog = newCatalog()
     val s = spark

@@ -33,6 +33,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops a replayed micro-batch; batch mode agrees") {
+    val slice = events.filter($"event_id" < 500)
+    val nUnique = slice.count()
+
+    // batch face: an exact replay (union of the slice with itself) dedups
+    // back to the unique set
+    assert(EventPipeline.dedupEvents(slice.unionAll(slice)).count() == nUnique)
+
+    // streaming face: deliver the same file twice as two micro-batches —
+    // an at-least-once source replay; state + watermark drop every dup
+    val dir = java.nio.file.Files.createTempDirectory("events-dedup")
+    graft.testkit.FileGenerator.writeSingleParquet(spark, slice, dir.resolve("tmp.parquet"))
+    val schema = slice.schema
+    val q = EventPipeline.dedupEvents(
+        spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      java.nio.file.Files.copy(dir.resolve("tmp.parquet"), dir.resolve("a.parquet"))
+      q.processAllAvailable()
+      java.nio.file.Files.copy(dir.resolve("tmp.parquet"), dir.resolve("b.parquet"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == nUnique)
+      assert(spark.table("dedup_out").select($"event_id").distinct().count() == nUnique)
+    } finally q.stop()
+  }
+
   test("streaming ingestion into the table format: one snapshot per micro-batch") {
     import graft.meta.{IceRead, IceWrite, LocalCatalog, SchemaField, TableMetadata}
     val catalog = LocalCatalog(java.nio.file.Files.createTempDirectory("ing-wh").toString)
