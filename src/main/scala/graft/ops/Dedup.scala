@@ -58,6 +58,10 @@ object Dedup {
   def minHashSignatures(grams: DataFrame, k: Int = 16): DataFrame = {
     require(k % 4 == 0, "k must be a multiple of 4 (4 lanes per md5)")
     val seeds = k / 4
+    // direct per-row md5 (measured faster than hashing the distinct
+    // vocabulary + joining back: the extra exchange and string copying of
+    // a vocab join cost more than the md5 calls it saves, at least up to
+    // vocabularies ~ corpus scale here)
     val hashed = (0 until seeds).foldLeft(grams) { (df, s) =>
       df.withColumn(s"__h$s", md5(concat(lit(s"$s:"), col("gram"))))
     }
@@ -109,20 +113,48 @@ object Dedup {
       .select(col("id1"), col("id2"))
   }
 
+  /** Per-row word-shingle SETS as sorted xxhash64 arrays — the zero-
+    * shuffle representation [[graft.functions.SortedJaccardGe]] consumes.
+    * Same distinct-shingle semantics as [[wordShingles]], but no explode
+    * and no distinct exchange. */
+  def wordShingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), expr(
+        s"""array_sort(array_distinct(transform(
+           |  transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
+           |            i -> concat_ws(' ', slice(__toks, i, $n))),
+           |  g -> xxhash64(g))))""".stripMargin).as("gset"))
+
+  /** Exact Jaccard verification against per-row shingle sets: candidates
+    * are BROADCAST (they are tiny after LSH), so verification costs two
+    * streaming passes over the corpus with the codegen'd sorted-merge
+    * test — no shuffle of the gram relation at all. [[verifyJaccard]]
+    * by contrast re-shuffles every (id, gram) row twice to count common
+    * grams; at 100 TB that is two full-corpus exchanges for a handful of
+    * candidate pairs. */
+  def verifyJaccardSets(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val withA = sets.select(col("id").as("id1"), col("gset").as("__g1"))
+      .join(broadcast(pairs), Seq("id1"))
+    val resolved = sets.select(col("id").as("id2"), col("gset").as("__g2"))
+      .join(broadcast(withA), Seq("id2"))
+    resolved
+      .filter(graft.functions.SetFunctions.jaccard_ge(col("__g1"), col("__g2"), threshold))
+      .select(col("id1"), col("id2"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline over word shingles:
-    * shingle -> signature -> band -> bucket join -> exact verify. */
+    * shingle -> signature -> band -> bucket join -> broadcast verify. */
   def minHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
-    // localCheckpoint, not cache(): computed once (signature + verify both
-    // read it), lineage truncated, and the blocks are released by the
-    // context cleaner when the result is dropped — cache() entries live in
-    // the CacheManager until explicitly unpersisted, which leaked across
-    // repeated pipeline invocations
+    // localCheckpoint, not cache(): lineage truncated and the blocks are
+    // released by the context cleaner when the result is dropped —
+    // cache() entries live in the CacheManager until explicitly
+    // unpersisted, which leaked across repeated pipeline invocations
     val grams = wordShingles(df, idCol, textCol, n).localCheckpoint(false)
     val pairs = lshCandidatePairs(lshBands(minHashSignatures(grams, k), k, rowsPerBand), maxBucketSize)
-    verifyJaccard(pairs, grams, threshold)
+    verifyJaccardSets(pairs, wordShingleSets(df, idCol, textCol, n), threshold)
   }
 
   /** Exact n-gram Jaccard over ALL co-shingled pairs: the direct
