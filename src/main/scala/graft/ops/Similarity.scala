@@ -65,6 +65,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** IVF (inverted-file) cell assignment — the centroid-partitioned ANN
+    * scale path beside hyperplane LSH: every vector joins the cell of its
+    * nearest centroid (cosine; ties -> lowest centroid id). Centroids are
+    * broadcast (there are few by construction) and the argmax is ONE
+    * map-side-combinable aggregate — no window, no shuffle of the corpus
+    * beyond the final per-id combine. Search then only scans probed
+    * cells ([[ivfTopK]]). Returns (vec_id, cell_id). */
+  def ivfCells(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    val c = withNorm(corpus, vecCol, "__vn")
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"), col("__vn"))
+    val cents = withNorm(centroids, centVecCol, "__cn")
+      .select(col(centIdCol).cast("long").as("__cid"), col(centVecCol).as("__c"), col("__cn"))
+    c.crossJoin(broadcast(cents))
+      .withColumn("__sim", cosineWithNorms(col("__v"), col("__vn"), col("__c"), col("__cn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("__sim").as("s"), (-col("__cid")).as("negcid"))).as("__best"))
+      .select(col("vec_id"), (-col("__best.negcid")).as("cell_id"))
+  }
+
+  /** IVF top-k: corpus and queries are assigned to cells, then ranking
+    * happens WITHIN each query's cell only — the search cost is the probed
+    * cell's population, not the corpus (nprobe=1; lower recall at cell
+    * boundaries is the standard IVF trade, and the reason [[bruteForceTopK]]
+    * remains the small-query-set baseline). */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int,
+      centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    val cCells = ivfCells(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
+    val qCells = ivfCells(queries, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .withColumnRenamed("vec_id", "query_id")
+    val c = withNorm(corpus, vecCol, "__cn")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cn"))
+      .join(cCells, col("neighbor_id") === cCells("vec_id")).drop("vec_id")
+    val q = withNorm(queries, vecCol, "__qn")
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__qn"))
+      .join(qCells, Seq("query_id"))
+    val scored = c.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineWithNorms(col("__qv"), col("__qn"), col("__cv"), col("__cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"), col("cell_id"))
+  }
+
   /** Deterministic pseudo-random hyperplane sign for (plane, dim): +1 when
     * md5's first hex digit has its high bit set. Reproducible everywhere —
     * no RNG state to ship to executors. */

@@ -129,6 +129,14 @@ object OpsQueries {
       Similarity.hyperplaneBuckets(tbl(s, dir, "embeddings"), "embedding", planes = 8)
         .select(col("vec_id"), col("bucket"))),
 
+    // IVF cell assignment (the centroid-partitioned ANN scale path):
+    // every 50th vector serves as a deterministic centroid
+    "s3_ann_ivf_cells" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfCells(e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding")
+    }),
+
     // text analysis family
     "t1_langid" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))),
@@ -311,6 +319,19 @@ object OpsQueries {
       }.mkString(" || ")
       s"SELECT e.vec_id, $bits AS bucket FROM embeddings e"
     },
+
+    "s3_ann_ivf_cells" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) AS sim
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        |  FROM scored)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cell_id FROM ranked WHERE rn = 1""".stripMargin,
 
     "t1_langid" -> {
       def cnt(words: Seq[String]) =

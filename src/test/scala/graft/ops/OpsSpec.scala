@@ -120,6 +120,30 @@ class OpsSpec extends AnyFunSuite {
     assert(b.select($"vec_id", $"bucket").exceptAll(b2.select($"vec_id", $"bucket")).isEmpty)
   }
 
+  test("IVF: centroids own their cells; a copy lands with its original and ranks first") {
+    val centroids = embs.filter($"vec_id" % 50 === 0)
+    val cells = Similarity.ivfCells(embs, "vec_id", "embedding",
+      centroids, "vec_id", "embedding")
+    // a centroid's nearest centroid is itself (cosine 1.0)
+    val centCells = cells.join(centroids.select($"vec_id"), Seq("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(centCells.nonEmpty && centCells.forall { case (v, c) => v == c })
+
+    // an exact copy of vector 7 must land in 7's cell, and an IVF search
+    // from the copy must rank the original first with sim 1.0
+    val copy = embs.filter($"vec_id" === 7)
+      .select(lit(999999L).as("vec_id"), $"embedding")
+    val corpus = embs.select($"vec_id", $"embedding").unionAll(copy)
+    val cellOf = Similarity.ivfCells(corpus, "vec_id", "embedding",
+      centroids, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellOf(999999L) == cellOf(7L))
+
+    val top = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      copy, k = 1, centroids, "vec_id", "embedding").head
+    assert(top.getAs[Long]("neighbor_id") == 7L && top.getAs[Double]("sim") == 1.0)
+  }
+
   test("text analysis columns are sane") {
     val out = TextAnalysis.analyze(docs)
     val row = out.filter($"doc_id" === 0).head
