@@ -39,17 +39,35 @@ object IceRead {
   /** Partition-pruned read: drops manifest entries whose partition values
     * don't match before any Spark plan exists — at 100 TB this is the
     * difference between scanning one partition's files and listing a
-    * million. `partitionFilter` matches identity/bucket values as recorded
-    * in the manifest (stringified). Delete files are pruned by the same
-    * rule through scanTasks' partition scoping. */
+    * million. Pruning is CONSERVATIVE: a file written under an older
+    * partition spec (no value recorded for the key) is kept, and a
+    * residual row filter derived from the current spec makes the result
+    * exact anyway — so the read stays correct across partition-spec
+    * evolution, and files from the current spec still prune away. Delete
+    * files are scoped through scanTasks as before. */
   def tablePartition(spark: SparkSession, catalog: Catalog, name: String,
       partitionFilter: Map[String, String], branch: String = "main"): DataFrame = {
     val meta = catalog.loadTable(name)
     val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
                 else meta.snapshotForRef(branch))
       .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
-    ofSnapshot(spark, meta, snap, t =>
-      partitionFilter.forall { case (k, v) => t.partitionValues.get(k).contains(v) })
+    val pruned = ofSnapshot(spark, meta, snap, t =>
+      partitionFilter.forall { case (k, v) =>
+        t.partitionValues.get(k).forall(_ == v) // absent key -> keep (old spec)
+      })
+    // residual filter: recompute the partition expression per row for the
+    // filtered keys (identity -> the column; bucket[n] -> murmur3 mod n,
+    // same as the writer), compared on the manifest's stringified form
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    partitionFilter.foldLeft(pruned) { case (df, (k, v)) =>
+      meta.partitionSpec.find(_.column == k) match {
+        case Some(p) => p.bucketN match {
+          case Some(n) => df.filter(pmod(hash(col(k)), lit(n)).cast("string") === v)
+          case None    => df.filter(col(k).cast("string") === v)
+        }
+        case None => df // key not in the current spec: manifest-only match
+      }
+    }
   }
 
   /** Zone-map-pruned range read: files whose manifest min/max for `col`

@@ -97,6 +97,25 @@ object SchemaEvolution {
         lastColumnId = math.max(meta.lastColumnId, field.id))
     }
 
+  /** Replaces the partition spec (metadata-only). Existing files keep
+    * their old per-file partition values in the manifest — the format
+    * stores partitioning PER FILE, so a snapshot can mix layouts; new
+    * writes use the new spec, and a subsequent compaction rewrites old
+    * files into it (the migration path). Reads stay exact because
+    * [[IceRead.tablePartition]] prunes manifests conservatively and
+    * applies a residual row filter. */
+  def updatePartitionSpec(catalog: Catalog, tableName: String,
+      newSpec: Seq[PartitionField]): TableMetadata =
+    commitRetry(catalog, tableName) { meta =>
+      for (p <- newSpec) {
+        require(meta.fieldByName(p.column).nonEmpty,
+          s"partition column ${p.column} not in schema")
+        require(p.isIdentity || p.bucketN.nonEmpty,
+          s"unsupported transform ${p.transform}")
+      }
+      meta.copy(partitionSpec = newSpec)
+    }
+
   private def commitRetry(catalog: Catalog, tableName: String)(
       f: TableMetadata => TableMetadata): TableMetadata = {
     var attempt = 0

@@ -182,6 +182,46 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-spec evolution: mixed layouts read exactly; compaction migrates") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    val src = (1L to 40L).map(i => (i, i % 4, i % 5, s"v$i")).toDF("id", "a", "b", "v")
+    IceWrite.create(spark, catalog, "t_pev", src,
+      partitionSpec = Seq(PartitionField("a")), targetFileSizeBytes = 1L << 20)
+
+    // evolve a->b; new appends land under b, old files keep their a values
+    SchemaEvolution.updatePartitionSpec(catalog, "t_pev", Seq(PartitionField("b")))
+    val extra = (41L to 60L).map(i => (i, i % 4, i % 5, s"v$i")).toDF("id", "a", "b", "v")
+    IceWrite.append(spark, catalog, "t_pev", extra)
+
+    val all = src.unionAll(extra)
+    // partition read on the NEW spec: exact despite old-layout files
+    val b2 = IceRead.tablePartition(spark, catalog, "t_pev", Map("b" -> "2"))
+    val expected = all.filter($"b" === 2)
+    assert(b2.count() == expected.count())
+    assert(b2.exceptAll(expected).isEmpty && expected.exceptAll(b2).isEmpty)
+
+    // compaction rewrites everything into the new layout
+    val c = new Compaction(catalog, "t_pev", spark,
+      config = FullCompactionConfig(PlanningParams(
+        targetFileSizeBytes = 512L * 1024 * 1024,
+        maxInputParallelism = 4, maxOutputParallelism = 1,
+        fileGroupScope = graft.selection.FileGroupScope.Table)))
+    c.compact()
+    val meta = catalog.loadTable("t_pev")
+    val dataFiles = meta.currentSnapshot.get.manifest.filter(_.content == FileContent.Data)
+    assert(dataFiles.forall(_.partitionValues.keySet == Set("b")))
+    val after = IceRead.tablePartition(spark, catalog, "t_pev", Map("b" -> "2"))
+    assert(after.count() == expected.count())
+    assert(after.exceptAll(expected).isEmpty)
+
+    // guard: unknown column rejected
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.updatePartitionSpec(catalog, "t_pev", Seq(PartitionField("nope")))
+    }
+  }
+
   test("metadata JSON round-trips the typed schema and field ids") {
     val catalog = newCatalog()
     IceWrite.create(spark, catalog, "t_json", df(Seq((1L, "a", 10L))))
