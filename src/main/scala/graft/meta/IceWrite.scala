@@ -85,6 +85,59 @@ object IceWrite {
     }: _*)
   }
 
+  /** One batch of files to stamp into a snapshot (an upsert commits an
+    * equality-delete set AND a data set atomically in one snapshot). */
+  private final case class StampSet(
+      files: Seq[FileEntry],
+      content: FileContent.Value,
+      equalityIds: Seq[String] = Nil,
+      equalityFieldIds: Seq[Int] = Nil)
+
+  /** Commits one snapshot containing `sets` on `branch` (CAS-retried).
+    * All files in the snapshot share one fresh sequence number — which is
+    * exactly what makes an atomic upsert work: its equality deletes
+    * (seq N) erase only rows with seq < N, so its own data files (also
+    * seq N) survive. Non-main branches move only their ref — main's view
+    * is untouched until a publish fast-forwards it (write-audit-publish). */
+  private def commitSnapshot(
+      catalog: LocalCatalog, name: String, sets: Seq[StampSet],
+      operation: String, branch: String): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(name)
+      val base = meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+      val newSeq = meta.lastSequenceNumber + 1
+      val stamped = sets.flatMap(s => s.files.map(_.copy(
+        content = s.content, sequenceNumber = newSeq,
+        equalityIds = s.equalityIds, equalityFieldIds = s.equalityFieldIds)))
+      val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(
+        snapshotId = snapshotId,
+        parentId = base.map(_.snapshotId),
+        sequenceNumber = newSeq,
+        timestampMs = System.currentTimeMillis(),
+        manifest = base.map(_.manifest).getOrElse(Nil) ++ stamped,
+        summary = Map("operation" -> operation))
+      val updated = meta.copy(
+        currentSnapshotId =
+          if (branch == "main") Some(snapshotId) else meta.currentSnapshotId,
+        refs = meta.refs + (branch -> snapshotId),
+        snapshots = meta.snapshots :+ snap,
+        lastSequenceNumber = newSeq)
+      try return catalog.commit(meta, updated)
+      catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
+  private def typedOf(meta: TableMetadata): Boolean =
+    meta.schema.nonEmpty && meta.schema.forall(_.isTyped)
+
+  private def eqIdsOf(meta: TableMetadata, equalityIds: Seq[String]): Seq[Int] =
+    if (typedOf(meta)) equalityIds.map(n => meta.fieldByName(n).getOrElse(
+      throw new IllegalArgumentException(s"equality column $n not in schema")).id)
+    else Nil
+
   private def appendInternal(
       spark: SparkSession,
       catalog: LocalCatalog,
@@ -92,19 +145,15 @@ object IceWrite {
       df: DataFrame,
       content: FileContent.Value,
       equalityIds: Seq[String],
-      targetFileSizeBytes: Long): TableMetadata = {
+      targetFileSizeBytes: Long,
+      branch: String = "main"): TableMetadata = {
     val table0 = catalog.loadTable(name)
-    val typed = table0.schema.nonEmpty && table0.schema.forall(_.isTyped)
+    val typed = typedOf(table0)
     // data and equality-delete files carry table-schema columns -> stamp
     // field ids; position deletes carry (file_path, pos), never id-matched
     val out =
       if (typed && content != FileContent.PositionDeletes) withFieldIds(df, table0.schema)
       else df
-    val eqFieldIds =
-      if (typed && content == FileContent.EqualityDeletes)
-        equalityIds.map(n => table0.fieldByName(n).getOrElse(
-          throw new IllegalArgumentException(s"equality column $n not in schema")).id)
-      else Nil
     // write the files once; only the metadata commit retries on conflict
     val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L) // ~256 B/row guess pre-stats
     val written = SparkExecutor.writeDataFiles(
@@ -113,29 +162,95 @@ object IceWrite {
       if (content == FileContent.Data) table0.sortOrder else Nil,
       maxRecordsPerFile = rowsEstimate)
     require(written.nonEmpty || df.isEmpty, s"append to $name wrote no files")
+    commitSnapshot(catalog, name,
+      Seq(StampSet(written, content, equalityIds, eqIdsOf(table0, equalityIds))),
+      operation = if (content == FileContent.Data) "append" else "delete",
+      branch = branch)
+  }
 
+  /** Atomic upsert (MERGE by key): ONE snapshot carries an equality-delete
+    * file for the incoming keys plus the new data files at the same
+    * sequence number — existing rows with those keys vanish, the incoming
+    * rows survive, and no reader can observe the delete without the
+    * insert. This is the MOR write pattern the reference's equality
+    * deletes exist to serve. */
+  def upsert(spark: SparkSession, catalog: LocalCatalog, name: String,
+      df: DataFrame, keys: Seq[String],
+      targetFileSizeBytes: Long = Defaults.TargetFileSize,
+      branch: String = "main"): TableMetadata = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val table0 = catalog.loadTable(name)
+    val typed = typedOf(table0)
+    import org.apache.spark.sql.functions.col
+    val dataDir = Paths.get(table0.location, "data").toString
+    val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L)
+    val keyDf = df.select(keys.map(col): _*).distinct()
+    val delFiles = SparkExecutor.writeDataFiles(spark,
+      if (typed) withFieldIds(keyDf, table0.schema) else keyDf,
+      dataDir, Nil, Nil, rowsEstimate)
+    val dataFiles = SparkExecutor.writeDataFiles(spark,
+      if (typed) withFieldIds(df, table0.schema) else df,
+      dataDir, table0.partitionSpec, table0.sortOrder, rowsEstimate)
+    commitSnapshot(catalog, name, Seq(
+      StampSet(delFiles, FileContent.EqualityDeletes, keys, eqIdsOf(table0, keys)),
+      StampSet(dataFiles, FileContent.Data)),
+      operation = "overwrite", branch = branch)
+  }
+
+  /** Row-level DELETE WHERE: scans the branch's data files with parquet
+    * metadata columns, evaluates the predicate, and appends the matching
+    * (file_path, pos) tombstones — no data file is rewritten. Re-deleting
+    * an already-tombstoned row is a harmless duplicate. */
+  def deleteWhere(spark: SparkSession, catalog: LocalCatalog, name: String,
+      condition: org.apache.spark.sql.Column, branch: String = "main"): TableMetadata = {
+    import org.apache.spark.sql.functions.col
+    val meta = catalog.loadTable(name)
+    val snap = meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val dataFiles = snap.manifest.filter(_.content == FileContent.Data)
+    require(dataFiles.nonEmpty, s"table $name has no data files")
+    val reader = meta.typedStruct match {
+      case Some(st) =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(st)
+      case None => spark.read
+    }
+    val positions = reader.parquet(dataFiles.map(_.path): _*)
+      .withColumn("__fp", graft.exec.Mor.normalizePath(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(condition)
+      .select(col("__fp").as("file_path"), col("__pos").as("pos"))
+    appendInternal(spark, catalog, name, positions, FileContent.PositionDeletes, Nil,
+      Defaults.TargetFileSize, branch)
+  }
+
+  /** Creates (or resets) a branch ref at `fromBranch`'s head — the
+    * write-audit-publish staging point. */
+  def createBranch(catalog: LocalCatalog, name: String, branch: String,
+      fromBranch: String = "main"): TableMetadata = {
     var attempt = 0
     while (true) {
       val meta = catalog.loadTable(name)
-      val current = meta.currentSnapshot
-      val newSeq = meta.lastSequenceNumber + 1
-      val stamped = written.map(_.copy(
-        content = content, sequenceNumber = newSeq, equalityIds = equalityIds,
-        equalityFieldIds = eqFieldIds))
-      val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
-      val snap = Snapshot(
-        snapshotId = snapshotId,
-        parentId = current.map(_.snapshotId),
-        sequenceNumber = newSeq,
-        timestampMs = System.currentTimeMillis(),
-        manifest = current.map(_.manifest).getOrElse(Nil) ++ stamped,
-        summary = Map("operation" -> (if (content == FileContent.Data) "append" else "delete")))
-      val updated = meta.copy(
-        currentSnapshotId = Some(snapshotId),
-        refs = meta.refs + ("main" -> snapshotId),
-        snapshots = meta.snapshots :+ snap,
-        lastSequenceNumber = newSeq)
-      try return catalog.commit(meta, updated)
+      val head = meta.refs.get(fromBranch).orElse(meta.currentSnapshotId)
+        .getOrElse(throw new IllegalStateException(s"branch $fromBranch has no snapshot"))
+      try return catalog.commit(meta, meta.copy(refs = meta.refs + (branch -> head)))
+      catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Publishes a staged branch: fast-forwards main (and the current
+    * snapshot pointer) to the branch head. Audit the branch with
+    * [[IceRead.table]](branch) first; until publish, main readers see
+    * nothing of the staged commits. */
+  def publishBranch(catalog: LocalCatalog, name: String, branch: String): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(name)
+      val head = meta.refs.getOrElse(branch,
+        throw new IllegalArgumentException(s"no such branch: $branch"))
+      try return catalog.commit(meta, meta.copy(
+        refs = meta.refs + ("main" -> head), currentSnapshotId = Some(head)))
       catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
     }
     sys.error("unreachable")

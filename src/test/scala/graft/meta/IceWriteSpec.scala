@@ -118,6 +118,87 @@ class IceWriteSpec extends AnyFunSuite {
     assert(after.count() == expected.count())
   }
 
+  test("upsert: one snapshot replaces matching keys and inserts new ones") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    IceWrite.create(spark, catalog, "t_up",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "name", "qty"))
+
+    IceWrite.upsert(spark, catalog, "t_up",
+      Seq((2L, "B2", 200L), (4L, "d", 40L)).toDF("id", "name", "qty"), keys = Seq("id"))
+
+    val out = IceRead.table(spark, catalog, "t_up")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a", 10L), (2L, "B2", 200L), (3L, "c", 30L), (4L, "d", 40L)))
+
+    // atomicity: exactly ONE snapshot was added, carrying delete + data
+    val meta = catalog.loadTable("t_up")
+    assert(meta.snapshots.size == 2)
+    val m = meta.currentSnapshot.get.manifest
+    assert(m.exists(_.content == FileContent.EqualityDeletes))
+    assert(meta.currentSnapshot.get.summary("operation") == "overwrite")
+
+    // a second upsert of the same key wins again (seq ordering)
+    IceWrite.upsert(spark, catalog, "t_up",
+      Seq((2L, "B3", 300L)).toDF("id", "name", "qty"), keys = Seq("id"))
+    val again = IceRead.table(spark, catalog, "t_up")
+      .filter($"id" === 2).head
+    assert(again.getString(1) == "B3" && again.getLong(2) == 300L)
+  }
+
+  test("deleteWhere appends position tombstones; no data file rewritten") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    IceWrite.create(spark, catalog, "t_dw", src)
+    val filesBefore = catalog.loadTable("t_dw").currentSnapshot.get
+      .manifest.filter(_.content == FileContent.Data).map(_.path).toSet
+
+    IceWrite.deleteWhere(spark, catalog, "t_dw", col("n_regionkey") === 2)
+
+    val out = IceRead.table(spark, catalog, "t_dw")
+    val expected = src.filter(col("n_regionkey") =!= 2)
+    assert(out.count() == expected.count())
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+    val meta = catalog.loadTable("t_dw")
+    val dataAfter = meta.currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data).map(_.path).toSet
+    assert(dataAfter == filesBefore) // untouched: MOR, not rewrite
+    assert(meta.currentSnapshot.get.manifest.exists(_.content == FileContent.PositionDeletes))
+
+    // deleting already-deleted rows is a harmless no-op on the view
+    IceWrite.deleteWhere(spark, catalog, "t_dw", col("n_regionkey") === 2)
+    assert(IceRead.table(spark, catalog, "t_dw").count() == expected.count())
+  }
+
+  test("write-audit-publish: staged branch commits invisible on main until publish") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    IceWrite.create(spark, catalog, "t_wap",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IceWrite.createBranch(catalog, "t_wap", "audit")
+
+    // stage an upsert and a delete on the branch
+    IceWrite.upsert(spark, catalog, "t_wap",
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), keys = Seq("id"), branch = "audit")
+    IceWrite.deleteWhere(spark, catalog, "t_wap", $"id" === 1, branch = "audit")
+
+    // main is untouched; the branch sees the staged state
+    val main = IceRead.table(spark, catalog, "t_wap")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(main == Set((1L, "a"), (2L, "b")))
+    val staged = IceRead.table(spark, catalog, "t_wap", branch = "audit")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(staged == Set((2L, "b2"), (3L, "c")))
+
+    // publish fast-forwards main to the audited head
+    IceWrite.publishBranch(catalog, "t_wap", "audit")
+    val published = IceRead.table(spark, catalog, "t_wap")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(published == staged)
+  }
+
   test("ingested table compacts and reads back identically") {
     val catalog = newCatalog()
     val src = spark.read.parquet(s"$sf/customer.parquet")
