@@ -18,24 +18,52 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
+    e.injectFunction(GraftExtensions.jaccardGeDescriptor)
   }
 }
 
 object GraftExtensions {
-  private def build(exprs: Seq[Expression]): Expression = {
+  private def buildVecDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"vec_dot expects 2 arguments, got ${exprs.length}")
     VecDot(exprs.head, exprs(1))
   }
+
+  /** jaccard_ge(a, b, t): third argument must be a foldable double. */
+  private def buildJaccardGe(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, s"jaccard_ge expects 3 arguments, got ${exprs.length}")
+    val t = exprs(2) match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+        lit.value match {
+          case d: java.lang.Double  => d.doubleValue()
+          case d: java.math.BigDecimal => d.doubleValue()
+          case d: Decimal => d.toDouble
+          case other => sys.error(s"jaccard_ge threshold must be numeric, got $other")
+        }
+      case other => sys.error(s"jaccard_ge threshold must be a literal, got $other")
+    }
+    SortedJaccardGe(exprs.head, exprs(1), t)
+  }
+  private type Decimal = org.apache.spark.sql.types.Decimal
 
   private[functions] val vecDotDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-    build
+    buildVecDot
+  )
+
+  private[functions] val jaccardGeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaccard_ge"),
+    new ExpressionInfo(classOf[SortedJaccardGe].getName, "jaccard_ge"),
+    buildJaccardGe
   )
 
   /** Installs the functions into an existing session's registry. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", build, "built-in")
+      "vec_dot", buildVecDot, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_ge", buildJaccardGe, "built-in")
+  }
 }

@@ -176,6 +176,30 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))),
 
+    // MOR write semantics as an oracle-checked query: create a real table
+    // from `supplier`, atomically UPSERT modified + inserted rows, then
+    // DELETE WHERE — the DuckDB oracle reconstructs the same final state
+    // relationally, so equality-delete sequencing, the single-snapshot
+    // upsert, and position-tombstone deletes are all hash-checked
+    "q_upsert_mor" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-upsert-wh").toString)
+      val src = tbl(s, dir, "supplier")
+      IceWrite.create(s, catalog, "t_q_upsert", src)
+      val changed = src.filter(col("s_suppkey") % 3 === 0)
+        .withColumn("s_name", upper(col("s_name")))
+        .withColumn("s_nationkey", (col("s_nationkey") + 100).cast("int"))
+      val inserted = src.filter(col("s_suppkey") % 10 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 1000000)
+      IceWrite.upsert(s, catalog, "t_q_upsert",
+        changed.unionAll(inserted), keys = Seq("s_suppkey"))
+      IceWrite.deleteWhere(s, catalog, "t_q_upsert", col("s_suppkey") % 7 === 0)
+      IceRead.table(s, catalog, "t_q_upsert")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"))
+    }),
+
     // multimodal plumbing: binary payload + typed metadata + digest
     "m1_multimodal" -> ((s, dir) =>
       Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
@@ -383,6 +407,20 @@ object OpsQueries {
       """SELECT n_chars // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_upsert_mor" ->
+      """WITH up AS (
+        |  SELECT s_suppkey, upper(s_name) AS s_name, s_nationkey + 100 AS s_nationkey
+        |  FROM supplier WHERE s_suppkey % 3 = 0),
+        |ins AS (
+        |  SELECT s_suppkey + 1000000 AS s_suppkey, s_name, s_nationkey
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |final0 AS (
+        |  SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey % 3 <> 0
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+        |FROM final0 WHERE s_suppkey % 7 <> 0""".stripMargin,
 
     "m1_multimodal" ->
       """SELECT doc_id AS media_id,

@@ -46,4 +46,12 @@ class VecDotSpec extends AnyFunSuite {
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head.getDouble(0)
     assert(v == 11.0)
   }
+
+  test("jaccard_ge is SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    assert(spark.sql(
+      "SELECT jaccard_ge(array(1L, 2L, 3L), array(2L, 3L, 4L), 0.5) AS ok").head.getBoolean(0))
+    assert(!spark.sql(
+      "SELECT jaccard_ge(array(1L, 2L, 3L), array(2L, 3L, 4L), 0.6) AS ok").head.getBoolean(0))
+  }
 }
