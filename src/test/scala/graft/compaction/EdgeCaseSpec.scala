@@ -90,6 +90,49 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(t2.currentSnapshot.get.summary("operation") == "overwrite")
   }
 
+  test("append landing between plan and commit survives the compaction commit") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_race",
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"), targetFileSizeBytes = 2048)
+    val c = new Compaction(catalog, "t_race", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)))
+    val plans = c.planCompaction()
+    val outcomes = c.concurrentRewritePlans(plans)
+
+    // a writer lands between rewrite and commit
+    IceWrite.append(spark, catalog, "t_race",
+      Seq((100L, "new")).toDF("id", "v"))
+    c.commitRewriteResults(outcomes)
+
+    val out = IceRead.table(spark, catalog, "t_race")
+      .select($"id").as[Long].collect().toSet
+    assert(out == ((1L to 20L) ++ Seq(100L)).toSet)
+  }
+
+  test("eq delete committed mid-compaction applies to rewritten rows (replace) but not to overwrite") {
+    // the reason the starting-sequence-number rule exists
+    // (mod.rs:950-1061): a replace commit stamps rewritten files with the
+    // PLANNING snapshot's sequence number, so a concurrent equality
+    // delete (newer seq) still erases those rows; an overwrite commit
+    // stamps a FRESH sequence number, so its files outrank the delete.
+    def run(overwrite: Boolean): Set[Long] = {
+      val catalog = newCatalog()
+      val name = if (overwrite) "t_ow" else "t_rp"
+      IceWrite.create(spark, catalog, name,
+        (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"), targetFileSizeBytes = 2048)
+      val c = new Compaction(catalog, name, spark,
+        config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)))
+      val outcomes = c.concurrentRewritePlans(c.planCompaction())
+      IceWrite.appendEqualityDeletes(spark, catalog, name,
+        Seq(Tuple1(5L)).toDF("id"), Seq("id"))
+      if (overwrite) c.commitOverwriteResults(outcomes)
+      else c.commitRewriteResults(outcomes)
+      IceRead.table(spark, catalog, name).select($"id").as[Long].collect().toSet
+    }
+    assert(run(overwrite = false) == (1L to 20L).toSet - 5L) // delete wins
+    assert(run(overwrite = true) == (1L to 20L).toSet)       // overwrite outranks it
+  }
+
   test("empty table and single-file table produce no plans under small-files") {
     val catalog = newCatalog()
     val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
