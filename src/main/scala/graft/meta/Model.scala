@@ -159,15 +159,22 @@ final case class TableMetadata(
     * and (b) for equality deletes, deleteSeq > dataSeq; for position
     * deletes, deleteSeq >= dataSeq. */
   def scanTasks(snapshot: Snapshot): Seq[FileEntry] = {
-    val deletes = snapshot.manifest.filter(_.content != FileContent.Data)
+    // index deletes by partition scope once: planning is driver-side, and
+    // a naive per-data-file scan over all deletes is O(data x deletes) —
+    // quadratic at manifest scale (10^6 data files x 10^4 deletes).
+    // Manifest order of each file's delete list is preserved via the
+    // original index.
+    val deletes = snapshot.manifest.filter(_.content != FileContent.Data).zipWithIndex
+    val (global, scoped) = deletes.partition(_._1.partitionValues.isEmpty)
+    val scopedByPartition = scoped.groupBy(_._1.partitionValues)
     snapshot.manifest.filter(_.content == FileContent.Data).map { d =>
-      val applicable = deletes.filter { del =>
-        (del.partitionValues.isEmpty || del.partitionValues == d.partitionValues) &&
-        (del.content match {
+      val candidates = global ++ scopedByPartition.getOrElse(d.partitionValues, Nil)
+      val applicable = candidates.filter { case (del, _) =>
+        del.content match {
           case FileContent.EqualityDeletes => del.sequenceNumber > d.sequenceNumber
           case _                           => del.sequenceNumber >= d.sequenceNumber
-        })
-      }
+        }
+      }.sortBy(_._2).map(_._1)
       d.copy(deletes = applicable.map(_.path))
     }
   }
