@@ -34,6 +34,25 @@ final case class CommitRetryConfig(
     maxDelayMs: Long = 10000L
 )
 
+/** Exponentially-smoothed OUTPUT bytes/record, shared across a run's
+  * rewrite plans (the reference's dynamic size estimation,
+  * config/mod.rs:37-38, smoothing factor 0.3): the first plan sizes files
+  * from the input ratio (compressed-input bytes underestimate output
+  * ratio after compaction rewrites), later plans from what was actually
+  * written. Thread-safe — plans run concurrently. */
+final class SizeEstimator(val smoothing: Double = Defaults.SizeEstimationSmoothingFactor) {
+  private val state = new java.util.concurrent.atomic.AtomicReference[Option[Double]](None)
+  def estimate: Option[Double] = state.get
+  def observe(outputBytes: Long, outputRecords: Long): Unit =
+    if (outputRecords > 0 && outputBytes > 0) {
+      val obs = outputBytes.toDouble / outputRecords
+      state.updateAndGet {
+        case Some(e) => Some(e + smoothing * (obs - e))
+        case None    => Some(obs)
+      }: Unit
+    }
+}
+
 /** The managed compaction workflow over the local table format, keeping the
   * reference's composable 3-method public API (plan / rewrite / commit) plus
   * the one-shot `compact()` (core/src/compaction/mod.rs:193-303).
@@ -49,7 +68,9 @@ final class Compaction(
     val maxConcurrentPlans: Int = Defaults.MaxConcurrentCompactionPlans,
     val enableValidate: Boolean = false,
     val retry: CommitRetryConfig = CommitRetryConfig(),
-    val metrics: Metrics = new Metrics
+    val metrics: Metrics = new Metrics,
+    val enableDynamicSizeEstimation: Boolean = Defaults.EnableDynamicSizeEstimation,
+    val sizeEstimator: SizeEstimator = new SizeEstimator()
 ) {
 
   /** Stage 1 — metadata-only planning (mod.rs:448-461,1307-1336).
@@ -82,9 +103,13 @@ final class Compaction(
       partitionSpec = table.partitionSpec,
       sortOrder = table.sortOrder,
       formatVersion = table.formatVersion,
-      tableSchema = table.schema
+      tableSchema = table.schema,
+      bytesPerRecordHint =
+        if (enableDynamicSizeEstimation) sizeEstimator.estimate.getOrElse(0.0) else 0.0
     )
     val res = executor.rewriteFiles(spark, req)
+    if (enableDynamicSizeEstimation)
+      sizeEstimator.observe(res.stats.outputBytes, res.stats.outputRecords)
     metrics.recordRewrite(res.stats)
     RewriteOutcome(plan, res)
   }

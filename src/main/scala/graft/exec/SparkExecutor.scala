@@ -21,7 +21,11 @@ final case class RewriteRequest(
     formatVersion: Int = 2,
     /** typed field-id schema; threads id-matched reads through the rewrite
       * so rewritten files keep their field ids (rename-safe round trip). */
-    tableSchema: Seq[SchemaField] = Nil
+    tableSchema: Seq[SchemaField] = Nil,
+    /** smoothed OUTPUT bytes/record from earlier plans in this run
+      * (dynamic size estimation, config/mod.rs:37-38); <= 0 means none —
+      * fall back to the input-derived ratio. */
+    bytesPerRecordHint: Double = 0.0
 )
 
 final case class RewriteStats(
@@ -127,12 +131,16 @@ object SparkExecutor extends CompactionExecutor {
     val g = req.group
     val df = Mor.dataFrame(spark, g, req.schemaColumns, req.formatVersion, req.tableSchema)
 
-    // target-file-size enforcement: estimate records per target file from
-    // the input's bytes/record ratio
+    // target-file-size enforcement: records per target file from the
+    // observed-output hint when dynamic estimation supplies one (the
+    // reference's smoothed estimator, config/mod.rs:37-38), else from the
+    // input's bytes/record ratio
     val inRecords = math.max(1L, g.dataFiles.map(_.recordCount).sum)
     val inBytes = math.max(1L, g.totalSize)
-    val bytesPerRecord = math.max(1L, inBytes / inRecords)
-    val maxRecordsPerFile = math.max(1L, req.targetFileSizeBytes / bytesPerRecord)
+    val bytesPerRecord =
+      if (req.bytesPerRecordHint > 0) math.max(1.0, req.bytesPerRecordHint)
+      else math.max(1L, inBytes / inRecords).toDouble
+    val maxRecordsPerFile = math.max(1L, (req.targetFileSizeBytes / bytesPerRecord).toLong)
 
     // fan-out by partition when partitioned, else round-robin, to exactly
     // outputParallelism write tasks (reference: RepartitionExec +

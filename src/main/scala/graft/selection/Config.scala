@@ -4,6 +4,9 @@ package graft.selection
   * configs (core/src/config/mod.rs:28-55,123-311). */
 object Defaults {
   val TargetFileSize: Long = 1024L * 1024 * 1024 // 1 GiB
+  /** config/mod.rs:37-38 */
+  val EnableDynamicSizeEstimation: Boolean = false
+  val SizeEstimationSmoothingFactor: Double = 0.3
   val MaxRecordBatchRows: Int = 1024
   val MaxRowGroupBytes: Long = 128L * 1024 * 1024
   val SmallFileThreshold: Long = 32L * 1024 * 1024

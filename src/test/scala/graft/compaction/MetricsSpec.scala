@@ -35,6 +35,32 @@ class MetricsSpec extends AnyFunSuite {
     assert(bytes.snapshot.cumulativeCounts(0) == 0 && bytes.snapshot.cumulativeCounts(1) == 1) // 3MiB <= 4MiB
   }
 
+  test("dynamic size estimation smooths observed output ratios (factor 0.3)") {
+    val e = new SizeEstimator()
+    assert(e.estimate.isEmpty)
+    e.observe(1000L, 10L) // 100 B/record
+    assert(e.estimate.contains(100.0))
+    e.observe(2000L, 10L) // 200 B/record -> 100 + 0.3*(200-100)
+    assert(e.estimate.contains(130.0))
+    e.observe(0L, 0L) // empty rewrites don't poison the estimate
+    assert(e.estimate.contains(130.0))
+
+    // wired through a real compaction: the estimator learns the actual
+    // output ratio of the files it wrote
+    val spark = SparkTestBase.spark
+    val catalog = graft.meta.LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_dyn", src,
+      FileGenerator.Config(dataFileCount = 4, orderCol = "n_nationkey"))
+    val c = new Compaction(catalog, "t_dyn", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)),
+      enableDynamicSizeEstimation = true)
+    val result = c.compact()
+    val expected = result.stats.map(_.outputBytes).sum.toDouble /
+      result.stats.map(_.outputRecords).sum
+    assert(c.sizeEstimator.estimate.exists(v => math.abs(v - expected) < 1e-9))
+  }
+
   test("a real compaction records duration, file-count and size distributions") {
     val spark = SparkTestBase.spark
     val catalog = graft.meta.LocalCatalog(Files.createTempDirectory("graft-wh").toString)

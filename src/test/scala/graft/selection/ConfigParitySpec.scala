@@ -19,6 +19,8 @@ class ConfigParitySpec extends AnyFunSuite {
     assert(Defaults.MinSmallFilesCount == 5) // DEFAULT_MIN_SMALL_FILES_COUNT
     assert(Defaults.MinFilesWithDeletesCount == 1) // DEFAULT_MIN_FILES_WITH_DELETES_COUNT
     assert(Defaults.TargetGroupSize == 100L * 1024 * 1024 * 1024) // DEFAULT_TARGET_GROUP_SIZE
+    assert(!Defaults.EnableDynamicSizeEstimation) // DEFAULT_ENABLE_DYNAMIC_SIZE_ESTIMATION
+    assert(Defaults.SizeEstimationSmoothingFactor == 0.3) // DEFAULT_SIZE_ESTIMATION_SMOOTHING_FACTOR
   }
 
   test("derived planning config defaults match the reference wiring") {
