@@ -248,9 +248,10 @@ final class CommitManager(
       sequenceNumber = newSeq,
       timestampMs = System.currentTimeMillis(),
       manifest = newManifest,
-      // custom (non-auto-computed) summary properties carry forward
-      // (mod.rs:1187-1224)
-      summary = TableMetadata.preservedProperties(current.summary) +
+      // custom (non-auto-computed) summary properties carry forward;
+      // auto stats recomputed per commit (mod.rs:1187-1224)
+      summary = TableMetadata.preservedProperties(current.summary) ++
+        TableMetadata.computedSummary(current.manifest, newManifest) +
         ("operation" -> operation)
     )
     val updated = table.copy(

@@ -122,6 +122,39 @@ object IceRead {
     }.reduce(_ unionAll _)
   }
 
+  /** `snapshots` metadata table (like Iceberg's `table$snapshots`): one
+    * row per snapshot with lineage, sequence, and summary — the history a
+    * user inspects before time travel or expiry. */
+  def snapshots(spark: SparkSession, catalog: Catalog, name: String): DataFrame = {
+    import spark.implicits._
+    val meta = catalog.loadTable(name)
+    meta.snapshots.map { s =>
+      (s.snapshotId, s.parentId, s.sequenceNumber, s.timestampMs,
+        s.summary.getOrElse("operation", ""),
+        s.manifest.count(_.content == FileContent.Data).toLong,
+        s.manifest.count(_.content != FileContent.Data).toLong,
+        s.summary)
+    }.toDF("snapshot_id", "parent_id", "sequence_number", "timestamp_ms",
+      "operation", "data_files", "delete_files", "summary")
+  }
+
+  /** `files` metadata table (like Iceberg's `table$files`): the branch
+    * head's manifest as rows — path, content, size, records, sequence,
+    * partition, equality ids. */
+  def files(spark: SparkSession, catalog: Catalog, name: String,
+      branch: String = "main"): DataFrame = {
+    import spark.implicits._
+    val meta = catalog.loadTable(name)
+    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+                else meta.snapshotForRef(branch))
+      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    snap.manifest.map { f =>
+      (f.path, f.content.toString, f.length, f.recordCount, f.sequenceNumber,
+        f.partitionValues, f.equalityIds, f.equalityFieldIds)
+    }.toDF("file_path", "content", "file_size_bytes", "record_count",
+      "sequence_number", "partition", "equality_ids", "equality_field_ids")
+  }
+
   /** Registers the MOR view as a temp view for SQL access. */
   def createTempView(spark: SparkSession, catalog: Catalog, name: String,
       viewName: String, branch: String = "main"): Unit =

@@ -111,13 +111,18 @@ object IceWrite {
         content = s.content, sequenceNumber = newSeq,
         equalityIds = s.equalityIds, equalityFieldIds = s.equalityFieldIds)))
       val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+      val parentManifest = base.map(_.manifest).getOrElse(Nil)
+      val newManifest = parentManifest ++ stamped
       val snap = Snapshot(
         snapshotId = snapshotId,
         parentId = base.map(_.snapshotId),
         sequenceNumber = newSeq,
         timestampMs = System.currentTimeMillis(),
-        manifest = base.map(_.manifest).getOrElse(Nil) ++ stamped,
-        summary = Map("operation" -> operation))
+        manifest = newManifest,
+        summary = base.map(s => TableMetadata.preservedProperties(s.summary))
+          .getOrElse(Map.empty) ++
+          TableMetadata.computedSummary(parentManifest, newManifest) +
+          ("operation" -> operation))
       val updated = meta.copy(
         currentSnapshotId =
           if (branch == "main") Some(snapshotId) else meta.currentSnapshotId,

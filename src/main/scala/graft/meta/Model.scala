@@ -197,4 +197,32 @@ object TableMetadata {
     summary.filterNot { case (k, _) =>
       ReservedSummaryKeys.contains(k) || k.startsWith("partitions.")
     }
+
+  /** Auto-computed snapshot summary (the reference's commit-time stats,
+    * mod.rs:1187-1224): added/removed deltas against the parent manifest
+    * plus totals for the new one. Values are stringified like Iceberg's. */
+  def computedSummary(
+      parent: Seq[FileEntry], next: Seq[FileEntry]): Map[String, String] = {
+    def isData(f: FileEntry) = f.content == FileContent.Data
+    val parentPaths = parent.map(_.path).toSet
+    val nextPaths = next.map(_.path).toSet
+    val added = next.filterNot(f => parentPaths.contains(f.path))
+    val removed = parent.filterNot(f => nextPaths.contains(f.path))
+    val (addedData, addedDel) = added.partition(isData)
+    val (removedData, _) = removed.partition(isData)
+    val (data, del) = next.partition(isData)
+    Map(
+      "added-data-files" -> addedData.size.toString,
+      "deleted-data-files" -> removedData.size.toString,
+      "total-data-files" -> data.size.toString,
+      "added-delete-files" -> addedDel.size.toString,
+      "total-delete-files" -> del.size.toString,
+      "added-records" -> addedData.map(_.recordCount).sum.toString,
+      "deleted-records" -> removedData.map(_.recordCount).sum.toString,
+      "total-records" -> data.map(_.recordCount).sum.toString,
+      "added-files-size" -> added.map(_.length).sum.toString,
+      "removed-files-size" -> removed.map(_.length).sum.toString,
+      "total-files-size" -> next.map(_.length).sum.toString
+    )
+  }
 }

@@ -199,6 +199,32 @@ class IceWriteSpec extends AnyFunSuite {
     assert(published == staged)
   }
 
+  test("snapshot summaries carry auto-computed stats; metadata tables expose them") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    IceWrite.create(spark, catalog, "t_sum", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IceWrite.append(spark, catalog, "t_sum", Seq((3L, "c")).toDF("id", "v"))
+    IceWrite.deleteWhere(spark, catalog, "t_sum", col("id") === 1)
+
+    val meta = catalog.loadTable("t_sum")
+    val head = meta.currentSnapshot.get.summary
+    assert(head("operation") == "delete")
+    assert(head("added-delete-files") == "1")
+    assert(head("total-records") == "3") // data records; tombstone hides one at read
+    val appendSummary = meta.snapshotById(2L).get.summary
+    assert(appendSummary("added-data-files").toInt >= 1)
+    assert(appendSummary("added-records") == "1")
+
+    val snaps = IceRead.snapshots(spark, catalog, "t_sum")
+    assert(snaps.count() == 3)
+    assert(snaps.filter(col("operation") === "append").count() == 2)
+    val files = IceRead.files(spark, catalog, "t_sum")
+    assert(files.filter(col("content") === "Data").count() ==
+      head("total-data-files").toLong)
+    assert(files.filter(col("content") === "PositionDeletes").count() == 1)
+  }
+
   test("ingested table compacts and reads back identically") {
     val catalog = newCatalog()
     val src = spark.read.parquet(s"$sf/customer.parquet")
