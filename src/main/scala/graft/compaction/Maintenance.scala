@@ -67,6 +67,68 @@ object Maintenance {
       .toSeq.sorted
   }
 
+  /** Delete files in the branch head that no longer delete anything —
+    * compaction replaces data files but (like the reference, whose commit
+    * collects "only data files ... delete files are excluded",
+    * mod.rs:888-900) leaves the consumed delete files in the manifest.
+    * An equality delete dangles when no live data file has an older
+    * sequence number in its scope (it stops being attached by scanTasks);
+    * a position delete dangles when none of the file paths it references
+    * still exist as live data files (that requires reading the tombstone
+    * parquet — driver-cheap, it is a maintenance path). */
+  def danglingDeleteFiles(spark: org.apache.spark.sql.SparkSession,
+      catalog: Catalog, tableName: String): Seq[FileEntry] = {
+    val meta = catalog.loadTable(tableName)
+    val snap = meta.currentSnapshot.getOrElse(return Nil)
+    val attached = meta.scanTasks(snap).flatMap(_.deletes).toSet
+    val dataPaths = snap.manifest.filter(_.content == FileContent.Data).map(_.path).toSet
+    snap.manifest.filter(_.content != FileContent.Data).filter { f =>
+      if (!attached.contains(f.path)) true // out-of-scope for every data file
+      else if (f.content == FileContent.PositionDeletes) {
+        import spark.implicits._
+        val referenced = spark.read.parquet(f.path)
+          .select("file_path").distinct().as[String].collect()
+        !referenced.exists(dataPaths.contains)
+      } else false
+    }
+  }
+
+  /** Commits a new snapshot with the given dangling delete files dropped
+    * (paths must come from [[danglingDeleteFiles]]; re-validated). The
+    * dropped files become orphans, reclaimable by [[deleteOrphans]] after
+    * the grace period. */
+  def removeDanglingDeletes(spark: org.apache.spark.sql.SparkSession,
+      catalog: Catalog, tableName: String,
+      retry: CommitRetryConfig = CommitRetryConfig()): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val dangling = danglingDeleteFiles(spark, catalog, tableName).map(_.path).toSet
+      val meta = catalog.loadTable(tableName)
+      val snap = meta.currentSnapshot.getOrElse(return meta)
+      if (dangling.isEmpty) return meta
+      val newManifest = snap.manifest.filterNot(f => dangling.contains(f.path))
+      val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+      val next = Snapshot(
+        snapshotId = snapshotId,
+        parentId = Some(snap.snapshotId),
+        sequenceNumber = meta.lastSequenceNumber, // metadata cleanup: no new data
+        timestampMs = System.currentTimeMillis(),
+        manifest = newManifest,
+        summary = TableMetadata.preservedProperties(snap.summary) ++
+          TableMetadata.computedSummary(snap.manifest, newManifest) +
+          ("operation" -> "maintenance"))
+      val updated = meta.copy(
+        currentSnapshotId = Some(snapshotId),
+        refs = meta.refs + ("main" -> snapshotId),
+        snapshots = meta.snapshots :+ next)
+      try return catalog.commit(meta, updated)
+      catch {
+        case _: CommitConflictException if attempt < retry.maxRetries => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Deletes the given orphans (paths must come from [[orphanFiles]],
     * called with the same `olderThanMs`). */
   def deleteOrphans(catalog: Catalog, tableName: String, paths: Seq[String],

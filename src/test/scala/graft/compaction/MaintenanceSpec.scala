@@ -49,6 +49,39 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.orphanFiles(catalog, "t_gc", olderThanMs = 0L).isEmpty)
   }
 
+  test("dangling delete files are detected after compaction and removed safely") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_dangle", src,
+      FileGenerator.Config(dataFileCount = 4, posDeleteRowsPerFile = 10,
+        eqDeleteRowsPerFile = 10, equalityIds = Seq("o_orderkey"), orderCol = "o_orderkey"))
+
+    // live deletes are NOT dangling before compaction
+    assert(Maintenance.danglingDeleteFiles(spark, catalog, "t_dangle").isEmpty)
+    val before = IceRead.table(spark, catalog, "t_dangle")
+    val nBefore = before.count()
+
+    new Compaction(catalog, "t_dangle", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1))).compact()
+
+    // the consumed pos + eq delete files linger (reference parity) and
+    // are now dangling: the rewrite folded them into the data
+    val dangling = Maintenance.danglingDeleteFiles(spark, catalog, "t_dangle")
+    assert(dangling.map(_.content).toSet ==
+      Set(FileContent.PositionDeletes, FileContent.EqualityDeletes))
+
+    val cleaned = Maintenance.removeDanglingDeletes(spark, catalog, "t_dangle")
+    val head = cleaned.currentSnapshot.get
+    assert(head.summary("operation") == "maintenance")
+    assert(head.manifest.forall(_.content == FileContent.Data))
+    // the user-visible table is unchanged by the cleanup
+    val after = IceRead.table(spark, catalog, "t_dangle")
+    assert(after.count() == nBefore)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    // idempotent
+    assert(Maintenance.danglingDeleteFiles(spark, catalog, "t_dangle").isEmpty)
+  }
+
   test("expiry never drops ref-pinned snapshots") {
     val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
     val src = spark.read.parquet(s"$sf/region.parquet")
