@@ -29,4 +29,31 @@ object Validator {
       else spark.read.parquet(outputFiles.map(_.path): _*).count()
     if (inputRows != outputRows) throw ValidationFailure(inputRows, outputRows)
   }
+
+  final case class ContentValidationFailure(missingFromOutput: Long, extraInOutput: Long)
+      extends RuntimeException(
+        s"compaction content validation failed: $missingFromOutput rows missing from output, " +
+          s"$extraInOutput unexpected rows in output")
+
+  /** Stronger, opt-in check than the reference's count contract: the
+    * output must be the exact multiset of the input MOR rows (two anti
+    * joins — it shuffles both sides once, so it costs a comparison join,
+    * not a full rewrite; run it on suspicion, not on every commit). */
+  def validateContent(
+      spark: SparkSession,
+      inputGroup: FileGroup,
+      outputFiles: Seq[FileEntry],
+      schemaColumns: Seq[String],
+      formatVersion: Int,
+      tableSchema: Seq[SchemaField] = Nil
+  ): Unit = {
+    val input = Mor.dataFrame(spark, inputGroup, schemaColumns, formatVersion, tableSchema)
+    val output =
+      if (outputFiles.isEmpty) input.limit(0)
+      else spark.read.parquet(outputFiles.map(_.path): _*)
+        .select(schemaColumns.map(org.apache.spark.sql.functions.col): _*)
+    val missing = input.exceptAll(output).count()
+    val extra = output.exceptAll(input).count()
+    if (missing != 0L || extra != 0L) throw ContentValidationFailure(missing, extra)
+  }
 }

@@ -1,0 +1,69 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.meta.{IceRead, IceWrite, LocalCatalog}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** End-to-end training-data curation pipeline over the synthetic corpus —
+  * the composition story: ingest documents into the table format, score
+  * and filter by quality, drop exact and near duplicates, write the
+  * curated corpus back as a table, and stand up an ANN index over the
+  * embeddings. Every stage is an operator this library ships; run with
+  * {{{ sbt "runMain graft.examples.PipelineDemo" }}}.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-pipeline-demo").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    val catalog = LocalCatalog(
+      java.nio.file.Files.createTempDirectory("pipeline-wh").toString)
+
+    // 1. ingest the raw corpus as a governed table
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    IceWrite.create(spark, catalog, "docs_raw", raw)
+    println(s"INGESTED rows=${IceRead.table(spark, catalog, "docs_raw").count()}")
+
+    // 2. quality scoring + filter (pure codegen'd expressions, no shuffle)
+    val scored = IceRead.table(spark, catalog, "docs_raw")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text"), col("n_chars")))
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+    val kept = scored.filter(col("quality") >= 0.5)
+    println(s"QUALITY kept=${kept.count()} of=${scored.count()}")
+
+    // 3. exact dedup (hash-agg on fingerprints) -> keeper ids
+    val keepers = Dedup.exact(kept, "doc_id", "text").select(col("keeper_id").as("doc_id"))
+    val exactDeduped = kept.join(keepers, Seq("doc_id"), "left_semi")
+    println(s"EXACT-DEDUP kept=${exactDeduped.count()}")
+
+    // 4. near-dup removal: MinHash+LSH pairs -> connected components ->
+    //    drop everything but each cluster's min id
+    val pairs = Dedup.minHashNearDupPairs(exactDeduped, "doc_id", "text", threshold = 0.5)
+    val losers = Dedup.clusterPairs(pairs)
+      .filter(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
+    val curated = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+    println(s"NEAR-DEDUP kept=${curated.count()}")
+
+    // 5. the curated corpus is itself a governed table (time travel,
+    //    compaction, GC all apply)
+    IceWrite.create(spark, catalog, "docs_curated",
+      curated.select("doc_id", "text", "lang", "quality"))
+    println(s"CURATED table rows=${IceRead.table(spark, catalog, "docs_curated").count()}")
+
+    // 6. ANN over the embeddings: IVF cells + a probe query
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = embs.filter(col("vec_id") % 50 === 0)
+    val probe = embs.filter(col("vec_id") === 1)
+    val nn = Similarity.ivfTopK(embs.select("vec_id", "embedding"), "vec_id", "embedding",
+      probe.select("vec_id", "embedding"), k = 3, centroids, "vec_id", "embedding")
+    println(s"ANN probe=1 neighbors=" +
+      nn.collect().map(r => s"${r.getAs[Long]("neighbor_id")}@${r.getAs[Double]("sim")}").mkString(","))
+
+    spark.stop()
+  }
+}

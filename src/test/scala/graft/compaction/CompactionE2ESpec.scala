@@ -289,4 +289,26 @@ class CompactionE2ESpec extends AnyFunSuite {
         meta.schemaColumns, meta.formatVersion)
     }
   }
+
+  test("content validator accepts an exact rewrite and catches swapped content") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val meta = FileGenerator.writeTable(spark, catalog, "t_cval", src,
+      FileGenerator.Config(dataFileCount = 2, orderCol = "r_regionkey"))
+    val group = FileGroup(
+      meta.currentSnapshot.get.manifest.filter(_.content == FileContent.Data), Nil, Nil)
+    // the inputs ARE a correct "rewrite" of themselves
+    Validator.validateContent(spark, group, group.dataFiles,
+      meta.schemaColumns, meta.formatVersion)
+    // same COUNT, different content: count validation passes, content fails
+    val otherMeta = FileGenerator.writeTable(spark, catalog, "t_cval2",
+      src.withColumn("r_regionkey", col("r_regionkey") + 50),
+      FileGenerator.Config(dataFileCount = 2, orderCol = "r_regionkey"))
+    val swapped = otherMeta.currentSnapshot.get.manifest.filter(_.content == FileContent.Data)
+    Validator.validate(spark, group, swapped, meta.schemaColumns, meta.formatVersion)
+    intercept[Validator.ContentValidationFailure] {
+      Validator.validateContent(spark, group, swapped,
+        meta.schemaColumns, meta.formatVersion)
+    }
+  }
 }
