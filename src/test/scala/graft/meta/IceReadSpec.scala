@@ -123,6 +123,27 @@ class IceReadSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("column pruning pushes through the MOR anti joins to the scan") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_prune", src,
+      FileGenerator.Config(dataFileCount = 3, posDeleteRowsPerFile = 10,
+        eqDeleteRowsPerFile = 10, equalityIds = Seq("o_orderkey"), orderCol = "o_orderkey"))
+
+    val one = IceRead.table(spark, catalog, "t_prune").select("o_custkey")
+    val plan = one.queryExecution.executedPlan.toString
+    // the data scan must read only what the query + join keys need:
+    // o_custkey (projected) and o_orderkey (the equality-delete key) —
+    // NOT the full table schema
+    val scanSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanSchemas.nonEmpty)
+    val dataScan = scanSchemas.find(_.contains("o_custkey")).get
+    assert(dataScan.contains("o_orderkey")) // needed by the eq anti join
+    assert(!dataScan.contains("o_totalprice") && !dataScan.contains("o_orderstatus"),
+      s"unneeded columns reached the scan:\n$dataScan")
+    assert(one.count() > 0)
+  }
+
   test("SQL over the registered MOR view") {
     val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
     val src = spark.read.parquet(s"$sf/region.parquet")

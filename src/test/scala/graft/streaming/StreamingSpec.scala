@@ -59,6 +59,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC upsert: re-delivered keys converge to the latest row") {
+    import graft.meta.{IceRead, IceWrite, LocalCatalog}
+    val catalog = LocalCatalog(java.nio.file.Files.createTempDirectory("cdc-wh").toString)
+    val srcDir = java.nio.file.Files.createTempDirectory("cdc-src")
+    IceWrite.create(spark, catalog, "cdc",
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver"))
+
+    val schema = Seq((1L, "x", 1L)).toDF("id", "v", "ver").schema
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.foreachBatch(IceWrite.streamingUpsert(catalog, "cdc", Seq("id")))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc-ck").toString)
+      .start()
+    try {
+      // batch 1: update id=2, insert id=3
+      graft.testkit.FileGenerator.writeSingleParquet(spark,
+        Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "ver"), srcDir.resolve("b1.parquet"))
+      q.processAllAvailable()
+      // batch 2: update id=3 again, insert id=4
+      graft.testkit.FileGenerator.writeSingleParquet(spark,
+        Seq((3L, "c3", 3L), (4L, "d", 3L)).toDF("id", "v", "ver"), srcDir.resolve("b2.parquet"))
+      q.processAllAvailable()
+
+      val out = IceRead.table(spark, catalog, "cdc")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(out == Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c3", 3L), (4L, "d", 3L)))
+      // each micro-batch = one atomic snapshot
+      assert(catalog.loadTable("cdc").snapshots.size == 3)
+    } finally q.stop()
+  }
+
+  test("stream-stream join with watermarks matches the batch join") {
+    val slice = events.filter($"event_id" < 2000)
+      .withColumn("ts_sec", timestamp_seconds($"ts" / lit(1000000000L)))
+    // enrich click-like events with the same user's purchase-like events
+    // inside a bounded time band — the canonical watermarked
+    // stream-stream inner join
+    def joinShape(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) = {
+      val a = l.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts_sec".as("click_ts"))
+      val b = r.filter($"event_type" === "purchase")
+        .select($"user_id".as("u2"), $"event_id".as("purchase_id"), $"ts_sec".as("purchase_ts"))
+      a.join(b, $"user_id" === $"u2" &&
+        $"purchase_ts" >= $"click_ts" && $"purchase_ts" <= $"click_ts" + expr("INTERVAL 10 MINUTES"))
+        .select($"user_id", $"click_id", $"purchase_id")
+    }
+    val batch = joinShape(slice, slice)
+
+    val dir = java.nio.file.Files.createTempDirectory("ss-join")
+    graft.testkit.FileGenerator.writeSingleParquet(spark,
+      slice.select($"event_id", $"ts", $"user_id", $"event_type", $"value"),
+      dir.resolve("events.parquet"))
+    val schema = slice.select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts_sec", timestamp_seconds($"ts" / lit(1000000000L)))
+      .withWatermark("ts_sec", "30 minutes")
+    val q = joinShape(stream, stream)
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+      assert(batch.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming ingestion into the table format: one snapshot per micro-batch") {
     import graft.meta.{IceRead, IceWrite, LocalCatalog, SchemaField, TableMetadata}
     val catalog = LocalCatalog(java.nio.file.Files.createTempDirectory("ing-wh").toString)
