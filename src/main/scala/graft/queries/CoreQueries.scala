@@ -182,6 +182,14 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 10000).cast("long")).as("value_e4"))),
 
+    // semi-structured column: JSON property extraction + aggregate
+    // (training pipelines carry metadata as JSON side-columns)
+    "q_json_agg" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))),
+
     // TPC-H Q6 shape: tight filter + scalar aggregate (full pushdown)
     "q6_filter_agg" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -386,6 +394,12 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_json_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (

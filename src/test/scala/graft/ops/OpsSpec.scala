@@ -144,6 +144,28 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getAs[Long]("neighbor_id") == 7L && top.getAs[Double]("sim") == 1.0)
   }
 
+  test("real image decode: ImageIO extracts exact dimensions and luminance") {
+    // build genuine PNGs in-memory: a 8x4 pure-red and a 5x5 mid-gray
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(8, 4, 0xff0000)),        // red: luma = 0.299*255
+      (2L, png(5, 5, 0x808080)),        // gray 128: luma = 128
+      (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.extractImageFeatures(spark, rows)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getDouble(3))))).toMap
+    assert(out(1L).exists { case (w, h, l) => w == 8 && h == 4 && math.abs(l - 0.299 * 255) < 1e-9 })
+    assert(out(2L).exists { case (w, h, l) => w == 5 && h == 5 && math.abs(l - 128.0) < 1e-9 })
+    assert(out(3L).isEmpty) // undecodable -> nulls, not a crash
+  }
+
   test("text analysis columns are sane") {
     val out = TextAnalysis.analyze(docs)
     val row = out.filter($"doc_id" === 0).head
