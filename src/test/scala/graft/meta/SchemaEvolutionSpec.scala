@@ -161,6 +161,25 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert after renaming the key column: old rows still replaced by id") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_renup",
+      df(Seq((1L, "a", 10L), (2L, "b", 20L))))
+    SchemaEvolution.renameColumn(catalog, "t_renup", "id", "ident")
+
+    val s = spark
+    import s.implicits._
+    IceWrite.upsert(spark, catalog, "t_renup",
+      Seq((2L, "B2", 200L), (3L, "c", 30L)).toDF("ident", "name", "qty"),
+      keys = Seq("ident"))
+
+    val out = IceRead.table(spark, catalog, "t_renup")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the pre-rename row for key 2 (written under column name "id") is
+    // replaced: the delete file keys by field id, not by name
+    assert(out == Set((1L, "a", 10L), (2L, "B2", 200L), (3L, "c", 30L)))
+  }
+
   test("guards: partition-column rename and bad adds are rejected") {
     val catalog = newCatalog()
     val s = spark
