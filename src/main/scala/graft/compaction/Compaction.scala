@@ -70,7 +70,11 @@ final class Compaction(
     val retry: CommitRetryConfig = CommitRetryConfig(),
     val metrics: Metrics = new Metrics,
     val enableDynamicSizeEstimation: Boolean = Defaults.EnableDynamicSizeEstimation,
-    val sizeEstimator: SizeEstimator = new SizeEstimator()
+    val sizeEstimator: SizeEstimator = new SizeEstimator(),
+    /** after a successful commit, also fold now-dangling delete files out
+      * of the manifest (Maintenance.removeDanglingDeletes) — off by
+      * default to keep commit latency flat. */
+    val cleanupDanglingDeletes: Boolean = false
 ) {
 
   /** Stage 1 — metadata-only planning (mod.rs:448-461,1307-1336).
@@ -189,7 +193,9 @@ final class Compaction(
     val plans = planCompaction()
     if (plans.isEmpty) return CompactionResult(Nil, Nil, None)
     val outcomes = concurrentRewritePlans(plans)
-    val committed = commitRewriteResults(outcomes)
+    var committed = commitRewriteResults(outcomes)
+    if (cleanupDanglingDeletes)
+      committed = Maintenance.removeDanglingDeletes(spark, catalog, tableName, retry)
     metrics.recordCompaction((System.nanoTime() - t0) / 1000000L)
     if (enableValidate) {
       val table = committed

@@ -82,6 +82,25 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.danglingDeleteFiles(spark, catalog, "t_dangle").isEmpty)
   }
 
+  test("compact(cleanupDanglingDeletes=true) leaves a delete-free manifest") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_auto_clean", src,
+      FileGenerator.Config(dataFileCount = 3, posDeleteRowsPerFile = 5,
+        eqDeleteRowsPerFile = 5, equalityIds = Seq("n_nationkey"), orderCol = "n_nationkey"))
+    val before = IceRead.table(spark, catalog, "t_auto_clean")
+    val n = before.count()
+
+    val res = new Compaction(catalog, "t_auto_clean", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)),
+      cleanupDanglingDeletes = true).compact()
+
+    val head = res.table.get.currentSnapshot.get
+    assert(head.manifest.forall(_.content == FileContent.Data))
+    assert(head.summary("operation") == "maintenance")
+    assert(IceRead.table(spark, catalog, "t_auto_clean").count() == n)
+  }
+
   test("expiry never drops ref-pinned snapshots") {
     val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
     val src = spark.read.parquet(s"$sf/region.parquet")

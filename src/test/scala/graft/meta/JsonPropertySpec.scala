@@ -1,0 +1,68 @@
+package graft.meta
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The metadata JSON codec is the on-disk format — write(read(x)) must be
+  * the identity for arbitrary metadata: typed and untyped schemas,
+  * branches, snapshots, partition values, equality field ids, zone maps. */
+class JsonPropertySpec extends AnyFunSuite {
+
+  private def samples[T](gen: Gen[T], n: Int = 100): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val nameGen = Gen.alphaLowerStr.map(s => "c" + s.take(6))
+  private val fieldGen: Gen[SchemaField] = for {
+    id <- Gen.chooseNum(1, 50)
+    name <- nameGen
+    t <- Gen.oneOf("", "BIGINT", "STRING", "DOUBLE", "ARRAY<FLOAT>")
+    nullable <- Gen.oneOf(true, false)
+  } yield SchemaField(id, name, t, nullable)
+
+  private val fileGen: Gen[FileEntry] = for {
+    path <- nameGen.map("/w/" + _)
+    len <- Gen.chooseNum(1L, 1L << 40)
+    content <- Gen.oneOf(FileContent.Data, FileContent.PositionDeletes, FileContent.EqualityDeletes)
+    rows <- Gen.chooseNum(0L, 1L << 30)
+    seq <- Gen.chooseNum(0L, 100L)
+    eqIds <- Gen.listOf(nameGen)
+    eqFids <- Gen.listOf(Gen.chooseNum(1, 50))
+    parts <- Gen.mapOf(Gen.zip(nameGen, Gen.oneOf("1", "2", "a b", "x=y")))
+    stats <- Gen.mapOf(Gen.zip(nameGen,
+      Gen.zip(Gen.chooseNum(-1000, 1000).map(_.toString), Gen.chooseNum(1000, 9999).map(_.toString))))
+  } yield FileEntry(path, len, content, rows, seq, eqIds, eqFids, parts, Nil, stats)
+
+  private val snapGen: Gen[Snapshot] = for {
+    id <- Gen.chooseNum(1L, 99L)
+    parent <- Gen.option(Gen.chooseNum(1L, 99L))
+    seq <- Gen.chooseNum(1L, 99L)
+    ts <- Gen.chooseNum(0L, 1L << 45)
+    manifest <- Gen.listOf(fileGen)
+    summary <- Gen.mapOf(Gen.zip(nameGen, nameGen))
+  } yield Snapshot(id, parent, seq, ts, manifest, summary)
+
+  private val metaGen: Gen[TableMetadata] = for {
+    name <- nameGen
+    fv <- Gen.oneOf(1, 2, 3)
+    schema <- Gen.listOf(fieldGen)
+    pspec <- Gen.listOf(Gen.zip(nameGen, Gen.oneOf("identity", "bucket[4]"))
+      .map { case (c, t) => PartitionField(c, t) })
+    sort <- Gen.listOf(Gen.zip(nameGen, Gen.oneOf(true, false), Gen.oneOf(true, false))
+      .map { case (c, a, nf) => SortField(c, a, nf) })
+    cur <- Gen.option(Gen.chooseNum(1L, 99L))
+    refs <- Gen.mapOf(Gen.zip(nameGen, Gen.chooseNum(1L, 99L)))
+    snaps <- Gen.listOf(snapGen)
+    lastSeq <- Gen.chooseNum(0L, 999L)
+    v <- Gen.chooseNum(1, 50)
+    lastCol <- Gen.chooseNum(0, 60)
+  } yield TableMetadata(name, s"/w/$name", fv, schema, pspec, sort, cur, refs,
+    snaps, lastSeq, v, lastCol)
+
+  test("metadata JSON write/read is the identity on arbitrary metadata") {
+    for (meta <- samples(metaGen)) {
+      val back = MetadataJson.read(MetadataJson.write(meta))
+      assert(back == meta, s"round-trip mismatch for $meta")
+    }
+  }
+}
