@@ -36,6 +36,31 @@ object Maintenance {
     sys.error("unreachable")
   }
 
+  /** Age-based expiry (Iceberg's expireSnapshots olderThan): drops
+    * snapshots committed before the cutoff, always keeping every
+    * ref-pinned snapshot, the current one, and at least `retainLast`
+    * newest. */
+  def expireSnapshotsOlderThan(catalog: Catalog, tableName: String,
+      olderThanMs: Long, retainLast: Int = 1,
+      retry: CommitRetryConfig = CommitRetryConfig()): TableMetadata = {
+    require(retainLast >= 1, "retainLast must be >= 1")
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(tableName)
+      val pinned = meta.refs.values.toSet ++ meta.currentSnapshotId.toSet
+      val newest = meta.snapshots.sortBy(-_.snapshotId).take(retainLast).map(_.snapshotId).toSet
+      val keep = meta.snapshots.filter(s =>
+        s.timestampMs >= olderThanMs || pinned.contains(s.snapshotId) ||
+          newest.contains(s.snapshotId))
+      val trimmed = meta.copy(snapshots = keep)
+      try return catalog.commit(meta, trimmed)
+      catch {
+        case _: CommitConflictException if attempt < retry.maxRetries => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Default orphan grace period: 3 days, same as Iceberg's
     * removeOrphanFiles `olderThan` default — files land on disk BEFORE the
     * metadata commit that references them, so a writer in flight always

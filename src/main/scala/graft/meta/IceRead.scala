@@ -36,6 +36,17 @@ object IceRead {
     ofSnapshot(spark, meta, snap)
   }
 
+  /** Time travel by wall clock: the newest snapshot committed at or
+    * before `timestampMs` (Iceberg's TIMESTAMP AS OF). */
+  def tableAsOf(spark: SparkSession, catalog: Catalog, name: String, timestampMs: Long): DataFrame = {
+    val meta = catalog.loadTable(name)
+    val snap = meta.snapshots.filter(_.timestampMs <= timestampMs)
+      .sortBy(s => (s.timestampMs, s.snapshotId)).lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"table $name has no snapshot at or before $timestampMs"))
+    ofSnapshot(spark, meta, snap)
+  }
+
   /** Partition-pruned read: drops manifest entries whose partition values
     * don't match before any Spark plan exists — at 100 TB this is the
     * difference between scanning one partition's files and listing a

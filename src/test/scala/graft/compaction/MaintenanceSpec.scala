@@ -101,6 +101,30 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(IceRead.table(spark, catalog, "t_auto_clean").count() == n)
   }
 
+  test("timestamp time travel and age-based expiry") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_age", src,
+      FileGenerator.Config(dataFileCount = 2, orderCol = "r_regionkey"))
+    val t1 = catalog.loadTable("t_age").currentSnapshot.get.timestampMs
+    Thread.sleep(5)
+    new Compaction(catalog, "t_age", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1))).compact()
+    val t2 = catalog.loadTable("t_age").currentSnapshot.get.timestampMs
+
+    // AS OF t1 reads snapshot 1; AS OF now reads the compacted head
+    assert(IceRead.tableAsOf(spark, catalog, "t_age", t1).count() == 5)
+    assert(IceRead.tableAsOf(spark, catalog, "t_age", System.currentTimeMillis()).count() == 5)
+    intercept[IllegalStateException] {
+      IceRead.tableAsOf(spark, catalog, "t_age", t1 - 100000)
+    }
+
+    // expire everything older than the head commit; the head survives
+    val trimmed = Maintenance.expireSnapshotsOlderThan(catalog, "t_age", olderThanMs = t2)
+    assert(trimmed.snapshots.map(_.snapshotId) == Seq(2L))
+    assert(IceRead.table(spark, catalog, "t_age").count() == 5)
+  }
+
   test("expiry never drops ref-pinned snapshots") {
     val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
     val src = spark.read.parquet(s"$sf/region.parquet")
