@@ -20,17 +20,20 @@ class JsonPropertySpec extends AnyFunSuite {
     nullable <- Gen.oneOf(true, false)
   } yield SchemaField(id, name, t, nullable)
 
+  private def shortListOf[T](max: Int, g: Gen[T]): Gen[List[T]] =
+    Gen.chooseNum(0, max).flatMap(n => Gen.listOfN(n, g))
+
   private val fileGen: Gen[FileEntry] = for {
     path <- nameGen.map("/w/" + _)
     len <- Gen.chooseNum(1L, 1L << 40)
     content <- Gen.oneOf(FileContent.Data, FileContent.PositionDeletes, FileContent.EqualityDeletes)
     rows <- Gen.chooseNum(0L, 1L << 30)
     seq <- Gen.chooseNum(0L, 100L)
-    eqIds <- Gen.listOf(nameGen)
-    eqFids <- Gen.listOf(Gen.chooseNum(1, 50))
-    parts <- Gen.mapOf(Gen.zip(nameGen, Gen.oneOf("1", "2", "a b", "x=y")))
-    stats <- Gen.mapOf(Gen.zip(nameGen,
-      Gen.zip(Gen.chooseNum(-1000, 1000).map(_.toString), Gen.chooseNum(1000, 9999).map(_.toString))))
+    eqIds <- shortListOf(3, nameGen)
+    eqFids <- shortListOf(3, Gen.chooseNum(1, 50))
+    parts <- shortListOf(2, Gen.zip(nameGen, Gen.oneOf("1", "2", "a b", "x=y"))).map(_.toMap)
+    stats <- shortListOf(3, Gen.zip(nameGen,
+      Gen.zip(Gen.chooseNum(-1000, 1000).map(_.toString), Gen.chooseNum(1000, 9999).map(_.toString)))).map(_.toMap)
   } yield FileEntry(path, len, content, rows, seq, eqIds, eqFids, parts, Nil, stats)
 
   private val snapGen: Gen[Snapshot] = for {
@@ -38,21 +41,21 @@ class JsonPropertySpec extends AnyFunSuite {
     parent <- Gen.option(Gen.chooseNum(1L, 99L))
     seq <- Gen.chooseNum(1L, 99L)
     ts <- Gen.chooseNum(0L, 1L << 45)
-    manifest <- Gen.listOf(fileGen)
-    summary <- Gen.mapOf(Gen.zip(nameGen, nameGen))
+    manifest <- shortListOf(6, fileGen)
+    summary <- shortListOf(3, Gen.zip(nameGen, nameGen)).map(_.toMap)
   } yield Snapshot(id, parent, seq, ts, manifest, summary)
 
   private val metaGen: Gen[TableMetadata] = for {
     name <- nameGen
     fv <- Gen.oneOf(1, 2, 3)
-    schema <- Gen.listOf(fieldGen)
-    pspec <- Gen.listOf(Gen.zip(nameGen, Gen.oneOf("identity", "bucket[4]"))
+    schema <- shortListOf(6, fieldGen)
+    pspec <- shortListOf(2, Gen.zip(nameGen, Gen.oneOf("identity", "bucket[4]"))
       .map { case (c, t) => PartitionField(c, t) })
-    sort <- Gen.listOf(Gen.zip(nameGen, Gen.oneOf(true, false), Gen.oneOf(true, false))
+    sort <- shortListOf(2, Gen.zip(nameGen, Gen.oneOf(true, false), Gen.oneOf(true, false))
       .map { case (c, a, nf) => SortField(c, a, nf) })
     cur <- Gen.option(Gen.chooseNum(1L, 99L))
-    refs <- Gen.mapOf(Gen.zip(nameGen, Gen.chooseNum(1L, 99L)))
-    snaps <- Gen.listOf(snapGen)
+    refs <- shortListOf(3, Gen.zip(nameGen, Gen.chooseNum(1L, 99L))).map(_.toMap)
+    snaps <- shortListOf(4, snapGen)
     lastSeq <- Gen.chooseNum(0L, 999L)
     v <- Gen.chooseNum(1, 50)
     lastCol <- Gen.chooseNum(0, 60)
