@@ -154,6 +154,79 @@ object Maintenance {
     sys.error("unreachable")
   }
 
+  /** Position-delete file compaction (Iceberg's
+    * rewrite_position_delete_files): merges the branch head's pos-delete
+    * files into one and drops tombstone ROWS whose referenced data file is
+    * no longer live — delete-side read amplification shrinks without
+    * touching any data file. The merged file takes the max original
+    * sequence number: safe, because a tombstone row targets one specific
+    * (file_path, pos) and data paths are unique, so raising the sequence
+    * cannot make it match anything new. */
+  def rewritePositionDeletes(spark: org.apache.spark.sql.SparkSession,
+      catalog: Catalog, tableName: String,
+      retry: CommitRetryConfig = CommitRetryConfig()): TableMetadata = {
+    import org.apache.spark.sql.functions.col
+    val meta0 = catalog.loadTable(tableName)
+    val snap0 = meta0.currentSnapshot.getOrElse(return meta0)
+    val posFiles = snap0.manifest.filter(_.content == FileContent.PositionDeletes)
+    if (posFiles.isEmpty) return meta0
+    val dataPaths = snap0.manifest.filter(_.content == FileContent.Data).map(_.path)
+
+    // survivors: tombstones whose target data file is still live
+    val live = spark.createDataset(dataPaths)(
+      org.apache.spark.sql.Encoders.STRING).toDF("file_path")
+    val survivors = spark.read.parquet(posFiles.map(_.path): _*)
+      .select(col("file_path"), col("pos"))
+      .join(org.apache.spark.sql.functions.broadcast(live), Seq("file_path"), "left_semi")
+    val written =
+      if (survivors.isEmpty) Nil
+      else graft.exec.SparkExecutor.writeDataFiles(spark, survivors,
+        java.nio.file.Paths.get(meta0.location, "data").toString,
+        partitionSpec = Nil, sortOrder = Nil, maxRecordsPerFile = Long.MaxValue,
+        repartitionTo = 1)
+    val mergedSeq = posFiles.map(_.sequenceNumber).max
+
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(tableName)
+      val snap = meta.currentSnapshot.getOrElse(return meta)
+      val oldPaths = posFiles.map(_.path).toSet
+      // another writer may have added pos deletes since; only swap the
+      // ones this rewrite actually read
+      val newManifest = snap.manifest.filterNot(f => oldPaths.contains(f.path)) ++
+        written.map(_.copy(content = FileContent.PositionDeletes, sequenceNumber = mergedSeq))
+      val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+      val next = Snapshot(snapshotId, Some(snap.snapshotId), meta.lastSequenceNumber,
+        System.currentTimeMillis(), newManifest,
+        TableMetadata.preservedProperties(snap.summary) ++
+          TableMetadata.computedSummary(snap.manifest, newManifest) +
+          ("operation" -> "maintenance"))
+      val updated = meta.copy(currentSnapshotId = Some(snapshotId),
+        refs = meta.refs + ("main" -> snapshotId), snapshots = meta.snapshots :+ next)
+      try return catalog.commit(meta, updated)
+      catch {
+        case _: CommitConflictException if attempt < retry.maxRetries => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Trims old metadata version files (v*.metadata.json), keeping the
+    * newest `keepLast` — the catalog-side analogue of snapshot expiry;
+    * version files otherwise accumulate one per commit forever. */
+  def cleanMetadataVersions(catalog: LocalCatalog, tableName: String, keepLast: Int = 10): Int = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val current = catalog.loadTable(tableName).version
+    val dir = catalog.tableLocation(tableName).resolve("metadata")
+    val pattern = """v(\d+)\.metadata\.json""".r
+    Files.list(dir).iterator().asScala.toSeq.count { p =>
+      p.getFileName.toString match {
+        case pattern(v) if v.toInt <= current - keepLast => Files.deleteIfExists(p)
+        case _ => false
+      }
+    }
+  }
+
   /** Deletes the given orphans (paths must come from [[orphanFiles]],
     * called with the same `olderThanMs`). */
   def deleteOrphans(catalog: Catalog, tableName: String, paths: Seq[String],

@@ -125,6 +125,53 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(IceRead.table(spark, catalog, "t_age").count() == 5)
   }
 
+  test("position-delete compaction merges files and drops dead tombstones") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val s2 = spark
+    import s2.implicits._
+    IceWrite.create(spark, catalog, "t_pdrw",
+      (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"), targetFileSizeBytes = 1024)
+    // two separate position-delete commits -> two pos-delete files
+    def posFor(ids: Seq[Long]): Unit = {
+      val meta = catalog.loadTable("t_pdrw")
+      val dataFiles = meta.currentSnapshot.get.manifest.filter(_.content == FileContent.Data)
+      val withPos = spark.read.parquet(dataFiles.map(_.path): _*)
+        .withColumn("file_path", graft.exec.Mor.normalizePath(
+          org.apache.spark.sql.functions.col("_metadata.file_path")))
+        .withColumn("pos", org.apache.spark.sql.functions.col("_metadata.row_index"))
+      IceWrite.appendPositionDeletes(spark, catalog, "t_pdrw",
+        withPos.filter($"id".isin(ids: _*)).select("file_path", "pos"))
+    }
+    posFor(Seq(1L, 2L)); posFor(Seq(3L))
+    val before = IceRead.table(spark, catalog, "t_pdrw")
+    assert(before.count() == 27)
+    assert(catalog.loadTable("t_pdrw").currentSnapshot.get
+      .manifest.count(_.content == FileContent.PositionDeletes) >= 2)
+
+    // merge: 2 files -> 1, view unchanged
+    Maintenance.rewritePositionDeletes(spark, catalog, "t_pdrw")
+    val merged = catalog.loadTable("t_pdrw").currentSnapshot.get
+      .manifest.filter(_.content == FileContent.PositionDeletes)
+    assert(merged.size == 1 && merged.head.recordCount == 3)
+    val after = IceRead.table(spark, catalog, "t_pdrw")
+    assert(after.count() == 27)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+
+    // after a full compaction the tombstones point at dead files: the
+    // rewrite drops them entirely
+    new Compaction(catalog, "t_pdrw", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1))).compact()
+    Maintenance.rewritePositionDeletes(spark, catalog, "t_pdrw")
+    assert(catalog.loadTable("t_pdrw").currentSnapshot.get
+      .manifest.forall(_.content == FileContent.Data))
+    assert(IceRead.table(spark, catalog, "t_pdrw").count() == 27)
+
+    // metadata version files trim to the newest N
+    val deleted = Maintenance.cleanMetadataVersions(catalog, "t_pdrw", keepLast = 2)
+    assert(deleted > 0)
+    assert(IceRead.table(spark, catalog, "t_pdrw").count() == 27) // current still loads
+  }
+
   test("expiry never drops ref-pinned snapshots") {
     val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
     val src = spark.read.parquet(s"$sf/region.parquet")
