@@ -24,6 +24,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.SparkLogs.quietGlobalWindowWarning()
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()

@@ -73,9 +73,24 @@ object Mor {
 
   /** Position-delete anti join: drop data rows whose (file_path, pos) has a
     * tombstone (datafusion_processor.rs:489-522; reference RIGHT ANTI ==
-    * our LEFT ANTI). */
-  def applyPositionDeletes(data: DataFrame, deletes: DataFrame): DataFrame =
-    data.join(broadcast(deletes), Seq(FilePathCol, PosCol), "left_anti")
+    * our LEFT ANTI).
+    *
+    * The delete side broadcasts only under the byte gate — same contract as
+    * [[dataFrame]]. Callers holding manifest sizes pass them via
+    * `deleteBytes`; otherwise Catalyst's plan-time size estimate stands in,
+    * so an unexpectedly large delete relation degrades to a shuffled join
+    * instead of OOMing the driver. (The reference merely *assumes* delete
+    * sides are small, datafusion_processor.rs:524-571.) */
+  def applyPositionDeletes(
+      data: DataFrame, deletes: DataFrame,
+      deleteBytes: Long = -1L,
+      broadcastDeleteBytesMax: Long = BroadcastDeleteBytesMax): DataFrame = {
+    val bytes =
+      if (deleteBytes >= 0) deleteBytes
+      else deletes.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+    data.join(gated(deletes, bytes, broadcastDeleteBytesMax), Seq(FilePathCol, PosCol), "left_anti")
+  }
 
   /** Equality-delete anti join: drop data rows matching a tombstone's key
     * columns with strictly newer sequence number

@@ -142,19 +142,51 @@ object Dedup {
       .select(col("id1"), col("id2"))
   }
 
+  /** Shuffle-based twin of [[verifyJaccardSets]]: the same two joins
+    * against the per-row shingle sets, but keyed shuffles instead of
+    * broadcasts. The per-bucket cap in [[lshCandidatePairs]] bounds pairs
+    * per bucket, not globally — a high-duplication corpus (the normal case
+    * for web crawl) yields O(corpus) candidates, and broadcasting those
+    * would OOM the driver. This path shuffles pairs + sets by id: strictly
+    * more data movement, but size-safe at any candidate volume. */
+  def verifyJaccardSetsShuffled(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val withA = pairs
+      .join(sets.select(col("id").as("id1"), col("gset").as("__g1")), Seq("id1"))
+    val resolved = withA
+      .join(sets.select(col("id").as("id2"), col("gset").as("__g2")), Seq("id2"))
+    resolved
+      .filter(graft.functions.SetFunctions.jaccard_ge(col("__g1"), col("__g2"), threshold))
+      .select(col("id1"), col("id2"))
+  }
+
+  /** Broadcast gate for the candidate-verify stage, in pairs. A pair is two
+    * ids (~tens of bytes hashed-relation-side), so 1M pairs is a few tens
+    * of MB — comparable to [[graft.exec.Mor.BroadcastDeleteBytesMax]]. */
+  val MaxBroadcastCandidates: Long = 1L << 20
+
   /** Full MinHash+LSH near-dup pipeline over word shingles:
-    * shingle -> signature -> band -> bucket join -> broadcast verify. */
+    * shingle -> signature -> band -> bucket join -> gated verify.
+    *
+    * The candidate set is materialized (eager localCheckpoint) and counted,
+    * then verification picks the broadcast path under
+    * `maxBroadcastCandidates` and the shuffled path above it — the same
+    * size-gated-broadcast pattern as [[graft.exec.Mor.dataFrame]]. The
+    * count is free: the blocks back both the count and the verify join. */
   def minHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 100,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     // localCheckpoint, not cache(): lineage truncated and the blocks are
     // released by the context cleaner when the result is dropped —
     // cache() entries live in the CacheManager until explicitly
     // unpersisted, which leaked across repeated pipeline invocations
     val grams = wordShingles(df, idCol, textCol, n).localCheckpoint(false)
     val pairs = lshCandidatePairs(lshBands(minHashSignatures(grams, k), k, rowsPerBand), maxBucketSize)
-    verifyJaccardSets(pairs, wordShingleSets(df, idCol, textCol, n), threshold)
+      .localCheckpoint(true)
+    val sets = wordShingleSets(df, idCol, textCol, n)
+    if (pairs.count() <= maxBroadcastCandidates) verifyJaccardSets(pairs, sets, threshold)
+    else verifyJaccardSetsShuffled(pairs, sets, threshold)
   }
 
   /** Exact n-gram Jaccard over ALL co-shingled pairs: the direct

@@ -22,6 +22,11 @@ import graft.exec.SparkExecutor
   */
 object FileGenerator {
 
+  // The fixture's single-file writers below deliberately use GLOBAL windows
+  // (deterministic whole-file row order is the point, files are tiny);
+  // silence that one warning logger so fixture-heavy logs keep their signal
+  graft.util.SparkLogs.quietGlobalWindowWarning()
+
   final case class Config(
       dataFileCount: Int = 5,
       eqDeleteRowsPerFile: Int = 0,
@@ -76,7 +81,8 @@ object FileGenerator {
       val per = math.max(1L, (total + nFiles - 1) / nFiles)
       // global (unpartitioned) window: intentional HERE ONLY — a test
       // fixture writing one small file whose deterministic row order IS
-      // the point; never use this shape in a query path
+      // the point; never use this shape in a query path (the WindowExec
+      // warning it would spam is silenced for the testkit, see object init)
       val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
       val indexed = df.withColumn("__rn", row_number().over(w) - 1)
       for (i <- 0 until nFiles) {

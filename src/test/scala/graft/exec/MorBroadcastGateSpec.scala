@@ -57,6 +57,33 @@ class MorBroadcastGateSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("applyPositionDeletes broadcasts under its gate, shuffles above it, same result") {
+    import org.apache.spark.sql.functions._
+    val data = spark.read.parquet(s"$sf/lineitem.parquet").select(
+      col("l_orderkey"), col("l_linenumber"),
+      concat(lit("f"), (col("l_orderkey") % 7).cast("string")).as(Mor.FilePathCol),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as(Mor.PosCol))
+    val dels = data.filter(col("l_orderkey") % 13 === 0)
+      .select(col(Mor.FilePathCol), col(Mor.PosCol))
+
+    // small delete side + default gate (Catalyst stats estimate): broadcast
+    val below = Mor.applyPositionDeletes(data, dels)
+    val belowPlan = below.queryExecution.executedPlan.toString
+    assert(belowPlan.contains("BroadcastHashJoin") && belowPlan.contains("LeftAnti"),
+      s"expected broadcast anti join below the gate:\n$belowPlan")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val above = Mor.applyPositionDeletes(data, dels, broadcastDeleteBytesMax = 0L)
+      val abovePlan = above.queryExecution.executedPlan.toString
+      assert(abovePlan.contains("SortMergeJoin") || abovePlan.contains("ShuffledHashJoin"),
+        s"expected shuffled anti join above the gate:\n$abovePlan")
+      assert(below.count() == above.count())
+      assert(below.exceptAll(above).isEmpty && above.exceptAll(below).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("default gate keeps small delete sides on the broadcast path") {
     val (meta, group) = morGroup()
     val df = Mor.dataFrame(spark, group, meta.schemaColumns, 2)
