@@ -18,7 +18,7 @@ object IceWrite {
   /** Creates the table and commits the DataFrame as snapshot 1. */
   def create(
       spark: SparkSession,
-      catalog: LocalCatalog,
+      catalog: Catalog,
       name: String,
       df: DataFrame,
       partitionSpec: Seq[PartitionField] = Nil,
@@ -34,14 +34,14 @@ object IceWrite {
   }
 
   /** Appends rows as new data files (new snapshot, fresh sequence number). */
-  def append(spark: SparkSession, catalog: LocalCatalog, name: String, df: DataFrame,
+  def append(spark: SparkSession, catalog: Catalog, name: String, df: DataFrame,
       targetFileSizeBytes: Long = Defaults.TargetFileSize): TableMetadata =
     appendInternal(spark, catalog, name, df, FileContent.Data, Nil, targetFileSizeBytes)
 
   /** Appends an equality-delete file: every existing row whose `equalityIds`
     * columns match a key row (and whose sequence number is older) vanishes
     * from the MOR view. `keys` must contain exactly the equality columns. */
-  def appendEqualityDeletes(spark: SparkSession, catalog: LocalCatalog, name: String,
+  def appendEqualityDeletes(spark: SparkSession, catalog: Catalog, name: String,
       keys: DataFrame, equalityIds: Seq[String]): TableMetadata = {
     require(keys.columns.toSeq.sorted == equalityIds.sorted,
       s"keys columns ${keys.columns.toSeq} must equal equalityIds $equalityIds")
@@ -50,7 +50,7 @@ object IceWrite {
   }
 
   /** Appends a position-delete file; `positions` needs (file_path, pos). */
-  def appendPositionDeletes(spark: SparkSession, catalog: LocalCatalog, name: String,
+  def appendPositionDeletes(spark: SparkSession, catalog: Catalog, name: String,
       positions: DataFrame): TableMetadata = {
     require(positions.columns.toSet == Set("file_path", "pos"),
       "positions must have columns (file_path, pos)")
@@ -62,7 +62,7 @@ object IceWrite {
     * {{{ ds.writeStream.foreachBatch(IceWrite.streamingAppend(catalog, name)).start() }}}
     * Each micro-batch commits one snapshot (CAS-retried, so concurrent
     * writers interleave safely). */
-  def streamingAppend(catalog: LocalCatalog, name: String): (DataFrame, Long) => Unit =
+  def streamingAppend(catalog: Catalog, name: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) { append(batch.sparkSession, catalog, name, batch): Unit }
 
@@ -70,7 +70,7 @@ object IceWrite {
     * keyed by `keys` — late re-deliveries and in-place updates of the same
     * key converge to the latest batch's row without rewriting data files.
     * The streaming face of MERGE INTO. */
-  def streamingUpsert(catalog: LocalCatalog, name: String,
+  def streamingUpsert(catalog: Catalog, name: String,
       keys: Seq[String]): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
@@ -114,7 +114,7 @@ object IceWrite {
     * seq N) survive. Non-main branches move only their ref — main's view
     * is untouched until a publish fast-forwards it (write-audit-publish). */
   private def commitSnapshot(
-      catalog: LocalCatalog, name: String, sets: Seq[StampSet],
+      catalog: Catalog, name: String, sets: Seq[StampSet],
       operation: String, branch: String): TableMetadata = {
     var attempt = 0
     while (true) {
@@ -159,7 +159,7 @@ object IceWrite {
 
   private def appendInternal(
       spark: SparkSession,
-      catalog: LocalCatalog,
+      catalog: Catalog,
       name: String,
       df: DataFrame,
       content: FileContent.Value,
@@ -193,7 +193,7 @@ object IceWrite {
     * rows survive, and no reader can observe the delete without the
     * insert. This is the MOR write pattern the reference's equality
     * deletes exist to serve. */
-  def upsert(spark: SparkSession, catalog: LocalCatalog, name: String,
+  def upsert(spark: SparkSession, catalog: Catalog, name: String,
       df: DataFrame, keys: Seq[String],
       targetFileSizeBytes: Long = Defaults.TargetFileSize,
       branch: String = "main"): TableMetadata = {
@@ -220,7 +220,7 @@ object IceWrite {
     * metadata columns, evaluates the predicate, and appends the matching
     * (file_path, pos) tombstones — no data file is rewritten. Re-deleting
     * an already-tombstoned row is a harmless duplicate. */
-  def deleteWhere(spark: SparkSession, catalog: LocalCatalog, name: String,
+  def deleteWhere(spark: SparkSession, catalog: Catalog, name: String,
       condition: org.apache.spark.sql.Column, branch: String = "main"): TableMetadata = {
     import org.apache.spark.sql.functions.col
     val meta = catalog.loadTable(name)
@@ -245,7 +245,7 @@ object IceWrite {
 
   /** Creates (or resets) a branch ref at `fromBranch`'s head — the
     * write-audit-publish staging point. */
-  def createBranch(catalog: LocalCatalog, name: String, branch: String,
+  def createBranch(catalog: Catalog, name: String, branch: String,
       fromBranch: String = "main"): TableMetadata = {
     var attempt = 0
     while (true) {
@@ -262,7 +262,7 @@ object IceWrite {
     * snapshot pointer) to the branch head. Audit the branch with
     * [[IceRead.table]](branch) first; until publish, main readers see
     * nothing of the staged commits. */
-  def publishBranch(catalog: LocalCatalog, name: String, branch: String): TableMetadata = {
+  def publishBranch(catalog: Catalog, name: String, branch: String): TableMetadata = {
     var attempt = 0
     while (true) {
       val meta = catalog.loadTable(name)

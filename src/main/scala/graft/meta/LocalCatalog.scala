@@ -27,6 +27,12 @@ trait Catalog {
     * [[CommitConflictException]] if that version already exists. */
   def commit(base: TableMetadata, updated: TableMetadata): TableMetadata
   def dropTable(name: String): Unit
+  /** Root of the table's storage. Known even before the table exists:
+    * writers stage data files first, then register them in a commit
+    * (write-then-commit, the Iceberg pattern). */
+  def tableLocation(name: String): Path
+  /** Where the table's data files live (under [[tableLocation]]). */
+  def dataDir(name: String): Path
 }
 
 final class LocalCatalog(val warehouse: Path) extends Catalog {

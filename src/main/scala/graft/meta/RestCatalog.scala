@@ -1,0 +1,186 @@
+package graft.meta
+
+import java.io.OutputStream
+import java.net.{InetSocketAddress, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** REST-shaped catalog: the second [[Catalog]] implementation, proving the
+  * seam the same way the reference's primary integration surface does — a
+  * REST catalog service plus an object store
+  * (integration-tests/testdata/docker-compose.yaml:22-62, harness
+  * integration-tests/src/docker_compose.rs:48-80). Metadata travels as
+  * JSON over HTTP; commits are optimistic CAS surfaced as HTTP 409 and
+  * re-raised client-side as [[CommitConflictException]], so the
+  * load-retry-commit loops in Compaction/IceWrite/Maintenance work
+  * unchanged against either catalog.
+  *
+  * Protocol (modeled on the Iceberg REST catalog's shape):
+  *  - `GET  /v1/config`                 -> `{"warehouse": "..."}` — where
+  *    table files live (the object-store stand-in; executors write there
+  *    directly, the catalog serves metadata only, as in a real deployment)
+  *  - `GET  /v1/tables/{name}`          -> table metadata JSON | 404
+  *  - `HEAD /v1/tables/{name}`          -> 200 | 404
+  *  - `POST /v1/tables`                 -> create (body = metadata), 409 if exists
+  *  - `POST /v1/tables/{name}/commit`   -> CAS commit; the expected base
+  *    version rides the `X-Graft-Base-Version` header; 409 on conflict
+  *  - `DELETE /v1/tables/{name}`        -> drop (removes data too)
+  */
+object RestCatalog {
+
+  /** In-process catalog service. Metadata lives in server memory (not the
+    * filesystem — deliberately unlike [[LocalCatalog]], so the seam is
+    * proven against a genuinely different store); the warehouse directory
+    * only holds table data files. */
+  final class Server(val warehouse: Path, port: Int = 0) {
+    private val store = new ConcurrentHashMap[String, TableMetadata]()
+    private val pool = Executors.newFixedThreadPool(8)
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.setExecutor(pool)
+    Files.createDirectories(warehouse)
+
+    server.createContext("/v1/", (ex: HttpExchange) => handle(ex))
+    server.start()
+
+    def uri: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+    def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+    private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      if (ex.getRequestMethod == "HEAD") ex.sendResponseHeaders(code, -1)
+      else {
+        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
+        if (bytes.nonEmpty) {
+          val os: OutputStream = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+        }
+      }
+      ex.close()
+    }
+
+    private def handle(ex: HttpExchange): Unit = try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/").split("/").toList
+      (ex.getRequestMethod, path) match {
+        case ("GET", List("config")) =>
+          respond(ex, 200, s"""{"warehouse": ${JsonMethods.compact(JString(warehouse.toString))}}""")
+
+        case ("GET" | "HEAD", List("tables", name)) =>
+          store.get(name) match {
+            case null => respond(ex, 404, s"""{"error": "table $name not found"}""")
+            case m    => respond(ex, 200, MetadataJson.write(m))
+          }
+
+        case ("POST", List("tables")) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val meta = MetadataJson.read(body)
+          val assigned = meta.copy(version = 1,
+            location = warehouse.resolve(meta.name).toString)
+          if (store.putIfAbsent(meta.name, assigned) != null)
+            respond(ex, 409, s"""{"error": "table ${meta.name} already exists"}""")
+          else {
+            Files.createDirectories(warehouse.resolve(meta.name).resolve("data"))
+            respond(ex, 201, MetadataJson.write(assigned))
+          }
+
+        case ("POST", List("tables", name, "commit")) =>
+          val baseVersion = Option(ex.getRequestHeaders.getFirst("X-Graft-Base-Version"))
+            .map(_.toInt).getOrElse(-1)
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val updated = MetadataJson.read(body)
+          // the CAS: atomically advance name's metadata iff the stored
+          // version is still the one the writer planned against
+          var outcome: Either[Int, TableMetadata] = Left(404)
+          store.compute(name, (_, cur) =>
+            if (cur == null) { outcome = Left(404); cur }
+            else if (cur.version != baseVersion) { outcome = Left(409); cur }
+            else {
+              val next = updated.copy(version = cur.version + 1)
+              outcome = Right(next); next
+            })
+          outcome match {
+            case Right(next) => respond(ex, 200, MetadataJson.write(next))
+            case Left(404) => respond(ex, 404, s"""{"error": "table $name not found"}""")
+            case Left(_) => respond(ex, 409,
+              s"""{"error": "table $name: commit base version $baseVersion is stale"}""")
+          }
+
+        case ("DELETE", List("tables", name)) =>
+          store.remove(name)
+          val root = warehouse.resolve(name)
+          if (Files.exists(root))
+            Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          respond(ex, 204, "")
+
+        case _ => respond(ex, 400, s"""{"error": "unsupported route"}""")
+      }
+    } catch {
+      case e: Throwable => respond(ex, 500, s"""{"error": "${e.getMessage}"}""")
+    }
+  }
+
+  /** HTTP client face of the catalog. Stateless aside from the cached
+    * `/v1/config` warehouse; every operation is one request. */
+  final class Client(baseUri: String) extends Catalog {
+    private val http = HttpClient.newHttpClient()
+
+    private def req(path: String): HttpRequest.Builder =
+      HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
+
+    private def send(r: HttpRequest): HttpResponse[String] =
+      http.send(r, HttpResponse.BodyHandlers.ofString())
+
+    lazy val warehouse: Path = {
+      val resp = send(req("/v1/config").GET().build())
+      require(resp.statusCode == 200, s"catalog config failed: ${resp.body}")
+      JsonMethods.parse(resp.body) \ "warehouse" match {
+        case JString(w) => Paths.get(w)
+        case other => sys.error(s"bad config response: $other")
+      }
+    }
+
+    def tableLocation(name: String): Path = warehouse.resolve(name)
+    def dataDir(name: String): Path = warehouse.resolve(name).resolve("data")
+
+    override def tableExists(name: String): Boolean =
+      send(req(s"/v1/tables/$name").method("HEAD", HttpRequest.BodyPublishers.noBody())
+        .build()).statusCode == 200
+
+    override def createTable(meta: TableMetadata): TableMetadata = {
+      val resp = send(req("/v1/tables")
+        .POST(HttpRequest.BodyPublishers.ofString(MetadataJson.write(meta))).build())
+      require(resp.statusCode == 201, s"createTable ${meta.name} failed: ${resp.body}")
+      MetadataJson.read(resp.body)
+    }
+
+    override def loadTable(name: String): TableMetadata = {
+      val resp = send(req(s"/v1/tables/$name").GET().build())
+      require(resp.statusCode == 200, s"table $name does not exist")
+      MetadataJson.read(resp.body)
+    }
+
+    override def commit(base: TableMetadata, updated: TableMetadata): TableMetadata = {
+      val resp = send(req(s"/v1/tables/${base.name}/commit")
+        .header("X-Graft-Base-Version", base.version.toString)
+        .POST(HttpRequest.BodyPublishers.ofString(MetadataJson.write(updated))).build())
+      resp.statusCode match {
+        case 200 => MetadataJson.read(resp.body)
+        case 409 => throw new CommitConflictException(
+          s"table ${base.name}: version ${base.version + 1} was committed concurrently")
+        case c => sys.error(s"commit ${base.name} failed ($c): ${resp.body}")
+      }
+    }
+
+    override def dropTable(name: String): Unit = {
+      send(req(s"/v1/tables/$name").DELETE().build()): Unit
+    }
+  }
+}

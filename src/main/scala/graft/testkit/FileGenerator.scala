@@ -58,7 +58,7 @@ object FileGenerator {
   /** Fragments `source` into data files + delete files and commits snapshot 1. */
   def writeTable(
       spark: SparkSession,
-      catalog: LocalCatalog,
+      catalog: Catalog,
       tableName: String,
       source: DataFrame,
       cfg: Config

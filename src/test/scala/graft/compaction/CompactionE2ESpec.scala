@@ -9,18 +9,21 @@ import graft.meta._
 import graft.selection._
 import graft.testkit.FileGenerator
 
-/** In-process end-to-end compaction tests against the local catalog +
-  * real parquet, the analogue of the reference's MemoryCatalog e2e layer
-  * (core/src/compaction/mod.rs:1358-2675). */
+/** In-process end-to-end compaction tests against real parquet, the
+  * analogue of the reference's MemoryCatalog e2e layer
+  * (core/src/compaction/mod.rs:1358-2675). The catalog is a factory
+  * method: this class runs every test against [[LocalCatalog]], and
+  * [[graft.meta.RestCompactionE2ESpec]] re-runs the whole suite against
+  * the REST catalog — the two-implementation proof of the Catalog seam. */
 class CompactionE2ESpec extends AnyFunSuite {
 
-  private lazy val spark = SparkTestBase.spark
-  private val sf = "/root/testdata/sf0.001"
+  protected lazy val spark = SparkTestBase.spark
+  protected val sf = "/root/testdata/sf0.001"
 
-  private def newCatalog(): LocalCatalog =
+  protected def newCatalog(): Catalog =
     LocalCatalog(Files.createTempDirectory("graft-wh").toString)
 
-  private def fullCompaction(catalog: LocalCatalog, table: String): Compaction =
+  private def fullCompaction(catalog: Catalog, table: String): Compaction =
     new Compaction(catalog, table, spark,
       config = FullCompactionConfig(PlanningParams(
         targetFileSizeBytes = 512L * 1024 * 1024,
@@ -214,6 +217,8 @@ class CompactionE2ESpec extends AnyFunSuite {
         if (!raced) { raced = true; catalog.commit(base, base) } // steal version
         catalog.commit(base, updated)
       }
+      override def tableLocation(n: String) = catalog.tableLocation(n)
+      override def dataDir(n: String) = catalog.dataDir(n)
     }
     val c = new Compaction(racing, "t_retry", spark,
       config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)),

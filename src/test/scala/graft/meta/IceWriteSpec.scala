@@ -12,13 +12,17 @@ import graft.SparkTestBase
 import graft.compaction._
 import graft.selection._
 
+/** Write-path lifecycle tests. Catalog-parametrized like
+  * [[graft.compaction.CompactionE2ESpec]]: this class runs against
+  * [[LocalCatalog]]; [[RestIceWriteSpec]] re-runs the suite (including the
+  * concurrent CAS-retry test) against the REST catalog. */
 class IceWriteSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkTestBase.spark
+  protected lazy val spark = SparkTestBase.spark
   import spark.implicits._
-  private val sf = "/root/testdata/sf0.001"
+  protected val sf = "/root/testdata/sf0.001"
 
-  private def newCatalog(): LocalCatalog =
+  protected def newCatalog(): Catalog =
     LocalCatalog(Files.createTempDirectory("graft-wh").toString)
 
   test("create -> append -> read lifecycle") {

@@ -1,0 +1,126 @@
+package graft.meta
+
+import java.nio.file.Files
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protocol-level contract of the REST catalog: CAS over HTTP, 409 ->
+  * CommitConflictException, create/exists/drop round trips, independent
+  * clients observing each other's commits. */
+class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var server: RestCatalog.Server = _
+  private def client() = new RestCatalog.Client(server.uri)
+
+  override def beforeAll(): Unit =
+    server = new RestCatalog.Server(Files.createTempDirectory("graft-rest-wh"))
+  override def afterAll(): Unit = server.stop()
+
+  private def meta(name: String) = TableMetadata(name = name, location = "")
+
+  test("create assigns version 1 and a warehouse location; double create conflicts") {
+    val c = client()
+    val m = c.createTable(meta("t_create"))
+    assert(m.version == 1)
+    assert(m.location == server.warehouse.resolve("t_create").toString)
+    assert(Files.isDirectory(c.dataDir("t_create")))
+    assert(c.tableExists("t_create"))
+    intercept[IllegalArgumentException](c.createTable(meta("t_create")))
+  }
+
+  test("load of a missing table fails; exists is false; drop is idempotent") {
+    val c = client()
+    assert(!c.tableExists("t_nope"))
+    intercept[IllegalArgumentException](c.loadTable("t_nope"))
+    c.dropTable("t_nope") // no error
+  }
+
+  test("commit CAS: stale base raises CommitConflictException; reload + retry wins") {
+    val c = client()
+    val base = c.createTable(meta("t_cas"))
+    val v2 = c.commit(base, base.copy(lastSequenceNumber = 10L))
+    assert(v2.version == 2 && v2.lastSequenceNumber == 10L)
+    // committing against the stale base must 409
+    intercept[CommitConflictException](c.commit(base, base.copy(lastSequenceNumber = 99L)))
+    // the standard loop: reload, reapply, commit
+    val fresh = c.loadTable("t_cas")
+    val v3 = c.commit(fresh, fresh.copy(lastSequenceNumber = 11L))
+    assert(v3.version == 3 && v3.lastSequenceNumber == 11L)
+  }
+
+  test("independent clients see each other's commits (server is the store)") {
+    val a = client(); val b = client()
+    val m = a.createTable(meta("t_two"))
+    a.commit(m, m.copy(lastSequenceNumber = 7L))
+    val seen = b.loadTable("t_two")
+    assert(seen.version == 2 && seen.lastSequenceNumber == 7L)
+  }
+
+  test("hammered concurrent commits serialize: every version wins exactly once") {
+    val c = client()
+    c.createTable(meta("t_race"))
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val futs = (1 to 8).map { _ =>
+      Future {
+        var done = false
+        var retries = 0
+        while (!done && retries < 50) {
+          val m = c.loadTable("t_race")
+          try { c.commit(m, m.copy(lastSequenceNumber = m.lastSequenceNumber + 1)); done = true }
+          catch { case _: CommitConflictException => retries += 1 }
+        }
+        done
+      }
+    }
+    val results = Await.result(Future.sequence(futs), 60.seconds)
+    pool.shutdown()
+    assert(results.forall(identity))
+    val end = c.loadTable("t_race")
+    assert(end.version == 9) // 1 (create) + 8 serialized commits
+    assert(end.lastSequenceNumber == 8L) // no lost update
+  }
+
+  test("metadata survives the JSON round trip (snapshots, manifest, refs)") {
+    val c = client()
+    val m = c.createTable(meta("t_json"))
+    val snap = Snapshot(snapshotId = 1L, parentId = None, sequenceNumber = 1L,
+      timestampMs = 42L, manifest = Seq(FileEntry(
+        "/x/data-0.parquet", 123L, FileContent.Data, 10L, sequenceNumber = 1L,
+        equalityIds = Seq("id"), partitionValues = Map("p" -> "1"),
+        columnStats = Map("id" -> ("1", "10")))),
+      summary = Map("operation" -> "append"))
+    val committed = c.commit(m, m.copy(
+      snapshots = Seq(snap), currentSnapshotId = Some(1L),
+      refs = Map("main" -> 1L, "audit" -> 1L), lastSequenceNumber = 1L))
+    val back = c.loadTable("t_json")
+    assert(back == committed)
+    assert(back.currentSnapshot.get.manifest.head.columnStats("id") == ("1", "10"))
+    assert(back.refs == Map("main" -> 1L, "audit" -> 1L))
+  }
+}
+
+/** The full compaction E2E suite against the REST catalog — the
+  * two-implementation proof that Compaction/Maintenance/IceRead only ever
+  * needed the [[Catalog]] contract. */
+class RestCompactionE2ESpec extends graft.compaction.CompactionE2ESpec with BeforeAndAfterAll {
+  private var server: RestCatalog.Server = _
+  override def beforeAll(): Unit =
+    server = new RestCatalog.Server(Files.createTempDirectory("graft-rest-wh"))
+  override def afterAll(): Unit = server.stop()
+  override protected def newCatalog(): Catalog = new RestCatalog.Client(server.uri)
+}
+
+/** The full write-path suite (create/append/upsert/branch/concurrent CAS
+  * retry) against the REST catalog. */
+class RestIceWriteSpec extends IceWriteSpec with BeforeAndAfterAll {
+  private var server: RestCatalog.Server = _
+  override def beforeAll(): Unit =
+    server = new RestCatalog.Server(Files.createTempDirectory("graft-rest-wh"))
+  override def afterAll(): Unit = server.stop()
+  override protected def newCatalog(): Catalog = new RestCatalog.Client(server.uri)
+}
