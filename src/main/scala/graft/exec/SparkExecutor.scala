@@ -65,13 +65,16 @@ object MockExecutor extends CompactionExecutor {
   */
 object SparkExecutor extends CompactionExecutor {
 
-  /** Identity partition value column, or a bucket column. Buckets use a
-    * murmur3 hash mod n — consistent within this table format (real Iceberg
-    * bucket transforms use a different hash; we never claim cross-engine
-    * bucket compatibility). */
-  private[exec] def partitionExpr(p: PartitionField): Column = p.bucketN match {
-    case Some(n) => pmod(hash(col(p.column)), lit(n))
-    case None    => col(p.column)
+  /** Identity partition value column, or a bucket column. "bucket[n]" is
+    * the Iceberg-spec transform ([[graft.functions.IcebergBucket]] —
+    * cross-engine compatible bucket assignment); "sparkbucket[n]" is the
+    * engine-internal murmur3 opt-out (see [[graft.meta.PartitionField]]).
+    * Public: the writer, the testkit, and partition-pruned reads must all
+    * derive bucket ordinals from this one definition. */
+  def partitionExpr(p: PartitionField): Column = (p.bucketN, p.sparkBucketN) match {
+    case (Some(n), _) => graft.functions.IcebergBucketFunctions.iceberg_bucket(col(p.column), n)
+    case (_, Some(n)) => pmod(hash(col(p.column)), lit(n))
+    case _            => col(p.column)
   }
 
   /** Directory-encoded partition columns are written from *copies* so data

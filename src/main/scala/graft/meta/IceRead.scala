@@ -55,10 +55,23 @@ object IceRead {
     * residual row filter derived from the current spec makes the result
     * exact anyway — so the read stays correct across partition-spec
     * evolution, and files from the current spec still prune away. Delete
-    * files are scoped through scanTasks as before. */
+    * files are scoped through scanTasks as before.
+    *
+    * Filter keys must be in the CURRENT partition spec: for a dropped key
+    * there is no current transform to derive a residual filter from, so
+    * old files kept by the conservative rule could leak non-matching rows
+    * — rejected loudly instead. (Transform changes for an in-spec column
+    * are rejected at evolution time, SchemaEvolution.updatePartitionSpec,
+    * so the residual below always matches the domain of every recorded
+    * manifest value.) */
   def tablePartition(spark: SparkSession, catalog: Catalog, name: String,
       partitionFilter: Map[String, String], branch: String = "main"): DataFrame = {
     val meta = catalog.loadTable(name)
+    for (k <- partitionFilter.keys)
+      require(meta.partitionSpec.exists(_.column == k),
+        s"partition filter key $k is not in the current partition spec of $name " +
+          s"(${meta.partitionSpec.map(_.column).mkString(", ")}); " +
+          "filter the plain read instead")
     val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
                 else meta.snapshotForRef(branch))
       .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
@@ -67,15 +80,13 @@ object IceRead {
         t.partitionValues.get(k).forall(_ == v) // absent key -> keep (old spec)
       })
     // residual filter: recompute the partition expression per row for the
-    // filtered keys (identity -> the column; bucket[n] -> murmur3 mod n,
-    // same as the writer), compared on the manifest's stringified form
-    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    // filtered keys (one shared definition with the writer,
+    // SparkExecutor.partitionExpr), compared on the manifest's stringified
+    // form
     partitionFilter.foldLeft(pruned) { case (df, (k, v)) =>
       meta.partitionSpec.find(_.column == k) match {
-        case Some(p) => p.bucketN match {
-          case Some(n) => df.filter(pmod(hash(col(k)), lit(n)).cast("string") === v)
-          case None    => df.filter(col(k).cast("string") === v)
-        }
+        case Some(p) =>
+          df.filter(graft.exec.SparkExecutor.partitionExpr(p).cast("string") === v)
         case None => df // key not in the current spec: manifest-only match
       }
     }

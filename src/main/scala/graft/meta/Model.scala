@@ -98,12 +98,22 @@ final case class SortField(column: String, ascending: Boolean = true, nullsFirst
 
 /** Partition-spec field. Supported transforms: "identity", "bucket[n]"
   * (the only transforms exercised by the reference's tests —
-  * SURVEY.md §1.2). */
+  * SURVEY.md §1.2), plus "sparkbucket[n]" as an opt-out.
+  *
+  * "bucket[n]" is the Iceberg-spec bucket (murmur3_x86_32 over the
+  * single-value binary encoding, [[graft.functions.IcebergBucketUtil]]) —
+  * a table written with it is bucket-compatible with any spec-compliant
+  * Iceberg engine. "sparkbucket[n]" keeps the engine-internal Spark
+  * murmur3 (`pmod(hash(col), n)`): cheaper (no byte encoding) but NOT
+  * cross-engine compatible — only for tables no other engine writes. */
 final case class PartitionField(column: String, transform: String = "identity") {
   def isIdentity: Boolean = transform == "identity"
-  def bucketN: Option[Int] =
-    if (transform.startsWith("bucket[") && transform.endsWith("]"))
-      Some(transform.stripPrefix("bucket[").stripSuffix("]").toInt)
+  def bucketN: Option[Int] = bucketArg("bucket")
+  def sparkBucketN: Option[Int] = bucketArg("sparkbucket")
+  def isBucket: Boolean = bucketN.nonEmpty || sparkBucketN.nonEmpty
+  private def bucketArg(prefix: String): Option[Int] =
+    if (transform.startsWith(prefix + "[") && transform.endsWith("]"))
+      Some(transform.stripPrefix(prefix + "[").stripSuffix("]").toInt)
     else None
 }
 

@@ -110,8 +110,20 @@ object SchemaEvolution {
       for (p <- newSpec) {
         require(meta.fieldByName(p.column).nonEmpty,
           s"partition column ${p.column} not in schema")
-        require(p.isIdentity || p.bucketN.nonEmpty,
+        require(p.isIdentity || p.isBucket,
           s"unsupported transform ${p.transform}")
+        // a transform CHANGE for a column already in the spec is rejected:
+        // files written under the old transform carry manifest values in
+        // the old domain (e.g. identity strings), and pruning/residual
+        // logic keyed by column name would compare them against the new
+        // domain (e.g. bucket ordinals) — real Iceberg avoids this by
+        // keying partition fields by field-id + transform; here the column
+        // must first be dropped from the spec (new files carry no value,
+        // reads stay conservative) before re-adding is considered
+        for (old <- meta.partitionSpec.find(_.column == p.column))
+          require(old.transform == p.transform,
+            s"cannot change transform of partition column ${p.column} " +
+              s"(${old.transform} -> ${p.transform}); drop it from the spec instead")
       }
       meta.copy(partitionSpec = newSpec)
     }

@@ -119,10 +119,7 @@ object FileGenerator {
       // fragment per partition tuple (identity value or bucket id, matching
       // SparkExecutor.partitionExpr), filesPerPartition files each
       val partExprs = cfg.partitionSpec.map { p =>
-        p.bucketN match {
-          case Some(n) => pmod(hash(col(p.column)), lit(n)).cast("string").as(s"__pv_${p.column}")
-          case None    => col(p.column).cast("string").as(s"__pv_${p.column}")
-        }
+        SparkExecutor.partitionExpr(p).cast("string").as(s"__pv_${p.column}")
       }
       val tagged = source.select(col("*") +: partExprs: _*)
       val tuples = tagged.select(cfg.partitionSpec.map(p => col(s"__pv_${p.column}")): _*)

@@ -239,6 +239,22 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SchemaEvolution.updatePartitionSpec(catalog, "t_pev", Seq(PartitionField("nope")))
     }
+
+    // guard: transform CHANGE for an in-spec column rejected — old files'
+    // manifest values would be in the wrong domain for pruning/residuals
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.updatePartitionSpec(catalog, "t_pev",
+        Seq(PartitionField("b", "bucket[4]")))
+    }
+
+    // guard: a partition filter on a key OUTSIDE the current spec is
+    // rejected (no current transform -> no sound residual; old files kept
+    // conservatively would leak rows) — filter the plain read instead
+    intercept[IllegalArgumentException] {
+      IceRead.tablePartition(spark, catalog, "t_pev", Map("a" -> "1"))
+    }
+    val viaPlainRead = IceRead.table(spark, catalog, "t_pev").filter($"a" === 1)
+    assert(viaPlainRead.count() == all.filter($"a" === 1).count())
   }
 
   test("metadata JSON round-trips the typed schema and field ids") {
