@@ -85,16 +85,42 @@ object Similarity {
       .select(col("vec_id"), (-col("__best.negcid")).as("cell_id"))
   }
 
-  /** IVF top-k: corpus and queries are assigned to cells, then ranking
-    * happens WITHIN each query's cell only — the search cost is the probed
-    * cell's population, not the corpus (nprobe=1; lower recall at cell
-    * boundaries is the standard IVF trade, and the reason [[bruteForceTopK]]
-    * remains the small-query-set baseline). */
+  /** Multi-probe cell assignment: each vector's `nprobe` nearest cells
+    * (cosine desc, centroid id asc), for recovering recall at cell
+    * boundaries. One window keyed by vec_id over the per-vector centroid
+    * scores — the shuffle carries |vectors| * |centroids| tiny rows, not
+    * the corpus. Returns (vec_id, cell_id, probe). */
+  def ivfProbeCells(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val v = withNorm(vectors, vecCol, "__vn")
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"), col("__vn"))
+    val cents = withNorm(centroids, centVecCol, "__cn")
+      .select(col(centIdCol).cast("long").as("__cid"), col(centVecCol).as("__c"), col("__cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("__sim").desc, col("__cid").asc)
+    v.crossJoin(broadcast(cents))
+      .withColumn("__sim", cosineWithNorms(col("__v"), col("__vn"), col("__c"), col("__cn")))
+      .withColumn("probe", row_number().over(w))
+      .filter(col("probe") <= nprobe)
+      .select(col("vec_id"), col("__cid").as("cell_id"), col("probe"))
+  }
+
+  /** IVF top-k: corpus vectors live in their nearest cell; each query
+    * ranks within its `nprobe` nearest cells — the search cost is the
+    * probed cells' population, not the corpus. nprobe=1 is the classic
+    * trade (lower recall at cell boundaries); nprobe=2+ recovers boundary
+    * neighbors for nprobe× probe cost, still corpus-scan-free. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int,
-      centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      nprobe: Int = 1): DataFrame = {
     val cCells = ivfCells(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
-    val qCells = ivfCells(queries, idCol, vecCol, centroids, centIdCol, centVecCol)
+    val qCells =
+      (if (nprobe == 1) ivfCells(queries, idCol, vecCol, centroids, centIdCol, centVecCol)
+       else ivfProbeCells(queries, idCol, vecCol, centroids, centIdCol, centVecCol, nprobe)
+         .drop("probe"))
       .withColumnRenamed("vec_id", "query_id")
     val c = withNorm(corpus, vecCol, "__cn")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cn"))
@@ -125,20 +151,39 @@ object Similarity {
     * sign(sum_i s(p,i) * v_i). The +-1 sign matrix is a pure function of
     * md5("plane:dim"), derived once on the driver and shipped as array
     * literals — per row the bucket is `planes` fused dot products, no md5,
-    * no shuffle. `maxDims` bounds the literals; longer vectors bucket on
-    * their prefix. Returns df + "bucket" (bitstring). */
-  def hyperplaneBuckets(df: DataFrame, vecCol: String, planes: Int = 8, maxDims: Int = 256): DataFrame = {
+    * no shuffle. Returns df + "bucket" (bitstring).
+    *
+    * Sign literals are sized to the ACTUAL vector dimension: `maxDims <= 0`
+    * (default) probes one row at plan time — embedding dims are fixed per
+    * corpus, and this is what keeps every dimension participating instead
+    * of silently bucketing 512-dim vectors on a 256-dim prefix (a recall
+    * leak with no signal). A vector LONGER than the derived/declared dims
+    * fails loudly at execution unless the caller opts into prefix
+    * bucketing with `allowPrefix` (shorter vectors just use their own
+    * length — they genuinely have fewer dimensions). */
+  def hyperplaneBuckets(df: DataFrame, vecCol: String, planes: Int = 8,
+      maxDims: Int = -1, allowPrefix: Boolean = false): DataFrame = {
+    val dims =
+      if (maxDims > 0) maxDims
+      else math.max(1, df.select(size(col(vecCol))).take(1)
+        .headOption.map(_.getInt(0)).getOrElse(1))
     // vec_dot is null-strict on length mismatch, so the prefix semantics
     // are explicit here: both the vector and the sign literal are sliced
     // to the common length before the dot product
-    val n = least(size(col(vecCol)), lit(maxDims))
+    val n = least(size(col(vecCol)), lit(dims))
     val bits = (0 until planes).map { p =>
       // dims are 1-based, matching the oracle's sign derivation
-      val signs = lit((1 to maxDims).map(i => planeSign(p, i)).toArray)
+      val signs = lit((1 to dims).map(i => planeSign(p, i)).toArray)
       when(round(dot(slice(col(vecCol), lit(1), n), slice(signs, lit(1), n)), 6) >= 0, "1")
         .otherwise("0")
     }
-    df.withColumn("bucket", concat(bits: _*))
+    val bucket = concat(bits: _*)
+    val guarded =
+      if (allowPrefix) bucket
+      else when(size(col(vecCol)) <= dims, bucket).otherwise(raise_error(concat(
+        lit("hyperplaneBuckets: vector dim "), size(col(vecCol)).cast("string"),
+        lit(s" exceeds dims=$dims; pass maxDims (and allowPrefix=true to bucket on a prefix)"))))
+    df.withColumn("bucket", guarded)
   }
 
   /** Bucketed ANN: top-k by cosine within each query's bucket. Falls back

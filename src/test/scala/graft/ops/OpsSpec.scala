@@ -120,6 +120,56 @@ class OpsSpec extends AnyFunSuite {
     assert(b.select($"vec_id", $"bucket").exceptAll(b2.select($"vec_id", $"bucket")).isEmpty)
   }
 
+  test("LSH buckets use every dimension of a 512-dim vector (no silent prefix)") {
+    // two vectors identical in dims 1..299, opposite ONLY in dim 300: under
+    // the old 256-dim prefix truncation they bucketed identically; with
+    // full-dim sign literals every plane's sign flips between them
+    def vec(sign300: Float): Array[Float] =
+      Array.tabulate(512)(i => if (i == 299) sign300 else 0.0f)
+    val df = Seq((1L, vec(1.0f)), (2L, vec(-1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.hyperplaneBuckets(df, "embedding", planes = 8)
+      .select($"vec_id", $"bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) != out(2L), "dim 300 must influence the bucket")
+    assert(out(1L).length == 8 && out(2L).length == 8)
+
+    // a declared maxDims smaller than the data fails loudly...
+    val boom = intercept[Exception] {
+      Similarity.hyperplaneBuckets(df, "embedding", planes = 4, maxDims = 256).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(boom).exists(_.contains("hyperplaneBuckets")), msgs(boom).mkString("; "))
+    // ...unless the caller opts into prefix bucketing explicitly
+    val prefix = Similarity.hyperplaneBuckets(df, "embedding", planes = 4,
+      maxDims = 256, allowPrefix = true)
+      .select($"vec_id", $"bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prefix(1L) == prefix(2L)) // prefix ignores dim 300, by request
+  }
+
+  test("IVF multi-probe recovers a boundary neighbor nprobe=1 misses") {
+    // centroids on the axes; the query and its planted neighbor sit just
+    // across the 45-degree cell boundary from each other
+    val centroids = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.70f, 0.72f)), // the true nearest neighbor -> cell 1
+      (11L, Array(0.95f, 0.10f)), // filler in cell 0
+      (12L, Array(0.10f, 0.95f))  // filler in cell 1
+    ).toDF("vec_id", "embedding")
+    val query = Seq((100L, Array(0.72f, 0.70f))).toDF("vec_id", "embedding") // -> cell 0
+
+    def top1(nprobe: Int): Long =
+      Similarity.ivfTopK(corpus, "vec_id", "embedding", query, k = 1,
+        centroids, "vec_id", "embedding", nprobe = nprobe)
+        .head.getAs[Long]("neighbor_id")
+
+    val brute = Similarity.bruteForceTopK(query, corpus, "vec_id", "embedding", k = 1)
+      .head.getAs[Long]("neighbor_id")
+    assert(brute == 10L)
+    assert(top1(1) == 11L, "nprobe=1 probes only cell 0 and misses the true neighbor")
+    assert(top1(2) == 10L, "nprobe=2 probes both cells and recovers it")
+  }
+
   test("IVF: centroids own their cells; a copy lands with its original and ranks first") {
     val centroids = embs.filter($"vec_id" % 50 === 0)
     val cells = Similarity.ivfCells(embs, "vec_id", "embedding",
