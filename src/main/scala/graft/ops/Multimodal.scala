@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, plus the decode / feature-extract
   * stage shapes a training pipeline needs.
   *
-  * The Spark-side plumbing here is real and tested — schema, partitioning,
+  * The Spark-side plumbing is real and tested — schema, partitioning,
   * batch iteration via `mapPartitions` (the JVM analogue of a pandas-batch
-  * UDF: one iterator per partition, amortized per-batch setup). The codec
-  * itself is a STUB: this container ships no image/audio libraries, so
-  * `decodeStub` computes deterministic fake features from the raw bytes.
-  * Swapping in a real decoder means replacing only `decodeBytes`.
+  * UDF: one iterator per partition, amortized per-batch setup). Image
+  * decode is REAL (JDK ImageIO, [[decodeImage]]) and audio decode is REAL
+  * (JDK javax.sound.sampled, [[decodeWav]]); only the video codec remains
+  * a stub ([[decodeBytes]] — no video library ships in the JDK), with the
+  * deterministic fake keeping that pipeline testable end-to-end. Swapping
+  * in a real video decoder means replacing only `decodeBytes`.
   */
 object Multimodal {
 
@@ -122,6 +124,105 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  /** REAL audio decode — no stub: `javax.sound.sampled` ships in the JDK,
+    * so PCM WAV payloads decode without any external library (the same
+    * pattern as [[decodeImage]]'s ImageIO move; video remains the one
+    * stubbed codec, [[decodeBytes]]). Returns (sampleRate, channels,
+    * frames, rms) or None for undecodable bytes. RMS pools all channels'
+    * samples, normalized to [-1, 1] (16-bit signed /32768, 8-bit unsigned
+    * biased /128) — the standard loudness proxy a filtering pipeline
+    * thresholds on. */
+  private[ops] def decodeWav(payload: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+    if (payload == null || payload.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val enc = fmt.getEncoding
+      val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+        (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+      if (!ok) return None
+      val frames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      var sumSq = 0.0
+      var n = 0L
+      if (bits == 16) {
+        var i = 0
+        val le = !fmt.isBigEndian
+        while (i + 1 < data.length) {
+          val lo = data(i) & 0xff; val hi = data(i + 1) & 0xff
+          val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort
+          val x = s / 32768.0
+          sumSq += x * x; n += 1
+          i += 2
+        }
+      } else {
+        var i = 0
+        while (i < data.length) {
+          val x = ((data(i) & 0xff) - 128) / 128.0
+          sumSq += x * x; n += 1
+          i += 1
+        }
+      }
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, frames,
+        if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
+  /** Per-partition batched AUDIO decode: rows -> (media_id, sample_rate,
+    * channels, duration_ms, rms_e6), nulls for undecodable payloads.
+    * duration_ms and rms_e6 are integer-rounded so the values are stable
+    * across engines and hashable by the oracle. */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("rms_e6", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          decodeWav(r.getAs[Array[Byte]](1)) match {
+            case Some((rate, ch, frames, rms)) =>
+              Row(r.getLong(0), rate, ch,
+                math.round(1000.0 * frames / rate), math.round(rms * 1e6))
+            case None => Row(r.getLong(0), null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Pure-Scala PCM WAV encoder (the 44-byte RIFF header is a public
+    * format): 16-bit signed little-endian samples, interleaved when
+    * `channels > 1`. Deliberately NOT javax.sound — fixtures encode here
+    * and [[decodeWav]] decodes with the JDK stack, so the round trip
+    * crosses two independent implementations. */
+  def wavBytes(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      "samples must be a whole number of interleaved frames")
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
   }
 
   /** "Frame sampling" stub: every k-th byte window of the payload — the

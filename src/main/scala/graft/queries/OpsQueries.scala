@@ -213,8 +213,45 @@ object OpsQueries {
         .select(col("media_id"),
           element_at(col("features"), 1).as("feat_len"),
           round(element_at(col("features"), 2), 4).as("feat_avg"))
+    }),
+
+    // REAL audio decode: deterministic PCM WAV payloads (pure-Scala RIFF
+    // encoder) decoded distributed via javax.sound.sampled; the oracle
+    // recomputes every feature analytically from the same fixed sample
+    // arrays, so the encode -> decode round trip crosses two independent
+    // implementations and the values are hash-checked
+    "m3_wav_audio" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val rows: Seq[org.apache.spark.sql.Row] =
+        wavFixtures.map { case (id, rate, ch, samples) =>
+          org.apache.spark.sql.Row(id, Multimodal.wavBytes(rate, ch, samples))
+        } :+ org.apache.spark.sql.Row(4L, "definitely not a wav".getBytes("UTF-8"))
+      val media = s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+      Multimodal.extractAudioFeatures(s, media.repartition(4))
     })
   )
+
+  /** m3 fixtures: (id, rate, channels, 16-bit samples) — constants, so the
+    * oracle can derive the expected features without decoding audio.
+    * DC at 16384 -> rms exactly 0.5; a quantized 100 Hz sine at 0.25 FS;
+    * stereo silence. */
+  private def wavFixtures: Seq[(Long, Int, Int, Array[Short])] = Seq(
+    (1L, 8000, 1, Array.fill[Short](8000)(16384)),
+    (2L, 16000, 1, Array.tabulate[Short](16000)(k =>
+      math.round(0.25 * 32767 * math.sin(2 * math.Pi * 100 * k / 16000)).toShort)),
+    (3L, 44100, 2, Array.fill[Short](2 * 4410)(0)))
+
+  /** The analytically derived m3 feature rows (id, rate, channels,
+    * duration_ms, rms_e6) — same arithmetic as the decoder's contract,
+    * computed from the sample constants, never from WAV bytes. */
+  private def wavExpected: Seq[(Long, Int, Int, Long, Long)] =
+    wavFixtures.map { case (id, rate, ch, samples) =>
+      val frames = samples.length / ch
+      val rms = math.sqrt(samples.map { v => val x = v / 32768.0; x * x }.sum / samples.length)
+      (id, rate, ch, math.round(1000.0 * frames / rate), math.round(rms * 1e6))
+    }
 
   // ------------------------------------------------------------- oracles --
 
@@ -443,6 +480,25 @@ object OpsQueries {
         |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 +
         |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1))) AS DOUBLE) / n, 4)
         |  END AS feat_avg
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // the WAV features are fully determined by the fixture constants: the
+    // oracle is the analytic recomputation (wavExpected) as literal rows —
+    // Spark's side decodes real RIFF bytes with javax.sound.sampled, so a
+    // header-layout or sample-decode bug breaks the hash match
+    "m3_wav_audio" -> {
+      val vals = wavExpected.map { case (id, r, c, d, rms) =>
+        s"($id, $r, $c, $d, $rms)"
+      }.mkString(",\n  ")
+      s"""SELECT CAST(media_id AS BIGINT) AS media_id,
+         |  CAST(sample_rate AS INTEGER) AS sample_rate,
+         |  CAST(channels AS INTEGER) AS channels,
+         |  CAST(duration_ms AS BIGINT) AS duration_ms,
+         |  CAST(rms_e6 AS BIGINT) AS rms_e6
+         |FROM (VALUES
+         |  $vals,
+         |  (4, NULL, NULL, NULL, NULL))
+         |  t(media_id, sample_rate, channels, duration_ms, rms_e6)""".stripMargin
+    }
   )
 }

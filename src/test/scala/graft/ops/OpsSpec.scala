@@ -216,6 +216,45 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).isEmpty) // undecodable -> nulls, not a crash
   }
 
+  test("real WAV decode: exact sample rate, duration, channels, RMS") {
+    // DC at half full-scale: 16384/32768 = 0.5 exactly
+    val dc = Multimodal.wavBytes(8000, 1, Array.fill[Short](8000)(16384))
+    // stereo silence, 4410 frames at 44.1 kHz = 100 ms
+    val silence = Multimodal.wavBytes(44100, 2, Array.fill[Short](2 * 4410)(0))
+    // quantized sine at 0.25 FS: expected RMS computed from the same shorts
+    val sine = Array.tabulate[Short](16000)(k =>
+      math.round(0.25 * 32767 * math.sin(2 * math.Pi * 100 * k / 16000)).toShort)
+    val sineRms = math.sqrt(sine.map { v => val x = v / 32768.0; x * x }.sum / sine.length)
+
+    val rows = Seq(
+      (1L, dc), (2L, silence), (3L, Multimodal.wavBytes(16000, 1, sine)),
+      (4L, "not audio".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.extractAudioFeatures(spark, rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getInt(1) == 8000 && out(1L).getInt(2) == 1)
+    assert(out(1L).getLong(3) == 1000L && out(1L).getLong(4) == 500000L) // rms exactly 0.5
+    assert(out(2L).getInt(1) == 44100 && out(2L).getInt(2) == 2)
+    assert(out(2L).getLong(3) == 100L && out(2L).getLong(4) == 0L)
+    assert(out(3L).getLong(4) == math.round(sineRms * 1e6)) // ~0.25/sqrt(2)
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(4)) // undecodable -> nulls
+
+    // cross-implementation: an 8-bit unsigned WAV written by the JDK's own
+    // encoder (javax.sound) decodes to the same normalized RMS — DC at 192
+    // is (192-128)/128 = 0.5
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val raw = Array.fill[Byte](8000)(192.toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, raw.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val eight = Seq((9L, bos.toByteArray)).toDF("media_id", "payload")
+    val r8 = Multimodal.extractAudioFeatures(spark, eight).head
+    assert(r8.getInt(1) == 8000 && r8.getLong(3) == 1000L && r8.getLong(4) == 500000L)
+  }
+
   test("text analysis columns are sane") {
     val out = TextAnalysis.analyze(docs)
     val row = out.filter($"doc_id" === 0).head
