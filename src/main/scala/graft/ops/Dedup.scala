@@ -292,9 +292,10 @@ object Dedup {
     * diameter. Near-dup clusters are shallow in practice; the driver-side
     * convergence check costs one count per round and guarantees the result
     * equals the true transitive closure (what a recursive-CTE oracle
-    * computes). At web scale swap in the large-star/small-star (HashToMin)
-    * variant — same API. Returns (id, cluster_id); singletons (ids in no
-    * pair) are not emitted. */
+    * computes). At web scale swap in [[clusterPairsStar]] (large-star/
+    * small-star — same API, O(log^2 n) rounds instead of diameter).
+    * Returns (id, cluster_id); singletons (ids in no pair) are not
+    * emitted. */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // every round eagerly localCheckpoints: the plan tree is cut at each
     // iteration (otherwise the lineage doubles per round and the PLAN
@@ -321,6 +322,70 @@ object Dedup {
     }
     require(converged, s"clusterPairs did not converge in $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star / small-star rounds —
+    * the web-scale swap-in for [[clusterPairs]] (same API, same output).
+    * Public algorithm: Kiveris et al., "Connected Components in MapReduce
+    * and Beyond" (SoCC'14). Where min-label propagation needs one round
+    * per unit of cluster DIAMETER, star rounds square away path length —
+    * O(log^2 n) rounds on any graph — so a 10^6-node chain converges in
+    * ~20 rounds instead of 10^6.
+    *
+    * Each round is two grouped min-aggregates + joins over the edge set
+    * (no adjacency lists are ever collected — hub nodes stay relational),
+    * with the same per-round eager localCheckpoint lineage cut as
+    * [[clusterPairs]]. Returns (id, cluster_id), cluster labeled by its
+    * minimum id; ids appearing in no pair are not emitted. */
+  def clusterPairsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    clusterPairsStarWithRounds(pairs, maxIter)._1
+
+  /** [[clusterPairsStar]] plus the number of rounds it took — the spec
+    * hook proving star rounds beat diameter-bound propagation. */
+  def clusterPairsStarWithRounds(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    // canonical (big, small) orientation; self-loops handled at the end
+    var edges = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"), least(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIter) {
+      // LARGE-STAR: per node u over ALL its neighbors, attach every
+      // strictly larger neighbor v to m = min(N(u) + {u})
+      val nbrs = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("__mv"), col("u")).as("m"))
+      val large = nbrs.join(minsL, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // m <= u < v keeps (big, small)
+        .distinct()
+      // SMALL-STAR: in (big, small) orientation every neighbor of u here
+      // is smaller, so m = min(N(u)); attach u and all other small
+      // neighbors to m
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val attach = large.join(minsS, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val next = attach.unionAll(minsS.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint(true)
+      done = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(done, s"clusterPairsStar did not converge in $maxIter rounds")
+    // at the fixpoint the edge set IS the star forest (node -> component min)
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .distinct()
+    // contract parity with clusterPairs: an id appearing only as a
+    // self-pair still labels itself
+    val selfOnly = pairs.filter(col("id1") === col("id2"))
+      .select(col("id1").as("id")).distinct()
+      .join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    (labels.unionAll(selfOnly), rounds)
   }
 
   /** SimHash fingerprint: 32 dimensions, one per md5 hex nibble of each

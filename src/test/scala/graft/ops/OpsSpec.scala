@@ -76,6 +76,32 @@ class OpsSpec extends AnyFunSuite {
     assert(clusters.size == 9)
   }
 
+  test("star CC matches min-label propagation on the d6-style near-dup pairs") {
+    // the exact pair set d6 clusters: bounded corpus, broadcast Jaccard
+    val corpus = docs.select($"doc_id", $"text").limit(120)
+      .unionAll(docs.limit(120).filter($"doc_id" % 2 === 0)
+        .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" extra")).as("text")))
+    val pairs = Dedup.ngramJaccardPairsBroadcast(corpus, "doc_id", "text", 4, 0.6)
+      .localCheckpoint(true)
+    val viaProp = Dedup.clusterPairs(pairs)
+    val viaStar = Dedup.clusterPairsStar(pairs)
+    assert(viaProp.count() > 0)
+    assert(viaProp.exceptAll(viaStar).isEmpty && viaStar.exceptAll(viaProp).isEmpty)
+  }
+
+  test("star CC collapses a diameter-63 chain in far fewer than 63 rounds") {
+    // min-label propagation needs diameter rounds (63 here — clusterPairs'
+    // default maxIter=20 would refuse); star rounds square path lengths
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds) = Dedup.clusterPairsStarWithRounds(pairs)
+    val clusters = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 64 && clusters.values.forall(_ == 0L))
+    assert(rounds <= 12, s"star CC took $rounds rounds on a 64-node chain")
+    intercept[IllegalArgumentException] { // propagation at the same budget refuses
+      Dedup.clusterPairs(pairs, maxIter = 12)
+    }
+  }
+
   test("simhash: 32 bits, deterministic, near-dups collide closely") {
     val out = Dedup.simHash(docs, "doc_id", "text")
     val lens = out.select(length($"simhash")).distinct().as[Int].collect()
