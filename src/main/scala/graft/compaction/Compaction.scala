@@ -74,8 +74,29 @@ final class Compaction(
     /** after a successful commit, also fold now-dangling delete files out
       * of the manifest (Maintenance.removeDanglingDeletes) — off by
       * default to keep commit latency flat. */
-    val cleanupDanglingDeletes: Boolean = false
+    val cleanupDanglingDeletes: Boolean = false,
+    /** identifier normalization for the rewrite's column resolution — the
+      * reference's `enable_ident_normalization` (datafusion_processor.rs:
+      * 65-71), mapped to Spark's `spark.sql.caseSensitive` (normalization
+      * ON == case-INsensitive resolution, both defaults). Applied through
+      * a scoped (cloned) session so the caller's conf is never mutated;
+      * with normalization on, manifest column names whose case drifted
+      * from the files' still resolve. */
+    val enableIdentNormalization: Boolean = true
 ) {
+
+  /** The session rewrites run under: the caller's, unless the ident-
+    * normalization knob disagrees with its `spark.sql.caseSensitive`. */
+  private val execSpark: SparkSession = {
+    val wantCaseSensitive = !enableIdentNormalization
+    val current = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    if (current == wantCaseSensitive) spark
+    else {
+      val s = org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(spark)
+      s.conf.set("spark.sql.caseSensitive", wantCaseSensitive.toString)
+      s
+    }
+  }
 
   /** Stage 1 — metadata-only planning (mod.rs:448-461,1307-1336).
     * Branch resolution is strict for non-main branches (an explicit branch
@@ -111,7 +132,7 @@ final class Compaction(
       bytesPerRecordHint =
         if (enableDynamicSizeEstimation) sizeEstimator.estimate.getOrElse(0.0) else 0.0
     )
-    val res = executor.rewriteFiles(spark, req)
+    val res = executor.rewriteFiles(execSpark, req)
     if (enableDynamicSizeEstimation)
       sizeEstimator.observe(res.stats.outputBytes, res.stats.outputRecords)
     metrics.recordRewrite(res.stats)

@@ -84,12 +84,16 @@ object Maintenance {
     val dataDir = Paths.get(meta.location, "data")
     if (!Files.exists(dataDir)) return Nil
     val cutoff = System.currentTimeMillis() - math.max(0L, olderThanMs)
-    Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-      .map(_.toString)
-      .filterNot(live.contains)
-      .toSeq.sorted
+    // Using closes the directory stream (Files.walk holds an open handle
+    // per directory level until closed)
+    scala.util.Using.resource(Files.walk(dataDir)) { walk =>
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .map(_.toString)
+        .filterNot(live.contains)
+        .toSeq.sorted
+    }
   }
 
   /** Delete files in the branch head that no longer delete anything —
@@ -219,7 +223,10 @@ object Maintenance {
     val current = catalog.loadTable(tableName).version
     val dir = catalog.tableLocation(tableName).resolve("metadata")
     val pattern = """v(\d+)\.metadata\.json""".r
-    Files.list(dir).iterator().asScala.toSeq.count { p =>
+    // Using closes the stream — Files.list leaks a directory handle per
+    // maintenance invocation otherwise
+    val entries = scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
+    entries.count { p =>
       p.getFileName.toString match {
         case pattern(v) if v.toInt <= current - keepLast => Files.deleteIfExists(p)
         case _ => false

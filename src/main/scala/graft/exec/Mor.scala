@@ -48,6 +48,19 @@ object Mor {
     * absolute paths. Normalize URIs to paths for joining. */
   def normalizePath(c: Column): Column = regexp_replace(c, "^file:/+", "/")
 
+  /** Reader with parquet field-id resolution enabled, SCOPED to the
+    * relations it builds: the parquet source consults the session conf of
+    * the relation's own session at scan planning (per-read options are
+    * ignored for `spark.sql.parquet.fieldId.read.enabled` — verified
+    * empirically), so the flag is set on a cloned session and the caller's
+    * session is never mutated. The relation keeps the clone alive; frames
+    * built here compose freely with the caller's frames. */
+  def fieldIdReader(spark: SparkSession, schema: StructType): org.apache.spark.sql.DataFrameReader = {
+    val scoped = org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(spark)
+    scoped.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    scoped.read.schema(schema)
+  }
+
   private def seqMap(spark: SparkSession, files: Seq[FileEntry]): DataFrame = {
     import spark.implicits._
     files.map(f => (f.path, f.sequenceNumber)).toDF(FilePathCol, SeqNumCol)
@@ -139,12 +152,12 @@ object Mor {
       if (tableSchema.nonEmpty && tableSchema.forall(_.isTyped))
         Some(StructType(tableSchema.map(_.toStructField)))
       else None
-    // id-matched parquet reads; harmless for reads whose requested schema
-    // carries no field ids (those still match by name)
-    typed.foreach(_ => spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true"))
 
+    // id-matched parquet reads go through the field-id-scoped reader
+    // (harmless for requested schemas without ids — those match by name);
+    // untyped reads use the caller's session untouched
     def readParquet(files: Seq[FileEntry], schema: Option[StructType]): DataFrame = {
-      val r = schema.fold(spark.read)(spark.read.schema)
+      val r = schema.fold(spark.read)(fieldIdReader(spark, _))
       r.parquet(files.map(_.path): _*)
     }
     // with a typed schema, the authoritative eq key is the field-id list;

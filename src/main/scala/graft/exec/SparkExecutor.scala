@@ -169,9 +169,11 @@ object SparkExecutor extends CompactionExecutor {
       spark: SparkSession, dir: String, spec: Seq[PartitionField]): Seq[FileEntry] = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return Nil
-    val files = Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.toString)
+    val files = scala.util.Using.resource(Files.walk(root)) { walk =>
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+    }
     val conf = spark.sessionState.newHadoopConf()
     files.map { p =>
       val rel = root.relativize(p).toString

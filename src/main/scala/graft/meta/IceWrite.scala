@@ -68,16 +68,30 @@ object IceWrite {
 
   /** foreachBatch CDC sink: each micro-batch is an atomic MOR [[upsert]]
     * keyed by `keys` — late re-deliveries and in-place updates of the same
-    * key converge to the latest batch's row without rewriting data files.
-    * The streaming face of MERGE INTO. */
+    * key converge to the newest row without rewriting data files. The
+    * streaming face of MERGE INTO.
+    *
+    * `orderCol` is the monotonic change-ordering column (a CDC version,
+    * source offset, or event timestamp): when one micro-batch carries
+    * several rows for a key, the row with the HIGHEST `orderCol` wins —
+    * deterministically. (`dropDuplicates(keys)` would keep an arbitrary
+    * row, making the final table state depend on partition scheduling.)
+    * Residual `orderCol` ties break on the full row's JSON, so equal-
+    * content duplicates are harmless and the reduce stays deterministic. */
   def streamingUpsert(catalog: Catalog, name: String,
-      keys: Seq[String]): (DataFrame, Long) => Unit =
+      keys: Seq[String], orderCol: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        // within one micro-batch the LAST occurrence of a key wins (CDC
-        // convention); dropDuplicates keeps an arbitrary row, so reduce
-        // per key deterministically first when batches may self-conflict
-        upsert(batch.sparkSession, catalog, name, batch.dropDuplicates(keys), keys): Unit
+        import org.apache.spark.sql.functions.{col, row_number, struct, to_json}
+        require(batch.columns.contains(orderCol),
+          s"streamingUpsert order column $orderCol not in batch schema")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(orderCol).desc,
+            to_json(struct(batch.columns.map(col).toSeq: _*)).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        upsert(batch.sparkSession, catalog, name, latest, keys): Unit
       }
 
   /** Stamps each column with its stable field id so the parquet writer puts
@@ -229,9 +243,8 @@ object IceWrite {
     val dataFiles = snap.manifest.filter(_.content == FileContent.Data)
     require(dataFiles.nonEmpty, s"table $name has no data files")
     val reader = meta.typedStruct match {
-      case Some(st) =>
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        spark.read.schema(st)
+      // scoped field-id read (cloned session; caller conf untouched)
+      case Some(st) => graft.exec.Mor.fieldIdReader(spark, st)
       case None => spark.read
     }
     val positions = reader.parquet(dataFiles.map(_.path): _*)

@@ -97,7 +97,8 @@ final class LocalCatalog(val warehouse: Path) extends Catalog {
   override def dropTable(name: String): Unit = {
     val root = warehouse.resolve(name)
     if (Files.exists(root)) {
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      scala.util.Using.resource(Files.walk(root))(
+        _.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
     }
   }
 }

@@ -117,7 +117,8 @@ object RestCatalog {
           store.remove(name)
           val root = warehouse.resolve(name)
           if (Files.exists(root))
-            Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+            scala.util.Using.resource(Files.walk(root))(
+              _.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
           respond(ex, 204, "")
 
         case _ => respond(ex, 400, s"""{"error": "unsupported route"}""")

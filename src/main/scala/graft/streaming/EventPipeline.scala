@@ -71,11 +71,17 @@ object EventPipeline {
     * that survives an unbounded stream). Works identically on batch
     * frames, where `dropDuplicates` sees the whole input. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    // fingerprint the JSON of a struct, NOT concat_ws: a separator-joined
+    // concat leaves field boundaries ambiguous and concat_ws silently
+    // SKIPS nulls, so two distinct events (one with a null field) could
+    // fingerprint identically and one be silently dropped; to_json keeps
+    // field names, delimiters, and explicit nulls in the hashed text
     val keyed = events
       .withColumn("ts_sec", timestamp_seconds(col("ts") / lit(1000000000L)))
       .withColumn("fingerprint",
-        md5(concat_ws("",
-          col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))))
+        md5(to_json(struct(
+            col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")),
+          Map("ignoreNullFields" -> "false"))))
     if (keyed.isStreaming)
       keyed.withWatermark("ts_sec", watermark)
         .dropDuplicatesWithinWatermark("fingerprint")

@@ -46,11 +46,12 @@ object FileGenerator {
       spark: SparkSession, df: DataFrame, target: Path): (String, Long, Long, Map[String, (String, String)]) = {
     val tmp = Files.createTempDirectory(target.getParent, ".gen")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.walk(tmp).iterator().asScala
-      .find(p => p.getFileName.toString.endsWith(".parquet")).get
+    val part = scala.util.Using.resource(Files.walk(tmp))(
+      _.iterator().asScala.find(p => p.getFileName.toString.endsWith(".parquet")).get)
     Files.createDirectories(target.getParent)
     Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    scala.util.Using.resource(Files.walk(tmp))(
+      _.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
     val (rows, stats) = SparkExecutor.parquetFooterInfo(spark.sessionState.newHadoopConf(), target)
     (target.toString, Files.size(target), rows, stats)
   }

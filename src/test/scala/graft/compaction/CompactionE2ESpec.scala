@@ -281,6 +281,39 @@ class CompactionE2ESpec extends AnyFunSuite {
     assert(noSnap.reason == AutoPlanReason.NoSnapshot)
   }
 
+  test("auto compaction is idempotent: the second run finds no candidate") {
+    // the reference asserts exactly this on its bucket-partitioned
+    // SmallFiles table (integration-tests/src/integration_tests.rs:
+    // 420-579): after one auto compaction, a second run over the
+    // compacted table must plan nothing
+    val catalog = newCatalog()
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_auto_idem", src,
+      FileGenerator.Config(orderCol = "o_orderkey",
+        partitionSpec = Seq(graft.meta.PartitionField("o_orderkey", "bucket[2]")),
+        filesPerPartition = 3))
+
+    val cfg = AutoCompactionConfig(
+      params = PlanningParams(maxOutputParallelism = 1),
+      minSmallFilesCount = 5) // 6 small input files trigger; 2 outputs don't
+    val planner = new AutoCompactionPlanner(cfg)
+    val first = planner.planReport(catalog, "t_auto_idem")
+    assert(first.reason == AutoPlanReason.Recommended && first.plans.nonEmpty)
+    assert(first.selectedStrategy.contains("SmallFiles"))
+    for (plan <- first.plans) {
+      new Compaction(catalog, "t_auto_idem", spark,
+        config = SmallFilesConfig(cfg.params)).compactWithPlan(plan)
+    }
+    val rows = IceRead.table(spark, catalog, "t_auto_idem").count()
+    assert(rows == src.count())
+
+    val second = planner.planReport(catalog, "t_auto_idem")
+    assert(second.reason == AutoPlanReason.NoCandidate,
+      s"second auto run must find nothing, got ${second.reason} with ${second.plans.size} plans")
+    assert(second.plans.isEmpty)
+    assert(IceRead.table(spark, catalog, "t_auto_idem").count() == rows)
+  }
+
   test("validator catches row-count mismatch") {
     val catalog = newCatalog()
     val src = spark.read.parquet(s"$sf/region.parquet")

@@ -20,6 +20,36 @@ class EdgeCaseSpec extends AnyFunSuite {
   private def newCatalog(): LocalCatalog =
     LocalCatalog(Files.createTempDirectory("graft-wh").toString)
 
+  test("ident normalization: case-drifted manifest columns resolve; opt-out is strict") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    graft.testkit.FileGenerator.writeTable(spark, catalog, "t_ident", src,
+      graft.testkit.FileGenerator.Config(dataFileCount = 2, orderCol = "r_regionkey"))
+    // drift the metadata schema's casing away from the files' lowercase
+    val meta = catalog.loadTable("t_ident")
+    catalog.commit(meta, meta.copy(schema =
+      meta.schema.map(f => f.copy(name = f.name.toUpperCase))))
+
+    // normalization OFF first (the files are still lowercase): strict
+    // case-sensitive resolution must refuse the drifted names — and the
+    // caller's session conf stays untouched
+    val before = spark.conf.get("spark.sql.caseSensitive", "false")
+    intercept[Exception] {
+      new Compaction(catalog, "t_ident", spark,
+        config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)),
+        enableIdentNormalization = false).compact()
+    }
+    assert(spark.conf.get("spark.sql.caseSensitive", "false") == before)
+
+    // normalization ON (default, = reference enable_ident_normalization):
+    // case-insensitive resolution rescues the same drift
+    val ok = new Compaction(catalog, "t_ident", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1))).compact()
+    assert(ok.addedFiles.nonEmpty)
+    assert(spark.read.parquet(ok.addedFiles.map(_.path): _*).count() == src.count())
+    assert(spark.conf.get("spark.sql.caseSensitive", "false") == before)
+  }
+
   test("SQL-keyword column names survive the whole pipeline") {
     val catalog = newCatalog()
     // columns named select/from/where/order (FIXTURES.md §2)

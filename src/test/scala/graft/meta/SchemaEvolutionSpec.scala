@@ -47,6 +47,22 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(out == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
   }
 
+  test("field-id reads never mutate the caller session's conf") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_conf", df(Seq((1L, "a", 10L), (2L, "b", 20L))))
+    SchemaEvolution.renameColumn(catalog, "t_conf", "name", "label")
+    val key = "spark.sql.parquet.fieldId.read.enabled"
+    val before = spark.conf.getOption(key)
+    // a typed MOR read resolves the renamed column BY ID — through a
+    // scoped (cloned-session) reader, not a session-conf flip
+    val out = IceRead.table(spark, catalog, "t_conf")
+    assert(out.select("label").collect().map(_.getString(0)).toSet == Set("a", "b"))
+    assert(spark.conf.getOption(key) == before, "read leaked a session conf change")
+    IceWrite.deleteWhere(spark, catalog, "t_conf", col("id") === 1L)
+    assert(IceRead.table(spark, catalog, "t_conf").count() == 1)
+    assert(spark.conf.getOption(key) == before, "deleteWhere leaked a session conf change")
+  }
+
   test("rename of an equality-delete key column keeps deletes applied") {
     val catalog = newCatalog()
     IceWrite.create(spark, catalog, "t_eqren",

@@ -68,7 +68,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val schema = Seq((1L, "x", 1L)).toDF("id", "v", "ver").schema
     val q = spark.readStream.schema(schema).parquet(srcDir.toString)
-      .writeStream.foreachBatch(IceWrite.streamingUpsert(catalog, "cdc", Seq("id")))
+      .writeStream.foreachBatch(IceWrite.streamingUpsert(catalog, "cdc", Seq("id"), "ver"))
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("cdc-ck").toString)
       .start()
@@ -77,9 +77,12 @@ class StreamingSpec extends AnyFunSuite {
       graft.testkit.FileGenerator.writeSingleParquet(spark,
         Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "ver"), srcDir.resolve("b1.parquet"))
       q.processAllAvailable()
-      // batch 2: update id=3 again, insert id=4
+      // batch 2: update id=3 again, insert id=4 — AND a self-conflicting
+      // batch for id=4: two rows in ONE micro-batch, the higher `ver`
+      // must win deterministically (not an arbitrary dropDuplicates pick)
       graft.testkit.FileGenerator.writeSingleParquet(spark,
-        Seq((3L, "c3", 3L), (4L, "d", 3L)).toDF("id", "v", "ver"), srcDir.resolve("b2.parquet"))
+        Seq((3L, "c3", 3L), (4L, "stale", 2L), (4L, "d", 3L)).toDF("id", "v", "ver"),
+        srcDir.resolve("b2.parquet"))
       q.processAllAvailable()
 
       val out = IceRead.table(spark, catalog, "cdc")
