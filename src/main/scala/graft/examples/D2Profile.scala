@@ -39,6 +39,8 @@ object D2Profile {
     val sets = Dedup.wordShingleSets(corpus, "doc_id", "text", 3)
     time("per-row-sets")(sets.count())
     time("verify")(Dedup.verifyJaccardSets(cand, sets, 0.5).count())
+    val sigSets = Dedup.minHashSignatureSets(corpus, "doc_id", "text", 3, 16)
+    time("sig+sets-per-row")(sigSets.count())
     time("end-to-end")(Dedup.minHashNearDupPairs(corpus, "doc_id", "text").count())
     spark.stop()
   }

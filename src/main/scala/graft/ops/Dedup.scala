@@ -98,6 +98,45 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
   }
 
+  /** MinHash signature AND verify set in ONE per-row projection — the
+    * explode-free formulation of [[minHashSignatures]] over
+    * [[wordShingles]] plus [[wordShingleSets]], computed from a single
+    * tokenize pass:
+    *
+    *  - `mh0..mh{k-1}`: per lane j, `array_min` over the row's DISTINCT
+    *    gram array of the j-th 8-hex-char md5 lane. The min of a set
+    *    equals the min over any array holding exactly that set, so the
+    *    signature values are bit-identical to the exploded formulation
+    *    (and the DuckDB oracle, which still uses the relational form);
+    *  - `gset`: the sorted xxhash64 array [[verifyJaccardSets]] consumes.
+    *
+    * What this deletes from the plan at scale: the shingle explode
+    * (|grams| rows through the runtime), the `distinct` exchange on raw
+    * gram STRINGS (the widest shuffle of the old pipeline), the
+    * signature groupBy exchange, and the second tokenize pass for the
+    * verify sets. Everything before LSH banding is now a narrow
+    * projection — zero shuffles, whole-stage codegen'd. */
+  def minHashSignatureSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16): DataFrame = {
+    require(k % 4 == 0, "k must be a multiple of 4 (4 lanes per md5)")
+    val seeds = k / 4
+    val toked = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val base = toked.select(col("id"), expr(
+      s"""array_distinct(transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
+         |                         i -> concat_ws(' ', slice(__toks, i, $n))))""".stripMargin
+    ).as("__grams"))
+    // one md5 per seed per gram, shared by that seed's 4 lanes
+    val lanes = (0 until seeds).foldLeft(base) { (d, s) =>
+      d.withColumn(s"__hs$s", expr(s"transform(__grams, g -> md5(concat('$s:', g)))"))
+    }
+    val mhCols = (0 until k).map { j =>
+      expr(s"array_min(transform(__hs${j / 4}, h -> substring(h, ${(j % 4) * 8 + 1}, 8)))")
+        .as(s"mh$j")
+    }
+    val gset = expr("array_sort(array_distinct(transform(__grams, g -> xxhash64(g))))").as("gset")
+    lanes.select(col("id") +: gset +: mhCols: _*)
+  }
+
   /** Exact Jaccard verification of candidate pairs against the shingle
     * sets. Returns pairs with jaccard >= threshold. */
   def verifyJaccard(pairs: DataFrame, grams: DataFrame, threshold: Double): DataFrame = {
@@ -165,26 +204,29 @@ object Dedup {
   val MaxBroadcastCandidates: Long = 1L << 20
 
   /** Full MinHash+LSH near-dup pipeline over word shingles:
-    * shingle -> signature -> band -> bucket join -> gated verify.
+    * per-row signature+set projection -> band -> bucket join -> gated
+    * verify. The entire pre-banding pipeline is shuffle-free
+    * ([[minHashSignatureSets]]); the only exchanges left are the tiny
+    * (id, band, bh) bucket join and whatever the gated verify picks.
     *
-    * The candidate set is materialized (eager localCheckpoint) and counted,
-    * then verification picks the broadcast path under
-    * `maxBroadcastCandidates` and the shuffled path above it — the same
-    * size-gated-broadcast pattern as [[graft.exec.Mor.dataFrame]]. The
-    * count is free: the blocks back both the count and the verify join. */
+    * The signature+set frame is materialized once (eager localCheckpoint,
+    * not cache(): lineage truncated and blocks released by the context
+    * cleaner when the result is dropped) and feeds BOTH the banding and
+    * the verify join, so the corpus is tokenized and hashed exactly once.
+    * The candidate set is also materialized and counted, then
+    * verification picks the broadcast path under `maxBroadcastCandidates`
+    * and the shuffled path above it — the same size-gated-broadcast
+    * pattern as [[graft.exec.Mor.dataFrame]]. The count is free: the
+    * blocks back both the count and the verify join. */
   def minHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 100,
       maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
-    // localCheckpoint, not cache(): lineage truncated and the blocks are
-    // released by the context cleaner when the result is dropped —
-    // cache() entries live in the CacheManager until explicitly
-    // unpersisted, which leaked across repeated pipeline invocations
-    val grams = wordShingles(df, idCol, textCol, n).localCheckpoint(false)
-    val pairs = lshCandidatePairs(lshBands(minHashSignatures(grams, k), k, rowsPerBand), maxBucketSize)
+    val sigSets = minHashSignatureSets(df, idCol, textCol, n, k).localCheckpoint(true)
+    val pairs = lshCandidatePairs(lshBands(sigSets, k, rowsPerBand), maxBucketSize)
       .localCheckpoint(true)
-    val sets = wordShingleSets(df, idCol, textCol, n)
+    val sets = sigSets.select(col("id"), col("gset"))
     if (pairs.count() <= maxBroadcastCandidates) verifyJaccardSets(pairs, sets, threshold)
     else verifyJaccardSetsShuffled(pairs, sets, threshold)
   }

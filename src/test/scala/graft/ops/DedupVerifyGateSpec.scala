@@ -51,6 +51,31 @@ class DedupVerifyGateSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("per-row signature+set projection matches the exploded formulation exactly") {
+    // the oracle (and minHashSignatures over wordShingles) computes each
+    // lane as a grouped min over the exploded distinct gram relation; the
+    // per-row path must produce bit-identical signatures and gsets
+    val exploded = Dedup.minHashSignatures(Dedup.wordShingles(corpus, "doc_id", "text"), 16)
+    val sets = Dedup.wordShingleSets(corpus, "doc_id", "text")
+    val perRow = Dedup.minHashSignatureSets(corpus, "doc_id", "text", 3, 16)
+
+    val sigCols = col("id") +: (0 until 16).map(j => col(s"mh$j"))
+    val a = exploded.select(sigCols: _*)
+    val b = perRow.select(sigCols: _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "signature mismatch")
+
+    val ga = sets.select(col("id"), col("gset"))
+    val gb = perRow.select(col("id"), col("gset"))
+    assert(ga.exceptAll(gb).isEmpty && gb.exceptAll(ga).isEmpty, "gset mismatch")
+
+    // and the per-row plan really is exchange-free before banding — checked
+    // on a plain scan input (the test corpus above has a limit()+union whose
+    // own GlobalLimit exchange would mask the property under test)
+    val plan = Dedup.minHashSignatureSets(docs.select($"doc_id", $"text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"per-row signature plan must not shuffle:\n$plan")
+  }
+
   test("minHashNearDupPairs selects a regime by candidate count; output identical") {
     val viaBroadcast = Dedup.minHashNearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
     // gate of 0 forces every candidate set onto the shuffled path
