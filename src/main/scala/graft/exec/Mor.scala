@@ -138,6 +138,10 @@ object Mor {
     *                    `equalityFieldIds` to their current names.
     * @param broadcastDeleteBytesMax per-join manifest-bytes gate for
     *                    broadcasting delete sides.
+    * @param keepHidden  keep [[FilePathCol]]/[[PosCol]] in the output —
+    *                    row lineage for consumers that must address
+    *                    surviving rows physically (changelog delete
+    *                    attribution, position-delete writers).
     */
   def dataFrame(
       spark: SparkSession,
@@ -145,7 +149,8 @@ object Mor {
       projectCols: Seq[String],
       formatVersion: Int = 2,
       tableSchema: Seq[SchemaField] = Nil,
-      broadcastDeleteBytesMax: Long = BroadcastDeleteBytesMax
+      broadcastDeleteBytesMax: Long = BroadcastDeleteBytesMax,
+      keepHidden: Boolean = false
   ): DataFrame = {
     require(group.dataFiles.nonEmpty, "empty file group")
     val typed: Option[StructType] =
@@ -177,13 +182,14 @@ object Mor {
 
     val base = readParquet(group.dataFiles, typed)
     val projected = projectCols.map(col)
+    val hidden = if (keepHidden) Seq(col(FilePathCol), col(PosCol)) else Nil
 
     // no deletes: plain projected scan (datafusion_processor.rs:447-458)
-    if (!needSeq && !needFilePos) return base.select(projected: _*)
+    if (!needSeq && !needFilePos && !keepHidden) return base.select(projected: _*)
 
     var df = base.select(
       projected ++ Seq(normalizePath(col("_metadata.file_path")).as(FilePathCol)) ++
-        (if (needFilePos) Seq(col("_metadata.row_index").as(PosCol)) else Nil): _*)
+        (if (needFilePos || keepHidden) Seq(col("_metadata.row_index").as(PosCol)) else Nil): _*)
 
     if (needSeq) {
       // per-file sequence number: broadcast join on the manifest map
@@ -222,6 +228,6 @@ object Mor {
       df = df.join(gatedDel, cond, "left_anti")
     }
 
-    df.select(projected: _*)
+    df.select(projected ++ hidden: _*)
   }
 }

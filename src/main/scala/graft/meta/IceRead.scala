@@ -113,17 +113,25 @@ object IceRead {
       colName: String, lo: BigDecimal, hi: BigDecimal): Seq[FileEntry] =
     meta.scanTasks(snap).filter(_.mayContainRange(colName, lo, hi))
 
-  private def ofSnapshot(spark: SparkSession, meta: TableMetadata, snap: Snapshot,
-      keep: FileEntry => Boolean = _ => true): DataFrame = {
+  /** The MOR view of one snapshot; `keepHidden` retains
+    * [[Mor.FilePathCol]]/[[Mor.PosCol]] row lineage (changelog delete
+    * attribution needs to address live rows physically). */
+  private[meta] def ofSnapshot(spark: SparkSession, meta: TableMetadata, snap: Snapshot,
+      keep: FileEntry => Boolean = _ => true, keepHidden: Boolean = false): DataFrame = {
     val all = meta.scanTasks(snap)
     require(all.nonEmpty, s"table ${meta.name} is empty")
     val tasks = all.filter(keep)
     if (tasks.isEmpty) {
       // pruned to nothing: an empty frame with the table schema, not an
       // error — a filter that matches no partition/zone is a valid query
-      val schema = meta.typedStruct.getOrElse(
+      val base = meta.typedStruct.getOrElse(
         spark.read.parquet(all.head.path).select(meta.schemaColumns.map(
           org.apache.spark.sql.functions.col): _*).schema)
+      val schema =
+        if (keepHidden) org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(Mor.FilePathCol, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(Mor.PosCol, org.apache.spark.sql.types.LongType)))
+        else base
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val byPath = snap.manifest.map(f => f.path -> f).toMap
@@ -140,7 +148,8 @@ object IceRead {
       else Seq(tasks)
     taskGroups.map { ts =>
       val group = FileGroup.fromDataFiles(ts, byPath.get)
-      Mor.dataFrame(spark, group, meta.schemaColumns, meta.formatVersion, meta.schema)
+      Mor.dataFrame(spark, group, meta.schemaColumns, meta.formatVersion, meta.schema,
+        keepHidden = keepHidden)
     }.reduce(_ unionAll _)
   }
 
@@ -175,6 +184,30 @@ object IceRead {
         f.partitionValues, f.equalityIds, f.equalityFieldIds)
     }.toDF("file_path", "content", "file_size_bytes", "record_count",
       "sequence_number", "partition", "equality_ids", "equality_field_ids")
+  }
+
+  /** `partitions` metadata table (like Iceberg's `table$partitions`): one
+    * row per partition of the branch head with file/record/byte totals and
+    * delete-file counts — the planning input for partition-scoped
+    * compaction and the first thing an operator inspects on a skewed
+    * table. Metadata-only (driver-side manifest aggregation, no scan);
+    * record counts are manifest counts, i.e. PRE-merge-on-read totals. */
+  def partitions(spark: SparkSession, catalog: Catalog, name: String,
+      branch: String = "main"): DataFrame = {
+    import spark.implicits._
+    val meta = catalog.loadTable(name)
+    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+                else meta.snapshotForRef(branch))
+      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    snap.manifest.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (pv, files) =>
+        val (data, del) = files.partition(_.content == FileContent.Data)
+        (pv, data.size.toLong, data.map(_.recordCount).sum, data.map(_.length).sum,
+          del.count(_.content == FileContent.PositionDeletes).toLong,
+          del.count(_.content == FileContent.EqualityDeletes).toLong)
+      }.toDF("partition", "data_files", "record_count", "total_bytes",
+        "position_delete_files", "equality_delete_files")
   }
 
   /** Registers the MOR view as a temp view for SQL access. */

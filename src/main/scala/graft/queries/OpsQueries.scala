@@ -200,6 +200,44 @@ object OpsQueries {
           col("s_nationkey").cast("long").as("s_nationkey"))
     }),
 
+    // incremental changelog read as an oracle-checked query: build a real
+    // table through create -> append -> upsert -> deleteWhere -> COMPACT,
+    // then read the full changelog. The DuckDB oracle reconstructs every
+    // per-snapshot insert/delete relationally — so delete attribution
+    // (live-rows-only), same-snapshot upsert semantics, AND compaction's
+    // changelog invisibility (the replace snapshot contributes nothing)
+    // are all hash-checked
+    "q_changes" -> ((s, dir) => {
+      import graft.meta.{Changelog, IceWrite, LocalCatalog}
+      import graft.compaction.Compaction
+      import graft.selection.{FullCompactionConfig, PlanningParams}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-changes-wh").toString)
+      val src = tbl(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      IceWrite.create(s, catalog, "t_q_changes",
+        src.filter(col("s_suppkey") % 2 === 0))                       // snapshot 1
+      IceWrite.append(s, catalog, "t_q_changes",
+        src.filter(col("s_suppkey") % 2 === 1))                       // snapshot 2
+      val changed = src.filter(col("s_suppkey") % 3 === 0)
+        .withColumn("s_name", upper(col("s_name")))
+        .withColumn("s_nationkey", (col("s_nationkey") + 100).cast("int"))
+      val inserted = src.filter(col("s_suppkey") % 10 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 1000000)
+      IceWrite.upsert(s, catalog, "t_q_changes",
+        changed.unionAll(inserted), keys = Seq("s_suppkey"))          // snapshot 3
+      IceWrite.deleteWhere(s, catalog, "t_q_changes",
+        col("s_suppkey") % 5 === 0)                                   // snapshot 4
+      new Compaction(catalog, "t_q_changes", s,
+        config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)))
+        .compact()                                                    // snapshot 5: replace
+      val head = catalog.loadTable("t_q_changes").currentSnapshot.get.snapshotId
+      Changelog.changesBetween(s, catalog, "t_q_changes", 0L, head)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"),
+          col(Changelog.ChangeTypeCol), col(Changelog.SnapshotIdCol))
+    }),
+
     // multimodal plumbing: binary payload + typed metadata + digest
     "m1_multimodal" -> ((s, dir) =>
       Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
@@ -458,6 +496,37 @@ object OpsQueries {
         |  UNION ALL SELECT * FROM ins)
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
         |FROM final0 WHERE s_suppkey % 7 <> 0""".stripMargin,
+
+    // changelog reconstruction: snapshot ids are deterministic (1..4 data
+    // commits, 5 = the replace, which must contribute NOTHING)
+    "q_changes" ->
+      """WITH s0 AS (SELECT s_suppkey, s_name, s_nationkey FROM supplier),
+        |up AS (
+        |  SELECT s_suppkey, upper(s_name) AS s_name, s_nationkey + 100 AS s_nationkey
+        |  FROM s0 WHERE s_suppkey % 3 = 0),
+        |ins AS (
+        |  SELECT s_suppkey + 1000000 AS s_suppkey, s_name, s_nationkey
+        |  FROM s0 WHERE s_suppkey % 10 = 0),
+        |state3 AS (
+        |  SELECT * FROM s0 WHERE s_suppkey % 3 <> 0
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_snapshot_id
+        |FROM s0 WHERE s_suppkey % 2 = 0
+        |UNION ALL
+        |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT), 'insert', 2
+        |FROM s0 WHERE s_suppkey % 2 = 1
+        |UNION ALL
+        |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT), 'insert', 3 FROM up
+        |UNION ALL
+        |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT), 'insert', 3 FROM ins
+        |UNION ALL
+        |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT), 'delete', 3
+        |FROM s0 WHERE s_suppkey % 3 = 0
+        |UNION ALL
+        |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT), 'delete', 4
+        |FROM state3 WHERE s_suppkey % 5 = 0""".stripMargin,
 
     "m1_multimodal" ->
       """SELECT doc_id AS media_id,

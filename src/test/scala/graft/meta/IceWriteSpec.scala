@@ -229,6 +229,30 @@ class IceWriteSpec extends AnyFunSuite {
     assert(files.filter(col("content") === "PositionDeletes").count() == 1)
   }
 
+  test("partitions metadata table aggregates the manifest per partition") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    val src = (1L to 40L).map(i => (i, s"v$i", (i % 4).toString)).toDF("id", "v", "p")
+    IceWrite.create(spark, catalog, "t_parts", src,
+      partitionSpec = Seq(PartitionField("p")))
+    IceWrite.deleteWhere(spark, catalog, "t_parts", col("id") === 1L)
+
+    val parts = IceRead.partitions(spark, catalog, "t_parts")
+      .collect().map(r => (r.getMap[String, String](0).toMap,
+        r.getLong(1), r.getLong(2), r.getLong(4))).toList
+    assert(parts.map(_._1).toSet ==
+      (0 to 3).map(i => Map("p" -> i.toString)).toSet ++
+        Set(Map.empty[String, String])) // the unpartitioned pos-delete file
+    // each identity partition holds 10 records
+    for ((pv, dataFiles, records, _) <- parts if pv.nonEmpty) {
+      assert(dataFiles >= 1L && records == 10L, s"partition $pv: $dataFiles files, $records records")
+    }
+    // tombstone files are global (no partition values), counted as deletes
+    val global = parts.find(_._1.isEmpty).get
+    assert(global._2 == 0L && global._4 >= 1L)
+  }
+
   test("ingested table compacts and reads back identically") {
     val catalog = newCatalog()
     val src = spark.read.parquet(s"$sf/customer.parquet")
