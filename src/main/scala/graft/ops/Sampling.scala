@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines — the operations that turn a cleaned corpus into train/val/
+  * test sets and data mixtures.
+  *
+  * Everything here is HASH-based and per-row: membership depends only on
+  * (seed, id), never on partitioning, row order, or cluster size — so
+  * splits are reproducible across runs and engines, stable under
+  * repartitioning, and a re-run over a grown corpus keeps every previously
+  * assigned row in its split (the property random() sampling lacks).
+  * No shuffle anywhere: each operator is a narrow projection/filter that
+  * scales linearly with input splits.
+  *
+  * Cross-engine determinism trick: rather than converting md5 hex to a
+  * number (engines disagree on hex-parse builtins), thresholds are
+  * compared as fixed-width lowercase-hex STRINGS — lexicographic order on
+  * fixed-length lowercase hex equals numeric order, and md5 prints
+  * lowercase hex in every engine. A rate r maps to the 8-hex-char
+  * threshold `floor(r * 16^8)`.
+  */
+object Sampling {
+
+  /** The first 8 md5 hex chars of `seed:id` — a uniform draw in [0, 16^8)
+    * as a fixed-width hex string. */
+  def hashDraw(idCol: Column, seed: String): Column =
+    substring(md5(concat(lit(seed), lit(":"), idCol.cast("string"))), 1, 8)
+
+  /** `floor(rate * 16^8)` as 8 lowercase hex chars — the comparison
+    * threshold for [[hashDraw]]. rate is clamped to [0, 1]. */
+  def rateThreshold(rate: Double): String = {
+    val clamped = math.min(1.0, math.max(0.0, rate))
+    val v = math.min((clamped * 4294967296.0).toLong, 4294967295L)
+    f"$v%08x"
+  }
+
+  /** Deterministic Bernoulli sample: keeps rows whose draw falls under
+    * `rate`. Same (seed, id) -> same verdict, forever. */
+  def sampleByHash(df: DataFrame, idCol: String, rate: Double,
+      seed: String = "sample"): DataFrame =
+    df.filter(hashDraw(col(idCol), seed) < lit(rateThreshold(rate)))
+
+  /** Train/val/test (or any n-way) assignment from cumulative weight
+    * thresholds: `splits` are (name, weight) with weights summing to ~1;
+    * every row gets exactly one split label, rows never migrate when the
+    * corpus grows. Returns df + `split` column. */
+  def assignSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)] = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+      seed: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1, got $total")
+    val draw = hashDraw(col(idCol), seed)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // last split takes everything left so rounding can't drop a row
+    val assigned = splits.init.zip(cum.init).foldLeft(when(lit(false), "")) {
+      case (acc, ((name, _), cumRate)) =>
+        acc.when(draw < lit(rateThreshold(cumRate)), name)
+    }.otherwise(splits.last._1)
+    df.withColumn("split", assigned)
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep rates (a data
+    * mixture — "50% of en, 10% of everything else"). Strata absent from
+    * `rates` fall back to `defaultRate`. One narrow filter, no shuffle;
+    * the mixture is exact in expectation and reproducible row-for-row. */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      seed: String = "strata"): DataFrame = {
+    val draw = hashDraw(col(idCol), seed)
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(when(lit(false), "")) {
+      case (acc, (stratum, rate)) =>
+        acc.when(col(strataCol) === stratum, rateThreshold(rate))
+    }.otherwise(rateThreshold(defaultRate))
+    df.filter(draw < threshold)
+  }
+}

@@ -80,6 +80,86 @@ object TextAnalysis {
         least(tokenCount(text) / 100.0, lit(1.0)) * 0.3,
       4)
 
+  /** Longest run of consecutive equal elements in an array column —
+    * a single per-row fold (`aggregate`), no explode, no shuffle.
+    * Empty arrays yield 0, single elements 1. */
+  private def maxRunLength(a: String): Column = {
+    expr(
+      s"""CASE WHEN size($a) < 2 THEN size($a) ELSE
+         |  aggregate(sequence(2, size($a)),
+         |    named_struct('run', 1, 'best', 1),
+         |    (acc, i) -> IF(element_at($a, i) = element_at($a, i - 1),
+         |      named_struct('run', acc.run + 1, 'best', greatest(acc.best, acc.run + 1)),
+         |      named_struct('run', 1, 'best', acc.best)),
+         |    acc -> acc.best)
+         |END""".stripMargin)
+  }
+
+  /** Repetition / boilerplate signals (the Gopher- and C4-style filters a
+    * crawl pipeline cuts on), all per-row expressions over the token
+    * array — no explode, no shuffle, linear in input splits:
+    *
+    *  - `dup_word_frac`: fraction of tokens that are repeats of an
+    *    already-seen token, `(n - n_distinct) / n`;
+    *  - `top_word_frac`: coverage of the single most frequent token
+    *    (mode count / n) — boilerplate pushes this up;
+    *  - `top_bigram_frac`: coverage of the most frequent word bigram over
+    *    the n-1 bigrams; 0.0 for single-token docs;
+    *  - `max_run_len`: longest consecutive repeat of one token ("buy buy
+    *    buy ..."), the classic spam/repetition tell.
+    *
+    * Mode counts come from `array_sort` + a run-length fold (the mode of a
+    * multiset == the longest equal-run of its sorted array), so the whole
+    * metric set is one narrow projection. Fractions are 6-decimal rounded
+    * for cross-engine determinism. */
+  def repetitionMetrics(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val out = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      // NB sequence(1, 0) DESCENDS in Spark, hence the explicit size guard
+      .withColumn("__bigrams", expr(
+        """CASE WHEN size(__toks) < 2 THEN array()
+          |ELSE transform(sequence(1, size(__toks) - 1),
+          |       i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))
+          |END""".stripMargin))
+      .withColumn("dup_word_frac",
+        round((col("__n") - size(array_distinct(col("__toks")))) /
+          col("__n").cast("double"), 6))
+      .withColumn("top_word_frac",
+        round(maxRunLength("array_sort(__toks)") / col("__n").cast("double"), 6))
+      .withColumn("top_bigram_frac",
+        when(col("__n") < 2, lit(0.0)).otherwise(
+          round(maxRunLength("array_sort(__bigrams)") /
+            size(col("__bigrams")).cast("double"), 6)))
+      .withColumn("max_run_len", maxRunLength("__toks").cast("long"))
+    out.select(col(idCol), col("dup_word_frac"), col("top_word_frac"),
+      col("top_bigram_frac"), col("max_run_len"))
+  }
+
+  /** PII patterns, chosen to parse identically under Java regex (Spark)
+    * and RE2 (DuckDB): no backrefs, no lookaround, disjoint shapes (email
+    * needs '@', phone needs a leading '+', IPv4 is dotted digits). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d[\\d ]{6,}\\d"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Re))
+
+  /** Redacts emails, then phones, then IPv4s with typed placeholders —
+    * the scrub pass a crawl corpus takes before training. Order matters
+    * and is fixed (email first: its local part may contain digits a
+    * phone/IP pattern could nibble at). Pure per-row regexp_replace
+    * chain: no shuffle, codegen'd. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** Adds the full analysis column set to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text", nCharsCol: String = "n_chars"): DataFrame = {
     val t = col(textCol)

@@ -176,6 +176,42 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))),
 
+    // repetition/boilerplate signals (Gopher/C4-style filters), one
+    // narrow per-row projection — mode counts via sorted-array run folds
+    "t7_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(tbl(s, dir, "documents"))),
+
+    // PII detect + redact over a corpus with deterministically injected
+    // emails/phones/IPs (so every scale factor has guaranteed positives);
+    // the redacted text itself is hash-checked via md5
+    "t8_pii" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now"))).otherwise(""),
+        when(col("doc_id") % 5 === 0, lit(" call +1 555 123 4567")).otherwise(""),
+        when(col("doc_id") % 7 === 0, concat(lit(" node 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".17 up"))).otherwise("")
+      ).as("text"))
+      injected.select(col("doc_id"),
+        TextAnalysis.emailCount(col("text")).cast("long").as("emails"),
+        TextAnalysis.phoneCount(col("text")).cast("long").as("phones"),
+        TextAnalysis.ipv4Count(col("text")).cast("long").as("ips"),
+        md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+    }),
+
+    // deterministic train/val/test split: hash-threshold assignment,
+    // reproducible row-for-row across runs/engines/cluster sizes
+    "p1_hash_split" -> ((s, dir) =>
+      graft.ops.Sampling.assignSplit(
+        tbl(s, dir, "documents").select(col("doc_id")), "doc_id")),
+
+    // stratified deterministic mixture: per-language keep rates
+    "p2_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSampleByHash(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)),
+
     // MOR write semantics as an oracle-checked query: create a real table
     // from `supplier`, atomically UPSERT modified + inserted rows, then
     // DELETE WHERE — the DuckDB oracle reconstructs the same final state
@@ -496,6 +532,71 @@ object OpsQueries {
         |  UNION ALL SELECT * FROM ins)
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
         |FROM final0 WHERE s_suppkey % 7 <> 0""".stripMargin,
+
+    "t7_repetition" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS tok,
+         |             unnest(range(1, len(toks) + 1)) AS p FROM base),
+         |wc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, max(c) AS maxc,
+         |               count(*) AS nd FROM wc GROUP BY 1),
+         |runs AS (SELECT doc_id, tok,
+         |    p - row_number() OVER (PARTITION BY doc_id, tok ORDER BY p) AS isl FROM t),
+         |runl AS (SELECT doc_id, max(c) AS mr FROM (
+         |    SELECT doc_id, tok, isl, count(*) AS c FROM runs GROUP BY 1, 2, 3)
+         |  GROUP BY 1),
+         |bg AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(toks) - 1, 0) + 1),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bgram FROM base),
+         |bgc AS (SELECT doc_id, bgram, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bga AS (SELECT doc_id, max(c) AS maxbg, sum(c) AS nbg FROM bgc GROUP BY 1)
+         |SELECT a.doc_id,
+         |  round((a.n - a.nd) / CAST(a.n AS DOUBLE), 6) AS dup_word_frac,
+         |  round(a.maxc / CAST(a.n AS DOUBLE), 6) AS top_word_frac,
+         |  coalesce(round(b.maxbg / CAST(b.nbg AS DOUBLE), 6), 0.0) AS top_bigram_frac,
+         |  CAST(r.mr AS BIGINT) AS max_run_len
+         |FROM agg a JOIN runl r ON r.doc_id = a.doc_id
+         |LEFT JOIN bga b ON b.doc_id = a.doc_id""".stripMargin,
+
+    "t8_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+\\d[\\d ]{6,}\\d"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH pii AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 123 4567' ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0
+         |       THEN ' node 10.0.' || (doc_id % 256) || '.17 up' ELSE '' END AS t
+         |FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS emails,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS phones,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+         |    '$ip', '<IP>', 'g')) AS redacted_md5
+         |FROM pii""".stripMargin
+    },
+
+    "p1_hash_split" -> {
+      val t80 = graft.ops.Sampling.rateThreshold(0.8)
+      val t90 = graft.ops.Sampling.rateThreshold(0.9)
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5('split:' || doc_id), 1, 8) < '$t80' THEN 'train'
+         |       WHEN substr(md5('split:' || doc_id), 1, 8) < '$t90' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+
+    "p2_stratified_sample" -> {
+      val en = graft.ops.Sampling.rateThreshold(0.5)
+      val fr = graft.ops.Sampling.rateThreshold(0.25)
+      val other = graft.ops.Sampling.rateThreshold(0.1)
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5('strata:' || doc_id), 1, 8) <
+         |  CASE lang WHEN 'en' THEN '$en' WHEN 'fr' THEN '$fr' ELSE '$other' END""".stripMargin
+    },
 
     // changelog reconstruction: snapshot ids are deterministic (1..4 data
     // commits, 5 = the replace, which must contribute NOTHING)

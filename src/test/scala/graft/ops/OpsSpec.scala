@@ -281,6 +281,79 @@ class OpsSpec extends AnyFunSuite {
     assert(r8.getInt(1) == 8000 && r8.getLong(3) == 1000L && r8.getLong(4) == 500000L)
   }
 
+  test("repetition metrics: exact values on constructed texts") {
+    val rows = Seq(
+      (1L, "a b c d"),          // no repetition
+      (2L, "buy buy buy now"),  // run of 3, dup frac 2/4
+      (3L, "x y x y x y"),      // alternating: top word 3/6, top bigram "x y" 3/5
+      (4L, "solo")              // single token: bigram frac 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(rows).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out(1L) == ((0.0, 0.25, 0.333333, 1L)))
+    assert(out(2L) == ((0.5, 0.75, 0.666667, 3L)))
+    assert(out(3L) == ((math.rint(4.0 / 6 * 1e6) / 1e6, 0.5, 0.6, 1L)))
+    assert(out(4L) == ((0.0, 1.0, 0.0, 1L)))
+  }
+
+  test("PII: counts and redaction on constructed texts") {
+    val rows = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or call +1 555 123 4567 ok"),
+      (2L, "server 10.0.42.17 and 192.168.0.1 rebooted"),
+      (3L, "nothing personal here")
+    ).toDF("doc_id", "text")
+    val out = rows.select($"doc_id",
+      TextAnalysis.emailCount($"text").as("e"),
+      TextAnalysis.phoneCount($"text").as("p"),
+      TextAnalysis.ipv4Count($"text").as("i"),
+      TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) == ((1, 1, 0, "mail me at <EMAIL> or call <PHONE> ok")))
+    assert(out(2L) == ((0, 0, 2, "server <IP> and <IP> rebooted")))
+    assert(out(3L) == ((0, 0, 0, "nothing personal here")))
+  }
+
+  test("hash split: total, deterministic, stable under corpus growth, ~weights") {
+    val split1 = Sampling.assignSplit(docs.select($"doc_id"), "doc_id")
+    val m1 = split1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1.size == docs.count())
+    assert(m1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // growth stability: assigning over a 2x corpus keeps every old row's split
+    val grown = docs.select($"doc_id")
+      .unionAll(docs.select(($"doc_id" + 1000000).as("doc_id")))
+    val m2 = Sampling.assignSplit(grown, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1.forall { case (id, s) => m2(id) == s })
+    // rough proportions at n=500 (binomial 3-sigma)
+    val n = m1.size.toDouble
+    val frac = m1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train frac ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.05)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.05)
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
+
+  test("stratified sample: per-stratum rates honored, subset semantics, no shuffle") {
+    val sampled = Sampling.stratifiedSampleByHash(
+      docs.select($"doc_id", $"lang"), "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0)
+    // rate 1.0 keeps every en row, rate 0.0 drops every other row
+    val kept = sampled.collect().map(_.getLong(0)).toSet
+    val allEn = docs.filter($"lang" === "en").select($"doc_id").as[Long].collect().toSet
+    assert(kept == allEn && kept.nonEmpty)
+    // the plan is a pure scan+filter: no exchange
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stratified sample must not shuffle:\n$plan")
+    // sampling is a subset of the input and deterministic across runs
+    val again = Sampling.stratifiedSampleByHash(
+      docs.select($"doc_id", $"lang"), "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0)
+    assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
+  }
+
   test("text analysis columns are sane") {
     val out = TextAnalysis.analyze(docs)
     val row = out.filter($"doc_id" === 0).head
