@@ -4,39 +4,85 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 /** Hand-rolled JSON codec for table metadata (json4s ships with Spark).
-  * Explicit field-by-field mapping: stable on-disk format, no reflection. */
+  * Explicit field-by-field mapping: stable on-disk format, no reflection.
+  *
+  * Manifests are DELTA-ENCODED against the parent snapshot where lossless:
+  * a full manifest per snapshot makes the metadata file O(snapshots x
+  * files) — at 10^6 tracked files an append would rewrite gigabytes of
+  * JSON per commit (this model's analogue of why Iceberg splits manifests
+  * into reusable avro files). A snapshot whose parent appears in the same
+  * metadata serializes only `removed-paths` + in-place `replaced` entries
+  * + `appended` entries, making metadata O(total change). The writer
+  * RECONSTRUCTS the manifest from the candidate delta and compares it to
+  * the original — exact order included, because MOR delete application is
+  * manifest-order sensitive — and falls back to the full form on any
+  * mismatch, so the encoding is lossless by construction, not by
+  * assumption. Reading full-manifest metadata written before this
+  * encoding still works (field-presence switch). */
 object MetadataJson {
 
   private def str(v: String): JValue = JString(v)
 
-  def toJson(m: TableMetadata): JValue = JObject(
-    "name" -> str(m.name),
-    "location" -> str(m.location),
-    "format-version" -> JInt(m.formatVersion),
-    "schema" -> JArray(m.schema.map(f =>
-      JObject("id" -> JInt(f.id), "name" -> str(f.name), "type" -> str(f.dataType),
-        "nullable" -> JBool(f.nullable))).toList),
-    "last-column-id" -> JInt(m.lastColumnId),
-    "partition-spec" -> JArray(m.partitionSpec.map(p =>
-      JObject("column" -> str(p.column), "transform" -> str(p.transform))).toList),
-    "sort-order" -> JArray(m.sortOrder.map(s =>
-      JObject("column" -> str(s.column), "ascending" -> JBool(s.ascending),
-        "nulls-first" -> JBool(s.nullsFirst))).toList),
-    "current-snapshot-id" -> m.currentSnapshotId.map(JLong(_)).getOrElse(JNull),
-    "refs" -> JObject(m.refs.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
-    "snapshots" -> JArray(m.snapshots.map(snapshotToJson).toList),
-    "last-sequence-number" -> JLong(m.lastSequenceNumber),
-    "version" -> JInt(m.version)
-  )
+  def toJson(m: TableMetadata): JValue = {
+    // parents resolve only against snapshots serialized EARLIER in the
+    // list (commit order), so the reader can decode in one forward pass
+    val seen = scala.collection.mutable.Map.empty[Long, Snapshot]
+    val snapJsons = m.snapshots.map { s =>
+      val j = snapshotToJson(s, s.parentId.flatMap(seen.get))
+      seen(s.snapshotId) = s
+      j
+    }
+    JObject(
+      "name" -> str(m.name),
+      "location" -> str(m.location),
+      "format-version" -> JInt(m.formatVersion),
+      "schema" -> JArray(m.schema.map(f =>
+        JObject("id" -> JInt(f.id), "name" -> str(f.name), "type" -> str(f.dataType),
+          "nullable" -> JBool(f.nullable))).toList),
+      "last-column-id" -> JInt(m.lastColumnId),
+      "partition-spec" -> JArray(m.partitionSpec.map(p =>
+        JObject("column" -> str(p.column), "transform" -> str(p.transform))).toList),
+      "sort-order" -> JArray(m.sortOrder.map(s =>
+        JObject("column" -> str(s.column), "ascending" -> JBool(s.ascending),
+          "nulls-first" -> JBool(s.nullsFirst))).toList),
+      "current-snapshot-id" -> m.currentSnapshotId.map(JLong(_)).getOrElse(JNull),
+      "refs" -> JObject(m.refs.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
+      "snapshots" -> JArray(snapJsons.toList),
+      "last-sequence-number" -> JLong(m.lastSequenceNumber),
+      "version" -> JInt(m.version)
+    )
+  }
 
-  private def snapshotToJson(s: Snapshot): JValue = JObject(
-    "snapshot-id" -> JLong(s.snapshotId),
-    "parent-id" -> s.parentId.map(JLong(_)).getOrElse(JNull),
-    "sequence-number" -> JLong(s.sequenceNumber),
-    "timestamp-ms" -> JLong(s.timestampMs),
-    "summary" -> JObject(s.summary.toList.map { case (k, v) => k -> (str(v): JValue) }),
-    "manifest" -> JArray(s.manifest.map(fileToJson).toList)
-  )
+  private def snapshotToJson(s: Snapshot, parent: Option[Snapshot]): JValue = {
+    val manifestField: (String, JValue) = parent match {
+      case Some(p) =>
+        val childByPath = s.manifest.map(f => f.path -> f).toMap
+        val parentPaths = p.manifest.map(_.path).toSet
+        val removed = p.manifest.map(_.path).filterNot(childByPath.contains)
+        val replaced = p.manifest.flatMap(f =>
+          childByPath.get(f.path).filter(_ != f))
+        val appended = s.manifest.filterNot(f => parentPaths.contains(f.path))
+        val reconstructed = p.manifest
+          .flatMap(f => childByPath.get(f.path)) ++ appended
+        val deltaCost = removed.size + replaced.size + appended.size
+        if (reconstructed == s.manifest && deltaCost < s.manifest.size)
+          "manifest-delta" -> JObject(
+            "base-snapshot-id" -> JLong(p.snapshotId),
+            "removed-paths" -> JArray(removed.map(str).toList),
+            "replaced" -> JArray(replaced.map(fileToJson).toList),
+            "appended" -> JArray(appended.map(fileToJson).toList))
+        else "manifest" -> JArray(s.manifest.map(fileToJson).toList)
+      case None => "manifest" -> JArray(s.manifest.map(fileToJson).toList)
+    }
+    JObject(
+      "snapshot-id" -> JLong(s.snapshotId),
+      "parent-id" -> s.parentId.map(JLong(_)).getOrElse(JNull),
+      "sequence-number" -> JLong(s.sequenceNumber),
+      "timestamp-ms" -> JLong(s.timestampMs),
+      "summary" -> JObject(s.summary.toList.map { case (k, v) => k -> (str(v): JValue) }),
+      manifestField
+    )
+  }
 
   private def fileToJson(f: FileEntry): JValue = JObject(
     "path" -> str(f.path),
@@ -82,16 +128,35 @@ object MetadataJson {
         }.toMap
       )
     }
+    // forward pass: delta manifests resolve against already-decoded
+    // snapshots (the writer guarantees bases serialize first)
+    val resolved = scala.collection.mutable.Map.empty[Long, Snapshot]
     def snap(v: JValue): Snapshot = {
       val m = obj(v).toMap
-      Snapshot(
+      val manifest = m.get("manifest-delta") match {
+        case Some(d) =>
+          val dm = obj(d).toMap
+          val baseId = fLong(dm("base-snapshot-id"))
+          val base = resolved.getOrElse(baseId,
+            sys.error(s"manifest-delta base snapshot $baseId not decoded yet"))
+          val removed = arr(dm.getOrElse("removed-paths", JArray(Nil))).map(fStr).toSet
+          val replaced = arr(dm.getOrElse("replaced", JArray(Nil))).map(file)
+            .map(f => f.path -> f).toMap
+          val appended = arr(dm.getOrElse("appended", JArray(Nil))).map(file)
+          base.manifest.filterNot(f => removed.contains(f.path))
+            .map(f => replaced.getOrElse(f.path, f)) ++ appended
+        case None => arr(m.getOrElse("manifest", JArray(Nil))).map(file)
+      }
+      val s = Snapshot(
         snapshotId = fLong(m("snapshot-id")),
         parentId = optLong(m.getOrElse("parent-id", JNull)),
         sequenceNumber = fLong(m("sequence-number")),
         timestampMs = fLong(m("timestamp-ms")),
-        manifest = arr(m.getOrElse("manifest", JArray(Nil))).map(file),
+        manifest = manifest,
         summary = obj(m.getOrElse("summary", JObject())).map { case (k, x) => k -> fStr(x) }.toMap
       )
+      resolved(s.snapshotId) = s
+      s
     }
     val m = obj(j).toMap
     TableMetadata(

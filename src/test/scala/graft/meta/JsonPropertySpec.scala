@@ -68,4 +68,40 @@ class JsonPropertySpec extends AnyFunSuite {
       assert(back == meta, s"round-trip mismatch for $meta")
     }
   }
+
+  test("append chains delta-encode manifests: O(change) metadata, lossless") {
+    // 40 snapshots, each appending one file to a 200-file base — the
+    // commit pattern that makes full-manifest metadata O(snapshots x
+    // files). Deltas must kick in, shrink the JSON by an order of
+    // magnitude, and round-trip exactly.
+    def entry(i: Int) = FileEntry(s"/w/data/f$i.parquet", 1000L + i,
+      FileContent.Data, 10L, i.toLong)
+    val base = (0 until 200).map(entry)
+    var manifest = base
+    val snaps = (1 to 40).map { i =>
+      manifest = manifest :+ entry(1000 + i)
+      Snapshot(i.toLong, if (i == 1) None else Some(i - 1L), i.toLong, i.toLong * 1000,
+        manifest, Map("operation" -> "append"))
+    }
+    val meta = TableMetadata("t", "/w/t", 2, SchemaField.fromNames(Seq("a")),
+      snapshots = snaps, currentSnapshotId = Some(40L), lastSequenceNumber = 40L)
+
+    val json = MetadataJson.write(meta)
+    assert(MetadataJson.read(json) == meta)
+    assert(json.contains("manifest-delta"))
+
+    // size comparison vs the full encoding (simulated by breaking chains)
+    val unchained = meta.copy(snapshots = meta.snapshots.map(_.copy(parentId = None)))
+    val fullJson = MetadataJson.write(unchained)
+    assert(!fullJson.contains("manifest-delta"))
+    assert(json.length < fullJson.length / 10,
+      s"delta ${json.length} B vs full ${fullJson.length} B — expected >10x shrink")
+
+    // a rewrite (remove + add + replace) also deltas and round-trips
+    val rewritten = manifest.take(100).map(f => f.copy(sequenceNumber = 99L)) ++
+      Seq(entry(5000))
+    val withRewrite = meta.copy(snapshots = snaps :+ Snapshot(41L, Some(40L), 41L,
+      41000L, rewritten, Map("operation" -> "replace")))
+    assert(MetadataJson.read(MetadataJson.write(withRewrite)) == withRewrite)
+  }
 }
