@@ -18,7 +18,8 @@ object PlanAudit {
         "q16_chained_deletes","q1_agg","q3_join_agg","q5_star_join","q6_filter_agg",
         "q_outer_join","q_semi_join","q_window_topk","q_asof_join","q_rollup",
         "d1_exact_dedup","d4_ngram_jaccard","d5_embed_neardup","s1_ann_topk",
-        "s2_ann_lsh_buckets","t5_vocab")) {
+        "s2_ann_lsh_buckets","t5_vocab",
+        "t7_repetition","t8_pii","p1_hash_split","p2_stratified_sample")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
