@@ -93,7 +93,11 @@ object SparkExecutor extends CompactionExecutor {
       partitionSpec: Seq[PartitionField],
       sortOrder: Seq[SortField],
       maxRecordsPerFile: Long,
-      repartitionTo: Int = 0): Seq[FileEntry] = {
+      repartitionTo: Int = 0,
+      /** per-column [min, max] domains for `zorder(...)` sort fields —
+        * compaction supplies them from manifest zone maps (free); missing
+        * domains are computed here with one agg pass over the input. */
+      zorderDomains: Map[String, (BigDecimal, BigDecimal)] = Map.empty): Seq[FileEntry] = {
     // columns whose StructField metadata carries `parquet.field.id` get the
     // id written into the parquet footer (id-addressed reads depend on it);
     // default-true in Spark 4, pinned here so a session override can't
@@ -108,12 +112,34 @@ object SparkExecutor extends CompactionExecutor {
       df = df.repartition(repartitionTo)
     }
     if (sortOrder.nonEmpty) {
+      // resolve domains for all zorder fields up front — one agg job
+      // covers every column still missing one
+      val zCols = sortOrder.flatMap(s => graft.functions.ZOrder.columnsOf(s.column)).flatten
+      val missing = zCols.distinct.filterNot(zorderDomains.contains)
+      val computed: Map[String, (BigDecimal, BigDecimal)] =
+        if (missing.isEmpty) Map.empty
+        else {
+          val aggs = missing.flatMap(c => Seq(
+            min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
+          val row = input.agg(aggs.head, aggs.tail: _*).head()
+          missing.zipWithIndex.map { case (c, i) =>
+            val mn = if (row.isNullAt(2 * i)) BigDecimal(0) else BigDecimal(row.getDouble(2 * i))
+            val mx = if (row.isNullAt(2 * i + 1)) BigDecimal(0) else BigDecimal(row.getDouble(2 * i + 1))
+            c -> (mn, mx)
+          }.toMap
+        }
+      val domains = zorderDomains ++ computed
       val sortCols = sortOrder.map { s =>
+        val key = graft.functions.ZOrder.columnsOf(s.column) match {
+          case Some(cols) =>
+            graft.functions.ZOrder.zvalue(cols.map(c => (col(c), domains(c))))
+          case None => col(s.column)
+        }
         (s.ascending, s.nullsFirst) match {
-          case (true, true)   => col(s.column).asc_nulls_first
-          case (true, false)  => col(s.column).asc_nulls_last
-          case (false, true)  => col(s.column).desc_nulls_first
-          case (false, false) => col(s.column).desc_nulls_last
+          case (true, true)   => key.asc_nulls_first
+          case (true, false)  => key.asc_nulls_last
+          case (false, true)  => key.desc_nulls_first
+          case (false, false) => key.desc_nulls_last
         }
       }
       df = df.sortWithinPartitions(sortCols: _*)
@@ -145,13 +171,28 @@ object SparkExecutor extends CompactionExecutor {
       else math.max(1L, inBytes / inRecords).toDouble
     val maxRecordsPerFile = math.max(1L, (req.targetFileSizeBytes / bytesPerRecord).toLong)
 
+    // zorder domains come free from the input files' manifest zone maps
+    // when every data file carries stats for the column; otherwise
+    // writeDataFiles falls back to one agg pass
+    val zorderDomains: Map[String, (BigDecimal, BigDecimal)] =
+      req.sortOrder.flatMap(s => graft.functions.ZOrder.columnsOf(s.column)).flatten.distinct
+        .flatMap { c =>
+          val perFile = g.dataFiles.map(_.columnStats.get(c))
+          if (perFile.nonEmpty && perFile.forall(_.isDefined)) {
+            val mins = perFile.flatten.map(v => BigDecimal(v._1))
+            val maxs = perFile.flatten.map(v => BigDecimal(v._2))
+            Some(c -> (mins.min, maxs.max))
+          } else None
+        }.toMap
+
     // fan-out by partition when partitioned, else round-robin, to exactly
     // outputParallelism write tasks (reference: RepartitionExec +
     // RecordBatchPartitionSplitter fan-out, executor/datafusion/mod.rs:163-223);
     // per-partition sort by table sort order (SortExec with
     // preserve_partitioning, datafusion_processor.rs:193-213)
     val added = writeDataFiles(spark, df, req.outputDir, req.partitionSpec,
-      req.sortOrder, maxRecordsPerFile, repartitionTo = g.outputParallelism)
+      req.sortOrder, maxRecordsPerFile, repartitionTo = g.outputParallelism,
+      zorderDomains = zorderDomains)
     val stats = RewriteStats(
       inputFiles = g.inputFilesCount,
       inputBytes = g.inputTotalBytes,

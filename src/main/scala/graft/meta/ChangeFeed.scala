@@ -1,0 +1,92 @@
+package graft.meta
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A CDC subscriber over [[Changelog]]: follows a table's commit chain and
+  * hands each new snapshot's changelog frame to a handler, in commit
+  * order, exactly once per snapshot across restarts.
+  *
+  * This is deliberately a PULL loop, not a custom streaming source: the
+  * commit log lives in catalog metadata (one small JSON read per poll), so
+  * a poller + a durable checkpoint gives the same delivery contract a
+  * Structured Streaming source would — offset tracking, ordered replay,
+  * resume — without a bespoke DSv2 implementation. The handler typically
+  * ends in `foreachBatch`-style sinks ([[IceWrite.streamingUpsert]] closes
+  * the loop into another table).
+  *
+  * Delivery contract:
+  *  - snapshots are processed in parent-chain order, one frame per
+  *    snapshot ([[Changelog.changesBetween]] of (parent, snapshot]);
+  *  - physical rewrites (replace/maintenance) advance the checkpoint but
+  *    produce no rows — subscribers replay through compaction undisturbed;
+  *  - the checkpoint (last fully handled snapshot id) is persisted via
+  *    atomic temp-file rename AFTER the handler returns: a crash between
+  *    handling and checkpointing re-delivers that one snapshot
+  *    (at-least-once at the crash edge, exactly-once otherwise — the same
+  *    contract as foreachBatch).
+  */
+final class ChangeFeed(
+    spark: SparkSession,
+    catalog: Catalog,
+    name: String,
+    checkpointFile: Path,
+    branch: String = "main") {
+
+  /** Last fully processed snapshot id; 0 = nothing processed. */
+  def checkpoint(): Long =
+    if (Files.exists(checkpointFile)) new String(
+      Files.readAllBytes(checkpointFile), "UTF-8").trim.toLong
+    else 0L
+
+  private def saveCheckpoint(id: Long): Unit = {
+    val tmp = checkpointFile.resolveSibling(checkpointFile.getFileName.toString + ".tmp")
+    Files.write(tmp, id.toString.getBytes("UTF-8"))
+    Files.move(tmp, checkpointFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Snapshots on the branch head's parent chain AFTER `sinceId`, oldest
+    * first. Fails loudly when `sinceId` has been expired off the chain —
+    * the subscriber lost its place and must resync, not silently skip. */
+  private def pending(sinceId: Long): Seq[Snapshot] = {
+    val meta = catalog.loadTable(name)
+    val head = meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+      .getOrElse(return Nil)
+    var chain = List.empty[Snapshot]
+    var cur: Option[Snapshot] = Some(head)
+    while (cur.nonEmpty && cur.get.snapshotId != sinceId) {
+      chain = cur.get :: chain
+      cur = cur.get.parentId.flatMap(meta.snapshotById)
+    }
+    require(cur.nonEmpty || sinceId == 0L,
+      s"checkpoint snapshot $sinceId expired off table $name's chain; " +
+        "resync the subscriber (full read + fresh checkpoint)")
+    chain
+  }
+
+  /** Processes everything committed since the checkpoint, one handler call
+    * per snapshot, checkpointing after each. Returns the number of
+    * snapshots processed. Run it on a schedule (or in [[followWhile]]'s
+    * loop) to tail the table. */
+  def poll(handler: (DataFrame, Snapshot) => Unit): Int = {
+    val todo = pending(checkpoint())
+    for (snap <- todo) {
+      val frame = Changelog.changesBetween(
+        spark, catalog, name, snap.parentId.getOrElse(0L), snap.snapshotId)
+      handler(frame, snap)
+      saveCheckpoint(snap.snapshotId)
+    }
+    todo.size
+  }
+
+  /** Polls every `pollMs` until `continue` turns false (tests drive this
+    * with a bounded condition; production would loop on a shutdown flag). */
+  def followWhile(pollMs: Long, continue: () => Boolean)(
+      handler: (DataFrame, Snapshot) => Unit): Unit = {
+    while (continue()) {
+      if (poll(handler) == 0) Thread.sleep(pollMs)
+    }
+  }
+}

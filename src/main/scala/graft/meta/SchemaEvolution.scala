@@ -128,6 +128,21 @@ object SchemaEvolution {
       meta.copy(partitionSpec = newSpec)
     }
 
+  /** Replaces the table sort order (metadata-only — Iceberg's
+    * `replaceSortOrder`). Existing files keep their layout; new writes and
+    * the next compaction adopt the new order (set a `zorder(a, b)` field
+    * to recluster for multi-column zone-map pruning). */
+  def updateSortOrder(catalog: Catalog, tableName: String,
+      newOrder: Seq[SortField]): TableMetadata =
+    commitRetry(catalog, tableName) { meta =>
+      for (s <- newOrder) {
+        val cols = graft.functions.ZOrder.columnsOf(s.column).getOrElse(Seq(s.column))
+        for (c <- cols)
+          require(meta.fieldByName(c).nonEmpty, s"sort column $c not in schema")
+      }
+      meta.copy(sortOrder = newOrder)
+    }
+
   private def commitRetry(catalog: Catalog, tableName: String)(
       f: TableMetadata => TableMetadata): TableMetadata = {
     var attempt = 0
