@@ -16,7 +16,7 @@ import graft.meta._
 object Maintenance {
 
   /** Keeps the `keepLast` newest snapshots (plus every snapshot a branch
-    * ref points at); commits the trimmed metadata via CAS retry. */
+    * ref or tag points at); commits the trimmed metadata via CAS retry. */
   def expireSnapshots(catalog: Catalog, tableName: String, keepLast: Int,
       retry: CommitRetryConfig = CommitRetryConfig()): TableMetadata = {
     require(keepLast >= 1, "keepLast must be >= 1")
@@ -24,7 +24,7 @@ object Maintenance {
     while (true) {
       val meta = catalog.loadTable(tableName)
       val byAge = meta.snapshots.sortBy(-_.snapshotId)
-      val pinned = meta.refs.values.toSet ++ meta.currentSnapshotId.toSet
+      val pinned = meta.refs.values.toSet ++ meta.tags.values.toSet ++ meta.currentSnapshotId.toSet
       val keep = (byAge.take(keepLast).map(_.snapshotId).toSet ++ pinned)
       val trimmed = meta.copy(snapshots = meta.snapshots.filter(s => keep.contains(s.snapshotId)))
       try return catalog.commit(meta, trimmed)
@@ -47,7 +47,7 @@ object Maintenance {
     var attempt = 0
     while (true) {
       val meta = catalog.loadTable(tableName)
-      val pinned = meta.refs.values.toSet ++ meta.currentSnapshotId.toSet
+      val pinned = meta.refs.values.toSet ++ meta.tags.values.toSet ++ meta.currentSnapshotId.toSet
       val newest = meta.snapshots.sortBy(-_.snapshotId).take(retainLast).map(_.snapshotId).toSet
       val keep = meta.snapshots.filter(s =>
         s.timestampMs >= olderThanMs || pinned.contains(s.snapshotId) ||

@@ -3,14 +3,16 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.meta.{IceRead, IceWrite, LocalCatalog}
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.meta.{ChangeFeed, Changelog, IceRead, IceWrite, LocalCatalog}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** End-to-end training-data curation pipeline over the synthetic corpus —
   * the composition story: ingest documents into the table format, score
-  * and filter by quality, drop exact and near duplicates, write the
-  * curated corpus back as a table, and stand up an ANN index over the
-  * embeddings. Every stage is an operator this library ships; run with
+  * and filter by quality and repetition, scrub PII, drop exact and near
+  * duplicates, split train/val/test deterministically, write the curated
+  * corpus back as a table, subscribe to its changelog, and stand up an
+  * ANN index over the embeddings. Every stage is an operator this
+  * library ships; run with
   * {{{ sbt "runMain graft.examples.PipelineDemo" }}}.
   */
 object PipelineDemo {
@@ -29,11 +31,16 @@ object PipelineDemo {
     IceWrite.create(spark, catalog, "docs_raw", raw)
     println(s"INGESTED rows=${IceRead.table(spark, catalog, "docs_raw").count()}")
 
-    // 2. quality scoring + filter (pure codegen'd expressions, no shuffle)
+    // 2. quality + repetition scoring and PII scrub (pure per-row
+    //    expressions, no shuffle anywhere in this stage)
+    val repetition = TextAnalysis.repetitionMetrics(
+      IceRead.table(spark, catalog, "docs_raw"))
     val scored = IceRead.table(spark, catalog, "docs_raw")
+      .join(repetition, Seq("doc_id"))
       .withColumn("quality", TextAnalysis.qualityScore(col("text"), col("n_chars")))
       .withColumn("lang", TextAnalysis.langId(col("text")))
-    val kept = scored.filter(col("quality") >= 0.5)
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+    val kept = scored.filter(col("quality") >= 0.5 && col("dup_word_frac") <= 0.9)
     println(s"QUALITY kept=${kept.count()} of=${scored.count()}")
 
     // 3. exact dedup (hash-agg on fingerprints) -> keeper ids
@@ -49,11 +56,24 @@ object PipelineDemo {
     val curated = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
     println(s"NEAR-DEDUP kept=${curated.count()}")
 
-    // 5. the curated corpus is itself a governed table (time travel,
-    //    compaction, GC all apply)
+    // 5. deterministic split, then the curated corpus is itself a governed
+    //    table (time travel, compaction, GC, tags all apply)
+    val split = Sampling.assignSplit(curated, "doc_id")
     IceWrite.create(spark, catalog, "docs_curated",
-      curated.select("doc_id", "text", "lang", "quality"))
-    println(s"CURATED table rows=${IceRead.table(spark, catalog, "docs_curated").count()}")
+      split.select("doc_id", "text", "lang", "quality", "split"))
+    IceWrite.createTag(catalog, "docs_curated", "v1",
+      catalog.loadTable("docs_curated").currentSnapshotId.get)
+    val bySplit = IceRead.table(spark, catalog, "docs_curated")
+      .groupBy("split").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"CURATED table rows=${IceRead.table(spark, catalog, "docs_curated").count()} ($bySplit) tagged=v1")
+
+    // 5b. a downstream consumer tails the curated table's changelog
+    val ck = java.nio.file.Files.createTempDirectory("pipeline-ck").resolve("ck")
+    val feed = new ChangeFeed(spark, catalog, "docs_curated", ck)
+    feed.poll((frame, snap) => println(
+      s"CHANGEFEED snapshot=${snap.snapshotId} " +
+        s"inserts=${frame.filter(col(Changelog.ChangeTypeCol) === "insert").count()}"))
 
     // 6. ANN over the embeddings: IVF cells + a probe query
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -36,6 +36,14 @@ object IceRead {
     ofSnapshot(spark, meta, snap)
   }
 
+  /** Time travel by tag: the MOR view at an immutable named ref. */
+  def tableAtTag(spark: SparkSession, catalog: Catalog, name: String, tag: String): DataFrame = {
+    val meta = catalog.loadTable(name)
+    val id = meta.tags.getOrElse(tag,
+      throw new IllegalArgumentException(s"table $name has no tag $tag"))
+    tableAt(spark, catalog, name, id)
+  }
+
   /** Time travel by wall clock: the newest snapshot committed at or
     * before `timestampMs` (Iceberg's TIMESTAMP AS OF). */
   def tableAsOf(spark: SparkSession, catalog: Catalog, name: String, timestampMs: Long): DataFrame = {
@@ -208,6 +216,16 @@ object IceRead {
           del.count(_.content == FileContent.EqualityDeletes).toLong)
       }.toDF("partition", "data_files", "record_count", "total_bytes",
         "position_delete_files", "equality_delete_files")
+  }
+
+  /** `refs` metadata table (like Iceberg's `table$refs`): every named
+    * ref — movable branches and immutable tags — with its snapshot. */
+  def refs(spark: SparkSession, catalog: Catalog, name: String): DataFrame = {
+    import spark.implicits._
+    val meta = catalog.loadTable(name)
+    (meta.refs.toSeq.sortBy(_._1).map { case (n, id) => (n, "branch", id) } ++
+      meta.tags.toSeq.sortBy(_._1).map { case (n, id) => (n, "tag", id) })
+      .toDF("name", "type", "snapshot_id")
   }
 
   /** Registers the MOR view as a temp view for SQL access. */

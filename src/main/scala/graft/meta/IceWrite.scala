@@ -271,6 +271,64 @@ object IceWrite {
     sys.error("unreachable")
   }
 
+  /** Rolls a branch back to an ANCESTOR snapshot (Iceberg's
+    * rollback_to_snapshot): moves the ref — and for main, the current
+    * snapshot pointer — without writing or deleting anything, so the
+    * abandoned commits stay time-travelable until expiry. Restricted to
+    * ancestors: rolling "back" to a divergent snapshot is a branch
+    * reassignment, not a rollback — use [[createBranch]] for that. */
+  def rollbackTo(catalog: Catalog, name: String, snapshotId: Long,
+      branch: String = "main"): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(name)
+      val head = meta.snapshotForRef(branch)
+        .orElse(if (branch == "main") meta.currentSnapshot else None)
+        .getOrElse(throw new IllegalStateException(s"branch $branch has no snapshot"))
+      var cur: Option[Snapshot] = Some(head)
+      while (cur.nonEmpty && cur.get.snapshotId != snapshotId)
+        cur = cur.get.parentId.flatMap(meta.snapshotById)
+      require(cur.nonEmpty,
+        s"snapshot $snapshotId is not an ancestor of $branch's head ${head.snapshotId}")
+      val updated = meta.copy(
+        refs = meta.refs + (branch -> snapshotId),
+        currentSnapshotId =
+          if (branch == "main") Some(snapshotId) else meta.currentSnapshotId)
+      try return catalog.commit(meta, updated)
+      catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Creates an IMMUTABLE tag at a snapshot (Iceberg tags): a named
+    * time-travel point that pins its snapshot against expiry. Tags never
+    * move; re-tagging an existing name is an error (drop it first). */
+  def createTag(catalog: Catalog, name: String, tag: String,
+      snapshotId: Long): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(name)
+      require(meta.snapshotById(snapshotId).nonEmpty,
+        s"table $name has no snapshot $snapshotId")
+      require(!meta.tags.contains(tag),
+        s"tag $tag already exists (tags are immutable; dropTag first)")
+      try return catalog.commit(meta, meta.copy(tags = meta.tags + (tag -> snapshotId)))
+      catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
+  def dropTag(catalog: Catalog, name: String, tag: String): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(name)
+      require(meta.tags.contains(tag), s"no such tag: $tag")
+      try return catalog.commit(meta, meta.copy(tags = meta.tags - tag))
+      catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
   /** Publishes a staged branch: fast-forwards main (and the current
     * snapshot pointer) to the branch head. Audit the branch with
     * [[IceRead.table]](branch) first; until publish, main readers see

@@ -47,6 +47,7 @@ object MetadataJson {
           "nulls-first" -> JBool(s.nullsFirst))).toList),
       "current-snapshot-id" -> m.currentSnapshotId.map(JLong(_)).getOrElse(JNull),
       "refs" -> JObject(m.refs.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
+      "tags" -> JObject(m.tags.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
       "snapshots" -> JArray(snapJsons.toList),
       "last-sequence-number" -> JLong(m.lastSequenceNumber),
       "version" -> JInt(m.version)
@@ -185,6 +186,7 @@ object MetadataJson {
       },
       currentSnapshotId = optLong(m.getOrElse("current-snapshot-id", JNull)),
       refs = obj(m.getOrElse("refs", JObject())).map { case (k, v) => k -> fLong(v) }.toMap,
+      tags = obj(m.getOrElse("tags", JObject())).map { case (k, v) => k -> fLong(v) }.toMap,
       snapshots = arr(m.getOrElse("snapshots", JArray(Nil))).map(snap),
       lastSequenceNumber = fLong(m.getOrElse("last-sequence-number", JLong(0L))),
       version = fLong(m.getOrElse("version", JInt(0))).toInt,

@@ -137,14 +137,17 @@ final case class TableMetadata(
     partitionSpec: Seq[PartitionField] = Nil,
     sortOrder: Seq[SortField] = Nil,
     currentSnapshotId: Option[Long] = None,
-    refs: Map[String, Long] = Map.empty, // branch name -> snapshot id
+    refs: Map[String, Long] = Map.empty, // branch name -> snapshot id (movable)
     snapshots: Seq[Snapshot] = Nil,
     lastSequenceNumber: Long = 0L,
     version: Int = 0,
     /** highest field id ever assigned — never reused, so a re-added column
       * name can't resurrect an old column's data (highest_field_id,
       * datafusion_processor.rs:835-841). */
-    lastColumnId: Int = 0
+    lastColumnId: Int = 0,
+    /** tag name -> snapshot id: IMMUTABLE named refs (Iceberg tags) —
+      * created once, never moved, pin their snapshot against expiry. */
+    tags: Map[String, Long] = Map.empty
 ) {
   /** Current column names, in schema order. */
   def schemaColumns: Seq[String] = schema.map(_.name)

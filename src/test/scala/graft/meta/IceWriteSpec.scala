@@ -229,6 +229,47 @@ class IceWriteSpec extends AnyFunSuite {
     assert(files.filter(col("content") === "PositionDeletes").count() == 1)
   }
 
+  test("rollback moves a branch to an ancestor; tags pin snapshots and never move") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    IceWrite.create(spark, catalog, "t_rb", Seq((1L, "a")).toDF("id", "v"))   // 1
+    IceWrite.append(spark, catalog, "t_rb", Seq((2L, "b")).toDF("id", "v"))   // 2
+    IceWrite.createTag(catalog, "t_rb", "v1.0", 2L)
+    IceWrite.append(spark, catalog, "t_rb", Seq((3L, "c")).toDF("id", "v"))   // 3
+    assert(IceRead.table(spark, catalog, "t_rb").count() == 3)
+
+    // rollback to snapshot 2: reads shrink, nothing deleted, history intact
+    IceWrite.rollbackTo(catalog, "t_rb", 2L)
+    assert(IceRead.table(spark, catalog, "t_rb").count() == 2)
+    assert(catalog.loadTable("t_rb").snapshots.size == 3)
+    assert(IceRead.tableAt(spark, catalog, "t_rb", 3L).count() == 3) // still travelable
+
+    // a tag reads its pinned snapshot; immutability + validation enforced
+    assert(IceRead.tableAtTag(spark, catalog, "t_rb", "v1.0").count() == 2)
+    intercept[IllegalArgumentException] { IceWrite.createTag(catalog, "t_rb", "v1.0", 1L) }
+    intercept[IllegalArgumentException] { IceWrite.createTag(catalog, "t_rb", "v2", 99L) }
+    intercept[IllegalArgumentException] { IceWrite.rollbackTo(catalog, "t_rb", 3L) } // not an ancestor now
+
+    // refs metadata table lists branches and tags
+    val refs = IceRead.refs(spark, catalog, "t_rb")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refs == Set(("main", "branch", 2L), ("v1.0", "tag", 2L)))
+
+    // expiry keeps the tag-pinned snapshot even when out of the keep window
+    IceWrite.append(spark, catalog, "t_rb", Seq((4L, "d")).toDF("id", "v"))   // 4 (new head)
+    graft.compaction.Maintenance.expireSnapshots(catalog, "t_rb", keepLast = 1)
+    val kept = catalog.loadTable("t_rb").snapshots.map(_.snapshotId).toSet
+    assert(kept.contains(2L), "tag-pinned snapshot must survive expiry")
+    assert(!kept.contains(1L) && !kept.contains(3L))
+    assert(IceRead.tableAtTag(spark, catalog, "t_rb", "v1.0").count() == 2)
+
+    // dropping the tag unpins it for the next expiry
+    IceWrite.dropTag(catalog, "t_rb", "v1.0")
+    graft.compaction.Maintenance.expireSnapshots(catalog, "t_rb", keepLast = 1)
+    assert(!catalog.loadTable("t_rb").snapshots.map(_.snapshotId).contains(2L))
+  }
+
   test("partitions metadata table aggregates the manifest per partition") {
     val catalog = newCatalog()
     val s = spark

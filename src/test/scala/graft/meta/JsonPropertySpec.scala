@@ -59,8 +59,9 @@ class JsonPropertySpec extends AnyFunSuite {
     lastSeq <- Gen.chooseNum(0L, 999L)
     v <- Gen.chooseNum(1, 50)
     lastCol <- Gen.chooseNum(0, 60)
+    tags <- shortListOf(3, Gen.zip(nameGen, Gen.chooseNum(1L, 99L))).map(_.toMap)
   } yield TableMetadata(name, s"/w/$name", fv, schema, pspec, sort, cur, refs,
-    snaps, lastSeq, v, lastCol)
+    snaps, lastSeq, v, lastCol, tags)
 
   test("metadata JSON write/read is the identity on arbitrary metadata") {
     for (meta <- samples(metaGen)) {
