@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/test decontamination — the n-gram-overlap filter every serious
+  * training-data pipeline runs before a model sees the corpus (the
+  * GPT-3/PaLM-style "13-gram overlap with any benchmark doc" rule,
+  * parameterized here).
+  *
+  * Scale shape: the TEST side (benchmarks) is small by nature — its
+  * distinct n-grams broadcast. The corpus explodes its n-grams into a
+  * stream that BROADCAST-hash-joins the test grams (no corpus shuffle;
+  * non-matching grams die inside the join), and only the matching hits —
+  * a tiny relation — shuffle once for the per-document count. At 100 TB
+  * the corpus is never exchanged.
+  */
+object Decontaminate {
+
+  /** Distinct word n-grams of a corpus, one row per (id, gram). */
+  private def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Dedup.wordShingles(df, idCol, textCol, n)
+
+  /** Documents of `corpus` sharing at least `minHits` distinct n-grams
+    * with ANY test document. Returns (doc_id, n_hits) for flagged docs —
+    * anti-join the corpus against it to decontaminate. */
+  def flaggedByNgramOverlap(
+      corpus: DataFrame, idCol: String, textCol: String,
+      test: DataFrame, testTextCol: String,
+      n: Int = 13, minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, "minHits must be >= 1")
+    // distinct test grams; constructed ids are irrelevant — only the set
+    val testGrams = test.select(col(testTextCol).as("__t"))
+      .select(TextAnalysis.tokens(col("__t")).as("__toks"))
+      .select(explode(expr(
+        s"transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)), i -> concat_ws(' ', slice(__toks, i, $n)))"
+      )).as("gram")).distinct()
+    grams(corpus, idCol, textCol, n)
+      .join(broadcast(testGrams), Seq("gram"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col("id").as(idCol), col("n_hits"))
+  }
+
+  /** The decontaminated corpus: rows of `corpus` NOT flagged. */
+  def removeContaminated(
+      corpus: DataFrame, idCol: String, textCol: String,
+      test: DataFrame, testTextCol: String,
+      n: Int = 13, minHits: Int = 1): DataFrame =
+    corpus.join(
+      flaggedByNgramOverlap(corpus, idCol, textCol, test, testTextCol, n, minHits)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -160,6 +160,17 @@ object TextAnalysis {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** URL pattern (group 1 = host), Java-regex/RE2-identical: no backrefs,
+    * no lookaround. */
+  val UrlRe = "https?://([A-Za-z0-9.-]+)"
+
+  def urlCount(text: Column): Column = regexp_count(text, lit(UrlRe))
+
+  /** All URL hostnames in the text, in order (source-domain analysis:
+    * crawl mixes are weighed and filtered by domain). */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(1))
+
   /** Adds the full analysis column set to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text", nCharsCol: String = "n_chars"): DataFrame = {
     val t = col(textCol)

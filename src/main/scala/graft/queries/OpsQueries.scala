@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as oracle-checked queries over the
   * `documents` / `embeddings` tables.
@@ -198,6 +198,32 @@ object OpsQueries {
         TextAnalysis.phoneCount(col("text")).cast("long").as("phones"),
         TextAnalysis.ipv4Count(col("text")).cast("long").as("ips"),
         md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+    }),
+
+    // source-domain histogram over deterministically injected URLs (the
+    // crawl-mix analysis a pipeline weighs domains by)
+    "t9_domains" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0, concat(lit(" see https://site"),
+          (col("doc_id") % 5).cast("string"), lit(".example.com/page now"))).otherwise(""),
+        when(col("doc_id") % 7 === 0, lit(" and http://mirror.example.org too")).otherwise("")
+      ).as("text"))
+      injected.select(col("doc_id"),
+        explode(TextAnalysis.urlDomains(col("text"))).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_refs"), countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
+    // train/test decontamination: corpus docs sharing an n-gram with a
+    // benchmark slice are flagged (GPT-3-style overlap rule, n=8 here so
+    // the synthetic docs produce hits). Test side = every 25th doc's
+    // leading 12 tokens, mimicking short benchmark prompts
+    "t10_decontaminate" -> ((s, dir) => {
+      val corpus = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val test = corpus.filter(col("doc_id") % 25 === 0)
+        .select(concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12)).as("text"))
+      Decontaminate.flaggedByNgramOverlap(corpus, "doc_id", "text", test, "text", n = 8)
     }),
 
     // deterministic train/val/test split: hash-threshold assignment,
@@ -578,6 +604,36 @@ object OpsQueries {
          |    '$ip', '<IP>', 'g')) AS redacted_md5
          |FROM pii""".stripMargin
     },
+
+    "t9_domains" ->
+      """WITH inj AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN ' see https://site' || (doc_id % 5) || '.example.com/page now' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' and http://mirror.example.org too' ELSE '' END AS t
+        |FROM documents),
+        |d AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM inj)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_refs,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "t10_decontaminate" ->
+      s"""WITH test AS (
+         |  SELECT array_to_string(($toksSql)[1:12], ' ') AS ttext
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |tg AS (SELECT DISTINCT g AS gram FROM (
+         |  SELECT unnest(list_transform(
+         |    range(1, greatest(len(toks) - 7, 1) + 1),
+         |    i -> array_to_string(toks[i:i+7], ' '))) AS g
+         |  FROM (SELECT string_split(lower(regexp_replace(trim(ttext), '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM test))),
+         |cg AS (SELECT DISTINCT doc_id AS id, g AS gram FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(toks) - 7, 1) + 1),
+         |    i -> array_to_string(toks[i:i+7], ' '))) AS g
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
+         |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM cg JOIN tg USING (gram) GROUP BY 1""".stripMargin,
 
     "p1_hash_split" -> {
       val t80 = graft.ops.Sampling.rateThreshold(0.8)

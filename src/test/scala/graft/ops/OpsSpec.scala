@@ -354,6 +354,50 @@ class OpsSpec extends AnyFunSuite {
     assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
   }
 
+  test("decontamination flags exactly the corpus docs overlapping the test set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma delta NOPE zeta"),   // shares only a 4-gram prefix
+      (4L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val test = Seq("xx alpha beta gamma delta epsilon yy", "one two three four five")
+      .toDF("text")
+
+    // n=5: doc 1 shares "alpha beta gamma delta epsilon"; doc 2 shares
+    // "one two three four five"; docs 3/4 share no 5-gram
+    val flagged = Decontaminate.flaggedByNgramOverlap(
+      corpus, "doc_id", "text", test, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 2L), s"got $flagged")
+
+    val clean = Decontaminate.removeContaminated(
+      corpus, "doc_id", "text", test, "text", n = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(clean == Set(3L, 4L))
+
+    // the corpus side must not shuffle before the hit-count agg: the only
+    // exchanges are the test-gram broadcast and the final doc_id agg
+    val plan = Decontaminate.flaggedByNgramOverlap(
+      corpus, "doc_id", "text", test, "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"test grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$plan")
+  }
+
+  test("URL domain extraction finds hosts in order; no false hits") {
+    val rows = Seq(
+      (1L, "see https://a.example.com/x and http://b.org, then https://a.example.com again"),
+      (2L, "no urls here at all")
+    ).toDF("doc_id", "text")
+    val got = rows.select($"doc_id", TextAnalysis.urlDomains($"text").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a.example.com", "b.org", "a.example.com"))
+    assert(got(2L).isEmpty)
+    assert(rows.select(TextAnalysis.urlCount($"text")).as[Int].collect().toSeq == Seq(3, 0))
+  }
+
   test("text analysis columns are sane") {
     val out = TextAnalysis.analyze(docs)
     val row = out.filter($"doc_id" === 0).head
