@@ -276,10 +276,15 @@ final class CommitManager(
       timestampMs = System.currentTimeMillis(),
       manifest = newManifest,
       // custom (non-auto-computed) summary properties carry forward;
-      // auto stats recomputed per commit (mod.rs:1187-1224)
+      // auto stats recomputed per commit (mod.rs:1187-1224).
+      // "rewrite" -> "compaction" marks this snapshot as a PHYSICAL
+      // rewrite regardless of the operation string — the overwrite
+      // variant shares operation="overwrite" with logical upserts, and
+      // changelog consumers must not replay a compaction as change.
+      // (Reserved key: never carried forward to later snapshots.)
       summary = TableMetadata.preservedProperties(current.summary) ++
         TableMetadata.computedSummary(current.manifest, newManifest) +
-        ("operation" -> operation)
+        ("operation" -> operation) + ("rewrite" -> "compaction")
     )
     val updated = table.copy(
       currentSnapshotId = Some(snapshotId),

@@ -52,7 +52,13 @@ final class ChangeFeed(
     * the subscriber lost its place and must resync, not silently skip. */
   private def pending(sinceId: Long): Seq[Snapshot] = {
     val meta = catalog.loadTable(name)
-    val head = meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+    // strict on explicit branches (IceRead.table's rule): tailing a
+    // missing/typo'd branch must not silently tail main instead. Only a
+    // not-yet-committed table (no snapshot anywhere) means "nothing yet".
+    val head = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+                else Some(meta.snapshotForRef(branch).getOrElse(
+                  throw new IllegalStateException(
+                    s"table $name has no snapshot on branch $branch"))))
       .getOrElse(return Nil)
     var chain = List.empty[Snapshot]
     var cur: Option[Snapshot] = Some(head)

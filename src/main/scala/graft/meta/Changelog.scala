@@ -58,7 +58,7 @@ object Changelog {
       s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId in table $name")
 
     val frames = chain.flatMap(changesOf(spark, meta, _))
-    if (frames.isEmpty) emptyChangelog(spark, meta, to)
+    if (frames.isEmpty) emptyChangelog(spark, meta)
     else frames.reduce(_ unionAll _)
   }
 
@@ -67,15 +67,26 @@ object Changelog {
   def changesOfLatest(spark: SparkSession, catalog: Catalog, name: String,
       branch: String = "main"): DataFrame = {
     val meta = catalog.loadTable(name)
-    val snap = meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+    // strict on explicit branches (IceRead.table's rule): a subscriber of
+    // a missing branch must not silently read main's commits
+    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+                else meta.snapshotForRef(branch))
       .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
     changesBetween(spark, catalog, name, snap.parentId.getOrElse(0L), snap.snapshotId)
   }
 
-  private def emptyChangelog(spark: SparkSession, meta: TableMetadata, any: Snapshot): DataFrame = {
-    val base = meta.typedStruct.getOrElse(
-      spark.read.parquet(any.manifest.head.path).select(
-        meta.schemaColumns.map(col): _*).schema)
+  private def emptyChangelog(spark: SparkSession, meta: TableMetadata): DataFrame = {
+    // schema for a changeless range: the typed schema, else inferred from
+    // ANY data file in history (a fully empty untyped table has no source
+    // of truth for column types)
+    val base = meta.typedStruct.getOrElse {
+      val anyData = meta.snapshots.flatMap(_.manifest)
+        .find(_.content == FileContent.Data)
+        .getOrElse(throw new IllegalStateException(
+          s"table ${meta.name} has no typed schema and no data file to derive the changelog schema from"))
+      spark.read.parquet(anyData.path).select(
+        meta.schemaColumns.map(col): _*).schema
+    }
     val schema = org.apache.spark.sql.types.StructType(base.fields ++ Seq(
       org.apache.spark.sql.types.StructField(ChangeTypeCol, org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField(SnapshotIdCol, org.apache.spark.sql.types.LongType, false)))
@@ -86,7 +97,12 @@ object Changelog {
     * snapshot is a physical rewrite or introduced no logical change. */
   private def changesOf(spark: SparkSession, meta: TableMetadata, snap: Snapshot): Option[DataFrame] = {
     val op = snap.summary.getOrElse("operation", "append")
-    if (op == "replace" || op == "maintenance") return None
+    // physical rewrites: the replace/maintenance operations, AND any
+    // snapshot carrying the compaction marker — the overwrite-variant
+    // compaction shares operation="overwrite" with logical upserts, so
+    // the operation string alone cannot distinguish them
+    if (op == "replace" || op == "maintenance" ||
+        snap.summary.get("rewrite").contains("compaction")) return None
 
     val parent = snap.parentId.flatMap(meta.snapshotById)
     val parentManifest = parent.map(_.manifest).getOrElse(Nil)
@@ -117,9 +133,13 @@ object Changelog {
           cols, meta.formatVersion, meta.schema))
       }
 
-    // ---- deletes: parent-live rows this snapshot kills
+    // ---- deletes: parent-live rows this snapshot kills. A parent with
+    // no data files has no live rows to kill (e.g. an upsert onto an
+    // empty-created table) — nothing to emit, and building its MOR view
+    // would throw
     val deletes: Option[DataFrame] = parent.flatMap { p =>
-      if (addedPos.isEmpty && addedEq.isEmpty && removedData.isEmpty) None
+      if ((addedPos.isEmpty && addedEq.isEmpty && removedData.isEmpty) ||
+          !p.manifest.exists(_.content == FileContent.Data)) None
       else {
         val live = IceRead.ofSnapshot(spark, meta, p, keepHidden = true)
 

@@ -92,11 +92,10 @@ object IceRead {
     // SparkExecutor.partitionExpr), compared on the manifest's stringified
     // form
     partitionFilter.foldLeft(pruned) { case (df, (k, v)) =>
-      meta.partitionSpec.find(_.column == k) match {
-        case Some(p) =>
-          df.filter(graft.exec.SparkExecutor.partitionExpr(p).cast("string") === v)
-        case None => df // key not in the current spec: manifest-only match
-      }
+      // presence guaranteed by the require above — every filter key is in
+      // the current spec
+      val p = meta.partitionSpec.find(_.column == k).get
+      df.filter(graft.exec.SparkExecutor.partitionExpr(p).cast("string") === v)
     }
   }
 

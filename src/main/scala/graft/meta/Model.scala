@@ -105,7 +105,15 @@ final case class SortField(column: String, ascending: Boolean = true, nullsFirst
   * a table written with it is bucket-compatible with any spec-compliant
   * Iceberg engine. "sparkbucket[n]" keeps the engine-internal Spark
   * murmur3 (`pmod(hash(col), n)`): cheaper (no byte encoding) but NOT
-  * cross-engine compatible — only for tables no other engine writes. */
+  * cross-engine compatible — only for tables no other engine writes.
+  *
+  * MIGRATION NOTE: "bucket[n]" meant the Spark hash before it was
+  * redefined to the Iceberg spec. A table whose manifests were written
+  * under the old meaning must have its spec renamed to "sparkbucket[n]"
+  * (a pure metadata edit — the recorded per-file ordinals ARE Spark-hash
+  * ordinals) before being read by current code; otherwise the partition
+  * residual filter hashes with the new function against old recorded
+  * values and silently drops rows. */
 final case class PartitionField(column: String, transform: String = "identity") {
   def isIdentity: Boolean = transform == "identity"
   def bucketN: Option[Int] = bucketArg("bucket")
@@ -204,7 +212,11 @@ object TableMetadata {
     "total-equality-deletes", "changed-partition-count", "total-position-delete-files",
     "total-equality-delete-files", "added-position-delete-files",
     "removed-position-delete-files", "added-equality-delete-files",
-    "removed-equality-delete-files"
+    "removed-equality-delete-files",
+    // physical-rewrite marker (set by compaction commits, consumed by the
+    // changelog); copying it forward would mark every later snapshot as a
+    // rewrite
+    "rewrite"
   )
   def preservedProperties(summary: Map[String, String]): Map[String, String] =
     summary.filterNot { case (k, _) =>

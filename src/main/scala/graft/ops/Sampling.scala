@@ -30,9 +30,13 @@ object Sampling {
     substring(md5(concat(lit(seed), lit(":"), idCol.cast("string"))), 1, 8)
 
   /** `floor(rate * 16^8)` as 8 lowercase hex chars — the comparison
-    * threshold for [[hashDraw]]. rate is clamped to [0, 1]. */
+    * threshold for [[hashDraw]]. rate is clamped to [0, 1]. rate >= 1
+    * returns "g", which sorts above EVERY 8-hex draw, so a full-rate
+    * sample keeps all rows (the max hex threshold "ffffffff" would
+    * exclude draws equal to it — rate 1.0 must be the identity). */
   def rateThreshold(rate: Double): String = {
-    val clamped = math.min(1.0, math.max(0.0, rate))
+    if (rate >= 1.0) return "g"
+    val clamped = math.max(0.0, rate)
     val v = math.min((clamped * 4294967296.0).toLong, 4294967295L)
     f"$v%08x"
   }

@@ -165,7 +165,10 @@ object Similarity {
       maxDims: Int = -1, allowPrefix: Boolean = false): DataFrame = {
     val dims =
       if (maxDims > 0) maxDims
-      else math.max(1, df.select(size(col(vecCol))).take(1)
+      // probe a NON-NULL row for the corpus dimension (a leading null
+      // vector must not NPE the plan-time probe)
+      else math.max(1, df.select(size(col(vecCol)).as("__n"))
+        .filter(col("__n").isNotNull && col("__n") >= 0).take(1)
         .headOption.map(_.getInt(0)).getOrElse(1))
     // vec_dot is null-strict on length mismatch, so the prefix semantics
     // are explicit here: both the vector and the sign literal are sliced
@@ -178,11 +181,16 @@ object Similarity {
         .otherwise("0")
     }
     val bucket = concat(bits: _*)
+    // null vectors get a null bucket (they have no geometry to hash) —
+    // short-circuited FIRST, or the dim guard's null comparison would
+    // fall through to raise_error and kill the job on one null row
     val guarded =
       if (allowPrefix) bucket
-      else when(size(col(vecCol)) <= dims, bucket).otherwise(raise_error(concat(
-        lit("hyperplaneBuckets: vector dim "), size(col(vecCol)).cast("string"),
-        lit(s" exceeds dims=$dims; pass maxDims (and allowPrefix=true to bucket on a prefix)"))))
+      else when(col(vecCol).isNull, lit(null).cast("string"))
+        .when(size(col(vecCol)) <= dims, bucket)
+        .otherwise(raise_error(concat(
+          lit("hyperplaneBuckets: vector dim "), size(col(vecCol)).cast("string"),
+          lit(s" exceeds dims=$dims; pass maxDims (and allowPrefix=true to bucket on a prefix)"))))
     df.withColumn("bucket", guarded)
   }
 

@@ -123,14 +123,21 @@ object TextAnalysis {
           |ELSE transform(sequence(1, size(__toks) - 1),
           |       i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))
           |END""".stripMargin))
+      // sorted arrays are MATERIALIZED as their own columns: splicing
+      // `array_sort(...)` textually into the run-length fold would
+      // re-sort the array at every element_at inside the lambda
+      // (O(n^2 log n) per document on long docs); as a multiply-referenced
+      // non-cheap alias, CollapseProject keeps these computed once per row
+      .withColumn("__sorted", array_sort(col("__toks")))
+      .withColumn("__bsorted", array_sort(col("__bigrams")))
       .withColumn("dup_word_frac",
         round((col("__n") - size(array_distinct(col("__toks")))) /
           col("__n").cast("double"), 6))
       .withColumn("top_word_frac",
-        round(maxRunLength("array_sort(__toks)") / col("__n").cast("double"), 6))
+        round(maxRunLength("__sorted") / col("__n").cast("double"), 6))
       .withColumn("top_bigram_frac",
         when(col("__n") < 2, lit(0.0)).otherwise(
-          round(maxRunLength("array_sort(__bigrams)") /
+          round(maxRunLength("__bsorted") /
             size(col("__bigrams")).cast("double"), 6)))
       .withColumn("max_run_len", maxRunLength("__toks").cast("long"))
     out.select(col(idCol), col("dup_word_frac"), col("top_word_frac"),

@@ -96,6 +96,41 @@ class ChangelogSpec extends AnyFunSuite {
     assert(replayed.exceptAll(actual).isEmpty && actual.exceptAll(replayed).isEmpty)
   }
 
+  test("the OVERWRITE-variant compaction is also invisible to the changelog") {
+    // commitOverwriteResults shares operation="overwrite" with logical
+    // upserts; the rewrite marker, not the operation string, must decide
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_cdc5",
+      df(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))))          // 1
+    IceWrite.append(spark, catalog, "t_cdc5", df(Seq((4L, "d", 40L)))) // 2
+
+    val c = new Compaction(catalog, "t_cdc5", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)))
+    val outcomes = c.planCompaction().map(c.rewritePlan)
+    c.commitOverwriteResults(outcomes)                                  // 3: overwrite rewrite
+    val head = catalog.loadTable("t_cdc5").currentSnapshot.get
+    assert(head.summary("operation") == "overwrite")
+    assert(head.summary.get("rewrite").contains("compaction"))
+
+    assert(Changelog.changesBetween(spark, catalog, "t_cdc5", 2L, head.snapshotId).count() == 0)
+    // and the marker is NOT inherited by the next logical commit
+    IceWrite.append(spark, catalog, "t_cdc5", df(Seq((5L, "e", 50L)))) // 4
+    val next = catalog.loadTable("t_cdc5").currentSnapshot.get
+    assert(!next.summary.contains("rewrite"))
+    assert(Changelog.changesBetween(spark, catalog, "t_cdc5",
+      head.snapshotId, next.snapshotId).count() == 1)
+  }
+
+  test("upsert onto an empty-created table emits inserts only (no parent rows to kill)") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_cdc6", df(Nil))                  // 1: empty manifest
+    IceWrite.upsert(spark, catalog, "t_cdc6",
+      df(Seq((1L, "a", 10L))), keys = Seq("id"))                        // 2: eq-delete + data
+    assert(changes(catalog, "t_cdc6", 1L, 2L) == Set((1L, "a", 10L, "insert", 2L)))
+    // and an all-skipped range on that table still yields a typed empty frame
+    assert(Changelog.changesBetween(spark, catalog, "t_cdc6", 2L, 2L).count() == 0)
+  }
+
   test("changesOfLatest reads exactly the head commit; non-ancestor from fails") {
     val catalog = newCatalog()
     IceWrite.create(spark, catalog, "t_cdc4", df(Seq((1L, "a", 10L)))) // 1

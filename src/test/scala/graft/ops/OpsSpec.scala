@@ -336,6 +336,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rate-1.0 sampling is the identity; rate-0.0 is empty") {
+    val full = Sampling.sampleByHash(docs, "doc_id", 1.0)
+    assert(full.count() == docs.count(), "rate 1.0 must keep every row")
+    assert(Sampling.sampleByHash(docs, "doc_id", 0.0).count() == 0)
+    // the 1.0 threshold sorts above every possible 8-hex draw
+    assert(Sampling.rateThreshold(1.0) > "ffffffff")
+  }
+
+  test("hyperplane buckets tolerate null vectors (null bucket, no job kill)") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.5f)), (2L, null.asInstanceOf[Array[Float]]), (3L, Array(-1.0f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hyperplaneBuckets(rows, "embedding", planes = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(1L).exists(_.length == 4) && out(3L).exists(_.length == 4))
+    assert(out(2L).isEmpty, "null vector must bucket to null, not raise")
+
+    // a null FIRST row must not break the plan-time dimension probe
+    val nullFirst = Seq(
+      (1L, null.asInstanceOf[Array[Float]]), (2L, Array(1.0f, 0.5f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val probed = Similarity.hyperplaneBuckets(nullFirst, "embedding", planes = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(probed(1L).isEmpty && probed(2L).exists(_.length == 4))
+  }
+
   test("stratified sample: per-stratum rates honored, subset semantics, no shuffle") {
     val sampled = Sampling.stratifiedSampleByHash(
       docs.select($"doc_id", $"lang"), "doc_id", "lang",
