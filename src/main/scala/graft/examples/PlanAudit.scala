@@ -19,7 +19,8 @@ object PlanAudit {
         "q_outer_join","q_semi_join","q_window_topk","q_asof_join","q_rollup",
         "d1_exact_dedup","d4_ngram_jaccard","d5_embed_neardup","s1_ann_topk",
         "s2_ann_lsh_buckets","t5_vocab",
-        "t7_repetition","t8_pii","p1_hash_split","p2_stratified_sample")) {
+        "t7_repetition","t8_pii","p1_hash_split","p2_stratified_sample",
+        "t9_domains","t10_decontaminate")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
