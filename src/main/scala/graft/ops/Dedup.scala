@@ -129,12 +129,25 @@ object Dedup {
     val lanes = (0 until seeds).foldLeft(base) { (d, s) =>
       d.withColumn(s"__hs$s", expr(s"transform(__grams, g -> md5(concat('$s:', g)))"))
     }
+    // per seed, ONE fold extracts all 4 lane minimums — versus 16
+    // array_min(transform(...)) calls that each allocate an intermediate
+    // array per row. '~' (0x7e) sorts above every hex char, so it is a
+    // safe fold identity; gram arrays are never empty (sequence >= 1)
+    val folded = (0 until seeds).foldLeft(lanes) { (d, s) =>
+      d.withColumn(s"__f$s", expr(
+        s"""aggregate(__hs$s,
+           |  named_struct('m0', '~', 'm1', '~', 'm2', '~', 'm3', '~'),
+           |  (a, h) -> named_struct(
+           |    'm0', least(a.m0, substring(h, 1, 8)),
+           |    'm1', least(a.m1, substring(h, 9, 8)),
+           |    'm2', least(a.m2, substring(h, 17, 8)),
+           |    'm3', least(a.m3, substring(h, 25, 8))))""".stripMargin))
+    }
     val mhCols = (0 until k).map { j =>
-      expr(s"array_min(transform(__hs${j / 4}, h -> substring(h, ${(j % 4) * 8 + 1}, 8)))")
-        .as(s"mh$j")
+      col(s"__f${j / 4}").getField(s"m${j % 4}").as(s"mh$j")
     }
     val gset = expr("array_sort(array_distinct(transform(__grams, g -> xxhash64(g))))").as("gset")
-    lanes.select(col("id") +: gset +: mhCols: _*)
+    folded.select(col("id") +: gset +: mhCols: _*)
   }
 
   /** Exact Jaccard verification of candidate pairs against the shingle
