@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real and tested — schema, partitioning,
   * batch iteration via `mapPartitions` (the JVM analogue of a pandas-batch
-  * UDF: one iterator per partition, amortized per-batch setup). Image
-  * decode is REAL (JDK ImageIO, [[decodeImage]]) and audio decode is REAL
-  * (JDK javax.sound.sampled, [[decodeWav]]); only the video codec remains
-  * a stub ([[decodeBytes]] — no video library ships in the JDK), with the
-  * deterministic fake keeping that pipeline testable end-to-end. Swapping
-  * in a real video decoder means replacing only `decodeBytes`.
+  * UDF: one iterator per partition, amortized per-batch setup). All three
+  * modalities decode for REAL, library-free: images via JDK ImageIO
+  * ([[decodeImage]]), audio via javax.sound.sampled ([[decodeWav]]), and
+  * video via a pure-Scala AVI/RIFF container parser + ImageIO keyframe
+  * decode ([[decodeAvi]] — container stats for any AVI, pixel features
+  * for MJPEG-style frames). [[decodeBytes]] remains as the deterministic
+  * byte-stat featurizer for opaque formats with no JDK codec.
   */
 object Multimodal {
 
@@ -223,6 +224,120 @@ object Multimodal {
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     samples.foreach(bb.putShort)
     bb.array()
+  }
+
+  /** Pure-Scala minimal AVI (RIFF) encoder for fixtures: one 'avih' main
+    * header + a 'movi' list of pre-encoded JPEG frames ('00dc' chunks).
+    * The AVI container layout is a public spec; fixtures encode HERE and
+    * [[decodeAvi]] parses independently, with the embedded JPEG decoded
+    * by the JDK's ImageIO — so the round trip crosses implementations at
+    * the frame-codec boundary. */
+  def aviBytes(width: Int, height: Int, microSecPerFrame: Int,
+      jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc.getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put(listType.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(microSecPerFrame).putInt(0).putInt(0).putInt(0)
+        .putInt(jpegFrames.size) // dwTotalFrames
+        .putInt(0).putInt(1).putInt(0)
+        .putInt(width).putInt(height)
+      bb.array() // trailing reserved dwords stay zero
+    }
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", jpegFrames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+
+  /** REAL video decode — no stub: parses the AVI RIFF container (public
+    * spec — 'avih' main header for geometry / frame count / frame
+    * interval, 'movi' list for frame chunks) in pure Scala, then decodes
+    * the FIRST keyframe ('00dc'/'00db', typically MJPEG) with the JDK's
+    * ImageIO. Returns (width, height, totalFrames, microSecPerFrame,
+    * firstFrameMeanLuma) or None for undecodable bytes. Codecs ImageIO
+    * cannot read yield None luma but still surface container metadata —
+    * at scale that is the normal triage split: container stats for every
+    * file, pixel features where a frame codec exists. */
+  private[ops] def decodeAvi(
+      payload: Array[Byte]): Option[(Int, Int, Long, Long, Option[Double])] = {
+    if (payload == null || payload.length < 12) return None
+    def fourcc(pos: Int): String = new String(payload, pos, 4, "US-ASCII")
+    def u32(pos: Int): Long =
+      ((payload(pos) & 0xffL)) | ((payload(pos + 1) & 0xffL) << 8) |
+        ((payload(pos + 2) & 0xffL) << 16) | ((payload(pos + 3) & 0xffL) << 24)
+    try {
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      var avih: Option[(Int, Int, Long, Long)] = None
+      var firstFrame: Option[Array[Byte]] = None
+      def walk(from: Int, until: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= until) {
+          val cc = fourcc(pos)
+          val size = u32(pos + 4).toInt
+          if (size < 0 || pos + 8 + size > until) return // malformed: stop
+          if (cc == "LIST" && size >= 4) {
+            val listType = fourcc(pos + 8)
+            if (listType == "hdrl" || listType == "movi")
+              walk(pos + 12, pos + 8 + size)
+          } else if (cc == "avih" && size >= 40) {
+            avih = Some((u32(pos + 8 + 32).toInt, u32(pos + 8 + 36).toInt,
+              u32(pos + 8 + 16), u32(pos + 8)))
+          } else if ((cc == "00dc" || cc == "00db") && firstFrame.isEmpty && size > 0) {
+            firstFrame = Some(java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size))
+          }
+          pos += 8 + size + (size & 1)
+        }
+      }
+      walk(12, math.min(payload.length, 8 + u32(4).toInt))
+      avih.map { case (w, h, frames, uspf) =>
+        (w, h, frames, uspf, firstFrame.flatMap(decodeImage).map(_._3))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-partition batched VIDEO decode: rows -> (media_id, width,
+    * height, n_frames, fps_e3, first_frame_luma), nulls for undecodable
+    * payloads. fps_e3 = round(1e9 / microSecPerFrame) — integer so the
+    * container metadata is oracle-hashable; luma is the pixel-level
+    * feature (spec-checked against a direct ImageIO decode). */
+  def extractVideoFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("fps_e3", LongType),
+      StructField("first_frame_luma", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          decodeAvi(r.getAs[Array[Byte]](1)) match {
+            case Some((w, h, frames, uspf, luma)) =>
+              Row(r.getLong(0), w, h, frames,
+                if (uspf > 0) Long.box(math.round(1e9 / uspf)) else null,
+                luma.map(Double.box).orNull)
+            case None => Row(r.getLong(0), null, null, null, null, null)
+          }
+        }
+      }(enc)
   }
 
   /** "Frame sampling" stub: every k-th byte window of the payload — the

@@ -320,6 +320,25 @@ object OpsQueries {
     // recomputes every feature analytically from the same fixed sample
     // arrays, so the encode -> decode round trip crosses two independent
     // implementations and the values are hash-checked
+    // REAL video decode: AVI containers assembled from constants (frames
+    // are real ImageIO-encoded JPEGs); the oracle recomputes the container
+    // metadata analytically from the same constants, so the RIFF parser
+    // and the header arithmetic are hash-checked (frame pixels are
+    // spec-checked separately — JPEG decode is not SQL-expressible)
+    "m4_avi_video" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val rows: Seq[org.apache.spark.sql.Row] =
+        aviFixtures.map { case (id, w, h, uspf, nFrames) =>
+          org.apache.spark.sql.Row(id, Multimodal.aviBytes(w, h, uspf,
+            Seq.fill(nFrames)(jpegBytes(w, h, 0x808080))))
+        } :+ org.apache.spark.sql.Row(4L, "definitely not a video".getBytes("UTF-8"))
+      val media = s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+      Multimodal.extractVideoFeatures(s, media.repartition(4))
+        .drop("first_frame_luma") // pixel feature: spec-checked, not oracle-expressible
+    }),
+
     "m3_wav_audio" -> ((s, dir) => {
       import scala.jdk.CollectionConverters._
       val rows: Seq[org.apache.spark.sql.Row] =
@@ -332,6 +351,24 @@ object OpsQueries {
       Multimodal.extractAudioFeatures(s, media.repartition(4))
     })
   )
+
+  /** m4 fixtures: (id, width, height, microSecPerFrame, nFrames) —
+    * constants, so the oracle derives width/height/n_frames/fps_e3
+    * without parsing RIFF. 40 ms -> 25 fps, 33,333 µs -> ~30.0003 fps,
+    * 16,667 µs -> ~59.999 fps. */
+  private def aviFixtures: Seq[(Long, Int, Int, Int, Int)] = Seq(
+    (1L, 32, 24, 40000, 3),
+    (2L, 64, 48, 33333, 1),
+    (3L, 16, 16, 16667, 5))
+
+  /** A real JPEG via ImageIO (solid color) for AVI frame fixtures. */
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
 
   /** m3 fixtures: (id, rate, channels, 16-bit samples) — constants, so the
     * oracle can derive the expected features without decoding audio.
@@ -712,6 +749,21 @@ object OpsQueries {
     // oracle is the analytic recomputation (wavExpected) as literal rows —
     // Spark's side decodes real RIFF bytes with javax.sound.sampled, so a
     // header-layout or sample-decode bug breaks the hash match
+    "m4_avi_video" -> {
+      val vals = aviFixtures.map { case (id, w, h, uspf, n) =>
+        s"($id, $w, $h, $n, ${math.round(1e9 / uspf)})"
+      }.mkString(",\n  ")
+      s"""SELECT CAST(media_id AS BIGINT) AS media_id,
+         |  CAST(width AS INTEGER) AS width,
+         |  CAST(height AS INTEGER) AS height,
+         |  CAST(n_frames AS BIGINT) AS n_frames,
+         |  CAST(fps_e3 AS BIGINT) AS fps_e3
+         |FROM (VALUES
+         |  $vals,
+         |  (4, NULL, NULL, NULL, NULL))
+         |  t(media_id, width, height, n_frames, fps_e3)""".stripMargin
+    },
+
     "m3_wav_audio" -> {
       val vals = wavExpected.map { case (id, r, c, d, rms) =>
         s"($id, $r, $c, $d, $rms)"

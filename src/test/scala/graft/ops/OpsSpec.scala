@@ -424,6 +424,40 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.select(TextAnalysis.urlCount($"text")).as[Int].collect().toSeq == Seq(3, 0))
   }
 
+  test("real AVI decode: container metadata exact, first keyframe pixels via ImageIO") {
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val grayFrame = jpeg(32, 24, 0x808080)
+    val avi = Multimodal.aviBytes(32, 24, 40000, Seq(grayFrame, jpeg(32, 24, 0x000000)))
+    val rows = Seq(
+      (1L, avi),
+      (2L, "not a video at all".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.extractVideoFeatures(spark, rows)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // container metadata: exact from the avih header we parse
+    assert(out(1L).getInt(1) == 32 && out(1L).getInt(2) == 24)
+    assert(out(1L).getLong(3) == 2L)          // two frames
+    assert(out(1L).getLong(4) == 25000L)      // 40 ms/frame -> 25.000 fps
+    // first-frame luma must equal a DIRECT ImageIO decode of the same
+    // jpeg bytes (crosses our RIFF parser and the JDK's JPEG codec)
+    val direct = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(grayFrame))
+    var sum = 0.0
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val p = direct.getRGB(x, y)
+      sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+    }
+    assert(math.abs(out(1L).getDouble(5) - sum / (24 * 32)) < 1e-9)
+    // undecodable -> all-null feature columns, no crash
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(5))
+  }
+
   test("text analysis columns are sane") {
     val out = TextAnalysis.analyze(docs)
     val row = out.filter($"doc_id" === 0).head
