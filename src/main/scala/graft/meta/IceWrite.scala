@@ -230,6 +230,78 @@ object IceWrite {
       operation = "overwrite", branch = branch)
   }
 
+  /** Full MERGE INTO: conditional update / delete on matched rows plus
+    * insert of unmatched source rows, committed as ONE atomic snapshot
+    * (equality-delete file for the touched keys + the new data files at
+    * the same sequence number — the same single-snapshot MOR pattern as
+    * [[upsert]], which remains the fast path when every source row
+    * unconditionally replaces its target row: blind upsert never reads
+    * the table, while a conditional merge inherently must).
+    *
+    * Join semantics follow SQL MERGE: rows pair on equality of `keys`.
+    * `matchedUpdateWhen` / `matchedDeleteWhen` / `updateSet` expressions
+    * see the pair as DataFrame aliases `t` (target row) and `s` (source
+    * row) — e.g. `col("s.ts") > col("t.ts")`. Delete wins over update when
+    * both conditions hold (SQL evaluates WHEN clauses in order; pass the
+    * delete first is the common form). Matched rows where neither holds
+    * are untouched. `updateSet` maps column name -> expression; columns
+    * not in the map keep the SOURCE value (whole-row replace by default).
+    *
+    * Source keys must be unique — one source row per target row, checked
+    * (SQL MERGE raises on multi-match nondeterminism; so do we).
+    *
+    * Scale shape: the matched join shuffles on the keys (the source side
+    * is NOT force-broadcast — merge sources can be arbitrarily large; AQE
+    * broadcasts small ones), the not-matched set is a key-pruned left
+    * anti join, and the commit is metadata-only. No data file is
+    * rewritten — readers apply the tombstones, compaction folds them in
+    * later. */
+  def merge(spark: SparkSession, catalog: Catalog, name: String,
+      source: DataFrame, keys: Seq[String],
+      matchedUpdateWhen: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true),
+      matchedDeleteWhen: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(false),
+      updateSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      insertWhen: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true),
+      targetFileSizeBytes: Long = Defaults.TargetFileSize,
+      branch: String = "main"): TableMetadata = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val table0 = catalog.loadTable(name)
+    val cols = table0.schema.map(_.name)
+    require(!source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).take(1).nonEmpty,
+      s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
+        "one source row may match each target row (SQL MERGE rule)")
+    val target = IceRead.table(spark, catalog, name, branch)
+    val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val matched = target.alias("t").join(source.alias("s"), keyCond)
+    // delete-before-update clause order; untouched rows fall through
+    val toUpdate = matched.filter(!matchedDeleteWhen && matchedUpdateWhen)
+    val updated = toUpdate.select(cols.map(c =>
+      updateSet.getOrElse(c, col(s"s.$c")).as(c)): _*)
+    val inserted = source.alias("s").filter(insertWhen)
+      .join(target.select(keys.map(col): _*), keys, "left_anti")
+      .select(cols.map(c => col(s"s.$c").as(c)): _*)
+    // tombstone keys = matched rows that got updated or deleted (key value
+    // is shared by both sides of the pair, so read it from the source)
+    val touchedKeys = matched.filter(matchedDeleteWhen || matchedUpdateWhen)
+      .select(keys.map(k => col(s"s.$k").as(k)): _*).distinct()
+    val typed = typedOf(table0)
+    val dataDir = Paths.get(table0.location, "data").toString
+    val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L)
+    val delFiles = SparkExecutor.writeDataFiles(spark,
+      if (typed) withFieldIds(touchedKeys, table0.schema) else touchedKeys,
+      dataDir, Nil, Nil, rowsEstimate)
+    val newRows = updated.unionAll(inserted)
+    val dataFiles = SparkExecutor.writeDataFiles(spark,
+      if (typed) withFieldIds(newRows, table0.schema) else newRows,
+      dataDir, table0.partitionSpec, table0.sortOrder, rowsEstimate)
+    commitSnapshot(catalog, name, Seq(
+      StampSet(delFiles, FileContent.EqualityDeletes, keys, eqIdsOf(table0, keys)),
+      StampSet(dataFiles, FileContent.Data)),
+      operation = "overwrite", branch = branch)
+  }
+
   /** Row-level DELETE WHERE: scans the branch's data files with parquet
     * metadata columns, evaluates the predicate, and appends the matching
     * (file_path, pos) tombstones — no data file is rewritten. Re-deleting

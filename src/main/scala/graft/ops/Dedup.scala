@@ -443,6 +443,43 @@ object Dedup {
     (labels.unionAll(selfOnly), rounds)
   }
 
+  /** Line-level (paragraph-level) dedup, CCNet-style: count every exact
+    * line across the WHOLE corpus, drop from each document the lines that
+    * appear at least `minCount` times, and reassemble the survivors in
+    * their original order. This removes the boilerplate exact-document
+    * dedup can't touch — navigation bars, cookie banners, license headers
+    * repeated across millions of otherwise-distinct pages.
+    *
+    * Returns (id, kept_lines, dropped_lines, clean_text).
+    *
+    * Shuffle profile at 100 TB: exactly two exchanges of the exploded
+    * lines relation. (1) line frequency via a COUNT WINDOW partitioned by
+    * a fixed-width md5 of the line — one shuffle keyed by 32-hex-char
+    * digests (never by raw line bytes) that both counts and tags each
+    * line in place, where the aggregate-then-join-back form would shuffle
+    * the same relation on the same key twice; (2) the per-document
+    * reassembly aggregate keyed by doc id. Nothing is broadcast: the
+    * frequent-line set's size is corpus-dependent (bounded only by
+    * lines/minCount), which is precisely the ungated-broadcast trap. A
+    * pathologically hot line (the empty line, a bare '-') makes one big
+    * window partition; the window only counts and Spark's external window
+    * buffer spills it, the same exposure a join-back would have. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 3, sep: String = "\n"): DataFrame = {
+    require(minCount >= 2, "minCount < 2 would drop every line")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val tagged = lines.withColumn("n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("lh"))))
+    tagged.groupBy(col("id")).agg(
+      sum(when(col("n") < minCount, 1L).otherwise(0L)).as("kept_lines"),
+      sum(when(col("n") >= minCount, 1L).otherwise(0L)).as("dropped_lines"),
+      concat_ws(sep, expr(
+        s"transform(array_sort(collect_list(CASE WHEN n < $minCount THEN struct(pos, line) END)), x -> x.line)"
+      )).as("clean_text"))
+  }
+
   /** SimHash fingerprint: 32 dimensions, one per md5 hex nibble of each
     * token; bit i is the sign of the token-count majority on that nibble's
     * high bit. Returns (id, simhash-bitstring). Single aggregate pass. */

@@ -178,6 +178,41 @@ object TextAnalysis {
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit(UrlRe), lit(1))
 
+  /** Top-k characteristic terms per document by tf-idf — the keyword
+    * extraction a corpus-exploration pass runs ("what is each document
+    * about") and the weighting behind sparse retrieval mixes.
+    *
+    * Scoring uses the inverse-document-frequency weighting in EXACT
+    * integer arithmetic: `score_micro = (tf * 1_000_000) div df`. Ranking
+    * by a float idf (`tf * ln(N/df)`) is not reproducible across engines —
+    * `ln` is not correctly-rounded in general, and a one-ulp difference
+    * can flip near-tied ranks — whereas integer div is bit-identical
+    * everywhere, so the output is hash-checkable against the SQL oracle
+    * (docs/ORACLE.md rules). The ordering it induces (tf up, df down) is
+    * the same monotone tradeoff as classic tf-idf; ties break on the term
+    * string.
+    *
+    * Shuffle profile: tf aggregate keyed by (doc, term) with map-side
+    * combine, document-frequency aggregate keyed by term, one shuffle join
+    * on term (vocabulary can reach 10^8+ distinct terms at corpus scale,
+    * so the df side is NOT broadcast — AQE may still choose to), and the
+    * rank window partitioned by document (parallel, state bounded by a
+    * doc's distinct terms). Returns (id, term, rank, score_micro). */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score_micro", expr("(tf * 1000000) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("rank"), col("score_micro"))
+  }
+
   /** Adds the full analysis column set to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text", nCharsCol: String = "n_chars"): DataFrame = {
     val t = col(textCol)

@@ -238,6 +238,60 @@ object OpsQueries {
         tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang", Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)),
 
+    // line-level (paragraph) dedup, CCNet-style: the corpus is given line
+    // structure deterministically (10-token body lines + boilerplate lines
+    // injected into every 2nd/3rd doc), then lines appearing >= 5 times
+    // corpus-wide are dropped and each doc is reassembled in order — the
+    // boilerplate removal exact-document dedup can't do. The cleaned text
+    // itself is hash-checked
+    "t11_line_dedup" -> ((s, dir) => {
+      val lined = tbl(s, dir, "documents")
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .withColumn("__body", concat_ws("\n", expr(
+          """transform(sequence(1, greatest(cast(ceil(size(__toks) / 10.0) as int), 1)),
+            |          i -> concat_ws(' ', slice(__toks, (i - 1) * 10 + 1, 10)))""".stripMargin)))
+        .select(col("doc_id"), concat(col("__body"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\nall rights reserved example corp")).otherwise(lit(""))).as("text"))
+      Dedup.dropBoilerplateLines(lined, "doc_id", "text", minCount = 5)
+        .select(col("id").as("doc_id"), col("kept_lines"), col("dropped_lines"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    // Unicode NFC normalization via the codegen'd native expression:
+    // decomposed accent sequences are injected deterministically, and the
+    // normalized text is hash-checked against DuckDB's nfc_normalize —
+    // two independent UAX #15 implementations agreeing byte-for-byte
+    "t12_nfc" -> ((s, dir) => {
+      import graft.functions.UnicodeFunctions
+      val injected = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(" cafe\u0301 visit")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(" u\u0308ber angstro\u030Am")).otherwise(lit(""))
+      ).as("text"))
+      injected.select(col("doc_id"),
+        (col("text") =!= UnicodeFunctions.nfc(col("text"))).as("changed"),
+        md5(UnicodeFunctions.nfc(col("text"))).as("nfc_md5"))
+    }),
+
+    // per-doc top-3 characteristic terms by integer-scaled tf-idf (exact
+    // cross-engine ordering; see TextAnalysis.tfIdfTopTerms)
+    "t13_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(tbl(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")),
+
+    // GPT-style concat-and-chunk sequence packing: every doc's chunk span
+    // in the concatenated 256-token-chunk stream, via the two-phase
+    // (bucketed) prefix sum — no single-partition window over data rows
+    "p3_pack_chunks" -> ((s, dir) =>
+      graft.ops.Packing.packChunks(
+        tbl(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks")),
+        "doc_id", "n_toks", chunkTokens = 256, bucketSize = 64)
+        .withColumnRenamed("id", "doc_id")),
+
     // MOR write semantics as an oracle-checked query: create a real table
     // from `supplier`, atomically UPSERT modified + inserted rows, then
     // DELETE WHERE — the DuckDB oracle reconstructs the same final state
@@ -298,6 +352,36 @@ object OpsQueries {
         .select(col("s_suppkey"), col("s_name"),
           col("s_nationkey").cast("long").as("s_nationkey"),
           col(Changelog.ChangeTypeCol), col(Changelog.SnapshotIdCol))
+    }),
+
+    // full MERGE INTO as an oracle-checked query: conditional update
+    // (only rows with t.s_nationkey < 15), conditional delete (source rows
+    // with suppkey % 9 = 0), whole-row-source update values with one
+    // target-referencing SET expression, and not-matched inserts — all
+    // committed as ONE snapshot; the DuckDB oracle reconstructs the final
+    // state relationally, so clause precedence (delete over update),
+    // untouched-row fall-through, and single-snapshot sequencing are
+    // hash-checked
+    "q_merge" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-merge-wh").toString)
+      val src = tbl(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      IceWrite.create(s, catalog, "t_q_merge", src)
+      val source = src
+        .filter(col("s_suppkey") % 4 === 0 || col("s_suppkey") % 9 === 0)
+        .withColumn("s_name", concat(lit("M-"), col("s_name")))
+        .unionAll(src.filter(col("s_suppkey") % 10 === 0)
+          .withColumn("s_suppkey", col("s_suppkey") + 1000000))
+      IceWrite.merge(s, catalog, "t_q_merge", source, keys = Seq("s_suppkey"),
+        matchedUpdateWhen = col("t.s_nationkey") < 15,
+        matchedDeleteWhen = col("s.s_suppkey") % 9 === 0,
+        updateSet = Map(
+          "s_nationkey" -> (col("t.s_nationkey") + lit(500)).cast("int")))
+      IceRead.table(s, catalog, "t_q_merge")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"))
     }),
 
     // multimodal plumbing: binary payload + typed metadata + digest
@@ -691,6 +775,71 @@ object OpsQueries {
          |  CASE lang WHEN 'en' THEN '$en' WHEN 'fr' THEN '$fr' ELSE '$other' END""".stripMargin
     },
 
+    // line structure injection mirrors the Spark query: 10-token body
+    // lines + boilerplate appended to every 2nd/3rd doc; counting keys on
+    // md5(line) exactly as Dedup.dropBoilerplateLines does
+    "t11_line_dedup" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |lined AS (SELECT doc_id,
+         |  array_to_string(list_transform(
+         |    range(1, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1) + 1),
+         |    i -> array_to_string(toks[(i - 1) * 10 + 1:(i - 1) * 10 + 10], ' ')), chr(10))
+         |  || CASE WHEN doc_id % 2 = 0
+         |          THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END
+         |  || CASE WHEN doc_id % 3 = 0
+         |          THEN chr(10) || 'all rights reserved example corp' ELSE '' END AS text
+         |  FROM base),
+         |lines AS (
+         |  SELECT doc_id, ord, l[ord] AS line
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined),
+         |       unnest(range(1, len(l) + 1)) AS u(ord)),
+         |counts AS (SELECT md5(line) AS lh, count(*) AS n FROM lines GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+         |  CAST(sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lines,
+         |  md5(coalesce(string_agg(CASE WHEN n < 5 THEN line END, chr(10) ORDER BY ord), ''))
+         |    AS clean_md5
+         |FROM lines JOIN counts ON md5(line) = counts.lh
+         |GROUP BY doc_id""".stripMargin,
+
+    // chr(769/776/778) = combining acute / diaeresis / ring above — the
+    // same decomposed sequences the Spark query injects
+    "t12_nfc" ->
+      """WITH injected AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 4 = 0
+        |          THEN ' cafe' || chr(769) || ' visit' ELSE '' END
+        |  || CASE WHEN doc_id % 6 = 0
+        |          THEN ' u' || chr(776) || 'ber angstro' || chr(778) || 'm' ELSE '' END AS text
+        |FROM documents)
+        |SELECT doc_id, text != nfc_normalize(text) AS changed,
+        |       md5(nfc_normalize(text)) AS nfc_md5
+        |FROM injected""".stripMargin,
+
+    "t13_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, term, tf * 1000000 // df AS score_micro,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY tf * 1000000 // df DESC, term ASC) AS rank
+         |  FROM tf JOIN dfreq USING (term))
+         |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, score_micro
+         |FROM scored WHERE rank <= 3""".stripMargin,
+
+    // single-window prefix sum: the ORACLE may do the naive global cumsum
+    // (DuckDB, one node); the Spark side must produce identical offsets
+    // from its two-phase bucketed form
+    "p3_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT doc_id, n,
+         |  sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off FROM t)
+         |SELECT doc_id, n AS n_tokens, off // 256 AS first_chunk,
+         |       (off + greatest(n, 1) - 1) // 256 AS last_chunk
+         |FROM c""".stripMargin,
+
     // changelog reconstruction: snapshot ids are deterministic (1..4 data
     // commits, 5 = the replace, which must contribute NOTHING)
     "q_changes" ->
@@ -721,6 +870,25 @@ object OpsQueries {
         |UNION ALL
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT), 'delete', 4
         |FROM state3 WHERE s_suppkey % 5 = 0""".stripMargin,
+
+    // MERGE final state, reconstructed relationally: delete wins over
+    // update; matched rows failing both conditions stay untouched
+    "q_merge" ->
+      """WITH src AS (SELECT s_suppkey, s_name, s_nationkey FROM supplier),
+        |updated AS (
+        |  SELECT s_suppkey, 'M-' || s_name AS s_name, s_nationkey + 500 AS s_nationkey
+        |  FROM src
+        |  WHERE s_suppkey % 4 = 0 AND s_suppkey % 9 <> 0 AND s_nationkey < 15),
+        |kept AS (
+        |  SELECT s_suppkey, s_name, s_nationkey FROM src
+        |  WHERE NOT (s_suppkey % 9 = 0)
+        |    AND NOT (s_suppkey % 4 = 0 AND s_suppkey % 9 <> 0 AND s_nationkey < 15)),
+        |ins AS (
+        |  SELECT s_suppkey + 1000000 AS s_suppkey, s_name, s_nationkey
+        |  FROM src WHERE s_suppkey % 10 = 0)
+        |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM updated
+        |      UNION ALL SELECT * FROM ins)""".stripMargin,
 
     "m1_multimodal" ->
       """SELECT doc_id AS media_id,

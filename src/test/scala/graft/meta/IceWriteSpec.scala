@@ -151,6 +151,56 @@ class IceWriteSpec extends AnyFunSuite {
     assert(again.getString(1) == "B3" && again.getLong(2) == 300L)
   }
 
+  test("merge: conditional update/delete/insert in one snapshot; delete wins") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    IceWrite.create(spark, catalog, "t_m",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+        .toDF("id", "name", "qty"))
+
+    // source matches 2, 3, 4 and brings new key 9:
+    //  - id 2: update condition holds (t.qty < 25) -> updated, qty = t+s
+    //  - id 3: delete condition holds (s.name = 'DEL') AND the update
+    //    condition also holds -> delete wins (clause precedence)
+    //  - id 4: neither condition (t.qty = 40) -> untouched
+    //  - id 9: not matched -> inserted as-is
+    val source = Seq((2L, "b2", 200L), (3L, "DEL", 1L), (4L, "x", 400L), (9L, "i", 90L))
+      .toDF("id", "name", "qty")
+    IceWrite.merge(spark, catalog, "t_m", source, keys = Seq("id"),
+      matchedUpdateWhen = col("t.qty") < 25,
+      matchedDeleteWhen = col("s.name") === "DEL",
+      updateSet = Map("qty" -> (col("t.qty") + col("s.qty"))))
+
+    val out = IceRead.table(spark, catalog, "t_m")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, "a", 10L),     // never in source
+      (2L, "b2", 220L),   // updated: source name, t.qty + s.qty
+      (4L, "d", 40L),     // matched but untouched
+      (9L, "i", 90L)))    // inserted
+
+    // atomicity: ONE snapshot carries eq-deletes + data
+    val meta = catalog.loadTable("t_m")
+    assert(meta.snapshots.size == 2)
+    assert(meta.currentSnapshot.get.manifest.exists(_.content == FileContent.EqualityDeletes))
+    assert(meta.currentSnapshot.get.summary("operation") == "overwrite")
+  }
+
+  test("merge rejects duplicate source keys (SQL MERGE multi-match rule)") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    IceWrite.create(spark, catalog, "t_mdup",
+      Seq((1L, "a")).toDF("id", "name"))
+    val err = intercept[IllegalArgumentException] {
+      IceWrite.merge(spark, catalog, "t_mdup",
+        Seq((1L, "x"), (1L, "y")).toDF("id", "name"), keys = Seq("id"))
+    }
+    assert(err.getMessage.contains("duplicate keys"))
+    assert(catalog.loadTable("t_mdup").snapshots.size == 1) // nothing committed
+  }
+
   test("deleteWhere appends position tombstones; no data file rewritten") {
     val catalog = newCatalog()
     val src = spark.read.parquet(s"$sf/nation.parquet")
