@@ -20,7 +20,8 @@ object PlanAudit {
         "d1_exact_dedup","d4_ngram_jaccard","d5_embed_neardup","s1_ann_topk",
         "s2_ann_lsh_buckets","t5_vocab",
         "t7_repetition","t8_pii","p1_hash_split","p2_stratified_sample",
-        "t9_domains","t10_decontaminate")) {
+        "t9_domains","t10_decontaminate",
+        "t11_line_dedup","t12_nfc","t13_tfidf","p3_pack_chunks")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
