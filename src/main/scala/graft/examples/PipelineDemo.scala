@@ -3,16 +3,18 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.functions.UnicodeFunctions
 import graft.meta.{ChangeFeed, Changelog, IceRead, IceWrite, LocalCatalog}
-import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /** End-to-end training-data curation pipeline over the synthetic corpus —
-  * the composition story: ingest documents into the table format, score
-  * and filter by quality and repetition, scrub PII, drop exact and near
-  * duplicates, split train/val/test deterministically, write the curated
-  * corpus back as a table, subscribe to its changelog, and stand up an
-  * ANN index over the embeddings. Every stage is an operator this
-  * library ships; run with
+  * the composition story: ingest documents into the table format,
+  * NFC-normalize, score and filter by quality and repetition, scrub PII,
+  * drop exact and near duplicates, split train/val/test
+  * deterministically, write the curated corpus back as a table, patch it
+  * with a conditional MERGE, subscribe to its changelog, pack the train
+  * split into fixed-token chunks, and stand up an ANN index over the
+  * embeddings. Every stage is an operator this library ships; run with
   * {{{ sbt "runMain graft.examples.PipelineDemo" }}}.
   */
 object PipelineDemo {
@@ -31,11 +33,14 @@ object PipelineDemo {
     IceWrite.create(spark, catalog, "docs_raw", raw)
     println(s"INGESTED rows=${IceRead.table(spark, catalog, "docs_raw").count()}")
 
-    // 2. quality + repetition scoring and PII scrub (pure per-row
-    //    expressions, no shuffle anywhere in this stage)
+    // 2. Unicode canonicalization, quality + repetition scoring, and PII
+    //    scrub (pure per-row expressions, no shuffle anywhere in this
+    //    stage; NFC first so every downstream byte hash sees canonical
+    //    code points)
     val repetition = TextAnalysis.repetitionMetrics(
       IceRead.table(spark, catalog, "docs_raw"))
     val scored = IceRead.table(spark, catalog, "docs_raw")
+      .withColumn("text", UnicodeFunctions.nfc(col("text")))
       .join(repetition, Seq("doc_id"))
       .withColumn("quality", TextAnalysis.qualityScore(col("text"), col("n_chars")))
       .withColumn("lang", TextAnalysis.langId(col("text")))
@@ -68,12 +73,34 @@ object PipelineDemo {
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
     println(s"CURATED table rows=${IceRead.table(spark, catalog, "docs_curated").count()} ($bySplit) tagged=v1")
 
+    // 5a. governance patch via conditional MERGE: a review flags one
+    //     document for removal and rescores another — one atomic snapshot
+    import spark.implicits._
+    val reviewed = Seq((0L, "remove"), (1L, "rescore")).toDF("doc_id", "action")
+    val patch = IceRead.table(spark, catalog, "docs_curated")
+      .join(reviewed, Seq("doc_id"))
+    IceWrite.merge(spark, catalog, "docs_curated", patch,
+      keys = Seq("doc_id"),
+      matchedDeleteWhen = col("s.action") === "remove",
+      matchedUpdateWhen = col("s.action") === "rescore",
+      updateSet = Map("quality" -> (col("t.quality") * 0.5)),
+      insertWhen = lit(false)) // review patches never create documents
+    println(s"MERGED rows=${IceRead.table(spark, catalog, "docs_curated").count()}")
+
     // 5b. a downstream consumer tails the curated table's changelog
     val ck = java.nio.file.Files.createTempDirectory("pipeline-ck").resolve("ck")
     val feed = new ChangeFeed(spark, catalog, "docs_curated", ck)
     feed.poll((frame, snap) => println(
       s"CHANGEFEED snapshot=${snap.snapshotId} " +
         s"inserts=${frame.filter(col(Changelog.ChangeTypeCol) === "insert").count()}"))
+
+    // 5c. export prep: pack the train split into 512-token chunks
+    val train = IceRead.table(spark, catalog, "docs_curated")
+      .filter(col("split") === "train")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    val packed = Packing.packChunks(train, "doc_id", "n_toks", chunkTokens = 512)
+    val nChunks = packed.agg(max(col("last_chunk"))).head.getLong(0) + 1
+    println(s"PACKED docs=${packed.count()} chunks=$nChunks")
 
     // 6. ANN over the embeddings: IVF cells + a probe query
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
