@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-mixture planning: given a target domain mixture (the DoReMi /
+  * Pile-style "20% web, 10% code, ..." recipe) and the measured token
+  * counts per domain, compute the largest total corpus that satisfies the
+  * mixture and the per-domain sampling rate that realizes it.
+  *
+  * All mixture math is exact integer arithmetic in parts-per-million
+  * (floats ranked by `ln`/division are not reproducible across engines;
+  * integer div is bit-identical everywhere — docs/ORACLE.md):
+  *
+  *   cap       = min over domains of (n_tokens * 1e6 div weight_ppm)
+  *               (the largest mixture-consistent total: the binding
+  *                domain is the one that runs out first)
+  *   rate_ppm  = min(1e6, weight_ppm * cap div n_tokens)
+  *   take      = n_tokens * rate_ppm div 1e6
+  *
+  * Plan shape at 100 TB: one hash aggregate keyed by domain (map-side
+  * combine; domain cardinality is tiny), a single-row scalar aggregate
+  * for the cap, and a broadcast of that one row back across the domain
+  * rows. No data-sized shuffle anywhere; the expensive part is the token
+  * count, which is the map-side of the first aggregate.
+  */
+object Mixture {
+
+  /** Per-domain sampling plan for a target mixture.
+    *
+    * @param weightsPpm target mixture weights in parts-per-million; only
+    *                   the RATIOS matter (they need not sum to 1e6)
+    * @param defaultPpm weight for domains absent from `weightsPpm`; 0
+    *                   excludes a domain entirely (rate 0, and it does not
+    *                   bind the cap)
+    * @param tokenExpr  per-row token contribution (e.g. a token count
+    *                   column or expression)
+    *
+    * Output: (domain, n_tokens, weight_ppm, rate_ppm, take_tokens),
+    * one row per domain.
+    */
+  def domainMixturePlan(df: DataFrame, domainCol: String, tokenExpr: Column,
+      weightsPpm: Map[String, Long], defaultPpm: Long = 0L): DataFrame = {
+    require((weightsPpm.values ++ Seq(defaultPpm)).forall(_ >= 0),
+      "mixture weights must be non-negative")
+    val weight = weightsPpm.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (d, w)) =>
+        acc.when(col("domain") === d, lit(w))
+      }.otherwise(lit(defaultPpm))
+    val perDomain = df
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum(tokenExpr.cast("long")).as("n_tokens"))
+      .withColumn("weight_ppm", weight)
+    // the binding constraint: a single scalar row, broadcast back
+    val cap = perDomain.filter(col("weight_ppm") > 0)
+      .agg(min(expr("n_tokens * 1000000L div weight_ppm")).as("__cap"))
+    perDomain.crossJoin(broadcast(cap))
+      .withColumn("rate_ppm",
+        when(col("weight_ppm") === 0, lit(0L)).otherwise(
+          least(lit(1000000L), expr("weight_ppm * __cap div n_tokens"))))
+      .select(col("domain"), col("n_tokens"), col("weight_ppm"),
+        col("rate_ppm"),
+        expr("n_tokens * rate_ppm div 1000000L").as("take_tokens"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document- and line-level quality filtering — the rule sets a crawl
+  * pipeline cuts on before training (Gopher's document heuristics, C4's
+  * line heuristics; both published rule lists).
+  *
+  * Everything is a narrow per-row projection/filter over codegen'd
+  * `org.apache.spark.sql.functions` — no UDFs, no shuffle, linear in
+  * input splits at any corpus size. Ratios are rounded at fixed precision
+  * and thresholds compared on the rounded values, so the keep/drop verdict
+  * is bit-identical across engines (docs/ORACLE.md rules).
+  */
+object Quality {
+
+  import TextAnalysis.{normalize, tokens}
+
+  /** Gopher-style document quality rules (word count, mean word length,
+    * symbol-to-word ratio, alphabetic-word fraction, stopword presence),
+    * each reported as its measured value plus a final `keep` verdict.
+    * Defaults follow the published rule list; bounds are parameters so a
+    * pipeline can tighten them per corpus.
+    *
+    * Output: (id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    * stop_hits, keep).
+    */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwordHits: Long = 2): DataFrame = {
+    val t = col(textCol)
+    val out = df
+      .withColumn("__toks", tokens(t))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      // mean characters per word over the normalized text (spaces removed)
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(normalize(t), " ", "")) /
+          col("n_words").cast("double"), 4))
+      // '#' and '...' occurrences per word (the Gopher symbol rule);
+      // regexp_count is leftmost non-overlapping in both engines
+      .withColumn("symbol_ratio",
+        round((regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))) /
+          col("n_words").cast("double"), 6))
+      // fraction of words containing at least one (lowercased) letter
+      .withColumn("alpha_frac",
+        round(size(filter(col("__toks"), w => w.rlike("[a-z]"))) /
+          col("n_words").cast("double"), 6))
+      .withColumn("stop_hits", TextAnalysis.stopwordCount(t, "en").cast("long"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stop_hits") >= minStopwordHits)
+    out.select(col(idCol), col("n_words"), col("mean_word_len"),
+      col("symbol_ratio"), col("alpha_frac"), col("stop_hits"), col("keep"))
+  }
+
+  /** C4-style line cleaning: a line survives iff it ends in terminal
+    * punctuation, has at least `minLineWords` words, and contains neither
+    * a "lorem ipsum" marker nor a curly brace (the code/boilerplate
+    * tells). The document is reassembled from surviving lines in order.
+    *
+    * Unlike [[Dedup.dropBoilerplateLines]] (corpus-wide line frequency —
+    * needs an aggregate), this is a pure per-row transform: line split,
+    * filter, rejoin, all inside one projection.
+    *
+    * Output: (id, kept_lines, dropped_lines, clean_text).
+    */
+  def c4CleanLines(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLineWords: Int = 5): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def keepLine(l: Column): Column =
+      l.rlike("[.!?]$") &&
+        size(split(l, " ")) >= minLineWords &&
+        !l.contains("lorem ipsum") &&
+        !l.contains("{")
+    val kept = filter(lines, keepLine _)
+    df.withColumn("__lines", lines)
+      .withColumn("__kept", kept)
+      .select(col(idCol),
+        size(col("__kept")).cast("long").as("kept_lines"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long").as("dropped_lines"),
+        array_join(col("__kept"), "\n").as("clean_text"))
+  }
+}

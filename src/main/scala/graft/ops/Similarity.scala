@@ -107,6 +107,51 @@ object Similarity {
       .select(col("vec_id"), col("__cid").as("cell_id"), col("probe"))
   }
 
+  /** One Lloyd (k-means) centroid-update step over the IVF assignment —
+    * how the cell centroids are trained in the first place: assign every
+    * vector to its nearest centroid ([[ivfCells]] semantics, broadcast
+    * argmax), then average the members of each cell elementwise.
+    *
+    * The mean is computed in exact integer micro-space: each component is
+    * offset by +2.0 (corpus vectors are unit-scale, so components stay
+    * positive — required so truncating integer division agrees with floor
+    * across engines) and scaled to micro units BEFORE summation, so the
+    * sum is order-independent integer arithmetic and the result is
+    * bit-identical across engines and partitionings — a float sum's value
+    * depends on reduction order, which no distributed engine fixes.
+    *
+    * Plan shape at 100 TB: the assignment argmax completes map-side (each
+    * vector's centroid rows are colocated by the broadcast cross join), so
+    * shuffle 1 carries one row per vector; shuffle 2 is the (cell, dim)
+    * partial-aggregated sums — |cells| * dim rows. No window, no corpus
+    * materialization.
+    *
+    * Output: (cell_id, dim, mean_micro, n_members) — dim is 0-based,
+    * mean_micro is the de-offset micro-scaled component mean.
+    */
+  def kmeansUpdate(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    val c = withNorm(corpus, vecCol, "__vn")
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"), col("__vn"))
+    val cents = withNorm(centroids, centVecCol, "__cn")
+      .select(col(centIdCol).cast("long").as("__cid"), col(centVecCol).as("__c"), col("__cn"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("__sim", cosineWithNorms(col("__v"), col("__vn"), col("__c"), col("__cn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("__sim").as("s"), (-col("__cid")).as("negcid"))).as("__best"),
+        // every row of a vec_id group carries the same vector
+        first(col("__v")).as("__v"))
+      .select((-col("__best.negcid")).as("cell_id"), col("__v"))
+    assigned
+      .select(col("cell_id"), posexplode(col("__v")).as(Seq("dim", "x")))
+      .groupBy(col("cell_id"), col("dim"))
+      .agg(sum(expr("cast(round((cast(x as double) + 2.0D) * 1000000.0D, 0) as bigint)")).as("__s"),
+        count(lit(1)).as("n_members"))
+      .select(col("cell_id"), col("dim").cast("long").as("dim"),
+        (expr("__s div n_members") - lit(2000000L)).as("mean_micro"),
+        col("n_members"))
+  }
+
   /** IVF top-k: corpus vectors live in their nearest cell; each query
     * ranks within its `nprobe` nearest cells — the search cost is the
     * probed cells' population, not the corpus. nprobe=1 is the classic

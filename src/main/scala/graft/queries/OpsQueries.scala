@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Mixture, Multimodal, Quality, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as oracle-checked queries over the
   * `documents` / `embeddings` tables.
@@ -281,6 +281,59 @@ object OpsQueries {
     "t13_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(tbl(s, dir, "documents"), "doc_id", "text", k = 3)
         .withColumnRenamed("id", "doc_id")),
+
+    // Gopher-style document quality rules: per-rule measured values + the
+    // final keep verdict, all per-row (zero-exchange). Symbol runs are
+    // injected into every 6th doc so the symbol/alpha/mean-length rules
+    // exercise both verdicts at every scale factor
+    "t14_gopher" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 6 === 0, lit(" # # # # # # # #")).otherwise(lit(""))
+      ).as("text"))
+      Quality.gopherRules(injected)
+    }),
+
+    // C4-style line cleaning: docs get deterministic line structure
+    // (10-token lines, terminal '.' on alternating lines) plus injected
+    // boilerplate/code/short lines; surviving lines are reassembled and
+    // the cleaned text hash-checked. Pure per-row HOF transform
+    "t15_c4_clean" -> ((s, dir) => {
+      val lined = tbl(s, dir, "documents")
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .withColumn("__body", concat_ws("\n", expr(
+          """transform(sequence(1, greatest(cast(ceil(size(__toks) / 10.0) as int), 1)),
+            |  i -> concat(concat_ws(' ', slice(__toks, (i - 1) * 10 + 1, 10)),
+            |              IF((doc_id + i) % 2 = 0, '.', '')))""".stripMargin)))
+        .select(col("doc_id"), concat(col("__body"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nif (x) { return y; }")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\nclick here")).otherwise(lit(""))).as("text"))
+      Quality.c4CleanLines(lined, "doc_id", "text", minLineWords = 5)
+        .select(col("doc_id"), col("kept_lines"), col("dropped_lines"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    // domain-mixture planner: target mixture in ppm vs measured per-source
+    // token counts -> largest mixture-consistent total + per-domain
+    // sampling rates, in exact integer arithmetic
+    "p4_domain_mix" -> ((s, dir) =>
+      Mixture.domainMixturePlan(tbl(s, dir, "documents"), "source",
+        TextAnalysis.tokenCount(col("text")),
+        weightsPpm = Map("src0" -> 200000L, "src1" -> 100000L),
+        defaultPpm = 30000L)),
+
+    // one k-means (Lloyd) centroid-update step over the IVF assignment —
+    // the training loop behind s3's cells; elementwise means in exact
+    // integer micro-space so the result is order-independent
+    "s4_kmeans_update" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.kmeansUpdate(e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding")
+    }),
 
     // GPT-style concat-and-chunk sequence packing: every doc's chunk span
     // in the concatenated 256-token-chunk stream, via the two-phase
@@ -827,6 +880,96 @@ object OpsQueries {
          |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, score_micro
          |FROM scored WHERE rank <= 3""".stripMargin,
 
+    // metric columns are computed (rounded) in a CTE so the keep verdict
+    // provably compares the same rounded values the output reports
+    "t14_gopher" -> {
+      val inj = s"""inj AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 6 = 0 THEN ' # # # # # # # #' ELSE '' END AS text
+         |FROM documents)""".stripMargin
+      s"""WITH $inj,
+         |t AS (SELECT doc_id, text, $toksSql AS toks,
+         |  len(replace($normSql, ' ', '')) AS n_nospace FROM inj),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  round(n_nospace / CAST(len(toks) AS DOUBLE), 4) AS mean_word_len,
+         |  round((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
+         |        / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+         |  round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+         |        / CAST(len(toks) AS DOUBLE), 6) AS alpha_frac,
+         |  CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','is','in'))) AS BIGINT) AS stop_hits
+         |FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+         |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+         |FROM m""".stripMargin
+    },
+
+    // line structure + injections mirror the Spark query exactly; the
+    // C4 keep-rule is the same lambda over split lines
+    "t15_c4_clean" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |lined AS (SELECT doc_id,
+         |  array_to_string(list_transform(
+         |    range(1, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1) + 1),
+         |    i -> array_to_string(toks[(i - 1) * 10 + 1:(i - 1) * 10 + 10], ' ')
+         |         || CASE WHEN (doc_id + i) % 2 = 0 THEN '.' ELSE '' END), chr(10))
+         |  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+         |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'if (x) { return y; }' ELSE '' END
+         |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'click here' ELSE '' END AS text
+         |  FROM base),
+         |cleaned AS (SELECT doc_id,
+         |  list_filter(string_split(text, chr(10)), l ->
+         |    regexp_matches(l, '[.!?]${"$"}') AND len(string_split(l, ' ')) >= 5
+         |    AND NOT contains(l, 'lorem ipsum') AND NOT contains(l, '{')) AS kept,
+         |  len(string_split(text, chr(10))) AS n_lines
+         |  FROM lined)
+         |SELECT doc_id, CAST(len(kept) AS BIGINT) AS kept_lines,
+         |  CAST(n_lines - len(kept) AS BIGINT) AS dropped_lines,
+         |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+         |FROM cleaned""".stripMargin,
+
+    // same ppm integer arithmetic: cap = min(n*1e6 // w), rate = w*cap // n
+    "p4_domain_mix" ->
+      s"""WITH tok AS (SELECT source, len($toksSql) AS n FROM documents),
+         |agg AS (SELECT source AS domain, CAST(sum(n) AS BIGINT) AS n_tokens
+         |        FROM tok GROUP BY 1),
+         |w AS (SELECT domain, n_tokens,
+         |  CAST(CASE domain WHEN 'src0' THEN 200000 WHEN 'src1' THEN 100000
+         |       ELSE 30000 END AS BIGINT) AS weight_ppm FROM agg),
+         |cap AS (SELECT min(n_tokens * 1000000 // weight_ppm) AS c FROM w
+         |        WHERE weight_ppm > 0)
+         |SELECT domain, n_tokens, weight_ppm,
+         |  CAST(least(1000000, weight_ppm * cap.c // n_tokens) AS BIGINT) AS rate_ppm,
+         |  CAST(n_tokens * least(1000000, weight_ppm * cap.c // n_tokens) // 1000000 AS BIGINT)
+         |    AS take_tokens
+         |FROM w, cap""".stripMargin,
+
+    // the assignment CTEs are s3's oracle verbatim; the update step sums
+    // offset micro-ints (positive, so // truncation == floor in both
+    // engines) — parallel unnest zips value with its 0-based dim
+    "s4_kmeans_update" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) AS sim
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT vec_id, embedding, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        |  FROM scored),
+        |cells AS (SELECT cid AS cell_id, embedding FROM ranked WHERE rn = 1),
+        |ex AS (SELECT cell_id,
+        |  unnest(range(0, len(embedding))) AS dim,
+        |  unnest(embedding) AS x FROM cells),
+        |agg AS (SELECT cell_id, dim,
+        |  sum(CAST(round((x::DOUBLE + 2.0) * 1000000.0, 0) AS BIGINT)) AS s,
+        |  count(*) AS n FROM ex GROUP BY 1, 2)
+        |SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(dim AS BIGINT) AS dim,
+        |  CAST(s // n - 2000000 AS BIGINT) AS mean_micro,
+        |  CAST(n AS BIGINT) AS n_members
+        |FROM agg""".stripMargin,
+
     // single-window prefix sum: the ORACLE may do the naive global cumsum
     // (DuckDB, one node); the Spark side must produce identical offsets
     // from its two-phase bucketed form
@@ -836,8 +979,9 @@ object OpsQueries {
          |c AS (SELECT doc_id, n,
          |  sum(n) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off FROM t)
-         |SELECT doc_id, n AS n_tokens, off // 256 AS first_chunk,
-         |       (off + greatest(n, 1) - 1) // 256 AS last_chunk
+         |SELECT doc_id, n AS n_tokens,
+         |       CAST(off // 256 AS BIGINT) AS first_chunk,
+         |       CAST((off + greatest(n, 1) - 1) // 256 AS BIGINT) AS last_chunk
          |FROM c""".stripMargin,
 
     // changelog reconstruction: snapshot ids are deterministic (1..4 data

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Quality filters (Gopher rules, C4 line cleaning), the domain-mixture
+  * planner, and the k-means centroid update. */
+class QualityMixtureSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("gopherRules measures and gates each rule") {
+    val fifty = (1 to 48).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      // 50 words incl "the ... a": inside every bound -> keep
+      (1L, s"the $fifty a"),
+      // 6 words: fails the word-count rule only
+      (2L, "the cat sat on a mat"),
+      // symbol-heavy: '#' per word above 0.1
+      (3L, s"the $fifty a # # # # # # # #"),
+      // numeric words: alpha fraction below 0.8
+      (4L, "the " + (1 to 48).map(_.toString).mkString(" ") + " a"),
+      // no stopwords at all
+      (5L, (1 to 50).map(i => s"word$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Quality.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1).getBoolean(6))
+    assert(!out(2).getBoolean(6) && out(2).getLong(1) == 6)
+    // doc 2 exact metrics: 15 chars / 6 words, 2 stopword hits
+    assert(out(2).getDouble(2) == 2.5)
+    assert(out(2).getLong(5) == 2L)
+    assert(!out(3).getBoolean(6) && out(3).getDouble(3) > 0.1)
+    assert(!out(4).getBoolean(6) && out(4).getDouble(4) < 0.8)
+    assert(!out(5).getBoolean(6) && out(5).getLong(5) == 0L)
+  }
+
+  test("gopherRules is a zero-exchange per-row plan") {
+    val docs = Seq((1L, "the a of x")).toDF("doc_id", "text")
+    val plan = Quality.gopherRules(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherRules must not shuffle:\n$plan")
+  }
+
+  test("c4CleanLines keeps only punctuated, long, clean lines — in order") {
+    val text = Seq(
+      "one two three four five.",   // keep
+      "short.",                     // < 5 words
+      "no terminal punct here at",  // no [.!?] ending
+      "this has lorem ipsum inside the text.", // marker
+      "if (x) { return y; }",       // brace (and no terminal punct)
+      "six seven eight nine ten eleven!" // keep
+    ).mkString("\n")
+    val out = Quality.c4CleanLines(Seq((7L, text)).toDF("doc_id", "text")).head
+    assert(out.getLong(1) == 2L) // kept
+    assert(out.getLong(2) == 4L) // dropped
+    assert(out.getString(3) ==
+      "one two three four five.\nsix seven eight nine ten eleven!")
+  }
+
+  test("c4CleanLines on a fully-dropped doc yields empty text, and no shuffle") {
+    val df = Seq((1L, "no punctuation at all here")).toDF("doc_id", "text")
+    val out = Quality.c4CleanLines(df)
+    assert(out.head.getString(3) == "" && out.head.getLong(1) == 0L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c4CleanLines must not shuffle:\n$plan")
+  }
+
+  test("domainMixturePlan: binding domain caps the mixture; integer math exact") {
+    // a: 1000 tokens at 50%, b: 300 at 30%, c: 200 at default 20%.
+    // cap = min(1000*1e6/5e5, 300*1e6/3e5, 200*1e6/2e5) = 1000 total:
+    // b and c both bind; a is sampled at half
+    val rows = Seq(("a", 1000L), ("b", 300L), ("c", 200L)).toDF("domain", "n")
+    val out = Mixture.domainMixturePlan(rows, "domain", col("n"),
+      weightsPpm = Map("a" -> 500000L, "b" -> 300000L), defaultPpm = 200000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((1000L, 500000L, 500000L, 500L)))
+    assert(out("b") == ((300L, 300000L, 1000000L, 300L)))
+    assert(out("c") == ((200L, 200000L, 1000000L, 200L)))
+  }
+
+  test("domainMixturePlan: zero-weight domains get rate 0 and never bind") {
+    val rows = Seq(("keep", 100L), ("drop", 5L)).toDF("domain", "n")
+    val out = Mixture.domainMixturePlan(rows, "domain", col("n"),
+      weightsPpm = Map("keep" -> 1000000L), defaultPpm = 0L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // had 'drop' bound the cap, keep's rate would be 50000, not full rate
+    assert(out("keep") == ((1000000L, 100L)))
+    assert(out("drop") == ((0L, 0L)))
+  }
+
+  test("kmeansUpdate: exact micro-space means per cell and dimension") {
+    val cents = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val pts = Seq(
+      (10L, Seq(0.9f, 0.1f)), // -> cell 1
+      (11L, Seq(0.8f, 0.2f)), // -> cell 1
+      (12L, Seq(0.1f, 0.9f))  // -> cell 2
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansUpdate(pts, "vec_id", "embedding",
+      cents, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // cell 1 dim 0: (2900000 + 2800000) div 2 - 2e6 = 850000
+    assert(out((1L, 0L)) == ((850000L, 2L)))
+    assert(out((1L, 1L)) == ((150000L, 2L)))
+    assert(out((2L, 0L)) == ((100000L, 1L)))
+    assert(out((2L, 1L)) == ((900000L, 1L)))
+  }
+
+  test("kmeansUpdate means are invariant under repartitioning (order-free sums)") {
+    val cents = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val pts = (1 to 97).map(i => (i.toLong, Seq(i / 100.0f, (97 - i) / 300.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kmeansUpdate(pts.repartition(1), "vec_id", "embedding",
+      cents, "vec_id", "embedding").collect().toSet
+    val b = Similarity.kmeansUpdate(pts.repartition(13), "vec_id", "embedding",
+      cents, "vec_id", "embedding").collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
