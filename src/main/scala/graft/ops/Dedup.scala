@@ -480,6 +480,48 @@ object Dedup {
       )).as("clean_text"))
   }
 
+  /** Exact duplicated-substring statistics (the "deduplicate training
+    * data" window rule): every token position opens an `n`-token window;
+    * a window duplicated `minCount`+ times corpus-wide (ACROSS documents
+    * or repeated within one) marks its position as duplicated. Reports
+    * per-document window totals and the duplicated fraction — the signal
+    * a pipeline cuts on (or feeds to span excision).
+    *
+    * Shuffle profile: windows are md5-hashed per-row (no gram strings
+    * cross the wire), then ONE exchange keyed by the window hash both
+    * counts and tags every occurrence (count window — an agg + join-back
+    * would pay the same exchange twice), and one per-doc aggregate.
+    * Boilerplate heavy-hitter hashes skew the window partition; the rows
+    * are (id, hash) pairs only, and the d2-style salted two-phase count
+    * is the swap-in if a corpus needs it.
+    *
+    * Returns (id, n_grams, dup_grams, dup_frac); documents shorter than
+    * `n` tokens report 0/0/0.0.
+    */
+  def duplicatedNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Int = 2): DataFrame = {
+    require(n >= 2, s"window must be at least 2 tokens, got $n")
+    require(minCount >= 2, "minCount < 2 would flag every window")
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val grams = base.select(col("id"), explode(expr(
+      s"""CASE WHEN size(__toks) < $n THEN array()
+         |ELSE transform(sequence(1, size(__toks) - ${n - 1}),
+         |       i -> md5(concat_ws(' ', slice(__toks, i, $n))))
+         |END""".stripMargin)).as("gh"))
+    val tagged = grams.withColumn("cnt", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+    val stats = tagged.groupBy(col("id")).agg(
+      count(lit(1)).as("n_grams"),
+      sum(when(col("cnt") >= minCount, 1L).otherwise(0L)).as("dup_grams"))
+    base.select(col("id")).join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac", when(col("n_grams") === 0, lit(0.0))
+        .otherwise(round(col("dup_grams") / col("n_grams").cast("double"), 6)))
+  }
+
   /** SimHash fingerprint: 32 dimensions, one per md5 hex nibble of each
     * token; bit i is the sign of the token-count majority on that nibble's
     * high bit. Returns (id, simhash-bitstring). Single aggregate pass. */

@@ -152,6 +152,36 @@ object Similarity {
         col("n_members"))
   }
 
+  /** Symmetric per-vector int8 quantization — the 4x storage cut an
+    * embedding store takes before ANN serving: q_i = round(x_i * 127 /
+    * max|x|), reconstructed as q_i * max|x| / 127. Pure per-row HOF
+    * projection, no shuffle.
+    *
+    * Output is cross-engine hash-checkable: the quantized codes are
+    * reported as an md5 over their comma-joined decimal form, the scale
+    * and the mean absolute reconstruction error as rounded integers
+    * (scale_e9, err_e6). The error fold is a left-to-right sequential
+    * sum — deterministic, same order both engines. Zero vectors quantize
+    * to all-zero codes with scale 0.
+    *
+    * Returns (id, scale_e9, q_md5, err_e6). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val out = df
+      .withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("__mx", array_max(transform(col("__v"), x => abs(x))))
+      .withColumn("__q", when(col("__mx") === 0.0,
+          transform(col("__v"), _ => lit(0L)))
+        .otherwise(transform(col("__v"),
+          x => round(x * lit(127.0) / col("__mx"), 0).cast("long"))))
+      .withColumn("__err", when(col("__mx") === 0.0, lit(0.0)).otherwise(expr(
+        """aggregate(zip_with(__v, __q, (x, q) -> abs(x - q * __mx / 127.0D)),
+          |          0.0D, (acc, e) -> acc + e) / size(__v)""".stripMargin)))
+    out.select(col(idCol),
+      round(col("__mx") / 127.0 * 1e9, 0).cast("long").as("scale_e9"),
+      md5(concat_ws(",", transform(col("__q"), q => q.cast("string")))).as("q_md5"),
+      round(col("__err") * 1e6, 0).cast("long").as("err_e6"))
+  }
+
   /** IVF top-k: corpus vectors live in their nearest cell; each query
     * ranks within its `nprobe` nearest cells — the search cost is the
     * probed cells' population, not the corpus. nprobe=1 is the classic

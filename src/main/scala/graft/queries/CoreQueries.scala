@@ -231,6 +231,24 @@ object CoreQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty"))),
 
+    // pivot: wide per-source language counts (fixed column set so the
+    // schema is static; empty combos filled with 0 to match FILTER counts)
+    "q_pivot" -> ((s, dir) =>
+      tbl(s, dir, "documents").groupBy(col("source"))
+        .pivot("lang", Seq("en", "fr", "es", "de", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0)),
+
+    // cube: all grouping-set combinations over (source, lang) with the
+    // null group keys coalesced to a sentinel (like q_rollup)
+    "q_cube" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("src"),
+          coalesce(col("lang"), lit("ALL")).as("lng"),
+          col("n_docs"), col("total_chars"))),
+
     // set operations: UNION ALL / INTERSECT / EXCEPT
     "q_setops" -> ((s, dir) => {
       val a = tbl(s, dir, "orders").filter(col("o_totalprice") > 150000).select(col("o_custkey"))
@@ -431,6 +449,21 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT source,
+        |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+        |  CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+        |  CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+        |  CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(source, 'ALL') AS src, coalesce(lang, 'ALL') AS lng,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
 
     "q_setops" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),

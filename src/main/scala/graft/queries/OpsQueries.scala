@@ -335,6 +335,29 @@ object OpsQueries {
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding")
     }),
 
+    // exact duplicated-substring windows (the published training-data
+    // dedup rule): shared boilerplate is injected into every 3rd doc and
+    // a self-repeat (the doc's own first 8 tokens re-appended) into every
+    // 7th, so cross-doc AND within-doc duplication both have positives
+    "t16_substring_dup" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents")
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" please subscribe to our channel and hit the bell icon")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" "), concat_ws(" ", slice(col("__toks"), 1, 8)))).otherwise(lit(""))
+        ).as("text"))
+      Dedup.duplicatedNgramStats(injected, "doc_id", "text", n = 8, minCount = 2)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // symmetric int8 embedding quantization: codes hash-checked via md5,
+    // scale and mean reconstruction error as rounded integers
+    "s5_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding")),
+
     // GPT-style concat-and-chunk sequence packing: every doc's chunk span
     // in the concatenated 256-token-chunk stream, via the two-phase
     // (bucketed) prefix sum — no single-partition window over data rows
@@ -943,6 +966,52 @@ object OpsQueries {
          |  CAST(n_tokens * least(1000000, weight_ppm * cap.c // n_tokens) // 1000000 AS BIGINT)
          |    AS take_tokens
          |FROM w, cap""".stripMargin,
+
+    // the window-hash count mirrors duplicatedNgramStats: md5 per window,
+    // a count window over the hash, then the per-doc aggregate
+    "t16_substring_dup" ->
+      s"""WITH inj AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN ' please subscribe to our channel and hit the bell icon' ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0
+         |       THEN ' ' || array_to_string(($toksSql)[1:8], ' ') ELSE '' END AS text
+         |FROM documents),
+         |base AS (SELECT doc_id, $toksSql AS toks FROM inj),
+         |g AS (SELECT doc_id, md5(w) AS gh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 8 THEN []
+         |    ELSE list_transform(range(1, len(toks) - 7 + 1),
+         |           i -> array_to_string(toks[i:i+7], ' ')) END) AS w
+         |  FROM base)),
+         |tagged AS (SELECT doc_id, count(*) OVER (PARTITION BY gh) AS cnt FROM g),
+         |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+         |  FROM tagged GROUP BY 1)
+         |SELECT b.doc_id,
+         |  coalesce(n_grams, 0) AS n_grams,
+         |  coalesce(dup_grams, 0) AS dup_grams,
+         |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+         |       ELSE round(dup_grams / CAST(n_grams AS DOUBLE), 6) END AS dup_frac
+         |FROM (SELECT doc_id FROM base) b LEFT JOIN stats USING (doc_id)""".stripMargin,
+
+    // same quantization arithmetic: q = round(x*127/mx), reconstruction
+    // error folded left-to-right, scale/err as rounded integers
+    "s5_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, embedding, mx,
+        |  CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(embedding,
+        |              x -> CAST(round(x::DOUBLE * 127.0 / mx, 0) AS BIGINT)) END AS codes
+        |  FROM v)
+        |SELECT vec_id,
+        |  CAST(round(mx / 127.0 * 1000000000.0, 0) AS BIGINT) AS scale_e9,
+        |  md5(array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',')) AS q_md5,
+        |  CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(round(list_sum(list_transform(range(1, len(embedding) + 1),
+        |              i -> abs(embedding[i]::DOUBLE - codes[i] * mx / 127.0)))
+        |            / len(embedding) * 1000000.0, 0) AS BIGINT) END AS err_e6
+        |FROM q""".stripMargin,
 
     // the assignment CTEs are s3's oracle verbatim; the update step sums
     // offset micro-ints (positive, so // truncation == floor in both

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Exact duplicated-substring windows and int8 embedding quantization. */
+class SubstringQuantizeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("duplicatedNgramStats: cross-doc, within-doc, and short-doc cases") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),           // windows [a..h], [b..i]
+      (2L, "a b c d e f g h x"),           // [a..h] shared with doc 1
+      (3L, "z z z z z z z z z z"),         // 3 identical windows (self-dup)
+      (4L, "too short")                    // no 8-token window
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgramStats(docs, "doc_id", "text", n = 8, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((3L, 3L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("duplicatedNgramStats pays one gram exchange + one doc aggregate") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val plan = Dedup.duplicatedNgramStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // window partitionBy(gh) + groupBy(id) + the broadcast-able id join;
+    // the gram STRINGS never shuffle — only md5 hashes
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("quantizeInt8: exact codes, scale, and reconstruction error") {
+    val df = Seq(
+      (1L, Seq(1f, -0.5f, 0f)),
+      (2L, Seq(0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    // mx=1: q = [127, round(-63.5) = -64, 0]; err = (64/127 - 0.5)/3
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("127,-64,0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._2 == expectedMd5)
+    assert(out(1L)._1 == 7874016L)  // round(1/127 * 1e9)
+    assert(out(1L)._3 == 1312L)     // round((64/127 - 0.5)/3 * 1e6)
+    val zeroMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("0,0,0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(2L) == ((0L, zeroMd5, 0L)))
+  }
+
+  test("quantizeInt8 is a zero-exchange per-row plan") {
+    val df = Seq((1L, Seq(0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val plan = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantizeInt8 must not shuffle:\n$plan")
+  }
+}
