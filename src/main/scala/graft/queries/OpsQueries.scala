@@ -430,6 +430,31 @@ object OpsQueries {
           col(Changelog.ChangeTypeCol), col(Changelog.SnapshotIdCol))
     }),
 
+    // snapshot rollback + time travel as one oracle-checked query:
+    // create -> append -> ROLLBACK to snapshot 1 -> append again, then
+    // read the head (rollback's parent chain: snap 1 + the new append —
+    // snap 2's rows must NOT appear) unioned with a time-travel read AT
+    // snapshot 2 (which must still see them: rollback moves the ref,
+    // deletes nothing)
+    "q_time_travel" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-tt-wh").toString)
+      val src = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      IceWrite.create(s, catalog, "t_q_tt",
+        src.filter(col("s_suppkey") % 2 === 0))                       // snapshot 1
+      IceWrite.append(s, catalog, "t_q_tt",
+        src.filter(col("s_suppkey") % 2 === 1))                       // snapshot 2
+      val snap2 = catalog.loadTable("t_q_tt").currentSnapshot.get.snapshotId
+      IceWrite.rollbackTo(catalog, "t_q_tt", snap2 - 1)
+      IceWrite.append(s, catalog, "t_q_tt",
+        src.filter(col("s_suppkey") % 5 === 0)
+          .withColumn("s_suppkey", col("s_suppkey") + 500000))        // snapshot 3
+      IceRead.table(s, catalog, "t_q_tt").withColumn("view", lit("head"))
+        .unionAll(
+          IceRead.tableAt(s, catalog, "t_q_tt", snap2).withColumn("view", lit("asof2")))
+    }),
+
     // full MERGE INTO as an oracle-checked query: conditional update
     // (only rows with t.s_nationkey < 15), conditional delete (source rows
     // with suppkey % 9 = 0), whole-row-source update values with one
@@ -1083,6 +1108,16 @@ object OpsQueries {
         |UNION ALL
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT), 'delete', 4
         |FROM state3 WHERE s_suppkey % 5 = 0""".stripMargin,
+
+    // head = snapshot 1 rows + the post-rollback append; asof2 = all of
+    // supplier (snapshot 2 had evens + odds)
+    "q_time_travel" ->
+      """WITH src AS (SELECT s_suppkey, s_name FROM supplier)
+        |SELECT s_suppkey, s_name, 'head' AS view FROM src WHERE s_suppkey % 2 = 0
+        |UNION ALL
+        |SELECT s_suppkey + 500000, s_name, 'head' FROM src WHERE s_suppkey % 5 = 0
+        |UNION ALL
+        |SELECT s_suppkey, s_name, 'asof2' FROM src""".stripMargin,
 
     // MERGE final state, reconstructed relationally: delete wins over
     // update; matched rows failing both conditions stay untouched
