@@ -5,16 +5,18 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.UnicodeFunctions
 import graft.meta.{ChangeFeed, Changelog, IceRead, IceWrite, LocalCatalog}
-import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Mixture, Packing, Quality, Sampling, Similarity, TextAnalysis}
 
 /** End-to-end training-data curation pipeline over the synthetic corpus —
   * the composition story: ingest documents into the table format,
   * NFC-normalize, score and filter by quality and repetition, scrub PII,
-  * drop exact and near duplicates, split train/val/test
-  * deterministically, write the curated corpus back as a table, patch it
-  * with a conditional MERGE, subscribe to its changelog, pack the train
-  * split into fixed-token chunks, and stand up an ANN index over the
-  * embeddings. Every stage is an operator this library ships; run with
+  * gate on the Gopher document rules, excise corpus-wide duplicated
+  * substrings, drop exact and near duplicates, plan the source mixture,
+  * split train/val/test deterministically, write the curated corpus back
+  * as a table, patch it with a conditional MERGE, subscribe to its
+  * changelog, pack the train split into fixed-token chunks, and stand up
+  * an ANN index over the embeddings. Every stage is an operator this
+  * library ships; run with
   * {{{ sbt "runMain graft.examples.PipelineDemo" }}}.
   */
 object PipelineDemo {
@@ -48,9 +50,23 @@ object PipelineDemo {
     val kept = scored.filter(col("quality") >= 0.5 && col("dup_word_frac") <= 0.9)
     println(s"QUALITY kept=${kept.count()} of=${scored.count()}")
 
+    // 2a. Gopher document rules (relaxed word-count floor for the short
+    //     synthetic docs) — the published heuristic gate
+    val gopherKeep = Quality.gopherRules(kept, minWords = 20)
+      .filter(col("keep")).select(col("doc_id"))
+    val gated = kept.join(gopherKeep, Seq("doc_id"), "left_semi")
+    println(s"GOPHER kept=${gated.count()}")
+
+    // 2b. duplicated-substring excision: corpus-wide repeated 8-token
+    //     windows are cut from every document before any hashing
+    val excised = Dedup.exciseDuplicatedNgrams(gated, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("clean_text").as("text"))
+      .join(gated.drop("text"), Seq("doc_id"))
+    println(s"EXCISED docs=${excised.count()}")
+
     // 3. exact dedup (hash-agg on fingerprints) -> keeper ids
-    val keepers = Dedup.exact(kept, "doc_id", "text").select(col("keeper_id").as("doc_id"))
-    val exactDeduped = kept.join(keepers, Seq("doc_id"), "left_semi")
+    val keepers = Dedup.exact(excised, "doc_id", "text").select(col("keeper_id").as("doc_id"))
+    val exactDeduped = excised.join(keepers, Seq("doc_id"), "left_semi")
     println(s"EXACT-DEDUP kept=${exactDeduped.count()}")
 
     // 4. near-dup removal: MinHash+LSH pairs -> connected components ->
@@ -60,6 +76,14 @@ object PipelineDemo {
       .filter(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
     val curated = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
     println(s"NEAR-DEDUP kept=${curated.count()}")
+
+    // 4a. mixture plan: how hard to sample each source to hit the target
+    //     recipe, from measured token counts (ppm-exact)
+    val mix = Mixture.domainMixturePlan(curated, "source",
+      TextAnalysis.tokenCount(col("text")),
+      weightsPpm = Map("src0" -> 200000L), defaultPpm = 45000L)
+    val capped = mix.agg(sum(col("take_tokens"))).head.getLong(0)
+    println(s"MIXTURE domains=${mix.count()} planned_tokens=$capped")
 
     // 5. deterministic split, then the curated corpus is itself a governed
     //    table (time travel, compaction, GC, tags all apply)

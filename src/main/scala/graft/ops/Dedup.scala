@@ -500,17 +500,7 @@ object Dedup {
     */
   def duplicatedNgramStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minCount: Int = 2): DataFrame = {
-    require(n >= 2, s"window must be at least 2 tokens, got $n")
-    require(minCount >= 2, "minCount < 2 would flag every window")
-    val base = df.select(col(idCol).as("id"),
-      TextAnalysis.tokens(col(textCol)).as("__toks"))
-    val grams = base.select(col("id"), explode(expr(
-      s"""CASE WHEN size(__toks) < $n THEN array()
-         |ELSE transform(sequence(1, size(__toks) - ${n - 1}),
-         |       i -> md5(concat_ws(' ', slice(__toks, i, $n))))
-         |END""".stripMargin)).as("gh"))
-    val tagged = grams.withColumn("cnt", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+    val (base, tagged) = taggedWindows(df, idCol, textCol, n, minCount)
     val stats = tagged.groupBy(col("id")).agg(
       count(lit(1)).as("n_grams"),
       sum(when(col("cnt") >= minCount, 1L).otherwise(0L)).as("dup_grams"))
@@ -520,6 +510,55 @@ object Dedup {
         coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
       .withColumn("dup_frac", when(col("n_grams") === 0, lit(0.0))
         .otherwise(round(col("dup_grams") / col("n_grams").cast("double"), 6)))
+  }
+
+  /** Shared window stage for [[duplicatedNgramStats]] /
+    * [[exciseDuplicatedNgrams]]: per-position `n`-token window md5s
+    * (0-based `pos`), corpus-wide occurrence counts via one count-window
+    * exchange. Returns (base(id, __toks), tagged(id, pos, gh, cnt)). */
+  private def taggedWindows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Int): (DataFrame, DataFrame) = {
+    require(n >= 2, s"window must be at least 2 tokens, got $n")
+    require(minCount >= 2, "minCount < 2 would flag every window")
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val grams = base.select(col("id"), posexplode(expr(
+      s"""CASE WHEN size(__toks) < $n THEN array()
+         |ELSE transform(sequence(1, size(__toks) - ${n - 1}),
+         |       i -> md5(concat_ws(' ', slice(__toks, i, $n))))
+         |END""".stripMargin)).as(Seq("pos", "gh")))
+    val tagged = grams.withColumn("cnt", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+    (base, tagged)
+  }
+
+  /** Span EXCISION for the duplicated-window rule: every token covered by
+    * a window duplicated `minCount`+ times corpus-wide is removed, and
+    * the document reassembled from the survivors in order — the actual
+    * cut (not just the statistic) the published substring-dedup pipeline
+    * applies.
+    *
+    * Same shuffle profile as [[duplicatedNgramStats]] plus the id-keyed
+    * join carrying each doc's (usually short) duplicated-position list;
+    * the coverage test is a per-row `exists` over that list, so no
+    * token-level rows ever shuffle.
+    *
+    * Returns (id, n_tokens, n_kept, clean_text). Documents shorter than
+    * `n` tokens pass through untouched. */
+  def exciseDuplicatedNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Int = 2): DataFrame = {
+    val (base, tagged) = taggedWindows(df, idCol, textCol, n, minCount)
+    val dupPos = tagged.filter(col("cnt") >= minCount)
+      .groupBy(col("id")).agg(collect_list(col("pos")).as("__dups"))
+    base.join(dupPos, Seq("id"), "left")
+      .withColumn("__dups", coalesce(col("__dups"), expr("CAST(array() AS array<int>)")))
+      // token i (0-based) dies if any duplicated window [d, d+n-1] covers it
+      .withColumn("__kept", expr(
+        s"filter(__toks, (t, i) -> NOT exists(__dups, d -> i >= d AND i <= d + ${n - 1}))"))
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
   }
 
   /** SimHash fingerprint: 32 dimensions, one per md5 hex nibble of each

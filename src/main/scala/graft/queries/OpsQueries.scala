@@ -358,6 +358,24 @@ object OpsQueries {
     "s5_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // span EXCISION under the same duplicated-window rule and injections
+    // as t16: covered tokens are cut and the surviving text hash-checked — so the
+    // position bookkeeping (not just the counts) is oracle-verified
+    "t17_substring_excise" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents")
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" please subscribe to our channel and hit the bell icon")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" "), concat_ws(" ", slice(col("__toks"), 1, 8)))).otherwise(lit(""))
+        ).as("text"))
+      Dedup.exciseDuplicatedNgrams(injected, "doc_id", "text", n = 8, minCount = 2)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
     // GPT-style concat-and-chunk sequence packing: every doc's chunk span
     // in the concatenated 256-token-chunk stream, via the two-phase
     // (bucketed) prefix sum — no single-partition window over data rows
@@ -1017,6 +1035,36 @@ object OpsQueries {
          |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
          |       ELSE round(dup_grams / CAST(n_grams AS DOUBLE), 6) END AS dup_frac
          |FROM (SELECT doc_id FROM base) b LEFT JOIN stats USING (doc_id)""".stripMargin,
+
+    // excision mirror: 1-based token index j dies if a duplicated window
+    // start d (1-based) satisfies j BETWEEN d AND d+7 — same set as the
+    // Spark side's 0-based arithmetic
+    "t17_substring_excise" ->
+      s"""WITH inj AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN ' please subscribe to our channel and hit the bell icon' ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0
+         |       THEN ' ' || array_to_string(($toksSql)[1:8], ' ') ELSE '' END AS text
+         |FROM documents),
+         |base AS (SELECT doc_id, $toksSql AS toks FROM inj),
+         |g AS (SELECT doc_id, p, md5(w) AS gh FROM (
+         |  SELECT doc_id, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS p,
+         |    unnest(CASE WHEN len(toks) < 8 THEN []
+         |      ELSE list_transform(range(1, len(toks) - 7 + 1),
+         |             i -> array_to_string(toks[i:i+7], ' ')) END) AS w
+         |  FROM base)),
+         |tagged AS (SELECT doc_id, p, count(*) OVER (PARTITION BY gh) AS cnt FROM g),
+         |dups AS (SELECT doc_id, list(p) AS dp FROM tagged WHERE cnt >= 2 GROUP BY 1),
+         |cut AS (SELECT b.doc_id, toks,
+         |  list_filter(list_transform(range(1, len(toks) + 1),
+         |    j -> CASE WHEN len(list_filter(coalesce(dp, []),
+         |                  d -> j >= d AND j <= d + 7)) = 0
+         |         THEN toks[j] END), x -> x IS NOT NULL) AS kept
+         |  FROM base b LEFT JOIN dups ON b.doc_id = dups.doc_id)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+         |FROM cut""".stripMargin,
 
     // same quantization arithmetic: q = round(x*127/mx), reconstruction
     // error folded left-to-right, scale/err as rounded integers

@@ -35,6 +35,22 @@ class SubstringQuantizeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
   }
 
+  test("exciseDuplicatedNgrams cuts covered tokens, leaves the rest in order") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),   // dup window at pos 0 covers tokens 0..7
+      (2L, "a b c d e f g h x"),
+      (3L, "z z z z z z z z z z"), // all three windows dup -> whole doc cut
+      (4L, "too short")            // no window -> untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicatedNgrams(docs, "doc_id", "text", n = 8, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((9L, 1L, "i")))
+    assert(out(2L) == ((9L, 1L, "x")))
+    assert(out(3L) == ((10L, 0L, "")))
+    assert(out(4L) == ((2L, 2L, "too short")))
+  }
+
   test("quantizeInt8: exact codes, scale, and reconstruction error") {
     val df = Seq(
       (1L, Seq(1f, -0.5f, 0f)),
