@@ -58,7 +58,9 @@ object PipelineDemo {
     println(s"GOPHER kept=${gated.count()}")
 
     // 2b. duplicated-substring excision: corpus-wide repeated 8-token
-    //     windows are cut from every document before any hashing
+    //     windows are cut from every document before any hashing. From
+    //     here on `text` is the canonical token stream (lowercased,
+    //     whitespace-collapsed) — the form every downstream hash sees
     val excised = Dedup.exciseDuplicatedNgrams(gated, "doc_id", "text")
       .select(col("id").as("doc_id"), col("clean_text").as("text"))
       .join(gated.drop("text"), Seq("doc_id"))

@@ -490,7 +490,10 @@ object Dedup {
     * Shuffle profile: windows are md5-hashed per-row (no gram strings
     * cross the wire), then ONE exchange keyed by the window hash both
     * counts and tags every occurrence (count window — an agg + join-back
-    * would pay the same exchange twice), and one per-doc aggregate.
+    * would pay the same exchange twice), one per-doc aggregate over the
+    * duplicated windows only, and an id-keyed join whose right side holds
+    * just the docs that HAVE duplicates (total window counts are computed
+    * per-row, so the join never carries corpus-cardinality stats).
     * Boilerplate heavy-hitter hashes skew the window partition; the rows
     * are (id, hash) pairs only, and the d2-style salted two-phase count
     * is the swap-in if a corpus needs it.
@@ -501,12 +504,15 @@ object Dedup {
   def duplicatedNgramStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minCount: Int = 2): DataFrame = {
     val (base, tagged) = taggedWindows(df, idCol, textCol, n, minCount)
-    val stats = tagged.groupBy(col("id")).agg(
-      count(lit(1)).as("n_grams"),
-      sum(when(col("cnt") >= minCount, 1L).otherwise(0L)).as("dup_grams"))
-    base.select(col("id")).join(stats, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+    // n_grams is derivable per-row (size - n + 1) — only the DUPLICATED
+    // window counts need the aggregate, so the join-back side holds just
+    // the docs that actually have duplicates, not the whole corpus
+    val dups = tagged.filter(col("cnt") >= minCount)
+      .groupBy(col("id")).agg(count(lit(1)).as("dup_grams"))
+    base.select(col("id"),
+        greatest(size(col("__toks")) - (n - 1), lit(0)).cast("long").as("n_grams"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
         coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
       .withColumn("dup_frac", when(col("n_grams") === 0, lit(0.0))
         .otherwise(round(col("dup_grams") / col("n_grams").cast("double"), 6)))
@@ -543,8 +549,11 @@ object Dedup {
     * the coverage test is a per-row `exists` over that list, so no
     * token-level rows ever shuffle.
     *
-    * Returns (id, n_tokens, n_kept, clean_text). Documents shorter than
-    * `n` tokens pass through untouched. */
+    * Returns (id, n_tokens, n_kept, clean_text). `clean_text` is the
+    * surviving NORMALIZED token stream (lowercased, whitespace-collapsed
+    * — the same canonical form every hash in this pipeline sees), so
+    * even a doc losing no tokens gets canonicalized text. Documents
+    * shorter than `n` tokens lose no tokens. */
   def exciseDuplicatedNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minCount: Int = 2): DataFrame = {
     val (base, tagged) = taggedWindows(df, idCol, textCol, n, minCount)

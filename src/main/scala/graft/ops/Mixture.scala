@@ -51,15 +51,23 @@ object Mixture {
       .groupBy(col(domainCol).as("domain"))
       .agg(sum(tokenExpr.cast("long")).as("n_tokens"))
       .withColumn("weight_ppm", weight)
-    // the binding constraint: a single scalar row, broadcast back
+    // the binding constraint: a single scalar row, broadcast back.
+    // All products run in DECIMAL(38,0): a 100 TB corpus is ~2e13 tokens,
+    // and n_tokens * 1e6 (or weight_ppm * cap) would wrap a Long silently
+    // under non-ANSI Spark — decimal keeps the ppm math exact to 38
+    // digits and floor() of a positive decimal ratio equals integer div
     val cap = perDomain.filter(col("weight_ppm") > 0)
-      .agg(min(expr("n_tokens * 1000000L div weight_ppm")).as("__cap"))
+      .agg(min(expr(
+        "CAST(floor(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 / weight_ppm) AS BIGINT)"))
+        .as("__cap"))
     perDomain.crossJoin(broadcast(cap))
       .withColumn("rate_ppm",
         when(col("weight_ppm") === 0, lit(0L)).otherwise(
-          least(lit(1000000L), expr("weight_ppm * __cap div n_tokens"))))
+          least(lit(1000000L), expr(
+            "CAST(floor(CAST(weight_ppm AS DECIMAL(38,0)) * __cap / n_tokens) AS BIGINT)"))))
       .select(col("domain"), col("n_tokens"), col("weight_ppm"),
         col("rate_ppm"),
-        expr("n_tokens * rate_ppm div 1000000L").as("take_tokens"))
+        expr("CAST(floor(CAST(n_tokens AS DECIMAL(38,0)) * rate_ppm / 1000000) AS BIGINT)")
+          .as("take_tokens"))
   }
 }

@@ -73,7 +73,9 @@ object Quality {
     */
   def c4CleanLines(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minLineWords: Int = 5): DataFrame = {
-    val lines = split(col(textCol), "\n")
+    // CRLF-safe: crawl text commonly carries \r\n, and a trailing \r
+    // would defeat the terminal-punctuation test on every line
+    val lines = split(col(textCol), "\\r?\\n")
     def keepLine(l: Column): Column =
       l.rlike("[.!?]$") &&
         size(split(l, " ")) >= minLineWords &&

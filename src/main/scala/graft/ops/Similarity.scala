@@ -113,12 +113,13 @@ object Similarity {
     * argmax), then average the members of each cell elementwise.
     *
     * The mean is computed in exact integer micro-space: each component is
-    * offset by +2.0 (corpus vectors are unit-scale, so components stay
-    * positive — required so truncating integer division agrees with floor
-    * across engines) and scaled to micro units BEFORE summation, so the
-    * sum is order-independent integer arithmetic and the result is
-    * bit-identical across engines and partitionings — a float sum's value
-    * depends on reduction order, which no distributed engine fixes.
+    * offset by +2.0 (keeps unit-scale sums positive) and scaled to micro
+    * units BEFORE summation, so the sum is order-independent integer
+    * arithmetic and the result is bit-identical across engines and
+    * partitionings — a float sum's value depends on reduction order,
+    * which no distributed engine fixes. The mean itself uses FLOOR
+    * division, which agrees with DuckDB's `//` for negative sums too, so
+    * components below -2.0 still produce exact cross-engine results.
     *
     * Plan shape at 100 TB: the assignment argmax completes map-side (each
     * vector's centroid rows are colocated by the broadcast cross join), so
@@ -148,7 +149,11 @@ object Similarity {
       .agg(sum(expr("cast(round((cast(x as double) + 2.0D) * 1000000.0D, 0) as bigint)")).as("__s"),
         count(lit(1)).as("n_members"))
       .select(col("cell_id"), col("dim").cast("long").as("dim"),
-        (expr("__s div n_members") - lit(2000000L)).as("mean_micro"),
+        // floor division (not Spark's truncating `div`): matches DuckDB's
+        // `//` for NEGATIVE sums too, so the +2.0 offset is belt — not
+        // the only thing keeping out-of-range components correct
+        (expr("CAST(floor(CAST(__s AS DECIMAL(38,0)) / n_members) AS BIGINT)")
+          - lit(2000000L)).as("mean_micro"),
         col("n_members"))
   }
 

@@ -77,6 +77,29 @@ object OpsQueries {
   private val normSql = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
   private val toksSql = s"string_split(lower($normSql), ' ')"
 
+  /** Shared duplication injection for t16/t17 (the stats and excision
+    * forms MUST test the same input): shared boilerplate into every 3rd
+    * doc, a self-repeat (the doc's own first 8 tokens) into every 7th. */
+  private def dupInjected(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" please subscribe to our channel and hit the bell icon")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" "), concat_ws(" ", slice(col("__toks"), 1, 8)))).otherwise(lit(""))
+      ).as("text"))
+
+  /** The same injection as a DuckDB CTE (used by both t16/t17 oracles). */
+  private val dupInjSql =
+    s"""inj AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 3 = 0
+       |       THEN ' please subscribe to our channel and hit the bell icon' ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 0
+       |       THEN ' ' || array_to_string(($toksSql)[1:8], ' ') ELSE '' END AS text
+       |FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: fingerprint group -> keeper + multiplicity
     "d1_exact_dedup" -> ((s, dir) =>
@@ -336,22 +359,11 @@ object OpsQueries {
     }),
 
     // exact duplicated-substring windows (the published training-data
-    // dedup rule): shared boilerplate is injected into every 3rd doc and
-    // a self-repeat (the doc's own first 8 tokens re-appended) into every
-    // 7th, so cross-doc AND within-doc duplication both have positives
-    "t16_substring_dup" -> ((s, dir) => {
-      val injected = tbl(s, dir, "documents")
-        .withColumn("__toks", TextAnalysis.tokens(col("text")))
-        .select(col("doc_id"), concat(
-          col("text"),
-          when(col("doc_id") % 3 === 0,
-            lit(" please subscribe to our channel and hit the bell icon")).otherwise(lit("")),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" "), concat_ws(" ", slice(col("__toks"), 1, 8)))).otherwise(lit(""))
-        ).as("text"))
-      Dedup.duplicatedNgramStats(injected, "doc_id", "text", n = 8, minCount = 2)
-        .withColumnRenamed("id", "doc_id")
-    }),
+    // dedup rule): cross-doc AND within-doc duplication both have
+    // positives via the shared dupInjected corpus
+    "t16_substring_dup" -> ((s, dir) =>
+      Dedup.duplicatedNgramStats(dupInjected(s, dir), "doc_id", "text",
+        n = 8, minCount = 2).withColumnRenamed("id", "doc_id")),
 
     // symmetric int8 embedding quantization: codes hash-checked via md5,
     // scale and mean reconstruction error as rounded integers
@@ -359,22 +371,14 @@ object OpsQueries {
       Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding")),
 
     // span EXCISION under the same duplicated-window rule and injections
-    // as t16: covered tokens are cut and the surviving text hash-checked — so the
-    // position bookkeeping (not just the counts) is oracle-verified
-    "t17_substring_excise" -> ((s, dir) => {
-      val injected = tbl(s, dir, "documents")
-        .withColumn("__toks", TextAnalysis.tokens(col("text")))
-        .select(col("doc_id"), concat(
-          col("text"),
-          when(col("doc_id") % 3 === 0,
-            lit(" please subscribe to our channel and hit the bell icon")).otherwise(lit("")),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" "), concat_ws(" ", slice(col("__toks"), 1, 8)))).otherwise(lit(""))
-        ).as("text"))
-      Dedup.exciseDuplicatedNgrams(injected, "doc_id", "text", n = 8, minCount = 2)
+    // as t16 (shared dupInjected corpus): covered tokens are cut and the
+    // surviving text hash-checked — so the position bookkeeping (not just
+    // the counts) is oracle-verified
+    "t17_substring_excise" -> ((s, dir) =>
+      Dedup.exciseDuplicatedNgrams(dupInjected(s, dir), "doc_id", "text",
+        n = 8, minCount = 2)
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
-          md5(col("clean_text")).as("clean_md5"))
-    }),
+          md5(col("clean_text")).as("clean_md5"))),
 
     // GPT-style concat-and-chunk sequence packing: every doc's chunk span
     // in the concatenated 256-token-chunk stream, via the two-phase
@@ -1013,12 +1017,7 @@ object OpsQueries {
     // the window-hash count mirrors duplicatedNgramStats: md5 per window,
     // a count window over the hash, then the per-doc aggregate
     "t16_substring_dup" ->
-      s"""WITH inj AS (SELECT doc_id, text ||
-         |  CASE WHEN doc_id % 3 = 0
-         |       THEN ' please subscribe to our channel and hit the bell icon' ELSE '' END ||
-         |  CASE WHEN doc_id % 7 = 0
-         |       THEN ' ' || array_to_string(($toksSql)[1:8], ' ') ELSE '' END AS text
-         |FROM documents),
+      s"""WITH $dupInjSql,
          |base AS (SELECT doc_id, $toksSql AS toks FROM inj),
          |g AS (SELECT doc_id, md5(w) AS gh FROM (
          |  SELECT doc_id, unnest(CASE WHEN len(toks) < 8 THEN []
@@ -1040,12 +1039,7 @@ object OpsQueries {
     // start d (1-based) satisfies j BETWEEN d AND d+7 — same set as the
     // Spark side's 0-based arithmetic
     "t17_substring_excise" ->
-      s"""WITH inj AS (SELECT doc_id, text ||
-         |  CASE WHEN doc_id % 3 = 0
-         |       THEN ' please subscribe to our channel and hit the bell icon' ELSE '' END ||
-         |  CASE WHEN doc_id % 7 = 0
-         |       THEN ' ' || array_to_string(($toksSql)[1:8], ' ') ELSE '' END AS text
-         |FROM documents),
+      s"""WITH $dupInjSql,
          |base AS (SELECT doc_id, $toksSql AS toks FROM inj),
          |g AS (SELECT doc_id, p, md5(w) AS gh FROM (
          |  SELECT doc_id, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS p,

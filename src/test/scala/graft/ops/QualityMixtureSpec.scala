@@ -61,6 +61,14 @@ class QualityMixtureSpec extends AnyFunSuite {
       "one two three four five.\nsix seven eight nine ten eleven!")
   }
 
+  test("c4CleanLines handles CRLF line endings (crawl text)") {
+    val text = "one two three four five.\r\nshort.\r\nsix seven eight nine ten!"
+    val out = Quality.c4CleanLines(Seq((1L, text)).toDF("doc_id", "text")).head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 1L)
+    assert(out.getString(3) ==
+      "one two three four five.\nsix seven eight nine ten!")
+  }
+
   test("c4CleanLines on a fully-dropped doc yields empty text, and no shuffle") {
     val df = Seq((1L, "no punctuation at all here")).toDF("doc_id", "text")
     val out = Quality.c4CleanLines(df)

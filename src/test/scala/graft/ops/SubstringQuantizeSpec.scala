@@ -26,13 +26,15 @@ class SubstringQuantizeSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
 
-  test("duplicatedNgramStats pays one gram exchange + one doc aggregate") {
+  test("duplicatedNgramStats: bounded shuffles, no cartesian, hashes-only wire") {
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val plan = Dedup.duplicatedNgramStats(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    // window partitionBy(gh) + groupBy(id) + the broadcast-able id join;
-    // the gram STRINGS never shuffle — only md5 hashes
-    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
+    // gram count window + dup-doc aggregate + id join = at most 3
+    // shuffle exchanges; never a cartesian pair scan
+    val nShuffle = "ShuffleExchange".r.findAllIn(plan).length
+    assert(nShuffle <= 3, s"expected <= 3 shuffles, got $nShuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no pair scan allowed:\n$plan")
   }
 
   test("exciseDuplicatedNgrams cuts covered tokens, leaves the rest in order") {
