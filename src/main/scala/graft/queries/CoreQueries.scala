@@ -249,6 +249,37 @@ object CoreQueries {
           coalesce(col("lang"), lit("ALL")).as("lng"),
           col("n_docs"), col("total_chars"))),
 
+    // batch sessionization: per-user 30-minute-gap sessions via lag +
+    // running sum — both windows share the user_id partitioning (one
+    // exchange), then a (user, session) aggregate. All time arithmetic
+    // runs on MICROS (ts div 1000): Spark reads the ns-parquet column as
+    // a nano bigint while DuckDB's TIMESTAMP truncates to micros, so
+    // micro precision is the shared exact domain
+    "q_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("__ts_us"), col("event_id"))
+      val gapUs = col("__ts_us") - lag(col("__ts_us"), 1).over(w)
+      tbl(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("__ts_us"), col("event_id"))
+        .withColumn("__new",
+          when(gapUs.isNull || gapUs > 30L * 60 * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("__new")).over(w))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("__ts_us")).as("start_us"),
+          max(col("__ts_us")).as("end_us"))
+    }),
+
+    // calendar rollup: daily event counts + value cents. The nano-long
+    // ts becomes a real timestamp via timestamp_micros(ts div 1000);
+    // date_format in the UTC session == DuckDB strftime over the same
+    // stored wall-clock values
+    "q_date_trunc" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("value_cents"))),
+
     // set operations: UNION ALL / INTERSECT / EXCEPT
     "q_setops" -> ((s, dir) => {
       val a = tbl(s, dir, "orders").filter(col("o_totalprice") > 150000).select(col("o_custkey"))
@@ -464,6 +495,27 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM o)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_date_trunc" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_setops" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
