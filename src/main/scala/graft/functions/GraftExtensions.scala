@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.jaccardGeDescriptor)
+    e.injectFunction(GraftExtensions.nfcDescriptor)
+    e.injectFunction(GraftExtensions.icebergBucketDescriptor)
   }
 }
 
@@ -59,11 +61,49 @@ object GraftExtensions {
     buildJaccardGe
   )
 
+  private def buildNfc(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, s"nfc expects 1 argument, got ${exprs.length}")
+    UnicodeNormalize(exprs.head, "NFC")
+  }
+
+  /** iceberg_bucket(col, n): second argument must be a foldable int. */
+  private def buildIcebergBucket(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"iceberg_bucket expects 2 arguments, got ${exprs.length}")
+    val n = exprs(1) match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+        lit.value match {
+          case i: java.lang.Integer => i.intValue()
+          case i: java.lang.Long => i.intValue()
+          case other => sys.error(s"iceberg_bucket count must be an int, got $other")
+        }
+      case other => sys.error(s"iceberg_bucket count must be a literal, got $other")
+    }
+    IcebergBucket(exprs.head, n)
+  }
+
+  private[functions] val nfcDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc"),
+    new ExpressionInfo(classOf[UnicodeNormalize].getName, "nfc"),
+    buildNfc
+  )
+
+  private[functions] val icebergBucketDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("iceberg_bucket"),
+    new ExpressionInfo(classOf[IcebergBucket].getName, "iceberg_bucket"),
+    buildIcebergBucket
+  )
+
   /** Installs the functions into an existing session's registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", buildVecDot, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_ge", buildJaccardGe, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc", buildNfc, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "iceberg_bucket", buildIcebergBucket, "built-in")
   }
 }

@@ -54,4 +54,14 @@ class VecDotSpec extends AnyFunSuite {
     assert(!spark.sql(
       "SELECT jaccard_ge(array(1L, 2L, 3L), array(2L, 3L, 4L), 0.6) AS ok").head.getBoolean(0))
   }
+
+  test("nfc and iceberg_bucket are SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    // decomposed e + combining acute composes to U+00E9
+    assert(spark.sql("SELECT nfc('café') AS s").head.getString(0) == "café")
+    // Iceberg spec test vector: bucket hash of int 34 is 2017239379;
+    // pmod over 16 buckets -> 3
+    assert(spark.sql("SELECT iceberg_bucket(34L, 16) AS b").head.getInt(0) ==
+      IcebergBucketUtil.bucketLong(34L, 16))
+  }
 }
