@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.jaccardGeDescriptor)
     e.injectFunction(GraftExtensions.nfcDescriptor)
     e.injectFunction(GraftExtensions.icebergBucketDescriptor)
+    e.injectFunction(GraftExtensions.minHashLanesDescriptor)
   }
 }
 
@@ -95,6 +96,28 @@ object GraftExtensions {
     buildIcebergBucket
   )
 
+  /** min_hash_lanes(grams, seeds): second argument must be a foldable int. */
+  private def buildMinHashLanes(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"min_hash_lanes expects 2 arguments, got ${exprs.length}")
+    val seeds = exprs(1) match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+        lit.value match {
+          case i: java.lang.Integer => i.intValue()
+          case i: java.lang.Long => i.intValue()
+          case other => sys.error(s"min_hash_lanes seeds must be an int, got $other")
+        }
+      case other => sys.error(s"min_hash_lanes seeds must be a literal, got $other")
+    }
+    MinHashLanes(exprs.head, seeds)
+  }
+
+  private[functions] val minHashLanesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("min_hash_lanes"),
+    new ExpressionInfo(classOf[MinHashLanes].getName, "min_hash_lanes"),
+    buildMinHashLanes
+  )
+
   /** Installs the functions into an existing session's registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -105,5 +128,7 @@ object GraftExtensions {
       "nfc", buildNfc, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "iceberg_bucket", buildIcebergBucket, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_hash_lanes", buildMinHashLanes, "built-in")
   }
 }

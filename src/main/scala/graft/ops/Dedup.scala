@@ -125,29 +125,18 @@ object Dedup {
       s"""array_distinct(transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
          |                         i -> concat_ws(' ', slice(__toks, i, $n))))""".stripMargin
     ).as("__grams"))
-    // one md5 per seed per gram, shared by that seed's 4 lanes
-    val lanes = (0 until seeds).foldLeft(base) { (d, s) =>
-      d.withColumn(s"__hs$s", expr(s"transform(__grams, g -> md5(concat('$s:', g)))"))
-    }
-    // per seed, ONE fold extracts all 4 lane minimums — versus 16
-    // array_min(transform(...)) calls that each allocate an intermediate
-    // array per row. '~' (0x7e) sorts above every hex char, so it is a
-    // safe fold identity; gram arrays are never empty (sequence >= 1)
-    val folded = (0 until seeds).foldLeft(lanes) { (d, s) =>
-      d.withColumn(s"__f$s", expr(
-        s"""aggregate(__hs$s,
-           |  named_struct('m0', '~', 'm1', '~', 'm2', '~', 'm3', '~'),
-           |  (a, h) -> named_struct(
-           |    'm0', least(a.m0, substring(h, 1, 8)),
-           |    'm1', least(a.m1, substring(h, 9, 8)),
-           |    'm2', least(a.m2, substring(h, 17, 8)),
-           |    'm3', least(a.m3, substring(h, 25, 8))))""".stripMargin))
-    }
+    // ALL k lane minima in one fused native loop over the gram array
+    // (graft.functions.MinHashLanes): one MessageDigest per row reused
+    // across grams and seeds, hex written straight into lane buffers —
+    // replaces `seeds` interpreted transform() + aggregate() lambda
+    // chains that each allocated a 32-hex string per gram per row
+    val withLanes = base.withColumn("__lanes",
+      graft.functions.MinHashFunctions.min_hash_lanes(col("__grams"), seeds))
     val mhCols = (0 until k).map { j =>
-      col(s"__f${j / 4}").getField(s"m${j % 4}").as(s"mh$j")
+      element_at(col("__lanes"), j + 1).as(s"mh$j")
     }
     val gset = expr("array_sort(array_distinct(transform(__grams, g -> xxhash64(g))))").as("gset")
-    folded.select(col("id") +: gset +: mhCols: _*)
+    withLanes.select(col("id") +: gset +: mhCols: _*)
   }
 
   /** Exact Jaccard verification of candidate pairs against the shingle
