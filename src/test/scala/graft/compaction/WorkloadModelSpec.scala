@@ -11,7 +11,8 @@ import graft.meta._
 import graft.selection._
 
 /** Model-based workload test: a seeded random sequence of table operations
-  * (append, upsert, deleteWhere, compaction, schema rename, maintenance)
+  * (append, upsert, deleteWhere, compaction, schema rename, maintenance,
+  * tagging, snapshot rollback)
   * runs against both the real engine and a trivial in-memory model; after
   * EVERY step the MOR read must equal the model exactly. This is the
   * interaction coverage individual specs cannot give — e.g. an upsert
@@ -21,7 +22,7 @@ class WorkloadModelSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
 
-  test("30 random mixed operations never diverge from the model (seed 7)") {
+  test("40 random mixed operations never diverge from the model (seed 7)") {
     val rnd = new Random(7)
     val catalog = LocalCatalog(Files.createTempDirectory("graft-wl").toString)
     val s = spark
@@ -32,6 +33,11 @@ class WorkloadModelSpec extends AnyFunSuite {
     var nextId = 1L
     var valueCol = "val0"
     var renames = 0
+    // (tag, snapshotId, model-at-tag) saved since the last rollback —
+    // rollback targets must be ancestors of the current snapshot, and
+    // every tag taken since the last rollback is on the current chain
+    var saved = List.empty[(String, Long, Map[Long, Long])]
+    var tags = 0
 
     def freshRows(n: Int): Seq[(Long, Long)] = {
       val rows = (0 until n).map { _ =>
@@ -56,8 +62,9 @@ class WorkloadModelSpec extends AnyFunSuite {
     }
     check("create")
 
-    for (step <- 1 to 30) {
-      rnd.nextInt(12) match {
+    var rollbacks = 0
+    for (step <- 1 to 40) {
+      rnd.nextInt(14) match {
         case 0 | 1 | 2 => // append fresh rows
           val rows = freshRows(1 + rnd.nextInt(10))
           IceWrite.append(spark, catalog, "wl", rows.toDF("id", valueCol))
@@ -98,8 +105,27 @@ class WorkloadModelSpec extends AnyFunSuite {
           Maintenance.rewritePositionDeletes(spark, catalog, "wl")
           Maintenance.expireSnapshots(catalog, "wl", keepLast = 3)
           check(s"$step:maintenance")
+        case 12 => // tag the current state (a rollback target; expiry-pinned)
+          val tag = s"wl-tag-$tags"; tags += 1
+          val snap = catalog.loadTable("wl").currentSnapshotId.get
+          IceWrite.createTag(catalog, "wl", tag, snap)
+          saved ::= ((tag, snap, model))
+          check(s"$step:tag->$tag")
+        case 13 => // rollback to a random tagged ancestor; model rewinds too
+          if (saved.nonEmpty) {
+            val (tag, snap, m) = saved(rnd.nextInt(saved.size))
+            IceWrite.rollbackTo(catalog, "wl", snap)
+            model = m
+            rollbacks += 1
+            // only tags taken from here on are guaranteed ancestors now
+            saved = Nil
+            check(s"$step:rollback->$tag")
+          }
       }
     }
     assert(model.nonEmpty)
+    // the seed must actually exercise the time-travel ops
+    assert(tags > 0 && rollbacks > 0,
+      s"seed walked past the tag/rollback cases (tags=$tags rollbacks=$rollbacks)")
   }
 }
