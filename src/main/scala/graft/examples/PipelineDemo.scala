@@ -84,7 +84,7 @@ object PipelineDemo {
     val mix = Mixture.domainMixturePlan(curated, "source",
       TextAnalysis.tokenCount(col("text")),
       weightsPpm = Map("src0" -> 200000L), defaultPpm = 45000L)
-    val capped = mix.agg(sum(col("take_tokens"))).head.getLong(0)
+    val capped = mix.agg(sum(col("take_tokens"))).head().getLong(0)
     println(s"MIXTURE domains=${mix.count()} planned_tokens=$capped")
 
     // 5. deterministic split, then the curated corpus is itself a governed
@@ -125,7 +125,7 @@ object PipelineDemo {
       .filter(col("split") === "train")
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
     val packed = Packing.packChunks(train, "doc_id", "n_toks", chunkTokens = 512)
-    val nChunks = packed.agg(max(col("last_chunk"))).head.getLong(0) + 1
+    val nChunks = packed.agg(max(col("last_chunk"))).head().getLong(0) + 1
     println(s"PACKED docs=${packed.count()} chunks=$nChunks")
 
     // 6. ANN over the embeddings: IVF cells + a probe query

@@ -263,6 +263,8 @@ object SparkExecutor extends CompactionExecutor {
     try {
       val blocks = r.getFooter.getBlocks.asScala
       val acc = scala.collection.mutable.Map.empty[String, (BigDecimal, BigDecimal)]
+      // parquet's Statistics[_ <: Comparable[_]] is an existential type
+      import scala.language.existentials
       for (b <- blocks; c <- b.getColumns.asScala) {
         val st = c.getStatistics
         if (st != null && st.hasNonNullValue && c.getPath.size() == 1) {
