@@ -370,6 +370,37 @@ object OpsQueries {
     "s5_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // Count-Min sketch: every counter is md5-derived, so the DuckDB
+    // oracle rebuilds the exact sketch and the exact estimates — true
+    // count vs CMS estimate for the 10 most frequent tokens
+    "t18_cms" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val sketch = graft.ops.Sketch.countMin(toks, "tok", depth = 4, cellHexChars = 3)
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok").asc).limit(10)
+      top.join(
+        graft.ops.Sketch.countMinEstimate(sketch, top.select(col("tok")), "tok",
+          depth = 4, cellHexChars = 3),
+        Seq("tok"))
+    }),
+
+    // bucketized range join (point-in-interval as an EQUI-join on bucket
+    // ids — not Catalyst's nested-loop fallback): customers counted into
+    // supplier account-balance bands; zero-match intervals kept via the
+    // left join in the aggregate
+    "r1_range_join" -> ((s, dir) => {
+      val sup = tbl(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal").as("lo"),
+          (col("s_acctbal") + 1000.0).as("hi"))
+      val cust = tbl(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val joined = graft.ops.RangeJoin.pointInInterval(
+        cust, "c_acctbal", sup, "lo", "hi", bucketWidth = 500.0)
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_cust"))
+      sup.select(col("s_suppkey")).join(joined, Seq("s_suppkey"), "left")
+        .select(col("s_suppkey"), coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+    }),
+
     // span EXCISION under the same duplicated-window rule and injections
     // as t16 (shared dupInjected corpus): covered tokens are cut and the
     // surviving text hash-checked — so the position bookkeeping (not just
@@ -1059,6 +1090,33 @@ object OpsQueries {
          |  CAST(len(kept) AS BIGINT) AS n_kept,
          |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
          |FROM cut""".stripMargin,
+
+    // the oracle rebuilds the identical sketch (same md5 cells) and the
+    // identical min-over-rows estimates
+    "t18_cms" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM toks
+         |        GROUP BY 1 ORDER BY true_cnt DESC, tok ASC LIMIT 10),
+         |cells AS (SELECT tok, r, substr(md5(r || ':' || tok), 1, 3) AS cell
+         |          FROM toks, unnest([0, 1, 2, 3]) AS u(r)),
+         |sk AS (SELECT r, cell, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |kc AS (SELECT t.tok, u.r, substr(md5(u.r || ':' || t.tok), 1, 3) AS cell
+         |       FROM top t, unnest([0, 1, 2, 3]) AS u(r)),
+         |est AS (SELECT kc.tok, min(coalesce(sk.cnt, 0)) AS e
+         |        FROM kc LEFT JOIN sk ON sk.r = kc.r AND sk.cell = kc.cell
+         |        GROUP BY 1)
+         |SELECT top.tok, true_cnt, CAST(e AS BIGINT) AS cms_est
+         |FROM top JOIN est ON est.tok = top.tok""".stripMargin,
+
+    // the oracle does the range join declaratively; the Spark side must
+    // produce identical counts from its bucketized equi-join form
+    "r1_range_join" ->
+      """SELECT s.s_suppkey,
+        |  CAST(count(c.c_custkey) AS BIGINT) AS n_cust
+        |FROM supplier s
+        |LEFT JOIN customer c
+        |  ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal <= s.s_acctbal + 1000.0
+        |GROUP BY 1""".stripMargin,
 
     // same quantization arithmetic: q = round(x*127/mx), reconstruction
     // error folded left-to-right, scale/err as rounded integers

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Bucketized range join vs the naive nested loop, and the Count-Min
+  * sketch's estimate/size/merge properties. */
+class RangeJoinSketchSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("bucketized range join == naive nested loop on random data") {
+    val pts = samples(Gen.chooseNum(-100.0, 100.0), 200).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+    val ivs = samples(Gen.zip(Gen.chooseNum(-100.0, 90.0), Gen.chooseNum(0.0, 25.0)), 60)
+      .zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+      .toDF("iid", "lo", "hi")
+    val naive = RangeJoin.pointInIntervalNaive(pts, "v", ivs, "lo", "hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", bucketWidth = 10.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive && naive.nonEmpty)
+  }
+
+  test("range join bounds are inclusive on both ends") {
+    val pts = Seq((1L, 5.0), (2L, 10.0), (3L, 4.999), (4L, 10.001)).toDF("pid", "v")
+    val ivs = Seq((9L, 5.0, 10.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", 3.0)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("bucketized plan is an equi-join; the naive plan is the nested-loop trap") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "v")
+    val ivs = Seq((9L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val bucketedPlan = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!bucketedPlan.contains("BroadcastNestedLoop") &&
+      !bucketedPlan.contains("CartesianProduct"), bucketedPlan)
+    val naivePlan = RangeJoin.pointInIntervalNaive(pts, "v", ivs, "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoop") ||
+      naivePlan.contains("CartesianProduct"), naivePlan)
+  }
+
+  test("CMS never under-estimates, and is exact for a key with no collisions") {
+    val words = samples(Gen.oneOf("a", "b", "c", "d", "e", "f"), 500)
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("i", "tok")
+    val sketch = Sketch.countMin(words, "tok")
+    val truth = words.groupBy("tok").agg(count(lit(1)).as("n"))
+    val est = Sketch.countMinEstimate(sketch, truth, "tok")
+    val rows = truth.join(est, Seq("tok")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tok, n, e) => assert(e >= n, s"$tok under-estimated: $e < $n") }
+    // 6 distinct keys in 4 x 4096 cells: collisions are impossible at
+    // depth 4 unless md5 collides on 3-hex prefixes in EVERY row — then
+    // estimates are exact
+    rows.foreach { case (tok, n, e) => assert(e == n, s"$tok: $e != $n") }
+  }
+
+  test("CMS counters are partitioning-invariant and the sketch is bounded") {
+    val words = (1 to 1000).map(i => (i.toLong, s"w${i % 37}")).toDF("i", "tok")
+    val a = Sketch.countMin(words.repartition(1), "tok").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = Sketch.countMin(words.repartition(13), "tok").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(a == b && a.nonEmpty)
+    assert(a.size <= 4 * 4096)
+    // totals per hash row equal the stream length (counter conservation)
+    (0 until 4).foreach { r =>
+      assert(a.collect { case ((`r`, _), c) => c }.sum == 1000L)
+    }
+  }
+
+  test("estimating an unseen key yields 0") {
+    val words = Seq((1L, "seen")).toDF("i", "tok")
+    val sketch = Sketch.countMin(words, "tok")
+    val est = Sketch.countMinEstimate(sketch,
+      Seq(("unseen-key-zzz", 1)).toDF("tok", "x"), "tok")
+    assert(est.head().getLong(1) == 0L)
+  }
+}
