@@ -47,4 +47,25 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Bucketized interval-OVERLAP join: inner join of `a` and `b` on
+    * `a.lo <= b.hi AND b.lo <= a.hi`, as a bucket equi-join. Two
+    * overlapping intervals can share MANY buckets; instead of a distinct
+    * pass, each pair is emitted exactly once by the canonical trick:
+    * only the bucket containing `greatest(a.lo, b.lo)` — the start of
+    * the overlap, which lies in exactly one bucket — reports the pair. */
+  def intervalOverlap(a: DataFrame, aLoCol: String, aHiCol: String,
+      b: DataFrame, bLoCol: String, bHiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def expand(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bucket", explode(expr(
+        s"sequence(CAST(floor($lo / ${bucketWidth}D) AS BIGINT), " +
+          s"CAST(floor($hi / ${bucketWidth}D) AS BIGINT))")))
+    expand(a, aLoCol, aHiCol).join(expand(b, bLoCol, bHiCol), Seq("__bucket"))
+      .filter(col(aLoCol) <= col(bHiCol) && col(bLoCol) <= col(aHiCol))
+      .filter(col("__bucket") ===
+        floor(greatest(col(aLoCol), col(bLoCol)) / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
 }

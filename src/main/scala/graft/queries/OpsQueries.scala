@@ -385,6 +385,24 @@ object OpsQueries {
         Seq("tok"))
     }),
 
+    // interval-overlap form of the range join: supplier bands vs customer
+    // bands, each overlapping pair emitted exactly once (the
+    // overlap-start-bucket trick), aggregated per supplier
+    "r2_interval_overlap" -> ((s, dir) => {
+      val sup = tbl(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal").as("slo"),
+          (col("s_acctbal") + 800.0).as("shi"))
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").as("clo"),
+          (col("c_acctbal") + 500.0).as("chi"))
+      val joined = graft.ops.RangeJoin.intervalOverlap(
+        sup, "slo", "shi", cust, "clo", "chi", bucketWidth = 500.0)
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_overlap"))
+      tbl(s, dir, "supplier").select(col("s_suppkey"))
+        .join(joined, Seq("s_suppkey"), "left")
+        .select(col("s_suppkey"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    }),
+
     // bucketized range join (point-in-interval as an EQUI-join on bucket
     // ids — not Catalyst's nested-loop fallback): customers counted into
     // supplier account-balance bands; zero-match intervals kept via the
@@ -1107,6 +1125,15 @@ object OpsQueries {
          |        GROUP BY 1)
          |SELECT top.tok, true_cnt, CAST(e AS BIGINT) AS cms_est
          |FROM top JOIN est ON est.tok = top.tok""".stripMargin,
+
+    "r2_interval_overlap" ->
+      """SELECT s.s_suppkey,
+        |  CAST(count(c.c_custkey) AS BIGINT) AS n_overlap
+        |FROM supplier s
+        |LEFT JOIN customer c
+        |  ON s.s_acctbal <= c.c_acctbal + 500.0
+        | AND c.c_acctbal <= s.s_acctbal + 800.0
+        |GROUP BY 1""".stripMargin,
 
     // the oracle does the range join declaratively; the Spark side must
     // produce identical counts from its bucketized equi-join form

@@ -51,6 +51,21 @@ class RangeJoinSketchSpec extends AnyFunSuite {
       naivePlan.contains("CartesianProduct"), naivePlan)
   }
 
+  test("interval overlap == naive condition join; each pair exactly once") {
+    val as = samples(Gen.zip(Gen.chooseNum(-50.0, 50.0), Gen.chooseNum(0.0, 30.0)), 50)
+      .zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+      .toDF("aid", "alo", "ahi")
+    val bs = samples(Gen.zip(Gen.chooseNum(-50.0, 50.0), Gen.chooseNum(0.0, 20.0)), 40)
+      .zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+      .toDF("bid", "blo", "bhi")
+    val naive = as.join(bs, as("alo") <= bs("bhi") && bs("blo") <= as("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bucketed = RangeJoin.intervalOverlap(as, "alo", "ahi", bs, "blo", "bhi", 7.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // multiset equality: exactly-once emission, no distinct pass needed
+    assert(bucketed.sorted.toSeq == naive.sorted.toSeq && naive.nonEmpty)
+  }
+
   test("CMS never under-estimates, and is exact for a key with no collisions") {
     val words = samples(Gen.oneOf("a", "b", "c", "d", "e", "f"), 500)
       .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("i", "tok")
