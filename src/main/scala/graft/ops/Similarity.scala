@@ -183,7 +183,11 @@ object Similarity {
           |          0.0D, (acc, e) -> acc + e) / size(__v)""".stripMargin)))
     out.select(col(idCol),
       round(col("__mx") / 127.0 * 1e9, 0).cast("long").as("scale_e9"),
-      md5(concat_ws(",", transform(col("__q"), q => q.cast("string")))).as("q_md5"),
+      // concat_ws silently skips a NULL array — guard so a null vector
+      // yields null codes (not md5("")), like every other output column
+      when(col("__q").isNull, lit(null).cast("string"))
+        .otherwise(md5(concat_ws(",", transform(col("__q"), q => q.cast("string")))))
+        .as("q_md5"),
       round(col("__err") * 1e6, 0).cast("long").as("err_e6"))
   }
 
