@@ -53,4 +53,39 @@ object Sketch {
       .join(broadcast(sketch), Seq("r", "cell"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  /** Streaming CMS maintenance as a `foreachBatch` sink: each
+    * micro-batch's bounded sketch lands as a DELTA keyed by
+    * (batch_id, r, cell) — an atomic upsert, so a REPLAYED batch
+    * overwrites its own rows instead of double-counting (the
+    * read-modify-write merge a naive implementation does is not
+    * idempotent; this is). The live sketch is the fold of all deltas
+    * ([[readCountMin]]); compaction keeps the delta log physically small.
+    *
+    * {{{
+    * stream.writeStream
+    *   .foreachBatch(Sketch.streamingCountMin(spark, catalog, "cms", "tok"))
+    * }}}
+    */
+  def streamingCountMin(spark: org.apache.spark.sql.SparkSession,
+      catalog: graft.meta.Catalog, table: String, itemCol: String,
+      depth: Int = 4, cellHexChars: Int = 3): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val delta = countMin(batch, itemCol, depth, cellHexChars)
+        .withColumn("batch_id", lit(batchId))
+        .select(col("batch_id"), col("r"), col("cell"), col("cnt"))
+      if (!catalog.tableExists(table))
+        graft.meta.IceWrite.create(spark, catalog, table, delta)
+      else
+        graft.meta.IceWrite.upsert(spark, catalog, table, delta,
+          keys = Seq("batch_id", "r", "cell"))
+    }
+
+  /** The live sketch from the delta log: counters merge by addition
+    * (the CMS mergeability property), so this is one bounded aggregate. */
+  def readCountMin(spark: org.apache.spark.sql.SparkSession,
+      catalog: graft.meta.Catalog, table: String): DataFrame =
+    graft.meta.IceRead.table(spark, catalog, table)
+      .groupBy(col("r"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
 }

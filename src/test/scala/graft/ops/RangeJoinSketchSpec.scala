@@ -96,6 +96,28 @@ class RangeJoinSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CMS deltas: batches accumulate, a REPLAYED batch does not double-count") {
+    import graft.meta.LocalCatalog
+    val catalog = LocalCatalog(
+      java.nio.file.Files.createTempDirectory("cms-wh").toString)
+    val sink = Sketch.streamingCountMin(spark, catalog, "cms_log", "tok")
+    val b1 = Seq("a", "b", "a").toDF("tok")
+    val b2 = Seq("b", "c").toDF("tok")
+    sink(b1, 0L)
+    sink(b2, 1L)
+    sink(b2, 1L) // replay of batch 1 — upsert keyed by batch_id absorbs it
+    val live = Sketch.readCountMin(spark, catalog, "cms_log")
+    val expected = Sketch.countMin(b1.unionAll(b2), "tok").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = live.collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // and the estimates over the streamed sketch match the batch sketch
+    val est = Sketch.countMinEstimate(live, Seq("a", "b", "c", "zz").toDF("tok"), "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") == 2L && est("b") == 2L && est("c") == 1L && est("zz") == 0L)
+  }
+
   test("estimating an unseen key yields 0") {
     val words = Seq((1L, "seen")).toDF("i", "tok")
     val sketch = Sketch.countMin(words, "tok")
