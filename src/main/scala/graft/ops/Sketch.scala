@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Count-Min sketch, relationally: approximate frequency counting whose
@@ -88,4 +88,138 @@ object Sketch {
     graft.meta.IceRead.table(spark, catalog, table)
       .groupBy(col("r"), col("cell"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  // ------------------------------------------------------------------
+  // HyperLogLog — approximate COUNT DISTINCT whose state is one register
+  // per md5 prefix, however large the input.
+  //
+  // Register: the first `regHexChars` hex chars of md5(item); value: the
+  // max over items of rho = 1 + leading-zero BITS of the next 15 hex
+  // chars (a 60-bit tail). Duplicates land on identical (reg, rho), so
+  // the sketch depends only on the distinct set — no distinct pass is
+  // ever run. Like the CMS above, the build is ONE aggregate whose
+  // output is capped at 16^regHexChars rows: partial aggregation
+  // collapses each partition to its register maxima before the (tiny)
+  // shuffle, and max IS the HLL merge, which is what makes the sketch a
+  // one-pass distributed counter at 100 TB.
+  //
+  // rho is derived with hex-string arithmetic (ltrim zeros + a 16-case
+  // digit table) rather than integer bit tricks so the DuckDB oracle
+  // reproduces every register exactly.
+  // ------------------------------------------------------------------
+
+  private val TailHexChars = 15
+
+  /** rho = 1 + leading-zero bits of the 60-bit tail of md5(item). */
+  private def rhoCol(item: Column, regHexChars: Int): Column = {
+    val tail = substring(md5(item), regHexChars + 1, TailHexChars)
+    val stripped = ltrim(tail, "0")
+    val zeroChars = lit(TailHexChars) - length(stripped)
+    // leading-zero bits within the first nonzero hex digit
+    val lzBits = when(substring(stripped, 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+      .when(substring(stripped, 1, 1).isin("4", "5", "6", "7"), 1)
+      .when(substring(stripped, 1, 1).isin("2", "3"), 2)
+      .otherwise(3) // "1"
+    when(length(stripped) === 0, lit(4 * TailHexChars + 1))
+      .otherwise(zeroChars * 4 + lzBits + 1)
+  }
+
+  /** Build the HLL sketch: (reg, rho) with rho the register maximum.
+    * At most `16^regHexChars` rows — bounded, broadcastable, mergeable
+    * by a further `groupBy(reg).max(rho)`. */
+  def hyperLogLog(items: DataFrame, itemCol: String, regHexChars: Int = 2): DataFrame = {
+    require(regHexChars >= 1 && regHexChars <= 3,
+      s"regHexChars must be in [1,3], got $regHexChars")
+    items
+      .select(substring(md5(col(itemCol)), 1, regHexChars).as("reg"),
+        rhoCol(col(itemCol), regHexChars).as("rho"))
+      .groupBy(col("reg"))
+      .agg(max(col("rho")).cast("long").as("rho"))
+  }
+
+  /** alpha_m (the HLL bias constant 0.7213 / (1 + 1.079/m)) in micro
+    * units — exposed so the DuckDB oracle can interpolate the SAME
+    * integer literal. */
+  def hllAlphaE6(regHexChars: Int): Long = {
+    val m = 1L << (4 * regHexChars)
+    math.round(0.7213 / (1.0 + 1.079 / m) * 1e6)
+  }
+
+  /** The raw HLL estimate from a built sketch, in EXACT integer
+    * arithmetic so the oracle reconstructs it bit-for-bit: the harmonic
+    * denominator sum(2^-rho) is scaled by 2^32 (rho capped at 32 — terms
+    * below 2^-32 are noise at any real cardinality), every register
+    * absent from the sketch contributes 2^32 (rho = 0), and the estimate
+    * is alpha_e6 * (m^2 * 2^32 div denom) div 1e6 with floor division
+    * throughout. Returns one row: (m, used_regs, denom_scaled, hll_est).
+    *
+    * This is the uncorrected estimator — biased high below ~2.5m
+    * distinct values, where [[hllCountDistinct]] applies the standard
+    * linear-counting correction (driver-side, on the bounded sketch). */
+  def hllEstimate(sketch: DataFrame, regHexChars: Int = 2): DataFrame = {
+    require(regHexChars >= 1 && regHexChars <= 3,
+      s"regHexChars must be in [1,3], got $regHexChars")
+    val m = 1L << (4 * regHexChars)
+    val num = m * m * (1L << 32) // <= 2^56 for regHexChars <= 3
+    sketch
+      .agg(count(lit(1)).as("used_regs"),
+        coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - least(rho, 32) AS INT))")),
+          lit(0L)).as("__s"))
+      .select(lit(m).as("m"), col("used_regs"),
+        (col("__s") + (lit(m) - col("used_regs")) * lit(1L << 32)).as("denom_scaled"))
+      .select(col("m"), col("used_regs"), col("denom_scaled"),
+        expr(s"(${hllAlphaE6(regHexChars)} * ($num div denom_scaled)) div 1000000")
+          .as("hll_est"))
+  }
+
+  /** Bias-corrected distinct-count estimate: the raw HLL estimate, with
+    * Flajolet's linear-counting switch (m * ln(m/V) when the raw estimate
+    * is under 2.5m and empty registers remain). Driver-side float math on
+    * the bounded sketch — the cross-engine-exact path is [[hllEstimate]]. */
+  def hllCountDistinct(items: DataFrame, itemCol: String, regHexChars: Int = 2): Long = {
+    val sk = hyperLogLog(items, itemCol, regHexChars)
+    val row = hllEstimate(sk, regHexChars).head()
+    val (m, used, raw) = (row.getLong(0), row.getLong(1), row.getLong(3))
+    val zeros = m - used
+    if (raw <= (2.5 * m).toLong && zeros > 0) math.round(m * math.log(m.toDouble / zeros))
+    else raw
+  }
+
+  // ------------------------------------------------------------------
+  // Bloom filter — a relational pre-join prune: the filter is the
+  // DISTINCT set of bit positions hit by k md5 hashes per build key (at
+  // most 16^bitHexChars rows — bounded and broadcastable regardless of
+  // key count), and the probe side passes when ALL k of its positions
+  // are present. Sound (a true match always passes: its k positions were
+  // set by the matching build key), not complete (false positives pass
+  // at rate ~fill^k) — so it PRECEDES an exact join, it never replaces
+  // one. This is the runtime-filter pattern for joins whose build side
+  // is too large to ship as an IN-list but whose bit set is tiny.
+  // ------------------------------------------------------------------
+
+  private def bloomBitCol(key: Column, i: Int, bitHexChars: Int): Column =
+    substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, bitHexChars)
+
+  /** Build: the distinct bit positions set by `keys`. One bounded
+    * distinct-aggregate (partial agg collapses each partition to its
+    * local bit set — the map-side combine IS the bloom OR-merge). */
+  def bloomBits(keys: DataFrame, keyCol: String, k: Int = 3, bitHexChars: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
+    require(bitHexChars >= 1 && bitHexChars <= 6,
+      s"bitHexChars must be in [1,6], got $bitHexChars")
+    keys
+      .select(explode(array((0 until k).map(i =>
+        bloomBitCol(col(keyCol), i, bitHexChars)): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Prune `probe` to rows passing the filter: k chained broadcast LEFT
+    * SEMI joins, one per hash — the probe side is never shuffled and
+    * never widened; rows failing any hash drop at the first miss. */
+  def bloomPrune(probe: DataFrame, keyCol: String, bits: DataFrame,
+      k: Int = 3, bitHexChars: Int = 3): DataFrame =
+    (0 until k).foldLeft(probe) { (df, i) =>
+      df.join(broadcast(bits),
+        bloomBitCol(df.col(keyCol), i, bitHexChars) === bits.col("bit"), "left_semi")
+    }
 }

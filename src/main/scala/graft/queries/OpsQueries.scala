@@ -385,6 +385,33 @@ object OpsQueries {
         Seq("tok"))
     }),
 
+    // HyperLogLog distinct-count sketch: every register is md5-derived,
+    // so the DuckDB oracle rebuilds the exact register table AND the
+    // exact integer-arithmetic estimate; true distinct count alongside
+    "t19_hll" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val est = graft.ops.Sketch.hllEstimate(
+        graft.ops.Sketch.hyperLogLog(toks, "tok", regHexChars = 2), regHexChars = 2)
+      est.crossJoin(toks.agg(count_distinct(col("tok")).cast("long").as("true_distinct")))
+    }),
+
+    // bloom-filter join pruning: the filter (distinct md5 bit positions of
+    // the BUILDING customers) gates the orders scan before the exact semi
+    // join; n_candidates oracle-checks the bloom itself (the exact same
+    // bits pass in DuckDB), n_matched/sum_cents check the final join
+    "r3_bloom_join" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val bits = graft.ops.Sketch.bloomBits(cust, "c_custkey", k = 3, bitHexChars = 3)
+      val cand = graft.ops.Sketch.bloomPrune(
+        tbl(s, dir, "orders"), "o_custkey", bits, k = 3, bitHexChars = 3)
+      val matched = cand.join(cust, cand("o_custkey") === cust("c_custkey"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates")).crossJoin(
+        matched.agg(count(lit(1)).as("n_matched"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("sum_cents")))
+    }),
+
     // interval-overlap form of the range join: supplier bands vs customer
     // bands, each overlapping pair emitted exactly once (the
     // overlap-start-bucket trick), aggregated per supplier
@@ -1125,6 +1152,47 @@ object OpsQueries {
          |        GROUP BY 1)
          |SELECT top.tok, true_cnt, CAST(e AS BIGINT) AS cms_est
          |FROM top JOIN est ON est.tok = top.tok""".stripMargin,
+
+    // the oracle rebuilds the identical registers (md5 prefix -> max of
+    // 1 + leading-zero bits of the 60-bit hex tail) and the identical
+    // floor-division estimate
+    "t19_hll" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |rr AS (SELECT substr(md5(tok), 1, 2) AS reg,
+         |  ltrim(substr(md5(tok), 3, 15), '0') AS st FROM toks),
+         |rho AS (SELECT reg, CASE WHEN len(st) = 0 THEN 61
+         |  ELSE (15 - len(st)) * 4 + 1 +
+         |    CASE WHEN substr(st, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+         |         WHEN substr(st, 1, 1) IN ('4','5','6','7') THEN 1
+         |         WHEN substr(st, 1, 1) IN ('2','3') THEN 2 ELSE 3 END END AS rho
+         |  FROM rr),
+         |sk AS (SELECT reg, max(rho) AS rho FROM rho GROUP BY 1),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS used_regs,
+         |  CAST(sum(1::BIGINT << CAST(32 - least(rho, 32) AS INT)) AS BIGINT) AS s
+         |  FROM sk),
+         |d AS (SELECT CAST(256 AS BIGINT) AS m, used_regs,
+         |  s + (256 - used_regs) * 4294967296 AS denom_scaled FROM agg)
+         |SELECT m, used_regs, denom_scaled,
+         |  (${graft.ops.Sketch.hllAlphaE6(2)} * (281474976710656 // denom_scaled)) // 1000000
+         |    AS hll_est,
+         |  (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM toks) AS true_distinct
+         |FROM d""".stripMargin,
+
+    // the oracle sets the identical bloom bits and applies the identical
+    // all-k-present pass test, then the exact join
+    "r3_bloom_join" ->
+      """WITH bkeys AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |bits AS (SELECT DISTINCT substr(md5(concat(i, ':', c_custkey)), 1, 3) AS bit
+        |         FROM bkeys, unnest([0, 1, 2]) AS u(i)),
+        |cand AS (SELECT o_custkey, o_totalprice FROM orders
+        |  WHERE substr(md5(concat('0:', o_custkey)), 1, 3) IN (SELECT bit FROM bits)
+        |    AND substr(md5(concat('1:', o_custkey)), 1, 3) IN (SELECT bit FROM bits)
+        |    AND substr(md5(concat('2:', o_custkey)), 1, 3) IN (SELECT bit FROM bits)),
+        |m AS (SELECT * FROM cand WHERE o_custkey IN (SELECT c_custkey FROM bkeys))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        |  CAST(count(*) AS BIGINT) AS n_matched,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM m""".stripMargin,
 
     "r2_interval_overlap" ->
       """SELECT s.s_suppkey,

@@ -125,4 +125,63 @@ class RangeJoinSketchSpec extends AnyFunSuite {
       Seq(("unseen-key-zzz", 1)).toDF("tok", "x"), "tok")
     assert(est.head().getLong(1) == 0L)
   }
+
+  test("HLL sketch is bounded, duplicate-blind, partitioning-invariant, and merges by max") {
+    val items = (1 to 5000).map(i => s"item-${i % 700}").toDF("x")
+    val sk = Sketch.hyperLogLog(items, "x")
+    val rows = sk.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size <= 256)
+    // duplicates land on identical (reg, rho): distinct input -> same sketch
+    val distinctSk = Sketch.hyperLogLog(items.distinct(), "x").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == distinctSk)
+    val repart = Sketch.hyperLogLog(items.repartition(17), "x").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == repart)
+    // mergeability: sketch(A union B) == max-merge of sketch(A), sketch(B)
+    val a = items.filter(col("x") < "item-4")
+    val b = items.filter(col("x") >= "item-4")
+    val merged = Sketch.hyperLogLog(a, "x").unionAll(Sketch.hyperLogLog(b, "x"))
+      .groupBy("reg").agg(max("rho").as("rho")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == rows)
+  }
+
+  test("HLL corrected estimate lands within tolerance across cardinality regimes") {
+    // m=256 -> theoretical standard error 1.04/sqrt(256) ~ 6.5%; the md5
+    // hash makes each run deterministic, so a 7% bound is a real check
+    for (n <- Seq(150, 2000, 30000)) {
+      val items = (1 to n).map(i => s"u$i-${i * 2654435761L}").toDF("x")
+      val est = Sketch.hllCountDistinct(items, "x")
+      assert(math.abs(est - n) <= math.max(0.07 * n, 8.0),
+        s"n=$n est=$est (off by ${math.abs(est - n).toDouble / n})")
+    }
+  }
+
+  test("bloom prune never drops a true match and does prune non-matches") {
+    val build = (1 to 200).map(i => i * 7L).toDF("k")
+    val probe = (1 to 5000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+    val bits = Sketch.bloomBits(build, "k")
+    assert(bits.count() <= 4096 && bits.count() <= 3 * 200)
+    val cand = Sketch.bloomPrune(probe, "k", bits)
+    val candKeys = cand.select("k").collect().map(_.getLong(0)).toSet
+    val trueKeys = probe.join(build, Seq("k"), "left_semi")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(trueKeys.subsetOf(candKeys), "false negative: bloom dropped a true match")
+    // 600ish bits of 4096 set -> fp rate ~0.3%: pruning must bite hard
+    assert(candKeys.size < 5000 / 2, s"bloom barely pruned: ${candKeys.size}")
+    // payload column untouched
+    assert(cand.columns.toSeq == Seq("k", "payload"))
+  }
+
+  test("bloom prune plan: broadcast semi joins only, probe side never shuffled") {
+    val build = (1 to 50).map(_.toLong).toDF("k")
+    val probe = (1 to 100).map(i => (i.toLong, i)).toDF("k", "v")
+    val plan = Sketch.bloomPrune(probe, "k", Sketch.bloomBits(build, "k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan)
+    // the only exchanges are the bounded bit-set build (distinct + broadcast),
+    // never a hash-partitioning of the probe relation
+    assert(!plan.contains("hashpartitioning(k"), plan)
+  }
 }
