@@ -67,6 +67,48 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Shard id from equal-width ranges of the 8-hex draw space: shard i
+    * covers draws in [threshold(i/n), threshold((i+1)/n)) — uniform in
+    * expectation, and expressed as string-range tests so no hex->int
+    * parse is needed (see the object Scaladoc). */
+  def shardOf(idCol: Column, nShards: Int, seed: String = "shard"): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val draw = hashDraw(idCol, seed)
+    (0 until nShards - 1).foldLeft(when(lit(false), 0L)) { (acc, i) =>
+      acc.when(draw < lit(rateThreshold((i + 1).toDouble / nShards)), i.toLong)
+    }.otherwise(lit((nShards - 1).toLong))
+  }
+
+  /** Deterministic global shuffle + sharding for training export: every
+    * row gets a `shard` and a dense 1-based `shard_pos`, both pure
+    * functions of (seed, id) and the corpus content — the training order
+    * is reproducible bit-for-bit across runs, engines, and partitionings,
+    * unlike `orderBy(rand())`. The permutation is the md5 draw order
+    * (ties -> id order).
+    *
+    * Scale shape: one exchange keyed by shard; each shard's positions are
+    * then a within-partition sort. Parallelism equals nShards by design —
+    * it matches the writer's (each shard IS one output stream); at real
+    * scale you run thousands of shards, not 8. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      seed: String = "shard"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(hashDraw(col(idCol), seed), col(idCol))
+    df.withColumn("shard", shardOf(col(idCol), nShards, seed))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
+  /** Materialize the shards: one directory per shard, rows inside each
+    * file in shard_pos order — the layout a training loader streams
+    * sequentially. */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
+      seed: String = "shard"): Unit =
+    shuffleShards(df, idCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Stratified deterministic sampling: per-stratum keep rates (a data
     * mixture — "50% of en, 10% of everything else"). Strata absent from
     * `rates` fall back to `defaultRate`. One narrow filter, no shuffle;

@@ -297,6 +297,80 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Product-quantization encode — the compression step of the classic
+    * IVF+PQ ANN stack ([[ivfCells]] partitions the corpus; this shrinks
+    * each vector to `m` small integer codes): the vector splits into `m`
+    * contiguous subspaces, and each subspace is replaced by the id of its
+    * nearest codebook entry (L2, distance micro-rounded before the argmin
+    * so the choice is cross-engine exact; ties -> lowest codebook id).
+    *
+    * Scale shape: the codebook is broadcast (k entries by construction —
+    * k-means trained via [[kmeansUpdate]]); the per-(vector, subspace)
+    * argmin is one map-side-combinable aggregate over |corpus| * m tiny
+    * rows (the full-width vector never shuffles), and the code assembly
+    * groups the same m rows. Output storage is m integers per vector —
+    * the 8-32x cut that makes a 100 TB embedding store serveable.
+    *
+    * Returns (vec_id, code_0 .. code_{m-1}). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, cbIdCol: String, cbVecCol: String, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val dim = codebook.select(size(col(cbVecCol)).as("__n"))
+      .filter(col("__n").isNotNull && col("__n") > 0).take(1)
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("pqEncode: empty codebook"))
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    def slices(v: Column): Column =
+      array((0 until m).map(j => slice(asDouble(v), j * sub + 1, sub)): _*)
+    val c = corpus.select(col(idCol).as("vec_id"),
+      posexplode(slices(col(vecCol))).as(Seq("j", "__sv")))
+    val cb = codebook.select(col(cbIdCol).cast("long").as("__cid"),
+      posexplode(slices(col(cbVecCol))).as(Seq("j", "__cv")))
+    val l2e6 = round(expr(
+      """aggregate(zip_with(__sv, __cv, (x, y) -> (x - y) * (x - y)),
+        |          0.0D, (acc, e) -> acc + e)""".stripMargin) * lit(1e6), 0).cast("long")
+    val codes = c.join(broadcast(cb), Seq("j"))
+      .withColumn("__d", l2e6)
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("__d").as("d"), col("__cid").as("cid"))).as("__best"))
+      .select(col("vec_id"), col("j"), col("__best.cid").as("__code"))
+    codes.groupBy(col("vec_id"))
+      .agg(max(when(col("j") === 0, col("__code"))).as("code_0"),
+        (1 until m).map(j =>
+          max(when(col("j") === j, col("__code"))).as(s"code_$j")): _*)
+  }
+
+  /** SemDeDup-style semantic deduplication: vectors are assigned to IVF
+    * cells (nearest of the given centroids), and within each cell a
+    * vector is dropped when a LOWER-id neighbor sits at cosine >= tau —
+    * each near-duplicate group survives as exactly its lowest id. Returns
+    * the kept rows as (vec_id, cell_id).
+    *
+    * The pair scan is cell-keyed (one equi-join shuffle) and quadratic
+    * only WITHIN a cell — the published design point: pick enough
+    * centroids that cells stay small (corpus/k on average), never
+    * all-pairs. Cross-cell near-duplicates are invisible by construction
+    * (the same recall trade the paper accepts); lower tau or fewer cells
+    * to trade cost for recall. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      tau: Double): DataFrame = {
+    val cells = ivfCells(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
+    val v = withNorm(corpus, vecCol, "__n")
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"), col("__n"))
+      .join(cells, Seq("vec_id"))
+    val hi = v.select(col("cell_id"), col("vec_id").as("__id_hi"),
+      col("__v").as("__v1"), col("__n").as("__n1"))
+    val lo = v.select(col("cell_id"), col("vec_id").as("__id_lo"),
+      col("__v").as("__v2"), col("__n").as("__n2"))
+    val dropped = hi.join(lo, Seq("cell_id"))
+      .filter(col("__id_lo") < col("__id_hi"))
+      .filter(cosineWithNorms(col("__v1"), col("__n1"), col("__v2"), col("__n2")) >= tau)
+      .select(col("__id_hi").as("vec_id")).distinct()
+    cells.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold over co-bucketed
     * pairs (or all pairs when `bruteForce`). Returns (id1, id2). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -160,6 +160,24 @@ object OpsQueries {
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding")
     }),
 
+    // product-quantization encode: 64-dim vectors -> 4 subspace codes
+    // against a deterministic 16-entry codebook (the first 16 vectors);
+    // micro-rounded L2 argmin is reconstructed exactly in DuckDB
+    "s6_pq_encode" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.pqEncode(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4)
+    }),
+
+    // SemDeDup: IVF-cell assignment + within-cell cosine >= 0.99 drop of
+    // higher ids; the planted exact copies (vec_id%5 -> +100000) land in
+    // their twin's cell and vanish, natural pairs (max cosine ~0.51) all
+    // survive
+    "d7_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedup(embCorpus(s, dir), "vec_id", "embedding",
+        tbl(s, dir, "embeddings").filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", tau = 0.99)),
+
     // text analysis family
     "t1_langid" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))),
@@ -254,6 +272,12 @@ object OpsQueries {
     "p1_hash_split" -> ((s, dir) =>
       graft.ops.Sampling.assignSplit(
         tbl(s, dir, "documents").select(col("doc_id")), "doc_id")),
+
+    // deterministic global shuffle + sharding (training export order):
+    // shard and in-shard position are pure functions of (seed, doc_id)
+    "p5_shards" -> ((s, dir) =>
+      graft.ops.Sampling.shuffleShards(
+        tbl(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8)),
 
     // stratified deterministic mixture: per-language keep rates
     "p2_stratified_sample" -> ((s, dir) =>
@@ -814,6 +838,57 @@ object OpsQueries {
         |  FROM scored)
         |SELECT vec_id, CAST(cid AS BIGINT) AS cell_id FROM ranked WHERE rn = 1""".stripMargin,
 
+    // the oracle replays the identical subspace slicing, the identical
+    // left-to-right L2 fold, the identical micro-rounding, and the
+    // identical lowest-id tie-break
+    "s6_pq_encode" ->
+      """WITH sub AS (
+        |  SELECT vec_id, j,
+        |    list_transform(range(1, 17), i -> embedding[j * 16 + i]::DOUBLE) AS sv
+        |  FROM embeddings, unnest([0, 1, 2, 3]) AS u(j)),
+        |cbsub AS (
+        |  SELECT vec_id AS cid, j,
+        |    list_transform(range(1, 17), i -> embedding[j * 16 + i]::DOUBLE) AS cv
+        |  FROM embeddings, unnest([0, 1, 2, 3]) AS u(j) WHERE vec_id < 16),
+        |sc AS (
+        |  SELECT vec_id, s.j, cid,
+        |    CAST(round(list_sum(list_transform(range(1, 17),
+        |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) * 1000000.0, 0) AS BIGINT) AS d
+        |  FROM sub s JOIN cbsub c ON s.j = c.j),
+        |mn AS (SELECT vec_id, j, min(d) AS md FROM sc GROUP BY 1, 2),
+        |code AS (
+        |  SELECT sc.vec_id, sc.j, CAST(min(cid) AS BIGINT) AS code
+        |  FROM sc JOIN mn ON sc.vec_id = mn.vec_id AND sc.j = mn.j AND sc.d = mn.md
+        |  GROUP BY 1, 2)
+        |SELECT vec_id,
+        |  max(CASE WHEN j = 0 THEN code END) AS code_0,
+        |  max(CASE WHEN j = 1 THEN code END) AS code_1,
+        |  max(CASE WHEN j = 2 THEN code END) AS code_2,
+        |  max(CASE WHEN j = 3 THEN code END) AS code_3
+        |FROM code GROUP BY 1""".stripMargin,
+
+    // identical cell assignment as s3's oracle, then the NOT EXISTS form
+    // of "a lower-id same-cell neighbor at cosine >= 0.99"
+    "d7_semdedup" ->
+      s"""WITH $embCorpusSql,
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) AS sim
+         |  FROM ecorpus e CROSS JOIN cents c),
+         |cells AS (
+         |  SELECT vec_id, cid AS cell_id FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |v AS (SELECT e.vec_id, cell_id, embedding FROM ecorpus e JOIN cells USING (vec_id))
+         |SELECT a.vec_id, CAST(a.cell_id AS BIGINT) AS cell_id FROM v a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM v b WHERE b.cell_id = a.cell_id AND b.vec_id < a.vec_id
+         |    AND round(list_cosine_similarity(
+         |          a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99)""".stripMargin,
+
     "t1_langid" -> {
       def cnt(words: Seq[String]) =
         s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -963,6 +1038,23 @@ object OpsQueries {
          |       WHEN substr(md5('split:' || doc_id), 1, 8) < '$t90' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
+    },
+
+    // identical equal-width hex-range shard assignment and identical
+    // (draw, doc_id) permutation order
+    "p5_shards" -> {
+      val cases = (0 until 7).map { i =>
+        val t = graft.ops.Sampling.rateThreshold((i + 1).toDouble / 8)
+        s"WHEN draw < '$t' THEN $i"
+      }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT doc_id, substr(md5('shard:' || doc_id), 1, 8) AS draw FROM documents),
+         |sh AS (SELECT doc_id, draw,
+         |  CAST(CASE $cases ELSE 7 END AS BIGINT) AS shard FROM d)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) AS BIGINT)
+         |    AS shard_pos
+         |FROM sh""".stripMargin
     },
 
     "p2_stratified_sample" -> {

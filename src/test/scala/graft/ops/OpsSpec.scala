@@ -344,6 +344,39 @@ class OpsSpec extends AnyFunSuite {
     assert(Sampling.rateThreshold(1.0) > "ffffffff")
   }
 
+  test("shuffle shards: a partition of the corpus, dense positions, order-invariant") {
+    val ids = docs.select($"doc_id")
+    val sh = Sampling.shuffleShards(ids, "doc_id", nShards = 8)
+    val rows = sh.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet.size == rows.length && rows.length == docs.count())
+    assert(rows.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    // positions are dense 1..n(shard) in each shard
+    rows.groupBy(_._2).foreach { case (s, grp) =>
+      assert(grp.map(_._3).sorted.toSeq == (1L to grp.length).toSeq, s"shard $s not dense")
+    }
+    // roughly uniform (binomial: 500/8 ~ 62 per shard)
+    assert(rows.groupBy(_._2).values.map(_.length).max < 100)
+    // identical assignment AND order from a repartitioned/re-ordered input
+    val again = Sampling.shuffleShards(ids.repartition(13).orderBy($"doc_id".desc),
+      "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
+
+  test("writeShards lays out one directory per shard with rows in shard_pos order") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Sampling.writeShards(docs.select($"doc_id"), "doc_id", nShards = 4, dir)
+    val expected = Sampling.shuffleShards(docs.select($"doc_id"), "doc_id", 4)
+    (0 until 4).foreach { s =>
+      val want = expected.filter($"shard" === s).orderBy($"shard_pos")
+        .select($"doc_id").collect().map(_.getLong(0)).toSeq
+      // file row order IS the shard order: no re-sort on read
+      val got = spark.read.parquet(s"$dir/shard=$s")
+        .select($"doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"shard $s order mismatch")
+    }
+  }
+
   test("hyperplane buckets tolerate null vectors (null bucket, no job kill)") {
     val rows = Seq(
       (1L, Array(1.0f, 0.5f)), (2L, null.asInstanceOf[Array[Float]]), (3L, Array(-1.0f, 0.25f))

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Product-quantization encode and SemDeDup semantic deduplication. */
+class PqSemDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("pqEncode against a self-codebook returns each vector's own id in every subspace") {
+    val corpus = vecs(
+      0L -> Seq(1f, 0f, 0f, 2f),
+      1L -> Seq(0f, 5f, 7f, 0f),
+      2L -> Seq(-3f, 1f, 2f, 2f))
+    val got = Similarity.pqEncode(corpus, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", m = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(0L -> ((0L, 0L)), 1L -> ((1L, 1L)), 2L -> ((2L, 2L))))
+  }
+
+  test("pqEncode chooses per-subspace independently, ties to the lowest codebook id") {
+    val codebook = vecs(
+      0L -> Seq(0f, 0f, 9f, 9f),
+      1L -> Seq(5f, 5f, 0f, 0f),
+      2L -> Seq(5f, 5f, 0f, 0f)) // duplicate of 1: ties must resolve to 1
+    val corpus = vecs(
+      10L -> Seq(0.1f, 0f, 0.2f, 0f), // sub0 near cb0, sub1 near cb1 (and cb2)
+      11L -> Seq(4.9f, 5f, 8.8f, 9f)) // sub0 near cb1 (tie with cb2 -> 1), sub1 near cb0
+    val got = Similarity.pqEncode(corpus, "vec_id", "embedding",
+      codebook, "vec_id", "embedding", m = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(10L -> ((0L, 1L)), 11L -> ((1L, 0L))))
+  }
+
+  test("pqEncode is partitioning-invariant and rejects a non-dividing m") {
+    val corpus = vecs((0L to 30L).map(i =>
+      i -> Seq.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat - 5f)): _*)
+    val cb = corpus.filter(col("vec_id") < 4)
+    val a = Similarity.pqEncode(corpus, "vec_id", "embedding", cb, "vec_id", "embedding", m = 4)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val b = Similarity.pqEncode(corpus.repartition(13), "vec_id", "embedding",
+      cb, "vec_id", "embedding", m = 4)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a == b && a.size == 31)
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(corpus, "vec_id", "embedding", cb, "vec_id", "embedding", m = 3)
+    }
+  }
+
+  test("semanticDedup drops the higher-id twin and keeps everything else") {
+    val corpus = vecs(
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      7L -> Seq(1f, 0f, 0f, 0f),     // exact copy of 1 -> dropped
+      8L -> Seq(0.9f, 0.1f, 0f, 0f), // cosine vs 1 ~ 0.994 -> dropped at tau=.99
+      9L -> Seq(0.5f, 0.5f, 0f, 0f)) // cosine vs everything <= .71 -> kept
+    val cents = vecs(0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f))
+    val kept = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      cents, "vec_id", "embedding", tau = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 9L))
+    // tau above any pair similarity keeps the whole corpus
+    val all = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      cents, "vec_id", "embedding", tau = 1.1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 7L, 8L, 9L))
+  }
+
+  test("semanticDedup returns each vector's cell and never compares across cells") {
+    // 3 and 4 are identical but pushed to DIFFERENT cells by construction
+    // impossible for identical vectors — so use near-identical vectors that
+    // straddle the two centroids: each survives in its own cell
+    val corpus = vecs(
+      3L -> Seq(1f, 0.99f, 0f, 0f),
+      4L -> Seq(0.99f, 1f, 0f, 0f))
+    val cents = vecs(0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f))
+    val rows = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      cents, "vec_id", "embedding", tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cosine(3,4) ~ 0.9999 but they sit in cells 0 and 1 -> both kept
+    assert(rows == Map(3L -> 0L, 4L -> 1L))
+  }
+}
