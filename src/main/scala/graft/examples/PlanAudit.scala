@@ -25,7 +25,8 @@ object PlanAudit {
         "t14_gopher","t15_c4_clean","p4_domain_mix","s4_kmeans_update",
         "t16_substring_dup","t17_substring_excise","s5_quantize_int8",
         "q_pivot","q_cube","q_sessionize","q_date_trunc",
-        "t18_cms","r1_range_join","r2_interval_overlap")) {
+        "t18_cms","r1_range_join","r2_interval_overlap",
+        "t19_hll","r3_bloom_join","s6_pq_encode","d7_semdedup","p5_shards")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length

@@ -49,6 +49,54 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
+  /** Cross-RUN exact dedup against a persisted fingerprint index — the
+    * shape an ingest pipeline actually needs: each arriving batch is
+    * deduplicated against EVERYTHING ever ingested, not just itself.
+    *
+    * The index table holds (fingerprint, keeper_id, batch_id =
+    * first-seen batch). Per batch: collapse within-batch duplicates
+    * (lowest id wins, one digest-keyed aggregate), anti-join the index
+    * to find never-seen content, commit those fingerprints atomically
+    * (upsert keyed by fingerprint), and return the batch's novel keeper
+    * rows — full columns.
+    *
+    * Replay-STABLE, not merely replay-tolerant: the emitted set is read
+    * back from the index as "fingerprints whose first-seen batch is THIS
+    * batch", so re-running a batch after a downstream failure re-emits
+    * exactly the same rows (a naive "emit the anti-join" replays as
+    * empty, silently dropping the batch). Fresh fingerprints are
+    * materialized (localCheckpoint) BEFORE the commit so the plan never
+    * reads the table it is mid-write to.
+    *
+    * Scale shape: one fingerprint aggregate (shuffle keyed by digest,
+    * map-side combine), one anti join + one semi join against the index
+    * keyed by fingerprint (sort-merge at scale — both sides hash-cluster
+    * on the same key), and a commit whose payload is the NOVEL rows
+    * only. The raw text never shuffles. */
+  def incrementalExact(spark: org.apache.spark.sql.SparkSession,
+      catalog: graft.meta.Catalog, indexTable: String,
+      batch: DataFrame, idCol: String, textCol: String, batchId: Long): DataFrame = {
+    val fp = batch.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    val keepers = fp.join(
+      fp.groupBy(col("fingerprint")).agg(min(col(idCol)).as(idCol)),
+      Seq("fingerprint", idCol), "left_semi")
+    val exists = catalog.tableExists(indexTable)
+    val fresh = {
+      val k = keepers.select(col("fingerprint"), col(idCol).as("keeper_id"),
+        lit(batchId).as("batch_id"))
+      if (!exists) k
+      else k.join(graft.meta.IceRead.table(spark, catalog, indexTable)
+        .select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+    }.localCheckpoint(true)
+    if (!exists) graft.meta.IceWrite.create(spark, catalog, indexTable, fresh)
+    else if (!fresh.isEmpty)
+      graft.meta.IceWrite.upsert(spark, catalog, indexTable, fresh,
+        keys = Seq("fingerprint"))
+    val mine = graft.meta.IceRead.table(spark, catalog, indexTable)
+      .filter(col("batch_id") === batchId).select(col("fingerprint"))
+    keepers.join(mine, Seq("fingerprint"), "left_semi").drop("fingerprint")
+  }
+
   /** MinHash signature: k min-hashes over the distinct shingle set. md5 is
     * the hash family, but each digest is split into four independent
     * 8-hex-char lanes, so k=16 costs 4 md5 calls per shingle instead of 16

@@ -356,10 +356,19 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
       tau: Double): DataFrame = {
-    val cells = ivfCells(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
-    val v = withNorm(corpus, vecCol, "__n")
+    // the [[ivfCells]] argmax, with the vector (and its norm) carried
+    // through the aggregate — every row of a vec_id group repeats them —
+    // so the pair stage needs no join back to the corpus
+    val c = withNorm(corpus, vecCol, "__n")
       .select(col(idCol).as("vec_id"), col(vecCol).as("__v"), col("__n"))
-      .join(cells, Seq("vec_id"))
+    val cents = withNorm(centroids, centVecCol, "__cn")
+      .select(col(centIdCol).cast("long").as("__cid"), col(centVecCol).as("__c"), col("__cn"))
+    val v = c.crossJoin(broadcast(cents))
+      .withColumn("__sim", cosineWithNorms(col("__v"), col("__n"), col("__c"), col("__cn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("__sim").as("s"), (-col("__cid")).as("negcid"))).as("__best"),
+        first(col("__v")).as("__v"), first(col("__n")).as("__n"))
+      .select(col("vec_id"), (-col("__best.negcid")).as("cell_id"), col("__v"), col("__n"))
     val hi = v.select(col("cell_id"), col("vec_id").as("__id_hi"),
       col("__v").as("__v1"), col("__n").as("__n1"))
     val lo = v.select(col("cell_id"), col("vec_id").as("__id_lo"),
@@ -368,7 +377,7 @@ object Similarity {
       .filter(col("__id_lo") < col("__id_hi"))
       .filter(cosineWithNorms(col("__v1"), col("__n1"), col("__v2"), col("__n2")) >= tau)
       .select(col("__id_hi").as("vec_id")).distinct()
-    cells.join(dropped, Seq("vec_id"), "left_anti")
+    v.join(dropped, Seq("vec_id"), "left_anti").select(col("vec_id"), col("cell_id"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold over co-bucketed

@@ -185,6 +185,34 @@ object Sketch {
     else raw
   }
 
+  /** Streaming HLL maintenance, same contract as [[streamingCountMin]]:
+    * each micro-batch's bounded register table lands as a DELTA keyed by
+    * (batch_id, reg) via atomic upsert, so a replayed batch overwrites
+    * its own rows — idempotent where a read-modify-write max would not
+    * be. The live sketch is one bounded max-fold ([[readHyperLogLog]]). */
+  def streamingHyperLogLog(spark: org.apache.spark.sql.SparkSession,
+      catalog: graft.meta.Catalog, table: String, itemCol: String,
+      regHexChars: Int = 2): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val delta = hyperLogLog(batch, itemCol, regHexChars)
+        .withColumn("batch_id", lit(batchId))
+        .select(col("batch_id"), col("reg"), col("rho"))
+      if (!catalog.tableExists(table))
+        graft.meta.IceWrite.create(spark, catalog, table, delta)
+      else
+        graft.meta.IceWrite.upsert(spark, catalog, table, delta,
+          keys = Seq("batch_id", "reg"))
+    }
+
+  /** The live HLL from the delta log: registers merge by max (the HLL
+    * mergeability property) — one bounded aggregate, ready for
+    * [[hllEstimate]]. */
+  def readHyperLogLog(spark: org.apache.spark.sql.SparkSession,
+      catalog: graft.meta.Catalog, table: String): DataFrame =
+    graft.meta.IceRead.table(spark, catalog, table)
+      .groupBy(col("reg"))
+      .agg(max(col("rho")).as("rho"))
+
   // ------------------------------------------------------------------
   // Bloom filter — a relational pre-join prune: the filter is the
   // DISTINCT set of bit positions hit by k md5 hashes per build key (at

@@ -158,6 +158,23 @@ class RangeJoinSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming HLL deltas: batches accumulate by max, a REPLAYED batch is absorbed") {
+    import graft.meta.LocalCatalog
+    val catalog = LocalCatalog(
+      java.nio.file.Files.createTempDirectory("hll-wh").toString)
+    val sink = Sketch.streamingHyperLogLog(spark, catalog, "hll_log", "tok")
+    val b1 = (1 to 300).map(i => s"a$i").toDF("tok")
+    val b2 = (200 to 500).map(i => s"a$i").toDF("tok") // overlaps b1
+    sink(b1, 0L)
+    sink(b2, 1L)
+    sink(b2, 1L) // replay — upsert keyed by (batch_id, reg) absorbs it
+    val live = Sketch.readHyperLogLog(spark, catalog, "hll_log").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketch.hyperLogLog(b1.unionAll(b2), "tok").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(live == direct)
+  }
+
   test("bloom prune never drops a true match and does prune non-matches") {
     val build = (1 to 200).map(i => i * 7L).toDF("k")
     val probe = (1 to 5000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
