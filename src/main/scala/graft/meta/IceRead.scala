@@ -227,6 +227,36 @@ object IceRead {
       .toDF("name", "type", "snapshot_id")
   }
 
+  /** `history` metadata table (like Iceberg's `table$history`): every
+    * snapshot with whether it is an ancestor of the CURRENT head — the
+    * rollback-aware lineage view (after a rollback, abandoned snapshots
+    * stay readable but show is_current_ancestor = false). */
+  def history(spark: SparkSession, catalog: Catalog, name: String): DataFrame = {
+    import spark.implicits._
+    val meta = catalog.loadTable(name)
+    val ancestors = Iterator.iterate(meta.currentSnapshot)(
+        _.flatMap(_.parentId).flatMap(meta.snapshotById))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+    meta.snapshots.map { s =>
+      (s.timestampMs, s.snapshotId, s.parentId, ancestors.contains(s.snapshotId))
+    }.toDF("made_current_at", "snapshot_id", "parent_id", "is_current_ancestor")
+  }
+
+  /** `all_files` metadata table (like Iceberg's `table$all_files`): one
+    * row per (snapshot, manifest entry) across the WHOLE history — the
+    * input for retention/GC auditing ("which snapshots still pin this
+    * file"). Metadata-only; a path appears once per snapshot that lists
+    * it. */
+  def allFiles(spark: SparkSession, catalog: Catalog, name: String): DataFrame = {
+    import spark.implicits._
+    val meta = catalog.loadTable(name)
+    meta.snapshots.flatMap { s =>
+      s.manifest.map(f => (s.snapshotId, f.path, f.content.toString,
+        f.length, f.recordCount, f.sequenceNumber))
+    }.toDF("snapshot_id", "file_path", "content", "file_size_bytes",
+      "record_count", "sequence_number")
+  }
+
   /** Registers the MOR view as a temp view for SQL access. */
   def createTempView(spark: SparkSession, catalog: Catalog, name: String,
       viewName: String, branch: String = "main"): Unit =

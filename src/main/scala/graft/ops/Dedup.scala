@@ -72,10 +72,17 @@ object Dedup {
     * map-side combine), one anti join + one semi join against the index
     * keyed by fingerprint (sort-merge at scale — both sides hash-cluster
     * on the same key), and a commit whose payload is the NOVEL rows
-    * only. The raw text never shuffles. */
+    * only. The raw text never shuffles.
+    *
+    * Concurrency contract: one writer per index (the foreachBatch
+    * serialization guarantee). Concurrent batches racing the same novel
+    * fingerprint would both pass the anti join and the CAS retry would
+    * let the later one overwrite first-seen attribution. */
   def incrementalExact(spark: org.apache.spark.sql.SparkSession,
       catalog: graft.meta.Catalog, indexTable: String,
       batch: DataFrame, idCol: String, textCol: String, batchId: Long): DataFrame = {
+    require(!batch.columns.contains("fingerprint"),
+      "incrementalExact: the batch must not already have a 'fingerprint' column")
     val fp = batch.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
     val keepers = fp.join(
       fp.groupBy(col("fingerprint")).agg(min(col(idCol)).as(idCol)),

@@ -313,8 +313,15 @@ object Similarity {
     *
     * Returns (vec_id, code_0 .. code_{m-1}). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame, cbIdCol: String, cbVecCol: String, m: Int): DataFrame = {
+      codebook: DataFrame, cbIdCol: String, cbVecCol: String, m: Int,
+      maxCodebookEntries: Int = 65536): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
+    // the codebook is broadcast and cross-joined per subspace: fail
+    // loudly if it is not actually small (a PQ codebook is 2^4..2^16
+    // entries by design; anything bigger is a mis-passed corpus)
+    val cbCount = codebook.limit(maxCodebookEntries + 1).count()
+    require(cbCount <= maxCodebookEntries,
+      s"pqEncode: codebook has > $maxCodebookEntries entries — not broadcastable")
     val dim = codebook.select(size(col(cbVecCol)).as("__n"))
       .filter(col("__n").isNotNull && col("__n") > 0).take(1)
       .headOption.map(_.getInt(0))

@@ -214,6 +214,58 @@ object Sketch {
       .agg(max(col("rho")).as("rho"))
 
   // ------------------------------------------------------------------
+  // Quantile histogram — distributed quantiles whose state is a FIXED
+  // set of bin counters over a declared value range: the third bounded
+  // one-pass sketch (with CMS and HLL above), and like them the partial
+  // aggregation IS the merge (bin counters add). Estimates report a
+  // bin's UPPER edge, so the error is bounded by one bin width — honest
+  // sketch semantics with no float interpolation, which keeps every
+  // number integer-exact across engines.
+  // ------------------------------------------------------------------
+
+  /** Build the histogram: (bin, cnt), at most `nBins` rows. Values are
+    * clamped into [lo, hi) — out-of-range rows land in the edge bins (a
+    * declared-range sketch, like every fixed-bin quantile structure). */
+  def quantileHistogram(items: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1 && nBins <= 65536, s"nBins must be in [1,65536], got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / nBins
+    items
+      .select(least(greatest(floor((col(valueCol).cast("double") - lo) / width), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Estimate quantiles from a built histogram: for each q (in ppm), the
+    * first bin whose cumulative count reaches ceil(q * total) — reported
+    * as (q_ppm, bin, upper_e6), the bin's upper edge in micro units.
+    * Everything downstream of the histogram is bounded (nBins rows), so
+    * the cumulative window and the tiny q cross join never see data. */
+  def quantileEstimate(hist: DataFrame, qsPpm: Seq[Long],
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 0 && q <= 1000000),
+      s"quantiles must be ppm in [0, 1e6], got $qsPpm")
+    val width = (hi - lo) / nBins
+    val spark = hist.sparkSession
+    import spark.implicits._
+    // bounded inputs throughout: the single-partition window sees nBins rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("bin"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val total = hist.agg(sum(col("cnt")).as("total"))
+    qsPpm.toDF("q_ppm")
+      .crossJoin(broadcast(total))
+      .withColumn("__target", expr("(q_ppm * total + 999999) div 1000000"))
+      .join(broadcast(cum), col("cum") >= col("__target"))
+      .groupBy(col("q_ppm"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("q_ppm"), col("bin"),
+        round((lit(lo) + (col("bin") + 1) * lit(width)) * 1e6, 0).cast("long").as("upper_e6"))
+  }
+
+  // ------------------------------------------------------------------
   // Bloom filter — a relational pre-join prune: the filter is the
   // DISTINCT set of bit positions hit by k md5 hashes per build key (at
   // most 16^bitHexChars rows — bounded and broadcastable regardless of
@@ -233,8 +285,11 @@ object Sketch {
     * local bit set — the map-side combine IS the bloom OR-merge). */
   def bloomBits(keys: DataFrame, keyCol: String, k: Int = 3, bitHexChars: Int = 3): DataFrame = {
     require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
-    require(bitHexChars >= 1 && bitHexChars <= 6,
-      s"bitHexChars must be in [1,6], got $bitHexChars")
+    // 5 hex chars = 2^20 bits max: the bit set stays broadcastable by
+    // construction (the whole point of the prune); a wider filter would
+    // silently turn the "tiny" side into a driver-OOM broadcast
+    require(bitHexChars >= 1 && bitHexChars <= 5,
+      s"bitHexChars must be in [1,5], got $bitHexChars")
     keys
       .select(explode(array((0 until k).map(i =>
         bloomBitCol(col(keyCol), i, bitHexChars)): _*)).as("bit"))

@@ -420,6 +420,16 @@ object OpsQueries {
       est.crossJoin(toks.agg(count_distinct(col("tok")).cast("long").as("true_distinct")))
     }),
 
+    // fixed-bin quantile histogram: 256 bins over order totals; the p50/
+    // p90/p99 bin selections and upper-edge values are integer-exact in
+    // both engines
+    "t20_quantile" -> ((s, dir) => {
+      val hist = graft.ops.Sketch.quantileHistogram(
+        tbl(s, dir, "orders"), "o_totalprice", lo = 0.0, hi = 600000.0, nBins = 256)
+      graft.ops.Sketch.quantileEstimate(hist, Seq(500000L, 900000L, 990000L),
+        lo = 0.0, hi = 600000.0, nBins = 256)
+    }),
+
     // bloom-filter join pruning: the filter (distinct md5 bit positions of
     // the BUILDING customers) gates the orders scan before the exact semi
     // join; n_candidates oracle-checks the bloom itself (the exact same
@@ -1269,6 +1279,23 @@ object OpsQueries {
          |    AS hll_est,
          |  (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM toks) AS true_distinct
          |FROM d""".stripMargin,
+
+    // identical clamped binning, identical ceil-target bin selection,
+    // identical upper-edge micro arithmetic
+    "t20_quantile" ->
+      """WITH h AS (
+        |  SELECT CAST(least(greatest(floor(o_totalprice / 2343.75), 0), 255) AS BIGINT)
+        |    AS bin, count(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+        |t AS (SELECT sum(cnt) AS total FROM h),
+        |q AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS q_ppm),
+        |tgt AS (SELECT q_ppm, (q_ppm * total + 999999) // 1000000 AS target FROM q, t),
+        |sel AS (SELECT q_ppm, min(bin) AS bin
+        |        FROM tgt JOIN c ON c.cum >= tgt.target GROUP BY 1)
+        |SELECT q_ppm, bin,
+        |  CAST(round((bin + 1) * 2343.75 * 1000000.0, 0) AS BIGINT) AS upper_e6
+        |FROM sel""".stripMargin,
 
     // the oracle sets the identical bloom bits and applies the identical
     // all-k-present pass test, then the exact join

@@ -306,6 +306,18 @@ class IceWriteSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(refs == Set(("main", "branch", 2L), ("v1.0", "tag", 2L)))
 
+    // history metadata table is rollback-aware: the abandoned snapshot 3
+    // stays listed but is no longer a current ancestor
+    val hist = IceRead.history(spark, catalog, "t_rb")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(hist == Map(1L -> true, 2L -> true, 3L -> false))
+
+    // all_files spans the whole history: snapshot 3's file is still
+    // pinned by snapshot 3 even though the head rolled back past it
+    val af = IceRead.allFiles(spark, catalog, "t_rb")
+    assert(af.filter(af("snapshot_id") === 3L).count() >= 3) // its full manifest
+    assert(af.select("snapshot_id").distinct().count() == 3)
+
     // expiry keeps the tag-pinned snapshot even when out of the keep window
     IceWrite.append(spark, catalog, "t_rb", Seq((4L, "d")).toDF("id", "v"))   // 4 (new head)
     graft.compaction.Maintenance.expireSnapshots(catalog, "t_rb", keepLast = 1)

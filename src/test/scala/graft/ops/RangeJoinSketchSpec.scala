@@ -158,6 +158,30 @@ class RangeJoinSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile histogram: exact bin math, clamping, and additive merge") {
+    val vals = (0 until 10).map(i => (i.toLong, i.toDouble)).toDF("i", "v")
+    val hist = Sketch.quantileHistogram(vals, "v", lo = 0.0, hi = 10.0, nBins = 10)
+    assert(hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      (0L to 9L).map(_ -> 1L).toMap)
+    val byQ = Sketch.quantileEstimate(hist, Seq(500000L, 1000000L), 0.0, 10.0, 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // p50 of 10 rows: target=5, first cum>=5 is bin 4, upper edge 5.0
+    assert(byQ(500000L) == ((4L, 5000000L)))
+    // p100: last occupied bin
+    assert(byQ(1000000L) == ((9L, 10000000L)))
+    // out-of-range values clamp to the edge bins
+    val wild = Seq((1L, -5.0), (2L, 99.0)).toDF("i", "v")
+    val clamped = Sketch.quantileHistogram(wild, "v", 0.0, 10.0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clamped == Map(0L -> 1L, 9L -> 1L))
+    // merge = adding bin counters across splits
+    val a = Sketch.quantileHistogram(vals.filter($"v" < 5), "v", 0.0, 10.0, 10)
+    val b = Sketch.quantileHistogram(vals.filter($"v" >= 5), "v", 0.0, 10.0, 10)
+    val merged = a.unionAll(b).groupBy("bin").agg(sum("cnt").as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("streaming HLL deltas: batches accumulate by max, a REPLAYED batch is absorbed") {
     import graft.meta.LocalCatalog
     val catalog = LocalCatalog(
