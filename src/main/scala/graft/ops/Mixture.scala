@@ -70,4 +70,44 @@ object Mixture {
         expr("CAST(floor(CAST(n_tokens AS DECIMAL(38,0)) * rate_ppm / 1000000) AS BIGINT)")
           .as("take_tokens"))
   }
+
+  /** Round-robin interleave across domains — the curriculum ordering a
+    * mixture is consumed in: position 1..|D| is one doc from each domain,
+    * then the next |D|, until domains run dry. Within a domain the order
+    * is the deterministic md5 draw (a seeded shuffle).
+    *
+    * The global position is computed WITHOUT a global window (the
+    * single-task trap at scale): docs sorted by (rn, domain) means a
+    * row's position is
+    *
+    *   sum over domains d of min(count(d), rn - 1)     (earlier rounds)
+    *   + |{d < domain : count(d) >= rn}|               (this round)
+    *   + 1
+    *
+    * Both terms are per-row expressions over the (tiny, driver-collected)
+    * domain-count table — the same bounded-metadata pattern as the
+    * mixture cap and the IVF centroid literals. One domain-keyed window
+    * exchange is the only shuffle. Domain cardinality must be small
+    * (mixture domains are); guarded at `maxDomains`.
+    *
+    * Returns df + (rn, position). */
+  def roundRobinInterleave(df: DataFrame, idCol: String, domainCol: String,
+      seed: String = "interleave", maxDomains: Int = 10000): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("cnt"))
+      .limit(maxDomains + 1).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+    require(counts.length <= maxDomains,
+      s"roundRobinInterleave: more than $maxDomains domains — not a mixture key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(Sampling.hashDraw(col(idCol), seed), col(idCol))
+    val rn = col("rn")
+    val earlierRounds = counts.map { case (_, c) => least(lit(c), rn - 1) }
+      .reduce(_ + _)
+    val thisRound = counts.map { case (d, c) =>
+      when(lit(d) < col(domainCol).cast("string") && lit(c) >= rn, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("position", (earlierRounds + thisRound + 1).cast("long"))
+  }
 }

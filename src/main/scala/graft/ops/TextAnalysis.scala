@@ -26,6 +26,11 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Token-budget truncation (the context-window trim): keep the first
+    * `n` tokens, rejoined single-spaced. Per-row, zero shuffle. */
+  def truncateTokens(text: Column, n: Int): Column =
+    concat_ws(" ", slice(tokens(text), 1, n))
+
   /** BPE-ish regex token count: letter runs, single digits, single
     * punctuation — the classic pre-tokenizer shape. Alternatives are
     * disjoint character classes, so Java-regex and RE2 agree. */
@@ -214,6 +219,24 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("id"), col("term"), col("rank"), col("score_micro"))
+  }
+
+  /** Per-document out-of-vocabulary rate against a bounded vocabulary —
+    * the coverage check run before committing to a tokenizer/vocab: the
+    * vocab is broadcast (bounded by construction: it IS a top-k), tokens
+    * explode map-side, and one doc-keyed aggregate folds them back. The
+    * rate is integer ppm (cross-engine exact). Returns
+    * (id, n_tokens, n_oov, oov_ppm). */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, vocabCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val v = vocab.select(col(vocabCol).as("__tok")).distinct()
+      .withColumn("__in", lit(1))
+    toks.join(broadcast(v), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
   }
 
   /** Adds the full analysis column set to a documents DataFrame. */

@@ -420,6 +420,31 @@ object OpsQueries {
       est.crossJoin(toks.agg(count_distinct(col("tok")).cast("long").as("true_distinct")))
     }),
 
+    // round-robin curriculum interleave across languages: position is
+    // computed two-phase (per-domain window + bounded-count arithmetic),
+    // never a global window — the oracle's row_number() over everything
+    // must agree exactly
+    "p6_interleave" -> ((s, dir) =>
+      graft.ops.Mixture.roundRobinInterleave(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang")),
+
+    // context-window trim to 32 tokens; the surviving text is hash-checked
+    "t21_truncate" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        least(TextAnalysis.tokenCount(col("text")), lit(32)).cast("long").as("n_kept"),
+        md5(TextAnalysis.truncateTokens(col("text"), 32)).as("trunc_md5"))),
+
+    // out-of-vocabulary rate vs the corpus's own top-100 vocabulary
+    "t22_oov" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val toks = d.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(100)
+      TextAnalysis.oovRate(d, "doc_id", "text", vocab, "tok")
+    }),
+
     // fixed-bin quantile histogram: 256 bins over order totals; the p50/
     // p90/p99 bin selections and upper-edge values are integer-exact in
     // both engines
@@ -1279,6 +1304,41 @@ object OpsQueries {
          |    AS hll_est,
          |  (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM toks) AS true_distinct
          |FROM d""".stripMargin,
+
+    // the oracle computes the position the lazy way — one global
+    // row_number over (rn, lang) — which the two-phase arithmetic must
+    // reproduce exactly
+    "p6_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, substr(md5('interleave:' || doc_id), 1, 8) AS draw
+        |  FROM documents),
+        |rn AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS BIGINT) AS rn
+        |  FROM r)
+        |SELECT doc_id, lang, rn,
+        |  CAST(row_number() OVER (ORDER BY rn, lang) AS BIGINT) AS position
+        |FROM rn""".stripMargin,
+
+    "t21_truncate" ->
+      s"""SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(least(len(toks), 32) AS BIGINT) AS n_kept,
+         |  md5(coalesce(array_to_string(toks[1:32], ' '), '')) AS trunc_md5
+         |FROM (SELECT doc_id, $toksSql AS toks FROM documents)""".stripMargin,
+
+    "t22_oov" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |vocab AS (
+         |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+         |                   ORDER BY cnt DESC, tok ASC LIMIT 100)),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+         |  GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  CAST((n_oov * 1000000) // n_tokens AS BIGINT) AS oov_ppm
+         |FROM agg""".stripMargin,
 
     // identical clamped binning, identical ceil-target bin selection,
     // identical upper-edge micro arithmetic

@@ -129,4 +129,37 @@ class QualityMixtureSpec extends AnyFunSuite {
       cents, "vec_id", "embedding").collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("roundRobinInterleave: two-phase position equals the naive global window") {
+    // skewed domains: a=7, b=3, c=1 rows
+    val rows = ((1 to 7).map(i => (i.toLong, "a")) ++
+      (10 to 12).map(i => (i.toLong, "b")) ++ Seq((20L, "c"))).toDF("id", "dom")
+    val got = Mixture.roundRobinInterleave(rows, "id", "dom")
+    val cols = got.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // position is a permutation of 1..11
+    assert(cols.map(_._4).sorted.toSeq == (1L to 11L).toSeq)
+    // naive check: sort by (rn, dom) and compare assigned positions
+    val naive = cols.sortBy(t => (t._3, t._2)).zipWithIndex
+      .map { case ((id, _, _, _), i) => id -> (i + 1L) }.toMap
+    cols.foreach { case (id, _, _, pos) => assert(naive(id) == pos, s"id=$id") }
+    // round 1 (positions 1..3) covers all three domains
+    assert(cols.filter(_._4 <= 3).map(_._2).toSet == Set("a", "b", "c"))
+    // the order is invariant to input partitioning
+    val again = Mixture.roundRobinInterleave(rows.repartition(7), "id", "dom")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    cols.foreach { case (id, _, _, pos) => assert(again(id) == pos) }
+  }
+
+  test("truncateTokens trims to the budget; oovRate counts misses in ppm") {
+    val d = Seq((1L, "the cat sat"), (2L, "the the the"), (3L, "zz qq")).toDF("id", "text")
+    val trunc = d.select($"id", TextAnalysis.truncateTokens($"text", 2).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(trunc == Map(1L -> "the cat", 2L -> "the the", 3L -> "zz qq"))
+    val vocab = Seq("the", "cat").toDF("tok")
+    val oov = TextAnalysis.oovRate(d, "id", "text", vocab, "tok")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(oov(1L) == ((3L, 1L, 333333L))) // "sat" misses
+    assert(oov(2L) == ((3L, 0L, 0L)))
+    assert(oov(3L) == ((2L, 2L, 1000000L)))
+  }
 }
