@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.UnicodeFunctions
 import graft.meta.{ChangeFeed, Changelog, IceRead, IceWrite, LocalCatalog}
-import graft.ops.{Dedup, Mixture, Packing, Quality, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Mixture, Packing, Quality, Sampling, Similarity, Sketch, TextAnalysis}
 
 /** End-to-end training-data curation pipeline over the synthetic corpus —
   * the composition story: ingest documents into the table format,
@@ -30,10 +30,35 @@ object PipelineDemo {
     val catalog = LocalCatalog(
       java.nio.file.Files.createTempDirectory("pipeline-wh").toString)
 
+    import spark.implicits._
+
     // 1. ingest the raw corpus as a governed table
     val raw = spark.read.parquet(s"$sf/documents.parquet")
     IceWrite.create(spark, catalog, "docs_raw", raw)
     println(s"INGESTED rows=${IceRead.table(spark, catalog, "docs_raw").count()}")
+
+    // 1a. one-pass corpus sketches: distinct-token scale (HLL) and the
+    //     doc-length distribution (quantile histogram) — the numbers that
+    //     size every downstream decision, at fixed state however large
+    //     the corpus
+    val toks = raw.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val hllEst = Sketch.hllCountDistinct(toks, "tok")
+    val lenHist = Sketch.quantileHistogram(raw, "n_chars", 0.0, 2000.0, 256)
+    val p5090 = Sketch.quantileEstimate(lenHist, Seq(500000L, 900000L), 0.0, 2000.0, 256)
+      .collect().map(r => s"p${r.getLong(0) / 10000}<=${r.getLong(2) / 1000000}").mkString(" ")
+    println(s"SKETCH distinct_tokens~$hllEst len_chars $p5090")
+
+    // 1b. day-2 crawl lands: dedup it against EVERYTHING already
+    //     ingested via the persisted fingerprint index (replay-stable),
+    //     not just against itself
+    Dedup.incrementalExact(spark, catalog, "docs_fp_index",
+      raw.select(col("doc_id"), col("text")), "doc_id", "text", batchId = 0L).count()
+    val day2 = raw.limit(40).select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      .unionAll(Seq((900001L, "a genuinely new document about graft pipelines"))
+        .toDF("doc_id", "text"))
+    val novel = Dedup.incrementalExact(spark, catalog, "docs_fp_index",
+      day2, "doc_id", "text", batchId = 1L)
+    println(s"INCREMENTAL day2=${day2.count()} novel=${novel.count()}")
 
     // 2. Unicode canonicalization, quality + repetition scoring, and PII
     //    scrub (pure per-row expressions, no shuffle anywhere in this
@@ -101,7 +126,6 @@ object PipelineDemo {
 
     // 5a. governance patch via conditional MERGE: a review flags one
     //     document for removal and rescores another — one atomic snapshot
-    import spark.implicits._
     val reviewed = Seq((0L, "remove"), (1L, "rescore")).toDF("doc_id", "action")
     val patch = IceRead.table(spark, catalog, "docs_curated")
       .join(reviewed, Seq("doc_id"))
@@ -128,6 +152,18 @@ object PipelineDemo {
     val nChunks = packed.agg(max(col("last_chunk"))).head().getLong(0) + 1
     println(s"PACKED docs=${packed.count()} chunks=$nChunks")
 
+    // 5d. the training order itself: round-robin interleave across
+    //     languages (no global window), then deterministic shards on disk
+    //     — rerunning this export yields byte-identical training order
+    val ordered = Mixture.roundRobinInterleave(
+      IceRead.table(spark, catalog, "docs_curated").filter(col("split") === "train")
+        .select(col("doc_id"), col("lang")), "doc_id", "lang")
+    val firstRound = ordered.orderBy(col("position")).limit(3)
+      .collect().map(r => s"${r.getString(1)}:${r.getLong(0)}").mkString(" ")
+    val shardDir = java.nio.file.Files.createTempDirectory("pipeline-shards").toString
+    Sampling.writeShards(ordered.select("doc_id", "position"), "doc_id", 4, shardDir)
+    println(s"EXPORT order_head=[$firstRound] shards=4 at $shardDir")
+
     // 6. ANN over the embeddings: IVF cells + a probe query
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val centroids = embs.filter(col("vec_id") % 50 === 0)
@@ -136,6 +172,15 @@ object PipelineDemo {
       probe.select("vec_id", "embedding"), k = 3, centroids, "vec_id", "embedding")
     println(s"ANN probe=1 neighbors=" +
       nn.collect().map(r => s"${r.getAs[Long]("neighbor_id")}@${r.getAs[Double]("sim")}").mkString(","))
+
+    // 6a. semantic dedup over the embedding space (SemDeDup), then PQ
+    //     codes for the survivors — the compressed serving index
+    val semKept = Similarity.semanticDedup(embs, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", tau = 0.99)
+    val codes = Similarity.pqEncode(
+      embs.join(semKept.select("vec_id"), Seq("vec_id"), "left_semi"),
+      "vec_id", "embedding", embs.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4)
+    println(s"SEMDEDUP kept=${semKept.count()} PQ codes=${codes.count()} x4 bytes")
 
     spark.stop()
   }

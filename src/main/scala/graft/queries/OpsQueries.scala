@@ -436,12 +436,13 @@ object OpsQueries {
         least(TextAnalysis.tokenCount(col("text")), lit(32)).cast("long").as("n_kept"),
         md5(TextAnalysis.truncateTokens(col("text"), 32)).as("trunc_md5"))),
 
-    // out-of-vocabulary rate vs the corpus's own top-100 vocabulary
+    // out-of-vocabulary rate vs the corpus's own top-20 vocabulary (the
+    // synthetic corpus has ~31 distinct tokens, so real OOV mass exists)
     "t22_oov" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val toks = d.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok").asc).limit(100)
+        .orderBy(col("cnt").desc, col("tok").asc).limit(20)
       TextAnalysis.oovRate(d, "doc_id", "text", vocab, "tok")
     }),
 
@@ -1330,7 +1331,7 @@ object OpsQueries {
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |vocab AS (
          |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
-         |                   ORDER BY cnt DESC, tok ASC LIMIT 100)),
+         |                   ORDER BY cnt DESC, tok ASC LIMIT 20)),
          |agg AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
