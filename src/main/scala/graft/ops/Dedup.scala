@@ -64,15 +64,20 @@ object Dedup {
     * back from the index as "fingerprints whose first-seen batch is THIS
     * batch", so re-running a batch after a downstream failure re-emits
     * exactly the same rows (a naive "emit the anti-join" replays as
-    * empty, silently dropping the batch). Fresh fingerprints are
-    * materialized (localCheckpoint) BEFORE the commit so the plan never
-    * reads the table it is mid-write to.
+    * empty, silently dropping the batch). The batch's keepers are
+    * materialized ONCE (localCheckpoint) before anything else: the
+    * commit and the emission both read the checkpointed rows, so the
+    * batch source is scanned a single time (a re-read source — limit,
+    * sample, a moving stream — cannot diverge between what was committed
+    * and what is emitted) and the commit never races the plan that
+    * feeds it.
     *
-    * Scale shape: one fingerprint aggregate (shuffle keyed by digest,
-    * map-side combine), one anti join + one semi join against the index
-    * keyed by fingerprint (sort-merge at scale — both sides hash-cluster
-    * on the same key), and a commit whose payload is the NOVEL rows
-    * only. The raw text never shuffles.
+    * Scale shape: one fingerprint aggregate + keeper self-join over the
+    * micro-batch (batch-sized, the only place full rows shuffle), then
+    * an anti join and a semi join against the index keyed by fingerprint
+    * (sort-merge at scale — both sides hash-cluster on the digest; the
+    * index side never carries text). The commit payload is the novel
+    * keys only.
     *
     * Concurrency contract: one writer per index (the foreachBatch
     * serialization guarantee). Concurrent batches racing the same novel
@@ -87,6 +92,7 @@ object Dedup {
     val keepers = fp.join(
       fp.groupBy(col("fingerprint")).agg(min(col(idCol)).as(idCol)),
       Seq("fingerprint", idCol), "left_semi")
+      .localCheckpoint(true)
     val exists = catalog.tableExists(indexTable)
     val fresh = {
       val k = keepers.select(col("fingerprint"), col(idCol).as("keeper_id"),
@@ -94,7 +100,7 @@ object Dedup {
       if (!exists) k
       else k.join(graft.meta.IceRead.table(spark, catalog, indexTable)
         .select(col("fingerprint")), Seq("fingerprint"), "left_anti")
-    }.localCheckpoint(true)
+    }
     if (!exists) graft.meta.IceWrite.create(spark, catalog, indexTable, fresh)
     else if (!fresh.isEmpty)
       graft.meta.IceWrite.upsert(spark, catalog, indexTable, fresh,

@@ -87,26 +87,36 @@ object Mixture {
     * Both terms are per-row expressions over the (tiny, driver-collected)
     * domain-count table — the same bounded-metadata pattern as the
     * mixture cap and the IVF centroid literals. One domain-keyed window
-    * exchange is the only shuffle. Domain cardinality must be small
-    * (mixture domains are); guarded at `maxDomains`.
+    * exchange is the only shuffle. Domain cardinality must be small:
+    * `maxDomains` (default 500) bounds the per-row expression TREE the
+    * counts expand into — thousands of reduced Add/When nodes would
+    * overflow Catalyst's recursive planning long before the collect
+    * itself hurt. NULL domains are rejected loudly: SQL null compares as
+    * neither < nor >= anything, which would silently assign duplicate
+    * positions.
     *
     * Returns df + (rn, position). */
   def roundRobinInterleave(df: DataFrame, idCol: String, domainCol: String,
-      seed: String = "interleave", maxDomains: Int = 10000): DataFrame = {
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("cnt"))
+      seed: String = "interleave", maxDomains: Int = 500): DataFrame = {
+    val countRows = df.groupBy(col(domainCol)).agg(count(lit(1)).as("cnt"))
       .limit(maxDomains + 1).collect()
-      .map(r => (String.valueOf(r.get(0)), r.getLong(1)))
-    require(counts.length <= maxDomains,
+    require(countRows.length <= maxDomains,
       s"roundRobinInterleave: more than $maxDomains domains — not a mixture key")
+    require(!countRows.exists(_.isNullAt(0)),
+      "roundRobinInterleave: null domain values — fill or filter them first")
+    val counts = countRows.map(r => (String.valueOf(r.get(0)), r.getLong(1)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol))
       .orderBy(Sampling.hashDraw(col(idCol), seed), col(idCol))
     val rn = col("rn")
-    val earlierRounds = counts.map { case (_, c) => least(lit(c), rn - 1) }
-      .reduce(_ + _)
-    val thisRound = counts.map { case (d, c) =>
-      when(lit(d) < col(domainCol).cast("string") && lit(c) >= rn, 1L).otherwise(0L)
-    }.reduce(_ + _)
+    // foldLeft from lit(0L): an empty input stays an empty DataFrame
+    // instead of crashing an empty reduce
+    val earlierRounds = counts.foldLeft(lit(0L): Column) { case (acc, (_, c)) =>
+      acc + least(lit(c), rn - 1)
+    }
+    val thisRound = counts.foldLeft(lit(0L): Column) { case (acc, (d, c)) =>
+      acc + when(lit(d) < col(domainCol).cast("string") && lit(c) >= rn, 1L).otherwise(0L)
+    }
     df.withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("position", (earlierRounds + thisRound + 1).cast("long"))
   }

@@ -330,8 +330,18 @@ object Similarity {
     val sub = dim / m
     def slices(v: Column): Column =
       array((0 until m).map(j => slice(asDouble(v), j * sub + 1, sub)): _*)
+    // a corpus vector whose dimension differs from the codebook's gets
+    // NULL slices -> null distances -> null codes: a LONGER vector would
+    // otherwise silently encode on a prefix (the hyperplaneBuckets
+    // truncation trap), a shorter one on null-padded garbage
+    def guardedSlices(v: Column): Column =
+      when(v.isNotNull && size(v) === dim, slices(v))
+        // m null slices, NOT a null array: the row keeps its m (j, null)
+        // entries so the vector still appears in the output — with null
+        // codes — instead of vanishing from it
+        .otherwise(array((0 until m).map(_ => lit(null).cast("array<double>")): _*))
     val c = corpus.select(col(idCol).as("vec_id"),
-      posexplode(slices(col(vecCol))).as(Seq("j", "__sv")))
+      posexplode(guardedSlices(col(vecCol))).as(Seq("j", "__sv")))
     val cb = codebook.select(col(cbIdCol).cast("long").as("__cid"),
       posexplode(slices(col(cbVecCol))).as(Seq("j", "__cv")))
     val l2e6 = round(expr(
@@ -340,7 +350,13 @@ object Similarity {
     val codes = c.join(broadcast(cb), Seq("j"))
       .withColumn("__d", l2e6)
       .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("__d").as("d"), col("__cid").as("cid"))).as("__best"))
+      // null distance (null vector, or a length mismatch null-padded by
+      // zip_with) must yield a NULL code, not the lowest cid — a bare
+      // min(struct(null, cid)) would sort the null distance FIRST and
+      // hand garbage rows real-looking codes. Wrapping in when() makes
+      // min skip them; an all-null group aggregates to null.
+      .agg(min(when(col("__d").isNotNull,
+        struct(col("__d").as("d"), col("__cid").as("cid")))).as("__best"))
       .select(col("vec_id"), col("j"), col("__best.cid").as("__code"))
     codes.groupBy(col("vec_id"))
       .agg(max(when(col("j") === 0, col("__code"))).as("code_0"),

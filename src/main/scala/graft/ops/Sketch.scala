@@ -110,10 +110,12 @@ object Sketch {
 
   private val TailHexChars = 15
 
-  /** rho = 1 + leading-zero bits of the 60-bit tail of md5(item). */
+  /** rho = 1 + leading-zero bits of the 60-bit tail of md5(item).
+    * (regexp_replace, not two-arg ltrim — the latter signature is
+    * deprecated in Spark 4; the oracle's DuckDB ltrim is unaffected.) */
   private def rhoCol(item: Column, regHexChars: Int): Column = {
     val tail = substring(md5(item), regHexChars + 1, TailHexChars)
-    val stripped = ltrim(tail, "0")
+    val stripped = regexp_replace(tail, "^0+", "")
     val zeroChars = lit(TailHexChars) - length(stripped)
     // leading-zero bits within the first nonzero hex digit
     val lzBits = when(substring(stripped, 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
@@ -131,6 +133,10 @@ object Sketch {
     require(regHexChars >= 1 && regHexChars <= 3,
       s"regHexChars must be in [1,3], got $regHexChars")
     items
+      // a null item has no identity to count — and would otherwise emit a
+      // phantom (null, null) register that inflates used_regs while its
+      // null rho is skipped by the sum, biasing the estimate high
+      .filter(col(itemCol).isNotNull)
       .select(substring(md5(col(itemCol)), 1, regHexChars).as("reg"),
         rhoCol(col(itemCol), regHexChars).as("rho"))
       .groupBy(col("reg"))
@@ -232,6 +238,10 @@ object Sketch {
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
     val width = (hi - lo) / nBins
     items
+      // nulls are EXCLUDED, as in every quantile structure — without the
+      // filter, greatest(null, 0.0) = 0.0 (greatest skips nulls) would
+      // silently count every null as a minimum-value observation
+      .filter(col(valueCol).isNotNull)
       .select(least(greatest(floor((col(valueCol).cast("double") - lo) / width), lit(0.0)),
         lit((nBins - 1).toDouble)).cast("long").as("bin"))
       .groupBy(col("bin"))
@@ -298,11 +308,23 @@ object Sketch {
 
   /** Prune `probe` to rows passing the filter: k chained broadcast LEFT
     * SEMI joins, one per hash — the probe side is never shuffled and
-    * never widened; rows failing any hash drop at the first miss. */
+    * never widened; rows failing any hash drop at the first miss.
+    *
+    * The bit width is DERIVED from the bits table (they are fixed-width
+    * hex by construction), so a build/probe width mismatch — which would
+    * silently drop every probe row, true matches included — cannot
+    * happen. `k` must not EXCEED the k the filter was built with
+    * (positions never set would fail every row); a smaller k stays sound,
+    * it just passes more false positives. An empty filter drops
+    * everything — correct: an empty build side has no matches. */
   def bloomPrune(probe: DataFrame, keyCol: String, bits: DataFrame,
-      k: Int = 3, bitHexChars: Int = 3): DataFrame =
+      k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
+    val bitHexChars = bits.select(length(col("bit")).as("__w")).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
     (0 until k).foldLeft(probe) { (df, i) =>
       df.join(broadcast(bits),
         bloomBitCol(df.col(keyCol), i, bitHexChars) === bits.col("bit"), "left_semi")
     }
+  }
 }

@@ -27,9 +27,12 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Token-budget truncation (the context-window trim): keep the first
-    * `n` tokens, rejoined single-spaced. Per-row, zero shuffle. */
+    * `n` tokens, rejoined single-spaced. Per-row, zero shuffle. Null text
+    * stays null — concat_ws alone would swallow it into "" (the same
+    * null-swallow quantizeInt8 guards against). */
   def truncateTokens(text: Column, n: Int): Column =
-    concat_ws(" ", slice(tokens(text), 1, n))
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws(" ", slice(tokens(text), 1, n)))
 
   /** BPE-ish regex token count: letter runs, single digits, single
     * punctuation — the classic pre-tokenizer shape. Alternatives are
@@ -229,14 +232,19 @@ object TextAnalysis {
     * (id, n_tokens, n_oov, oov_ppm). */
   def oovRate(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, vocabCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    // explode_outer keeps null-text docs in the report (as n_tokens = 0,
+    // oov_ppm = null via the div-by-zero null) — a coverage check that
+    // silently drops uncovered docs isn't one
+    val toks = df.select(col(idCol), explode_outer(tokens(col(textCol))).as("__tok"))
     val v = vocab.select(col(vocabCol).as("__tok")).distinct()
       .withColumn("__in", lit(1))
     toks.join(broadcast(v), Seq("__tok"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .agg(count(col("__tok")).as("n_tokens"),
+        sum(when(col("__tok").isNotNull && col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      // explicit CASE: ANSI div throws on a zero divisor (null-text docs)
+      .withColumn("oov_ppm",
+        expr("CASE WHEN n_tokens = 0 THEN NULL ELSE n_oov * 1000000 div n_tokens END"))
   }
 
   /** Adds the full analysis column set to a documents DataFrame. */

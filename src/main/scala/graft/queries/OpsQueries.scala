@@ -465,7 +465,7 @@ object OpsQueries {
         .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
       val bits = graft.ops.Sketch.bloomBits(cust, "c_custkey", k = 3, bitHexChars = 3)
       val cand = graft.ops.Sketch.bloomPrune(
-        tbl(s, dir, "orders"), "o_custkey", bits, k = 3, bitHexChars = 3)
+        tbl(s, dir, "orders"), "o_custkey", bits, k = 3)
       val matched = cand.join(cust, cand("o_custkey") === cust("c_custkey"), "left_semi")
       cand.agg(count(lit(1)).as("n_candidates")).crossJoin(
         matched.agg(count(lit(1)).as("n_matched"),

@@ -70,4 +70,65 @@ class RobustnessSpec extends AnyFunSuite {
     assert(!q(1L).isNullAt(2))
     assert(q(2L).isNullAt(2)) // null vector -> null codes, not a crash
   }
+
+  test("HLL and the quantile histogram exclude nulls instead of counting phantoms") {
+    val items = Seq(Some("a"), Some("b"), None, Some("a")).toDF("x")
+    val sk = Sketch.hyperLogLog(items, "x").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val skNonNull = Sketch.hyperLogLog(items.filter($"x".isNotNull), "x").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk == skNonNull && sk.size == 2)
+    val vals = Seq(Some(1.0), None, Some(9.0)).toDF("v")
+    val hist = Sketch.quantileHistogram(vals, "v", 0.0, 10.0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1L -> 1L, 9L -> 1L)) // the null is NOT a bin-0 row
+  }
+
+  test("pqEncode: null or wrong-length vectors get null codes, never the lowest cid") {
+    val cb = Seq((0L, Seq(0f, 0f)), (1L, Seq(5f, 5f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Option(Seq(4.9f, 5f))),
+      (11L, Option.empty[Seq[Float]]),
+      (12L, Option(Seq(1f, 2f, 3f, 4f)))) // dim 4 vs codebook dim 2
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(corpus, "vec_id", "embedding",
+      cb, "vec_id", "embedding", m = 1)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(10L).contains(1L))
+    assert(got(11L).isEmpty && got(12L).isEmpty)
+  }
+
+  test("interleave rejects null domains loudly; an empty input yields an empty output") {
+    val bad = Seq((1L, Option("a")), (2L, Option.empty[String])).toDF("id", "dom")
+    intercept[IllegalArgumentException] {
+      Mixture.roundRobinInterleave(bad, "id", "dom")
+    }
+    val empty = Mixture.roundRobinInterleave(
+      bad.filter(lit(false)).select($"id", $"dom".cast("string").as("dom")), "id", "dom")
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("id", "dom", "rn", "position"))
+  }
+
+  test("truncateTokens keeps null text null; oovRate reports null-text docs") {
+    val d = Seq((1L, Option("the cat")), (2L, Option.empty[String])).toDF("id", "text")
+    val t = d.select($"id", TextAnalysis.truncateTokens($"text", 5).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(t(1L).contains("the cat") && t(2L).isEmpty)
+    val oov = TextAnalysis.oovRate(d, "id", "text", Seq("the").toDF("tok"), "tok")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(oov(1L) == ((2L, 1L, Some(500000L))))
+    assert(oov(2L) == ((0L, 0L, None)), "null-text doc must appear in the report")
+  }
+
+  test("bloomPrune derives the bit width from the filter — a non-default build stays sound") {
+    val build = (1 to 50).map(i => i * 3L).toDF("k")
+    val probe = (1 to 300).map(i => (i.toLong, i)).toDF("k", "v")
+    val bits = Sketch.bloomBits(build, "k", k = 3, bitHexChars = 5)
+    val cand = Sketch.bloomPrune(probe, "k", bits)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val trueKeys = probe.join(build, Seq("k"), "left_semi")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(trueKeys.subsetOf(cand), "width mismatch dropped true matches")
+  }
 }
