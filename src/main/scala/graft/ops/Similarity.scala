@@ -364,6 +364,59 @@ object Similarity {
           max(when(col("j") === j, col("__code"))).as(s"code_$j")): _*)
   }
 
+  /** PQ ADC (asymmetric distance computation) search — the serving-side
+    * half of product quantization: neighbors are ranked by the sum over
+    * subspaces of the distance from the QUERY'S exact subvector to the
+    * centroid each corpus code names. The corpus's floats are never
+    * touched — only its m-integer codes — which is the whole point: the
+    * full-width vectors can live in cold storage.
+    *
+    * Uses the same micro-rounded L2 arithmetic as [[pqEncode]], so the
+    * ADC total is integer-exact across engines. Scale shape: the
+    * query-side distance table is |queries| x m x |codebook| tiny rows
+    * (broadcast); the codes table joins it map-side and one
+    * (query, vec) aggregate + per-query top-k window follow. Vectors
+    * that carry null codes (null/mismatched at encode time) are skipped.
+    *
+    * Returns (query_id, neighbor_id, rank, adc_e6). */
+  def pqSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
+      codes: DataFrame, codesIdCol: String,
+      codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+      m: Int, k: Int): DataFrame = {
+    require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
+    val dim = codebook.select(size(col(cbVecCol)).as("__n"))
+      .filter(col("__n").isNotNull && col("__n") > 0).take(1)
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("pqSearch: empty codebook"))
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    def slices(v: Column): Column =
+      array((0 until m).map(j => slice(asDouble(v), j * sub + 1, sub)): _*)
+    val l2e6 = round(expr(
+      """aggregate(zip_with(__sv, __cv, (x, y) -> (x - y) * (x - y)),
+        |          0.0D, (acc, e) -> acc + e)""".stripMargin) * lit(1e6), 0).cast("long")
+    val q = queries.select(col(qIdCol).as("query_id"),
+      posexplode(slices(col(qVecCol))).as(Seq("j", "__sv")))
+    val cb = codebook.select(col(cbIdCol).cast("long").as("__cid"),
+      posexplode(slices(col(cbVecCol))).as(Seq("j", "__cv")))
+    val qdist = q.join(cb, Seq("j")).select(col("query_id"), col("j"),
+      col("__cid"), l2e6.as("__qd"))
+    val melted = codes.select(col(codesIdCol).as("neighbor_id"),
+      posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "__code")))
+      .filter(col("__code").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_e6").asc, col("neighbor_id").asc)
+    melted
+      .join(broadcast(qdist),
+        melted("j") === qdist("j") && col("__code") === col("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__qd")).as("adc_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_e6"))
+  }
+
   /** SemDeDup-style semantic deduplication: vectors are assigned to IVF
     * cells (nearest of the given centroids), and within each cell a
     * vector is dropped when a LOWER-id neighbor sits at cosine >= tau —

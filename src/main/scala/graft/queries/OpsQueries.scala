@@ -169,6 +169,18 @@ object OpsQueries {
         e.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4)
     }),
 
+    // PQ ADC search: rank neighbors by summed query-to-centroid distances
+    // over the corpus's integer codes — the corpus floats are never read
+    // at query time; integer-exact in both engines
+    "s7_pq_search" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val cb = e.filter(col("vec_id") < 16)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding",
+        cb, "vec_id", "embedding", m = 4)
+      Similarity.pqSearch(e.filter(col("vec_id") % 200 === 0), "vec_id", "embedding",
+        codes, "vec_id", cb, "vec_id", "embedding", m = 4, k = 5)
+    }),
+
     // SemDeDup: IVF-cell assignment + within-cell cosine >= 0.99 drop of
     // higher ids; the planted exact copies (vec_id%5 -> +100000) land in
     // their twin's cell and vanish, natural pairs (max cosine ~0.51) all
@@ -902,6 +914,41 @@ object OpsQueries {
         |  max(CASE WHEN j = 2 THEN code END) AS code_2,
         |  max(CASE WHEN j = 3 THEN code END) AS code_3
         |FROM code GROUP BY 1""".stripMargin,
+
+    // the oracle re-derives the codes (s6's CTEs), the query-side
+    // distance table, and the identical ADC sum + ranking
+    "s7_pq_search" ->
+      """WITH sub AS (
+        |  SELECT vec_id, j,
+        |    list_transform(range(1, 17), i -> embedding[j * 16 + i]::DOUBLE) AS sv
+        |  FROM embeddings, unnest([0, 1, 2, 3]) AS u(j)),
+        |cbsub AS (
+        |  SELECT vec_id AS cid, j,
+        |    list_transform(range(1, 17), i -> embedding[j * 16 + i]::DOUBLE) AS cv
+        |  FROM embeddings, unnest([0, 1, 2, 3]) AS u(j) WHERE vec_id < 16),
+        |sc AS (
+        |  SELECT vec_id, s.j, cid,
+        |    CAST(round(list_sum(list_transform(range(1, 17),
+        |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) * 1000000.0, 0) AS BIGINT) AS d
+        |  FROM sub s JOIN cbsub c ON s.j = c.j),
+        |mn AS (SELECT vec_id, j, min(d) AS md FROM sc GROUP BY 1, 2),
+        |code AS (
+        |  SELECT sc.vec_id, sc.j, CAST(min(cid) AS BIGINT) AS code
+        |  FROM sc JOIN mn ON sc.vec_id = mn.vec_id AND sc.j = mn.j AND sc.d = mn.md
+        |  GROUP BY 1, 2),
+        |adc AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(q.d) AS BIGINT) AS adc_e6
+        |  FROM code c
+        |  JOIN (SELECT vec_id AS query_id, j, cid, d FROM sc WHERE vec_id % 200 = 0) q
+        |    ON q.j = c.j AND q.cid = c.code
+        |  WHERE q.query_id <> c.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rank, adc_e6 FROM (
+        |  SELECT query_id, neighbor_id, adc_e6,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_e6 ASC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5""".stripMargin,
 
     // identical cell assignment as s3's oracle, then the NOT EXISTS form
     // of "a lower-id same-cell neighbor at cosine >= 0.99"

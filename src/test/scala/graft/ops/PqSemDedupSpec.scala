@@ -54,6 +54,38 @@ class PqSemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pqSearch over a self-coded corpus ranks by true subspace distance") {
+    // corpus == codebook: every vector's codes are its own id, so the ADC
+    // total IS the exact (micro-rounded) L2 between query and neighbor
+    val corpus = vecs(
+      0L -> Seq(0f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(5f, 5f, 5f, 5f),
+      3L -> Seq(1f, 1f, 0f, 0f))
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", m = 2)
+    val got = Similarity.pqSearch(
+      vecs(0L -> Seq(0f, 0f, 0f, 0f)), "vec_id", "embedding",
+      codes, "vec_id", corpus, "vec_id", "embedding", m = 2, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // distances from origin: 1 -> 1.0, 3 -> 2.0, 2 -> 100.0 (all e6)
+    assert(got.toSeq.sortBy(_._2) == Seq(
+      (1L, 1L, 1000000L), (3L, 2L, 2000000L), (2L, 3L, 100000000L)))
+  }
+
+  test("pqSearch skips vectors whose codes are null (unencodable at encode time)") {
+    val cb = vecs(0L -> Seq(0f, 0f), 1L -> Seq(9f, 9f))
+    val corpus = Seq(
+      (10L, Option(Seq(0.1f, 0f))),
+      (11L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding",
+      cb, "vec_id", "embedding", m = 1)
+    val got = Similarity.pqSearch(vecs(99L -> Seq(0f, 0f)), "vec_id", "embedding",
+      codes, "vec_id", cb, "vec_id", "embedding", m = 1, k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(10L), "null-coded vector must not appear among neighbors")
+  }
+
   test("semanticDedup drops the higher-id twin and keeps everything else") {
     val corpus = vecs(
       1L -> Seq(1f, 0f, 0f, 0f),
