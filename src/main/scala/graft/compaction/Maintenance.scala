@@ -242,4 +242,54 @@ object Maintenance {
     val deletable = paths.filter(current.contains) // re-check before deleting
     deletable.count(p => Files.deleteIfExists(Paths.get(p)))
   }
+
+  /** ANALYZE-style table statistics, persisted as TABLE properties: row
+    * count, per-column null count / min / max (one fused aggregate pass)
+    * and per-column distinct-count estimates (a second pass — ALL
+    * columns' HLL registers ride one scan via
+    * [[graft.ops.Sketch.hyperLogLogBy]], state bounded at 256 registers
+    * per column). Two scans total however many columns, nothing
+    * collected beyond the bounded register table.
+    *
+    * Written keys: `stats.rows`, `stats.<col>.{nulls,min,max,ndv}`, and
+    * `stats.snapshot-id` (provenance — a reader can tell stale stats
+    * from fresh). Committed via metadata-only CAS
+    * ([[graft.meta.SchemaEvolution.updateProperties]]); returns the map.
+    *
+    * This is what a cost-based decision reads instead of scanning: join
+    *-side sizing, mixture planning, compaction candidate priority. */
+  def analyzeTable(spark: org.apache.spark.sql.SparkSession, catalog: Catalog,
+      tableName: String, cols: Seq[String] = Nil): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val df = IceRead.table(spark, catalog, tableName)
+    val target = if (cols.nonEmpty) cols else df.columns.toSeq
+    target.foreach(c => require(df.columns.contains(c),
+      s"analyzeTable: column $c not in table $tableName"))
+    val aggs = target.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls::$c"),
+      min(col(c)).cast("string").as(s"__min::$c"),
+      max(col(c)).cast("string").as(s"__max::$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*).head()
+    val kv = df.select(explode(array(target.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
+      .select(col("kv.c").as("c"), col("kv.v").as("v"))
+    val regs = graft.ops.Sketch.hyperLogLogBy(kv, "c", "v")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(rs => graft.ops.Sketch.hllEstimateFromRegisters(
+        rs.map(_.getLong(2)).toSeq)).toMap
+    val get = (name: String) =>
+      Option(row.get(row.fieldIndex(name))).map(String.valueOf).getOrElse("")
+    val stats = Map("stats.rows" -> row.getLong(0).toString,
+      "stats.snapshot-id" ->
+        catalog.loadTable(tableName).currentSnapshotId.getOrElse(0L).toString) ++
+      target.flatMap { c => Seq(
+        s"stats.$c.nulls" -> get(s"__nulls::$c"),
+        s"stats.$c.min" -> get(s"__min::$c"),
+        s"stats.$c.max" -> get(s"__max::$c"),
+        s"stats.$c.ndv" -> regs.getOrElse(c, 0L).toString)
+      }
+    SchemaEvolution.updateProperties(catalog, tableName, stats)
+    stats
+  }
 }

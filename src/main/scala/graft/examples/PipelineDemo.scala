@@ -124,6 +124,13 @@ object PipelineDemo {
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
     println(s"CURATED table rows=${IceRead.table(spark, catalog, "docs_curated").count()} ($bySplit) tagged=v1")
 
+    // 5a'. ANALYZE: sketch-backed column statistics persisted as table
+    //      properties — what later cost-based decisions read, no scan
+    val stats = graft.compaction.Maintenance.analyzeTable(
+      spark, catalog, "docs_curated", Seq("lang", "quality"))
+    println(s"ANALYZE rows=${stats("stats.rows")} lang_ndv=${stats("stats.lang.ndv")} " +
+      s"quality_max=${stats("stats.quality.max")}")
+
     // 5a. governance patch via conditional MERGE: a review flags one
     //     document for removal and rescores another — one atomic snapshot
     val reviewed = Seq((0L, "remove"), (1L, "rescore")).toDF("doc_id", "action")

@@ -48,6 +48,8 @@ object MetadataJson {
       "current-snapshot-id" -> m.currentSnapshotId.map(JLong(_)).getOrElse(JNull),
       "refs" -> JObject(m.refs.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
       "tags" -> JObject(m.tags.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
+      "properties" -> JObject(m.properties.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (str(v): JValue) }),
       "snapshots" -> JArray(snapJsons.toList),
       "last-sequence-number" -> JLong(m.lastSequenceNumber),
       "version" -> JInt(m.version)
@@ -187,6 +189,9 @@ object MetadataJson {
       currentSnapshotId = optLong(m.getOrElse("current-snapshot-id", JNull)),
       refs = obj(m.getOrElse("refs", JObject())).map { case (k, v) => k -> fLong(v) }.toMap,
       tags = obj(m.getOrElse("tags", JObject())).map { case (k, v) => k -> fLong(v) }.toMap,
+      // absent in pre-properties metadata: default empty keeps it loading
+      properties = obj(m.getOrElse("properties", JObject()))
+        .map { case (k, v) => k -> fStr(v) }.toMap,
       snapshots = arr(m.getOrElse("snapshots", JArray(Nil))).map(snap),
       lastSequenceNumber = fLong(m.getOrElse("last-sequence-number", JLong(0L))),
       version = fLong(m.getOrElse("version", JInt(0))).toInt,

@@ -155,7 +155,11 @@ final case class TableMetadata(
     lastColumnId: Int = 0,
     /** tag name -> snapshot id: IMMUTABLE named refs (Iceberg tags) —
       * created once, never moved, pin their snapshot against expiry. */
-    tags: Map[String, Long] = Map.empty
+    tags: Map[String, Long] = Map.empty,
+    /** TABLE-level properties (Iceberg's metadata `properties` map) —
+      * config and persisted statistics; snapshot summaries (op 36) are
+      * per-commit, these span commits. */
+    properties: Map[String, String] = Map.empty
 ) {
   /** Current column names, in schema order. */
   def schemaColumns: Seq[String] = schema.map(_.name)

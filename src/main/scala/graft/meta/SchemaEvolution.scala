@@ -143,6 +143,14 @@ object SchemaEvolution {
       meta.copy(sortOrder = newOrder)
     }
 
+  /** Upserts/removes TABLE-level properties (metadata-only CAS commit —
+    * Iceberg's `updateProperties`). Existing keys not named are kept. */
+  def updateProperties(catalog: Catalog, tableName: String,
+      upserts: Map[String, String], removes: Set[String] = Set.empty): TableMetadata =
+    commitRetry(catalog, tableName) { meta =>
+      meta.copy(properties = meta.properties -- removes ++ upserts)
+    }
+
   private def commitRetry(catalog: Catalog, tableName: String)(
       f: TableMetadata => TableMetadata): TableMetadata = {
     var attempt = 0

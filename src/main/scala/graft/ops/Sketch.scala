@@ -143,6 +143,37 @@ object Sketch {
       .agg(max(col("rho")).cast("long").as("rho"))
   }
 
+  /** HLL registers per GROUP, one pass: (group, reg, rho) — at most
+    * |groups| * 16^regHexChars rows. The fused form behind multi-column
+    * ANALYZE: every column's sketch rides the same scan. */
+  def hyperLogLogBy(items: DataFrame, groupCol: String, itemCol: String,
+      regHexChars: Int = 2): DataFrame = {
+    require(regHexChars >= 1 && regHexChars <= 3,
+      s"regHexChars must be in [1,3], got $regHexChars")
+    items
+      .filter(col(itemCol).isNotNull)
+      .select(col(groupCol),
+        substring(md5(col(itemCol)), 1, regHexChars).as("reg"),
+        rhoCol(col(itemCol), regHexChars).as("rho"))
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("rho")).cast("long").as("rho"))
+  }
+
+  /** Bias-corrected estimate from a collected register list (driver-side
+    * companion to [[hyperLogLogBy]]): raw harmonic estimate with the
+    * linear-counting switch, same arithmetic as [[hllEstimate]] +
+    * [[hllCountDistinct]]. */
+  def hllEstimateFromRegisters(rhos: Seq[Long], regHexChars: Int = 2): Long = {
+    val m = 1L << (4 * regHexChars)
+    val used = rhos.size
+    val s = rhos.map(r => 1L << (32 - math.min(r, 32L)).toInt).sum
+    val denom = s + (m - used) * (1L << 32)
+    val raw = hllAlphaE6(regHexChars) * ((m * m * (1L << 32)) / denom) / 1000000
+    val zeros = m - used
+    if (raw <= (2.5 * m).toLong && zeros > 0) math.round(m * math.log(m.toDouble / zeros))
+    else raw
+  }
+
   /** alpha_m (the HLL bias constant 0.7213 / (1 + 1.079/m)) in micro
     * units — exposed so the DuckDB oracle can interpolate the SAME
     * integer literal. */
@@ -182,14 +213,10 @@ object Sketch {
     * Flajolet's linear-counting switch (m * ln(m/V) when the raw estimate
     * is under 2.5m and empty registers remain). Driver-side float math on
     * the bounded sketch — the cross-engine-exact path is [[hllEstimate]]. */
-  def hllCountDistinct(items: DataFrame, itemCol: String, regHexChars: Int = 2): Long = {
-    val sk = hyperLogLog(items, itemCol, regHexChars)
-    val row = hllEstimate(sk, regHexChars).head()
-    val (m, used, raw) = (row.getLong(0), row.getLong(1), row.getLong(3))
-    val zeros = m - used
-    if (raw <= (2.5 * m).toLong && zeros > 0) math.round(m * math.log(m.toDouble / zeros))
-    else raw
-  }
+  def hllCountDistinct(items: DataFrame, itemCol: String, regHexChars: Int = 2): Long =
+    hllEstimateFromRegisters(
+      hyperLogLog(items, itemCol, regHexChars).collect().map(_.getLong(1)).toSeq,
+      regHexChars)
 
   /** Streaming HLL maintenance, same contract as [[streamingCountMin]]:
     * each micro-batch's bounded register table lands as a DELTA keyed by

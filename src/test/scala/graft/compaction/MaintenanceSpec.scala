@@ -186,4 +186,35 @@ class MaintenanceSpec extends AnyFunSuite {
     val trimmed = Maintenance.expireSnapshots(catalog, "t_pin", keepLast = 1)
     assert(trimmed.snapshots.map(_.snapshotId).toSet.contains(1L)) // pinned survives
   }
+
+  test("analyzeTable persists exact nulls/min/max and a tight ndv as table properties") {
+    val s = spark
+    import s.implicits._
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val df = Seq(
+      (1L, Option("apple"), Option(10)),
+      (2L, Option("pear"), None),
+      (3L, Option("apple"), Option(30)),
+      (4L, None, Option(30)),
+      (5L, Option("quince"), Option(-2))).toDF("id", "fruit", "qty")
+    IceWrite.create(spark, catalog, "t_stats", df)
+    val stats = Maintenance.analyzeTable(spark, catalog, "t_stats")
+    assert(stats("stats.rows") == "5")
+    assert(stats("stats.fruit.nulls") == "1" && stats("stats.qty.nulls") == "1")
+    assert(stats("stats.fruit.min") == "apple" && stats("stats.fruit.max") == "quince")
+    assert(stats("stats.qty.min") == "-2" && stats("stats.qty.max") == "30")
+    // small-n HLL sits in the exact linear-counting regime (+-1 for a
+    // rare register collision)
+    assert(math.abs(stats("stats.id.ndv").toLong - 5L) <= 1)
+    assert(math.abs(stats("stats.fruit.ndv").toLong - 3L) <= 1)
+    assert(math.abs(stats("stats.qty.ndv").toLong - 3L) <= 1)
+    // persisted on the TABLE, visible to a fresh load; provenance pinned
+    val meta = catalog.loadTable("t_stats")
+    assert(meta.properties == stats)
+    assert(stats("stats.snapshot-id") == meta.currentSnapshotId.get.toString)
+    // metadata-only property upsert keeps unrelated keys
+    SchemaEvolution.updateProperties(catalog, "t_stats", Map("owner" -> "curation"))
+    val after = catalog.loadTable("t_stats").properties
+    assert(after("owner") == "curation" && after("stats.rows") == "5")
+  }
 }

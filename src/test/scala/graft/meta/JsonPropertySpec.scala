@@ -60,8 +60,9 @@ class JsonPropertySpec extends AnyFunSuite {
     v <- Gen.chooseNum(1, 50)
     lastCol <- Gen.chooseNum(0, 60)
     tags <- shortListOf(3, Gen.zip(nameGen, Gen.chooseNum(1L, 99L))).map(_.toMap)
+    props <- shortListOf(4, Gen.zip(nameGen, Gen.alphaNumStr.map(_.take(12)))).map(_.toMap)
   } yield TableMetadata(name, s"/w/$name", fv, schema, pspec, sort, cur, refs,
-    snaps, lastSeq, v, lastCol, tags)
+    snaps, lastSeq, v, lastCol, tags, props)
 
   test("metadata JSON write/read is the identity on arbitrary metadata") {
     for (meta <- samples(metaGen)) {
