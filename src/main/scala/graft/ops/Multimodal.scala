@@ -127,6 +127,52 @@ object Multimodal {
       }(enc)
   }
 
+  private[ops] def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    Some(bos.toByteArray)
+  }
+
+  /** REAL image resize to a fixed (width, height) — the normalization
+    * step before any vision featurizer: JDK-only (java.awt bilinear
+    * redraw + PNG re-encode), same per-partition batch shape as
+    * [[extractImageFeatures]]. Rows -> (media_id, payload, width,
+    * height); undecodable payloads yield null payload. The output
+    * payload is a lossless PNG, so downstream decodes see exactly the
+    * resampled pixels. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1, s"bad target size ${width}x$height")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          resizeImage(r.getAs[Array[Byte]](1), width, height) match {
+            case Some(bytes) => Row(r.getLong(0), bytes, width, height)
+            case None        => Row(r.getLong(0), null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** REAL audio decode — no stub: `javax.sound.sampled` ships in the JDK,
     * so PCM WAV payloads decode without any external library (the same
     * pattern as [[decodeImage]]'s ImageIO move; video remains the one

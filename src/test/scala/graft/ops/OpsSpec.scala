@@ -242,6 +242,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).isEmpty) // undecodable -> nulls, not a crash
   }
 
+  test("real image resize: exact target dims, uniform color preserved, re-decodable") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(64, 32, 0x808080)),
+      (2L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val resized = Multimodal.resizeImages(spark, rows, 16, 16)
+    val out = resized.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getAs[Array[Byte]](1)))).toMap
+    assert(out(2L).isEmpty)
+    // the resized payload is a real PNG of exactly 16x16, still mid-gray
+    // (bilinear resample of a uniform image is the same uniform image)
+    val feats = Multimodal.extractImageFeatures(spark,
+      Seq((1L, out(1L).get)).toDF("media_id", "payload")).head()
+    assert(feats.getInt(1) == 16 && feats.getInt(2) == 16)
+    assert(math.abs(feats.getDouble(3) - 128.0) < 1e-9)
+  }
+
   test("real WAV decode: exact sample rate, duration, channels, RMS") {
     // DC at half full-scale: 16384/32768 = 0.5 exactly
     val dc = Multimodal.wavBytes(8000, 1, Array.fill[Short](8000)(16384))
