@@ -36,9 +36,11 @@ object MetadataJson {
       "name" -> str(m.name),
       "location" -> str(m.location),
       "format-version" -> JInt(m.formatVersion),
-      "schema" -> JArray(m.schema.map(f =>
-        JObject("id" -> JInt(f.id), "name" -> str(f.name), "type" -> str(f.dataType),
-          "nullable" -> JBool(f.nullable))).toList),
+      "schema" -> JArray(m.schema.map { f =>
+        val base = List[(String, JValue)]("id" -> JInt(f.id), "name" -> str(f.name),
+          "type" -> str(f.dataType), "nullable" -> JBool(f.nullable))
+        JObject(f.initialDefault.fold(base)(d => base :+ ("initial-default" -> (str(d): JValue))))
+      }.toList),
       "last-column-id" -> JInt(m.lastColumnId),
       "partition-spec" -> JArray(m.partitionSpec.map(p =>
         JObject("column" -> str(p.column), "transform" -> str(p.transform))).toList),
@@ -173,7 +175,8 @@ object MetadataJson {
           val fm = obj(f).toMap
           SchemaField(fLong(fm("id")).toInt, fStr(fm("name")),
             fStr(fm.getOrElse("type", JString(""))),
-            fBool(fm.getOrElse("nullable", JBool(true))))
+            fBool(fm.getOrElse("nullable", JBool(true))),
+            fm.get("initial-default").map(fStr))
         }
         case _ => SchemaField.fromNames(arr(m.getOrElse("schema-columns", JArray(Nil))).map(fStr))
       },

@@ -24,15 +24,28 @@ object FileContent extends Enumeration {
   * @param dataType DDL type string ("BIGINT", "ARRAY<FLOAT>", ...); empty
   *                 for legacy/untyped tables, which read by column name.
   */
-final case class SchemaField(id: Int, name: String, dataType: String = "", nullable: Boolean = true) {
+final case class SchemaField(id: Int, name: String, dataType: String = "",
+    nullable: Boolean = true,
+    /** Iceberg v3 `initial-default`: a SQL literal (e.g. "'unknown'",
+      * "42") that rows written BEFORE the column existed read as —
+      * per-file semantics, applied only when the file lacks the column. */
+    initialDefault: Option[String] = None) {
   def isTyped: Boolean = dataType.nonEmpty
   def sparkType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.DataType.fromDDL(dataType)
   /** StructField carrying the parquet field id, for id-matched reads/writes. */
-  def toStructField: org.apache.spark.sql.types.StructField =
-    org.apache.spark.sql.types.StructField(name, sparkType, nullable,
-      new org.apache.spark.sql.types.MetadataBuilder()
-        .putLong(SchemaField.ParquetFieldIdKey, id.toLong).build())
+  def toStructField: org.apache.spark.sql.types.StructField = {
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SchemaField.ParquetFieldIdKey, id.toLong)
+    // Spark's vectorized parquet reader fills a column ABSENT from a
+    // file's footer with the EXISTS_DEFAULT literal — per-file exactness
+    // for free: files that HAVE the column keep their explicit nulls
+    // (DefaultProbeSpec pins this upstream behavior)
+    initialDefault.foreach { d =>
+      b.putString("EXISTS_DEFAULT", d).putString("CURRENT_DEFAULT", d)
+    }
+    org.apache.spark.sql.types.StructField(name, sparkType, nullable, b.build())
+  }
 }
 
 object SchemaField {

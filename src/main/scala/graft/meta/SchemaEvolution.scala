@@ -36,15 +36,24 @@ object SchemaEvolution {
   /** Adds a nullable column with a fresh field id (never reused — a dropped
     * and re-added name cannot resurrect old data). Existing files read NULL
     * for it. `ddlType` is a Spark DDL type string ("BIGINT", "STRING", ...). */
-  def addColumn(catalog: Catalog, tableName: String, name: String, ddlType: String): TableMetadata =
+  /** Adds a nullable column; `default` (a SQL literal, e.g. "'unknown'"
+    * or "42") is Iceberg v3's initial-default: rows in files written
+    * BEFORE the column existed read as the default — per-file exactness,
+    * files that already have the column keep their explicit nulls. */
+  def addColumn(catalog: Catalog, tableName: String, name: String, ddlType: String,
+      default: Option[String] = None): TableMetadata =
     commitRetry(catalog, tableName) { meta =>
       require(meta.fieldByName(name).isEmpty, s"column $name already exists")
-      // validate the type eagerly — a bad DDL string must fail the commit,
-      // not the first read
+      // validate the type and default eagerly — a bad DDL/literal string
+      // must fail the commit, not the first read
       org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+      default.foreach { d =>
+        val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(d)
+        require(e.foldable, s"initial-default must be a literal, got: $d")
+      }
       val id = math.max(meta.lastColumnId, meta.schema.map(_.id).foldLeft(0)(math.max)) + 1
       meta.copy(
-        schema = meta.schema :+ SchemaField(id, name, ddlType, nullable = true),
+        schema = meta.schema :+ SchemaField(id, name, ddlType, nullable = true, default),
         lastColumnId = id)
     }
 

@@ -18,7 +18,8 @@ class JsonPropertySpec extends AnyFunSuite {
     name <- nameGen
     t <- Gen.oneOf("", "BIGINT", "STRING", "DOUBLE", "ARRAY<FLOAT>")
     nullable <- Gen.oneOf(true, false)
-  } yield SchemaField(id, name, t, nullable)
+    dflt <- Gen.option(Gen.oneOf("42", "'unknown'", "0.5"))
+  } yield SchemaField(id, name, t, nullable, dflt)
 
   private def shortListOf[T](max: Int, g: Gen[T]): Gen[List[T]] =
     Gen.chooseNum(0, max).flatMap(n => Gen.listOfN(n, g))

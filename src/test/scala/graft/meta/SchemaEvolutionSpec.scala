@@ -123,6 +123,39 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(rows == Set((1L, -1L), (2L, -1L), (3L, 99L)))
   }
 
+  test("add column with initial-default: old files read the default, explicit nulls survive") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_dflt", df(Seq((1L, "a", 10L), (2L, "b", 20L))))
+    SchemaEvolution.addColumn(catalog, "t_dflt", "lang", "STRING", Some("'unknown'"))
+
+    val s = spark
+    import s.implicits._
+    // a post-add file carrying a real value AND an explicit null
+    IceWrite.append(spark, catalog, "t_dflt",
+      Seq((3L, "c", 30L, Option("en")), (4L, "d", 40L, Option.empty[String]))
+        .toDF("id", "name", "qty", "lang"))
+
+    def langs = IceRead.table(spark, catalog, "t_dflt")
+      .select("id", "lang").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val before = langs
+    assert(before == Map(1L -> Some("unknown"), 2L -> Some("unknown"),
+      3L -> Some("en"), 4L -> None),
+      s"per-file default semantics broken: $before")
+
+    // compaction materializes the default into rewritten files; reads
+    // are unchanged
+    new graft.compaction.Compaction(catalog, "t_dflt", spark,
+      config = graft.selection.FullCompactionConfig(
+        graft.selection.PlanningParams(maxOutputParallelism = 1))).compact()
+    assert(langs == before, "compaction changed default-column reads")
+
+    // a non-literal default fails the commit eagerly
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.addColumn(catalog, "t_dflt", "bad", "BIGINT", Some("id + 1"))
+    }
+  }
+
   test("drop column, then re-add same name: old data does NOT resurrect") {
     val catalog = newCatalog()
     IceWrite.create(spark, catalog, "t_drop", df(Seq((1L, "a", 10L), (2L, "b", 20L))))
