@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import graft.meta._
+import graft.selection.FullCompactionConfig
 
 /** Table maintenance: snapshot expiry and orphan-file detection. The
   * reference lists these as roadmap items (README.md:49-86) — they are
@@ -241,6 +242,42 @@ object Maintenance {
     val current = orphanFiles(catalog, tableName, olderThanMs).toSet
     val deletable = paths.filter(current.contains) // re-check before deleting
     deletable.count(p => Files.deleteIfExists(Paths.get(p)))
+  }
+
+  /** Self-maintaining streaming ingest: wraps
+    * [[graft.meta.IceWrite.streamingAppend]] so that every
+    * `everyBatches`-th micro-batch ALSO runs the auto-compaction planner
+    * and executes its recommended plans — the snapshot/file growth a
+    * per-batch append sink accumulates gets folded back continuously,
+    * without a separate maintenance scheduler. foreachBatch serializes
+    * batches, so compaction never races the ingest it maintains; a
+    * replayed batch re-runs the idempotent planner (worst case: a
+    * no-op `NoCandidate`).
+    *
+    * {{{
+    * stream.writeStream.foreachBatch(
+    *   Maintenance.maintainedAppendSink(catalog, "events_raw"))
+    * }}}
+    */
+  def maintainedAppendSink(catalog: Catalog, tableName: String,
+      everyBatches: Int = 10,
+      autoConfig: AutoCompactionConfig = AutoCompactionConfig()):
+      (org.apache.spark.sql.DataFrame, Long) => Unit = {
+    require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
+    (batch, batchId) => {
+      if (!catalog.tableExists(tableName)) {
+        if (!batch.isEmpty)
+          IceWrite.create(batch.sparkSession, catalog, tableName, batch)
+      } else IceWrite.streamingAppend(catalog, tableName)(batch, batchId)
+      if (batchId % everyBatches == everyBatches - 1 && catalog.tableExists(tableName)) {
+        val report = new AutoCompactionPlanner(autoConfig).planReport(catalog, tableName)
+        if (report.plans.nonEmpty) {
+          val c = new Compaction(catalog, tableName, batch.sparkSession,
+            config = FullCompactionConfig(autoConfig.params))
+          report.plans.foreach(c.compactWithPlan(_): Unit)
+        }
+      }
+    }
   }
 
   /** ANALYZE-style table statistics, persisted as TABLE properties: row

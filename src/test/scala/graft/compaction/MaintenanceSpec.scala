@@ -187,6 +187,29 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(trimmed.snapshots.map(_.snapshotId).toSet.contains(1L)) // pinned survives
   }
 
+  test("maintained append sink folds small files back every N batches") {
+    val s = spark
+    import s.implicits._
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val sink = Maintenance.maintainedAppendSink(catalog, "t_stream",
+      everyBatches = 3,
+      AutoCompactionConfig(
+        params = PlanningParams(maxOutputParallelism = 1),
+        minSmallFilesCount = 2))
+    // six appends; maintenance fires after batches 2 and 5
+    (0 until 6).foreach { b =>
+      sink((b * 10 until b * 10 + 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), b.toLong)
+    }
+    val meta = catalog.loadTable("t_stream")
+    val live = meta.currentSnapshot.get.manifest.count(_.content == FileContent.Data)
+    assert(live < 6, s"small files never folded back: $live")
+    // every ingested row survives the rewrites
+    assert(IceRead.table(spark, catalog, "t_stream").count() == 60)
+    // at least one snapshot is a compaction replace, interleaved with appends
+    val ops = meta.snapshots.map(_.summary.getOrElse("operation", ""))
+    assert(ops.contains("replace") && ops.count(_ == "append") == 6, ops.toString)
+  }
+
   test("analyzeTable persists exact nulls/min/max and a tight ndv as table properties") {
     val s = spark
     import s.implicits._
