@@ -270,11 +270,22 @@ object Maintenance {
           IceWrite.create(batch.sparkSession, catalog, tableName, batch)
       } else IceWrite.streamingAppend(catalog, tableName)(batch, batchId)
       if (batchId % everyBatches == everyBatches - 1 && catalog.tableExists(tableName)) {
-        val report = new AutoCompactionPlanner(autoConfig).planReport(catalog, tableName)
-        if (report.plans.nonEmpty) {
-          val c = new Compaction(catalog, tableName, batch.sparkSession,
-            config = FullCompactionConfig(autoConfig.params))
-          report.plans.foreach(c.compactWithPlan(_): Unit)
+        // maintenance failures must NOT fail the batch: the append above
+        // already committed, and a foreachBatch failure would replay the
+        // batch — streamingAppend ignores batchId, so the rows would
+        // ingest TWICE. Compaction is re-attempted on the next trigger
+        // anyway; log and move on.
+        try {
+          val report = new AutoCompactionPlanner(autoConfig).planReport(catalog, tableName)
+          if (report.plans.nonEmpty) {
+            val c = new Compaction(catalog, tableName, batch.sparkSession,
+              config = FullCompactionConfig(autoConfig.params))
+            report.plans.foreach(c.compactWithPlan(_): Unit)
+          }
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[maintainedAppendSink] $tableName batch $batchId: " +
+              s"maintenance failed (ingest committed, will retry next trigger): ${e.getMessage}")
         }
       }
     }
@@ -298,7 +309,13 @@ object Maintenance {
   def analyzeTable(spark: org.apache.spark.sql.SparkSession, catalog: Catalog,
       tableName: String, cols: Seq[String] = Nil): Map[String, String] = {
     import org.apache.spark.sql.functions._
-    val df = IceRead.table(spark, catalog, tableName)
+    // pin the analyzed snapshot FIRST and scan exactly it: provenance
+    // must name the snapshot the numbers came from, not whatever head a
+    // concurrent writer moved to mid-analyze
+    val pinnedMeta = catalog.loadTable(tableName)
+    val pinnedSnapshot = pinnedMeta.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"table $tableName has no snapshot"))
+    val df = IceRead.tableAt(spark, catalog, tableName, pinnedSnapshot)
     val target = if (cols.nonEmpty) cols else df.columns.toSeq
     target.foreach(c => require(df.columns.contains(c),
       s"analyzeTable: column $c not in table $tableName"))
@@ -315,18 +332,22 @@ object Maintenance {
       .collect().groupBy(_.getString(0))
       .view.mapValues(rs => graft.ops.Sketch.hllEstimateFromRegisters(
         rs.map(_.getLong(2)).toSeq)).toMap
-    val get = (name: String) =>
-      Option(row.get(row.fieldIndex(name))).map(String.valueOf).getOrElse("")
+    val get = (name: String) => Option(row.get(row.fieldIndex(name))).map(String.valueOf)
     val stats = Map("stats.rows" -> row.getLong(0).toString,
-      "stats.snapshot-id" ->
-        catalog.loadTable(tableName).currentSnapshotId.getOrElse(0L).toString) ++
-      target.flatMap { c => Seq(
-        s"stats.$c.nulls" -> get(s"__nulls::$c"),
-        s"stats.$c.min" -> get(s"__min::$c"),
-        s"stats.$c.max" -> get(s"__max::$c"),
-        s"stats.$c.ndv" -> regs.getOrElse(c, 0L).toString)
+      "stats.snapshot-id" -> pinnedSnapshot.toString) ++
+      target.flatMap { c =>
+        // sums over zero rows are NULL: counts default to 0, min/max are
+        // simply omitted (an empty "" would blow up readers doing .toLong)
+        Seq(s"stats.$c.nulls" -> get(s"__nulls::$c").getOrElse("0"),
+          s"stats.$c.ndv" -> regs.getOrElse(c, 0L).toString) ++
+          get(s"__min::$c").map(v => s"stats.$c.min" -> v) ++
+          get(s"__max::$c").map(v => s"stats.$c.max" -> v)
       }
-    SchemaEvolution.updateProperties(catalog, tableName, stats)
+    // stale stats.* keys from earlier runs are REMOVED, not left behind:
+    // stats.snapshot-id is global, so surviving old-column entries would
+    // falsely claim fresh provenance
+    val stale = pinnedMeta.properties.keySet.filter(_.startsWith("stats.")) -- stats.keySet
+    SchemaEvolution.updateProperties(catalog, tableName, stats, stale)
     stats
   }
 }

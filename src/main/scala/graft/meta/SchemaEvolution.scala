@@ -44,12 +44,17 @@ object SchemaEvolution {
       default: Option[String] = None): TableMetadata =
     commitRetry(catalog, tableName) { meta =>
       require(meta.fieldByName(name).isEmpty, s"column $name already exists")
-      // validate the type and default eagerly — a bad DDL/literal string
-      // must fail the commit, not the first read
-      org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+      // validate the type and default eagerly — a bad DDL/literal string,
+      // or a default that does not CAST to the column type, must fail the
+      // commit, not the first read
+      val target = org.apache.spark.sql.types.DataType.fromDDL(ddlType)
       default.foreach { d =>
         val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(d)
         require(e.foldable, s"initial-default must be a literal, got: $d")
+        try org.apache.spark.sql.catalyst.expressions.Cast(e, target,
+          ansiEnabled = true).eval(): Unit
+        catch { case ex: Exception => throw new IllegalArgumentException(
+          s"initial-default $d does not cast to $ddlType: ${ex.getMessage}") }
       }
       val id = math.max(meta.lastColumnId, meta.schema.map(_.id).foldLeft(0)(math.max)) + 1
       meta.copy(

@@ -100,7 +100,9 @@ object Dedup {
       if (!exists) k
       else k.join(graft.meta.IceRead.table(spark, catalog, indexTable)
         .select(col("fingerprint")), Seq("fingerprint"), "left_anti")
-    }
+      // materialized too (cheap: novel keys only) — isEmpty + the commit
+      // would otherwise each re-run the index anti-join scan
+    }.localCheckpoint(true)
     if (!exists) graft.meta.IceWrite.create(spark, catalog, indexTable, fresh)
     else if (!fresh.isEmpty)
       graft.meta.IceWrite.upsert(spark, catalog, indexTable, fresh,

@@ -80,11 +80,16 @@ object Multimodal {
     * Returns None for undecodable bytes (schema-level: null columns).
     * Mean luminance uses the standard Rec.601 weights, sampled with a
     * stride so pathological resolutions stay O(10^6) per image. */
+  /** payload -> BufferedImage, or null for empty/undecodable bytes — the
+    * shared preamble of every image path. */
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    if (payload == null || payload.isEmpty) return null
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: Exception => null }
+  }
+
   private[ops] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] = {
-    if (payload == null || payload.isEmpty) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Exception => null }
+    val img = readImage(payload)
     if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
     val stride = math.max(1, math.max(w, h) / 1024)
@@ -128,10 +133,7 @@ object Multimodal {
   }
 
   private[ops] def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
-    if (payload == null || payload.isEmpty) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Exception => null }
+    val img = readImage(payload)
     if (img == null) return None
     val out = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -395,8 +395,14 @@ object Similarity {
     val l2e6 = round(expr(
       """aggregate(zip_with(__sv, __cv, (x, y) -> (x - y) * (x - y)),
         |          0.0D, (acc, e) -> acc + e)""".stripMargin) * lit(1e6), 0).cast("long")
+    // queries get the same dimension guard as pqEncode's corpus side: a
+    // null/short/long query must return NO neighbors — unguarded, its
+    // all-null adc_e6 would rank FIRST (nulls-first window order) and a
+    // longer vector would silently search on a prefix
     val q = queries.select(col(qIdCol).as("query_id"),
-      posexplode(slices(col(qVecCol))).as(Seq("j", "__sv")))
+      posexplode(when(col(qVecCol).isNotNull && size(col(qVecCol)) === dim,
+        slices(col(qVecCol)))).as(Seq("j", "__sv")))
+      .filter(col("__sv").isNotNull)
     val cb = codebook.select(col(cbIdCol).cast("long").as("__cid"),
       posexplode(slices(col(cbVecCol))).as(Seq("j", "__cv")))
     val qdist = q.join(cb, Seq("j")).select(col("query_id"), col("j"),

@@ -1374,6 +1374,9 @@ object OpsQueries {
          |  md5(coalesce(array_to_string(toks[1:32], ' '), '')) AS trunc_md5
          |FROM (SELECT doc_id, $toksSql AS toks FROM documents)""".stripMargin,
 
+    // the final LEFT JOIN from documents keeps null-text docs in the
+    // report (n_tokens 0, null ppm) exactly as the Spark side's
+    // explode_outer contract does
     "t22_oov" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |vocab AS (
@@ -1384,9 +1387,11 @@ object OpsQueries {
          |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
          |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
          |  GROUP BY 1)
-         |SELECT doc_id, n_tokens, n_oov,
-         |  CAST((n_oov * 1000000) // n_tokens AS BIGINT) AS oov_ppm
-         |FROM agg""".stripMargin,
+         |SELECT d.doc_id,
+         |  coalesce(n_tokens, 0) AS n_tokens, coalesce(n_oov, 0) AS n_oov,
+         |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN NULL
+         |       ELSE CAST((n_oov * 1000000) // n_tokens AS BIGINT) END AS oov_ppm
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
 
     // identical clamped binning, identical ceil-target bin selection,
     // identical upper-edge micro arithmetic

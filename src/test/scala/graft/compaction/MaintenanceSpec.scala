@@ -239,5 +239,15 @@ class MaintenanceSpec extends AnyFunSuite {
     SchemaEvolution.updateProperties(catalog, "t_stats", Map("owner" -> "curation"))
     val after = catalog.loadTable("t_stats").properties
     assert(after("owner") == "curation" && after("stats.rows") == "5")
+
+    // a re-analyze of a SUBSET of columns removes the other columns'
+    // stale stats (the global stats.snapshot-id would otherwise claim
+    // fresh provenance for numbers from an older snapshot) but keeps
+    // non-stats properties
+    Maintenance.analyzeTable(spark, catalog, "t_stats", Seq("fruit"))
+    val reduced = catalog.loadTable("t_stats").properties
+    assert(reduced.contains("stats.fruit.ndv") && !reduced.contains("stats.qty.ndv"),
+      reduced.toString)
+    assert(reduced("owner") == "curation")
   }
 }

@@ -154,6 +154,11 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SchemaEvolution.addColumn(catalog, "t_dflt", "bad", "BIGINT", Some("id + 1"))
     }
+    // so does a literal that does not CAST to the column type — it would
+    // otherwise break the first read of every pre-existing file
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.addColumn(catalog, "t_dflt", "bad2", "BIGINT", Some("'unknown'"))
+    }
   }
 
   test("drop column, then re-add same name: old data does NOT resurrect") {

@@ -86,6 +86,19 @@ class PqSemDedupSpec extends AnyFunSuite {
     assert(got == Set(10L), "null-coded vector must not appear among neighbors")
   }
 
+  test("pqSearch: a null or dimension-mismatched query returns no rows, not phantom ranks") {
+    val cb = vecs(0L -> Seq(0f, 0f), 1L -> Seq(9f, 9f))
+    val corpus = vecs(10L -> Seq(0.1f, 0f), 11L -> Seq(8f, 9f))
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding",
+      cb, "vec_id", "embedding", m = 1)
+    val badQueries = Seq(
+      (98L, Option.empty[Seq[Float]]),
+      (99L, Option(Seq(1f, 2f, 3f, 4f)))).toDF("vec_id", "embedding")
+    val got = Similarity.pqSearch(badQueries, "vec_id", "embedding",
+      codes, "vec_id", cb, "vec_id", "embedding", m = 1, k = 5)
+    assert(got.isEmpty, "garbage queries must not rank neighbors (null sorts first!)")
+  }
+
   test("semanticDedup drops the higher-id twin and keeps everything else") {
     val corpus = vecs(
       1L -> Seq(1f, 0f, 0f, 0f),
