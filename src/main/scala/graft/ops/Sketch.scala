@@ -275,6 +275,49 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-GROUP quantile histograms, one pass: (group, bin, cnt) — at
+    * most |groups| * nBins rows. The grouped companion of
+    * [[quantileHistogram]], same clamped binning and null exclusion. */
+  def quantileHistogramBy(items: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1 && nBins <= 65536, s"nBins must be in [1,65536], got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / nBins
+    items
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        least(greatest(floor((col(valueCol).cast("double") - lo) / width), lit(0.0)),
+          lit((nBins - 1).toDouble)).cast("long").as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantile estimates from a grouped histogram: same
+    * ceil-target upper-edge arithmetic as [[quantileEstimate]], one row
+    * per (group, q_ppm). Bounded input (|groups| * nBins), bounded
+    * windows (keyed by group). */
+  def quantileEstimateBy(hist: DataFrame, groupCol: String, qsPpm: Seq[Long],
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 0 && q <= 1000000),
+      s"quantiles must be ppm in [0, 1e6], got $qsPpm")
+    val width = (hi - lo) / nBins
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("bin"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val total = hist.groupBy(col(groupCol)).agg(sum(col("cnt")).as("total"))
+    total
+      .crossJoin(qsPpm.toDF("q_ppm"))
+      .withColumn("__target", expr("(q_ppm * total + 999999) div 1000000"))
+      .join(cum, Seq(groupCol.toString))
+      .filter(col("cum") >= col("__target"))
+      .groupBy(col(groupCol), col("q_ppm"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col(groupCol), col("q_ppm"), col("bin"),
+        round((lit(lo) + (col("bin") + 1) * lit(width)) * 1e6, 0).cast("long").as("upper_e6"))
+  }
+
   /** Estimate quantiles from a built histogram: for each q (in ppm), the
     * first bin whose cumulative count reaches ceil(q * total) — reported
     * as (q_ppm, bin, upper_e6), the bin's upper edge in micro units.

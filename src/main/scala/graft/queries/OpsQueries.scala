@@ -468,6 +468,14 @@ object OpsQueries {
         lo = 0.0, hi = 600000.0, nBins = 256)
     }),
 
+    // per-language doc-length quantiles from ONE grouped histogram pass
+    "t23_group_quantile" -> ((s, dir) => {
+      val hist = graft.ops.Sketch.quantileHistogramBy(
+        tbl(s, dir, "documents"), "lang", "n_chars", lo = 0.0, hi = 2000.0, nBins = 128)
+      graft.ops.Sketch.quantileEstimateBy(hist, "lang", Seq(500000L, 900000L),
+        lo = 0.0, hi = 2000.0, nBins = 128)
+    }),
+
     // bloom-filter join pruning: the filter (distinct md5 bit positions of
     // the BUILDING customers) gates the orders scan before the exact semi
     // join; n_candidates oracle-checks the bloom itself (the exact same
@@ -1408,6 +1416,26 @@ object OpsQueries {
         |        FROM tgt JOIN c ON c.cum >= tgt.target GROUP BY 1)
         |SELECT q_ppm, bin,
         |  CAST(round((bin + 1) * 2343.75 * 1000000.0, 0) AS BIGINT) AS upper_e6
+        |FROM sel""".stripMargin,
+
+    // same per-group binning, cumulative targets, and upper-edge math
+    "t23_group_quantile" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    CAST(least(greatest(floor(n_chars / 15.625), 0), 127) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, bin, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum
+        |      FROM h),
+        |t AS (SELECT lang, sum(cnt) AS total FROM h GROUP BY 1),
+        |q AS (SELECT CAST(unnest([500000, 900000]) AS BIGINT) AS q_ppm),
+        |tgt AS (SELECT lang, q_ppm, (q_ppm * total + 999999) // 1000000 AS target
+        |        FROM t, q),
+        |sel AS (SELECT tgt.lang, q_ppm, min(bin) AS bin
+        |        FROM tgt JOIN c ON c.lang = tgt.lang AND c.cum >= tgt.target
+        |        GROUP BY 1, 2)
+        |SELECT lang, q_ppm, bin,
+        |  CAST(round((bin + 1) * 15.625 * 1000000.0, 0) AS BIGINT) AS upper_e6
         |FROM sel""".stripMargin,
 
     // the oracle sets the identical bloom bits and applies the identical

@@ -182,6 +182,23 @@ class RangeJoinSketchSpec extends AnyFunSuite {
     assert(merged == hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("grouped quantile histogram equals the per-group ungrouped computation") {
+    val vals = (0 until 60).map(i => (if (i % 3 == 0) "a" else "b", (i % 20).toDouble))
+      .toDF("g", "v")
+    val grouped = Sketch.quantileEstimateBy(
+      Sketch.quantileHistogramBy(vals, "g", "v", 0.0, 20.0, 20),
+      "g", Seq(500000L, 900000L), 0.0, 20.0, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    for (g <- Seq("a", "b")) {
+      val single = Sketch.quantileEstimate(
+        Sketch.quantileHistogram(vals.filter($"g" === g), "v", 0.0, 20.0, 20),
+        Seq(500000L, 900000L), 0.0, 20.0, 20)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      for (q <- Seq(500000L, 900000L))
+        assert(grouped((g, q)) == single(q), s"group $g q $q")
+    }
+  }
+
   test("streaming HLL deltas: batches accumulate by max, a REPLAYED batch is absorbed") {
     import graft.meta.LocalCatalog
     val catalog = LocalCatalog(
