@@ -109,6 +109,37 @@ object Sampling {
       .sortWithinPartitions(col("shard"), col("shard_pos"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 
+  /** Per-group cap: keep at most `cap` rows per group, chosen by the
+    * deterministic md5 draw (ties -> id) — domain balancing for a crawl
+    * corpus where a handful of hosts dominate. One exchange keyed by the
+    * group; the rank window streams each group in draw order, and the
+    * survivor set is a pure function of (seed, id, group membership):
+    * adding docs to a full group only ever swaps survivors whose draw is
+    * displaced, never reshuffles the whole group. Skewed groups sort
+    * spill-safely (external sort) — the cap filter drops the tail before
+    * anything downstream sees it. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, cap: Int,
+      seed: String = "cap"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashDraw(col(idCol), seed).asc, col(idCol).asc)
+    df.withColumn("__cap_rk", row_number().over(w))
+      .filter(col("__cap_rk") <= cap)
+      .drop("__cap_rk")
+  }
+
+  /** Exactly-n deterministic sample: the n smallest md5 draws (ties ->
+    * id). Plans as TakeOrderedAndProject — every partition keeps a local
+    * n-row heap and the driver merges heaps, so there is no global sort
+    * and no full shuffle; n rows cross the wire per partition, period.
+    * Same (seed, corpus) -> same n rows, on any partitioning. */
+  def fixedSample(df: DataFrame, idCol: String, n: Int,
+      seed: String = "fixed"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    df.orderBy(hashDraw(col(idCol), seed).asc, col(idCol).asc).limit(n)
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates (a data
     * mixture — "50% of en, 10% of everything else"). Strata absent from
     * `rates` fall back to `defaultRate`. One narrow filter, no shuffle;

@@ -186,6 +186,53 @@ object TextAnalysis {
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit(UrlRe), lit(1))
 
+  /** Tracking params dropped by [[canonicalizeUrl]] — the ubiquitous
+    * click-attribution keys that make one page look like many URLs.
+    * Java-regex/RE2-identical (no backrefs, no lookaround) so the SQL
+    * oracle applies the same pattern. */
+  val TrackingParamRe = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="
+
+  /** Canonicalize an absolute http(s) URL so that trivially-distinct
+    * spellings of the same page collapse to one key — THE prerequisite
+    * for URL-level dedup of a crawl frontier, where `HTTP://Site.com/a/`
+    * and `http://site.com/a?utm_source=feed` are the same fetch. Rules
+    * (each a pure per-row string expression, whole-stage codegen, no
+    * UDFs, no shuffle):
+    *
+    *   1. fragment stripped (`#...` never reaches the server);
+    *   2. scheme and host lowercased (case-insensitive per RFC 3986 —
+    *      path case is PRESERVED, it is significant);
+    *   3. default port dropped (`:80` for http, `:443` for https; any
+    *      other port kept);
+    *   4. trailing slashes trimmed from the path;
+    *   5. tracking query params removed ([[TrackingParamRe]]), the rest
+    *      sorted byte-wise and rejoined — param order never
+    *      distinguishes pages; an emptied query drops its `?`.
+    *
+    * Inputs without a `scheme://` prefix are returned unchanged —
+    * canonicalization of garbage would merge UNRELATED keys, the one
+    * failure mode a dedup key must never have. */
+  def canonicalizeUrl(url: Column): Column = {
+    val big = lit(1 << 30)
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathQuery = rest.substr(length(hostPort) + 1, big)
+    val rawPath = regexp_extract(pathQuery, "^([^?]*)", 1)
+    val path = regexp_replace(rawPath, "/+$", "")
+    val query = pathQuery.substr(length(rawPath) + 2, big)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike(TrackingParamRe)))
+    val queryPart = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, path, queryPart))
+  }
+
   /** Top-k characteristic terms per document by tf-idf — the keyword
     * extraction a corpus-exploration pass runs ("what is each document
     * about") and the weighting behind sparse retrieval mixes.

@@ -297,6 +297,40 @@ object OpsQueries {
         tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang", Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)),
 
+    // domain balancing: at most 30 docs per language, chosen by the md5
+    // draw — survivor set is a pure function of (seed, id), oracle picks
+    // the identical rows via the identical draw order
+    "p7_domain_cap" -> ((s, dir) =>
+      graft.ops.Sampling.capPerGroup(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", cap = 30)),
+
+    // exactly-100 deterministic sample (the n smallest draws) — plans as
+    // TakeOrderedAndProject: per-partition heaps, no global sort
+    "p8_fixed_sample" -> ((s, dir) =>
+      graft.ops.Sampling.fixedSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", n = 100)),
+
+    // URL canonicalization for crawl-frontier dedup: synthetic URLs are
+    // derived from doc_id exercising every rule (case, default ports,
+    // trailing slash, tracking params, param order, fragments); the full
+    // canonical string is hash-checked against the oracle applying the
+    // same rules in SQL
+    "t24_url_canon" -> ((s, dir) => {
+      val u = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+        lit("WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".com"),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        lit("/Path/"), (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), (col("doc_id") % 4).cast("string"), lit("&a=1"),
+        when(col("doc_id") % 4 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit(""))).as("url"))
+      u.select(col("doc_id"), col("url"),
+        TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+    }),
+
     // line-level (paragraph) dedup, CCNet-style: the corpus is given line
     // structure deterministically (10-token body lines + boilerplate lines
     // injected into every 2nd/3rd doc), then lines appearing >= 5 times
@@ -1156,6 +1190,55 @@ object OpsQueries {
          |WHERE substr(md5('strata:' || doc_id), 1, 8) <
          |  CASE lang WHEN 'en' THEN '$en' WHEN 'fr' THEN '$fr' ELSE '$other' END""".stripMargin
     },
+
+    // identical draw, identical per-group rank order
+    "p7_domain_cap" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY substr(md5('cap:' || doc_id), 1, 8), doc_id) <= 30""".stripMargin,
+
+    // the 100 smallest draws — selection is order-insensitive (set compare)
+    "p8_fixed_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY substr(md5('fixed:' || doc_id), 1, 8), doc_id LIMIT 100""".stripMargin,
+
+    // the same five canonicalization rules applied in SQL: fragment strip,
+    // scheme/host lowercase, default-port drop, trailing-slash trim,
+    // tracking-param removal + byte-wise param sort
+    "t24_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+        |    '/Path/' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    '?utm_source=feed&b=' || CAST(doc_id % 4 AS VARCHAR) || '&a=1' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=xyz' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+        |s2 AS (SELECT doc_id, url,
+        |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+        |s3 AS (SELECT doc_id, url, scheme, rest,
+        |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport FROM s2),
+        |s4 AS (SELECT doc_id, url, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       ELSE hostport END AS host,
+        |  substr(rest, length(hostport) + 1) AS pathquery FROM s3),
+        |s5 AS (SELECT doc_id, url, scheme, host, pathquery,
+        |  regexp_extract(pathquery, '^([^?]*)', 1) AS rawpath FROM s4),
+        |s6 AS (SELECT doc_id, url, scheme, host,
+        |  regexp_replace(rawpath, '/+$', '') AS path,
+        |  list_sort(list_filter(string_split(substr(pathquery, length(rawpath) + 2), '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))) AS params
+        |  FROM s5)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host || path ||
+        |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+        |FROM s6""".stripMargin,
 
     // line structure injection mirrors the Spark query: 10-token body
     // lines + boilerplate appended to every 2nd/3rd doc; counting keys on

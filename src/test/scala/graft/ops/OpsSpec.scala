@@ -468,6 +468,59 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$plan")
   }
 
+  test("URL canonicalization: each rule on hand-computed cases") {
+    val cases = Seq(
+      // case-fold scheme+host, default port, trailing slash, tracking
+      // params dropped, survivors sorted; path case PRESERVED
+      "HTTP://WWW.Example.COM:80/Path/?utm_source=x&b=2&a=1#frag" ->
+        "http://www.example.com/Path?a=1&b=2",
+      // https default port; bare host (no path, no query)
+      "https://Host.com:443" -> "https://host.com",
+      // non-default port kept
+      "https://host.com:8443/x/" -> "https://host.com:8443/x",
+      // every param is tracking -> the '?' goes too
+      "http://h.com/p?utm_a=1&gclid=2&fbclid=3&ref=home" -> "http://h.com/p",
+      // fragment-only difference collapses; multiple trailing slashes
+      "http://h.com/a///#sec" -> "http://h.com/a",
+      // no scheme -> returned unchanged (garbage must not merge keys)
+      "example.com/x/" -> "example.com/x/",
+      // only the utm_ FAMILY is tracking: bare 'utm' and 'u' both survive
+      "http://h.com/p?utm=2&u=1" -> "http://h.com/p?u=1&utm=2"
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select($"url", TextAnalysis.canonicalizeUrl($"url").as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases) assert(got(in) == want, s"for $in")
+  }
+
+  test("capPerGroup keeps the cap smallest draws per group; small groups intact") {
+    val df = docs.select($"doc_id", $"lang")
+    val out = Sampling.capPerGroup(df, "doc_id", "lang", cap = 10)
+    val sizes = out.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ <= 10))
+    // survivors are exactly the 10 smallest (draw, id) per group
+    val want = df.withColumn("d", Sampling.hashDraw($"doc_id", "cap"))
+      .as[(Long, String, String)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._1)).take(10).map(_._1) }.toSet
+    assert(out.select($"doc_id").as[Long].collect().toSet == want)
+    // a cap above every group size is the identity
+    assert(Sampling.capPerGroup(df, "doc_id", "lang", cap = 100000).count() == df.count())
+  }
+
+  test("fixedSample: exactly n, the n smallest draws, TakeOrderedAndProject plan") {
+    val df = docs.select($"doc_id", $"lang")
+    val out = Sampling.fixedSample(df, "doc_id", n = 25)
+    val got = out.select($"doc_id").as[Long].collect().toSet
+    assert(got.size == 25)
+    val want = df.withColumn("d", Sampling.hashDraw($"doc_id", "fixed"))
+      .as[(Long, String, String)].collect()
+      .sortBy(r => (r._3, r._1)).take(25).map(_._1).toSet
+    assert(got == want)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-n plan:\n$plan")
+  }
+
   test("URL domain extraction finds hosts in order; no false hits") {
     val rows = Seq(
       (1L, "see https://a.example.com/x and http://b.org, then https://a.example.com again"),
