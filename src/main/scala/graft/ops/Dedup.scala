@@ -112,6 +112,102 @@ object Dedup {
     keepers.join(mine, Seq("fingerprint"), "left_semi").drop("fingerprint")
   }
 
+  /** Cross-RUN near-dup dedup against a persisted LSH band index — the
+    * continuous-crawl shape of [[minHashNearDupPairs]]: each arriving
+    * batch is near-dup-deduplicated against every batch ever ingested,
+    * not just itself.
+    *
+    * The index table persists, per surviving doc: (id, batch_id =
+    * first-seen batch, bands = the k/rowsPerBand LSH band hashes,
+    * gset = the sorted xxhash64 shingle set). Per batch:
+    *
+    *  1. one [[minHashSignatureSets]] projection (shuffle-free) gives
+    *     every batch doc its signature, band hashes, and verify set;
+    *  2. WITHIN-batch: LSH bucket join -> size-gated exact-Jaccard
+    *     verify -> connected components; each cluster keeps its min id;
+    *  3. CROSS-run: batch band rows join the index's exploded band rows
+    *     on (band, bh) — at scale a sort-merge keyed by band hash, the
+    *     index side never carries text — and candidates are verified
+    *     exactly against the stored gsets; any keeper matching history
+    *     is dropped;
+    *  4. survivors' (id, batch_id, bands, gset) upsert into the index
+    *     atomically (CAS; keyed by id);
+    *  5. the emitted rows are read BACK from the index as "ids first
+    *     seen in THIS batch", joined to the batch for full columns.
+    *
+    * Replay-STABLE like [[incrementalExact]], with one extra guard: the
+    * cross-run check excludes index rows whose batch_id IS this batch —
+    * a replayed batch would otherwise match its own previous commit and
+    * emit nothing, silently dropping the batch downstream.
+    *
+    * Null/empty text never matches anything (null gset fails every
+    * Jaccard test) — such rows always survive as unique, matching the
+    * batch pipeline's contract.
+    *
+    * Concurrency contract: one writer per index (the foreachBatch
+    * serialization guarantee), same as [[incrementalExact]]. */
+  def incrementalMinHash(spark: org.apache.spark.sql.SparkSession,
+      catalog: graft.meta.Catalog, indexTable: String,
+      batch: DataFrame, idCol: String, textCol: String, batchId: Long,
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 100,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
+    val nBands = k / rowsPerBand
+    val sigSets = minHashSignatureSets(batch, idCol, textCol, n, k)
+    val bandArr = (0 until nBands).map { b =>
+      md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*))
+    }
+    // (id, bands, gset), materialized once: feeds the bucket join, both
+    // verify stages, and the commit payload
+    val docs = sigSets.select(col("id"), array(bandArr: _*).as("bands"), col("gset"))
+      .localCheckpoint(true)
+    val bandRows = docs.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+
+    // within-batch: bucket join -> gated verify -> components -> min id
+    val pairs = lshCandidatePairs(bandRows, maxBucketSize).localCheckpoint(true)
+    val sets = docs.select(col("id"), col("gset"))
+    val dupPairs =
+      if (pairs.count() <= maxBroadcastCandidates) verifyJaccardSets(pairs, sets, threshold)
+      else verifyJaccardSetsShuffled(pairs, sets, threshold)
+    val dominated = clusterPairs(dupPairs)
+      .filter(col("cluster_id") =!= col("id")).select(col("id"))
+    val keepers = docs.join(dominated, Seq("id"), "left_anti")
+
+    // cross-run: keeper bands vs the index's bands (REPLAY guard: this
+    // batch's own prior commit must not match itself)
+    val exists = catalog.tableExists(indexTable)
+    val survivors = {
+      if (!exists) keepers
+      else {
+        val idx = graft.meta.IceRead.table(spark, catalog, indexTable)
+          .filter(col("batch_id") =!= batchId)
+        val idxBands = idx.select(col("id").as("old_id"),
+          posexplode(col("bands")).as(Seq("band", "bh")))
+        val keeperBands = keepers.select(col("id"),
+          posexplode(col("bands")).as(Seq("band", "bh")))
+        val cand = keeperBands.join(idxBands, Seq("band", "bh"))
+          .select(col("id"), col("old_id")).distinct()
+        val matched = cand
+          .join(keepers.select(col("id"), col("gset").as("__g1")), Seq("id"))
+          .join(idx.select(col("id").as("old_id"), col("gset").as("__g2")), Seq("old_id"))
+          .filter(graft.functions.SetFunctions.jaccard_ge(col("__g1"), col("__g2"), threshold))
+          .select(col("id"))
+        keepers.join(matched, Seq("id"), "left_anti")
+      }
+    }
+    val fresh = survivors
+      .select(col("id"), lit(batchId).as("batch_id"), col("bands"), col("gset"))
+      .localCheckpoint(true)
+    if (!exists) graft.meta.IceWrite.create(spark, catalog, indexTable, fresh)
+    else if (!fresh.isEmpty)
+      graft.meta.IceWrite.upsert(spark, catalog, indexTable, fresh, keys = Seq("id"))
+    val mine = graft.meta.IceRead.table(spark, catalog, indexTable)
+      .filter(col("batch_id") === batchId)
+      .select(col("id").as(idCol))
+    batch.join(mine, Seq(idCol), "left_semi")
+  }
+
   /** MinHash signature: k min-hashes over the distinct shingle set. md5 is
     * the hash family, but each digest is split into four independent
     * 8-hex-char lanes, so k=16 costs 4 md5 calls per shingle instead of 16

@@ -60,4 +60,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(graft.meta.IceRead.snapshots(spark, catalog, "idx").count() == snapsBefore,
       "empty batch must not create a snapshot")
   }
+
+  // near-dup fixtures: one extra trailing token ~ Jaccard 11/12 on 3-gram
+  // sets, far above the 0.5 threshold
+  private val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+  private val textB = "completely different content about spark catalyst optimizer and shuffles everywhere always"
+  private val textD = "yet another unrelated document discussing parquet footers and manifest pruning logic"
+
+  test("near-dup index: batches dedup against every batch ever ingested") {
+    val catalog = freshCatalog()
+    val b0 = Seq((3L, textA + " today"), (1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val out0 = Dedup.incrementalMinHash(spark, catalog, "nidx", b0, "doc_id", "text", 0L)
+      .collect().map(_.getLong(0)).toSet
+    // 3 is a near-dup of 1 (lower id wins within the batch)
+    assert(out0 == Set(1L, 2L))
+    // batch 1: a near-dup of batch-0 content (dropped), one novel doc (kept)
+    val b1 = Seq((10L, textA + " again"), (11L, textD)).toDF("doc_id", "text")
+    val out1 = Dedup.incrementalMinHash(spark, catalog, "nidx", b1, "doc_id", "text", 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out1 == Set(11L))
+    val idx = graft.meta.IceRead.table(spark, catalog, "nidx")
+      .select($"id", $"batch_id").as[(Long, Long)].collect().toSet
+    assert(idx == Set((1L, 0L), (2L, 0L), (11L, 1L)))
+  }
+
+  test("near-dup index: replaying a committed batch re-emits the same rows") {
+    val catalog = freshCatalog()
+    val b0 = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    Dedup.incrementalMinHash(spark, catalog, "nidx", b0, "doc_id", "text", 0L).collect()
+    val b1 = Seq((10L, textB + " addendum"), (11L, textD)).toDF("doc_id", "text")
+    val first = Dedup.incrementalMinHash(spark, catalog, "nidx", b1, "doc_id", "text", 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(first == Set(11L))
+    // downstream failed; the batch replays AFTER its index commit — the
+    // replay guard must keep the batch from matching its own rows
+    val replay = Dedup.incrementalMinHash(spark, catalog, "nidx", b1, "doc_id", "text", 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(replay == first, "replay must re-emit the batch's novel rows")
+    assert(graft.meta.IceRead.table(spark, catalog, "nidx").count() == 3)
+  }
+
+  test("near-dup index: an all-near-dup batch emits nothing and commits nothing") {
+    val catalog = freshCatalog()
+    val b0 = Seq((1L, textA)).toDF("doc_id", "text")
+    Dedup.incrementalMinHash(spark, catalog, "nidx", b0, "doc_id", "text", 0L).collect()
+    val snapsBefore = graft.meta.IceRead.snapshots(spark, catalog, "nidx").count()
+    val b1 = Seq((9L, textA + " extra")).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinHash(spark, catalog, "nidx", b1, "doc_id", "text", 1L)
+    assert(out.isEmpty)
+    assert(graft.meta.IceRead.snapshots(spark, catalog, "nidx").count() == snapsBefore,
+      "an all-dup batch must not create a snapshot")
+  }
 }
