@@ -28,7 +28,8 @@ object PlanAudit {
         "t18_cms","r1_range_join","r2_interval_overlap",
         "t19_hll","r3_bloom_join","s6_pq_encode","d7_semdedup","p5_shards",
         "t20_quantile","p6_interleave","t21_truncate","t22_oov","s7_pq_search",
-        "t23_group_quantile","p7_domain_cap","p8_fixed_sample","t24_url_canon")) {
+        "t23_group_quantile","p7_domain_cap","p8_fixed_sample","t24_url_canon",
+        "s8_ann_index")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length

@@ -423,6 +423,58 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_e6"))
   }
 
+  /** Candidate-restricted PQ ADC search — [[pqSearch]] with the
+    * (query, neighbor) pair set fixed up front instead of all-pairs. The
+    * serving half of an IVF+PQ index: the caller derives candidates from
+    * cell probes, so the ADC join touches |candidates| * m code rows, not
+    * |queries| * |corpus| * m. Same micro-rounded L2, same null guards
+    * (a null/mismatched query emits no subvectors and therefore NO
+    * neighbors; null-coded corpus rows are skipped).
+    *
+    * `cand` columns: (query_id, neighbor_id, code_0..code_{m-1}).
+    * Returns (query_id, neighbor_id, rank, adc_e6). */
+  def pqSearchCandidates(queries: DataFrame, qIdCol: String, qVecCol: String,
+      cand: DataFrame,
+      codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+      m: Int, k: Int): DataFrame = {
+    require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
+    val dim = codebook.select(size(col(cbVecCol)).as("__n"))
+      .filter(col("__n").isNotNull && col("__n") > 0).take(1)
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("pqSearchCandidates: empty codebook"))
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    def slices(v: Column): Column =
+      array((0 until m).map(j => slice(asDouble(v), j * sub + 1, sub)): _*)
+    val l2e6 = round(expr(
+      """aggregate(zip_with(__sv, __cv, (x, y) -> (x - y) * (x - y)),
+        |          0.0D, (acc, e) -> acc + e)""".stripMargin) * lit(1e6), 0).cast("long")
+    val q = queries.select(col(qIdCol).as("query_id"),
+      posexplode(when(col(qVecCol).isNotNull && size(col(qVecCol)) === dim,
+        slices(col(qVecCol)))).as(Seq("j", "__sv")))
+      .filter(col("__sv").isNotNull)
+    val cb = codebook.select(col(cbIdCol).cast("long").as("__cid"),
+      posexplode(slices(col(cbVecCol))).as(Seq("j", "__cv")))
+    val qdist = q.join(cb, Seq("j")).select(col("query_id"), col("j"),
+      col("__cid"), l2e6.as("__qd"))
+    val melted = cand.select(col("query_id"), col("neighbor_id"),
+      posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "__code")))
+      .filter(col("__code").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_e6").asc, col("neighbor_id").asc)
+    melted
+      .join(broadcast(qdist),
+        melted("query_id") === qdist("query_id") && melted("j") === qdist("j") &&
+          col("__code") === col("__cid"))
+      .drop(qdist("query_id")).drop(qdist("j"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__qd")).as("adc_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_e6"))
+  }
+
   /** SemDeDup-style semantic deduplication: vectors are assigned to IVF
     * cells (nearest of the given centroids), and within each cell a
     * vector is dropped when a LOWER-id neighbor sits at cosine >= tau —

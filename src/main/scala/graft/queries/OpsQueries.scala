@@ -510,6 +510,24 @@ object OpsQueries {
         lo = 0.0, hi = 2000.0, nBins = 128)
     }),
 
+    // the PERSISTED IVF+PQ index end to end: build (trainIters=0, so the
+    // deterministic md5-draw seeds ARE the centroids and every stage is
+    // SQL-expressible) -> catalog tables -> multi-probe serve from
+    // integer codes alone. The oracle replays seed selection, cell
+    // assignment, PQ encode, 2-probe candidate generation, and ADC
+    // ranking relationally
+    "s8_ann_index" -> ((s, dir) => {
+      import graft.meta.LocalCatalog
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-ann-wh").toString)
+      val e = tbl(s, dir, "embeddings")
+      graft.ops.AnnIndex.build(s, catalog, "annq", e, "vec_id", "embedding",
+        nCells = 8, m = 4, trainIters = 0)
+      graft.ops.AnnIndex.search(s, catalog, "annq",
+        e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    }),
+
     // bloom-filter join pruning: the filter (distinct md5 bit positions of
     // the BUILDING customers) gates the orders scan before the exact semi
     // join; n_candidates oracle-checks the bloom itself (the exact same
@@ -1520,6 +1538,65 @@ object OpsQueries {
         |SELECT lang, q_ppm, bin,
         |  CAST(round((bin + 1) * 15.625 * 1000000.0, 0) AS BIGINT) AS upper_e6
         |FROM sel""".stripMargin,
+
+    // seed draw, cell argmax, subspace codes, 2-probe candidates, and
+    // ADC rank all replayed relationally on the base table
+    "s8_ann_index" ->
+      """WITH ord AS (
+        |  SELECT vec_id, embedding, substr(md5('annseed:' || vec_id), 1, 8) AS draw
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY draw, vec_id) - 1 AS BIGINT) AS cid,
+        |         embedding AS cvec
+        |  FROM (SELECT * FROM ord ORDER BY draw, vec_id LIMIT 8)),
+        |cells AS (
+        |  SELECT vec_id, cid AS cell_id FROM (
+        |    SELECT e.vec_id, s.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |        s.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+        |sub AS (
+        |  SELECT vec_id, j,
+        |    list_transform(range(1, 17), i -> embedding[j * 16 + i]::DOUBLE) AS sv
+        |  FROM embeddings, unnest([0, 1, 2, 3]) AS u(j)),
+        |cbsub AS (
+        |  SELECT cid, j,
+        |    list_transform(range(1, 17), i -> cvec[j * 16 + i]::DOUBLE) AS cv
+        |  FROM seeds, unnest([0, 1, 2, 3]) AS u(j)),
+        |sc AS (
+        |  SELECT vec_id, s.j, cid,
+        |    CAST(round(list_sum(list_transform(range(1, 17),
+        |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) * 1000000.0, 0) AS BIGINT) AS d
+        |  FROM sub s JOIN cbsub c ON s.j = c.j),
+        |mn AS (SELECT vec_id, j, min(d) AS md FROM sc GROUP BY 1, 2),
+        |code AS (
+        |  SELECT sc.vec_id, sc.j, CAST(min(cid) AS BIGINT) AS code
+        |  FROM sc JOIN mn ON sc.vec_id = mn.vec_id AND sc.j = mn.j AND sc.d = mn.md
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell_id FROM (
+        |    SELECT e.vec_id, s.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |        s.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id % 100 = 0) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id
+        |  FROM probes p JOIN cells c ON c.cell_id = p.cell_id),
+        |adc AS (
+        |  SELECT ca.query_id, ca.neighbor_id, CAST(sum(q.d) AS BIGINT) AS adc_e6
+        |  FROM cand ca
+        |  JOIN code co ON co.vec_id = ca.neighbor_id
+        |  JOIN sc q ON q.vec_id = ca.query_id AND q.j = co.j AND q.cid = co.code
+        |  WHERE ca.query_id <> ca.neighbor_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rank, adc_e6 FROM (
+        |  SELECT query_id, neighbor_id, adc_e6,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_e6 ASC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5""".stripMargin,
 
     // the oracle sets the identical bloom bits and applies the identical
     // all-k-present pass test, then the exact join
