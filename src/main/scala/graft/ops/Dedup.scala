@@ -208,6 +208,43 @@ object Dedup {
     batch.join(mine, Seq(idCol), "left_semi")
   }
 
+  /** foreachBatch sink producing a continuously-DEDUPED table: each
+    * micro-batch is deduplicated against the persisted index (exact
+    * fingerprints by default; MinHash near-dup with `nearDup = true`)
+    * and only first-seen content lands in `outTable`:
+    * {{{
+    * docs.writeStream
+    *   .foreachBatch(Dedup.dedupSink(catalog, "dedup_idx", "docs_clean",
+    *     "doc_id", "text"))
+    *   .option("checkpointLocation", ck).start()
+    * }}}
+    *
+    * Replay-idempotent end to end: the incremental dedup re-emits the
+    * SAME survivor rows for a replayed epoch (first-seen attribution is
+    * read back from the index), and the output write is an id-keyed
+    * upsert, so a replayed batch converges instead of double-appending.
+    * Both tables are created on first batch. One stream per index/out
+    * pair (the foreachBatch serialization guarantee). */
+  def dedupSink(catalog: graft.meta.Catalog, indexTable: String, outTable: String,
+      idCol: String, textCol: String, nearDup: Boolean = false,
+      threshold: Double = 0.5): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val survivors =
+          (if (nearDup)
+            incrementalMinHash(spark, catalog, indexTable, batch, idCol, textCol,
+              batchId, threshold = threshold)
+          else incrementalExact(spark, catalog, indexTable, batch, idCol, textCol, batchId))
+            .localCheckpoint(true)
+        if (!survivors.isEmpty) {
+          if (!catalog.tableExists(outTable))
+            graft.meta.IceWrite.create(spark, catalog, outTable, survivors): Unit
+          else graft.meta.IceWrite.upsert(spark, catalog, outTable, survivors,
+            keys = Seq(idCol)): Unit
+        }
+      }
+
   /** MinHash signature: k min-hashes over the distinct shingle set. md5 is
     * the hash family, but each digest is split into four independent
     * 8-hex-char lanes, so k=16 costs 4 md5 calls per shingle instead of 16

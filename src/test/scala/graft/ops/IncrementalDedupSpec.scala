@@ -61,6 +61,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "empty batch must not create a snapshot")
   }
 
+  test("dedupSink: a stream lands as a continuously-deduped table") {
+    import graft.testkit.FileGenerator
+    val catalog = freshCatalog()
+    val srcDir = java.nio.file.Files.createTempDirectory("sink-src")
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream
+      .foreachBatch(Dedup.dedupSink(catalog, "sink_idx", "sink_out", "doc_id", "text"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sink-ck").toString)
+      .start()
+    try {
+      FileGenerator.writeSingleParquet(spark,
+        Seq((3L, "alpha"), (1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+        srcDir.resolve("b0.parquet"))
+      q.processAllAvailable()
+      FileGenerator.writeSingleParquet(spark,
+        Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text"),
+        srcDir.resolve("b1.parquet"))
+      q.processAllAvailable()
+      val out = graft.meta.IceRead.table(spark, catalog, "sink_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out == Set((1L, "alpha"), (2L, "beta"), (11L, "gamma")))
+    } finally q.stop()
+  }
+
   // near-dup fixtures: one extra trailing token ~ Jaccard 11/12 on 3-gram
   // sets, far above the 0.5 threshold
   private val textA = "the quick brown fox jumps over the lazy dog near the river bank"
