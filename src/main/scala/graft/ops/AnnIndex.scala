@@ -46,6 +46,7 @@ object AnnIndex {
 
   private val MProp = "ann.m"
   private val NCellsProp = "ann.ncells"
+  private val DimProp = "ann.dim"
 
   /** (cell_id, dim, mean_micro, ...) rows from [[Similarity.kmeansUpdate]]
     * reassembled into (cell_id, vec ARRAY<DOUBLE>) — dims ordered, micro
@@ -92,8 +93,12 @@ object AnnIndex {
     IceWrite.create(spark, catalog, centroidsTable(name), cents)
     val codes = assignAndEncode(corpus, idCol, vecCol, cents, m).localCheckpoint(true)
     IceWrite.create(spark, catalog, codesTable(name), codes)
+    val dim = cents.select(size(col("vec"))).take(1)
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ann index '$name': corpus has no non-null vectors to seed from"))
     SchemaEvolution.updateProperties(catalog, codesTable(name),
-      Map(MProp -> m.toString, NCellsProp -> nCells.toString))
+      Map(MProp -> m.toString, NCellsProp -> nCells.toString, DimProp -> dim.toString))
   }
 
   /** Cell assignment + PQ encode against one centroid frame, joined to
@@ -105,10 +110,24 @@ object AnnIndex {
     cells.join(codes, Seq("vec_id"))
   }
 
-  private def storedM(catalog: Catalog, name: String): Int = {
+  private def storedProp(catalog: Catalog, name: String, prop: String): Int = {
     val props = catalog.loadTable(codesTable(name)).properties
-    props.getOrElse(MProp, throw new IllegalStateException(
-      s"ann index '$name' has no $MProp property — not built by AnnIndex.build?")).toInt
+    props.getOrElse(prop, throw new IllegalStateException(
+      s"ann index '$name' has no $prop property — not built by AnnIndex.build?")).toInt
+  }
+
+  /** A dimension that disagrees with the build would otherwise fail
+    * SILENTLY (null cosines still probe, the encode/search guards then
+    * drop every row — an empty result indistinguishable from "no
+    * neighbors"). Make it loud instead. */
+  private def requireDim(catalog: Catalog, name: String,
+      vectors: DataFrame, vecCol: String, what: String): Unit = {
+    val dim = storedProp(catalog, name, DimProp)
+    vectors.filter(col(vecCol).isNotNull).select(size(col(vecCol))).take(1)
+      .headOption.foreach { r =>
+        require(r.getInt(0) == dim,
+          s"ann index '$name' is $dim-dimensional; $what vectors are ${r.getInt(0)}-dim")
+      }
   }
 
   /** Add vectors to an existing index: assign + encode against the FROZEN
@@ -119,7 +138,8 @@ object AnnIndex {
     * centroids' fit. */
   def append(spark: SparkSession, catalog: Catalog, name: String,
       vectors: DataFrame, idCol: String, vecCol: String): Unit = {
-    val m = storedM(catalog, name)
+    val m = storedProp(catalog, name, MProp)
+    requireDim(catalog, name, vectors, vecCol, "appended")
     val cents = IceRead.table(spark, catalog, centroidsTable(name))
     val fresh = assignAndEncode(vectors, idCol, vecCol, cents, m).localCheckpoint(true)
     if (!fresh.isEmpty)
@@ -135,7 +155,8 @@ object AnnIndex {
   def search(spark: SparkSession, catalog: Catalog, name: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nprobe: Int = 1): DataFrame = {
-    val m = storedM(catalog, name)
+    val m = storedProp(catalog, name, MProp)
+    requireDim(catalog, name, queries, qVecCol, "query")
     val cents = IceRead.table(spark, catalog, centroidsTable(name))
     val probes = Similarity.ivfProbeCells(queries, qIdCol, qVecCol,
       cents, "cell_id", "vec", nprobe)

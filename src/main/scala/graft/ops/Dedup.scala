@@ -152,14 +152,17 @@ object Dedup {
       n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 100,
       maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
-    val nBands = k / rowsPerBand
-    val sigSets = minHashSignatureSets(batch, idCol, textCol, n, k)
-    val bandArr = (0 until nBands).map { b =>
-      md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*))
-    }
+    // the batch source is scanned ONCE (the incrementalExact invariant):
+    // the commit derives from this materialization and the emission joins
+    // back to it, so a re-read source (limit, sample, a moving stream)
+    // cannot diverge between what was committed and what is emitted
+    val b = batch.localCheckpoint(true)
+    val sigSets = minHashSignatureSets(b, idCol, textCol, n, k)
     // (id, bands, gset), materialized once: feeds the bucket join, both
-    // verify stages, and the commit payload
-    val docs = sigSets.select(col("id"), array(bandArr: _*).as("bands"), col("gset"))
+    // verify stages, and the commit payload. Band hashes share
+    // [[bandHashExprs]] with the batch pipeline — same scheme, forever.
+    val docs = sigSets.select(col("id"),
+        array(bandHashExprs(k, rowsPerBand): _*).as("bands"), col("gset"))
       .localCheckpoint(true)
     val bandRows = docs.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "bh")))
@@ -182,8 +185,18 @@ object Dedup {
       else {
         val idx = graft.meta.IceRead.table(spark, catalog, indexTable)
           .filter(col("batch_id") =!= batchId)
+        // the index side gets the SAME hot-bucket cap as the within-batch
+        // bucket join: one boilerplate band hash can accumulate O(index)
+        // rows across batches, and an uncapped join would pay O(index)
+        // candidates per keeper in that bucket — per batch, forever,
+        // growing with the index. Over-cap buckets are dropped whole
+        // (the lshCandidatePairs recall trade, same knob).
         val idxBands = idx.select(col("id").as("old_id"),
-          posexplode(col("bands")).as(Seq("band", "bh")))
+            posexplode(col("bands")).as(Seq("band", "bh")))
+          .withColumn("__n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+          .filter(col("__n") <= maxBucketSize)
+          .drop("__n")
         val keeperBands = keepers.select(col("id"),
           posexplode(col("bands")).as(Seq("band", "bh")))
         val cand = keeperBands.join(idxBands, Seq("band", "bh"))
@@ -205,7 +218,7 @@ object Dedup {
     val mine = graft.meta.IceRead.table(spark, catalog, indexTable)
       .filter(col("batch_id") === batchId)
       .select(col("id").as(idCol))
-    batch.join(mine, Seq(idCol), "left_semi")
+    b.join(mine, Seq(idCol), "left_semi")
   }
 
   /** foreachBatch sink producing a continuously-DEDUPED table: each
@@ -271,13 +284,20 @@ object Dedup {
     * concatenated minhashes. One posexplode pass — a union of per-band
     * selects would recompute the upstream signature aggregate once per
     * band. Returns (id, band, bh). */
-  def lshBands(sig: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val bandHashes = (0 until k / rowsPerBand).map { b =>
+  /** The band-hash expressions (band b = md5 of its rowsPerBand
+    * concatenated minhash lanes) — THE banding scheme, shared by the
+    * batch pipeline ([[lshBands]]) and the persisted index
+    * ([[incrementalMinHash]]) so the two can never drift apart and stop
+    * matching each other's history. */
+  private[ops] def bandHashExprs(k: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until k / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
       md5(concat(cols: _*))
     }
-    sig.select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
-  }
+
+  def lshBands(sig: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    sig.select(col("id"),
+      posexplode(array(bandHashExprs(k, rowsPerBand): _*)).as(Seq("band", "bh")))
 
   /** Candidate pairs from shared LSH buckets, with a bucket-size cap: a
     * bucket holding b ids yields b^2/2 pairs, so one hot bucket (all-equal

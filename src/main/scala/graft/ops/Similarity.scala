@@ -322,14 +322,10 @@ object Similarity {
     val cbCount = codebook.limit(maxCodebookEntries + 1).count()
     require(cbCount <= maxCodebookEntries,
       s"pqEncode: codebook has > $maxCodebookEntries entries — not broadcastable")
-    val dim = codebook.select(size(col(cbVecCol)).as("__n"))
-      .filter(col("__n").isNotNull && col("__n") > 0).take(1)
-      .headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException("pqEncode: empty codebook"))
+    val dim = pqDim(codebook, cbVecCol, "pqEncode")
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
-    def slices(v: Column): Column =
-      array((0 until m).map(j => slice(asDouble(v), j * sub + 1, sub)): _*)
+    def slices(v: Column): Column = pqSlices(v, m, sub)
     // a corpus vector whose dimension differs from the codebook's gets
     // NULL slices -> null distances -> null codes: a LONGER vector would
     // otherwise silently encode on a prefix (the hyperplaneBuckets
@@ -344,11 +340,8 @@ object Similarity {
       posexplode(guardedSlices(col(vecCol))).as(Seq("j", "__sv")))
     val cb = codebook.select(col(cbIdCol).cast("long").as("__cid"),
       posexplode(slices(col(cbVecCol))).as(Seq("j", "__cv")))
-    val l2e6 = round(expr(
-      """aggregate(zip_with(__sv, __cv, (x, y) -> (x - y) * (x - y)),
-        |          0.0D, (acc, e) -> acc + e)""".stripMargin) * lit(1e6), 0).cast("long")
     val codes = c.join(broadcast(cb), Seq("j"))
-      .withColumn("__d", l2e6)
+      .withColumn("__d", pqL2e6)
       .groupBy(col("vec_id"), col("j"))
       // null distance (null vector, or a length mismatch null-padded by
       // zip_with) must yield a NULL code, not the lowest cid — a bare
@@ -362,6 +355,66 @@ object Similarity {
       .agg(max(when(col("j") === 0, col("__code"))).as("code_0"),
         (1 until m).map(j =>
           max(when(col("j") === j, col("__code"))).as(s"code_$j")): _*)
+  }
+
+  /** Codebook vector dimension (first non-null entry) — shared dim probe
+    * of the PQ encode/search family. */
+  private def pqDim(codebook: DataFrame, cbVecCol: String, fn: String): Int =
+    codebook.select(size(col(cbVecCol)).as("__n"))
+      .filter(col("__n").isNotNull && col("__n") > 0).take(1)
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(s"$fn: empty codebook"))
+
+  /** The m contiguous subspace slices of a full-width vector. */
+  private def pqSlices(v: Column, m: Int, sub: Int): Column =
+    array((0 until m).map(j => slice(asDouble(v), j * sub + 1, sub)): _*)
+
+  /** Micro-rounded subspace L2 between __sv and __cv — THE PQ distance,
+    * integer-exact across engines. One definition so encode and both
+    * search paths can never disagree on the arithmetic. */
+  private def pqL2e6: Column = round(expr(
+    """aggregate(zip_with(__sv, __cv, (x, y) -> (x - y) * (x - y)),
+      |          0.0D, (acc, e) -> acc + e)""".stripMargin) * lit(1e6), 0).cast("long")
+
+  /** Query-side ADC distance table: (query_id, j, __cid, __qd) for every
+    * (query subvector, codebook entry) pair — |queries| x m x |codebook|
+    * tiny rows, broadcast by callers. A null/short/long query emits NO
+    * subvectors and therefore no neighbors — unguarded, its all-null ADC
+    * would rank FIRST (nulls-first window order) and a longer vector
+    * would silently search on a prefix. */
+  private def pqQueryDistTable(queries: DataFrame, qIdCol: String, qVecCol: String,
+      codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+      m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val q = queries.select(col(qIdCol).as("query_id"),
+      posexplode(when(col(qVecCol).isNotNull && size(col(qVecCol)) === dim,
+        pqSlices(col(qVecCol), m, sub))).as(Seq("j", "__sv")))
+      .filter(col("__sv").isNotNull)
+    val cb = codebook.select(col(cbIdCol).cast("long").as("__cid"),
+      posexplode(pqSlices(col(cbVecCol), m, sub)).as(Seq("j", "__cv")))
+    q.join(cb, Seq("j")).select(col("query_id"), col("j"), col("__cid"),
+      pqL2e6.as("__qd"))
+  }
+
+  /** Melt (…, code_0..code_{m-1}) rows to (…, j, __code), dropping null
+    * codes (null/mismatched at encode time). */
+  private def pqMeltCodes(df: DataFrame, m: Int, keep: Seq[Column]): DataFrame =
+    df.select(keep :+
+      posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "__code")): _*)
+      .filter(col("__code").isNotNull)
+
+  /** Shared ADC tail: sum subspace distances per (query, neighbor), rank
+    * ascending (ties -> neighbor id), keep top-k. Self-matches dropped. */
+  private def pqRankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_e6").asc, col("neighbor_id").asc)
+    scored
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__qd")).as("adc_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_e6"))
   }
 
   /** PQ ADC (asymmetric distance computation) search — the serving-side
@@ -384,43 +437,13 @@ object Similarity {
       codebook: DataFrame, cbIdCol: String, cbVecCol: String,
       m: Int, k: Int): DataFrame = {
     require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
-    val dim = codebook.select(size(col(cbVecCol)).as("__n"))
-      .filter(col("__n").isNotNull && col("__n") > 0).take(1)
-      .headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException("pqSearch: empty codebook"))
+    val dim = pqDim(codebook, cbVecCol, "pqSearch")
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
-    val sub = dim / m
-    def slices(v: Column): Column =
-      array((0 until m).map(j => slice(asDouble(v), j * sub + 1, sub)): _*)
-    val l2e6 = round(expr(
-      """aggregate(zip_with(__sv, __cv, (x, y) -> (x - y) * (x - y)),
-        |          0.0D, (acc, e) -> acc + e)""".stripMargin) * lit(1e6), 0).cast("long")
-    // queries get the same dimension guard as pqEncode's corpus side: a
-    // null/short/long query must return NO neighbors — unguarded, its
-    // all-null adc_e6 would rank FIRST (nulls-first window order) and a
-    // longer vector would silently search on a prefix
-    val q = queries.select(col(qIdCol).as("query_id"),
-      posexplode(when(col(qVecCol).isNotNull && size(col(qVecCol)) === dim,
-        slices(col(qVecCol)))).as(Seq("j", "__sv")))
-      .filter(col("__sv").isNotNull)
-    val cb = codebook.select(col(cbIdCol).cast("long").as("__cid"),
-      posexplode(slices(col(cbVecCol))).as(Seq("j", "__cv")))
-    val qdist = q.join(cb, Seq("j")).select(col("query_id"), col("j"),
-      col("__cid"), l2e6.as("__qd"))
-    val melted = codes.select(col(codesIdCol).as("neighbor_id"),
-      posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "__code")))
-      .filter(col("__code").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("adc_e6").asc, col("neighbor_id").asc)
-    melted
-      .join(broadcast(qdist),
-        melted("j") === qdist("j") && col("__code") === col("__cid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__qd")).as("adc_e6"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_e6"))
+    val qdist = pqQueryDistTable(queries, qIdCol, qVecCol,
+      codebook, cbIdCol, cbVecCol, m, dim)
+    val melted = pqMeltCodes(codes, m, Seq(col(codesIdCol).as("neighbor_id")))
+    pqRankTopK(melted.join(broadcast(qdist),
+      melted("j") === qdist("j") && col("__code") === col("__cid")), k)
   }
 
   /** Candidate-restricted PQ ADC search — [[pqSearch]] with the
@@ -438,41 +461,16 @@ object Similarity {
       codebook: DataFrame, cbIdCol: String, cbVecCol: String,
       m: Int, k: Int): DataFrame = {
     require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
-    val dim = codebook.select(size(col(cbVecCol)).as("__n"))
-      .filter(col("__n").isNotNull && col("__n") > 0).take(1)
-      .headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException("pqSearchCandidates: empty codebook"))
+    val dim = pqDim(codebook, cbVecCol, "pqSearchCandidates")
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
-    val sub = dim / m
-    def slices(v: Column): Column =
-      array((0 until m).map(j => slice(asDouble(v), j * sub + 1, sub)): _*)
-    val l2e6 = round(expr(
-      """aggregate(zip_with(__sv, __cv, (x, y) -> (x - y) * (x - y)),
-        |          0.0D, (acc, e) -> acc + e)""".stripMargin) * lit(1e6), 0).cast("long")
-    val q = queries.select(col(qIdCol).as("query_id"),
-      posexplode(when(col(qVecCol).isNotNull && size(col(qVecCol)) === dim,
-        slices(col(qVecCol)))).as(Seq("j", "__sv")))
-      .filter(col("__sv").isNotNull)
-    val cb = codebook.select(col(cbIdCol).cast("long").as("__cid"),
-      posexplode(slices(col(cbVecCol))).as(Seq("j", "__cv")))
-    val qdist = q.join(cb, Seq("j")).select(col("query_id"), col("j"),
-      col("__cid"), l2e6.as("__qd"))
-    val melted = cand.select(col("query_id"), col("neighbor_id"),
-      posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "__code")))
-      .filter(col("__code").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("adc_e6").asc, col("neighbor_id").asc)
-    melted
-      .join(broadcast(qdist),
-        melted("query_id") === qdist("query_id") && melted("j") === qdist("j") &&
-          col("__code") === col("__cid"))
+    val qdist = pqQueryDistTable(queries, qIdCol, qVecCol,
+      codebook, cbIdCol, cbVecCol, m, dim)
+    val melted = pqMeltCodes(cand, m, Seq(col("query_id"), col("neighbor_id")))
+    val joined = melted.join(broadcast(qdist),
+      melted("query_id") === qdist("query_id") && melted("j") === qdist("j") &&
+        col("__code") === col("__cid"))
       .drop(qdist("query_id")).drop(qdist("j"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__qd")).as("adc_e6"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_e6"))
+    pqRankTopK(joined, k)
   }
 
   /** SemDeDup-style semantic deduplication: vectors are assigned to IVF

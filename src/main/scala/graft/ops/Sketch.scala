@@ -260,20 +260,12 @@ object Sketch {
     * clamped into [lo, hi) — out-of-range rows land in the edge bins (a
     * declared-range sketch, like every fixed-bin quantile structure). */
   def quantileHistogram(items: DataFrame, valueCol: String,
-      lo: Double, hi: Double, nBins: Int): DataFrame = {
-    require(nBins >= 1 && nBins <= 65536, s"nBins must be in [1,65536], got $nBins")
-    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
-    val width = (hi - lo) / nBins
-    items
-      // nulls are EXCLUDED, as in every quantile structure — without the
-      // filter, greatest(null, 0.0) = 0.0 (greatest skips nulls) would
-      // silently count every null as a minimum-value observation
-      .filter(col(valueCol).isNotNull)
-      .select(least(greatest(floor((col(valueCol).cast("double") - lo) / width), lit(0.0)),
-        lit((nBins - 1).toDouble)).cast("long").as("bin"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("cnt"))
-  }
+      lo: Double, hi: Double, nBins: Int): DataFrame =
+    // the ungrouped histogram IS the grouped one under a constant key —
+    // one implementation of the binning so the two can never drift
+    quantileHistogramBy(items.withColumn("__qh_g", lit(0)), "__qh_g", valueCol,
+      lo, hi, nBins)
+      .select(col("bin"), col("cnt"))
 
   /** Per-GROUP quantile histograms, one pass: (group, bin, cnt) — at
     * most |groups| * nBins rows. The grouped companion of
@@ -310,7 +302,7 @@ object Sketch {
     total
       .crossJoin(qsPpm.toDF("q_ppm"))
       .withColumn("__target", expr("(q_ppm * total + 999999) div 1000000"))
-      .join(cum, Seq(groupCol.toString))
+      .join(cum, Seq(groupCol))
       .filter(col("cum") >= col("__target"))
       .groupBy(col(groupCol), col("q_ppm"))
       .agg(min(col("bin")).as("bin"))
@@ -324,26 +316,13 @@ object Sketch {
     * Everything downstream of the histogram is bounded (nBins rows), so
     * the cumulative window and the tiny q cross join never see data. */
   def quantileEstimate(hist: DataFrame, qsPpm: Seq[Long],
-      lo: Double, hi: Double, nBins: Int): DataFrame = {
-    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 0 && q <= 1000000),
-      s"quantiles must be ppm in [0, 1e6], got $qsPpm")
-    val width = (hi - lo) / nBins
-    val spark = hist.sparkSession
-    import spark.implicits._
-    // bounded inputs throughout: the single-partition window sees nBins rows
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).orderBy(col("bin"))
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
-    val total = hist.agg(sum(col("cnt")).as("total"))
-    qsPpm.toDF("q_ppm")
-      .crossJoin(broadcast(total))
-      .withColumn("__target", expr("(q_ppm * total + 999999) div 1000000"))
-      .join(broadcast(cum), col("cum") >= col("__target"))
-      .groupBy(col("q_ppm"))
-      .agg(min(col("bin")).as("bin"))
-      .select(col("q_ppm"), col("bin"),
-        round((lit(lo) + (col("bin") + 1) * lit(width)) * 1e6, 0).cast("long").as("upper_e6"))
-  }
+      lo: Double, hi: Double, nBins: Int): DataFrame =
+    // same ceil-target/upper-edge arithmetic as the grouped form, by
+    // CONSTRUCTION: delegate under a constant group key (inputs stay
+    // bounded — the group window sees nBins rows either way)
+    quantileEstimateBy(hist.withColumn("__qh_g", lit(0)), "__qh_g", qsPpm,
+      lo, hi, nBins)
+      .select(col("q_ppm"), col("bin"), col("upper_e6"))
 
   // ------------------------------------------------------------------
   // Bloom filter — a relational pre-join prune: the filter is the

@@ -217,11 +217,19 @@ object TextAnalysis {
     val noFrag = regexp_replace(url, "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    // span arithmetic MUST use the RAW extract: lower() can change string
+    // LENGTH (Turkish U+0130 lowercases to two chars), and an offset from
+    // the lowered copy would slice the path off by one — corrupting the
+    // key and merging unrelated URLs
+    val rawAuth = regexp_extract(rest, "^([^/?]*)", 1)
+    // userinfo (anything up to the first '@') is CASE-SENSITIVE per RFC
+    // 3986 — only scheme and host case-fold — so it is carried unchanged
+    val userPart = regexp_extract(rawAuth, "^([^@]*@)", 1)
+    val hostPort = lower(rawAuth.substr(length(userPart) + 1, big))
     val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
-    val pathQuery = rest.substr(length(hostPort) + 1, big)
+    val pathQuery = rest.substr(length(rawAuth) + 1, big)
     val rawPath = regexp_extract(pathQuery, "^([^?]*)", 1)
     val path = regexp_replace(rawPath, "/+$", "")
     val query = pathQuery.substr(length(rawPath) + 2, big)
@@ -230,7 +238,7 @@ object TextAnalysis {
     val queryPart = when(size(params) > 0,
       concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
     when(scheme === "", url)
-      .otherwise(concat(scheme, lit("://"), host, path, queryPart))
+      .otherwise(concat(scheme, lit("://"), userPart, host, path, queryPart))
   }
 
   /** Top-k characteristic terms per document by tf-idf — the keyword

@@ -1240,21 +1240,25 @@ object OpsQueries {
         |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
         |s3 AS (SELECT doc_id, url, scheme, rest,
-        |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport FROM s2),
-        |s4 AS (SELECT doc_id, url, scheme,
+        |  regexp_extract(rest, '^([^/?]*)', 1) AS rawauth FROM s2),
+        |s3b AS (SELECT doc_id, url, scheme, rest, rawauth,
+        |  regexp_extract(rawauth, '^([^@]*@)', 1) AS userpart FROM s3),
+        |s3c AS (SELECT doc_id, url, scheme, rest, rawauth, userpart,
+        |  lower(substr(rawauth, length(userpart) + 1)) AS hostport FROM s3b),
+        |s4 AS (SELECT doc_id, url, scheme, userpart,
         |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
         |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
         |       ELSE hostport END AS host,
-        |  substr(rest, length(hostport) + 1) AS pathquery FROM s3),
-        |s5 AS (SELECT doc_id, url, scheme, host, pathquery,
+        |  substr(rest, length(rawauth) + 1) AS pathquery FROM s3c),
+        |s5 AS (SELECT doc_id, url, scheme, userpart, host, pathquery,
         |  regexp_extract(pathquery, '^([^?]*)', 1) AS rawpath FROM s4),
-        |s6 AS (SELECT doc_id, url, scheme, host,
+        |s6 AS (SELECT doc_id, url, scheme, userpart, host,
         |  regexp_replace(rawpath, '/+$', '') AS path,
         |  list_sort(list_filter(string_split(substr(pathquery, length(rawpath) + 2), '&'),
         |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))) AS params
         |  FROM s5)
         |SELECT doc_id, url,
-        |  scheme || '://' || host || path ||
+        |  scheme || '://' || userpart || host || path ||
         |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
         |FROM s6""".stripMargin,
 

@@ -80,6 +80,21 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("a dimension mismatch fails loudly instead of returning zero neighbors") {
+    val catalog = freshCatalog()
+    AnnIndex.build(spark, catalog, "ann4", embs.limit(50), "vec_id", "embedding",
+      nCells = 4, m = 4, trainIters = 0)
+    val short = Seq((1L, Array.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    val eS = intercept[IllegalArgumentException] {
+      AnnIndex.search(spark, catalog, "ann4", short, "vec_id", "embedding", k = 3)
+    }
+    assert(eS.getMessage.contains("64-dimensional"))
+    val eA = intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, catalog, "ann4", short, "vec_id", "embedding")
+    }
+    assert(eA.getMessage.contains("64-dimensional"))
+  }
+
   test("multi-probe search widens the candidate pool, never narrows it") {
     val catalog = freshCatalog()
     AnnIndex.build(spark, catalog, "ann3", embs, "vec_id", "embedding",

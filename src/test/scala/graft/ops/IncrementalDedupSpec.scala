@@ -126,6 +126,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(graft.meta.IceRead.table(spark, catalog, "nidx").count() == 3)
   }
 
+  test("near-dup index: the hot-bucket cap applies to the INDEX side of the band join") {
+    val catalog = freshCatalog()
+    val b0 = Seq((1L, textA)).toDF("doc_id", "text")
+    Dedup.incrementalMinHash(spark, catalog, "nidx", b0, "doc_id", "text", 0L).collect()
+    // maxBucketSize = 0 drops EVERY bucket — batch and index side alike —
+    // so an exact repeat of indexed content escapes the cross-run check.
+    // If the cap were applied only within-batch, the repeat would still
+    // be caught by the uncapped index join and get dropped.
+    val b1 = Seq((9L, textA)).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinHash(spark, catalog, "nidx", b1, "doc_id", "text", 1L,
+      maxBucketSize = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(9L), "capped-out buckets must generate no cross-run candidates")
+  }
+
   test("near-dup index: an all-near-dup batch emits nothing and commits nothing") {
     val catalog = freshCatalog()
     val b0 = Seq((1L, textA)).toDF("doc_id", "text")
