@@ -35,8 +35,10 @@ object IceWrite {
 
   /** Appends rows as new data files (new snapshot, fresh sequence number). */
   def append(spark: SparkSession, catalog: Catalog, name: String, df: DataFrame,
-      targetFileSizeBytes: Long = Defaults.TargetFileSize): TableMetadata =
-    appendInternal(spark, catalog, name, df, FileContent.Data, Nil, targetFileSizeBytes)
+      targetFileSizeBytes: Long = Defaults.TargetFileSize,
+      extraProperties: Map[String, String] = Map.empty): TableMetadata =
+    appendInternal(spark, catalog, name, df, FileContent.Data, Nil, targetFileSizeBytes,
+      extraProperties = extraProperties)
 
   /** Appends an equality-delete file: every existing row whose `equalityIds`
     * columns match a key row (and whose sequence number is older) vanishes
@@ -65,6 +67,41 @@ object IceWrite {
   def streamingAppend(catalog: Catalog, name: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) { append(batch.sparkSession, catalog, name, batch): Unit }
+
+  /** foreachBatch sink with EXACTLY-ONCE appends. foreachBatch's native
+    * contract is at-least-once: after a crash between the sink call and
+    * the checkpoint advance, the epoch REPLAYS, and a plain
+    * [[streamingAppend]] ingests its rows twice. Here the epoch id is a
+    * fence (`stream.<sinkId>.batch-id` table property) committed in the
+    * SAME CAS metadata swap as the data snapshot — the fence and the
+    * rows are indivisible, so a replayed epoch observes its own fence
+    * and skips, and no crash point can separate them:
+    *
+    *  - crash before the commit: nothing landed, replay appends once;
+    *  - crash after the commit: fence landed WITH the rows, replay
+    *    skips; the streaming checkpoint advances on the replay.
+    *
+    * First batch creates the table empty (schema-only snapshot), then
+    * runs the same fenced append — a crash between those two leaves an
+    * empty fence-less table that the replay simply fills. One sink per
+    * (table, sinkId); distinct sinkIds fence independently, so several
+    * streams can feed one table. Epoch ids must be monotonic per sink,
+    * which Structured Streaming guarantees. */
+  def exactlyOnceAppend(catalog: Catalog, name: String,
+      sinkId: String = "sink"): (DataFrame, Long) => Unit = {
+    val prop = s"stream.$sinkId.batch-id"
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        if (!catalog.tableExists(name))
+          create(spark, catalog, name, batch.limit(0)): Unit
+        val fenced = catalog.loadTable(name).properties.get(prop)
+          .exists(_.toLong >= batchId)
+        if (!fenced)
+          append(spark, catalog, name, batch,
+            extraProperties = Map(prop -> batchId.toString)): Unit
+      }
+  }
 
   /** foreachBatch CDC sink: each micro-batch is an atomic MOR [[upsert]]
     * keyed by `keys` — late re-deliveries and in-place updates of the same
@@ -129,7 +166,10 @@ object IceWrite {
     * is untouched until a publish fast-forwards it (write-audit-publish). */
   private def commitSnapshot(
       catalog: Catalog, name: String, sets: Seq[StampSet],
-      operation: String, branch: String): TableMetadata = {
+      operation: String, branch: String,
+      /** table properties committed in the SAME CAS as the snapshot —
+        * the atomicity hook idempotence fences ride on */
+      extraProperties: Map[String, String] = Map.empty): TableMetadata = {
     var attempt = 0
     while (true) {
       val meta = catalog.loadTable(name)
@@ -156,7 +196,8 @@ object IceWrite {
           if (branch == "main") Some(snapshotId) else meta.currentSnapshotId,
         refs = meta.refs + (branch -> snapshotId),
         snapshots = meta.snapshots :+ snap,
-        lastSequenceNumber = newSeq)
+        lastSequenceNumber = newSeq,
+        properties = meta.properties ++ extraProperties)
       try return catalog.commit(meta, updated)
       catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
     }
@@ -179,7 +220,8 @@ object IceWrite {
       content: FileContent.Value,
       equalityIds: Seq[String],
       targetFileSizeBytes: Long,
-      branch: String = "main"): TableMetadata = {
+      branch: String = "main",
+      extraProperties: Map[String, String] = Map.empty): TableMetadata = {
     val table0 = catalog.loadTable(name)
     val typed = typedOf(table0)
     // data and equality-delete files carry table-schema columns -> stamp
@@ -198,7 +240,7 @@ object IceWrite {
     commitSnapshot(catalog, name,
       Seq(StampSet(written, content, equalityIds, eqIdsOf(table0, equalityIds))),
       operation = if (content == FileContent.Data) "append" else "delete",
-      branch = branch)
+      branch = branch, extraProperties = extraProperties)
   }
 
   /** Atomic upsert (MERGE by key): ONE snapshot carries an equality-delete

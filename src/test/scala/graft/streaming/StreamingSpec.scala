@@ -190,4 +190,49 @@ class StreamingSpec extends AnyFunSuite {
     val sessions = EventPipeline.sessionize(ds, gap)
     assert(sessions.agg(sum($"n_events")).head.getLong(0) == ds.count())
   }
+
+  test("exactlyOnceAppend: a replayed epoch is fenced, not double-ingested") {
+    import graft.meta.{IceRead, IceWrite, LocalCatalog}
+    val catalog = LocalCatalog(java.nio.file.Files.createTempDirectory("eo-wh").toString)
+    val sink = IceWrite.exactlyOnceAppend(catalog, "eo", "s1")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    sink(b0, 0L)
+    assert(IceRead.table(spark, catalog, "eo").count() == 2)
+    // the crash-after-commit scenario: foreachBatch re-delivers epoch 0
+    sink(b0, 0L)
+    assert(IceRead.table(spark, catalog, "eo").count() == 2,
+      "replayed epoch must not double-append")
+    sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+    assert(IceRead.table(spark, catalog, "eo").count() == 3)
+    // a SECOND sink id fences independently into the same table
+    val sink2 = IceWrite.exactlyOnceAppend(catalog, "eo", "s2")
+    sink2(Seq((9L, "z")).toDF("id", "v"), 0L)
+    sink2(Seq((9L, "z")).toDF("id", "v"), 0L)
+    assert(IceRead.table(spark, catalog, "eo").count() == 4)
+    assert(catalog.loadTable("eo").properties("stream.s1.batch-id") == "1")
+    assert(catalog.loadTable("eo").properties("stream.s2.batch-id") == "0")
+  }
+
+  test("exactlyOnceAppend drives a real stream end to end") {
+    import graft.meta.{IceRead, IceWrite, LocalCatalog}
+    val catalog = LocalCatalog(java.nio.file.Files.createTempDirectory("eos-wh").toString)
+    val srcDir = java.nio.file.Files.createTempDirectory("eos-src")
+    val schema = Seq((1L, "x")).toDF("id", "v").schema
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.foreachBatch(IceWrite.exactlyOnceAppend(catalog, "eos"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("eos-ck").toString)
+      .start()
+    try {
+      graft.testkit.FileGenerator.writeSingleParquet(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"), srcDir.resolve("b0.parquet"))
+      q.processAllAvailable()
+      graft.testkit.FileGenerator.writeSingleParquet(spark,
+        Seq((3L, "c")).toDF("id", "v"), srcDir.resolve("b1.parquet"))
+      q.processAllAvailable()
+      assert(IceRead.table(spark, catalog, "eos")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
 }
