@@ -186,6 +186,39 @@ object TextAnalysis {
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit(UrlRe), lit(1))
 
+  /** HTML -> text extraction, the first transform a web crawl sees.
+    * Per-row codegen'd regex chain, no UDFs, no shuffle:
+    *
+    *   1. `<script>`/`<style>` blocks removed WITH their contents
+    *      (case-insensitive, dot-matches-newline, non-greedy);
+    *   2. comments (`<!-- -->`) removed;
+    *   3. remaining tags stripped to a space (so `a<br>b` keeps its word
+    *      boundary);
+    *   4. the six ubiquitous entities decoded — `&amp;` LAST, so
+    *      `&amp;lt;` correctly yields the literal `&lt;` instead of
+    *      double-decoding to `<`;
+    *   5. whitespace runs collapsed to one space, ends trimmed.
+    *
+    * Patterns avoid `\s` (Java and RE2 disagree on vertical tab), so the
+    * SQL oracle applies byte-identical rules. Not a sanitizer — a
+    * malformed-markup EXTRACTOR: unclosed tags lose to the next `>`,
+    * which is the standard crawl-pipeline trade. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, v)) =>
+      // entity strings carry no regex/replacement metacharacters, so the
+      // regex replace IS a literal replace (the oracle uses replace())
+      regexp_replace(c, e, v)
+    }
+    trim(regexp_replace(decoded, "[ \t\r\n]+", " "))
+  }
+
   /** Tracking params dropped by [[canonicalizeUrl]] — the ubiquitous
     * click-attribution keys that make one page look like many URLs.
     * Java-regex/RE2-identical (no backrefs, no lookaround) so the SQL

@@ -510,6 +510,26 @@ object OpsQueries {
         lo = 0.0, hi = 2000.0, nBins = 128)
     }),
 
+    // HTML -> text extraction: deterministic markup (script/style blocks
+    // with stray '<' inside, a multi-line comment, entities incl. the
+    // &amp;lt; double-decode trap) wrapped around every document; the
+    // full cleaned string is hash-checked against the oracle applying
+    // the same rules
+    "t25_html_strip" -> ((s, dir) => {
+      val h = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><HEAD><title>T</title>"),
+        when(col("doc_id") % 2 === 0,
+          lit("<script type=\"text/js\">var x = 1 < 2;</script>")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("<style>p { color: red }</style>")).otherwise(lit("")),
+        lit("</HEAD><body><p>"), col("text"),
+        lit("</p><!-- hidden\ncomment -->"),
+        when(col("doc_id") % 4 === 0,
+          lit("<b>bold &amp;lt; x</b> &quot;q&#39;s&quot; &nbsp;end")).otherwise(lit("")),
+        lit("<br>tail</body></html>")).as("html"))
+      h.select(col("doc_id"), TextAnalysis.stripHtml(col("html")).as("clean_text"))
+    }),
+
     // the PERSISTED IVF+PQ index end to end: build (trainIters=0, so the
     // deterministic md5-draw seeds ARE the centroids and every stage is
     // SQL-expressible) -> catalog tables -> multi-probe serve from
@@ -1542,6 +1562,41 @@ object OpsQueries {
         |SELECT lang, q_ppm, bin,
         |  CAST(round((bin + 1) * 15.625 * 1000000.0, 0) AS BIGINT) AS upper_e6
         |FROM sel""".stripMargin,
+
+    // identical strip pipeline: block removal -> comment -> tags ->
+    // entity decode (&amp; last) -> whitespace collapse. Control chars in
+    // the whitespace class are spelled chr() so no engine-specific string
+    // escaping is involved
+    "t25_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><HEAD><title>T</title>' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN '<script type="text/js">var x = 1 < 2;</script>' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '<style>p { color: red }</style>' ELSE '' END ||
+        |    '</HEAD><body><p>' || text ||
+        |    '</p><!-- hidden' || chr(10) || 'comment -->' ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN '<b>bold &amp;lt; x</b> &quot;q&#39;s&quot; &nbsp;end' ELSE '' END ||
+        |    '<br>tail</body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM s4)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t, '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g'))
+        |    AS clean_text
+        |FROM s5""".stripMargin,
 
     // seed draw, cell argmax, subspace codes, 2-probe candidates, and
     // ADC rank all replayed relationally on the base table

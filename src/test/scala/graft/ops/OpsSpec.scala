@@ -531,6 +531,26 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no top-n plan:\n$plan")
   }
 
+  test("HTML strip: blocks, comments, tags, entities, whitespace — hand-computed") {
+    val cases = Seq(
+      "<p>hello <b>world</b></p>" -> "hello world",
+      // script/style contents go WITH the block, even with a stray '<'
+      "a<script>if (1 < 2) x();</script>b" -> "a b",
+      "a<STYLE type=\"css\">p { }</STYLE>b" -> "a b",
+      // multi-line comment
+      "a<!-- one\ntwo -->b" -> "a b",
+      // entity decode, &amp; LAST: &amp;lt; is the literal string "&lt;"
+      "x &amp;lt; y &quot;q&#39;s&quot; &nbsp;z" -> "x &lt; y \"q's\" z",
+      // tag boundaries become word boundaries
+      "one<br>two<br/>three" -> "one two three",
+      "  spaced\t\tout\n\n " -> "spaced out"
+    )
+    val got = cases.map(_._1).toDF("h")
+      .select($"h", TextAnalysis.stripHtml($"h").as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases) assert(got(in) == want, s"for $in")
+  }
+
   test("URL domain extraction finds hosts in order; no false hits") {
     val rows = Seq(
       (1L, "see https://a.example.com/x and http://b.org, then https://a.example.com again"),
