@@ -189,6 +189,42 @@ object PipelineDemo {
       "vec_id", "embedding", embs.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4)
     println(s"SEMDEDUP kept=${semKept.count()} PQ codes=${codes.count()} x4 bytes")
 
+    // 6b. the persisted form: build the IVF+PQ index ONCE as catalog
+    //     tables, grow it with an append, serve from integer codes
+    graft.ops.AnnIndex.build(spark, catalog, "emb_idx",
+      embs.filter(col("vec_id") < 400), "vec_id", "embedding", nCells = 8, m = 4)
+    graft.ops.AnnIndex.append(spark, catalog, "emb_idx",
+      embs.filter(col("vec_id") >= 400), "vec_id", "embedding")
+    val served = graft.ops.AnnIndex.search(spark, catalog, "emb_idx",
+      probe.select("vec_id", "embedding"), "vec_id", "embedding", k = 3, nprobe = 2)
+    println(s"ANN-INDEX served=" + served.collect()
+      .map(r => s"${r.getLong(1)}#${r.getLong(2)}").mkString(","))
+
+    // 7. the web-crawl front door: raw HTML -> text, canonical-URL
+    //    frontier dedup (one fetch key per page spelling), then the
+    //    cross-run near-dup index absorbs a re-crawl
+    val crawl = raw.limit(200).select(col("doc_id"),
+      concat(lit("<html><body><p>"), col("text"),
+        lit("</p><!-- footer --><br>fin</body></html>")).as("html"),
+      concat(lit("HTTP://Site"), (col("doc_id") % 40).cast("string"),
+        lit(".COM:80/page/"), (col("doc_id") % 40).cast("string"),
+        lit("?utm_source=crawl&id="), (col("doc_id") % 40).cast("string")).as("url"))
+    val extracted = crawl.select(col("doc_id"),
+      TextAnalysis.stripHtml(col("html")).as("text"),
+      TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+    val frontier = extracted.withColumn("__rk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("canon_url"))
+            .orderBy(col("doc_id"))))
+      .filter(col("__rk") === 1).drop("__rk")
+    println(s"CRAWL pages=${crawl.count()} frontier=${frontier.count()} (URL-level dedup)")
+    val day1 = Dedup.incrementalMinHash(spark, catalog, "crawl_idx",
+      frontier.select(col("doc_id"), col("text")), "doc_id", "text", batchId = 0L)
+    val recrawl = Dedup.incrementalMinHash(spark, catalog, "crawl_idx",
+      frontier.select((col("doc_id") + 1000).as("doc_id"), col("text")),
+      "doc_id", "text", batchId = 1L)
+    println(s"RECRAWL day1=${day1.count()} day2_novel=${recrawl.count()} (near-dup index)")
+
     spark.stop()
   }
 }
