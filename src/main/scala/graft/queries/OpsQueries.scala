@@ -510,6 +510,52 @@ object OpsQueries {
         lo = 0.0, hi = 2000.0, nBins = 128)
     }),
 
+    // the cross-RUN incremental dedup as an oracle query: two batches run
+    // against a real persisted index inside the query (batch 1 carries
+    // copies of batch-0 content under new ids), and the per-batch
+    // emissions are reconstructed relationally — batch-0 keepers, then
+    // batch-1 keepers anti-joined on batch-0 fingerprints
+    "i1_incremental_exact" -> ((s, dir) => {
+      import graft.meta.LocalCatalog
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-i1-wh").toString)
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b0 = d.filter(col("doc_id") % 3 =!= 0)
+      val b1 = d.filter(col("doc_id") % 3 === 0)
+        .unionAll(b0.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val out0 = graft.ops.Dedup.incrementalExact(s, catalog, "i1_idx", b0,
+        "doc_id", "text", 0L)
+      val out1 = graft.ops.Dedup.incrementalExact(s, catalog, "i1_idx", b1,
+        "doc_id", "text", 1L)
+      out0.select(lit(0L).as("batch_id"), col("doc_id"))
+        .unionAll(out1.select(lit(1L).as("batch_id"), col("doc_id")))
+    }),
+
+    // the cross-RUN NEAR-dup index as an oracle query: batch 1 carries
+    // near-copies (one extra token) of batch-0 survivors under new ids;
+    // the oracle replays the whole stack relationally — signatures,
+    // banding, capped bucket joins (batch AND index side), exact-Jaccard
+    // verify, within-batch connected components, and the cross-run anti
+    // join
+    "i2_incremental_minhash" -> ((s, dir) => {
+      import graft.meta.LocalCatalog
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-i2-wh").toString)
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b0 = d.filter(col("doc_id") % 3 =!= 0)
+      val b1 = d.filter(col("doc_id") % 3 === 0)
+        .unionAll(b0.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+      val out0 = graft.ops.Dedup.incrementalMinHash(s, catalog, "i2_idx", b0,
+        "doc_id", "text", 0L)
+      val out1 = graft.ops.Dedup.incrementalMinHash(s, catalog, "i2_idx", b1,
+        "doc_id", "text", 1L)
+      out0.select(lit(0L).as("batch_id"), col("doc_id"))
+        .unionAll(out1.select(lit(1L).as("batch_id"), col("doc_id")))
+    }),
+
     // HTML -> text extraction: deterministic markup (script/style blocks
     // with stray '<' inside, a multi-line comment, entities incl. the
     // &amp;lt; double-decode trap) wrapped around every document; the
@@ -1562,6 +1608,120 @@ object OpsQueries {
         |SELECT lang, q_ppm, bin,
         |  CAST(round((bin + 1) * 15.625 * 1000000.0, 0) AS BIGINT) AS upper_e6
         |FROM sel""".stripMargin,
+
+    // the d2 pipeline with a batch column threaded through every stage,
+    // then: per-batch components (recursive CTE) pick min-id keepers,
+    // batch-1 keepers anti-join the capped index bands + exact verify
+    "i2_incremental_minhash" -> {
+      val hs = (0 until 4).map(x => s"md5('$x:' || gram) AS h$x").mkString(", ")
+      val mhs = (0 until 16).map(j =>
+        s"min(substr(h${j / 4}, ${(j % 4) * 8 + 1}, 8)) AS mh$j").mkString(", ")
+      val bandSel = (0 until 4).map { bd =>
+        val cols = (bd * 4 until (bd + 1) * 4).map(j => s"mh$j").mkString(" || ")
+        s"SELECT b, id, $bd AS band, md5($cols) AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH all0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |all1 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' extra' FROM all0 WHERE doc_id % 5 = 0),
+         |bcorpus AS (
+         |  SELECT 0 AS b, doc_id, text FROM all0
+         |  UNION ALL SELECT 1, doc_id, text FROM all1),
+         |grams AS (
+         |  SELECT DISTINCT b, doc_id AS id, g AS gram FROM (
+         |    SELECT b, doc_id, unnest(list_transform(
+         |      range(1, greatest(len(toks) - 2, 1) + 1),
+         |      i -> array_to_string(toks[i:i+2], ' '))) AS g
+         |    FROM (SELECT b, doc_id, $toksSql AS toks FROM bcorpus))),
+         |hashed AS (SELECT b, id, $hs FROM grams),
+         |sig AS (SELECT b, id, $mhs FROM hashed GROUP BY b, id),
+         |bands AS ($bandSel),
+         |sizedw AS (
+         |  SELECT x.* FROM bands x
+         |  JOIN (SELECT b, band, bh, count(*) AS n FROM bands GROUP BY 1,2,3) z
+         |    ON x.b = z.b AND x.band = z.band AND x.bh = z.bh
+         |  WHERE z.n <= 100),
+         |candw AS (
+         |  SELECT DISTINCT a.b, a.id AS id1, c.id AS id2
+         |  FROM sizedw a JOIN sizedw c
+         |    ON a.b = c.b AND a.band = c.band AND a.bh = c.bh AND a.id < c.id),
+         |sizes AS (SELECT b, id, count(*) AS n FROM grams GROUP BY 1, 2),
+         |common AS (
+         |  SELECT c.b, c.id1, c.id2, count(*) AS c
+         |  FROM candw c
+         |  JOIN grams g1 ON g1.b = c.b AND g1.id = c.id1
+         |  JOIN grams g2 ON g2.b = c.b AND g2.id = c.id2 AND g2.gram = g1.gram
+         |  GROUP BY 1, 2, 3),
+         |pairsw AS (
+         |  SELECT common.b, id1, id2 FROM common
+         |  JOIN sizes s1 ON s1.b = common.b AND s1.id = id1
+         |  JOIN sizes s2 ON s2.b = common.b AND s2.id = id2
+         |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5),
+         |edges AS (
+         |  SELECT b, id1 AS src, id2 AS dst FROM pairsw
+         |  UNION SELECT b, id2, id1 FROM pairsw),
+         |reach AS (
+         |  WITH RECURSIVE r(b, id, label) AS (
+         |    SELECT b, src, src FROM edges
+         |    UNION
+         |    SELECT e.b, e.src, r.label FROM edges e JOIN r ON r.b = e.b AND e.dst = r.id)
+         |  SELECT * FROM r),
+         |dominated AS (
+         |  SELECT b, id FROM (SELECT b, id, min(label) AS lbl FROM reach GROUP BY 1, 2)
+         |  WHERE lbl < id),
+         |keep0 AS (SELECT doc_id AS id FROM all0
+         |          EXCEPT SELECT id FROM dominated WHERE b = 0),
+         |keep1 AS (SELECT doc_id AS id FROM all1
+         |          EXCEPT SELECT id FROM dominated WHERE b = 1),
+         |idxb AS (SELECT band, bh, id AS old_id FROM bands
+         |         WHERE b = 0 AND id IN (SELECT id FROM keep0)),
+         |idxcap AS (
+         |  SELECT i.* FROM idxb i
+         |  JOIN (SELECT band, bh, count(*) AS n FROM idxb GROUP BY 1, 2) z
+         |    ON i.band = z.band AND i.bh = z.bh
+         |  WHERE z.n <= 100),
+         |kb1 AS (SELECT band, bh, id FROM bands
+         |        WHERE b = 1 AND id IN (SELECT id FROM keep1)),
+         |candx AS (
+         |  SELECT DISTINCT k.id, i.old_id FROM kb1 k
+         |  JOIN idxcap i ON k.band = i.band AND k.bh = i.bh),
+         |commonx AS (
+         |  SELECT cx.id, cx.old_id, count(*) AS c
+         |  FROM candx cx
+         |  JOIN grams g1 ON g1.b = 1 AND g1.id = cx.id
+         |  JOIN grams g2 ON g2.b = 0 AND g2.id = cx.old_id AND g2.gram = g1.gram
+         |  GROUP BY 1, 2),
+         |matched AS (
+         |  SELECT DISTINCT commonx.id FROM commonx
+         |  JOIN sizes s1 ON s1.b = 1 AND s1.id = commonx.id
+         |  JOIN sizes s2 ON s2.b = 0 AND s2.id = commonx.old_id
+         |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5),
+         |final1 AS (SELECT id FROM keep1 EXCEPT SELECT id FROM matched)
+         |SELECT CAST(0 AS BIGINT) AS batch_id, id AS doc_id FROM keep0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), id FROM final1""".stripMargin
+    },
+
+    // same fingerprint, same min-id keeper rule, same anti join on the
+    // prior batch's committed fingerprints
+    "i1_incremental_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |b0 AS (SELECT doc_id, fp FROM d WHERE doc_id % 3 <> 0),
+        |b1 AS (
+        |  SELECT doc_id, fp FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, fp FROM b0 WHERE doc_id % 5 = 0),
+        |k0 AS (SELECT fp, min(doc_id) AS doc_id FROM b0 GROUP BY 1),
+        |k1 AS (SELECT fp, min(doc_id) AS doc_id FROM b1 GROUP BY 1),
+        |k1n AS (SELECT k1.fp, k1.doc_id FROM k1 LEFT JOIN k0 USING (fp)
+        |        WHERE k0.fp IS NULL)
+        |SELECT CAST(0 AS BIGINT) AS batch_id, doc_id FROM k0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT) AS batch_id, doc_id FROM k1n""".stripMargin,
 
     // identical strip pipeline: block removal -> comment -> tags ->
     // entity decode (&amp; last) -> whitespace collapse. Control chars in
