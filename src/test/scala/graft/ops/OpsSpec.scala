@@ -501,6 +501,11 @@ class OpsSpec extends AnyFunSuite {
       .select(TextAnalysis.canonicalizeUrl($"url")).head.getString(0)
     assert(canon.endsWith("/A/b?z=1"), s"path shifted: $canon")
     assert(canon.startsWith("http://i"), s"host not lowered: $canon")
+    // null in -> null out, no job kill (crawl frontiers carry null URLs)
+    val nulls = Seq(Option.empty[String]).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl($"url"), TextAnalysis.stripHtml($"url"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
   test("capPerGroup keeps the cap smallest draws per group; small groups intact") {
