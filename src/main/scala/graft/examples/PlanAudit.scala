@@ -30,7 +30,8 @@ object PlanAudit {
         "t20_quantile","p6_interleave","t21_truncate","t22_oov","s7_pq_search",
         "t23_group_quantile","p7_domain_cap","p8_fixed_sample","t24_url_canon",
         "s8_ann_index","t25_html_strip","i1_incremental_exact",
-        "i2_incremental_minhash")) {
+        "i2_incremental_minhash",
+        "b1_bm25","b2_text_index","d8_keep_best","t26_bpe_pairs","m5_warc")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length

@@ -648,6 +648,38 @@ object Dedup {
     (labels.unionAll(selfOnly), rounds)
   }
 
+  /** Quality-biased keeper selection over dedup clusters: keep ONE
+    * document per cluster — the one with the highest score (ties break on
+    * lowest id) — plus every unclustered document. Real dedup pipelines
+    * keep the *best* member of a near-dup group (longest, highest
+    * quality), not the lowest id; this is the step that turns
+    * [[clusterPairs]]/[[clusterPairsStar]] labels into the surviving
+    * corpus.
+    *
+    * `clusters` is (id, cluster_id) from either CC implementation;
+    * `scoreCol` is any orderable column of `docs` (token count, a Gopher
+    * quality score, ...). Null scores rank below every non-null score.
+    *
+    * Shuffle profile: one id-keyed join of the cluster labels against the
+    * doc scores (the labels relation holds only docs in >= 1 pair, a
+    * small fraction of the corpus under realistic duplication), one
+    * rank window partitioned by cluster (parallel, state bounded by
+    * cluster size), and one anti join of the corpus against the loser
+    * set. Nothing is broadcast unconditionally — the loser relation's
+    * size is corpus-dependent, so the anti join is left to AQE/size
+    * estimation. Returns the surviving `docs` rows unchanged. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    val scored = clusters.join(
+      docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc_nulls_last, col("id").asc)
+    val losers = scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** Line-level (paragraph-level) dedup, CCNet-style: count every exact
     * line across the WHOLE corpus, drop from each document the lines that
     * appear at least `minCount` times, and reassemble the survivors in

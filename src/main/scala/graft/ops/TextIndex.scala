@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{Catalog, IceRead, IceWrite}
+
+/** Sparse (lexical) retrieval over document corpora: BM25 scoring and a
+  * persisted inverted index — the text-side dual of [[AnnIndex]]'s dense
+  * build-once/serve-many stack. A training-data pipeline uses this for
+  * targeted corpus slicing ("every document about X"), contamination
+  * hunting beyond exact n-gram hits, and quality-biased retrieval mixes.
+  *
+  * Scoring is the BM25 term-saturation formula with the idf expressed as
+  * an EXACT rational instead of its logarithm (the same documented trade
+  * as [[TextAnalysis.tfIdfTopTerms]]: `ln` is not correctly rounded and a
+  * one-ulp drift can flip near-tied ranks across engines, while integer
+  * floor division is bit-identical everywhere — docs/ORACLE.md). With
+  * k1 = 6/5 and b = 3/4 (the standard 1.2 / 0.75 as exact rationals),
+  * avgdl = T/N (total tokens over doc count):
+  *
+  *   tf_e6    = 1e6 * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  *            = (22_000_000 * tf * T) div (10*tf*T + 3*T + 9*dl*N)
+  *   idf_e6   = 1e6 * (N - df + 1/2) / (df + 1/2)
+  *            = (1_000_000 * (2*(N - df) + 1)) div (2*df + 1)
+  *   score_e6 = sum over matched terms of (tf_e6 * idf_e6) div 1e6
+  *
+  * Every step is integer arithmetic (DECIMAL(38,0) intermediates — the
+  * products reach ~1e26 on a 100 TB corpus, past int64 but far inside 38
+  * digits); the idf rational preserves BM25's monotone df tradeoff
+  * per-term, and docs rank by the same "rare terms dominate, tf
+  * saturates" shape. Ties break on doc id.
+  */
+object TextIndex {
+
+  /** tf_e6: BM25 term-frequency saturation in micro units (see object
+    * doc). Expects columns tf, dl, n_docs, total_tokens. */
+  private val TfE6 =
+    """CAST(floor((CAST(22000000 AS DECIMAL(38,0)) * tf * total_tokens) /
+      |           (CAST(10 AS DECIMAL(38,0)) * tf * total_tokens
+      |            + CAST(3 AS DECIMAL(38,0)) * total_tokens
+      |            + CAST(9 AS DECIMAL(38,0)) * dl * n_docs)) AS BIGINT)""".stripMargin
+
+  /** idf_e6: rational idf in micro units, capped at 1e12 (rarity ratio
+    * 1e6). Without `ln`'s compression a one-in-a-trillion term's idf
+    * would reach ~1e18 and overflow the int64 doc-score sum; past the
+    * cap, rarer terms all score as "maximally rare" (the same saturation
+    * Lucene applies to degenerate idf). With the cap, a per-term score is
+    * at most 2.2e6 * 1e12 / 1e6 = 2.2e12 — the whole pipeline stays
+    * inside int64 for any query under ~4M terms. Expects df, n_docs. */
+  private val IdfE6 =
+    """least(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * (2 * (n_docs - df) + 1)) /
+      |                 (CAST(2 AS DECIMAL(38,0)) * df + 1)) AS BIGINT),
+      |      CAST(1000000000000 AS BIGINT))""".stripMargin
+
+  /** (id, dl, __hits) projection: per-row token count and the tokens that
+    * match the query, from ONE tokens() evaluation. Null text yields
+    * dl = 0 and no hits (the doc still counts toward N and avgdl — a
+    * corpus statistic that silently shrank when rows went null would bias
+    * every score). */
+  private def hitsProjection(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame =
+    df.select(col(idCol).as("id"),
+      coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)).as("dl"),
+      coalesce(filter(TextAnalysis.tokens(col(textCol)),
+        t => t.isInCollection(terms)), lit(Array.empty[String])).as("__hits"))
+
+  /** Per-(doc, term) tf rows restricted to the query terms, dl carried
+    * through the aggregate (constant per doc, so max == the value — no
+    * second corpus join). The explode happens AFTER the per-row term
+    * filter, so the shuffled relation holds only query-term occurrences,
+    * not the corpus token stream. */
+  private def tfOfHits(base: DataFrame): DataFrame =
+    base.select(col("id"), col("dl"), explode(col("__hits")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** Score tf rows against corpus stats and return the top-k docs.
+    * dfreq/stats are bounded (|terms| rows / 1 row) — broadcast. */
+  private def scoreAndRank(tf: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__score", expr(s"($TfE6) * ($IdfE6) div 1000000"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("__score")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** BM25 top-k retrieval directly over a corpus DataFrame (no index):
+    * one corpus pass builds the per-row (dl, matched-tokens) projection;
+    * the only shuffled rows are query-term occurrences. The global top-k
+    * is TakeOrderedAndProject — per-partition heaps, never a global sort.
+    * Returns (id, n_hits, score_e6), best first; docs matching no term
+    * are not returned. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val base = hitsProjection(df, idCol, textCol, terms)
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    scoreAndRank(tfOfHits(base), stats, k)
+  }
+
+  def postingsTable(name: String): String = s"${name}__postings"
+  def docsTable(name: String): String = s"${name}__docs"
+
+  /** Build the persisted inverted index: `name__postings` (term, doc_id,
+    * tf, dl) — one row per distinct (term, doc) with dl denormalized onto
+    * the posting so a search never joins back to the doc table — and
+    * `name__docs` (doc_id, dl), from which N and total tokens derive at
+    * serve time (derived, not stored: a stored counter would drift from
+    * the data under replayed appends; the docs table is two longs per doc
+    * and aggregates map-side).
+    *
+    * Postings are written repartitioned BY TERM and sorted (term, doc_id)
+    * within partitions, so each parquet file covers a narrow term range
+    * and a search's `term IN (...)` pushdown skips whole files on footer
+    * stats — at corpus scale a query touches the few files holding its
+    * terms, not the index. */
+  def build(spark: SparkSession, catalog: Catalog, name: String,
+      corpus: DataFrame, idCol: String, textCol: String): Unit = {
+    require(!catalog.tableExists(postingsTable(name)) &&
+      !catalog.tableExists(docsTable(name)),
+      s"text index '$name' already exists — drop its tables to rebuild")
+    IceWrite.create(spark, catalog, docsTable(name), docRows(corpus, idCol, textCol))
+    IceWrite.create(spark, catalog, postingsTable(name),
+      postingRows(corpus, idCol, textCol))
+  }
+
+  /** Add documents to an existing index: postings upsert keyed
+    * (term, doc_id), doc rows keyed doc_id — a replayed append commits
+    * identical rows and converges. Meant for NEW doc ids; re-indexing a
+    * CHANGED document must delete its old rows first (an upsert cannot
+    * retract postings for terms the new text no longer contains). */
+  def append(spark: SparkSession, catalog: Catalog, name: String,
+      corpus: DataFrame, idCol: String, textCol: String): Unit = {
+    val docs = docRows(corpus, idCol, textCol).localCheckpoint(true)
+    if (!docs.isEmpty) {
+      IceWrite.upsert(spark, catalog, docsTable(name), docs, keys = Seq("doc_id"))
+      IceWrite.upsert(spark, catalog, postingsTable(name),
+        postingRows(corpus, idCol, textCol), keys = Seq("term", "doc_id"))
+    }
+  }
+
+  private def docRows(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol).as("doc_id"),
+      coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)).as("dl"))
+
+  private def postingRows(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol).as("doc_id"),
+      coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)).as("dl"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+
+  /** Serve BM25 top-k from the persisted index alone — document text is
+    * never read. The postings scan carries a `term IN (...)` pushdown
+    * (file skipping via the build-time term clustering); stats come from
+    * one map-side-combinable aggregate over the (doc_id, dl) table.
+    * Returns (id, n_hits, score_e6), best first. */
+  def searchBm25(spark: SparkSession, catalog: Catalog, name: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    require(terms.nonEmpty, "searchBm25 needs at least one query term")
+    val post = IceRead.table(spark, catalog, postingsTable(name))
+      .filter(col("term").isInCollection(terms))
+      .select(col("doc_id").as("id"), col("term"), col("tf"), col("dl"))
+    val stats = IceRead.table(spark, catalog, docsTable(name))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    scoreAndRank(post, stats, k)
+  }
+}

@@ -100,6 +100,38 @@ object OpsQueries {
        |       THEN ' ' || array_to_string(($toksSql)[1:8], ' ') ELSE '' END AS text
        |FROM documents)""".stripMargin
 
+  /** BM25 over `documents` in DuckDB: the same rational-idf integer
+    * formula as TextIndex (scaladoc derivation), HUGEINT intermediates,
+    * `//` floor division, the same 1e12 idf cap. Shared by b1 (direct)
+    * and b2 (the persisted index, whose disjoint build+append batches
+    * merge back to exactly `documents`). */
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, COALESCE(len($toksSql), 0) AS dl,
+       |         COALESCE(list_filter($toksSql, t -> t IN ($inList)), []) AS hits
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM base),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |       FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base)
+       |       GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |parts AS (
+       |  SELECT doc_id,
+       |    (CAST(22000000 AS HUGEINT) * tf * total_tokens) //
+       |      (CAST(10 AS HUGEINT) * tf * total_tokens
+       |       + CAST(3 AS HUGEINT) * total_tokens
+       |       + CAST(9 AS HUGEINT) * dl * n_docs) AS tf_e6,
+       |    least((CAST(1000000 AS HUGEINT) * (2 * (n_docs - df) + 1)) //
+       |            (CAST(2 AS HUGEINT) * df + 1),
+       |          CAST(1000000000000 AS HUGEINT)) AS idf_e6
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |       CAST(sum(tf_e6 * idf_e6 // 1000000) AS BIGINT) AS score_e6
+       |FROM parts GROUP BY doc_id
+       |ORDER BY score_e6 DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: fingerprint group -> keeper + multiplicity
     "d1_exact_dedup" -> ((s, dir) =>
@@ -594,6 +626,58 @@ object OpsQueries {
         k = 5, nprobe = 2)
     }),
 
+    // BM25 top-k retrieval directly over the corpus: integer-exact
+    // rational-idf scoring (TextIndex scaladoc derivation), only
+    // query-term occurrences ever shuffle, global top-k via
+    // TakeOrderedAndProject
+    "b1_bm25" -> ((s, dir) =>
+      graft.ops.TextIndex.bm25TopK(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge", "customer"), k = 15)
+        .withColumnRenamed("id", "doc_id")),
+
+    // the PERSISTED inverted index end to end: build on two-thirds of the
+    // corpus, append the rest (upsert keyed (term, doc_id)), then serve
+    // BM25 from postings + doc-length tables alone — document text is
+    // never read at query time. The oracle reconstructs the merged index
+    // relationally (disjoint ids, so upsert == union) and replays the
+    // same integer scoring
+    "b2_text_index" -> ((s, dir) => {
+      import graft.meta.LocalCatalog
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-ti-wh").toString)
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.TextIndex.build(s, catalog, "tiq",
+        d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      graft.ops.TextIndex.append(s, catalog, "tiq",
+        d.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      graft.ops.TextIndex.searchBm25(s, catalog, "tiq",
+        Seq("stream", "join", "batch"), k = 12)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // quality-biased dedup keeper selection: near-dup pairs on the d6
+    // slice -> star-rounds connected components (the web-scale CC gets
+    // its own oracle here) -> keep the longest member per cluster (ties
+    // -> lowest id), unclustered docs survive untouched
+    "d8_keep_best" -> ((s, dir) => {
+      val sliced = corpus(s, dir).filter(col("doc_id") % 100000 < 500)
+        .withColumn("n_toks", TextAnalysis.tokenCount(col("text")).cast("long"))
+      val pairs = Dedup.ngramJaccardPairsBroadcast(sliced, "doc_id", "text",
+        n = 4, threshold = 0.6)
+      Dedup.keepBestPerCluster(sliced, "doc_id", "n_toks",
+          Dedup.clusterPairsStar(pairs))
+        .select(col("doc_id"), col("n_toks"))
+    }),
+
+    // BPE tokenizer training's first round: weighted adjacent-codepoint
+    // pair counts over the word-frequency table (vocabulary-bounded, not
+    // corpus-bounded), top-20 by count
+    "t26_bpe_pairs" -> ((s, dir) =>
+      graft.ops.Bpe.pairCounts(
+          graft.ops.Bpe.vocabulary(tbl(s, dir, "documents"), "text"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(20)),
+
     // bloom-filter join pruning: the filter (distinct md5 bit positions of
     // the BUILDING customers) gates the orders scan before the exact semi
     // join; n_candidates oracle-checks the bloom itself (the exact same
@@ -818,6 +902,40 @@ object OpsQueries {
         org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
       Multimodal.extractVideoFeatures(s, media.repartition(4))
         .drop("first_frame_luma") // pixel feature: spec-checked, not oracle-expressible
+    }),
+
+    // WARC crawl-archive round trip: documents grouped 50-per-archive
+    // and encoded as real WARC/1.0 containers (every even archive
+    // gzipped — the concatenated-member .warc.gz shape), parsed back
+    // distributed; uri/content-length/body hash are oracle-derived
+    // analytically from the same rows, so the header arithmetic, byte
+    // accounting, and gzip chaining are all hash-checked
+    "m5_warc" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        StructType(Seq(StructField("file_id", LongType),
+          StructField("payload", BinaryType))))
+      val files = tbl(s, dir, "documents")
+        .select(expr("doc_id div 50").as("file_id"), col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        .groupBy(col("file_id"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("recs"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val fid = r.getLong(0)
+            val recs = r.getSeq[Row](1).map { rr =>
+              (s"http://example.com/doc/${rr.getLong(0)}", "text/plain",
+                rr.getString(1).getBytes("UTF-8"))
+            }
+            val bytes = graft.sources.Warc.warcBytes(recs)
+            Row(fid, if (fid % 2 == 0) graft.sources.Warc.gzip(bytes) else bytes)
+          }
+        }(enc)
+      graft.sources.Warc.parse(s, files)
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content_length"), md5(col("body")).as("body_md5"))
     }),
 
     "m3_wav_audio" -> ((s, dir) => {
@@ -1816,6 +1934,71 @@ object OpsQueries {
         |      ORDER BY adc_e6 ASC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM adc)
         |WHERE rank <= 5""".stripMargin,
+
+    // the WARC bodies are the documents' UTF-8 bytes, so length and md5
+    // derive analytically (strlen counts bytes in DuckDB; md5 of VARCHAR
+    // hashes its UTF-8 encoding — the exact bytes the container carried)
+    "m5_warc" ->
+      """SELECT doc_id,
+        |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS content_length,
+        |       md5(COALESCE(text, '')) AS body_md5
+        |FROM documents""".stripMargin,
+
+    "b1_bm25" -> bm25Sql(Seq("spark", "window", "merge", "customer"), 15),
+
+    "b2_text_index" -> bm25Sql(Seq("stream", "join", "batch"), 12),
+
+    // d6's recursive-CTE components + the keeper rank: longest member
+    // (NULLS LAST ties Spark's desc_nulls_last), ties -> lowest id;
+    // survivors = corpus minus rank>1 cluster members
+    "d8_keep_best" ->
+      s"""WITH ${corpusSql.replace("corpus AS (", "corpus0 AS (")},
+         |corpus AS (SELECT * FROM corpus0 WHERE doc_id % 100000 < 500),
+         |$gramsSql,
+         |sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+         |common AS (
+         |  SELECT a.id AS id1, b.id AS id2, count(*) AS c
+         |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM common
+         |  JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+         |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(id, label) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id)
+         |  SELECT * FROM r),
+         |clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+         |scoredocs AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks FROM corpus),
+         |ranked AS (
+         |  SELECT c.id, row_number() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY d.n_toks DESC NULLS LAST, c.id ASC) AS rk
+         |  FROM clusters c JOIN scoredocs d ON d.doc_id = c.id)
+         |SELECT doc_id, n_toks FROM scoredocs
+         |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)""".stripMargin,
+
+    // word-frequency table -> weighted adjacent-codepoint pairs; substr
+    // and len are codepoint-addressed in both engines, range() end is
+    // exclusive so i runs 1..len-1 (1-codepoint words yield no pairs,
+    // matching the Spark slice-then-index form)
+    "t26_bpe_pairs" ->
+      s"""WITH words AS (
+         |  SELECT term, count(*) AS n FROM (
+         |    SELECT t AS term FROM (
+         |      SELECT unnest($toksSql) AS t FROM documents)
+         |    WHERE len(t) > 0)
+         |  GROUP BY 1),
+         |pairs AS (
+         |  SELECT substr(term, i, 1) AS lhs, substr(term, i + 1, 1) AS rhs, n
+         |  FROM (SELECT term, n, unnest(range(1, len(term))) AS i FROM words))
+         |SELECT lhs, rhs, CAST(sum(n) AS BIGINT) AS cnt
+         |FROM pairs GROUP BY 1, 2
+         |ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 20""".stripMargin,
 
     // the oracle sets the identical bloom bits and applies the identical
     // all-k-present pass test, then the exact join
