@@ -217,6 +217,51 @@ object IceRead {
         "position_delete_files", "equality_delete_files")
   }
 
+  /** `count(*)` answered from manifest record counts alone — zero data
+    * scan, the stats-only COUNT shortcut Iceberg engines take. At 100 TB
+    * this is the difference between a driver-side sum over the manifest
+    * and a full-table scan job. Exact ONLY when no delete file shades
+    * the snapshot: a tombstone's row-count effect cannot be known
+    * without reading data (a position delete may target an already-dead
+    * row, an equality delete may match 0..n rows), so any live delete
+    * file returns None and the caller falls back to
+    * `table(...).count()`. */
+  def fastCount(catalog: Catalog, name: String, branch: String = "main"): Option[Long] = {
+    val meta = catalog.loadTable(name)
+    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+                else meta.snapshotForRef(branch))
+      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val (data, deletes) = snap.manifest.partition(_.content == FileContent.Data)
+    if (deletes.nonEmpty) None else Some(data.map(_.recordCount).sum)
+  }
+
+  /** min/max of a numeric column answered from manifest zone maps alone
+    * — zero data scan. Exact ONLY when no delete file shades the
+    * snapshot (a delete could remove the extreme row) AND every data
+    * file carries stats for the column (a file without them could hide
+    * the true extreme); returns None otherwise, and None on an empty
+    * table (no rows have no min). Values come back as the decimal
+    * strings the zone maps store. */
+  def fastMinMax(catalog: Catalog, name: String, column: String,
+      branch: String = "main"): Option[(BigDecimal, BigDecimal)] = {
+    val meta = catalog.loadTable(name)
+    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+                else meta.snapshotForRef(branch))
+      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val (data, deletes) = snap.manifest.partition(_.content == FileContent.Data)
+    val live = data.filter(_.recordCount > 0)
+    if (deletes.nonEmpty || live.isEmpty) return None
+    val bounds = live.map(f => f.columnStats.get(column).map { case (mn, mx) =>
+      try Some((BigDecimal(mn), BigDecimal(mx)))
+      catch { case _: NumberFormatException => None }
+    }.flatten)
+    if (bounds.exists(_.isEmpty)) None
+    else {
+      val bs = bounds.flatten
+      Some((bs.map(_._1).min, bs.map(_._2).max))
+    }
+  }
+
   /** `refs` metadata table (like Iceberg's `table$refs`): every named
     * ref — movable branches and immutable tags — with its snapshot. */
   def refs(spark: SparkSession, catalog: Catalog, name: String): DataFrame = {

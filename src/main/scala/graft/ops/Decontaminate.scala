@@ -52,4 +52,51 @@ object Decontaminate {
       flaggedByNgramOverlap(corpus, idCol, textCol, test, testTextCol, n, minHits)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** SEMANTIC decontamination: corpus documents whose embedding lies
+    * within cosine >= tau of ANY test-set embedding — the contamination
+    * the n-gram rule structurally misses (paraphrase, translation,
+    * reformatted copies). SemDeDup's geometry pointed across datasets
+    * instead of within one.
+    *
+    * Scale shape mirrors [[flaggedByNgramOverlap]]: the test side is
+    * small by nature and broadcasts with norms precomputed; the corpus
+    * scans once and never shuffles at full width — the broadcast
+    * nested-loop join emits only the (doc, test) hits past tau (each
+    * pair costs one fused `VecDot` loop), and the per-doc fold
+    * aggregates a relation bounded by contamination volume, not corpus
+    * size. Zero-norm and null embeddings are excluded before the join on
+    * BOTH sides (cosine is undefined for them, and under ANSI the
+    * division would throw rather than produce a comparable NaN) — an
+    * unembeddable document cannot be flagged by an embedding rule.
+    *
+    * Returns (idCol, n_hits, max_cos) for flagged docs; compose with an
+    * anti join (or [[removeSemanticContaminated]]) to decontaminate. */
+  def flaggedByEmbeddingSimilarity(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      test: DataFrame, testVecCol: String, tau: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__n", Similarity.norm(col("__v")))
+      .filter(col("__n").isNotNull && col("__n") > 0)
+    val t = test.select(col(testVecCol).as("__tv"))
+      .withColumn("__tn", Similarity.norm(col("__tv")))
+      .filter(col("__tn").isNotNull && col("__tn") > 0)
+    c.crossJoin(broadcast(t))
+      .withColumn("__cos",
+        round(Similarity.dot(col("__v"), col("__tv")) / (col("__n") * col("__tn")), 6))
+      .filter(col("__cos") >= tau)
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("__cos")).as("max_cos"))
+      .select(col("__id").as(idCol), col("n_hits"), col("max_cos"))
+  }
+
+  /** The semantically-decontaminated corpus: rows NOT flagged by
+    * [[flaggedByEmbeddingSimilarity]]. */
+  def removeSemanticContaminated(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      test: DataFrame, testVecCol: String, tau: Double): DataFrame =
+    corpus.join(
+      flaggedByEmbeddingSimilarity(corpus, idCol, vecCol, test, testVecCol, tau)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

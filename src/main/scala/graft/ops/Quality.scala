@@ -89,4 +89,47 @@ object Quality {
         (size(col("__lines")) - size(col("__kept"))).cast("long").as("dropped_lines"),
         array_join(col("__kept"), "\n").as("clean_text"))
   }
+
+  /** Bigram-coherence score: the ppm fraction of a document's DISTINCT
+    * adjacent-token bigrams that occur in at least `minDocs` documents
+    * corpus-wide — an LM-free fluency proxy (CCNet ranks by LM
+    * perplexity; this is the statistical cousin that needs no model):
+    * fluent prose is built from word transitions other fluent prose also
+    * uses, while gibberish, OCR damage, and word-salad spam produce
+    * transitions nothing else contains. Integer-ppm output, cross-engine
+    * exact.
+    *
+    * Shuffle profile (the [[Dedup.dropBoilerplateLines]] shape): ONE
+    * exchange of the per-doc-distinct bigram relation keyed by a
+    * fixed-width md5 of the bigram — a COUNT WINDOW both counts each
+    * bigram's document frequency and tags the rows in place (the
+    * aggregate-then-join-back form would shuffle the same relation on
+    * the same key twice) — then the per-doc aggregate. Nothing
+    * broadcasts; a pathologically hot bigram ("of the") makes one big
+    * window partition that Spark's external buffer spills.
+    *
+    * Returns (id, n_bigrams, n_common, coherence_ppm); docs with < 2
+    * tokens report 0 bigrams and a NULL rate. */
+  def bigramCoherence(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val toks = tokens(col(textCol))
+    // slice-then-index (the Bpe.pairCounts guard): sequence() DESCENDS
+    // when start > stop, so short docs must become empty arrays by
+    // construction, not by indexing luck
+    val bigrams = array_distinct(transform(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (x, i) => concat(x, lit(" "), element_at(toks, i + 2))))
+    val exploded = df.select(col(idCol).as("id"), explode_outer(bigrams).as("bg"))
+      .withColumn("bh", md5(col("bg"))).drop("bg")
+    val tagged = exploded.withColumn("n", count(col("bh")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("bh"))))
+    tagged.groupBy(col("id")).agg(
+        count(col("bh")).as("n_bigrams"),
+        sum(when(col("bh").isNotNull && col("n") >= minDocs, 1L).otherwise(0L))
+          .as("n_common"))
+      // explicit CASE: ANSI div throws on the zero divisor of short docs
+      .withColumn("coherence_ppm", expr(
+        "CASE WHEN n_bigrams = 0 THEN NULL ELSE n_common * 1000000 div n_bigrams END"))
+  }
 }

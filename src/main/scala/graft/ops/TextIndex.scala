@@ -129,20 +129,27 @@ object TextIndex {
       postingRows(corpus, idCol, textCol))
   }
 
-  /** Add documents to an existing index: postings upsert keyed
-    * (term, doc_id), doc rows keyed doc_id — a replayed append commits
-    * identical rows and converges. Meant for NEW doc ids; re-indexing a
+  /** Add documents to the index: postings upsert keyed (term, doc_id),
+    * doc rows keyed doc_id — a replayed append commits identical rows
+    * and converges. Each table is created independently if missing, so a
+    * crash between the two commits leaves a state the NEXT append
+    * completes rather than a wedge. Meant for NEW doc ids; re-indexing a
     * CHANGED document must delete its old rows first (an upsert cannot
     * retract postings for terms the new text no longer contains). */
   def append(spark: SparkSession, catalog: Catalog, name: String,
       corpus: DataFrame, idCol: String, textCol: String): Unit = {
     val docs = docRows(corpus, idCol, textCol).localCheckpoint(true)
     if (!docs.isEmpty) {
-      IceWrite.upsert(spark, catalog, docsTable(name), docs, keys = Seq("doc_id"))
-      IceWrite.upsert(spark, catalog, postingsTable(name),
-        postingRows(corpus, idCol, textCol), keys = Seq("term", "doc_id"))
+      createOrUpsert(spark, catalog, docsTable(name), docs, Seq("doc_id"))
+      createOrUpsert(spark, catalog, postingsTable(name),
+        postingRows(corpus, idCol, textCol), Seq("term", "doc_id"))
     }
   }
+
+  private def createOrUpsert(spark: SparkSession, catalog: Catalog,
+      table: String, df: DataFrame, keys: Seq[String]): Unit =
+    if (!catalog.tableExists(table)) IceWrite.create(spark, catalog, table, df): Unit
+    else IceWrite.upsert(spark, catalog, table, df, keys): Unit
 
   private def docRows(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus.select(col(idCol).as("doc_id"),
@@ -156,6 +163,29 @@ object TextIndex {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
+
+  /** Streaming maintenance for the inverted index: a foreachBatch sink
+    * that indexes each micro-batch as it lands, so the index serves
+    * while the corpus grows — the retrieval-side sibling of
+    * [[Dedup.dedupSink]].
+    *
+    * {{{
+    * docs.writeStream
+    *   .foreachBatch(TextIndex.indexSink(catalog, "docs_idx", "doc_id", "text"))
+    *   .option("checkpointLocation", ck).start()
+    * }}}
+    *
+    * Replay-safe because [[append]] is an upsert keyed (term, doc_id) /
+    * doc_id: a replayed micro-batch commits identical rows and the
+    * served scores do not change. Tables are created on the first
+    * non-empty batch (per table — a crash mid-create heals on the next
+    * batch); one stream per index (the foreachBatch serialization
+    * guarantee orders the upserts). */
+  def indexSink(catalog: Catalog, name: String,
+      idCol: String, textCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        append(batch.sparkSession, catalog, name, batch, idCol, textCol)
 
   /** Serve BM25 top-k from the persisted index alone — document text is
     * never read. The postings scan carries a `term IN (...)` pushdown

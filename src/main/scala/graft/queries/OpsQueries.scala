@@ -626,6 +626,33 @@ object OpsQueries {
         k = 5, nprobe = 2)
     }),
 
+    // SEMANTIC decontamination: corpus embeddings within cosine 0.9 of
+    // any test-set embedding (the test set = planted copies of every
+    // 20th corpus vector; natural cosines top out ~0.51, far from the
+    // threshold, so exactly the planted sources flag)
+    "d9_semantic_decontam" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Decontaminate.flaggedByEmbeddingSimilarity(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 20 === 0).select(col("embedding")),
+        "embedding", tau = 0.9)
+    }),
+
+    // bigram-coherence quality score (LM-free fluency proxy): ppm of
+    // each doc's distinct adjacent bigrams occurring in >= 2 docs. A
+    // unique gibberish tail injected into every 2nd doc guarantees rare
+    // bigrams at every scale factor; the natural small-vocab corpus
+    // supplies the common ones
+    "t27_bigram_coherence" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" zqx"), col("doc_id"), lit(" wqj"), col("doc_id")))
+          .otherwise(lit(""))).as("text"))
+      Quality.bigramCoherence(injected, "doc_id", "text", minDocs = 2)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // BM25 top-k retrieval directly over the corpus: integer-exact
     // rational-idf scoring (TextIndex scaladoc derivation), only
     // query-term occurrences ever shuffle, global top-k via
@@ -1943,6 +1970,37 @@ object OpsQueries {
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS content_length,
         |       md5(COALESCE(text, '')) AS body_md5
         |FROM documents""".stripMargin,
+
+    "d9_semantic_decontam" ->
+      """WITH test AS (SELECT embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |hits AS (
+        |  SELECT c.vec_id,
+        |    round(list_cosine_similarity(c.embedding::DOUBLE[], t.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings c CROSS JOIN test t)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cos) AS max_cos
+        |FROM hits WHERE cos >= 0.9 GROUP BY 1""".stripMargin,
+
+    // the oracle counts document frequency over the per-doc-DISTINCT
+    // bigram relation (grouping by the raw bigram where Spark windows
+    // over its md5 — same equivalence classes), then left-joins so
+    // short/null docs report 0 bigrams and a NULL rate
+    "t27_bigram_coherence" ->
+      s"""WITH inj AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 2 = 0
+         |         THEN ' zqx' || doc_id || ' wqj' || doc_id ELSE '' END AS text
+         |  FROM documents),
+         |base AS (SELECT doc_id, $toksSql AS toks FROM inj),
+         |bg AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM base)),
+         |dfreq AS (SELECT bg, count(*) AS df FROM bg GROUP BY 1),
+         |per AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+         |        FROM bg b JOIN dfreq f USING (bg) GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
+         |       CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN NULL
+         |            ELSE p.n_common * 1000000 // p.n_bigrams END AS coherence_ppm
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
 
     "b1_bm25" -> bm25Sql(Seq("spark", "window", "merge", "customer"), 15),
 

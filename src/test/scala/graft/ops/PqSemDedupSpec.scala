@@ -132,4 +132,32 @@ class PqSemDedupSpec extends AnyFunSuite {
     // cosine(3,4) ~ 0.9999 but they sit in cells 0 and 1 -> both kept
     assert(rows == Map(3L -> 0L, 4L -> 1L))
   }
+
+  test("semantic decontamination flags cosine hits against the test set; null/zero vectors never flag") {
+    import graft.ops.Decontaminate
+    val corpus = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+        org.apache.spark.sql.Row(2L, Seq(0.97f, 0.243f, 0.0f, 0.0f)), // cos ~0.97 vs test
+        org.apache.spark.sql.Row(3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),    // orthogonal
+        org.apache.spark.sql.Row(4L, null),
+        org.apache.spark.sql.Row(5L, Seq(0.0f, 0.0f, 0.0f, 0.0f))),   // zero norm
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    val test = vecs(100L -> Seq(1f, 0f, 0f, 0f)).select($"embedding")
+    val got = Decontaminate.flaggedByEmbeddingSimilarity(
+        corpus, "vec_id", "embedding", test, "embedding", tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(_._1) == Set(1L, 2L))
+    assert(got.find(_._1 == 1L).get._3 == 1.0)
+    // the anti-join wrapper keeps everything else, including the
+    // null/zero rows (unflaggable is not removable)
+    val kept = Decontaminate.removeSemanticContaminated(
+        corpus, "vec_id", "embedding", test, "embedding", tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
 }

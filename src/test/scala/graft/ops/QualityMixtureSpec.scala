@@ -162,4 +162,22 @@ class QualityMixtureSpec extends AnyFunSuite {
     assert(oov(2L) == ((3L, 0L, 0L)))
     assert(oov(3L) == ((2L, 2L, 1000000L)))
   }
+
+  test("bigramCoherence: shared transitions score, unique ones don't, short/null docs report NULL") {
+    val d = Seq((1L, "a b c"), (2L, "a b x"), (3L, "q"), (4L, null: String))
+      .toDF("id", "text")
+    val got = Quality.bigramCoherence(d, "id", "text", minDocs = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // "a b" appears in docs 1 and 2 (common); "b c"/"b x" are unique
+    assert(got(1L) == ((2L, 1L, 500000L)))
+    assert(got(2L) == ((2L, 1L, 500000L)))
+    assert(got(3L) == ((0L, 0L, -1L))) // 1 token -> no bigrams -> NULL rate
+    assert(got(4L) == ((0L, 0L, -1L)))
+    // repeated bigram within ONE doc is distinct-counted: still unique
+    val rep = Seq((1L, "z y z y"), (2L, "unrelated words here")).toDF("id", "text")
+    val r1 = Quality.bigramCoherence(rep, "id", "text", minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(r1(1L) == 0L) // "z y" twice in doc 1 is one doc, not two
+  }
 }

@@ -73,6 +73,56 @@ class RetrievalBpeSpec extends AnyFunSuite {
       s"expected a pushed term filter on the postings scan:\n$plan")
   }
 
+  test("indexSink: a stream lands as a continuously-served inverted index") {
+    import graft.testkit.FileGenerator
+    val catalog = LocalCatalog(
+      java.nio.file.Files.createTempDirectory("ti-sink-wh").toString)
+    val srcDir = java.nio.file.Files.createTempDirectory("ti-sink-src")
+    val schema = docs().schema
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream
+      .foreachBatch(TextIndex.indexSink(catalog, "tis", "doc_id", "text"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ti-sink-ck").toString)
+      .start()
+    try {
+      FileGenerator.writeSingleParquet(spark,
+        docs().filter(col("doc_id") <= 2), srcDir.resolve("b0.parquet"))
+      q.processAllAvailable()
+      FileGenerator.writeSingleParquet(spark,
+        docs().filter(col("doc_id") > 2), srcDir.resolve("b1.parquet"))
+      q.processAllAvailable()
+      val served = TextIndex.searchBm25(spark, catalog, "tis", Seq("apple", "banana"), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(served == expectedTop)
+    } finally q.stop()
+  }
+
+  test("the index is just tables: compacting the postings table leaves served scores unchanged") {
+    val catalog = LocalCatalog(
+      java.nio.file.Files.createTempDirectory("ti-comp-wh").toString)
+    val d = docs()
+    // many small appends -> many small postings files
+    TextIndex.build(spark, catalog, "tic", d.filter(col("doc_id") === 1), "doc_id", "text")
+    Seq(2L, 3L, 4L, 5L).foreach { id =>
+      TextIndex.append(spark, catalog, "tic",
+        d.filter(col("doc_id") === id), "doc_id", "text")
+    }
+    val before = TextIndex.searchBm25(spark, catalog, "tic", Seq("apple", "banana"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(before == expectedTop)
+    val filesBefore = catalog.loadTable(TextIndex.postingsTable("tic"))
+      .currentSnapshot.get.manifest.count(_.content == graft.meta.FileContent.Data)
+    new graft.compaction.Compaction(catalog, TextIndex.postingsTable("tic"), spark).compact()
+    val filesAfter = catalog.loadTable(TextIndex.postingsTable("tic"))
+      .currentSnapshot.get.manifest.count(_.content == graft.meta.FileContent.Data)
+    assert(filesAfter < filesBefore,
+      s"compaction should fold the $filesBefore postings files, got $filesAfter")
+    val after = TextIndex.searchBm25(spark, catalog, "tic", Seq("apple", "banana"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(after == before)
+  }
+
   test("keepBestPerCluster keeps the top scorer per cluster (ties -> lowest id), nulls last, unclustered survive") {
     val d = Seq(
       (1L, Some(5L)), (2L, Some(9L)), (3L, Some(9L)), // cluster 1: 2 and 3 tie -> 2
