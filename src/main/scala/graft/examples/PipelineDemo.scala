@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.UnicodeFunctions
 import graft.meta.{ChangeFeed, Changelog, IceRead, IceWrite, LocalCatalog}
 import graft.ops.{Dedup, Mixture, Packing, Quality, Sampling, Similarity, Sketch, TextAnalysis}
+import graft.sources.Warc
 
 /** End-to-end training-data curation pipeline over the synthetic corpus —
   * the composition story: ingest documents into the table format,
@@ -97,12 +98,12 @@ object PipelineDemo {
     println(s"EXACT-DEDUP kept=${exactDeduped.count()}")
 
     // 4. near-dup removal: MinHash+LSH pairs -> connected components ->
-    //    drop everything but each cluster's min id
+    //    keep each cluster's BEST member by quality score (real pipelines
+    //    keep the best duplicate, not the lowest id)
     val pairs = Dedup.minHashNearDupPairs(exactDeduped, "doc_id", "text", threshold = 0.5)
-    val losers = Dedup.clusterPairs(pairs)
-      .filter(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
-    val curated = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
-    println(s"NEAR-DEDUP kept=${curated.count()}")
+    val curated = Dedup.keepBestPerCluster(exactDeduped, "doc_id", "quality",
+      Dedup.clusterPairs(pairs))
+    println(s"NEAR-DEDUP kept=${curated.count()} (best-quality keeper per cluster)")
 
     // 4a. mixture plan: how hard to sample each source to hit the target
     //     recipe, from measured token counts (ppm-exact)
@@ -171,6 +172,22 @@ object PipelineDemo {
     Sampling.writeShards(ordered.select("doc_id", "position"), "doc_id", 4, shardDir)
     println(s"EXPORT order_head=[$firstRound] shards=4 at $shardDir")
 
+    // 5e. sparse retrieval over the curated table: persisted inverted
+    //     index (postings term-clustered for IN-pushdown file skipping),
+    //     BM25 served without ever reading document text
+    graft.ops.TextIndex.build(spark, catalog, "docs_bm25",
+      IceRead.table(spark, catalog, "docs_curated"), "doc_id", "text")
+    val hits = graft.ops.TextIndex.searchBm25(spark, catalog, "docs_bm25",
+      Seq("spark", "window", "merge"), k = 3)
+      .collect().map(r => s"${r.getLong(0)}@${r.getLong(2)}").mkString(",")
+    println(s"BM25 top3=[$hits] (served from the index alone)")
+
+    // 5f. tokenizer training on the curated corpus: distributed BPE —
+    //     vocabulary-bounded merge rounds, one corpus pass total
+    val merges = graft.ops.Bpe.train(
+      IceRead.table(spark, catalog, "docs_curated"), "text", nMerges = 6)
+    println(s"BPE merges=" + merges.map { case (l, r) => s"$l+$r" }.mkString(" "))
+
     // 6. ANN over the embeddings: IVF cells + a probe query
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val centroids = embs.filter(col("vec_id") % 50 === 0)
@@ -200,12 +217,38 @@ object PipelineDemo {
     println(s"ANN-INDEX served=" + served.collect()
       .map(r => s"${r.getLong(1)}#${r.getLong(2)}").mkString(","))
 
-    // 7. the web-crawl front door: raw HTML -> text, canonical-URL
-    //    frontier dedup (one fetch key per page spelling), then the
-    //    cross-run near-dup index absorbs a re-crawl
-    val crawl = raw.limit(200).select(col("doc_id"),
+    // 7. the web-crawl front door: WARC archives -> records -> raw
+    //    HTML -> text, canonical-URL frontier dedup (one fetch key per
+    //    page spelling), then the cross-run near-dup index absorbs a
+    //    re-crawl
+    val pages = raw.limit(200).select(col("doc_id"),
       concat(lit("<html><body><p>"), col("text"),
-        lit("</p><!-- footer --><br>fin</body></html>")).as("html"),
+        lit("</p><!-- footer --><br>fin</body></html>")).as("html"))
+    // the corpus as it actually arrives: 4 gzipped WARC archives
+    val warcEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val archives = pages
+      .groupBy(expr("doc_id div 50").as("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("html")))).as("recs"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val recs = r.getSeq[org.apache.spark.sql.Row](1).map { rr =>
+            (s"http://crawl/doc/${rr.getLong(0)}", "text/html",
+              rr.getString(1).getBytes("UTF-8"))
+          }
+          org.apache.spark.sql.Row(r.getLong(0), Warc.gzip(Warc.warcBytes(recs)))
+        }
+      }(warcEnc)
+    val records = Warc.parse(spark, archives)
+      .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("body").cast("string").as("html"))
+    println(s"WARC archives=${archives.count()} records=${records.count()}")
+    val crawl = records.select(col("doc_id"), col("html"),
       concat(lit("HTTP://Site"), (col("doc_id") % 40).cast("string"),
         lit(".COM:80/page/"), (col("doc_id") % 40).cast("string"),
         lit("?utm_source=crawl&id="), (col("doc_id") % 40).cast("string")).as("url"))

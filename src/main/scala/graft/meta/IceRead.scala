@@ -17,14 +17,19 @@ import graft.selection.FileGroup
   */
 object IceRead {
 
+  /** Resolve the snapshot a read targets — strict on explicit branches
+    * (silently reading another branch's data would be surprising); only
+    * "main" may fall back to the current snapshot (pre-refs tables).
+    * The single definition every read/metadata/fast-stats entry point
+    * shares. */
+  private def resolveSnapshot(meta: TableMetadata, name: String, branch: String): Snapshot =
+    (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+     else meta.snapshotForRef(branch))
+      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+
   def table(spark: SparkSession, catalog: Catalog, name: String, branch: String = "main"): DataFrame = {
     val meta = catalog.loadTable(name)
-    // strict on explicit branches: silently reading another branch's data
-    // would be surprising; only "main" may fall back to the current
-    // snapshot (pre-refs tables)
-    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
-                else meta.snapshotForRef(branch))
-      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val snap = resolveSnapshot(meta, name, branch)
     ofSnapshot(spark, meta, snap)
   }
 
@@ -80,9 +85,7 @@ object IceRead {
         s"partition filter key $k is not in the current partition spec of $name " +
           s"(${meta.partitionSpec.map(_.column).mkString(", ")}); " +
           "filter the plain read instead")
-    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
-                else meta.snapshotForRef(branch))
-      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val snap = resolveSnapshot(meta, name, branch)
     val pruned = ofSnapshot(spark, meta, snap, t =>
       partitionFilter.forall { case (k, v) =>
         t.partitionValues.get(k).forall(_ == v) // absent key -> keep (old spec)
@@ -107,9 +110,7 @@ object IceRead {
   def tableRange(spark: SparkSession, catalog: Catalog, name: String,
       colName: String, lo: BigDecimal, hi: BigDecimal, branch: String = "main"): DataFrame = {
     val meta = catalog.loadTable(name)
-    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
-                else meta.snapshotForRef(branch))
-      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val snap = resolveSnapshot(meta, name, branch)
     import org.apache.spark.sql.functions.col
     ofSnapshot(spark, meta, snap, _.mayContainRange(colName, lo, hi))
       .filter(col(colName) >= lo.toDouble && col(colName) <= hi.toDouble)
@@ -183,9 +184,7 @@ object IceRead {
       branch: String = "main"): DataFrame = {
     import spark.implicits._
     val meta = catalog.loadTable(name)
-    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
-                else meta.snapshotForRef(branch))
-      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val snap = resolveSnapshot(meta, name, branch)
     snap.manifest.map { f =>
       (f.path, f.content.toString, f.length, f.recordCount, f.sequenceNumber,
         f.partitionValues, f.equalityIds, f.equalityFieldIds)
@@ -203,9 +202,7 @@ object IceRead {
       branch: String = "main"): DataFrame = {
     import spark.implicits._
     val meta = catalog.loadTable(name)
-    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
-                else meta.snapshotForRef(branch))
-      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val snap = resolveSnapshot(meta, name, branch)
     snap.manifest.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
       .map { case (pv, files) =>
@@ -228,9 +225,7 @@ object IceRead {
     * `table(...).count()`. */
   def fastCount(catalog: Catalog, name: String, branch: String = "main"): Option[Long] = {
     val meta = catalog.loadTable(name)
-    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
-                else meta.snapshotForRef(branch))
-      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val snap = resolveSnapshot(meta, name, branch)
     val (data, deletes) = snap.manifest.partition(_.content == FileContent.Data)
     if (deletes.nonEmpty) None else Some(data.map(_.recordCount).sum)
   }
@@ -245,9 +240,7 @@ object IceRead {
   def fastMinMax(catalog: Catalog, name: String, column: String,
       branch: String = "main"): Option[(BigDecimal, BigDecimal)] = {
     val meta = catalog.loadTable(name)
-    val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
-                else meta.snapshotForRef(branch))
-      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val snap = resolveSnapshot(meta, name, branch)
     val (data, deletes) = snap.manifest.partition(_.content == FileContent.Data)
     val live = data.filter(_.recordCount > 0)
     if (deletes.nonEmpty || live.isEmpty) return None

@@ -27,15 +27,25 @@ import org.apache.spark.sql.functions._
   * non-ASCII); merged symbols are concatenations. */
 object Bpe {
 
+  /** Per-codepoint symbol array of a (non-empty) word — shared by the
+    * train side ([[vocabulary]]) and the apply side ([[applyMerges]]):
+    * one definition, so the tokenizer can never silently learn merges
+    * over a different word segmentation than it applies them to. */
+  private def symbolsOf(word: Column): Column =
+    transform(sequence(lit(1), char_length(word)), i => word.substr(i, lit(1)))
+
+  /** Non-empty words of a text column, via the SAME tokenization
+    * everything else in the engine uses ([[TextAnalysis.tokens]]). */
+  private def wordsOf(textCol: String): Column =
+    filter(TextAnalysis.tokens(col(textCol)), w => char_length(w) > 0)
+
   /** (term, n, symbols) vocabulary table from a corpus: distinct words
     * with occurrence counts and their initial per-codepoint symbol
     * arrays. The ONLY corpus-sized pass in BPE training. */
   def vocabulary(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .filter(char_length(col("term")) > 0)
+    df.select(explode(wordsOf(textCol)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      .withColumn("symbols", expr(
-        "transform(sequence(1, char_length(term)), i -> substring(term, i, 1))"))
+      .withColumn("symbols", symbolsOf(col("term")))
 
   /** Weighted adjacent-pair counts over a (n, symbols) vocabulary:
     * (lhs, rhs, cnt) where cnt sums word frequencies. Bounded by the
@@ -104,9 +114,7 @@ object Bpe {
   def applyMerges(df: DataFrame, textCol: String, tokensCol: String,
       merges: Seq[(String, String)], checkpointEvery: Int = 8): DataFrame = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    var out = df.withColumn(tokensCol, expr(
-      s"""transform(filter(${wordsSql(textCol)}, w -> char_length(w) > 0),
-         |          w -> transform(sequence(1, char_length(w)), i -> substring(w, i, 1)))""".stripMargin))
+    var out = df.withColumn(tokensCol, transform(wordsOf(textCol), symbolsOf(_)))
     merges.grouped(checkpointEvery).foreach { batch =>
       batch.foreach { case (l, r) =>
         out = out.withColumn(tokensCol,
@@ -116,7 +124,4 @@ object Bpe {
     }
     out.withColumn(tokensCol, flatten(col(tokensCol)))
   }
-
-  private def wordsSql(textCol: String): String =
-    s"split(lower(regexp_replace(trim($textCol), '\\\\s+', ' ')), ' ')"
 }

@@ -670,7 +670,10 @@ object Dedup {
     * estimation. Returns the surviving `docs` rows unchanged. */
   def keepBestPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
       clusters: DataFrame): DataFrame = {
-    val scored = clusters.join(
+    // defensive distinct: a duplicated (id, cluster_id) label — e.g. a
+    // unionAll of incremental CC runs — would give the KEEPER's second
+    // copy rank 2 and anti-join the best doc away
+    val scored = clusters.select(col("id"), col("cluster_id")).distinct().join(
       docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))

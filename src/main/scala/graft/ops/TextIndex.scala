@@ -34,12 +34,18 @@ import graft.meta.{Catalog, IceRead, IceWrite}
 object TextIndex {
 
   /** tf_e6: BM25 term-frequency saturation in micro units (see object
-    * doc). Expects columns tf, dl, n_docs, total_tokens. */
+    * doc). Expects columns tf, dl, n_docs, total_tokens.
+    *
+    * `div`, NOT `floor(a / b)`: Spark resolves decimal `/` to a scale-6
+    * result rounded HALF_UP, so a quotient whose fractional part lands
+    * in [0.9999995, 1) floors to q+1 while DuckDB's truncating `//`
+    * gives q — a once-in-~2e6-divisions hash mismatch. IntegralDivide
+    * truncates decimals exactly (docs/ORACLE.md rule). */
   private val TfE6 =
-    """CAST(floor((CAST(22000000 AS DECIMAL(38,0)) * tf * total_tokens) /
-      |           (CAST(10 AS DECIMAL(38,0)) * tf * total_tokens
-      |            + CAST(3 AS DECIMAL(38,0)) * total_tokens
-      |            + CAST(9 AS DECIMAL(38,0)) * dl * n_docs)) AS BIGINT)""".stripMargin
+    """((CAST(22000000 AS DECIMAL(38,0)) * tf * total_tokens) div
+      | (CAST(10 AS DECIMAL(38,0)) * tf * total_tokens
+      |  + CAST(3 AS DECIMAL(38,0)) * total_tokens
+      |  + CAST(9 AS DECIMAL(38,0)) * dl * n_docs))""".stripMargin
 
   /** idf_e6: rational idf in micro units, capped at 1e12 (rarity ratio
     * 1e6). Without `ln`'s compression a one-in-a-trillion term's idf
@@ -49,8 +55,8 @@ object TextIndex {
     * at most 2.2e6 * 1e12 / 1e6 = 2.2e12 — the whole pipeline stays
     * inside int64 for any query under ~4M terms. Expects df, n_docs. */
   private val IdfE6 =
-    """least(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * (2 * (n_docs - df) + 1)) /
-      |                 (CAST(2 AS DECIMAL(38,0)) * df + 1)) AS BIGINT),
+    """least((CAST(1000000 AS DECIMAL(38,0)) * (2 * (n_docs - df) + 1)) div
+      |      (CAST(2 AS DECIMAL(38,0)) * df + 1),
       |      CAST(1000000000000 AS BIGINT))""".stripMargin
 
   /** (id, dl, __hits) projection: per-row token count and the tokens that
@@ -96,11 +102,24 @@ object TextIndex {
     * are not returned. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
-    val terms = queryTerms.map(_.toLowerCase).distinct
-    require(terms.nonEmpty, "bm25TopK needs at least one query term")
-    val base = hitsProjection(df, idCol, textCol, terms)
+    val terms = normTerms(queryTerms, "bm25TopK")
+    // the narrow (id, dl, hits) projection is materialized ONCE
+    // (localCheckpoint): stats and tf both derive from it, and without
+    // the cut each would re-run the full tokenization scan — twice the
+    // dominant cost. ~16 bytes/doc of checkpoint storage buys away a
+    // whole corpus re-read.
+    val base = hitsProjection(df, idCol, textCol, terms).localCheckpoint(true)
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
     scoreAndRank(tfOfHits(base), stats, k)
+  }
+
+  /** lowercase, dedup, and validate query terms: an empty string is not
+    * a term (tokens("") is [""], so it would "match" empty documents). */
+  private def normTerms(queryTerms: Seq[String], what: String): Seq[String] = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    require(terms.nonEmpty, s"$what needs at least one query term")
+    require(terms.forall(_.nonEmpty), s"$what: empty-string query terms are invalid")
+    terms
   }
 
   def postingsTable(name: String): String = s"${name}__postings"
@@ -159,6 +178,9 @@ object TextIndex {
     corpus.select(col(idCol).as("doc_id"),
       coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)).as("dl"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      // tokens("") is [""] — an empty-text doc must not write a junk
+      // posting under the empty term (normTerms rejects it query-side)
+      .filter(char_length(col("term")) > 0)
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .repartition(col("term"))
@@ -194,8 +216,7 @@ object TextIndex {
     * Returns (id, n_hits, score_e6), best first. */
   def searchBm25(spark: SparkSession, catalog: Catalog, name: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
-    val terms = queryTerms.map(_.toLowerCase).distinct
-    require(terms.nonEmpty, "searchBm25 needs at least one query term")
+    val terms = normTerms(queryTerms, "searchBm25")
     val post = IceRead.table(spark, catalog, postingsTable(name))
       .filter(col("term").isInCollection(terms))
       .select(col("doc_id").as("id"), col("term"), col("tf"), col("dl"))

@@ -98,7 +98,10 @@ object Warc {
       if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
         try gunzipAll(payload)
         catch { case _: Exception =>
-          return Iterator.single(Row(fileId, 0L, "__malformed", null, null, 0L, payload)) }
+          // cap the marker body like every other malformed path — a 1 GiB
+          // corrupt archive must not ride along as a single row field
+          return Iterator.single(Row(fileId, 0L, "__malformed", null, null, 0L,
+            java.util.Arrays.copyOfRange(payload, 0, math.min(payload.length, 256)))) }
       else payload
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     var pos = 0
@@ -135,11 +138,18 @@ object Warc {
             headers.getOrElse("content-type", null), len.get, body)
           idx += 1
           p += len.get.toInt
-          // tolerate a missing record separator at end-of-file
+          // tolerate a truncated separator at end-of-file — but ONLY a
+          // true prefix of CRLF CRLF; arbitrary trailing bytes must
+          // quarantine, not vanish (they may be a truncated next record)
           if (p + 4 <= bytes.length && bytes(p) == '\r' && bytes(p + 1) == '\n'
               && bytes(p + 2) == '\r' && bytes(p + 3) == '\n') pos = p + 4
-          else if (p >= bytes.length - 4) pos = bytes.length
-          else { bad = true; pos = p }
+          else {
+            val sep = Array[Byte]('\r', '\n', '\r', '\n')
+            val rem = bytes.length - p
+            if (rem < 4 && (0 until rem).forall(i => bytes(p + i) == sep(i)))
+              pos = bytes.length
+            else { bad = true; pos = p }
+          }
         }
       }
       if (bad) out += Row(fileId, idx, "__malformed", null, null, pos.toLong,

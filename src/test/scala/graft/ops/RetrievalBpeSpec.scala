@@ -136,6 +136,31 @@ class RetrievalBpeSpec extends AnyFunSuite {
     assert(got == Set(2L, 5L, 6L))
   }
 
+  test("empty-string query terms are rejected; empty-text docs write no postings") {
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25TopK(docs(), "doc_id", "text", Seq("apple", ""), 1)
+    }
+    val catalog = LocalCatalog(
+      java.nio.file.Files.createTempDirectory("ti-empty-wh").toString)
+    val withEmpty = docs().unionAll(Seq((6L, "")).toDF("doc_id", "text"))
+    TextIndex.build(spark, catalog, "tie", withEmpty, "doc_id", "text")
+    val emptyTerms = graft.meta.IceRead.table(spark, catalog, TextIndex.postingsTable("tie"))
+      .filter(length(col("term")) === 0).count()
+    assert(emptyTerms == 0L, "empty-text docs must not write postings under the empty term")
+    // the doc still counts toward corpus stats (dl row exists)
+    assert(graft.meta.IceRead.table(spark, catalog, TextIndex.docsTable("tie"))
+      .filter(col("doc_id") === 6L).count() == 1L)
+  }
+
+  test("keepBestPerCluster survives duplicated cluster labels") {
+    val d = Seq((1L, 5L), (2L, 9L), (3L, 1L)).toDF("doc_id", "score")
+    // label for the keeper (2) appears twice — e.g. a unionAll of CC runs
+    val clusters = Seq((1L, 1L), (2L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+    val got = Dedup.keepBestPerCluster(d, "doc_id", "score", clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L), "the duplicated label must not anti-join the keeper away")
+  }
+
   test("vocabulary counts words and splits codepoint symbols; empty tokens dropped") {
     val d = Seq((1L, "aa bb aa"), (2L, ""), (3L, null: String)).toDF("doc_id", "text")
     val got = Bpe.vocabulary(d, "text").collect()

@@ -74,4 +74,18 @@ class WarcSpec extends AnyFunSuite {
     val t = parsed(5L -> truncated)
     assert(t.map(_._3) == Seq("__malformed"))
   }
+
+  test("short trailing garbage quarantines; a truncated CRLF separator is tolerated") {
+    val good = Warc.warcBytes(Seq(("http://m/1", "text/plain", "ok".getBytes("UTF-8"))))
+    // separator replaced by 4 junk bytes (could be a truncated record):
+    // must NOT vanish silently
+    val junk4 = parsed(1L -> (good.dropRight(4) ++ "WARC".getBytes("US-ASCII")))
+    assert(junk4.map(_._3) == Seq("response", "__malformed"))
+    // 2 junk bytes that are not a CRLF prefix: same
+    val junk2 = parsed(2L -> (good.dropRight(4) ++ "XY".getBytes("US-ASCII")))
+    assert(junk2.map(_._3) == Seq("response", "__malformed"))
+    // a genuinely truncated separator (file cut mid-CRLFCRLF) is fine
+    val cut = parsed(3L -> good.dropRight(2))
+    assert(cut.map(_._3) == Seq("response"))
+  }
 }
