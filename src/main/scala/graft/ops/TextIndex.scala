@@ -82,14 +82,18 @@ object TextIndex {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
   /** Score tf rows against corpus stats and return the top-k docs.
-    * dfreq/stats are bounded (|terms| rows / 1 row) — broadcast. */
-  private def scoreAndRank(tf: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    * dfreq/stats are bounded (|terms| rows / 1 row) — broadcast.
+    * `requireHits` > 0 keeps only docs matching at least that many
+    * distinct terms (AND-mode when it equals the query size). */
+  private def scoreAndRank(tf: DataFrame, stats: DataFrame, k: Int,
+      requireHits: Int = 0): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("__score", expr(s"($TfE6) * ($IdfE6) div 1000000"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"), sum(col("__score")).as("score_e6"))
+    (if (requireHits > 0) scored.filter(col("n_hits") >= requireHits) else scored)
       .orderBy(col("score_e6").desc, col("id").asc)
       .limit(k)
   }
@@ -101,7 +105,7 @@ object TextIndex {
     * Returns (id, n_hits, score_e6), best first; docs matching no term
     * are not returned. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k: Int): DataFrame = {
+      queryTerms: Seq[String], k: Int, requireAll: Boolean = false): DataFrame = {
     val terms = normTerms(queryTerms, "bm25TopK")
     // the narrow (id, dl, hits) projection is materialized ONCE
     // (localCheckpoint): stats and tf both derive from it, and without
@@ -110,7 +114,7 @@ object TextIndex {
     // whole corpus re-read.
     val base = hitsProjection(df, idCol, textCol, terms).localCheckpoint(true)
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    scoreAndRank(tfOfHits(base), stats, k)
+    scoreAndRank(tfOfHits(base), stats, k, if (requireAll) terms.size else 0)
   }
 
   /** lowercase, dedup, and validate query terms: an empty string is not
@@ -174,17 +178,64 @@ object TextIndex {
     corpus.select(col(idCol).as("doc_id"),
       coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)).as("dl"))
 
+  /** Postings carry POSITIONS (1-based token offsets, sorted) alongside
+    * tf — the standard positional-index layout: phrase queries resolve
+    * from the index alone, and the array's size is exactly tf (no new
+    * asymptotics, ~8 bytes per corpus token). */
   private def postingRows(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus.select(col(idCol).as("doc_id"),
       coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)).as("dl"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
       // tokens("") is [""] — an empty-text doc must not write a junk
       // posting under the empty term (normTerms rejects it query-side)
       .filter(char_length(col("term")) > 0)
       .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        sort_array(collect_list((col("pos") + 1).cast("long"))).as("positions"))
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
+
+  /** Exact PHRASE search from the positional index alone: documents
+    * containing the query terms at consecutive positions, ranked by
+    * occurrence count (ties -> lowest id). The classic positional-
+    * postings algorithm: restrict the postings scan to the phrase's
+    * terms (`term IN` pushdown — the same file skipping as BM25), fold
+    * each candidate doc's per-term position lists into one row, and
+    * count the start positions whose arithmetic chain p, p+1, ..,
+    * p+n-1 threads every term's list. Document text is never read;
+    * per-doc state is bounded by the phrase terms' tf sum.
+    *
+    * A single-term "phrase" degenerates to term occurrence count.
+    * Repeated terms ("batch batch") work — the chain indexes the SAME
+    * position list twice, offset by one. Returns (id, n_matches), best
+    * first, docs with no full-phrase match excluded. */
+  def searchPhrase(spark: SparkSession, catalog: Catalog, name: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    val terms = phrase.map(_.toLowerCase)
+    require(terms.nonEmpty, "searchPhrase needs at least one term")
+    require(terms.forall(_.nonEmpty), "searchPhrase: empty-string terms are invalid")
+    val post = IceRead.table(spark, catalog, postingsTable(name))
+      .filter(col("term").isInCollection(terms.distinct))
+      .select(col("doc_id").as("id"), col("term"), col("positions"))
+    // one row per candidate doc: term -> positions map (bounded by the
+    // phrase's distinct terms); docs missing any term drop at the map
+    // lookup (null positions -> null chain test -> filtered)
+    val byDoc = post.groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("__pm"))
+    // the chain test, built at plan time from the phrase: for each start
+    // p in positions(t1), every later term tk must contain p + (k-1)
+    val chain = terms.zipWithIndex.tail.foldLeft(
+      col("__pm").getItem(terms.head)) { case (acc, (t, offset)) =>
+        filter(acc, p => array_contains(col("__pm").getItem(t), p + offset))
+      }
+    byDoc.withColumn("__matches", chain)
+      .withColumn("n_matches", size(col("__matches")).cast("long"))
+      .filter(col("n_matches") > 0)
+      .select(col("id"), col("n_matches"))
+      .orderBy(col("n_matches").desc, col("id").asc)
+      .limit(k)
+  }
 
   /** Streaming maintenance for the inverted index: a foreachBatch sink
     * that indexes each micro-batch as it lands, so the index serves
@@ -215,13 +266,13 @@ object TextIndex {
     * one map-side-combinable aggregate over the (doc_id, dl) table.
     * Returns (id, n_hits, score_e6), best first. */
   def searchBm25(spark: SparkSession, catalog: Catalog, name: String,
-      queryTerms: Seq[String], k: Int): DataFrame = {
+      queryTerms: Seq[String], k: Int, requireAll: Boolean = false): DataFrame = {
     val terms = normTerms(queryTerms, "searchBm25")
     val post = IceRead.table(spark, catalog, postingsTable(name))
       .filter(col("term").isInCollection(terms))
       .select(col("doc_id").as("id"), col("term"), col("tf"), col("dl"))
     val stats = IceRead.table(spark, catalog, docsTable(name))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    scoreAndRank(post, stats, k)
+    scoreAndRank(post, stats, k, if (requireAll) terms.size else 0)
   }
 }

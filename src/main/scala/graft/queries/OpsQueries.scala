@@ -682,6 +682,26 @@ object OpsQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // exact phrase search from the POSITIONAL index: injected phrase
+    // markers (3 occurrences in every 20th doc, 1 in every other 10th)
+    // guarantee a deterministic n_matches ranking at every scale factor;
+    // the oracle rebuilds per-term position lists and replays the
+    // consecutive-position chain count
+    "b3_phrase_search" -> ((s, dir) => {
+      import graft.meta.LocalCatalog
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-b3-wh").toString)
+      val d = tbl(s, dir, "documents").select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 20 === 0,
+          lit(" zqphrase yqmarker zqphrase yqmarker zqphrase yqmarker"))
+          .when(col("doc_id") % 10 === 0, lit(" zqphrase yqmarker"))
+          .otherwise(lit(""))).as("text"))
+      graft.ops.TextIndex.build(s, catalog, "b3q", d, "doc_id", "text")
+      graft.ops.TextIndex.searchPhrase(s, catalog, "b3q",
+        Seq("zqphrase", "yqmarker"), k = 20)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // quality-biased dedup keeper selection: near-dup pairs on the d6
     // slice -> star-rounds connected components (the web-scale CC gets
     // its own oracle here) -> keep the longest member per cluster (ties
@@ -2005,6 +2025,29 @@ object OpsQueries {
     "b1_bm25" -> bm25Sql(Seq("spark", "window", "merge", "customer"), 15),
 
     "b2_text_index" -> bm25Sql(Seq("stream", "join", "batch"), 12),
+
+    // per-term position lists (the parallel unnests zip elementwise),
+    // then the consecutive-position chain count
+    "b3_phrase_search" ->
+      s"""WITH inj AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 20 = 0
+         |         THEN ' zqphrase yqmarker zqphrase yqmarker zqphrase yqmarker'
+         |         WHEN doc_id % 10 = 0 THEN ' zqphrase yqmarker'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |base AS (SELECT doc_id, $toksSql AS toks FROM inj),
+         |toks AS (SELECT doc_id, unnest(toks) AS term,
+         |                unnest(range(1, len(toks) + 1)) AS pos FROM base),
+         |p1 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM toks
+         |       WHERE term = 'zqphrase' GROUP BY 1),
+         |p2 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM toks
+         |       WHERE term = 'yqmarker' GROUP BY 1),
+         |m AS (SELECT p1.doc_id,
+         |        CAST(len(list_filter(p1.ps, p -> list_contains(p2.ps, p + 1))) AS BIGINT)
+         |          AS n_matches
+         |      FROM p1 JOIN p2 USING (doc_id))
+         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+         |ORDER BY n_matches DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // d6's recursive-CTE components + the keeper rank: longest member
     // (NULLS LAST ties Spark's desc_nulls_last), ties -> lowest id;

@@ -136,6 +136,34 @@ class RetrievalBpeSpec extends AnyFunSuite {
     assert(got == Set(2L, 5L, 6L))
   }
 
+  test("phrase search: consecutive positions, repeated terms, single-term degeneration, AND-mode") {
+    val catalog = LocalCatalog(
+      java.nio.file.Files.createTempDirectory("ti-phrase-wh").toString)
+    TextIndex.build(spark, catalog, "tph", docs(), "doc_id", "text")
+    def phrase(ts: String*) =
+      TextIndex.searchPhrase(spark, catalog, "tph", ts, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 1 = "apple banana apple": one "apple banana", one "banana apple"
+    assert(phrase("apple", "banana") == Seq((1L, 1L)))
+    assert(phrase("banana", "apple") == Seq((1L, 1L)))
+    // doc 3 = "banana banana banana banana": the repeated-term chain
+    // finds 3 overlapping starts (1,2,3); doc 1 contributes none
+    assert(phrase("banana", "banana") == Seq((3L, 3L)))
+    // single term degenerates to tf ranking: apple tf2 in doc 1, tf1 in doc 2
+    assert(phrase("apple") == Seq((1L, 2L), (2L, 1L)))
+    // no doc contains this chain
+    assert(phrase("cherry", "apple").isEmpty)
+    // AND-mode BM25: only doc 2 has BOTH apple and cherry
+    val and = TextIndex.searchBm25(spark, catalog, "tph",
+      Seq("apple", "cherry"), k = 10, requireAll = true)
+      .collect().map(_.getLong(0)).toSeq
+    assert(and == Seq(2L))
+    val andDirect = TextIndex.bm25TopK(docs(), "doc_id", "text",
+      Seq("apple", "cherry"), k = 10, requireAll = true)
+      .collect().map(_.getLong(0)).toSeq
+    assert(andDirect == Seq(2L))
+  }
+
   test("empty-string query terms are rejected; empty-text docs write no postings") {
     intercept[IllegalArgumentException] {
       TextIndex.bm25TopK(docs(), "doc_id", "text", Seq("apple", ""), 1)
