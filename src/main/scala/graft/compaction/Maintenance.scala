@@ -216,6 +216,97 @@ object Maintenance {
     sys.error("unreachable")
   }
 
+  /** Converts EQUALITY deletes to POSITION deletes — Iceberg's
+    * `convert-equality-deletes` maintenance action: every MOR read pays
+    * one theta-ish anti join per eq-delete schema group, while a pos
+    * tombstone is a single cheap (file_path, pos) anti join; converting
+    * materializes the kill set ONCE so every read afterwards stops
+    * paying it. Tombstone-only: no data file is rewritten.
+    *
+    * The kill set is computed relationally, per partition group:
+    * raw rows minus the live MOR view minus already-pos-tombstoned rows
+    * == exactly the rows the eq deletes kill today. Rows appended AFTER
+    * the conversion snapshot can never be affected (an equality delete
+    * only kills strictly-older sequence numbers, and future appends get
+    * newer ones), so the materialization is stable; a concurrent
+    * compaction applies the eq deletes itself during its rewrite, so
+    * tombstones pointing at its replaced paths go dangling-but-harmless
+    * (removeDanglingDeletes folds them out).
+    *
+    * Reads the data once (this is a maintenance pass, priced like
+    * compaction's scan — but writes only tombstones). Returns unchanged
+    * metadata when the table carries no equality deletes. */
+  def convertEqualityDeletes(spark: org.apache.spark.sql.SparkSession,
+      catalog: Catalog, tableName: String,
+      retry: CommitRetryConfig = CommitRetryConfig()): TableMetadata = {
+    import org.apache.spark.sql.functions.col
+    import graft.exec.Mor
+    val meta0 = catalog.loadTable(tableName)
+    val snap0 = meta0.currentSnapshot.getOrElse(return meta0)
+    val eqFiles = snap0.manifest.filter(_.content == FileContent.EqualityDeletes)
+    if (eqFiles.isEmpty) return meta0
+    val tasks = meta0.scanTasks(snap0)
+    val byPath = snap0.manifest.map(f => f.path -> f).toMap
+    val groups = tasks.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (_, fs) => graft.selection.FileGroup.fromDataFiles(fs, byPath.get) }
+
+    val killed = groups.map { g =>
+      val reader = meta0.typedStruct match {
+        case Some(st) => Mor.fieldIdReader(spark, st)
+        case None => spark.read
+      }
+      val raw = reader.parquet(g.dataFiles.map(_.path): _*)
+        .select(Mor.normalizePath(col("_metadata.file_path")).as("file_path"),
+          col("_metadata.row_index").as("pos"))
+      val live = Mor.dataFrame(spark, g, meta0.schemaColumns,
+          meta0.formatVersion, meta0.schema, keepHidden = true)
+        .select(col(Mor.FilePathCol).as("file_path"), col(Mor.PosCol).as("pos"))
+      val dead = raw.join(live, Seq("file_path", "pos"), "left_anti")
+      // rows already pos-tombstoned must not duplicate into the new file
+      if (g.positionDeleteFiles.isEmpty) dead
+      else dead.join(
+        spark.read.parquet(g.positionDeleteFiles.map(_.path): _*)
+          .select(col("file_path"), col("pos")),
+        Seq("file_path", "pos"), "left_anti")
+    }.reduce(_ unionAll _)
+
+    val written =
+      if (killed.isEmpty) Nil
+      else graft.exec.SparkExecutor.writeDataFiles(spark, killed,
+        Paths.get(meta0.location, "data").toString,
+        partitionSpec = Nil, sortOrder = Nil, maxRecordsPerFile = Long.MaxValue,
+        repartitionTo = 1)
+    // the tombstones replace the eq files' effect; stamp their max seq
+    // (same safety argument as rewritePositionDeletes: pos application
+    // is path-addressed and rewrites always mint fresh paths)
+    val stampSeq = eqFiles.map(_.sequenceNumber).max
+
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(tableName)
+      val snap = meta.currentSnapshot.getOrElse(return meta)
+      val oldPaths = eqFiles.map(_.path).toSet
+      // only swap the eq files this conversion actually read; eq deletes
+      // committed since stay live
+      val newManifest = snap.manifest.filterNot(f => oldPaths.contains(f.path)) ++
+        written.map(_.copy(content = FileContent.PositionDeletes, sequenceNumber = stampSeq))
+      val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+      val next = Snapshot(snapshotId, Some(snap.snapshotId), meta.lastSequenceNumber,
+        System.currentTimeMillis(), newManifest,
+        TableMetadata.preservedProperties(snap.summary) ++
+          TableMetadata.computedSummary(snap.manifest, newManifest) +
+          ("operation" -> "maintenance"))
+      val updated = meta.copy(currentSnapshotId = Some(snapshotId),
+        refs = meta.refs + ("main" -> snapshotId), snapshots = meta.snapshots :+ next)
+      try return catalog.commit(meta, updated)
+      catch {
+        case _: CommitConflictException if attempt < retry.maxRetries => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Trims old metadata version files (v*.metadata.json), keeping the
     * newest `keepLast` — the catalog-side analogue of snapshot expiry;
     * version files otherwise accumulate one per commit forever. */

@@ -25,7 +25,12 @@ final case class RewriteRequest(
     /** smoothed OUTPUT bytes/record from earlier plans in this run
       * (dynamic size estimation, config/mod.rs:37-38); <= 0 means none —
       * fall back to the input-derived ratio. */
-    bytesPerRecordHint: Double = 0.0
+    bytesPerRecordHint: Double = 0.0,
+    /** row-level hook applied to the MOR view before the write — identity
+      * for compaction; copy-on-write UPDATE/purge (compaction.RowRewrite)
+      * inject their row edits here so the scan -> write machinery,
+      * size targeting, and commit path stay one implementation. */
+    rowTransform: DataFrame => DataFrame = identity
 )
 
 final case class RewriteStats(
@@ -158,7 +163,8 @@ object SparkExecutor extends CompactionExecutor {
   override def rewriteFiles(spark: SparkSession, req: RewriteRequest): RewriteResult = {
     val t0 = System.nanoTime()
     val g = req.group
-    val df = Mor.dataFrame(spark, g, req.schemaColumns, req.formatVersion, req.tableSchema)
+    val df = req.rowTransform(
+      Mor.dataFrame(spark, g, req.schemaColumns, req.formatVersion, req.tableSchema))
 
     // target-file-size enforcement: records per target file from the
     // observed-output hint when dynamic estimation supplies one (the

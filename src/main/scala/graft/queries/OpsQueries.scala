@@ -819,6 +819,53 @@ object OpsQueries {
           col("s_nationkey").cast("long").as("s_nationkey"))
     }),
 
+    // equality->position delete CONVERSION as an oracle-checked query:
+    // an upsert leaves eq-delete files; convertEqualityDeletes
+    // materializes their kill set as position tombstones (the in-query
+    // require proves no eq file survives), and the MOR read must be
+    // unchanged — reconstructed relationally by the oracle
+    "q_convert_eq" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-conv-wh").toString)
+      val src = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      IceWrite.create(s, catalog, "t_q_conv", src.repartition(3))
+      IceWrite.upsert(s, catalog, "t_q_conv",
+        src.filter(col("s_suppkey") % 3 === 0)
+          .withColumn("s_name", upper(col("s_name"))),
+        keys = Seq("s_suppkey"))
+      graft.compaction.Maintenance.convertEqualityDeletes(s, catalog, "t_q_conv")
+      val eqLeft = catalog.loadTable("t_q_conv").currentSnapshot.get.manifest
+        .count(_.content == graft.meta.FileContent.EqualityDeletes)
+      require(eqLeft == 0, s"conversion left $eqLeft equality-delete files")
+      IceRead.table(s, catalog, "t_q_conv").select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // COPY-ON-WRITE row-level semantics as an oracle-checked query:
+    // create from supplier, MOR-tombstone every 7th key, COW-UPDATE
+    // every 3rd (affected files rewritten THROUGH the MOR view —
+    // tombstoned rows must not resurrect, field ids must survive the
+    // projection), then COW-PURGE every 5th (physical erasure); the
+    // oracle reconstructs the final state relationally
+    "q_cow_update" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog}
+      import graft.compaction.RowRewrite
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-cow-wh").toString)
+      val src = tbl(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      IceWrite.create(s, catalog, "t_q_cow", src.repartition(4))
+      IceWrite.deleteWhere(s, catalog, "t_q_cow", col("s_suppkey") % 7 === 0)
+      RowRewrite.updateWhere(s, catalog, "t_q_cow",
+        col("s_suppkey") % 3 === 0,
+        Map("s_name" -> upper(col("s_name")),
+          "s_acctbal" -> (col("s_acctbal") + 1000.0)))
+      RowRewrite.purgeWhere(s, catalog, "t_q_cow", col("s_suppkey") % 5 === 0)
+      IceRead.table(s, catalog, "t_q_cow")
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("s_acctbal") * 100, 0).cast("long").as("acctbal_cents"))
+    }),
+
     // incremental changelog read as an oracle-checked query: build a real
     // table through create -> append -> upsert -> deleteWhere -> COMPACT,
     // then read the full changelog. The DuckDB oracle reconstructs every
@@ -1990,6 +2037,20 @@ object OpsQueries {
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS content_length,
         |       md5(COALESCE(text, '')) AS body_md5
         |FROM documents""".stripMargin,
+
+    "q_convert_eq" ->
+      """SELECT s_suppkey,
+        |  CASE WHEN s_suppkey % 3 = 0 THEN upper(s_name) ELSE s_name END AS s_name
+        |FROM supplier""".stripMargin,
+
+    "q_cow_update" ->
+      """SELECT s_suppkey,
+        |  CASE WHEN s_suppkey % 3 = 0 THEN upper(s_name) ELSE s_name END AS s_name,
+        |  CAST(round((s_acctbal +
+        |    CASE WHEN s_suppkey % 3 = 0 THEN 1000.0 ELSE 0.0 END) * 100, 0) AS BIGINT)
+        |    AS acctbal_cents
+        |FROM supplier
+        |WHERE s_suppkey % 7 <> 0 AND s_suppkey % 5 <> 0""".stripMargin,
 
     "d9_semantic_decontam" ->
       """WITH test AS (SELECT embedding FROM embeddings WHERE vec_id % 20 = 0),

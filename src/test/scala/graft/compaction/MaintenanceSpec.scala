@@ -250,4 +250,42 @@ class MaintenanceSpec extends AnyFunSuite {
       reduced.toString)
     assert(reduced("owner") == "curation")
   }
+
+  test("convertEqualityDeletes: same read, eq files gone, no duplicate tombstones, idempotent") {
+    import graft.meta.{FileContent, IceRead, IceWrite, LocalCatalog}
+    import org.apache.spark.sql.functions.{col, upper}
+    import spark.implicits._
+    val catalog = LocalCatalog(java.nio.file.Files.createTempDirectory("conv-wh").toString)
+    val src = (1L to 60L).map(i => (i, s"name$i")).toDF("id", "name")
+    IceWrite.create(spark, catalog, "t", src.repartition(3))
+    // pos tombstones first (deleteWhere), THEN eq deletes (upsert) — the
+    // conversion must not re-tombstone the pos-deleted rows
+    IceWrite.deleteWhere(spark, catalog, "t", col("id") % 10 === 0)
+    IceWrite.upsert(spark, catalog, "t",
+      src.filter(col("id") % 3 === 0).withColumn("name", upper(col("name"))),
+      keys = Seq("id"))
+    val before = IceRead.table(spark, catalog, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def contentCounts() = {
+      val m = catalog.loadTable("t").currentSnapshot.get.manifest
+      (m.count(_.content == FileContent.EqualityDeletes),
+        m.count(_.content == FileContent.PositionDeletes))
+    }
+    assert(contentCounts()._1 > 0, "fixture must carry equality deletes")
+    Maintenance.convertEqualityDeletes(spark, catalog, "t")
+    val (eqAfter, posAfter) = contentCounts()
+    assert(eqAfter == 0 && posAfter > 0)
+    val after = IceRead.table(spark, catalog, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "conversion must not change the MOR view")
+    // every tombstone is unique — the pos-deleted rows did not duplicate
+    val posFiles = catalog.loadTable("t").currentSnapshot.get.manifest
+      .filter(_.content == FileContent.PositionDeletes).map(_.path)
+    val stones = spark.read.parquet(posFiles: _*).select("file_path", "pos")
+    assert(stones.count() == stones.distinct().count())
+    // idempotent: nothing left to convert
+    val v = catalog.loadTable("t").version
+    Maintenance.convertEqualityDeletes(spark, catalog, "t")
+    assert(catalog.loadTable("t").version == v)
+  }
 }
