@@ -82,7 +82,7 @@ final class AutoCompactionPlanner(config: AutoCompactionConfig = AutoCompactionC
     val tasks = table.scanTasks(snap)
     val totalDataBytes = tasks.map(_.length).sum
     val stats = computeStats(tasks)
-    val byPath = snap.manifest.map(f => f.path -> f).toMap
+    val byPath = snap.manifest.map(f => f.resolutionKey -> f).toMap
 
     val deleteCandidate = filesWithDeletesCandidate(stats)
     val smallCandidate = smallFilesCandidate(stats)

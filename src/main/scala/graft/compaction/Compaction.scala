@@ -110,7 +110,7 @@ final class Compaction(
       case None => Nil
       case Some(snap) =>
         val tasks = table.scanTasks(snap) // op 1: data files w/ deletes attached
-        val byPath = snap.manifest.map(f => f.path -> f).toMap
+        val byPath = snap.manifest.map(f => f.resolutionKey -> f).toMap
         val strategy = PlanStrategy.fromConfig(config)
         val groups = strategy.execute(tasks, config.params, byPath.get)
         groups.filterNot(_.isEmpty).map(g => CompactionPlan(g, toBranch, snap.snapshotId))

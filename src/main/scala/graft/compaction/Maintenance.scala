@@ -113,7 +113,11 @@ object Maintenance {
     val attached = meta.scanTasks(snap).flatMap(_.deletes).toSet
     val dataPaths = snap.manifest.filter(_.content == FileContent.Data).map(_.path).toSet
     snap.manifest.filter(_.content != FileContent.Data).filter { f =>
-      if (!attached.contains(f.path)) true // out-of-scope for every data file
+      if (!attached.contains(f.resolutionKey)) true // out-of-scope for every data file
+      // an attached DV's referenced data file is live by construction
+      // (scanTasks attaches a DV only to that file) — and its payload is a
+      // Puffin blob, never parquet-readable
+      else if (f.isDeletionVector) false
       else if (f.content == FileContent.PositionDeletes) {
         import spark.implicits._
         val referenced = spark.read.parquet(f.path)
@@ -132,11 +136,13 @@ object Maintenance {
       retry: CommitRetryConfig = CommitRetryConfig()): TableMetadata = {
     var attempt = 0
     while (true) {
-      val dangling = danglingDeleteFiles(spark, catalog, tableName).map(_.path).toSet
+      // resolutionKey, not path: DV entries share their container's path,
+      // and only the dangling blobs' entries must drop
+      val dangling = danglingDeleteFiles(spark, catalog, tableName).map(_.resolutionKey).toSet
       val meta = catalog.loadTable(tableName)
       val snap = meta.currentSnapshot.getOrElse(return meta)
       if (dangling.isEmpty) return meta
-      val newManifest = snap.manifest.filterNot(f => dangling.contains(f.path))
+      val newManifest = snap.manifest.filterNot(f => dangling.contains(f.resolutionKey))
       val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
       val next = Snapshot(
         snapshotId = snapshotId,
@@ -173,7 +179,10 @@ object Maintenance {
     import org.apache.spark.sql.functions.col
     val meta0 = catalog.loadTable(tableName)
     val snap0 = meta0.currentSnapshot.getOrElse(return meta0)
-    val posFiles = snap0.manifest.filter(_.content == FileContent.PositionDeletes)
+    // DVs are excluded: they are already one compact blob per data file;
+    // folding parquet tombstones INTO them is convertPositionDeletesToDVs
+    val posFiles = snap0.manifest.filter(f =>
+      f.content == FileContent.PositionDeletes && !f.isDeletionVector)
     if (posFiles.isEmpty) return meta0
     val dataPaths = snap0.manifest.filter(_.content == FileContent.Data).map(_.path)
 
@@ -246,7 +255,7 @@ object Maintenance {
     val eqFiles = snap0.manifest.filter(_.content == FileContent.EqualityDeletes)
     if (eqFiles.isEmpty) return meta0
     val tasks = meta0.scanTasks(snap0)
-    val byPath = snap0.manifest.map(f => f.path -> f).toMap
+    val byPath = snap0.manifest.map(f => f.resolutionKey -> f).toMap
     val groups = tasks.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
       .map { case (_, fs) => graft.selection.FileGroup.fromDataFiles(fs, byPath.get) }
@@ -292,6 +301,128 @@ object Maintenance {
       val newManifest = snap.manifest.filterNot(f => oldPaths.contains(f.path)) ++
         written.map(_.copy(content = FileContent.PositionDeletes, sequenceNumber = stampSeq))
       val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+      val next = Snapshot(snapshotId, Some(snap.snapshotId), meta.lastSequenceNumber,
+        System.currentTimeMillis(), newManifest,
+        TableMetadata.preservedProperties(snap.summary) ++
+          TableMetadata.computedSummary(snap.manifest, newManifest) +
+          ("operation" -> "maintenance"))
+      val updated = meta.copy(currentSnapshotId = Some(snapshotId),
+        refs = meta.refs + ("main" -> snapshotId), snapshots = meta.snapshots :+ next)
+      try return catalog.commit(meta, updated)
+      catch {
+        case _: CommitConflictException if attempt < retry.maxRetries => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Converts plain (parquet) position-delete files into Iceberg v3
+    * deletion vectors: one [[Puffin]] bitmap blob per referenced data
+    * file, all blobs in a single Puffin container, committed in place of
+    * the parquet tombstones. Reads apply the result as a codegen'd bitmap
+    * probe instead of an anti join ([[graft.exec.Mor.applyDeletionVectors]]).
+    *
+    * Exactness: a tombstone row is folded into a DV only when its delete
+    * FILE is attached to the row's target data file by [[TableMetadata.scanTasks]]
+    * (sequence + partition-scope rules); rows referencing dead data files
+    * drop, like [[rewritePositionDeletes]]. A data file that already has a
+    * DV gets the union (the spec allows at most one DV per data file).
+    * Safety of the single max-sequence stamp is the [[rewritePositionDeletes]]
+    * argument: position tombstones are path-addressed and rewrites mint
+    * fresh paths, so raising a tombstone's sequence cannot match new rows —
+    * and a DV is stricter still, applying only to its referenced file.
+    *
+    * Bitmaps are built EXECUTOR-side (one aggregate keyed by data file);
+    * only the encoded blobs — compressed roaring bitmaps, orders of
+    * magnitude smaller than the tombstone rows — return to the driver for
+    * the container write. The reference has no v3 path (its processor
+    * consumes parquet pos deletes only, datafusion_processor.rs:489-522);
+    * this is the published-spec layout on top. */
+  def convertPositionDeletesToDVs(spark: org.apache.spark.sql.SparkSession,
+      catalog: Catalog, tableName: String,
+      retry: CommitRetryConfig = CommitRetryConfig()): TableMetadata = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.exec.Mor
+    val meta0 = catalog.loadTable(tableName)
+    val snap0 = meta0.currentSnapshot.getOrElse(return meta0)
+    val posFiles = snap0.manifest.filter(f =>
+      f.content == FileContent.PositionDeletes && !f.isDeletionVector)
+    if (posFiles.isEmpty) return meta0
+    val tasks = meta0.scanTasks(snap0)
+    val posPaths = posFiles.map(_.path).toSet
+    // (delete file, data file) applicability pairs + per-file partition values
+    val pairs = for { d <- tasks; del <- d.deletes if posPaths.contains(del) } yield (del, d.path)
+    val partitionOf = tasks.map(d => d.path -> d.partitionValues).toMap
+    val existingDv = snap0.manifest.filter(_.isDeletionVector)
+      .map(f => f.referencedDataFile.get -> f).toMap
+
+    import spark.implicits._
+    val newBlobs: Seq[(String, Array[Byte], Long)] =
+      if (pairs.isEmpty) Nil
+      else {
+        val applicable = pairs.toDF("__del_file", "file_path")
+        val rows = spark.read.parquet(posFiles.map(_.path): _*)
+          .select(Mor.normalizePath(col("_metadata.file_path")).as("__del_file"),
+            col("file_path"), col("pos"))
+          .join(broadcast(applicable), Seq("__del_file", "file_path"), "left_semi")
+        rows.select(col("file_path"), col("pos")).as[(String, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (file, it) =>
+            val bm = Puffin.PositionBitmap.empty
+            it.foreach(t => bm.add(t._2))
+            (file, Puffin.encodeDvBlob(bm), bm.cardinality)
+          }
+          .collect().toSeq
+      }
+    // merge with pre-existing DVs (union; their entries get replaced)
+    val merged: Seq[(String, Array[Byte], Long)] = newBlobs.map { case (file, blob, card) =>
+      existingDv.get(file) match {
+        case Some(old) =>
+          val bm = Puffin.decodeDvBlob(Puffin.readBlob(
+            old.path, old.contentOffset.getOrElse(0L), old.contentSizeInBytes.get))
+          Puffin.decodeDvBlob(blob).positions.foreach(bm.add)
+          (file, Puffin.encodeDvBlob(bm), bm.cardinality)
+        case None => (file, blob, card)
+      }
+    }.sortBy(_._1)
+    val replacedDvs = merged.flatMap { case (f, _, _) => existingDv.get(f) }
+    // resolutionKey, not path: un-merged DVs sharing the container must stay
+    val replacedDvKeys = replacedDvs.map(_.resolutionKey).toSet
+    val stampSeq =
+      (posFiles.map(_.sequenceNumber) ++ replacedDvs.map(_.sequenceNumber)).max
+
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(tableName)
+      val snap = meta.currentSnapshot.getOrElse(return meta)
+      val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+      val dvEntries =
+        if (merged.isEmpty) Nil
+        else {
+          val dir = Paths.get(meta.location, "deletes")
+          Files.createDirectories(dir)
+          val puffinPath = dir.resolve(
+            s"dv-${java.util.UUID.randomUUID().toString.take(12)}.puffin").toString
+          val blobMetas = Puffin.write(puffinPath, merged.map { case (file, blob, card) =>
+            Puffin.Blob(Puffin.DvBlobType, blob, snapshotId, stampSeq,
+              properties = Map("referenced-data-file" -> file, "cardinality" -> card.toString))
+          })
+          val puffinSize = Files.size(Paths.get(puffinPath))
+          merged.zip(blobMetas).map { case ((file, _, card), bm) =>
+            FileEntry(
+              path = puffinPath, length = puffinSize,
+              content = FileContent.PositionDeletes, recordCount = card,
+              sequenceNumber = stampSeq,
+              partitionValues = partitionOf.getOrElse(file, Map.empty),
+              referencedDataFile = Some(file),
+              contentOffset = Some(bm.offset), contentSizeInBytes = Some(bm.length))
+          }
+        }
+      // only swap the tombstones this conversion actually read; pos deletes
+      // (or DVs) committed since stay live
+      val consumed = posPaths ++ replacedDvKeys
+      val newManifest =
+        snap.manifest.filterNot(f => consumed.contains(f.resolutionKey)) ++ dvEntries
       val next = Snapshot(snapshotId, Some(snap.snapshotId), meta.lastSequenceNumber,
         System.currentTimeMillis(), newManifest,
         TableMetadata.preservedProperties(snap.summary) ++

@@ -108,7 +108,7 @@ object RowRewrite {
 
     // one group per partition (scoped equality deletes refuse
     // cross-partition flattening, same as compaction planning)
-    val byPath = snap.manifest.map(f => f.path -> f).toMap
+    val byPath = snap.manifest.map(f => f.resolutionKey -> f).toMap
     val groups = affected.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
       .map { case (_, fs) => FileGroup.fromDataFiles(fs, byPath.get) }

@@ -109,6 +109,11 @@ object Changelog {
     val parentPaths = parentManifest.map(_.path).toSet
     val snapPaths = snap.manifest.map(_.path).toSet
     val added = snap.manifest.filterNot(f => parentPaths.contains(f.path))
+    // DV-adding snapshots are maintenance ops (filtered above); anything
+    // else would need bitmap-aware attribution below — fail loudly rather
+    // than parquet-read a Puffin container
+    require(!added.exists(_.isDeletionVector),
+      s"changelog: snapshot ${snap.snapshotId} adds deletion vectors outside a maintenance op")
     val addedData = added.filter(_.content == FileContent.Data)
     val addedPos = added.filter(_.content == FileContent.PositionDeletes)
     val addedEq = added.filter(_.content == FileContent.EqualityDeletes)

@@ -142,7 +142,7 @@ object IceRead {
         else base
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    val byPath = snap.manifest.map(f => f.path -> f).toMap
+    val byPath = snap.manifest.map(f => f.resolutionKey -> f).toMap
     // partition-scoped equality deletes must not be flattened into one
     // table-wide group (they'd erase rows in other partitions): split into
     // one MOR plan per partition and union — each branch keeps the same

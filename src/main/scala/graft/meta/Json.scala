@@ -61,14 +61,15 @@ object MetadataJson {
   private def snapshotToJson(s: Snapshot, parent: Option[Snapshot]): JValue = {
     val manifestField: (String, JValue) = parent match {
       case Some(p) =>
-        val childByPath = s.manifest.map(f => f.path -> f).toMap
-        val parentPaths = p.manifest.map(_.path).toSet
-        val removed = p.manifest.map(_.path).filterNot(childByPath.contains)
+        // keyed by resolutionKey: DV entries share their container's path
+        val childByPath = s.manifest.map(f => f.resolutionKey -> f).toMap
+        val parentPaths = p.manifest.map(_.resolutionKey).toSet
+        val removed = p.manifest.map(_.resolutionKey).filterNot(childByPath.contains)
         val replaced = p.manifest.flatMap(f =>
-          childByPath.get(f.path).filter(_ != f))
-        val appended = s.manifest.filterNot(f => parentPaths.contains(f.path))
+          childByPath.get(f.resolutionKey).filter(_ != f))
+        val appended = s.manifest.filterNot(f => parentPaths.contains(f.resolutionKey))
         val reconstructed = p.manifest
-          .flatMap(f => childByPath.get(f.path)) ++ appended
+          .flatMap(f => childByPath.get(f.resolutionKey)) ++ appended
         val deltaCost = removed.size + replaced.size + appended.size
         if (reconstructed == s.manifest && deltaCost < s.manifest.size)
           "manifest-delta" -> JObject(
@@ -90,16 +91,23 @@ object MetadataJson {
   }
 
   private def fileToJson(f: FileEntry): JValue = JObject(
-    "path" -> str(f.path),
-    "length" -> JLong(f.length),
-    "content" -> str(f.content.toString),
-    "record-count" -> JLong(f.recordCount),
-    "sequence-number" -> JLong(f.sequenceNumber),
-    "equality-ids" -> JArray(f.equalityIds.map(str).toList),
-    "equality-field-ids" -> JArray(f.equalityFieldIds.map(i => JInt(i): JValue).toList),
-    "partition" -> JObject(f.partitionValues.toList.map { case (k, v) => k -> (str(v): JValue) }),
-    "column-stats" -> JObject(f.columnStats.toList.map { case (k, (mn, mx)) =>
-      k -> (JObject("min" -> str(mn), "max" -> str(mx)): JValue) })
+    List(
+      "path" -> (str(f.path): JValue),
+      "length" -> (JLong(f.length): JValue),
+      "content" -> (str(f.content.toString): JValue),
+      "record-count" -> (JLong(f.recordCount): JValue),
+      "sequence-number" -> (JLong(f.sequenceNumber): JValue),
+      "equality-ids" -> (JArray(f.equalityIds.map(str).toList): JValue),
+      "equality-field-ids" -> (JArray(f.equalityFieldIds.map(i => JInt(i): JValue).toList): JValue),
+      "partition" -> (JObject(f.partitionValues.toList.map { case (k, v) => k -> (str(v): JValue) }): JValue),
+      "column-stats" -> (JObject(f.columnStats.toList.map { case (k, (mn, mx)) =>
+        k -> (JObject("min" -> str(mn), "max" -> str(mx)): JValue) }): JValue)
+    ) ++
+      // v3 deletion-vector coordinates — written only when present, so
+      // pre-DV metadata files round-trip byte-identically
+      f.referencedDataFile.map(p => "referenced-data-file" -> (str(p): JValue)).toList ++
+      f.contentOffset.map(o => "content-offset" -> (JLong(o): JValue)).toList ++
+      f.contentSizeInBytes.map(s => "content-size-in-bytes" -> (JLong(s): JValue)).toList
   )
 
   def write(m: TableMetadata): String = JsonMethods.pretty(JsonMethods.render(toJson(m)))
@@ -130,7 +138,10 @@ object MetadataJson {
         columnStats = obj(m.getOrElse("column-stats", JObject())).map { case (k, x) =>
           val sm = obj(x).toMap
           k -> (fStr(sm("min")), fStr(sm("max")))
-        }.toMap
+        }.toMap,
+        referencedDataFile = m.get("referenced-data-file").map(fStr),
+        contentOffset = m.get("content-offset").flatMap(optLong),
+        contentSizeInBytes = m.get("content-size-in-bytes").flatMap(optLong)
       )
     }
     // forward pass: delta manifests resolve against already-decoded
@@ -146,10 +157,10 @@ object MetadataJson {
             sys.error(s"manifest-delta base snapshot $baseId not decoded yet"))
           val removed = arr(dm.getOrElse("removed-paths", JArray(Nil))).map(fStr).toSet
           val replaced = arr(dm.getOrElse("replaced", JArray(Nil))).map(file)
-            .map(f => f.path -> f).toMap
+            .map(f => f.resolutionKey -> f).toMap
           val appended = arr(dm.getOrElse("appended", JArray(Nil))).map(file)
-          base.manifest.filterNot(f => removed.contains(f.path))
-            .map(f => replaced.getOrElse(f.path, f)) ++ appended
+          base.manifest.filterNot(f => removed.contains(f.resolutionKey))
+            .map(f => replaced.getOrElse(f.resolutionKey, f)) ++ appended
         case None => arr(m.getOrElse("manifest", JArray(Nil))).map(file)
       }
       val s = Snapshot(

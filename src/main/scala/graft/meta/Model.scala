@@ -92,8 +92,27 @@ final case class FileEntry(
     /** per-column numeric zone maps (min, max), decimal-string encoded —
       * collected from parquet footers at write time; used for manifest-
       * level file skipping on range predicates. */
-    columnStats: Map[String, (String, String)] = Map.empty
+    columnStats: Map[String, (String, String)] = Map.empty,
+    /** Iceberg v3 deletion vector: a position-delete entry whose payload is
+      * a bitmap blob inside a Puffin file rather than a parquet file. Set
+      * iff this entry is a DV; a DV applies to exactly the one data file it
+      * references (spec: `referenced_data_file` is required for DVs). */
+    referencedDataFile: Option[String] = None,
+    /** byte offset of the DV blob inside the Puffin file at `path`. */
+    contentOffset: Option[Long] = None,
+    /** byte length of the DV blob. */
+    contentSizeInBytes: Option[Long] = None
 ) {
+  /** true for Iceberg v3 deletion-vector entries ([[Puffin]] blob payloads). */
+  def isDeletionVector: Boolean =
+    content == FileContent.PositionDeletes && referencedDataFile.nonEmpty
+
+  /** Unique manifest-entry key. Plain files are path-unique, but several
+    * DV entries share one Puffin container path (one blob per referenced
+    * data file), so every path-keyed resolution map — `task.deletes`,
+    * FileGroup resolution, manifest deltas — keys by this instead. */
+  def resolutionKey: String =
+    if (isDeletionVector) s"$path#${contentOffset.getOrElse(0L)}" else path
   /** true when the file may contain rows with `col` in [lo, hi]; files
     * without stats for the column are conservatively kept. */
   def mayContainRange(colName: String, lo: BigDecimal, hi: BigDecimal): Boolean =
@@ -203,17 +222,23 @@ final case class TableMetadata(
     // Manifest order of each file's delete list is preserved via the
     // original index.
     val deletes = snapshot.manifest.filter(_.content != FileContent.Data).zipWithIndex
-    val (global, scoped) = deletes.partition(_._1.partitionValues.isEmpty)
+    // deletion vectors are file-addressed, not partition-addressed: a DV
+    // applies to exactly its referenced data file (Iceberg v3 spec), so it
+    // bypasses the partition-scope candidate sets entirely
+    val (dvs, plain) = deletes.partition(_._1.isDeletionVector)
+    val dvByReferenced = dvs.groupBy(_._1.referencedDataFile.get)
+    val (global, scoped) = plain.partition(_._1.partitionValues.isEmpty)
     val scopedByPartition = scoped.groupBy(_._1.partitionValues)
     snapshot.manifest.filter(_.content == FileContent.Data).map { d =>
-      val candidates = global ++ scopedByPartition.getOrElse(d.partitionValues, Nil)
+      val candidates = global ++ scopedByPartition.getOrElse(d.partitionValues, Nil) ++
+        dvByReferenced.getOrElse(d.path, Nil)
       val applicable = candidates.filter { case (del, _) =>
         del.content match {
           case FileContent.EqualityDeletes => del.sequenceNumber > d.sequenceNumber
           case _                           => del.sequenceNumber >= d.sequenceNumber
         }
       }.sortBy(_._2).map(_._1)
-      d.copy(deletes = applicable.map(_.path))
+      d.copy(deletes = applicable.map(_.resolutionKey))
     }
   }
 }

@@ -841,6 +841,29 @@ object OpsQueries {
       IceRead.table(s, catalog, "t_q_conv").select(col("s_suppkey"), col("s_name"))
     }),
 
+    // Iceberg v3 DELETION VECTORS as an oracle-checked query: tombstone a
+    // quarter of the rows (parquet pos deletes), convert them to Puffin
+    // bitmap DVs, then tombstone more rows AFTER conversion — the read
+    // must apply the codegen'd DV probe AND the fresh parquet tombstones
+    // together; the in-query requires prove the conversion really swapped
+    // the file formats (no plain pos file left, >=1 DV present)
+    "q_dv" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-dv-wh").toString)
+      val src = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      IceWrite.create(s, catalog, "t_q_dv", src.repartition(3))
+      IceWrite.deleteWhere(s, catalog, "t_q_dv", col("s_suppkey") % 4 === 0)
+      graft.compaction.Maintenance.convertPositionDeletesToDVs(s, catalog, "t_q_dv")
+      val manifest = catalog.loadTable("t_q_dv").currentSnapshot.get.manifest
+      require(!manifest.exists(f =>
+        f.content == graft.meta.FileContent.PositionDeletes && !f.isDeletionVector),
+        "conversion left parquet position-delete files")
+      require(manifest.exists(_.isDeletionVector), "conversion produced no DVs")
+      IceWrite.deleteWhere(s, catalog, "t_q_dv", col("s_suppkey") % 4 === 1)
+      IceRead.table(s, catalog, "t_q_dv").select(col("s_suppkey"), col("s_name"))
+    }),
+
     // COPY-ON-WRITE row-level semantics as an oracle-checked query:
     // create from supplier, MOR-tombstone every 7th key, COW-UPDATE
     // every 3rd (affected files rewritten THROUGH the MOR view —
@@ -2042,6 +2065,11 @@ object OpsQueries {
       """SELECT s_suppkey,
         |  CASE WHEN s_suppkey % 3 = 0 THEN upper(s_name) ELSE s_name END AS s_name
         |FROM supplier""".stripMargin,
+
+    "q_dv" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey % 4 <> 0 AND s_suppkey % 4 <> 1""".stripMargin,
 
     "q_cow_update" ->
       """SELECT s_suppkey,
