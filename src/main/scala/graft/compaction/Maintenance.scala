@@ -82,19 +82,26 @@ object Maintenance {
       olderThanMs: Long = DefaultOrphanGraceMs): Seq[String] = {
     val meta = catalog.loadTable(tableName)
     val live = meta.snapshots.flatMap(_.manifest.map(_.path)).toSet
-    val dataDir = Paths.get(meta.location, "data")
-    if (!Files.exists(dataDir)) return Nil
     val cutoff = System.currentTimeMillis() - math.max(0L, olderThanMs)
-    // Using closes the directory stream (Files.walk holds an open handle
-    // per directory level until closed)
-    scala.util.Using.resource(Files.walk(dataDir)) { walk =>
-      walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .map(_.toString)
-        .filterNot(live.contains)
-        .toSeq.sorted
-    }
+    // data parquet lives under data/; DV Puffin containers under deletes/ —
+    // both become unreferenced once snapshots expire and must be reclaimable
+    val roots = Seq(
+      Paths.get(meta.location, "data") -> ".parquet",
+      Paths.get(meta.location, "deletes") -> ".puffin")
+    roots.flatMap { case (dir, ext) =>
+      if (!Files.exists(dir)) Nil
+      else
+        // Using closes the directory stream (Files.walk holds an open
+        // handle per directory level until closed)
+        scala.util.Using.resource(Files.walk(dir)) { walk =>
+          walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(ext))
+            .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+            .map(_.toString)
+            .filterNot(live.contains)
+            .toSeq
+        }
+    }.sorted
   }
 
   /** Delete files in the branch head that no longer delete anything —
@@ -357,7 +364,7 @@ object Maintenance {
       .map(f => f.referencedDataFile.get -> f).toMap
 
     import spark.implicits._
-    val newBlobs: Seq[(String, Array[Byte], Long)] =
+    val newBlobs: Seq[DeletionVectors.DvBlob] =
       if (pairs.isEmpty) Nil
       else {
         val applicable = pairs.toDF("__del_file", "file_path")
@@ -365,27 +372,11 @@ object Maintenance {
           .select(Mor.normalizePath(col("_metadata.file_path")).as("__del_file"),
             col("file_path"), col("pos"))
           .join(broadcast(applicable), Seq("__del_file", "file_path"), "left_semi")
-        rows.select(col("file_path"), col("pos")).as[(String, Long)]
-          .groupByKey(_._1)
-          .mapGroups { (file, it) =>
-            val bm = Puffin.PositionBitmap.empty
-            it.foreach(t => bm.add(t._2))
-            (file, Puffin.encodeDvBlob(bm), bm.cardinality)
-          }
-          .collect().toSeq
+        DeletionVectors.buildBlobs(spark, rows)
       }
     // merge with pre-existing DVs (union; their entries get replaced)
-    val merged: Seq[(String, Array[Byte], Long)] = newBlobs.map { case (file, blob, card) =>
-      existingDv.get(file) match {
-        case Some(old) =>
-          val bm = Puffin.decodeDvBlob(Puffin.readBlob(
-            old.path, old.contentOffset.getOrElse(0L), old.contentSizeInBytes.get))
-          Puffin.decodeDvBlob(blob).positions.foreach(bm.add)
-          (file, Puffin.encodeDvBlob(bm), bm.cardinality)
-        case None => (file, blob, card)
-      }
-    }.sortBy(_._1)
-    val replacedDvs = merged.flatMap { case (f, _, _) => existingDv.get(f) }
+    val merged = DeletionVectors.mergeWithExisting(newBlobs, existingDv)
+    val replacedDvs = merged.flatMap(b => existingDv.get(b.referencedDataFile))
     // resolutionKey, not path: un-merged DVs sharing the container must stay
     val replacedDvKeys = replacedDvs.map(_.resolutionKey).toSet
     val stampSeq =
@@ -396,28 +387,8 @@ object Maintenance {
       val meta = catalog.loadTable(tableName)
       val snap = meta.currentSnapshot.getOrElse(return meta)
       val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
-      val dvEntries =
-        if (merged.isEmpty) Nil
-        else {
-          val dir = Paths.get(meta.location, "deletes")
-          Files.createDirectories(dir)
-          val puffinPath = dir.resolve(
-            s"dv-${java.util.UUID.randomUUID().toString.take(12)}.puffin").toString
-          val blobMetas = Puffin.write(puffinPath, merged.map { case (file, blob, card) =>
-            Puffin.Blob(Puffin.DvBlobType, blob, snapshotId, stampSeq,
-              properties = Map("referenced-data-file" -> file, "cardinality" -> card.toString))
-          })
-          val puffinSize = Files.size(Paths.get(puffinPath))
-          merged.zip(blobMetas).map { case ((file, _, card), bm) =>
-            FileEntry(
-              path = puffinPath, length = puffinSize,
-              content = FileContent.PositionDeletes, recordCount = card,
-              sequenceNumber = stampSeq,
-              partitionValues = partitionOf.getOrElse(file, Map.empty),
-              referencedDataFile = Some(file),
-              contentOffset = Some(bm.offset), contentSizeInBytes = Some(bm.length))
-          }
-        }
+      val dvEntries = DeletionVectors.writeEntries(meta.location, merged,
+        snapshotId, stampSeq, f => partitionOf.getOrElse(f, Map.empty))
       // only swap the tombstones this conversion actually read; pos deletes
       // (or DVs) committed since stay live
       val consumed = posPaths ++ replacedDvKeys

@@ -151,14 +151,8 @@ object Mor {
       data.filter(!graft.functions.DvExpressions.dvContains(
         col(FilePathCol), col(PosCol), blobs))
     } else {
-      import spark.implicits._
-      val coords = dvEntries.map(e =>
-        (e.path, e.contentOffset.getOrElse(0L), e.contentSizeInBytes.get,
-          e.referencedDataFile.get))
-      val pos = spark.createDataset(coords).flatMap { case (path, off, len, referenced) =>
-        val bytes = graft.meta.Puffin.readBlob(path, off, len)
-        graft.meta.Puffin.decodeDvBlob(bytes).positions.map(p => (referenced, p))
-      }.toDF(FilePathCol, PosCol)
+      val pos = graft.meta.DeletionVectors.positionsFrame(spark, dvEntries)
+        .select(col("file_path").as(FilePathCol), col("pos").as(PosCol))
       // blob bytes exceeded the gate, so the expanded relation is large:
       // leave the join strategy to Catalyst (shuffled, driver-safe)
       data.join(pos, Seq(FilePathCol, PosCol), "left_anti")

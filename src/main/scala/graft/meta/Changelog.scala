@@ -109,13 +109,18 @@ object Changelog {
     val parentPaths = parentManifest.map(_.path).toSet
     val snapPaths = snap.manifest.map(_.path).toSet
     val added = snap.manifest.filterNot(f => parentPaths.contains(f.path))
-    // DV-adding snapshots are maintenance ops (filtered above); anything
-    // else would need bitmap-aware attribution below — fail loudly rather
-    // than parquet-read a Puffin container
-    require(!added.exists(_.isDeletionVector),
-      s"changelog: snapshot ${snap.snapshotId} adds deletion vectors outside a maintenance op")
     val addedData = added.filter(_.content == FileContent.Data)
-    val addedPos = added.filter(_.content == FileContent.PositionDeletes)
+    // v3 deletion vectors split off the parquet tombstones: a merged DV
+    // carries OLD positions too (union with the replaced vector), so its
+    // delta is new-DV minus replaced-DV, computed below
+    val (addedDvs, addedPos) = added.filter(_.content == FileContent.PositionDeletes)
+      .partition(_.isDeletionVector)
+    val replacedDvs = {
+      val referenced = addedDvs.flatMap(_.referencedDataFile).toSet
+      parentManifest.filter(f => f.isDeletionVector &&
+        referenced.contains(f.referencedDataFile.get) &&
+        !snap.manifest.exists(_.resolutionKey == f.resolutionKey))
+    }
     val addedEq = added.filter(_.content == FileContent.EqualityDeletes)
     val removedData = parentManifest.filter(f =>
       f.content == FileContent.Data && !snapPaths.contains(f.path))
@@ -143,7 +148,8 @@ object Changelog {
     // empty-created table) — nothing to emit, and building its MOR view
     // would throw
     val deletes: Option[DataFrame] = parent.flatMap { p =>
-      if ((addedPos.isEmpty && addedEq.isEmpty && removedData.isEmpty) ||
+      if ((addedPos.isEmpty && addedDvs.isEmpty && addedEq.isEmpty &&
+          removedData.isEmpty) ||
           !p.manifest.exists(_.content == FileContent.Data)) None
       else {
         val live = IceRead.ofSnapshot(spark, meta, p, keepHidden = true)
@@ -154,6 +160,23 @@ object Changelog {
             val tomb = spark.read.parquet(addedPos.map(_.path): _*)
               .select(col("file_path").as(Mor.FilePathCol), col("pos").as(Mor.PosCol))
             live.join(broadcast(tomb), Seq(Mor.FilePathCol, Mor.PosCol), "left_semi")
+          }
+
+        // DV delta: positions in the new vectors minus those already in
+        // the replaced parent vectors (a merge unions old tombstones in)
+        val byDv: Option[DataFrame] =
+          if (addedDvs.isEmpty) None
+          else Some {
+            val fresh = DeletionVectors.positionsFrame(spark, addedDvs)
+            val delta =
+              if (replacedDvs.isEmpty) fresh
+              else fresh.join(DeletionVectors.positionsFrame(spark, replacedDvs),
+                Seq("file_path", "pos"), "left_anti")
+            val tomb = delta.select(
+              col("file_path").as(Mor.FilePathCol), col("pos").as(Mor.PosCol))
+            // no broadcast hint: expanded bitmaps can be arbitrarily large,
+            // so the join strategy stays with Catalyst/AQE
+            live.join(tomb, Seq(Mor.FilePathCol, Mor.PosCol), "left_semi")
           }
 
         // one semi join per equality-ids group; field-id resolution as in
@@ -177,7 +200,7 @@ object Changelog {
           if (removedData.isEmpty) None
           else Some(live.filter(col(Mor.FilePathCol).isin(removedData.map(_.path): _*)))
 
-        val all = byPos.toSeq ++ byEq ++ byRemoval.toSeq
+        val all = byPos.toSeq ++ byDv.toSeq ++ byEq ++ byRemoval.toSeq
         // one event per physical row even when several delete files hit it
         Some(all.reduce(_ unionAll _)
           .dropDuplicates(Mor.FilePathCol, Mor.PosCol)

@@ -370,6 +370,77 @@ object IceWrite {
       Defaults.TargetFileSize, branch)
   }
 
+  /** Row-level DELETE WHERE writing Iceberg v3 DELETION VECTORS directly:
+    * the matching (file_path, pos) set becomes one Puffin bitmap blob per
+    * affected data file — no parquet tombstone intermediate, so reads pay
+    * the codegen'd bitmap probe immediately instead of an anti join
+    * ([[graft.exec.Mor.applyDeletionVectors]]). A data file that already
+    * carries a DV gets the union (at most one DV per file, per spec);
+    * plain parquet tombstones from earlier v2-style deletes stay live
+    * beside the DVs and compose at read. Re-deleting an already-deleted
+    * row is a harmless no-op in the bitmap union. */
+  def deleteWhereDv(spark: SparkSession, catalog: Catalog, name: String,
+      condition: org.apache.spark.sql.Column, branch: String = "main"): TableMetadata = {
+    import org.apache.spark.sql.functions.col
+    val meta0 = catalog.loadTable(name)
+    val snap0 = meta0.snapshotForRef(branch).orElse(meta0.currentSnapshot)
+      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val dataFiles = snap0.manifest.filter(_.content == FileContent.Data)
+    require(dataFiles.nonEmpty, s"table $name has no data files")
+    val reader = meta0.typedStruct match {
+      case Some(st) => graft.exec.Mor.fieldIdReader(spark, st)
+      case None => spark.read
+    }
+    val positions = reader.parquet(dataFiles.map(_.path): _*)
+      .withColumn("__fp", graft.exec.Mor.normalizePath(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(condition)
+      .select(col("__fp").as("file_path"), col("__pos").as("pos"))
+    val blobs = DeletionVectors.buildBlobs(spark, positions)
+    if (blobs.isEmpty) return meta0
+
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(name)
+      val base = meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+        .getOrElse(throw new IllegalStateException(s"table $name lost its snapshot"))
+      // merge against the CURRENT head's DVs (a concurrent DV delete may
+      // have landed since the scan; re-merging per attempt keeps the union)
+      val existingDv = base.manifest.filter(_.isDeletionVector)
+        .map(f => f.referencedDataFile.get -> f).toMap
+      val merged = DeletionVectors.mergeWithExisting(blobs, existingDv)
+      val replacedKeys = merged
+        .flatMap(b => existingDv.get(b.referencedDataFile)).map(_.resolutionKey).toSet
+      val partitionOf = base.manifest.filter(_.content == FileContent.Data)
+        .map(f => f.path -> f.partitionValues).toMap
+      val newSeq = meta.lastSequenceNumber + 1
+      val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+      val dvEntries = DeletionVectors.writeEntries(meta.location, merged,
+        snapshotId, newSeq, f => partitionOf.getOrElse(f, Map.empty))
+      val parentManifest = base.manifest
+      val newManifest = parentManifest.filterNot(f =>
+        replacedKeys.contains(f.resolutionKey)) ++ dvEntries
+      val snap = Snapshot(
+        snapshotId = snapshotId,
+        parentId = Some(base.snapshotId),
+        sequenceNumber = newSeq,
+        timestampMs = System.currentTimeMillis(),
+        manifest = newManifest,
+        summary = TableMetadata.preservedProperties(base.summary) ++
+          TableMetadata.computedSummary(parentManifest, newManifest) +
+          ("operation" -> "delete"))
+      val updated = meta.copy(
+        currentSnapshotId =
+          if (branch == "main") Some(snapshotId) else meta.currentSnapshotId,
+        refs = meta.refs + (branch -> snapshotId),
+        snapshots = meta.snapshots :+ snap,
+        lastSequenceNumber = newSeq)
+      try return catalog.commit(meta, updated)
+      catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
   /** Creates (or resets) a branch ref at `fromBranch`'s head — the
     * write-audit-publish staging point. */
   def createBranch(catalog: Catalog, name: String, branch: String,

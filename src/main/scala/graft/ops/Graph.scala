@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl curation — PageRank over the domain
+  * graph is the classic crawl-frontier prioritizer / spam-domain
+  * downweighter. LLM-pipeline extension beyond the reference engine's
+  * scope, like [[Dedup]]/[[TextAnalysis]].
+  *
+  * Design for 100 TB:
+  *  - each iteration is ONE shuffle: contributions aggregate keyed by
+  *    destination (map-side combinable); the damping mix is per-row
+  *    arithmetic; the dangling-mass term is a 1-row aggregate broadcast
+  *    by crossJoin;
+  *  - the plan tree is kept O(1) across iterations with a per-round
+  *    `localCheckpoint` (the [[Dedup.clusterPairs]] pattern) — without it
+  *    the lineage doubles per round and Catalyst analysis blows up;
+  *  - all arithmetic is integer floor division at a fixed 1e12 total-mass
+  *    scale — bit-reproducible across engines and runs, no float drift.
+  *
+  * Semantics: standard damped PageRank with dangling-mass redistribution,
+  * on the DEDUPLICATED edge set (parallel edges collapse; self-loops
+  * count like any edge). With total mass S = 1e12 and n nodes:
+  * {{{
+  *   r0(u)   = S div n
+  *   r_k(u)  = (15 * (S div n) + 85 * (contrib(u) + dangling div n)) div 100
+  *   contrib(u) = sum over in-edges (v,u) of (r_{k-1}(v) div outdeg(v))
+  *   dangling   = sum of r_{k-1}(v) over v with outdeg 0
+  * }}}
+  * Ranks are reported in micro-of-million units (`rank_u12`).
+  */
+object Graph {
+
+  /** Total rank mass: 1e12 keeps 6+ significant digits for graphs up to
+    * ~1M nodes while every intermediate stays far inside int64. */
+  val RankScale: Long = 1000000000000L
+
+  /** Damped PageRank; returns (node, rank_u12). Deterministic given the
+    * edge set. `iterations` is fixed-count (the curation use case ranks a
+    * bounded-round approximation; convergence checks would add a per-round
+    * driver action for no ranking benefit). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one edge")
+    val base = RankScale / n // S div n, exact
+
+    var rank = nodes.select(col("node"), lit(base).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val withDeg = rank.join(outdeg, Seq("node"), "left")
+      // dangling mass: ranks of nodes with no out-edges (1 row, broadcast)
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      val contrib = e
+        .join(withDeg.filter(col("deg").isNotNull)
+          .withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("CAST(r AS DECIMAL(38,0)) div deg").cast("long").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      rank = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), expr(
+          s"CAST(15 * $base + 85 * (COALESCE(contrib, 0) + " +
+            s"CAST(dang AS DECIMAL(38,0)) div $n) AS DECIMAL(38,0)) div 100")
+          .cast("long").as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("node"), col("r").as("rank_u12"))
+  }
+
+  /** In/out degree per node over the deduplicated edge set — the cheap
+    * companion diagnostic (hub/authority shape, dangling counts). */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

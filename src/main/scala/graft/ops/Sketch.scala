@@ -376,4 +376,64 @@ object Sketch {
         bloomBitCol(df.col(keyCol), i, bitHexChars) === bits.col("bit"), "left_semi")
     }
   }
+
+  // ---- exact heavy hitters (Misra-Gries-pruned two-pass) ----
+
+  /** Per-partition Misra-Gries candidate survivors for threshold `k`.
+    * Pigeonhole guarantee: any item with GLOBAL count > N/k must exceed
+    * N_p/k in at least one partition p (N = Σ N_p), and Misra-Gries with
+    * k counters retains every such item — so the union of per-partition
+    * survivors is a superset of the true heavy hitters. At most k items
+    * survive per partition: the candidate set is bounded by k × partitions
+    * however large the data. */
+  private[ops] def misraGriesCandidates(items: DataFrame, itemCol: String,
+      k: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        for (x <- it) {
+          if (counters.contains(x)) counters(x) += 1
+          else if (counters.size < k) counters(x) = 1
+          else {
+            // decrement-all step; drop zeroed counters
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.mapValuesInPlace((_, v) => v - 1)
+            counters.foreach { case (key, v) => if (v <= 0) dead += key }
+            dead.foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }
+      .toDF("item").distinct()
+  }
+
+  /** EXACT frequent items: every item with count strictly greater than
+    * N/k (the classic "frequent elements" guarantee), with its exact
+    * count. Two passes, neither shuffling the full domain:
+    *
+    *  1. per-partition Misra-Gries (k counters each, zero shuffle) yields
+    *     a bounded candidate superset;
+    *  2. a broadcast semi join keeps only candidate rows, and ONE
+    *     aggregate counts exactly those — the shuffle carries candidate
+    *     rows only, never the full item domain.
+    *
+    * The MG stage is pure pruning: the final `count * k > N` filter is
+    * exact, so results are deterministic and independent of partitioning
+    * (the oracle is a plain GROUP BY ... HAVING). */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k must be in [2, 100000], got $k")
+    val rows = items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val n = rows.count()
+    val candidates = misraGriesCandidates(items, itemCol, k)
+    rows.join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      // integer threshold without division: cnt > N/k <=> cnt * k > N
+      .filter(col("cnt") * lit(k) > lit(n))
+  }
 }

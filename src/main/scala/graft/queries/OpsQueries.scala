@@ -516,6 +516,42 @@ object OpsQueries {
 
     // out-of-vocabulary rate vs the corpus's own top-20 vocabulary (the
     // synthetic corpus has ~31 distinct tokens, so real OOV mass exists)
+    // EXACT heavy hitters (frequent tokens above N/k) via Misra-Gries
+    // candidate pruning + an exact candidate-only count: the MG stage is
+    // pure pruning, so the answer is deterministic and the oracle is a
+    // plain GROUP BY ... HAVING over all tokens
+    "h1_heavy_hitters" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.ops.Sketch.heavyHitters(toks, "tok", 50)
+    }),
+
+    // PageRank over a deterministic domain link graph (the crawl-frontier
+    // prioritizer): nodes/edges derive from doc ids, so both engines build
+    // the identical graph; 3 rounds of the integer floor-division formula
+    // replay exactly via unrolled CTEs — including dangling-mass handling,
+    // since several dst-only domains have no out-edges
+    "g1_pagerank" -> ((s, dir) => {
+      val edges = tbl(s, dir, "documents").select(
+        concat(lit("d"), (col("doc_id") % 23).cast("string")).as("src"),
+        concat(lit("d"), ((col("doc_id") * 7 + 3) % 29).cast("string")).as("dst"))
+      graft.ops.Graph.pageRank(edges, "src", "dst", 3)
+    }),
+
+    // trained hashed-token classifier (the fastText-shaped corpus filter):
+    // train on 2/3 of the docs with label = (lang == 'en'), score the held
+    // out third — Laplace weights, floor averaging, and the prior fallback
+    // are all integer-ppm, replayed exactly by the oracle
+    "c1_classifier" -> ((s, dir) => {
+      val labeled = tbl(s, dir, "documents")
+        .withColumn("label", (col("lang") === "en").cast("int"))
+      val model = graft.ops.Classifier.train(
+        labeled.filter(col("doc_id") % 3 =!= 0), "text", "label")
+      graft.ops.Classifier.score(
+        labeled.filter(col("doc_id") % 3 === 0), "doc_id", "text", model)
+    }),
+
     "t22_oov" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val toks = d.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
@@ -1791,8 +1827,75 @@ object OpsQueries {
     // the final LEFT JOIN from documents keeps null-text docs in the
     // report (n_tokens 0, null ppm) exactly as the Spark side's
     // explode_outer contract does
+    "h1_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |  WHERE tok <> ''),
+         |n AS (SELECT count(*) AS total FROM t)
+         |SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt
+         |FROM t CROSS JOIN n
+         |GROUP BY tok, n.total
+         |HAVING count(*) * 50 > n.total""".stripMargin,
+
+    "g1_pagerank" -> {
+      // one CTE per round, identical integer arithmetic to Graph.pageRank
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |    (15 * p.base + 85 * (COALESCE(c.contrib, 0) + d.dang // p.n)) // 100 AS r
+           |  FROM nodes n
+           |  CROSS JOIN params p
+           |  CROSS JOIN (SELECT COALESCE(sum(r), 0) AS dang FROM $prev
+           |              WHERE node NOT IN (SELECT node FROM outdeg)) d
+           |  LEFT JOIN (SELECT e.dst AS node, sum(pr.r // o.deg) AS contrib
+           |             FROM e JOIN $prev pr ON pr.node = e.src
+           |             JOIN outdeg o ON o.node = e.src
+           |             GROUP BY 1) c ON c.node = n.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT 'd' || (doc_id % 23) AS src,
+         |                  'd' || ((doc_id * 7 + 3) % 29) AS dst
+         |  FROM documents),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |outdeg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |params AS (SELECT count(*) AS n, 1000000000000 // count(*) AS base FROM nodes),
+         |r0 AS (SELECT node, (SELECT base FROM params) AS r FROM nodes),
+         |${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_u12 FROM r3""".stripMargin
+    },
+
+    "c1_classifier" ->
+      s"""WITH train AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl, text
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |ttoks AS (
+         |  SELECT lbl, unnest($toksSql) AS tok FROM train),
+         |w AS (
+         |  SELECT substr(md5(tok), 1, 3) AS bucket,
+         |         (1000000 * (sum(lbl) + 1)) // (count(*) + 2) AS w_ppm
+         |  FROM ttoks WHERE tok <> '' GROUP BY 1),
+         |prior AS (
+         |  SELECT (1000000 * (sum(lbl) + 1)) // (count(*) + 2) AS prior_ppm
+         |  FROM train),
+         |test AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |stoks AS (
+         |  SELECT doc_id, substr(md5(tok), 1, 3) AS bucket
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM test)
+         |  WHERE tok <> ''),
+         |scored AS (
+         |  SELECT doc_id,
+         |         sum(COALESCE(w.w_ppm, p.prior_ppm)) // count(*) AS s_ppm
+         |  FROM stoks LEFT JOIN w USING (bucket) CROSS JOIN prior p
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       CAST(COALESCE(sc.s_ppm, p.prior_ppm) AS BIGINT) AS score_ppm,
+         |       CAST(COALESCE(sc.s_ppm, p.prior_ppm) >= 500000 AS INT) AS label
+         |FROM test t LEFT JOIN scored sc USING (doc_id) CROSS JOIN prior p""".stripMargin,
+
     "t22_oov" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |vocab AS (
          |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
          |                   ORDER BY cnt DESC, tok ASC LIMIT 20)),

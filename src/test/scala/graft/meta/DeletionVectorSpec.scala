@@ -187,6 +187,53 @@ class DeletionVectorSpec extends AnyFunSuite {
     val manifest = catalog.loadTable(name).currentSnapshot.get.manifest
     assert(!manifest.exists(_.isDeletionVector))
     assert(IceRead.table(spark, catalog, name).orderBy("s_suppkey").collect().toSeq == expected)
+
+    // once snapshots expire, the unreferenced Puffin container is orphan-
+    // detectable and reclaimable like any data file
+    Maintenance.expireSnapshots(catalog, name, keepLast = 1)
+    val orphans = Maintenance.orphanFiles(catalog, name, olderThanMs = 0L)
+    assert(orphans.exists(_.endsWith(".puffin")), s"expected a puffin orphan in $orphans")
+    Maintenance.deleteOrphans(catalog, name, orphans, olderThanMs = 0L)
+    assert(Maintenance.orphanFiles(catalog, name, olderThanMs = 0L).isEmpty)
+    assert(IceRead.table(spark, catalog, name).orderBy("s_suppkey").collect().toSeq == expected)
+  }
+
+  test("deleteWhereDv writes vectors natively; repeat deletes merge; changelog sees only the delta") {
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-dvw-wh").toString)
+    val src = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"))
+    IceWrite.create(spark, catalog, "t_dvw", src.repartition(3))     // snapshot 1
+    IceWrite.deleteWhereDv(spark, catalog, "t_dvw", col("s_suppkey") % 4 === 0) // snapshot 2
+    val manifest1 = catalog.loadTable("t_dvw").currentSnapshot.get.manifest
+    assert(!manifest1.exists(f =>
+      f.content == FileContent.PositionDeletes && !f.isDeletionVector),
+      "native DV delete must not write parquet tombstones")
+    assert(manifest1.exists(_.isDeletionVector))
+    val after1 = IceRead.table(spark, catalog, "t_dvw").orderBy("s_suppkey").collect().toSeq
+    assert(after1 == src.filter(col("s_suppkey") % 4 =!= 0)
+      .orderBy("s_suppkey").collect().toSeq)
+
+    IceWrite.deleteWhereDv(spark, catalog, "t_dvw", col("s_suppkey") % 4 === 1) // snapshot 3
+    val manifest2 = catalog.loadTable("t_dvw").currentSnapshot.get.manifest
+    val dvs = manifest2.filter(_.isDeletionVector)
+    assert(dvs.map(_.referencedDataFile.get).distinct.size == dvs.size,
+      "at most one DV per data file after the merge")
+    val after2 = IceRead.table(spark, catalog, "t_dvw").orderBy("s_suppkey").collect().toSeq
+    assert(after2 == src.filter(col("s_suppkey") % 4 =!= 0 && col("s_suppkey") % 4 =!= 1)
+      .orderBy("s_suppkey").collect().toSeq)
+
+    // the merged vector carries the union, but the changelog must emit
+    // only snapshot 3's DELTA (%4==1 rows), not re-emit %4==0
+    val head = catalog.loadTable("t_dvw").currentSnapshot.get.snapshotId
+    val log = Changelog.changesBetween(spark, catalog, "t_dvw", 1L, head)
+      .filter(col(Changelog.ChangeTypeCol) === "delete")
+    import spark.implicits._
+    val bySnap = log.groupBy(Changelog.SnapshotIdCol)
+      .agg(org.apache.spark.sql.functions.collect_set(
+        (col("s_suppkey") % 4).cast("int")).as("mods"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(bySnap(2L).toSet == Set(0), s"snapshot 2 must delete only %4==0 rows: $bySnap")
+    assert(bySnap(head).toSet == Set(1), s"snapshot 3 must delete only %4==1 rows: $bySnap")
   }
 
   test("DV metadata round-trips through the JSON codec") {

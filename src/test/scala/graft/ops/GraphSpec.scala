@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** PageRank: checked against an independent in-memory reference that uses
+  * the exact same integer floor-division formula, plus structural
+  * properties (dangling handling, sink attraction, determinism).
+  */
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Driver-side reference implementation over Scala maps. */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val out = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = Graph.RankScale / n
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val contrib = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) => r(src) / out(src) }.sum
+      }
+      r = nodes.map(u =>
+        u -> (15 * base + 85 * (contrib.getOrElse(u, 0L) + dangling / n)) / 100).toMap
+    }
+    r
+  }
+
+  private val g = Seq(
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+    ("e", "e"), ("b", "f") // f is dangling (no out-edges)
+  )
+
+  test("matches the integer reference formula exactly, every iteration count") {
+    for (k <- Seq(1, 3, 7)) {
+      val got = Graph.pageRank(g.toDF("s", "d"), "s", "d", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == refPageRank(g, k), s"mismatch at $k iterations")
+    }
+  }
+
+  test("parallel edges collapse; rank mass stays within rounding of the total") {
+    val dup = g ++ g ++ Seq(("a", "b"))
+    val got = Graph.pageRank(dup.toDF("s", "d"), "s", "d", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(g, 3), "duplicate edges must not change ranks")
+    val total = got.values.sum
+    // floor divisions only lose mass, bounded by ~1 unit per div per node
+    assert(total <= Graph.RankScale && total > Graft.tolerance(Graph.RankScale),
+      s"mass $total out of range")
+  }
+
+  test("a sink pair attracts rank; uniform start breaks toward in-degree") {
+    // star into 'hub': everyone links hub, hub links nobody (dangling)
+    val star = Seq(("u1", "hub"), ("u2", "hub"), ("u3", "hub"), ("u4", "hub"))
+    val ranks = Graph.pageRank(star.toDF("s", "d"), "s", "d", 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("hub") > ranks("u1") * 3, s"hub must dominate: $ranks")
+    assert(Seq("u1", "u2", "u3", "u4").map(ranks).distinct.size == 1,
+      "symmetric leaves must tie exactly")
+  }
+
+  test("degrees: out/in over the deduplicated edge set") {
+    val d = Graph.degrees(g.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d("a") == ((2L, 1L)))
+    assert(d("c") == ((1L, 3L)))
+    assert(d("f") == ((0L, 1L)))
+    assert(d("e") == ((1L, 1L))) // self-loop counts both ways
+  }
+}
+
+/** Tolerance helper kept out of the test bodies. */
+private object Graft {
+  def tolerance(scale: Long): Long = scale - scale / 1000 // 0.1 % floor-loss envelope
+}
