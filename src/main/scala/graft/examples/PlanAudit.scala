@@ -34,7 +34,8 @@ object PlanAudit {
         "b1_bm25","b2_text_index","d8_keep_best","t26_bpe_pairs","m5_warc",
         "t27_bigram_coherence","d9_semantic_decontam","b3_phrase_search",
         "q_cow_update","q_convert_eq",
-        "q_dv","c1_classifier","g1_pagerank","h1_heavy_hitters")) {
+        "q_dv","c1_classifier","g1_pagerank","h1_heavy_hitters",
+        "mv1_refresh")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length

@@ -516,6 +516,32 @@ object OpsQueries {
 
     // out-of-vocabulary rate vs the corpus's own top-20 vocabulary (the
     // synthetic corpus has ~31 distinct tokens, so real OOV mass exists)
+    // incremental MATERIALIZED VIEW maintenance as an oracle-checked
+    // query: create an aggregate view, then append + tombstone + upsert
+    // the base and refresh — the view is maintained from the changelog
+    // delta only (never recomputed), and must equal the oracle's direct
+    // aggregate of the final base state
+    "mv1_refresh" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog, MaterializedView}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-mv-wh").toString)
+      val rows = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"),
+        round(col("s_acctbal") * 100, 0).cast("long").as("bal_cents"))
+      IceWrite.create(s, catalog, "t_mv_base",
+        rows.filter(col("s_suppkey") % 3 =!= 0).repartition(2))
+      MaterializedView.create(s, catalog, "t_mv", "t_mv_base",
+        Seq("s_nationkey"), Seq(MaterializedView.Agg("bal_sum", "bal_cents")))
+      IceWrite.append(s, catalog, "t_mv_base", rows.filter(col("s_suppkey") % 3 === 0))
+      IceWrite.deleteWhere(s, catalog, "t_mv_base", col("s_suppkey") % 5 === 0)
+      IceWrite.upsert(s, catalog, "t_mv_base",
+        rows.filter(col("s_suppkey") % 7 === 1)
+          .withColumn("bal_cents", col("bal_cents") + 11L),
+        keys = Seq("s_suppkey"))
+      MaterializedView.refresh(s, catalog, "t_mv")
+      IceRead.table(s, catalog, "t_mv")
+        .select(col("s_nationkey"), col(MaterializedView.CountCol), col("bal_sum"))
+    }),
+
     // EXACT heavy hitters (frequent tokens above N/k) via Misra-Gries
     // candidate pruning + an exact candidate-only count: the MG stage is
     // pure pruning, so the answer is deterministic and the oracle is a
@@ -1827,6 +1853,18 @@ object OpsQueries {
     // the final LEFT JOIN from documents keeps null-text docs in the
     // report (n_tokens 0, null ppm) exactly as the Spark side's
     // explode_outer contract does
+    "mv1_refresh" ->
+      """WITH final_base AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(round(s_acctbal * 100, 0) AS BIGINT) +
+        |      CASE WHEN s_suppkey % 7 = 1 THEN 11 ELSE 0 END AS bal_cents
+        |  FROM supplier
+        |  WHERE s_suppkey % 5 <> 0 OR s_suppkey % 7 = 1)
+        |SELECT s_nationkey,
+        |       CAST(count(*) AS BIGINT) AS mv_count,
+        |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
+        |FROM final_base GROUP BY 1""".stripMargin,
+
     "h1_heavy_hitters" ->
       s"""WITH t AS (
          |  SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
