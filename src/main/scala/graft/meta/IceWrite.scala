@@ -40,6 +40,16 @@ object IceWrite {
     appendInternal(spark, catalog, name, df, FileContent.Data, Nil, targetFileSizeBytes,
       extraProperties = extraProperties)
 
+  /** Append with a post-write, pre-commit validation hook: the hook sees
+    * the written file entries AFTER the one data pass completes (so an
+    * `observe` attached to `df` has its metrics) and BEFORE any metadata
+    * commits — throwing aborts the append with nothing visible. Powers
+    * [[Constraints.checkedAppend]]'s single-pass CHECK enforcement. */
+  private[meta] def appendValidated(spark: SparkSession, catalog: Catalog, name: String,
+      df: DataFrame, afterWrite: Seq[FileEntry] => Unit): TableMetadata =
+    appendInternal(spark, catalog, name, df, FileContent.Data, Nil,
+      Defaults.TargetFileSize, afterWrite = afterWrite)
+
   /** Appends an equality-delete file: every existing row whose `equalityIds`
     * columns match a key row (and whose sequence number is older) vanishes
     * from the MOR view. `keys` must contain exactly the equality columns. */
@@ -221,7 +231,8 @@ object IceWrite {
       equalityIds: Seq[String],
       targetFileSizeBytes: Long,
       branch: String = "main",
-      extraProperties: Map[String, String] = Map.empty): TableMetadata = {
+      extraProperties: Map[String, String] = Map.empty,
+      afterWrite: Seq[FileEntry] => Unit = _ => ()): TableMetadata = {
     val table0 = catalog.loadTable(name)
     val typed = typedOf(table0)
     // data and equality-delete files carry table-schema columns -> stamp
@@ -237,6 +248,7 @@ object IceWrite {
       if (content == FileContent.Data) table0.sortOrder else Nil,
       maxRecordsPerFile = rowsEstimate)
     require(written.nonEmpty || df.isEmpty, s"append to $name wrote no files")
+    afterWrite(written) // may throw (e.g. constraint violations) -> no commit
     commitSnapshot(catalog, name,
       Seq(StampSet(written, content, equalityIds, eqIdsOf(table0, equalityIds))),
       operation = if (content == FileContent.Data) "append" else "delete",

@@ -542,6 +542,77 @@ object OpsQueries {
         .select(col("s_nationkey"), col(MaterializedView.CountCol), col("bal_sum"))
     }),
 
+    // table CHECK constraints enforced on write: create a constrained
+    // table, attempt a violating batch (rejected ATOMICALLY, one data
+    // pass — counts observed during the write, nothing committed), then
+    // land a clean batch; result = the rejected batch's per-constraint
+    // violation report + the final row count witnessing the rejection.
+    // NULL-passes-CHECK (ANSI) is witnessed too: null-balance rows are
+    // NOT bal_nonneg violations (but die with their rejected batch)
+    "v1_constraints" -> ((s, dir) => {
+      import graft.meta.{Constraints, IceRead, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-ck-wh").toString)
+      val rows = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal") * 100, 0).cast("long").as("bal_cents"))
+      val clean = rows.filter(col("bal_cents") >= 0 && col("s_suppkey") % 4 =!= 3)
+      IceWrite.create(s, catalog, "t_ck", clean.filter(col("s_suppkey") % 2 === 0))
+      Constraints.addCheck(s, catalog, "t_ck", "bal_nonneg", "bal_cents >= 0")
+      Constraints.addNotNull(s, catalog, "t_ck", "s_name")
+      val dirty = rows.filter(col("bal_cents") < 0 || col("s_suppkey") % 4 === 3)
+        .withColumn("bal_cents",
+          when(col("s_suppkey") % 4 === 3, lit(null)).otherwise(col("bal_cents")))
+        .withColumn("s_name",
+          when(col("s_suppkey") % 8 === 3, lit(null)).otherwise(col("s_name")))
+        .unionAll(s.range(1).select(lit(999999L).as("s_suppkey"),
+          lit("seeded-violator").as("s_name"), lit(-1L).as("bal_cents")))
+      val report = Constraints.violationReport(
+        dirty, Constraints.checks(catalog.loadTable("t_ck")))
+      try { Constraints.checkedAppend(s, catalog, "t_ck", dirty); () }
+      catch { case _: Constraints.ConstraintViolationException => () }
+      Constraints.checkedAppend(s, catalog, "t_ck",
+        clean.filter(col("s_suppkey") % 2 === 1))
+      val rowsAfter = IceRead.table(s, catalog, "t_ck").count()
+      report.withColumn("rows_after", lit(rowsAfter))
+    }),
+
+    // write-audit-publish: stage an upsert + a delete on an "audit"
+    // branch, capture main's row count BEFORE publish (branch isolation
+    // witness — it must equal the original table), fast-forward main,
+    // and read the published state
+    "q_wap" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-wap-wh").toString)
+      val src = tbl(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      IceWrite.create(s, catalog, "t_wap", src)
+      IceWrite.createBranch(catalog, "t_wap", "audit")
+      IceWrite.upsert(s, catalog, "t_wap",
+        src.filter(col("s_suppkey") % 4 === 0)
+          .withColumn("s_name", concat(lit("W-"), col("s_name"))),
+        keys = Seq("s_suppkey"), branch = "audit")
+      IceWrite.deleteWhere(s, catalog, "t_wap",
+        col("s_suppkey") % 6 === 0, branch = "audit")
+      val prePublishRows = IceRead.table(s, catalog, "t_wap").count()
+      IceWrite.publishBranch(catalog, "t_wap", "audit")
+      IceRead.table(s, catalog, "t_wap")
+        .withColumn("pre_publish_rows", lit(prePublishRows))
+    }),
+
+    // z-order (Morton) clustering key: bit-interleave two integer bucket
+    // columns with the codegen'd shift/or tree (bit i of column j lands
+    // at key bit i*ncols+j); the oracle unrolls the identical bit
+    // arithmetic, so the layout key every zorder(a,b) compaction sorts by
+    // is hash-checked end to end
+    "z1_zorder" -> ((s, dir) => {
+      import graft.functions.ZOrder
+      tbl(s, dir, "supplier").select(col("s_suppkey"),
+        ZOrder.interleaved(Seq(
+          col("s_nationkey").cast("long"),
+          (col("s_suppkey") % 256).cast("long")), bits = 8).as("zval"))
+    }),
+
     // EXACT heavy hitters (frequent tokens above N/k) via Misra-Gries
     // candidate pruning + an exact candidate-only count: the MG stage is
     // pure pruning, so the answer is deterministic and the oracle is a
@@ -1864,6 +1935,56 @@ object OpsQueries {
         |       CAST(count(*) AS BIGINT) AS mv_count,
         |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
         |FROM final_base GROUP BY 1""".stripMargin,
+
+    // the violating batch is fully rejected, so rows_after counts only
+    // the clean split; the report mirrors ANSI CHECK (NULL passes: the
+    // %4=3 null-balance rows are not bal_nonneg violations) plus the one
+    // seeded violator row
+    "v1_constraints" ->
+      """WITH rows0 AS (
+        |  SELECT s_suppkey, s_name,
+        |         CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |  FROM supplier),
+        |dirty AS (
+        |  SELECT s_suppkey,
+        |         CASE WHEN s_suppkey % 8 = 3 THEN NULL ELSE s_name END AS s_name,
+        |         CASE WHEN s_suppkey % 4 = 3 THEN NULL ELSE bal_cents END AS bal_cents
+        |  FROM rows0 WHERE bal_cents < 0 OR s_suppkey % 4 = 3
+        |  UNION ALL
+        |  SELECT 999999, 'seeded-violator', -1),
+        |rep AS (
+        |  SELECT 'bal_nonneg' AS check_name,
+        |         CAST(sum(CASE WHEN bal_cents < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM dirty
+        |  UNION ALL
+        |  SELECT 's_name_not_null',
+        |         CAST(sum(CASE WHEN s_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM dirty),
+        |cnt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rows_after
+        |  FROM rows0 WHERE bal_cents >= 0 AND s_suppkey % 4 <> 3)
+        |SELECT check_name, n_violations, rows_after FROM rep CROSS JOIN cnt""".stripMargin,
+
+    "q_wap" ->
+      """WITH base AS (
+        |  SELECT s_suppkey, s_name, s_nationkey FROM supplier),
+        |final AS (
+        |  SELECT s_suppkey,
+        |         CASE WHEN s_suppkey % 4 = 0 THEN 'W-' || s_name ELSE s_name END AS s_name,
+        |         s_nationkey
+        |  FROM base WHERE s_suppkey % 6 <> 0)
+        |SELECT f.*,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM base) AS pre_publish_rows
+        |FROM final f""".stripMargin,
+
+    // 8-bit interleave of (s_nationkey, s_suppkey % 256): bit i of column
+    // j -> key bit i*2+j, unrolled as 16 shift/mask terms
+    "z1_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((s_nationkey >> $i) & 1) << ${2 * i})",
+        s"((((s_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"SELECT s_suppkey, CAST($terms AS BIGINT) AS zval FROM supplier"
+    },
 
     "h1_heavy_hitters" ->
       s"""WITH t AS (
