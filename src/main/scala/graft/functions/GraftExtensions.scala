@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.nfcDescriptor)
     e.injectFunction(GraftExtensions.icebergBucketDescriptor)
     e.injectFunction(GraftExtensions.minHashLanesDescriptor)
+    e.injectFunction(GraftExtensions.vecHammingDescriptor)
   }
 }
 
@@ -118,6 +119,18 @@ object GraftExtensions {
     buildMinHashLanes
   )
 
+  private def buildVecHamming(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"vec_hamming expects 2 arguments, got ${exprs.length}")
+    VecHamming(exprs.head, exprs(1))
+  }
+
+  private[functions] val vecHammingDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_hamming"),
+    new ExpressionInfo(classOf[VecHamming].getName, "vec_hamming"),
+    buildVecHamming
+  )
+
   /** Installs the functions into an existing session's registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -130,5 +143,7 @@ object GraftExtensions {
       "iceberg_bucket", buildIcebergBucket, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_hash_lanes", buildMinHashLanes, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_hamming", buildVecHamming, "built-in")
   }
 }

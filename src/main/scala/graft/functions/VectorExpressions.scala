@@ -91,6 +91,71 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Hamming distance between two packed bit-code arrays (`array<bigint>`,
+  * e.g. [[graft.ops.Similarity.binarySignCodes]] output): sum of
+  * `Long.bitCount(a(i) ^ b(i))` in one fused loop. Semantics match the
+  * HOF formulation `aggregate(zip_with(a, b, (x, y) -> bit_count(x ^ y)),
+  * 0, (acc, d) -> acc + d)` exactly, including the degenerate cases: a
+  * length mismatch or a null element yields NULL (zip_with pads with
+  * nulls and aggregate propagates them), never a silently truncated
+  * distance. */
+case class VecHamming(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def dataType: DataType = IntegerType
+  // null on length mismatch / null elements, independent of input nullability
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_hamming expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $acc = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecHamming =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** codegen'd dot product over array<float>/array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
@@ -98,4 +163,9 @@ object VectorFunctions {
 
   /** codegen'd L2 norm. */
   def vec_norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+
+  /** codegen'd Hamming distance over packed bit-code (`array<bigint>`)
+    * columns. */
+  def vec_hamming(a: Column, b: Column): Column =
+    ColumnBridge.column(VecHamming(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -191,6 +191,58 @@ object Similarity {
       round(col("__err") * 1e6, 0).cast("long").as("err_e6"))
   }
 
+  /** Binary sign quantization: dimension d contributes bit `d % 32` of
+    * code word `d / 32` — set iff `v(d) > 0`. 32 dims per 64-bit word
+    * (bits 32..63 stay clear) so the packed values remain small positive
+    * BIGINTs that every engine's integer arithmetic agrees on — no
+    * sign-bit/overflow edge at word 63 to argue about cross-engine.
+    *
+    * This is the classic binarization trade: a 768-dim float32 embedding
+    * (3 KiB) becomes 24 longs (192 B) — 16x less memory and bandwidth —
+    * and distance becomes XOR+popcount ([[hammingTopK]]), the cheapest
+    * comparison a vector search can make. At 100 TB the binary codes of
+    * a billion-vector corpus fit where the floats never would, which is
+    * why binary rerank-then-refine is the standard first stage.
+    *
+    * Zero and negative dims quantize to 0-bits (sign(0) has no bit), a
+    * null vector yields null codes. Returns (id, n_dims, codes). */
+  def binarySignCodes(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val words = expr(
+      s"""transform(sequence(0, (size($vecCol) + 31) div 32 - 1),
+         |  w -> aggregate(sequence(0, 31), 0L,
+         |    (acc, b) -> acc + IF(w * 32 + b < size($vecCol)
+         |                         AND element_at($vecCol, cast(w * 32 + b + 1 as int)) > 0,
+         |                         shiftleft(1L, b), 0L)))""".stripMargin)
+    df.select(col(idCol), size(col(vecCol)).cast("long").as("n_dims"), words.as("codes"))
+  }
+
+  /** Hamming top-k over binary sign codes: both sides pack once
+    * ([[binarySignCodes]]), the (small) query side broadcasts, and each
+    * corpus row pays one fused XOR+popcount loop per query
+    * ([[graft.functions.VecHamming]], codegen'd — the HOF
+    * `aggregate(zip_with(...))` form runs interpreted). Ranking
+    * tie-breaks (distance, neighbor id) ascending so the result is
+    * deterministic. The corpus never shuffles; the per-query top-k
+    * window runs on a relation of |queries| * |corpus| SCORES (id pairs
+    * + int distance), not vectors. Returns (query_id, neighbor_id,
+    * rank, dist). */
+  def hammingTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = binarySignCodes(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("codes").as("__qc"))
+    val c = binarySignCodes(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes").as("__cc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.vec_hamming(col("__qc"), col("__cc")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist"))
+  }
+
   /** IVF top-k: corpus vectors live in their nearest cell; each query
     * ranks within its `nprobe` nearest cells — the search cost is the
     * probed cells' population, not the corpus. nprobe=1 is the classic

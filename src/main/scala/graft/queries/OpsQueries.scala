@@ -472,6 +472,14 @@ object OpsQueries {
     "s5_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // binary sign quantization + Hamming top-k: 32 dims packed per code
+    // word, distance = fused XOR+popcount (codegen'd VecHamming) — the
+    // 16x-smaller first stage of binary rerank-then-refine ANN
+    "s9_hamming_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.hammingTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 3)
+    }),
+
     // Count-Min sketch: every counter is md5-derived, so the DuckDB
     // oracle rebuilds the exact sketch and the exact estimates — true
     // count vs CMS estimate for the 10 most frequent tokens
@@ -2506,6 +2514,32 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |              i -> abs(embedding[i]::DOUBLE - codes[i] * mx / 127.0)))
         |            / len(embedding) * 1000000.0, 0) AS BIGINT) END AS err_e6
         |FROM q""".stripMargin,
+
+    // same packing: bit b of word w set iff dim 32w+b > 0 (32 dims per
+    // word keeps every value a small positive BIGINT in both engines);
+    // distance = summed bit_count(xor) over aligned words
+    "s9_hamming_topk" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, (len(embedding) + 31) // 32),
+        |      w -> CAST(list_sum(list_transform(range(0, 32),
+        |             b -> CASE WHEN w * 32 + b < len(embedding)
+        |                        AND embedding[CAST(w * 32 + b + 1 AS INTEGER)] > 0
+        |                   THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+        |                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS codes
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.codes) + 1),
+        |      i -> bit_count(xor(q.codes[CAST(i AS INTEGER)],
+        |                         c.codes[CAST(i AS INTEGER)])))) AS BIGINT) AS dist
+        |  FROM codes q JOIN codes c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist
+        |FROM ranked WHERE rank <= 3""".stripMargin,
 
     // the assignment CTEs are s3's oracle verbatim; the update step sums
     // offset micro-ints (positive, so // truncation == floor in both
