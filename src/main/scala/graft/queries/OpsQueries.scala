@@ -965,6 +965,31 @@ object OpsQueries {
     // materializes their kill set as position tombstones (the in-query
     // require proves no eq file survives), and the MOR read must be
     // unchanged — reconstructed relationally by the oracle
+    // persisted per-file BLOOM-FILTER index as an oracle-checked query:
+    // 4 range-disjoint files, index on c_custkey, point lookup — the
+    // in-query requires prove real file skipping happened (a strict
+    // subset of files survives the probe) while the result matches the
+    // plain filter; the tombstone shows the pruned MOR read still
+    // applies deletes
+    "q_bloom_point" -> ((s, dir) => {
+      import graft.meta.{BloomIndex, IceRead, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-bloom-wh").toString)
+      val src = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      IceWrite.create(s, catalog, "t_q_bloom",
+        src.repartitionByRange(4, col("c_custkey")))
+      BloomIndex.build(s, catalog, "t_q_bloom", "c_custkey")
+      IceWrite.deleteWhere(s, catalog, "t_q_bloom", col("c_custkey") === 138L)
+      val meta = catalog.loadTable("t_q_bloom")
+      val snap = meta.currentSnapshot.get
+      val all = snap.manifest.count(_.content == graft.meta.FileContent.Data)
+      val kept = BloomIndex.mayContainFiles(meta, snap, "c_custkey", "137").get.size
+      require(kept < all, s"bloom probe pruned nothing: $kept of $all files kept")
+      BloomIndex.tablePoint(s, catalog, "t_q_bloom", "c_custkey", "137")
+        .unionAll(BloomIndex.tablePoint(s, catalog, "t_q_bloom", "c_custkey", "138"))
+    }),
+
     "q_convert_eq" -> ((s, dir) => {
       import graft.meta.{IceRead, IceWrite, LocalCatalog}
       val catalog = LocalCatalog(
@@ -2330,6 +2355,12 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS content_length,
         |       md5(COALESCE(text, '')) AS body_md5
         |FROM documents""".stripMargin,
+
+    // the lookup for 137 survives; 138 was tombstoned after the index
+    // build, so the pruned MOR read must drop it
+    "q_bloom_point" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer WHERE c_custkey = 137""".stripMargin,
 
     "q_convert_eq" ->
       """SELECT s_suppkey,
