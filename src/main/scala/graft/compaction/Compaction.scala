@@ -130,7 +130,13 @@ final class Compaction(
       formatVersion = table.formatVersion,
       tableSchema = table.schema,
       bytesPerRecordHint =
-        if (enableDynamicSizeEstimation) sizeEstimator.estimate.getOrElse(0.0) else 0.0
+        if (enableDynamicSizeEstimation) sizeEstimator.estimate.getOrElse(0.0) else 0.0,
+      // Iceberg's write.distribution-mode=range: sort-ordered tables opt
+      // into a range exchange so rewritten files carry globally ordered,
+      // non-overlapping zone maps (range reads then prune to the files
+      // that intersect — the clustering that makes tableRange useful)
+      rangeDistribute =
+        table.properties.get("write.distribution-mode").contains("range")
     )
     val res = executor.rewriteFiles(execSpark, req)
     if (enableDynamicSizeEstimation)

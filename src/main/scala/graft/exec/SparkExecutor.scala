@@ -30,7 +30,12 @@ final case class RewriteRequest(
       * for compaction; copy-on-write UPDATE/purge (compaction.RowRewrite)
       * inject their row edits here so the scan -> write machinery,
       * size targeting, and commit path stay one implementation. */
-    rowTransform: DataFrame => DataFrame = identity
+    rowTransform: DataFrame => DataFrame = identity,
+    /** range-distribute rows across write tasks by the sort key (Iceberg's
+      * `write.distribution-mode=range`): output files get GLOBALLY ordered,
+      * non-overlapping zone maps, so range reads prune to the few files
+      * that intersect instead of every file overlapping every query. */
+    rangeDistribute: Boolean = false
 )
 
 final case class RewriteStats(
@@ -102,7 +107,8 @@ object SparkExecutor extends CompactionExecutor {
       /** per-column [min, max] domains for `zorder(...)` sort fields —
         * compaction supplies them from manifest zone maps (free); missing
         * domains are computed here with one agg pass over the input. */
-      zorderDomains: Map[String, (BigDecimal, BigDecimal)] = Map.empty): Seq[FileEntry] = {
+      zorderDomains: Map[String, (BigDecimal, BigDecimal)] = Map.empty,
+      rangeDistribute: Boolean = false): Seq[FileEntry] = {
     // columns whose StructField metadata carries `parquet.field.id` get the
     // id written into the parquet footer (id-addressed reads depend on it);
     // default-true in Spark 4, pinned here so a session override can't
@@ -110,45 +116,59 @@ object SparkExecutor extends CompactionExecutor {
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     var df = input
     val partCols = partitionSpec.map(partDirCol)
-    if (partitionSpec.nonEmpty) {
+    if (partitionSpec.nonEmpty)
       df = partitionSpec.foldLeft(df)((d, p) => d.withColumn(partDirCol(p), partitionExpr(p)))
-      if (repartitionTo > 0) df = df.repartition(repartitionTo, partCols.map(col): _*)
-    } else if (repartitionTo > 0) {
-      df = df.repartition(repartitionTo)
-    }
-    if (sortOrder.nonEmpty) {
-      // resolve domains for all zorder fields up front — one agg job
-      // covers every column still missing one
-      val zCols = sortOrder.flatMap(s => graft.functions.ZOrder.columnsOf(s.column)).flatten
-      val missing = zCols.distinct.filterNot(zorderDomains.contains)
-      val computed: Map[String, (BigDecimal, BigDecimal)] =
-        if (missing.isEmpty) Map.empty
-        else {
-          val aggs = missing.flatMap(c => Seq(
-            min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
-          val row = input.agg(aggs.head, aggs.tail: _*).head()
-          missing.zipWithIndex.map { case (c, i) =>
-            val mn = if (row.isNullAt(2 * i)) BigDecimal(0) else BigDecimal(row.getDouble(2 * i))
-            val mx = if (row.isNullAt(2 * i + 1)) BigDecimal(0) else BigDecimal(row.getDouble(2 * i + 1))
-            c -> (mn, mx)
-          }.toMap
-        }
-      val domains = zorderDomains ++ computed
-      val sortCols = sortOrder.map { s =>
-        val key = graft.functions.ZOrder.columnsOf(s.column) match {
-          case Some(cols) =>
-            graft.functions.ZOrder.zvalue(cols.map(c => (col(c), domains(c))))
-          case None => col(s.column)
-        }
-        (s.ascending, s.nullsFirst) match {
-          case (true, true)   => key.asc_nulls_first
-          case (true, false)  => key.asc_nulls_last
-          case (false, true)  => key.desc_nulls_first
-          case (false, false) => key.desc_nulls_last
+
+    // sort keys resolve BEFORE the exchange: range distribution exchanges
+    // on the same keys the per-partition sort orders by
+    val sortCols: Seq[Column] =
+      if (sortOrder.isEmpty) Nil
+      else {
+        // resolve domains for all zorder fields up front — one agg job
+        // covers every column still missing one
+        val zCols = sortOrder.flatMap(s => graft.functions.ZOrder.columnsOf(s.column)).flatten
+        val missing = zCols.distinct.filterNot(zorderDomains.contains)
+        val computed: Map[String, (BigDecimal, BigDecimal)] =
+          if (missing.isEmpty) Map.empty
+          else {
+            val aggs = missing.flatMap(c => Seq(
+              min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
+            val row = input.agg(aggs.head, aggs.tail: _*).head()
+            missing.zipWithIndex.map { case (c, i) =>
+              val mn = if (row.isNullAt(2 * i)) BigDecimal(0) else BigDecimal(row.getDouble(2 * i))
+              val mx = if (row.isNullAt(2 * i + 1)) BigDecimal(0) else BigDecimal(row.getDouble(2 * i + 1))
+              c -> (mn, mx)
+            }.toMap
+          }
+        val domains = zorderDomains ++ computed
+        sortOrder.map { s =>
+          val key = graft.functions.ZOrder.columnsOf(s.column) match {
+            case Some(cols) =>
+              graft.functions.ZOrder.zvalue(cols.map(c => (col(c), domains(c))))
+            case None => col(s.column)
+          }
+          (s.ascending, s.nullsFirst) match {
+            case (true, true)   => key.asc_nulls_first
+            case (true, false)  => key.asc_nulls_last
+            case (false, true)  => key.desc_nulls_first
+            case (false, false) => key.desc_nulls_last
+          }
         }
       }
-      df = df.sortWithinPartitions(sortCols: _*)
+
+    if (repartitionTo > 0) {
+      df =
+        if (rangeDistribute && sortCols.nonEmpty)
+          // one range exchange (sampled boundaries) + the per-partition sort
+          // below = a GLOBAL sort clustered into repartitionTo files with
+          // non-overlapping zone maps — Spark's orderBy decomposition with
+          // explicit control of the output file count. Partition fan-out
+          // columns lead the key so directory splits stay contiguous.
+          df.repartitionByRange(repartitionTo, partCols.map(col) ++ sortCols: _*)
+        else if (partCols.nonEmpty) df.repartition(repartitionTo, partCols.map(col): _*)
+        else df.repartition(repartitionTo)
     }
+    if (sortCols.nonEmpty) df = df.sortWithinPartitions(sortCols: _*)
     val outDir = Paths.get(outputDir, UUID.randomUUID().toString).toString
     var writer = df.write
       .mode("overwrite")
@@ -198,7 +218,7 @@ object SparkExecutor extends CompactionExecutor {
     // preserve_partitioning, datafusion_processor.rs:193-213)
     val added = writeDataFiles(spark, df, req.outputDir, req.partitionSpec,
       req.sortOrder, maxRecordsPerFile, repartitionTo = g.outputParallelism,
-      zorderDomains = zorderDomains)
+      zorderDomains = zorderDomains, rangeDistribute = req.rangeDistribute)
     val stats = RewriteStats(
       inputFiles = g.inputFilesCount,
       inputBytes = g.inputTotalBytes,
