@@ -24,11 +24,27 @@ import graft.selection.{FileGroup, ListPacker, PlanningParams}
 object CoreQueries {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events carries TIMESTAMP(NANOS) parquet timestamps, which Spark only
-    // reads as long with the legacy flag (ordering semantics unchanged)
+    // events.ts is normalized to epoch NANOS as a bigint whatever the file
+    // stores: TIMESTAMP(NANOS) parquet needs the legacy flag to load at all
+    // (already nanos), TIMESTAMP(MICROS) arrives as a timestamp column and is
+    // converted (micros * 1000). Every downstream query and the streaming
+    // pipeline share this one nano-long domain; the DuckDB oracle reads the
+    // same files natively via epoch_ns()/epoch_us(), which agree with both
+    // encodings (the session timezone is UTC, so NTZ wall-clock == instant).
     if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTsNanos(df) else df
   }
+
+  /** See [[tbl]]: ts (timestamp of any precision, or already a nano long)
+    * -> epoch-nanos bigint. */
+  def normalizeTsNanos(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case _ => df
+    }
 
   /** exact integer cents for a money expression (see class doc). */
   private def cents(c: Column): Column = round(c * 100).cast("long")

@@ -11,15 +11,20 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def events = {
+    // ts -> epoch-nanos bigint whatever precision the file stores (the
+    // pipeline's shared time domain; see CoreQueries.normalizeTsNanos)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    graft.queries.CoreQueries.normalizeTsNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
   }
 
   test("streaming windowed counts match the batch computation") {
     // readStream needs a directory source
     val dir = java.nio.file.Files.createTempDirectory("events-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+    // write the NORMALIZED frame (ts as nano long), not the raw file — the
+    // stream source reads with EventPipeline.eventSchema's ts: LONG
+    graft.testkit.FileGenerator.writeSingleParquet(spark,
+      events.select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props"),
       dir.resolve("events.parquet"))
     val q = EventPipeline.streamWindowedCounts(spark, dir.toString, "stream_out")
     try {
