@@ -132,4 +132,55 @@ object Quality {
       .withColumn("coherence_ppm", expr(
         "CASE WHEN n_bigrams = 0 THEN NULL ELSE n_common * 1000000 div n_bigrams END"))
   }
+
+  /** Language-model quality scoring (the CCNet recipe shape: score each
+    * candidate document under an n-gram LM trained on reference text, cut
+    * on the score). The LM is a Laplace-smoothed bigram model counted from
+    * the `trainPred` slice of the corpus; every other document is scored
+    * by its mean smoothed bigram probability,
+    * `p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`, reported in exact
+    * integer micros (`p_micro = (c12+1) * 1e6 div (c1+V)`) so the score —
+    * unlike a float log-perplexity, whose summation order is
+    * engine-dependent — is bit-identical across engines. Higher = more
+    * train-like; a real pipeline thresholds `avg_p_micro` (or buckets it
+    * per language, as CCNet does per-perplexity-tercile).
+    *
+    * Shuffle profile at scale: two map-side-combined aggregates over the
+    * train slice build the LM (bigram counts, context counts); the
+    * vocabulary size joins in as a broadcast single row; scoring is two
+    * keyed joins of the candidate bigram stream against the LM relations —
+    * no driver-side state, no assumption the LM fits in memory (AQE
+    * broadcasts the LM sides only when they are actually small).
+    *
+    * Returns one row per NON-train document: (id, n_bigrams, sum_p_micro,
+    * avg_p_micro); docs with < 2 tokens report 0 bigrams and NULL scores.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      trainPred: Column): DataFrame = {
+    val base = df.select(col(idCol).as("id"), trainPred.as("__train"),
+      tokens(col(textCol)).as("__toks"))
+    // (w1, w2) pairs; explode_outer keeps <2-token docs as one null row
+    // (slice-then-index: sequence() DESCENDS when start > stop)
+    val exploded = base.select(col("id"), col("__train"), col("__toks"),
+        posexplode_outer(slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0)))))
+      .select(col("id"), col("__train"), col("col").as("w1"),
+        element_at(col("__toks"), col("pos") + 2).as("w2"))
+    val train = exploded.filter(col("__train") && col("w1").isNotNull)
+    val c12 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = base.filter(col("__train"))
+      .select(explode(col("__toks")).as("__tok"))
+      .agg(countDistinct(col("__tok")).as("__v"))
+    val scored = exploded.filter(!col("__train"))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__p_micro", when(col("w1").isNotNull, expr(
+        "(coalesce(__c12, 0) + 1) * 1000000 div (coalesce(__c1, 0) + __v)")))
+    scored.groupBy(col("id")).agg(
+        count(col("w1")).as("n_bigrams"),
+        sum(col("__p_micro")).as("sum_p_micro"))
+      .withColumn("avg_p_micro", expr(
+        "CASE WHEN n_bigrams = 0 THEN NULL ELSE sum_p_micro div n_bigrams END"))
+  }
 }

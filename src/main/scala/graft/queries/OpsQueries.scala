@@ -794,6 +794,14 @@ object OpsQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // CCNet-shaped LM quality scoring: Laplace bigram model trained on
+    // the doc_id % 3 != 0 two-thirds, held-out third scored by mean
+    // smoothed bigram probability in exact integer micros
+    "t28_lm_score" -> ((s, dir) =>
+      Quality.bigramLmScore(tbl(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") % 3 =!= 0)
+        .withColumnRenamed("id", "doc_id")),
+
     // BM25 top-k retrieval directly over the corpus: integer-exact
     // rational-idf scoring (TextIndex scaladoc derivation), only
     // query-term occurrences ever shuffle, global top-k via
@@ -2411,6 +2419,29 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |       CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN NULL
          |            ELSE p.n_common * 1000000 // p.n_bigrams END AS coherence_ppm
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    "t28_lm_score" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM base)),
+         |tr AS (SELECT * FROM bg WHERE doc_id % 3 <> 0),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM
+         |        (SELECT unnest(toks) AS tok FROM base WHERE doc_id % 3 <> 0)),
+         |sc AS (SELECT b.doc_id,
+         |         (COALESCE(c12.c12, 0) + 1) * 1000000 // (COALESCE(c1.c1, 0) + v.v) AS p_micro
+         |       FROM bg b LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
+         |       WHERE b.doc_id % 3 = 0),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(p_micro) AS BIGINT) AS sum_p_micro
+         |        FROM sc GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       p.sum_p_micro,
+         |       CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN NULL
+         |            ELSE p.sum_p_micro // p.n_bigrams END AS avg_p_micro
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+         |LEFT JOIN per p USING (doc_id)""".stripMargin,
 
     "b1_bm25" -> bm25Sql(Seq("spark", "window", "merge", "customer"), 15),
 

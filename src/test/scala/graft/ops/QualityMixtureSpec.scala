@@ -180,4 +180,24 @@ class QualityMixtureSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(r1(1L) == 0L) // "z y" twice in doc 1 is one doc, not two
   }
+
+  test("bigramLmScore: exact Laplace micros, unseen contexts smoothed, short docs NULL") {
+    // train = even ids: "a b a b" + "c c"
+    //   c12: (a,b)=2 (b,a)=1 (c,c)=1;  c1: a=2 b=1 c=1;  V=|{a,b,c}|=3
+    val d = Seq((1L, "a b c"), (2L, "a b a b"), (3L, "z"), (4L, "c c"),
+      (5L, "q q")).toDF("id", "text")
+    val got = Quality.bigramLmScore(d, "id", "text", col("id") % 2 === 0)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // only held-out docs appear
+    assert(got.keySet == Set(1L, 3L, 5L))
+    // doc 1: (a,b) -> (2+1)*1e6 div (2+3) = 600000; (b,c) -> 1e6 div 4 = 250000
+    assert(got(1L) == ((2L, 850000L, 425000L)))
+    // doc 3: one token -> no bigrams, NULL scores
+    assert(got(3L) == ((0L, -1L, -1L)))
+    // doc 5: fully unseen context -> 1e6 div (0+3) = 333333
+    assert(got(5L) == ((1L, 333333L, 333333L)))
+  }
 }
