@@ -644,6 +644,16 @@ object OpsQueries {
       graft.ops.Graph.pageRank(edges, "src", "dst", 3)
     }),
 
+    // per-node triangle counts over a denser synthetic link graph:
+    // degree-oriented wedge generation (Suri-Vassilvitskii), each triangle
+    // found once at its lowest-(degree, id) apex
+    "g2_triangles" -> ((s, dir) => {
+      val edges = tbl(s, dir, "documents").select(
+        concat(lit("d"), (col("doc_id") % 17).cast("string")).as("src"),
+        concat(lit("d"), ((col("doc_id") * 5 + 2) % 19).cast("string")).as("dst"))
+      graft.ops.Graph.triangleCounts(edges, "src", "dst")
+    }),
+
     // trained hashed-token classifier (the fastText-shaped corpus filter):
     // train on 2/3 of the docs with label = (lang == 'en'), score the held
     // out third — Laplace weights, floor averaging, and the prior fallback
@@ -2064,6 +2074,25 @@ object OpsQueries {
          |${round("r2", "r3")}
          |SELECT node, CAST(r AS BIGINT) AS rank_u12 FROM r3""".stripMargin
     },
+
+    // canonical x<y<z triple join finds each triangle once; per-node
+    // counts attribute it to all three corners
+    "g2_triangles" ->
+      """WITH e0 AS (SELECT 'd' || (doc_id % 17) AS a,
+        |                   'd' || ((doc_id * 5 + 2) % 19) AS b FROM documents),
+        |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |        FROM e0 WHERE a <> b),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |        FROM und e1
+        |        JOIN und e2 ON e2.u = e1.v
+        |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+        |per AS (SELECT node, count(*) AS n_tri FROM (
+        |          SELECT x AS node FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT n.node, CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri
+        |FROM nodes n LEFT JOIN per p USING (node)""".stripMargin,
 
     "c1_classifier" ->
       s"""WITH train AS (

@@ -75,6 +75,23 @@ class GraphSpec extends AnyFunSuite {
     assert(d("f") == ((0L, 1L)))
     assert(d("e") == ((1L, 1L))) // self-loop counts both ways
   }
+
+  test("triangleCounts: square with a diagonal, dups/reversals/self-loops ignored") {
+    // a-b-c-d-a plus diagonal a-c: triangles (a,b,c) and (a,c,d); edge x-y
+    // is triangle-free; b-a reverses an existing edge, e-e is a self-loop
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "c"), ("b", "a"), ("x", "y"), ("e", "e")).toDF("s", "d")
+    val got = Graph.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L, "c" -> 2L, "d" -> 1L,
+      "x" -> 0L, "y" -> 0L))
+    // K4: every node in C(3,3)=3 triangles, 4 triangles total
+    val k4 = (for { u <- Seq("p", "q", "r", "s"); v <- Seq("p", "q", "r", "s") if u < v }
+      yield (u, v)).toDF("s", "d")
+    val k = Graph.triangleCounts(k4, "s", "d")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(k.values.toSeq == Seq.fill(4)(3L))
+  }
 }
 
 /** Tolerance helper kept out of the test bodies. */
