@@ -175,6 +175,106 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic gray BMP payload: pixel (x, y) carries luma
+    * `f(x, y) & 0xff` on all three channels. BMP is lossless, so a
+    * decode sees exactly these values — the fixture half of the
+    * encode -> REAL-decode -> hash round trip [[imageDHashes]] is
+    * oracle-checked on. */
+  def grayBmpBytes(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Difference-hash (dHash) of an image payload: REAL decode, integer
+    * Rec.601 luma (`(299r + 587g + 114b) div 1000` — exact on gray
+    * pixels), area-averaged down to a 9x8 grid unless the image already
+    * is one, then 64 bits of "right neighbor brighter". Returned as two
+    * unsigned 32-bit halves (lo = bits 0..31, bit k = y*8+x) so the
+    * value stays nonnegative in engines without unsigned int64.
+    * The canonical image near-dup fingerprint (LAION-style pipelines):
+    * near-identical images differ in a few bits, so Hamming top-k over
+    * the halves ([[graft.functions]] s9 path) finds them. */
+  private[ops] def dHash(payload: Array[Byte]): Option[(Long, Long)] = {
+    val img = readImage(payload)
+    if (img == null) return None
+    val (gw, gh) = (9, 8)
+    val w = img.getWidth; val h = img.getHeight
+    if (w < gw || h < gh) return None
+    // integer area average per grid cell (identity when already 9x8)
+    val grid = Array.ofDim[Int](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh; val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sum += (299L * r + 587L * g + 114L * b) / 1000L
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        grid(gy)(gx) = (sum / n).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    var lo = 0L; var hi = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val k = y * 8 + x
+        if (grid(y)(x + 1) > grid(y)(x)) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((lo, hi))
+  }
+
+  /** Per-partition batched dHash over binary image payloads — same
+    * mapPartitions batch shape as [[extractImageFeatures]]. Rows ->
+    * (media_id, dhash_lo, dhash_hi); undecodable payloads yield nulls. */
+  def imageDHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash_lo", LongType),
+      StructField("dhash_hi", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          dHash(r.getAs[Array[Byte]](1)) match {
+            case Some((lo, hi)) => Row(r.getLong(0), lo, hi)
+            case None           => Row(r.getLong(0), null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** REAL audio decode — no stub: `javax.sound.sampled` ships in the JDK,
     * so PCM WAV payloads decode without any external library (the same
     * pattern as [[decodeImage]]'s ImageIO move; video remains the one

@@ -1211,6 +1211,34 @@ object OpsQueries {
     // distributed; uri/content-length/body hash are oracle-derived
     // analytically from the same rows, so the header arithmetic, byte
     // accounting, and gzip chaining are all hash-checked
+    // REAL image perceptual hashing: deterministic 9x8 gray BMPs (pixel
+    // luma is pure arithmetic in (x, y, doc_id)) are ImageIO-encoded and
+    // REAL-decoded executor-side, then dHashed; docs sharing doc_id % 7
+    // get identical images, so the per-hash group size exposes the image
+    // near-dup structure. The oracle replays the bit arithmetic straight
+    // from the pixel formula — the encode/decode round trip and the hash
+    // cross two independent implementations
+    "m6_image_dhash" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        StructType(Seq(StructField("media_id", LongType),
+          StructField("payload", BinaryType))))
+      val media = tbl(s, dir, "documents").select(col("doc_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            Row(id, Multimodal.grayBmpBytes(9, 8,
+              (x, y) => ((17 * x + 31 * y + (id % 7) * 40) % 256).toInt))
+          }
+        }(enc)
+      Multimodal.imageDHashes(s, media)
+        .withColumn("n_same", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("dhash_lo"), col("dhash_hi"))))
+        .withColumnRenamed("media_id", "doc_id")
+    }),
+
     "m5_warc" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -2387,6 +2415,26 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
     // the WARC bodies are the documents' UTF-8 bytes, so length and md5
     // derive analytically (strlen counts bytes in DuckDB; md5 of VARCHAR
     // hashes its UTF-8 encoding — the exact bytes the container carried)
+    // replay the dHash bit arithmetic from the pixel formula: bit y*8+x
+    // set when the right neighbor is brighter; halves keep values inside
+    // nonnegative int64
+    "m6_image_dhash" ->
+      """WITH grid AS (SELECT t1.range AS x, t2.range AS y
+        |              FROM range(0, 8) t1, range(0, 8) t2),
+        |px AS (SELECT d.doc_id, g.x, g.y,
+        |         (17 * g.x + 31 * g.y + (d.doc_id % 7) * 40) % 256 AS p0,
+        |         (17 * (g.x + 1) + 31 * g.y + (d.doc_id % 7) * 40) % 256 AS p1
+        |       FROM documents d CROSS JOIN grid g),
+        |h AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN p1 > p0 AND y * 8 + x < 32
+        |              THEN CAST(round(pow(2, y * 8 + x)) AS BIGINT) ELSE 0 END) AS BIGINT) AS dhash_lo,
+        |        CAST(sum(CASE WHEN p1 > p0 AND y * 8 + x >= 32
+        |              THEN CAST(round(pow(2, y * 8 + x - 32)) AS BIGINT) ELSE 0 END) AS BIGINT) AS dhash_hi
+        |      FROM px GROUP BY 1)
+        |SELECT doc_id, dhash_lo, dhash_hi,
+        |  CAST(count(*) OVER (PARTITION BY dhash_lo, dhash_hi) AS BIGINT) AS n_same
+        |FROM h""".stripMargin,
+
     "m5_warc" ->
       """SELECT doc_id,
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS content_length,

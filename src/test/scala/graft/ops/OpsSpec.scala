@@ -242,6 +242,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).isEmpty) // undecodable -> nulls, not a crash
   }
 
+  test("image dHash: exact bits on ramps, downsample-invariant, nulls on garbage") {
+    import graft.ops.Multimodal.grayBmpBytes
+    val up = grayBmpBytes(9, 8, (x, _) => x * 10)           // right always brighter
+    val down = grayBmpBytes(9, 8, (x, _) => 80 - x * 10)    // right always darker
+    val alt = grayBmpBytes(9, 8, (x, _) => if (x % 2 == 0) 0 else 200)
+    val alt2x = grayBmpBytes(18, 16, (x, y) => if ((x / 2) % 2 == 0) 0 else 200)
+    val rows = Seq((1L, up), (2L, down), (3L, alt), (4L, alt2x),
+      (5L, "not an image".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val got = Multimodal.imageDHashes(spark, rows)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    assert(got(1L).contains((0xffffffffL, 0xffffffffL)))
+    assert(got(2L).contains((0L, 0L)))
+    // bits at even x in every row: 0x55 per row byte
+    assert(got(3L).contains((0x55555555L, 0x55555555L)))
+    // 2x pixel-doubled image area-averages back to the same 9x8 grid
+    assert(got(4L) == got(3L))
+    assert(got(5L).isEmpty)
+  }
+
   test("real image resize: exact target dims, uniform color preserved, re-decodable") {
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
