@@ -79,6 +79,49 @@ object TextAnalysis {
       .otherwise("en")
   }
 
+  /** Unicode script ranges shared by [[scriptProfile]] and its oracle —
+    * literal codepoint ranges so the Spark and DuckDB regexes are the
+    * same bytes. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "digit" -> "0-9",
+    "cjk" -> "一-鿿",
+    "cyrillic" -> "Ѐ-ӿ",
+    "arabic" -> "؀-ۿ")
+
+  /** Per-document Unicode script histogram + deterministic dominant
+    * script — the charset complement to [[langId]] (script tells you
+    * zh/ru/ar long before stopwords can; mixed-script docs are a spam
+    * signal). One per-row projection of codegen'd regexp counts, zero
+    * shuffles at any scale. Dominant ties break on the fixed order
+    * arabic > cjk > cyrillic > digit > latin; all-zero counts report
+    * 'none'. Output: (id, n_chars, n_latin, n_digit, n_cjk, n_cyrillic,
+    * n_arabic, n_other, dominant). */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val counts = ScriptRanges.map { case (name, cls) =>
+      name -> regexp_count(t, lit(s"[$cls]")).cast("long")
+    }
+    val byName = counts.toMap
+    val total = length(t).cast("long")
+    val m = greatest(counts.map(_._2): _*)
+    df.select(
+      col(idCol).as("id"),
+      total.as("n_chars"),
+      byName("latin").as("n_latin"),
+      byName("digit").as("n_digit"),
+      byName("cjk").as("n_cjk"),
+      byName("cyrillic").as("n_cyrillic"),
+      byName("arabic").as("n_arabic"),
+      (total - counts.map(_._2).reduce(_ + _)).as("n_other"),
+      when(m === 0, "none")
+        .when(byName("arabic") === m, "arabic")
+        .when(byName("cjk") === m, "cjk")
+        .when(byName("cyrillic") === m, "cyrillic")
+        .when(byName("digit") === m, "digit")
+        .otherwise("latin").as("dominant"))
+  }
+
   /** Composite quality score in [0,1]: length, punctuation sanity, token
     * volume. 4-decimal rounded, deterministic. */
   def qualityScore(text: Column, nChars: Column): Column =

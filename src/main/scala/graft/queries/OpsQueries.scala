@@ -804,6 +804,24 @@ object OpsQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Unicode script histogram + dominant script: non-Latin runs injected
+    // arithmetically (repeat counts from doc_id) so every script class and
+    // dominance flips exercise at every scale factor; pure per-row
+    // codegen'd regexp counts, zero exchanges
+    "t29_script" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          repeat(lit("中"), ((col("doc_id") % 40) * 30).cast("int")))
+          .when(col("doc_id") % 5 === 1,
+            repeat(lit("ж"), ((col("doc_id") % 60) * 20).cast("int")))
+          .when(col("doc_id") % 5 === 2,
+            repeat(lit("ش"), ((col("doc_id") % 50) * 25).cast("int")))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.scriptProfile(injected, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // CCNet-shaped LM quality scoring: Laplace bigram model trained on
     // the doc_id % 3 != 0 two-thirds, held-out third scored by mean
     // smoothed bigram probability in exact integer micros
@@ -2496,6 +2514,31 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |       CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN NULL
          |            ELSE p.n_common * 1000000 // p.n_bigrams END AS coherence_ppm
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    "t29_script" -> {
+      val cls = graft.ops.TextAnalysis.ScriptRanges.toMap
+      def n(k: String) =
+        s"CAST(len(regexp_extract_all(text, '[${cls(k)}]')) AS BIGINT)"
+      s"""WITH inj AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0 THEN repeat('中', CAST((doc_id % 40) * 30 AS INT))
+         |         WHEN doc_id % 5 = 1 THEN repeat('ж', CAST((doc_id % 60) * 20 AS INT))
+         |         WHEN doc_id % 5 = 2 THEN repeat('ش', CAST((doc_id % 50) * 25 AS INT))
+         |         ELSE '' END AS text FROM documents),
+         |c AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+         |  ${n("latin")} AS n_latin, ${n("digit")} AS n_digit,
+         |  ${n("cjk")} AS n_cjk, ${n("cyrillic")} AS n_cyrillic,
+         |  ${n("arabic")} AS n_arabic
+         |  FROM inj)
+         |SELECT doc_id, n_chars, n_latin, n_digit, n_cjk, n_cyrillic, n_arabic,
+         |  n_chars - n_latin - n_digit - n_cjk - n_cyrillic - n_arabic AS n_other,
+         |  CASE WHEN greatest(n_latin, n_digit, n_cjk, n_cyrillic, n_arabic) = 0 THEN 'none'
+         |       WHEN n_arabic = greatest(n_latin, n_digit, n_cjk, n_cyrillic, n_arabic) THEN 'arabic'
+         |       WHEN n_cjk = greatest(n_latin, n_digit, n_cjk, n_cyrillic, n_arabic) THEN 'cjk'
+         |       WHEN n_cyrillic = greatest(n_latin, n_digit, n_cjk, n_cyrillic, n_arabic) THEN 'cyrillic'
+         |       WHEN n_digit = greatest(n_latin, n_digit, n_cjk, n_cyrillic, n_arabic) THEN 'digit'
+         |       ELSE 'latin' END AS dominant
+         |FROM c""".stripMargin
+    },
 
     "t28_lm_score" ->
       s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),

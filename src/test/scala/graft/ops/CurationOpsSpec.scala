@@ -147,4 +147,24 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("string") || err.getMessage.toLowerCase.contains("type"))
   }
+
+  test("scriptProfile: exact per-script counts, tie order, none on script-free text") {
+    val d = Seq(
+      (1L, "abc 123 中文 жж"),   // latin 3, digit 3, cjk 2, cyr 2, other 3 spaces
+      (2L, "中中中 abc"),         // cjk dominates
+      (3L, "!!! ..."),            // no script chars at all
+      (4L, "ab 中中"),            // 2-2 tie: cjk wins over latin
+      (5L, null: String)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getString(8)))).toMap
+    // latin/digit tie at 3 breaks toward digit (fixed tie order)
+    assert(got(1L) == ((13L, 3L, 3L, 2L, 2L, 0L, 3L, "digit")))
+    assert(got(2L) == ((7L, 3L, 0L, 3L, 0L, 0L, 1L, "cjk")))
+    assert(got(3L) == ((7L, 0L, 0L, 0L, 0L, 0L, 7L, "none")))
+    assert(got(4L) == ((5L, 2L, 0L, 2L, 0L, 0L, 1L, "cjk")))
+    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, "none")))
+  }
 }
