@@ -35,7 +35,8 @@ object PlanAudit {
         "t27_bigram_coherence","d9_semantic_decontam","b3_phrase_search",
         "q_cow_update","q_convert_eq",
         "q_dv","c1_classifier","g1_pagerank","h1_heavy_hitters",
-        "mv1_refresh","v1_constraints","q_wap","z1_zorder")) {
+        "mv1_refresh","v1_constraints","q_wap","z1_zorder",
+        "t28_lm_score","t29_script","g2_triangles","m6_image_dhash")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length

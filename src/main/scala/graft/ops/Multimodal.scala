@@ -275,6 +275,45 @@ object Multimodal {
       }(enc)
   }
 
+  /** Image near-duplicate pairs via banded Hamming LSH over [[dHash]]
+    * fingerprints — the full LAION-shaped image dedup path, same LSH
+    * skeleton as the MinHash text path ([[Dedup.lshCandidatePairs]]):
+    * the 64-bit hash splits into four 16-bit bands, and any two hashes
+    * within Hamming distance 3 agree EXACTLY on at least one band
+    * (pigeonhole: 3 differing bits cannot touch all 4 bands), so the
+    * bucket join on (band, value) loses nothing at `maxHamming <= 3`.
+    * Candidates verify with codegen'd `bit_count(xor)` on the halves.
+    *
+    * Shuffle profile: per-partition decode+hash (no pixel ever shuffles),
+    * one (band, value)-keyed exchange for the bucket join with the same
+    * bucket-size cap as the text path (a solid-color meme template is the
+    * hot bucket here), one id-keyed join back to the hash table for the
+    * verify. Returns (id1, id2, hamming), id1 < id2. */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val hashes = imageDHashes(spark, media)
+      .filter(col("dhash_lo").isNotNull).localCheckpoint(true)
+    val banded = hashes.select(col("media_id").as("id"), explode(array(
+      struct(lit(0).as("band"), (col("dhash_lo").bitwiseAND(0xffffL)).as("bh")),
+      struct(lit(1).as("band"), shiftright(col("dhash_lo"), 16).as("bh")),
+      struct(lit(2).as("band"), (col("dhash_hi").bitwiseAND(0xffffL)).as("bh")),
+      struct(lit(3).as("band"), shiftright(col("dhash_hi"), 16).as("bh")))).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val pairs = Dedup.lshCandidatePairs(banded, maxBucketSize)
+    val h1 = hashes.select(col("media_id").as("id1"),
+      col("dhash_lo").as("__lo1"), col("dhash_hi").as("__hi1"))
+    val h2 = hashes.select(col("media_id").as("id2"),
+      col("dhash_lo").as("__lo2"), col("dhash_hi").as("__hi2"))
+    pairs.join(h1, Seq("id1")).join(h2, Seq("id2"))
+      .withColumn("hamming",
+        bit_count(col("__lo1").bitwiseXOR(col("__lo2"))) +
+          bit_count(col("__hi1").bitwiseXOR(col("__hi2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** REAL audio decode — no stub: `javax.sound.sampled` ships in the JDK,
     * so PCM WAV payloads decode without any external library (the same
     * pattern as [[decodeImage]]'s ImageIO move; video remains the one

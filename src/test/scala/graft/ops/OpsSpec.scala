@@ -262,6 +262,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L).isEmpty)
   }
 
+  test("image near-dup pairs: banded Hamming LSH finds <=3-bit variants, skips far images") {
+    import graft.ops.Multimodal.grayBmpBytes
+    val alt = grayBmpBytes(9, 8, (x, _) => if (x % 2 == 0) 0 else 200)
+    // one pixel brightened: exactly bit (0,0) flips -> Hamming 1 from alt
+    val near = grayBmpBytes(9, 8,
+      (x, y) => if (x == 0 && y == 0) 250 else if (x % 2 == 0) 0 else 200)
+    val far = grayBmpBytes(9, 8, (x, _) => x * 10)
+    val rows = Seq((1L, alt), (2L, near), (3L, far), (4L, alt))
+      .toDF("media_id", "payload")
+    val got = Multimodal.imageNearDupPairs(spark, rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 1L, (1L, 4L) -> 0L, (2L, 4L) -> 1L))
+  }
+
   test("real image resize: exact target dims, uniform color preserved, re-decodable") {
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
