@@ -71,6 +71,36 @@ object Mixture {
           .as("take_tokens"))
   }
 
+  /** Temperature-flattened mixture weights (the mT5/XLM-R multilingual
+    * recipe at T=2): sampling weight proportional to sqrt(share) boosts
+    * small domains without letting a head domain drown the mixture.
+    *
+    * The math stays integer-exact where it can and deterministic where it
+    * can't: share_ppm = c_i * 1e6 div total (integer), raw weight
+    * w_i = floor(sqrt(share_ppm * 1e6)) — IEEE-754 sqrt is correctly
+    * rounded, so floor(sqrt(integer)) is bit-identical in every engine —
+    * and weight_ppm = w_i * 1e6 div sum(w). One domain-keyed aggregate
+    * (map-side combined), a single-row scalar aggregate, one broadcast
+    * back; the output can feed [[domainMixturePlan]]'s weights.
+    *
+    * Returns (domain, n_tokens, share_ppm, weight_ppm). */
+  def temperatureWeights(df: DataFrame, domainCol: String,
+      tokenExpr: Column): DataFrame = {
+    val perDomain = df
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum(tokenExpr.cast("long")).as("n_tokens"))
+    val tot = perDomain.agg(sum(col("n_tokens")).as("__tot"))
+    val shared = perDomain.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr(
+        "CAST(floor(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 / __tot) AS BIGINT)"))
+      .withColumn("__w", expr("CAST(floor(sqrt(share_ppm * 1000000)) AS BIGINT)"))
+    val wTot = shared.agg(sum(col("__w")).as("__wtot"))
+    shared.crossJoin(broadcast(wTot))
+      .select(col("domain"), col("n_tokens"), col("share_ppm"),
+        expr("CAST(floor(CAST(__w AS DECIMAL(38,0)) * 1000000 / __wtot) AS BIGINT)")
+          .as("weight_ppm"))
+  }
+
   /** Round-robin interleave across domains — the curriculum ordering a
     * mixture is consumed in: position 1..|D| is one doc from each domain,
     * then the next |D|, until domains run dry. Within a domain the order

@@ -451,6 +451,13 @@ object OpsQueries {
         weightsPpm = Map("src0" -> 200000L, "src1" -> 100000L),
         defaultPpm = 30000L)),
 
+    // temperature-flattened (T=2) mixture weights: sqrt(share) boosts the
+    // small domains; floor(sqrt(integer)) is correctly rounded IEEE, so
+    // the weights are bit-identical across engines
+    "p9_temperature" -> ((s, dir) =>
+      Mixture.temperatureWeights(tbl(s, dir, "documents"), "source",
+        TextAnalysis.tokenCount(col("text")))),
+
     // one k-means (Lloyd) centroid-update step over the IVF assignment —
     // the training loop behind s3's cells; elementwise means in exact
     // integer micro-space so the result is order-independent
@@ -1908,6 +1915,18 @@ object OpsQueries {
          |  CAST(n_tokens * least(1000000, weight_ppm * cap.c // n_tokens) // 1000000 AS BIGINT)
          |    AS take_tokens
          |FROM w, cap""".stripMargin,
+
+    "p9_temperature" ->
+      s"""WITH tok AS (SELECT source, len($toksSql) AS n FROM documents),
+         |agg AS (SELECT source AS domain, CAST(sum(n) AS BIGINT) AS n_tokens
+         |        FROM tok GROUP BY 1),
+         |sh AS (SELECT domain, n_tokens,
+         |         n_tokens * 1000000 // (SELECT sum(n_tokens) FROM agg) AS share_ppm
+         |       FROM agg),
+         |w AS (SELECT *, CAST(floor(sqrt(share_ppm * 1000000)) AS BIGINT) AS wr FROM sh)
+         |SELECT domain, n_tokens, CAST(share_ppm AS BIGINT) AS share_ppm,
+         |  CAST(wr * 1000000 // (SELECT sum(wr) FROM w) AS BIGINT) AS weight_ppm
+         |FROM w""".stripMargin,
 
     // the window-hash count mirrors duplicatedNgramStats: md5 per window,
     // a count window over the hash, then the per-doc aggregate

@@ -91,6 +91,18 @@ class QualityMixtureSpec extends AnyFunSuite {
     assert(out("c") == ((200L, 200000L, 1000000L, 200L)))
   }
 
+  test("temperatureWeights: sqrt flattening boosts the small domain, integer-exact") {
+    // a: 90 of 100 tokens (share 900000), b: 10 (share 100000)
+    // w = isqrt(share * 1e6): a 948683, b 316227 -> weights 750000 / 249999
+    val rows = Seq(("a", 90L), ("b", 10L)).toDF("domain", "n")
+    val out = Mixture.temperatureWeights(rows, "domain", col("n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == ((90L, 900000L, 750000L)))
+    assert(out("b") == ((10L, 100000L, 249999L)))
+    // flattening: b's weight (25%) far above its raw share (10%)
+  }
+
   test("domainMixturePlan: zero-weight domains get rate 0 and never bind") {
     val rows = Seq(("keep", 100L), ("drop", 5L)).toDF("domain", "n")
     val out = Mixture.domainMixturePlan(rows, "domain", col("n"),
