@@ -314,6 +314,22 @@ object Multimodal {
       .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** End-to-end image dedup: [[imageNearDupPairs]] -> star connected
+    * components -> best-per-cluster keeper selection — the image-side
+    * twin of the text path's pairs -> [[Dedup.clusterPairsStar]] ->
+    * [[Dedup.keepBestPerCluster]] compose. `scoreCol` ranks keepers
+    * (e.g. resolution, source priority); undecodable payloads carry no
+    * hash, join no cluster, and are always kept. Returns `media` minus
+    * the dominated near-duplicates. */
+  def imageDedupKeepBest(spark: SparkSession, media: DataFrame,
+      scoreCol: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = imageNearDupPairs(spark, media, maxHamming, maxBucketSize)
+      .select(col("id1"), col("id2"))
+    val clusters = Dedup.clusterPairsStar(pairs)
+    Dedup.keepBestPerCluster(media, "media_id", scoreCol, clusters)
+  }
+
   /** REAL audio decode — no stub: `javax.sound.sampled` ships in the JDK,
     * so PCM WAV payloads decode without any external library (the same
     * pattern as [[decodeImage]]'s ImageIO move; video remains the one

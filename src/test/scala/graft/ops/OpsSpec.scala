@@ -276,6 +276,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map((1L, 2L) -> 1L, (1L, 4L) -> 0L, (2L, 4L) -> 1L))
   }
 
+  test("imageDedupKeepBest: best-scored keeper survives, far/undecodable untouched") {
+    import graft.ops.Multimodal.grayBmpBytes
+    val alt = grayBmpBytes(9, 8, (x, _) => if (x % 2 == 0) 0 else 200)
+    val near = grayBmpBytes(9, 8,
+      (x, y) => if (x == 0 && y == 0) 250 else if (x % 2 == 0) 0 else 200)
+    val far = grayBmpBytes(9, 8, (x, _) => x * 10)
+    val rows = Seq((1L, alt, 5.0), (2L, near, 9.0), (3L, far, 1.0),
+      (4L, alt, 7.0), (5L, "garbage".getBytes("UTF-8"), 0.0))
+      .toDF("media_id", "payload", "score")
+    val kept = Multimodal.imageDedupKeepBest(spark, rows, "score")
+      .select($"media_id").collect().map(_.getLong(0)).toSet
+    // {1,2,4} cluster -> highest score (id 2) wins; 3 far, 5 undecodable
+    assert(kept == Set(2L, 3L, 5L))
+  }
+
   test("real image resize: exact target dims, uniform color preserved, re-decodable") {
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
