@@ -218,6 +218,37 @@ object TextAnalysis {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** Candidate payment-card runs: 13-19 digits with optional single
+    * space/dash separators, word-bounded. Java-regex/RE2-identical (no
+    * backrefs, no lookaround); a 20+-digit run matches nothing (no
+    * boundary fits), which is the desired negative. */
+  val CardRe = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  /** Luhn mod-10 sum of a digit string — one per-row `aggregate` fold,
+    * from the right: every second digit doubles, 9 subtracted past 9. */
+  private def luhnSum(d: Column): Column =
+    aggregate(sequence(lit(1), length(d)), lit(0), (acc, i) => {
+      val v = ascii(substr(d, i, lit(1))) - lit(48)
+      val dbl = v * lit(2)
+      acc + when((length(d) - i) % 2 === 1,
+        when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(v)
+    })
+
+  /** Per-document card-number stats: regex candidates, then the Luhn
+    * checksum — the validation step that separates card numbers from
+    * arbitrary digit runs (order IDs, timestamps), cutting the false
+    * positives a redaction pass would otherwise eat. Pure per-row
+    * HOF fold over the (few) candidates; zero shuffles.
+    * Output: (id, n_candidates, n_valid). */
+  def cardStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val cands = regexp_extract_all(t, lit(CardRe), lit(0))
+    val digits = transform(cands, c => regexp_replace(c, lit("[^0-9]"), lit("")))
+    df.select(col(idCol).as("id"),
+      size(cands).cast("long").as("n_candidates"),
+      size(filter(digits, d => luhnSum(d) % 10 === 0)).cast("long").as("n_valid"))
+  }
+
   /** URL pattern (group 1 = host), Java-regex/RE2-identical: no backrefs,
     * no lookaround. */
   val UrlRe = "https?://([A-Za-z0-9.-]+)"

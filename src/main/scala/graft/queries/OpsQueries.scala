@@ -811,6 +811,20 @@ object OpsQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Luhn-validated card detection: valid and checksum-failing test PANs
+    // (plain and space-grouped) injected arithmetically; the checksum is
+    // a per-row HOF fold replayed digit-for-digit by the oracle
+    "t30_cards" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(" card 4111111111111111"))
+          .when(col("doc_id") % 4 === 1, lit(" card 4111111111111112"))
+          .when(col("doc_id") % 4 === 2, lit(" card 4012 8888 8888 1881"))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.cardStats(injected, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Unicode script histogram + dominant script: non-Latin runs injected
     // arithmetically (repeat counts from doc_id) so every script class and
     // dominance flips exercise at every scale factor; pure per-row
@@ -2533,6 +2547,28 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |       CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN NULL
          |            ELSE p.n_common * 1000000 // p.n_bigrams END AS coherence_ppm
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    "t30_cards" ->
+      """WITH inj AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' card 4111111111111111'
+        |         WHEN doc_id % 4 = 1 THEN ' card 4111111111111112'
+        |         WHEN doc_id % 4 = 2 THEN ' card 4012 8888 8888 1881'
+        |         ELSE '' END AS text FROM documents),
+        |c AS (SELECT doc_id,
+        |        regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b') AS cands
+        |      FROM inj),
+        |d AS (SELECT doc_id, cands,
+        |        list_transform(cands, x -> regexp_replace(x, '[^0-9]', '', 'g')) AS digs
+        |      FROM c)
+        |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+        |  CAST(len(list_filter(digs, dd ->
+        |    list_sum(list_transform(range(1, len(dd) + 1), i ->
+        |      CASE WHEN (len(dd) - i) % 2 = 1
+        |           THEN CASE WHEN (ascii(substr(dd, i, 1)) - 48) * 2 > 9
+        |                THEN (ascii(substr(dd, i, 1)) - 48) * 2 - 9
+        |                ELSE (ascii(substr(dd, i, 1)) - 48) * 2 END
+        |           ELSE ascii(substr(dd, i, 1)) - 48 END)) % 10 = 0)) AS BIGINT) AS n_valid
+        |FROM d""".stripMargin,
 
     "t29_script" -> {
       val cls = graft.ops.TextAnalysis.ScriptRanges.toMap

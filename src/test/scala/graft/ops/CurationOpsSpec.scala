@@ -148,6 +148,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("string") || err.getMessage.toLowerCase.contains("type"))
   }
 
+  test("cardStats: Luhn separates real PANs from digit runs; 20-digit runs never match") {
+    val d = Seq(
+      (1L, "pay 4111111111111111 now"),          // valid test PAN
+      (2L, "ref 4111111111111112 thanks"),       // fails the checksum
+      (3L, "grouped 4012 8888 8888 1881 card"),  // valid, space-separated
+      (4L, "order 12345678901234567890 id"),     // 20 digits: no boundary fits
+      (5L, "cards 4111111111111111 and 5500 0000 0000 0004 both"), // two valid
+      (6L, "no numbers at all"),
+      (7L, null: String)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cardStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1L, 1L)))
+    assert(got(2L) == ((1L, 0L)))
+    assert(got(3L) == ((1L, 1L)))
+    assert(got(4L) == ((0L, 0L)))
+    assert(got(5L) == ((2L, 2L)))
+    assert(got(6L) == ((0L, 0L)))
+    assert(got(7L) == ((0L, 0L)))
+  }
+
   test("scriptProfile: exact per-script counts, tie order, none on script-free text") {
     val d = Seq(
       (1L, "abc 123 中文 жж"),   // latin 3, digit 3, cjk 2, cyr 2, other 3 spaces
