@@ -268,13 +268,9 @@ object Maintenance {
       .map { case (_, fs) => graft.selection.FileGroup.fromDataFiles(fs, byPath.get) }
 
     val killed = groups.map { g =>
-      val reader = meta0.typedStruct match {
-        case Some(st) => Mor.fieldIdReader(spark, st)
-        case None => spark.read
-      }
-      val raw = reader.parquet(g.dataFiles.map(_.path): _*)
-        .select(Mor.normalizePath(col("_metadata.file_path")).as("file_path"),
-          col("_metadata.row_index").as("pos"))
+      val raw = Mor.readDataWith(spark, g.dataFiles, meta0.typedStruct)(
+        _.select(Mor.normalizePath(col("_metadata.file_path")).as("file_path"),
+          col("_metadata.row_index").as("pos")))
       val live = Mor.dataFrame(spark, g, meta0.schemaColumns,
           meta0.formatVersion, meta0.schema, keepHidden = true)
         .select(col(Mor.FilePathCol).as("file_path"), col(Mor.PosCol).as("pos"))

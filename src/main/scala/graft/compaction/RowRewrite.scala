@@ -94,13 +94,9 @@ object RowRewrite {
     // metadata-column projection. A file whose only matching rows are
     // already tombstoned still qualifies — it is rewritten identically
     // (wasted work, never wrong).
-    val reader = meta.typedStruct match {
-      case Some(st) => Mor.fieldIdReader(spark, st)
-      case None => spark.read
-    }
-    val affectedPaths = reader.parquet(tasks.map(_.path): _*)
-      .filter(condition)
-      .select(Mor.normalizePath(col("_metadata.file_path")).as("p"))
+    val affectedPaths = Mor.readDataWith(spark, tasks, meta.typedStruct)(
+        _.filter(condition)
+          .select(Mor.normalizePath(col("_metadata.file_path")).as("p")))
       .distinct().collect().map(_.getString(0)).toSet
     val affected = tasks.filter(t =>
       affectedPaths.contains(t.path.replaceFirst("^file:/+", "/")))

@@ -61,6 +61,37 @@ object Mor {
     scoped.read.schema(schema)
   }
 
+  /** Reads DATA files with correct per-file column addressing: engine-
+    * written files by parquet FIELD ID (rename-safe), add_files-imported
+    * (`nameMatched`) files by NAME — their footers carry no ids, and
+    * Spark's id reader resolves id-less files to all-NULL columns, so
+    * they get their own relation with the id metadata stripped (initial-
+    * defaults kept). `f` is applied to EACH underlying relation before
+    * the union, so `_metadata.file_path`/`row_index` references inside it
+    * still bind to their own scan; filters inside `f` push down per
+    * branch. Every data-file read in the engine (MOR, deleteWhere, COW
+    * discovery, bloom build, eq->pos conversion) goes through here. */
+  def readDataWith(spark: SparkSession, files: Seq[FileEntry],
+      typed: Option[StructType])(f: DataFrame => DataFrame): DataFrame = {
+    def strippedIds(st: StructType): StructType = StructType(st.fields.map { fd =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(fd.metadata).remove(SchemaField.ParquetFieldIdKey)
+      fd.copy(metadata = mb.build())
+    })
+    val frames = typed match {
+      case None => Seq(spark.read.parquet(files.map(_.path): _*))
+      case Some(st) =>
+        val (byName, byId) = files.partition(_.nameMatched)
+        Seq(
+          if (byId.nonEmpty) Some(fieldIdReader(spark, st).parquet(byId.map(_.path): _*))
+          else None,
+          if (byName.nonEmpty)
+            Some(spark.read.schema(strippedIds(st)).parquet(byName.map(_.path): _*))
+          else None).flatten
+    }
+    frames.map(f).reduce(_ unionByName _)
+  }
+
   private def seqMap(spark: SparkSession, files: Seq[FileEntry]): DataFrame = {
     import spark.implicits._
     files.map(f => (f.path, f.sequenceNumber)).toDF(FilePathCol, SeqNumCol)
@@ -201,6 +232,8 @@ object Mor {
       val r = schema.fold(spark.read)(fieldIdReader(spark, _))
       r.parquet(files.map(_.path): _*)
     }
+    def readDataSelect(files: Seq[FileEntry], cols: Seq[Column]): DataFrame =
+      readDataWith(spark, files, typed)(_.select(cols: _*))
     // with a typed schema, the authoritative eq key is the field-id list;
     // resolve to CURRENT names so the join condition survives renames
     def resolveEq(f: FileEntry): FileEntry =
@@ -219,16 +252,16 @@ object Mor {
     val needSeq = eqDeletes.nonEmpty
     val needFilePos = posDeletes.nonEmpty || dvEntries.nonEmpty
 
-    val base = readParquet(group.dataFiles, typed)
     val projected = projectCols.map(col)
     val hidden = if (keepHidden) Seq(col(FilePathCol), col(PosCol)) else Nil
 
     // no deletes: plain projected scan (datafusion_processor.rs:447-458)
-    if (!needSeq && !needFilePos && !keepHidden) return base.select(projected: _*)
+    if (!needSeq && !needFilePos && !keepHidden)
+      return readDataSelect(group.dataFiles, projected)
 
-    var df = base.select(
+    var df = readDataSelect(group.dataFiles,
       projected ++ Seq(normalizePath(col("_metadata.file_path")).as(FilePathCol)) ++
-        (if (needFilePos || keepHidden) Seq(col("_metadata.row_index").as(PosCol)) else Nil): _*)
+        (if (needFilePos || keepHidden) Seq(col("_metadata.row_index").as(PosCol)) else Nil))
 
     if (needSeq) {
       // per-file sequence number: broadcast join on the manifest map

@@ -183,8 +183,26 @@ object SparkExecutor extends CompactionExecutor {
   override def rewriteFiles(spark: SparkSession, req: RewriteRequest): RewriteResult = {
     val t0 = System.nanoTime()
     val g = req.group
-    val df = req.rowTransform(
+    val morDf = req.rowTransform(
       Mor.dataFrame(spark, g, req.schemaColumns, req.formatVersion, req.tableSchema))
+    // re-stamp field ids explicitly: the MOR frame's id metadata is
+    // stripped on the name-matched branch (add_files-imported inputs), and
+    // a union drops it when such files dominate — rewritten files must
+    // ALWAYS carry footer ids, because their entries graduate to
+    // id-addressed reads (nameMatched=false)
+    val df =
+      if (req.tableSchema.nonEmpty && req.tableSchema.forall(_.isTyped)) {
+        val byName = req.tableSchema.map(f => f.name -> f).toMap
+        morDf.select(morDf.columns.toSeq.map { c =>
+          byName.get(c) match {
+            case Some(f) =>
+              val md = new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(SchemaField.ParquetFieldIdKey, f.id.toLong).build()
+              col(c).as(c, md)
+            case None => col(c)
+          }
+        }: _*)
+      } else morDf
 
     // target-file-size enforcement: records per target file from the
     // observed-output hint when dynamic estimation supplies one (the
@@ -274,6 +292,18 @@ object SparkExecutor extends CompactionExecutor {
 
   def parquetRecordCount(conf: org.apache.hadoop.conf.Configuration, p: Path): Long =
     parquetFooterInfo(conf, p)._1
+
+  /** Top-level column names declared in the parquet footer — footer-only,
+    * no data pages touched. Used by add_files import validation. */
+  def parquetFooterColumns(
+      conf: org.apache.hadoop.conf.Configuration, p: Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+    finally r.close()
+  }
 
   /** (rowCount, numeric per-column zone maps) from the parquet footer —
     * min/max merged across row groups, numeric primitives only. This is

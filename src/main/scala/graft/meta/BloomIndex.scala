@@ -90,11 +90,11 @@ object BloomIndex {
     val statsDir = Paths.get(meta.location, "stats")
     Files.createDirectories(statsDir)
 
-    // rename-safe read for typed tables (field-id addressed, like Mor)
-    val reader = meta.typedStruct.fold(spark.read)(st => graft.exec.Mor.fieldIdReader(spark, st))
-    val rows = reader.parquet(dataFiles.map(_.path): _*)
-      .select(col(column),
-        graft.exec.Mor.normalizePath(col("_metadata.file_path")).as("__file"))
+    // rename-safe read for typed tables (field-id addressed, like Mor);
+    // imported name-matched files read by name through readDataWith
+    val rows = graft.exec.Mor.readDataWith(spark, dataFiles, meta.typedStruct)(
+        _.select(col(column),
+          graft.exec.Mor.normalizePath(col("_metadata.file_path")).as("__file")))
       .filter(col(column).isNotNull)
       .select(col("__file"), explode(bitPosExpr(col(column), mBits, k)).as("__bit"))
       .distinct()

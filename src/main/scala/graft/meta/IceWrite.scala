@@ -2,6 +2,8 @@ package graft.meta
 
 import java.nio.file.Paths
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.exec.SparkExecutor
@@ -68,6 +70,104 @@ object IceWrite {
       "positions must have columns (file_path, pos)")
     appendInternal(spark, catalog, name, positions, FileContent.PositionDeletes, Nil,
       Defaults.TargetFileSize)
+  }
+
+  /** Iceberg's `add_files` migration: registers EXISTING parquet files as
+    * table data with ZERO data read or rewrite — record counts and zone
+    * maps come from file footers alone, so importing 100 TB costs one
+    * footer read per file and one metadata commit. The commit is a normal
+    * CAS-retried append snapshot at a fresh sequence number (existing
+    * equality deletes, which only kill OLDER sequences, provably cannot
+    * shade the imported rows).
+    *
+    * Imported files carry no parquet field ids, so their manifest entries
+    * are marked `nameMatched` and reads resolve their columns BY NAME
+    * ([[graft.exec.Mor]] reads them through a separate id-stripped
+    * relation unioned with the id-addressed one). Column renames are
+    * refused while such files are live; compaction rewrites them with ids
+    * stamped, graduating the table back to rename-safe addressing.
+    *
+    * Footer-only validation: every table column must be present by name
+    * in every file unless the column has an `initial-default` (which
+    * fills it per file); the merged Spark read schema must agree with the
+    * declared column types. Partition values come from hive-style
+    * `col=value` path segments for IDENTITY transform columns (the only
+    * transform whose directory value equals the column value); partition
+    * columns must ALSO be materialized inside the files — this engine
+    * addresses files by explicit path, never by directory convention, so
+    * a value living only in the directory name would read as missing.
+    */
+  def addFiles(spark: SparkSession, catalog: Catalog, name: String,
+      paths: Seq[String]): TableMetadata = {
+    require(paths.nonEmpty, "addFiles: no files given")
+    val meta = catalog.loadTable(name)
+    require(meta.partitionSpec.forall(_.isIdentity),
+      "addFiles supports identity-partitioned or unpartitioned tables only " +
+        s"(spec: ${meta.partitionSpec.map(_.transform).mkString(", ")})")
+    val already = meta.currentSnapshot.toSeq.flatMap(_.manifest).map(_.path).toSet
+    val dups = paths.filter(already.contains)
+    require(dups.isEmpty, s"addFiles: already registered: ${dups.take(3).mkString(", ")}")
+
+    val typed = typedOf(meta)
+    if (typed) {
+      // merged footer schema (no data read) vs declared types
+      val fileSchema = spark.read.parquet(paths: _*).schema
+      for (f <- meta.schema; got <- fileSchema.find(_.name == f.name))
+        require(got.dataType == f.sparkType,
+          s"addFiles: column ${f.name} is ${got.dataType.sql} in the files " +
+            s"but ${f.dataType} in the table schema")
+    }
+    val requiredCols = meta.schema.filter(_.initialDefault.isEmpty).map(_.name)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = paths.map { raw =>
+      val p = Paths.get(raw)
+      require(java.nio.file.Files.isRegularFile(p), s"addFiles: no such file: $raw")
+      val present = SparkExecutor.parquetFooterColumns(conf, p).toSet
+      val missing = requiredCols.filterNot(present.contains)
+      require(missing.isEmpty,
+        s"addFiles: $raw lacks columns ${missing.mkString(", ")} " +
+          "(only columns with an initial-default may be absent)")
+      val partVals = meta.partitionSpec.map { spec =>
+        val seg = p.iterator().asScala.map(_.toString)
+          .find(_.startsWith(spec.column + "="))
+          .getOrElse(sys.error(
+            s"addFiles: $raw has no ${spec.column}=<value> path segment for " +
+              "the identity partition spec"))
+        spec.column -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(spec.column.length + 1))
+      }.toMap
+      val (rows, stats) = SparkExecutor.parquetFooterInfo(conf, p)
+      FileEntry(
+        path = p.toString, length = java.nio.file.Files.size(p),
+        content = FileContent.Data, recordCount = rows,
+        sequenceNumber = 0L, // stamped at commit
+        partitionValues = partVals, columnStats = stats, nameMatched = true)
+    }
+    commitSnapshot(catalog, name,
+      Seq(StampSet(entries, FileContent.Data, Nil, Nil)), operation = "append",
+      branch = "main")
+  }
+
+  /** `migrate` for a parquet directory: infers the schema from footers,
+    * creates the (typed, field-id) table, and registers every *.parquet
+    * under `dir` via [[addFiles]] — zero data rewrite end to end. */
+  def importParquetTable(spark: SparkSession, catalog: Catalog, name: String,
+      dir: String, partitionSpec: Seq[PartitionField] = Nil): TableMetadata = {
+    val root = Paths.get(dir)
+    val files = scala.util.Using.resource(java.nio.file.Files.walk(root)) { walk =>
+      walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+    }
+    require(files.nonEmpty, s"importParquetTable: no parquet files under $dir")
+    val schema = SchemaField.fromStruct(spark.read.parquet(files: _*).schema)
+    catalog.createTable(TableMetadata(
+      name = name, location = "", formatVersion = 2,
+      schema = schema, lastColumnId = schema.map(_.id).foldLeft(0)(math.max),
+      partitionSpec = partitionSpec))
+    addFiles(spark, catalog, name, files)
   }
 
   /** foreachBatch sink for Structured Streaming ingestion:
@@ -368,16 +468,12 @@ object IceWrite {
       .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
     val dataFiles = snap.manifest.filter(_.content == FileContent.Data)
     require(dataFiles.nonEmpty, s"table $name has no data files")
-    val reader = meta.typedStruct match {
-      // scoped field-id read (cloned session; caller conf untouched)
-      case Some(st) => graft.exec.Mor.fieldIdReader(spark, st)
-      case None => spark.read
-    }
-    val positions = reader.parquet(dataFiles.map(_.path): _*)
-      .withColumn("__fp", graft.exec.Mor.normalizePath(col("_metadata.file_path")))
-      .withColumn("__pos", col("_metadata.row_index"))
-      .filter(condition)
-      .select(col("__fp").as("file_path"), col("__pos").as("pos"))
+    // per-file addressing (field-id vs imported name-matched) via readDataWith
+    val positions = graft.exec.Mor.readDataWith(spark, dataFiles, meta.typedStruct)(
+      _.withColumn("__fp", graft.exec.Mor.normalizePath(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .filter(condition)
+        .select(col("__fp").as("file_path"), col("__pos").as("pos")))
     appendInternal(spark, catalog, name, positions, FileContent.PositionDeletes, Nil,
       Defaults.TargetFileSize, branch)
   }
@@ -399,15 +495,11 @@ object IceWrite {
       .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
     val dataFiles = snap0.manifest.filter(_.content == FileContent.Data)
     require(dataFiles.nonEmpty, s"table $name has no data files")
-    val reader = meta0.typedStruct match {
-      case Some(st) => graft.exec.Mor.fieldIdReader(spark, st)
-      case None => spark.read
-    }
-    val positions = reader.parquet(dataFiles.map(_.path): _*)
-      .withColumn("__fp", graft.exec.Mor.normalizePath(col("_metadata.file_path")))
-      .withColumn("__pos", col("_metadata.row_index"))
-      .filter(condition)
-      .select(col("__fp").as("file_path"), col("__pos").as("pos"))
+    val positions = graft.exec.Mor.readDataWith(spark, dataFiles, meta0.typedStruct)(
+      _.withColumn("__fp", graft.exec.Mor.normalizePath(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .filter(condition)
+        .select(col("__fp").as("file_path"), col("__pos").as("pos")))
     val blobs = DeletionVectors.buildBlobs(spark, positions)
     if (blobs.isEmpty) return meta0
 

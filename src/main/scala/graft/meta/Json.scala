@@ -107,7 +107,9 @@ object MetadataJson {
       // pre-DV metadata files round-trip byte-identically
       f.referencedDataFile.map(p => "referenced-data-file" -> (str(p): JValue)).toList ++
       f.contentOffset.map(o => "content-offset" -> (JLong(o): JValue)).toList ++
-      f.contentSizeInBytes.map(s => "content-size-in-bytes" -> (JLong(s): JValue)).toList
+      f.contentSizeInBytes.map(s => "content-size-in-bytes" -> (JLong(s): JValue)).toList ++
+      // written only when true, so pre-add_files metadata round-trips
+      (if (f.nameMatched) List("name-matched" -> (JBool(true): JValue)) else Nil)
   )
 
   def write(m: TableMetadata): String = JsonMethods.pretty(JsonMethods.render(toJson(m)))
@@ -141,7 +143,8 @@ object MetadataJson {
         }.toMap,
         referencedDataFile = m.get("referenced-data-file").map(fStr),
         contentOffset = m.get("content-offset").flatMap(optLong),
-        contentSizeInBytes = m.get("content-size-in-bytes").flatMap(optLong)
+        contentSizeInBytes = m.get("content-size-in-bytes").flatMap(optLong),
+        nameMatched = m.get("name-matched").exists(fBool)
       )
     }
     // forward pass: delta manifests resolve against already-decoded

@@ -101,7 +101,13 @@ final case class FileEntry(
     /** byte offset of the DV blob inside the Puffin file at `path`. */
     contentOffset: Option[Long] = None,
     /** byte length of the DV blob. */
-    contentSizeInBytes: Option[Long] = None
+    contentSizeInBytes: Option[Long] = None,
+    /** true for files REGISTERED from outside the engine (add_files /
+      * import): their footers carry no parquet field ids, so reads match
+      * columns BY NAME for these files (and only these). Cleared the
+      * moment compaction rewrites them — rewritten files get ids stamped
+      * and graduate to rename-safe id addressing. */
+    nameMatched: Boolean = false
 ) {
   /** true for Iceberg v3 deletion-vector entries ([[Puffin]] blob payloads). */
   def isDeletionVector: Boolean =

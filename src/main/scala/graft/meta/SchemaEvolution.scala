@@ -28,6 +28,15 @@ object SchemaEvolution {
       require(meta.fieldByName(to).isEmpty, s"column $to already exists")
       require(!meta.partitionSpec.exists(_.column == from),
         s"cannot rename partition column $from")
+      // add_files-imported files are name-addressed (no footer field ids):
+      // a rename would make every live or time-travel read of them resolve
+      // the column to nothing. Compaction rewrites them with ids stamped
+      // (and snapshot expiry ages the old entries out) — rename after that.
+      require(!meta.snapshots.exists(_.manifest.exists(f =>
+          f.nameMatched && f.content == FileContent.Data)),
+        s"cannot rename $from: table holds name-addressed imported files " +
+          "(add_files); compact + expire snapshots first to graduate them " +
+          "to field-id addressing")
       meta.copy(
         schema = meta.schema.map(f => if (f.id == field.id) f.copy(name = to) else f),
         sortOrder = meta.sortOrder.map(s => if (s.column == from) s.copy(column = to) else s))
