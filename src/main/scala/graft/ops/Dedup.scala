@@ -449,6 +449,49 @@ object Dedup {
     else verifyJaccardSetsShuffled(pairs, sets, threshold)
   }
 
+  /** Cross-TABLE fuzzy join (record linkage): (left_id, right_id) pairs
+    * whose texts reach `threshold` word-shingle Jaccard — matching a
+    * crawl corpus against a reference set (a benchmark's test split, an
+    * allow/deny list, a licensed-content registry) without ever comparing
+    * the tables quadratically. The [[minHashNearDupPairs]] machinery
+    * applied across two relations: each side gets the shuffle-free
+    * signature+set projection, band rows from the SAME banding scheme
+    * meet in a keyed equi-join on (band, bh) — never a self-join, never a
+    * cross product — and candidates verify exactly against both shingle
+    * sets (size-gated broadcast vs shuffle, the [[MaxBroadcastCandidates]]
+    * gate). The hot-bucket cap applies PER SIDE, bounding one boilerplate
+    * bucket at cap^2 candidates. Linking 1e9 docs to a 1e6-row reference
+    * costs one signature pass over each side plus a keyed join of their
+    * band rows. Id spaces may overlap freely — sides never mix. */
+  def minHashJoin(left: DataFrame, right: DataFrame,
+      leftIdCol: String, leftTextCol: String,
+      rightIdCol: String, rightTextCol: String,
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 100,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
+    val sigL = minHashSignatureSets(left, leftIdCol, leftTextCol, n, k).localCheckpoint(true)
+    val sigR = minHashSignatureSets(right, rightIdCol, rightTextCol, n, k).localCheckpoint(true)
+    def capped(sig: DataFrame): DataFrame =
+      lshBands(sig, k, rowsPerBand)
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+        .filter(col("__n") <= maxBucketSize).drop("__n")
+    val pairs = capped(sigL).select(col("band"), col("bh"), col("id").as("left_id"))
+      .join(capped(sigR).select(col("band"), col("bh"), col("id").as("right_id")),
+        Seq("band", "bh"))
+      .select(col("left_id"), col("right_id")).distinct()
+      .localCheckpoint(true)
+    val setsL = sigL.select(col("id").as("left_id"), col("gset").as("__g1"))
+    val setsR = sigR.select(col("id").as("right_id"), col("gset").as("__g2"))
+    val resolved =
+      if (pairs.count() <= maxBroadcastCandidates)
+        setsR.join(broadcast(setsL.join(broadcast(pairs), Seq("left_id"))), Seq("right_id"))
+      else pairs.join(setsL, Seq("left_id")).join(setsR, Seq("right_id"))
+    resolved
+      .filter(graft.functions.SetFunctions.jaccard_ge(col("__g1"), col("__g2"), threshold))
+      .select(col("left_id"), col("right_id"))
+  }
+
   /** Exact n-gram Jaccard over ALL co-shingled pairs: the direct
     * formulation — one self-join on grams + count. Quadratic in posting-
     * list length, so bound the corpus or use [[minHashNearDupPairs]] at

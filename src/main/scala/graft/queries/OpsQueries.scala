@@ -796,6 +796,21 @@ object OpsQueries {
         "embedding", tau = 0.9)
     }),
 
+    // cross-table FUZZY JOIN (record linkage): corpus docs vs a perturbed
+    // reference set — band rows of the two sides meet in a keyed
+    // (band, bh) equi-join, never a self-join or cross product; exact
+    // Jaccard verify against both shingle sets. The oracle replays
+    // signatures, per-side bucket caps, the cross-band join, and the
+    // verify relationally.
+    "d10_fuzzy_join" -> ((s, dir) => {
+      val left = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val right = tbl(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("ref_id"),
+          concat(col("text"), lit(" reference copy")).as("text"))
+      Dedup.minHashJoin(left, right, "doc_id", "text", "ref_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 100)
+    }),
+
     // bigram-coherence quality score (LM-free fluency proxy): ppm of
     // each doc's distinct adjacent bigrams occurring in >= 2 docs. A
     // unique gibberish tail injected into every 2nd doc guarantees rare
@@ -1015,6 +1030,47 @@ object OpsQueries {
       IceRead.table(s, catalog, "t_q_upsert")
         .select(col("s_suppkey"), col("s_name"),
           col("s_nationkey").cast("long").as("s_nationkey"))
+    }),
+
+    // add_files MIGRATION as an oracle-checked query: two lineitem slices
+    // land on disk as PLAIN parquet (no field ids) — one registered via
+    // importParquetTable, the other via addFiles into the now-existing
+    // table. The in-query requires prove ZERO rewrite happened (the
+    // registered manifest paths ARE the foreign files, marked
+    // name-matched) and that the record counts came from footers alone
+    // (manifest-only fastCount). A deleteWhere then proves tombstones
+    // land inside imported files; the oracle replays both slices and the
+    // delete relationally.
+    "q_add_files" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-addf-wh").toString)
+      val src = tbl(s, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("l_orderkey"),
+        col("l_partkey").cast("long").as("l_partkey"),
+        col("l_linenumber").cast("int").as("l_linenumber"))
+      val ext = java.nio.file.Files.createTempDirectory("q-addf-src")
+      src.filter(col("l_orderkey") % 4 === 0)
+        .repartition(2).write.parquet(s"$ext/a")
+      src.filter(col("l_orderkey") % 4 === 1)
+        .repartition(2).write.parquet(s"$ext/b")
+      def parquets(d: String): Seq[String] =
+        scala.util.Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(d))) { w =>
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+        }
+      IceWrite.importParquetTable(s, catalog, "t_q_addf", s"$ext/a")
+      IceWrite.addFiles(s, catalog, "t_q_addf", parquets(s"$ext/b"))
+      val entries = catalog.loadTable("t_q_addf").currentSnapshot.get.manifest
+      require(entries.map(_.path).sorted == (parquets(s"$ext/a") ++ parquets(s"$ext/b")).sorted,
+        "add_files rewrote data: registered paths differ from the foreign files")
+      require(entries.forall(_.nameMatched), "imported entries must be name-matched")
+      val fast = IceRead.fastCount(catalog, "t_q_addf")
+      require(fast.contains(src.filter(col("l_orderkey") % 4 <= 1).count()),
+        s"manifest-only count $fast disagrees with the imported slices")
+      IceWrite.deleteWhere(s, catalog, "t_q_addf", col("l_linenumber") === 3)
+      IceRead.table(s, catalog, "t_q_addf")
     }),
 
     // equality->position delete CONVERSION as an oracle-checked query:
@@ -1359,21 +1415,43 @@ object OpsQueries {
 
   // ------------------------------------------------------------- oracles --
 
-  private val minhashSigSql: String = {
-    // 4 lanes per md5, mirroring Dedup.minHashSignatures
+  /** Parameterized replay of Dedup.minHashSignatures (4 lanes per md5)
+    * for an arbitrary gram CTE — shared by d2 (self) and d10 (cross). */
+  private def minhashSigSqlFor(grams: String, sig: String): String = {
     val hs = (0 until 4).map(s => s"md5('$s:' || gram) AS h$s").mkString(", ")
     val mhs = (0 until 16).map(j =>
       s"min(substr(h${j / 4}, ${(j % 4) * 8 + 1}, 8)) AS mh$j").mkString(", ")
-    s"hashed AS (SELECT id, $hs FROM grams), sig AS (SELECT id, $mhs FROM hashed GROUP BY id)"
+    s"${sig}_h AS (SELECT id, $hs FROM $grams), " +
+      s"$sig AS (SELECT id, $mhs FROM ${sig}_h GROUP BY id)"
   }
+  private val minhashSigSql: String = minhashSigSqlFor("grams", "sig")
 
-  private val bandsSql: String = {
-    val bands = (0 until 4).map { b =>
+  private def bandsSqlFor(sig: String, bands: String): String = {
+    val bs = (0 until 4).map { b =>
       val cols = (b * 4 until (b + 1) * 4).map(j => s"mh$j").mkString(" || ")
-      s"SELECT id, $b AS band, md5($cols) AS bh FROM sig"
+      s"SELECT id, $b AS band, md5($cols) AS bh FROM $sig"
     }
-    s"bands AS (${bands.mkString(" UNION ALL ")})"
+    s"$bands AS (${bs.mkString(" UNION ALL ")})"
   }
+  private val bandsSql: String = bandsSqlFor("sig", "bands")
+
+  /** Distinct word-3-shingles of an (id, text) CTE — the wordGramsSql
+    * shape over an arbitrary source. */
+  private def wordGramsSqlFor(src: String, grams: String): String =
+    s"""$grams AS (
+       |  SELECT DISTINCT id, g AS gram FROM (
+       |    SELECT id, unnest(list_transform(
+       |      range(1, greatest(len(toks) - 2, 1) + 1),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS g
+       |    FROM (SELECT id, $toksSql AS toks FROM $src)))""".stripMargin
+
+  /** Per-side hot-bucket cap replay (lshCandidatePairs' window filter). */
+  private def cappedBandsSqlFor(bands: String, sized: String, cap: Int): String =
+    s"""$sized AS (
+       |  SELECT b.* FROM $bands b
+       |  JOIN (SELECT band, bh, count(*) AS n FROM $bands GROUP BY 1, 2) z
+       |    ON b.band = z.band AND b.bh = z.bh
+       |  WHERE z.n <= $cap)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -1404,6 +1482,30 @@ object OpsQueries {
          |  GROUP BY c.id1, c.id2)
          |SELECT id1, id2 FROM common
          |JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+         |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5""".stripMargin,
+
+    "d10_fuzzy_join" ->
+      s"""WITH lft AS (SELECT doc_id AS id, text FROM documents),
+         |rgt AS (SELECT doc_id AS id, text || ' reference copy' AS text
+         |        FROM documents WHERE doc_id % 4 = 0),
+         |${wordGramsSqlFor("lft", "grams_l")},
+         |${wordGramsSqlFor("rgt", "grams_r")},
+         |${minhashSigSqlFor("grams_l", "sig_l")},
+         |${minhashSigSqlFor("grams_r", "sig_r")},
+         |${bandsSqlFor("sig_l", "bands_l")},
+         |${bandsSqlFor("sig_r", "bands_r")},
+         |${cappedBandsSqlFor("bands_l", "sized_l", 100)},
+         |${cappedBandsSqlFor("bands_r", "sized_r", 100)},
+         |cand AS (SELECT DISTINCT l.id AS left_id, r.id AS right_id
+         |         FROM sized_l l JOIN sized_r r ON l.band = r.band AND l.bh = r.bh),
+         |sizes_l AS (SELECT id, count(*) AS n FROM grams_l GROUP BY id),
+         |sizes_r AS (SELECT id, count(*) AS n FROM grams_r GROUP BY id),
+         |common AS (SELECT c.left_id, c.right_id, count(*) AS c
+         |  FROM cand c JOIN grams_l g1 ON g1.id = c.left_id
+         |  JOIN grams_r g2 ON g2.id = c.right_id AND g2.gram = g1.gram
+         |  GROUP BY 1, 2)
+         |SELECT left_id, right_id FROM common
+         |JOIN sizes_l s1 ON s1.id = left_id JOIN sizes_r s2 ON s2.id = right_id
          |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5""".stripMargin,
 
     "d6_dedup_clusters" ->
@@ -1648,6 +1750,13 @@ object OpsQueries {
         |  UNION ALL SELECT * FROM ins)
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
         |FROM final0 WHERE s_suppkey % 7 <> 0""".stripMargin,
+
+    "q_add_files" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_partkey AS BIGINT) AS l_partkey,
+        |  CAST(l_linenumber AS INTEGER) AS l_linenumber
+        |FROM lineitem
+        |WHERE l_orderkey % 4 IN (0, 1) AND l_linenumber <> 3""".stripMargin,
 
     "t7_repetition" ->
       s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
