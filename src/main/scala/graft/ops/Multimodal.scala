@@ -404,6 +404,95 @@ object Multimodal {
       }(enc)
   }
 
+  /** Decodes a PCM WAV payload to raw integer samples (interleaved) —
+    * shared parse for the signal-level extractors. Returns (sampleRate,
+    * channels, frames, samples, fullScale) where samples are 16-bit
+    * signed values or 8-bit values re-biased to signed (-128..127), and
+    * fullScale is 32768 / 128 accordingly. */
+  private[ops] def decodeWavSamples(
+      payload: Array[Byte]): Option[(Int, Int, Long, Array[Int], Int)] = {
+    if (payload == null || payload.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val enc = fmt.getEncoding
+      val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+        (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+      if (!ok) return None
+      val frames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      val (samples, fullScale) =
+        if (bits == 16) {
+          val le = !fmt.isBigEndian
+          val out = new Array[Int](data.length / 2)
+          var i = 0
+          while (i + 1 < data.length) {
+            val lo = data(i) & 0xff; val hi = data(i + 1) & 0xff
+            out(i / 2) = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+            i += 2
+          }
+          (out, 32768)
+        } else {
+          (data.map(b => (b & 0xff) - 128), 128)
+        }
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, frames, samples, fullScale))
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
+  /** Signal-level WAV stats — the three cheap gates an audio curation
+    * pipeline applies before any expensive model:
+    *
+    *  - `zc_e6`: zero-crossing rate in ppm of consecutive same-channel
+    *    sample pairs — a noisiness/voicing proxy (white noise ~500000,
+    *    voiced speech far lower). A crossing is a sign-bit change
+    *    (`(a < 0) != (b < 0)`), counted per channel over frame-adjacent
+    *    samples; integer-exact, no float anywhere.
+    *  - `silence_e6`: ppm of samples within 1% of full scale
+    *    (|s| <= floor(0.01*FS): 327 for 16-bit, 1 for 8-bit) — the
+    *    dead-air detector.
+    *  - `peak_e6`: max |sample| / fullScale in ppm (floor) — clipping
+    *    (~1e6) and too-quiet recordings in one number.
+    *
+    * Per-row mapPartitions decode, no shuffle; nulls for undecodable
+    * payloads, zeros for zero-length audio. */
+  def audioSignalStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("zc_e6", LongType),
+      StructField("silence_e6", LongType),
+      StructField("peak_e6", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          decodeWavSamples(r.getAs[Array[Byte]](1)) match {
+            case Some((_, ch, frames, s, fs)) =>
+              val silenceCut = fs / 100 // floor(0.01 * FS)
+              var crossings = 0L; var silent = 0L; var maxAbs = 0L
+              var i = 0
+              while (i < s.length) {
+                val v = s(i)
+                if (math.abs(v) <= silenceCut) silent += 1
+                if (math.abs(v.toLong) > maxAbs) maxAbs = math.abs(v.toLong)
+                if (i >= ch && ((s(i - ch) < 0) != (v < 0))) crossings += 1
+                i += 1
+              }
+              val pairs = if (frames < 2) 0L else (frames - 1) * ch
+              Row(r.getLong(0),
+                if (pairs == 0) 0L else 1000000L * crossings / pairs,
+                if (s.length == 0) 0L else 1000000L * silent / s.length,
+                1000000L * maxAbs / fs)
+            case None => Row(r.getLong(0), null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Pure-Scala PCM WAV encoder (the 44-byte RIFF header is a public
     * format): 16-bit signed little-endian samples, interleaved when
     * `channels > 1`. Deliberately NOT javax.sound — fixtures encode here

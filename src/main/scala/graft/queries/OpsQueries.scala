@@ -1372,6 +1372,23 @@ object OpsQueries {
         org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
       Multimodal.extractAudioFeatures(s, media.repartition(4))
+    }),
+
+    // signal-level audio gates (zero-crossing rate, near-silence
+    // fraction, peak) over REAL javax.sound decode: DC never crosses,
+    // zeros are all-silent, the alternating square crosses every pair
+    // (zc_e6 = 1e6 exactly); garbage bytes -> nulls. Integer-exact, so
+    // the oracle derives every row from the sample constants.
+    "m7_audio_signal" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val rows: Seq[org.apache.spark.sql.Row] =
+        wavSignalFixtures.map { case (id, rate, ch, samples) =>
+          org.apache.spark.sql.Row(id, Multimodal.wavBytes(rate, ch, samples))
+        } :+ org.apache.spark.sql.Row(4L, "definitely not a wav".getBytes("UTF-8"))
+      val media = s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+      Multimodal.audioSignalStats(s, media.repartition(3))
     })
   )
 
@@ -1411,6 +1428,30 @@ object OpsQueries {
       val frames = samples.length / ch
       val rms = math.sqrt(samples.map { v => val x = v / 32768.0; x * x }.sum / samples.length)
       (id, rate, ch, math.round(1000.0 * frames / rate), math.round(rms * 1e6))
+    }
+
+  /** m7 fixtures: the m3 WAVs plus a +-1000 alternating square (every
+    * pair crosses zero -> zc_e6 exactly 1e6) — constants, so the signal
+    * stats derive analytically. */
+  private def wavSignalFixtures: Seq[(Long, Int, Int, Array[Short])] =
+    wavFixtures :+ ((5L, 8000, 1,
+      Array.tabulate[Short](100)(k => if (k % 2 == 0) 1000 else -1000)))
+
+  /** Analytic (id, zc_e6, silence_e6, peak_e6): the audioSignalStats
+    * integer contract replayed from the sample constants. */
+  private def wavSignalExpected: Seq[(Long, Long, Long, Long)] =
+    wavSignalFixtures.map { case (id, _, ch, samples) =>
+      val frames = samples.length / ch
+      var crossings = 0L
+      for (i <- ch until samples.length)
+        if ((samples(i - ch) < 0) != (samples(i) < 0)) crossings += 1
+      val silent = samples.count(v => math.abs(v.toInt) <= 327).toLong
+      val maxAbs = if (samples.isEmpty) 0L else samples.map(v => math.abs(v.toLong)).max
+      val pairs = if (frames < 2) 0L else (frames - 1).toLong * ch
+      (id,
+        if (pairs == 0) 0L else 1000000L * crossings / pairs,
+        if (samples.isEmpty) 0L else 1000000L * silent / samples.length,
+        1000000L * maxAbs / 32768)
     }
 
   // ------------------------------------------------------------- oracles --
@@ -3027,6 +3068,20 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |  $vals,
          |  (4, NULL, NULL, NULL, NULL))
          |  t(media_id, width, height, n_frames, fps_e3)""".stripMargin
+    },
+
+    "m7_audio_signal" -> {
+      val vals = wavSignalExpected.map { case (id, zc, sil, pk) =>
+        s"($id, $zc, $sil, $pk)"
+      }.mkString(",\n  ")
+      s"""SELECT CAST(media_id AS BIGINT) AS media_id,
+         |  CAST(zc_e6 AS BIGINT) AS zc_e6,
+         |  CAST(silence_e6 AS BIGINT) AS silence_e6,
+         |  CAST(peak_e6 AS BIGINT) AS peak_e6
+         |FROM (VALUES
+         |  $vals,
+         |  (4, NULL, NULL, NULL))
+         |  t(media_id, zc_e6, silence_e6, peak_e6)""".stripMargin
     },
 
     "m3_wav_audio" -> {

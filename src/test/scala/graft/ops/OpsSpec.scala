@@ -353,6 +353,48 @@ class OpsSpec extends AnyFunSuite {
     assert(r8.getInt(1) == 8000 && r8.getLong(3) == 1000L && r8.getLong(4) == 500000L)
   }
 
+  test("audio signal stats: exact ZCR, silence fraction, and peak") {
+    val dc = Multimodal.wavBytes(8000, 1, Array.fill[Short](1000)(16384))
+    val zeros = Multimodal.wavBytes(44100, 2, Array.fill[Short](2 * 500)(0))
+    val square = Multimodal.wavBytes(8000, 1,
+      Array.tabulate[Short](100)(k => if (k % 2 == 0) 1000 else -1000))
+    // stereo where ONLY the left channel alternates: crossings must count
+    // frame-adjacent SAME-channel pairs, not interleaved neighbors
+    val stereoAlt = Multimodal.wavBytes(8000, 2,
+      Array.tabulate[Short](200)(k =>
+        if (k % 2 == 0) { if ((k / 2) % 2 == 0) 1000 else -1000 } else 2000))
+    val quiet = Multimodal.wavBytes(8000, 1, Array.fill[Short](100)(300)) // under 327
+
+    val rows = Seq((1L, dc), (2L, zeros), (3L, square), (4L, stereoAlt),
+      (5L, quiet), (9L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val out = Multimodal.audioSignalStats(spark, rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getLong(1) == 0L && out(1L).getLong(2) == 0L &&
+      out(1L).getLong(3) == 500000L)                       // DC: no crossings, peak 0.5
+    assert(out(2L).getLong(1) == 0L && out(2L).getLong(2) == 1000000L &&
+      out(2L).getLong(3) == 0L)                            // digital silence
+    assert(out(3L).getLong(1) == 1000000L)                 // every pair crosses
+    assert(out(3L).getLong(3) == 1000000L * 1000 / 32768)  // floor peak
+    // stereo: left crosses every frame pair (99), right never -> 99/198
+    assert(out(4L).getLong(1) == 1000000L * 99 / 198)
+    assert(out(5L).getLong(2) == 1000000L && out(5L).getLong(3) == 1000000L * 300 / 32768)
+    assert(out(9L).isNullAt(1) && out(9L).isNullAt(3))     // undecodable -> nulls
+
+    // 8-bit branch: JDK-encoded unsigned WAV, alternating around the bias
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val raw = Array.tabulate[Byte](100)(k => (if (k % 2 == 0) 200 else 56).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, raw.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val r8 = Multimodal.audioSignalStats(spark,
+      Seq((8L, bos.toByteArray)).toDF("media_id", "payload")).head
+    assert(r8.getLong(1) == 1000000L)                       // alternating signs
+    assert(r8.getLong(3) == 1000000L * 72 / 128)            // |200-128| = 72
+  }
+
   test("repetition metrics: exact values on constructed texts") {
     val rows = Seq(
       (1L, "a b c d"),          // no repetition
