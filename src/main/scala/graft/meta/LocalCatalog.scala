@@ -35,7 +35,16 @@ trait Catalog {
   def dataDir(name: String): Path
 }
 
-final class LocalCatalog(val warehouse: Path) extends Catalog {
+final class LocalCatalog(val warehouse: Path,
+    /** Serialized metadata at or above this many bytes is gzip-compressed
+      * on disk (file name unchanged — readers sniff the gzip magic, so
+      * mixed plain/compressed version chains read transparently and the
+      * CAS target stays one name per version). Manifests inline in the
+      * metadata make big tables metadata-heavy: at 10^5-10^6 tracked
+      * files the JSON runs to hundreds of MB, and gzip buys ~10x less
+      * driver I/O per load/commit. Small metadata stays human-readable
+      * plain text. `Long.MaxValue` disables; 0 always compresses. */
+    val gzipMetadataAtBytes: Long = 1L << 20) extends Catalog {
   Files.createDirectories(warehouse)
 
   private def metaDir(name: String): Path = warehouse.resolve(name).resolve("metadata")
@@ -59,7 +68,13 @@ final class LocalCatalog(val warehouse: Path) extends Catalog {
   override def loadTable(name: String): TableMetadata = {
     val v = currentVersion(name)
     val p = versionFile(name, v)
-    MetadataJson.read(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    val raw = Files.readAllBytes(p)
+    val text =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        new String(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw)).readAllBytes(), StandardCharsets.UTF_8)
+      else new String(raw, StandardCharsets.UTF_8)
+    MetadataJson.read(text)
   }
 
   private def currentVersion(name: String): Int = {
@@ -81,7 +96,14 @@ final class LocalCatalog(val warehouse: Path) extends Catalog {
   private def writeVersion(m: TableMetadata): Unit = {
     val target = versionFile(m.name, m.version)
     val tmp = Files.createTempFile(metaDir(m.name), s".v${m.version}-", ".tmp")
-    Files.write(tmp, MetadataJson.write(m).getBytes(StandardCharsets.UTF_8))
+    val plain = MetadataJson.write(m).getBytes(StandardCharsets.UTF_8)
+    val bytes =
+      if (plain.length >= gzipMetadataAtBytes) {
+        val bos = new java.io.ByteArrayOutputStream(plain.length / 4)
+        scala.util.Using.resource(new java.util.zip.GZIPOutputStream(bos))(_.write(plain))
+        bos.toByteArray
+      } else plain
+    Files.write(tmp, bytes)
     // createLink is atomic and FAILS if the target exists (unlike
     // ATOMIC_MOVE, which maps to rename(2) and silently replaces) — that
     // failure is the compare-and-swap.
