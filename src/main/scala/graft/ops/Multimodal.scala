@@ -567,8 +567,11 @@ object Multimodal {
     * cannot read yield None luma but still surface container metadata —
     * at scale that is the normal triage split: container stats for every
     * file, pixel features where a frame codec exists. */
-  private[ops] def decodeAvi(
-      payload: Array[Byte]): Option[(Int, Int, Long, Long, Option[Double])] = {
+  /** Full RIFF walk: ('avih' header fields, every coded frame payload in
+    * stream order). Shared by the header-level decode and the per-frame
+    * fingerprint path. */
+  private def aviParse(
+      payload: Array[Byte]): Option[(Option[(Int, Int, Long, Long)], Vector[Array[Byte]])] = {
     if (payload == null || payload.length < 12) return None
     def fourcc(pos: Int): String = new String(payload, pos, 4, "US-ASCII")
     def u32(pos: Int): Long =
@@ -577,7 +580,7 @@ object Multimodal {
     try {
       if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
       var avih: Option[(Int, Int, Long, Long)] = None
-      var firstFrame: Option[Array[Byte]] = None
+      val frames = Vector.newBuilder[Array[Byte]]
       def walk(from: Int, until: Int): Unit = {
         var pos = from
         while (pos + 8 <= until) {
@@ -591,18 +594,32 @@ object Multimodal {
           } else if (cc == "avih" && size >= 40) {
             avih = Some((u32(pos + 8 + 32).toInt, u32(pos + 8 + 36).toInt,
               u32(pos + 8 + 16), u32(pos + 8)))
-          } else if ((cc == "00dc" || cc == "00db") && firstFrame.isEmpty && size > 0) {
-            firstFrame = Some(java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size))
+          } else if ((cc == "00dc" || cc == "00db") && size > 0) {
+            frames += java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size)
           }
           pos += 8 + size + (size & 1)
         }
       }
       walk(12, math.min(payload.length, 8 + u32(4).toInt))
-      avih.map { case (w, h, frames, uspf) =>
-        (w, h, frames, uspf, firstFrame.flatMap(decodeImage).map(_._3))
-      }
+      Some((avih, frames.result()))
     } catch { case _: Exception => None }
   }
+
+  private[ops] def decodeAvi(
+      payload: Array[Byte]): Option[(Int, Int, Long, Long, Option[Double])] =
+    aviParse(payload).flatMap { case (avih, frames) =>
+      avih.map { case (w, h, n, uspf) =>
+        (w, h, n, uspf, frames.headOption.flatMap(decodeImage).map(_._3))
+      }
+    }
+
+  /** Every `everyK`-th coded frame payload with its stream index; None
+    * for undecodable containers. */
+  private[ops] def decodeAviFrames(
+      payload: Array[Byte], everyK: Int = 1): Option[Seq[(Int, Array[Byte])]] =
+    aviParse(payload).map(_._2.zipWithIndex.collect {
+      case (b, i) if i % everyK == 0 => (i, b)
+    })
 
   /** Per-partition batched VIDEO decode: rows -> (media_id, width,
     * height, n_frames, fps_e3, first_frame_luma), nulls for undecodable
@@ -630,6 +647,69 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  /** Per-frame perceptual fingerprints: (media_id, frame_idx, dhash_lo,
+    * dhash_hi) for every `everyK`-th coded frame that decodes — the
+    * video-side [[imageDHashes]]. One mapPartitions pass, no shuffle;
+    * undecodable containers and frames contribute nothing (flatMap, not
+    * nulls: a video is its surviving frame set). */
+  def videoFrameHashes(spark: SparkSession, media: DataFrame,
+      everyK: Int = 1): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("dhash_lo", LongType),
+      StructField("dhash_hi", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          decodeAviFrames(r.getAs[Array[Byte]](1), everyK).toSeq.flatMap(_.flatMap {
+            case (idx, frame) => dHash(frame).map { case (lo, hi) => Row(id, idx, lo, hi) }
+          })
+        }
+      }(enc)
+  }
+
+  /** VIDEO near-duplicate pairs by shared frame fingerprints — the
+    * re-upload/re-mux detector: two videos link when the distinct frame
+    * dHashes they share cover `minOverlapPpm` of the SMALLER video's
+    * distinct-frame set (containment, so a clip inside a longer cut
+    * still links). Candidates come from an equi-join keyed by the exact
+    * 64-bit fingerprint — at corpus scale that is one keyed shuffle of
+    * (hash, id) rows, never all-pairs — with a hot-frame cap dropping
+    * fingerprints shared by more than `maxBucketSize` videos (black
+    * frames, standard intro cards: the text path's boilerplate-bucket
+    * trade, same knob). Frame sampling (`everyK`) scales the per-video
+    * cost; exact-hash matching is robust to remuxing (identical coded
+    * frames), while re-encoded uploads pair via [[imageNearDupPairs]]'s
+    * banded-Hamming machinery on keyframes if needed.
+    * Returns (id1, id2, overlap_ppm), id1 < id2. */
+  def videoNearDupPairs(spark: SparkSession, media: DataFrame,
+      everyK: Int = 1, minOverlapPpm: Long = 400000L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val hashes = videoFrameHashes(spark, media, everyK)
+      .select(col("media_id"), col("dhash_lo"), col("dhash_hi")).distinct()
+      .localCheckpoint(true)
+    val sizes = hashes.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val capped = hashes.withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dhash_lo"), col("dhash_hi"))))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val shared = capped.select(col("media_id").as("id1"), col("dhash_lo"), col("dhash_hi"))
+      .join(capped.select(col("media_id").as("id2"), col("dhash_lo"), col("dhash_hi")),
+        Seq("dhash_lo", "dhash_hi"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__shared"))
+    shared
+      .join(sizes.select(col("media_id").as("id1"), col("n").as("__n1")), Seq("id1"))
+      .join(sizes.select(col("media_id").as("id2"), col("n").as("__n2")), Seq("id2"))
+      .withColumn("overlap_ppm",
+        lit(1000000L) * col("__shared") / least(col("__n1"), col("__n2")))
+      .filter(col("overlap_ppm") >= minOverlapPpm)
+      .select(col("id1"), col("id2"), col("overlap_ppm").cast("long").as("overlap_ppm"))
   }
 
   /** "Frame sampling" stub: every k-th byte window of the payload — the

@@ -1389,6 +1389,30 @@ object OpsQueries {
         org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
       Multimodal.audioSignalStats(s, media.repartition(3))
+    }),
+
+    // VIDEO near-dup via shared frame fingerprints: four AVIs built from
+    // deterministic 9x8 step-pattern BMP frames (pattern p -> exactly one
+    // dHash bit per row, so distinct patterns give distinct fingerprints
+    // by construction). A shares 2 of 4 frames with B (overlap 500000 on
+    // the smaller side), D is an exact copy of A (1e6), C shares nothing,
+    // garbage bytes decode to no frames and pair with nothing — expected
+    // pairs derive analytically from which patterns each video contains.
+    "m8_video_neardup" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      def frame(p: Int) = Multimodal.grayBmpBytes(9, 8,
+        (x, y) => if (x <= (y + p) % 8) 0 else 255)
+      def avi(ps: Seq[Int]) = Multimodal.aviBytes(9, 8, 40000, ps.map(frame))
+      val rows: Seq[org.apache.spark.sql.Row] = Seq(
+        org.apache.spark.sql.Row(1L, avi(Seq(0, 1, 2, 3))),
+        org.apache.spark.sql.Row(2L, avi(Seq(2, 3, 4, 5))),
+        org.apache.spark.sql.Row(3L, avi(Seq(6, 7))),
+        org.apache.spark.sql.Row(4L, avi(Seq(0, 1, 2, 3))),
+        org.apache.spark.sql.Row(9L, "not a video".getBytes("UTF-8")))
+      val media = s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+      Multimodal.videoNearDupPairs(s, media.repartition(3), minOverlapPpm = 400000L)
     })
   )
 
@@ -3069,6 +3093,12 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |  (4, NULL, NULL, NULL, NULL))
          |  t(media_id, width, height, n_frames, fps_e3)""".stripMargin
     },
+
+    "m8_video_neardup" ->
+      """SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+        |  CAST(overlap_ppm AS BIGINT) AS overlap_ppm
+        |FROM (VALUES (1, 2, 500000), (1, 4, 1000000), (2, 4, 500000))
+        |  t(id1, id2, overlap_ppm)""".stripMargin,
 
     "m7_audio_signal" -> {
       val vals = wavSignalExpected.map { case (id, zc, sil, pk) =>

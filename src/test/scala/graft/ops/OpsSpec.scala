@@ -395,6 +395,48 @@ class OpsSpec extends AnyFunSuite {
     assert(r8.getLong(3) == 1000000L * 72 / 128)            // |200-128| = 72
   }
 
+  test("video near-dup: frame sampling, shared-fingerprint pairs, hot-frame cap") {
+    def frame(p: Int) = Multimodal.grayBmpBytes(9, 8,
+      (x, y) => if (x <= (y + p) % 8) 0 else 255)
+    def avi(ps: Seq[Int]) = Multimodal.aviBytes(9, 8, 40000, ps.map(frame))
+
+    // decodeAviFrames: all frames, then every 2nd
+    val all = Multimodal.decodeAviFrames(avi(Seq(0, 1, 2, 3))).get
+    assert(all.map(_._1) == Seq(0, 1, 2, 3))
+    val sampled = Multimodal.decodeAviFrames(avi(Seq(0, 1, 2, 3)), everyK = 2).get
+    assert(sampled.map(_._1) == Seq(0, 2))
+    assert(Multimodal.decodeAviFrames("junk".getBytes("UTF-8")).isEmpty)
+
+    // distinct patterns -> distinct fingerprints (the analytic-oracle premise)
+    val hashes = Seq(0, 1, 2, 3, 4, 5, 6, 7).map(p => Multimodal.dHash(frame(p)).get)
+    assert(hashes.distinct.size == 8)
+
+    val media = Seq(
+      (1L, avi(Seq(0, 1, 2, 3))), (2L, avi(Seq(2, 3, 4, 5))),
+      (3L, avi(Seq(6, 7))), (4L, avi(Seq(0, 1, 2, 3))),
+      (9L, "nope".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val got = Multimodal.videoNearDupPairs(spark, media, minOverlapPpm = 400000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 500000L), (1L, 4L, 1000000L), (2L, 4L, 500000L)))
+
+    // duplicate frames WITHIN a video collapse (distinct-set semantics):
+    // a video of the same frame four times still fully overlaps its copy
+    val rep = Seq((1L, avi(Seq(0, 0, 0, 0))), (2L, avi(Seq(0)))).toDF("media_id", "payload")
+    val repPairs = Multimodal.videoNearDupPairs(spark, rep)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(repPairs == Set((1L, 2L, 1000000L)))
+
+    // hot-frame cap: pattern 0 appears in ALL three videos; cap 2 drops
+    // that fingerprint, so only the pair still sharing pattern 1 links
+    val hot = Seq(
+      (1L, avi(Seq(0, 1))), (2L, avi(Seq(0, 1))), (3L, avi(Seq(0, 7)))
+    ).toDF("media_id", "payload")
+    val hotPairs = Multimodal.videoNearDupPairs(spark, hot,
+        minOverlapPpm = 400000L, maxBucketSize = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hotPairs == Set((1L, 2L, 500000L)))
+  }
+
   test("repetition metrics: exact values on constructed texts") {
     val rows = Seq(
       (1L, "a b c d"),          // no repetition
