@@ -36,7 +36,9 @@ object PlanAudit {
         "q_cow_update","q_convert_eq",
         "q_dv","c1_classifier","g1_pagerank","h1_heavy_hitters",
         "mv1_refresh","v1_constraints","q_wap","z1_zorder",
-        "t28_lm_score","t29_script","g2_triangles","m6_image_dhash")) {
+        "t28_lm_score","t29_script","g2_triangles","m6_image_dhash",
+        "t30_cards","q_add_files","d10_fuzzy_join","m7_audio_signal",
+        "m8_video_neardup")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length

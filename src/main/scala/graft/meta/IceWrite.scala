@@ -279,7 +279,12 @@ object IceWrite {
       operation: String, branch: String,
       /** table properties committed in the SAME CAS as the snapshot —
         * the atomicity hook idempotence fences ride on */
-      extraProperties: Map[String, String] = Map.empty): TableMetadata = {
+      extraProperties: Map[String, String] = Map.empty,
+      /** parent-manifest filter applied INSIDE the retry loop (so a lost
+        * CAS race re-evaluates against the fresh head): returns the kept
+        * entries. Powers partition drop/overwrite, which remove whole
+        * files from the manifest rather than appending tombstones. */
+      pruneParent: Seq[FileEntry] => Seq[FileEntry] = identity): TableMetadata = {
     var attempt = 0
     while (true) {
       val meta = catalog.loadTable(name)
@@ -290,7 +295,7 @@ object IceWrite {
         equalityIds = s.equalityIds, equalityFieldIds = s.equalityFieldIds)))
       val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
       val parentManifest = base.map(_.manifest).getOrElse(Nil)
-      val newManifest = parentManifest ++ stamped
+      val newManifest = pruneParent(parentManifest) ++ stamped
       val snap = Snapshot(
         snapshotId = snapshotId,
         parentId = base.map(_.snapshotId),
@@ -353,6 +358,92 @@ object IceWrite {
       Seq(StampSet(written, content, equalityIds, eqIdsOf(table0, equalityIds))),
       operation = if (content == FileContent.Data) "append" else "delete",
       branch = branch, extraProperties = extraProperties)
+  }
+
+  /** Shared prune for the partition-level ops: keeps manifest entries
+    * OUTSIDE the matched partitions. An entry matches when every filter
+    * key is present in its recorded partition values and equal; deletion
+    * vectors follow their referenced data file. Strict by default: a
+    * DATA file missing a filter key (written under an older partition
+    * spec) makes membership undecidable, so the op refuses rather than
+    * half-dropping a partition — compact first. */
+  private def prunePartitions(filter: Map[String, String],
+      parent: Seq[FileEntry]): Seq[FileEntry] = {
+    def matches(e: FileEntry): Boolean =
+      filter.forall { case (k, v) => e.partitionValues.get(k).contains(v) }
+    val undecidable = parent.filter(e =>
+      e.content == FileContent.Data && !e.isDeletionVector &&
+        filter.keys.exists(k => !e.partitionValues.contains(k)))
+    require(undecidable.isEmpty,
+      s"partition op is undecidable for ${undecidable.size} data file(s) written " +
+        s"under an older partition spec (no recorded value for " +
+        s"${filter.keys.mkString(", ")}); compact the table first")
+    val droppedData = parent.filter(e =>
+      e.content == FileContent.Data && !e.isDeletionVector && matches(e))
+      .map(_.path).toSet
+    parent.filterNot { e =>
+      if (e.isDeletionVector) droppedData.contains(e.referencedDataFile.get)
+      else if (e.content == FileContent.Data) droppedData.contains(e.path)
+      // scoped delete files in the matched partitions applied only to the
+      // dropped data; global deletes (no partition scope) stay
+      else e.partitionValues.nonEmpty && matches(e)
+    }
+  }
+
+  /** METADATA-ONLY partition drop — the reason partitioned retention is
+    * cheap: expiring a day of a date-partitioned table removes whole
+    * files from the manifest in one CAS commit. No SparkSession in the
+    * signature because NO data is read or written: at 100 TB this is a
+    * driver-side manifest filter, not a job. Matched-partition scoped
+    * delete files and DVs of dropped files go too; rows reappear in no
+    * snapshot (time travel before the drop still sees them until
+    * expiry). Filter keys must be identity partition columns of the
+    * current spec. */
+  def dropPartitions(catalog: Catalog, name: String,
+      partitionFilter: Map[String, String]): TableMetadata = {
+    require(partitionFilter.nonEmpty, "dropPartitions: empty filter")
+    val meta0 = catalog.loadTable(name)
+    for (k <- partitionFilter.keys) {
+      val f = meta0.partitionSpec.find(_.column == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"dropPartitions: $k is not in the partition spec of $name"))
+      require(f.isIdentity,
+        s"dropPartitions: $k has transform ${f.transform}; only identity " +
+          "partition values equal their column values, so only they are droppable by value")
+    }
+    commitSnapshot(catalog, name, Nil, operation = "delete", branch = "main",
+      pruneParent = prunePartitions(partitionFilter, _))
+  }
+
+  /** Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION): ONE
+    * atomic snapshot replaces every partition PRESENT IN `df` with the
+    * incoming rows — untouched partitions keep their files byte-for-byte,
+    * and no reader observes a state with the old and new rows together.
+    * The incoming frame is written once (partition fan-out, sorted,
+    * size-targeted); the prune re-evaluates inside the CAS retry loop, so
+    * losing a race to a concurrent append in a replaced partition still
+    * replaces that partition wholly. Backfill shape: recompute one day,
+    * overwrite one day. */
+  def overwritePartitions(spark: SparkSession, catalog: Catalog, name: String,
+      df: DataFrame): TableMetadata = {
+    val meta0 = catalog.loadTable(name)
+    require(meta0.partitionSpec.nonEmpty,
+      s"overwritePartitions: $name is unpartitioned — use append/deleteWhere")
+    require(meta0.partitionSpec.forall(_.isIdentity),
+      "overwritePartitions replaces partitions by VALUE; non-identity " +
+        "transforms would need transform-aware matching")
+    if (df.isEmpty) return meta0
+    val out = if (typedOf(meta0)) withFieldIds(df, meta0.schema) else df
+    val written = SparkExecutor.writeDataFiles(
+      spark, out, Paths.get(meta0.location, "data").toString,
+      meta0.partitionSpec, meta0.sortOrder,
+      maxRecordsPerFile = math.max(1L, Defaults.TargetFileSize / 256L))
+    val touched = written.map(_.partitionValues).distinct
+    commitSnapshot(catalog, name,
+      Seq(StampSet(written, FileContent.Data, Nil, Nil)),
+      operation = "overwrite", branch = "main",
+      pruneParent = parent => touched.foldLeft(parent)((kept, pv) =>
+        prunePartitions(pv, kept)))
   }
 
   /** Atomic upsert (MERGE by key): ONE snapshot carries an equality-delete

@@ -1032,6 +1032,43 @@ object OpsQueries {
           col("s_nationkey").cast("long").as("s_nationkey"))
     }),
 
+    // PARTITION-LEVEL ops as one oracle-checked query: create a table
+    // partitioned by l_returnflag, DROP partition R metadata-only (the
+    // in-query requires prove no manifest entry survives and the
+    // untouched partitions keep their exact file paths — nothing was
+    // rewritten), then dynamically OVERWRITE partition A with shifted
+    // quantities. The oracle replays both ops relationally: N untouched,
+    // A shifted, R gone.
+    "q_partition_ops" -> ((s, dir) => {
+      import graft.meta.{FileContent, IceRead, IceWrite, LocalCatalog, PartitionField}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-part-wh").toString)
+      val src = tbl(s, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("l_orderkey"),
+        col("l_linenumber").cast("int").as("l_linenumber"),
+        col("l_returnflag").cast("string").as("l_returnflag"),
+        col("l_quantity").cast("double").as("l_quantity"))
+      IceWrite.create(s, catalog, "t_q_part", src,
+        partitionSpec = Seq(PartitionField("l_returnflag")))
+      IceWrite.dropPartitions(catalog, "t_q_part", Map("l_returnflag" -> "R"))
+      val afterDrop = catalog.loadTable("t_q_part").currentSnapshot.get.manifest
+      require(!afterDrop.exists(_.partitionValues.get("l_returnflag").contains("R")),
+        "dropPartitions left an R entry in the manifest")
+      val keptPaths = afterDrop.filter(_.content == FileContent.Data).map(_.path).toSet
+      IceWrite.overwritePartitions(s, catalog, "t_q_part",
+        src.filter(col("l_returnflag") === "A")
+          .withColumn("l_quantity", col("l_quantity") + 5))
+      val after = catalog.loadTable("t_q_part").currentSnapshot.get.manifest
+        .filter(_.content == FileContent.Data)
+      val untouched = after.filterNot(
+        _.partitionValues.get("l_returnflag").contains("A")).map(_.path).toSet
+      require(untouched.subsetOf(keptPaths),
+        "overwritePartitions rewrote files outside the A partition")
+      IceRead.table(s, catalog, "t_q_part").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        (col("l_quantity") * 100).cast("long").as("qty_c100"))
+    }),
+
     // add_files MIGRATION as an oracle-checked query: two lineitem slices
     // land on disk as PLAIN parquet (no field ids) — one registered via
     // importParquetTable, the other via addFiles into the now-existing
@@ -1815,6 +1852,20 @@ object OpsQueries {
         |  UNION ALL SELECT * FROM ins)
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
         |FROM final0 WHERE s_suppkey % 7 <> 0""".stripMargin,
+
+    "q_partition_ops" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+        |         l_returnflag, CAST(l_quantity AS DOUBLE) AS l_quantity
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |       CAST(l_quantity * 100 AS BIGINT) AS qty_c100
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |  FROM base WHERE l_returnflag = 'N'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity + 5
+        |  FROM base WHERE l_returnflag = 'A')""".stripMargin,
 
     "q_add_files" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
