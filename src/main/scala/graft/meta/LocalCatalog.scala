@@ -27,6 +27,8 @@ trait Catalog {
     * [[CommitConflictException]] if that version already exists. */
   def commit(base: TableMetadata, updated: TableMetadata): TableMetadata
   def dropTable(name: String): Unit
+  /** All table names in the catalog, sorted. */
+  def listTables: Seq[String]
   /** Root of the table's storage. Known even before the table exists:
     * writers stage data files first, then register them in a commit
     * (write-then-commit, the Iceberg pattern). */
@@ -115,6 +117,13 @@ final class LocalCatalog(val warehouse: Path,
     } finally Files.deleteIfExists(tmp)
     Files.write(hintFile(m.name), m.version.toString.getBytes(StandardCharsets.UTF_8))
   }
+
+  override def listTables: Seq[String] =
+    scala.util.Using.resource(Files.list(warehouse)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && Files.exists(hintFile(p.getFileName.toString)))
+        .map(_.getFileName.toString).toSeq.sorted
+    }
 
   override def dropTable(name: String): Unit = {
     val root = warehouse.resolve(name)

@@ -73,6 +73,10 @@ object RestCatalog {
         case ("GET", List("config")) =>
           respond(ex, 200, s"""{"warehouse": ${JsonMethods.compact(JString(warehouse.toString))}}""")
 
+        case ("GET", List("tables")) =>
+          val names = store.keySet().asScala.toSeq.sorted
+          respond(ex, 200, JsonMethods.compact(JArray(names.map(JString(_)).toList)))
+
         case ("GET" | "HEAD", List("tables", name)) =>
           store.get(name) match {
             case null => respond(ex, 404, s"""{"error": "table $name not found"}""")
@@ -182,6 +186,15 @@ object RestCatalog {
 
     override def dropTable(name: String): Unit = {
       send(req(s"/v1/tables/$name").DELETE().build()): Unit
+    }
+
+    override def listTables: Seq[String] = {
+      val resp = send(req("/v1/tables").GET().build())
+      require(resp.statusCode == 200, s"listTables failed: ${resp.body}")
+      JsonMethods.parse(resp.body) match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case other => sys.error(s"bad listTables response: $other")
+      }
     }
   }
 }

@@ -219,6 +219,7 @@ class CompactionE2ESpec extends AnyFunSuite {
       }
       override def tableLocation(n: String) = catalog.tableLocation(n)
       override def dataDir(n: String) = catalog.dataDir(n)
+      override def listTables = catalog.listTables
     }
     val c = new Compaction(racing, "t_retry", spark,
       config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)),

@@ -32,6 +32,19 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](c.createTable(meta("t_create")))
   }
 
+  test("listTables enumerates both catalog kinds, sorted, excluding dropped") {
+    val c = client()
+    c.createTable(meta("t_list_b")); c.createTable(meta("t_list_a"))
+    c.createTable(meta("t_list_gone")); c.dropTable("t_list_gone")
+    val rest = c.listTables.filter(_.startsWith("t_list_"))
+    assert(rest == Seq("t_list_a", "t_list_b"))
+
+    val local = LocalCatalog(Files.createTempDirectory("list-wh").toString)
+    local.createTable(meta("zz")); local.createTable(meta("aa"))
+    local.createTable(meta("mm")); local.dropTable("mm")
+    assert(local.listTables == Seq("aa", "zz"))
+  }
+
   test("load of a missing table fails; exists is false; drop is idempotent") {
     val c = client()
     assert(!c.tableExists("t_nope"))
