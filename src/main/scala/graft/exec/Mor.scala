@@ -73,6 +73,7 @@ object Mor {
     * discovery, bloom build, eq->pos conversion) goes through here. */
   def readDataWith(spark: SparkSession, files: Seq[FileEntry],
       typed: Option[StructType])(f: DataFrame => DataFrame): DataFrame = {
+    require(files.nonEmpty, "readDataWith: empty file list")
     def strippedIds(st: StructType): StructType = StructType(st.fields.map { fd =>
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(fd.metadata).remove(SchemaField.ParquetFieldIdKey)
