@@ -249,6 +249,41 @@ object TextAnalysis {
       size(filter(digits, d => luhnSum(d) % 10 === 0)).cast("long").as("n_valid"))
   }
 
+  /** IBAN candidate pattern, Java-regex/RE2-identical (no lookaround —
+    * RE2 has none): country code + 2 check digits + 4-char groups with
+    * optional single spaces. Greedy grouping can overextend into a
+    * following ALL-CAPS word; the checksum then fails and the candidate
+    * counts as invalid — the validator, not the regex, is the filter. */
+  val IbanRe = "\\b[A-Z]{2}[0-9]{2}(?: ?[A-Z0-9]{4}){2,7}(?: ?[A-Z0-9]{1,3})?\\b"
+
+  /** ISO 7064 mod-97 remainder of a space-stripped IBAN candidate: first
+    * four chars rotate to the end, letters expand to 10..35, and the
+    * remainder folds left-to-right one char at a time (digit: x10,
+    * letter: x100) — so no big-integer ever materializes. Valid IBANs
+    * leave remainder 1. One per-row `aggregate` fold, codegen'd. */
+  private def ibanMod97(s: Column): Column = {
+    val re = concat(substr(s, lit(5), length(s) - 4), substr(s, lit(1), lit(4)))
+    aggregate(sequence(lit(1), length(re)), lit(0L), (acc, i) => {
+      val c = ascii(substr(re, i, lit(1)))
+      when(c.between(48, 57), (acc * 10 + (c - 48)) % 97)
+        .otherwise((acc * 100 + (c - 55)) % 97) // 'A' (65) -> 10
+    })
+  }
+
+  /** Per-document IBAN stats — the bank-account sibling of [[cardStats]]:
+    * regex candidates, then ISO 7064 mod-97 with the 15..34 length rule.
+    * Pure per-row HOF folds; zero shuffles. Output:
+    * (id, n_candidates, n_valid). */
+  def ibanStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val cands = regexp_extract_all(t, lit(IbanRe), lit(0))
+    val stripped = transform(cands, c => regexp_replace(c, lit(" "), lit("")))
+    df.select(col(idCol).as("id"),
+      size(cands).cast("long").as("n_candidates"),
+      size(filter(stripped, s =>
+        length(s).between(15, 34) && ibanMod97(s) === 1)).cast("long").as("n_valid"))
+  }
+
   /** URL pattern (group 1 = host), Java-regex/RE2-identical: no backrefs,
     * no lookaround. */
   val UrlRe = "https?://([A-Za-z0-9.-]+)"
@@ -259,6 +294,28 @@ object TextAnalysis {
     * crawl mixes are weighed and filtered by domain). */
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit(UrlRe), lit(1))
+
+  /** Domain-suffix blocklist verdict — the crawl-pipeline kill switch: true
+    * when any URL hostname in the text equals a blocklisted domain or is a
+    * SUBDOMAIN of one ("example.com" blocks "a.b.example.com" but never
+    * "notexample.com" — matching is on dot-boundary suffixes, not
+    * substrings). The blocklist is an operator-curated bounded list, so it
+    * compiles into the expression as a literal array: the whole test is
+    * per-row codegen — no join, no shuffle, nothing broadcast — and a
+    * hostname contributes at most its label count (~8) suffixes.
+    * Case-insensitive on both sides. For blocklists past ~100k entries,
+    * switch to a broadcast semi join on the exploded suffixes instead. */
+  def blockedByDomain(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    require(blocklist.size <= 100000,
+      s"${blocklist.size} blocklist entries: past the literal-array form — use a broadcast join")
+    val hosts = urlDomains(lower(text))
+    // every dot-boundary suffix of every hostname in the text
+    val suffixes = flatten(transform(hosts, h =>
+      transform(sequence(lit(1), size(split(h, "[.]"))), i =>
+        array_join(slice(split(h, "[.]"), i, lit(1000)), "."))))
+    arrays_overlap(suffixes, array(blocklist.map(d => lit(d.toLowerCase)): _*))
+  }
 
   /** HTML -> text extraction, the first transform a web crawl sees.
     * Per-row codegen'd regex chain, no UDFs, no shuffle:

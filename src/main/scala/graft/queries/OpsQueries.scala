@@ -796,6 +796,23 @@ object OpsQueries {
         "embedding", tau = 0.9)
     }),
 
+    // domain-suffix BLOCKLIST verdicts: per-row codegen'd dot-boundary
+    // suffix matching against a literal blocklist — subdomains of a
+    // blocked domain are blocked, lookalike substrings are not
+    // (notexample.com survives example.com). Injection gives every
+    // residue class a URL so all four verdict shapes appear at any SF.
+    "t31_domain_blocklist" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(" https://a.b.example.com/x")) // subdomain -> blocked
+          .when(col("doc_id") % 4 === 1, lit(" http://notexample.com/y")) // lookalike -> kept
+          .when(col("doc_id") % 4 === 2, lit(" https://BAD.org"))         // case-folded -> blocked
+          .otherwise(lit(" no urls here"))).as("text"))
+      injected.select(col("doc_id"),
+        TextAnalysis.blockedByDomain(col("text"), Seq("example.com", "bad.org"))
+          .as("blocked"))
+    }),
+
     // cross-table FUZZY JOIN (record linkage): corpus docs vs a perturbed
     // reference set — band rows of the two sides meet in a keyed
     // (band, bh) equi-join, never a self-join or cross product; exact
@@ -837,6 +854,22 @@ object OpsQueries {
           .when(col("doc_id") % 4 === 2, lit(" card 4012 8888 8888 1881"))
           .otherwise(lit(""))).as("text"))
       TextAnalysis.cardStats(injected, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // IBAN detection with the ISO 7064 mod-97 checksum: a valid spaced
+    // DE IBAN, the same IBAN with one flipped digit (candidate but
+    // invalid), and a valid contiguous GB IBAN — the checksum, not the
+    // regex, separates them. The oracle replays the rotation and the
+    // char-by-char mod-97 fold with DuckDB list_reduce.
+    "t32_iban" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(" pay DE89 3704 0044 0532 0130 00 thanks"))
+          .when(col("doc_id") % 4 === 1, lit(" pay DE89 3704 0044 0532 0130 01 thanks"))
+          .when(col("doc_id") % 4 === 2, lit(" acct GB82WEST12345698765432 ok"))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.ibanStats(injected, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
     }),
 
@@ -1920,6 +1953,22 @@ object OpsQueries {
          |FROM pii""".stripMargin
     },
 
+    "t31_domain_blocklist" ->
+      """WITH inj AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' https://a.b.example.com/x'
+        |       WHEN doc_id % 4 = 1 THEN ' http://notexample.com/y'
+        |       WHEN doc_id % 4 = 2 THEN ' https://BAD.org'
+        |       ELSE ' no urls here' END AS t
+        |FROM documents),
+        |h AS (SELECT doc_id,
+        |  regexp_extract_all(lower(t), 'https?://([a-z0-9.-]+)', 1) AS hosts FROM inj),
+        |sfx AS (SELECT doc_id, flatten(list_transform(hosts, h2 ->
+        |    list_transform(range(1, len(string_split(h2, '.')) + 1),
+        |      i -> array_to_string(string_split(h2, '.')[i:], '.')))) AS sufs
+        |  FROM h)
+        |SELECT doc_id, list_has_any(sufs, ['example.com', 'bad.org']) AS blocked
+        |FROM sfx""".stripMargin,
+
     "t9_domains" ->
       """WITH inj AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 2 = 0
@@ -2793,6 +2842,28 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |                THEN (ascii(substr(dd, i, 1)) - 48) * 2 - 9
         |                ELSE (ascii(substr(dd, i, 1)) - 48) * 2 END
         |           ELSE ascii(substr(dd, i, 1)) - 48 END)) % 10 = 0)) AS BIGINT) AS n_valid
+        |FROM d""".stripMargin,
+
+    "t32_iban" ->
+      """WITH inj AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' pay DE89 3704 0044 0532 0130 00 thanks'
+        |         WHEN doc_id % 4 = 1 THEN ' pay DE89 3704 0044 0532 0130 01 thanks'
+        |         WHEN doc_id % 4 = 2 THEN ' acct GB82WEST12345698765432 ok'
+        |         ELSE '' END AS text FROM documents),
+        |c AS (SELECT doc_id, regexp_extract_all(text,
+        |        '\b[A-Z]{2}[0-9]{2}(?: ?[A-Z0-9]{4}){2,7}(?: ?[A-Z0-9]{1,3})?\b') AS cands
+        |      FROM inj),
+        |d AS (SELECT doc_id, cands,
+        |        list_transform(cands, x -> replace(x, ' ', '')) AS strs
+        |      FROM c)
+        |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+        |  CAST(len(list_filter(strs, s -> len(s) BETWEEN 15 AND 34 AND
+        |    CAST(list_reduce(['0'] || string_split(array_to_string(
+        |      list_transform(string_split(substr(s, 5, len(s) - 4) || substr(s, 1, 4), ''),
+        |        ch -> CASE WHEN ch BETWEEN '0' AND '9' THEN ch
+        |                   ELSE CAST(ascii(ch) - 55 AS VARCHAR) END), ''), ''),
+        |      (a, ch) -> CAST((CAST(a AS BIGINT) * 10 + CAST(ch AS BIGINT)) % 97 AS VARCHAR))
+        |      AS BIGINT) = 1)) AS BIGINT) AS n_valid
         |FROM d""".stripMargin,
 
     "t29_script" -> {

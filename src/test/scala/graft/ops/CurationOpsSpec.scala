@@ -169,6 +169,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(7L) == ((0L, 0L)))
   }
 
+  test("blockedByDomain: suffix match, subdomains, lookalikes, case fold") {
+    val d = Seq(
+      (1L, "see https://a.b.example.com/x ok"),   // subdomain -> blocked
+      (2L, "see http://notexample.com/y ok"),     // lookalike substring -> kept
+      (3L, "see https://BAD.ORG ok"),             // case-insensitive -> blocked
+      (4L, "see https://example.com ok"),         // exact -> blocked
+      (5L, "no urls at all"),
+      (6L, "https://example.com.evil.net phish")  // blocked domain as NON-suffix -> kept
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        TextAnalysis.blockedByDomain(col("text"), Seq("example.com", "bad.org")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true,
+      5L -> false, 6L -> false))
+  }
+
+  test("ibanStats: mod-97 separates valid IBANs from near-misses") {
+    val d = Seq(
+      (1L, "pay DE89 3704 0044 0532 0130 00 thanks"), // valid, spaced
+      (2L, "pay DE89 3704 0044 0532 0130 01 thanks"), // one digit off -> invalid
+      (3L, "acct GB82WEST12345698765432 ok"),         // valid, contiguous
+      (4L, "ref AB12 3456 only"),                     // too short: not even a candidate
+      (5L, "nothing financial here"),
+      (6L, null: String)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ibanStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1L, 1L)))
+    assert(got(2L) == ((1L, 0L)))
+    assert(got(3L) == ((1L, 1L)))
+    assert(got(4L) == ((0L, 0L)))
+    assert(got(5L) == ((0L, 0L)))
+    assert(got(6L) == ((0L, 0L)))
+  }
+
   test("scriptProfile: exact per-script counts, tie order, none on script-free text") {
     val d = Seq(
       (1L, "abc 123 中文 жж"),   // latin 3, digit 3, cjk 2, cyr 2, other 3 spaces
