@@ -268,6 +268,54 @@ object PipelineDemo {
       "doc_id", "text", batchId = 1L)
     println(s"RECRAWL day1=${day1.count()} day2_novel=${recrawl.count()} (near-dup index)")
 
+    // 8. round-3 additions, end to end:
+    // 8a. a partner drops a parquet directory: register it with ZERO
+    //     rewrite (footer stats only), then tombstone inside it
+    val extDir = java.nio.file.Files.createTempDirectory("pipeline-ext").toString + "/drop"
+    raw.limit(30).select(col("doc_id"), col("lang")).write.parquet(extDir)
+    IceWrite.importParquetTable(spark, catalog, "partner_drop", extDir)
+    IceWrite.deleteWhere(spark, catalog, "partner_drop", col("doc_id") % 7 === 0)
+    println(s"IMPORTED rows=${IceRead.table(spark, catalog, "partner_drop").count()} " +
+      s"files_rewritten=0 (add_files)")
+
+    // 8b. domain blocklist on the crawl + fuzzy-join decontamination
+    //     against a reference set (e.g. a benchmark's test split)
+    val cleanCrawl = extracted.filter(
+      !TextAnalysis.blockedByDomain(col("canon_url"), Seq("tracker.example")))
+    val refSet = frontier.limit(3)
+      .select((col("doc_id") + 9000).as("ref_id"), col("text"))
+    val contaminated = Dedup.minHashJoin(cleanCrawl, refSet,
+      "doc_id", "text", "ref_id", "text", threshold = 0.8)
+    println(s"DECONTAM crawl=${cleanCrawl.count()} flagged=${contaminated.count()} " +
+      "(fuzzy join vs reference set)")
+
+    // 8c. multimodal gates: silence/clipping on audio, frame-overlap
+    //     near-dup on video
+    val wavs = Seq(
+      (1L, graft.ops.Multimodal.wavBytes(8000, 1, Array.fill[Short](8000)(0))),
+      (2L, graft.ops.Multimodal.wavBytes(8000, 1, Array.fill[Short](8000)(16384)))
+    ).toDF("media_id", "payload")
+    val sig = graft.ops.Multimodal.audioSignalStats(spark, wavs)
+      .filter(col("silence_e6") < 900000)
+    def demoFrame(p: Int) = graft.ops.Multimodal.grayBmpBytes(9, 8,
+      (x, y) => if (x <= (y + p) % 8) 0 else 255)
+    val vids = Seq(
+      (1L, graft.ops.Multimodal.aviBytes(9, 8, 40000, Seq(0, 1, 2).map(demoFrame))),
+      (2L, graft.ops.Multimodal.aviBytes(9, 8, 40000, Seq(1, 2, 3).map(demoFrame)))
+    ).toDF("media_id", "payload")
+    val vidPairs = graft.ops.Multimodal.videoNearDupPairs(spark, vids,
+      minOverlapPpm = 500000L)
+    println(s"MULTIMODAL audio_kept=${sig.count()} video_neardup_pairs=${vidPairs.count()}")
+
+    // 8d. retention: date-partitioned events, expire one day METADATA-ONLY
+    val events = (1L to 60L).map(i => (i, s"2026-01-0${i % 3 + 1}", i)).toDF("id", "ds", "v")
+    IceWrite.create(spark, catalog, "events_part", events,
+      partitionSpec = Seq(graft.meta.PartitionField("ds")))
+    IceWrite.dropPartitions(catalog, "events_part", Map("ds" -> "2026-01-01"))
+    println(s"RETENTION days_left=${IceRead.table(spark, catalog, "events_part")
+      .select("ds").distinct().count()} (partition drop, zero data moved)")
+    println(s"CATALOG tables=${catalog.listTables.size}")
+
     spark.stop()
   }
 }

@@ -79,6 +79,27 @@ class PartitionOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("older partition spec"))
   }
 
+  test("partition values needing path escaping round-trip through drop and overwrite") {
+    // '=', '/', space, '%' all collide with the directory encoding unless
+    // escaped; the manifest stores RAW values, so ops match on raw too
+    val weird = Seq("a=b", "x/y", "p q", "100%")
+    val cat = freshCatalog()
+    val df = weird.zipWithIndex.flatMap { case (g, i) =>
+      (1L to 5L).map(j => (i * 10 + j, g, j)) }.toDF("id", "grp", "v")
+    IceWrite.create(spark, cat, "tw", df, partitionSpec = Seq(PartitionField("grp")))
+    val vals = cat.loadTable("tw").currentSnapshot.get.manifest
+      .flatMap(_.partitionValues.get("grp")).toSet
+    assert(vals == weird.toSet, s"manifest stored escaped values: $vals")
+
+    IceWrite.dropPartitions(cat, "tw", Map("grp" -> "a=b"))
+    IceWrite.overwritePartitions(spark, cat, "tw",
+      Seq((999L, "x/y", 0L)).toDF("id", "grp", "v"))
+    val got = IceRead.table(spark, cat, "tw").as[(Long, String, Long)].collect()
+    assert(!got.exists(_._2 == "a=b"))
+    assert(got.filter(_._2 == "x/y").map(_._1).toSeq == Seq(999L))
+    assert(got.count(_._2 == "p q") == 5 && got.count(_._2 == "100%") == 5)
+  }
+
   test("overwritePartitions atomically replaces only the partitions present in df") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "to", rows("a", "b", "c"),
