@@ -1065,6 +1065,33 @@ object OpsQueries {
           col("s_nationkey").cast("long").as("s_nationkey"))
     }),
 
+    // CDC table MIRRORING as an oracle-checked query: source gets a
+    // create + upsert + delete, then TableSync.mirror replays the
+    // changelog into a SECOND catalog; the result reads the MIRROR, and
+    // the in-query require pins that every source snapshot was applied.
+    // The oracle reconstructs the source's final state relationally —
+    // which the mirror must equal.
+    "q_sync_mirror" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog, TableSync}
+      val src = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-sync-src").toString)
+      val dst = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-sync-dst").toString)
+      val base = tbl(s, dir, "supplier").select(
+        col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        col("s_nationkey").cast("long").as("s_nationkey"))
+      IceWrite.create(s, src, "t_q_sync", base)
+      IceWrite.upsert(s, src, "t_q_sync",
+        base.filter(col("s_suppkey") % 3 === 0)
+          .withColumn("s_name", upper(col("s_name"))), keys = Seq("s_suppkey"))
+      IceWrite.deleteWhere(s, src, "t_q_sync", col("s_suppkey") % 7 === 0)
+      val ck = java.nio.file.Files.createTempDirectory("q-sync-ck").resolve("ck")
+      val applied = TableSync.mirror(s, src, "t_q_sync", dst, "t_q_sync_m",
+        Seq("s_suppkey"), ck)
+      require(applied == 3, s"mirror applied $applied snapshots, expected 3")
+      IceRead.table(s, dst, "t_q_sync_m")
+    }),
+
     // PARTITION-LEVEL ops as one oracle-checked query: create a table
     // partitioned by l_returnflag, DROP partition R metadata-only (the
     // in-query requires prove no manifest entry survives and the
@@ -1884,6 +1911,16 @@ object OpsQueries {
         |  UNION ALL SELECT * FROM up
         |  UNION ALL SELECT * FROM ins)
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+        |FROM final0 WHERE s_suppkey % 7 <> 0""".stripMargin,
+
+    "q_sync_mirror" ->
+      """WITH final0 AS (
+        |  SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+        |  FROM supplier WHERE s_suppkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey, upper(s_name), CAST(s_nationkey AS BIGINT)
+        |  FROM supplier WHERE s_suppkey % 3 = 0)
+        |SELECT s_suppkey, s_name, s_nationkey
         |FROM final0 WHERE s_suppkey % 7 <> 0""".stripMargin,
 
     "q_partition_ops" ->

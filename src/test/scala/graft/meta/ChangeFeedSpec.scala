@@ -111,4 +111,43 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(src.exceptAll(dst).isEmpty && dst.exceptAll(src).isEmpty)
     assert(dst.count() == 2)
   }
+  test("TableSync.mirror: replication across all write kinds, compaction-invisible, replay-safe") {
+    val src = newCatalog(); val dst = newCatalog()
+    IceWrite.create(spark, src, "t_src", df(Seq((1L, "a", 10L), (2L, "b", 20L))))
+    IceWrite.append(spark, src, "t_src", df(Seq((3L, "c", 30L))))
+    IceWrite.upsert(spark, src, "t_src", df(Seq((2L, "B", 21L), (4L, "d", 40L))), Seq("id"))
+    IceWrite.deleteWhere(spark, src, "t_src", org.apache.spark.sql.functions.col("id") === 1)
+
+    val ck = Files.createTempDirectory("sync-ck").resolve("ck")
+    val applied = TableSync.mirror(spark, src, "t_src", dst, "t_dst", Seq("id"), ck)
+    assert(applied == 4)
+
+    def read(cat: Catalog, n: String) = {
+      val s = spark; import s.implicits._
+      IceRead.table(spark, cat, n).as[(Long, String, Long)].collect().toSet
+    }
+    val want = Set((2L, "B", 21L), (3L, "c", 30L), (4L, "d", 40L))
+    assert(read(src, "t_src") == want)
+    assert(read(dst, "t_dst") == want)
+
+    // compaction on the source advances the mirror with NO row movement
+    new graft.compaction.Compaction(src, "t_src", spark).compact()
+    val dstVer = dst.loadTable("t_dst").version
+    assert(TableSync.mirror(spark, src, "t_src", dst, "t_dst", Seq("id"), ck) == 1)
+    assert(dst.loadTable("t_dst").version == dstVer, "compaction-only poll wrote to the mirror")
+
+    // incremental: further source writes flow through on the next poll
+    IceWrite.upsert(spark, src, "t_src", df(Seq((3L, "C2", 31L))), Seq("id"))
+    IceWrite.deleteWhere(spark, src, "t_src", org.apache.spark.sql.functions.col("id") === 4)
+    assert(TableSync.mirror(spark, src, "t_src", dst, "t_dst", Seq("id"), ck) == 2)
+    val want2 = Set((2L, "B", 21L), (3L, "C2", 31L))
+    assert(read(src, "t_src") == want2 && read(dst, "t_dst") == want2)
+
+    // crash replay: re-applying the LAST snapshot converges (idempotent by
+    // value) — simulate by rolling the checkpoint back one snapshot
+    val last = src.loadTable("t_src").currentSnapshot.get
+    Files.write(ck, last.parentId.get.toString.getBytes("UTF-8"))
+    assert(TableSync.mirror(spark, src, "t_src", dst, "t_dst", Seq("id"), ck) == 1)
+    assert(read(dst, "t_dst") == want2, "replayed snapshot diverged the mirror")
+  }
 }
