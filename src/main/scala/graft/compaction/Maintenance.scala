@@ -37,6 +37,52 @@ object Maintenance {
     sys.error("unreachable")
   }
 
+  /** One sweep row: what happened to one table. */
+  final case class SweepReport(table: String, strategy: Option[String],
+      compactedPlans: Int, snapshotsAfter: Int, orphanFiles: Int)
+
+  /** Catalog-WIDE maintenance sweep — the cron job a fleet of tables
+    * needs, built from the shipped parts and [[Catalog.listTables]]: per
+    * table, (1) auto-compaction when the planner recommends it (its own
+    * strategy priority: delete-heavy before small-files), (2) snapshot
+    * expiry to `keepLastSnapshots`, (3) orphan detection past the grace
+    * period, reclaimed only when `reclaimOrphans` (detection is free;
+    * deletion is the irreversible half). Planning is metadata-only per
+    * table; only tables the planner selects pay a rewrite. A failure on
+    * one table is recorded and does not stop the sweep. */
+  def sweep(spark: org.apache.spark.sql.SparkSession, catalog: Catalog,
+      autoConfig: AutoCompactionConfig = AutoCompactionConfig(),
+      keepLastSnapshots: Int = 5,
+      orphanGraceMs: Long = DefaultOrphanGraceMs,
+      reclaimOrphans: Boolean = false): Seq[SweepReport] =
+    catalog.listTables.map { t =>
+      try {
+        val planner = new AutoCompactionPlanner(autoConfig)
+        val rep = planner.planReport(catalog, t)
+        val nPlans =
+          if (rep.plans.isEmpty) 0
+          else {
+            val meta = catalog.loadTable(t)
+            val stats = planner.computeStats(meta.scanTasks(meta.currentSnapshot.get))
+            val cfg = rep.selectedStrategy match {
+              case Some("FilesWithDeletes") => planner.filesWithDeletesCandidate(stats)
+              case _                        => planner.smallFilesCandidate(stats)
+            }
+            cfg.map { pc =>
+              new Compaction(catalog, t, spark, config = pc).compact().stats.size
+            }.getOrElse(0)
+          }
+        val after = expireSnapshots(catalog, t, keepLastSnapshots)
+        val orphans = orphanFiles(catalog, t, orphanGraceMs)
+        if (reclaimOrphans && orphans.nonEmpty) deleteOrphans(catalog, t, orphans): Unit
+        SweepReport(t, rep.selectedStrategy, nPlans, after.snapshots.size, orphans.size)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[sweep] $t failed: ${e.getMessage}")
+          SweepReport(t, None, 0, -1, 0)
+      }
+    }
+
   /** Age-based expiry (Iceberg's expireSnapshots olderThan): drops
     * snapshots committed before the cutoff, always keeping every
     * ref-pinned snapshot, the current one, and at least `retainLast`

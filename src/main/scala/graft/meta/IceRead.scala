@@ -299,4 +299,21 @@ object IceRead {
   def createTempView(spark: SparkSession, catalog: Catalog, name: String,
       viewName: String, branch: String = "main"): Unit =
     table(spark, catalog, name, branch).createOrReplaceTempView(viewName)
+
+  /** One-call SQL attach: every table in the catalog becomes a temp view
+    * (optionally `prefix`ed) and the native graft functions (vec_dot,
+    * jaccard_ge, nfc, iceberg_bucket, minhash_lanes, vec_hamming)
+    * register in the session — after this, plain `spark.sql` queries the
+    * whole warehouse with MOR semantics and pushdown intact (views are
+    * plans, not materializations; Catalyst optimizes through them).
+    * Returns the attached view names. */
+  def attachViews(spark: SparkSession, catalog: Catalog,
+      prefix: String = ""): Seq[String] = {
+    graft.functions.GraftExtensions.register(spark)
+    catalog.listTables.map { t =>
+      val v = prefix + t
+      createTempView(spark, catalog, t, v)
+      v
+    }
+  }
 }

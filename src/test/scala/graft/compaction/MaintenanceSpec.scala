@@ -288,4 +288,36 @@ class MaintenanceSpec extends AnyFunSuite {
     Maintenance.convertEqualityDeletes(spark, catalog, "t")
     assert(catalog.loadTable("t").version == v)
   }
+  test("sweep: catalog-wide auto-compaction + expiry + orphan report; SQL attach") {
+    val catalog = LocalCatalog(Files.createTempDirectory("sweep-wh").toString)
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    // fragmented table: 6 small files -> SmallFiles candidate fires
+    FileGenerator.writeTable(spark, catalog, "t_frag", src,
+      FileGenerator.Config(dataFileCount = 6, orderCol = "n_nationkey"))
+    // single-file table: nothing to do
+    graft.meta.IceWrite.create(spark, catalog, "t_clean", src.coalesce(1))
+
+    val reports = Maintenance.sweep(spark, catalog, keepLastSnapshots = 1)
+      .map(r => r.table -> r).toMap
+    assert(reports.keySet == Set("t_clean", "t_frag"))
+    assert(reports("t_frag").compactedPlans >= 1 &&
+      reports("t_frag").strategy.contains("SmallFiles"))
+    assert(reports("t_clean").compactedPlans == 0)
+    // expiry ran: only the head snapshot remains on the compacted table
+    assert(reports("t_frag").snapshotsAfter == 1)
+    val frag = catalog.loadTable("t_frag")
+    assert(frag.currentSnapshot.get.manifest.count(
+      _.content == graft.meta.FileContent.Data) < 6)
+
+    // a second sweep is a no-op: planner reports no candidate
+    val again = Maintenance.sweep(spark, catalog, keepLastSnapshots = 1)
+    assert(again.forall(_.compactedPlans == 0))
+
+    // SQL attach: every table becomes a view; graft functions registered
+    val views = graft.meta.IceRead.attachViews(spark, catalog, prefix = "g_")
+    assert(views.sorted == Seq("g_t_clean", "g_t_frag"))
+    val n = spark.sql(
+      "SELECT count(*) FROM g_t_frag WHERE nfc(n_name) = n_name").head().getLong(0)
+    assert(n == src.count())
+  }
 }

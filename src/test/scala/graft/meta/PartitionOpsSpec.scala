@@ -79,6 +79,43 @@ class PartitionOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("older partition spec"))
   }
 
+  test("overwritePartitions re-evaluates the prune after losing a CAS race") {
+    val inner = freshCatalog()
+    IceWrite.create(spark, inner, "tr", rows("a", "b"),
+      partitionSpec = Seq(PartitionField("grp")))
+
+    // a catalog whose FIRST commit attempt loses the race to a concurrent
+    // append INTO THE REPLACED PARTITION: the retry must see the freshly
+    // appended b-file and replace it too, or the overwrite half-applies
+    val sneak = (5L to 6L).map(i => (i * 1000, "b", i)).toDF("id", "grp", "v")
+    val racing: Catalog = new Catalog {
+      var raced = false
+      override def createTable(m: TableMetadata) = inner.createTable(m)
+      override def loadTable(n: String) = inner.loadTable(n)
+      override def tableExists(n: String) = inner.tableExists(n)
+      override def dropTable(n: String) = inner.dropTable(n)
+      override def commit(base: TableMetadata, updated: TableMetadata) = {
+        if (!raced) {
+          raced = true
+          IceWrite.append(spark, inner, "tr", sneak) // steals the version
+        }
+        inner.commit(base, updated)
+      }
+      override def tableLocation(n: String) = inner.tableLocation(n)
+      override def dataDir(n: String) = inner.dataDir(n)
+      override def listTables = inner.listTables
+    }
+
+    val incoming = Seq((777L, "b", 1L)).toDF("id", "grp", "v")
+    IceWrite.overwritePartitions(spark, racing, "tr", incoming)
+
+    val got = IceRead.table(spark, inner, "tr").as[(Long, String, Long)].collect()
+    // the sneaked rows were in partition b and must NOT survive the
+    // overwrite's retry; partition a is untouched
+    assert(got.filter(_._2 == "b").map(_._1).toSeq == Seq(777L))
+    assert(got.count(_._2 == "a") == 10)
+  }
+
   test("partition values needing path escaping round-trip through drop and overwrite") {
     // '=', '/', space, '%' all collide with the directory encoding unless
     // escaped; the manifest stores RAW values, so ops match on raw too
