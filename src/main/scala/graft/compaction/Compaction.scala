@@ -129,6 +129,10 @@ final class Compaction(
       sortOrder = table.sortOrder,
       formatVersion = table.formatVersion,
       tableSchema = table.schema,
+      // v3: surviving rows keep their identity — the rewrite reads row
+      // ids and materializes `_row_id` into the new files
+      preserveRowIds = table.formatVersion >= 3 &&
+        table.schema.nonEmpty && table.schema.forall(_.isTyped),
       bytesPerRecordHint =
         if (enableDynamicSizeEstimation) sizeEstimator.estimate.getOrElse(0.0) else 0.0,
       // Iceberg's write.distribution-mode=range: sort-ordered tables opt
@@ -270,7 +274,17 @@ final class CommitManager(
 
     val newSeq = table.lastSequenceNumber + 1
     val fileSeq = if (useStartingSequenceNumber) starting.sequenceNumber else newSeq
-    val stamped = added.map(_.copy(sequenceNumber = fileSeq, content = FileContent.Data))
+    // v3 row lineage: rewritten files materialize `_row_id`, so their
+    // inherited range is never consulted for surviving rows — but the
+    // range is still claimed (fresh cursor in the same CAS), keeping the
+    // invariant that every v3 data file owns disjoint ids
+    var rowCursor = table.nextRowId
+    val stamped = added.map { f =>
+      val s = f.copy(sequenceNumber = fileSeq, content = FileContent.Data)
+      if (table.formatVersion < 3) s
+      else { val assigned = s.copy(firstRowId = Some(rowCursor))
+             rowCursor += s.recordCount; assigned }
+    }
 
     val removed = rewrittenPaths.toSet
     val newManifest = current.manifest.filterNot(f => removed.contains(f.path)) ++ stamped
@@ -296,7 +310,8 @@ final class CommitManager(
       currentSnapshotId = Some(snapshotId),
       refs = table.refs + (toBranch -> snapshotId),
       snapshots = table.snapshots :+ snap,
-      lastSequenceNumber = newSeq
+      lastSequenceNumber = newSeq,
+      nextRowId = rowCursor
     )
     val committed = catalog.commit(table, updated)
     metrics.commitSucceeded.incrementAndGet()

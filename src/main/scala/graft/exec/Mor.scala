@@ -38,6 +38,20 @@ object Mor {
   val FilePathCol = "sys_hidden_file_path"
   val PosCol = "sys_hidden_pos"
 
+  /** Iceberg v3 row-lineage column: row N of a data file has id
+    * `firstRowId + N` unless the file MATERIALIZES this column (rewrites
+    * do — that is how ids survive compaction). */
+  val RowIdCol = "_row_id"
+  /** Engine-reserved parquet field id for the materialized [[RowIdCol]]
+    * (far above any user column, mirroring Iceberg's reserved-id
+    * convention for metadata columns). */
+  val RowIdFieldId = 2147483540
+  private[graft] def rowIdField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(RowIdCol,
+      org.apache.spark.sql.types.LongType, nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(SchemaField.ParquetFieldIdKey, RowIdFieldId.toLong).build())
+
   /** Broadcast gate for delete sides, in manifest (compressed parquet)
     * bytes. 64 MiB compressed unpacks to a few hundred MB of hashed
     * relation — near the edge of what a driver/executor should hold; past
@@ -218,13 +232,24 @@ object Mor {
       formatVersion: Int = 2,
       tableSchema: Seq[SchemaField] = Nil,
       broadcastDeleteBytesMax: Long = BroadcastDeleteBytesMax,
-      keepHidden: Boolean = false
+      keepHidden: Boolean = false,
+      /** emit [[RowIdCol]] (v3 row lineage): the materialized `_row_id`
+        * when the file carries one, else the inherited
+        * `firstRowId + row position`. Requires a typed schema. */
+      keepRowIds: Boolean = false
   ): DataFrame = {
     require(group.dataFiles.nonEmpty, "empty file group")
     val typed: Option[StructType] =
       if (tableSchema.nonEmpty && tableSchema.forall(_.isTyped))
         Some(StructType(tableSchema.map(_.toStructField)))
       else None
+    require(!keepRowIds || typed.isDefined,
+      "row-lineage reads require a fully typed table schema")
+    // the data read schema gains the optional materialized _row_id field:
+    // files that carry it (rewrites) yield values, files that don't
+    // (plain appends) fill NULL and inherit firstRowId + position
+    val dataTyped = if (keepRowIds) typed.map(st => StructType(st.fields :+ rowIdField))
+                    else typed
 
     // id-matched parquet reads go through the field-id-scoped reader
     // (harmless for requested schemas without ids — those match by name);
@@ -234,7 +259,7 @@ object Mor {
       r.parquet(files.map(_.path): _*)
     }
     def readDataSelect(files: Seq[FileEntry], cols: Seq[Column]): DataFrame =
-      readDataWith(spark, files, typed)(_.select(cols: _*))
+      readDataWith(spark, files, dataTyped)(_.select(cols: _*))
     // with a typed schema, the authoritative eq key is the field-id list;
     // resolve to CURRENT names so the join condition survives renames
     def resolveEq(f: FileEntry): FileEntry =
@@ -257,12 +282,14 @@ object Mor {
     val hidden = if (keepHidden) Seq(col(FilePathCol), col(PosCol)) else Nil
 
     // no deletes: plain projected scan (datafusion_processor.rs:447-458)
-    if (!needSeq && !needFilePos && !keepHidden)
+    if (!needSeq && !needFilePos && !keepHidden && !keepRowIds)
       return readDataSelect(group.dataFiles, projected)
 
     var df = readDataSelect(group.dataFiles,
       projected ++ Seq(normalizePath(col("_metadata.file_path")).as(FilePathCol)) ++
-        (if (needFilePos || keepHidden) Seq(col("_metadata.row_index").as(PosCol)) else Nil))
+        (if (needFilePos || keepHidden || keepRowIds)
+          Seq(col("_metadata.row_index").as(PosCol)) else Nil) ++
+        (if (keepRowIds) Seq(col(RowIdCol).as("__mat_row_id")) else Nil))
 
     if (needSeq) {
       // per-file sequence number: broadcast join on the manifest map
@@ -304,6 +331,24 @@ object Mor {
       df = df.join(gatedDel, cond, "left_anti")
     }
 
-    df.select(projected ++ hidden: _*)
+    if (!keepRowIds) df.select(projected ++ hidden: _*)
+    else {
+      // inherited half: the per-file firstRowId range from the manifest
+      // (tiny broadcast map, like the sequence numbers); files without an
+      // assigned range (pre-v3 history) yield NULL ids rather than lies
+      import scala.jdk.CollectionConverters._
+      val rowMap = spark.createDataFrame(
+        group.dataFiles.map(f => org.apache.spark.sql.Row(
+          f.path, f.firstRowId.map(Long.box).orNull)).asJava,
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField(FilePathCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__first_row_id",
+            org.apache.spark.sql.types.LongType))))
+      val withIds = df.join(broadcast(rowMap), Seq(FilePathCol), "left")
+      withIds.select(projected ++ hidden :+
+        coalesce(col("__mat_row_id"), col("__first_row_id") + col(PosCol))
+          .as(RowIdCol): _*)
+    }
   }
 }

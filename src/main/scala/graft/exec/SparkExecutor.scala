@@ -35,7 +35,11 @@ final case class RewriteRequest(
       * `write.distribution-mode=range`): output files get GLOBALLY ordered,
       * non-overlapping zone maps, so range reads prune to the few files
       * that intersect instead of every file overlapping every query. */
-    rangeDistribute: Boolean = false
+    rangeDistribute: Boolean = false,
+    /** v3 row lineage: read surviving rows WITH their row ids and
+      * MATERIALIZE `_row_id` into the rewritten files — compaction must
+      * not re-identify rows. Set by Compaction on v3 tables. */
+    preserveRowIds: Boolean = false
 )
 
 final case class RewriteStats(
@@ -184,7 +188,8 @@ object SparkExecutor extends CompactionExecutor {
     val t0 = System.nanoTime()
     val g = req.group
     val morDf = req.rowTransform(
-      Mor.dataFrame(spark, g, req.schemaColumns, req.formatVersion, req.tableSchema))
+      Mor.dataFrame(spark, g, req.schemaColumns, req.formatVersion, req.tableSchema,
+        keepRowIds = req.preserveRowIds))
     // re-stamp field ids explicitly: the MOR frame's id metadata is
     // stripped on the name-matched branch (add_files-imported inputs), and
     // a union drops it when such files dominate — rewritten files must
@@ -198,6 +203,12 @@ object SparkExecutor extends CompactionExecutor {
             case Some(f) =>
               val md = new org.apache.spark.sql.types.MetadataBuilder()
                 .putLong(SchemaField.ParquetFieldIdKey, f.id.toLong).build()
+              col(c).as(c, md)
+            // the materialized lineage column gets its reserved id so
+            // id-matched reads resolve it in rewritten files
+            case None if c == Mor.RowIdCol =>
+              val md = new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(SchemaField.ParquetFieldIdKey, Mor.RowIdFieldId.toLong).build()
               col(c).as(c, md)
             case None => col(c)
           }

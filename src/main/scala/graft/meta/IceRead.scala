@@ -124,8 +124,21 @@ object IceRead {
   /** The MOR view of one snapshot; `keepHidden` retains
     * [[Mor.FilePathCol]]/[[Mor.PosCol]] row lineage (changelog delete
     * attribution needs to address live rows physically). */
+  /** MOR view of the current snapshot PLUS the v3 `_row_id` lineage
+    * column: a row's id is stable across deletes, upserts of OTHER keys,
+    * and compaction (rewrites materialize it) — the identity downstream
+    * attribution and audit joins key on. Requires a v3, typed table. */
+  def tableWithRowIds(spark: SparkSession, catalog: Catalog, name: String,
+      branch: String = "main"): DataFrame = {
+    val meta = catalog.loadTable(name)
+    require(meta.formatVersion >= 3,
+      s"row lineage requires format version >= 3 (table $name is v${meta.formatVersion})")
+    ofSnapshot(spark, meta, resolveSnapshot(meta, name, branch), keepRowIds = true)
+  }
+
   private[meta] def ofSnapshot(spark: SparkSession, meta: TableMetadata, snap: Snapshot,
-      keep: FileEntry => Boolean = _ => true, keepHidden: Boolean = false): DataFrame = {
+      keep: FileEntry => Boolean = _ => true, keepHidden: Boolean = false,
+      keepRowIds: Boolean = false): DataFrame = {
     val all = meta.scanTasks(snap)
     require(all.nonEmpty, s"table ${meta.name} is empty")
     val tasks = all.filter(keep)
@@ -157,7 +170,7 @@ object IceRead {
     taskGroups.map { ts =>
       val group = FileGroup.fromDataFiles(ts, byPath.get)
       Mor.dataFrame(spark, group, meta.schemaColumns, meta.formatVersion, meta.schema,
-        keepHidden = keepHidden)
+        keepHidden = keepHidden, keepRowIds = keepRowIds)
     }.reduce(_ unionAll _)
   }
 

@@ -290,9 +290,20 @@ object IceWrite {
       val meta = catalog.loadTable(name)
       val base = meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
       val newSeq = meta.lastSequenceNumber + 1
-      val stamped = sets.flatMap(s => s.files.map(_.copy(
+      val stamped0 = sets.flatMap(s => s.files.map(_.copy(
         content = s.content, sequenceNumber = newSeq,
         equalityIds = s.equalityIds, equalityFieldIds = s.equalityFieldIds)))
+      // v3 row lineage: every data file claims [cursor, cursor + rows);
+      // assigned INSIDE the retry loop against the fresh head, so
+      // concurrent appends get disjoint ranges through the CAS
+      var rowCursor = meta.nextRowId
+      val stamped =
+        if (meta.formatVersion < 3) stamped0
+        else stamped0.map { f =>
+          if (f.content != FileContent.Data || f.isDeletionVector) f
+          else { val assigned = f.copy(firstRowId = Some(rowCursor))
+                 rowCursor += f.recordCount; assigned }
+        }
       val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
       val parentManifest = base.map(_.manifest).getOrElse(Nil)
       val newManifest = pruneParent(parentManifest) ++ stamped
@@ -312,6 +323,7 @@ object IceWrite {
         refs = meta.refs + (branch -> snapshotId),
         snapshots = meta.snapshots :+ snap,
         lastSequenceNumber = newSeq,
+        nextRowId = rowCursor,
         properties = meta.properties ++ extraProperties)
       try return catalog.commit(meta, updated)
       catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }

@@ -54,6 +54,7 @@ object MetadataJson {
         .map { case (k, v) => k -> (str(v): JValue) }),
       "snapshots" -> JArray(snapJsons.toList),
       "last-sequence-number" -> JLong(m.lastSequenceNumber),
+      "next-row-id" -> JLong(m.nextRowId),
       "version" -> JInt(m.version)
     )
   }
@@ -109,7 +110,8 @@ object MetadataJson {
       f.contentOffset.map(o => "content-offset" -> (JLong(o): JValue)).toList ++
       f.contentSizeInBytes.map(s => "content-size-in-bytes" -> (JLong(s): JValue)).toList ++
       // written only when true, so pre-add_files metadata round-trips
-      (if (f.nameMatched) List("name-matched" -> (JBool(true): JValue)) else Nil)
+      (if (f.nameMatched) List("name-matched" -> (JBool(true): JValue)) else Nil) ++
+      f.firstRowId.map(r => "first-row-id" -> (JLong(r): JValue)).toList
   )
 
   def write(m: TableMetadata): String = JsonMethods.pretty(JsonMethods.render(toJson(m)))
@@ -144,7 +146,8 @@ object MetadataJson {
         referencedDataFile = m.get("referenced-data-file").map(fStr),
         contentOffset = m.get("content-offset").flatMap(optLong),
         contentSizeInBytes = m.get("content-size-in-bytes").flatMap(optLong),
-        nameMatched = m.get("name-matched").exists(fBool)
+        nameMatched = m.get("name-matched").exists(fBool),
+        firstRowId = m.get("first-row-id").flatMap(optLong)
       )
     }
     // forward pass: delta manifests resolve against already-decoded
@@ -211,6 +214,7 @@ object MetadataJson {
         .map { case (k, v) => k -> fStr(v) }.toMap,
       snapshots = arr(m.getOrElse("snapshots", JArray(Nil))).map(snap),
       lastSequenceNumber = fLong(m.getOrElse("last-sequence-number", JLong(0L))),
+      nextRowId = fLong(m.getOrElse("next-row-id", JLong(0L))),
       version = fLong(m.getOrElse("version", JInt(0))).toInt,
       lastColumnId = fLong(m.getOrElse("last-column-id", JInt(0))).toInt
     )

@@ -107,7 +107,12 @@ final case class FileEntry(
       * columns BY NAME for these files (and only these). Cleared the
       * moment compaction rewrites them — rewritten files get ids stamped
       * and graduate to rename-safe id addressing. */
-    nameMatched: Boolean = false
+    nameMatched: Boolean = false,
+    /** Iceberg v3 row lineage: the first row id of this data file's
+      * claimed range — row N of the file has id firstRowId + N unless the
+      * file materializes a `_row_id` column (rewrites do, preserving ids
+      * through compaction). None on v2 tables and non-data files. */
+    firstRowId: Option[Long] = None
 ) {
   /** true for Iceberg v3 deletion-vector entries ([[Puffin]] blob payloads). */
   def isDeletionVector: Boolean =
@@ -197,7 +202,13 @@ final case class TableMetadata(
     /** TABLE-level properties (Iceberg's metadata `properties` map) —
       * config and persisted statistics; snapshot summaries (op 36) are
       * per-commit, these span commits. */
-    properties: Map[String, String] = Map.empty
+    properties: Map[String, String] = Map.empty,
+    /** Iceberg v3 ROW LINEAGE cursor (`next-row-id`): the next unassigned
+      * row id. Every data file committed to a v3 table claims the range
+      * [firstRowId, firstRowId + recordCount); the cursor advances in the
+      * SAME CAS as the snapshot, so concurrent appends get disjoint
+      * ranges. 0 until the first v3 data commit. */
+    nextRowId: Long = 0L
 ) {
   /** Current column names, in schema order. */
   def schemaColumns: Seq[String] = schema.map(_.name)

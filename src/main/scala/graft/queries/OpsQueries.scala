@@ -1065,6 +1065,34 @@ object OpsQueries {
           col("s_nationkey").cast("long").as("s_nationkey"))
     }),
 
+    // v3 ROW LINEAGE as an oracle-checked query: a single sorted data
+    // file makes the inherited id assignment deterministic (row N of the
+    // file = rank N in s_suppkey order), deleteWhere tombstones a seventh
+    // of the rows, and compaction REWRITES the survivors — the in-query
+    // require proves the post-compaction ids equal the pre-compaction
+    // ids row for row (materialized `_row_id`). The oracle replays the
+    // id as rank-1 over the full table, filtered.
+    "q_row_lineage" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-lineage-wh").toString)
+      val src = tbl(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
+        .repartition(1).sortWithinPartitions("s_suppkey")
+      IceWrite.create(s, catalog, "t_q_lin", src, formatVersion = 3)
+      IceWrite.deleteWhere(s, catalog, "t_q_lin", col("s_suppkey") % 7 === 0)
+      val before = IceRead.tableWithRowIds(s, catalog, "t_q_lin")
+        .select(col("s_suppkey"), col("_row_id")).collect().toSet
+      new graft.compaction.Compaction(catalog, "t_q_lin", s).compact()
+      val afterDf = IceRead.tableWithRowIds(s, catalog, "t_q_lin")
+        .select(col("s_suppkey"), col("_row_id").as("row_id"))
+      require(afterDf.select(col("s_suppkey"), col("row_id")).collect().toSet
+        .map((r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))) ==
+        before.map((r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))),
+        "compaction re-identified rows")
+      afterDf
+    }),
+
     // CDC table MIRRORING as an oracle-checked query: source gets a
     // create + upsert + delete, then TableSync.mirror replays the
     // changelog into a SECOND catalog; the result reads the MIRROR, and
@@ -1912,6 +1940,14 @@ object OpsQueries {
         |  UNION ALL SELECT * FROM ins)
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
         |FROM final0 WHERE s_suppkey % 7 <> 0""".stripMargin,
+
+    "q_row_lineage" ->
+      """WITH ranked AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        |         row_number() OVER (ORDER BY s_suppkey) - 1 AS row_id
+        |  FROM supplier)
+        |SELECT s_suppkey, CAST(row_id AS BIGINT) AS row_id
+        |FROM ranked WHERE s_suppkey % 7 <> 0""".stripMargin,
 
     "q_sync_mirror" ->
       """WITH final0 AS (

@@ -1,0 +1,105 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Iceberg v3 row lineage: disjoint id ranges claimed at commit through
+  * the CAS, inherited `_row_id` reads, identity surviving deletes and —
+  * via materialization — compaction. */
+class RowLineageSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def freshCatalog() =
+    LocalCatalog(Files.createTempDirectory("lineage-wh").toString)
+
+  private def rows(from: Long, n: Long) =
+    (from until from + n).map(i => (i, s"n$i")).toDF("id", "name")
+
+  test("v3 commits claim disjoint ranges; v2 tables claim nothing") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "t3", rows(0, 10).repartition(2), formatVersion = 3)
+    IceWrite.append(spark, cat, "t3", rows(100, 5))
+    val meta = cat.loadTable("t3")
+    val data = meta.currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data).sortBy(_.firstRowId.get)
+    assert(data.forall(_.firstRowId.isDefined))
+    // ranges tile [0, totalRows) exactly: each file starts where the
+    // previous ended
+    val expectedStarts = data.scanLeft(0L)(_ + _.recordCount).init
+    assert(data.map(_.firstRowId.get) == expectedStarts)
+    assert(meta.nextRowId == 15L)
+
+    val cat2 = freshCatalog()
+    IceWrite.create(spark, cat2, "t2", rows(0, 10))
+    val m2 = cat2.loadTable("t2")
+    assert(m2.nextRowId == 0L)
+    assert(m2.currentSnapshot.get.manifest.forall(_.firstRowId.isEmpty))
+    intercept[IllegalArgumentException](
+      IceRead.tableWithRowIds(spark, cat2, "t2"))
+  }
+
+  test("row ids are unique, dense, and stable across deletes") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "t", rows(0, 20).repartition(3), formatVersion = 3)
+    val before = IceRead.tableWithRowIds(spark, cat, "t")
+      .select(col("id"), col(graft.exec.Mor.RowIdCol))
+      .as[(Long, Long)].collect().toMap
+    assert(before.values.toSeq.sorted == (0L until 20L))
+
+    IceWrite.deleteWhere(spark, cat, "t", col("id") % 3 === 0)
+    val after = IceRead.tableWithRowIds(spark, cat, "t")
+      .select(col("id"), col(graft.exec.Mor.RowIdCol))
+      .as[(Long, Long)].collect().toMap
+    assert(after.keySet == (0L until 20L).filterNot(_ % 3 == 0).toSet)
+    // every survivor keeps exactly its old id
+    assert(after.forall { case (k, rid) => before(k) == rid })
+  }
+
+  test("compaction preserves row ids by materializing _row_id") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "tc", rows(0, 30).repartition(4), formatVersion = 3)
+    IceWrite.deleteWhere(spark, cat, "tc", col("id") >= 25)
+    IceWrite.append(spark, cat, "tc", rows(500, 5))
+    val before = IceRead.tableWithRowIds(spark, cat, "tc")
+      .select(col("id"), col(graft.exec.Mor.RowIdCol))
+      .as[(Long, Long)].collect().toMap
+
+    new graft.compaction.Compaction(cat, "tc", spark).compact()
+
+    val meta = cat.loadTable("tc")
+    val dataFiles = meta.currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data)
+    // rewritten files physically carry the lineage column
+    val footerCols = graft.exec.SparkExecutor.parquetFooterColumns(
+      spark.sessionState.newHadoopConf(),
+      java.nio.file.Paths.get(dataFiles.head.path))
+    assert(footerCols.contains(graft.exec.Mor.RowIdCol))
+
+    val after = IceRead.tableWithRowIds(spark, cat, "tc")
+      .select(col("id"), col(graft.exec.Mor.RowIdCol))
+      .as[(Long, Long)].collect().toMap
+    assert(after == before, "compaction re-identified rows")
+
+    // and the next append continues from an advanced cursor (the rewrite
+    // claimed ranges even though its rows are materialized)
+    IceWrite.append(spark, cat, "tc", rows(900, 3))
+    val ids = IceRead.tableWithRowIds(spark, cat, "tc")
+      .select(col(graft.exec.Mor.RowIdCol)).as[Long].collect()
+    assert(ids.distinct.length == ids.length, "duplicate row ids after append")
+  }
+
+  test("metadata JSON round-trips lineage fields") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "tj", rows(0, 4), formatVersion = 3)
+    val meta = cat.loadTable("tj")
+    val re = MetadataJson.read(MetadataJson.write(meta))
+    assert(re == meta)
+    assert(re.nextRowId == 4L)
+    assert(re.currentSnapshot.get.manifest.head.firstRowId.contains(0L))
+  }
+}
