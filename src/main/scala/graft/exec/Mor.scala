@@ -46,11 +46,22 @@ object Mor {
     * (far above any user column, mirroring Iceberg's reserved-id
     * convention for metadata columns). */
   val RowIdFieldId = 2147483540
-  private[graft] def rowIdField: org.apache.spark.sql.types.StructField =
-    org.apache.spark.sql.types.StructField(RowIdCol,
+
+  /** v3's second lineage column: the sequence number of the commit that
+    * last CREATED/UPDATED the row — the data file's sequence for plain
+    * rows, the materialized original for rewritten rows (compaction must
+    * not look like an update). */
+  val LastUpdatedSeqCol = "_last_updated_seq"
+  val LastUpdatedSeqFieldId = 2147483539
+
+  private def reservedField(name: String, id: Int): org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(name,
       org.apache.spark.sql.types.LongType, nullable = true,
       new org.apache.spark.sql.types.MetadataBuilder()
-        .putLong(SchemaField.ParquetFieldIdKey, RowIdFieldId.toLong).build())
+        .putLong(SchemaField.ParquetFieldIdKey, id.toLong).build())
+  private[graft] def rowIdField = reservedField(RowIdCol, RowIdFieldId)
+  private[graft] def lastUpdatedSeqField =
+    reservedField(LastUpdatedSeqCol, LastUpdatedSeqFieldId)
 
   /** Broadcast gate for delete sides, in manifest (compressed parquet)
     * bytes. 64 MiB compressed unpacks to a few hundred MB of hashed
@@ -245,11 +256,13 @@ object Mor {
       else None
     require(!keepRowIds || typed.isDefined,
       "row-lineage reads require a fully typed table schema")
-    // the data read schema gains the optional materialized _row_id field:
-    // files that carry it (rewrites) yield values, files that don't
-    // (plain appends) fill NULL and inherit firstRowId + position
-    val dataTyped = if (keepRowIds) typed.map(st => StructType(st.fields :+ rowIdField))
-                    else typed
+    // the data read schema gains the optional materialized lineage
+    // fields: files that carry them (rewrites) yield values, files that
+    // don't (plain appends) fill NULL and inherit from the manifest
+    val dataTyped =
+      if (keepRowIds)
+        typed.map(st => StructType(st.fields :+ rowIdField :+ lastUpdatedSeqField))
+      else typed
 
     // id-matched parquet reads go through the field-id-scoped reader
     // (harmless for requested schemas without ids — those match by name);
@@ -289,7 +302,8 @@ object Mor {
       projected ++ Seq(normalizePath(col("_metadata.file_path")).as(FilePathCol)) ++
         (if (needFilePos || keepHidden || keepRowIds)
           Seq(col("_metadata.row_index").as(PosCol)) else Nil) ++
-        (if (keepRowIds) Seq(col(RowIdCol).as("__mat_row_id")) else Nil))
+        (if (keepRowIds) Seq(col(RowIdCol).as("__mat_row_id"),
+          col(LastUpdatedSeqCol).as("__mat_upd_seq")) else Nil))
 
     if (needSeq) {
       // per-file sequence number: broadcast join on the manifest map
@@ -339,16 +353,21 @@ object Mor {
       import scala.jdk.CollectionConverters._
       val rowMap = spark.createDataFrame(
         group.dataFiles.map(f => org.apache.spark.sql.Row(
-          f.path, f.firstRowId.map(Long.box).orNull)).asJava,
+          f.path, f.firstRowId.map(Long.box).orNull,
+          Long.box(f.sequenceNumber))).asJava,
         StructType(Seq(
           org.apache.spark.sql.types.StructField(FilePathCol,
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("__first_row_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__file_seq",
             org.apache.spark.sql.types.LongType))))
       val withIds = df.join(broadcast(rowMap), Seq(FilePathCol), "left")
       withIds.select(projected ++ hidden :+
         coalesce(col("__mat_row_id"), col("__first_row_id") + col(PosCol))
-          .as(RowIdCol): _*)
+          .as(RowIdCol) :+
+        coalesce(col("__mat_upd_seq"), col("__file_seq"))
+          .as(LastUpdatedSeqCol): _*)
     }
   }
 }

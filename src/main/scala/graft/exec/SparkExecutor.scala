@@ -204,11 +204,12 @@ object SparkExecutor extends CompactionExecutor {
               val md = new org.apache.spark.sql.types.MetadataBuilder()
                 .putLong(SchemaField.ParquetFieldIdKey, f.id.toLong).build()
               col(c).as(c, md)
-            // the materialized lineage column gets its reserved id so
-            // id-matched reads resolve it in rewritten files
-            case None if c == Mor.RowIdCol =>
+            // the materialized lineage columns get their reserved ids so
+            // id-matched reads resolve them in rewritten files
+            case None if c == Mor.RowIdCol || c == Mor.LastUpdatedSeqCol =>
+              val id = if (c == Mor.RowIdCol) Mor.RowIdFieldId else Mor.LastUpdatedSeqFieldId
               val md = new org.apache.spark.sql.types.MetadataBuilder()
-                .putLong(SchemaField.ParquetFieldIdKey, Mor.RowIdFieldId.toLong).build()
+                .putLong(SchemaField.ParquetFieldIdKey, id.toLong).build()
               col(c).as(c, md)
             case None => col(c)
           }

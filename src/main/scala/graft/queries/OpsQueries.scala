@@ -1085,7 +1085,8 @@ object OpsQueries {
         .select(col("s_suppkey"), col("_row_id")).collect().toSet
       new graft.compaction.Compaction(catalog, "t_q_lin", s).compact()
       val afterDf = IceRead.tableWithRowIds(s, catalog, "t_q_lin")
-        .select(col("s_suppkey"), col("_row_id").as("row_id"))
+        .select(col("s_suppkey"), col("_row_id").as("row_id"),
+          col("_last_updated_seq").as("last_seq"))
       require(afterDf.select(col("s_suppkey"), col("row_id")).collect().toSet
         .map((r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))) ==
         before.map((r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))),
@@ -1946,7 +1947,8 @@ object OpsQueries {
         |  SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
         |         row_number() OVER (ORDER BY s_suppkey) - 1 AS row_id
         |  FROM supplier)
-        |SELECT s_suppkey, CAST(row_id AS BIGINT) AS row_id
+        |SELECT s_suppkey, CAST(row_id AS BIGINT) AS row_id,
+        |       CAST(1 AS BIGINT) AS last_seq
         |FROM ranked WHERE s_suppkey % 7 <> 0""".stripMargin,
 
     "q_sync_mirror" ->

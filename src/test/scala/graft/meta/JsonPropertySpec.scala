@@ -35,7 +35,10 @@ class JsonPropertySpec extends AnyFunSuite {
     parts <- shortListOf(2, Gen.zip(nameGen, Gen.oneOf("1", "2", "a b", "x=y"))).map(_.toMap)
     stats <- shortListOf(3, Gen.zip(nameGen,
       Gen.zip(Gen.chooseNum(-1000, 1000).map(_.toString), Gen.chooseNum(1000, 9999).map(_.toString)))).map(_.toMap)
-  } yield FileEntry(path, len, content, rows, seq, eqIds, eqFids, parts, Nil, stats)
+    nameMatched <- Gen.oneOf(true, false)
+    firstRowId <- Gen.option(Gen.chooseNum(0L, 1L << 40))
+  } yield FileEntry(path, len, content, rows, seq, eqIds, eqFids, parts, Nil, stats,
+    nameMatched = nameMatched, firstRowId = firstRowId)
 
   private val snapGen: Gen[Snapshot] = for {
     id <- Gen.chooseNum(1L, 99L)
@@ -62,8 +65,9 @@ class JsonPropertySpec extends AnyFunSuite {
     lastCol <- Gen.chooseNum(0, 60)
     tags <- shortListOf(3, Gen.zip(nameGen, Gen.chooseNum(1L, 99L))).map(_.toMap)
     props <- shortListOf(4, Gen.zip(nameGen, Gen.alphaNumStr.map(_.take(12)))).map(_.toMap)
+    nextRow <- Gen.chooseNum(0L, 1L << 40)
   } yield TableMetadata(name, s"/w/$name", fv, schema, pspec, sort, cur, refs,
-    snaps, lastSeq, v, lastCol, tags, props)
+    snaps, lastSeq, v, lastCol, tags, props, nextRowId = nextRow)
 
   test("metadata JSON write/read is the identity on arbitrary metadata") {
     for (meta <- samples(metaGen)) {

@@ -68,17 +68,32 @@ class RowLineageSpec extends AnyFunSuite {
     val before = IceRead.tableWithRowIds(spark, cat, "tc")
       .select(col("id"), col(graft.exec.Mor.RowIdCol))
       .as[(Long, Long)].collect().toMap
+    // _last_updated_seq BEFORE compaction: created rows carry their data
+    // file's seq 1, the later append's rows its own (higher) seq
+    val seqsBefore = IceRead.tableWithRowIds(spark, cat, "tc")
+      .select(col("id"), col(graft.exec.Mor.LastUpdatedSeqCol))
+      .as[(Long, Long)].collect().toMap
+    assert(seqsBefore.filter(_._1 < 500).values.toSet == Set(1L))
+    assert(seqsBefore.filter(_._1 >= 500).values.toSet.size == 1)
+    assert(seqsBefore.filter(_._1 >= 500).values.head > 1L)
 
     new graft.compaction.Compaction(cat, "tc", spark).compact()
 
     val meta = cat.loadTable("tc")
     val dataFiles = meta.currentSnapshot.get.manifest
       .filter(_.content == FileContent.Data)
-    // rewritten files physically carry the lineage column
+    // rewritten files physically carry BOTH lineage columns
     val footerCols = graft.exec.SparkExecutor.parquetFooterColumns(
       spark.sessionState.newHadoopConf(),
       java.nio.file.Paths.get(dataFiles.head.path))
     assert(footerCols.contains(graft.exec.Mor.RowIdCol))
+    assert(footerCols.contains(graft.exec.Mor.LastUpdatedSeqCol))
+    // ...and the ORIGINAL update seqs survive the rewrite (compaction is
+    // not an update)
+    val seqsAfter = IceRead.tableWithRowIds(spark, cat, "tc")
+      .select(col("id"), col(graft.exec.Mor.LastUpdatedSeqCol))
+      .as[(Long, Long)].collect().toMap
+    assert(seqsAfter == seqsBefore, "compaction changed last-updated seqs")
 
     val after = IceRead.tableWithRowIds(spark, cat, "tc")
       .select(col("id"), col(graft.exec.Mor.RowIdCol))
