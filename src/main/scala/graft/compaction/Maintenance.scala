@@ -59,22 +59,22 @@ object Maintenance {
       try {
         val planner = new AutoCompactionPlanner(autoConfig)
         val rep = planner.planReport(catalog, t)
+        // execute EXACTLY the planner's plans — they already carry its
+        // strategy choice and the maxAutoPlansPerRun budget cap;
+        // re-planning here would duplicate the selection logic and
+        // silently drop the cap
         val nPlans =
           if (rep.plans.isEmpty) 0
           else {
-            val meta = catalog.loadTable(t)
-            val stats = planner.computeStats(meta.scanTasks(meta.currentSnapshot.get))
-            val cfg = rep.selectedStrategy match {
-              case Some("FilesWithDeletes") => planner.filesWithDeletesCandidate(stats)
-              case _                        => planner.smallFilesCandidate(stats)
-            }
-            cfg.map { pc =>
-              new Compaction(catalog, t, spark, config = pc).compact().stats.size
-            }.getOrElse(0)
+            val c = new Compaction(catalog, t, spark)
+            val outcomes = rep.plans.map(c.rewritePlan)
+            c.commitRewriteResults(outcomes)
+            outcomes.size
           }
         val after = expireSnapshots(catalog, t, keepLastSnapshots)
         val orphans = orphanFiles(catalog, t, orphanGraceMs)
-        if (reclaimOrphans && orphans.nonEmpty) deleteOrphans(catalog, t, orphans): Unit
+        if (reclaimOrphans && orphans.nonEmpty)
+          deleteOrphans(catalog, t, orphans, olderThanMs = orphanGraceMs): Unit
         SweepReport(t, rep.selectedStrategy, nPlans, after.snapshots.size, orphans.size)
       } catch {
         case e: Exception =>

@@ -58,6 +58,13 @@ object RowRewrite {
         updateSet.get(f.name) match {
           case Some(e) => when(condition, e).otherwise(col(f.name))
             .cast(f.dataType).as(f.name, f.metadata)
+          // v3 lineage rides through the rewrite as plain columns; an
+          // UPDATED row's last-updated seq resets to NULL so it inherits
+          // the overwrite commit's fresh sequence (an update IS an
+          // update); unmatched rows keep their materialized original
+          case None if f.name == Mor.LastUpdatedSeqCol =>
+            when(condition, lit(null)).otherwise(col(f.name))
+              .cast(f.dataType).as(f.name, f.metadata)
           case None => col(f.name)
         }
       }: _*)
@@ -119,6 +126,12 @@ object RowRewrite {
         sortOrder = meta.sortOrder,
         formatVersion = meta.formatVersion,
         tableSchema = meta.schema,
+        // v3: COW edits must not re-identify surviving rows — read them
+        // WITH their lineage and materialize it into the rewritten files
+        // (updateWhere's projection passes the lineage columns through;
+        // purge is a filter and never drops columns)
+        preserveRowIds = meta.formatVersion >= 3 &&
+          meta.schema.nonEmpty && meta.schema.forall(_.isTyped),
         rowTransform = transform)
       val res = SparkExecutor.rewriteFiles(spark, req)
       if (countPreserving) {

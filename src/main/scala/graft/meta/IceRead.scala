@@ -323,10 +323,15 @@ object IceRead {
   def attachViews(spark: SparkSession, catalog: Catalog,
       prefix: String = ""): Seq[String] = {
     graft.functions.GraftExtensions.register(spark)
-    catalog.listTables.map { t =>
-      val v = prefix + t
-      createTempView(spark, catalog, t, v)
-      v
+    catalog.listTables.flatMap { t =>
+      // one unattachable table (snapshot-less, or emptied by partition
+      // drops) must not abort the whole warehouse attach
+      try { val v = prefix + t; createTempView(spark, catalog, t, v); Some(v) }
+      catch {
+        case e: Exception =>
+          System.err.println(s"[attachViews] skipping $t: ${e.getMessage}")
+          None
+      }
     }
   }
 }

@@ -100,18 +100,21 @@ object IceWrite {
   def addFiles(spark: SparkSession, catalog: Catalog, name: String,
       paths: Seq[String]): TableMetadata = {
     require(paths.nonEmpty, "addFiles: no files given")
+    // normalize once: the duplicate guard and the manifest must compare
+    // the SAME spelling ('/data//f.parquet' == '/data/./f.parquet')
+    val normPaths = paths.map(raw => Paths.get(raw).normalize().toString)
     val meta = catalog.loadTable(name)
     require(meta.partitionSpec.forall(_.isIdentity),
       "addFiles supports identity-partitioned or unpartitioned tables only " +
         s"(spec: ${meta.partitionSpec.map(_.transform).mkString(", ")})")
-    val already = meta.currentSnapshot.toSeq.flatMap(_.manifest).map(_.path).toSet
-    val dups = paths.filter(already.contains)
-    require(dups.isEmpty, s"addFiles: already registered: ${dups.take(3).mkString(", ")}")
 
     val typed = typedOf(meta)
     if (typed) {
-      // merged footer schema (no data read) vs declared types
-      val fileSchema = spark.read.parquet(paths: _*).schema
+      // footer schemas of EVERY file merged (mergeSchema — without it
+      // Spark infers from one footer and a per-file type conflict slips
+      // through to fail at read time) vs declared types
+      val fileSchema = spark.read.option("mergeSchema", "true")
+        .parquet(normPaths: _*).schema
       for (f <- meta.schema; got <- fileSchema.find(_.name == f.name))
         require(got.dataType == f.sparkType,
           s"addFiles: column ${f.name} is ${got.dataType.sql} in the files " +
@@ -120,7 +123,7 @@ object IceWrite {
     val requiredCols = meta.schema.filter(_.initialDefault.isEmpty).map(_.name)
 
     val conf = spark.sessionState.newHadoopConf()
-    val entries = paths.map { raw =>
+    val entries = normPaths.map { raw =>
       val p = Paths.get(raw)
       require(java.nio.file.Files.isRegularFile(p), s"addFiles: no such file: $raw")
       val present = SparkExecutor.parquetFooterColumns(conf, p).toSet
@@ -144,9 +147,18 @@ object IceWrite {
         sequenceNumber = 0L, // stamped at commit
         partitionValues = partVals, columnStats = stats, nameMatched = true)
     }
+    // the duplicate guard runs INSIDE the CAS retry loop against the
+    // fresh head — two concurrent addFiles of the same path cannot both
+    // land (the loser reloads, sees the winner's entry, and refuses)
     commitSnapshot(catalog, name,
       Seq(StampSet(entries, FileContent.Data, Nil, Nil)), operation = "append",
-      branch = "main")
+      branch = "main",
+      pruneParent = parent => {
+        val dups = normPaths.toSet.intersect(parent.map(_.path).toSet)
+        require(dups.isEmpty,
+          s"addFiles: already registered: ${dups.take(3).mkString(", ")}")
+        parent
+      })
   }
 
   /** `migrate` for a parquet directory: infers the schema from footers,
@@ -162,7 +174,8 @@ object IceWrite {
         .map(_.toString).toSeq.sorted
     }
     require(files.nonEmpty, s"importParquetTable: no parquet files under $dir")
-    val schema = SchemaField.fromStruct(spark.read.parquet(files: _*).schema)
+    val schema = SchemaField.fromStruct(
+      spark.read.option("mergeSchema", "true").parquet(files: _*).schema)
     catalog.createTable(TableMetadata(
       name = name, location = "", formatVersion = 2,
       schema = schema, lastColumnId = schema.map(_.id).foldLeft(0)(math.max),

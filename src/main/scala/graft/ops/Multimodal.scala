@@ -571,7 +571,12 @@ object Multimodal {
     * stream order). Shared by the header-level decode and the per-frame
     * fingerprint path. */
   private def aviParse(
-      payload: Array[Byte]): Option[(Option[(Int, Int, Long, Long)], Vector[Array[Byte]])] = {
+      payload: Array[Byte],
+      /** stop copying frame payloads after this many — the header-level
+        * decode needs only the first frame, and copying every chunk of a
+        * large video for it would double per-row memory in the decode
+        * mapPartitions. */
+      maxFrames: Int = Int.MaxValue): Option[(Option[(Int, Int, Long, Long)], Vector[Array[Byte]])] = {
     if (payload == null || payload.length < 12) return None
     def fourcc(pos: Int): String = new String(payload, pos, 4, "US-ASCII")
     def u32(pos: Int): Long =
@@ -581,6 +586,7 @@ object Multimodal {
       if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
       var avih: Option[(Int, Int, Long, Long)] = None
       val frames = Vector.newBuilder[Array[Byte]]
+      var nFrames = 0
       def walk(from: Int, until: Int): Unit = {
         var pos = from
         while (pos + 8 <= until) {
@@ -594,8 +600,9 @@ object Multimodal {
           } else if (cc == "avih" && size >= 40) {
             avih = Some((u32(pos + 8 + 32).toInt, u32(pos + 8 + 36).toInt,
               u32(pos + 8 + 16), u32(pos + 8)))
-          } else if ((cc == "00dc" || cc == "00db") && size > 0) {
+          } else if ((cc == "00dc" || cc == "00db") && size > 0 && nFrames < maxFrames) {
             frames += java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size)
+            nFrames += 1
           }
           pos += 8 + size + (size & 1)
         }
@@ -607,7 +614,7 @@ object Multimodal {
 
   private[ops] def decodeAvi(
       payload: Array[Byte]): Option[(Int, Int, Long, Long, Option[Double])] =
-    aviParse(payload).flatMap { case (avih, frames) =>
+    aviParse(payload, maxFrames = 1).flatMap { case (avih, frames) =>
       avih.map { case (w, h, n, uspf) =>
         (w, h, n, uspf, frames.headOption.flatMap(decodeImage).map(_._3))
       }

@@ -309,7 +309,11 @@ object TextAnalysis {
     require(blocklist.nonEmpty, "empty blocklist")
     require(blocklist.size <= 100000,
       s"${blocklist.size} blocklist entries: past the literal-array form — use a broadcast join")
-    val hosts = urlDomains(lower(text))
+    // trailing sentence punctuation joins the regex's host class
+    // ('see https://bad.org.' captures 'bad.org.') — strip edge dots so
+    // the dot-boundary suffixes line up with the blocklist entries
+    val hosts = transform(urlDomains(lower(text)),
+      h => regexp_replace(h, "^[.]+|[.]+$", ""))
     // every dot-boundary suffix of every hostname in the text
     val suffixes = flatten(transform(hosts, h =>
       transform(sequence(lit(1), size(split(h, "[.]"))), i =>

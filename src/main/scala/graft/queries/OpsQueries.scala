@@ -806,7 +806,9 @@ object OpsQueries {
         col("text"),
         when(col("doc_id") % 4 === 0, lit(" https://a.b.example.com/x")) // subdomain -> blocked
           .when(col("doc_id") % 4 === 1, lit(" http://notexample.com/y")) // lookalike -> kept
-          .when(col("doc_id") % 4 === 2, lit(" https://BAD.org"))         // case-folded -> blocked
+          // sentence-final period joins the regex's host class — the edge
+          // strip must still block (and case-fold)
+          .when(col("doc_id") % 4 === 2, lit(" go to https://BAD.org."))
           .otherwise(lit(" no urls here"))).as("text"))
       injected.select(col("doc_id"),
         TextAnalysis.blockedByDomain(col("text"), Seq("example.com", "bad.org"))
@@ -2032,11 +2034,12 @@ object OpsQueries {
       """WITH inj AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 4 = 0 THEN ' https://a.b.example.com/x'
         |       WHEN doc_id % 4 = 1 THEN ' http://notexample.com/y'
-        |       WHEN doc_id % 4 = 2 THEN ' https://BAD.org'
+        |       WHEN doc_id % 4 = 2 THEN ' go to https://BAD.org.'
         |       ELSE ' no urls here' END AS t
         |FROM documents),
         |h AS (SELECT doc_id,
-        |  regexp_extract_all(lower(t), 'https?://([a-z0-9.-]+)', 1) AS hosts FROM inj),
+        |  list_transform(regexp_extract_all(lower(t), 'https?://([a-z0-9.-]+)', 1),
+        |    h0 -> regexp_replace(h0, '^\.+|\.+$', '', 'g')) AS hosts FROM inj),
         |sfx AS (SELECT doc_id, flatten(list_transform(hosts, h2 ->
         |    list_transform(range(1, len(string_split(h2, '.')) + 1),
         |      i -> array_to_string(string_split(h2, '.')[i:], '.')))) AS sufs

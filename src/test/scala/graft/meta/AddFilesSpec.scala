@@ -142,13 +142,18 @@ class AddFilesSpec extends AnyFunSuite {
     Seq((2, "b", "oops")).toDF("id", "name", "score").write.parquet(d2)
     intercept[Exception](IceWrite.addFiles(spark, catalog, "val1", parquetsUnder(d2)))
 
-    // registering the same path twice is refused
+    // registering the same path twice is refused — including alternate
+    // spellings of the same path ('//' and '/./' normalize away)
     val d3 = writeForeign(Seq((5L, "e", 5L)), parts = 1)
     val files = parquetsUnder(d3)
     IceWrite.addFiles(spark, catalog, "val1", files)
     val e3 = intercept[IllegalArgumentException](
       IceWrite.addFiles(spark, catalog, "val1", files))
     assert(e3.getMessage.contains("already registered"))
+    val respelled = files.map(_.replaceFirst("/([^/]+)$", "/./$1"))
+    val e4 = intercept[IllegalArgumentException](
+      IceWrite.addFiles(spark, catalog, "val1", respelled))
+    assert(e4.getMessage.contains("already registered"))
   }
 
   test("a column added with an initial-default may be absent from imported files") {

@@ -108,6 +108,36 @@ class RowLineageSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length, "duplicate row ids after append")
   }
 
+  test("COW updateWhere/purgeWhere preserve survivor identity; updates bump the seq") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "tw", rows(0, 12).repartition(2), formatVersion = 3)
+    def lineage() = IceRead.tableWithRowIds(spark, cat, "tw")
+      .select(col("id"), col(graft.exec.Mor.RowIdCol),
+        col(graft.exec.Mor.LastUpdatedSeqCol))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val before = lineage()
+
+    // COW UPDATE of ids % 4 == 0: every surviving row keeps its _row_id;
+    // updated rows get the overwrite's fresh seq, untouched rows keep 1
+    graft.compaction.RowRewrite.updateWhere(spark, cat, "tw",
+      col("id") % 4 === 0, Map("name" -> upper(col("name"))))
+    val afterUpd = lineage()
+    assert(afterUpd.keySet == before.keySet)
+    assert(afterUpd.forall { case (k, (rid, _)) => before(k)._1 == rid },
+      "COW update re-identified rows")
+    val updSeq = afterUpd.filter(_._1 % 4 == 0).values.map(_._2).toSet
+    assert(updSeq.size == 1 && updSeq.head > 1L, s"updated rows seq: $updSeq")
+    assert(afterUpd.filterNot(_._1 % 4 == 0).values.forall(_._2 == 1L),
+      "untouched rows lost their original update seq")
+
+    // COW purge of ids % 3 == 0: survivors keep both lineage fields
+    graft.compaction.RowRewrite.purgeWhere(spark, cat, "tw", col("id") % 3 === 0)
+    val afterPurge = lineage()
+    assert(afterPurge.keySet == afterUpd.keySet.filterNot(_ % 3 == 0))
+    assert(afterPurge.forall { case (k, v) => afterUpd(k) == v },
+      "purge changed survivor lineage")
+  }
+
   test("metadata JSON round-trips lineage fields") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "tj", rows(0, 4), formatVersion = 3)

@@ -176,13 +176,14 @@ class CurationOpsSpec extends AnyFunSuite {
       (3L, "see https://BAD.ORG ok"),             // case-insensitive -> blocked
       (4L, "see https://example.com ok"),         // exact -> blocked
       (5L, "no urls at all"),
-      (6L, "https://example.com.evil.net phish")  // blocked domain as NON-suffix -> kept
+      (6L, "https://example.com.evil.net phish"), // blocked domain as NON-suffix -> kept
+      (7L, "read https://bad.org. now")           // sentence-final dot -> still blocked
     ).toDF("doc_id", "text")
     val got = d.select(col("doc_id"),
         TextAnalysis.blockedByDomain(col("text"), Seq("example.com", "bad.org")))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true,
-      5L -> false, 6L -> false))
+      5L -> false, 6L -> false, 7L -> true))
   }
 
   test("ibanStats: mod-97 separates valid IBANs from near-misses") {
