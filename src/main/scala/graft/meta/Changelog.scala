@@ -44,8 +44,17 @@ object Changelog {
     * [[SnapshotIdCol]]. Fails loudly when `from` is not an ancestor of
     * `to` (changes across divergent branches are not a changelog). */
   def changesBetween(spark: SparkSession, catalog: Catalog, name: String,
-      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+      fromSnapshotId: Long, toSnapshotId: Long,
+      /** v3 identity-stable CDC: every insert AND delete row carries
+        * `_row_id`/`_last_updated_seq`, so a consumer keys its apply on
+        * row identity instead of content — the same row deleted and
+        * reinserted with identical values is still two distinct events
+        * on two distinct ids. Requires a v3, typed table. */
+      withRowIds: Boolean = false): DataFrame = {
     val meta = catalog.loadTable(name)
+    require(!withRowIds || (meta.formatVersion >= 3 &&
+      meta.schema.nonEmpty && meta.schema.forall(_.isTyped)),
+      s"withRowIds requires a typed v3 table (table $name is v${meta.formatVersion})")
     val to = meta.snapshotById(toSnapshotId).getOrElse(
       throw new IllegalArgumentException(s"table $name has no snapshot $toSnapshotId"))
     var chain = List.empty[Snapshot]
@@ -57,25 +66,27 @@ object Changelog {
     require(cur.nonEmpty || fromSnapshotId == 0L,
       s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId in table $name")
 
-    val frames = chain.flatMap(changesOf(spark, meta, _))
-    if (frames.isEmpty) emptyChangelog(spark, meta)
+    val frames = chain.flatMap(changesOf(spark, meta, _, withRowIds))
+    if (frames.isEmpty) emptyChangelog(spark, meta, withRowIds)
     else frames.reduce(_ unionAll _)
   }
 
   /** Changes introduced by the head snapshot of `branch` — the frame a
     * per-commit subscriber consumes. */
   def changesOfLatest(spark: SparkSession, catalog: Catalog, name: String,
-      branch: String = "main"): DataFrame = {
+      branch: String = "main", withRowIds: Boolean = false): DataFrame = {
     val meta = catalog.loadTable(name)
     // strict on explicit branches (IceRead.table's rule): a subscriber of
     // a missing branch must not silently read main's commits
     val snap = (if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
                 else meta.snapshotForRef(branch))
       .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
-    changesBetween(spark, catalog, name, snap.parentId.getOrElse(0L), snap.snapshotId)
+    changesBetween(spark, catalog, name, snap.parentId.getOrElse(0L), snap.snapshotId,
+      withRowIds)
   }
 
-  private def emptyChangelog(spark: SparkSession, meta: TableMetadata): DataFrame = {
+  private def emptyChangelog(spark: SparkSession, meta: TableMetadata,
+      withRowIds: Boolean = false): DataFrame = {
     // schema for a changeless range: the typed schema, else inferred from
     // ANY data file in history (a fully empty untyped table has no source
     // of truth for column types)
@@ -87,7 +98,12 @@ object Changelog {
       spark.read.parquet(anyData.path).select(
         meta.schemaColumns.map(col): _*).schema
     }
-    val schema = org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+    val lineage =
+      if (!withRowIds) Nil
+      else Seq(
+        org.apache.spark.sql.types.StructField(Mor.RowIdCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(Mor.LastUpdatedSeqCol, org.apache.spark.sql.types.LongType))
+    val schema = org.apache.spark.sql.types.StructType(base.fields ++ lineage ++ Seq(
       org.apache.spark.sql.types.StructField(ChangeTypeCol, org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField(SnapshotIdCol, org.apache.spark.sql.types.LongType, false)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -95,7 +111,8 @@ object Changelog {
 
   /** The changelog frame of ONE snapshot against its parent; None when the
     * snapshot is a physical rewrite or introduced no logical change. */
-  private def changesOf(spark: SparkSession, meta: TableMetadata, snap: Snapshot): Option[DataFrame] = {
+  private def changesOf(spark: SparkSession, meta: TableMetadata, snap: Snapshot,
+      withRowIds: Boolean = false): Option[DataFrame] = {
     val op = snap.summary.getOrElse("operation", "append")
     // physical rewrites: the replace/maintenance operations, AND any
     // snapshot carrying the compaction marker — the overwrite-variant
@@ -126,6 +143,9 @@ object Changelog {
       f.content == FileContent.Data && !snapPaths.contains(f.path))
 
     val cols = meta.schemaColumns
+    // the per-row OUTPUT columns: lineage rides along when requested
+    val outCols =
+      if (withRowIds) cols ++ Seq(Mor.RowIdCol, Mor.LastUpdatedSeqCol) else cols
     val typed = meta.typedStruct
 
     // ---- inserts: rows of the added data files, minus same-snapshot
@@ -140,7 +160,7 @@ object Changelog {
         }
         val byPath = addedPos.map(f => f.path -> f).toMap
         Some(Mor.dataFrame(spark, FileGroup.fromDataFiles(tasks, byPath.get),
-          cols, meta.formatVersion, meta.schema))
+          cols, meta.formatVersion, meta.schema, keepRowIds = withRowIds))
       }
 
     // ---- deletes: parent-live rows this snapshot kills. A parent with
@@ -152,7 +172,8 @@ object Changelog {
           removedData.isEmpty) ||
           !p.manifest.exists(_.content == FileContent.Data)) None
       else {
-        val live = IceRead.ofSnapshot(spark, meta, p, keepHidden = true)
+        val live = IceRead.ofSnapshot(spark, meta, p, keepHidden = true,
+          keepRowIds = withRowIds)
 
         val byPos: Option[DataFrame] =
           if (addedPos.isEmpty) None
@@ -204,12 +225,12 @@ object Changelog {
         // one event per physical row even when several delete files hit it
         Some(all.reduce(_ unionAll _)
           .dropDuplicates(Mor.FilePathCol, Mor.PosCol)
-          .select(cols.map(col): _*))
+          .select(outCols.map(col): _*))
       }
     }
 
     def stamp(df: DataFrame, tpe: String): DataFrame =
-      df.select(cols.map(col) :+ lit(tpe).as(ChangeTypeCol) :+
+      df.select(outCols.map(col) :+ lit(tpe).as(ChangeTypeCol) :+
         lit(snap.snapshotId).as(SnapshotIdCol): _*)
 
     (inserts.map(stamp(_, "insert")).toSeq ++ deletes.map(stamp(_, "delete")).toSeq)

@@ -147,4 +147,35 @@ class ChangelogSpec extends AnyFunSuite {
       Changelog.changesBetween(spark, catalog, "t_cdc4", 7L, 2L)
     }
   }
+  test("withRowIds: identity-stable CDC on a v3 table; v2 refused") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_rid", df(Seq((1L, "a", 10L), (2L, "b", 20L))),
+      formatVersion = 3)
+    IceWrite.append(spark, catalog, "t_rid", df(Seq((3L, "c", 30L))))
+    IceWrite.deleteWhere(spark, catalog, "t_rid",
+      org.apache.spark.sql.functions.col("id") === 2)
+
+    val meta = catalog.loadTable("t_rid")
+    val all = Changelog.changesBetween(spark, catalog, "t_rid", 0L,
+        meta.currentSnapshot.get.snapshotId, withRowIds = true)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(5)))
+      // (id, _row_id, _change_type); columns: id, name, qty, _row_id, _last_updated_seq, _change_type, snap
+
+    val insertIds = all.filter(_._3 == "insert").map(t => t._1 -> t._2).toMap
+    // create claimed [0,2), append claimed [2,3)
+    assert(insertIds == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // the delete event carries the SAME row id its insert had
+    val deleted = all.filter(_._3 == "delete")
+    assert(deleted.toSeq == Seq((2L, 1L, "delete")))
+
+    // compaction still emits nothing, with lineage requested
+    new graft.compaction.Compaction(catalog, "t_rid", spark).compact()
+    val after = Changelog.changesOfLatest(spark, catalog, "t_rid", withRowIds = true)
+    assert(after.isEmpty)
+
+    // v2 tables refuse lineage-stamped changelogs
+    IceWrite.create(spark, catalog, "t_rid_v2", df(Seq((1L, "a", 1L))))
+    intercept[IllegalArgumentException](
+      Changelog.changesOfLatest(spark, catalog, "t_rid_v2", withRowIds = true))
+  }
 }
