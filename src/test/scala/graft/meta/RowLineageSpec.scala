@@ -138,6 +138,36 @@ class RowLineageSpec extends AnyFunSuite {
       "purge changed survivor lineage")
   }
 
+  test("concurrent appends claim disjoint ranges through the CAS") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "tr", rows(0, 4), formatVersion = 3)
+    // real concurrency: both writers load the same head, race the commit,
+    // the loser retries against the winner's cursor
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (1 to 4).map(k => scala.concurrent.Future {
+        IceWrite.append(spark, cat, "tr", rows(k * 100L, 5))
+      })
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration("120s"))
+    } finally pool.shutdown()
+
+    val meta = cat.loadTable("tr")
+    val data = meta.currentSnapshot.get.manifest.filter(_.content == FileContent.Data)
+    val ranges = data.map(f => (f.firstRowId.get, f.firstRowId.get + f.recordCount))
+      .sortBy(_._1)
+    // no two files overlap, and the ranges tile [0, nextRowId) exactly
+    assert(ranges.sliding(2).forall {
+      case Seq((_, e1), (s2, _)) => e1 <= s2; case _ => true })
+    assert(ranges.map { case (s, e) => e - s }.sum == 24L)
+    assert(meta.nextRowId == ranges.map(_._2).max)
+    val ids = IceRead.tableWithRowIds(spark, cat, "tr")
+      .select(col(graft.exec.Mor.RowIdCol)).as[Long].collect()
+    assert(ids.distinct.length == 24)
+  }
+
   test("metadata JSON round-trips lineage fields") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "tj", rows(0, 4), formatVersion = 3)
