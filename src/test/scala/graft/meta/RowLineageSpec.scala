@@ -168,6 +168,38 @@ class RowLineageSpec extends AnyFunSuite {
     assert(ids.distinct.length == 24)
   }
 
+  test("imported (add_files) data participates in lineage: inherited ids, preserved by compaction") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "ti", rows(0, 6), formatVersion = 3)
+    // foreign parquet (no field ids, no _row_id column): the name-matched
+    // read yields NULL for the materialized column, so the inherited
+    // firstRowId + position path must carry the ids
+    val ext = Files.createTempDirectory("lineage-ext").toString + "/d"
+    rows(100, 4).coalesce(1).write.parquet(ext)
+    val files = scala.util.Using.resource(
+      Files.walk(java.nio.file.Paths.get(ext))) { w =>
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+          .map(_.toString).toSeq.sorted
+      }
+    IceWrite.addFiles(spark, cat, "ti", files)
+
+    val got = IceRead.tableWithRowIds(spark, cat, "ti")
+      .select(col("id"), col(graft.exec.Mor.RowIdCol))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 10 && got.values.toSeq.sorted == (0L until 10L))
+    // imported rows claimed the appended range
+    assert(got.filter(_._1 >= 100).values.toSet == (6L until 10L).toSet)
+
+    // compaction graduates the imported files AND preserves their ids
+    new graft.compaction.Compaction(cat, "ti", spark).compact()
+    val after = IceRead.tableWithRowIds(spark, cat, "ti")
+      .select(col("id"), col(graft.exec.Mor.RowIdCol))
+      .as[(Long, Long)].collect().toMap
+    assert(after == got)
+    assert(cat.loadTable("ti").currentSnapshot.get.manifest.forall(!_.nameMatched))
+  }
+
   test("metadata JSON round-trips lineage fields") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "tj", rows(0, 4), formatVersion = 3)
