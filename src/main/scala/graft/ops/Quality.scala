@@ -133,6 +133,52 @@ object Quality {
         "CASE WHEN n_bigrams = 0 THEN NULL ELSE n_common * 1000000 div n_bigrams END"))
   }
 
+  /** Corpus-level COLLOCATION mining — phrase discovery for vocabulary and
+    * tokenizer work: adjacent-bigram LIFT over the whole corpus,
+    *
+    *   lift = P(w1 w2) / (P(w1) P(w2)) = n12 * N^2 / (B * n1 * n2),
+    *
+    * the PMI test without the log, reported in exact integer ppm via
+    * DECIMAL(38,0) floor division so two engines agree bit for bit (a
+    * float log's summation/rounding would not). lift_e6 >> 1e6 marks a
+    * collocation ("new york"); ~1e6 marks independence.
+    *
+    * Shuffle profile: one token-keyed aggregate (unigrams), one
+    * pair-keyed aggregate (bigrams, pruned by `minCount` BEFORE any
+    * join), then keyed joins of the COUNT tables only — the corpus rows
+    * never join anything; the two scalar totals broadcast. DECIMAL(38)
+    * headroom bounds exactness to ~1e9-token corpora (6 + 3x9 digits
+    * comfortably inside 38); past that, mine per shard and merge.
+    * Returns (w1, w2, n12, lift_e6) for pairs at or above `minCount`. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = tokens(col(textCol))
+    // slice-then-index (the bigramCoherence guard): short docs yield
+    // empty bigram arrays by construction
+    val bigramsArr = transform(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (x, i) => struct(x.as("w1"), element_at(toks, i + 2).as("w2")))
+    val pairsRows = df.select(explode(bigramsArr).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val pairCounts = pairsRows.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minCount)
+    val nTotal = uni.agg(sum(col("n")).as("N"))
+    val bTotal = pairsRows.agg(count(lit(1)).as("B"))
+    pairCounts
+      .join(uni.select(col("w").as("w1"), col("n").as("n1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .crossJoin(broadcast(bTotal))
+      .withColumn("lift_e6", expr(
+        """CAST(1000000 AS DECIMAL(38,0)) * n12 * N * N div
+          |  (CAST(B AS DECIMAL(38,0)) * n1 * n2)""".stripMargin))
+      .select(col("w1"), col("w2"), col("n12"),
+        col("lift_e6").cast("long").as("lift_e6"))
+  }
+
   /** Language-model quality scoring (the CCNet recipe shape: score each
     * candidate document under an n-gram LM trained on reference text, cut
     * on the score). The LM is a Laplace-smoothed bigram model counted from

@@ -859,6 +859,19 @@ object OpsQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // corpus-level COLLOCATION mining: adjacent-bigram lift in exact
+    // integer ppm (the PMI test without the float log). An injected
+    // always-adjacent pair guarantees a high-lift collocation at every
+    // SF; the oracle replays counts, totals, and the DECIMAL/HUGEINT
+    // floor division.
+    "t33_collocations" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(" zqalpha zqbeta")).otherwise(lit("")))
+        .as("text"))
+      Quality.collocations(injected, "text", minCount = 5L)
+    }),
+
     // IBAN detection with the ISO 7064 mod-97 checksum: a valid spaced
     // DE IBAN, the same IBAN with one flipped digit (candidate but
     // invalid), and a valid contiguous GB IBAN — the checksum, not the
@@ -2921,6 +2934,27 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |                ELSE (ascii(substr(dd, i, 1)) - 48) * 2 END
         |           ELSE ascii(substr(dd, i, 1)) - 48 END)) % 10 = 0)) AS BIGINT) AS n_valid
         |FROM d""".stripMargin,
+
+    "t33_collocations" ->
+      s"""WITH inj AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' zqalpha zqbeta' ELSE '' END AS text
+         |  FROM documents),
+         |t AS (SELECT $toksSql AS toks FROM inj),
+         |uni AS (SELECT unnest(toks) AS w FROM t),
+         |uc AS (SELECT w, count(*) AS n FROM uni GROUP BY 1),
+         |bgr AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM (
+         |    SELECT toks, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i FROM t)),
+         |pc AS (SELECT w1, w2, count(*) AS n12 FROM bgr GROUP BY 1, 2
+         |       HAVING count(*) >= 5),
+         |tot AS (SELECT (SELECT CAST(sum(n) AS HUGEINT) FROM uc) AS nn,
+         |               (SELECT CAST(count(*) AS HUGEINT) FROM bgr) AS bb)
+         |SELECT pc.w1, pc.w2, CAST(n12 AS BIGINT) AS n12,
+         |  CAST(CAST(1000000 AS HUGEINT) * n12 * nn * nn //
+         |       (bb * u1.n * u2.n) AS BIGINT) AS lift_e6
+         |FROM pc
+         |JOIN uc u1 ON u1.w = pc.w1
+         |JOIN uc u2 ON u2.w = pc.w2
+         |CROSS JOIN tot""".stripMargin,
 
     "t32_iban" ->
       """WITH inj AS (SELECT doc_id, text ||

@@ -212,4 +212,19 @@ class QualityMixtureSpec extends AnyFunSuite {
     // doc 5: fully unseen context -> 1e6 div (0+3) = 333333
     assert(got(5L) == ((1L, 333333L, 333333L)))
   }
+  test("collocations: hand-computed integer lift, minCount pruning, short-doc guard") {
+    // unigrams: x=10 y=10 solo=5 p=1 q=1 -> N=27; bigrams: (x,y)x5 (y,x)x5
+    // (p,q)x1 -> B=11. lift(x,y) = 5 * 27^2 / (11 * 10 * 10) = 3645/1100
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "x y")) ++
+      (6 to 10).map(i => (i.toLong, "y x")) ++
+      (11 to 15).map(i => (i.toLong, "solo")) ++   // single token: no bigram
+      Seq((16L, "p q"))                            // below minCount
+    ).toDF("doc_id", "text")
+    val got = Quality.collocations(docs, "text", minCount = 5L)
+      .as[(String, String, Long, Long)].collect().toSet
+    val lift = 1000000L * 5 * 27 * 27 / (11L * 10 * 10)
+    assert(got == Set(("x", "y", 5L, lift), ("y", "x", 5L, lift)))
+    assert(lift == 3313636L) // 3645000000 / 1100, floor
+  }
 }
