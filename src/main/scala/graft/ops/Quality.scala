@@ -152,15 +152,19 @@ object Quality {
     * Returns (w1, w2, n12, lift_e6) for pairs at or above `minCount`. */
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val toks = tokens(col(textCol))
+    // tokenize ONCE (eager localCheckpoint, the d2 signature pattern):
+    // both the unigram and the bigram aggregate read the materialized
+    // token arrays instead of re-running normalize+split over the corpus
+    val tokRows = df.select(tokens(col(textCol)).as("__toks")).localCheckpoint(true)
+    val toks = col("__toks")
     // slice-then-index (the bigramCoherence guard): short docs yield
     // empty bigram arrays by construction
     val bigramsArr = transform(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       (x, i) => struct(x.as("w1"), element_at(toks, i + 2).as("w2")))
-    val pairsRows = df.select(explode(bigramsArr).as("bg"))
+    val pairsRows = tokRows.select(explode(bigramsArr).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val uni = df.select(explode(toks).as("w"))
+    val uni = tokRows.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     val pairCounts = pairsRows.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n12"))
