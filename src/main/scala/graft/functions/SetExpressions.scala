@@ -85,9 +85,92 @@ case class SortedJaccardGe(left: Expression, right: Expression, threshold: Doubl
     copy(left = newLeft, right = newRight)
 }
 
+/** `containment_ge(a, b, t)`: true iff |A∩B| / |A| >= t for two SORTED
+  * long arrays — the ASYMMETRIC set-overlap measure (Broder containment).
+  *
+  * Where Jaccard scores symmetric near-duplication, containment detects a
+  * short document (quote, excerpt, boilerplate block) living INSIDE a
+  * longer one: the denominator is only the left set's size, so a 50-gram
+  * doc fully present in a 5000-gram doc scores 1.0 (its Jaccard would be
+  * ~0.01 and invisible). Same design as [[SortedJaccardGe]]: evaluated
+  * inside the join condition, branch-light sorted merge, bit-identical to
+  * a SQL oracle computing `n1 > 0 AND CAST(c AS DOUBLE) / n1 >= t` (same
+  * IEEE division and comparison). The size pre-test skips the merge only
+  * when even a full overlap could not reach t (with 1e-6 slack, so it
+  * cannot flip a boundary pair); empty left sets are defined non-contained
+  * in both engines (`n1 > 0` guard rather than 0/0).
+  */
+case class SortedContainmentGe(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"containment_ge expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n1 = x.numElements()
+    val n2 = y.numElements()
+    if (n1 == 0 || n2 < threshold * n1 - 1e-6) return false
+    var i = 0; var j = 0; var c = 0L
+    while (i < n1 && j < n2) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c.toDouble / n1 >= threshold
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = threshold.toString
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      s"""
+         |int $n1 = $a.numElements();
+         |int $n2 = $b.numElements();
+         |${ev.value} = false;
+         |if ($n1 > 0 && !($n2 < $t * $n1 - 1e-6)) {
+         |  int $i = 0; int $j = 0; long $c = 0L;
+         |  while ($i < $n1 && $j < $n2) {
+         |    long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |    if ($xi == $yj) { $c++; $i++; $j++; }
+         |    else if ($xi < $yj) { $i++; }
+         |    else { $j++; }
+         |  }
+         |  ${ev.value} = ((double) $c) / $n1 >= $t;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedContainmentGe =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetFunctions {
   /** codegen'd Jaccard >= t test over sorted array<bigint> set columns. */
   def jaccard_ge(a: Column, b: Column, threshold: Double): Column =
     ColumnBridge.column(SortedJaccardGe(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), threshold))
+
+  /** codegen'd containment (|A∩B|/|A|) >= t test over sorted array<bigint>
+    * set columns — left is the candidate CONTAINED set. */
+  def containment_ge(a: Column, b: Column, threshold: Double): Column =
+    ColumnBridge.column(SortedContainmentGe(
       ColumnBridge.expression(a), ColumnBridge.expression(b), threshold))
 }

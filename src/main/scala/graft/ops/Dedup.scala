@@ -550,6 +550,39 @@ object Dedup {
       .select(col("id1"), col("id2"))
   }
 
+  /** Directed containment pairs: (contained, container) where the left
+    * document's distinct char-n-gram set is >= `threshold` covered by the
+    * right's — Broder's containment measure. Catches the asymmetric
+    * duplication Jaccard is blind to: a short quote/excerpt/boilerplate
+    * block living inside a much longer document scores containment ~1.0
+    * while its Jaccard stays near |A|/|B| (invisible at any usable
+    * threshold).
+    *
+    * Same broadcast-NLJ shape as [[ngramJaccardPairsBroadcast]]: per-row
+    * sorted xxhash64 gram sets (no shuffle), one side broadcast, and the
+    * whole containment test codegen'd inside the join condition
+    * ([[graft.functions.SortedContainmentGe]]) so failing pairs never
+    * materialize a row. Quadratic by construction — a bounded-slice
+    * baseline; the scale path is LSH candidates
+    * ([[minHashNearDupPairs]]) verified with `containment_ge` instead of
+    * `jaccard_ge`. Both directions of a mutual near-dup are emitted (the
+    * pair is DIRECTED; callers wanting undirected dedup keep id1 < id2). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.9): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      expr(
+        s"""array_sort(array_distinct(transform(
+           |  array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 2}, 1)),
+           |                           i -> substring($textCol, i, $n))),
+           |  g -> xxhash64(g))))""".stripMargin
+      ).as("grams"))
+    val a = sets.select(col("id").as("id1"), col("grams").as("g1"))
+    val b = sets.select(col("id").as("id2"), col("grams").as("g2"))
+    b.join(broadcast(a), col("id1") =!= col("id2") &&
+        graft.functions.SetFunctions.containment_ge(col("g1"), col("g2"), threshold))
+      .select(col("id1"), col("id2"))
+  }
+
   /** Exact n-gram Jaccard pairs with a PPJoin-style prefix filter.
     *
     * Exactness argument: order every document's gram set by a global total

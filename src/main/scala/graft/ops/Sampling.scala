@@ -140,6 +140,34 @@ object Sampling {
     df.orderBy(hashDraw(col(idCol), seed).asc, col(idCol).asc).limit(n)
   }
 
+  /** Weighted deterministic Bernoulli sample: row i is kept with
+    * probability `min(1, expected * w_i / W)` where W = sum of weights —
+    * the standard expected-size-`expected` weighted draw (heavier rows
+    * proportionally likelier), made reproducible and cross-engine exact.
+    *
+    * The draw is the first 8 md5 hex chars of `seed:id` read as an
+    * integer in [0, 2^32); inclusion is the INTEGER comparison
+    * `draw * W < expected * w * 2^32` — no float division anywhere, so
+    * the kept set is bit-identical in any engine with md5 (DuckDB oracle:
+    * same nibble arithmetic via a list_reduce fold). One tiny broadcast
+    * (the 1-row weight total) + a narrow filter; no shuffle of the data.
+    *
+    * Overflow envelope (documented, asserted): both comparison sides live
+    * in a long iff `W < 2^31` and `expected * max_w < 2^31` — far beyond
+    * any per-table sampling pass this library plans (W is a weight SUM,
+    * e.g. total corpus chars; shard first if you exceed it). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      expected: Int, seed: String = "wsample"): DataFrame = {
+    require(expected >= 1, s"expected must be >= 1, got $expected")
+    val draw = conv(substring(md5(concat(lit(seed), lit(":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val totals = df.agg(sum(col(weightCol).cast("long")).as("__W"))
+    df.crossJoin(broadcast(totals))
+      .filter(draw * col("__W") <
+        lit(expected.toLong) * col(weightCol).cast("long") * lit(4294967296L))
+      .drop("__W")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates (a data
     * mixture — "50% of en, 10% of everything else"). Strata absent from
     * `rates` fall back to `defaultRate`. One narrow filter, no shuffle;

@@ -195,6 +195,62 @@ object TextAnalysis {
       col("top_bigram_frac"), col("max_run_len"))
   }
 
+  /** Character-diversity signals over a bounded prefix — the
+    * entropy-family randomness/quality tell, kept in EXACT integer ppm.
+    *
+    * Shannon entropy itself needs cross-engine float logs (a silent
+    * hash-mismatch class; docs/ORACLE.md "ratio-not-log"), so this reports
+    * the collision probability `sum c_i^2 / n^2` instead — the Rényi-2
+    * quantity `H2 = -log2(collision)` is a strictly monotone transform of
+    * it, so any entropy threshold translates to a collision threshold and
+    * the decision ORDERING of documents is identical. High collision_ppm =
+    * low diversity (repeated characters, padding, keyboard mash); natural
+    * prose sits in a narrow band per language.
+    *
+    *  - `n_chars`: prefix length actually scored (min(len, prefixLen));
+    *  - `distinct_chars`: distinct code points in the prefix;
+    *  - `collision_ppm`: `floor(1e6 * sum c^2 / n^2)` — probability two
+    *    random prefix positions hold the same character;
+    *  - `mode_ppm`: `floor(1e6 * max c / n)` — coverage of the most
+    *    frequent character.
+    *
+    * All per-row expressions (transform/array_sort + one fold), zero
+    * exchanges, linear in input splits. The sum of squared counts comes
+    * from a single run-length fold over the SORTED char array (runs of a
+    * sorted multiset ARE the counts) — O(n log n) per row, not the
+    * O(n * distinct) of a per-character filter count. Bounded by
+    * `prefixLen` so the cost per row is capped no matter how long the
+    * document is; empty texts are scored null-free by the caller filtering
+    * `length(text) > 0` (both engines would otherwise disagree on
+    * splitting ""). */
+  def charDiversity(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", prefixLen: Int = 512): DataFrame = {
+    val out = df
+      .withColumn("__p", expr(s"substring($textCol, 1, $prefixLen)"))
+      .withColumn("__n", length(col("__p")).cast("long"))
+      .withColumn("__chars", expr(
+        "transform(sequence(1, greatest(cast(__n as int), 1)), i -> substring(__p, i, 1))"))
+      .withColumn("__csorted", array_sort(col("__chars")))
+      // sum of squared run lengths over the sorted chars: at each value
+      // change, bank run^2; the finish adds the final run. NB
+      // sequence(2, 1) DESCENDS in Spark, hence the size<2 guard
+      .withColumn("__sumsq", expr(
+        """CASE WHEN size(__csorted) < 2 THEN cast(size(__csorted) as bigint) ELSE
+          |aggregate(sequence(2, size(__csorted)),
+          |  named_struct('run', 1L, 'acc', 0L),
+          |  (s, i) -> IF(element_at(__csorted, i) = element_at(__csorted, i - 1),
+          |    named_struct('run', s.run + 1L, 'acc', s.acc),
+          |    named_struct('run', 1L, 'acc', s.acc + s.run * s.run)),
+          |  s -> s.acc + s.run * s.run)
+          |END""".stripMargin))
+      .withColumn("__mode", maxRunLength("__csorted").cast("long"))
+    out.select(col(idCol),
+      col("__n").as("n_chars"),
+      size(array_distinct(col("__chars"))).cast("long").as("distinct_chars"),
+      expr("__sumsq * 1000000L div (__n * __n)").as("collision_ppm"),
+      expr("__mode * 1000000L div __n").as("mode_ppm"))
+  }
+
   /** PII patterns, chosen to parse identically under Java regex (Spark)
     * and RE2 (DuckDB): no backrefs, no lookaround, disjoint shapes (email
     * needs '@', phone needs a leading '+', IPv4 is dotted digits). */

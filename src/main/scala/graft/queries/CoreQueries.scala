@@ -335,6 +335,81 @@ object CoreQueries {
           concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
           length(col("p_name")).cast("long").as("name_len"))),
 
+    // funnel analysis: strictly-ordered view -> click -> purchase stages
+    // per user (each stage's min ts must be at or after the prior stage's).
+    // Stage frontiers are tiny per-user aggregates (<= #users rows), so
+    // each join is a broadcast; ts stays in the exact integer nano domain
+    "q_funnel" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(broadcast(v), "user_id")
+        .filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(broadcast(c), "user_id")
+        .filter(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+        .unionAll(c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+        .unionAll(p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+        .select(col("stage"), col("n_users"))
+    }),
+
+    // cohort retention: users bucketed by first-activity day, activity
+    // counted per (cohort, day offset). The per-user cohort map is tiny ->
+    // broadcast; day arithmetic is integer nano div (exact)
+    "q_retention" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(broadcast(first), "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
+
+    // time-series resample: per-user daily grid (sequence + explode fills
+    // gaps) left-joined with the daily aggregate, zero-filled. The grid is
+    // generated distributed (one row per user expands in place — no
+    // driver-side loop), both sides share the user_id hash partitioning
+    "q_resample" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("value"))
+      val daily = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("value_cents"))
+      val grid = ev.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+    }),
+
+    // window-function breadth: lag/lead/ntile/running sum over one shared
+    // per-user ordering (a single exchange serves all four). The ordering
+    // key (ts, event_id) is unique, so every output is deterministic
+    "q_window_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      tbl(s, dir, "events")
+        .withColumn("cents", cents(col("value")))
+        .select(col("user_id"), col("event_id"),
+          coalesce(lag(col("cents"), 1).over(w), lit(-1L)).as("prev_cents"),
+          coalesce(lead(col("cents"), 1).over(w), lit(-1L)).as("next_cents"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          sum(col("cents")).over(wRun).as("run_cents"))
+    }),
+
+    // left anti join (NOT EXISTS): customers with no large order
+    "q_anti_join" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val big = tbl(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
     // op 20: deterministic LPT task split (planning math; rows-only check)
     "q20_task_split" -> ((s, dir) => {
       import s.implicits._
@@ -562,7 +637,55 @@ object CoreQueries {
       """SELECT o_orderstatus,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
         |  CAST(count(*) AS BIGINT) AS n_orders
-        |FROM orders GROUP BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= c.t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(e.day - f.cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+
+    "q_resample" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, value FROM events),
+        |daily AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day FROM span)
+        |SELECT g.user_id, g.day,
+        |  coalesce(d.n, 0) AS n, coalesce(d.value_cents, 0) AS value_cents
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
+
+    "q_window_funcs" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id,
+        |  coalesce(lag(cents, 1) OVER w, -1) AS prev_cents,
+        |  coalesce(lead(cents, 1) OVER w, -1) AS next_cents,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin
     // q20_task_split / q27_binpack / q30_parallelism: driver-side planning
     // math, not SQL-expressible -> rows-only checks
   )

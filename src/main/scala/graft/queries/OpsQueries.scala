@@ -167,6 +167,13 @@ object OpsQueries {
         corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
         "doc_id", "text", n = 4, threshold = 0.6)),
 
+    // directed containment pairs (contained -> container): asymmetric
+    // overlap that Jaccard is blind to; bounded slice like d4
+    "d11_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
+        "doc_id", "text", n = 4, threshold = 0.9)),
+
     // embedding cosine near-dup (brute-force baseline; LSH path in s2)
     "d5_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embCorpus(s, dir), "vec_id", "embedding",
@@ -864,6 +871,27 @@ object OpsQueries {
     // always-adjacent pair guarantees a high-lift collocation at every
     // SF; the oracle replays counts, totals, and the DECIMAL/HUGEINT
     // floor division.
+    // character-diversity (Rényi-2 collision) quality signal in exact
+    // integer ppm — the entropy-family filter without cross-engine logs;
+    // low-diversity positives injected as repeated-char padding
+    "t34_char_diversity" -> ((s, dir) => {
+      val injected = tbl(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            repeat(lit("a"), ((col("doc_id") % 30) * 20).cast("int")))
+            .otherwise(lit(""))).as("text"))
+        .filter(length(col("text")) > 0)
+      TextAnalysis.charDiversity(injected, "doc_id", "text", prefixLen = 512)
+    }),
+
+    // weighted deterministic Bernoulli sample (heavier docs likelier),
+    // integer-exact inclusion test — no float division on either engine
+    "p10_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", expected = 200)
+        .select(col("doc_id"), col("n_chars").as("weight"))),
+
     "t33_collocations" -> ((s, dir) => {
       val injected = tbl(s, dir, "documents").select(col("doc_id"), concat(
         col("text"),
@@ -1762,6 +1790,21 @@ object OpsQueries {
          |SELECT id1, id2 FROM common
          |JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
          |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6""".stripMargin,
+
+    "d11_containment" ->
+      s"""WITH ${corpusSql.replace(
+        "corpus AS (",
+        "corpus0 AS (")},
+         |corpus AS (SELECT * FROM corpus0 WHERE doc_id % 100000 < 1000),
+         |$gramsSql,
+         |sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+         |common AS (
+         |  SELECT a.id AS id1, b.id AS id2, count(*) AS c
+         |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id <> b.id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2 FROM common
+         |JOIN sizes s1 ON s1.id = id1
+         |WHERE s1.n > 0 AND CAST(c AS DOUBLE) / s1.n >= 0.9""".stripMargin,
 
     "d5_embed_neardup" ->
       s"""WITH $embCorpusSql,
@@ -2955,6 +2998,35 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |JOIN uc u1 ON u1.w = pc.w1
          |JOIN uc u2 ON u2.w = pc.w2
          |CROSS JOIN tot""".stripMargin,
+
+    "t34_char_diversity" ->
+      """WITH inj AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 7 = 0
+        |    THEN repeat('a', CAST((doc_id % 30) * 20 AS INT)) ELSE '' END AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, substr(text, 1, 512) AS pre FROM inj WHERE len(text) > 0),
+        |c AS (SELECT doc_id, CAST(len(pre) AS BIGINT) AS n,
+        |  string_split(pre, '') AS chars FROM p),
+        |f AS (SELECT doc_id, n, chars,
+        |  list_transform(list_distinct(chars),
+        |    ch -> CAST(len(list_filter(chars, x -> x = ch)) AS BIGINT)) AS cnts
+        |  FROM c)
+        |SELECT doc_id, n AS n_chars, CAST(len(cnts) AS BIGINT) AS distinct_chars,
+        |  CAST(list_sum(list_transform(cnts, x -> x * x)) * 1000000 // (n * n) AS BIGINT)
+        |    AS collision_ppm,
+        |  CAST(list_max(cnts) * 1000000 // n AS BIGINT) AS mode_ppm
+        |FROM f""".stripMargin,
+
+    "p10_weighted_sample" ->
+      """WITH w AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents),
+        |d AS (SELECT doc_id, n_chars,
+        |  CAST(list_reduce(list_prepend('0',
+        |      string_split(substr(md5('wsample:' || doc_id), 1, 8), '')),
+        |    (a, c) -> CAST(CAST(a AS BIGINT) * 16 +
+        |      strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS draw
+        |  FROM documents)
+        |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS weight
+        |FROM d, w WHERE d.draw * w.tw < 200 * d.n_chars * 4294967296""".stripMargin,
 
     "t32_iban" ->
       """WITH inj AS (SELECT doc_id, text ||

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Exact-value pins for charDiversity and the weightedSample contract. */
+class DiversitySampleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("charDiversity: exact values on crafted strings") {
+    val docs = Seq(
+      (1L, "aaaa"),       // 1 distinct char: collision 1.0, mode 1.0
+      (2L, "abab"),       // 2 chars x2: collision (4+4)/16 = 0.5
+      (3L, "abcd"),       // all distinct: collision 4/16 = 0.25
+      (4L, "x"),          // single char: n=1, collision 1/1
+      (5L, "aab")         // counts 2,1: (4+1)/9
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charDiversity(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((4L, 1L, 1000000L, 1000000L)))
+    assert(got(2L) == ((4L, 2L, 500000L, 500000L)))
+    assert(got(3L) == ((4L, 4L, 250000L, 250000L)))
+    assert(got(4L) == ((1L, 1L, 1000000L, 1000000L)))
+    assert(got(5L) == ((3L, 2L, 555555L, 666666L))) // floor(5e6/9), floor(2e6/3)
+  }
+
+  test("charDiversity: prefix cap bounds the scored window") {
+    val docs = Seq((1L, "ab" * 600)).toDF("doc_id", "text") // 1200 chars
+    val row = TextAnalysis.charDiversity(docs, "doc_id", "text", prefixLen = 512)
+      .collect().head
+    assert(row.getLong(1) == 512L)    // n_chars capped
+    assert(row.getLong(2) == 2L)
+    assert(row.getLong(3) == 500000L) // two equal halves
+  }
+
+  test("charDiversity: repeated-char padding drives collision_ppm up") {
+    val docs = Seq(
+      (1L, "a normal english sentence with usual diversity of characters"),
+      (2L, "a normal english sentence" + ("a" * 300))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charDiversity(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got(2L) > got(1L) * 3) // padding at least triples collision
+  }
+
+  test("weightedSample: deterministic, weight-monotone in expectation, exact on rerun") {
+    val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) 900L else 100L))
+    val df = rows.toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", expected = 400)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.weightedSample(df, "id", "w", expected = 400)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2) // exact determinism
+    val heavy = s1.count(_ % 2 == 0)
+    val light = s1.size - heavy
+    // heavy rows are 9x likelier; with 400 expected the split should be
+    // ~360/40 — assert a loose 4x dominance (binomial noise safe)
+    assert(heavy > light * 4, s"heavy=$heavy light=$light")
+    // expected size honored within wide tolerance
+    assert(s1.size > 200 && s1.size < 700, s"size=${s1.size}")
+  }
+
+  test("weightedSample: a different seed draws a different set") {
+    val df = (1L to 500L).map(i => (i, 10L)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", 100, seed = "s1")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df, "id", "w", 100, seed = "s2")
+      .select("id").as[Long].collect().toSet
+    assert(a != b)
+  }
+}
