@@ -493,6 +493,89 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit envelope-delta audio fingerprint — the audio twin of
+    * [[dHash]]: the track's frames split into 65 equal windows, each
+    * window's mean |amplitude| (all channels pooled) becomes one envelope
+    * level, and bit i records whether level i+1 > level i. Comparing
+    * ADJACENT windows (not absolute levels) makes the code invariant to
+    * volume scaling and encoding headroom, exactly as dHash's
+    * adjacent-pixel comparison survives brightness shifts. Tracks with
+    * fewer than 65 frames carry no code (too short to fingerprint). */
+  private[ops] def audioEnvelopeHash(payload: Array[Byte]): Option[Long] = {
+    decodeWavSamples(payload).flatMap { case (_, ch, frames, s, _) =>
+      val windows = 65
+      if (frames < windows || ch <= 0) None
+      else {
+        val env = new Array[Long](windows)
+        var w = 0
+        while (w < windows) {
+          // frame range [lo, hi) for this window — exact integer split
+          val lo = (frames * w / windows).toInt
+          val hi = (frames * (w + 1) / windows).toInt
+          var sum = 0L; var i = lo * ch; val end = hi * ch
+          while (i < end) { sum += math.abs(s(i).toLong); i += 1 }
+          val cnt = (hi - lo) * ch
+          env(w) = if (cnt == 0) 0L else sum * 1000000L / cnt
+          w += 1
+        }
+        var code = 0L; var b = 0
+        while (b < 64) {
+          if (env(b + 1) > env(b)) code |= (1L << b)
+          b += 1
+        }
+        Some(code)
+      }
+    }
+  }
+
+  /** Per-payload envelope fingerprints: one mapPartitions decode pass, no
+    * shuffle; null for undecodable or too-short audio. */
+  def audioEnvelopeHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          audioEnvelopeHash(r.getAs[Array[Byte]](1)) match {
+            case Some(code) => Row(r.getLong(0), code)
+            case None       => Row(r.getLong(0), null)
+          }
+        }
+      }(enc)
+  }
+
+  /** AUDIO near-duplicate pairs via banded Hamming LSH over
+    * [[audioEnvelopeHash]] codes — the re-upload / re-levelled-copy
+    * detector, sharing [[imageNearDupPairs]]'s skeleton exactly: the
+    * 64-bit code splits into four 16-bit bands (pigeonhole: <= 3
+    * differing bits cannot touch all 4 bands, so recall is lossless at
+    * `maxHamming <= 3`), candidates come from the capped bucket join,
+    * and the verify is codegen'd `bit_count(xor)`. Decode cost is one
+    * per-partition pass; the only exchanges carry (band, code, id) rows
+    * and the candidate pairs. Returns (id1, id2, hamming), id1 < id2. */
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val hashes = audioEnvelopeHashes(spark, media)
+      .filter(col("ahash").isNotNull).localCheckpoint(true)
+    val banded = hashes.select(col("media_id").as("id"), explode(array(
+      struct(lit(0).as("band"), (col("ahash").bitwiseAND(0xffffL)).as("bh")),
+      struct(lit(1).as("band"), shiftright(col("ahash"), 16).bitwiseAND(0xffffL).as("bh")),
+      struct(lit(2).as("band"), shiftright(col("ahash"), 32).bitwiseAND(0xffffL).as("bh")),
+      struct(lit(3).as("band"), shiftright(col("ahash"), 48).bitwiseAND(0xffffL).as("bh")))).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val pairs = Dedup.lshCandidatePairs(banded, maxBucketSize)
+    val h1 = hashes.select(col("media_id").as("id1"), col("ahash").as("__a1"))
+    val h2 = hashes.select(col("media_id").as("id2"), col("ahash").as("__a2"))
+    pairs.join(h1, Seq("id1")).join(h2, Seq("id2"))
+      .withColumn("hamming", bit_count(col("__a1").bitwiseXOR(col("__a2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Pure-Scala PCM WAV encoder (the 44-byte RIFF header is a public
     * format): 16-bit signed little-endian samples, interleaved when
     * `channels > 1`. Deliberately NOT javax.sound — fixtures encode here

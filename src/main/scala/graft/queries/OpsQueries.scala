@@ -1582,6 +1582,40 @@ object OpsQueries {
         org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
       Multimodal.videoNearDupPairs(s, media.repartition(3), minOverlapPpm = 400000L)
+    }),
+
+    // AUDIO near-dup via banded Hamming LSH over envelope-delta
+    // fingerprints: tracks built by walking a CHOSEN 64-bit pattern into
+    // per-window square-wave amplitudes (mean |amp| of a ±A window is A
+    // exactly, so the fingerprint equals the pattern by construction).
+    // Track 2 is track 1 at half volume (even amplitudes halve exactly ->
+    // identical delta signs, hamming 0), track 3 flips bits 5 and 40
+    // (bands 1/3 still agree -> candidate found, hamming 2), track 4 is
+    // the complement (no shared band), garbage bytes carry no code.
+    "m9_audio_neardup" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      def track(bits: Long, scaleDiv: Int): Array[Byte] = {
+        val amps = new Array[Int](65)
+        amps(0) = 16384
+        for (w <- 0 until 64)
+          amps(w + 1) = amps(w) + (if (((bits >> w) & 1L) == 1L) 128 else -128)
+        val samples = amps.flatMap { a =>
+          val h = a / scaleDiv
+          Array.fill(8)(Array(h.toShort, (-h).toShort)).flatten
+        }
+        Multimodal.wavBytes(8000, 1, samples)
+      }
+      val base = 0x5A5AC3C3A5A53C3CL
+      val rows: Seq[org.apache.spark.sql.Row] = Seq(
+        org.apache.spark.sql.Row(1L, track(base, 1)),
+        org.apache.spark.sql.Row(2L, track(base, 2)),
+        org.apache.spark.sql.Row(3L, track(base ^ ((1L << 5) | (1L << 40)), 1)),
+        org.apache.spark.sql.Row(4L, track(~base, 1)),
+        org.apache.spark.sql.Row(9L, "not audio at all".getBytes("UTF-8")))
+      val media = s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+      Multimodal.audioNearDupPairs(s, media.repartition(3), maxHamming = 3)
     })
   )
 
@@ -3405,6 +3439,12 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |  CAST(overlap_ppm AS BIGINT) AS overlap_ppm
         |FROM (VALUES (1, 2, 500000), (1, 4, 1000000), (2, 4, 500000))
         |  t(id1, id2, overlap_ppm)""".stripMargin,
+
+    "m9_audio_neardup" ->
+      """SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+        |  CAST(hamming AS BIGINT) AS hamming
+        |FROM (VALUES (1, 2, 0), (1, 3, 2), (2, 3, 2))
+        |  t(id1, id2, hamming)""".stripMargin,
 
     "m7_audio_signal" -> {
       val vals = wavSignalExpected.map { case (id, zc, sil, pk) =>

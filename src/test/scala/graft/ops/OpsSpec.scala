@@ -395,6 +395,41 @@ class OpsSpec extends AnyFunSuite {
     assert(r8.getLong(3) == 1000000L * 72 / 128)            // |200-128| = 72
   }
 
+  test("audio near-dup: envelope fingerprint is volume-invariant; LSH finds close pairs") {
+    // per-window square-wave amplitudes encode a chosen 64-bit pattern;
+    // mean |amp| of a ±A window is A exactly -> fingerprint == pattern
+    def track(bits: Long, scaleDiv: Int): Array[Byte] = {
+      val amps = new Array[Int](65)
+      amps(0) = 16384
+      for (w <- 0 until 64)
+        amps(w + 1) = amps(w) + (if (((bits >> w) & 1L) == 1L) 128 else -128)
+      val samples = amps.flatMap { a =>
+        val h = a / scaleDiv
+        Array.fill(8)(Array(h.toShort, (-h).toShort)).flatten
+      }
+      Multimodal.wavBytes(8000, 1, samples)
+    }
+    val base = 0x123456789ABCDEF0L
+    // fingerprint equals the constructed pattern exactly
+    assert(Multimodal.audioEnvelopeHash(track(base, 1)).contains(base))
+    // half and quarter volume give the identical code
+    assert(Multimodal.audioEnvelopeHash(track(base, 2)).contains(base))
+    assert(Multimodal.audioEnvelopeHash(track(base, 4)).contains(base))
+    // too-short audio (< 65 frames) and garbage carry no code
+    assert(Multimodal.audioEnvelopeHash(
+      Multimodal.wavBytes(8000, 1, Array.fill[Short](64)(100))).isEmpty)
+    assert(Multimodal.audioEnvelopeHash("nope".getBytes("UTF-8")).isEmpty)
+
+    val rows = Seq(
+      (1L, track(base, 1)), (2L, track(base, 2)),
+      (3L, track(base ^ (1L << 7), 1)),   // 1 bit off -> hamming 1
+      (4L, track(~base, 1)),              // complement -> no shared band
+      (9L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val pairs = Multimodal.audioNearDupPairs(spark, rows.repartition(2), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("video near-dup: frame sampling, shared-fingerprint pairs, hot-frame cap") {
     def frame(p: Int) = Multimodal.grayBmpBytes(9, 8,
       (x, y) => if (x <= (y + p) % 8) 0 else 255)
