@@ -79,6 +79,14 @@ object MockExecutor extends CompactionExecutor {
   */
 object SparkExecutor extends CompactionExecutor {
 
+  /** Inner columns of a multi-column clustering sort field — either
+    * `zorder(a, b, ...)` or `hilbert(a, b)`; None for plain columns.
+    * Every consumer that resolves domains or validates schema columns
+    * must see both forms through this one helper. */
+  def multiColsOf(sortColumn: String): Option[Seq[String]] =
+    graft.functions.ZOrder.columnsOf(sortColumn)
+      .orElse(graft.functions.HilbertCurve.columnsOf(sortColumn))
+
   /** Identity partition value column, or a bucket column. "bucket[n]" is
     * the Iceberg-spec transform ([[graft.functions.IcebergBucket]] —
     * cross-engine compatible bucket assignment); "sparkbucket[n]" is the
@@ -130,7 +138,7 @@ object SparkExecutor extends CompactionExecutor {
       else {
         // resolve domains for all zorder fields up front — one agg job
         // covers every column still missing one
-        val zCols = sortOrder.flatMap(s => graft.functions.ZOrder.columnsOf(s.column)).flatten
+        val zCols = sortOrder.flatMap(s => SparkExecutor.multiColsOf(s.column)).flatten
         val missing = zCols.distinct.filterNot(zorderDomains.contains)
         val computed: Map[String, (BigDecimal, BigDecimal)] =
           if (missing.isEmpty) Map.empty
@@ -149,7 +157,12 @@ object SparkExecutor extends CompactionExecutor {
           val key = graft.functions.ZOrder.columnsOf(s.column) match {
             case Some(cols) =>
               graft.functions.ZOrder.zvalue(cols.map(c => (col(c), domains(c))))
-            case None => col(s.column)
+            case None => graft.functions.HilbertCurve.columnsOf(s.column) match {
+              case Some(Seq(a, b)) =>
+                graft.functions.HilbertCurve.hvalue(
+                  (col(a), domains(a)), (col(b), domains(b)))
+              case _ => col(s.column)
+            }
           }
           (s.ascending, s.nullsFirst) match {
             case (true, true)   => key.asc_nulls_first
@@ -231,7 +244,7 @@ object SparkExecutor extends CompactionExecutor {
     // when every data file carries stats for the column; otherwise
     // writeDataFiles falls back to one agg pass
     val zorderDomains: Map[String, (BigDecimal, BigDecimal)] =
-      req.sortOrder.flatMap(s => graft.functions.ZOrder.columnsOf(s.column)).flatten.distinct
+      req.sortOrder.flatMap(s => SparkExecutor.multiColsOf(s.column)).flatten.distinct
         .flatMap { c =>
           val perFile = g.dataFiles.map(_.columnStats.get(c))
           if (perFile.nonEmpty && perFile.forall(_.isDefined)) {

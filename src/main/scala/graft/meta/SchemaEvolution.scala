@@ -159,7 +159,9 @@ object SchemaEvolution {
       newOrder: Seq[SortField]): TableMetadata =
     commitRetry(catalog, tableName) { meta =>
       for (s <- newOrder) {
-        val cols = graft.functions.ZOrder.columnsOf(s.column).getOrElse(Seq(s.column))
+        val cols = graft.functions.ZOrder.columnsOf(s.column)
+          .orElse(graft.functions.HilbertCurve.columnsOf(s.column))
+          .getOrElse(Seq(s.column))
         for (c <- cols)
           require(meta.fieldByName(c).nonEmpty, s"sort column $c not in schema")
       }

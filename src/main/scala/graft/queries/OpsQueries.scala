@@ -635,6 +635,19 @@ object OpsQueries {
           (col("s_suppkey") % 256).cast("long")), bits = 8).as("zval"))
     }),
 
+    // hilbert clustering key (z-order's locality-tighter twin): the
+    // codegen'd per-row rotation loop, hash-checked against a DuckDB
+    // RECURSIVE CTE replaying the identical xy2d state machine one bit
+    // level per iteration — same integer ops, same rotation cases
+    "z2_hilbert" -> ((s, dir) => {
+      import graft.functions.HilbertCurve
+      tbl(s, dir, "supplier").select(col("s_suppkey"),
+        HilbertCurve.hilbertD2(
+          (col("s_suppkey") % 256).cast("long"),
+          ((col("s_suppkey") * 7 + col("s_nationkey")) % 256).cast("long"),
+          bits = 8).as("hval"))
+    }),
+
     // EXACT heavy hitters (frequent tokens above N/k) via Misra-Gries
     // candidate pruning + an exact candidate-only count: the MG stage is
     // pure pruning, so the answer is deterministic and the oracle is a
@@ -2557,6 +2570,27 @@ object OpsQueries {
         s"((((s_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"SELECT s_suppkey, CAST($terms AS BIGINT) AS zval FROM supplier"
     },
+
+    "z2_hilbert" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT s_suppkey, CAST(s_suppkey % 256 AS BIGINT) AS x0,
+        |         CAST((s_suppkey * 7 + s_nationkey) % 256 AS BIGINT) AS y0
+        |  FROM supplier),
+        |it AS (
+        |  SELECT s_suppkey, 7 AS i, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d FROM pts
+        |  UNION ALL
+        |  SELECT s_suppkey, i - 1,
+        |    CASE WHEN (y & (1::BIGINT << i)) = 0 THEN
+        |      CASE WHEN (x & (1::BIGINT << i)) != 0 THEN (1::BIGINT << i) - 1 - y ELSE y END
+        |    ELSE x END,
+        |    CASE WHEN (y & (1::BIGINT << i)) = 0 THEN
+        |      CASE WHEN (x & (1::BIGINT << i)) != 0 THEN (1::BIGINT << i) - 1 - x ELSE x END
+        |    ELSE y END,
+        |    d + (1::BIGINT << i) * (1::BIGINT << i) *
+        |      xor(3 * (CASE WHEN (x & (1::BIGINT << i)) != 0 THEN 1::BIGINT ELSE 0 END),
+        |          CASE WHEN (y & (1::BIGINT << i)) != 0 THEN 1::BIGINT ELSE 0 END)
+        |  FROM it WHERE i >= 0)
+        |SELECT s_suppkey, d AS hval FROM it WHERE i = -1""".stripMargin,
 
     "h1_heavy_hitters" ->
       s"""WITH t AS (
