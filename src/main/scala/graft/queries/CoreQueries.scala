@@ -410,6 +410,50 @@ object CoreQueries {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // correlated scalar subquery (orders above their customer's average),
+    // decided in EXACT integer arithmetic: cents * n > sum_cents avoids
+    // the unordered-float-average boundary class entirely
+    "q_scalar_subquery" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("__c"))
+      val per = o.groupBy("o_custkey")
+        .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+      o.join(broadcast(per), "o_custkey")
+        .filter(col("__c") * col("__n") > col("__s"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_above"))
+    }),
+
+    // array aggregation: per-status sorted key prefix (collect_list is
+    // order-free once sorted, so the array value is deterministic)
+    "q_array_agg" -> ((s, dir) =>
+      tbl(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(slice(sort_array(collect_list(col("o_orderkey"))), 1, 3).as("first_keys"),
+          count(lit(1)).as("n"))),
+
+    // unpivot: wide per-source language counts melted back to rows
+    // (the wide shape comes from the same FILTER-style counts q_pivot
+    // checks; unpivot is the inverse reshape)
+    "q_unpivot" -> ((s, dir) => {
+      val wide = tbl(s, dir, "documents").groupBy(col("source"))
+        .agg(count(when(col("lang") === "en", 1)).as("en"),
+          count(when(col("lang") === "fr", 1)).as("fr"),
+          count(when(col("lang") === "zh", 1)).as("zh"))
+      wide.unpivot(Array(col("source")), Array(col("en"), col("fr"), col("zh")),
+        "lang", "n_docs")
+    }),
+
+    // grouping sets: the two single-column rollups plus the grand total
+    // in one pass (SQL form — the DataFrame API has rollup/cube only)
+    "q_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").createOrReplaceTempView("__li_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  count(1) AS n, sum(cast(l_quantity as bigint)) AS sum_qty
+          |FROM __li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
     // op 20: deterministic LPT task split (planning math; rows-only check)
     "q20_task_split" -> ((s, dir) => {
       import s.implicits._
@@ -685,7 +729,40 @@ object CoreQueries {
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
-        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |per AS (SELECT o_custkey, CAST(sum(c) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1)
+        |SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_above
+        |FROM o JOIN per ON o.o_custkey = per.o_custkey
+        |WHERE o.c * per.n > per.s GROUP BY 1""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT o_orderstatus,
+        |  list_sort(list(o_orderkey))[1:3] AS first_keys,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (SELECT source,
+        |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+        |  CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+        |FROM documents GROUP BY source)
+        |SELECT source, 'en' AS lang, en AS n_docs FROM wide
+        |UNION ALL SELECT source, 'fr', fr FROM wide
+        |UNION ALL SELECT source, 'zh', zh FROM wide""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
     // q20_task_split / q27_binpack / q30_parallelism: driver-side planning
     // math, not SQL-expressible -> rows-only checks
   )
