@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.icebergBucketDescriptor)
     e.injectFunction(GraftExtensions.minHashLanesDescriptor)
     e.injectFunction(GraftExtensions.vecHammingDescriptor)
+    e.injectFunction(GraftExtensions.containmentGeDescriptor)
+    e.injectFunction(GraftExtensions.hilbertD2Descriptor)
   }
 }
 
@@ -131,6 +133,51 @@ object GraftExtensions {
     buildVecHamming
   )
 
+  /** containment_ge(a, b, t): third argument must be a foldable double. */
+  private def buildContainmentGe(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, s"containment_ge expects 3 arguments, got ${exprs.length}")
+    val t = exprs(2) match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+        lit.value match {
+          case d: java.lang.Double     => d.doubleValue()
+          case d: java.math.BigDecimal => d.doubleValue()
+          case d: Decimal              => d.toDouble
+          case other => sys.error(s"containment_ge threshold must be numeric, got $other")
+        }
+      case other => sys.error(s"containment_ge threshold must be a literal, got $other")
+    }
+    SortedContainmentGe(exprs.head, exprs(1), t)
+  }
+
+  private[functions] val containmentGeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("containment_ge"),
+    new ExpressionInfo(classOf[SortedContainmentGe].getName, "containment_ge"),
+    buildContainmentGe
+  )
+
+  /** hilbert_d2(x, y, bits): third argument must be a foldable int. */
+  private def buildHilbertD2(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, s"hilbert_d2 expects 3 arguments, got ${exprs.length}")
+    val bits = exprs(2) match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+        lit.value match {
+          case i: java.lang.Integer => i.intValue()
+          case i: java.lang.Long    => i.intValue()
+          case other => sys.error(s"hilbert_d2 bits must be an int, got $other")
+        }
+      case other => sys.error(s"hilbert_d2 bits must be a literal, got $other")
+    }
+    HilbertD2(exprs.head, exprs(1), bits)
+  }
+
+  private[functions] val hilbertD2Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hilbert_d2"),
+    new ExpressionInfo(classOf[HilbertD2].getName, "hilbert_d2"),
+    buildHilbertD2
+  )
+
   /** Installs the functions into an existing session's registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -145,5 +192,9 @@ object GraftExtensions {
       "min_hash_lanes", buildMinHashLanes, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_hamming", buildVecHamming, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "containment_ge", buildContainmentGe, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hilbert_d2", buildHilbertD2, "built-in")
   }
 }

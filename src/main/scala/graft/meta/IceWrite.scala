@@ -520,6 +520,13 @@ object IceWrite {
     * Source keys must be unique — one source row per target row, checked
     * (SQL MERGE raises on multi-match nondeterminism; so do we).
     *
+    * `notMatchedBySource*` implement SQL's WHEN NOT MATCHED BY SOURCE:
+    * target rows with no source pair can be deleted (retention sweeps:
+    * "remove everything the new feed no longer contains") or updated
+    * (`notMatchedBySourceSet`, expressions over the `t` alias only —
+    * unset columns keep the target value). Off by default, so a plain
+    * merge never touches unmatched target rows.
+    *
     * Scale shape: the matched join shuffles on the keys (the source side
     * is NOT force-broadcast — merge sources can be arbitrarily large; AQE
     * broadcasts small ones), the not-matched set is a key-pruned left
@@ -532,6 +539,11 @@ object IceWrite {
       matchedDeleteWhen: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(false),
       updateSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
       insertWhen: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true),
+      notMatchedBySourceUpdateWhen: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(false),
+      notMatchedBySourceDeleteWhen: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(false),
+      notMatchedBySourceSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
       targetFileSizeBytes: Long = Defaults.TargetFileSize,
       branch: String = "main"): TableMetadata = {
     import org.apache.spark.sql.functions.{col, count, lit}
@@ -552,17 +564,31 @@ object IceWrite {
     val inserted = source.alias("s").filter(insertWhen)
       .join(target.select(keys.map(col): _*), keys, "left_anti")
       .select(cols.map(c => col(s"s.$c").as(c)): _*)
+    // WHEN NOT MATCHED BY SOURCE: target rows with no source pair —
+    // conditions and set expressions see only the `t` alias (there is no
+    // source row); columns outside notMatchedBySourceSet keep the TARGET
+    // value. Same delete-over-update clause precedence as matched rows.
+    val targetOnly = target.alias("t")
+      .join(source.select(keys.map(col): _*), keys, "left_anti")
+    val bySourceUpdated = targetOnly
+      .filter(!notMatchedBySourceDeleteWhen && notMatchedBySourceUpdateWhen)
+      .select(cols.map(c =>
+        notMatchedBySourceSet.getOrElse(c, col(s"t.$c")).as(c)): _*)
+    val bySourceTouchedKeys = targetOnly
+      .filter(notMatchedBySourceDeleteWhen || notMatchedBySourceUpdateWhen)
+      .select(keys.map(k => col(s"t.$k").as(k)): _*).distinct()
     // tombstone keys = matched rows that got updated or deleted (key value
     // is shared by both sides of the pair, so read it from the source)
     val touchedKeys = matched.filter(matchedDeleteWhen || matchedUpdateWhen)
       .select(keys.map(k => col(s"s.$k").as(k)): _*).distinct()
+      .unionAll(bySourceTouchedKeys).distinct()
     val typed = typedOf(table0)
     val dataDir = Paths.get(table0.location, "data").toString
     val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L)
     val delFiles = SparkExecutor.writeDataFiles(spark,
       if (typed) withFieldIds(touchedKeys, table0.schema) else touchedKeys,
       dataDir, Nil, Nil, rowsEstimate)
-    val newRows = updated.unionAll(inserted)
+    val newRows = updated.unionAll(inserted).unionAll(bySourceUpdated)
     val dataFiles = SparkExecutor.writeDataFiles(spark,
       if (typed) withFieldIds(newRows, table0.schema) else newRows,
       dataDir, table0.partitionSpec, table0.sortOrder, rowsEstimate)

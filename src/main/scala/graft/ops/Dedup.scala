@@ -449,6 +449,46 @@ object Dedup {
     else verifyJaccardSetsShuffled(pairs, sets, threshold)
   }
 
+  /** Directed containment over LSH candidates — [[containmentPairs]]'
+    * scale path: same shuffle-free signatures, banding, and hot-bucket
+    * cap as [[minHashNearDupPairs]]; every undirected candidate is tested
+    * in BOTH orientations with the codegen'd containment measure over the
+    * word-shingle sets, behind the same broadcast-vs-shuffle candidate
+    * gate. Returns directed (contained, container) rows.
+    *
+    * Recall caveat (by construction, documented): minhash banding
+    * surfaces pairs whose JACCARD is high — mutual near-dups with
+    * asymmetric edits. A tiny quote inside a huge document has near-zero
+    * Jaccard and will not bucket; route those through the prefix-filter
+    * machinery ([[ngramJaccardPairsPrefix]]'s ordering) if they matter. */
+  def minHashContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.9, maxBucketSize: Int = 100,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
+    val sigSets = minHashSignatureSets(df, idCol, textCol, n, k).localCheckpoint(true)
+    val und = lshCandidatePairs(lshBands(sigSets, k, rowsPerBand), maxBucketSize)
+      .localCheckpoint(true)
+    val directed = und.unionAll(und.select(col("id2").as("id1"), col("id1").as("id2")))
+    val sets = sigSets.select(col("id"), col("gset"))
+    val test = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.SetFunctions.containment_ge(a, b, threshold)
+    if (und.count() * 2 <= maxBroadcastCandidates) {
+      val withA = sets.select(col("id").as("id1"), col("gset").as("__g1"))
+        .join(broadcast(directed), Seq("id1"))
+      sets.select(col("id").as("id2"), col("gset").as("__g2"))
+        .join(broadcast(withA), Seq("id2"))
+        .filter(test(col("__g1"), col("__g2")))
+        .select(col("id1"), col("id2"))
+    } else {
+      directed
+        .join(sets.select(col("id").as("id1"), col("gset").as("__g1")), Seq("id1"))
+        .join(sets.select(col("id").as("id2"), col("gset").as("__g2")), Seq("id2"))
+        .filter(test(col("__g1"), col("__g2")))
+        .select(col("id1"), col("id2"))
+    }
+  }
+
   /** Cross-TABLE fuzzy join (record linkage): (left_id, right_id) pairs
     * whose texts reach `threshold` word-shingle Jaccard — matching a
     * crawl corpus against a reference set (a benchmark's test split, an

@@ -527,6 +527,50 @@ object TextAnalysis {
   }
 
   /** Adds the full analysis column set to a documents DataFrame. */
+  /** Deflate compression ratio in ppm — the "does this text look like
+    * language or like noise/boilerplate" signal production crawls cut on
+    * (highly repetitive boilerplate compresses far below prose; random
+    * bytes do not compress at all). `ratio_ppm = floor(1e6 *
+    * compressed_len / raw_len)` with deflate level 6 over UTF-8 bytes;
+    * null for empty text.
+    *
+    * mapPartitions, one `Deflater` REUSED per partition (reset between
+    * rows — allocating a native zlib stream per row measurably dominates
+    * for short docs); zero shuffles. Deterministic for a given JDK's
+    * deflate implementation, which is why this is a FILTER signal with
+    * spec-pinned orderings, not a DuckDB-oracle column: two engines'
+    * deflate outputs are not bit-comparable the way md5 is. */
+  def compressionRatio(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("raw_len", LongType),
+      StructField("deflate_len", LongType),
+      StructField("ratio_ppm", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        rows.map { r =>
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (raw.isEmpty) Row(r.getLong(0), 0L, null, null)
+          else {
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished()) compressed += deflater.deflate(buf)
+            Row(r.getLong(0), raw.length.toLong, compressed,
+              1000000L * compressed / raw.length)
+          }
+        }
+      }(enc)
+  }
+
   def analyze(df: DataFrame, textCol: String = "text", nCharsCol: String = "n_chars"): DataFrame = {
     val t = col(textCol)
     df.withColumn("ws_tokens", tokenCount(t).cast("long"))

@@ -337,16 +337,18 @@ object CoreQueries {
 
     // funnel analysis: strictly-ordered view -> click -> purchase stages
     // per user (each stage's min ts must be at or after the prior stage's).
-    // Stage frontiers are tiny per-user aggregates (<= #users rows), so
-    // each join is a broadcast; ts stays in the exact integer nano domain
+    // Stage frontiers are per-user aggregates (<= #users rows): small ->
+    // AQE broadcasts them; past broadcast size the same plan shuffle-joins
+    // on user_id (no forced hint = no driver OOM at 10^9 users). ts stays
+    // in the exact integer nano domain
     "q_funnel" -> ((s, dir) => {
       val ev = tbl(s, dir, "events").select(col("user_id"), col("ts"), col("event_type"))
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts").as("t1"))
-      val c = ev.filter(col("event_type") === "click").join(broadcast(v), "user_id")
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
         .filter(col("ts") >= col("t1"))
         .groupBy("user_id").agg(min("ts").as("t2"))
-      val p = ev.filter(col("event_type") === "purchase").join(broadcast(c), "user_id")
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
         .filter(col("ts") >= col("t2"))
         .groupBy("user_id").agg(min("ts").as("t3"))
       v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
@@ -356,13 +358,14 @@ object CoreQueries {
     }),
 
     // cohort retention: users bucketed by first-activity day, activity
-    // counted per (cohort, day offset). The per-user cohort map is tiny ->
-    // broadcast; day arithmetic is integer nano div (exact)
+    // counted per (cohort, day offset). The per-user cohort map joins
+    // un-hinted (AQE broadcasts while it is small); day arithmetic is
+    // integer nano div (exact)
     "q_retention" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
         .select(col("user_id"), expr("ts div 86400000000000").as("day"))
       val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
-      ev.join(broadcast(first), "user_id")
+      ev.join(first, "user_id")
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
         .agg(countDistinct("user_id").as("n_users"))
     }),
@@ -418,7 +421,7 @@ object CoreQueries {
         .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("__c"))
       val per = o.groupBy("o_custkey")
         .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
-      o.join(broadcast(per), "o_custkey")
+      o.join(per, "o_custkey")
         .filter(col("__c") * col("__n") > col("__s"))
         .groupBy("o_custkey").agg(count(lit(1)).as("n_above"))
     }),

@@ -142,6 +142,13 @@ object OpsQueries {
       Dedup.minHashNearDupPairs(corpus(s, dir), "doc_id", "text",
         n = 3, k = 16, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 100)),
 
+    // d11's scale path: DIRECTED containment verdicts over the d2 LSH
+    // candidates (same signatures, bands, caps; containment_ge verify in
+    // both orientations)
+    "d12_containment_lsh" -> ((s, dir) =>
+      Dedup.minHashContainmentPairs(corpus(s, dir), "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.9, maxBucketSize = 100)),
+
     // dedup clusters: connected components over the exact-Jaccard pairs
     // (bounded to a 500-doc slice — the whole corpus at sf<=0.01 — since
     // the pair stage is the d4 quadratic baseline run a second time)
@@ -1437,7 +1444,10 @@ object OpsQueries {
         matchedUpdateWhen = col("t.s_nationkey") < 15,
         matchedDeleteWhen = col("s.s_suppkey") % 9 === 0,
         updateSet = Map(
-          "s_nationkey" -> (col("t.s_nationkey") + lit(500)).cast("int")))
+          "s_nationkey" -> (col("t.s_nationkey") + lit(500)).cast("int")),
+        // WHEN NOT MATCHED BY SOURCE DELETE: retention sweep of target
+        // rows the feed no longer carries (here: high nation keys)
+        notMatchedBySourceDeleteWhen = col("t.s_nationkey") >= 23)
       IceRead.table(s, catalog, "t_q_merge")
         .select(col("s_suppkey"), col("s_name"),
           col("s_nationkey").cast("long").as("s_nationkey"))
@@ -1764,6 +1774,31 @@ object OpsQueries {
          |SELECT id1, id2 FROM common
          |JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
          |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5""".stripMargin,
+
+    "d12_containment_lsh" ->
+      s"""WITH $corpusSql,
+         |$wordGramsSql,
+         |$minhashSigSql,
+         |$bandsSql,
+         |sized AS (
+         |  SELECT b.* FROM bands b
+         |  JOIN (SELECT band, bh, count(*) AS n FROM bands GROUP BY 1,2) z
+         |    ON b.band = z.band AND b.bh = z.bh
+         |  WHERE z.n <= 100),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM sized a JOIN sized b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+         |dir AS (SELECT id1, id2 FROM cand UNION ALL SELECT id2, id1 FROM cand),
+         |sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+         |common AS (
+         |  SELECT d.id1, d.id2, count(*) AS c
+         |  FROM dir d
+         |  JOIN grams g1 ON g1.id = d.id1
+         |  JOIN grams g2 ON g2.id = d.id2 AND g2.gram = g1.gram
+         |  GROUP BY d.id1, d.id2)
+         |SELECT id1, id2 FROM common
+         |JOIN sizes s1 ON s1.id = id1
+         |WHERE s1.n > 0 AND CAST(c AS DOUBLE) / s1.n >= 0.9""".stripMargin,
 
     "d10_fuzzy_join" ->
       s"""WITH lft AS (SELECT doc_id AS id, text FROM documents),
@@ -3418,7 +3453,8 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |kept AS (
         |  SELECT s_suppkey, s_name, s_nationkey FROM src
         |  WHERE NOT (s_suppkey % 9 = 0)
-        |    AND NOT (s_suppkey % 4 = 0 AND s_suppkey % 9 <> 0 AND s_nationkey < 15)),
+        |    AND NOT (s_suppkey % 4 = 0 AND s_suppkey % 9 <> 0 AND s_nationkey < 15)
+        |    AND NOT (s_suppkey % 4 <> 0 AND s_suppkey % 9 <> 0 AND s_nationkey >= 23)),
         |ins AS (
         |  SELECT s_suppkey + 1000000 AS s_suppkey, s_name, s_nationkey
         |  FROM src WHERE s_suppkey % 10 = 0)

@@ -63,6 +63,53 @@ object EventPipeline {
       }
   }
 
+  /** Streaming funnel: per-user ordered stage progression with explicit
+    * state — the streaming face of the batch `q_funnel` query. Stage k is
+    * reached at the earliest event of `stageTypes(k)` at-or-after the
+    * time stage k-1 was reached; one `FunnelStage(user, stage, ts)` row
+    * is emitted the FIRST time a user reaches each stage (append-safe:
+    * stage membership never retracts), so `count by stage` over the
+    * output is the funnel.
+    *
+    * State per user is k longs (earliest completion per stage) — O(users
+    * x stages), not event history. Exactness contract: each micro-batch
+    * is folded in (ts, event_id) order, so a single batch reproduces the
+    * batch query exactly; across batches, events arriving out of
+    * event-time order may lower a stage's completion time after later
+    * stages were evaluated — the standard in-order-replay caveat every
+    * bounded-state streaming funnel carries (the alternative is keeping
+    * full per-user event history). */
+  def funnel(events: Dataset[Event], stageTypes: Seq[String]): Dataset[FunnelStage] = {
+    require(stageTypes.nonEmpty, "funnel needs at least one stage")
+    import events.sparkSession.implicits._
+    val k = stageTypes.size
+    val types = stageTypes.toIndexedSeq
+    events.filter(e => types.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          val reached = state.getOption.map(_.reached.clone())
+            .getOrElse(Array.fill(k)(-1L))
+          val newly = scala.collection.mutable.ArrayBuffer.empty[FunnelStage]
+          for (e <- sorted) {
+            val s = types.indexOf(e.event_type)
+            val prevOk = s == 0 || (reached(s - 1) >= 0 && e.ts >= reached(s - 1))
+            if (prevOk && (reached(s) < 0 || e.ts < reached(s))) {
+              val first = reached(s) < 0
+              reached(s) = e.ts
+              if (first) newly += FunnelStage(userId, s + 1L, e.ts)
+            }
+          }
+          state.update(FunnelState(reached))
+          newly.iterator
+      }
+  }
+
+  final case class FunnelStage(user_id: Long, stage: Long, reached_ts: Long)
+  final case class FunnelState(reached: Array[Long])
+
   /** Streaming ingest dedup: drop events whose content fingerprint was
     * already seen within the watermark horizon — the streaming face of
     * `Dedup.exact` for an at-least-once ingest pipeline (retries and

@@ -55,6 +55,17 @@ class VecDotSpec extends AnyFunSuite {
       "SELECT jaccard_ge(array(1L, 2L, 3L), array(2L, 3L, 4L), 0.6) AS ok").head.getBoolean(0))
   }
 
+  test("containment_ge and hilbert_d2 are SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    // {1,2} fully inside {1,2,3}: containment 1.0; reverse is 2/3
+    assert(spark.sql(
+      "SELECT containment_ge(array(1L, 2L), array(1L, 2L, 3L), 1.0) AS ok").head.getBoolean(0))
+    assert(!spark.sql(
+      "SELECT containment_ge(array(1L, 2L, 3L), array(1L, 2L), 0.7) AS ok").head.getBoolean(0))
+    assert(spark.sql("SELECT hilbert_d2(3L, 5L, 8) AS h").head.getLong(0) ==
+      HilbertCurve.hilbertRef(3L, 5L, 8))
+  }
+
   test("nfc and iceberg_bucket are SQL-callable after registration") {
     GraftExtensions.register(spark)
     // decomposed e + combining acute composes to U+00E9

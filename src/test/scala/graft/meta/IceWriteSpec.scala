@@ -187,6 +187,43 @@ class IceWriteSpec extends AnyFunSuite {
     assert(meta.currentSnapshot.get.summary("operation") == "overwrite")
   }
 
+  test("merge WHEN NOT MATCHED BY SOURCE: deletes and updates unmatched target rows") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    IceWrite.create(spark, catalog, "t_mbs",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "stale", 30L), (4L, "old", 40L))
+        .toDF("id", "name", "qty"))
+
+    // source touches only id 1; ids 2-4 are NOT MATCHED BY SOURCE:
+    //  - id 3 (name = 'stale'): by-source delete condition -> removed
+    //  - id 4 (qty >= 35): by-source update condition -> qty zeroed,
+    //    other columns keep target values
+    //  - id 2: matches neither by-source clause -> untouched
+    val source = Seq((1L, "a1", 100L)).toDF("id", "name", "qty")
+    IceWrite.merge(spark, catalog, "t_mbs", source, keys = Seq("id"),
+      notMatchedBySourceDeleteWhen = col("t.name") === "stale",
+      notMatchedBySourceUpdateWhen = col("t.qty") >= 35,
+      notMatchedBySourceSet = Map("qty" -> lit(0L)))
+
+    val out = IceRead.table(spark, catalog, "t_mbs")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, "a1", 100L),  // matched: whole-row replace (default updateSet)
+      (2L, "b", 20L),    // unmatched, no clause applies
+      (4L, "old", 0L)))  // unmatched, by-source update (name kept)
+
+    // still ONE atomic snapshot for the whole merge
+    assert(catalog.loadTable("t_mbs").snapshots.size == 2)
+
+    // default merge (clauses off) never touches unmatched target rows
+    IceWrite.merge(spark, catalog, "t_mbs",
+      Seq((9L, "new", 90L)).toDF("id", "name", "qty"), keys = Seq("id"))
+    val out2 = IceRead.table(spark, catalog, "t_mbs")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(out2 == Set(1L, 2L, 4L, 9L))
+  }
+
   test("merge rejects duplicate source keys (SQL MERGE multi-match rule)") {
     val catalog = newCatalog()
     val s = spark

@@ -84,4 +84,39 @@ class DedupVerifyGateSpec extends AnyFunSuite {
     assert(viaBroadcast.count() > 0)
     assert(viaBroadcast.exceptAll(viaShuffle).isEmpty && viaShuffle.exceptAll(viaBroadcast).isEmpty)
   }
+
+  test("minHashContainmentPairs: directed verdicts over LSH candidates, both regimes agree") {
+    // the seeded corpus: each base doc vs its '+ x' copy is a mutual
+    // near-dup (high Jaccard -> buckets together); containment holds in
+    // BOTH directions at 0.9 (one extra token on a long doc), so directed
+    // pairs must come out in both orientations
+    val out = Dedup.minHashContainmentPairs(corpus, "doc_id", "text", threshold = 0.9)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    // every bucketed seeded copy contains its base FULLY (the copy is the
+    // base + one token), so the forward (base -> copy) orientation is
+    // always present; the reverse holds only when the base is long enough
+    // that one extra token stays under 10% of its shingles — short docs
+    // are legitimately one-way, which is exactly what the directed
+    // measure is for
+    val anyBase = got.collect { case (a, b) if b == a + 100000 => (a, b) }
+    assert(anyBase.nonEmpty, s"expected (base, base+100000) pairs, got $got")
+    val mirrored = anyBase.count { case (a, b) => got.contains((b, a)) }
+    assert(mirrored * 2 > anyBase.size,
+      s"long docs should mirror (got $mirrored of ${anyBase.size})")
+
+    // shuffled regime (gate 0) emits the identical directed set
+    val shuffled = Dedup.minHashContainmentPairs(corpus, "doc_id", "text", threshold = 0.9,
+      maxBroadcastCandidates = 0L)
+    assert(out.exceptAll(shuffled).isEmpty && shuffled.exceptAll(out).isEmpty)
+
+    // direction genuinely filters: with a threshold only the small-in-big
+    // direction can pass, the big doc's containment in the small one fails
+    val asym = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, (1 to 44).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val dAsym = Dedup.minHashContainmentPairs(asym, "doc_id", "text", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dAsym.contains((1L, 2L)) && !dAsym.contains((2L, 1L)), s"got $dAsym")
+  }
 }

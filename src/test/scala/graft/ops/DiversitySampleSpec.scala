@@ -64,6 +64,33 @@ class DiversitySampleSpec extends AnyFunSuite {
     assert(s1.size > 200 && s1.size < 700, s"size=${s1.size}")
   }
 
+  test("compressionRatio: repetition compresses, noise does not, orderings hold") {
+    val rnd = new scala.util.Random(3)
+    val noise = Array.fill(2000)((rnd.nextInt(94) + 33).toChar).mkString
+    val docs = Seq(
+      (1L, "spam " * 400),                  // highly repetitive
+      (2L, ("the quick brown fox jumps over the lazy dog. " * 5) +
+        "A perfectly ordinary english paragraph follows with varied words, " +
+        "clauses, and punctuation marks that compress moderately well."),
+      (3L, noise),                          // near-incompressible
+      (4L, "")                              // empty -> nulls
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(docs)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val spamR = got(1L).get; val proseR = got(2L).get; val noiseR = got(3L).get
+    assert(spamR < proseR && proseR < noiseR, s"$spamR / $proseR / $noiseR")
+    assert(spamR < 100000L, s"repetition should compress >10x, got $spamR ppm")
+    assert(noiseR > 700000L, s"noise should stay near raw size, got $noiseR ppm")
+    assert(got(4L).isEmpty)
+
+    // deterministic: a rerun reproduces identical lengths
+    val again = TextAnalysis.compressionRatio(docs)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(again == got)
+  }
+
   test("weightedSample: a different seed draws a different set") {
     val df = (1L to 500L).map(i => (i, 10L)).toDF("id", "w")
     val a = Sampling.weightedSample(df, "id", "w", 100, seed = "s1")

@@ -64,6 +64,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel matches the batch funnel query; in-order replay accumulates") {
+    import EventPipeline.Event
+    // batch face over the real events table: one batch == exact q_funnel
+    val evDs = events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    val stages = Seq("view", "click", "purchase")
+    val got = EventPipeline.funnel(evDs, stages)
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // independent batch computation (the q_funnel shape)
+    val v = events.filter($"event_type" === "view").groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = events.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" >= $"t1").groupBy($"user_id").agg(min($"ts").as("t2"))
+    val p = events.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" >= $"t2").groupBy($"user_id").agg(min($"ts").as("t3"))
+    assert(got.getOrElse(1L, 0L) == v.count())
+    assert(got.getOrElse(2L, 0L) == c.count())
+    assert(got.getOrElse(3L, 0L) == p.count())
+    assert(got.getOrElse(1L, 0L) >= got.getOrElse(3L, 0L), "funnel never widens")
+
+    // streaming face: two in-order micro-batches; a user whose stages
+    // span the batch boundary still progresses (state carries t1)
+    val dir = java.nio.file.Files.createTempDirectory("events-funnel")
+    val b1 = Seq(Event(1L, 1000L, 7L, "view", 0.0), Event(2L, 2000L, 7L, "click", 0.0),
+      Event(3L, 1500L, 8L, "view", 0.0)).toDF()
+    val b2 = Seq(Event(4L, 3000L, 7L, "purchase", 0.0), Event(5L, 2500L, 8L, "click", 0.0),
+      // pre-view purchase for user 8: must NOT count (no click-then-purchase order)
+      Event(6L, 100L, 9L, "purchase", 0.0)).toDF()
+    val schema = b1.schema
+    graft.testkit.FileGenerator.writeSingleParquet(spark, b1, dir.resolve("a.parquet"))
+    val q = EventPipeline.funnel(
+        spark.readStream.schema(schema).parquet(dir.toString).as[Event], stages)
+      .writeStream.outputMode("append").format("memory").queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      graft.testkit.FileGenerator.writeSingleParquet(spark, b2, dir.resolve("b.parquet"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((7L, 1L, 1000L), (7L, 2L, 2000L), (7L, 3L, 3000L),
+        (8L, 1L, 1500L), (8L, 2L, 2500L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming CDC upsert: re-delivered keys converge to the latest row") {
     import graft.meta.{IceRead, IceWrite, LocalCatalog}
     val catalog = LocalCatalog(java.nio.file.Files.createTempDirectory("cdc-wh").toString)
