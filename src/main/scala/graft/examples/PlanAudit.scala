@@ -40,7 +40,7 @@ object PlanAudit {
         "t30_cards","q_add_files","d10_fuzzy_join","m7_audio_signal",
         "m8_video_neardup","q_partition_ops","q_sync_mirror","q_row_lineage",
         "t31_domain_blocklist","t32_iban","t33_collocations",
-        "q_funnel","q_retention","q_resample","q_window_funcs","q_anti_join",
+        "q_funnel","q_retention","q_resample","q_locf","q_window_funcs","q_anti_join",
         "q_scalar_subquery","q_array_agg","q_unpivot","q_grouping_sets",
         "d11_containment","t34_char_diversity","p10_weighted_sample",
         "m9_audio_neardup","z2_hilbert")) {

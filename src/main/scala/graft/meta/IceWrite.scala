@@ -568,27 +568,42 @@ object IceWrite {
     // conditions and set expressions see only the `t` alias (there is no
     // source row); columns outside notMatchedBySourceSet keep the TARGET
     // value. Same delete-over-update clause precedence as matched rows.
+    // Statically-off clauses (the lit(false) defaults) skip the extra
+    // target scans entirely, so a plain merge pays nothing for them.
+    def isLitFalse(c: org.apache.spark.sql.Column): Boolean =
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(c) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(false, _) => true
+        case _ => false
+      }
+    val bySourceOn =
+      !(isLitFalse(notMatchedBySourceDeleteWhen) && isLitFalse(notMatchedBySourceUpdateWhen))
     val targetOnly = target.alias("t")
       .join(source.select(keys.map(col): _*), keys, "left_anti")
-    val bySourceUpdated = targetOnly
-      .filter(!notMatchedBySourceDeleteWhen && notMatchedBySourceUpdateWhen)
-      .select(cols.map(c =>
-        notMatchedBySourceSet.getOrElse(c, col(s"t.$c")).as(c)): _*)
-    val bySourceTouchedKeys = targetOnly
-      .filter(notMatchedBySourceDeleteWhen || notMatchedBySourceUpdateWhen)
-      .select(keys.map(k => col(s"t.$k").as(k)): _*).distinct()
+    val bySourceUpdated =
+      if (!bySourceOn) None
+      else Some(targetOnly
+        .filter(!notMatchedBySourceDeleteWhen && notMatchedBySourceUpdateWhen)
+        .select(cols.map(c =>
+          notMatchedBySourceSet.getOrElse(c, col(s"t.$c")).as(c)): _*))
+    val bySourceTouchedKeys =
+      if (!bySourceOn) None
+      else Some(targetOnly
+        .filter(notMatchedBySourceDeleteWhen || notMatchedBySourceUpdateWhen)
+        .select(keys.map(k => col(s"t.$k").as(k)): _*).distinct())
     // tombstone keys = matched rows that got updated or deleted (key value
     // is shared by both sides of the pair, so read it from the source)
-    val touchedKeys = matched.filter(matchedDeleteWhen || matchedUpdateWhen)
+    val matchedTouched = matched.filter(matchedDeleteWhen || matchedUpdateWhen)
       .select(keys.map(k => col(s"s.$k").as(k)): _*).distinct()
-      .unionAll(bySourceTouchedKeys).distinct()
+    val touchedKeys = bySourceTouchedKeys
+      .map(b => matchedTouched.unionAll(b).distinct())
+      .getOrElse(matchedTouched)
     val typed = typedOf(table0)
     val dataDir = Paths.get(table0.location, "data").toString
     val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L)
     val delFiles = SparkExecutor.writeDataFiles(spark,
       if (typed) withFieldIds(touchedKeys, table0.schema) else touchedKeys,
       dataDir, Nil, Nil, rowsEstimate)
-    val newRows = updated.unionAll(inserted).unionAll(bySourceUpdated)
+    val newRows = bySourceUpdated.foldLeft(updated.unionAll(inserted))(_ unionAll _)
     val dataFiles = SparkExecutor.writeDataFiles(spark,
       if (typed) withFieldIds(newRows, table0.schema) else newRows,
       dataDir, table0.partitionSpec, table0.sortOrder, rowsEstimate)

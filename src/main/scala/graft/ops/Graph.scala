@@ -144,4 +144,45 @@ object Graph {
     deg.select(col("node")).join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** The k-core of the undirected graph: the maximal subgraph in which
+    * every node keeps degree >= k — the standard "dense cohesive
+    * neighborhood" extractor (spam-farm / link-ring detection on a web
+    * graph; the fluff of leaf pages and one-link chains peels away).
+    *
+    * Iterative peeling to a FIXPOINT: drop nodes of degree < k, recompute
+    * degrees on the surviving edges, repeat until no node drops. Each
+    * round is one degree aggregate + two semi joins keyed on node ids
+    * (high cardinality, even partitioning); the surviving edge set is
+    * eagerly `localCheckpoint`ed per round so the plan tree stays O(1)
+    * like [[Dedup.clusterPairs]] — round count is bounded by the peel
+    * depth (<= the degeneracy ordering length, shallow on web-shaped
+    * graphs), never materializing anything node-history-sized.
+    *
+    * Returns (node, deg) for the surviving nodes with their degree INSIDE
+    * the core (all >= k); empty when no k-core exists. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e0 = edges.select(col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    var und = e0.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    var done = false
+    while (!done) {
+      val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node")).localCheckpoint(true)
+      val pruned = und
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      done = pruned.count() == und.count()
+      und = pruned
+    }
+    und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -286,6 +286,23 @@ object CoreQueries {
           max(col("__ts_us")).as("end_us"))
     }),
 
+    // NATIVE session windows: Spark's built-in session_window (the same
+    // operator Structured Streaming uses for streaming sessions) must
+    // agree with the manual lag/running-sum sessionization — the oracle
+    // replays the gap rule relationally. Boundary semantics: a session's
+    // end is last_event + gap and the window is [start, end), so a new
+    // event at EXACTLY gap distance starts a new session (>= split in
+    // the oracle, vs q_sessionize's > for the manual form)
+    "q_session_window" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .withColumn("__t", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(col("user_id"), session_window(col("__t"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"))),
+
     // calendar rollup: daily event counts + value cents. The nano-long
     // ts becomes a real timestamp via timestamp_micros(ts div 1000);
     // date_format in the UTC session == DuckDB strftime over the same
@@ -411,6 +428,27 @@ object CoreQueries {
       val big = tbl(s, dir, "orders").filter(col("o_totalprice") > 400000)
       cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // LOCF gap fill: the q_resample daily grid, but missing days carry
+    // the last observed daily total forward (last(ignoreNulls) over the
+    // same per-user ordering; days before the first observation stay -1).
+    // One extra window over the grid — same single user-keyed exchange
+    "q_locf" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("value"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(sum(cents(col("value"))).as("value_cents"))
+      val grid = ev.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled_cents",
+          coalesce(last(col("value_cents"), ignoreNulls = true).over(w), lit(-1L)))
+        .select(col("user_id"), col("day"), col("filled_cents"))
     }),
 
     // correlated scalar subquery (orders above their customer's average),
@@ -733,6 +771,35 @@ object CoreQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+
+    "q_session_window" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |FROM events),
+        |s AS (SELECT user_id, us,
+        |  sum(CASE WHEN gap IS NULL OR gap >= 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM o)
+        |SELECT user_id,
+        |  CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q_locf" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, value FROM events),
+        |daily AS (SELECT user_id, day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day FROM span)
+        |SELECT g.user_id, g.day,
+        |  coalesce(last_value(d.value_cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day ROWS UNBOUNDED PRECEDING), -1)
+        |    AS filled_cents
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
 
     "q_scalar_subquery" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,

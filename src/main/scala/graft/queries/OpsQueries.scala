@@ -642,6 +642,15 @@ object OpsQueries {
           (col("s_suppkey") % 256).cast("long")), bits = 8).as("zval"))
     }),
 
+    // k-core peeling: a 6-clique and an 8-cycle survive the 2-core; a
+    // pendant star, a 3-node tail, and the bridge endpoints peel away.
+    // Spark peels to a FIXPOINT; the oracle unrolls 5 peel rounds (>= the
+    // construction's peel depth of 3) over the same edge list
+    "g3_kcore" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Graph.kCore(kCoreEdges.toDF("src", "dst"), "src", "dst", k = 2)
+    }),
+
     // hilbert clustering key (z-order's locality-tighter twin): the
     // codegen'd per-row rotation loop, hash-checked against a DuckDB
     // RECURSIVE CTE replaying the identical xy2d state machine one bit
@@ -1646,6 +1655,29 @@ object OpsQueries {
     * constants, so the oracle derives width/height/n_frames/fps_e3
     * without parsing RIFF. 40 ms -> 25 fps, 33,333 µs -> ~30.0003 fps,
     * 16,667 µs -> ~59.999 fps. */
+  /** g3 edge list — ONE source of truth for both engines: a 6-clique
+    * (nodes 0-5), an 8-cycle (10-17), a pendant star on the clique
+    * (30-35), a 3-node tail off the cycle (20-22), and a clique-cycle
+    * bridge (5, 10). The 2-core is exactly the clique + cycle + bridge;
+    * peel depth is 3 (tail), so the oracle's 5 unrolled rounds reach the
+    * fixpoint. */
+  private[queries] val kCoreEdges: Seq[(Long, Long)] =
+    (for { i <- 0L until 6L; j <- (i + 1) until 6L } yield (i, j)) ++
+      (0L until 8L).map(i => (10L + i, 10L + (i + 1) % 8)) ++
+      (0L until 6L).map(i => (30L + i, i)) ++
+      Seq((17L, 20L), (20L, 21L), (21L, 22L), (5L, 10L))
+
+  private def kCoreEdgesSql: String =
+    kCoreEdges.map { case (u, v) => s"($u, $v)" }.mkString(", ")
+
+  /** One unrolled peel round for the g3 oracle. */
+  private def kCorePeelRoundSql(prev: String, cur: String, k: Int): String =
+    s"""d_$cur AS (SELECT node, count(*) AS deg FROM (
+       |  SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev) t GROUP BY 1),
+       |$cur AS (SELECT u, v FROM $prev
+       |  WHERE u IN (SELECT node FROM d_$cur WHERE deg >= $k)
+       |    AND v IN (SELECT node FROM d_$cur WHERE deg >= $k))""".stripMargin
+
   private def aviFixtures: Seq[(Long, Int, Int, Int, Int)] = Seq(
     (1L, 32, 24, 40000, 3),
     (2L, 64, 48, 33333, 1),
@@ -2605,6 +2637,19 @@ object OpsQueries {
         s"((((s_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"SELECT s_suppkey, CAST($terms AS BIGINT) AS zval FROM supplier"
     },
+
+    "g3_kcore" ->
+      s"""WITH e0 AS (
+         |  SELECT least(u, v) AS u, greatest(u, v) AS v
+         |  FROM (VALUES $kCoreEdgesSql) t(u, v) GROUP BY 1, 2),
+         |${kCorePeelRoundSql("e0", "e1", 2)},
+         |${kCorePeelRoundSql("e1", "e2", 2)},
+         |${kCorePeelRoundSql("e2", "e3", 2)},
+         |${kCorePeelRoundSql("e3", "e4", 2)},
+         |${kCorePeelRoundSql("e4", "e5", 2)}
+         |SELECT CAST(node AS VARCHAR) AS node, CAST(count(*) AS BIGINT) AS deg
+         |FROM (SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5) t
+         |GROUP BY 1""".stripMargin,
 
     "z2_hilbert" ->
       """WITH RECURSIVE pts AS (

@@ -92,6 +92,30 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(k.values.toSeq == Seq.fill(4)(3L))
   }
+
+  test("kCore: peels tails and pendants, keeps cycles/cliques; deep chain terminates") {
+    // triangle (a,b,c) + tail c-t1-t2-t3: 2-core = the triangle alone
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("c", "t1"), ("t1", "t2"), ("t2", "t3")).toDF("s", "d")
+    val core2 = Graph.kCore(edges, "s", "d", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // 3-core of the same graph is empty (triangle degrees are 2)
+    assert(Graph.kCore(edges, "s", "d", k = 3).isEmpty)
+    // K4 survives its own 3-core with degree 3 everywhere
+    val k4 = (for { u <- Seq("p", "q", "r", "s"); v <- Seq("p", "q", "r", "s") if u < v }
+      yield (u, v)).toDF("s", "d")
+    val core3 = Graph.kCore(k4, "s", "d", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core3 == Map("p" -> 3L, "q" -> 3L, "r" -> 3L, "s" -> 3L))
+    // a 30-node path peels one end per round off its anchor — the
+    // deep-chain case the per-round localCheckpoint must survive
+    val path = (0 until 29).map(i => (s"n$i", s"n${i + 1}")) :+ (("n0", "n29"))
+    val cyc = Graph.kCore(path.toDF("s", "d"), "s", "d", k = 2)
+    assert(cyc.count() == 30) // closing edge makes it a cycle: all survive
+    val open = (0 until 29).map(i => (s"n$i", s"n${i + 1}"))
+    assert(Graph.kCore(open.toDF("s", "d"), "s", "d", k = 2).isEmpty)
+  }
 }
 
 /** Tolerance helper kept out of the test bodies. */
