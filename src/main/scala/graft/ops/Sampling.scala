@@ -152,20 +152,29 @@ object Sampling {
     * same nibble arithmetic via a list_reduce fold). One tiny broadcast
     * (the 1-row weight total) + a narrow filter; no shuffle of the data.
     *
-    * Overflow envelope (documented, asserted): both comparison sides live
-    * in a long iff `W < 2^31` and `expected * max_w < 2^31` — far beyond
-    * any per-table sampling pass this library plans (W is a weight SUM,
-    * e.g. total corpus chars; shard first if you exceed it). */
+    * Overflow envelope, ENFORCED in the plan: both comparison sides live
+    * in a long iff `W < 2^31` and `expected * max_w < 2^31`. Exceeding
+    * either fails the job loudly (`assert_true` over the broadcast 1-row
+    * totals — no silent wraparound-corrupted sample). That bound is far
+    * beyond any per-table sampling pass this library plans (W is a
+    * weight SUM, e.g. total corpus chars; shard first past it). */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       expected: Int, seed: String = "wsample"): DataFrame = {
     require(expected >= 1, s"expected must be >= 1, got $expected")
     val draw = conv(substring(md5(concat(lit(seed), lit(":"),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
-    val totals = df.agg(sum(col(weightCol).cast("long")).as("__W"))
+    val totals = df.agg(sum(col(weightCol).cast("long")).as("__W"),
+      max(col(weightCol).cast("long")).as("__maxw"))
+    val lim = 1L << 31
     df.crossJoin(broadcast(totals))
-      .filter(draw * col("__W") <
+      .withColumn("__ovf", assert_true(
+        col("__W") < lim && lit(expected.toLong) * col("__maxw") < lim,
+        lit(s"weightedSample overflow envelope exceeded: need sum(w) < 2^31 " +
+          s"and expected * max(w) < 2^31 — shard the input first")))
+      .filter(col("__ovf").isNull &&
+        draw * col("__W") <
         lit(expected.toLong) * col(weightCol).cast("long") * lit(4294967296L))
-      .drop("__W")
+      .drop("__W", "__maxw", "__ovf")
   }
 
   /** Stratified deterministic sampling: per-stratum keep rates (a data

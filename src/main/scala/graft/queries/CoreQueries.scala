@@ -451,6 +451,39 @@ object CoreQueries {
         .select(col("user_id"), col("day"), col("filled_cents"))
     }),
 
+    // z-score anomaly detection in EXACT integers: |x - mean| > 3 sigma
+    // rewritten as (n*x - S)^2 > 9*(n*Q - S^2) with S = sum(cents),
+    // Q = sum(cents^2) — no float mean/stddev anywhere, so no unordered
+    // float aggregation can flip a boundary event. Per-type stats are 5
+    // rows (AQE broadcasts); one scan + one tiny agg
+    "q_anomaly" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("event_type"), cents(col("value")).as("__c"))
+      val stats = ev.groupBy("event_type").agg(
+        sum(col("__c")).as("__S"),
+        sum(col("__c") * col("__c")).as("__Q"),
+        count(lit(1)).as("__n"))
+      ev.join(stats, "event_type")
+        .filter((col("__n") * col("__c") - col("__S")) *
+          (col("__n") * col("__c") - col("__S")) >
+          lit(9L) * (col("__n") * col("__Q") - col("__S") * col("__S")))
+        .select(col("event_type"), col("event_id"))
+    }),
+
+    // growth curve: users by first-activity HOUR, cumulative over the
+    // calendar. The running sum's window carries hour-cardinality rows
+    // (~hundreds), not events — safe single partition at any event volume
+    "q_growth" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("hour"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      tbl(s, dir, "events")
+        .select(col("user_id"), expr("ts div 3600000000000").as("hour"))
+        .groupBy("user_id").agg(min("hour").as("hour"))
+        .groupBy("hour").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+    }),
+
     // correlated scalar subquery (orders above their customer's average),
     // decided in EXACT integer arithmetic: cents * n > sum_cents avoids
     // the unordered-float-average boundary class entirely
@@ -771,6 +804,26 @@ object CoreQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+
+    "q_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s,
+        |  CAST(sum(c * c) AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_type, e.event_id
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |WHERE (st.n * e.c - st.s) * (st.n * e.c - st.s) >
+        |      9 * (st.n * st.q - st.s * st.s)""".stripMargin,
+
+    "q_growth" ->
+      """WITH f AS (SELECT user_id, min(epoch_ns(ts) // 3600000000000) AS hour
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT hour, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+        |SELECT CAST(hour AS BIGINT) AS hour, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_users
+        |FROM d""".stripMargin,
 
     "q_session_window" ->
       """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,

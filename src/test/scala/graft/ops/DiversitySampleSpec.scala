@@ -91,6 +91,16 @@ class DiversitySampleSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("weightedSample: overflow envelope fails loudly, never wraps silently") {
+    // sum(w) over 2^31 must raise, not corrupt the draw comparison
+    val big = Seq((1L, 3000000000L), (2L, 10L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(big, "id", "w", expected = 5).count()
+    }
+    assert(e.getMessage.contains("overflow envelope") ||
+      e.getCause != null && e.getCause.getMessage.contains("overflow envelope"))
+  }
+
   test("weightedSample: a different seed draws a different set") {
     val df = (1L to 500L).map(i => (i, 10L)).toDF("id", "w")
     val a = Sampling.weightedSample(df, "id", "w", 100, seed = "s1")
