@@ -642,6 +642,19 @@ object OpsQueries {
           (col("s_suppkey") % 256).cast("long")), bits = 8).as("zval"))
     }),
 
+    // edit distance (record-linkage string similarity): names mutated
+    // arithmetically (char drop / suffix append / reversal) so distances
+    // derive from the same DP both engines implement — exact integers
+    "t36_edit_distance" -> ((s, dir) =>
+      tbl(s, dir, "supplier").select(col("s_suppkey"),
+        expr("""CASE CAST(s_suppkey % 3 AS INT)
+                |  WHEN 0 THEN substring(s_name, 2)
+                |  WHEN 1 THEN concat(s_name, 'xy')
+                |  ELSE reverse(s_name) END""".stripMargin).as("mutated"))
+        .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name")), "s_suppkey")
+        .select(col("s_suppkey"),
+          levenshtein(col("s_name"), col("mutated")).cast("long").as("dist"))),
+
     // k-core peeling: a 6-clique and an 8-cycle survive the 2-core; a
     // pendant star, a 3-node tail, and the bridge endpoints peel away.
     // Spark peels to a FIXPOINT; the oracle unrolls 5 peel rounds (>= the
@@ -2637,6 +2650,14 @@ object OpsQueries {
         s"((((s_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"SELECT s_suppkey, CAST($terms AS BIGINT) AS zval FROM supplier"
     },
+
+    "t36_edit_distance" ->
+      """SELECT s_suppkey, CAST(levenshtein(s_name,
+        |  CASE CAST(s_suppkey % 3 AS INT)
+        |    WHEN 0 THEN substr(s_name, 2)
+        |    WHEN 1 THEN s_name || 'xy'
+        |    ELSE reverse(s_name) END) AS BIGINT) AS dist
+        |FROM supplier""".stripMargin,
 
     "g3_kcore" ->
       s"""WITH e0 AS (
