@@ -36,6 +36,7 @@ object Bench {
     time { SparkEntry.queries("q10_projection")(spark, sfDir).count(): Unit }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var compactionDetail: Option[String] = None
     SparkEntry.queries.foreach { case (name, fn) =>
       results(name) = time { fn(spark, sfDir).count(): Unit }
     }
@@ -52,6 +53,10 @@ object Bench {
       FileGenerator.writeTable(spark, catalog, "bench_li", src,
         FileGenerator.Config(dataFileCount = 8, posDeleteRowsPerFile = 100,
           eqDeleteRowsPerFile = 100, equalityIds = Seq("l_orderkey"), orderCol = "l_orderkey"))
+      // mirror the reference harness's outputs (bench.rs:87-92): input/
+      // output file counts and bytes alongside the wall clock
+      val before = catalog.loadTable("bench_li").currentSnapshot.get.manifest
+      var added: Seq[graft.meta.FileEntry] = Nil
       results("compaction_mor") = time {
         val c = new Compaction(catalog, "bench_li", spark,
           config = FullCompactionConfig(PlanningParams(
@@ -60,14 +65,21 @@ object Bench {
           enableValidate = true)
         val res = c.compact()
         require(res.addedFiles.nonEmpty, "compaction produced no files")
+        added = res.addedFiles
       }
+      compactionDetail = Some(
+        s""""compaction":{"input_files":${before.size},""" +
+          s""""input_bytes":${before.map(_.length).sum},""" +
+          s""""output_files":${added.size},""" +
+          s""""output_bytes":${added.map(_.length).sum}}""")
     } catch {
       case e: Throwable => System.err.println(s"[bench] compaction fixture failed: ${e.getMessage}")
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = compactionDetail.map("," + _).getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$detail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
