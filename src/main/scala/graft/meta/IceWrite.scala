@@ -557,8 +557,17 @@ object IceWrite {
     val target = IceRead.table(spark, catalog, name, branch)
     val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val matched = target.alias("t").join(source.alias("s"), keyCond)
+    // NULL-valued conditions mean "clause does not apply" (SQL WHEN
+    // semantics) — coalesce to false BEFORE negating, or three-valued
+    // logic makes `!NULL && other` NULL: the key would be tombstoned by
+    // the (NULL || other) touched filter while the row silently drops out
+    // of the re-insert set. Applies to every clause pair below.
+    def applies(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.coalesce(c, lit(false))
+    val deleteW = applies(matchedDeleteWhen)
+    val updateW = applies(matchedUpdateWhen)
     // delete-before-update clause order; untouched rows fall through
-    val toUpdate = matched.filter(!matchedDeleteWhen && matchedUpdateWhen)
+    val toUpdate = matched.filter(!deleteW && updateW)
     val updated = toUpdate.select(cols.map(c =>
       updateSet.getOrElse(c, col(s"s.$c")).as(c)): _*)
     val inserted = source.alias("s").filter(insertWhen)
@@ -579,20 +588,22 @@ object IceWrite {
       !(isLitFalse(notMatchedBySourceDeleteWhen) && isLitFalse(notMatchedBySourceUpdateWhen))
     val targetOnly = target.alias("t")
       .join(source.select(keys.map(col): _*), keys, "left_anti")
+    val bsDeleteW = applies(notMatchedBySourceDeleteWhen)
+    val bsUpdateW = applies(notMatchedBySourceUpdateWhen)
     val bySourceUpdated =
       if (!bySourceOn) None
       else Some(targetOnly
-        .filter(!notMatchedBySourceDeleteWhen && notMatchedBySourceUpdateWhen)
+        .filter(!bsDeleteW && bsUpdateW)
         .select(cols.map(c =>
           notMatchedBySourceSet.getOrElse(c, col(s"t.$c")).as(c)): _*))
     val bySourceTouchedKeys =
       if (!bySourceOn) None
       else Some(targetOnly
-        .filter(notMatchedBySourceDeleteWhen || notMatchedBySourceUpdateWhen)
+        .filter(bsDeleteW || bsUpdateW)
         .select(keys.map(k => col(s"t.$k").as(k)): _*).distinct())
     // tombstone keys = matched rows that got updated or deleted (key value
     // is shared by both sides of the pair, so read it from the source)
-    val matchedTouched = matched.filter(matchedDeleteWhen || matchedUpdateWhen)
+    val matchedTouched = matched.filter(deleteW || updateW)
       .select(keys.map(k => col(s"s.$k").as(k)): _*).distinct()
     val touchedKeys = bySourceTouchedKeys
       .map(b => matchedTouched.unionAll(b).distinct())

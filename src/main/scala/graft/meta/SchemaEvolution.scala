@@ -159,9 +159,7 @@ object SchemaEvolution {
       newOrder: Seq[SortField]): TableMetadata =
     commitRetry(catalog, tableName) { meta =>
       for (s <- newOrder) {
-        val cols = graft.functions.ZOrder.columnsOf(s.column)
-          .orElse(graft.functions.HilbertCurve.columnsOf(s.column))
-          .getOrElse(Seq(s.column))
+        val cols = graft.exec.SparkExecutor.multiColsOf(s.column).getOrElse(Seq(s.column))
         for (c <- cols)
           require(meta.fieldByName(c).nonEmpty, s"sort column $c not in schema")
       }

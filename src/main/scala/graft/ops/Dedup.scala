@@ -389,15 +389,33 @@ object Dedup {
     * by contrast re-shuffles every (id, gram) row twice to count common
     * grams; at 100 TB that is two full-corpus exchanges for a handful of
     * candidate pairs. */
-  def verifyJaccardSets(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
-    val withA = sets.select(col("id").as("id1"), col("gset").as("__g1"))
-      .join(broadcast(pairs), Seq("id1"))
-    val resolved = sets.select(col("id").as("id2"), col("gset").as("__g2"))
-      .join(broadcast(withA), Seq("id2"))
+  /** Shared candidate-verify join shape: resolve each pair's two per-row
+    * sets and keep pairs passing `test` — broadcast form (pairs broadcast,
+    * corpus streamed twice, zero set-relation shuffles) or shuffled form
+    * (id-keyed joins, size-safe at any candidate volume). Every LSH
+    * verify stage (Jaccard or containment) goes through here so the join
+    * shape has one owner. */
+  private def verifySets(pairs: DataFrame, sets: DataFrame,
+      test: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      broadcastPairs: Boolean): DataFrame = {
+    val resolved = if (broadcastPairs) {
+      val withA = sets.select(col("id").as("id1"), col("gset").as("__g1"))
+        .join(broadcast(pairs), Seq("id1"))
+      sets.select(col("id").as("id2"), col("gset").as("__g2"))
+        .join(broadcast(withA), Seq("id2"))
+    } else {
+      pairs
+        .join(sets.select(col("id").as("id1"), col("gset").as("__g1")), Seq("id1"))
+        .join(sets.select(col("id").as("id2"), col("gset").as("__g2")), Seq("id2"))
+    }
     resolved
-      .filter(graft.functions.SetFunctions.jaccard_ge(col("__g1"), col("__g2"), threshold))
+      .filter(test(col("__g1"), col("__g2")))
       .select(col("id1"), col("id2"))
   }
+
+  def verifyJaccardSets(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    verifySets(pairs, sets,
+      graft.functions.SetFunctions.jaccard_ge(_, _, threshold), broadcastPairs = true)
 
   /** Shuffle-based twin of [[verifyJaccardSets]]: the same two joins
     * against the per-row shingle sets, but keyed shuffles instead of
@@ -406,15 +424,9 @@ object Dedup {
     * for web crawl) yields O(corpus) candidates, and broadcasting those
     * would OOM the driver. This path shuffles pairs + sets by id: strictly
     * more data movement, but size-safe at any candidate volume. */
-  def verifyJaccardSetsShuffled(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
-    val withA = pairs
-      .join(sets.select(col("id").as("id1"), col("gset").as("__g1")), Seq("id1"))
-    val resolved = withA
-      .join(sets.select(col("id").as("id2"), col("gset").as("__g2")), Seq("id2"))
-    resolved
-      .filter(graft.functions.SetFunctions.jaccard_ge(col("__g1"), col("__g2"), threshold))
-      .select(col("id1"), col("id2"))
-  }
+  def verifyJaccardSetsShuffled(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    verifySets(pairs, sets,
+      graft.functions.SetFunctions.jaccard_ge(_, _, threshold), broadcastPairs = false)
 
   /** Broadcast gate for the candidate-verify stage, in pairs. A pair is two
     * ids (~tens of bytes hashed-relation-side), so 1M pairs is a few tens
@@ -471,22 +483,9 @@ object Dedup {
       .localCheckpoint(true)
     val directed = und.unionAll(und.select(col("id2").as("id1"), col("id1").as("id2")))
     val sets = sigSets.select(col("id"), col("gset"))
-    val test = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      graft.functions.SetFunctions.containment_ge(a, b, threshold)
-    if (und.count() * 2 <= maxBroadcastCandidates) {
-      val withA = sets.select(col("id").as("id1"), col("gset").as("__g1"))
-        .join(broadcast(directed), Seq("id1"))
-      sets.select(col("id").as("id2"), col("gset").as("__g2"))
-        .join(broadcast(withA), Seq("id2"))
-        .filter(test(col("__g1"), col("__g2")))
-        .select(col("id1"), col("id2"))
-    } else {
-      directed
-        .join(sets.select(col("id").as("id1"), col("gset").as("__g1")), Seq("id1"))
-        .join(sets.select(col("id").as("id2"), col("gset").as("__g2")), Seq("id2"))
-        .filter(test(col("__g1"), col("__g2")))
-        .select(col("id1"), col("id2"))
-    }
+    verifySets(directed, sets,
+      graft.functions.SetFunctions.containment_ge(_, _, threshold),
+      broadcastPairs = und.count() * 2 <= maxBroadcastCandidates)
   }
 
   /** Cross-TABLE fuzzy join (record linkage): (left_id, right_id) pairs

@@ -170,6 +170,7 @@ object Graph {
         greatest(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint(true)
     var done = false
+    var edgeCount = und.count() // carried across rounds: one count job per round
     while (!done) {
       val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -179,7 +180,9 @@ object Graph {
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint(true)
-      done = pruned.count() == und.count()
+      val prunedCount = pruned.count()
+      done = prunedCount == edgeCount
+      edgeCount = prunedCount
       und = pruned
     }
     und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))

@@ -502,8 +502,11 @@ object Multimodal {
     * adjacent-pixel comparison survives brightness shifts. Tracks with
     * fewer than 65 frames carry no code (too short to fingerprint). */
   private[ops] def audioEnvelopeHash(payload: Array[Byte]): Option[Long] = {
-    decodeWavSamples(payload).flatMap { case (_, ch, frames, s, _) =>
+    decodeWavSamples(payload).flatMap { case (_, ch, declaredFrames, s, _) =>
       val windows = 65
+      // trust the bytes actually present, not the header's declared frame
+      // count — a truncated payload would otherwise index past s.length
+      val frames = if (ch <= 0) 0L else math.min(declaredFrames, s.length.toLong / ch)
       if (frames < windows || ch <= 0) None
       else {
         val env = new Array[Long](windows)

@@ -526,7 +526,6 @@ object TextAnalysis {
         expr("CASE WHEN n_tokens = 0 THEN NULL ELSE n_oov * 1000000 div n_tokens END"))
   }
 
-  /** Adds the full analysis column set to a documents DataFrame. */
   /** Deflate compression ratio in ppm — the "does this text look like
     * language or like noise/boilerplate" signal production crawls cut on
     * (highly repetitive boilerplate compresses far below prose; random
@@ -571,6 +570,7 @@ object TextAnalysis {
       }(enc)
   }
 
+  /** Adds the full analysis column set to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text", nCharsCol: String = "n_chars"): DataFrame = {
     val t = col(textCol)
     df.withColumn("ws_tokens", tokenCount(t).cast("long"))

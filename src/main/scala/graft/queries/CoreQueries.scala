@@ -463,10 +463,15 @@ object CoreQueries {
         sum(col("__c")).as("__S"),
         sum(col("__c") * col("__c")).as("__Q"),
         count(lit(1)).as("__n"))
+      // the squared terms leave the long range around sf1 (n ~ 2e5 makes
+      // n*Q ~ 2e18 and dev^2 up to ~4e18): DECIMAL(38,0) / HUGEINT keeps
+      // both engines exact instead of Spark silently wrapping (t33's
+      // pattern). The un-squared building blocks stay comfortably in long.
+      val dev = (col("__n") * col("__c") - col("__S")).cast("decimal(38,0)")
+      val nQ = col("__n").cast("decimal(38,0)") * col("__Q")
+      val s2 = col("__S").cast("decimal(38,0)") * col("__S")
       ev.join(stats, "event_type")
-        .filter((col("__n") * col("__c") - col("__S")) *
-          (col("__n") * col("__c") - col("__S")) >
-          lit(9L) * (col("__n") * col("__Q") - col("__S") * col("__S")))
+        .filter(dev * dev > lit(9).cast("decimal(38,0)") * (nQ - s2))
         .select(col("event_type"), col("event_id"))
     }),
 
@@ -813,8 +818,8 @@ object CoreQueries {
         |  FROM e GROUP BY 1)
         |SELECT e.event_type, e.event_id
         |FROM e JOIN st ON e.event_type = st.event_type
-        |WHERE (st.n * e.c - st.s) * (st.n * e.c - st.s) >
-        |      9 * (st.n * st.q - st.s * st.s)""".stripMargin,
+        |WHERE CAST(st.n * e.c - st.s AS HUGEINT) * (st.n * e.c - st.s) >
+        |      9 * (CAST(st.n AS HUGEINT) * st.q - CAST(st.s AS HUGEINT) * st.s)""".stripMargin,
 
     "q_growth" ->
       """WITH f AS (SELECT user_id, min(epoch_ns(ts) // 3600000000000) AS hour

@@ -90,20 +90,32 @@ object EventPipeline {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
           val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
-          val reached = state.getOption.map(_.reached.clone())
+          val before = state.getOption.map(_.reached.clone())
             .getOrElse(Array.fill(k)(-1L))
-          val newly = scala.collection.mutable.ArrayBuffer.empty[FunnelStage]
-          for (e <- sorted) {
-            val s = types.indexOf(e.event_type)
-            val prevOk = s == 0 || (reached(s - 1) >= 0 && e.ts >= reached(s - 1))
-            if (prevOk && (reached(s) < 0 || e.ts < reached(s))) {
-              val first = reached(s) < 0
-              reached(s) = e.ts
-              if (first) newly += FunnelStage(userId, s + 1L, e.ts)
+          val reached = before.clone()
+          // fold to a FIXPOINT within the batch (at most k passes): a
+          // stage-k event tied on ts with the stage-(k-1) completion can
+          // sort before it and must be revisited — the batch query's
+          // `ts >= t_{k-1}` is inclusive, so one pass would miss it
+          var changed = true
+          while (changed) {
+            changed = false
+            for (e <- sorted) {
+              val s = types.indexOf(e.event_type)
+              val prevOk = s == 0 || (reached(s - 1) >= 0 && e.ts >= reached(s - 1))
+              if (prevOk && (reached(s) < 0 || e.ts < reached(s))) {
+                reached(s) = e.ts
+                changed = true
+              }
             }
           }
           state.update(FunnelState(reached))
-          newly.iterator
+          // emit each stage the FIRST batch it is reached, with its
+          // settled (post-fixpoint) timestamp
+          (0 until k).iterator.collect {
+            case s if before(s) < 0 && reached(s) >= 0 =>
+              FunnelStage(userId, s + 1L, reached(s))
+          }
       }
   }
 

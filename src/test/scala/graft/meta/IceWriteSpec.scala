@@ -224,6 +224,41 @@ class IceWriteSpec extends AnyFunSuite {
     assert(out2 == Set(1L, 2L, 4L, 9L))
   }
 
+  test("merge: NULL-valued clause conditions mean 'does not apply', never lose rows") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    // name is NULL for id 4: the delete condition (t.name === 'stale')
+    // evaluates to NULL there — three-valued logic must NOT tombstone the
+    // key while dropping it from the update set (silent row loss)
+    IceWrite.create(spark, catalog, "t_mnull",
+      Seq((1L, Some("a"), 10L), (4L, None, 40L), (5L, Some("stale"), 50L))
+        .toDF("id", "name", "qty"))
+    IceWrite.merge(spark, catalog, "t_mnull",
+      Seq((9L, "new", 90L)).toDF("id", "name", "qty"), keys = Seq("id"),
+      notMatchedBySourceDeleteWhen = col("t.name") === "stale",
+      notMatchedBySourceUpdateWhen = col("t.qty") >= 35,
+      notMatchedBySourceSet = Map("qty" -> lit(0L)))
+    val out = IceRead.table(spark, catalog, "t_mnull")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSet
+    // id 4: delete does not apply (NULL), update applies -> qty zeroed
+    // id 5: deleted; id 1: untouched; id 9: inserted
+    assert(out == Set((1L, "a", 10L), (4L, null, 0L), (9L, "new", 90L)))
+
+    // matched path: a NULL update condition must leave the row untouched,
+    // not tombstone it
+    IceWrite.create(spark, catalog, "t_mnull2",
+      Seq((1L, Some("a"), 10L), (2L, None, 20L)).toDF("id", "name", "qty"))
+    IceWrite.merge(spark, catalog, "t_mnull2",
+      Seq((1L, "a1", 100L), (2L, "b1", 200L)).toDF("id", "name", "qty"),
+      keys = Seq("id"),
+      matchedUpdateWhen = col("t.name") === "a") // NULL for id 2
+    val out2 = IceRead.table(spark, catalog, "t_mnull2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out2 == Set((1L, 100L), (2L, 20L)))
+  }
+
   test("merge rejects duplicate source keys (SQL MERGE multi-match rule)") {
     val catalog = newCatalog()
     val s = spark
