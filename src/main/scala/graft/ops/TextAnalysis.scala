@@ -526,6 +526,49 @@ object TextAnalysis {
         expr("CASE WHEN n_tokens = 0 THEN NULL ELSE n_oov * 1000000 div n_tokens END"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) — the
+    * MOSS local-fingerprinting scheme: hash every k-gram, slide a window
+    * of `w` consecutive hashes, select each window's RIGHTMOST minimal
+    * hash. Guarantees every shared substring of length >= k + w - 1
+    * contributes at least one shared fingerprint, while keeping ~2/(w+1)
+    * of the grams — position-robust partial-overlap detection (quotes,
+    * plagiarism, template reuse) that whole-document hashing misses.
+    *
+    * Pure per-row expressions, zero shuffle: gram hashes are md5 hex
+    * prefixes (fixed-length lowercase hex compares numerically in any
+    * engine — the cross-engine trick the samplers use), window minima are
+    * one fold per window, O(m * w) per row. Cross-doc matching joins
+    * `fp_hashes` through the standard (hash -> id) bucket-join skeleton
+    * ([[Multimodal.videoNearDupPairs]]' shape).
+    *
+    * Output: (id, n_grams, fp_positions ASC, fp_hashes sorted distinct).
+    * Documents shorter than k + w - 1 chars carry no fingerprints. */
+  def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, w: Int = 5): DataFrame = {
+    require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
+    df.select(col(idCol).as("id"), lower(normalize(col(textCol))).as("__t"))
+      .withColumn("__m", (length(col("__t")) - (k - 1)).cast("int"))
+      .withColumn("__hs", expr(
+        s"""CASE WHEN __m < 1 THEN array() ELSE
+           |transform(sequence(1, __m),
+           |  i -> substring(md5(substring(__t, i, $k)), 1, 16)) END""".stripMargin))
+      // rightmost window minimum: <= keeps the later position on ties;
+      // the 'g' sentinel sorts above every hex digit
+      .withColumn("__sel", expr(
+        s"""CASE WHEN __m - ${w - 1} < 1 THEN array() ELSE
+           |array_distinct(transform(sequence(1, __m - ${w - 1}),
+           |  j -> aggregate(sequence(j, j + ${w - 1}),
+           |         named_struct('h', 'g', 'p', 0),
+           |         (acc, i) -> IF(element_at(__hs, i) <= acc.h,
+           |           named_struct('h', element_at(__hs, i), 'p', i), acc),
+           |         acc -> acc.p))) END""".stripMargin))
+      .select(col("id"),
+        greatest(col("__m").cast("long"), lit(0L)).as("n_grams"),
+        expr("array_sort(transform(__sel, p -> cast(p as bigint)))").as("fp_positions"),
+        expr("array_sort(array_distinct(transform(__sel, p -> element_at(__hs, p))))")
+          .as("fp_hashes"))
+  }
+
   /** Deflate compression ratio in ppm — the "does this text look like
     * language or like noise/boilerplate" signal production crawls cut on
     * (highly repetitive boilerplate compresses far below prose; random

@@ -642,6 +642,15 @@ object OpsQueries {
           (col("s_suppkey") % 256).cast("long")), bits = 8).as("zval"))
     }),
 
+    // winnowing fingerprints (MOSS): per-doc selected-position count and
+    // position checksum; the oracle replays gram hashing, the rightmost-
+    // window-minimum fold, and the dedup in DuckDB list ops
+    "t37_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(tbl(s, dir, "documents"))
+        .select(col("id").as("doc_id"), col("n_grams"),
+          size(col("fp_positions")).cast("long").as("n_selected"),
+          expr("aggregate(fp_positions, 0L, (a, p) -> a + p)").as("pos_sum"))),
+
     // edit distance (record-linkage string similarity): names mutated
     // arithmetically (char drop / suffix append / reversal) so distances
     // derive from the same DP both engines implement — exact integers
@@ -2650,6 +2659,30 @@ object OpsQueries {
         s"((((s_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"SELECT s_suppkey, CAST($terms AS BIGINT) AS zval FROM supplier"
     },
+
+    "t37_winnow" ->
+      s"""WITH norm AS (SELECT doc_id, lower($normSql) AS t FROM documents),
+         |g AS (SELECT doc_id, t, CAST(len(t) - 7 AS INT) AS m FROM norm),
+         |hs AS (SELECT doc_id, m,
+         |  CASE WHEN m < 1 THEN [] ELSE
+         |    list_transform(range(1, m + 1),
+         |      i -> substr(md5(substr(t, CAST(i AS INT), 8)), 1, 16)) END AS h
+         |  FROM g),
+         |sel AS (SELECT doc_id, m,
+         |  CASE WHEN m - 4 < 1 THEN [] ELSE
+         |    list_distinct(list_transform(range(1, m - 3),
+         |      j -> CAST(substr(
+         |        list_reduce(
+         |          list_prepend('g|0', list_transform(range(j, j + 5),
+         |            i -> h[CAST(i AS INT)] || '|' || i)),
+         |          (a, x) -> CASE WHEN substr(x, 1, 16) <= substr(a, 1, 16)
+         |                         THEN x ELSE a END),
+         |        18) AS BIGINT))) END AS ps
+         |  FROM hs)
+         |SELECT doc_id, CAST(greatest(m, 0) AS BIGINT) AS n_grams,
+         |  CAST(len(ps) AS BIGINT) AS n_selected,
+         |  CAST(coalesce(list_sum(ps), 0) AS BIGINT) AS pos_sum
+         |FROM sel""".stripMargin,
 
     "t36_edit_distance" ->
       """SELECT s_suppkey, CAST(levenshtein(s_name,

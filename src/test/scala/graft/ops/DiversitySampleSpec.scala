@@ -47,6 +47,41 @@ class DiversitySampleSpec extends AnyFunSuite {
     assert(got(2L) > got(1L) * 3) // padding at least triples collision
   }
 
+  test("winnowFingerprints: the winnowing guarantee and edge cases hold") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"AAAA unrelated prefix text. $shared and more trailing content here"),
+      (2L, s"totally different beginning!! $shared with another ending entirely"),
+      (3L, "no overlap with anything else at all in this one, none whatsoever"),
+      (4L, "short"), // < k + w - 1 chars -> no fingerprints
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Long](2), r.getSeq[String](3))).toMap
+
+    // guarantee: docs 1 and 2 share a 51-char substring >= k + w - 1 = 12,
+    // so they MUST share at least one selected fingerprint hash
+    val common = fp(1L)._3.toSet.intersect(fp(2L)._3.toSet)
+    assert(common.nonEmpty, "winnowing guarantee violated on a shared substring")
+    // doc 3 shares nothing beyond coincidence with doc 1's selection
+    assert(fp(3L)._3.toSet.intersect(fp(1L)._3.toSet).isEmpty)
+
+    // density: ~2/(w+1) of grams selected — loose band check
+    val (n1, ps1, _) = fp(1L)
+    assert(ps1.nonEmpty && ps1.length < n1, s"selected ${ps1.length} of $n1")
+    // positions are ascending distinct and within range
+    assert(ps1 == ps1.sorted && ps1.distinct == ps1 && ps1.forall(p => p >= 1 && p <= n1))
+
+    // too-short and empty docs carry no fingerprints, no crash
+    assert(fp(4L)._2.isEmpty && fp(5L)._2.isEmpty)
+
+    // determinism: same input -> identical selection
+    val again = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(again(1L) == ps1)
+  }
+
   test("weightedSample: deterministic, weight-monotone in expectation, exact on rerun") {
     val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) 900L else 100L))
     val df = rows.toDF("id", "w")
