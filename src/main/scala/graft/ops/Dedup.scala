@@ -488,6 +488,44 @@ object Dedup {
       broadcastPairs = und.count() * 2 <= maxBroadcastCandidates)
   }
 
+  /** Partial-overlap near-dup pairs from winnowed fingerprints — the
+    * quote/plagiarism/template detector at corpus scale: two documents
+    * link when the winnow fingerprints they share cover `minOverlapPpm`
+    * of the SMALLER document's fingerprint set (containment, so an
+    * excerpt inside a long doc still links). The winnowing guarantee
+    * makes this sensitive to any shared run >= k + w - 1 chars, at
+    * ~2/(w+1) of the gram volume — the thinning is what makes the join
+    * affordable where raw-gram joins are not.
+    *
+    * Shuffle profile ([[Multimodal.videoNearDupPairs]]' skeleton): the
+    * fingerprint projection is per-row, the equi-join keys on the 16-hex
+    * fingerprint (one exchange of (hash, id) rows), and the hot-hash cap
+    * drops fingerprints shared by more than `maxBucketSize` docs
+    * (license headers, boilerplate banners — the usual knob). Returns
+    * (id1, id2, overlap_ppm), id1 < id2, integer floor division. */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 5, minOverlapPpm: Long = 500000L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val fp = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), explode(col("fp_hashes")).as("h"))
+      .localCheckpoint(true)
+    val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val capped = fp.withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val shared = capped.select(col("id").as("id1"), col("h"))
+      .join(capped.select(col("id").as("id2"), col("h")), Seq("h"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__shared"))
+    shared
+      .join(sizes.select(col("id").as("id1"), col("n").as("__n1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("n").as("__n2")), Seq("id2"))
+      .withColumn("overlap_ppm",
+        expr("1000000L * __shared div least(__n1, __n2)"))
+      .filter(col("overlap_ppm") >= minOverlapPpm)
+      .select(col("id1"), col("id2"), col("overlap_ppm"))
+  }
+
   /** Cross-TABLE fuzzy join (record linkage): (left_id, right_id) pairs
     * whose texts reach `threshold` word-shingle Jaccard — matching a
     * crawl corpus against a reference set (a benchmark's test split, an

@@ -546,27 +546,31 @@ object TextAnalysis {
   def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 5): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
+    // The gram-hash array MUST be bound as a lambda variable
+    // (`transform(array(<hs>), hs -> ...)` — SQL's let): a plain aliased
+    // column would be INLINED into every element_at by CollapseProject
+    // (alias uses inside lambda bodies are invisible to its use-counter),
+    // recomputing the full m-md5 array per element access — measured as a
+    // ~m^2 blowup that turned a seconds-long pass into CPU-hours.
+    // Rightmost window minimum: <= keeps the later position on ties; the
+    // 'g' sentinel sorts above every hex digit.
     df.select(col(idCol).as("id"), lower(normalize(col(textCol))).as("__t"))
       .withColumn("__m", (length(col("__t")) - (k - 1)).cast("int"))
-      .withColumn("__hs", expr(
-        s"""CASE WHEN __m < 1 THEN array() ELSE
-           |transform(sequence(1, __m),
-           |  i -> substring(md5(substring(__t, i, $k)), 1, 16)) END""".stripMargin))
-      // rightmost window minimum: <= keeps the later position on ties;
-      // the 'g' sentinel sorts above every hex digit
-      .withColumn("__sel", expr(
+      .withColumn("__fp", expr(
         s"""CASE WHEN __m - ${w - 1} < 1 THEN array() ELSE
-           |array_distinct(transform(sequence(1, __m - ${w - 1}),
-           |  j -> aggregate(sequence(j, j + ${w - 1}),
-           |         named_struct('h', 'g', 'p', 0),
-           |         (acc, i) -> IF(element_at(__hs, i) <= acc.h,
-           |           named_struct('h', element_at(__hs, i), 'p', i), acc),
-           |         acc -> acc.p))) END""".stripMargin))
+           |transform(
+           |  array(transform(sequence(1, __m),
+           |          i -> substring(md5(substring(__t, i, $k)), 1, 16))),
+           |  hs -> array_distinct(transform(sequence(1, __m - ${w - 1}),
+           |    j -> aggregate(sequence(j, j + ${w - 1}),
+           |           named_struct('h', 'g', 'p', 0),
+           |           (acc, i) -> IF(element_at(hs, i) <= acc.h,
+           |             named_struct('h', element_at(hs, i), 'p', i), acc)))))[0]
+           |END""".stripMargin))
       .select(col("id"),
         greatest(col("__m").cast("long"), lit(0L)).as("n_grams"),
-        expr("array_sort(transform(__sel, p -> cast(p as bigint)))").as("fp_positions"),
-        expr("array_sort(array_distinct(transform(__sel, p -> element_at(__hs, p))))")
-          .as("fp_hashes"))
+        expr("array_sort(transform(__fp, x -> cast(x.p as bigint)))").as("fp_positions"),
+        expr("array_sort(array_distinct(transform(__fp, x -> x.h)))").as("fp_hashes"))
   }
 
   /** Deflate compression ratio in ppm — the "does this text look like

@@ -642,6 +642,13 @@ object OpsQueries {
           (col("s_suppkey") % 256).cast("long")), bits = 8).as("zval"))
     }),
 
+    // winnow-fingerprint overlap pairs (t37's scale path): the seeded
+    // near-dup corpus guarantees high-overlap positives; the oracle
+    // replays selection + the capped hash join + integer overlap ppm
+    "d13_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowNearDupPairs(corpus(s, dir), "doc_id", "text",
+        minOverlapPpm = 500000L)),
+
     // winnowing fingerprints (MOSS): per-doc selected-position count and
     // position checksum; the oracle replays gram hashing, the rightmost-
     // window-minimum fold, and the dedup in DuckDB list ops
@@ -2659,6 +2666,43 @@ object OpsQueries {
         s"((((s_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"SELECT s_suppkey, CAST($terms AS BIGINT) AS zval FROM supplier"
     },
+
+    "d13_winnow_pairs" ->
+      s"""WITH $corpusSql,
+         |norm AS (SELECT doc_id, lower($normSql) AS t FROM corpus),
+         |g AS (SELECT doc_id, t, CAST(len(t) - 7 AS INT) AS m FROM norm),
+         |hs AS (SELECT doc_id, m,
+         |  CASE WHEN m < 1 THEN [] ELSE
+         |    list_transform(range(1, m + 1),
+         |      i -> substr(md5(substr(t, CAST(i AS INT), 8)), 1, 16)) END AS h
+         |  FROM g),
+         |sel AS (SELECT doc_id, h,
+         |  CASE WHEN m - 4 < 1 THEN [] ELSE
+         |    list_distinct(list_transform(range(1, m - 3),
+         |      j -> CAST(substr(
+         |        list_reduce(
+         |          list_prepend('g|0', list_transform(range(j, j + 5),
+         |            i -> h[CAST(i AS INT)] || '|' || i)),
+         |          (a, x) -> CASE WHEN substr(x, 1, 16) <= substr(a, 1, 16)
+         |                         THEN x ELSE a END),
+         |        18) AS BIGINT))) END AS ps
+         |  FROM hs),
+         |fpe AS (SELECT DISTINCT doc_id, h[CAST(p AS INT)] AS fh
+         |        FROM (SELECT doc_id, h, unnest(ps) AS p FROM sel)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM fpe GROUP BY 1),
+         |capped AS (
+         |  SELECT f.* FROM fpe f
+         |  JOIN (SELECT fh, count(*) AS c FROM fpe GROUP BY 1) z ON f.fh = z.fh
+         |  WHERE z.c <= 1000),
+         |shared AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+         |  FROM capped a JOIN capped b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2,
+         |  CAST(1000000 * c // least(s1.n, s2.n) AS BIGINT) AS overlap_ppm
+         |FROM shared
+         |JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+         |WHERE 1000000 * c // least(s1.n, s2.n) >= 500000""".stripMargin,
 
     "t37_winnow" ->
       s"""WITH norm AS (SELECT doc_id, lower($normSql) AS t FROM documents),
