@@ -66,6 +66,35 @@ object Packing {
     * many chunk boundaries cut through a document — the packing-efficiency
     * stats an export job reports. One explode over per-doc spans (spans
     * are short: len/chunkTokens + 1) + one aggregate. */
+  /** Overlapping sliding-window chunking (the RAG/embedding chunker, as
+    * opposed to [[packChunks]]' disjoint training batcher): each document
+    * splits into windows of `chunkTokens` tokens advancing by `stride`
+    * (< chunkTokens ⇒ consecutive chunks overlap by chunkTokens - stride
+    * tokens, preserving context across boundaries). Per-row expression +
+    * one posexplode — rows multiply inside the task, no shuffle, no
+    * driver loop. Window count `1 + ceil(max(n - C, 0) / S)` covers
+    * every token by construction (the last window ends at or past token
+    * n); windows shorter than C occur only for documents shorter than C.
+    * Output: (id, chunk_idx from 0, n_tokens, chunk_text single-spaced). */
+  def chunkOverlapping(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // number of windows: 1 + ceil(max(n - chunkTokens, 0) / stride)
+      .withColumn("__w", expr(
+        s"1 + cast(ceil(greatest(__n - $chunkTokens, 0) / $stride.0D) as int)"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, __w - 1), j -> slice(__toks, j * $stride + 1, $chunkTokens))"))
+        .as(Seq("chunk_idx", "__chunk")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   def chunkOccupancy(packed: DataFrame): DataFrame =
     packed.select(explode(expr("sequence(first_chunk, last_chunk)")).as("chunk"))
       .groupBy(col("chunk")).agg(count(lit(1)).as("n_docs"))

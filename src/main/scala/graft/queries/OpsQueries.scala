@@ -642,6 +642,14 @@ object OpsQueries {
           (col("s_suppkey") % 256).cast("long")), bits = 8).as("zval"))
     }),
 
+    // overlapping sliding-window chunking (the RAG chunker): 64-token
+    // windows advancing by 48 (16-token overlap); chunk text compared
+    // verbatim against the oracle's identical 1-based list slices
+    "p11_chunk_overlap" -> ((s, dir) =>
+      graft.ops.Packing.chunkOverlapping(tbl(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 64, stride = 48)
+        .withColumnRenamed("id", "doc_id")),
+
     // winnow-fingerprint overlap pairs (t37's scale path): the seeded
     // near-dup corpus guarantees high-overlap positives; the oracle
     // replays selection + the capped hash join + integer overlap ppm
@@ -2666,6 +2674,20 @@ object OpsQueries {
         s"((((s_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"SELECT s_suppkey, CAST($terms AS BIGINT) AS zval FROM supplier"
     },
+
+    "p11_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |w AS (SELECT doc_id, toks,
+         |  1 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT) AS nw FROM n),
+         |c AS (SELECT doc_id, toks,
+         |  unnest(range(0, nw)) AS j FROM w)
+         |SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+         |  CAST(len(toks[CAST(j * 48 + 1 AS INT):CAST(j * 48 + 64 AS INT)]) AS BIGINT)
+         |    AS n_tokens,
+         |  array_to_string(toks[CAST(j * 48 + 1 AS INT):CAST(j * 48 + 64 AS INT)], ' ')
+         |    AS chunk_text
+         |FROM c""".stripMargin,
 
     "d13_winnow_pairs" ->
       s"""WITH $corpusSql,

@@ -73,6 +73,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(occ == Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("chunkOverlapping: windows overlap by chunk-stride, cover every token") {
+    // 10 tokens, chunk 4, stride 3 -> 1 + ceil(6/3) = 3 windows at
+    // 1, 4, 7; the last reaches token 10, so coverage is complete
+    // without any extra tail window
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.chunkOverlapping(df, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, "t4 t5 t6 t7"),
+      (2L, 4L, "t7 t8 t9 t10")))
+    // every token appears in at least one chunk; consecutive chunks share
+    // chunkTokens - stride = 1 token
+    val toks = out.flatMap(_._3.split(" ")).toSet
+    assert(toks == (1 to 10).map(i => s"t$i").toSet)
+
+    // short doc: exactly one whole-doc chunk
+    val one = Packing.chunkOverlapping(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 64, 48).collect()
+    assert(one.length == 1 && one.head.getString(3) == "a b c")
+  }
+
   // -------------------------------------------------------------- tf-idf --
 
   test("tfIdfTopTerms ranks by exact integer score with term tie-break") {
