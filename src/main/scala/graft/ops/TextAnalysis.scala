@@ -546,27 +546,20 @@ object TextAnalysis {
   def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 5): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
-    // The gram-hash array MUST be bound as a lambda variable
-    // (`transform(array(<hs>), hs -> ...)` — SQL's let): a plain aliased
-    // column would be INLINED into every element_at by CollapseProject
-    // (alias uses inside lambda bodies are invisible to its use-counter),
-    // recomputing the full m-md5 array per element access — measured as a
-    // ~m^2 blowup that turned a seconds-long pass into CPU-hours.
-    // Rightmost window minimum: <= keeps the later position on ties; the
-    // 'g' sentinel sorts above every hex digit.
+    // Gram hashing stays a SQL expression (codegen'd md5); the window-
+    // minimum selection is the native [[graft.functions.WinnowSelect]]
+    // loop — the same selection as nested transform/aggregate HOFs paid
+    // interpreted overhead per window STEP (and an aliased hash column
+    // gets INLINED into lambda bodies by CollapseProject, recomputing the
+    // array per element access — the let-binding `transform(array(hs),
+    // ...)` avoids that; the native expression sidesteps both costs).
     df.select(col(idCol).as("id"), lower(normalize(col(textCol))).as("__t"))
       .withColumn("__m", (length(col("__t")) - (k - 1)).cast("int"))
-      .withColumn("__fp", expr(
-        s"""CASE WHEN __m - ${w - 1} < 1 THEN array() ELSE
-           |transform(
-           |  array(transform(sequence(1, __m),
-           |          i -> substring(md5(substring(__t, i, $k)), 1, 16))),
-           |  hs -> array_distinct(transform(sequence(1, __m - ${w - 1}),
-           |    j -> aggregate(sequence(j, j + ${w - 1}),
-           |           named_struct('h', 'g', 'p', 0),
-           |           (acc, i) -> IF(element_at(hs, i) <= acc.h,
-           |             named_struct('h', element_at(hs, i), 'p', i), acc)))))[0]
-           |END""".stripMargin))
+      .withColumn("__fp", graft.functions.WinnowFunctions.winnow_select(
+        expr(s"""CASE WHEN __m < 1 THEN array() ELSE
+                |transform(sequence(1, __m),
+                |  i -> substring(md5(substring(__t, i, $k)), 1, 16)) END""".stripMargin),
+        w))
       .select(col("id"),
         greatest(col("__m").cast("long"), lit(0L)).as("n_grams"),
         expr("array_sort(transform(__fp, x -> cast(x.p as bigint)))").as("fp_positions"),

@@ -451,6 +451,21 @@ object CoreQueries {
         .select(col("user_id"), col("day"), col("filled_cents"))
     }),
 
+    // trailing 7-day moving aggregate: RANGE frame over the integer day
+    // key (not ROWS — gap days must still look back 7 calendar days).
+    // Integer cent sums; day cardinality bounds the per-user window state
+    "q_moving_sum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+        .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+      tbl(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+          cents(col("value")).as("__c"))
+        .groupBy("user_id", "day").agg(sum(col("__c")).as("day_cents"))
+        .withColumn("trail7_cents", sum(col("day_cents")).over(w))
+        .withColumn("trail7_days", count(lit(1)).over(w))
+    }),
+
     // z-score anomaly detection in EXACT integers: |x - mean| > 3 sigma
     // rewritten as (n*x - S)^2 > 9*(n*Q - S^2) with S = sum(cents),
     // Q = sum(cents^2) — no float mean/stddev anywhere, so no unordered
@@ -809,6 +824,17 @@ object CoreQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+
+    "q_moving_sum" ->
+      """WITH d AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |FROM events GROUP BY 1, 2)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(day AS BIGINT) AS day,
+        |  day_cents,
+        |  CAST(sum(day_cents) OVER w AS BIGINT) AS trail7_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail7_days
+        |FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_anomaly" ->
       """WITH e AS (SELECT event_id, event_type,

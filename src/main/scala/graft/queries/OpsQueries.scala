@@ -654,8 +654,13 @@ object OpsQueries {
     // near-dup corpus guarantees high-overlap positives; the oracle
     // replays selection + the capped hash join + integer overlap ppm
     "d13_winnow_pairs" -> ((s, dir) =>
+      // k=12 grams: 8-char grams are common English fragments whose
+      // medium-hot buckets (under the cap but shared by hundreds of
+      // docs) explode the pair join quadratically at corpus scale;
+      // longer grams make fingerprints selective, and the tighter cap
+      // drops the generic-phrase tail outright
       Dedup.winnowNearDupPairs(corpus(s, dir), "doc_id", "text",
-        minOverlapPpm = 500000L)),
+        k = 12, minOverlapPpm = 500000L, maxBucketSize = 64)),
 
     // winnowing fingerprints (MOSS): per-doc selected-position count and
     // position checksum; the oracle replays gram hashing, the rightmost-
@@ -2692,11 +2697,11 @@ object OpsQueries {
     "d13_winnow_pairs" ->
       s"""WITH $corpusSql,
          |norm AS (SELECT doc_id, lower($normSql) AS t FROM corpus),
-         |g AS (SELECT doc_id, t, CAST(len(t) - 7 AS INT) AS m FROM norm),
+         |g AS (SELECT doc_id, t, CAST(len(t) - 11 AS INT) AS m FROM norm),
          |hs AS (SELECT doc_id, m,
          |  CASE WHEN m < 1 THEN [] ELSE
          |    list_transform(range(1, m + 1),
-         |      i -> substr(md5(substr(t, CAST(i AS INT), 8)), 1, 16)) END AS h
+         |      i -> substr(md5(substr(t, CAST(i AS INT), 12)), 1, 16)) END AS h
          |  FROM g),
          |sel AS (SELECT doc_id, h,
          |  CASE WHEN m - 4 < 1 THEN [] ELSE
@@ -2715,7 +2720,7 @@ object OpsQueries {
          |capped AS (
          |  SELECT f.* FROM fpe f
          |  JOIN (SELECT fh, count(*) AS c FROM fpe GROUP BY 1) z ON f.fh = z.fh
-         |  WHERE z.c <= 1000),
+         |  WHERE z.c <= 64),
          |shared AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
          |  FROM capped a JOIN capped b ON a.fh = b.fh AND a.doc_id < b.doc_id
