@@ -39,6 +39,11 @@ object Bench {
     var compactionDetail: Option[String] = None
     SparkEntry.queries.foreach { case (name, fn) =>
       results(name) = time { fn(spark, sfDir).count(): Unit }
+      // real pipelines run queries as separate jobs: free the
+      // localCheckpoint blocks the LSH/CC/index queries pin in the block
+      // manager, or 150 queries of accumulated blocks squeeze execution
+      // memory and inflate every later line
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
     // compaction bench: 8 data files + pos/eq deletes over lineitem.

@@ -4,61 +4,82 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `winnow_select(hashes, w)`: the winnowing window-minimum selection
-  * (Schleimer/Wilkerson/Aiken) over an array of gram-hash strings —
-  * for each of the `m - w + 1` windows of `w` consecutive hashes, the
-  * RIGHTMOST minimal hash; returns the distinct selected entries as
-  * `array<struct<p int, h string>>` in first-selected order.
+/** `winnow_fingerprint(text, k, w)`: the full winnowing fingerprint pass
+  * (Schleimer/Wilkerson/Aiken) as ONE native expression — hash every
+  * k-code-point gram (first 16 md5 hex chars), slide a window of `w`
+  * consecutive hashes, select each window's RIGHTMOST minimal hash;
+  * returns the distinct selections as `array<struct<p int, h string>>`
+  * (1-based gram positions, first-selected order).
   *
-  * Why a native expression: the same selection as nested SQL HOFs
-  * (`transform` + `aggregate` folds) pays interpreted-expression overhead
-  * per window STEP — measured ~130 µs per window, turning a corpus pass
-  * into minutes. Here the whole selection is one O(m*w) Scala loop over
-  * UTF8String comparisons (~µs per row). `CodegenFallback` is deliberate:
-  * the cost IS the loop, which is already native — emitting Java for the
-  * struct-array construction would buy nothing measurable.
+  * Why native end to end: the SQL formulation paid twice — interpreted
+  * HOF overhead per window step, and Spark's `md5()` expression
+  * instantiates a fresh MessageDigest PER CALL (~2.7M allocations for a
+  * 9k-doc corpus, measured ~20 s of the pass). Here one digest is reused
+  * across every gram of a task's rows and the selection is an O(m*w)
+  * loop — the corpus pass drops to scan speed. `CodegenFallback` is
+  * deliberate: the loop is already native.
   *
-  * Inputs shorter than `w` yield an empty array (too short to
-  * fingerprint); null input yields null. Ties select the later position
-  * (`<=`), matching the published algorithm and the DuckDB oracle fold.
+  * Exactness contract with the DuckDB oracle: grams are CODE-POINT
+  * windows (both engines' substr semantics), hashed as UTF-8 bytes;
+  * hex is lowercase; ties select the later position (`<=`). Inputs
+  * shorter than k + w - 1 code points yield an empty array; null yields
+  * null.
   */
-case class WinnowSelect(child: Expression, w: Int)
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
 
-  require(w >= 2, s"w must be >= 2, got $w")
+  require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("p", IntegerType, nullable = false),
     StructField("h", StringType, nullable = false))), containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(StringType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"winnow_select expects array<string>, got $other")
-    }
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint expects string, got ${child.dataType}")
+
+  // one digest per deserialized expression instance == per task: reuse
+  // across every gram instead of a fresh MessageDigest per hash
+  @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+  private val HexChars = "0123456789abcdef".toCharArray
 
   override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
-    val m = hs.numElements()
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val m = cps.length - k + 1
     if (m < w) return new GenericArrayData(Array.empty[Any])
+    // hash every gram once: first 8 md5 bytes as 16 lowercase hex chars
+    val hs = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val gram = new String(cps, i, k)
+      digest.reset()
+      val dig = digest.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](16)
+      var b = 0
+      while (b < 8) {
+        hex(2 * b) = HexChars((dig(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HexChars(dig(b) & 0xf)
+        b += 1
+      }
+      hs(i) = new String(hex)
+      i += 1
+    }
     val seen = new java.util.LinkedHashSet[Integer]()
     var j = 0
     while (j <= m - w) {
       var bestP = j
-      var bestH = hs.getUTF8String(j)
-      var i = j + 1
-      while (i < j + w) {
-        val h = hs.getUTF8String(i)
-        if (h.compareTo(bestH) <= 0) { bestH = h; bestP = i }
-        i += 1
+      var bestH = hs(j)
+      var x = j + 1
+      while (x < j + w) {
+        if (hs(x).compareTo(bestH) <= 0) { bestH = hs(x); bestP = x }
+        x += 1
       }
       seen.add(bestP)
       j += 1
@@ -68,19 +89,18 @@ case class WinnowSelect(child: Expression, w: Int)
     var idx = 0
     while (it.hasNext) {
       val p = it.next().intValue()
-      // 1-based position, matching the SQL formulation and the oracle
-      out(idx) = InternalRow(p + 1, hs.getUTF8String(p))
+      out(idx) = InternalRow(p + 1, UTF8String.fromString(hs(p)))
       idx += 1
     }
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
     copy(child = newChild)
 }
 
 object WinnowFunctions {
-  /** Column form of [[WinnowSelect]]. */
-  def winnow_select(hashes: Column, w: Int): Column =
-    ColumnBridge.column(WinnowSelect(ColumnBridge.expression(hashes), w))
+  /** Column form of [[WinnowFingerprint]]. */
+  def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, w))
 }

@@ -506,7 +506,12 @@ object Dedup {
   def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 5, minOverlapPpm: Long = 500000L,
       maxBucketSize: Int = 1000): DataFrame = {
-    val fp = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
+    // fingerprinting is compute-heavy per ROW (m hashes + the selection
+    // loop) while the input is byte-light — a single-file corpus arrives
+    // as 1-2 partitions and would serialize the whole pass on one core.
+    // One cheap text shuffle first buys full-cluster parallelism.
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val fp = TextAnalysis.winnowFingerprints(spread, idCol, textCol, k, w)
       .select(col("id"), explode(col("fp_hashes")).as("h"))
       .localCheckpoint(true)
     val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n"))

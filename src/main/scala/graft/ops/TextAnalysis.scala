@@ -546,20 +546,17 @@ object TextAnalysis {
   def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 5): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
-    // Gram hashing stays a SQL expression (codegen'd md5); the window-
-    // minimum selection is the native [[graft.functions.WinnowSelect]]
-    // loop — the same selection as nested transform/aggregate HOFs paid
-    // interpreted overhead per window STEP (and an aliased hash column
-    // gets INLINED into lambda bodies by CollapseProject, recomputing the
-    // array per element access — the let-binding `transform(array(hs),
-    // ...)` avoids that; the native expression sidesteps both costs).
+    // The whole pass (gram md5s + window-minimum selection) is the ONE
+    // native [[graft.functions.WinnowFingerprint]] expression. The SQL
+    // formulation paid three ways: interpreted HOF overhead per window
+    // step, a fresh MessageDigest per md5() call, and — when the hash
+    // array was a plain alias — CollapseProject inlining it into every
+    // lambda-body element_at (alias uses inside lambdas are invisible to
+    // its use-counter), recomputing the array per element access.
     df.select(col(idCol).as("id"), lower(normalize(col(textCol))).as("__t"))
       .withColumn("__m", (length(col("__t")) - (k - 1)).cast("int"))
-      .withColumn("__fp", graft.functions.WinnowFunctions.winnow_select(
-        expr(s"""CASE WHEN __m < 1 THEN array() ELSE
-                |transform(sequence(1, __m),
-                |  i -> substring(md5(substring(__t, i, $k)), 1, 16)) END""".stripMargin),
-        w))
+      .withColumn("__fp",
+        graft.functions.WinnowFunctions.winnow_fingerprint(col("__t"), k, w))
       .select(col("id"),
         greatest(col("__m").cast("long"), lit(0L)).as("n_grams"),
         expr("array_sort(transform(__fp, x -> cast(x.p as bigint)))").as("fp_positions"),
