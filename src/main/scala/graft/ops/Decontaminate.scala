@@ -53,6 +53,37 @@ object Decontaminate {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** SUBSTRING-level decontamination via winnow fingerprints: corpus
+    * documents sharing at least `minHits` winnowed fingerprints with ANY
+    * test document. The winnowing guarantee turns this into a character-
+    * run rule: any shared run of >= k + w - 1 characters contributes a
+    * shared fingerprint — catching contamination the word-n-gram rule
+    * misses (tokenization changes, punctuation/casing drift inside the
+    * run, partial sentences), at ~2/(w+1) of the gram volume.
+    *
+    * Scale shape mirrors [[flaggedByNgramOverlap]]: the test side's
+    * fingerprints are small by nature and BROADCAST; the corpus is
+    * fingerprinted per-row ([[TextAnalysis.winnowFingerprints]] — one
+    * native pass) and left-semi joins through the broadcast, so nothing
+    * corpus-sized shuffles. Returns (idCol, n_hits) for flagged docs. */
+  def flaggedByWinnowOverlap(
+      corpus: DataFrame, idCol: String, textCol: String,
+      test: DataFrame, testTextCol: String,
+      k: Int = 12, w: Int = 5, minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, "minHits must be >= 1")
+    val testFp = TextAnalysis
+      .winnowFingerprints(test.select(monotonically_increasing_id().as("__tid"),
+        col(testTextCol).as("__t")), "__tid", "__t", k, w)
+      .select(explode(col("fp_hashes")).as("h")).distinct()
+    TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
+      .select(col("id"), explode(col("fp_hashes")).as("h"))
+      .join(broadcast(testFp), Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col("id").as(idCol), col("n_hits"))
+  }
+
   /** SEMANTIC decontamination: corpus documents whose embedding lies
     * within cosine >= tau of ANY test-set embedding — the contamination
     * the n-gram rule structurally misses (paraphrase, translation,

@@ -662,6 +662,19 @@ object OpsQueries {
       Dedup.winnowNearDupPairs(corpus(s, dir), "doc_id", "text",
         k = 12, minOverlapPpm = 500000L, maxBucketSize = 64)),
 
+    // substring-level decontamination: test snippets are literal
+    // substrings of every 25th doc, so contamination exists by
+    // construction. k=20 grams + 4 hits: the synthetic corpus shares
+    // short template phrases across MOST docs (k=12 flagged 90% of it);
+    // 24-char guaranteed runs isolate the truly contaminated sources
+    "t38_winnow_decontam" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val test = docs.filter(col("doc_id") % 25 === 0)
+        .select(expr("substring(text, 11, 120)").as("snippet"))
+      Decontaminate.flaggedByWinnowOverlap(docs, "doc_id", "text",
+        test, "snippet", k = 20, w = 5, minHits = 4)
+    }),
+
     // winnowing fingerprints (MOSS): per-doc selected-position count and
     // position checksum; the oracle replays gram hashing, the rightmost-
     // window-minimum fold, and the dedup in DuckDB list ops
@@ -1697,6 +1710,30 @@ object OpsQueries {
     * constants, so the oracle derives width/height/n_frames/fps_e3
     * without parsing RIFF. 40 ms -> 25 fps, 33,333 µs -> ~30.0003 fps,
     * 16,667 µs -> ~59.999 fps. */
+  /** DuckDB winnow fingerprint chain (w = 5): per-doc distinct selected
+    * hashes of `src`(doc_id, text) as CTE `${pfx}fpe`(doc_id, fh). */
+  private def winnowFpeSql(src: String, pfx: String, k: Int): String =
+    s"""${pfx}norm AS (SELECT doc_id, lower($normSql) AS t FROM $src),
+       |${pfx}g AS (SELECT doc_id, t, CAST(len(t) - ${k - 1} AS INT) AS m FROM ${pfx}norm),
+       |${pfx}hs AS (SELECT doc_id, m,
+       |  CASE WHEN m < 1 THEN [] ELSE
+       |    list_transform(range(1, m + 1),
+       |      i -> substr(md5(substr(t, CAST(i AS INT), $k)), 1, 16)) END AS h
+       |  FROM ${pfx}g),
+       |${pfx}sel AS (SELECT doc_id, h,
+       |  CASE WHEN m - 4 < 1 THEN [] ELSE
+       |    list_distinct(list_transform(range(1, m - 3),
+       |      j -> CAST(substr(
+       |        list_reduce(
+       |          list_prepend('g|0', list_transform(range(j, j + 5),
+       |            i -> h[CAST(i AS INT)] || '|' || i)),
+       |          (a, x) -> CASE WHEN substr(x, 1, 16) <= substr(a, 1, 16)
+       |                         THEN x ELSE a END),
+       |        18) AS BIGINT))) END AS ps
+       |  FROM ${pfx}hs),
+       |${pfx}fpe AS (SELECT DISTINCT doc_id, h[CAST(p AS INT)] AS fh
+       |        FROM (SELECT doc_id, h, unnest(ps) AS p FROM ${pfx}sel))""".stripMargin
+
   /** g3 edge list — ONE source of truth for both engines: a 6-clique
     * (nodes 0-5), an 8-cycle (10-17), a pendant star on the clique
     * (30-35), a 3-node tail off the cycle (20-22), and a clique-cycle
@@ -2679,6 +2716,17 @@ object OpsQueries {
         s"((((s_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"SELECT s_suppkey, CAST($terms AS BIGINT) AS zval FROM supplier"
     },
+
+    "t38_winnow_decontam" ->
+      s"""WITH tsrc AS (SELECT row_number() OVER () AS doc_id,
+         |  substr(text, 11, 120) AS text FROM documents WHERE doc_id % 25 = 0),
+         |csrc AS (SELECT doc_id, text FROM documents),
+         |${winnowFpeSql("tsrc", "t_", 20)},
+         |${winnowFpeSql("csrc", "c_", 20)},
+         |th AS (SELECT DISTINCT fh FROM t_fpe)
+         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM c_fpe c JOIN th ON c.fh = th.fh
+         |GROUP BY 1 HAVING count(*) >= 4""".stripMargin,
 
     "p11_chunk_overlap" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
