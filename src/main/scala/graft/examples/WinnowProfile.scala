@@ -16,12 +16,9 @@ object WinnowProfile {
       val n = f
       println(f"$tag%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
     }
-    val d = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))
-    val corpus = d.unionAll(d.filter(col("doc_id") % 2 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), concat(col("text"), lit(" extra")).as("text")))
-      .unionAll(d.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-      .repartition(32)
+    // the SAME seeded corpus the d13 benchmark query runs on — measuring
+    // anything else would silently diverge from the workload under test
+    val corpus = graft.queries.OpsQueries.corpus(spark, sf).repartition(32)
 
     // warmup
     corpus.count()

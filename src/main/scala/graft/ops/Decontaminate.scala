@@ -75,7 +75,11 @@ object Decontaminate {
       .winnowFingerprints(test.select(monotonically_increasing_id().as("__tid"),
         col(testTextCol).as("__t")), "__tid", "__t", k, w)
       .select(explode(col("fp_hashes")).as("h")).distinct()
-    TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
+    // same spread as winnowNearDupPairs: fingerprinting is compute-heavy
+    // per row, and a single-file corpus would serialize it on 1-2 cores
+    val spread = corpus.repartition(
+      corpus.sparkSession.sparkContext.defaultParallelism)
+    TextAnalysis.winnowFingerprints(spread, idCol, textCol, k, w)
       .select(col("id"), explode(col("fp_hashes")).as("h"))
       .join(broadcast(testFp), Seq("h"), "left_semi")
       .groupBy(col("id"))

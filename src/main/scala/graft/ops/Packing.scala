@@ -62,10 +62,6 @@ object Packing {
         expr(s"(ioffset + boffset + greatest(n, 1) - 1) div $chunkTokens").as("last_chunk"))
   }
 
-  /** Chunk occupancy summary: how many documents touch each chunk and how
-    * many chunk boundaries cut through a document — the packing-efficiency
-    * stats an export job reports. One explode over per-doc spans (spans
-    * are short: len/chunkTokens + 1) + one aggregate. */
   /** Overlapping sliding-window chunking (the RAG/embedding chunker, as
     * opposed to [[packChunks]]' disjoint training batcher): each document
     * splits into windows of `chunkTokens` tokens advancing by `stride`
@@ -74,7 +70,9 @@ object Packing {
     * one posexplode — rows multiply inside the task, no shuffle, no
     * driver loop. Window count `1 + ceil(max(n - C, 0) / S)` covers
     * every token by construction (the last window ends at or past token
-    * n); windows shorter than C occur only for documents shorter than C.
+    * n); the LAST window is shorter than C whenever `(n - C) % S != 0`
+    * (and for documents shorter than C) — consumers needing fixed-length
+    * chunks must pad or drop the tail themselves.
     * Output: (id, chunk_idx from 0, n_tokens, chunk_text single-spaced). */
   def chunkOverlapping(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, stride: Int): DataFrame = {
@@ -95,6 +93,10 @@ object Packing {
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
 
+  /** Chunk occupancy summary: how many documents touch each chunk and how
+    * many chunk boundaries cut through a document — the packing-efficiency
+    * stats an export job reports. One explode over per-doc spans (spans
+    * are short: len/chunkTokens + 1) + one aggregate. */
   def chunkOccupancy(packed: DataFrame): DataFrame =
     packed.select(explode(expr("sequence(first_chunk, last_chunk)")).as("chunk"))
       .groupBy(col("chunk")).agg(count(lit(1)).as("n_docs"))

@@ -23,7 +23,7 @@ object OpsQueries {
 
   /** documents + near-dup copies (doc_id%2=0 -> +100000 with one extra
     * token) + exact copies (doc_id%3=0 -> +200000). */
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionAll(d.filter(col("doc_id") % 2 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), concat(col("text"), lit(" extra")).as("text")))
@@ -1720,7 +1720,7 @@ object OpsQueries {
        |    list_transform(range(1, m + 1),
        |      i -> substr(md5(substr(t, CAST(i AS INT), $k)), 1, 16)) END AS h
        |  FROM ${pfx}g),
-       |${pfx}sel AS (SELECT doc_id, h,
+       |${pfx}sel AS (SELECT doc_id, m, h,
        |  CASE WHEN m - 4 < 1 THEN [] ELSE
        |    list_distinct(list_transform(range(1, m - 3),
        |      j -> CAST(substr(
@@ -2744,26 +2744,7 @@ object OpsQueries {
 
     "d13_winnow_pairs" ->
       s"""WITH $corpusSql,
-         |norm AS (SELECT doc_id, lower($normSql) AS t FROM corpus),
-         |g AS (SELECT doc_id, t, CAST(len(t) - 11 AS INT) AS m FROM norm),
-         |hs AS (SELECT doc_id, m,
-         |  CASE WHEN m < 1 THEN [] ELSE
-         |    list_transform(range(1, m + 1),
-         |      i -> substr(md5(substr(t, CAST(i AS INT), 12)), 1, 16)) END AS h
-         |  FROM g),
-         |sel AS (SELECT doc_id, h,
-         |  CASE WHEN m - 4 < 1 THEN [] ELSE
-         |    list_distinct(list_transform(range(1, m - 3),
-         |      j -> CAST(substr(
-         |        list_reduce(
-         |          list_prepend('g|0', list_transform(range(j, j + 5),
-         |            i -> h[CAST(i AS INT)] || '|' || i)),
-         |          (a, x) -> CASE WHEN substr(x, 1, 16) <= substr(a, 1, 16)
-         |                         THEN x ELSE a END),
-         |        18) AS BIGINT))) END AS ps
-         |  FROM hs),
-         |fpe AS (SELECT DISTINCT doc_id, h[CAST(p AS INT)] AS fh
-         |        FROM (SELECT doc_id, h, unnest(ps) AS p FROM sel)),
+         |${winnowFpeSql("corpus", "", 12)},
          |sizes AS (SELECT doc_id, count(*) AS n FROM fpe GROUP BY 1),
          |capped AS (
          |  SELECT f.* FROM fpe f
@@ -2780,24 +2761,7 @@ object OpsQueries {
          |WHERE 1000000 * c // least(s1.n, s2.n) >= 500000""".stripMargin,
 
     "t37_winnow" ->
-      s"""WITH norm AS (SELECT doc_id, lower($normSql) AS t FROM documents),
-         |g AS (SELECT doc_id, t, CAST(len(t) - 7 AS INT) AS m FROM norm),
-         |hs AS (SELECT doc_id, m,
-         |  CASE WHEN m < 1 THEN [] ELSE
-         |    list_transform(range(1, m + 1),
-         |      i -> substr(md5(substr(t, CAST(i AS INT), 8)), 1, 16)) END AS h
-         |  FROM g),
-         |sel AS (SELECT doc_id, m,
-         |  CASE WHEN m - 4 < 1 THEN [] ELSE
-         |    list_distinct(list_transform(range(1, m - 3),
-         |      j -> CAST(substr(
-         |        list_reduce(
-         |          list_prepend('g|0', list_transform(range(j, j + 5),
-         |            i -> h[CAST(i AS INT)] || '|' || i)),
-         |          (a, x) -> CASE WHEN substr(x, 1, 16) <= substr(a, 1, 16)
-         |                         THEN x ELSE a END),
-         |        18) AS BIGINT))) END AS ps
-         |  FROM hs)
+      s"""WITH ${winnowFpeSql("documents", "", 8)}
          |SELECT doc_id, CAST(greatest(m, 0) AS BIGINT) AS n_grams,
          |  CAST(len(ps) AS BIGINT) AS n_selected,
          |  CAST(coalesce(list_sum(ps), 0) AS BIGINT) AS pos_sum

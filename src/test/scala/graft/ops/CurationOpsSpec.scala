@@ -90,6 +90,15 @@ class CurationOpsSpec extends AnyFunSuite {
     val toks = out.flatMap(_._3.split(" ")).toSet
     assert(toks == (1 to 10).map(i => s"t$i").toSet)
 
+    // non-divisible case: n=11 -> windows at 1,4,7,10; the last is a
+    // SHORT 2-token tail even though the doc is longer than C
+    val odd = Packing.chunkOverlapping(
+      Seq((3L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("chunk_idx").collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(odd.last == ((2L, "t10 t11")), s"got ${odd.toSeq}")
+    assert(odd.flatMap(_._2.split(" ")).toSet == (1 to 11).map(i => s"t$i").toSet)
+
     // short doc: exactly one whole-doc chunk
     val one = Packing.chunkOverlapping(
       Seq((2L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 64, 48).collect()
