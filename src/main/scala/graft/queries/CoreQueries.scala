@@ -451,6 +451,21 @@ object CoreQueries {
         .select(col("user_id"), col("day"), col("filled_cents"))
     }),
 
+    // arg-max per group with a DETERMINISTIC tie rule: the top event per
+    // type by (cents desc, event_id desc) via a rank window — the same
+    // explicit ordering in both engines, where native max_by/arg_max
+    // leave ties unspecified
+    "q_argmax" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("cents").desc, col("event_id").desc)
+      tbl(s, dir, "events")
+        .withColumn("cents", cents(col("value")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("event_type"), col("event_id"), col("cents"))
+    }),
+
     // trailing 7-day moving aggregate: RANGE frame over the integer day
     // key (not ROWS — gap days must still look back 7 calendar days).
     // Integer cent sums; day cardinality bounds the per-user window state
@@ -824,6 +839,15 @@ object CoreQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+
+    "q_argmax" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, event_id, cents FROM (
+        |  SELECT event_type, event_id, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, event_id DESC) AS rn
+        |  FROM e) t WHERE rn = 1""".stripMargin,
 
     "q_moving_sum" ->
       """WITH d AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
