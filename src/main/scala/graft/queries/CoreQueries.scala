@@ -451,6 +451,22 @@ object CoreQueries {
         .select(col("user_id"), col("day"), col("filled_cents"))
     }),
 
+    // first/last/nth value window breadth over one per-user ordering:
+    // each user's first and latest event and the step count between them
+    "q_first_last" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      tbl(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("first_type", first(col("event_type")).over(w))
+        .withColumn("last_type", last(col("event_type")).over(w))
+        .withColumn("n_events", count(lit(1)).over(w))
+        .groupBy("user_id", "first_type", "last_type", "n_events").agg(count(lit(1)).as("__x"))
+        .select(col("user_id"), col("first_type"), col("last_type"), col("n_events"))
+    }),
+
     // arg-max per group with a DETERMINISTIC tie rule: the top event per
     // type by (cents desc, event_id desc) via a rank window — the same
     // explicit ordering in both engines, where native max_by/arg_max
@@ -839,6 +855,14 @@ object CoreQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+
+    "q_first_last" ->
+      """SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_events
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
     "q_argmax" ->
       """WITH e AS (SELECT event_type, event_id,
