@@ -102,7 +102,7 @@ object PipelineDemo {
     //    keep the best duplicate, not the lowest id)
     val pairs = Dedup.minHashNearDupPairs(exactDeduped, "doc_id", "text", threshold = 0.5)
     val curated = Dedup.keepBestPerCluster(exactDeduped, "doc_id", "quality",
-      Dedup.clusterPairs(pairs))
+      Dedup.clusterPairsStar(pairs))
     println(s"NEAR-DEDUP kept=${curated.count()} (best-quality keeper per cluster)")
 
     // 4a. mixture plan: how hard to sample each source to hit the target

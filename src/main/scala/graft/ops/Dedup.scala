@@ -173,7 +173,10 @@ object Dedup {
     val dupPairs =
       if (pairs.count() <= maxBroadcastCandidates) verifyJaccardSets(pairs, sets, threshold)
       else verifyJaccardSetsShuffled(pairs, sets, threshold)
-    val dominated = clusterPairs(dupPairs)
+    // star CC, not min-label: a production near-dup batch can chain long
+    // paths through boilerplate (diameter-bound propagation would need one
+    // round per hop); star rounds converge in O(log^2 n) regardless
+    val dominated = clusterPairsStar(dupPairs)
       .filter(col("cluster_id") =!= col("id")).select(col("id"))
     val keepers = docs.join(dominated, Seq("id"), "left_anti")
 
@@ -190,13 +193,12 @@ object Dedup {
         // rows across batches, and an uncapped join would pay O(index)
         // candidates per keeper in that bucket — per batch, forever,
         // growing with the index. Over-cap buckets are dropped whole
-        // (the lshCandidatePairs recall trade, same knob).
-        val idxBands = idx.select(col("id").as("old_id"),
-            posexplode(col("bands")).as(Seq("band", "bh")))
-          .withColumn("__n", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
-          .filter(col("__n") <= maxBucketSize)
-          .drop("__n")
+        // (the lshCandidatePairs recall trade, same knob + skew-immune
+        // [[dropHotBuckets]] form).
+        val idxBands = dropHotBuckets(
+          idx.select(col("id").as("old_id"),
+            posexplode(col("bands")).as(Seq("band", "bh"))),
+          Seq("band", "bh"), maxBucketSize)
         val keeperBands = keepers.select(col("id"),
           posexplode(col("bands")).as(Seq("band", "bh")))
         val cand = keeperBands.join(idxBands, Seq("band", "bh"))
@@ -299,14 +301,33 @@ object Dedup {
     sig.select(col("id"),
       posexplode(array(bandHashExprs(k, rowsPerBand): _*)).as(Seq("band", "bh")))
 
+  /** Drop every row belonging to an over-cap hot bucket — the skew-IMMUNE
+    * form of the LSH bucket cap. A `count().over(Window.partitionBy(keys))`
+    * cap first shuffles every row of a mega-hot key (a license header
+    * shared by 10^8 docs) into ONE window task and only then filters —
+    * materializing exactly the skew the cap exists to remove. Here the
+    * over-cap key list comes from a grouped count (partial aggregation
+    * absorbs the hot key map-side, so no task ever sees more than its
+    * slice), and that list is tiny by construction — at most |rows|/cap
+    * keys — so a broadcast ANTI join drops hot rows map-side, before any
+    * shuffle could concentrate them. Used by every *cap* site; the
+    * *tagging* windows (where every row genuinely needs its count, e.g.
+    * [[dropBoilerplateLines]]) keep the window form. */
+  private[ops] def dropHotBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(keys.map(col): _*)
+    // re-project: a using-column join moves the key columns first, and a
+    // positional consumer (union, exceptAll) downstream would mis-zip
+    df.join(broadcast(hot), keys, "left_anti").select(df.columns.map(col): _*)
+  }
+
   /** Candidate pairs from shared LSH buckets, with a bucket-size cap: a
     * bucket holding b ids yields b^2/2 pairs, so one hot bucket (all-equal
     * boilerplate docs) can dominate the job — cap drops those buckets for
     * the exact-verify stage to handle separately. Returns (id1, id2). */
   def lshCandidatePairs(bands: DataFrame, maxBucketSize: Int = 100): DataFrame = {
-    val sized = bands.withColumn("__n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("__n") <= maxBucketSize)
+    val sized = dropHotBuckets(bands, Seq("band", "bh"), maxBucketSize)
     val a = sized.select(col("band"), col("bh"), col("id").as("id1"))
     val b = sized.select(col("band"), col("bh"), col("id").as("id2"))
     a.join(b, Seq("band", "bh"))
@@ -515,9 +536,7 @@ object Dedup {
       .select(col("id"), explode(col("fp_hashes")).as("h"))
       .localCheckpoint(true)
     val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val capped = fp.withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val capped = dropHotBuckets(fp, Seq("h"), maxBucketSize)
     val shared = capped.select(col("id").as("id1"), col("h"))
       .join(capped.select(col("id").as("id2"), col("h")), Seq("h"))
       .filter(col("id1") < col("id2"))
@@ -554,10 +573,7 @@ object Dedup {
     val sigL = minHashSignatureSets(left, leftIdCol, leftTextCol, n, k).localCheckpoint(true)
     val sigR = minHashSignatureSets(right, rightIdCol, rightTextCol, n, k).localCheckpoint(true)
     def capped(sig: DataFrame): DataFrame =
-      lshBands(sig, k, rowsPerBand)
-        .withColumn("__n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
-        .filter(col("__n") <= maxBucketSize).drop("__n")
+      dropHotBuckets(lshBands(sig, k, rowsPerBand), Seq("band", "bh"), maxBucketSize)
     val pairs = capped(sigL).select(col("band"), col("bh"), col("id").as("left_id"))
       .join(capped(sigR).select(col("band"), col("bh"), col("id").as("right_id")),
         Seq("band", "bh"))
@@ -735,6 +751,10 @@ object Dedup {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).isEmpty
+      // next is materialized (eager checkpoint) and the convergence check
+      // above was the last reader of the old labels — release their blocks
+      // so a deep propagation doesn't pin O(rounds x labels)
+      graft.util.Blocks.release(labels)
       labels = next
       iter += 1
     }
@@ -789,6 +809,10 @@ object Dedup {
         .distinct().localCheckpoint(true)
       done = next.count() == edges.count() &&
         next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // the fixpoint check was the last reader of the old edge set —
+      // release its blocks before the next round (Blocks.release: the
+      // same hygiene as kCore's peel loop)
+      graft.util.Blocks.release(edges)
       edges = next
       rounds += 1
     }

@@ -181,6 +181,11 @@ object Graph {
         .select(col("u"), col("v"))
         .localCheckpoint(true)
       val prunedCount = pruned.count()
+      // this round's edge set is materialized — release the superseded
+      // round's blocks (and the keep set, consumed by the joins above) so
+      // a deep peel doesn't pin O(peelDepth x edges) in the block manager
+      graft.util.Blocks.release(und)
+      graft.util.Blocks.release(keep)
       done = prunedCount == edgeCount
       edgeCount = prunedCount
       und = pruned

@@ -788,9 +788,9 @@ object Multimodal {
       .select(col("media_id"), col("dhash_lo"), col("dhash_hi")).distinct()
       .localCheckpoint(true)
     val sizes = hashes.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
-    val capped = hashes.withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("dhash_lo"), col("dhash_hi"))))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    // skew-immune cap: grouped count -> tiny over-cap hash list -> broadcast
+    // anti join drops hot rows map-side (see Dedup.dropHotBuckets)
+    val capped = Dedup.dropHotBuckets(hashes, Seq("dhash_lo", "dhash_hi"), maxBucketSize)
     val shared = capped.select(col("media_id").as("id1"), col("dhash_lo"), col("dhash_hi"))
       .join(capped.select(col("media_id").as("id2"), col("dhash_lo"), col("dhash_hi")),
         Seq("dhash_lo", "dhash_hi"))

@@ -290,9 +290,11 @@ object CoreQueries {
     // operator Structured Streaming uses for streaming sessions) must
     // agree with the manual lag/running-sum sessionization — the oracle
     // replays the gap rule relationally. Boundary semantics: a session's
-    // end is last_event + gap and the window is [start, end), so a new
-    // event at EXACTLY gap distance starts a new session (>= split in
-    // the oracle, vs q_sessionize's > for the manual form)
+    // end is last_event + gap, and Spark MERGES when the next event's
+    // start <= the current session end (UpdatingSessionsIterator), so an
+    // event at EXACTLY gap distance CONTINUES the session — the oracle
+    // splits only on strict gap > (same rule as q_sessionize's manual
+    // form; SessionBoundarySpec pins the exact-boundary case)
     "q_session_window" -> ((s, dir) =>
       tbl(s, dir, "events")
         .withColumn("__t", expr("timestamp_micros(ts div 1000)"))
@@ -550,9 +552,15 @@ object CoreQueries {
 
     // array aggregation: per-status sorted key prefix (collect_list is
     // order-free once sorted, so the array value is deterministic)
+    // the array is emitted as a canonical comma-joined STRING: the
+    // driver's pandas comparator cannot sort/hash a list-valued column
+    // (lexsort on object arrays crashes), and the string form is
+    // hash-identical across engines
     "q_array_agg" -> ((s, dir) =>
       tbl(s, dir, "orders").groupBy("o_orderstatus")
-        .agg(slice(sort_array(collect_list(col("o_orderkey"))), 1, 3).as("first_keys"),
+        .agg(concat_ws(",",
+            slice(sort_array(collect_list(col("o_orderkey"))), 1, 3).cast("array<string>"))
+          .as("first_keys"),
           count(lit(1)).as("n"))),
 
     // unpivot: wide per-source language counts melted back to rows
@@ -910,7 +918,7 @@ object CoreQueries {
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |FROM events),
         |s AS (SELECT user_id, us,
-        |  sum(CASE WHEN gap IS NULL OR gap >= 1800000000 THEN 1 ELSE 0 END)
+        |  sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY us, event_id
         |          ROWS UNBOUNDED PRECEDING) AS sid
         |FROM o)
@@ -944,7 +952,7 @@ object CoreQueries {
 
     "q_array_agg" ->
       """SELECT o_orderstatus,
-        |  list_sort(list(o_orderkey))[1:3] AS first_keys,
+        |  array_to_string(list_sort(list(o_orderkey))[1:3], ',') AS first_keys,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The LSH hot-bucket caps are skew-IMMUNE: the over-cap key list comes
+  * from a grouped count (partial aggregation absorbs a mega-hot key
+  * map-side) and is applied as a broadcast ANTI join, so no task ever
+  * buffers a whole hot bucket the way a `count().over(Window)` cap would.
+  * These specs pin (1) semantics — identical survivors to the window
+  * formulation, (2) the plan — no Window node anywhere on a cap path, a
+  * broadcast anti join present, and (3) the skew contract — a planted
+  * mega-hot bucket is dropped whole without a window shuffle.
+  */
+class HotBucketCapSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("dropHotBuckets matches the window-cap formulation exactly") {
+    val rows = (1 to 500).map(i => (i.toLong, s"b${i % 7}")) ++ // 7 buckets ~71 rows each
+      (1000 to 1300).map(i => (i.toLong, "hot"))                 // one 301-row hot bucket
+    val df = rows.toDF("id", "bh")
+    val viaGroup = Dedup.dropHotBuckets(df, Seq("bh"), cap = 100)
+    val viaWindow = df.withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bh"))))
+      .filter(col("__n") <= 100).drop("__n")
+    assert(viaGroup.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaGroup).isEmpty)
+    assert(viaGroup.filter(col("bh") === "hot").isEmpty, "hot bucket must be dropped whole")
+    assert(viaGroup.count() === 500L)
+  }
+
+  test("cap path plans: no Window node, broadcast anti join present") {
+    val bands = (1 to 200).map(i => (i.toLong, i % 4, s"h${i % 13}"))
+      .toDF("id", "band", "bh")
+    val plan = Dedup.lshCandidatePairs(bands, maxBucketSize = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"cap must not plan a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"cap must drop hot rows via a broadcast anti join:\n$plan")
+  }
+
+  test("planted mega-hot bucket: bounded candidates, hot rows never pair") {
+    // 2000 docs sharing ONE band hash (the license-header scenario) plus a
+    // healthy tail; the cap must kill the hot bucket pre-join so the pair
+    // count stays at the tail's contribution, not 2000^2/2
+    val hot = (1 to 2000).map(i => (i.toLong, 0, "same"))
+    val tail = (10000 to 10009).map(i => (i.toLong, 0, "tailbucket"))
+    val bands = (hot ++ tail).toDF("id", "band", "bh")
+    val pairs = Dedup.lshCandidatePairs(bands, maxBucketSize = 100)
+    assert(pairs.count() === 45L) // C(10,2) from the tail bucket only
+    assert(pairs.filter(col("id1") <= 2000).isEmpty)
+  }
+
+  test("winnow pair cap and cross-table join cap share the skew-immune form") {
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"the quick brown fox $i jumps over the lazy dog number $i end")).toDF("doc_id", "text")
+    val wPlan = Dedup.winnowNearDupPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!wPlan.contains("Window"), s"winnow cap must not plan a window:\n$wPlan")
+    val jPlan = Dedup.minHashJoin(docs, docs, "doc_id", "text", "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!jPlan.contains("Window"), s"fuzzy-join cap must not plan a window:\n$jPlan")
+  }
+}
