@@ -53,7 +53,7 @@ object Bench {
     // a fixture failure must not swallow the JSON line the driver parses
     try {
       val wh = java.nio.file.Files.createTempDirectory("bench-wh")
-      val catalog = new LocalCatalog(wh)
+      val catalog = new LocalCatalog(wh.toString)
       val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
       FileGenerator.writeTable(spark, catalog, "bench_li", src,
         FileGenerator.Config(dataFileCount = 8, posDeleteRowsPerFile = 100,

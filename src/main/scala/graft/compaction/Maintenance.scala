@@ -1,6 +1,6 @@
 package graft.compaction
 
-import java.nio.file.{Files, Paths}
+import graft.meta.MetaIO
 import scala.jdk.CollectionConverters._
 
 import graft.meta._
@@ -132,21 +132,13 @@ object Maintenance {
     // data parquet lives under data/; DV Puffin containers under deletes/ —
     // both become unreferenced once snapshots expire and must be reclaimable
     val roots = Seq(
-      Paths.get(meta.location, "data") -> ".parquet",
-      Paths.get(meta.location, "deletes") -> ".puffin")
+      MetaIO.join(meta.location, "data") -> ".parquet",
+      MetaIO.join(meta.location, "deletes") -> ".puffin")
     roots.flatMap { case (dir, ext) =>
-      if (!Files.exists(dir)) Nil
-      else
-        // Using closes the directory stream (Files.walk holds an open
-        // handle per directory level until closed)
-        scala.util.Using.resource(Files.walk(dir)) { walk =>
-          walk.iterator().asScala
-            .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(ext))
-            .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-            .map(_.toString)
-            .filterNot(live.contains)
-            .toSeq
-        }
+      MetaIO.listFilesRecursive(dir)
+        .filter { case (path, _, mtime) => path.endsWith(ext) && mtime <= cutoff }
+        .map(_._1)
+        .filterNot(live.contains)
     }.sorted
   }
 
@@ -248,7 +240,7 @@ object Maintenance {
     val written =
       if (survivors.isEmpty) Nil
       else graft.exec.SparkExecutor.writeDataFiles(spark, survivors,
-        java.nio.file.Paths.get(meta0.location, "data").toString,
+        MetaIO.join(meta0.location, "data"),
         partitionSpec = Nil, sortOrder = Nil, maxRecordsPerFile = Long.MaxValue,
         repartitionTo = 1)
     val mergedSeq = posFiles.map(_.sequenceNumber).max
@@ -332,7 +324,7 @@ object Maintenance {
     val written =
       if (killed.isEmpty) Nil
       else graft.exec.SparkExecutor.writeDataFiles(spark, killed,
-        Paths.get(meta0.location, "data").toString,
+        MetaIO.join(meta0.location, "data"),
         partitionSpec = Nil, sortOrder = Nil, maxRecordsPerFile = Long.MaxValue,
         repartitionTo = 1)
     // the tombstones replace the eq files' effect; stamp their max seq
@@ -406,19 +398,28 @@ object Maintenance {
       .map(f => f.referencedDataFile.get -> f).toMap
 
     import spark.implicits._
-    val newBlobs: Seq[DeletionVectors.DvBlob] =
-      if (pairs.isEmpty) Nil
+    val rows: Option[org.apache.spark.sql.DataFrame] =
+      if (pairs.isEmpty) None
       else {
         val applicable = pairs.toDF("__del_file", "file_path")
-        val rows = spark.read.parquet(posFiles.map(_.path): _*)
+        Some(spark.read.parquet(posFiles.map(_.path): _*)
           .select(Mor.normalizePath(col("_metadata.file_path")).as("__del_file"),
             col("file_path"), col("pos"))
-          .join(broadcast(applicable), Seq("__del_file", "file_path"), "left_semi")
-        DeletionVectors.buildBlobs(spark, rows)
+          .join(broadcast(applicable), Seq("__del_file", "file_path"), "left_semi"))
       }
+    // same driver gate as IceWrite.deleteWhereDv: a tombstone-heavy table
+    // streams the containers executor-side instead of collecting blobs
+    val smallPath = rows.forall(r =>
+      DeletionVectors.estimateBlobBytes(r) <= DeletionVectors.MaxDriverBlobBytes)
+    val newBlobs: Seq[DeletionVectors.DvBlob] =
+      if (smallPath) rows.map(DeletionVectors.buildBlobs(spark, _)).getOrElse(Nil)
+      else Nil
+    val affected: Set[String] =
+      if (smallPath) newBlobs.map(_.referencedDataFile).toSet
+      else rows.get.select("file_path").distinct().as[String].collect().toSet
     // merge with pre-existing DVs (union; their entries get replaced)
     val merged = DeletionVectors.mergeWithExisting(newBlobs, existingDv)
-    val replacedDvs = merged.flatMap(b => existingDv.get(b.referencedDataFile))
+    val replacedDvs = affected.toSeq.sorted.flatMap(existingDv.get)
     // resolutionKey, not path: un-merged DVs sharing the container must stay
     val replacedDvKeys = replacedDvs.map(_.resolutionKey).toSet
     val stampSeq =
@@ -429,8 +430,16 @@ object Maintenance {
       val meta = catalog.loadTable(tableName)
       val snap = meta.currentSnapshot.getOrElse(return meta)
       val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
-      val dvEntries = DeletionVectors.writeEntries(meta.location, merged,
-        snapshotId, stampSeq, f => partitionOf.getOrElse(f, Map.empty))
+      val dvEntries =
+        if (smallPath)
+          DeletionVectors.writeEntries(meta.location, merged,
+            snapshotId, stampSeq, f => partitionOf.getOrElse(f, Map.empty))
+        else
+          DeletionVectors.writeEntriesStreamed(spark, rows.get,
+            existingDv.collect { case (f, e) if affected.contains(f) =>
+              f -> (e.path, e.contentOffset.getOrElse(0L), e.contentSizeInBytes.get) },
+            meta.location, snapshotId, stampSeq,
+            f => partitionOf.getOrElse(f, Map.empty))
       // only swap the tombstones this conversion actually read; pos deletes
       // (or DVs) committed since stay live
       val consumed = posPaths ++ replacedDvKeys
@@ -457,14 +466,11 @@ object Maintenance {
   def cleanMetadataVersions(catalog: LocalCatalog, tableName: String, keepLast: Int = 10): Int = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val current = catalog.loadTable(tableName).version
-    val dir = catalog.tableLocation(tableName).resolve("metadata")
+    val dir = MetaIO.join(catalog.tableLocation(tableName), "metadata")
     val pattern = """v(\d+)\.metadata\.json""".r
-    // Using closes the stream — Files.list leaks a directory handle per
-    // maintenance invocation otherwise
-    val entries = scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
-    entries.count { p =>
-      p.getFileName.toString match {
-        case pattern(v) if v.toInt <= current - keepLast => Files.deleteIfExists(p)
+    MetaIO.listFiles(dir).count { case (path, _) =>
+      MetaIO.fileName(path) match {
+        case pattern(v) if v.toInt <= current - keepLast => MetaIO.delete(path)
         case _ => false
       }
     }
@@ -476,7 +482,7 @@ object Maintenance {
       olderThanMs: Long = DefaultOrphanGraceMs): Int = {
     val current = orphanFiles(catalog, tableName, olderThanMs).toSet
     val deletable = paths.filter(current.contains) // re-check before deleting
-    deletable.count(p => Files.deleteIfExists(Paths.get(p)))
+    deletable.count(p => MetaIO.exists(p) && MetaIO.delete(p))
   }
 
   /** Self-maintaining streaming ingest: wraps

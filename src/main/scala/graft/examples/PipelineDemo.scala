@@ -147,7 +147,7 @@ object PipelineDemo {
 
     // 5b. a downstream consumer tails the curated table's changelog
     val ck = java.nio.file.Files.createTempDirectory("pipeline-ck").resolve("ck")
-    val feed = new ChangeFeed(spark, catalog, "docs_curated", ck)
+    val feed = new ChangeFeed(spark, catalog, "docs_curated", ck.toString)
     feed.poll((frame, snap) => println(
       s"CHANGEFEED snapshot=${snap.snapshotId} " +
         s"inserts=${frame.filter(col(Changelog.ChangeTypeCol) === "insert").count()}"))

@@ -1,8 +1,6 @@
 package graft.exec
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -186,7 +184,7 @@ object SparkExecutor extends CompactionExecutor {
         else df.repartition(repartitionTo)
     }
     if (sortCols.nonEmpty) df = df.sortWithinPartitions(sortCols: _*)
-    val outDir = Paths.get(outputDir, UUID.randomUUID().toString).toString
+    val outDir = graft.meta.MetaIO.join(outputDir, UUID.randomUUID().toString)
     var writer = df.write
       .mode("overwrite")
       .option("compression", "zstd")                      // config/mod.rs:297
@@ -274,19 +272,17 @@ object SparkExecutor extends CompactionExecutor {
   }
 
   /** Lists written parquet files with sizes + footer record counts and
-    * decodes partition values from directory names. */
+    * decodes partition values from directory names. Hadoop FileSystem
+    * throughout (the [[graft.meta.MetaIO]] storage seam), so the write
+    * target may be any configured filesystem, not just local disk. */
   def listWrittenFiles(
       spark: SparkSession, dir: String, spec: Seq[PartitionField]): Seq[FileEntry] = {
-    val root = Paths.get(dir)
-    if (!Files.exists(root)) return Nil
-    val files = scala.util.Using.resource(Files.walk(root)) { walk =>
-      walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.toString)
-    }
+    val rootStr = graft.meta.MetaIO.normalize(dir)
+    val files = graft.meta.MetaIO.listFilesRecursive(rootStr)
+      .filter(_._1.endsWith(".parquet"))
     val conf = spark.sessionState.newHadoopConf()
-    files.map { p =>
-      val rel = root.relativize(p).toString
+    files.map { case (path, len, _) =>
+      val rel = path.stripPrefix(rootStr).stripPrefix("/")
       val partVals = rel.split('/').dropRight(1).flatMap { seg =>
         seg.split("=", 2) match {
           case Array(k, v) if k.startsWith("__part_") =>
@@ -302,10 +298,10 @@ object SparkExecutor extends CompactionExecutor {
           case _ => None
         }
       }.toMap
-      val (rows, stats) = parquetFooterInfo(conf, p)
+      val (rows, stats) = parquetFooterInfo(conf, path)
       FileEntry(
-        path = p.toString,
-        length = Files.size(p),
+        path = path,
+        length = len,
         content = FileContent.Data,
         recordCount = rows,
         sequenceNumber = 0L, // assigned at commit
@@ -315,16 +311,16 @@ object SparkExecutor extends CompactionExecutor {
     }
   }
 
-  def parquetRecordCount(conf: org.apache.hadoop.conf.Configuration, p: Path): Long =
+  def parquetRecordCount(conf: org.apache.hadoop.conf.Configuration, p: String): Long =
     parquetFooterInfo(conf, p)._1
 
   /** Top-level column names declared in the parquet footer — footer-only,
     * no data pages touched. Used by add_files import validation. */
   def parquetFooterColumns(
-      conf: org.apache.hadoop.conf.Configuration, p: Path): Seq[String] = {
+      conf: org.apache.hadoop.conf.Configuration, p: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+      .fromPath(new org.apache.hadoop.fs.Path(p), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
     finally r.close()
@@ -336,10 +332,10 @@ object SparkExecutor extends CompactionExecutor {
     * consulted driver-side before any scan is planned. */
   def parquetFooterInfo(
       conf: org.apache.hadoop.conf.Configuration,
-      p: Path): (Long, Map[String, (String, String)]) = {
+      p: String): (Long, Map[String, (String, String)]) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+      .fromPath(new org.apache.hadoop.fs.Path(p), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = r.getFooter.getBlocks.asScala

@@ -1,7 +1,5 @@
 package graft.meta
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,8 +85,8 @@ object BloomIndex {
       .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
     val dataFiles = snap.manifest.filter(_.content == FileContent.Data)
     require(dataFiles.nonEmpty, s"table $name has no data files")
-    val statsDir = Paths.get(meta.location, "stats")
-    Files.createDirectories(statsDir)
+    val statsDir = MetaIO.join(meta.location, "stats")
+    MetaIO.mkdirs(statsDir)
 
     // rename-safe read for typed tables (field-id addressed, like Mor);
     // imported name-matched files read by name through readDataWith
@@ -101,7 +99,7 @@ object BloomIndex {
       .groupBy(col("__file"))
       .agg(collect_set(col("__bit")).as("__bits"))
 
-    val dirStr = statsDir.toString
+    val dirStr = statsDir
     val snapId = snap.snapshotId
     val seqNum = snap.sequenceNumber
     val colName = column
@@ -119,10 +117,10 @@ object BloomIndex {
       }.toSeq
       if (blobs.isEmpty) Iterator.empty
       else {
-        val path = Paths.get(dirStr,
+        val path = MetaIO.join(dirStr,
           s"bloom-$colName-$snapId-${java.util.UUID.randomUUID().toString.take(12)}.puffin")
-        Puffin.write(path.toString, blobs)
-        Iterator.single(path.toString)
+        Puffin.write(path, blobs)
+        Iterator.single(path)
       }
     }.collect().toSeq.sorted
 
@@ -143,7 +141,7 @@ object BloomIndex {
     SchemaEvolution.updateProperties(catalog, name, Map.empty,
       removes = Set(s"$p.paths", s"$p.m", s"$p.k", s"$p.snapshot-id"))
     old.split(",").filter(_.nonEmpty).foreach { c =>
-      try Files.deleteIfExists(Paths.get(c)) catch { case _: Exception => () }
+      try MetaIO.delete(c) catch { case _: Exception => () }
     }
   }
 

@@ -1,7 +1,5 @@
 package graft.meta
 
-import java.nio.file.{Files, Path, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A CDC subscriber over [[Changelog]]: follows a table's commit chain and
@@ -21,9 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    snapshot ([[Changelog.changesBetween]] of (parent, snapshot]);
   *  - physical rewrites (replace/maintenance) advance the checkpoint but
   *    produce no rows — subscribers replay through compaction undisturbed;
-  *  - the checkpoint (last fully handled snapshot id) is persisted via
-  *    atomic temp-file rename AFTER the handler returns: a crash between
-  *    handling and checkpointing re-delivers that one snapshot
+  *  - the checkpoint (last fully handled snapshot id) is persisted AFTER
+  *    the handler returns (through the [[MetaIO]] filesystem seam, so it
+  *    can live beside the tables on any configured store): a crash
+  *    between handling and checkpointing re-delivers that one snapshot
   *    (at-least-once at the crash edge, exactly-once otherwise — the same
   *    contract as foreachBatch).
   */
@@ -31,21 +30,16 @@ final class ChangeFeed(
     spark: SparkSession,
     catalog: Catalog,
     name: String,
-    checkpointFile: Path,
+    checkpointFile: String,
     branch: String = "main") {
 
   /** Last fully processed snapshot id; 0 = nothing processed. */
   def checkpoint(): Long =
-    if (Files.exists(checkpointFile)) new String(
-      Files.readAllBytes(checkpointFile), "UTF-8").trim.toLong
+    if (MetaIO.exists(checkpointFile)) MetaIO.readString(checkpointFile).trim.toLong
     else 0L
 
-  private def saveCheckpoint(id: Long): Unit = {
-    val tmp = checkpointFile.resolveSibling(checkpointFile.getFileName.toString + ".tmp")
-    Files.write(tmp, id.toString.getBytes("UTF-8"))
-    Files.move(tmp, checkpointFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def saveCheckpoint(id: Long): Unit =
+    MetaIO.writeString(checkpointFile, id.toString)
 
   /** Snapshots on the branch head's parent chain AFTER `sinceId`, oldest
     * first. Fails loudly when `sinceId` has been expired off the chain —

@@ -104,20 +104,16 @@ object Constraints {
       if (viol.nonEmpty) {
         // abort: reclaim this write's whole uuid dir (it is exclusively
         // ours and also holds _SUCCESS/.crc sidecars), commit nothing
-        import java.nio.file.{Files => NF, Paths => NP}
-        val dataDir =
-          NP.get(catalog.loadTable(table).location, "data").toAbsolutePath.normalize
+        val dataDir = MetaIO.normalize(
+          MetaIO.join(catalog.loadTable(table).location, "data"))
         written.map { f =>
-          var p = NP.get(f.path).toAbsolutePath.normalize
-          while (p.getParent != null && p.getParent != dataDir) p = p.getParent
+          // climb to the uuid dir directly under <location>/data
+          var p = MetaIO.normalize(f.path)
+          while (MetaIO.parent(p) != dataDir && MetaIO.parent(p).nonEmpty) p = MetaIO.parent(p)
           p
-        }.distinct.filter(p => p.getParent == dataDir).foreach { root =>
-          try {
-            val s = NF.walk(root)
-            try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path])
-              .forEach(q => { NF.deleteIfExists(q); () })
-            finally s.close()
-          } catch { case _: java.io.IOException => () }
+        }.distinct.filter(p => MetaIO.parent(p) == dataDir).foreach { root =>
+          try MetaIO.deleteRecursive(root)
+          catch { case _: java.io.IOException => () }
         }
         throw new ConstraintViolationException(viol, table)
       }

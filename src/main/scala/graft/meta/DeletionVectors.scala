@@ -1,7 +1,5 @@
 package graft.meta
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared deletion-vector assembly: positions -> per-file bitmap blobs ->
@@ -15,9 +13,29 @@ object DeletionVectors {
     * tombstoned-position count. */
   final case class DvBlob(referencedDataFile: String, blob: Array[Byte], cardinality: Long)
 
+  /** Driver-side blob-assembly budget: below this estimate the encoded
+    * blobs collect to the driver (one container, simplest commit); above
+    * it the containers are written EXECUTOR-side ([[writeEntriesStreamed]])
+    * and only manifest coordinates return. Same order as
+    * [[graft.exec.Mor.BroadcastDeleteBytesMax]]. */
+  val MaxDriverBlobBytes: Long = 64L * 1024 * 1024
+
+  /** Upper-bound estimate of the total encoded blob bytes for a
+    * (file_path, pos) frame: roaring bitmaps cost at most ~2 bytes per
+    * set position plus fixed per-file framing. One aggregate job. */
+  def estimateBlobBytes(positions: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit}
+    val r = positions.agg(count(lit(1)).as("n"),
+      countDistinct(org.apache.spark.sql.functions.col("file_path")).as("f")).head()
+    2L * r.getLong(0) + 64L * r.getLong(1)
+  }
+
   /** Builds one encoded blob per referenced data file from a (file_path,
     * pos) frame. Bitmaps are assembled EXECUTOR-side — one aggregate keyed
-    * by data file — and only the compressed blobs return to the driver. */
+    * by data file — and only the compressed blobs return to the driver.
+    * For delete passes whose [[estimateBlobBytes]] exceeds
+    * [[MaxDriverBlobBytes]], use [[writeEntriesStreamed]] instead: this
+    * collect is unbounded in the number of tombstoned positions. */
   def buildBlobs(spark: SparkSession, positions: DataFrame): Seq[DvBlob] = {
     import spark.implicits._
     positions.select("file_path", "pos").as[(String, Long)]
@@ -30,6 +48,64 @@ object DeletionVectors {
       .collect().toSeq
       .map { case (f, b, c) => DvBlob(f, b, c) }
       .sortBy(_.referencedDataFile)
+  }
+
+  /** The scale path past the driver gate: builds, merges, and WRITES the
+    * deletion vectors entirely executor-side — one grouped aggregate keyed
+    * by data file builds each bitmap, any pre-existing DV for that file is
+    * range-read and unioned in place, and each task streams its blobs into
+    * its own Puffin container under `location/deletes/`. Only the manifest
+    * coordinates (path, offset, length, cardinality — a few rows per data
+    * file) return to the driver, so a delete-everything pass over a huge
+    * table never assembles blob bytes driver-side. The multi-container
+    * result is spec-fine: entries address blobs by (path, offset, length).
+    *
+    * `existingDv` maps referenced data file -> (container path, offset,
+    * length) of the DV to union; `partitionOf` supplies each entry's
+    * partition values. */
+  def writeEntriesStreamed(spark: SparkSession, positions: DataFrame,
+      existingDv: Map[String, (String, Long, Long)],
+      location: String, snapshotId: Long, sequenceNumber: Long,
+      partitionOf: String => Map[String, String]): Seq[FileEntry] = {
+    import spark.implicits._
+    val dir = MetaIO.join(location, "deletes")
+    MetaIO.mkdirs(dir)
+    val coords = positions.select("file_path", "pos").as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val bm = Puffin.PositionBitmap.empty
+        it.foreach(t => bm.add(t._2))
+        existingDv.get(file).foreach { case (p, off, len) =>
+          Puffin.decodeDvBlob(Puffin.readBlob(p, off, len)).positions.foreach(bm.add)
+        }
+        (file, Puffin.encodeDvBlob(bm), bm.cardinality)
+      }
+      .mapPartitions { it =>
+        val blobs = it.toSeq
+        if (blobs.isEmpty) Iterator.empty
+        else {
+          val path = MetaIO.join(dir,
+            s"dv-${java.util.UUID.randomUUID().toString.take(12)}.puffin")
+          val metas = Puffin.write(path, blobs.map { case (f, b, c) =>
+            Puffin.Blob(Puffin.DvBlobType, b, snapshotId, sequenceNumber,
+              properties = Map("referenced-data-file" -> f, "cardinality" -> c.toString))
+          })
+          val size = MetaIO.size(path)
+          blobs.zip(metas).iterator.map { case ((f, _, c), bm) =>
+            (path, size, f, bm.offset, bm.length, c)
+          }
+        }
+      }
+      .collect().toSeq.sortBy(t => (t._1, t._4))
+    coords.map { case (path, size, file, off, len, card) =>
+      FileEntry(
+        path = path, length = size,
+        content = FileContent.PositionDeletes, recordCount = card,
+        sequenceNumber = sequenceNumber,
+        partitionValues = partitionOf(file),
+        referencedDataFile = Some(file),
+        contentOffset = Some(off), contentSizeInBytes = Some(len))
+    }
   }
 
   /** Unions fresh blobs into any pre-existing DVs for the same data files
@@ -68,17 +144,17 @@ object DeletionVectors {
   def writeEntries(location: String, blobs: Seq[DvBlob], snapshotId: Long,
       sequenceNumber: Long, partitionOf: String => Map[String, String]): Seq[FileEntry] = {
     if (blobs.isEmpty) return Nil
-    val dir = Paths.get(location, "deletes")
-    Files.createDirectories(dir)
-    val puffinPath = dir.resolve(
-      s"dv-${java.util.UUID.randomUUID().toString.take(12)}.puffin").toString
+    val dir = MetaIO.join(location, "deletes")
+    MetaIO.mkdirs(dir)
+    val puffinPath = MetaIO.join(dir,
+      s"dv-${java.util.UUID.randomUUID().toString.take(12)}.puffin")
     val blobMetas = Puffin.write(puffinPath, blobs.map { b =>
       Puffin.Blob(Puffin.DvBlobType, b.blob, snapshotId, sequenceNumber,
         properties = Map(
           "referenced-data-file" -> b.referencedDataFile,
           "cardinality" -> b.cardinality.toString))
     })
-    val puffinSize = Files.size(Paths.get(puffinPath))
+    val puffinSize = MetaIO.size(puffinPath)
     blobs.zip(blobMetas).map { case (b, bm) =>
       FileEntry(
         path = puffinPath, length = puffinSize,

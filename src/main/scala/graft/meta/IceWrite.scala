@@ -1,9 +1,5 @@
 package graft.meta
 
-import java.nio.file.Paths
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.exec.SparkExecutor
@@ -102,7 +98,7 @@ object IceWrite {
     require(paths.nonEmpty, "addFiles: no files given")
     // normalize once: the duplicate guard and the manifest must compare
     // the SAME spelling ('/data//f.parquet' == '/data/./f.parquet')
-    val normPaths = paths.map(raw => Paths.get(raw).normalize().toString)
+    val normPaths = paths.map(MetaIO.normalize)
     val meta = catalog.loadTable(name)
     require(meta.partitionSpec.forall(_.isIdentity),
       "addFiles supports identity-partitioned or unpartitioned tables only " +
@@ -124,15 +120,14 @@ object IceWrite {
 
     val conf = spark.sessionState.newHadoopConf()
     val entries = normPaths.map { raw =>
-      val p = Paths.get(raw)
-      require(java.nio.file.Files.isRegularFile(p), s"addFiles: no such file: $raw")
-      val present = SparkExecutor.parquetFooterColumns(conf, p).toSet
+      require(MetaIO.exists(raw) && MetaIO.isFile(raw), s"addFiles: no such file: $raw")
+      val present = SparkExecutor.parquetFooterColumns(conf, raw).toSet
       val missing = requiredCols.filterNot(present.contains)
       require(missing.isEmpty,
         s"addFiles: $raw lacks columns ${missing.mkString(", ")} " +
           "(only columns with an initial-default may be absent)")
       val partVals = meta.partitionSpec.map { spec =>
-        val seg = p.iterator().asScala.map(_.toString)
+        val seg = raw.split('/').iterator
           .find(_.startsWith(spec.column + "="))
           .getOrElse(sys.error(
             s"addFiles: $raw has no ${spec.column}=<value> path segment for " +
@@ -140,9 +135,9 @@ object IceWrite {
         spec.column -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(seg.substring(spec.column.length + 1))
       }.toMap
-      val (rows, stats) = SparkExecutor.parquetFooterInfo(conf, p)
+      val (rows, stats) = SparkExecutor.parquetFooterInfo(conf, raw)
       FileEntry(
-        path = p.toString, length = java.nio.file.Files.size(p),
+        path = raw, length = MetaIO.size(raw),
         content = FileContent.Data, recordCount = rows,
         sequenceNumber = 0L, // stamped at commit
         partitionValues = partVals, columnStats = stats, nameMatched = true)
@@ -166,13 +161,8 @@ object IceWrite {
     * under `dir` via [[addFiles]] — zero data rewrite end to end. */
   def importParquetTable(spark: SparkSession, catalog: Catalog, name: String,
       dir: String, partitionSpec: Seq[PartitionField] = Nil): TableMetadata = {
-    val root = Paths.get(dir)
-    val files = scala.util.Using.resource(java.nio.file.Files.walk(root)) { walk =>
-      walk.iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .map(_.toString).toSeq.sorted
-    }
+    val files = MetaIO.listFilesRecursive(dir)
+      .map(_._1).filter(_.endsWith(".parquet")).sorted
     require(files.nonEmpty, s"importParquetTable: no parquet files under $dir")
     val schema = SchemaField.fromStruct(
       spark.read.option("mergeSchema", "true").parquet(files: _*).schema)
@@ -373,7 +363,7 @@ object IceWrite {
     // write the files once; only the metadata commit retries on conflict
     val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L) // ~256 B/row guess pre-stats
     val written = SparkExecutor.writeDataFiles(
-      spark, out, Paths.get(table0.location, "data").toString,
+      spark, out, MetaIO.join(table0.location, "data"),
       if (content == FileContent.Data) table0.partitionSpec else Nil,
       if (content == FileContent.Data) table0.sortOrder else Nil,
       maxRecordsPerFile = rowsEstimate)
@@ -460,7 +450,7 @@ object IceWrite {
     if (df.isEmpty) return meta0
     val out = if (typedOf(meta0)) withFieldIds(df, meta0.schema) else df
     val written = SparkExecutor.writeDataFiles(
-      spark, out, Paths.get(meta0.location, "data").toString,
+      spark, out, MetaIO.join(meta0.location, "data"),
       meta0.partitionSpec, meta0.sortOrder,
       maxRecordsPerFile = math.max(1L, Defaults.TargetFileSize / 256L))
     val touched = written.map(_.partitionValues).distinct
@@ -485,7 +475,7 @@ object IceWrite {
     val table0 = catalog.loadTable(name)
     val typed = typedOf(table0)
     import org.apache.spark.sql.functions.col
-    val dataDir = Paths.get(table0.location, "data").toString
+    val dataDir = MetaIO.join(table0.location, "data")
     val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L)
     val keyDf = df.select(keys.map(col): _*).distinct()
     val delFiles = SparkExecutor.writeDataFiles(spark,
@@ -609,7 +599,7 @@ object IceWrite {
       .map(b => matchedTouched.unionAll(b).distinct())
       .getOrElse(matchedTouched)
     val typed = typedOf(table0)
-    val dataDir = Paths.get(table0.location, "data").toString
+    val dataDir = MetaIO.join(table0.location, "data")
     val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L)
     val delFiles = SparkExecutor.writeDataFiles(spark,
       if (typed) withFieldIds(touchedKeys, table0.schema) else touchedKeys,
@@ -656,7 +646,8 @@ object IceWrite {
     * beside the DVs and compose at read. Re-deleting an already-deleted
     * row is a harmless no-op in the bitmap union. */
   def deleteWhereDv(spark: SparkSession, catalog: Catalog, name: String,
-      condition: org.apache.spark.sql.Column, branch: String = "main"): TableMetadata = {
+      condition: org.apache.spark.sql.Column, branch: String = "main",
+      maxDriverBlobBytes: Long = DeletionVectors.MaxDriverBlobBytes): TableMetadata = {
     import org.apache.spark.sql.functions.col
     val meta0 = catalog.loadTable(name)
     val snap0 = meta0.snapshotForRef(branch).orElse(meta0.currentSnapshot)
@@ -668,8 +659,20 @@ object IceWrite {
         .withColumn("__pos", col("_metadata.row_index"))
         .filter(condition)
         .select(col("__fp").as("file_path"), col("__pos").as("pos")))
-    val blobs = DeletionVectors.buildBlobs(spark, positions)
-    if (blobs.isEmpty) return meta0
+    // driver gate: below it, blobs collect to the driver and one container
+    // is written per attempt (simplest commit); above it — a dense delete
+    // over a big table — the containers stream executor-side and only
+    // manifest coordinates return (DeletionVectors.writeEntriesStreamed)
+    val smallPath = DeletionVectors.estimateBlobBytes(positions) <= maxDriverBlobBytes
+    val blobs =
+      if (smallPath) DeletionVectors.buildBlobs(spark, positions) else Nil
+    val affected: Set[String] =
+      if (smallPath) blobs.map(_.referencedDataFile).toSet
+      else {
+        import spark.implicits._
+        positions.select("file_path").distinct().as[String].collect().toSet
+      }
+    if (affected.isEmpty) return meta0
 
     var attempt = 0
     while (true) {
@@ -680,15 +683,23 @@ object IceWrite {
       // have landed since the scan; re-merging per attempt keeps the union)
       val existingDv = base.manifest.filter(_.isDeletionVector)
         .map(f => f.referencedDataFile.get -> f).toMap
-      val merged = DeletionVectors.mergeWithExisting(blobs, existingDv)
-      val replacedKeys = merged
-        .flatMap(b => existingDv.get(b.referencedDataFile)).map(_.resolutionKey).toSet
+      val replacedKeys =
+        affected.flatMap(existingDv.get).map(_.resolutionKey)
       val partitionOf = base.manifest.filter(_.content == FileContent.Data)
         .map(f => f.path -> f.partitionValues).toMap
       val newSeq = meta.lastSequenceNumber + 1
       val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
-      val dvEntries = DeletionVectors.writeEntries(meta.location, merged,
-        snapshotId, newSeq, f => partitionOf.getOrElse(f, Map.empty))
+      val dvEntries =
+        if (smallPath)
+          DeletionVectors.writeEntries(meta.location,
+            DeletionVectors.mergeWithExisting(blobs, existingDv),
+            snapshotId, newSeq, f => partitionOf.getOrElse(f, Map.empty))
+        else
+          DeletionVectors.writeEntriesStreamed(spark, positions,
+            existingDv.collect { case (f, e) if affected.contains(f) =>
+              f -> (e.path, e.contentOffset.getOrElse(0L), e.contentSizeInBytes.get) },
+            meta.location, snapshotId, newSeq,
+            f => partitionOf.getOrElse(f, Map.empty))
       val parentManifest = base.manifest
       val newManifest = parentManifest.filterNot(f =>
         replacedKeys.contains(f.resolutionKey)) ++ dvEntries

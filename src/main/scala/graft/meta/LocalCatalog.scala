@@ -1,8 +1,6 @@
 package graft.meta
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
-import scala.jdk.CollectionConverters._
 
 /** Thrown when an optimistic commit loses the race (another writer created
   * the next metadata version first). Mirrors CatalogCommitConflicts in the
@@ -13,11 +11,15 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   *
   * Layout per table: `<warehouse>/<table>/metadata/v{N}.metadata.json` +
   * `version-hint.text`. A commit at version N+1 atomically creates
-  * `v{N+1}.metadata.json` (tmp file + ATOMIC_MOVE without replace); if the
-  * target already exists, a concurrent writer won and the commit raises
-  * [[CommitConflictException]] so callers can reload + retry — the same
-  * optimistic-concurrency contract the reference delegates to its Iceberg
-  * catalog. A real REST/Hive catalog could slot in behind this trait.
+  * `v{N+1}.metadata.json` via [[MetaIO.createExclusive]] (create with
+  * no-overwrite); if the target already exists, a concurrent writer won
+  * and the commit raises [[CommitConflictException]] so callers can
+  * reload + retry — the same optimistic-concurrency contract the
+  * reference delegates to its Iceberg catalog. All I/O goes through the
+  * Hadoop `FileSystem` seam ([[MetaIO]]), so the warehouse may live on
+  * `file://`, `hdfs://`, or any configured filesystem; see MetaIO's
+  * per-filesystem CAS atomicity notes — object stores should use a
+  * catalog with a server-side CAS ([[RestCatalog]]) instead.
   */
 trait Catalog {
   def createTable(meta: TableMetadata): TableMetadata
@@ -29,15 +31,15 @@ trait Catalog {
   def dropTable(name: String): Unit
   /** All table names in the catalog, sorted. */
   def listTables: Seq[String]
-  /** Root of the table's storage. Known even before the table exists:
-    * writers stage data files first, then register them in a commit
-    * (write-then-commit, the Iceberg pattern). */
-  def tableLocation(name: String): Path
+  /** Root of the table's storage (a [[MetaIO]] path string). Known even
+    * before the table exists: writers stage data files first, then
+    * register them in a commit (write-then-commit, the Iceberg pattern). */
+  def tableLocation(name: String): String
   /** Where the table's data files live (under [[tableLocation]]). */
-  def dataDir(name: String): Path
+  def dataDir(name: String): String
 }
 
-final class LocalCatalog(val warehouse: Path,
+final class LocalCatalog(val warehouse: String,
     /** Serialized metadata at or above this many bytes is gzip-compressed
       * on disk (file name unchanged — readers sniff the gzip magic, so
       * mixed plain/compressed version chains read transparently and the
@@ -47,30 +49,30 @@ final class LocalCatalog(val warehouse: Path,
       * driver I/O per load/commit. Small metadata stays human-readable
       * plain text. `Long.MaxValue` disables; 0 always compresses. */
     val gzipMetadataAtBytes: Long = 1L << 20) extends Catalog {
-  Files.createDirectories(warehouse)
+  MetaIO.mkdirs(warehouse)
 
-  private def metaDir(name: String): Path = warehouse.resolve(name).resolve("metadata")
-  private def versionFile(name: String, v: Int): Path = metaDir(name).resolve(s"v$v.metadata.json")
-  private def hintFile(name: String): Path = metaDir(name).resolve("version-hint.text")
+  private def metaDir(name: String): String = MetaIO.join(warehouse, name, "metadata")
+  private def versionFile(name: String, v: Int): String =
+    MetaIO.join(metaDir(name), s"v$v.metadata.json")
+  private def hintFile(name: String): String = MetaIO.join(metaDir(name), "version-hint.text")
 
-  def tableLocation(name: String): Path = warehouse.resolve(name)
-  def dataDir(name: String): Path = warehouse.resolve(name).resolve("data")
+  def tableLocation(name: String): String = MetaIO.join(warehouse, name)
+  def dataDir(name: String): String = MetaIO.join(warehouse, name, "data")
 
-  override def tableExists(name: String): Boolean = Files.exists(hintFile(name))
+  override def tableExists(name: String): Boolean = MetaIO.exists(hintFile(name))
 
   override def createTable(meta: TableMetadata): TableMetadata = {
     require(!tableExists(meta.name), s"table ${meta.name} already exists")
-    Files.createDirectories(metaDir(meta.name))
-    Files.createDirectories(dataDir(meta.name))
-    val m = meta.copy(version = 1, location = tableLocation(meta.name).toString)
+    MetaIO.mkdirs(metaDir(meta.name))
+    MetaIO.mkdirs(dataDir(meta.name))
+    val m = meta.copy(version = 1, location = tableLocation(meta.name))
     writeVersion(m)
     m
   }
 
   override def loadTable(name: String): TableMetadata = {
     val v = currentVersion(name)
-    val p = versionFile(name, v)
-    val raw = Files.readAllBytes(p)
+    val raw = MetaIO.readBytes(versionFile(name, v))
     val text =
       if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
         new String(new java.util.zip.GZIPInputStream(
@@ -81,11 +83,11 @@ final class LocalCatalog(val warehouse: Path,
 
   private def currentVersion(name: String): Int = {
     val hint = hintFile(name)
-    require(Files.exists(hint), s"table $name does not exist")
-    var v = new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt
+    require(MetaIO.exists(hint), s"table $name does not exist")
+    var v = MetaIO.readString(hint).trim.toInt
     // The hint is advisory (written after the CAS); roll forward if a newer
     // committed version exists.
-    while (Files.exists(versionFile(name, v + 1))) v += 1
+    while (MetaIO.exists(versionFile(name, v + 1))) v += 1
     v
   }
 
@@ -97,7 +99,6 @@ final class LocalCatalog(val warehouse: Path,
 
   private def writeVersion(m: TableMetadata): Unit = {
     val target = versionFile(m.name, m.version)
-    val tmp = Files.createTempFile(metaDir(m.name), s".v${m.version}-", ".tmp")
     val plain = MetadataJson.write(m).getBytes(StandardCharsets.UTF_8)
     val bytes =
       if (plain.length >= gzipMetadataAtBytes) {
@@ -105,35 +106,24 @@ final class LocalCatalog(val warehouse: Path,
         scala.util.Using.resource(new java.util.zip.GZIPOutputStream(bos))(_.write(plain))
         bos.toByteArray
       } else plain
-    Files.write(tmp, bytes)
-    // createLink is atomic and FAILS if the target exists (unlike
-    // ATOMIC_MOVE, which maps to rename(2) and silently replaces) — that
-    // failure is the compare-and-swap.
-    try Files.createLink(target, tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(
-          s"table ${m.name}: version ${m.version} was committed concurrently")
-    } finally Files.deleteIfExists(tmp)
-    Files.write(hintFile(m.name), m.version.toString.getBytes(StandardCharsets.UTF_8))
+    // exclusive create IS the compare-and-swap: the version file name
+    // encodes the expected base version, so "target already exists"
+    // means a concurrent writer committed that version first
+    if (!MetaIO.createExclusive(target, bytes))
+      throw new CommitConflictException(
+        s"table ${m.name}: version ${m.version} was committed concurrently")
+    MetaIO.writeString(hintFile(m.name), m.version.toString)
   }
 
   override def listTables: Seq[String] =
-    scala.util.Using.resource(Files.list(warehouse)) { s =>
-      s.iterator().asScala
-        .filter(p => Files.isDirectory(p) && Files.exists(hintFile(p.getFileName.toString)))
-        .map(_.getFileName.toString).toSeq.sorted
-    }
+    MetaIO.listDirNames(warehouse).filter(n => MetaIO.exists(hintFile(n)))
 
   override def dropTable(name: String): Unit = {
-    val root = warehouse.resolve(name)
-    if (Files.exists(root)) {
-      scala.util.Using.resource(Files.walk(root))(
-        _.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
-    }
+    val root = MetaIO.join(warehouse, name)
+    if (MetaIO.exists(root)) { MetaIO.deleteRecursive(root); () }
   }
 }
 
 object LocalCatalog {
-  def apply(dir: String): LocalCatalog = new LocalCatalog(Paths.get(dir))
+  def apply(dir: String): LocalCatalog = new LocalCatalog(dir)
 }

@@ -1,6 +1,6 @@
 package graft.meta
 
-import java.nio.file.Paths
+
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -114,7 +114,7 @@ object MaterializedView {
       survivors: DataFrame, deadKeys: DataFrame, keys: Seq[String],
       expectedWatermark: Long, newWatermark: Long): TableMetadata = {
     val table0 = catalog.loadTable(name)
-    val dataDir = Paths.get(table0.location, "data").toString
+    val dataDir = MetaIO.join(table0.location, "data")
     val touchedKeys = survivors.select(keys.map(col): _*).unionAll(deadKeys).distinct()
     val delFiles = SparkExecutor.writeDataFiles(spark,
       IceWrite.withFieldIds(touchedKeys, table0.schema), dataDir, Nil, Nil, Long.MaxValue)

@@ -1,0 +1,181 @@
+package graft.meta
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The storage seam for ALL metadata-layer I/O: every byte the catalog,
+  * manifest, Puffin, statistics, and maintenance code reads or writes goes
+  * through the Hadoop `FileSystem` API, so pointing the warehouse at
+  * `hdfs://...` or `s3a://...` is a configuration change, not a refactor —
+  * the same seam the reference reaches through `iceberg::io::FileIO`
+  * (core/src/compaction/mod.rs:736-744) to run against MinIO/S3
+  * (integration-tests/testdata/docker-compose.yaml:31-33).
+  *
+  * Resolution: each path resolves its own FileSystem from the active
+  * SparkSession's Hadoop configuration (falling back to the JVM default
+  * session, then to a bare `Configuration` — executor-side callers like
+  * the Puffin container writers land there, where `fs.*` settings come
+  * from core-site.xml as usual). Paths are plain strings throughout;
+  * schemeless strings mean the default FS (`file:///` locally).
+  *
+  * Commit atomicity: [[createExclusive]] is the CAS primitive —
+  * create-with-no-overwrite, serialized through a JVM-wide per-path lock.
+  * On HDFS the namenode makes the no-overwrite create atomic across
+  * processes; on the local FS Hadoop's implementation is check-then-create,
+  * so the JVM lock carries same-driver races (the single-writer reality of
+  * a LocalCatalog) and MULTI-process local warehouses are out of contract.
+  * On S3A a create is not exclusive at all — object stores need a catalog
+  * that CASes server-side ([[RestCatalog]] here; Iceberg's REST/Hive
+  * catalogs in the wild), which is exactly how the reference deploys.
+  */
+object MetaIO {
+
+  def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+  private def fp(s: String): (FileSystem, Path) = { val p = new Path(s); (fsOf(p), p) }
+
+  /** Joins path segments (Hadoop `Path` semantics — collapses duplicate
+    * slashes, keeps the scheme of the head segment). */
+  def join(head: String, segments: String*): String =
+    segments.foldLeft(new Path(head))((p, s) => new Path(p, s)).toString
+
+  /** Canonical spelling of a path: scheme preserved, `//`, `/./`, and
+    * trailing slashes collapsed — duplicate-registration guards must
+    * compare one spelling. */
+  def normalize(s: String): String = {
+    val p = new Path(s)
+    val u = p.toUri
+    if (u.getScheme == null && u.getAuthority == null)
+      new Path(new java.net.URI(null, null, u.getPath, null).normalize()).toString
+    else p.toString
+  }
+
+  def fileName(s: String): String = new Path(s).getName
+  /** Parent path, or "" at the filesystem root. */
+  def parent(s: String): String =
+    Option(new Path(s).getParent).map(_.toString).getOrElse("")
+
+  /** The stored spelling of a listed path: local-FS paths stay PLAIN
+    * (`/wh/t/data/f.parquet`, the manifest convention —
+    * [[graft.exec.Mor.normalizePath]] maps Spark's `file:/...` metadata
+    * column to the same spelling), remote schemes stay fully qualified
+    * (`s3a://bucket/...`). All listings return this spelling so
+    * path-keyed joins and duplicate guards compare one canonical form. */
+  def toStoredPath(p: Path): String = {
+    val u = p.toUri
+    if (u.getScheme == "file") u.getPath else p.toString
+  }
+
+  def exists(s: String): Boolean = { val (fs, p) = fp(s); fs.exists(p) }
+  def isFile(s: String): Boolean = { val (fs, p) = fp(s); fs.isFile(p) }
+  def isDirectory(s: String): Boolean = { val (fs, p) = fp(s); fs.getFileStatus(p).isDirectory }
+  def size(s: String): Long = { val (fs, p) = fp(s); fs.getFileStatus(p).getLen }
+  def modifiedMs(s: String): Long = { val (fs, p) = fp(s); fs.getFileStatus(p).getModificationTime }
+  def mkdirs(s: String): Unit = { val (fs, p) = fp(s); fs.mkdirs(p); () }
+
+  def delete(s: String): Boolean = { val (fs, p) = fp(s); fs.delete(p, false) }
+  def deleteRecursive(s: String): Boolean = { val (fs, p) = fp(s); fs.delete(p, true) }
+
+  def readBytes(s: String): Array[Byte] = {
+    val (fs, p) = fp(s)
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= Int.MaxValue, s"file too large to buffer: $s ($len bytes)")
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0L, buf)
+      buf
+    } finally in.close()
+  }
+
+  def readString(s: String): String = new String(readBytes(s), StandardCharsets.UTF_8)
+
+  /** Positioned range read — the Puffin blob access path. One open, one
+    * `readFully` at the offset; on object stores this maps to a ranged GET
+    * instead of a whole-object download. */
+  def readRange(s: String, offset: Long, length: Long): Array[Byte] = {
+    require(length <= Int.MaxValue, s"range too large to buffer: $length")
+    val (fs, p) = fp(s)
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](length.toInt)
+      in.readFully(offset, buf)
+      buf
+    } finally in.close()
+  }
+
+  /** Plain (last-writer-wins) write; creates parent directories. */
+  def write(s: String, bytes: Array[Byte]): Unit = {
+    val (fs, p) = fp(s)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def writeString(s: String, text: String): Unit =
+    write(s, text.getBytes(StandardCharsets.UTF_8))
+
+  // one JVM-wide monitor per canonical target path: serializes same-JVM
+  // CAS attempts so the local FS's check-then-create cannot double-commit
+  // under a same-driver race (the contract header above)
+  private val casLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The commit CAS: create `s` with `bytes` iff it does not exist.
+    * Returns false when the target is already present (a concurrent
+    * writer won). See the class header for per-filesystem atomicity. */
+  def createExclusive(s: String, bytes: Array[Byte]): Boolean = {
+    val (fs, p) = fp(s)
+    val key = fs.makeQualified(p).toString
+    val lock = casLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (fs.exists(p)) false
+      else
+        try {
+          val out = fs.create(p, false) // no-overwrite create: the CAS
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+  }
+
+  /** Non-recursive file listing: (path, size) for plain files in `dir`,
+    * sorted by path. Empty when the directory does not exist. */
+  def listFiles(dir: String): Seq[(String, Long)] = {
+    val (fs, p) = fp(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isFile)
+      .map(st => toStoredPath(st.getPath) -> st.getLen).sortBy(_._1)
+  }
+
+  /** Subdirectory names (not paths) directly under `dir`, sorted. */
+  def listDirNames(dir: String): Seq[String] = {
+    val (fs, p) = fp(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  /** Recursive file listing: (path, size, mtimeMs) for every plain file
+    * under `dir`, sorted by path. Uses the FileSystem's bulk recursive
+    * iterator — one listing call per directory page, not one RPC per
+    * file (on S3A this is a flat LIST, the only listing shape that
+    * scales). Empty when the directory does not exist. */
+  def listFilesRecursive(dir: String): Seq[(String, Long, Long)] = {
+    val (fs, p) = fp(dir)
+    if (!fs.exists(p)) Nil
+    else {
+      val it = fs.listFiles(p, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) out += ((toStoredPath(st.getPath), st.getLen, st.getModificationTime))
+      }
+      out.sortBy(_._1).toSeq
+    }
+  }
+}

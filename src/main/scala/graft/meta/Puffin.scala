@@ -2,7 +2,6 @@ package graft.meta
 
 import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 import java.util.zip.CRC32
 
 import org.roaringbitmap.RoaringBitmap
@@ -202,7 +201,7 @@ object Puffin {
     out.write(tail.array())
     out.write(ContainerMagic)
     out.flush()
-    Files.write(Paths.get(path), bos.toByteArray)
+    MetaIO.write(path, bos.toByteArray)
     metas
   }
 
@@ -224,7 +223,7 @@ object Puffin {
 
   /** Reads the footer of a Puffin file back into blob records. */
   def readFooter(path: String): Seq[BlobMeta] = {
-    val all = Files.readAllBytes(Paths.get(path))
+    val all = MetaIO.readBytes(path)
     require(all.length >= 20, s"not a Puffin file (too short): $path")
     def magicAt(off: Int): Boolean =
       java.util.Arrays.equals(java.util.Arrays.copyOfRange(all, off, off + 4), ContainerMagic)
@@ -268,16 +267,8 @@ object Puffin {
     }
   }
 
-  /** Reads one blob's payload by footer coordinates. */
-  def readBlob(path: String, offset: Long, length: Long): Array[Byte] = {
-    val ch = java.nio.channels.FileChannel.open(Paths.get(path))
-    try {
-      val buf = ByteBuffer.allocate(length.toInt)
-      ch.position(offset)
-      var read = 0
-      while (read < length && ch.read(buf) >= 0) read = buf.position()
-      require(read == length, s"short read of $path at $offset: $read/$length")
-      buf.array()
-    } finally ch.close()
-  }
+  /** Reads one blob's payload by footer coordinates — a positioned range
+    * read through the [[MetaIO]] seam (a ranged GET on object stores). */
+  def readBlob(path: String, offset: Long, length: Long): Array[Byte] =
+    MetaIO.readRange(path, offset, length)
 }

@@ -4,7 +4,6 @@ import java.io.OutputStream
 import java.net.{InetSocketAddress, URI}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 import java.util.concurrent.{ConcurrentHashMap, Executors}
 import scala.jdk.CollectionConverters._
 
@@ -39,12 +38,12 @@ object RestCatalog {
     * filesystem — deliberately unlike [[LocalCatalog]], so the seam is
     * proven against a genuinely different store); the warehouse directory
     * only holds table data files. */
-  final class Server(val warehouse: Path, port: Int = 0) {
+  final class Server(val warehouse: String, port: Int = 0) {
     private val store = new ConcurrentHashMap[String, TableMetadata]()
     private val pool = Executors.newFixedThreadPool(8)
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(pool)
-    Files.createDirectories(warehouse)
+    MetaIO.mkdirs(warehouse)
 
     server.createContext("/v1/", (ex: HttpExchange) => handle(ex))
     server.start()
@@ -71,7 +70,7 @@ object RestCatalog {
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/").split("/").toList
       (ex.getRequestMethod, path) match {
         case ("GET", List("config")) =>
-          respond(ex, 200, s"""{"warehouse": ${JsonMethods.compact(JString(warehouse.toString))}}""")
+          respond(ex, 200, s"""{"warehouse": ${JsonMethods.compact(JString(warehouse))}}""")
 
         case ("GET", List("tables")) =>
           val names = store.keySet().asScala.toSeq.sorted
@@ -87,11 +86,11 @@ object RestCatalog {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val meta = MetadataJson.read(body)
           val assigned = meta.copy(version = 1,
-            location = warehouse.resolve(meta.name).toString)
+            location = MetaIO.join(warehouse, meta.name))
           if (store.putIfAbsent(meta.name, assigned) != null)
             respond(ex, 409, s"""{"error": "table ${meta.name} already exists"}""")
           else {
-            Files.createDirectories(warehouse.resolve(meta.name).resolve("data"))
+            MetaIO.mkdirs(MetaIO.join(warehouse, meta.name, "data"))
             respond(ex, 201, MetadataJson.write(assigned))
           }
 
@@ -119,10 +118,8 @@ object RestCatalog {
 
         case ("DELETE", List("tables", name)) =>
           store.remove(name)
-          val root = warehouse.resolve(name)
-          if (Files.exists(root))
-            scala.util.Using.resource(Files.walk(root))(
-              _.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
+          val root = MetaIO.join(warehouse, name)
+          if (MetaIO.exists(root)) MetaIO.deleteRecursive(root)
           respond(ex, 204, "")
 
         case _ => respond(ex, 400, s"""{"error": "unsupported route"}""")
@@ -143,17 +140,17 @@ object RestCatalog {
     private def send(r: HttpRequest): HttpResponse[String] =
       http.send(r, HttpResponse.BodyHandlers.ofString())
 
-    lazy val warehouse: Path = {
+    lazy val warehouse: String = {
       val resp = send(req("/v1/config").GET().build())
       require(resp.statusCode == 200, s"catalog config failed: ${resp.body}")
       JsonMethods.parse(resp.body) \ "warehouse" match {
-        case JString(w) => Paths.get(w)
+        case JString(w) => w
         case other => sys.error(s"bad config response: $other")
       }
     }
 
-    def tableLocation(name: String): Path = warehouse.resolve(name)
-    def dataDir(name: String): Path = warehouse.resolve(name).resolve("data")
+    def tableLocation(name: String): String = MetaIO.join(warehouse, name)
+    def dataDir(name: String): String = MetaIO.join(warehouse, name, "data")
 
     override def tableExists(name: String): Boolean =
       send(req(s"/v1/tables/$name").method("HEAD", HttpRequest.BodyPublishers.noBody())

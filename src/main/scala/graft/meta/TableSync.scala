@@ -1,7 +1,5 @@
 package graft.meta
 
-import java.nio.file.Path
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,7 +37,7 @@ object TableSync {
   def mirror(spark: SparkSession,
       srcCatalog: Catalog, srcName: String,
       dstCatalog: Catalog, dstName: String,
-      keys: Seq[String], checkpointFile: Path,
+      keys: Seq[String], checkpointFile: String,
       branch: String = "main"): Int = {
     require(keys.nonEmpty, "mirror needs at least one key column")
     val feed = new ChangeFeed(spark, srcCatalog, srcName, checkpointFile, branch)

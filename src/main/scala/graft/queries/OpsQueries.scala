@@ -1243,7 +1243,7 @@ object OpsQueries {
       IceWrite.deleteWhere(s, src, "t_q_sync", col("s_suppkey") % 7 === 0)
       val ck = java.nio.file.Files.createTempDirectory("q-sync-ck").resolve("ck")
       val applied = TableSync.mirror(s, src, "t_q_sync", dst, "t_q_sync_m",
-        Seq("s_suppkey"), ck)
+        Seq("s_suppkey"), ck.toString)
       require(applied == 3, s"mirror applied $applied snapshots, expected 3")
       IceRead.table(s, dst, "t_q_sync_m")
     }),

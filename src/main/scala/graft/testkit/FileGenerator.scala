@@ -52,7 +52,8 @@ object FileGenerator {
     Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
     scala.util.Using.resource(Files.walk(tmp))(
       _.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
-    val (rows, stats) = SparkExecutor.parquetFooterInfo(spark.sessionState.newHadoopConf(), target)
+    val (rows, stats) =
+      SparkExecutor.parquetFooterInfo(spark.sessionState.newHadoopConf(), target.toString)
     (target.toString, Files.size(target), rows, stats)
   }
 
@@ -69,7 +70,9 @@ object FileGenerator {
     // dropping after the writes below would delete the files the new
     // manifest is about to reference
     if (catalog.tableExists(tableName)) catalog.dropTable(tableName)
-    val dataDir = catalog.dataDir(tableName)
+    // the generator stages its fixture files with local java.nio plumbing
+    // (tests only); the catalog hands back a MetaIO path string
+    val dataDir = Paths.get(catalog.dataDir(tableName))
     Files.createDirectories(dataDir)
 
     var entries = Vector.empty[FileEntry]

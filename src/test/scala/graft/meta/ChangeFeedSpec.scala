@@ -31,7 +31,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     IceWrite.append(spark, catalog, "t_feed", df(Seq((2L, "b", 20L))))      // 2
     IceWrite.upsert(spark, catalog, "t_feed", df(Seq((2L, "b2", 21L))), Seq("id")) // 3
 
-    val ck = Files.createTempDirectory("feed-ck").resolve("ck")
+    val ck = Files.createTempDirectory("feed-ck").resolve("ck").toString
     val feed = new ChangeFeed(spark, catalog, "t_feed", ck)
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, String)])]
     assert(feed.poll((frame, snap) => seen += snap.snapshotId ->
@@ -56,9 +56,9 @@ class ChangeFeedSpec extends AnyFunSuite {
     val catalog = newCatalog()
     IceWrite.create(spark, catalog, "t_feed2", df(Seq((1L, "a", 10L), (2L, "b", 20L)))) // 1
     val ckDir = Files.createTempDirectory("feed-ck2")
-    val ck = ckDir.resolve("ck")
+    val ck = ckDir.resolve("ck").toString
     new ChangeFeed(spark, catalog, "t_feed2", ck).poll((_, _) => ())
-    assert(new String(Files.readAllBytes(ck), "UTF-8").trim == "1")
+    assert(MetaIO.readString(ck).trim == "1")
 
     IceWrite.deleteWhere(spark, catalog, "t_feed2", col("id") === 1L)       // 2
     new Compaction(catalog, "t_feed2", spark,
@@ -75,8 +75,8 @@ class ChangeFeedSpec extends AnyFunSuite {
   test("an expired checkpoint fails loudly instead of silently skipping") {
     val catalog = newCatalog()
     IceWrite.create(spark, catalog, "t_feed3", df(Seq((1L, "a", 10L))))
-    val ck = Files.createTempDirectory("feed-ck3").resolve("ck")
-    Files.write(ck, "42".getBytes("UTF-8")) // a snapshot id not on the chain
+    val ck = Files.createTempDirectory("feed-ck3").resolve("ck").toString
+    MetaIO.writeString(ck, "42") // a snapshot id not on the chain
     val feed = new ChangeFeed(spark, catalog, "t_feed3", ck)
     val boom = intercept[IllegalArgumentException] { feed.poll((_, _) => ()) }
     assert(boom.getMessage.contains("expired"))
@@ -88,7 +88,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     IceWrite.upsert(spark, catalog, "t_src", df(Seq((2L, "b2", 21L), (3L, "c", 30L))), Seq("id"))
     IceWrite.deleteWhere(spark, catalog, "t_src", col("id") === 1L)
 
-    val ck = Files.createTempDirectory("feed-ck4").resolve("ck")
+    val ck = Files.createTempDirectory("feed-ck4").resolve("ck").toString
     val feed = new ChangeFeed(spark, catalog, "t_src", ck)
     feed.poll { (frame, _) =>
       val inserts = frame.filter(col(Changelog.ChangeTypeCol) === "insert")
@@ -118,7 +118,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     IceWrite.upsert(spark, src, "t_src", df(Seq((2L, "B", 21L), (4L, "d", 40L))), Seq("id"))
     IceWrite.deleteWhere(spark, src, "t_src", org.apache.spark.sql.functions.col("id") === 1)
 
-    val ck = Files.createTempDirectory("sync-ck").resolve("ck")
+    val ck = Files.createTempDirectory("sync-ck").resolve("ck").toString
     val applied = TableSync.mirror(spark, src, "t_src", dst, "t_dst", Seq("id"), ck)
     assert(applied == 4)
 
@@ -146,7 +146,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     // crash replay: re-applying the LAST snapshot converges (idempotent by
     // value) — simulate by rolling the checkpoint back one snapshot
     val last = src.loadTable("t_src").currentSnapshot.get
-    Files.write(ck, last.parentId.get.toString.getBytes("UTF-8"))
+    MetaIO.writeString(ck, last.parentId.get.toString)
     assert(TableSync.mirror(spark, src, "t_src", dst, "t_dst", Seq("id"), ck) == 1)
     assert(read(dst, "t_dst") == want2, "replayed snapshot diverged the mirror")
   }

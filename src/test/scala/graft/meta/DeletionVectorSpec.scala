@@ -253,4 +253,37 @@ class DeletionVectorSpec extends AnyFunSuite {
         contentOffset = None, contentSizeInBytes = None)))), currentSnapshotId = Some(1L)))
     assert(!plain.contains("referenced-data-file"))
   }
+
+  test("dense delete past the driver gate streams containers executor-side; results identical") {
+    // many files + a delete-most pass: with maxDriverBlobBytes = 0 every
+    // blob byte is over budget, so the containers must be written by
+    // executors (multiple containers allowed) and the driver only sees
+    // manifest coordinates. The MOR view must match the driver-side path
+    // bit for bit, including the union with a pre-existing DV.
+    val catalog = LocalCatalog(Files.createTempDirectory("graft-dvs-wh").toString)
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    IceWrite.create(spark, catalog, "t_dvs", src.repartition(6))
+    // seed an existing DV through the normal path, then the dense pass
+    IceWrite.deleteWhereDv(spark, catalog, "t_dvs", col("o_orderkey") % 97 === 0)
+    IceWrite.deleteWhereDv(spark, catalog, "t_dvs", col("o_orderkey") % 3 =!= 0,
+      maxDriverBlobBytes = 0L) // forces the streamed path + existing-DV union
+    val manifest = catalog.loadTable("t_dvs").currentSnapshot.get.manifest
+    val dvs = manifest.filter(_.isDeletionVector)
+    assert(dvs.nonEmpty)
+    assert(dvs.map(_.referencedDataFile.get).distinct.size == dvs.size,
+      "one DV per data file after the streamed union")
+    val got = IceRead.table(spark, catalog, "t_dvs").orderBy("o_orderkey").collect().toSeq
+    val want = src.filter(col("o_orderkey") % 97 =!= 0 && col("o_orderkey") % 3 === 0)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(got == want)
+
+    // the same two deletes through the driver path give the same table
+    val catalog2 = LocalCatalog(Files.createTempDirectory("graft-dvs-wh2").toString)
+    IceWrite.create(spark, catalog2, "t_dvs", src.repartition(6))
+    IceWrite.deleteWhereDv(spark, catalog2, "t_dvs", col("o_orderkey") % 97 === 0)
+    IceWrite.deleteWhereDv(spark, catalog2, "t_dvs", col("o_orderkey") % 3 =!= 0)
+    val viaDriver = IceRead.table(spark, catalog2, "t_dvs").orderBy("o_orderkey").collect().toSeq
+    assert(got == viaDriver)
+  }
 }

@@ -79,7 +79,7 @@ class IceReadSpec extends AnyFunSuite {
     val meta = catalog.loadTable("t_scoped")
     val snap = meta.currentSnapshot.get
     val (p, size, rows, _) = FileGenerator.writeSingleParquet(spark,
-      Seq(Tuple1(1L)).toDF("id"), catalog.dataDir("t_scoped").resolve("eq-scoped.parquet"))
+      Seq(Tuple1(1L)).toDF("id"), java.nio.file.Paths.get(catalog.dataDir("t_scoped"), "eq-scoped.parquet"))
     val delEntry = FileEntry(p, size, FileContent.EqualityDeletes, rows,
       sequenceNumber = 3L, equalityIds = Seq("id"), partitionValues = Map("part" -> "1"))
     val snap2 = Snapshot(2L, Some(snap.snapshotId), 3L, System.currentTimeMillis(),

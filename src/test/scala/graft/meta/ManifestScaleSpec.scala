@@ -29,8 +29,8 @@ class ManifestScaleSpec extends AnyFunSuite {
 
   test("50k-file manifest: gzip shrinks the version file >3x; loads round-trip") {
     val wh = Files.createTempDirectory("scale-wh")
-    val gz = new LocalCatalog(wh, gzipMetadataAtBytes = 0L)
-    val plain = new LocalCatalog(Files.createTempDirectory("scale-wh-p"),
+    val gz = new LocalCatalog(wh.toString, gzipMetadataAtBytes = 0L)
+    val plain = new LocalCatalog(Files.createTempDirectory("scale-wh-p").toString,
       gzipMetadataAtBytes = Long.MaxValue)
 
     val (meta, _) = bigMeta("big", 50000)
@@ -51,7 +51,7 @@ class ManifestScaleSpec extends AnyFunSuite {
 
   test("delta encoding keeps a 1-file append O(change) on a 50k-file table") {
     val wh = Files.createTempDirectory("scale-wh2")
-    val cat = new LocalCatalog(wh, gzipMetadataAtBytes = Long.MaxValue)
+    val cat = new LocalCatalog(wh.toString, gzipMetadataAtBytes = Long.MaxValue)
     val (meta, snap) = bigMeta("delta", 50000)
     val created = cat.createTable(meta)
     val newSnap = Snapshot(snapshotId = 2L, parentId = Some(1L), sequenceNumber = 2L,
@@ -80,7 +80,7 @@ class ManifestScaleSpec extends AnyFunSuite {
     // threshold between the small v1 and the larger v2 -> v1 plain, v2 gz
     val (m200, _) = bigMeta("mix", 200)
     val probe = MetadataJson.write(m200).length
-    val cat = new LocalCatalog(wh, gzipMetadataAtBytes = probe / 2L)
+    val cat = new LocalCatalog(wh.toString, gzipMetadataAtBytes = probe / 2L)
     val (tiny, _) = bigMeta("mix", 1)
     val created = cat.createTable(tiny)
     val raw1 = Files.readAllBytes(wh.resolve("mix/metadata/v1.metadata.json"))

@@ -31,7 +31,7 @@ class PartitionOpsSpec extends AnyFunSuite {
     IceWrite.deleteWhere(spark, cat, "t", col("grp") === "b" && col("id") === 1)
     val before = dataPaths(cat, "t")
     val dataFilesOnDisk = scala.util.Using.resource(
-      Files.walk(cat.dataDir("t")))(w => {
+      Files.walk(java.nio.file.Paths.get(cat.dataDir("t"))))(w => {
         import scala.jdk.CollectionConverters._
         w.iterator().asScala.count(p => p.toString.endsWith(".parquet"))
       })
@@ -47,7 +47,7 @@ class PartitionOpsSpec extends AnyFunSuite {
       metaAfter.snapshots.head.manifest.find(_.path == p)
         .exists(!_.partitionValues.get("grp").contains("b"))))
     val onDiskAfter = scala.util.Using.resource(
-      Files.walk(cat.dataDir("t")))(w => {
+      Files.walk(java.nio.file.Paths.get(cat.dataDir("t"))))(w => {
         import scala.jdk.CollectionConverters._
         w.iterator().asScala.count(p => p.toString.endsWith(".parquet"))
       })

@@ -17,7 +17,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def client() = new RestCatalog.Client(server.uri)
 
   override def beforeAll(): Unit =
-    server = new RestCatalog.Server(Files.createTempDirectory("graft-rest-wh"))
+    server = new RestCatalog.Server(Files.createTempDirectory("graft-rest-wh").toString)
   override def afterAll(): Unit = server.stop()
 
   private def meta(name: String) = TableMetadata(name = name, location = "")
@@ -26,8 +26,8 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c = client()
     val m = c.createTable(meta("t_create"))
     assert(m.version == 1)
-    assert(m.location == server.warehouse.resolve("t_create").toString)
-    assert(Files.isDirectory(c.dataDir("t_create")))
+    assert(m.location == graft.meta.MetaIO.join(server.warehouse, "t_create"))
+    assert(Files.isDirectory(java.nio.file.Paths.get(c.dataDir("t_create"))))
     assert(c.tableExists("t_create"))
     intercept[IllegalArgumentException](c.createTable(meta("t_create")))
   }
@@ -123,7 +123,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 class RestCompactionE2ESpec extends graft.compaction.CompactionE2ESpec with BeforeAndAfterAll {
   private var server: RestCatalog.Server = _
   override def beforeAll(): Unit =
-    server = new RestCatalog.Server(Files.createTempDirectory("graft-rest-wh"))
+    server = new RestCatalog.Server(Files.createTempDirectory("graft-rest-wh").toString)
   override def afterAll(): Unit = server.stop()
   override protected def newCatalog(): Catalog = new RestCatalog.Client(server.uri)
 }
@@ -133,7 +133,7 @@ class RestCompactionE2ESpec extends graft.compaction.CompactionE2ESpec with Befo
 class RestIceWriteSpec extends IceWriteSpec with BeforeAndAfterAll {
   private var server: RestCatalog.Server = _
   override def beforeAll(): Unit =
-    server = new RestCatalog.Server(Files.createTempDirectory("graft-rest-wh"))
+    server = new RestCatalog.Server(Files.createTempDirectory("graft-rest-wh").toString)
   override def afterAll(): Unit = server.stop()
   override protected def newCatalog(): Catalog = new RestCatalog.Client(server.uri)
 }

@@ -85,7 +85,7 @@ class RowLineageSpec extends AnyFunSuite {
     // rewritten files physically carry BOTH lineage columns
     val footerCols = graft.exec.SparkExecutor.parquetFooterColumns(
       spark.sessionState.newHadoopConf(),
-      java.nio.file.Paths.get(dataFiles.head.path))
+      dataFiles.head.path)
     assert(footerCols.contains(graft.exec.Mor.RowIdCol))
     assert(footerCols.contains(graft.exec.Mor.LastUpdatedSeqCol))
     // ...and the ORIGINAL update seqs survive the rewrite (compaction is
