@@ -15,8 +15,9 @@ import org.apache.spark.sql.types._
   * ([[decodeImage]]), audio via javax.sound.sampled ([[decodeWav]]), and
   * video via a pure-Scala AVI/RIFF container parser + ImageIO keyframe
   * decode ([[decodeAvi]] — container stats for any AVI, pixel features
-  * for MJPEG-style frames). [[decodeBytes]] remains as the deterministic
-  * byte-stat featurizer for opaque formats with no JDK codec.
+  * for MJPEG-style frames). [[decodeBytes]] dispatches payloads to those
+  * decoders on magic bytes, with a deterministic byte-stat fallback for
+  * opaque formats with no JDK codec.
   */
 object Multimodal {
 
@@ -45,22 +46,67 @@ object Multimodal {
         (length(col(textCol)) % 480).cast("int").as("height"),
         length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB codec: a real implementation would decode image/audio bytes
-    * here (e.g. via a JNI codec or a pandas-batch UDF on PySpark). The
-    * deterministic fake keeps the pipeline testable end-to-end. */
-  private def decodeBytes(payload: Array[Byte]): Array[Double] = {
-    // ??? <- real decoder goes here; deterministic fake below
-    if (payload == null || payload.isEmpty) Array(0.0, 0.0)
+  /** Byte-stat featurizer — the FALLBACK branch of [[decodeBytes]] for
+    * formats with no JDK codec (and for payloads whose codec dispatch
+    * failed to parse): (length, mean byte value). Deterministic and
+    * oracle-expressible, which is what keeps the whole mapPartitions
+    * pipeline hash-checkable end to end. */
+  private def byteStats(payload: Array[Byte]): Array[Double] = {
+    if (payload == null || payload.isEmpty) Array(0.0, 0.0, 0.0)
     else {
       var sum = 0L; var i = 0
       while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
-      Array(payload.length.toDouble, sum.toDouble / payload.length)
+      Array(0.0, payload.length.toDouble, sum.toDouble / payload.length)
     }
+  }
+
+  /** Modality tags leading every [[decodeBytes]] feature vector. */
+  val TagBytes = 0.0
+  val TagImage = 1.0
+  val TagWav = 2.0
+  val TagAvi = 3.0
+
+  /** REAL decode dispatch on magic bytes — no stub left: PNG/JPEG/GIF/BMP
+    * route to the ImageIO decoder, RIFF/WAVE to the javax.sound PCM
+    * decoder, RIFF/AVI to the pure-Scala container parser; anything else
+    * (or a payload whose codec fails to parse) falls back to the
+    * deterministic byte stats, so dispatch can only ADD information,
+    * never lose rows. Vectors lead with a modality tag:
+    *  - image: [1, width, height, mean_luma]
+    *  - wav:   [2, sample_rate, channels, frames, rms]
+    *  - avi:   [3, width, height, n_frames, us_per_frame]
+    *  - bytes: [0, length, mean_byte]
+    */
+  private[ops] def decodeBytes(payload: Array[Byte]): Array[Double] = {
+    if (payload == null || payload.length < 12) return byteStats(payload)
+    def at(i: Int) = payload(i) & 0xff
+    val isPng = at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G'
+    val isJpeg = at(0) == 0xff && at(1) == 0xd8
+    val isGif = at(0) == 'G' && at(1) == 'I' && at(2) == 'F'
+    val isBmp = at(0) == 'B' && at(1) == 'M'
+    def fourcc(off: Int) = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val isRiff = fourcc(0) == "RIFF"
+    if (isPng || isJpeg || isGif || isBmp)
+      decodeImage(payload)
+        .map { case (w, h, luma) => Array(TagImage, w.toDouble, h.toDouble, luma) }
+        .getOrElse(byteStats(payload))
+    else if (isRiff && fourcc(8) == "WAVE")
+      decodeWav(payload)
+        .map { case (rate, ch, frames, rms) =>
+          Array(TagWav, rate.toDouble, ch.toDouble, frames.toDouble, rms) }
+        .getOrElse(byteStats(payload))
+    else if (isRiff && fourcc(8).startsWith("AVI"))
+      decodeAvi(payload)
+        .map { case (w, h, n, uspf, _) =>
+          Array(TagAvi, w.toDouble, h.toDouble, n.toDouble, uspf.toDouble) }
+        .getOrElse(byteStats(payload))
+    else byteStats(payload)
   }
 
   /** Per-partition batched "decode + featurize": mapPartitions keeps any
     * heavyweight codec init per-partition, not per-row — the same batch
-    * shape a pandas UDF gives PySpark. Output: (media_id, feat array). */
+    * shape a pandas UDF gives PySpark. Output: (media_id, feat array),
+    * feature layout per modality documented on [[decodeBytes]]. */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),

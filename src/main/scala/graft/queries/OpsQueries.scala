@@ -1523,13 +1523,17 @@ object OpsQueries {
         .select(col("media_id"), col("meta.n_bytes").as("byte_len"),
           sha2(col("payload"), 256).as("sha"))),
 
-    // multimodal feature extraction (mapPartitions stub codec; rows-only)
+    // multimodal feature extraction through the REAL magic-byte dispatch
+    // (decodeBytes): text payloads carry no codec magic, so every row must
+    // take the byte-stat fallback branch — the emitted modality tag (0)
+    // is hash-checked by the oracle, pinning the dispatch itself
     "m2_media_features" -> ((s, dir) => {
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(s, media)
         .select(col("media_id"),
-          element_at(col("features"), 1).as("feat_len"),
-          round(element_at(col("features"), 2), 4).as("feat_avg"))
+          element_at(col("features"), 1).cast("long").as("modality_tag"),
+          element_at(col("features"), 2).as("feat_len"),
+          round(element_at(col("features"), 3), 4).as("feat_avg"))
     }),
 
     // REAL audio decode: deterministic PCM WAV payloads (pure-Scala RIFF
@@ -3650,15 +3654,18 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |  sha256(text) AS sha
         |FROM documents""".stripMargin,
 
-    // the stub codec's features ARE oracle-expressible: feat_len = payload
-    // byte length, feat_avg = mean byte value, recomputed in DuckDB from
-    // hex(encode(text)) nibble pairs — so the whole mapPartitions decode
-    // pipeline (schema, batching, row plumbing) gets an independent
-    // hash-checked verdict, not just a row count
+    // the fallback branch's features ARE oracle-expressible: tag 0 (text
+    // bytes carry no codec magic), feat_len = payload byte length,
+    // feat_avg = mean byte value, recomputed in DuckDB from
+    // hex(encode(text)) nibble pairs — so the dispatch AND the whole
+    // mapPartitions decode pipeline (schema, batching, row plumbing) get
+    // an independent hash-checked verdict, not just a row count; the
+    // codec branches are pinned per modality by MediaDispatchSpec
     "m2_media_features" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
         |                  octet_length(encode(text)) AS n FROM documents)
         |SELECT doc_id AS media_id,
+        |  CAST(0 AS BIGINT) AS modality_tag,
         |  CAST(n AS DOUBLE) AS feat_len,
         |  CASE WHEN n = 0 THEN 0.0 ELSE
         |    round(CAST(list_sum(list_transform(range(0, n), i ->

@@ -75,6 +75,51 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(tasks.size == 50001 && tasks.forall(_.deletes.isEmpty))
   }
 
+  test("million-entry manifest: write/load/plan round-trip, delta commit O(change)") {
+    // the 100 TB shape: ~1M tracked files (100 TB / 128 MB targets). The
+    // point is that metadata handling stays driver-tractable — load and
+    // scan planning in seconds, and an incremental commit priced by the
+    // CHANGE (snapshot 2's version file reuses snapshot 1's manifest via
+    // the delta codec instead of re-inlining a second million entries).
+    val wh = Files.createTempDirectory("scale-wh1m")
+    val cat = new LocalCatalog(wh.toString, gzipMetadataAtBytes = 0L)
+    val n = 1000000
+    val (meta, snap) = bigMeta("m1m", n)
+
+    val tW = System.nanoTime()
+    val created = cat.createTable(meta)
+    val writeMs = (System.nanoTime() - tW) / 1000000
+    val v1 = Files.size(wh.resolve("m1m/metadata/v1.metadata.json"))
+
+    val tL = System.nanoTime()
+    val loaded = cat.loadTable("m1m")
+    val loadMs = (System.nanoTime() - tL) / 1000000
+    assert(loaded.currentSnapshot.get.manifest.size == n)
+
+    val tP = System.nanoTime()
+    val tasks = loaded.scanTasks(loaded.currentSnapshot.get)
+    val planMs = (System.nanoTime() - tP) / 1000000
+    assert(tasks.size == n)
+
+    // 1-file append on the million-entry table
+    val newSnap = Snapshot(snapshotId = 2L, parentId = Some(1L), sequenceNumber = 2L,
+      timestampMs = 2L, manifest = snap.manifest :+ entry(9999999, seq = 2L),
+      summary = Map("operation" -> "append"))
+    val tC = System.nanoTime()
+    cat.commit(created, created.copy(currentSnapshotId = Some(2L),
+      refs = Map("main" -> 2L), snapshots = created.snapshots :+ newSnap,
+      lastSequenceNumber = 2L))
+    val commitMs = (System.nanoTime() - tC) / 1000000
+    val v2 = Files.size(wh.resolve("m1m/metadata/v2.metadata.json"))
+    assert(v2 < (v1 * 3) / 2, s"append version not delta-encoded: v1=$v1 v2=$v2")
+    assert(cat.loadTable("m1m").currentSnapshot.get.manifest.size == n + 1)
+
+    info(s"1M entries: write=${writeMs}ms load=${loadMs}ms plan=${planMs}ms " +
+      s"deltaCommit=${commitMs}ms v1=${v1 / 1024 / 1024}MiB v2=${v2 / 1024 / 1024}MiB")
+    // loose ceilings — catch quadratic regressions, not machine noise
+    assert(loadMs < 60000 && planMs < 60000 && commitMs < 120000)
+  }
+
   test("mixed plain/gz chains read; CAS conflict intact with gzip on") {
     val wh = Files.createTempDirectory("scale-wh3")
     // threshold between the small v1 and the larger v2 -> v1 plain, v2 gz

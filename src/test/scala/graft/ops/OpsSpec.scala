@@ -787,8 +787,10 @@ class OpsSpec extends AnyFunSuite {
     val feats = Multimodal.extractFeatures(spark, media)
     assert(feats.count() == docs.count())
     val joined = feats.join(docs, feats("media_id") === docs("doc_id"))
-    // feature[0] == byte length == n_chars (ascii corpus)
-    val bad = joined.filter(element_at($"features", 1) =!= $"n_chars".cast("double")).count()
+    // text payloads carry no codec magic -> fallback tag 0, then
+    // feature[1] == byte length == n_chars (ascii corpus)
+    val bad = joined.filter(element_at($"features", 1) =!= 0.0 ||
+      element_at($"features", 2) =!= $"n_chars".cast("double")).count()
     assert(bad == 0)
     val frames = Multimodal.sampleFrames(media.limit(5))
     assert(frames.count() > 5)
