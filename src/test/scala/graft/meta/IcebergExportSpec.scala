@@ -1,0 +1,131 @@
+package graft.meta
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkTestBase
+
+/** Round-trips the Iceberg-v2 export against the published spec layout:
+  * the metadata JSON carries every required v2 field; the manifest list
+  * and manifest files are real Avro with the spec's field names and
+  * file-metadata keys; the referenced data files, record counts, and
+  * sequence numbers reconstruct the snapshot exactly; and the referenced
+  * parquet is readable in place. */
+class IcebergExportSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def build(): (LocalCatalog, TableMetadata) = {
+    val catalog = LocalCatalog(Files.createTempDirectory("ice-exp-wh").toString)
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    IceWrite.create(spark, catalog, "t_exp", src)
+    IceWrite.append(spark, catalog, "t_exp",
+      src.withColumn("c_custkey", col("c_custkey") + 1000))
+    IceWrite.appendEqualityDeletes(spark, catalog, "t_exp",
+      src.filter(col("c_custkey") < 5).select(col("c_custkey")), Seq("c_custkey"))
+    (catalog, catalog.loadTable("t_exp"))
+  }
+
+  test("exported metadata JSON has the required v2 fields and spec shapes") {
+    val (catalog, meta) = build()
+    val jsonPath = IcebergExport.exportIcebergMetadata(catalog, "t_exp")
+    val j = JsonMethods.parse(MetaIO.readString(jsonPath))
+
+    assert((j \ "format-version") == JInt(2))
+    for (k <- Seq("table-uuid", "location", "last-sequence-number", "last-updated-ms",
+        "last-column-id", "current-schema-id", "schemas", "default-spec-id",
+        "partition-specs", "last-partition-id", "default-sort-order-id", "sort-orders",
+        "current-snapshot-id", "refs", "snapshots", "snapshot-log"))
+      assert((j \ k) != JNothing, s"missing required metadata field $k")
+
+    // schema: struct with id/name/required/type per column, ids preserved
+    val fields = (j \ "schemas")(0) \ "fields" match { case JArray(xs) => xs; case _ => Nil }
+    assert(fields.size == meta.schema.size)
+    meta.schema.zip(fields).foreach { case (f, jf) =>
+      assert((jf \ "id") == JInt(f.id) && (jf \ "name") == JString(f.name))
+    }
+    // refs: main as a branch ref pointing at the current snapshot
+    assert((j \ "refs" \ "main" \ "type") == JString("branch"))
+    assert((j \ "refs" \ "main" \ "snapshot-id") ==
+      JInt(BigInt(meta.currentSnapshotId.get)))
+    // one snapshot entry per graft snapshot, chained by parent ids
+    val snaps = (j \ "snapshots") match { case JArray(xs) => xs; case _ => Nil }
+    assert(snaps.size == meta.snapshots.size)
+  }
+
+  test("manifest list + manifests reconstruct the snapshot; parquet readable in place") {
+    val (catalog, meta) = build()
+    val jsonPath = IcebergExport.exportIcebergMetadata(catalog, "t_exp")
+    val j = JsonMethods.parse(MetaIO.readString(jsonPath))
+    val head = meta.currentSnapshot.get
+
+    val snapJ = (j \ "snapshots") match {
+      case JArray(xs) => xs.find(s =>
+        (s \ "snapshot-id") == JInt(BigInt(head.snapshotId))).get
+      case _ => fail("no snapshots")
+    }
+    val listPath = (snapJ \ "manifest-list") match { case JString(p) => p; case _ => fail() }
+    val (listEntries, listMeta) = IcebergExport.readAvro(listPath)
+    assert(listMeta("format-version") == "2")
+    assert(listEntries.nonEmpty)
+
+    // follow every manifest: collect (path, content, records, seq)
+    val entries = listEntries.flatMap { le =>
+      val mPath = le.get("manifest_path").toString
+      assert(MetaIO.size(mPath) == le.get("manifest_length").asInstanceOf[Long])
+      val (recs, mMeta) = IcebergExport.readAvro(mPath)
+      assert(mMeta("format-version") == "2")
+      assert(Set("data", "deletes").contains(mMeta("content")))
+      assert(JsonMethods.parse(mMeta("schema")) \ "type" == JString("struct"))
+      recs.map { r =>
+        val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        (df.get("file_path").toString,
+          df.get("content").asInstanceOf[Int],
+          df.get("record_count").asInstanceOf[Long],
+          r.get("sequence_number").asInstanceOf[Long],
+          r.get("status").asInstanceOf[Int])
+      }
+    }
+    // exact reconstruction of the graft snapshot's manifest
+    val want = head.manifest.map(f => (f.path,
+      f.content match {
+        case FileContent.Data => 0
+        case FileContent.PositionDeletes => 1
+        case FileContent.EqualityDeletes => 2
+      }, f.recordCount, f.sequenceNumber)).toSet
+    assert(entries.map(t => (t._1, t._2, t._3, t._4)).toSet == want)
+    // ADDED exactly for this snapshot's sequence, EXISTING (explicit seq) otherwise
+    entries.foreach { case (_, _, _, seq, status) =>
+      assert(status == (if (seq == head.sequenceNumber) 1 else 0))
+    }
+    // the equality-delete manifest carries the equality field ids
+    val eqIds = listEntries.filter(_.get("content").asInstanceOf[Int] == 1).flatMap { le =>
+      val (recs, _) = IcebergExport.readAvro(le.get("manifest_path").toString)
+      recs.flatMap { r =>
+        val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        Option(df.get("equality_ids")).toSeq.flatMap(
+          _.asInstanceOf[java.util.List[Integer]].toArray.toSeq)
+      }
+    }
+    assert(eqIds.nonEmpty, "equality delete files must carry equality_ids")
+
+    // referenced data files are readable in place, rows sum to the manifest counts
+    val dataPaths = entries.filter(_._2 == 0).map(_._1)
+    val rows = spark.read.parquet(dataPaths: _*).count()
+    assert(rows == entries.filter(_._2 == 0).map(_._3).sum)
+  }
+
+  test("v3 tables with deletion vectors are refused with a clear error") {
+    val catalog = LocalCatalog(Files.createTempDirectory("ice-exp-dv").toString)
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    IceWrite.create(spark, catalog, "t_dv", src)
+    IceWrite.deleteWhereDv(spark, catalog, "t_dv", col("r_regionkey") === 0L)
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.exportIcebergMetadata(catalog, "t_dv"))
+    assert(e.getMessage.contains("v3"))
+  }
+}
