@@ -13,7 +13,14 @@ import graft.selection.Defaults
   */
 object IceWrite {
 
-  /** Creates the table and commits the DataFrame as snapshot 1. */
+  /** Creates the table and commits the DataFrame as snapshot 1 — in ONE
+    * metadata write: data files are staged first (the table location is
+    * known before the table exists — write-then-commit, the Iceberg
+    * pattern), then the catalog's create persists metadata that already
+    * carries snapshot 1. The previous two-step (empty create + append
+    * commit) paid a second full metadata round trip on EVERY table
+    * creation — measurable on commit-I/O-bound paths like the index
+    * builders and CDC mirrors, pure waste at any scale. */
   def create(
       spark: SparkSession,
       catalog: Catalog,
@@ -23,12 +30,32 @@ object IceWrite {
       sortOrder: Seq[SortField] = Nil,
       formatVersion: Int = 2,
       targetFileSizeBytes: Long = Defaults.TargetFileSize): TableMetadata = {
+    require(!catalog.tableExists(name), s"table $name already exists")
     val schema = SchemaField.fromStruct(df.schema)
-    val meta = catalog.createTable(TableMetadata(
+    val typed = schema.nonEmpty && schema.forall(_.isTyped)
+    val out = if (typed) withFieldIds(df, schema) else df
+    val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L)
+    val written = SparkExecutor.writeDataFiles(
+      spark, out, MetaIO.join(catalog.tableLocation(name), "data"),
+      partitionSpec, sortOrder, maxRecordsPerFile = rowsEstimate)
+    require(written.nonEmpty || df.isEmpty, s"create of $name wrote no files")
+    var rowCursor = 0L
+    val stamped = written.map { f =>
+      val withSeq = f.copy(content = FileContent.Data, sequenceNumber = 1L)
+      if (formatVersion < 3) withSeq
+      else { val assigned = withSeq.copy(firstRowId = Some(rowCursor))
+             rowCursor += f.recordCount; assigned }
+    }
+    val snap = Snapshot(
+      snapshotId = 1L, parentId = None, sequenceNumber = 1L,
+      timestampMs = System.currentTimeMillis(), manifest = stamped,
+      summary = TableMetadata.computedSummary(Nil, stamped) + ("operation" -> "append"))
+    catalog.createTable(TableMetadata(
       name = name, location = "", formatVersion = formatVersion,
       schema = schema, lastColumnId = schema.map(_.id).foldLeft(0)(math.max),
-      partitionSpec = partitionSpec, sortOrder = sortOrder))
-    appendInternal(spark, catalog, meta.name, df, FileContent.Data, Nil, targetFileSizeBytes)
+      partitionSpec = partitionSpec, sortOrder = sortOrder,
+      currentSnapshotId = Some(1L), refs = Map("main" -> 1L),
+      snapshots = Seq(snap), lastSequenceNumber = 1L, nextRowId = rowCursor))
   }
 
   /** Appends rows as new data files (new snapshot, fresh sequence number). */
