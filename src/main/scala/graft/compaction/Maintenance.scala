@@ -462,15 +462,26 @@ object Maintenance {
 
   /** Trims old metadata version files (v*.metadata.json), keeping the
     * newest `keepLast` — the catalog-side analogue of snapshot expiry;
-    * version files otherwise accumulate one per commit forever. */
+    * version files otherwise accumulate one per commit forever. With
+    * cross-version delta commits the retained window's FULL anchor (and
+    * the deltas after it) must stay loadable, so up to `anchorEvery - 1`
+    * extra small files survive each cleanup; a table younger than its
+    * first anchor correctly retains everything. */
   def cleanMetadataVersions(catalog: LocalCatalog, tableName: String, keepLast: Int = 10): Int = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val current = catalog.loadTable(tableName).version
     val dir = MetaIO.join(catalog.tableLocation(tableName), "metadata")
     val pattern = """v(\d+)\.metadata\.json""".r
+    // delta-chain safety: every retained version must keep its FULL
+    // anchor (and the deltas between) loadable — the oldest retained
+    // version's anchor is the floor multiple of anchorEvery (v1 for the
+    // first window), so deletion stops strictly below that anchor
+    val oldestRetained = math.max(1, current - keepLast + 1)
+    val anchor = math.max(1, (oldestRetained / catalog.anchorEvery) * catalog.anchorEvery)
     MetaIO.listFiles(dir).count { case (path, _) =>
       MetaIO.fileName(path) match {
-        case pattern(v) if v.toInt <= current - keepLast => MetaIO.delete(path)
+        case pattern(v) if v.toInt <= current - keepLast && v.toInt < anchor =>
+          MetaIO.delete(path)
         case _ => false
       }
     }

@@ -36,17 +36,10 @@ object MetadataJson {
       "name" -> str(m.name),
       "location" -> str(m.location),
       "format-version" -> JInt(m.formatVersion),
-      "schema" -> JArray(m.schema.map { f =>
-        val base = List[(String, JValue)]("id" -> JInt(f.id), "name" -> str(f.name),
-          "type" -> str(f.dataType), "nullable" -> JBool(f.nullable))
-        JObject(f.initialDefault.fold(base)(d => base :+ ("initial-default" -> (str(d): JValue))))
-      }.toList),
+      "schema" -> schemaToJson(m),
       "last-column-id" -> JInt(m.lastColumnId),
-      "partition-spec" -> JArray(m.partitionSpec.map(p =>
-        JObject("column" -> str(p.column), "transform" -> str(p.transform))).toList),
-      "sort-order" -> JArray(m.sortOrder.map(s =>
-        JObject("column" -> str(s.column), "ascending" -> JBool(s.ascending),
-          "nulls-first" -> JBool(s.nullsFirst))).toList),
+      "partition-spec" -> specToJson(m),
+      "sort-order" -> sortToJson(m),
       "current-snapshot-id" -> m.currentSnapshotId.map(JLong(_)).getOrElse(JNull),
       "refs" -> JObject(m.refs.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
       "tags" -> JObject(m.tags.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
@@ -58,6 +51,19 @@ object MetadataJson {
       "version" -> JInt(m.version)
     )
   }
+
+  private def schemaToJson(m: TableMetadata): JValue = JArray(m.schema.map { f =>
+    val base = List[(String, JValue)]("id" -> JInt(f.id), "name" -> str(f.name),
+      "type" -> str(f.dataType), "nullable" -> JBool(f.nullable))
+    JObject(f.initialDefault.fold(base)(d => base :+ ("initial-default" -> (str(d): JValue))))
+  }.toList)
+
+  private def specToJson(m: TableMetadata): JValue = JArray(m.partitionSpec.map(p =>
+    JObject("column" -> str(p.column), "transform" -> str(p.transform))).toList)
+
+  private def sortToJson(m: TableMetadata): JValue = JArray(m.sortOrder.map(s =>
+    JObject("column" -> str(s.column), "ascending" -> JBool(s.ascending),
+      "nulls-first" -> JBool(s.nullsFirst))).toList)
 
   private def snapshotToJson(s: Snapshot, parent: Option[Snapshot]): JValue = {
     val manifestField: (String, JValue) = parent match {
@@ -116,45 +122,131 @@ object MetadataJson {
 
   def write(m: TableMetadata): String = JsonMethods.pretty(JsonMethods.render(toJson(m)))
 
-  def read(s: String): TableMetadata = {
-    val j = JsonMethods.parse(s)
-    def fStr(v: JValue): String = v match { case JString(x) => x; case _ => sys.error(s"expected string, got $v") }
-    def fLong(v: JValue): Long = v match {
-      case JLong(x) => x; case JInt(x) => x.toLong; case JDouble(x) => x.toLong
-      case _ => sys.error(s"expected long, got $v")
+  /** CROSS-VERSION delta: serializes `updated` against the already-
+    * persisted `base` version, so a commit writes O(change) bytes instead
+    * of re-inlining the whole manifest chain — at 10^6 tracked files the
+    * difference between ~10 MiB (gzip'd full) and a few KiB per commit.
+    * The delta file carries every SCALAR field in full (schema, refs,
+    * properties — all small), the ids of snapshots removed since `base`,
+    * and the appended snapshots (whose manifests may themselves
+    * delta-encode against any base snapshot). Returns None when the
+    * delta would be lossy — a carried snapshot differing from its base
+    * twin (snapshots are immutable in every commit path, so this is
+    * belt-and-braces, checked by reference first) — in which case the
+    * caller writes the full form. Readers dispatch on `delta-of-version`
+    * ([[readResolved]]). */
+  def writeDelta(base: TableMetadata, updated: TableMetadata): Option[String] = {
+    val baseById = base.snapshots.map(s => s.snapshotId -> s).toMap
+    val carriedOk = updated.snapshots.forall { s =>
+      baseById.get(s.snapshotId) match {
+        case None => true
+        case Some(b) => (b eq s) || b == s // identity fast path; == fallback
+      }
     }
-    def fBool(v: JValue): Boolean = v match { case JBool(x) => x; case _ => sys.error(s"expected bool, got $v") }
-    def arr(v: JValue): List[JValue] = v match { case JArray(xs) => xs; case _ => Nil }
-    def obj(v: JValue): List[(String, JValue)] = v match { case JObject(xs) => xs; case _ => Nil }
-    def optLong(v: JValue): Option[Long] = v match { case JNull | JNothing => None; case x => Some(fLong(x)) }
+    if (!carriedOk) return None
+    val updatedIds = updated.snapshots.map(_.snapshotId).toSet
+    val removedIds = base.snapshots.map(_.snapshotId).filterNot(updatedIds.contains)
+    val appended = updated.snapshots.filterNot(s => baseById.contains(s.snapshotId))
+    // appended snapshots may delta against ANY snapshot already known to
+    // the reader: every base snapshot plus earlier appended ones
+    val seen = scala.collection.mutable.Map.empty[Long, Snapshot]
+    base.snapshots.foreach(s => seen(s.snapshotId) = s)
+    val appendedJ = appended.map { s =>
+      val j = snapshotToJson(s, s.parentId.flatMap(seen.get))
+      seen(s.snapshotId) = s
+      j
+    }
+    val j = JObject(
+      "delta-of-version" -> JInt(base.version),
+      "name" -> str(updated.name),
+      "location" -> str(updated.location),
+      "format-version" -> JInt(updated.formatVersion),
+      "schema" -> schemaToJson(updated),
+      "last-column-id" -> JInt(updated.lastColumnId),
+      "partition-spec" -> specToJson(updated),
+      "sort-order" -> sortToJson(updated),
+      "current-snapshot-id" -> updated.currentSnapshotId.map(JLong(_)).getOrElse(JNull),
+      "refs" -> JObject(updated.refs.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
+      "tags" -> JObject(updated.tags.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
+      "properties" -> JObject(updated.properties.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (str(v): JValue) }),
+      "removed-snapshot-ids" -> JArray(removedIds.map(JLong(_): JValue).toList),
+      "snapshots-appended" -> JArray(appendedJ.toList),
+      "last-sequence-number" -> JLong(updated.lastSequenceNumber),
+      "next-row-id" -> JLong(updated.nextRowId),
+      "version" -> JInt(updated.version)
+    )
+    Some(JsonMethods.pretty(JsonMethods.render(j)))
+  }
 
-    def file(v: JValue): FileEntry = {
-      val m = obj(v).toMap
-      FileEntry(
-        path = fStr(m("path")),
-        length = fLong(m("length")),
-        content = FileContent.withName(fStr(m("content"))),
-        recordCount = fLong(m("record-count")),
-        sequenceNumber = fLong(m("sequence-number")),
-        equalityIds = arr(m.getOrElse("equality-ids", JArray(Nil))).map(fStr),
-        equalityFieldIds = arr(m.getOrElse("equality-field-ids", JArray(Nil))).map(v => fLong(v).toInt),
-        partitionValues = obj(m.getOrElse("partition", JObject())).map { case (k, x) => k -> fStr(x) }.toMap,
-        columnStats = obj(m.getOrElse("column-stats", JObject())).map { case (k, x) =>
-          val sm = obj(x).toMap
-          k -> (fStr(sm("min")), fStr(sm("max")))
-        }.toMap,
-        referencedDataFile = m.get("referenced-data-file").map(fStr),
-        contentOffset = m.get("content-offset").flatMap(optLong),
-        contentSizeInBytes = m.get("content-size-in-bytes").flatMap(optLong),
-        nameMatched = m.get("name-matched").exists(fBool),
-        firstRowId = m.get("first-row-id").flatMap(optLong)
-      )
+  /** True when `text` is a cross-version delta file. */
+  def isDelta(text: String): Boolean =
+    (JsonMethods.parse(text) \ "delta-of-version") != JNothing
+
+  /** The base version a delta file resolves against. */
+  def deltaBaseVersion(text: String): Int =
+    JsonMethods.parse(text) \ "delta-of-version" match {
+      case JInt(v) => v.toInt
+      case other => sys.error(s"not a delta metadata file: $other")
     }
-    // forward pass: delta manifests resolve against already-decoded
-    // snapshots (the writer guarantees bases serialize first)
+
+  /** Resolves a cross-version delta file against its loaded base. */
+  def readDelta(text: String, base: TableMetadata): TableMetadata = {
+    val full = read(text) // scalar fields + appended snapshots (resolved below)
+    val j = JsonMethods.parse(text)
+    val removed = (j \ "removed-snapshot-ids") match {
+      case JArray(xs) => xs.map { case JInt(x) => x.toLong; case JLong(x) => x
+        case other => sys.error(s"bad removed id $other") }.toSet
+      case _ => Set.empty[Long]
+    }
+    val kept = base.snapshots.filterNot(s => removed.contains(s.snapshotId))
+    // re-decode appended snapshots WITH the base snapshots resolvable
+    val appended = decodeSnapshots(j \ "snapshots-appended", kept)
+    full.copy(snapshots = kept ++ appended)
+  }
+
+  private def fStr(v: JValue): String = v match { case JString(x) => x; case _ => sys.error(s"expected string, got $v") }
+  private def fLong(v: JValue): Long = v match {
+    case JLong(x) => x; case JInt(x) => x.toLong; case JDouble(x) => x.toLong
+    case _ => sys.error(s"expected long, got $v")
+  }
+  private def fBool(v: JValue): Boolean = v match { case JBool(x) => x; case _ => sys.error(s"expected bool, got $v") }
+  private def arr(v: JValue): List[JValue] = v match { case JArray(xs) => xs; case _ => Nil }
+  private def obj(v: JValue): List[(String, JValue)] = v match { case JObject(xs) => xs; case _ => Nil }
+  private def optLong(v: JValue): Option[Long] = v match { case JNull | JNothing => None; case x => Some(fLong(x)) }
+
+  private def file(v: JValue): FileEntry = {
+    val m = obj(v).toMap
+    FileEntry(
+      path = fStr(m("path")),
+      length = fLong(m("length")),
+      content = FileContent.withName(fStr(m("content"))),
+      recordCount = fLong(m("record-count")),
+      sequenceNumber = fLong(m("sequence-number")),
+      equalityIds = arr(m.getOrElse("equality-ids", JArray(Nil))).map(fStr),
+      equalityFieldIds = arr(m.getOrElse("equality-field-ids", JArray(Nil))).map(v => fLong(v).toInt),
+      partitionValues = obj(m.getOrElse("partition", JObject())).map { case (k, x) => k -> fStr(x) }.toMap,
+      columnStats = obj(m.getOrElse("column-stats", JObject())).map { case (k, x) =>
+        val sm = obj(x).toMap
+        k -> (fStr(sm("min")), fStr(sm("max")))
+      }.toMap,
+      referencedDataFile = m.get("referenced-data-file").map(fStr),
+      contentOffset = m.get("content-offset").flatMap(optLong),
+      contentSizeInBytes = m.get("content-size-in-bytes").flatMap(optLong),
+      nameMatched = m.get("name-matched").exists(fBool),
+      firstRowId = m.get("first-row-id").flatMap(optLong)
+    )
+  }
+
+  /** Decodes a snapshot array in one forward pass: delta manifests
+    * resolve against already-decoded snapshots — those decoded earlier in
+    * THIS array or supplied via `pre` (cross-version delta files seed the
+    * base version's snapshots there). */
+  private[meta] def decodeSnapshots(v: JValue, pre: Seq[Snapshot]): Seq[Snapshot] = {
     val resolved = scala.collection.mutable.Map.empty[Long, Snapshot]
-    def snap(v: JValue): Snapshot = {
-      val m = obj(v).toMap
+    pre.foreach(s => resolved(s.snapshotId) = s)
+    arr(v).map { sv =>
+      val m = obj(sv).toMap
       val manifest = m.get("manifest-delta") match {
         case Some(d) =>
           val dm = obj(d).toMap
@@ -180,6 +272,10 @@ object MetadataJson {
       resolved(s.snapshotId) = s
       s
     }
+  }
+
+  def read(s: String): TableMetadata = {
+    val j = JsonMethods.parse(s)
     val m = obj(j).toMap
     TableMetadata(
       name = fStr(m("name")),
@@ -212,7 +308,7 @@ object MetadataJson {
       // absent in pre-properties metadata: default empty keeps it loading
       properties = obj(m.getOrElse("properties", JObject()))
         .map { case (k, v) => k -> fStr(v) }.toMap,
-      snapshots = arr(m.getOrElse("snapshots", JArray(Nil))).map(snap),
+      snapshots = decodeSnapshots(m.getOrElse("snapshots", JArray(Nil)), Nil),
       lastSequenceNumber = fLong(m.getOrElse("last-sequence-number", JLong(0L))),
       nextRowId = fLong(m.getOrElse("next-row-id", JLong(0L))),
       version = fLong(m.getOrElse("version", JInt(0))).toInt,

@@ -48,7 +48,17 @@ final class LocalCatalog(val warehouse: String,
       * files the JSON runs to hundreds of MB, and gzip buys ~10x less
       * driver I/O per load/commit. Small metadata stays human-readable
       * plain text. `Long.MaxValue` disables; 0 always compresses. */
-    val gzipMetadataAtBytes: Long = 1L << 20) extends Catalog {
+    val gzipMetadataAtBytes: Long = 1L << 20,
+    /** Cross-version DELTA commits ([[MetadataJson.writeDelta]]): a commit
+      * whose version is not a multiple of this writes only the change
+      * since the previous version — O(change) bytes instead of re-inlining
+      * the whole manifest chain, the difference between ~10 MiB and a few
+      * KiB per commit on a million-file table. Every `anchorEvery`-th
+      * version (and version 1) is a FULL anchor, bounding the load chain;
+      * loads resolve delta files against their base recursively.
+      * 1 disables deltas (every version full). */
+    val anchorEvery: Int = 16) extends Catalog {
+  require(anchorEvery >= 1, s"anchorEvery must be >= 1, got $anchorEvery")
   MetaIO.mkdirs(warehouse)
 
   private def metaDir(name: String): String = MetaIO.join(warehouse, name, "metadata")
@@ -70,15 +80,24 @@ final class LocalCatalog(val warehouse: String,
     m
   }
 
-  override def loadTable(name: String): TableMetadata = {
-    val v = currentVersion(name)
+  override def loadTable(name: String): TableMetadata = loadVersion(name, currentVersion(name))
+
+  private def versionText(name: String, v: Int): String = {
     val raw = MetaIO.readBytes(versionFile(name, v))
-    val text =
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-        new String(new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(raw)).readAllBytes(), StandardCharsets.UTF_8)
-      else new String(raw, StandardCharsets.UTF_8)
-    MetadataJson.read(text)
+    if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+      new String(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw)).readAllBytes(), StandardCharsets.UTF_8)
+    else new String(raw, StandardCharsets.UTF_8)
+  }
+
+  private def loadVersion(name: String, v: Int): TableMetadata = {
+    val text = versionText(name, v)
+    if (!MetadataJson.isDelta(text)) MetadataJson.read(text)
+    else {
+      val baseV = MetadataJson.deltaBaseVersion(text)
+      require(baseV < v, s"table $name: delta v$v references non-ancestor v$baseV")
+      MetadataJson.readDelta(text, loadVersion(name, baseV))
+    }
   }
 
   private def currentVersion(name: String): Int = {
@@ -93,13 +112,18 @@ final class LocalCatalog(val warehouse: String,
 
   override def commit(base: TableMetadata, updated: TableMetadata): TableMetadata = {
     val next = updated.copy(version = base.version + 1)
-    writeVersion(next)
+    // anchor versions (and any un-delta-able change) write the full form;
+    // everything else writes O(change) bytes against the base version
+    val text =
+      if (next.version % anchorEvery == 0) None
+      else MetadataJson.writeDelta(base, next)
+    writeVersion(next, text)
     next
   }
 
-  private def writeVersion(m: TableMetadata): Unit = {
+  private def writeVersion(m: TableMetadata, delta: Option[String] = None): Unit = {
     val target = versionFile(m.name, m.version)
-    val plain = MetadataJson.write(m).getBytes(StandardCharsets.UTF_8)
+    val plain = delta.getOrElse(MetadataJson.write(m)).getBytes(StandardCharsets.UTF_8)
     val bytes =
       if (plain.length >= gzipMetadataAtBytes) {
         val bos = new java.io.ByteArrayOutputStream(plain.length / 4)

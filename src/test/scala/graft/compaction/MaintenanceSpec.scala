@@ -126,7 +126,11 @@ class MaintenanceSpec extends AnyFunSuite {
   }
 
   test("position-delete compaction merges files and drops dead tombstones") {
-    val catalog = LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    // anchorEvery = 2: frequent full anchors so the metadata cleanup at
+    // the end can reclaim pre-anchor versions on this short history (the
+    // default 16 correctly retains the whole delta chain of a young table)
+    val catalog = new LocalCatalog(
+      Files.createTempDirectory("graft-wh").toString, anchorEvery = 2)
     val s2 = spark
     import s2.implicits._
     IceWrite.create(spark, catalog, "t_pdrw",

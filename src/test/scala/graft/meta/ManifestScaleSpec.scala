@@ -120,6 +120,60 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(loadMs < 60000 && planMs < 60000 && commitMs < 120000)
   }
 
+  test("cross-version deltas: commits write O(change) bytes; chains load; anchors bound them") {
+    val wh = Files.createTempDirectory("scale-xd")
+    // anchorEvery = 4 exercises delta -> anchor -> delta across one test
+    val cat = new LocalCatalog(wh.toString, gzipMetadataAtBytes = Long.MaxValue,
+      anchorEvery = 4)
+    val (meta, snap) = bigMeta("xd", 5000)
+    var cur = cat.createTable(meta) // v1: full (anchor)
+    val v1 = Files.size(wh.resolve("xd/metadata/v1.metadata.json"))
+
+    // seven 1-file appends -> v2..v8 (v4 and v8 are full anchors)
+    for (i <- 2 to 8) {
+      val prev = cur.currentSnapshot.get
+      val s = Snapshot(snapshotId = i.toLong, parentId = Some(prev.snapshotId),
+        sequenceNumber = i.toLong, timestampMs = i.toLong,
+        manifest = prev.manifest :+ entry(100000 + i, seq = i.toLong),
+        summary = Map("operation" -> "append"))
+      cur = cat.commit(cur, cur.copy(currentSnapshotId = Some(i.toLong),
+        refs = Map("main" -> i.toLong), snapshots = cur.snapshots :+ s,
+        lastSequenceNumber = i.toLong))
+    }
+    val sizes = (1 to 8).map(v =>
+      v -> Files.size(wh.resolve(s"xd/metadata/v$v.metadata.json"))).toMap
+    // non-anchor versions are O(change): tiny next to the full anchors
+    for (v <- Seq(2, 3, 5, 6, 7))
+      assert(sizes(v) * 20 < sizes(1), s"v$v should be a small delta: $sizes")
+    for (v <- Seq(4, 8))
+      assert(sizes(v) > sizes(1), s"v$v should be a full anchor: $sizes")
+
+    // the loaded head equals the in-memory truth, through a delta chain
+    val loaded = cat.loadTable("xd")
+    assert(loaded.version == 8 && loaded.currentSnapshot.get.manifest.size == 5007)
+    assert(loaded.copy(snapshots = Nil) == cur.copy(snapshots = Nil))
+    assert(loaded.snapshots.size == cur.snapshots.size)
+    loaded.snapshots.zip(cur.snapshots).foreach { case (a, b) =>
+      assert(a.copy(manifest = Nil) == b.copy(manifest = Nil), s"snapshot ${b.snapshotId} header")
+      assert(a.manifest == b.manifest, s"snapshot ${b.snapshotId} manifest")
+    }
+
+    // snapshot REMOVAL (expiry) round-trips through a delta commit
+    val trimmed = cur.copy(snapshots = cur.snapshots.filter(_.snapshotId >= 7L))
+    cur = cat.commit(cur, trimmed) // v9: delta with removed-snapshot-ids
+    val after = cat.loadTable("xd")
+    assert(after.snapshots.map(_.snapshotId) == Seq(7L, 8L))
+    assert(after.currentSnapshot.get.manifest.size == 5007)
+
+    // metadata cleanup keeps the retained window's anchor chain loadable
+    graft.compaction.Maintenance.cleanMetadataVersions(cat, "xd", keepLast = 2)
+    assert(cat.loadTable("xd") == after.copy(version = after.version))
+    assert(!Files.exists(wh.resolve("xd/metadata/v1.metadata.json")),
+      "pre-anchor history should be reclaimed")
+    assert(Files.exists(wh.resolve("xd/metadata/v8.metadata.json")),
+      "the retained window's anchor must survive")
+  }
+
   test("mixed plain/gz chains read; CAS conflict intact with gzip on") {
     val wh = Files.createTempDirectory("scale-wh3")
     // threshold between the small v1 and the larger v2 -> v1 plain, v2 gz
