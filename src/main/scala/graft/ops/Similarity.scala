@@ -65,6 +65,45 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: for each query, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * standard triplet/contrastive miner (the informative negatives are
+    * the ones the model currently confuses with the anchor's class).
+    * `maxSim` (exclusive upper cap, default 1.0 = no cap) implements the
+    * usual mislabel guard: a different-label vector at near-identical
+    * similarity is more often a labeling error than a useful negative,
+    * so production miners cap it out.
+    *
+    * Shuffle profile = [[bruteForceTopK]]'s: queries (small by
+    * construction — the anchors of a training batch) broadcast with
+    * their labels, the corpus streams once, one query-keyed rank window.
+    * At corpus scale compose the same filter over [[ivfTopK]]'s probed
+    * cells instead — the label test rides the candidate join either way.
+    * Returns (query_id, neighbor_id, rank, sim). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, maxSim: Double = 1.0): DataFrame = {
+    val q = withNorm(queries, vecCol, "__qn")
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__qn"),
+        col(labelCol).as("__ql"))
+    val c = withNorm(corpus, vecCol, "__cn")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cn"),
+        col(labelCol).as("__cl"))
+    val scored = c.crossJoin(broadcast(q))
+      // plain (null-excluding) inequality, SQL `<>` semantics: an
+      // UNLABELED row is neither a positive nor a negative — it cannot
+      // certify a label difference, so it never mines as one
+      .filter(col("query_id") =!= col("neighbor_id") && col("__cl") =!= col("__ql"))
+      .withColumn("sim", cosineWithNorms(col("__qv"), col("__qn"), col("__cv"), col("__cn")))
+      // strict cap; >= 1.0 means "no cap" (an exact-copy negative rounds
+      // to sim exactly 1.0 and must still mine when uncapped)
+      .filter(if (maxSim >= 1.0) lit(true) else col("sim") < maxSim)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   /** IVF (inverted-file) cell assignment — the centroid-partitioned ANN
     * scale path beside hyperplane LSH: every vector joins the cell of its
     * nearest centroid (cosine; ties -> lowest centroid id). Centroids are

@@ -193,6 +193,16 @@ object OpsQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // contrastive hard-negative mining: per anchor, the top-3 most-
+    // similar DIFFERENT-label vectors under the mislabel cap (sim < 0.98
+    // excludes near-identical cross-label rows as probable label noise)
+    "s10_hard_negatives" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.hardNegatives(e.filter(col("vec_id") % 97 === 0), e,
+          "vec_id", "embedding", "label", k = 3, maxSim = 0.98)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // hyperplane-LSH bucket assignment (the ANN scale path)
     "s2_ann_lsh_buckets" -> ((s, dir) =>
       Similarity.hyperplaneBuckets(tbl(s, dir, "embeddings"), "embedding", planes = 8)
@@ -2020,6 +2030,18 @@ object OpsQueries {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "s10_hard_negatives" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id % 97 = 0 AND q.vec_id <> c.vec_id AND q.label <> c.label),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored WHERE sim < 0.98)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3""".stripMargin,
 
     "s2_ann_lsh_buckets" -> {

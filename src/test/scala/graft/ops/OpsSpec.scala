@@ -795,4 +795,39 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media.limit(5))
     assert(frames.count() > 5)
   }
+
+  test("hard-negative mining: different-label top-k under the mislabel cap") {
+    val s2 = spark
+    import s2.implicits._
+    // anchor 1 (label A): same-label 2 must never mine; 3 (B) is the
+    // closest cross-label; 4 (B) is nearly identical to the anchor and
+    // dies under the cap; 5 (C) is a far negative that still ranks
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "A"),
+      (2L, Array(0.99f, 0.1f, 0.0f), "A"),   // same label: excluded
+      (3L, Array(0.9f, 0.4f, 0.0f), "B"),    // hard negative, rank 1
+      (4L, Array(1.0f, 0.001f, 0.0f), "B"),  // sim ~1: capped out
+      (5L, Array(0.0f, 1.0f, 0.0f), "C")     // easy negative, rank 2
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        vecs.filter($"vec_id" === 1L), vecs, "vec_id", "embedding", "label",
+        k = 3, maxSim = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    assert(out == List((3L, 1L), (5L, 2L)), s"got $out")
+
+    // no cap: the near-identical cross-label row mines at rank 1
+    val uncapped = Similarity.hardNegatives(
+        vecs.filter($"vec_id" === 1L), vecs, "vec_id", "embedding", "label", k = 1)
+      .head()
+    assert(uncapped.getLong(1) == 4L)
+
+    // an unlabeled row is never a negative (cannot certify label difference)
+    val withNull = vecs.unionAll(Seq((6L, Array(0.9f, 0.39f, 0.0f),
+      null.asInstanceOf[String])).toDF("vec_id", "embedding", "label"))
+    val nn = Similarity.hardNegatives(
+        withNull.filter($"vec_id" === 1L), withNull, "vec_id", "embedding", "label",
+        k = 5, maxSim = 0.999)
+      .collect().map(_.getLong(1)).toSet
+    assert(!nn.contains(6L))
+  }
 }
