@@ -65,8 +65,27 @@ object MetadataJson {
     JObject("column" -> str(s.column), "ascending" -> JBool(s.ascending),
       "nulls-first" -> JBool(s.nullsFirst))).toList)
 
+  /** True when `child` is exactly `parent ++ <appended>` with the parent
+    * prefix REFERENCE-identical — the plain-append commit shape. O(n)
+    * pointer compares, no hashing: the fast path that keeps a 1-file
+    * append on a million-entry manifest from building million-key maps
+    * just to discover nothing changed. */
+  private def isAppendOnly(child: Seq[FileEntry], parent: Seq[FileEntry]): Boolean =
+    child.length >= parent.length && {
+      val ci = child.iterator; val pi = parent.iterator
+      var same = true
+      while (same && pi.hasNext) same = ci.next().asInstanceOf[AnyRef] eq pi.next().asInstanceOf[AnyRef]
+      same
+    }
+
   private def snapshotToJson(s: Snapshot, parent: Option[Snapshot]): JValue = {
     val manifestField: (String, JValue) = parent match {
+      case Some(p) if isAppendOnly(s.manifest, p.manifest) && p.manifest.nonEmpty =>
+        "manifest-delta" -> JObject(
+          "base-snapshot-id" -> JLong(p.snapshotId),
+          "removed-paths" -> JArray(Nil),
+          "replaced" -> JArray(Nil),
+          "appended" -> JArray(s.manifest.drop(p.manifest.length).map(fileToJson).toList))
       case Some(p) =>
         // keyed by resolutionKey: DV entries share their container's path
         val childByPath = s.manifest.map(f => f.resolutionKey -> f).toMap

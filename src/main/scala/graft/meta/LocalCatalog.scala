@@ -77,7 +77,7 @@ final class LocalCatalog(val warehouse: String,
     MetaIO.mkdirs(dataDir(meta.name))
     val m = meta.copy(version = 1, location = tableLocation(meta.name))
     writeVersion(m)
-    m
+    cachePut(m.name, 1, m)
   }
 
   override def loadTable(name: String): TableMetadata = loadVersion(name, currentVersion(name))
@@ -90,14 +90,33 @@ final class LocalCatalog(val warehouse: String,
     else new String(raw, StandardCharsets.UTF_8)
   }
 
+  // decoded-metadata cache: version files are IMMUTABLE once CAS-created,
+  // so caching the decoded object per (table, version) is sound — and at
+  // 10^5-10^6 tracked files it is what keeps the commit loop's
+  // load-retry-commit round trips O(delta) instead of re-parsing a
+  // multi-MiB anchor on every load. Bounded to the freshest two versions
+  // per table (the commit loop touches base + next); metadata objects are
+  // immutable case classes, so sharing across callers is safe.
+  private val decoded =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), TableMetadata]()
+  private def cachePut(name: String, v: Int, m: TableMetadata): TableMetadata = {
+    decoded.put((name, v), m)
+    decoded.keySet.removeIf(k => k._1 == name && k._2 < v - 1)
+    m
+  }
+
   private def loadVersion(name: String, v: Int): TableMetadata = {
+    val hit = decoded.get((name, v))
+    if (hit != null) return hit
     val text = versionText(name, v)
-    if (!MetadataJson.isDelta(text)) MetadataJson.read(text)
-    else {
-      val baseV = MetadataJson.deltaBaseVersion(text)
-      require(baseV < v, s"table $name: delta v$v references non-ancestor v$baseV")
-      MetadataJson.readDelta(text, loadVersion(name, baseV))
-    }
+    val m =
+      if (!MetadataJson.isDelta(text)) MetadataJson.read(text)
+      else {
+        val baseV = MetadataJson.deltaBaseVersion(text)
+        require(baseV < v, s"table $name: delta v$v references non-ancestor v$baseV")
+        MetadataJson.readDelta(text, loadVersion(name, baseV))
+      }
+    cachePut(name, v, m)
   }
 
   private def currentVersion(name: String): Int = {
@@ -118,7 +137,9 @@ final class LocalCatalog(val warehouse: String,
       if (next.version % anchorEvery == 0) None
       else MetadataJson.writeDelta(base, next)
     writeVersion(next, text)
-    next
+    // the codec round-trips exactly (spec'd), so seeding the cache with
+    // the in-memory object keeps the writer's next load O(1)
+    cachePut(next.name, next.version, next)
   }
 
   private def writeVersion(m: TableMetadata, delta: Option[String] = None): Unit = {
@@ -143,6 +164,7 @@ final class LocalCatalog(val warehouse: String,
     MetaIO.listDirNames(warehouse).filter(n => MetaIO.exists(hintFile(n)))
 
   override def dropTable(name: String): Unit = {
+    decoded.keySet.removeIf(_._1 == name)
     val root = MetaIO.join(warehouse, name)
     if (MetaIO.exists(root)) { MetaIO.deleteRecursive(root); () }
   }

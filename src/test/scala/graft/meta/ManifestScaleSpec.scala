@@ -91,10 +91,16 @@ class ManifestScaleSpec extends AnyFunSuite {
     val writeMs = (System.nanoTime() - tW) / 1000000
     val v1 = Files.size(wh.resolve("m1m/metadata/v1.metadata.json"))
 
+    // cold load: a FRESH catalog instance (no decoded cache) pays the
+    // full anchor parse; the original instance's warm load is O(1)
     val tL = System.nanoTime()
-    val loaded = cat.loadTable("m1m")
+    val loaded = new LocalCatalog(wh.toString, gzipMetadataAtBytes = 0L).loadTable("m1m")
     val loadMs = (System.nanoTime() - tL) / 1000000
     assert(loaded.currentSnapshot.get.manifest.size == n)
+    val tWm = System.nanoTime()
+    assert(cat.loadTable("m1m").currentSnapshot.get.manifest.size == n)
+    val warmMs = (System.nanoTime() - tWm) / 1000000
+    assert(warmMs < 1000, s"warm load should be cache-fast, took ${warmMs}ms")
 
     val tP = System.nanoTime()
     val tasks = loaded.scanTasks(loaded.currentSnapshot.get)
@@ -114,8 +120,9 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(v2 < (v1 * 3) / 2, s"append version not delta-encoded: v1=$v1 v2=$v2")
     assert(cat.loadTable("m1m").currentSnapshot.get.manifest.size == n + 1)
 
-    info(s"1M entries: write=${writeMs}ms load=${loadMs}ms plan=${planMs}ms " +
-      s"deltaCommit=${commitMs}ms v1=${v1 / 1024 / 1024}MiB v2=${v2 / 1024 / 1024}MiB")
+    info(s"1M entries: write=${writeMs}ms coldLoad=${loadMs}ms warmLoad=${warmMs}ms " +
+      s"plan=${planMs}ms deltaCommit=${commitMs}ms " +
+      s"v1=${v1 / 1024 / 1024}MiB v2=${v2 / 1024}KiB")
     // loose ceilings — catch quadratic regressions, not machine noise
     assert(loadMs < 60000 && planMs < 60000 && commitMs < 120000)
   }
