@@ -334,6 +334,13 @@ object Sketch {
   // at rate ~fill^k) — so it PRECEDES an exact join, it never replaces
   // one. This is the runtime-filter pattern for joins whose build side
   // is too large to ship as an IN-list but whose bit set is tiny.
+  //
+  // Hash choice: md5-per-probe is ORACLE PARITY, not a recommendation —
+  // DuckDB has md5 but no xxhash64, and the cross-engine hash-match is
+  // what the driver gate checks. A production variant should swap the
+  // k MessageDigest invocations per probe row for xxhash64 (codegen'd,
+  // no digest allocation); the filter's soundness argument is
+  // hash-agnostic.
   // ------------------------------------------------------------------
 
   private def bloomBitCol(key: Column, i: Int, bitHexChars: Int): Column =

@@ -111,4 +111,56 @@ class JsonPropertySpec extends AnyFunSuite {
       41000L, rewritten, Map("operation" -> "replace")))
     assert(MetadataJson.read(MetadataJson.write(withRewrite)) == withRewrite)
   }
+
+  test("cross-version delta write/read is the identity on arbitrary evolutions") {
+    // arbitrary base metadata evolved by: dropping a random subset of
+    // snapshots, appending fresh ones (parent-linked or not), and
+    // mutating every scalar field — readDelta(writeDelta(base, updated),
+    // base) must reproduce `updated` exactly
+    val rnd = new scala.util.Random(7)
+    var checked = 0
+    for (base0 <- samples(metaGen, 60)) {
+      // unique snapshot ids (the delta keys removals/appends by id)
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val base = base0.copy(snapshots = base0.snapshots.filter(s => seen.add(s.snapshotId)))
+      val kept = base.snapshots.filter(_ => rnd.nextBoolean())
+      val appended = (1 to rnd.nextInt(3)).map { k =>
+        Snapshot(1000L + k, kept.lastOption.map(_.snapshotId), 500L + k,
+          k * 1000L, kept.lastOption.map(_.manifest).getOrElse(Nil) :+
+            FileEntry(s"/w/new$k.parquet", k.toLong, FileContent.Data, 1L, 500L + k),
+          Map("operation" -> "append"))
+      }
+      val updated = base.copy(
+        snapshots = kept ++ appended,
+        version = base.version + 1,
+        currentSnapshotId = appended.lastOption.map(_.snapshotId).orElse(base.currentSnapshotId),
+        lastSequenceNumber = base.lastSequenceNumber + 1,
+        properties = base.properties + ("touched" -> "yes"),
+        refs = base.refs + ("main" -> 1L),
+        nextRowId = base.nextRowId + 5)
+      MetadataJson.writeDelta(base, updated) match {
+        case Some(text) =>
+          assert(MetadataJson.isDelta(text))
+          assert(MetadataJson.deltaBaseVersion(text) == base.version)
+          val back = MetadataJson.readDelta(text, base)
+          assert(back == updated, s"delta round-trip mismatch\nbase=$base\nupdated=$updated")
+          checked += 1
+        case None => fail(s"delta refused for a pure add/remove evolution: $base")
+      }
+    }
+    assert(checked >= 50)
+  }
+
+  test("cross-version delta refuses a mutated carried snapshot (falls back to full)") {
+    val base0 = samples(metaGen, 20).find(_.snapshots.nonEmpty).get
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val base = base0.copy(snapshots = base0.snapshots.filter(s => seen.add(s.snapshotId)))
+    // in-place mutation of an existing snapshot's manifest: NOT expressible
+    // as a snapshot-level delta — writeDelta must return None
+    val mutated = base.copy(version = base.version + 1,
+      snapshots = base.snapshots.map(s =>
+        s.copy(manifest = s.manifest :+ FileEntry("/w/sneak.parquet", 1L,
+          FileContent.Data, 1L, 1L))))
+    assert(MetadataJson.writeDelta(base, mutated).isEmpty)
+  }
 }
