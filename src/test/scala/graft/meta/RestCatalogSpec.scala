@@ -115,6 +115,35 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.currentSnapshot.get.manifest.head.columnStats("id") == ("1", "10"))
     assert(back.refs == Map("main" -> 1L, "audit" -> 1L))
   }
+
+  test("commits travel as O(change) deltas and apply server-side, removals included") {
+    val c = client()
+    def entry(i: Int) = FileEntry(s"/x/f$i.parquet", i.toLong, FileContent.Data, 1L, 1L)
+    val big = Snapshot(1L, None, 1L, 1L, (0 until 500).map(entry),
+      Map("operation" -> "append"))
+    val m1 = c.commit(c.createTable(meta("t_delta")),
+      c.loadTable("t_delta").copy(snapshots = Seq(big),
+        currentSnapshotId = Some(1L), refs = Map("main" -> 1L), lastSequenceNumber = 1L))
+
+    // a 1-file append: the client wire body must be the delta form (tiny),
+    // and the server must resolve it against its stored copy exactly
+    val s2 = Snapshot(2L, Some(1L), 2L, 2L, big.manifest :+ entry(9999),
+      Map("operation" -> "append"))
+    val want = m1.copy(snapshots = m1.snapshots :+ s2,
+      currentSnapshotId = Some(2L), refs = Map("main" -> 2L), lastSequenceNumber = 2L)
+    val deltaBody = MetadataJson.writeDelta(m1, want.copy(version = m1.version))
+    assert(deltaBody.nonEmpty, "the append evolution must be delta-expressible")
+    assert(deltaBody.get.length * 20 < MetadataJson.write(want).length,
+      "the delta wire body should be tiny next to full metadata")
+    val m2 = c.commit(m1, want)
+    assert(c.loadTable("t_delta") == m2)
+    assert(m2.currentSnapshot.get.manifest.size == 501)
+
+    // snapshot REMOVAL (expiry) also rides the delta
+    val m3 = c.commit(m2, m2.copy(snapshots = m2.snapshots.filter(_.snapshotId == 2L)))
+    assert(c.loadTable("t_delta").snapshots.map(_.snapshotId) == Seq(2L))
+    assert(c.loadTable("t_delta").currentSnapshot.get.manifest.size == 501)
+  }
 }
 
 /** The full compaction E2E suite against the REST catalog — the
