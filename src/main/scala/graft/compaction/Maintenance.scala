@@ -409,8 +409,9 @@ object Maintenance {
       }
     // same driver gate as IceWrite.deleteWhereDv: a tombstone-heavy table
     // streams the containers executor-side instead of collecting blobs
+    // (plan-stats fast path keeps the common case at one scan)
     val smallPath = rows.forall(r =>
-      DeletionVectors.estimateBlobBytes(r) <= DeletionVectors.MaxDriverBlobBytes)
+      DeletionVectors.underDriverGate(r, DeletionVectors.MaxDriverBlobBytes))
     val newBlobs: Seq[DeletionVectors.DvBlob] =
       if (smallPath) rows.map(DeletionVectors.buildBlobs(spark, _)).getOrElse(Nil)
       else Nil

@@ -39,7 +39,12 @@ final class ChangeFeed(
     else 0L
 
   private def saveCheckpoint(id: Long): Unit =
-    MetaIO.writeString(checkpointFile, id.toString)
+    // atomic replace, not a plain write: an in-place truncate + crash
+    // would leave an empty checkpoint that bricks the subscriber; the
+    // rename guarantees the file always holds one complete value (the
+    // one-snapshot-re-delivery contract in the class doc)
+    MetaIO.writeAtomicReplace(checkpointFile,
+      id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Snapshots on the branch head's parent chain AFTER `sinceId`, oldest
     * first. Fails loudly when `sinceId` has been expired off the chain —

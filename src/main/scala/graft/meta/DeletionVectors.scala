@@ -30,6 +30,18 @@ object DeletionVectors {
     2L * r.getLong(0) + 64L * r.getLong(1)
   }
 
+  /** Two-stage gate, cheapest-first: a (file_path, pos) row costs well
+    * over 2 bytes, and blobs cost at most ~2 bytes per position — so a
+    * PLAN-TIME size estimate under the budget PROVES the driver path is
+    * safe with zero extra jobs (the common small-delete case keeps its
+    * single scan). Only a large plan estimate pays the accurate counting
+    * aggregate before choosing. */
+  def underDriverGate(positions: DataFrame, maxDriverBlobBytes: Long): Boolean = {
+    val planEst = positions.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (planEst <= maxDriverBlobBytes) true
+    else estimateBlobBytes(positions) <= maxDriverBlobBytes
+  }
+
   /** Builds one encoded blob per referenced data file from a (file_path,
     * pos) frame. Bitmaps are assembled EXECUTOR-side — one aggregate keyed
     * by data file — and only the compressed blobs return to the driver.

@@ -59,16 +59,22 @@ object IcebergExport {
     }
   }
 
-  private def schemaJson(meta: TableMetadata): JValue = {
+  /** (schema JSON, highest field id assigned — INCLUDING nested list
+    * element-ids minted here). The caller must write that max as
+    * `last-column-id`: the spec requires last-column-id >= every assigned
+    * field id, or a later ADD COLUMN by another engine would mint a
+    * colliding id. */
+  private def schemaJsonWithMax(meta: TableMetadata): (JValue, Int) = {
     require(meta.schema.nonEmpty && meta.schema.forall(_.isTyped),
       "exportIcebergMetadata requires a typed (field-id) schema")
     var next = math.max(meta.lastColumnId, meta.schema.map(_.id).max)
     val fresh = () => { next += 1; next }
-    ("type" -> "struct") ~ ("schema-id" -> 0) ~
+    val j: JValue = ("type" -> "struct") ~ ("schema-id" -> 0) ~
       ("fields" -> meta.schema.map { f =>
         ("id" -> f.id) ~ ("name" -> f.name) ~
           ("required" -> !f.nullable) ~ ("type" -> icebergType(f.dataType, fresh))
       })
+    (j, next)
   }
 
   /** Iceberg partition-field name convention: identity keeps the column
@@ -221,7 +227,8 @@ object IcebergExport {
 
     val manifestSchema = new Schema.Parser().parse(manifestSchemaJson(meta))
     val listSchema = new Schema.Parser().parse(manifestListSchemaJson)
-    val schemaJ = JsonMethods.compact(JsonMethods.render(schemaJson(meta)))
+    val (schemaJV, maxFieldId) = schemaJsonWithMax(meta)
+    val schemaJ = JsonMethods.compact(JsonMethods.render(schemaJV))
     val specFieldsJ = JsonMethods.compact(JsonMethods.render(specJson(meta) \ "fields"))
 
     // one manifest per (snapshot, content) + one manifest list per snapshot
@@ -326,9 +333,9 @@ object IcebergExport {
         ("location" -> meta.location) ~
         ("last-sequence-number" -> meta.lastSequenceNumber) ~
         ("last-updated-ms" -> System.currentTimeMillis()) ~
-        ("last-column-id" -> math.max(meta.lastColumnId, meta.schema.map(_.id).max)) ~
+        ("last-column-id" -> maxFieldId) ~
         ("current-schema-id" -> 0) ~
-        ("schemas" -> JArray(List(schemaJson(meta)))) ~
+        ("schemas" -> JArray(List(schemaJV))) ~
         ("default-spec-id" -> 0) ~
         ("partition-specs" -> JArray(List(specJson(meta)))) ~
         ("last-partition-id" -> lastPartId) ~

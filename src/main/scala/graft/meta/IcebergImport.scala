@@ -127,7 +127,21 @@ object IcebergImport {
               val part = df.get("partition")
                 .asInstanceOf[org.apache.avro.generic.GenericRecord]
               specFields.flatMap { case (fieldName, pf) =>
-                Option(part.get(fieldName)).map(v => pf.column -> v.toString)
+                Option(part.get(fieldName)).map { v =>
+                  // foreign DATE identity partitions arrive as avro ints
+                  // (days since epoch, per the Iceberg spec's partition
+                  // data encoding); graft's partition values are the
+                  // LITERAL day strings — a raw toString would record
+                  // "19723" and silently match no user filter
+                  val srcDdl = schema.find(_.name == pf.column)
+                    .map(_.dataType.trim.toUpperCase).getOrElse("")
+                  val s = (pf.isIdentity, srcDdl, v) match {
+                    case (true, "DATE", i: java.lang.Integer) =>
+                      java.time.LocalDate.ofEpochDay(i.longValue).toString
+                    case _ => v.toString
+                  }
+                  pf.column -> s
+                }
               }.toMap
             }
             val eqIds = Option(df.get("equality_ids")).toSeq.flatMap(

@@ -166,10 +166,16 @@ object MetadataJson {
     val updatedIds = updated.snapshots.map(_.snapshotId).toSet
     val removedIds = base.snapshots.map(_.snapshotId).filterNot(updatedIds.contains)
     val appended = updated.snapshots.filterNot(s => baseById.contains(s.snapshotId))
-    // appended snapshots may delta against ANY snapshot already known to
-    // the reader: every base snapshot plus earlier appended ones
+    // appended snapshots may delta ONLY against snapshots the READER will
+    // have resolved: the KEPT base snapshots plus earlier appended ones.
+    // Seeding with removed base snapshots here would emit a delta file
+    // the reader cannot decode (an expire+append composed into one commit
+    // whose new snapshot chains off an expired parent) — the parent falls
+    // back to a full manifest instead.
     val seen = scala.collection.mutable.Map.empty[Long, Snapshot]
-    base.snapshots.foreach(s => seen(s.snapshotId) = s)
+    val removedSet = removedIds.toSet
+    base.snapshots.foreach(s =>
+      if (!removedSet.contains(s.snapshotId)) seen(s.snapshotId) = s)
     val appendedJ = appended.map { s =>
       val j = snapshotToJson(s, s.parentId.flatMap(seen.get))
       seen(s.snapshotId) = s
@@ -198,31 +204,37 @@ object MetadataJson {
     Some(JsonMethods.pretty(JsonMethods.render(j)))
   }
 
-  /** True when `text` is a cross-version delta file. */
-  def isDelta(text: String): Boolean =
-    (JsonMethods.parse(text) \ "delta-of-version") != JNothing
+  /** One jackson parse per metadata file/body: callers parse once and
+    * dispatch on the result (the multi-MiB anchors and the REST commit
+    * handler must not re-parse per question). */
+  def parseValue(text: String): JValue = JsonMethods.parse(text)
 
-  /** The base version a delta file resolves against. */
-  def deltaBaseVersion(text: String): Int =
-    JsonMethods.parse(text) \ "delta-of-version" match {
-      case JInt(v) => v.toInt
-      case other => sys.error(s"not a delta metadata file: $other")
-    }
+  /** True when the parsed metadata is a cross-version delta. */
+  def isDelta(j: JValue): Boolean = (j \ "delta-of-version") != JNothing
+  def isDelta(text: String): Boolean = isDelta(parseValue(text))
 
-  /** Resolves a cross-version delta file against its loaded base. */
-  def readDelta(text: String, base: TableMetadata): TableMetadata = {
-    val full = read(text) // scalar fields + appended snapshots (resolved below)
-    val j = JsonMethods.parse(text)
+  /** The base version a delta resolves against. */
+  def deltaBaseVersion(j: JValue): Int = j \ "delta-of-version" match {
+    case JInt(v) => v.toInt
+    case other => sys.error(s"not a delta metadata file: $other")
+  }
+  def deltaBaseVersion(text: String): Int = deltaBaseVersion(parseValue(text))
+
+  /** Resolves a parsed cross-version delta against its loaded base. */
+  def readDelta(j: JValue, base: TableMetadata): TableMetadata = {
+    val full = readValue(j) // scalar fields (appended snapshots resolved below)
     val removed = (j \ "removed-snapshot-ids") match {
       case JArray(xs) => xs.map { case JInt(x) => x.toLong; case JLong(x) => x
         case other => sys.error(s"bad removed id $other") }.toSet
       case _ => Set.empty[Long]
     }
     val kept = base.snapshots.filterNot(s => removed.contains(s.snapshotId))
-    // re-decode appended snapshots WITH the base snapshots resolvable
+    // decode appended snapshots WITH the kept base snapshots resolvable
     val appended = decodeSnapshots(j \ "snapshots-appended", kept)
     full.copy(snapshots = kept ++ appended)
   }
+  def readDelta(text: String, base: TableMetadata): TableMetadata =
+    readDelta(parseValue(text), base)
 
   private def fStr(v: JValue): String = v match { case JString(x) => x; case _ => sys.error(s"expected string, got $v") }
   private def fLong(v: JValue): Long = v match {
@@ -293,8 +305,9 @@ object MetadataJson {
     }
   }
 
-  def read(s: String): TableMetadata = {
-    val j = JsonMethods.parse(s)
+  def read(s: String): TableMetadata = readValue(parseValue(s))
+
+  def readValue(j: JValue): TableMetadata = {
     val m = obj(j).toMap
     TableMetadata(
       name = fStr(m("name")),

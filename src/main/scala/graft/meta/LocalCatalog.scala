@@ -108,13 +108,13 @@ final class LocalCatalog(val warehouse: String,
   private def loadVersion(name: String, v: Int): TableMetadata = {
     val hit = decoded.get((name, v))
     if (hit != null) return hit
-    val text = versionText(name, v)
+    val j = MetadataJson.parseValue(versionText(name, v)) // ONE parse per file
     val m =
-      if (!MetadataJson.isDelta(text)) MetadataJson.read(text)
+      if (!MetadataJson.isDelta(j)) MetadataJson.readValue(j)
       else {
-        val baseV = MetadataJson.deltaBaseVersion(text)
+        val baseV = MetadataJson.deltaBaseVersion(j)
         require(baseV < v, s"table $name: delta v$v references non-ancestor v$baseV")
-        MetadataJson.readDelta(text, loadVersion(name, baseV))
+        MetadataJson.readDelta(j, loadVersion(name, baseV))
       }
     cachePut(name, v, m)
   }

@@ -121,10 +121,32 @@ object MetaIO {
   def writeString(s: String, text: String): Unit =
     write(s, text.getBytes(StandardCharsets.UTF_8))
 
-  // one JVM-wide monitor per canonical target path: serializes same-JVM
-  // CAS attempts so the local FS's check-then-create cannot double-commit
-  // under a same-driver race (the contract header above)
-  private val casLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Crash-safe replace: the new content lands under a temp name and
+    * RENAMES over the target (FileContext + Rename.OVERWRITE — atomic on
+    * HDFS/posix), so a reader never observes a truncated or partial file.
+    * A plain [[write]] truncates in place first — a crash mid-write
+    * leaves an empty file. Use this for small state files whose partial
+    * loss is unrecoverable (checkpoints). */
+  def writeAtomicReplace(s: String, bytes: Array[Byte]): Unit = {
+    val p = new Path(s)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val fs = fsOf(p)
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hadoopConf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  // STRIPED JVM-wide monitors keyed by the canonical target path's hash:
+  // serialize same-JVM CAS attempts so the local FS's check-then-create
+  // cannot double-commit under a same-driver race (the contract header
+  // above). Striping keeps the lock table bounded — a per-path map would
+  // intern one Object per version file forever (version paths are never
+  // reused, so a long-lived streaming driver would leak an entry per
+  // commit); over-serializing the rare hash collision is harmless.
+  private val casLocks = Array.fill(64)(new Object)
 
   /** The commit CAS: create `s` with `bytes` iff it does not exist.
     * Returns false when the target is already present (a concurrent
@@ -132,7 +154,7 @@ object MetaIO {
   def createExclusive(s: String, bytes: Array[Byte]): Boolean = {
     val (fs, p) = fp(s)
     val key = fs.makeQualified(p).toString
-    val lock = casLocks.computeIfAbsent(key, _ => new Object)
+    val lock = casLocks(math.floorMod(key.hashCode, casLocks.length))
     lock.synchronized {
       if (fs.exists(p)) false
       else

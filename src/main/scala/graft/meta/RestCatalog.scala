@@ -104,22 +104,26 @@ object RestCatalog {
           // base version (the O(change) wire shape — like the Iceberg
           // REST protocol's update-list commits); a delta resolves against
           // the server's stored copy INSIDE the same atomic compute.
+          val parsed = MetadataJson.parseValue(body) // ONE parse per request
           var outcome: Either[Int, TableMetadata] = Left(404)
           store.compute(name, (_, cur) =>
             if (cur == null) { outcome = Left(404); cur }
             else if (cur.version != baseVersion) { outcome = Left(409); cur }
             else {
               val updated =
-                if (MetadataJson.isDelta(body)) {
-                  require(MetadataJson.deltaBaseVersion(body) == cur.version,
-                    s"delta base ${MetadataJson.deltaBaseVersion(body)} != stored ${cur.version}")
-                  MetadataJson.readDelta(body, cur)
-                } else MetadataJson.read(body)
+                if (MetadataJson.isDelta(parsed)) {
+                  require(MetadataJson.deltaBaseVersion(parsed) == cur.version,
+                    s"delta base ${MetadataJson.deltaBaseVersion(parsed)} != stored ${cur.version}")
+                  MetadataJson.readDelta(parsed, cur)
+                } else MetadataJson.readValue(parsed)
               val next = updated.copy(version = cur.version + 1)
               outcome = Right(next); next
             })
           outcome match {
-            case Right(next) => respond(ex, 200, MetadataJson.write(next))
+            // O(change) BOTH ways: the client already holds the committed
+            // content (it sent it) — only the assigned version returns,
+            // never a re-serialization of the full snapshot chain
+            case Right(next) => respond(ex, 200, s"""{"version": ${next.version}}""")
             case Left(404) => respond(ex, 404, s"""{"error": "table $name not found"}""")
             case Left(_) => respond(ex, 409,
               s"""{"error": "table $name: commit base version $baseVersion is stale"}""")
@@ -190,7 +194,15 @@ object RestCatalog {
         .header("X-Graft-Base-Version", base.version.toString)
         .POST(HttpRequest.BodyPublishers.ofString(body)).build())
       resp.statusCode match {
-        case 200 => MetadataJson.read(resp.body)
+        case 200 =>
+          // the response carries only the assigned version; the committed
+          // content is what this client sent (CAS guarantees the server
+          // resolved the delta against content-identical base state)
+          val v = JsonMethods.parse(resp.body) \ "version" match {
+            case JInt(x) => x.toInt
+            case other => sys.error(s"bad commit response: $other")
+          }
+          updated.copy(version = v)
         case 409 => throw new CommitConflictException(
           s"table ${base.name}: version ${base.version + 1} was committed concurrently")
         case c => sys.error(s"commit ${base.name} failed ($c): ${resp.body}")

@@ -313,13 +313,24 @@ object Dedup {
     * shuffle could concentrate them. Used by every *cap* site; the
     * *tagging* windows (where every row genuinely needs its count, e.g.
     * [[dropBoilerplateLines]]) keep the window form. */
+  /** Over-cap key lists above this many keys fall back to a shuffled anti
+    * join instead of a broadcast: |hot| <= |rows|/cap, but a corpus whose
+    * boilerplate makes MOST buckets slightly over-cap can still push that
+    * toward millions of keys — big enough to hurt the driver where the
+    * broadcast hint would force it anyway. */
+  val MaxBroadcastHotKeys: Long = 1L << 20
+
   private[ops] def dropHotBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    // materialized once (eager checkpoint): the count gating the join
+    // strategy and the join itself read the same tiny blocks
     val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
       .select(keys.map(col): _*)
+      .localCheckpoint(true)
+    val gated = if (hot.count() <= MaxBroadcastHotKeys) broadcast(hot) else hot
     // re-project: a using-column join moves the key columns first, and a
     // positional consumer (union, exceptAll) downstream would mis-zip
-    df.join(broadcast(hot), keys, "left_anti").select(df.columns.map(col): _*)
+    df.join(gated, keys, "left_anti").select(df.columns.map(col): _*)
   }
 
   /** Candidate pairs from shared LSH buckets, with a bucket-size cap: a

@@ -151,6 +151,27 @@ class JsonPropertySpec extends AnyFunSuite {
     assert(checked >= 50)
   }
 
+  test("delta with a new snapshot chained on a REMOVED parent still decodes") {
+    // expire + append composed into ONE commit, where the appended
+    // snapshot's parentId points at an expired snapshot: the writer must
+    // not delta the new manifest against a base the reader won't have
+    // (that file would be undecodable on disk — a bricked table)
+    def entry(i: Int) = FileEntry(s"/w/f$i.parquet", i.toLong, FileContent.Data, 1L, 1L)
+    val s1 = Snapshot(1L, None, 1L, 1L, (0 until 50).map(entry), Map("operation" -> "append"))
+    val s2 = Snapshot(2L, Some(1L), 2L, 2L, s1.manifest :+ entry(100), Map("operation" -> "append"))
+    val base = TableMetadata("t", "/w/t", 2, SchemaField.fromNames(Seq("a")),
+      snapshots = Seq(s1, s2), currentSnapshotId = Some(2L), lastSequenceNumber = 2L,
+      version = 3)
+    // drop s2 (the would-be delta base) AND append s3 whose parent is s2
+    val s3 = Snapshot(3L, Some(2L), 3L, 3L, s2.manifest :+ entry(200), Map("operation" -> "append"))
+    val updated = base.copy(snapshots = Seq(s1, s3), version = 4,
+      currentSnapshotId = Some(3L), lastSequenceNumber = 3L)
+    val text = MetadataJson.writeDelta(base, updated)
+      .getOrElse(fail("pure add/remove must stay delta-expressible"))
+    val back = MetadataJson.readDelta(text, base)
+    assert(back == updated, "reader must reconstruct the exact updated metadata")
+  }
+
   test("cross-version delta refuses a mutated carried snapshot (falls back to full)") {
     val base0 = samples(metaGen, 20).find(_.snapshots.nonEmpty).get
     val seen = scala.collection.mutable.Set.empty[Long]
