@@ -972,8 +972,66 @@ object CoreQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
-    // q20_task_split / q27_binpack / q30_parallelism: driver-side planning
-    // math, not SQL-expressible -> rows-only checks
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    // q20/q27/q30 are driver-side planning math, but every one of them is
+    // a deterministic integer fold — so the oracles REPLAY the algorithms
+    // relationally: LPT as a recursive CTE carrying the 8 group weights
+    // as a list (min-weight, lowest-index tie rule = list_position of
+    // list_min), FFD lookback=1 as a recursive running fold (current bin
+    // fill is the whole state), and the Iceberg parallelism formulas as
+    // straight integer arithmetic. Full hash-match coverage, no
+    // rows-only rows left.
+    "q20_task_split" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT i, 'file_' || CAST(i AS VARCHAR) AS file,
+        |    ((i*2654435761) % 1000) + 1 AS w,
+        |    row_number() OVER (ORDER BY ((i*2654435761) % 1000) + 1 DESC, i ASC) AS seq
+        |  FROM range(0, 64) t(i)),
+        |fold AS (
+        |  SELECT 0::BIGINT AS seq, CAST(NULL AS VARCHAR) AS file,
+        |    CAST(NULL AS BIGINT) AS w, CAST(NULL AS INT) AS group_id,
+        |    [0,0,0,0,0,0,0,0]::BIGINT[] AS gw
+        |  UNION ALL
+        |  SELECT it.seq, it.file, it.w,
+        |    CAST(list_position(f.gw, list_min(f.gw)) - 1 AS INT) AS group_id,
+        |    list_transform(range(1, 9), j ->
+        |      CASE WHEN j = list_position(f.gw, list_min(f.gw)) THEN f.gw[j] + it.w
+        |           ELSE f.gw[j] END)
+        |  FROM fold f JOIN items it ON it.seq = f.seq + 1)
+        |SELECT file, CAST(w AS BIGINT) AS weight, group_id
+        |FROM fold WHERE seq > 0 ORDER BY file""".stripMargin,
+
+    "q27_binpack" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT i, 'f' || CAST(i AS VARCHAR) AS file, ((i*48271) % 512) + 1 AS w,
+        |    row_number() OVER (ORDER BY ((i*48271) % 512) + 1 DESC, i ASC) AS seq
+        |  FROM range(0, 100) t(i)),
+        |fold AS (
+        |  SELECT seq, file, w, 0 AS bin_id, w AS fill FROM items WHERE seq = 1
+        |  UNION ALL
+        |  SELECT it.seq, it.file, it.w,
+        |    CASE WHEN f.fill + it.w <= 1024 THEN f.bin_id ELSE f.bin_id + 1 END,
+        |    CASE WHEN f.fill + it.w <= 1024 THEN f.fill + it.w ELSE it.w END
+        |  FROM fold f JOIN items it ON it.seq = f.seq + 1)
+        |SELECT file, CAST(w AS BIGINT) AS weight, CAST(bin_id AS INT) AS bin_id
+        |FROM fold ORDER BY file""".stripMargin,
+
+    "q30_parallelism" ->
+      """WITH cases(input_bytes) AS (VALUES (536870912::BIGINT), (2357198848::BIGINT),
+        |  (10737418240::BIGINT), (107374182400::BIGINT)),
+        |c AS (SELECT input_bytes, 1073741824::BIGINT AS t FROM cases),
+        |e AS (SELECT input_bytes, t, t*3//4 AS mn,
+        |  t + greatest(0, t*9//5 - t)//2 AS writemax FROM c),
+        |f AS (SELECT *,
+        |  CASE WHEN input_bytes < t THEN 1
+        |       WHEN (input_bytes % t) > mn THEN (input_bytes + t - 1) // t
+        |       WHEN (input_bytes // (input_bytes // t)) <= least(t + t//10, writemax)
+        |         THEN input_bytes // t
+        |       ELSE (input_bytes + t - 1) // t END AS exp FROM e)
+        |SELECT input_bytes, CAST(exp AS INT) AS expected_output_files,
+        |  CAST(CASE WHEN (input_bytes // greatest(1, exp) + 5242880) < t THEN t
+        |            ELSE least(input_bytes // greatest(1, exp) + 5242880, writemax)
+        |       END AS BIGINT) AS input_split_size
+        |FROM f ORDER BY input_bytes""".stripMargin
   )
 }
