@@ -44,6 +44,18 @@ class MetaIOSpec extends AnyFunSuite {
     assert(MetaIO.readString(p).startsWith("writer-"))
   }
 
+  test("writeAtomicReplace lands whole values and leaves no temp files") {
+    val dir = tmp()
+    val p = MetaIO.join(dir, "ck")
+    MetaIO.writeAtomicReplace(p, "1".getBytes)
+    assert(MetaIO.readString(p) == "1")
+    // repeated replaces: last value wins, nothing accumulates
+    (2 to 20).foreach(i => MetaIO.writeAtomicReplace(p, i.toString.getBytes))
+    assert(MetaIO.readString(p) == "20")
+    assert(MetaIO.listFiles(dir).map(f => MetaIO.fileName(f._1)) == Seq("ck"),
+      "temp files must not survive the rename")
+  }
+
   test("normalize collapses // and /. to one canonical spelling") {
     assert(MetaIO.normalize("/a//b/./c.parquet") == "/a/b/c.parquet")
     assert(MetaIO.normalize("/a/b/c.parquet") == "/a/b/c.parquet")
