@@ -29,7 +29,11 @@ object IceWrite {
       partitionSpec: Seq[PartitionField] = Nil,
       sortOrder: Seq[SortField] = Nil,
       formatVersion: Int = 2,
-      targetFileSizeBytes: Long = Defaults.TargetFileSize): TableMetadata = {
+      targetFileSizeBytes: Long = Defaults.TargetFileSize,
+      /** table properties riding the SAME create commit — idempotence
+        * fences ([[exactlyOnceAppend]]'s first batch) need the rows and
+        * the fence indivisible from the very first snapshot. */
+      extraProperties: Map[String, String] = Map.empty): TableMetadata = {
     require(!catalog.tableExists(name), s"table $name already exists")
     val schema = SchemaField.fromStruct(df.schema)
     val typed = schema.nonEmpty && schema.forall(_.isTyped)
@@ -55,7 +59,8 @@ object IceWrite {
       schema = schema, lastColumnId = schema.map(_.id).foldLeft(0)(math.max),
       partitionSpec = partitionSpec, sortOrder = sortOrder,
       currentSnapshotId = Some(1L), refs = Map("main" -> 1L),
-      snapshots = Seq(snap), lastSequenceNumber = 1L, nextRowId = rowCursor))
+      snapshots = Seq(snap), lastSequenceNumber = 1L, nextRowId = rowCursor,
+      properties = extraProperties))
   }
 
   /** Appends rows as new data files (new snapshot, fresh sequence number). */
@@ -234,12 +239,18 @@ object IceWrite {
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
         if (!catalog.tableExists(name))
-          create(spark, catalog, name, batch.limit(0)): Unit
-        val fenced = catalog.loadTable(name).properties.get(prop)
-          .exists(_.toLong >= batchId)
-        if (!fenced)
-          append(spark, catalog, name, batch,
+          // first batch: rows AND fence land in the ONE create commit —
+          // no crack for a crash to separate them, and no second
+          // metadata round trip
+          create(spark, catalog, name, batch,
             extraProperties = Map(prop -> batchId.toString)): Unit
+        else {
+          val fenced = catalog.loadTable(name).properties.get(prop)
+            .exists(_.toLong >= batchId)
+          if (!fenced)
+            append(spark, catalog, name, batch,
+              extraProperties = Map(prop -> batchId.toString)): Unit
+        }
       }
   }
 
