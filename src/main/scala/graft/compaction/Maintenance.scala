@@ -409,7 +409,6 @@ object Maintenance {
       }
     // same driver gate as IceWrite.deleteWhereDv: a tombstone-heavy table
     // streams the containers executor-side instead of collecting blobs
-    // (plan-stats fast path keeps the common case at one scan)
     val smallPath = rows.forall(r =>
       DeletionVectors.underDriverGate(r, DeletionVectors.MaxDriverBlobBytes))
     val newBlobs: Seq[DeletionVectors.DvBlob] =

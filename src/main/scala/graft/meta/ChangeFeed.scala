@@ -33,10 +33,14 @@ final class ChangeFeed(
     checkpointFile: String,
     branch: String = "main") {
 
-  /** Last fully processed snapshot id; 0 = nothing processed. */
+  /** Last fully processed snapshot id; 0 = nothing processed. An
+    * unreadable value (a crash mid-replace on a store without atomic
+    * rename) degrades to 0 — full re-delivery, the documented
+    * at-least-once edge — never a parse failure that bricks the
+    * subscriber. */
   def checkpoint(): Long =
-    if (MetaIO.exists(checkpointFile)) MetaIO.readString(checkpointFile).trim.toLong
-    else 0L
+    if (!MetaIO.exists(checkpointFile)) 0L
+    else MetaIO.readString(checkpointFile).trim.toLongOption.getOrElse(0L)
 
   private def saveCheckpoint(id: Long): Unit =
     // atomic replace, not a plain write: an in-place truncate + crash

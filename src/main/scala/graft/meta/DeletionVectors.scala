@@ -30,17 +30,16 @@ object DeletionVectors {
     2L * r.getLong(0) + 64L * r.getLong(1)
   }
 
-  /** Two-stage gate, cheapest-first: a (file_path, pos) row costs well
-    * over 2 bytes, and blobs cost at most ~2 bytes per position — so a
-    * PLAN-TIME size estimate under the budget PROVES the driver path is
-    * safe with zero extra jobs (the common small-delete case keeps its
-    * single scan). Only a large plan estimate pays the accurate counting
-    * aggregate before choosing. */
-  def underDriverGate(positions: DataFrame, maxDriverBlobBytes: Long): Boolean = {
-    val planEst = positions.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (planEst <= maxDriverBlobBytes) true
-    else estimateBlobBytes(positions) <= maxDriverBlobBytes
-  }
+  /** The driver gate decision. Deliberately an EXACT counting aggregate,
+    * not a plan-stats shortcut: Spark's size-only estimator scales leaf
+    * bytes by default column widths and can UNDER-estimate a wide,
+    * well-compressed table's row count — an "estimate says small" fast
+    * path could route a dense delete onto the driver-collect path the
+    * gate exists to prevent. The aggregate reads only the two projected
+    * columns under the delete predicate; that one cheap extra pass is
+    * the price of a gate that cannot be fooled. */
+  def underDriverGate(positions: DataFrame, maxDriverBlobBytes: Long): Boolean =
+    estimateBlobBytes(positions) <= maxDriverBlobBytes
 
   /** Builds one encoded blob per referenced data file from a (file_path,
     * pos) frame. Bitmaps are assembled EXECUTOR-side — one aggregate keyed

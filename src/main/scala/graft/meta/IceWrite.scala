@@ -700,8 +700,7 @@ object IceWrite {
     // driver gate: below it, blobs collect to the driver and one container
     // is written per attempt (simplest commit); above it — a dense delete
     // over a big table — the containers stream executor-side and only
-    // manifest coordinates return (DeletionVectors.writeEntriesStreamed).
-    // Plan-stats fast path first: small deletes keep their single scan.
+    // manifest coordinates return (DeletionVectors.writeEntriesStreamed)
     val smallPath = DeletionVectors.underDriverGate(positions, maxDriverBlobBytes)
     val blobs =
       if (smallPath) DeletionVectors.buildBlobs(spark, positions) else Nil

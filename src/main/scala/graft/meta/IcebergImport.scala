@@ -77,14 +77,26 @@ object IcebergImport {
     val specJ = arr(j \ "partition-specs").find(s =>
       lng(s \ "spec-id") == defaultSpecId).getOrElse(
       sys.error(s"no partition spec with id $defaultSpecId"))
-    // per-manifest partition struct field name -> graft (column, transform)
+    // per-manifest partition struct field name -> (graft field, source DDL)
     val specFields = arr(specJ \ "fields").map { f =>
       val src = byId.getOrElse(lng(f \ "source-id").toInt,
         sys.error(s"partition source-id ${f \ "source-id"} not in schema"))
       val transform = str(f \ "transform")
       require(transform == "identity" || transform.matches("bucket\\[\\d+\\]"),
         s"importIcebergMetadata: unsupported partition transform $transform")
-      (str(f \ "name"), PartitionField(src.name, transform))
+      val srcDdl = src.dataType.trim.toUpperCase
+      if (transform == "identity")
+        // graft records partition values as LITERAL strings and prunes by
+        // string equality — only types whose avro partition value has one
+        // faithful literal form may import (timestamps arrive as epoch
+        // micros, decimals as byte buffers: a raw toString would silently
+        // match no user filter, the worst failure mode)
+        require(Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR",
+            "DATE", "BOOLEAN").contains(srcDdl),
+          s"importIcebergMetadata: identity partition on ${src.name}: $srcDdl is not " +
+            "importable as a literal partition value (timestamp/decimal/binary " +
+            "identity partitions have no faithful string form here)")
+      (str(f \ "name"), PartitionField(src.name, transform), srcDdl)
     }
 
     val sortOrder = (for {
@@ -126,15 +138,14 @@ object IcebergImport {
             val partVals = {
               val part = df.get("partition")
                 .asInstanceOf[org.apache.avro.generic.GenericRecord]
-              specFields.flatMap { case (fieldName, pf) =>
+              specFields.flatMap { case (fieldName, pf, srcDdl) =>
                 Option(part.get(fieldName)).map { v =>
                   // foreign DATE identity partitions arrive as avro ints
                   // (days since epoch, per the Iceberg spec's partition
                   // data encoding); graft's partition values are the
                   // LITERAL day strings — a raw toString would record
-                  // "19723" and silently match no user filter
-                  val srcDdl = schema.find(_.name == pf.column)
-                    .map(_.dataType.trim.toUpperCase).getOrElse("")
+                  // "19723" and silently match no user filter. Types with
+                  // no faithful literal form were refused at spec parse.
                   val s = (pf.isIdentity, srcDdl, v) match {
                     case (true, "DATE", i: java.lang.Integer) =>
                       java.time.LocalDate.ofEpochDay(i.longValue).toString

@@ -122,9 +122,20 @@ final class LocalCatalog(val warehouse: String,
   private def currentVersion(name: String): Int = {
     val hint = hintFile(name)
     require(MetaIO.exists(hint), s"table $name does not exist")
-    var v = MetaIO.readString(hint).trim.toInt
-    // The hint is advisory (written after the CAS); roll forward if a newer
-    // committed version exists.
+    // The hint is ADVISORY (written after the CAS): a reader racing the
+    // in-place rewrite can see it empty for an instant — degrade to the
+    // directory listing (cleanup may have pruned early versions, so
+    // rolling forward from v1 is not an option), never fail
+    val txt = MetaIO.readString(hint).trim
+    var v =
+      if (txt.nonEmpty && txt.forall(_.isDigit)) txt.toInt
+      else {
+        val pat = """v(\d+)\.metadata\.json""".r
+        MetaIO.listFiles(metaDir(name)).flatMap { case (p, _) =>
+          MetaIO.fileName(p) match { case pat(n) => Some(n.toInt); case _ => None }
+        }.foldLeft(1)(math.max)
+      }
+    // roll forward if a newer committed version exists
     while (MetaIO.exists(versionFile(name, v + 1))) v += 1
     v
   }
@@ -157,6 +168,12 @@ final class LocalCatalog(val warehouse: String,
     if (!MetaIO.createExclusive(target, bytes))
       throw new CommitConflictException(
         s"table ${m.name}: version ${m.version} was committed concurrently")
+    // in-place truncate-write, NOT a rename-replace: tableExists keys on
+    // the hint file's EXISTENCE, and Hadoop's overwrite rename on several
+    // filesystems is delete-then-rename (a no-file window that reads as
+    // "table does not exist" under concurrency). Truncating keeps the
+    // file continuously present; the brief empty-content window degrades
+    // to currentVersion's directory-listing fallback.
     MetaIO.writeString(hintFile(m.name), m.version.toString)
   }
 

@@ -121,22 +121,37 @@ object MetaIO {
   def writeString(s: String, text: String): Unit =
     write(s, text.getBytes(StandardCharsets.UTF_8))
 
-  /** Crash-safe replace: the new content lands under a temp name and
-    * RENAMES over the target (FileContext + Rename.OVERWRITE — atomic on
-    * HDFS/posix), so a reader never observes a truncated or partial file.
-    * A plain [[write]] truncates in place first — a crash mid-write
-    * leaves an empty file. Use this for small state files whose partial
-    * loss is unrecoverable (checkpoints). */
+  /** Filesystem schemes where a rename is NOT an atomic metadata swap
+    * (delete-dest + copy + delete-src under the hood), but a plain object
+    * PUT IS atomically visible — replace strategies must invert there. */
+  private val objectStoreSchemes = Set("s3", "s3a", "s3n", "gs", "oss", "abfs", "abfss", "wasb", "wasbs", "cos")
+
+  /** Crash-safe replace for small state files whose partial loss is
+    * unrecoverable (checkpoints): a reader never observes a truncated or
+    * partial file. On rename-atomic filesystems (posix, HDFS) the content
+    * lands under a temp name and renames over the target; on object
+    * stores a rename is delete+copy (which would open a no-file window),
+    * while a single PUT is atomically visible — so there the write goes
+    * straight to the target. A plain [[write]] on a local FS truncates in
+    * place first, which is exactly the crash hole this avoids. */
   def writeAtomicReplace(s: String, bytes: Array[Byte]): Unit = {
     val p = new Path(s)
+    val fs = fsOf(p)
+    val scheme = Option(fs.makeQualified(p).toUri.getScheme).getOrElse("file")
+    if (objectStoreSchemes.contains(scheme)) { write(s, bytes); return }
     val tmp = new Path(p.getParent,
       s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val fs = fsOf(p)
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hadoopConf)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hadoopConf)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Exception => () } // no temp residue
+        throw e
+    }
   }
 
   // STRIPED JVM-wide monitors keyed by the canonical target path's hash:
@@ -150,19 +165,34 @@ object MetaIO {
 
   /** The commit CAS: create `s` with `bytes` iff it does not exist.
     * Returns false when the target is already present (a concurrent
-    * writer won). See the class header for per-filesystem atomicity. */
+    * writer won). WRITE-THEN-PUBLISH: the bytes land in a temp file
+    * first and a no-overwrite rename publishes the target, so a
+    * concurrent reader can never observe a created-but-empty version
+    * file (a direct create(no-overwrite)+write makes the target visible
+    * before its content — a reader's version roll-forward would parse an
+    * empty file). See the class header for per-filesystem atomicity. */
   def createExclusive(s: String, bytes: Array[Byte]): Boolean = {
     val (fs, p) = fp(s)
     val key = fs.makeQualified(p).toString
     val lock = casLocks(math.floorMod(key.hashCode, casLocks.length))
     lock.synchronized {
       if (fs.exists(p)) false
-      else
+      else {
+        val tmp = new Path(p.getParent,
+          s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
         try {
-          val out = fs.create(p, false) // no-overwrite create: the CAS
+          val out = fs.create(tmp, true)
           try out.write(bytes) finally out.close()
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hadoopConf)
+          fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+            org.apache.hadoop.fs.Options.Rename.NONE) // fails if target exists
           true
-        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            try fs.delete(tmp, false) catch { case _: Exception => () }
+            false
+        }
+      }
     }
   }
 

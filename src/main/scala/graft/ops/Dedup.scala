@@ -308,18 +308,14 @@ object Dedup {
     * materializing exactly the skew the cap exists to remove. Here the
     * over-cap key list comes from a grouped count (partial aggregation
     * absorbs the hot key map-side, so no task ever sees more than its
-    * slice), and that list is tiny by construction — at most |rows|/cap
-    * keys — so a broadcast ANTI join drops hot rows map-side, before any
-    * shuffle could concentrate them. Used by every *cap* site; the
-    * *tagging* windows (where every row genuinely needs its count, e.g.
-    * [[dropBoilerplateLines]]) keep the window form. */
-  /** Over-cap key lists above this many keys fall back to a shuffled anti
-    * join instead of a broadcast: |hot| <= |rows|/cap, but a corpus whose
-    * boilerplate makes MOST buckets slightly over-cap can still push that
-    * toward millions of keys — big enough to hurt the driver where the
-    * broadcast hint would force it anyway. */
-  val MaxBroadcastHotKeys: Long = 1L << 20
-
+    * slice), and that list is small — at most |rows|/cap keys — so a
+    * broadcast ANTI join drops hot rows map-side, before any shuffle
+    * could concentrate them (past [[MaxBroadcastHotKeys]] the anti join
+    * falls back to a shuffle: a corpus whose boilerplate makes MOST
+    * buckets slightly over-cap can push |rows|/cap to millions of keys).
+    * Used by every *cap* site; the *tagging* windows (where every row
+    * genuinely needs its count, e.g. [[dropBoilerplateLines]]) keep the
+    * window form. */
   private[ops] def dropHotBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     // materialized once (eager checkpoint): the count gating the join
     // strategy and the join itself read the same tiny blocks
@@ -332,6 +328,10 @@ object Dedup {
     // positional consumer (union, exceptAll) downstream would mis-zip
     df.join(gated, keys, "left_anti").select(df.columns.map(col): _*)
   }
+
+  /** Over-cap key lists above this many keys fall back to a shuffled anti
+    * join instead of a broadcast (see [[dropHotBuckets]]). */
+  val MaxBroadcastHotKeys: Long = 1L << 20
 
   /** Candidate pairs from shared LSH buckets, with a bucket-size cap: a
     * bucket holding b ids yields b^2/2 pairs, so one hot bucket (all-equal
