@@ -239,7 +239,8 @@ object Maintenance {
       .join(org.apache.spark.sql.functions.broadcast(live), Seq("file_path"), "left_semi")
     val written =
       if (survivors.isEmpty) Nil
-      else graft.exec.SparkExecutor.writeDataFiles(spark, survivors,
+      else graft.exec.SparkExecutor.writeDataFiles(spark,
+        graft.meta.IceWrite.withPosDeleteFieldIds(survivors),
         MetaIO.join(meta0.location, "data"),
         partitionSpec = Nil, sortOrder = Nil, maxRecordsPerFile = Long.MaxValue,
         repartitionTo = 1)
@@ -323,7 +324,8 @@ object Maintenance {
 
     val written =
       if (killed.isEmpty) Nil
-      else graft.exec.SparkExecutor.writeDataFiles(spark, killed,
+      else graft.exec.SparkExecutor.writeDataFiles(spark,
+        graft.meta.IceWrite.withPosDeleteFieldIds(killed),
         MetaIO.join(meta0.location, "data"),
         partitionSpec = Nil, sortOrder = Nil, maxRecordsPerFile = Long.MaxValue,
         repartitionTo = 1)
@@ -463,28 +465,65 @@ object Maintenance {
   /** Trims old metadata version files (v*.metadata.json), keeping the
     * newest `keepLast` — the catalog-side analogue of snapshot expiry;
     * version files otherwise accumulate one per commit forever. With
-    * cross-version delta commits the retained window's FULL anchor (and
-    * the deltas after it) must stay loadable, so up to `anchorEvery - 1`
-    * extra small files survive each cleanup; a table younger than its
-    * first anchor correctly retains everything. */
+    * cross-version delta commits every retained version's load chain
+    * (its delta-base ancestors down to a FULL anchor) must stay
+    * loadable. The chain is determined EMPIRICALLY from each file's own
+    * `delta-of-version` pointer, never from `anchorEvery` arithmetic:
+    * the warehouse may have been written under a different `anchorEvery`
+    * than this instance's constructor parameter (it is not persisted),
+    * and arithmetic against the wrong cadence would delete a version
+    * that is in fact a live delta base — permanently breaking every
+    * retained version. */
   def cleanMetadataVersions(catalog: LocalCatalog, tableName: String, keepLast: Int = 10): Int = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val current = catalog.loadTable(tableName).version
     val dir = MetaIO.join(catalog.tableLocation(tableName), "metadata")
     val pattern = """v(\d+)\.metadata\.json""".r
-    // delta-chain safety: every retained version must keep its FULL
-    // anchor (and the deltas between) loadable — the oldest retained
-    // version's anchor is the floor multiple of anchorEvery (v1 for the
-    // first window), so deletion stops strictly below that anchor
     val oldestRetained = math.max(1, current - keepLast + 1)
-    val anchor = math.max(1, (oldestRetained / catalog.anchorEvery) * catalog.anchorEvery)
+    def vf(v: Int) = MetaIO.join(dir, s"v$v.metadata.json")
+    // keep-set = retained window + the delta-base closure of each member
+    val keep = scala.collection.mutable.Set.empty[Int]
+    var frontier: List[Int] = (oldestRetained to current).toList
+    while (frontier.nonEmpty) {
+      val v = frontier.head; frontier = frontier.tail
+      if (!keep(v) && MetaIO.exists(vf(v))) {
+        keep += v
+        versionFileDeltaBase(vf(v)).foreach(b => if (!keep(b)) frontier ::= b)
+      }
+    }
     MetaIO.listFiles(dir).count { case (path, _) =>
       MetaIO.fileName(path) match {
-        case pattern(v) if v.toInt <= current - keepLast && v.toInt < anchor =>
+        case pattern(v) if v.toInt < oldestRetained && !keep(v.toInt) =>
           MetaIO.delete(path)
         case _ => false
       }
     }
+  }
+
+  /** Classifies a version file by reading only its head: `Some(base)`
+    * when it is a cross-version delta, `None` for a full anchor. Deltas
+    * put `delta-of-version` as the FIRST JSON key
+    * ([[graft.meta.MetadataJson.writeDelta]]), so an 8 KiB prefix —
+    * gzip-sniffed and partially inflated when compressed — always
+    * contains it; full anchors (which can run to hundreds of MB at 10^6
+    * files) are never parsed whole just to learn they are anchors. */
+  private[compaction] def versionFileDeltaBase(path: String): Option[Int] = {
+    val n = math.min(MetaIO.size(path), 8192L)
+    if (n == 0) return None
+    val head = MetaIO.readRange(path, 0, n)
+    val text =
+      if (n >= 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
+        val out = new Array[Byte](16384)
+        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(head))
+        var total = 0
+        try {
+          var r = in.read(out, 0, out.length)
+          while (r > 0 && total + r < out.length) { total += r; r = in.read(out, total, out.length - total) }
+          if (r > 0) total += r
+        } catch { case _: java.io.IOException => () } // truncated tail is expected
+        new String(out, 0, total, java.nio.charset.StandardCharsets.UTF_8)
+      } else new String(head, java.nio.charset.StandardCharsets.UTF_8)
+    """"delta-of-version"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
   }
 
   /** Deletes the given orphans (paths must come from [[orphanFiles]],

@@ -107,7 +107,9 @@ object BloomIndex {
     // one container per partition, written where the bits live — the
     // driver only ever sees container paths, so the build scales with
     // executors, not driver memory
+    val shippedConf = MetaIO.serializableConf()
     val containers = rows.mapPartitions { it =>
+      MetaIO.installExecutorConf(shippedConf)
       val blobs = it.map { r =>
         val bm = Puffin.PositionBitmap.of(r.getSeq[Long](1))
         Puffin.Blob(BlobType, Puffin.encodeDvBlob(bm), snapId, seqNum,

@@ -81,9 +81,13 @@ object DeletionVectors {
     import spark.implicits._
     val dir = MetaIO.join(location, "deletes")
     MetaIO.mkdirs(dir)
+    // ship the driver's spark.hadoop.* conf: executors have no session,
+    // and the bare-Configuration fallback would drop object-store creds
+    val shippedConf = MetaIO.serializableConf()
     val coords = positions.select("file_path", "pos").as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (file, it) =>
+        MetaIO.installExecutorConf(shippedConf) // readBlob below hits the FS
         val bm = Puffin.PositionBitmap.empty
         it.foreach(t => bm.add(t._2))
         existingDv.get(file).foreach { case (p, off, len) =>
@@ -92,6 +96,7 @@ object DeletionVectors {
         (file, Puffin.encodeDvBlob(bm), bm.cardinality)
       }
       .mapPartitions { it =>
+        MetaIO.installExecutorConf(shippedConf)
         val blobs = it.toSeq
         if (blobs.isEmpty) Iterator.empty
         else {

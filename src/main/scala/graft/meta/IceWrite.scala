@@ -301,6 +301,29 @@ object IceWrite {
     }: _*)
   }
 
+  /** Iceberg's RESERVED field ids for position-delete files (table spec
+    * "Position Delete Files"; the reference pins the same constants,
+    * core/src/compaction/mod.rs:1595-1609). Spec-compliant readers project
+    * delete files BY these ids, so tombstone parquet written without them
+    * is invisible to external engines — deletes silently resurrect. */
+  val PosDeleteFilePathFieldId: Int = 2147483546
+  val PosDeletePosFieldId: Int = 2147483545
+
+  /** Stamps the reserved ids onto a `(file_path, pos)` tombstone frame so
+    * the parquet footer carries them. Our own readers stay name-matched
+    * (ids are additive); external id-addressed readers need them. Every
+    * pos-delete parquet writer must route through this. */
+  def withPosDeleteFieldIds(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(df.columns.toSet == Set("file_path", "pos"),
+      s"position-delete frame must be exactly (file_path, pos), got ${df.columns.mkString(",")}")
+    def md(id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SchemaField.ParquetFieldIdKey, id.toLong).build()
+    df.select(
+      col("file_path").as("file_path", md(PosDeleteFilePathFieldId)),
+      col("pos").as("pos", md(PosDeletePosFieldId)))
+  }
+
   /** One batch of files to stamp into a snapshot (an upsert commits an
     * equality-delete set AND a data set atomically in one snapshot). */
   private final case class StampSet(
@@ -394,9 +417,11 @@ object IceWrite {
     val table0 = catalog.loadTable(name)
     val typed = typedOf(table0)
     // data and equality-delete files carry table-schema columns -> stamp
-    // field ids; position deletes carry (file_path, pos), never id-matched
+    // field ids; position deletes get the spec's RESERVED ids (external
+    // readers project tombstones by id — see withPosDeleteFieldIds)
     val out =
-      if (typed && content != FileContent.PositionDeletes) withFieldIds(df, table0.schema)
+      if (content == FileContent.PositionDeletes) withPosDeleteFieldIds(df)
+      else if (typed) withFieldIds(df, table0.schema)
       else df
     // write the files once; only the metadata commit retries on conflict
     val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L) // ~256 B/row guess pre-stats

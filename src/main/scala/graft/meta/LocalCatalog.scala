@@ -123,12 +123,17 @@ final class LocalCatalog(val warehouse: String,
     val hint = hintFile(name)
     require(MetaIO.exists(hint), s"table $name does not exist")
     // The hint is ADVISORY (written after the CAS): a reader racing the
-    // in-place rewrite can see it empty for an instant — degrade to the
-    // directory listing (cleanup may have pruned early versions, so
-    // rolling forward from v1 is not an option), never fail
+    // in-place rewrite can see it empty — or a numeric PREFIX of the new
+    // value mid-truncate-write ("2" of "26"), which after cleanup has
+    // pruned versions below the anchor would strand roll-forward at the
+    // pruned gap. A hint is trusted only if its version file actually
+    // exists; otherwise degrade to the directory listing (cleanup may
+    // have pruned early versions, so rolling forward from v1 is not an
+    // option), never fail
     val txt = MetaIO.readString(hint).trim
     var v =
-      if (txt.nonEmpty && txt.forall(_.isDigit)) txt.toInt
+      if (txt.nonEmpty && txt.forall(_.isDigit) &&
+          MetaIO.exists(versionFile(name, txt.toInt))) txt.toInt
       else {
         val pat = """v(\d+)\.metadata\.json""".r
         MetaIO.listFiles(metaDir(name)).flatMap { case (p, _) =>

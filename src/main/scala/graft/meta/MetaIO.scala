@@ -14,11 +14,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (integration-tests/testdata/docker-compose.yaml:31-33).
   *
   * Resolution: each path resolves its own FileSystem from the active
-  * SparkSession's Hadoop configuration (falling back to the JVM default
-  * session, then to a bare `Configuration` — executor-side callers like
-  * the Puffin container writers land there, where `fs.*` settings come
-  * from core-site.xml as usual). Paths are plain strings throughout;
-  * schemeless strings mean the default FS (`file:///` locally).
+  * SparkSession's Hadoop configuration. On executors there is no session,
+  * so executor-side callers (the Puffin container writers) ship the
+  * driver's conf via [[serializableConf]] and install it with
+  * [[installExecutorConf]] at the top of their partition functions —
+  * `spark.hadoop.*` credentials/endpoints survive the hop instead of
+  * degrading to core-site.xml defaults. Paths are plain strings
+  * throughout; schemeless strings mean the default FS (`file:///`
+  * locally).
   *
   * Commit atomicity: [[createExclusive]] is the CAS primitive —
   * create-with-no-overwrite, serialized through a JVM-wide per-path lock.
@@ -32,10 +35,41 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object MetaIO {
 
+  /** Serializable carrier for a Hadoop `Configuration` (which itself is
+    * not `Serializable`): ship the driver's `spark.hadoop.*`-derived conf
+    * into executor closures. Spark's own `SerializableConfiguration` is
+    * `private[spark]`, hence this 10-line equivalent. */
+  final class SerializableHadoopConf(@transient private var conf: Configuration)
+      extends Serializable {
+    def value: Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject(); conf = new Configuration(false); conf.readFields(in)
+    }
+  }
+
+  /** Driver-side capture of the session Hadoop conf for shipping into a
+    * closure; pair with [[installExecutorConf]] at the top of the
+    * partition function. */
+  def serializableConf(): SerializableHadoopConf = new SerializableHadoopConf(hadoopConf)
+
+  // Executor-side fallback: there is no active/default SparkSession on an
+  // executor, so without injection `hadoopConf` would degrade to a bare
+  // `new Configuration()` and silently drop every `spark.hadoop.*` setting
+  // (object-store credentials/endpoints). Executor-side MetaIO callers
+  // (DeletionVectors.writeEntriesStreamed, BloomIndex) install the shipped
+  // driver conf here before touching the FS. JVM-global is correct: all
+  // tasks of one application share one Hadoop conf.
+  @volatile private var executorConf: Configuration = null
+  def installExecutorConf(c: SerializableHadoopConf): Unit = executorConf = c.value
+
   def hadoopConf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
+      .orElse(Option(executorConf))
       .getOrElse(new Configuration())
 
   def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
@@ -191,6 +225,9 @@ object MetaIO {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
             try fs.delete(tmp, false) catch { case _: Exception => () }
             false
+          case e: Throwable => // write/rename failure: no .tmp residue either
+            try fs.delete(tmp, false) catch { case _: Exception => () }
+            throw e
         }
       }
     }

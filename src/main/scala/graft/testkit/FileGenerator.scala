@@ -140,7 +140,8 @@ object FileGenerator {
     if (posDeleteRows.nonEmpty) {
       import spark.implicits._
       val target = dataDir.resolve("pos-delete-00000.parquet")
-      val df = posDeleteRows.toDF("file_path", "pos")
+      val df = graft.meta.IceWrite.withPosDeleteFieldIds(
+        posDeleteRows.toDF("file_path", "pos"))
       val (p, size, rows, _) = writeSingleParquet(spark, df, target)
       entries :+= FileEntry(p, size, FileContent.PositionDeletes, rows, sequenceNumber = 2L)
     }
