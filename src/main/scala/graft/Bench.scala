@@ -35,16 +35,31 @@ object Bench {
     // untimed warmup so JVM/codegen startup isn't charged to the first query
     time { SparkEntry.queries("q10_projection")(spark, sfDir).count(): Unit }
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // SELF-EVIDENCING timing: single-shot recordings on a loaded host swing
+    // 3-8x per query between otherwise-identical runs (compare
+    // BENCH_r03/BENCH_r04), so one sample cannot distinguish a regression
+    // from scheduler noise. Each query therefore runs TWICE: `queries`
+    // keeps the first (cold, comparable with every earlier round's file),
+    // `queries_best` takes the min — two consecutive bench files whose
+    // best-of lines agree within ~1.3x are the same build; a best-of line
+    // that MOVES has a cause.
+    val firstRun = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val bestRun = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var compactionDetail: Option[String] = None
     SparkEntry.queries.foreach { case (name, fn) =>
-      results(name) = time { fn(spark, sfDir).count(): Unit }
-      // real pipelines run queries as separate jobs: free the
-      // localCheckpoint blocks the LSH/CC/index queries pin in the block
-      // manager, or 150 queries of accumulated blocks squeeze execution
-      // memory and inflate every later line
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val samples = (1 to 2).map { _ =>
+        val t = time { fn(spark, sfDir).count(): Unit }
+        // real pipelines run queries as separate jobs: free the
+        // localCheckpoint blocks the LSH/CC/index queries pin in the block
+        // manager, or 150 queries of accumulated blocks squeeze execution
+        // memory and inflate every later line
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        t
+      }
+      firstRun(name) = samples.head
+      bestRun(name) = samples.min
     }
+    val results = firstRun
 
     // compaction bench: 8 data files + pos/eq deletes over lineitem.
     // Fixture generation is untimed (testkit cost, not engine cost);
@@ -82,9 +97,13 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qb = bestRun.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // value stays the sum of FIRST runs — comparable with r1-r4 files;
+    // value_best is the noise-immune line future rounds adjudicate on
     val total = results.values.sum
+    val totalBest = bestRun.values.sum
     val detail = compactionDetail.map("," + _).getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$detail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_best":$totalBest,"queries":$qs,"queries_best":$qb$detail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
