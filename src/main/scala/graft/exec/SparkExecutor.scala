@@ -271,16 +271,42 @@ object SparkExecutor extends CompactionExecutor {
     RewriteResult(added, stats)
   }
 
+  /** Serial footer reads cost one object-store round-trip each; above
+    * this many files the reads distribute as a Spark job. The reference's
+    * own envelope is 4096 files/plan (core/src/common/metrics.rs:66-68) —
+    * serial driver round-trips there are minutes on an object store. The
+    * cutoff keeps tiny writes (1-8 files, the common compaction output)
+    * free of job-scheduling overhead. */
+  private val DistributeFooterReadsAbove = 8
+
   /** Lists written parquet files with sizes + footer record counts and
     * decodes partition values from directory names. Hadoop FileSystem
     * throughout (the [[graft.meta.MetaIO]] storage seam), so the write
-    * target may be any configured filesystem, not just local disk. */
+    * target may be any configured filesystem, not just local disk.
+    * Footer reads are DISTRIBUTED past [[DistributeFooterReadsAbove]]:
+    * one Spark job over the paths, each task reading its slice's footers
+    * with the driver's shipped Hadoop conf — never a per-file serial
+    * driver loop. */
   def listWrittenFiles(
       spark: SparkSession, dir: String, spec: Seq[PartitionField]): Seq[FileEntry] = {
     val rootStr = graft.meta.MetaIO.normalize(dir)
     val files = graft.meta.MetaIO.listFilesRecursive(rootStr)
       .filter(_._1.endsWith(".parquet"))
     val conf = spark.sessionState.newHadoopConf()
+    val footerOf: String => (Long, Map[String, (String, String)]) =
+      if (files.size <= DistributeFooterReadsAbove) {
+        p => parquetFooterInfo(conf, p)
+      } else {
+        val shipped = graft.meta.MetaIO.serializableConf()
+        val paths = files.map(_._1)
+        val slices = math.min(paths.size,
+          math.max(1, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(paths, slices)
+          .mapPartitions { it =>
+            val c = shipped.value
+            it.map(p => p -> parquetFooterInfo(c, p))
+          }.collect().toMap
+      }
     files.map { case (path, len, _) =>
       val rel = path.stripPrefix(rootStr).stripPrefix("/")
       val partVals = rel.split('/').dropRight(1).flatMap { seg =>
@@ -298,7 +324,7 @@ object SparkExecutor extends CompactionExecutor {
           case _ => None
         }
       }.toMap
-      val (rows, stats) = parquetFooterInfo(conf, path)
+      val (rows, stats) = footerOf(path)
       FileEntry(
         path = path,
         length = len,
