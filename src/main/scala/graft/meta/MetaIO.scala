@@ -32,6 +32,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * On S3A a create is not exclusive at all — object stores need a catalog
   * that CASes server-side ([[RestCatalog]] here; Iceberg's REST/Hive
   * catalogs in the wild), which is exactly how the reference deploys.
+  * This contract is EXERCISED, not just documented: ObjectStoreContractSpec
+  * drives a mock S3-semantics filesystem ([[graft.testkit.MockS3FileSystem]])
+  * through the lost-update demonstration, [[LocalCatalog]]'s refusal
+  * (via [[isObjectStore]]), and a concurrent RestCatalog commit race
+  * with every table byte on the mock store.
   */
 object MetaIO {
 
@@ -157,8 +162,18 @@ object MetaIO {
 
   /** Filesystem schemes where a rename is NOT an atomic metadata swap
     * (delete-dest + copy + delete-src under the hood), but a plain object
-    * PUT IS atomically visible — replace strategies must invert there. */
-  private val objectStoreSchemes = Set("s3", "s3a", "s3n", "gs", "oss", "abfs", "abfss", "wasb", "wasbs", "cos")
+    * PUT IS atomically visible — replace strategies must invert there.
+    * `mocks3` is the in-repo contract-test stand-in
+    * ([[graft.testkit.MockS3FileSystem]]) with the same semantics. */
+  private val objectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "abfs", "abfss", "wasb", "wasbs", "cos", "mocks3")
+
+  /** True when `path`'s scheme names an object store — i.e. a filesystem
+    * that cannot provide the atomic no-overwrite create [[createExclusive]]
+    * needs. URI-parse only; never instantiates the FileSystem (callers use
+    * this as a constructor guard, possibly without the FS's jars). */
+  def isObjectStore(path: String): Boolean =
+    Option(new Path(path).toUri.getScheme).exists(objectStoreSchemes.contains)
 
   /** Crash-safe replace for small state files whose partial loss is
     * unrecoverable (checkpoints): a reader never observes a truncated or
