@@ -462,6 +462,88 @@ object Maintenance {
     sys.error("unreachable")
   }
 
+  /** The REVERSE conversion — v3 deletion vectors back into plain parquet
+    * position-delete files — the downgrade half of the DV<->tombstone
+    * pair, and the interop exit [[graft.meta.IcebergExport]] needs: a v2
+    * export cannot carry Puffin DVs, but it can carry the equivalent
+    * (file_path, pos) parquet (reserved field ids stamped, so external
+    * readers project it).
+    *
+    * Scale shape: blob decode runs EXECUTOR-side — the DV coordinate list
+    * (a few rows per data file) parallelizes, each task range-reads its
+    * blobs from the Puffin containers and explodes positions — so a
+    * delete-everything table never assembles positions driver-side.
+    * Sequence stamp = max DV sequence, safe by the path-addressing
+    * argument above. The replaced DV entries drop from the manifest; the
+    * containers become orphans for [[deleteOrphans]]. */
+  def convertDeletionVectorsToPositionDeletes(
+      spark: org.apache.spark.sql.SparkSession,
+      catalog: Catalog, tableName: String,
+      retry: CommitRetryConfig = CommitRetryConfig()): TableMetadata = {
+    val meta0 = catalog.loadTable(tableName)
+    val snap0 = meta0.currentSnapshot.getOrElse(return meta0)
+    val dvEntries = snap0.manifest.filter(_.isDeletionVector)
+    if (dvEntries.isEmpty) return meta0
+
+    import spark.implicits._
+    val coords = dvEntries.map(f => (f.path, f.contentOffset.getOrElse(0L),
+      f.contentSizeInBytes.getOrElse(f.length), f.referencedDataFile.get))
+    val shipped = MetaIO.serializableConf()
+    val positions = spark.createDataset(coords)
+      .repartition(math.min(coords.size, spark.sparkContext.defaultParallelism))
+      .flatMap { case (p, off, len, file) =>
+        MetaIO.installExecutorConf(shipped)
+        Puffin.decodeDvBlob(Puffin.readBlob(p, off, len)).positions.map(pos => (file, pos))
+      }.toDF("file_path", "pos")
+    val written = graft.exec.SparkExecutor.writeDataFiles(spark,
+      graft.meta.IceWrite.withPosDeleteFieldIds(positions),
+      MetaIO.join(meta0.location, "data"),
+      partitionSpec = Nil, sortOrder = Nil, maxRecordsPerFile = Long.MaxValue)
+    val stampSeq = dvEntries.map(_.sequenceNumber).max
+    val consumed = dvEntries.map(_.resolutionKey).toSet
+
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(tableName)
+      val snap = meta.currentSnapshot.getOrElse(return meta)
+      // swap only the DV entries this conversion actually decoded; DVs
+      // committed since stay live
+      val newManifest = snap.manifest.filterNot(f => consumed.contains(f.resolutionKey)) ++
+        written.map(_.copy(content = FileContent.PositionDeletes, sequenceNumber = stampSeq))
+      val snapshotId = meta.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
+      val next = Snapshot(snapshotId, Some(snap.snapshotId), meta.lastSequenceNumber,
+        System.currentTimeMillis(), newManifest,
+        TableMetadata.preservedProperties(snap.summary) ++
+          TableMetadata.computedSummary(snap.manifest, newManifest) +
+          ("operation" -> "maintenance"))
+      val updated = meta.copy(currentSnapshotId = Some(snapshotId),
+        refs = meta.refs + ("main" -> snapshotId), snapshots = meta.snapshots :+ next)
+      try return catalog.commit(meta, updated)
+      catch {
+        case _: CommitConflictException if attempt < retry.maxRetries => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** One-call v3 -> Iceberg-v2 interop exit: folds the current snapshot's
+    * deletion vectors into reserved-id-stamped parquet position deletes
+    * (one maintenance commit, only if any DVs exist), then exports the
+    * Iceberg v2 metadata with the remaining v3-only history filtered out
+    * ([[graft.meta.IcebergExport.exportIcebergMetadata]] with
+    * `allowV3 = true`). Row-lineage columns, if enabled, are a
+    * metadata-level feature with no v2 equivalent — they are simply not
+    * exported (the data files' extra columns are invisible to id-addressed
+    * readers). Returns the exported table-metadata JSON path. */
+  def exportIcebergV2(spark: org.apache.spark.sql.SparkSession,
+      catalog: Catalog, tableName: String,
+      outDir: Option[String] = None): String = {
+    val meta = catalog.loadTable(tableName)
+    if (meta.currentSnapshot.exists(_.manifest.exists(_.isDeletionVector)))
+      convertDeletionVectorsToPositionDeletes(spark, catalog, tableName)
+    graft.meta.IcebergExport.exportIcebergMetadata(catalog, tableName, outDir, allowV3 = true)
+  }
+
   /** Trims old metadata version files (v*.metadata.json), keeping the
     * newest `keepLast` — the catalog-side analogue of snapshot expiry;
     * version files otherwise accumulate one per commit forever. With

@@ -210,17 +210,81 @@ object IcebergExport {
         }
     }
 
+  /** Top-level field ids stamped in a parquet footer, by column name.
+    * Footer-only read (no data pages). */
+  private def footerFieldIds(path: String): Map[String, Option[Int]] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), MetaIO.hadoopConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(f => f.getName -> Option(f.getId).map(_.intValue())).toMap
+    finally r.close()
+  }
+
+  /** Spec-compliant readers project position-delete files BY the
+    * reserved field ids (2147483546 file_path / 2147483545 pos — table
+    * spec "Position Delete Files"); a tombstone parquet without them
+    * silently resurrects deleted rows in external engines. Every
+    * in-repo writer stamps them ([[IceWrite.withPosDeleteFieldIds]]);
+    * exporting a file that lacks them (pre-stamp or foreign) is refused
+    * with the remediation path. One footer read per distinct file. */
+  private def requirePosDeleteFieldIds(snapshots: Seq[Snapshot]): Unit = {
+    val posPaths = snapshots.flatMap(_.manifest)
+      .filter(f => f.content == FileContent.PositionDeletes && !f.isDeletionVector)
+      .map(_.path).distinct
+    posPaths.foreach { p =>
+      val ids = footerFieldIds(p)
+      require(ids.get("file_path").flatten.contains(2147483546) &&
+          ids.get("pos").flatten.contains(2147483545),
+        s"exportIcebergMetadata: position-delete file $p lacks the reserved " +
+          "Iceberg field ids in its parquet footer — external readers cannot " +
+          "project it. Run Maintenance.rewritePositionDeletes first (rewrites " +
+          "stamp the ids), then re-export.")
+    }
+  }
+
   /** Writes the Iceberg-v2 metadata for every snapshot of `name` under
     * `<table location>/iceberg-metadata/` (or `outDir`) and returns the
     * path of the table-metadata JSON. Data files are referenced in
-    * place. */
+    * place.
+    *
+    * `allowV3 = true` is the downgrade-export mode
+    * ([[graft.compaction.Maintenance.exportIcebergV2]] is the one-call
+    * wrapper): a format-v3 table exports as v2 PROVIDED its current
+    * snapshot carries no deletion vectors (convert first — the wrapper
+    * does); historical snapshots that still carry DVs are filtered out
+    * of the exported metadata (with their refs/tags and snapshot-log
+    * rows), and a retained snapshot whose parent was filtered exports
+    * with a null parent. Row lineage has no v2 equivalent and is not
+    * exported; the lineage columns materialized in data files are
+    * invisible to id-addressed readers. */
   def exportIcebergMetadata(catalog: Catalog, name: String,
-      outDir: Option[String] = None): String = {
-    val meta = catalog.loadTable(name)
-    require(meta.formatVersion <= 2 &&
-        meta.snapshots.forall(_.manifest.forall(!_.isDeletionVector)),
-      s"exportIcebergMetadata: $name uses v3 features (deletion vectors / row " +
-        "lineage); compact to fold them in before exporting as format v2")
+      outDir: Option[String] = None, allowV3: Boolean = false): String = {
+    val fullMeta = catalog.loadTable(name)
+    val exportable =
+      if (!allowV3) {
+        require(fullMeta.formatVersion <= 2 &&
+            fullMeta.snapshots.forall(_.manifest.forall(!_.isDeletionVector)),
+          s"exportIcebergMetadata: $name uses v3 features (deletion vectors / row " +
+            "lineage); use Maintenance.exportIcebergV2 to convert-and-export, or " +
+            "compact to fold them in first")
+        fullMeta
+      } else {
+        require(fullMeta.currentSnapshot.forall(_.manifest.forall(!_.isDeletionVector)),
+          s"exportIcebergMetadata: $name's CURRENT snapshot still carries deletion " +
+            "vectors; run Maintenance.convertDeletionVectorsToPositionDeletes first " +
+            "(Maintenance.exportIcebergV2 does both)")
+        val kept = fullMeta.snapshots.filter(_.manifest.forall(!_.isDeletionVector))
+        val keptIds = kept.map(_.snapshotId).toSet
+        fullMeta.copy(
+          snapshots = kept.map(s =>
+            if (s.parentId.exists(keptIds.contains)) s else s.copy(parentId = None)),
+          refs = fullMeta.refs.filter { case (_, id) => keptIds.contains(id) },
+          tags = fullMeta.tags.filter { case (_, id) => keptIds.contains(id) })
+      }
+    val meta = exportable
+    requirePosDeleteFieldIds(meta.snapshots)
     val dir = outDir.getOrElse(MetaIO.join(meta.location, "iceberg-metadata"))
     MetaIO.mkdirs(dir)
     val uuid = java.util.UUID.randomUUID().toString

@@ -128,4 +128,74 @@ class IcebergExportSpec extends AnyFunSuite {
       IcebergExport.exportIcebergMetadata(catalog, "t_dv"))
     assert(e.getMessage.contains("v3"))
   }
+
+  test("v3 table with DVs round-trips through the convert-then-export path") {
+    import graft.compaction.Maintenance
+    val catalog = LocalCatalog(Files.createTempDirectory("ice-exp-dv2").toString)
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    IceWrite.create(spark, catalog, "t_dv2", src)
+    IceWrite.deleteWhereDv(spark, catalog, "t_dv2", col("n_nationkey") < 5)
+    assert(catalog.loadTable("t_dv2").currentSnapshot.get.manifest.exists(_.isDeletionVector))
+
+    val jsonPath = Maintenance.exportIcebergV2(spark, catalog, "t_dv2")
+
+    // the conversion kept MOR semantics in graft's own view
+    assert(IceRead.table(spark, catalog, "t_dv2").count() == 20)
+    // the converted tombstones carry the reserved ids (export enforces it)
+    val converted = catalog.loadTable("t_dv2").currentSnapshot.get.manifest
+      .filter(f => f.content == FileContent.PositionDeletes)
+    assert(converted.nonEmpty && converted.forall(!_.isDeletionVector))
+
+    val j = JsonMethods.parse(MetaIO.readString(jsonPath))
+    assert((j \ "format-version") == JInt(2))
+    // every exported snapshot is DV-free; refs point only at exported ones
+    val snaps = (j \ "snapshots") match { case JArray(xs) => xs; case _ => Nil }
+    val snapIds = snaps.map(s => (s \ "snapshot-id") match {
+      case JInt(x) => x.toLong; case other => fail(s"bad id $other")
+    }).toSet
+    (j \ "refs" \ "main" \ "snapshot-id") match {
+      case JInt(x) => assert(snapIds.contains(x.toLong))
+      case other => fail(s"bad main ref $other")
+    }
+
+    // replay the CURRENT snapshot from the exported avro alone: data
+    // files anti-joined with the exported pos-delete parquet == MOR view
+    val currentId = (j \ "current-snapshot-id") match {
+      case JInt(x) => x.toLong; case other => fail(s"bad current $other")
+    }
+    val snapJ = snaps.find(s => (s \ "snapshot-id") == JInt(BigInt(currentId))).get
+    val listPath = (snapJ \ "manifest-list") match { case JString(p) => p; case _ => fail() }
+    val (listEntries, _) = IcebergExport.readAvro(listPath)
+    val entries = listEntries.flatMap { le =>
+      val (recs, _) = IcebergExport.readAvro(le.get("manifest_path").toString)
+      recs.map { r =>
+        val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        (df.get("file_path").toString, df.get("content").asInstanceOf[Int])
+      }
+    }
+    val dataPaths = entries.filter(_._2 == 0).map(_._1)
+    val posPaths = entries.filter(_._2 == 1).map(_._1)
+    assert(dataPaths.nonEmpty && posPaths.nonEmpty)
+    val data = spark.read.parquet(dataPaths: _*)
+    val dead = spark.read.parquet(posPaths: _*)
+    assert(data.count() == 25 && dead.count() == 5)
+    // v2 MOR replay: (path, pos) anti join, the exported representation
+    val tagged = data.withColumn("__fp",
+      graft.exec.Mor.normalizePath(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val alive = tagged.join(dead,
+      tagged("__fp") === dead("file_path") && tagged("__pos") === dead("pos"),
+      "left_anti")
+    assert(alive.count() == 20)
+  }
+
+  test("exporting a current snapshot that still carries DVs is refused in allowV3 mode") {
+    val catalog = LocalCatalog(Files.createTempDirectory("ice-exp-dv3").toString)
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    IceWrite.create(spark, catalog, "t_dv3", src)
+    IceWrite.deleteWhereDv(spark, catalog, "t_dv3", col("r_regionkey") === 0L)
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.exportIcebergMetadata(catalog, "t_dv3", allowV3 = true))
+    assert(e.getMessage.contains("convertDeletionVectorsToPositionDeletes"))
+  }
 }
