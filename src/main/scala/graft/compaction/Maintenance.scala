@@ -649,12 +649,7 @@ object Maintenance {
         // ingest TWICE. Compaction is re-attempted on the next trigger
         // anyway; log and move on.
         try {
-          val report = new AutoCompactionPlanner(autoConfig).planReport(catalog, tableName)
-          if (report.plans.nonEmpty) {
-            val c = new Compaction(catalog, tableName, batch.sparkSession,
-              config = FullCompactionConfig(autoConfig.params))
-            report.plans.foreach(c.compactWithPlan(_): Unit)
-          }
+          autoCompact(batch.sparkSession, catalog, tableName, autoConfig): Unit
         } catch {
           case e: Exception =>
             System.err.println(s"[maintainedAppendSink] $tableName batch $batchId: " +
@@ -662,6 +657,28 @@ object Maintenance {
         }
       }
     }
+  }
+
+  /** One auto-maintenance pass: run the [[AutoCompactionPlanner]] and
+    * execute every plan it recommends. A below-threshold table is a
+    * metadata-only no-op (`NoCandidate`), so callers can invoke this
+    * after every append — the planner's thresholds, not the call site,
+    * decide when work happens. Returns the number of plans executed.
+    * This is the hook the engine's own index tables use
+    * ([[graft.ops.TextIndex.append]], [[graft.ops.AnnIndex.append]]):
+    * per-append upserts accumulate small files + delete files, and
+    * folding them back continuously is what keeps the serve paths'
+    * file-skipping sharp. */
+  def autoCompact(spark: org.apache.spark.sql.SparkSession, catalog: Catalog,
+      tableName: String,
+      autoConfig: AutoCompactionConfig = AutoCompactionConfig()): Int = {
+    val report = new AutoCompactionPlanner(autoConfig).planReport(catalog, tableName)
+    if (report.plans.nonEmpty) {
+      val c = new Compaction(catalog, tableName, spark,
+        config = FullCompactionConfig(autoConfig.params))
+      report.plans.foreach(c.compactWithPlan(_): Unit)
+    }
+    report.plans.size
   }
 
   /** ANALYZE-style table statistics, persisted as TABLE properties: row

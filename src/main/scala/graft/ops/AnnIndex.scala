@@ -142,8 +142,14 @@ object AnnIndex {
     requireDim(catalog, name, vectors, vecCol, "appended")
     val cents = IceRead.table(spark, catalog, centroidsTable(name))
     val fresh = assignAndEncode(vectors, idCol, vecCol, cents, m).localCheckpoint(true)
-    if (!fresh.isEmpty)
+    if (!fresh.isEmpty) {
       IceWrite.upsert(spark, catalog, codesTable(name), fresh, keys = Seq("vec_id"))
+      // same continuous fold-back as TextIndex.append: per-append code
+      // upserts fragment the codes table; cell-restricted serve scans
+      // want few files. No-op until the auto planner's thresholds trip.
+      TextIndex.maintainIndexTables(spark, catalog,
+        Seq(codesTable(name)), "AnnIndex.append")
+    }
   }
 
   /** Serve top-k neighbors for each query from the persisted index:

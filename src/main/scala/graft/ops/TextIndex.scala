@@ -166,8 +166,26 @@ object TextIndex {
       createOrUpsert(spark, catalog, docsTable(name), docs, Seq("doc_id"))
       createOrUpsert(spark, catalog, postingsTable(name),
         postingRows(corpus, idCol, textCol), Seq("term", "doc_id"))
+      // per-append upserts accumulate small postings files + eq-delete
+      // files, and b2-style serve performance rides on term-range file
+      // skipping over FEW, well-sorted files — fold the fragments back
+      // whenever the auto planner's thresholds say so (below-threshold
+      // tables are a metadata-only no-op). A maintenance failure must
+      // not fail the append: the rows are committed; retry next append.
+      maintainIndexTables(spark, catalog,
+        Seq(postingsTable(name), docsTable(name)), "TextIndex.append")
     }
   }
+
+  private[ops] def maintainIndexTables(spark: SparkSession, catalog: Catalog,
+      tables: Seq[String], site: String): Unit =
+    tables.foreach { t =>
+      try graft.compaction.Maintenance.autoCompact(spark, catalog, t): Unit
+      catch {
+        case e: Exception => System.err.println(
+          s"[$site] auto-compaction of $t failed (append committed, will retry): ${e.getMessage}")
+      }
+    }
 
   private def createOrUpsert(spark: SparkSession, catalog: Catalog,
       table: String, df: DataFrame, keys: Seq[String]): Unit =

@@ -111,13 +111,18 @@ class RetrievalBpeSpec extends AnyFunSuite {
     val before = TextIndex.searchBm25(spark, catalog, "tic", Seq("apple", "banana"), 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(before == expectedTop)
+    // append now auto-maintains (IndexAutoMaintainSpec): the five
+    // single-doc commits have already folded down instead of leaving
+    // five fragments; an explicit full compaction on top is a safe no-op
     val filesBefore = catalog.loadTable(TextIndex.postingsTable("tic"))
       .currentSnapshot.get.manifest.count(_.content == graft.meta.FileContent.Data)
+    assert(filesBefore < 5,
+      s"auto-maintained appends should stay folded, got $filesBefore files")
     new graft.compaction.Compaction(catalog, TextIndex.postingsTable("tic"), spark).compact()
     val filesAfter = catalog.loadTable(TextIndex.postingsTable("tic"))
       .currentSnapshot.get.manifest.count(_.content == graft.meta.FileContent.Data)
-    assert(filesAfter < filesBefore,
-      s"compaction should fold the $filesBefore postings files, got $filesAfter")
+    assert(filesAfter <= filesBefore,
+      s"compaction should never grow the $filesBefore postings files, got $filesAfter")
     val after = TextIndex.searchBm25(spark, catalog, "tic", Seq("apple", "banana"), 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(after == before)
