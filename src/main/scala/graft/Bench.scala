@@ -87,6 +87,7 @@ object Bench {
         require(res.addedFiles.nonEmpty, "compaction produced no files")
         added = res.addedFiles
       }
+      bestRun("compaction_mor") = results("compaction_mor") // single sample
       compactionDetail = Some(
         s""""compaction":{"input_files":${before.size},""" +
           s""""input_bytes":${before.map(_.length).sum},""" +
@@ -96,13 +97,74 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] compaction fixture failed: ${e.getMessage}")
     }
 
+    // SKEW-STRESS: the HotBucketCapSpec invariant measured, not just
+    // plan-asserted. One third of the corpus is replaced by a single
+    // shared boilerplate text — at sf0.1 that plants a ~20k-doc LSH
+    // mega-bucket which uncapped would explode to ~2e8 candidate pairs
+    // per band. With the map-side cap the lines must stay within the
+    // same order as their organic twins (d2/d12/i2 above); the pair
+    // counts recorded alongside prove the bucket was dropped, not fed
+    // through.
+    var skewDetail: Option[String] = None
+    try {
+      import org.apache.spark.sql.functions._
+      val boiler = ("Licensed under the Apache License Version 2.0 you may not use " +
+        "this file except in compliance with the License you may obtain a copy " +
+        "of the License at http example com licenses and limitations ") * 3
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0, lit(boiler)).otherwise(col("text")))
+        .localCheckpoint(true) // corpus generation is fixture cost, untimed
+      val nDocs = planted.count()
+      // free each line's own checkpoint blocks WITHOUT dropping the
+      // planted corpus the next line still reads
+      val keepIds = spark.sparkContext.getPersistentRDDs.keySet
+      def releaseNew(): Unit = spark.sparkContext.getPersistentRDDs.foreach {
+        case (id, r) => if (!keepIds.contains(id)) r.unpersist(false)
+      }
+      var d2Pairs = 0L; var d12Pairs = 0L; var i2Rows = 0L
+      results("skew_d2") = time {
+        d2Pairs = graft.ops.Dedup.minHashNearDupPairs(planted, "doc_id", "text",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 100).count()
+      }
+      releaseNew()
+      results("skew_d12") = time {
+        d12Pairs = graft.ops.Dedup.minHashContainmentPairs(planted, "doc_id", "text",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.9, maxBucketSize = 100).count()
+      }
+      releaseNew()
+      results("skew_i2") = time {
+        val catalog = new LocalCatalog(
+          java.nio.file.Files.createTempDirectory("bench-skew-wh").toString)
+        val b0 = planted.filter(col("doc_id") % 2 === 0)
+        val b1 = planted.filter(col("doc_id") % 2 =!= 0)
+        val out0 = graft.ops.Dedup.incrementalMinHash(spark, catalog, "skew_idx",
+          b0, "doc_id", "text", 0L)
+        val out1 = graft.ops.Dedup.incrementalMinHash(spark, catalog, "skew_idx",
+          b1, "doc_id", "text", 1L)
+        i2Rows = out0.count() + out1.count()
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      planted.unpersist()
+      // single-sample lines: mirror into best so the two totals stay
+      // structurally comparable
+      Seq("skew_d2", "skew_d12", "skew_i2").foreach(k => bestRun(k) = results(k))
+      skewDetail = Some(
+        s""""skew":{"docs":$nDocs,"planted_bucket":${nDocs / 3},""" +
+          s""""d2_pairs":$d2Pairs,"d12_pairs":$d12Pairs,"i2_rows":$i2Rows}""")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] skew fixture failed: ${e.getMessage}")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qb = bestRun.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // value stays the sum of FIRST runs — comparable with r1-r4 files;
     // value_best is the noise-immune line future rounds adjudicate on
     val total = results.values.sum
     val totalBest = bestRun.values.sum
-    val detail = compactionDetail.map("," + _).getOrElse("")
+    val detail = compactionDetail.map("," + _).getOrElse("") +
+      skewDetail.map("," + _).getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_best":$totalBest,"queries":$qs,"queries_best":$qb$detail,"sf":"$sfDir"}""")
     spark.stop()
   }
