@@ -98,23 +98,30 @@ object Bench {
     }
 
     // SKEW-STRESS: the HotBucketCapSpec invariant measured, not just
-    // plan-asserted. One third of the corpus is replaced by a single
-    // shared boilerplate text — at sf0.1 that plants a ~20k-doc LSH
-    // mega-bucket which uncapped would explode to ~2e8 candidate pairs
+    // plan-asserted. The sf0.1 corpus (5 000 docs) is exploded x10 to
+    // 50 000 docs (fixture cost, untimed) and one third is replaced by a
+    // single shared boilerplate text — that plants a ~16.7k-doc LSH
+    // mega-bucket which uncapped would explode to ~1.4e8 candidate pairs
     // per band. With the map-side cap the lines must stay within the
-    // same order as their organic twins (d2/d12/i2 above); the pair
-    // counts recorded alongside prove the bucket was dropped, not fed
-    // through.
+    // same order as their organic twins (d2/d12/i2 above, which run the
+    // un-exploded 5k corpus); the pair counts recorded alongside prove
+    // the bucket was dropped, not fed through.
     var skewDetail: Option[String] = None
     try {
       import org.apache.spark.sql.functions._
       val boiler = ("Licensed under the Apache License Version 2.0 you may not use " +
         "this file except in compliance with the License you may obtain a copy " +
         "of the License at http example com licenses and limitations ") * 3
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
+      val nBase = base.count()
+      // x10 explode with disjoint doc_id ranges so the planted bucket is a
+      // genuine 10x-scale hot key, not 10 copies of the same 1/3 slice
+      val docs = base.crossJoin(spark.range(10).toDF("rep"))
+        .select((col("doc_id") + col("rep") * nBase).as("doc_id"), col("text"))
       val planted = docs.withColumn("text",
         when(col("doc_id") % 3 === 0, lit(boiler)).otherwise(col("text")))
+        .repartition(cpus.toInt * 2)
         .localCheckpoint(true) // corpus generation is fixture cost, untimed
       val nDocs = planted.count()
       // free each line's own checkpoint blocks WITHOUT dropping the
@@ -166,6 +173,14 @@ object Bench {
     val detail = compactionDetail.map("," + _).getOrElse("") +
       skewDetail.map("," + _).getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_best":$totalBest,"queries":$qs,"queries_best":$qb$detail,"sf":"$sfDir"}""")
+    // TRUNCATION-PROOF summary: the driver keeps only the tail of stdout,
+    // which on a 150+-query surface cuts off the full line's leading totals.
+    // This final short line restates them (plus the slowest best-of lines)
+    // so any tail capture >= ~400 chars preserves the round's headline
+    // numbers. Emitted LAST on purpose.
+    val slowest = bestRun.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","value_best":$totalBest,"n_queries":${results.size},"slowest_best":$slowest$detail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

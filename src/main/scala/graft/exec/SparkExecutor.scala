@@ -292,12 +292,17 @@ object SparkExecutor extends CompactionExecutor {
     val rootStr = graft.meta.MetaIO.normalize(dir)
     val files = graft.meta.MetaIO.listFilesRecursive(rootStr)
       .filter(_._1.endsWith(".parquet"))
+    // ONE conf for both branches: sessionState.newHadoopConf() folds in
+    // session-scoped `spark.conf.set("spark.hadoop.*")` runtime overrides
+    // that sparkContext.hadoopConfiguration lacks — shipping anything else
+    // would make a credential/endpoint override apply to <=8-file writes
+    // but silently not to larger ones
     val conf = spark.sessionState.newHadoopConf()
-    val footerOf: String => (Long, Map[String, (String, String)]) =
+    val footerOf: String => FooterInfo =
       if (files.size <= DistributeFooterReadsAbove) {
         p => parquetFooterInfo(conf, p)
       } else {
-        val shipped = graft.meta.MetaIO.serializableConf()
+        val shipped = new graft.meta.MetaIO.SerializableHadoopConf(conf)
         val paths = files.map(_._1)
         val slices = math.min(paths.size,
           math.max(1, spark.sparkContext.defaultParallelism))
@@ -324,21 +329,31 @@ object SparkExecutor extends CompactionExecutor {
           case _ => None
         }
       }.toMap
-      val (rows, stats) = footerOf(path)
+      val fi = footerOf(path)
       FileEntry(
         path = path,
         length = len,
         content = FileContent.Data,
-        recordCount = rows,
+        recordCount = fi.rows,
         sequenceNumber = 0L, // assigned at commit
         partitionValues = partVals,
-        columnStats = stats
+        columnStats = fi.stats,
+        nullCounts = fi.nullCounts
       )
     }
   }
 
   def parquetRecordCount(conf: org.apache.hadoop.conf.Configuration, p: String): Long =
-    parquetFooterInfo(conf, p)._1
+    parquetFooterInfo(conf, p).rows
+
+  /** Everything the manifest keeps from one parquet footer read: record
+    * count, numeric zone maps, and per-column null counts (the latter for
+    * every top-level column whose null count the footer states across ALL
+    * row groups — including all-null columns, which have no zone map). */
+  final case class FooterInfo(
+      rows: Long,
+      stats: Map[String, (String, String)],
+      nullCounts: Map[String, Long])
 
   /** Top-level column names declared in the parquet footer — footer-only,
     * no data pages touched. Used by add_files import validation. */
@@ -358,7 +373,7 @@ object SparkExecutor extends CompactionExecutor {
     * consulted driver-side before any scan is planned. */
   def parquetFooterInfo(
       conf: org.apache.hadoop.conf.Configuration,
-      p: String): (Long, Map[String, (String, String)]) = {
+      p: String): FooterInfo = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(p), conf)
@@ -366,27 +381,42 @@ object SparkExecutor extends CompactionExecutor {
     try {
       val blocks = r.getFooter.getBlocks.asScala
       val acc = scala.collection.mutable.Map.empty[String, (BigDecimal, BigDecimal)]
+      // null counts: Some(total) while every row group states the count
+      // for the column; one unset row group invalidates it (None) —
+      // a partial sum would understate nulls and mislead readers
+      val nulls = scala.collection.mutable.Map.empty[String, Option[Long]]
       // parquet's Statistics[_ <: Comparable[_]] is an existential type
       import scala.language.existentials
       for (b <- blocks; c <- b.getColumns.asScala) {
         val st = c.getStatistics
-        if (st != null && st.hasNonNullValue && c.getPath.size() == 1) {
+        if (st != null && c.getPath.size() == 1) {
           val name = c.getPath.toDotString
-          val mm: Option[(BigDecimal, BigDecimal)] = (st.genericGetMin, st.genericGetMax) match {
-            case (mn: java.lang.Number, mx: java.lang.Number) =>
-              // NaN / infinite double stats are not representable: skip
-              scala.util.Try((BigDecimal(mn.toString), BigDecimal(mx.toString))).toOption
-            case _ => None // binary/bool/nested: no zone map
+          nulls.updateWith(name) {
+            case Some(None) => Some(None)
+            case prev =>
+              if (st.isNumNullsSet && st.getNumNulls >= 0)
+                Some(Some(prev.flatten.getOrElse(0L) + st.getNumNulls))
+              else Some(None)
           }
-          mm.foreach { case (mn, mx) =>
-            acc.updateWith(name) {
-              case Some((lo, hi)) => Some((lo.min(mn), hi.max(mx)))
-              case None           => Some((mn, mx))
+          if (st.hasNonNullValue) {
+            val mm: Option[(BigDecimal, BigDecimal)] = (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Number, mx: java.lang.Number) =>
+                // NaN / infinite double stats are not representable: skip
+                scala.util.Try((BigDecimal(mn.toString), BigDecimal(mx.toString))).toOption
+              case _ => None // binary/bool/nested: no zone map
+            }
+            mm.foreach { case (mn, mx) =>
+              acc.updateWith(name) {
+                case Some((lo, hi)) => Some((lo.min(mn), hi.max(mx)))
+                case None           => Some((mn, mx))
+              }
             }
           }
         }
       }
-      (r.getRecordCount, acc.map { case (k, (mn, mx)) => k -> (mn.toString, mx.toString) }.toMap)
+      FooterInfo(r.getRecordCount,
+        acc.map { case (k, (mn, mx)) => k -> (mn.toString, mx.toString) }.toMap,
+        nulls.collect { case (k, Some(n)) => k -> n }.toMap)
     } finally r.close()
   }
 }

@@ -167,12 +167,13 @@ object IceWrite {
         spec.column -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(seg.substring(spec.column.length + 1))
       }.toMap
-      val (rows, stats) = SparkExecutor.parquetFooterInfo(conf, raw)
+      val fi = SparkExecutor.parquetFooterInfo(conf, raw)
       FileEntry(
         path = raw, length = MetaIO.size(raw),
-        content = FileContent.Data, recordCount = rows,
+        content = FileContent.Data, recordCount = fi.rows,
         sequenceNumber = 0L, // stamped at commit
-        partitionValues = partVals, columnStats = stats, nameMatched = true)
+        partitionValues = partVals, columnStats = fi.stats,
+        nullCounts = fi.nullCounts, nameMatched = true)
     }
     // the duplicate guard runs INSIDE the CAS retry loop against the
     // fresh head — two concurrent addFiles of the same path cannot both

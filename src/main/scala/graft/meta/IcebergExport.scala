@@ -26,8 +26,12 @@ import org.json4s.jackson.JsonMethods
   * Scope (documented, checked): format v2 — v3 features (deletion
   * vectors, row lineage) are refused with a clear error; convert DVs via
   * compaction first. Schema export covers primitive columns plus
-  * ARRAY<primitive>. Per-file stats maps (value counts, bounds) are
-  * optional in the spec and omitted. Snapshot lineage for `status`:
+  * ARRAY<primitive>. Per-file stats: graft's manifest zone maps + null
+  * counts export as `lower_bounds`/`upper_bounds`/`value_counts`/
+  * `null_value_counts` (data_file fields 109/110/125/128, Appendix D
+  * single-value serialization), so external readers keep min/max file
+  * pruning; columns without recorded stats simply omit their entries
+  * (spec-optional). Snapshot lineage for `status`:
   * entries whose sequence number equals the snapshot's are ADDED, the
   * rest EXISTING with explicit (non-inherited) sequence numbers — the
   * spec-legal conservative encoding when the adding snapshot of an old
@@ -158,6 +162,15 @@ object IcebergExport {
       case other => sys.error(s"unsupported identity partition source type $other")
     }
 
+  /** Iceberg's Avro encoding for a map with non-string keys (spec
+    * Appendix A): an array of key/value records with `logicalType: map`,
+    * each field carrying its spec field-id. */
+  private def kvMapType(keyId: Int, valId: Int, valType: String): JValue =
+    ("type" -> "array") ~ ("logicalType" -> "map") ~ ("items" ->
+      (("type" -> "record") ~ ("name" -> s"k${keyId}_v$valId") ~ ("fields" -> List(
+        fld("key", keyId, JString("int")),
+        fld("value", valId, JString(valType))))))
+
   private def manifestSchemaJson(meta: TableMetadata): String = {
     val partFields = meta.partitionSpec.zipWithIndex.map { case (p, i) =>
       optFld(partFieldName(p), 1000 + i, partAvroType(meta, p))
@@ -171,6 +184,12 @@ object IcebergExport {
           ("type" -> "record") ~ ("name" -> "r102") ~ ("fields" -> partFields)),
         fld("record_count", 103, JString("long")),
         fld("file_size_in_bytes", 104, JString("long")),
+        // per-file stats (data_file fields 109/110/125/128 with map
+        // key/value ids 119-130): external readers prune files on these
+        optFld("value_counts", 109, kvMapType(119, 120, "long")),
+        optFld("null_value_counts", 110, kvMapType(121, 122, "long")),
+        optFld("lower_bounds", 125, kvMapType(126, 127, "bytes")),
+        optFld("upper_bounds", 128, kvMapType(129, 130, "bytes")),
         optFld("equality_ids", 135,
           ("type" -> "array") ~ ("element-id" -> 136) ~ ("items" -> JString("int"))),
         optFld("sort_order_id", 140, JString("int"))))
@@ -196,6 +215,43 @@ object IcebergExport {
     bytes.length.toLong
   }
 
+  /** Iceberg single-value binary serialization (table spec Appendix D) of
+    * one zone-map bound recorded as a decimal string. graft collects
+    * numeric footer statistics only, so every representable stat is one
+    * of the numeric-backed Iceberg types below; anything else (or a
+    * string that doesn't parse exactly) yields None and the bound is
+    * omitted — spec-legal, readers just don't prune on that column. */
+  private[meta] def boundBytes(ddl: String, v: String): Option[java.nio.ByteBuffer] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int)(put: ByteBuffer => ByteBuffer): ByteBuffer = {
+      val b = put(ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN))
+      b.flip(); b
+    }
+    val t = ddl.trim.toUpperCase
+    try {
+      val d = BigDecimal(v)
+      t match {
+        case "INT" | "INTEGER" | "SMALLINT" | "TINYINT" =>
+          Some(le(4)(_.putInt(d.toIntExact)))
+        case "BIGINT" | "LONG" => Some(le(8)(_.putLong(d.toLongExact)))
+        case "FLOAT" | "REAL" => Some(le(4)(_.putFloat(d.toFloat)))
+        case "DOUBLE" => Some(le(8)(_.putDouble(d.toDouble)))
+        // parquet stores DATE as int32 days / TIMESTAMP as int64 micros —
+        // exactly Appendix D's representation, just re-ordered to LE
+        case "DATE" => Some(le(4)(_.putInt(d.toIntExact)))
+        case "TIMESTAMP" | "TIMESTAMP_NTZ" => Some(le(8)(_.putLong(d.toLongExact)))
+        // int32/int64-backed parquet decimals surface their UNSCALED value
+        // in footer stats; Appendix D wants exactly that, big-endian
+        // minimal two's complement
+        case dec if dec.startsWith("DECIMAL") =>
+          d.toBigIntExact.map(bi => ByteBuffer.wrap(bi.toByteArray))
+        case _ => None
+      }
+    } catch {
+      case _: NumberFormatException | _: ArithmeticException => None
+    }
+  }
+
   private def partitionValue(meta: TableMetadata, p: PartitionField, raw: Option[String]): AnyRef =
     raw match {
       case None => null
@@ -212,36 +268,87 @@ object IcebergExport {
 
   /** Top-level field ids stamped in a parquet footer, by column name.
     * Footer-only read (no data pages). */
-  private def footerFieldIds(path: String): Map[String, Option[Int]] = {
+  private def footerFieldIds(
+      conf: org.apache.hadoop.conf.Configuration, path: String): Map[String, Option[Int]] = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(path), MetaIO.hadoopConf)
+      new org.apache.hadoop.fs.Path(path), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema.getFields.asScala
       .map(f => f.getName -> Option(f.getId).map(_.intValue())).toMap
     finally r.close()
   }
 
+  private def posDeleteStamped(
+      conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
+    val ids = footerFieldIds(conf, path)
+    ids.get("file_path").flatten.contains(2147483546) &&
+      ids.get("pos").flatten.contains(2147483545)
+  }
+
+  /** One footer check per distinct pos-delete file; past 8 files the
+    * checks run as a Spark job when a session is active (same cutoff and
+    * reasoning as [[graft.exec.SparkExecutor.listWrittenFiles]]: a long
+    * table history can reference thousands of delete files, and serial
+    * driver round-trips against an object store are minutes there). */
+  private def posDeleteStampedMap(paths: Seq[String]): Map[String, Boolean] = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    if (paths.size <= 8 || session.isEmpty)
+      paths.map(p => p -> posDeleteStamped(MetaIO.hadoopConf, p)).toMap
+    else {
+      val spark = session.get
+      val shipped = new MetaIO.SerializableHadoopConf(spark.sessionState.newHadoopConf())
+      val slices = math.min(paths.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(paths, slices)
+        .mapPartitions { it =>
+          val c = shipped.value
+          it.map(p => p -> posDeleteStamped(c, p))
+        }.collect().toMap
+    }
+  }
+
   /** Spec-compliant readers project position-delete files BY the
     * reserved field ids (2147483546 file_path / 2147483545 pos — table
     * spec "Position Delete Files"); a tombstone parquet without them
     * silently resurrects deleted rows in external engines. Every
-    * in-repo writer stamps them ([[IceWrite.withPosDeleteFieldIds]]);
-    * exporting a file that lacks them (pre-stamp or foreign) is refused
-    * with the remediation path. One footer read per distinct file. */
-  private def requirePosDeleteFieldIds(snapshots: Seq[Snapshot]): Unit = {
-    val posPaths = snapshots.flatMap(_.manifest)
+    * in-repo writer stamps them ([[IceWrite.withPosDeleteFieldIds]]).
+    *
+    * Remediation is split by reachability: an unstamped file referenced
+    * by the CURRENT snapshot aborts the export (fixable —
+    * `Maintenance.rewritePositionDeletes` rewrites the live snapshot with
+    * the ids stamped), while HISTORICAL snapshots referencing unstamped
+    * files are dropped from the export (with their refs/tags, parent
+    * links patched) exactly like `allowV3` drops DV-bearing history —
+    * rewritePositionDeletes cannot reach a past snapshot, so blocking the
+    * whole export on one would leave no remediation short of snapshot
+    * expiry. */
+  private def filterUnstampedPosDeleteHistory(meta: TableMetadata): TableMetadata = {
+    val posPaths = meta.snapshots.flatMap(_.manifest)
       .filter(f => f.content == FileContent.PositionDeletes && !f.isDeletionVector)
       .map(_.path).distinct
-    posPaths.foreach { p =>
-      val ids = footerFieldIds(p)
-      require(ids.get("file_path").flatten.contains(2147483546) &&
-          ids.get("pos").flatten.contains(2147483545),
-        s"exportIcebergMetadata: position-delete file $p lacks the reserved " +
-          "Iceberg field ids in its parquet footer — external readers cannot " +
-          "project it. Run Maintenance.rewritePositionDeletes first (rewrites " +
-          "stamp the ids), then re-export.")
+    if (posPaths.isEmpty) return meta
+    val stamped = posDeleteStampedMap(posPaths)
+    val bad = stamped.collect { case (p, false) => p }.toSet
+    if (bad.isEmpty) return meta
+    meta.currentSnapshot.foreach { s =>
+      val hit = s.manifest.find(f =>
+        f.content == FileContent.PositionDeletes && !f.isDeletionVector && bad(f.path))
+      require(hit.isEmpty,
+        s"exportIcebergMetadata: position-delete file ${hit.get.path} (current " +
+          "snapshot) lacks the reserved Iceberg field ids in its parquet footer — " +
+          "external readers cannot project it. Run Maintenance.rewritePositionDeletes " +
+          "first (rewrites stamp the ids), then re-export. Historical snapshots " +
+          "referencing unstamped files are dropped from the export automatically.")
     }
+    val kept = meta.snapshots.filter(_.manifest.forall(f =>
+      f.content != FileContent.PositionDeletes || f.isDeletionVector || !bad(f.path)))
+    val keptIds = kept.map(_.snapshotId).toSet
+    meta.copy(
+      snapshots = kept.map(s =>
+        if (s.parentId.exists(keptIds.contains)) s else s.copy(parentId = None)),
+      refs = meta.refs.filter { case (_, id) => keptIds.contains(id) },
+      tags = meta.tags.filter { case (_, id) => keptIds.contains(id) })
   }
 
   /** Writes the Iceberg-v2 metadata for every snapshot of `name` under
@@ -283,8 +390,7 @@ object IcebergExport {
           refs = fullMeta.refs.filter { case (_, id) => keptIds.contains(id) },
           tags = fullMeta.tags.filter { case (_, id) => keptIds.contains(id) })
       }
-    val meta = exportable
-    requirePosDeleteFieldIds(meta.snapshots)
+    val meta = filterUnstampedPosDeleteHistory(exportable)
     val dir = outDir.getOrElse(MetaIO.join(meta.location, "iceberg-metadata"))
     MetaIO.mkdirs(dir)
     val uuid = java.util.UUID.randomUUID().toString
@@ -320,6 +426,51 @@ object IcebergExport {
           df.put("partition", part)
           df.put("record_count", java.lang.Long.valueOf(f.recordCount))
           df.put("file_size_in_bytes", java.lang.Long.valueOf(f.length))
+          // per-file stats from graft's manifest zone maps + null counts,
+          // keyed by table field id. Pos-delete files are skipped: their
+          // footer columns are the RESERVED-id pair, and a table column
+          // that happens to be named `pos` must not capture their stats.
+          def kvArray(fieldName: String, entries: Seq[(Int, AnyRef)]): AnyRef =
+            if (entries.isEmpty) null
+            else {
+              val arrSchema = dfSchema.getField(fieldName).schema().getTypes.get(1)
+              val elemSchema = arrSchema.getElementType
+              val arr = new GenericData.Array[GenericRecord](entries.size, arrSchema)
+              entries.foreach { case (k, v) =>
+                val rec = new GenericData.Record(elemSchema)
+                rec.put("key", Integer.valueOf(k))
+                rec.put("value", v)
+                arr.add(rec)
+              }
+              arr
+            }
+          if (f.content == FileContent.PositionDeletes) {
+            df.put("value_counts", null)
+            df.put("null_value_counts", null)
+            df.put("lower_bounds", null)
+            df.put("upper_bounds", null)
+          } else {
+            val resolved = f.columnStats.toSeq.flatMap { case (n, (mn, mx)) =>
+              meta.fieldByName(n).map(fs => (fs.id, fs.dataType, mn, mx))
+            }.sortBy(_._1)
+            // a top-level column holds exactly one value per row (nulls
+            // included per spec), so value_count == record_count for every
+            // column the footer observed
+            val observed = (f.columnStats.keySet ++ f.nullCounts.keySet).toSeq
+              .flatMap(n => meta.fieldByName(n).map(_.id)).distinct.sorted
+            df.put("value_counts", kvArray("value_counts",
+              observed.map(id => id -> (java.lang.Long.valueOf(f.recordCount): AnyRef))))
+            df.put("null_value_counts", kvArray("null_value_counts",
+              f.nullCounts.toSeq.flatMap { case (n, c) =>
+                meta.fieldByName(n).map(fs => fs.id -> (java.lang.Long.valueOf(c): AnyRef))
+              }.sortBy(_._1)))
+            df.put("lower_bounds", kvArray("lower_bounds",
+              resolved.flatMap { case (id, dt, mn, _) =>
+                boundBytes(dt, mn).map(b => id -> (b: AnyRef)) }))
+            df.put("upper_bounds", kvArray("upper_bounds",
+              resolved.flatMap { case (id, dt, _, mx) =>
+                boundBytes(dt, mx).map(b => id -> (b: AnyRef)) }))
+          }
           df.put("equality_ids",
             if (f.equalityFieldIds.isEmpty) null
             else {

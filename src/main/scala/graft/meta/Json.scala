@@ -129,6 +129,10 @@ object MetadataJson {
       "column-stats" -> (JObject(f.columnStats.toList.map { case (k, (mn, mx)) =>
         k -> (JObject("min" -> str(mn), "max" -> str(mx)): JValue) }): JValue)
     ) ++
+      // written only when present, so pre-existing metadata round-trips
+      (if (f.nullCounts.isEmpty) Nil
+       else List("null-counts" -> (JObject(f.nullCounts.toList.map { case (k, n) =>
+         k -> (JLong(n): JValue) }): JValue))) ++
       // v3 deletion-vector coordinates — written only when present, so
       // pre-DV metadata files round-trip byte-identically
       f.referencedDataFile.map(p => "referenced-data-file" -> (str(p): JValue)).toList ++
@@ -260,6 +264,9 @@ object MetadataJson {
       columnStats = obj(m.getOrElse("column-stats", JObject())).map { case (k, x) =>
         val sm = obj(x).toMap
         k -> (fStr(sm("min")), fStr(sm("max")))
+      }.toMap,
+      nullCounts = obj(m.getOrElse("null-counts", JObject())).map { case (k, x) =>
+        k -> fLong(x)
       }.toMap,
       referencedDataFile = m.get("referenced-data-file").map(fStr),
       contentOffset = m.get("content-offset").flatMap(optLong),

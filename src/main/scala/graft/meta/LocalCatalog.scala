@@ -59,17 +59,19 @@ final class LocalCatalog(val warehouse: String,
       * 1 disables deltas (every version full). */
     val anchorEvery: Int = 16) extends Catalog {
   require(anchorEvery >= 1, s"anchorEvery must be >= 1, got $anchorEvery")
-  // The commit CAS is an exclusive filesystem create; object stores have
-  // no such primitive (a PUT is last-writer-wins), so a LocalCatalog
+  // The commit CAS is an exclusive filesystem create; S3-class stores
+  // have no such primitive (a PUT is last-writer-wins), so a LocalCatalog
   // there could double-commit the same version and silently lose one
-  // writer's snapshot. Refuse up front — object-store deployments go
-  // through a catalog that CASes server-side (RestCatalog here; REST/
-  // Hive/Glue in the wild), exactly how the reference deploys
-  // (integration-tests/testdata/docker-compose.yaml:22-62).
-  require(!MetaIO.isObjectStore(warehouse),
-    s"LocalCatalog warehouse $warehouse is on an object store: no atomic " +
-      "no-overwrite create means the version-file CAS cannot hold. " +
-      "Use RestCatalog (server-side CAS) for object-store warehouses.")
+  // writer's snapshot. Refuse up front — such deployments go through a
+  // catalog that CASes server-side (RestCatalog here; REST/Hive/Glue in
+  // the wild), exactly how the reference deploys
+  // (integration-tests/testdata/docker-compose.yaml:22-62). The guard is
+  // the NARROW scheme set: ADLS Gen2 / Azure Blob / GCS invert renames
+  // but do provide exclusive create, and stay in contract here.
+  require(!MetaIO.lacksExclusiveCreate(warehouse),
+    s"LocalCatalog warehouse $warehouse is on an object store with no atomic " +
+      "no-overwrite create: the version-file CAS cannot hold. " +
+      "Use RestCatalog (server-side CAS) for such warehouses.")
   MetaIO.mkdirs(warehouse)
 
   private def metaDir(name: String): String = MetaIO.join(warehouse, name, "metadata")

@@ -175,6 +175,23 @@ object MetaIO {
   def isObjectStore(path: String): Boolean =
     Option(new Path(path).toUri.getScheme).exists(objectStoreSchemes.contains)
 
+  /** Schemes genuinely LACKING an atomic create-no-overwrite — the
+    * [[createExclusive]] CAS [[LocalCatalog]] fences commits with. A
+    * DELIBERATELY narrower set than [[objectStoreSchemes]] (which answers
+    * a different question: rename semantics): ADLS Gen2 (abfs/abfss,
+    * hierarchical namespace), Azure Blob (wasb/wasbs, `If-None-Match: *`
+    * PutBlob), and the GCS connector (gs, generation-0 precondition) all
+    * invert renames yet DO create exclusively, so the version-file CAS
+    * holds there. S3-compatible stores expose no such precondition
+    * through the Hadoop connectors (a create is a last-writer-wins PUT). */
+  private val nonExclusiveCreateSchemes =
+    Set("s3", "s3a", "s3n", "oss", "cos", "mocks3")
+
+  /** True when `path`'s scheme cannot back the exclusive-create commit
+    * CAS. URI-parse only; never instantiates the FileSystem. */
+  def lacksExclusiveCreate(path: String): Boolean =
+    Option(new Path(path).toUri.getScheme).exists(nonExclusiveCreateSchemes.contains)
+
   /** Crash-safe replace for small state files whose partial loss is
     * unrecoverable (checkpoints): a reader never observes a truncated or
     * partial file. On rename-atomic filesystems (posix, HDFS) the content

@@ -93,6 +93,12 @@ final case class FileEntry(
       * collected from parquet footers at write time; used for manifest-
       * level file skipping on range predicates. */
     columnStats: Map[String, (String, String)] = Map.empty,
+    /** per-column null counts from the parquet footer — only columns whose
+      * count every row group states. Feeds Iceberg export's
+      * `null_value_counts` (and `value_counts`: top-level columns hold one
+      * value per row, so value_count == recordCount). Empty on files
+      * written before this field existed. */
+    nullCounts: Map[String, Long] = Map.empty,
     /** Iceberg v3 deletion vector: a position-delete entry whose payload is
       * a bitmap blob inside a Puffin file rather than a parquet file. Set
       * iff this entry is a DV; a DV applies to exactly the one data file it

@@ -41,9 +41,9 @@ object FileGenerator {
   )
 
   /** Writes one parquet file (coalesce(1) + rename); returns
-    * (path, size, rows, numeric column zone maps). */
+    * (path, size, rows, footer info incl. zone maps + null counts). */
   def writeSingleParquet(
-      spark: SparkSession, df: DataFrame, target: Path): (String, Long, Long, Map[String, (String, String)]) = {
+      spark: SparkSession, df: DataFrame, target: Path): (String, Long, Long, SparkExecutor.FooterInfo) = {
     val tmp = Files.createTempDirectory(target.getParent, ".gen")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = scala.util.Using.resource(Files.walk(tmp))(
@@ -52,9 +52,9 @@ object FileGenerator {
     Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
     scala.util.Using.resource(Files.walk(tmp))(
       _.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
-    val (rows, stats) =
+    val fi =
       SparkExecutor.parquetFooterInfo(spark.sessionState.newHadoopConf(), target.toString)
-    (target.toString, Files.size(target), rows, stats)
+    (target.toString, Files.size(target), fi.rows, fi)
   }
 
   /** Fragments `source` into data files + delete files and commits snapshot 1. */
@@ -96,9 +96,10 @@ object FileGenerator {
           val slice = indexed.filter(col("__rn") >= lo && col("__rn") < hi)
             .orderBy(col("__rn")).drop("__rn")
           val target = dataDir.resolve(f"data-$tag-$i%05d.parquet")
-          val (p, size, rows, stats) = writeSingleParquet(spark, slice, target)
+          val (p, size, rows, fi) = writeSingleParquet(spark, slice, target)
           entries :+= FileEntry(p, size, FileContent.Data, rows,
-            sequenceNumber = 1L, partitionValues = partVals, columnStats = stats)
+            sequenceNumber = 1L, partitionValues = partVals,
+            columnStats = fi.stats, nullCounts = fi.nullCounts)
 
           if (cfg.posDeleteRowsPerFile > 0 && rows > 0) {
             val step = math.max(1L, rows / cfg.posDeleteRowsPerFile)

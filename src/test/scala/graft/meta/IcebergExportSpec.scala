@@ -119,6 +119,132 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(rows == entries.filter(_._2 == 0).map(_._3).sum)
   }
 
+  private def decodeLeLong(b: java.nio.ByteBuffer): Long = {
+    val d = b.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(d.remaining() == 8, s"expected 8-byte bound, got ${d.remaining()}")
+    d.getLong
+  }
+
+  private def kvMap(df: org.apache.avro.generic.GenericRecord,
+      field: String): Map[Int, AnyRef] =
+    Option(df.get(field)).map { arr =>
+      import scala.jdk.CollectionConverters._
+      arr.asInstanceOf[java.util.Collection[AnyRef]].asScala.map { e =>
+        val r = e.asInstanceOf[org.apache.avro.generic.GenericRecord]
+        r.get("key").asInstanceOf[Int] -> r.get("value")
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  test("exported data files carry prunable per-file stats (bounds + counts)") {
+    val (catalog, meta) = build()
+    val jsonPath = IcebergExport.exportIcebergMetadata(catalog, "t_exp")
+    val j = JsonMethods.parse(MetaIO.readString(jsonPath))
+    val head = meta.currentSnapshot.get
+    val custId = meta.fieldByName("c_custkey").get.id
+
+    val snapJ = (j \ "snapshots") match {
+      case JArray(xs) => xs.find(s =>
+        (s \ "snapshot-id") == JInt(BigInt(head.snapshotId))).get
+      case _ => fail("no snapshots")
+    }
+    val listPath = (snapJ \ "manifest-list") match { case JString(p) => p; case _ => fail() }
+    val (listEntries, _) = IcebergExport.readAvro(listPath)
+    val dataFiles = listEntries.filter(_.get("content").asInstanceOf[Int] == 0).flatMap { le =>
+      IcebergExport.readAvro(le.get("manifest_path").toString)._1.map(
+        _.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord])
+    }
+    assert(dataFiles.nonEmpty)
+
+    // per file: decoded c_custkey bounds == the file's true min/max, counts exact
+    val fileBounds = dataFiles.map { df =>
+      val path = df.get("file_path").toString
+      val records = df.get("record_count").asInstanceOf[Long]
+      val lower = kvMap(df, "lower_bounds")
+      val upper = kvMap(df, "upper_bounds")
+      val vals = kvMap(df, "value_counts")
+      val nulls = kvMap(df, "null_value_counts")
+      assert(lower.contains(custId) && upper.contains(custId),
+        s"$path missing c_custkey bounds")
+      val lo = decodeLeLong(lower(custId).asInstanceOf[java.nio.ByteBuffer])
+      val hi = decodeLeLong(upper(custId).asInstanceOf[java.nio.ByteBuffer])
+      val actual = spark.read.parquet(path).agg(
+        min(col("c_custkey")), max(col("c_custkey")), count(lit(1))).head()
+      assert(lo == actual.getLong(0) && hi == actual.getLong(1),
+        s"$path bounds ($lo,$hi) != actual (${actual.getLong(0)},${actual.getLong(1)})")
+      assert(vals.get(custId).contains(java.lang.Long.valueOf(records)),
+        s"$path value_count for c_custkey must equal record_count")
+      assert(nulls.get(custId).contains(java.lang.Long.valueOf(0L)),
+        s"$path c_custkey has no nulls — null_value_count must be 0")
+      (path, lo, hi)
+    }
+    // prunability: the two appends write disjoint c_custkey ranges (+1000
+    // shift), so a point lookup must skip at least one file — and skipped
+    // files must truly not contain the key (bounds are sound)
+    val key = fileBounds.map(_._2).min // smallest lower bound, only in one range
+    val (kept, pruned) = fileBounds.partition { case (_, lo, hi) => lo <= key && key <= hi }
+    assert(pruned.nonEmpty, "expected at least one file pruned by bounds")
+    pruned.foreach { case (p, _, _) =>
+      assert(spark.read.parquet(p).filter(col("c_custkey") === key).count() == 0,
+        s"pruned file $p actually contains $key — bounds unsound")
+    }
+    assert(kept.exists { case (p, _, _) =>
+      spark.read.parquet(p).filter(col("c_custkey") === key).count() > 0 })
+  }
+
+  test("unstamped pos-delete: current snapshot refused, history auto-dropped") {
+    import graft.compaction.Maintenance
+    val wh = Files.createTempDirectory("ice-exp-unst")
+    val catalog = LocalCatalog(wh.toString)
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    IceWrite.create(spark, catalog, "t_unst", src)
+    val m0 = catalog.loadTable("t_unst")
+    val s0 = m0.currentSnapshot.get
+    val dataPath = s0.manifest.head.path
+
+    // craft an UNSTAMPED pos-delete parquet (plain Spark write — no
+    // reserved field ids in the footer) and hand-commit it, simulating a
+    // pre-stamping-era table
+    import spark.implicits._
+    val (posPath, posSize, posRows, _) = graft.testkit.FileGenerator.writeSingleParquet(
+      spark, Seq((dataPath, 0L)).toDF("file_path", "pos"),
+      wh.resolve("unstamped-pos.parquet"))
+    val seq1 = m0.lastSequenceNumber + 1
+    val s1 = Snapshot(s0.snapshotId + 1000, Some(s0.snapshotId), seq1,
+      System.currentTimeMillis(),
+      s0.manifest :+ FileEntry(posPath, posSize, FileContent.PositionDeletes,
+        posRows, seq1),
+      Map("operation" -> "delete"))
+    catalog.commit(m0, m0.copy(
+      snapshots = m0.snapshots :+ s1,
+      currentSnapshotId = Some(s1.snapshotId),
+      refs = m0.refs + ("main" -> s1.snapshotId),
+      lastSequenceNumber = seq1))
+
+    // current snapshot references the unstamped file: refused, with the
+    // fix-it path in the message
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.exportIcebergMetadata(catalog, "t_unst"))
+    assert(e.getMessage.contains("rewritePositionDeletes"))
+
+    // follow the remediation: the live snapshot's tombstones get rewritten
+    // with ids stamped; the unstamped file is now HISTORY-only
+    Maintenance.rewritePositionDeletes(spark, catalog, "t_unst")
+    val jsonPath = IcebergExport.exportIcebergMetadata(catalog, "t_unst")
+    val j = JsonMethods.parse(MetaIO.readString(jsonPath))
+    val snapIds = (j \ "snapshots") match {
+      case JArray(xs) => xs.map(s => (s \ "snapshot-id") match {
+        case JInt(x) => x.toLong; case other => fail(s"bad id $other")
+      }).toSet
+      case _ => fail("no snapshots")
+    }
+    assert(!snapIds.contains(s1.snapshotId),
+      "history snapshot referencing the unstamped file must be dropped")
+    val cur = catalog.loadTable("t_unst").currentSnapshotId.get
+    assert(snapIds.contains(cur))
+    // MOR semantics preserved through the remediation (one row deleted)
+    assert(IceRead.table(spark, catalog, "t_unst").count() == src.count() - 1)
+  }
+
   test("v3 tables with deletion vectors are refused with a clear error") {
     val catalog = LocalCatalog(Files.createTempDirectory("ice-exp-dv").toString)
     val src = spark.read.parquet(s"$sf/region.parquet")

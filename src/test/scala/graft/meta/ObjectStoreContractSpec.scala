@@ -78,7 +78,17 @@ class ObjectStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1.getMessage.contains("RestCatalog"))
     // real-world schemes refused by URI parse alone — no s3a jars needed
     intercept[IllegalArgumentException](new LocalCatalog("s3a://bucket/warehouse"))
-    intercept[IllegalArgumentException](new LocalCatalog("gs://bucket/warehouse"))
+    intercept[IllegalArgumentException](new LocalCatalog("oss://bucket/warehouse"))
+    // stores that DO provide atomic create-no-overwrite (ADLS Gen2
+    // hierarchical namespace, Azure Blob If-None-Match, GCS generation
+    // precondition) pass the guard — the refusal keys on exclusive-create
+    // semantics, not on rename semantics
+    assert(!MetaIO.lacksExclusiveCreate("abfss://c@a.dfs.core.windows.net/wh"))
+    assert(!MetaIO.lacksExclusiveCreate("gs://bucket/warehouse"))
+    assert(!MetaIO.lacksExclusiveCreate("wasbs://c@a.blob.core.windows.net/wh"))
+    // ...while still being rename-inverting object stores elsewhere
+    assert(MetaIO.isObjectStore("abfss://c@a.dfs.core.windows.net/wh"))
+    assert(MetaIO.isObjectStore("gs://bucket/warehouse"))
     // non-object-store schemes stay in contract
     new LocalCatalog(Files.createTempDirectory("posix-wh").toString)
   }
