@@ -164,8 +164,11 @@ object IceRead {
     val hasScopedEq = tasks.exists(_.deletes.exists(p => byPath.get(p).exists(e =>
       e.content == FileContent.EqualityDeletes && e.partitionValues.nonEmpty)))
     val taskGroups =
-      if (hasScopedEq) tasks.groupBy(_.partitionValues).toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
-        .map(_._2)
+      if (hasScopedEq)
+        // (specId, values) is the partition identity — see FileEntry.specId
+        tasks.groupBy(t => (t.specId, t.partitionValues)).toSeq
+          .sortBy { case ((sid, pv), _) => (sid, pv.toSeq.sorted.mkString(",")) }
+          .map(_._2)
       else Seq(tasks)
     taskGroups.map { ts =>
       val group = FileGroup.fromDataFiles(ts, byPath.get)

@@ -124,7 +124,7 @@ object IcebergExport {
   private def optFld(name: String, id: Int, typ: JValue): JValue =
     ("name" -> name) ~ ("type" -> opt(typ)) ~ ("default" -> JNull) ~ ("field-id" -> id)
 
-  private val manifestListSchemaJson: String = JsonMethods.compact(JsonMethods.render(
+  private[meta] val manifestListSchemaJson: String = JsonMethods.compact(JsonMethods.render(
     ("type" -> "record") ~ ("name" -> "manifest_file") ~ ("fields" -> List(
       fld("manifest_path", 500, JString("string")),
       fld("manifest_length", 501, JString("long")),
@@ -171,7 +171,7 @@ object IcebergExport {
         fld("key", keyId, JString("int")),
         fld("value", valId, JString(valType))))))
 
-  private def manifestSchemaJson(meta: TableMetadata): String = {
+  private[meta] def manifestSchemaJson(meta: TableMetadata): String = {
     val partFields = meta.partitionSpec.zipWithIndex.map { case (p, i) =>
       optFld(partFieldName(p), 1000 + i, partAvroType(meta, p))
     }
@@ -202,7 +202,7 @@ object IcebergExport {
         fld("data_file", 2, dataFile)))))
   }
 
-  private def avroWrite(path: String, schema: Schema,
+  private[meta] def avroWrite(path: String, schema: Schema,
       fileMeta: Map[String, String], records: Seq[GenericRecord]): Long = {
     val bos = new java.io.ByteArrayOutputStream()
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -351,6 +351,34 @@ object IcebergExport {
       tags = meta.tags.filter { case (_, id) => keptIds.contains(id) })
   }
 
+  /** Export emits exactly ONE partition spec (the table's current, as
+    * spec-id 0), so every exported manifest entry must have been written
+    * under it. Files imported from a foreign table's HISTORICAL specs
+    * ([[FileEntry.specId]] != 0) cannot encode their partition struct in
+    * the current spec's shape: a current snapshot carrying one aborts
+    * (remediation: compaction rewrites every file under the current
+    * spec), historical snapshots carrying them are dropped — the same
+    * reachability split as the unstamped-pos-delete and allowV3 filters. */
+  private def filterNonCurrentSpecHistory(meta: TableMetadata): TableMetadata = {
+    if (meta.snapshots.forall(_.manifest.forall(_.specId == 0))) return meta
+    meta.currentSnapshot.foreach { s =>
+      val hit = s.manifest.find(_.specId != 0)
+      require(hit.isEmpty,
+        s"exportIcebergMetadata: file ${hit.get.path} (current snapshot) was " +
+          "written under a historical foreign partition spec and cannot be " +
+          "encoded in the exported (current) spec. Compact the table first — " +
+          "rewrites land under the current spec — then re-export. Historical " +
+          "snapshots with such files are dropped from the export automatically.")
+    }
+    val kept = meta.snapshots.filter(_.manifest.forall(_.specId == 0))
+    val keptIds = kept.map(_.snapshotId).toSet
+    meta.copy(
+      snapshots = kept.map(s =>
+        if (s.parentId.exists(keptIds.contains)) s else s.copy(parentId = None)),
+      refs = meta.refs.filter { case (_, id) => keptIds.contains(id) },
+      tags = meta.tags.filter { case (_, id) => keptIds.contains(id) })
+  }
+
   /** Writes the Iceberg-v2 metadata for every snapshot of `name` under
     * `<table location>/iceberg-metadata/` (or `outDir`) and returns the
     * path of the table-metadata JSON. Data files are referenced in
@@ -390,7 +418,7 @@ object IcebergExport {
           refs = fullMeta.refs.filter { case (_, id) => keptIds.contains(id) },
           tags = fullMeta.tags.filter { case (_, id) => keptIds.contains(id) })
       }
-    val meta = filterUnstampedPosDeleteHistory(exportable)
+    val meta = filterNonCurrentSpecHistory(filterUnstampedPosDeleteHistory(exportable))
     val dir = outDir.getOrElse(MetaIO.join(meta.location, "iceberg-metadata"))
     MetaIO.mkdirs(dir)
     val uuid = java.util.UUID.randomUUID().toString

@@ -16,9 +16,15 @@ import org.json4s.jackson.JsonMethods
   * equality-delete content; ADDED/EXISTING entries with the spec's
   * sequence-number inheritance (a null sequence on an ADDED entry
   * inherits the manifest-list sequence); identity and bucket[n] partition
-  * transforms; branch and tag refs. Refused with clear errors: format
-  * v3, non-parquet file formats, DELETED status entries are skipped (they
-  * are history bookkeeping, not state).
+  * transforms; PARTITION-SPEC EVOLUTION — each manifest decodes its
+  * partition struct with the spec named by its manifest-list
+  * `partition_spec_id`, files record which spec they were written under
+  * ([[FileEntry.specId]], graft-relative: default spec = 0), and a spec
+  * is validated only when some manifest actually references it; branch
+  * and tag refs. Refused with clear errors: format v3, non-parquet file
+  * formats, genuinely unconvertible transforms on a REFERENCED spec.
+  * DELETED status entries are skipped (they are history bookkeeping, not
+  * state).
   *
   * Iceberg-written parquet always carries field ids (spec requirement),
   * so imported entries stay ID-addressed — renames remain safe. */
@@ -73,31 +79,48 @@ object IcebergImport {
     }
     val byId = schema.map(f => f.id -> f).toMap
 
+    // ALL partition specs parse; each validates LAZILY, the first time a
+    // manifest (or the default) actually references it — a table whose
+    // HISTORY includes an unconvertible spec imports fine as long as no
+    // live manifest was written under it ("refuse only genuinely
+    // unconvertible transforms").
     val defaultSpecId = lng(j \ "default-spec-id")
-    val specJ = arr(j \ "partition-specs").find(s =>
-      lng(s \ "spec-id") == defaultSpecId).getOrElse(
-      sys.error(s"no partition spec with id $defaultSpecId"))
+    val specJsonById: Map[Long, List[JValue]] = arr(j \ "partition-specs")
+      .map(s => lng(s \ "spec-id") -> arr(s \ "fields")).toMap
+    val resolvedSpecs = scala.collection.mutable.Map.empty[Long, Seq[(String, PartitionField, String)]]
     // per-manifest partition struct field name -> (graft field, source DDL)
-    val specFields = arr(specJ \ "fields").map { f =>
-      val src = byId.getOrElse(lng(f \ "source-id").toInt,
-        sys.error(s"partition source-id ${f \ "source-id"} not in schema"))
-      val transform = str(f \ "transform")
-      require(transform == "identity" || transform.matches("bucket\\[\\d+\\]"),
-        s"importIcebergMetadata: unsupported partition transform $transform")
-      val srcDdl = src.dataType.trim.toUpperCase
-      if (transform == "identity")
-        // graft records partition values as LITERAL strings and prunes by
-        // string equality — only types whose avro partition value has one
-        // faithful literal form may import (timestamps arrive as epoch
-        // micros, decimals as byte buffers: a raw toString would silently
-        // match no user filter, the worst failure mode)
-        require(Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR",
-            "DATE", "BOOLEAN").contains(srcDdl),
-          s"importIcebergMetadata: identity partition on ${src.name}: $srcDdl is not " +
-            "importable as a literal partition value (timestamp/decimal/binary " +
-            "identity partitions have no faithful string form here)")
-      (str(f \ "name"), PartitionField(src.name, transform), srcDdl)
-    }
+    def resolveSpec(specId: Long): Seq[(String, PartitionField, String)] =
+      resolvedSpecs.getOrElseUpdate(specId, {
+        val fields = specJsonById.getOrElse(specId,
+          sys.error(s"importIcebergMetadata: no partition spec with id $specId"))
+        fields.map { f =>
+          val src = byId.getOrElse(lng(f \ "source-id").toInt,
+            sys.error(s"partition source-id ${f \ "source-id"} not in schema"))
+          val transform = str(f \ "transform")
+          require(transform == "identity" || transform.matches("bucket\\[\\d+\\]"),
+            s"importIcebergMetadata: unsupported partition transform $transform " +
+              s"(spec $specId)")
+          val srcDdl = src.dataType.trim.toUpperCase
+          if (transform == "identity")
+            // graft records partition values as LITERAL strings and prunes by
+            // string equality — only types whose avro partition value has one
+            // faithful literal form may import (timestamps arrive as epoch
+            // micros, decimals as byte buffers: a raw toString would silently
+            // match no user filter, the worst failure mode)
+            require(Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR",
+                "DATE", "BOOLEAN").contains(srcDdl),
+              s"importIcebergMetadata: identity partition on ${src.name}: $srcDdl is not " +
+                "importable as a literal partition value (timestamp/decimal/binary " +
+                "identity partitions have no faithful string form here)")
+          (str(f \ "name"), PartitionField(src.name, transform), srcDdl)
+        }
+      })
+    val specFields = resolveSpec(defaultSpecId) // eager: governs the table
+    // graft-relative spec marker (FileEntry.specId): the default spec is 0
+    // (graft's "current spec" convention), historical specs renumber to
+    // foreign id + 1 so a foreign historical spec 0 cannot collide with it
+    def graftSpecId(foreign: Long): Int =
+      if (foreign == defaultSpecId) 0 else foreign.toInt + 1
 
     val sortOrder = (for {
       oid <- Option(lng(j \ "default-sort-order-id")) if oid != 0
@@ -118,6 +141,11 @@ object IcebergImport {
       val manifest = listEntries.flatMap { le =>
         val mPath = le.get("manifest_path").toString
         val listSeq = le.get("sequence_number").asInstanceOf[Long]
+        // each manifest decodes with the spec it was WRITTEN under — a
+        // spec-evolved table's older manifests carry a different
+        // partition struct than the default spec's
+        val mSpecId = le.get("partition_spec_id").asInstanceOf[Int].toLong
+        val mSpecFields = resolveSpec(mSpecId)
         val (recs, _) = IcebergExport.readAvro(mPath)
         recs.flatMap { r =>
           val status = r.get("status").asInstanceOf[Int]
@@ -138,7 +166,7 @@ object IcebergImport {
             val partVals = {
               val part = df.get("partition")
                 .asInstanceOf[org.apache.avro.generic.GenericRecord]
-              specFields.flatMap { case (fieldName, pf, srcDdl) =>
+              mSpecFields.flatMap { case (fieldName, pf, srcDdl) =>
                 Option(part.get(fieldName)).map { v =>
                   // foreign DATE identity partitions arrive as avro ints
                   // (days since epoch, per the Iceberg spec's partition
@@ -170,7 +198,8 @@ object IcebergImport {
               sequenceNumber = seq,
               equalityIds = eqIds.flatMap(byId.get).map(_.name),
               equalityFieldIds = eqIds,
-              partitionValues = partVals))
+              partitionValues = partVals,
+              specId = graftSpecId(mSpecId)))
           }
         }
       }

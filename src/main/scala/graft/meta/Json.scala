@@ -140,7 +140,8 @@ object MetadataJson {
       f.contentSizeInBytes.map(s => "content-size-in-bytes" -> (JLong(s): JValue)).toList ++
       // written only when true, so pre-add_files metadata round-trips
       (if (f.nameMatched) List("name-matched" -> (JBool(true): JValue)) else Nil) ++
-      f.firstRowId.map(r => "first-row-id" -> (JLong(r): JValue)).toList
+      f.firstRowId.map(r => "first-row-id" -> (JLong(r): JValue)).toList ++
+      (if (f.specId != 0) List("spec-id" -> (JInt(f.specId): JValue)) else Nil)
   )
 
   def write(m: TableMetadata): String = JsonMethods.pretty(JsonMethods.render(toJson(m)))
@@ -272,7 +273,8 @@ object MetadataJson {
       contentOffset = m.get("content-offset").flatMap(optLong),
       contentSizeInBytes = m.get("content-size-in-bytes").flatMap(optLong),
       nameMatched = m.get("name-matched").exists(fBool),
-      firstRowId = m.get("first-row-id").flatMap(optLong)
+      firstRowId = m.get("first-row-id").flatMap(optLong),
+      specId = m.get("spec-id").map(fLong(_).toInt).getOrElse(0)
     )
   }
 

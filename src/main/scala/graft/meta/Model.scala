@@ -118,7 +118,19 @@ final case class FileEntry(
       * claimed range — row N of the file has id firstRowId + N unless the
       * file materializes a `_row_id` column (rewrites do, preserving ids
       * through compaction). None on v2 tables and non-data files. */
-    firstRowId: Option[Long] = None
+    firstRowId: Option[Long] = None,
+    /** Partition-spec marker: 0 = the table's CURRENT partition spec
+      * (every natively-written file — graft tables have one live spec).
+      * Non-zero only on files imported from a foreign Iceberg table with
+      * partition-spec evolution, where it is the foreign historical
+      * `partition_spec_id` + 1 (an injective graft-relative renumbering so
+      * a foreign historical spec 0 cannot masquerade as current). The
+      * pair (specId, partitionValues) is the partition IDENTITY: scoped
+      * deletes attach and MOR groups split on it, so two specs that
+      * happen to produce identical value maps (e.g. bucket[4] -> bucket[8]
+      * over the same column) can never cross-apply deletes. Compaction
+      * rewrites always land under the current spec, clearing the marker. */
+    specId: Int = 0
 ) {
   /** true for Iceberg v3 deletion-vector entries ([[Puffin]] blob payloads). */
   def isDeletionVector: Boolean =
@@ -251,9 +263,13 @@ final case class TableMetadata(
     val (dvs, plain) = deletes.partition(_._1.isDeletionVector)
     val dvByReferenced = dvs.groupBy(_._1.referencedDataFile.get)
     val (global, scoped) = plain.partition(_._1.partitionValues.isEmpty)
-    val scopedByPartition = scoped.groupBy(_._1.partitionValues)
+    // partition identity = (specId, values): see FileEntry.specId — a
+    // scoped delete written under one spec must not attach to a data file
+    // of another spec whose value map happens to coincide
+    val scopedByPartition = scoped.groupBy(e => (e._1.specId, e._1.partitionValues))
     snapshot.manifest.filter(_.content == FileContent.Data).map { d =>
-      val candidates = global ++ scopedByPartition.getOrElse(d.partitionValues, Nil) ++
+      val candidates = global ++
+        scopedByPartition.getOrElse((d.specId, d.partitionValues), Nil) ++
         dvByReferenced.getOrElse(d.path, Nil)
       val applicable = candidates.filter { case (del, _) =>
         del.content match {

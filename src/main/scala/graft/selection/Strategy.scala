@@ -72,8 +72,9 @@ final class PlanStrategy(
         // hash-group by partition values; files with no partition all share
         // the empty map (strategy.rs:943-971). Deterministic order: sort
         // group keys so plan output is stable across runs.
-        files.groupBy(_.partitionValues).toSeq
-          .sortBy(_._1.toSeq.sorted.mkString(","))
+        // (specId, values) is the partition identity — see FileEntry.specId
+        files.groupBy(f => (f.specId, f.partitionValues)).toSeq
+          .sortBy { case ((sid, pv), _) => (sid, pv.toSeq.sorted.mkString(",")) }
           .flatMap { case (_, fs) => groupWithoutPartitioning(fs, resolveDelete) }
     }
 

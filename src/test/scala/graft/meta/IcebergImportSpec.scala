@@ -67,6 +67,206 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  /** A FOREIGN two-spec fixture, hand-built to the published spec layout
+    * (no graft writer involved): the table began under spec 0 =
+    * identity(n_regionkey) and evolved to spec 1 = identity(n_regionkey)
+    * + bucket[4](n_nationkey) (the default). One data file and one
+    * PARTITION-SCOPED equality delete were written under spec 0; one data
+    * file under spec 1. Import must decode each manifest with ITS spec,
+    * record per-file spec markers, and keep the scoped delete from
+    * leaking across specs in the MOR view. */
+  test("foreign two-spec table (identity -> identity+bucket) imports per-file specs") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericData
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+
+    val dir = Files.createTempDirectory("ice-2spec")
+    val schemaFields = Seq(
+      SchemaField(1, "n_nationkey", "BIGINT", nullable = false),
+      SchemaField(2, "n_name", "STRING"),
+      SchemaField(3, "n_regionkey", "BIGINT", nullable = false))
+
+    // --- data + delete parquet (field ids stamped, like any Iceberg writer)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    // file A (spec 0): region-0 rows except nationkey 5
+    val dfA = IceWrite.withFieldIds(
+      nat.filter(col("n_regionkey") === 0 && col("n_nationkey") =!= 5), schemaFields)
+    val (pA, szA, rowsA, _) =
+      graft.testkit.FileGenerator.writeSingleParquet(spark, dfA, dir.resolve("a.parquet"))
+    // file B (spec 1): exactly nationkey 5 (region 0), one bucket ordinal
+    val dfB = IceWrite.withFieldIds(nat.filter(col("n_nationkey") === 5), schemaFields)
+    val (pB, szB, rowsB, _) =
+      graft.testkit.FileGenerator.writeSingleParquet(spark, dfB, dir.resolve("b.parquet"))
+    assert(rowsB == 1L)
+    val bucketOf5 = graft.functions.IcebergBucketUtil.bucketLong(5L, 4)
+    // scoped eq-delete (spec 0, partition n_regionkey=0): keys 0 AND 5.
+    // Key 0 lives in file A (same spec+partition -> deleted); key 5 lives
+    // in file B (DIFFERENT spec) — scoped deletes must not cross specs,
+    // so nation 5 must survive.
+    val delDf = IceWrite.withFieldIds(
+      nat.filter(col("n_nationkey").isin(0, 5)).select(col("n_nationkey")),
+      schemaFields.filter(_.name == "n_nationkey"))
+    val (pD, szD, rowsD, _) =
+      graft.testkit.FileGenerator.writeSingleParquet(spark, delDf, dir.resolve("d.parquet"))
+
+    // --- manifests, one per (spec, content), via the spec's avro layout
+    val metaSpec0 = TableMetadata("fx", dir.toString, schema = schemaFields,
+      partitionSpec = Seq(PartitionField("n_regionkey")))
+    val metaSpec1 = metaSpec0.copy(partitionSpec = Seq(
+      PartitionField("n_regionkey"), PartitionField("n_nationkey", "bucket[4]")))
+    val mSchema0 = new Schema.Parser().parse(IcebergExport.manifestSchemaJson(metaSpec0))
+    val mSchema1 = new Schema.Parser().parse(IcebergExport.manifestSchemaJson(metaSpec1))
+
+    def entry(mSchema: Schema, path: String, size: Long, rows: Long, seq: Long,
+        content: Int, part: Map[String, AnyRef], eqIds: Seq[Int]): GenericData.Record = {
+      val dfSchema = mSchema.getField("data_file").schema()
+      val partRec = new GenericData.Record(dfSchema.getField("partition").schema())
+      part.foreach { case (k, v) => partRec.put(k, v) }
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", Integer.valueOf(content))
+      df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      df.put("partition", partRec)
+      df.put("record_count", java.lang.Long.valueOf(rows))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(size))
+      if (eqIds.nonEmpty) {
+        val l = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => l.add(Integer.valueOf(i)))
+        df.put("equality_ids", l)
+      }
+      val e = new GenericData.Record(mSchema)
+      e.put("status", Integer.valueOf(1)) // ADDED
+      e.put("snapshot_id", java.lang.Long.valueOf(99L))
+      e.put("sequence_number", java.lang.Long.valueOf(seq))
+      e.put("file_sequence_number", java.lang.Long.valueOf(seq))
+      df.put("sort_order_id", null)
+      e.put("data_file", df)
+      e
+    }
+
+    val mA = MetaIO.join(dir.toString, "mA.avro") // spec 0 data
+    val mB = MetaIO.join(dir.toString, "mB.avro") // spec 1 data
+    val mD = MetaIO.join(dir.toString, "mD.avro") // spec 0 scoped eq-delete
+    val lenA = IcebergExport.avroWrite(mA, mSchema0,
+      Map("format-version" -> "2", "content" -> "data"),
+      Seq(entry(mSchema0, pA, szA, rowsA, 1L, 0,
+        Map("n_regionkey" -> java.lang.Long.valueOf(0L)), Nil)))
+    val lenB = IcebergExport.avroWrite(mB, mSchema1,
+      Map("format-version" -> "2", "content" -> "data"),
+      Seq(entry(mSchema1, pB, szB, rowsB, 2L, 0,
+        Map("n_regionkey" -> java.lang.Long.valueOf(0L),
+          "n_nationkey_bucket" -> Integer.valueOf(bucketOf5)), Nil)))
+    val lenD = IcebergExport.avroWrite(mD, mSchema0,
+      Map("format-version" -> "2", "content" -> "deletes"),
+      Seq(entry(mSchema0, pD, szD, rowsD, 3L, 2,
+        Map("n_regionkey" -> java.lang.Long.valueOf(0L)), Seq(1)))) // id 1 = n_nationkey
+
+    // --- manifest list
+    val listSchema = new Schema.Parser().parse(IcebergExport.manifestListSchemaJson)
+    def listEntry(path: String, len: Long, specId: Int, content: Int,
+        seq: Long, rows: Long): GenericData.Record = {
+      val le = new GenericData.Record(listSchema)
+      le.put("manifest_path", path)
+      le.put("manifest_length", java.lang.Long.valueOf(len))
+      le.put("partition_spec_id", Integer.valueOf(specId))
+      le.put("content", Integer.valueOf(content))
+      le.put("sequence_number", java.lang.Long.valueOf(seq))
+      le.put("min_sequence_number", java.lang.Long.valueOf(seq))
+      le.put("added_snapshot_id", java.lang.Long.valueOf(99L))
+      le.put("added_files_count", Integer.valueOf(1))
+      le.put("existing_files_count", Integer.valueOf(0))
+      le.put("deleted_files_count", Integer.valueOf(0))
+      le.put("added_rows_count", java.lang.Long.valueOf(rows))
+      le.put("existing_rows_count", java.lang.Long.valueOf(0L))
+      le.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+      le
+    }
+    val listPath = MetaIO.join(dir.toString, "snap-99.avro")
+    IcebergExport.avroWrite(listPath, listSchema, Map("format-version" -> "2"),
+      Seq(listEntry(mA, lenA, 0, 0, 1L, rowsA),
+        listEntry(mB, lenB, 1, 0, 2L, rowsB),
+        listEntry(mD, lenD, 0, 1, 3L, rowsD)))
+
+    // --- table metadata JSON: spec 1 is the default; spec 0 is history
+    def specFieldJ(name: String, transform: String, sourceId: Int, fid: Int): JValue =
+      ("name" -> name) ~ ("transform" -> transform) ~
+        ("source-id" -> sourceId) ~ ("field-id" -> fid)
+    val metadataJ: JValue =
+      ("format-version" -> 2) ~
+        ("table-uuid" -> "00000000-0000-0000-0000-000000000002") ~
+        ("location" -> dir.toString) ~
+        ("last-sequence-number" -> 3) ~
+        ("last-updated-ms" -> 1L) ~
+        ("last-column-id" -> 3) ~
+        ("current-schema-id" -> 0) ~
+        ("schemas" -> List(
+          ("type" -> "struct") ~ ("schema-id" -> 0) ~ ("fields" -> List(
+            ("id" -> 1) ~ ("name" -> "n_nationkey") ~ ("required" -> true) ~ ("type" -> "long"),
+            ("id" -> 2) ~ ("name" -> "n_name") ~ ("required" -> false) ~ ("type" -> "string"),
+            ("id" -> 3) ~ ("name" -> "n_regionkey") ~ ("required" -> true) ~ ("type" -> "long"))))) ~
+        ("default-spec-id" -> 1) ~
+        ("partition-specs" -> List(
+          ("spec-id" -> 0) ~ ("fields" -> List(
+            specFieldJ("n_regionkey", "identity", 3, 1000))),
+          ("spec-id" -> 1) ~ ("fields" -> List(
+            specFieldJ("n_regionkey", "identity", 3, 1000),
+            specFieldJ("n_nationkey_bucket", "bucket[4]", 1, 1001))))) ~
+        ("last-partition-id" -> 1001) ~
+        ("default-sort-order-id" -> 0) ~
+        ("sort-orders" -> List(("order-id" -> 0) ~ ("fields" -> JArray(Nil)))) ~
+        ("current-snapshot-id" -> 99L) ~
+        ("refs" -> ("main" -> (("snapshot-id" -> 99L) ~ ("type" -> "branch")))) ~
+        ("snapshots" -> List(
+          ("snapshot-id" -> 99L) ~ ("sequence-number" -> 3) ~
+            ("timestamp-ms" -> 1L) ~ ("manifest-list" -> listPath) ~
+            ("summary" -> ("operation" -> "append")) ~ ("schema-id" -> 0))) ~
+        ("snapshot-log" -> JArray(Nil)) ~ ("metadata-log" -> JArray(Nil))
+    val jsonPath = MetaIO.join(dir.toString, "00000-fx.metadata.json")
+    MetaIO.writeString(jsonPath, JsonMethods.pretty(JsonMethods.render(metadataJ)))
+
+    // --- import and verify
+    val cat = LocalCatalog(Files.createTempDirectory("ice-2spec-cat").toString)
+    val back = IcebergImport.importIcebergMetadata(cat, "t_2spec", jsonPath)
+
+    // table spec = the DEFAULT (evolved) spec
+    assert(back.partitionSpec == Seq(
+      PartitionField("n_regionkey"), PartitionField("n_nationkey", "bucket[4]")))
+    val manifest = back.currentSnapshot.get.manifest
+    val entryA = manifest.find(_.path == pA).get
+    val entryB = manifest.find(_.path == pB).get
+    val entryD = manifest.find(_.path == pD).get
+    // per-file spec markers: default spec -> 0, historical spec 0 -> 0+1
+    assert(entryA.specId == 1 && entryD.specId == 1 && entryB.specId == 0)
+    // per-file partition values decoded with the file's OWN spec
+    assert(entryA.partitionValues == Map("n_regionkey" -> "0"))
+    assert(entryB.partitionValues == Map(
+      "n_regionkey" -> "0", "n_nationkey" -> bucketOf5.toString))
+
+    // scoped-delete attachment respects the spec boundary
+    val tasks = back.scanTasks(back.currentSnapshot.get)
+    assert(tasks.find(_.path == pA).get.deletes == Seq(pD))
+    assert(tasks.find(_.path == pB).get.deletes.isEmpty,
+      "spec-0-scoped delete must not attach to the spec-1 data file")
+
+    // MOR view: nation 0 deleted (file A, same spec+partition); nation 5
+    // SURVIVES (file B, different spec)
+    val got = IceRead.table(spark, cat, "t_2spec")
+    assert(got.count() == rowsA - 1 + 1)
+    assert(got.filter(col("n_nationkey") === 5).count() == 1)
+    assert(got.filter(col("n_nationkey") === 0).count() == 0)
+
+    // export of the current snapshot is refused while a historical-spec
+    // file is live (it cannot encode in the current spec), with the
+    // compaction remediation named
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.exportIcebergMetadata(cat, "t_2spec"))
+    assert(e.getMessage.contains("Compact"))
+  }
+
   test("format v3 and non-parquet formats are refused") {
     val dir = Files.createTempDirectory("ice-rt-bad").toString
     val p = MetaIO.join(dir, "bad.metadata.json")

@@ -51,6 +51,75 @@ class IndexAutoMaintainSpec extends AnyFunSuite {
     assert(maintained == reference)
   }
 
+  /** The every-append autoCompact hook has a COST envelope, not just a
+    * file-count one: across N single-doc appends, total bytes physically
+    * written must stay within the analytic bound
+    * `N*maxFragment + k*(maxLive + maxFragment)` — N append fragments
+    * (data + eq-delete file each) plus k rewrites whose output is at most
+    * the live set they fold. The failure mode this pins down: a hook that
+    * compacted on EVERY append would make k ~ N and blow the bound
+    * (O(N^2) write amplification); the planner's MinSmallFilesCount
+    * threshold is what rate-limits k. */
+  test("write amplification across 50 single-doc appends stays under the analytic bound") {
+    val catalog = LocalCatalog(
+      java.nio.file.Files.createTempDirectory("ti-wamp").toString)
+    val n = 50
+    val corpus = (1L to (n + 1).toLong).map(i =>
+      (i, s"alpha beta gamma token$i")).toDF("doc_id", "text")
+    TextIndex.build(spark, catalog, "tiw", corpus.filter($"doc_id" === 1), "doc_id", "text")
+    (2L to (n + 1).toLong).foreach { i =>
+      TextIndex.append(spark, catalog, "tiw",
+        corpus.filter($"doc_id" === i), "doc_id", "text")
+    }
+
+    val meta = catalog.loadTable(TextIndex.postingsTable("tiw"))
+    val snaps = meta.snapshots.sortBy(_.sequenceNumber)
+    def isReplace(s: graft.meta.Snapshot): Boolean =
+      s.summary.get("operation").contains("replace")
+
+    // classify every physical file by the snapshot that FIRST references
+    // it: append fragments vs rewrite outputs
+    val firstSeen = scala.collection.mutable.LinkedHashMap.empty[String, graft.meta.Snapshot]
+    for (s <- snaps; f <- s.manifest)
+      if (!firstSeen.contains(f.resolutionKey)) firstSeen(f.resolutionKey) = s
+    val everyFile = snaps.flatMap(_.manifest)
+      .groupBy(_.resolutionKey).map(_._2.head).toSeq
+    val totalWritten = everyFile.map(_.length).sum
+    val bytesBySnap = everyFile.groupBy(f => firstSeen(f.resolutionKey).snapshotId)
+      .map { case (sid, fs) => sid -> fs.map(_.length).sum }
+    val (replaceSnaps, appendSnaps) = snaps.partition(isReplace)
+    val k = replaceSnaps.size
+    val nAppends = appendSnaps.size
+    val maxFrag = appendSnaps.flatMap(s => bytesBySnap.get(s.snapshotId)).max
+    val maxLive = snaps.map(
+      _.manifest.filter(_.content == FileContent.Data).map(_.length).sum).max
+
+    assert(k > 0, "50 fragmenting appends must have triggered maintenance")
+    // the planner needs MinSmallFilesCount small files to trigger, so
+    // rewrites are rate-limited to ~1 per (threshold - 1) appends (the
+    // -1: a rewrite's own output file can count toward the next trigger)
+    val kBound = nAppends / (graft.selection.Defaults.MinSmallFilesCount - 1) + 1
+    assert(k <= kBound,
+      s"$k rewrites across $nAppends appends — the every-append hook must be " +
+        s"threshold-rate-limited to <= $kBound (MinSmallFilesCount = " +
+        s"${graft.selection.Defaults.MinSmallFilesCount})")
+    val bound = nAppends.toLong * maxFrag + k.toLong * (maxLive + maxFrag)
+    assert(totalWritten <= bound,
+      s"write amplification out of envelope: $totalWritten B written total " +
+        s"across $nAppends append snapshots (max fragment $maxFrag B) and $k " +
+        s"rewrites (max live $maxLive B); analytic bound " +
+        s"N*maxFragment + k*(maxLive+maxFragment) = $bound B")
+
+    // and the maintained index still serves exactly
+    TextIndex.build(spark, catalog, "tiw_ref",
+      corpus.filter($"doc_id" <= (n + 1).toLong), "doc_id", "text")
+    val got = TextIndex.searchBm25(spark, catalog, "tiw", Seq("alpha", "beta"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = TextIndex.searchBm25(spark, catalog, "tiw_ref", Seq("alpha", "beta"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("repeated AnnIndex appends stay bounded; search results unchanged") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val catalog = LocalCatalog(
