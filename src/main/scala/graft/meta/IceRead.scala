@@ -87,9 +87,14 @@ object IceRead {
           "filter the plain read instead")
     val snap = resolveSnapshot(meta, name, branch)
     val pruned = ofSnapshot(spark, meta, snap, t =>
-      partitionFilter.forall { case (k, v) =>
-        t.partitionValues.get(k).forall(_ == v) // absent key -> keep (old spec)
-      })
+      // non-current-spec files (imported historical specs, or re-marked by
+      // a transform evolution) record values in ANOTHER transform's
+      // domain: never value-prune them, keep conservatively — the
+      // residual row filter below corrects exactly
+      t.specId != 0 ||
+        partitionFilter.forall { case (k, v) =>
+          t.partitionValues.get(k).forall(_ == v) // absent key -> keep (old spec)
+        })
     // residual filter: recompute the partition expression per row for the
     // filtered keys (one shared definition with the writer,
     // SparkExecutor.partitionExpr), compared on the manifest's stringified

@@ -450,12 +450,16 @@ object IceWrite {
       parent: Seq[FileEntry]): Seq[FileEntry] = {
     def matches(e: FileEntry): Boolean =
       filter.forall { case (k, v) => e.partitionValues.get(k).contains(v) }
+    // undecidable: a missing filter key, OR a non-current-spec file
+    // (FileEntry.specId != 0) whose recorded values live in another
+    // transform's domain — matching either by value would half-drop a
+    // partition
     val undecidable = parent.filter(e =>
       e.content == FileContent.Data && !e.isDeletionVector &&
-        filter.keys.exists(k => !e.partitionValues.contains(k)))
+        (e.specId != 0 || filter.keys.exists(k => !e.partitionValues.contains(k))))
     require(undecidable.isEmpty,
       s"partition op is undecidable for ${undecidable.size} data file(s) written " +
-        s"under an older partition spec (no recorded value for " +
+        s"under an older partition spec (no current-spec value for " +
         s"${filter.keys.mkString(", ")}); compact the table first")
     val droppedData = parent.filter(e =>
       e.content == FileContent.Data && !e.isDeletionVector && matches(e))

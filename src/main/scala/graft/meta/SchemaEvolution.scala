@@ -126,7 +126,31 @@ object SchemaEvolution {
     * writes use the new spec, and a subsequent compaction rewrites old
     * files into it (the migration path). Reads stay exact because
     * [[IceRead.tablePartition]] prunes manifests conservatively and
-    * applies a residual row filter. */
+    * applies a residual row filter.
+    *
+    * TRANSFORM CHANGES (e.g. `bucket[4] -> bucket[8]` when buckets
+    * outgrow — the canonical 100 TB evolution) are supported: recorded
+    * manifest values for the changed column live in the OLD transform's
+    * domain (old bucket ordinals), so the commit appends one
+    * metadata-only snapshot that re-marks every live file recording a
+    * changed column with a fresh non-zero [[FileEntry.specId]]. The pair
+    * (specId, partitionValues) is the partition identity engine-wide:
+    * marked files are exempt from value-keyed pruning (kept
+    * conservatively, rows corrected by the residual filter), excluded
+    * from value-keyed partition ops (which refuse until compaction), and
+    * never cross-matched by scoped deletes. Files recording only
+    * UNCHANGED columns keep their marks and their prunability. The next
+    * compaction rewrites marked files under the new spec (fresh
+    * directory fan-out, specId 0), restoring full pruning — the same
+    * self-healing migration real Iceberg gets from spec-id-addressed
+    * manifests. The same marking covers a column RE-ADDED to the spec
+    * whose value some live file already records (the drop-then-re-add
+    * path, where the old domain is unknowable).
+    *
+    * Refused while non-main branch refs exist: their head manifests
+    * would need the same re-marking, and moving a staged branch's
+    * snapshot is not this call's business — publish or drop branches
+    * first. */
   def updatePartitionSpec(catalog: Catalog, tableName: String,
       newSpec: Seq[PartitionField]): TableMetadata =
     commitRetry(catalog, tableName) { meta =>
@@ -135,20 +159,46 @@ object SchemaEvolution {
           s"partition column ${p.column} not in schema")
         require(p.isIdentity || p.isBucket,
           s"unsupported transform ${p.transform}")
-        // a transform CHANGE for a column already in the spec is rejected:
-        // files written under the old transform carry manifest values in
-        // the old domain (e.g. identity strings), and pruning/residual
-        // logic keyed by column name would compare them against the new
-        // domain (e.g. bucket ordinals) — real Iceberg avoids this by
-        // keying partition fields by field-id + transform; here the column
-        // must first be dropped from the spec (new files carry no value,
-        // reads stay conservative) before re-adding is considered
-        for (old <- meta.partitionSpec.find(_.column == p.column))
-          require(old.transform == p.transform,
-            s"cannot change transform of partition column ${p.column} " +
-              s"(${old.transform} -> ${p.transform}); drop it from the spec instead")
       }
-      meta.copy(partitionSpec = newSpec)
+      val head = meta.currentSnapshot
+      val liveRecords: Set[String] =
+        head.map(_.manifest.flatMap(_.partitionValues.keys).toSet).getOrElse(Set.empty)
+      // columns whose recorded values change domain under the new spec:
+      // direct transform changes, plus re-added columns some live file
+      // already recorded under a spec we no longer know
+      val changedCols = newSpec.flatMap { p =>
+        meta.partitionSpec.find(_.column == p.column) match {
+          case Some(old) if old.transform != p.transform => Some(p.column)
+          case None if liveRecords.contains(p.column) => Some(p.column)
+          case _ => None
+        }
+      }.toSet
+      val needsMark = head.exists(_.manifest.exists(f =>
+        f.specId == 0 && f.partitionValues.keys.exists(changedCols)))
+      if (!needsMark) meta.copy(partitionSpec = newSpec)
+      else {
+        require(meta.refs.keySet == Set("main"),
+          s"cannot change a partition transform while branches exist " +
+            s"(${meta.refs.keySet - "main"}); publish or drop them first")
+        val snap = head.get
+        val fresh = snap.manifest.map(_.specId).max + 1
+        val marked = snap.manifest.map(f =>
+          if (f.specId == 0 && f.partitionValues.keys.exists(changedCols))
+            f.copy(specId = fresh)
+          else f)
+        val newSeq = meta.lastSequenceNumber + 1
+        val newId = meta.snapshots.map(_.snapshotId).max + 1
+        val evolved = Snapshot(newId, Some(snap.snapshotId), newSeq,
+          System.currentTimeMillis(), marked,
+          Map("operation" -> "replace",
+            "spec-evolution" -> changedCols.toSeq.sorted.mkString(",")))
+        meta.copy(
+          partitionSpec = newSpec,
+          snapshots = meta.snapshots :+ evolved,
+          currentSnapshotId = Some(newId),
+          refs = meta.refs + ("main" -> newId),
+          lastSequenceNumber = newSeq)
+      }
     }
 
   /** Replaces the table sort order (metadata-only — Iceberg's

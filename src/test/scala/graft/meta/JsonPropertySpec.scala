@@ -35,10 +35,13 @@ class JsonPropertySpec extends AnyFunSuite {
     parts <- shortListOf(2, Gen.zip(nameGen, Gen.oneOf("1", "2", "a b", "x=y"))).map(_.toMap)
     stats <- shortListOf(3, Gen.zip(nameGen,
       Gen.zip(Gen.chooseNum(-1000, 1000).map(_.toString), Gen.chooseNum(1000, 9999).map(_.toString)))).map(_.toMap)
+    nulls <- shortListOf(3, Gen.zip(nameGen, Gen.chooseNum(0L, 1L << 30))).map(_.toMap)
     nameMatched <- Gen.oneOf(true, false)
     firstRowId <- Gen.option(Gen.chooseNum(0L, 1L << 40))
+    specId <- Gen.oneOf(0, 0, 0, 2, 7) // mostly current-spec, some imported
   } yield FileEntry(path, len, content, rows, seq, eqIds, eqFids, parts, Nil, stats,
-    nameMatched = nameMatched, firstRowId = firstRowId)
+    nullCounts = nulls, nameMatched = nameMatched, firstRowId = firstRowId,
+    specId = specId)
 
   private val snapGen: Gen[Snapshot] = for {
     id <- Gen.chooseNum(1L, 99L)

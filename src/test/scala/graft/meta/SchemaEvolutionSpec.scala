@@ -294,13 +294,6 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       SchemaEvolution.updatePartitionSpec(catalog, "t_pev", Seq(PartitionField("nope")))
     }
 
-    // guard: transform CHANGE for an in-spec column rejected — old files'
-    // manifest values would be in the wrong domain for pruning/residuals
-    intercept[IllegalArgumentException] {
-      SchemaEvolution.updatePartitionSpec(catalog, "t_pev",
-        Seq(PartitionField("b", "bucket[4]")))
-    }
-
     // guard: a partition filter on a key OUTSIDE the current spec is
     // rejected (no current transform -> no sound residual; old files kept
     // conservatively would leak rows) — filter the plain read instead
@@ -309,6 +302,107 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     }
     val viaPlainRead = IceRead.table(spark, catalog, "t_pev").filter($"a" === 1)
     assert(viaPlainRead.count() == all.filter($"a" === 1).count())
+  }
+
+  test("transform evolution (bucket growth): marked files stay exact, compaction heals") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    val src = (1L to 60L).map(i => (i, s"v$i")).toDF("id", "v")
+    IceWrite.create(spark, catalog, "t_bkt", src.filter($"id" <= 30),
+      partitionSpec = Seq(PartitionField("id", "bucket[2]")),
+      targetFileSizeBytes = 1L << 20)
+    IceWrite.append(spark, catalog, "t_bkt", src.filter($"id" > 30 && $"id" <= 40))
+
+    // the canonical 100 TB evolution: buckets outgrow, bucket[2] -> bucket[4]
+    SchemaEvolution.updatePartitionSpec(catalog, "t_bkt",
+      Seq(PartitionField("id", "bucket[4]")))
+    val meta1 = catalog.loadTable("t_bkt")
+    assert(meta1.partitionSpec == Seq(PartitionField("id", "bucket[4]")))
+    // one metadata-only snapshot re-marked every old-domain file
+    val head1 = meta1.currentSnapshot.get
+    assert(head1.summary.get("spec-evolution").contains("id"))
+    val marked = head1.manifest.filter(_.content == FileContent.Data)
+    assert(marked.nonEmpty && marked.forall(_.specId != 0),
+      "old bucket[2] files must carry a non-current-spec marker")
+    // idempotent: evolving to the SAME spec again changes nothing
+    val again = SchemaEvolution.updatePartitionSpec(catalog, "t_bkt",
+      Seq(PartitionField("id", "bucket[4]")))
+    assert(again.currentSnapshotId == meta1.currentSnapshotId)
+
+    // new appends land under bucket[4] with the current-spec marker
+    IceWrite.append(spark, catalog, "t_bkt", src.filter($"id" > 40))
+    val mixed = catalog.loadTable("t_bkt").currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data)
+    assert(mixed.exists(_.specId != 0) && mixed.exists(_.specId == 0))
+
+    // partition read on the NEW transform: old-domain files are exempt
+    // from value pruning (kept conservatively) and the residual filter
+    // keeps the result exact
+    val expected3 = IceRead.table(spark, catalog, "t_bkt")
+      .filter(graft.exec.SparkExecutor.partitionExpr(
+        PartitionField("id", "bucket[4]")).cast("string") === "3")
+    val got3 = IceRead.tablePartition(spark, catalog, "t_bkt", Map("id" -> "3"))
+    assert(got3.count() > 0 && got3.count() == expected3.count())
+    assert(got3.exceptAll(expected3).isEmpty && expected3.exceptAll(got3).isEmpty)
+
+    // value-keyed partition ops refuse while old-domain files are live.
+    // Here the current spec is bucket (refused by the identity-only guard);
+    // the specId-undecidability guard needs an IDENTITY current spec over
+    // marked files — produced by an evolution round trip below
+    intercept[IllegalArgumentException] {
+      IceWrite.dropPartitions(catalog, "t_bkt", Map("id" -> "3"))
+    }
+    val catalog2 = newCatalog()
+    IceWrite.create(spark, catalog2, "t_rt", src,
+      partitionSpec = Seq(PartitionField("id")))
+    SchemaEvolution.updatePartitionSpec(catalog2, "t_rt",
+      Seq(PartitionField("id", "bucket[2]"))) // marks the identity-era files
+    SchemaEvolution.updatePartitionSpec(catalog2, "t_rt",
+      Seq(PartitionField("id"))) // back to identity; marks persist
+    val eDrop = intercept[IllegalArgumentException] {
+      IceWrite.dropPartitions(catalog2, "t_rt", Map("id" -> "3"))
+    }
+    assert(eDrop.getMessage.contains("compact"),
+      s"marked files must make value-keyed drops undecidable: ${eDrop.getMessage}")
+
+    // full read is exact across the mixed layouts
+    assert(IceRead.table(spark, catalog, "t_bkt").count() == 60)
+
+    // compaction migrates every file to the new spec, clearing the marks
+    new Compaction(catalog, "t_bkt", spark,
+      config = FullCompactionConfig(PlanningParams(
+        targetFileSizeBytes = 512L * 1024 * 1024,
+        maxInputParallelism = 4, maxOutputParallelism = 2,
+        fileGroupScope = graft.selection.FileGroupScope.Table))).compact()
+    val healed = catalog.loadTable("t_bkt").currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data)
+    assert(healed.forall(_.specId == 0), "compaction output is current-spec")
+    assert(healed.forall(f => f.partitionValues.contains("id")))
+    val afterHeal = IceRead.tablePartition(spark, catalog, "t_bkt", Map("id" -> "3"))
+    assert(afterHeal.count() == expected3.count())
+    assert(IceRead.table(spark, catalog, "t_bkt").count() == 60)
+
+    // healed table exports cleanly (specId 0 everywhere post-evolution,
+    // historical marked snapshots filtered by the export's spec guard)
+    IcebergExport.exportIcebergMetadata(catalog, "t_bkt"): Unit
+  }
+
+  test("transform evolution refused while non-main branches exist") {
+    val catalog = newCatalog()
+    val s = spark
+    import s.implicits._
+    val src = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    IceWrite.create(spark, catalog, "t_bkt_br", src,
+      partitionSpec = Seq(PartitionField("id", "bucket[2]")))
+    IceWrite.createBranch(catalog, "t_bkt_br", "audit")
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.updatePartitionSpec(catalog, "t_bkt_br",
+        Seq(PartitionField("id", "bucket[4]")))
+    }
+    assert(e.getMessage.contains("branches"))
+    // pure ADD/DROP evolution (no transform change) stays allowed with branches
+    SchemaEvolution.updatePartitionSpec(catalog, "t_bkt_br", Nil): Unit
   }
 
   test("metadata JSON round-trips the typed schema and field ids") {
