@@ -94,12 +94,13 @@ object IcebergExport {
       sys.error(s"exportIcebergMetadata: transform ${p.transform} is engine-internal " +
         "(sparkbucket is not Iceberg-spec); rewrite the table with bucket[n]"))
 
-  private def specJson(meta: TableMetadata): JValue =
-    ("spec-id" -> 0) ~ ("fields" -> meta.partitionSpec.zipWithIndex.map { case (p, i) =>
+  private def specJsonFor(meta: TableMetadata, specId: Int,
+      fields: Seq[PartitionField], idOf: PartitionField => Int): JValue =
+    ("spec-id" -> specId) ~ ("fields" -> fields.map { p =>
       ("name" -> partFieldName(p)) ~ ("transform" -> partTransform(p)) ~
         ("source-id" -> meta.fieldByName(p.column).map(_.id).getOrElse(
           sys.error(s"partition column ${p.column} not in schema"))) ~
-        ("field-id" -> (1000 + i))
+        ("field-id" -> idOf(p))
     })
 
   private def sortOrderJson(meta: TableMetadata): JValue =
@@ -171,9 +172,14 @@ object IcebergExport {
         fld("key", keyId, JString("int")),
         fld("value", valId, JString(valType))))))
 
-  private[meta] def manifestSchemaJson(meta: TableMetadata): String = {
-    val partFields = meta.partitionSpec.zipWithIndex.map { case (p, i) =>
-      optFld(partFieldName(p), 1000 + i, partAvroType(meta, p))
+  private[meta] def manifestSchemaJson(meta: TableMetadata): String =
+    manifestSchemaJsonFor(meta, meta.partitionSpec,
+      p => 1000 + meta.partitionSpec.indexOf(p))
+
+  private[meta] def manifestSchemaJsonFor(meta: TableMetadata,
+      specFields: Seq[PartitionField], idOf: PartitionField => Int): String = {
+    val partFields = specFields.map { p =>
+      optFld(partFieldName(p), idOf(p), partAvroType(meta, p))
     }
     val dataFile =
       ("type" -> "record") ~ ("name" -> "r2") ~ ("fields" -> List(
@@ -351,26 +357,47 @@ object IcebergExport {
       tags = meta.tags.filter { case (_, id) => keptIds.contains(id) })
   }
 
-  /** Export emits exactly ONE partition spec (the table's current, as
-    * spec-id 0), so every exported manifest entry must have been written
-    * under it. Files imported from a foreign table's HISTORICAL specs
-    * ([[FileEntry.specId]] != 0) cannot encode their partition struct in
-    * the current spec's shape: a current snapshot carrying one aborts
+  /** True when a historical spec's field can be emitted into the v2
+    * layout: its source column still resolves, its transform is a spec
+    * transform, and (identity only) its avro partition value type is
+    * representable. */
+  private def exportableSpecField(meta: TableMetadata, p: PartitionField): Boolean =
+    meta.fieldByName(p.column).exists { f =>
+      if (p.bucketN.nonEmpty) true
+      else if (!p.isIdentity) false // sparkbucket etc: engine-internal
+      else Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR",
+        "DOUBLE", "FLOAT", "DATE").contains(f.dataType.trim.toUpperCase)
+    }
+
+  /** Spec markers the export can emit faithfully: 0 (the current spec)
+    * plus every [[TableMetadata.historicalSpecs]] entry whose definition
+    * still resolves. */
+  private def exportableSpecIds(meta: TableMetadata): Set[Int] =
+    Set(0) ++ meta.historicalSpecs.collect {
+      case (k, fields) if fields.forall(exportableSpecField(meta, _)) => k
+    }
+
+  /** Files whose spec marker has a KNOWN definition export faithfully
+    * (their manifest rides the historical spec, see the multi-spec
+    * grouping in [[exportIcebergMetadata]]). A marker with NO recorded
+    * definition (pre-tracking metadata, or a dropped/renamed source
+    * column) cannot: a current snapshot carrying such a file aborts
     * (remediation: compaction rewrites every file under the current
     * spec), historical snapshots carrying them are dropped — the same
     * reachability split as the unstamped-pos-delete and allowV3 filters. */
-  private def filterNonCurrentSpecHistory(meta: TableMetadata): TableMetadata = {
-    if (meta.snapshots.forall(_.manifest.forall(_.specId == 0))) return meta
+  private def filterUnknownSpecHistory(meta: TableMetadata): TableMetadata = {
+    val ok = exportableSpecIds(meta)
+    if (meta.snapshots.forall(_.manifest.forall(f => ok(f.specId)))) return meta
     meta.currentSnapshot.foreach { s =>
-      val hit = s.manifest.find(_.specId != 0)
+      val hit = s.manifest.find(f => !ok(f.specId))
       require(hit.isEmpty,
         s"exportIcebergMetadata: file ${hit.get.path} (current snapshot) was " +
-          "written under a historical foreign partition spec and cannot be " +
-          "encoded in the exported (current) spec. Compact the table first — " +
-          "rewrites land under the current spec — then re-export. Historical " +
-          "snapshots with such files are dropped from the export automatically.")
+          "written under a partition spec whose definition is not recorded " +
+          "(or no longer resolves) and cannot be exported. Compact the table " +
+          "first — rewrites land under the current spec — then re-export. " +
+          "Historical snapshots with such files are dropped automatically.")
     }
-    val kept = meta.snapshots.filter(_.manifest.forall(_.specId == 0))
+    val kept = meta.snapshots.filter(_.manifest.forall(f => ok(f.specId)))
     val keptIds = kept.map(_.snapshotId).toSet
     meta.copy(
       snapshots = kept.map(s =>
@@ -418,28 +445,51 @@ object IcebergExport {
           refs = fullMeta.refs.filter { case (_, id) => keptIds.contains(id) },
           tags = fullMeta.tags.filter { case (_, id) => keptIds.contains(id) })
       }
-    val meta = filterNonCurrentSpecHistory(filterUnstampedPosDeleteHistory(exportable))
+    val meta = filterUnknownSpecHistory(filterUnstampedPosDeleteHistory(exportable))
     val dir = outDir.getOrElse(MetaIO.join(meta.location, "iceberg-metadata"))
     MetaIO.mkdirs(dir)
     val uuid = java.util.UUID.randomUUID().toString
 
-    val manifestSchema = new Schema.Parser().parse(manifestSchemaJson(meta))
+    // EVERY spec referenced by a surviving manifest entry exports: the
+    // current spec as spec-id 0 plus each historical marker under its own
+    // id, with partition field ids assigned GLOBALLY — the same
+    // (column, transform) field shares one id across specs (Iceberg's
+    // evolution semantics), distinct fields get distinct ids
+    val referencedSpecIds = meta.snapshots.flatMap(_.manifest.map(_.specId)).distinct
+    val allSpecs: Seq[(Int, Seq[PartitionField])] =
+      ((0 -> meta.partitionSpec) +: referencedSpecIds.filter(_ != 0).sorted
+        .map(k => k -> meta.historicalSpecs(k))).toSeq
+    val partFieldIds = scala.collection.mutable.LinkedHashMap.empty[(String, String), Int]
+    def idOf(p: PartitionField): Int =
+      partFieldIds.getOrElseUpdate((p.column, p.transform), 1000 + partFieldIds.size)
+    allSpecs.foreach { case (_, fs) => fs.foreach(idOf) }
+
+    val manifestSchemaOf: Map[Int, Schema] = allSpecs.map { case (k, fs) =>
+      k -> new Schema.Parser().parse(manifestSchemaJsonFor(meta, fs, idOf))
+    }.toMap
     val listSchema = new Schema.Parser().parse(manifestListSchemaJson)
     val (schemaJV, maxFieldId) = schemaJsonWithMax(meta)
     val schemaJ = JsonMethods.compact(JsonMethods.render(schemaJV))
-    val specFieldsJ = JsonMethods.compact(JsonMethods.render(specJson(meta) \ "fields"))
+    val specFieldsJOf: Map[Int, String] = allSpecs.map { case (k, fs) =>
+      k -> JsonMethods.compact(JsonMethods.render(
+        specJsonFor(meta, k, fs, idOf) \ "fields"))
+    }.toMap
 
-    // one manifest per (snapshot, content) + one manifest list per snapshot
+    // one manifest per (snapshot, content, spec) + one manifest list per
+    // snapshot — a spec-evolved table's older files ride manifests of
+    // THEIR spec, exactly like Iceberg writes them
     val snapshotsJ = meta.snapshots.map { snap =>
       val groups = snap.manifest.groupBy(f =>
-        if (f.content == FileContent.Data) 0 else 1).toSeq.sortBy(_._1)
-      val listEntries = groups.map { case (content, files) =>
-        val mPath = MetaIO.join(dir, s"$uuid-${snap.snapshotId}-m$content.avro")
+        (if (f.content == FileContent.Data) 0 else 1, f.specId)).toSeq.sortBy(_._1)
+      val listEntries = groups.map { case ((content, specId), files) =>
+        val mPath = MetaIO.join(dir, s"$uuid-${snap.snapshotId}-m$content-s$specId.avro")
+        val manifestSchema = manifestSchemaOf(specId)
+        val specFields = allSpecs.find(_._1 == specId).get._2
         val dfSchema = manifestSchema.getField("data_file").schema()
         val partSchema = dfSchema.getField("partition").schema()
         val records = files.map { f =>
           val part = new GenericData.Record(partSchema)
-          meta.partitionSpec.foreach { p =>
+          specFields.foreach { p =>
             part.put(partFieldName(p),
               partitionValue(meta, p, f.partitionValues.get(p.column)))
           }
@@ -520,8 +570,8 @@ object IcebergExport {
         }
         val mLen = avroWrite(mPath, manifestSchema, Map(
           "schema" -> schemaJ,
-          "partition-spec" -> specFieldsJ,
-          "partition-spec-id" -> "0",
+          "partition-spec" -> specFieldsJOf(specId),
+          "partition-spec-id" -> specId.toString,
           "format-version" -> "2",
           "content" -> (if (content == 0) "data" else "deletes")), records)
         val added = files.filter(_.sequenceNumber == snap.sequenceNumber)
@@ -529,7 +579,7 @@ object IcebergExport {
         val le = new GenericData.Record(listSchema)
         le.put("manifest_path", mPath)
         le.put("manifest_length", java.lang.Long.valueOf(mLen))
-        le.put("partition_spec_id", Integer.valueOf(0))
+        le.put("partition_spec_id", Integer.valueOf(specId))
         le.put("content", Integer.valueOf(content))
         le.put("sequence_number", java.lang.Long.valueOf(snap.sequenceNumber))
         le.put("min_sequence_number", java.lang.Long.valueOf(
@@ -562,8 +612,8 @@ object IcebergExport {
         ("schema-id" -> 0)
     }
 
-    val lastPartId = if (meta.partitionSpec.isEmpty) 999
-      else 1000 + meta.partitionSpec.size - 1
+    val lastPartId = if (partFieldIds.isEmpty) 999
+      else 1000 + partFieldIds.size - 1
     val refsJ: JValue = JObject(
       (meta.refs.map { case (b, id) =>
         b -> (("snapshot-id" -> id) ~ ("type" -> "branch"))
@@ -580,7 +630,8 @@ object IcebergExport {
         ("current-schema-id" -> 0) ~
         ("schemas" -> JArray(List(schemaJV))) ~
         ("default-spec-id" -> 0) ~
-        ("partition-specs" -> JArray(List(specJson(meta)))) ~
+        ("partition-specs" -> JArray(allSpecs.map { case (k, fs) =>
+          specJsonFor(meta, k, fs, idOf) }.toList)) ~
         ("last-partition-id" -> lastPartId) ~
         ("default-sort-order-id" -> (if (meta.sortOrder.isEmpty) 0 else 1)) ~
         ("sort-orders" -> JArray(List(sortOrderJson(meta)))) ~

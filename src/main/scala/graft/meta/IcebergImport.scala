@@ -237,6 +237,12 @@ object IcebergImport {
       formatVersion = 2,
       schema = schema,
       partitionSpec = specFields.map(_._2),
+      // every referenced NON-default spec's definition, keyed by its
+      // graft marker — what lets a later re-export stay spec-faithful
+      historicalSpecs = resolvedSpecs.toMap.collect {
+        case (fid, fields) if fid != defaultSpecId =>
+          graftSpecId(fid) -> fields.map(_._2)
+      },
       sortOrder = sortOrder,
       currentSnapshotId = currentId,
       refs = if (branchRefs.nonEmpty) branchRefs

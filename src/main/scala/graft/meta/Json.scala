@@ -40,6 +40,7 @@ object MetadataJson {
       "last-column-id" -> JInt(m.lastColumnId),
       "partition-spec" -> specToJson(m),
       "sort-order" -> sortToJson(m),
+      "historical-specs" -> historicalSpecsToJson(m),
       "current-snapshot-id" -> m.currentSnapshotId.map(JLong(_)).getOrElse(JNull),
       "refs" -> JObject(m.refs.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
       "tags" -> JObject(m.tags.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
@@ -60,6 +61,12 @@ object MetadataJson {
 
   private def specToJson(m: TableMetadata): JValue = JArray(m.partitionSpec.map(p =>
     JObject("column" -> str(p.column), "transform" -> str(p.transform))).toList)
+
+  private def historicalSpecsToJson(m: TableMetadata): JValue =
+    JObject(m.historicalSpecs.toList.sortBy(_._1).map { case (k, fields) =>
+      k.toString -> (JArray(fields.map(p =>
+        JObject("column" -> str(p.column), "transform" -> str(p.transform))).toList): JValue)
+    })
 
   private def sortToJson(m: TableMetadata): JValue = JArray(m.sortOrder.map(s =>
     JObject("column" -> str(s.column), "ascending" -> JBool(s.ascending),
@@ -195,6 +202,7 @@ object MetadataJson {
       "last-column-id" -> JInt(updated.lastColumnId),
       "partition-spec" -> specToJson(updated),
       "sort-order" -> sortToJson(updated),
+      "historical-specs" -> historicalSpecsToJson(updated),
       "current-snapshot-id" -> updated.currentSnapshotId.map(JLong(_)).getOrElse(JNull),
       "refs" -> JObject(updated.refs.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
       "tags" -> JObject(updated.tags.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
@@ -343,6 +351,12 @@ object MetadataJson {
         SortField(fStr(sm("column")), fBool(sm.getOrElse("ascending", JBool(true))),
           fBool(sm.getOrElse("nulls-first", JBool(true))))
       },
+      historicalSpecs = obj(m.getOrElse("historical-specs", JObject())).map { case (k, v) =>
+        k.toInt -> arr(v).map { p =>
+          val pm = obj(p).toMap
+          PartitionField(fStr(pm("column")), fStr(pm.getOrElse("transform", JString("identity"))))
+        }
+      }.toMap,
       currentSnapshotId = optLong(m.getOrElse("current-snapshot-id", JNull)),
       refs = obj(m.getOrElse("refs", JObject())).map { case (k, v) => k -> fLong(v) }.toMap,
       tags = obj(m.getOrElse("tags", JObject())).map { case (k, v) => k -> fLong(v) }.toMap,

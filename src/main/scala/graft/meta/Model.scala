@@ -226,7 +226,17 @@ final case class TableMetadata(
       * [firstRowId, firstRowId + recordCount); the cursor advances in the
       * SAME CAS as the snapshot, so concurrent appends get disjoint
       * ranges. 0 until the first v3 data commit. */
-    nextRowId: Long = 0L
+    nextRowId: Long = 0L,
+    /** Definitions of HISTORICAL partition specs, keyed by the
+      * [[FileEntry.specId]] marker their files carry (never key 0 — the
+      * current spec is `partitionSpec`). Recorded by partition-spec
+      * evolution (the spec being superseded) and by Iceberg import (each
+      * referenced foreign spec). Purely informational for reads — the
+      * conservative (specId != 0) handling never consults it — but it is
+      * what lets [[IcebergExport]] emit spec-faithful multi-spec metadata
+      * instead of dropping marked history. Empty on tables that never
+      * evolved a transform. */
+    historicalSpecs: Map[Int, Seq[PartitionField]] = Map.empty
 ) {
   /** Current column names, in schema order. */
   def schemaColumns: Seq[String] = schema.map(_.name)

@@ -197,7 +197,11 @@ object SchemaEvolution {
           snapshots = meta.snapshots :+ evolved,
           currentSnapshotId = Some(newId),
           refs = meta.refs + ("main" -> newId),
-          lastSequenceNumber = newSeq)
+          lastSequenceNumber = newSeq,
+          // record the superseded spec under the marker: reads never need
+          // it (conservative handling), but IcebergExport uses it to emit
+          // spec-faithful multi-spec metadata instead of dropping history
+          historicalSpecs = meta.historicalSpecs + (fresh -> meta.partitionSpec))
       }
     }
 

@@ -259,12 +259,19 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(got.filter(col("n_nationkey") === 5).count() == 1)
     assert(got.filter(col("n_nationkey") === 0).count() == 0)
 
-    // export of the current snapshot is refused while a historical-spec
-    // file is live (it cannot encode in the current spec), with the
-    // compaction remediation named
-    val e = intercept[IllegalArgumentException](
-      IcebergExport.exportIcebergMetadata(cat, "t_2spec"))
-    assert(e.getMessage.contains("Compact"))
+    // the import recorded the historical spec's DEFINITION, so re-export
+    // is spec-faithful: both specs emitted, per-manifest spec ids, and a
+    // second import round-trips the MOR view exactly
+    val reJson = IcebergExport.exportIcebergMetadata(cat, "t_2spec")
+    val rj = JsonMethods.parse(MetaIO.readString(reJson))
+    val reSpecs = (rj \ "partition-specs") match { case JArray(xs) => xs; case _ => Nil }
+    assert(reSpecs.size == 2, "re-export must emit the historical spec too")
+    val cat2 = LocalCatalog(Files.createTempDirectory("ice-2spec-cat2").toString)
+    val back2 = IcebergImport.importIcebergMetadata(cat2, "t_2spec_rt", reJson)
+    assert(back2.historicalSpecs.values.toSeq.contains(Seq(PartitionField("n_regionkey"))))
+    val rt = IceRead.table(spark, cat2, "t_2spec_rt")
+    assert(rt.count() == got.count())
+    assert(rt.exceptAll(got).isEmpty && got.exceptAll(rt).isEmpty)
   }
 
   test("format v3 and non-parquet formats are refused") {
