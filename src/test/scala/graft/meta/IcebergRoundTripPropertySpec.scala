@@ -72,8 +72,21 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
       case _ => s"v$i"
     }
 
+  /** An optional HISTORICAL spec (marker 3): a bucket spec some files
+    * were written under before an evolution — exercises the multi-spec
+    * export/import path. */
+  private def histSpecGen(schema: Seq[SchemaField]): Gen[Option[Seq[PartitionField]]] = {
+    val cands = schema.filter(f => Set("BIGINT", "INT", "STRING").contains(f.dataType))
+    if (cands.isEmpty) Gen.const(None)
+    else Gen.option(for {
+      col <- Gen.oneOf(cands)
+      n <- Gen.oneOf(2, 4)
+    } yield Seq(PartitionField(col.name, s"bucket[$n]")))
+  }
+  private val HistMarker = 3
+
   private def fileGen(schema: Seq[SchemaField], spec: Seq[PartitionField],
-      tag: String): Gen[FileEntry] = for {
+      histSpec: Option[Seq[PartitionField]], tag: String): Gen[FileEntry] = for {
     content <- Gen.frequency(3 -> Gen.const(FileContent.Data),
       1 -> Gen.const(FileContent.EqualityDeletes))
     rows <- Gen.chooseNum(1L, 1L << 20)
@@ -82,26 +95,30 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
     partIdx <- Gen.chooseNum(0, 3)
     nEq <- Gen.chooseNum(1, schema.size)
     eqFields <- Gen.pick(nEq, schema)
+    useHist <- Gen.frequency(2 -> Gen.const(false),
+      (if (histSpec.isDefined) 1 else 0) -> Gen.const(true))
     suffix <- Gen.chooseNum(0, Int.MaxValue)
   } yield {
     val eqIds = if (content == FileContent.EqualityDeletes)
       eqFields.map(_.id).toSeq.sorted else Nil
+    val fileSpec = if (useHist) histSpec.get else spec
     FileEntry(
       path = s"/w/$tag/f$suffix.parquet",
       length = len, content = content, recordCount = rows,
       sequenceNumber = seq,
       equalityIds = eqIds.flatMap(id => schema.find(_.id == id)).map(_.name),
       equalityFieldIds = eqIds,
-      partitionValues = spec.map(p =>
-        p.column -> partValue(schema.find(_.name == p.column).get, p, partIdx)).toMap)
+      partitionValues = fileSpec.map(p =>
+        p.column -> partValue(schema.find(_.name == p.column).get, p, partIdx)).toMap,
+      specId = if (useHist) HistMarker else 0)
   }
 
-  private def snapshotsGen(schema: Seq[SchemaField],
-      spec: Seq[PartitionField]): Gen[Seq[Snapshot]] = for {
+  private def snapshotsGen(schema: Seq[SchemaField], spec: Seq[PartitionField],
+      histSpec: Option[Seq[PartitionField]]): Gen[Seq[Snapshot]] = for {
     n <- Gen.chooseNum(1, 4)
     manifests <- Gen.sequence[Seq[Seq[FileEntry]], Seq[FileEntry]](
       (1 to n).map(i => Gen.chooseNum(1, 5).flatMap(k =>
-        Gen.listOfN(k, fileGen(schema, spec, s"s$i")).map(_.distinctBy(_.path)))))
+        Gen.listOfN(k, fileGen(schema, spec, histSpec, s"s$i")).map(_.distinctBy(_.path)))))
   } yield manifests.zipWithIndex.map { case (m, i) =>
     val seq = (i + 1).toLong * 20 // every file seq (<=20) <= snapshot seq
     Snapshot(100L + i, if (i == 0) None else Some(100L + i - 1), seq,
@@ -112,9 +129,10 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
   private val metaGen: Gen[TableMetadata] = for {
     schema <- schemaGen
     spec <- specGen(schema)
+    histSpec <- histSpecGen(schema)
     sortCols <- Gen.someOf(schema.filterNot(_.dataType.startsWith("ARRAY")))
     asc <- Gen.oneOf(true, false)
-    snaps <- snapshotsGen(schema, spec)
+    snaps <- snapshotsGen(schema, spec, histSpec)
     nTags <- Gen.chooseNum(0, 2)
     extraBranch <- Gen.oneOf(true, false)
   } yield {
@@ -132,7 +150,8 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
       currentSnapshotId = Some(cur), refs = refs, snapshots = snaps,
       lastSequenceNumber = snaps.map(_.sequenceNumber).max,
       lastColumnId = schema.map(_.id).max, tags = tags,
-      properties = Map("fuzz.case" -> "1"))
+      properties = Map("fuzz.case" -> "1"),
+      historicalSpecs = histSpec.map(HistMarker -> _).toMap)
   }
 
   private def entryKey(f: FileEntry) =
@@ -167,9 +186,16 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
         assert(b.summary.get("operation") == a.summary.get("operation"), s"case $i")
         assert(b.manifest.map(entryKey).toSet == a.manifest.map(entryKey).toSet,
           s"case $i: manifest entry drift at snapshot ${a.snapshotId}")
-        assert(b.manifest.forall(_.specId == 0), s"case $i: default-spec files " +
-          "must import with the current-spec marker")
+        // spec markers survive (the numbering is graft-relative and may
+        // shift on re-import, but WHICH files are historical-spec must not)
+        assert(b.manifest.filter(_.specId != 0).map(_.path).toSet ==
+          a.manifest.filter(_.specId != 0).map(_.path).toSet,
+          s"case $i: historical-spec marking drift at snapshot ${a.snapshotId}")
       }
+      // a REFERENCED historical spec's definition round-trips
+      if (orig.snapshots.exists(_.manifest.exists(_.specId != 0)))
+        assert(back.historicalSpecs.values.toSet == orig.historicalSpecs.values.toSet,
+          s"case $i: historical spec definition drift")
     }
   }
 }
