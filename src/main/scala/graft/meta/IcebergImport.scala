@@ -21,10 +21,13 @@ import org.json4s.jackson.JsonMethods
   * `partition_spec_id`, files record which spec they were written under
   * ([[FileEntry.specId]], graft-relative: default spec = 0), and a spec
   * is validated only when some manifest actually references it; branch
-  * and tag refs. Refused with clear errors: format v3, non-parquet file
-  * formats, genuinely unconvertible transforms on a REFERENCED spec.
-  * DELETED status entries are skipped (they are history bookkeeping, not
-  * state).
+  * and tag refs; per-file `lower_bounds`/`upper_bounds`/
+  * `null_value_counts` (when the foreign writer recorded them) decode
+  * back into graft's manifest zone maps, so imported tables keep
+  * manifest-level file skipping with zero footer reads. Refused with
+  * clear errors: format v3, non-parquet file formats, genuinely
+  * unconvertible transforms on a REFERENCED spec. DELETED status
+  * entries are skipped (they are history bookkeeping, not state).
   *
   * Iceberg-written parquet always carries field ids (spec requirement),
   * so imported entries stay ID-addressed — renames remain safe. */
@@ -41,6 +44,45 @@ object IcebergImport {
     case JArray(xs) => xs; case JNothing => Nil
     case other => sys.error(s"expected array, got $other")
   }
+
+  /** Inverse of [[IcebergExport.boundBytes]]: one Appendix-D
+    * single-value bound back to graft's decimal-string zone-map form
+    * (timestamps stay micros, dates stay day ordinals — the same domain
+    * the footer collector records, so [[FileEntry.mayContainRange]]
+    * comparisons are uniform). Types without a numeric zone-map form
+    * return None and the bound is ignored. */
+  private[meta] def boundDecode(ddl: String, bytes: java.nio.ByteBuffer): Option[String] = {
+    import java.nio.ByteOrder
+    val b = bytes.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    val t = ddl.trim.toUpperCase
+    try t match {
+      case "INT" | "INTEGER" | "SMALLINT" | "TINYINT" | "DATE" if b.remaining == 4 =>
+        Some(b.getInt.toString)
+      case "BIGINT" | "LONG" | "TIMESTAMP" | "TIMESTAMP_NTZ" if b.remaining == 8 =>
+        Some(b.getLong.toString)
+      case "FLOAT" | "REAL" if b.remaining == 4 =>
+        Some(BigDecimal(b.getFloat.toString).toString)
+      case "DOUBLE" if b.remaining == 8 =>
+        Some(BigDecimal(b.getDouble.toString).toString)
+      case dec if dec.startsWith("DECIMAL") =>
+        val arr = new Array[Byte](b.remaining); b.get(arr)
+        Some(BigInt(arr).toString)
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** A manifest kv-map field ([[IcebergExport.kvMapType]]'s array-of-
+    * key/value-records encoding) decoded to field-id -> value. */
+  private def kvMapOf(df: org.apache.avro.generic.GenericRecord,
+      field: String): Map[Int, AnyRef] =
+    (if (df.getSchema.getField(field) == null) None else Option(df.get(field)))
+      .map { arr =>
+        import scala.jdk.CollectionConverters._
+        arr.asInstanceOf[java.util.Collection[AnyRef]].asScala.map { e =>
+          val r = e.asInstanceOf[org.apache.avro.generic.GenericRecord]
+          r.get("key").asInstanceOf[Int] -> r.get("value")
+        }.toMap
+      }.getOrElse(Map.empty)
 
   /** Iceberg type JSON -> graft DDL string. */
   private[meta] def ddlOf(t: JValue): String = t match {
@@ -186,6 +228,24 @@ object IcebergImport {
             val eqIds = Option(df.get("equality_ids")).toSeq.flatMap(
               _.asInstanceOf[java.util.List[Integer]].toArray.toSeq
                 .map(_.asInstanceOf[Integer].intValue))
+            // per-file stats (when the foreign writer recorded them):
+            // lower/upper bounds decode into graft's manifest zone maps —
+            // imported tables get manifest-level file skipping with ZERO
+            // footer reads, which at a 10^6-file import is the difference
+            // between instant pruning and a full footer sweep
+            val lower = kvMapOf(df, "lower_bounds")
+            val upper = kvMapOf(df, "upper_bounds")
+            val stats = lower.keySet.intersect(upper.keySet).toSeq.flatMap { id =>
+              byId.get(id).flatMap { f =>
+                for {
+                  mn <- boundDecode(f.dataType, lower(id).asInstanceOf[java.nio.ByteBuffer])
+                  mx <- boundDecode(f.dataType, upper(id).asInstanceOf[java.nio.ByteBuffer])
+                } yield f.name -> (mn, mx)
+              }
+            }.toMap
+            val nulls = kvMapOf(df, "null_value_counts").toSeq.flatMap { case (id, v) =>
+              byId.get(id).map(f => f.name -> v.asInstanceOf[java.lang.Long].longValue)
+            }.toMap
             Some(FileEntry(
               path = df.get("file_path").toString,
               length = df.get("file_size_in_bytes").asInstanceOf[Long],
@@ -199,6 +259,8 @@ object IcebergImport {
               equalityIds = eqIds.flatMap(byId.get).map(_.name),
               equalityFieldIds = eqIds,
               partitionValues = partVals,
+              columnStats = stats,
+              nullCounts = nulls,
               specId = graftSpecId(mSpecId)))
           }
         }

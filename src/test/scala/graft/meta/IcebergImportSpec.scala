@@ -45,6 +45,25 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     assert(b.count() == 2 * src.count() - 7) // keys 0..6 deleted
 
+    // zone maps survive the trip: exported bounds decode back into
+    // manifest columnStats, so the imported table prunes files WITHOUT
+    // footer reads
+    val origStats = orig.currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data).map(f => f.path -> f.columnStats).toMap
+    back.currentSnapshot.get.manifest.filter(_.content == FileContent.Data)
+      .foreach { f =>
+        val want = origStats(f.path)
+        assert(want.keySet.contains("c_custkey") && f.columnStats.contains("c_custkey"),
+          s"${f.path}: imported entry lost its c_custkey zone map")
+        want.foreach { case (colName, (mn, mx)) =>
+          f.columnStats.get(colName).foreach { case (bmn, bmx) =>
+            assert(BigDecimal(bmn) == BigDecimal(mn) && BigDecimal(bmx) == BigDecimal(mx),
+              s"${f.path}/$colName: bounds drift ($bmn,$bmx) != ($mn,$mx)")
+          }
+        }
+        assert(f.nullCounts.get("c_custkey").contains(0L))
+      }
+
     // time travel through the imported history
     val atV1 = IceRead.tableAt(spark, dstCat, "t_back", 1L)
     assert(atV1.count() == src.count())

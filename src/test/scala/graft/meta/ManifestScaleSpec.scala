@@ -127,6 +127,41 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(loadMs < 60000 && planMs < 60000 && commitMs < 120000)
   }
 
+  test("100k-entry Iceberg export + import round-trips in bounded time with stats intact") {
+    // the interop path at migration scale: exporting 100k manifest
+    // entries (avro manifests + list + metadata JSON) and importing them
+    // back is driver-side metadata work — it must stay seconds, not
+    // minutes, and preserve the zone maps that make the imported table
+    // prunable without footer reads
+    val n = 100000
+    val whSrc = Files.createTempDirectory("exp-scale-src").toString
+    val whDst = Files.createTempDirectory("exp-scale-dst").toString
+    val srcCat = new LocalCatalog(whSrc)
+    val (meta, _) = bigMeta("t_scale", n)
+    srcCat.createTable(meta.copy(location = MetaIO.join(whSrc, "t_scale")))
+
+    val tE = System.nanoTime()
+    val jsonPath = IcebergExport.exportIcebergMetadata(srcCat, "t_scale")
+    val exportMs = (System.nanoTime() - tE) / 1000000
+    val tI = System.nanoTime()
+    val back = IcebergImport.importIcebergMetadata(
+      new LocalCatalog(whDst), "t_scale_b", jsonPath)
+    val importMs = (System.nanoTime() - tI) / 1000000
+
+    assert(back.currentSnapshot.get.manifest.size == n)
+    // stats survived: spot-check decoded bounds on both ends of the range
+    val byPath = back.currentSnapshot.get.manifest.map(f => f.path -> f).toMap
+    for (i <- Seq(0, n / 2, n - 1)) {
+      val f = byPath(f"/warehouse/t/data/part-$i%06d.parquet")
+      assert(f.columnStats.get("id").contains((s"${i * 1000L}", s"${i * 1000L + 999}")),
+        s"entry $i lost its zone map: ${f.columnStats}")
+      assert(f.partitionValues("ds") == f"2026-01-${i % 28 + 1}%02d")
+    }
+    info(s"100k entries: export $exportMs ms, import $importMs ms")
+    assert(exportMs < 60000 && importMs < 60000,
+      s"metadata-scale interop out of envelope: export $exportMs ms import $importMs ms")
+  }
+
   test("cross-version deltas: commits write O(change) bytes; chains load; anchors bound them") {
     val wh = Files.createTempDirectory("scale-xd")
     // anchorEvery = 4 exercises delta -> anchor -> delta across one test
