@@ -28,6 +28,7 @@ object Maintenance {
       val pinned = meta.refs.values.toSet ++ meta.tags.values.toSet ++ meta.currentSnapshotId.toSet
       val keep = (byAge.take(keepLast).map(_.snapshotId).toSet ++ pinned)
       val trimmed = meta.copy(snapshots = meta.snapshots.filter(s => keep.contains(s.snapshotId)))
+        .pruneUnreferencedHistoricalSpecs
       try return catalog.commit(meta, trimmed)
       catch {
         case _: CommitConflictException if attempt < retry.maxRetries => attempt += 1
@@ -99,7 +100,7 @@ object Maintenance {
       val keep = meta.snapshots.filter(s =>
         s.timestampMs >= olderThanMs || pinned.contains(s.snapshotId) ||
           newest.contains(s.snapshotId))
-      val trimmed = meta.copy(snapshots = keep)
+      val trimmed = meta.copy(snapshots = keep).pruneUnreferencedHistoricalSpecs
       try return catalog.commit(meta, trimmed)
       catch {
         case _: CommitConflictException if attempt < retry.maxRetries => attempt += 1

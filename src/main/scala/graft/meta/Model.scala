@@ -238,6 +238,18 @@ final case class TableMetadata(
       * evolved a transform. */
     historicalSpecs: Map[Int, Seq[PartitionField]] = Map.empty
 ) {
+  /** Drops [[historicalSpecs]] entries no surviving manifest references —
+    * snapshot expiry calls this, being the only operation that retires
+    * the last marker-bearing file together with its history (compaction
+    * clears markers from the HEAD but time travel keeps them alive until
+    * expiry). O(1) no-op for tables that never evolved a transform. */
+  def pruneUnreferencedHistoricalSpecs: TableMetadata =
+    if (historicalSpecs.isEmpty) this
+    else {
+      val referenced = snapshots.iterator.flatMap(_.manifest.iterator.map(_.specId)).toSet
+      copy(historicalSpecs = historicalSpecs.filter { case (k, _) => referenced(k) })
+    }
+
   /** Current column names, in schema order. */
   def schemaColumns: Seq[String] = schema.map(_.name)
   def fieldById(id: Int): Option[SchemaField] = schema.find(_.id == id)

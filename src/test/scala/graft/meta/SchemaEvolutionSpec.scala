@@ -383,9 +383,17 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(afterHeal.count() == expected3.count())
     assert(IceRead.table(spark, catalog, "t_bkt").count() == 60)
 
-    // healed table exports cleanly (specId 0 everywhere post-evolution,
-    // historical marked snapshots filtered by the export's spec guard)
+    // healed table exports cleanly — and with the superseded spec's
+    // definition recorded, marked HISTORY exports faithfully too
+    assert(catalog.loadTable("t_bkt").historicalSpecs.values.toSeq
+      .contains(Seq(PartitionField("id", "bucket[2]"))))
     IcebergExport.exportIcebergMetadata(catalog, "t_bkt"): Unit
+
+    // snapshot expiry retires the last marker-bearing history and prunes
+    // the now-unreferenced historical spec definition with it
+    graft.compaction.Maintenance.expireSnapshots(catalog, "t_bkt", keepLast = 1)
+    assert(catalog.loadTable("t_bkt").historicalSpecs.isEmpty,
+      "expiry must drop historical specs no surviving manifest references")
   }
 
   test("transform evolution refused while non-main branches exist") {
