@@ -159,7 +159,11 @@ object IcebergExport {
       case Some("STRING") | Some("VARCHAR") => JString("string")
       case Some("DOUBLE") => JString("double")
       case Some("FLOAT") => JString("float")
-      case Some("DATE") => JString("string") // exported as the literal day string
+      // spec partition-data encoding for a date source: int days since
+      // epoch (avro date logical type) — a string here would break any
+      // conforming reader's partition struct decode
+      case Some("DATE") => ("type" -> "int") ~ ("logicalType" -> "date")
+      case Some("BOOLEAN") => JString("boolean")
       case other => sys.error(s"unsupported identity partition source type $other")
     }
 
@@ -268,6 +272,11 @@ object IcebergExport {
           case Some("INT") | Some("INTEGER") => Integer.valueOf(v.toInt)
           case Some("DOUBLE") => java.lang.Double.valueOf(v.toDouble)
           case Some("FLOAT") => java.lang.Float.valueOf(v.toFloat)
+          // graft records the literal day string; the spec's partition
+          // data carries int days since epoch
+          case Some("DATE") =>
+            Integer.valueOf(java.time.LocalDate.parse(v).toEpochDay.toInt)
+          case Some("BOOLEAN") => java.lang.Boolean.valueOf(v)
           case _ => v
         }
     }
@@ -366,7 +375,7 @@ object IcebergExport {
       if (p.bucketN.nonEmpty) true
       else if (!p.isIdentity) false // sparkbucket etc: engine-internal
       else Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR",
-        "DOUBLE", "FLOAT", "DATE").contains(f.dataType.trim.toUpperCase)
+        "DOUBLE", "FLOAT", "DATE", "BOOLEAN").contains(f.dataType.trim.toUpperCase)
     }
 
   /** Spec markers the export can emit faithfully: 0 (the current spec)

@@ -86,6 +86,47 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("DATE-partitioned export encodes int days (spec partition data); import round-trips") {
+    val s = spark
+    import s.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val srcCat = LocalCatalog(Files.createTempDirectory("ice-date-src").toString)
+    val src = Seq((1L, "2026-01-01"), (2L, "2026-01-02"), (3L, "2026-01-01"))
+      .toDF("id", "d").withColumn("d", to_date(col("d")))
+    IceWrite.create(spark, srcCat, "t_date", src,
+      partitionSpec = Seq(PartitionField("d")))
+    val jsonPath = IcebergExport.exportIcebergMetadata(srcCat, "t_date")
+
+    // RAW avro: conforming readers see int days since epoch, not a string
+    val j = JsonMethods.parse(MetaIO.readString(jsonPath))
+    val listPath = (j \ "snapshots")(0) \ "manifest-list" match {
+      case JString(p) => p; case _ => fail("no manifest list")
+    }
+    val (listEntries, _) = IcebergExport.readAvro(listPath)
+    val days = listEntries.flatMap { le =>
+      IcebergExport.readAvro(le.get("manifest_path").toString)._1.map { r =>
+        r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("d")
+      }
+    }
+    assert(days.nonEmpty && days.forall(_.isInstanceOf[Integer]),
+      s"date partition values must be avro ints, got ${days.map(_.getClass)}")
+    val wantDays = Set(java.time.LocalDate.parse("2026-01-01").toEpochDay.toInt,
+      java.time.LocalDate.parse("2026-01-02").toEpochDay.toInt)
+    assert(days.map(_.asInstanceOf[Integer].intValue).toSet == wantDays)
+
+    // import converts back to the literal day string; pruning exact
+    val dstCat = LocalCatalog(Files.createTempDirectory("ice-date-dst").toString)
+    val back = IcebergImport.importIcebergMetadata(dstCat, "t_date_b", jsonPath)
+    assert(back.currentSnapshot.get.manifest.forall(
+      _.partitionValues.get("d").exists(v => v == "2026-01-01" || v == "2026-01-02")))
+    val day1 = IceRead.tablePartition(spark, dstCat, "t_date_b", Map("d" -> "2026-01-01"))
+    assert(day1.count() == 2)
+    assert(IceRead.table(spark, dstCat, "t_date_b").count() == 3)
+  }
+
   /** A FOREIGN two-spec fixture, hand-built to the published spec layout
     * (no graft writer involved): the table began under spec 0 =
     * identity(n_regionkey) and evolved to spec 1 = identity(n_regionkey)
