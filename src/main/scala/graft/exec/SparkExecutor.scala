@@ -85,16 +85,26 @@ object SparkExecutor extends CompactionExecutor {
     graft.functions.ZOrder.columnsOf(sortColumn)
       .orElse(graft.functions.HilbertCurve.columnsOf(sortColumn))
 
-  /** Identity partition value column, or a bucket column. "bucket[n]" is
-    * the Iceberg-spec transform ([[graft.functions.IcebergBucket]] —
-    * cross-engine compatible bucket assignment); "sparkbucket[n]" is the
-    * engine-internal murmur3 opt-out (see [[graft.meta.PartitionField]]).
-    * Public: the writer, the testkit, and partition-pruned reads must all
-    * derive bucket ordinals from this one definition. */
+  /** Identity partition value column, a bucket column, or a TIME
+    * transform literal. "bucket[n]" is the Iceberg-spec transform
+    * ([[graft.functions.IcebergBucket]] — cross-engine compatible bucket
+    * assignment); "sparkbucket[n]" is the engine-internal murmur3
+    * opt-out; "year"/"month"/"day"/"hour" produce the Iceberg time
+    * transform's human literal ("2026-01-01" etc), evaluated in the
+    * session time zone — UTC everywhere here, per the Iceberg spec (see
+    * [[graft.meta.PartitionField]]). Public: the writer, the testkit,
+    * and partition-pruned reads must all derive partition values from
+    * this one definition. */
   def partitionExpr(p: PartitionField): Column = (p.bucketN, p.sparkBucketN) match {
     case (Some(n), _) => graft.functions.IcebergBucketFunctions.iceberg_bucket(col(p.column), n)
     case (_, Some(n)) => pmod(hash(col(p.column)), lit(n))
-    case _            => col(p.column)
+    case _ => p.transform match {
+      case "year" => date_format(col(p.column), "yyyy")
+      case "month" => date_format(col(p.column), "yyyy-MM")
+      case "day" => date_format(col(p.column), "yyyy-MM-dd")
+      case "hour" => date_format(col(p.column), "yyyy-MM-dd-HH")
+      case _ => col(p.column)
+    }
   }
 
   /** Directory-encoded partition columns are written from *copies* so data

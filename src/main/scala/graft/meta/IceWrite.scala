@@ -490,9 +490,10 @@ object IceWrite {
       val f = meta0.partitionSpec.find(_.column == k).getOrElse(
         throw new IllegalArgumentException(
           s"dropPartitions: $k is not in the partition spec of $name"))
-      require(f.isIdentity,
-        s"dropPartitions: $k has transform ${f.transform}; only identity " +
-          "partition values equal their column values, so only they are droppable by value")
+      require(f.isValueAddressable,
+        s"dropPartitions: $k has transform ${f.transform}; only identity and " +
+          "time-transform partition values are faithful literals a drop can " +
+          "name — bucket ordinals are not droppable by value")
     }
     commitSnapshot(catalog, name, Nil, operation = "delete", branch = "main",
       pruneParent = prunePartitions(partitionFilter, _))
@@ -512,9 +513,9 @@ object IceWrite {
     val meta0 = catalog.loadTable(name)
     require(meta0.partitionSpec.nonEmpty,
       s"overwritePartitions: $name is unpartitioned — use append/deleteWhere")
-    require(meta0.partitionSpec.forall(_.isIdentity),
-      "overwritePartitions replaces partitions by VALUE; non-identity " +
-        "transforms would need transform-aware matching")
+    require(meta0.partitionSpec.forall(_.isValueAddressable),
+      "overwritePartitions replaces partitions by VALUE; bucket " +
+        "transforms have no faithful literal to match on")
     if (df.isEmpty) return meta0
     val out = if (typedOf(meta0)) withFieldIds(df, meta0.schema) else df
     val written = SparkExecutor.writeDataFiles(

@@ -86,10 +86,12 @@ object IcebergExport {
   private def partFieldName(p: PartitionField): String =
     if (p.isIdentity) p.column
     else if (p.bucketN.nonEmpty || p.sparkBucketN.nonEmpty) s"${p.column}_bucket"
+    else if (p.isTime) s"${p.column}_${p.transform}"
     else sys.error(s"unsupported partition transform: ${p.transform}")
 
   private def partTransform(p: PartitionField): String =
     if (p.isIdentity) "identity"
+    else if (p.isTime) p.transform
     else p.bucketN.map(n => s"bucket[$n]").getOrElse(
       sys.error(s"exportIcebergMetadata: transform ${p.transform} is engine-internal " +
         "(sparkbucket is not Iceberg-spec); rewrite the table with bucket[n]"))
@@ -152,7 +154,10 @@ object IcebergExport {
   /** Avro type of one partition column inside the manifest `partition`
     * struct: identity mirrors the source column, bucket is an int. */
   private def partAvroType(meta: TableMetadata, p: PartitionField): JValue =
-    if (!p.isIdentity) JString("int")
+    // day's result type is a date (int days, avro date logical type);
+    // year/month/hour are plain int ordinals, like bucket
+    if (p.transform == "day") ("type" -> "int") ~ ("logicalType" -> "date")
+    else if (!p.isIdentity) JString("int")
     else meta.fieldByName(p.column).map(_.dataType.trim.toUpperCase) match {
       case Some("BIGINT") | Some("LONG") => JString("long")
       case Some("INT") | Some("INTEGER") => JString("int")
@@ -265,6 +270,10 @@ object IcebergExport {
   private def partitionValue(meta: TableMetadata, p: PartitionField, raw: Option[String]): AnyRef =
     raw match {
       case None => null
+      // time transforms: graft records the human literal, the spec wants
+      // the int ordinal
+      case Some(v) if p.isTime =>
+        Integer.valueOf(PartitionField.timeLiteralToOrdinal(p.transform, v))
       case Some(v) if !p.isIdentity => Integer.valueOf(v.toInt)
       case Some(v) =>
         meta.fieldByName(p.column).map(_.dataType.trim.toUpperCase) match {
@@ -372,7 +381,7 @@ object IcebergExport {
     * representable. */
   private def exportableSpecField(meta: TableMetadata, p: PartitionField): Boolean =
     meta.fieldByName(p.column).exists { f =>
-      if (p.bucketN.nonEmpty) true
+      if (p.bucketN.nonEmpty || p.isTime) true
       else if (!p.isIdentity) false // sparkbucket etc: engine-internal
       else Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR",
         "DOUBLE", "FLOAT", "DATE", "BOOLEAN").contains(f.dataType.trim.toUpperCase)

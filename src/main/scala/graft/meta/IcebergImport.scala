@@ -139,7 +139,8 @@ object IcebergImport {
           val src = byId.getOrElse(lng(f \ "source-id").toInt,
             sys.error(s"partition source-id ${f \ "source-id"} not in schema"))
           val transform = str(f \ "transform")
-          require(transform == "identity" || transform.matches("bucket\\[\\d+\\]"),
+          require(transform == "identity" || transform.matches("bucket\\[\\d+\\]") ||
+              PartitionField.TimeTransforms.contains(transform),
             s"importIcebergMetadata: unsupported partition transform $transform " +
               s"(spec $specId)")
           val srcDdl = src.dataType.trim.toUpperCase
@@ -217,6 +218,11 @@ object IcebergImport {
                   // "19723" and silently match no user filter. Types with
                   // no faithful literal form were refused at spec parse.
                   val s = (pf.isIdentity, srcDdl, v) match {
+                    // time transforms arrive as the spec's int ordinals
+                    // (years/months/days/hours since epoch); graft records
+                    // the human literal
+                    case (false, _, i: java.lang.Integer) if pf.isTime =>
+                      PartitionField.timeOrdinalToLiteral(pf.transform, i.intValue)
                     case (true, "DATE", i: java.lang.Integer) =>
                       java.time.LocalDate.ofEpochDay(i.longValue).toString
                     case _ => v.toString

@@ -159,7 +159,22 @@ final case class SortField(column: String, ascending: Boolean = true, nullsFirst
 
 /** Partition-spec field. Supported transforms: "identity", "bucket[n]"
   * (the only transforms exercised by the reference's tests —
-  * SURVEY.md §1.2), plus "sparkbucket[n]" as an opt-out.
+  * SURVEY.md §1.2), "sparkbucket[n]" as an opt-out, and the Iceberg TIME
+  * transforms "year"/"month"/"day"/"hour" — the canonical pipeline
+  * layout (partition by ingestion day, expire by day).
+  *
+  * Time transforms record their partition values as the HUMAN literal of
+  * the Iceberg ordinal ("2026" / "2026-01" / "2026-01-01" /
+  * "2026-01-01-15"), computed in UTC per the Iceberg spec — sessions
+  * must run `spark.sql.session.timeZone=UTC` (every entry point here
+  * does) or the directory fan-out and the residual filter would both
+  * shift. The literal form makes time-partitioned values
+  * value-addressable exactly like identity: dropPartitions /
+  * overwritePartitions / tablePartition work on them unchanged, which is
+  * the point — day-partitioned retention is a metadata-only drop.
+  * [[graft.meta.IcebergExport]] converts literals to the spec's int
+  * ordinals (days/months/years/hours since epoch) at the interop
+  * boundary; import converts back.
   *
   * "bucket[n]" is the Iceberg-spec bucket (murmur3_x86_32 over the
   * single-value binary encoding, [[graft.functions.IcebergBucketUtil]]) —
@@ -177,6 +192,12 @@ final case class SortField(column: String, ascending: Boolean = true, nullsFirst
   * values and silently drops rows. */
 final case class PartitionField(column: String, transform: String = "identity") {
   def isIdentity: Boolean = transform == "identity"
+  /** true for the Iceberg time transforms (year/month/day/hour). */
+  def isTime: Boolean = PartitionField.TimeTransforms.contains(transform)
+  /** identity AND time transforms are value-addressable: the recorded
+    * partition value is a faithful literal a user can name in a filter
+    * or a drop — unlike bucket ordinals. */
+  def isValueAddressable: Boolean = isIdentity || isTime
   def bucketN: Option[Int] = bucketArg("bucket")
   def sparkBucketN: Option[Int] = bucketArg("sparkbucket")
   def isBucket: Boolean = bucketN.nonEmpty || sparkBucketN.nonEmpty
@@ -184,6 +205,38 @@ final case class PartitionField(column: String, transform: String = "identity") 
     if (transform.startsWith(prefix + "[") && transform.endsWith("]"))
       Some(transform.stripPrefix(prefix + "[").stripSuffix("]").toInt)
     else None
+}
+
+object PartitionField {
+  val TimeTransforms: Set[String] = Set("year", "month", "day", "hour")
+
+  /** Human literal <-> Iceberg int ordinal for the time transforms, UTC
+    * (spec: years/months/days/hours since 1970). The literal forms match
+    * Iceberg's own human representation and are what graft records as
+    * partition values. */
+  def timeLiteralToOrdinal(transform: String, literal: String): Int = transform match {
+    case "year" => literal.toInt - 1970
+    case "month" =>
+      val Array(y, m) = literal.split("-", 2); (y.toInt - 1970) * 12 + (m.toInt - 1)
+    case "day" => java.time.LocalDate.parse(literal).toEpochDay.toInt
+    case "hour" =>
+      val i = literal.lastIndexOf('-')
+      val d = java.time.LocalDate.parse(literal.substring(0, i))
+      (d.toEpochDay * 24 + literal.substring(i + 1).toInt).toInt
+    case other => sys.error(s"not a time transform: $other")
+  }
+
+  def timeOrdinalToLiteral(transform: String, ordinal: Int): String = transform match {
+    case "year" => (1970 + ordinal).toString
+    case "month" =>
+      val y = 1970 + Math.floorDiv(ordinal, 12); val m = Math.floorMod(ordinal, 12) + 1
+      f"$y%04d-$m%02d"
+    case "day" => java.time.LocalDate.ofEpochDay(ordinal.toLong).toString
+    case "hour" =>
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(ordinal.toLong, 24L))
+      f"$d-${Math.floorMod(ordinal.toLong, 24L)}%02d"
+    case other => sys.error(s"not a time transform: $other")
+  }
 }
 
 /** A committed table version. `sequenceNumber` is the table-level sequence
