@@ -1527,6 +1527,28 @@ object OpsQueries {
           col("s_nationkey").cast("long").as("s_nationkey"))
     }),
 
+    // day-partitioned retention through the REAL table format: create a
+    // day(ts)-partitioned table (Iceberg time transform, UTC literals),
+    // drop the oldest day METADATA-ONLY, and aggregate what survives —
+    // the oracle reconstructs the same retention relationally, so the
+    // time-transform fan-out, the value-addressed drop, and the MOR view
+    // after it are all hash-checked
+    "q_day_retention" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog, PartitionField}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-day-ret-wh").toString)
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      IceWrite.create(s, catalog, "t_q_dayret", ev,
+        partitionSpec = Seq(PartitionField("ts", "day")))
+      val minDay = ev.agg(min(date_format(col("ts"), "yyyy-MM-dd"))).head().getString(0)
+      IceWrite.dropPartitions(catalog, "t_q_dayret", Map("ts" -> minDay))
+      IceRead.table(s, catalog, "t_q_dayret")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // multimodal plumbing: binary payload + typed metadata + digest
     "m1_multimodal" -> ((s, dir) =>
       Multimodal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
@@ -3649,6 +3671,16 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |SELECT s_suppkey + 500000, s_name, 'head' FROM src WHERE s_suppkey % 5 = 0
         |UNION ALL
         |SELECT s_suppkey, s_name, 'asof2' FROM src""".stripMargin,
+
+    // day-partitioned retention reconstructed relationally: drop the
+    // oldest day, aggregate the rest
+    "q_day_retention" ->
+      """WITH d AS (SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day
+        |           FROM events),
+        |m AS (SELECT min(day) AS min_day FROM d)
+        |SELECT day, count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM d, m WHERE day <> min_day GROUP BY day""".stripMargin,
 
     // MERGE final state, reconstructed relationally: delete wins over
     // update; matched rows failing both conditions stay untouched
