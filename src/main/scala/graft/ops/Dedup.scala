@@ -727,6 +727,101 @@ object Dedup {
     verifyJaccard(cand, grams, threshold)
   }
 
+  /** Exact containment pairs with the prefix filter — the scalable exact
+    * arm of [[containmentPairs]] (same directed output: (contained,
+    * container) with |A cap B| / |A| >= threshold).
+    *
+    * Exactness argument: fix the same global total order as
+    * [[ngramJaccardPairsPrefix]] (document frequency asc, gram asc) and
+    * let o = ceil(t*|A|) be the overlap the contained side A must reach.
+    * If the container B shares NONE of A's first |A| - o + 1 grams, the
+    * intersection lives inside A's remaining o - 1 grams, so
+    * |A cap B| <= o - 1 < t*|A| — generating candidates only from the
+    * contained side's prefix loses no qualifying pair. The container
+    * side contributes its FULL gram list, but each candidate is born on
+    * one of A's rarest grams, whose posting lists are short on Zipfian
+    * text — the same pruning that makes the Jaccard prefix join scale;
+    * the same dense-vocabulary caveat applies (nothing to prune when
+    * every gram is ubiquitous — that is the broadcast arm's regime).
+    * Candidates are verified exactly against the full gram sets. */
+  def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.9): DataFrame = {
+    // localCheckpoint not cache(): see minHashNearDupPairs
+    val grams = shingles(df, idCol, textCol, n).localCheckpoint(false)
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val ranked = grams.join(freq, Seq("gram"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("gdf").asc, col("gram").asc)))
+      .join(sizes, Seq("id"))
+    val prefix = ranked
+      .filter(col("rank") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("gram"))
+    val cand = prefix.select(col("id").as("id1"), col("gram"))
+      .join(grams.select(col("id").as("id2"), col("gram")), Seq("gram"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    // exact directed verification: common-gram count c against |A| = n1
+    val g1 = grams.select(col("id").as("id1"), col("gram"))
+    val g2 = grams.select(col("id").as("id2"), col("gram"))
+    val common = cand.join(g1, Seq("id1")).join(g2, Seq("id2", "gram"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), Seq("id1"))
+      .filter(col("c").cast("double") / col("n1") >= threshold)
+      .select(col("id1"), col("id2"))
+  }
+
+  /** Byte budget under which the exact-join dispatchers pick the
+    * broadcast nested-loop arm: the hashed gram sets of the whole corpus
+    * must fit one broadcast (same 64 MiB line as
+    * [[graft.exec.Mor.BroadcastDeleteBytesMax]]). */
+  val ExactJoinBroadcastBytesMax: Long = 64L * 1024 * 1024
+
+  /** Estimated size in bytes of the per-row hashed gram sets a broadcast
+    * arm would ship: rows x (avg distinct grams x 8B hash + array/row
+    * overhead). Row count is exact (column-pruned count job); average
+    * text length comes from a bounded LIMIT sample, so the estimate
+    * costs O(1) data no matter the corpus size. An estimate is all the
+    * dispatch needs — both arms are exact, the choice only moves the
+    * constant factor. */
+  private[ops] def estimatedGramSetBytes(df: DataFrame, textCol: String,
+      sampleRows: Int = 10000): Long = {
+    val rows = df.count()
+    if (rows == 0L) return 0L
+    val avgLen = df.select(length(col(textCol)).cast("double").as("__l"))
+      .limit(sampleRows)
+      .agg(coalesce(avg(col("__l")), lit(0.0))).head.getDouble(0)
+    (rows * (avgLen * 8.0 + 64.0)).toLong
+  }
+
+  /** Exact n-gram Jaccard pairs, arm chosen by corpus size: the
+    * broadcast nested-loop formulation when the hashed gram sets fit
+    * [[ExactJoinBroadcastBytesMax]] (zero shuffles, wins on bounded
+    * slices and dense vocabularies), the PPJoin-style prefix filter
+    * otherwise (no broadcast anywhere — the arm that survives an
+    * unbounded corpus). Both arms emit identical pairs; dispatch only
+    * picks the constant factor, so callers stop choosing between
+    * "baseline" and "scale path" by hand. */
+  def ngramJaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.6,
+      broadcastBytesMax: Long = ExactJoinBroadcastBytesMax): DataFrame =
+    if (estimatedGramSetBytes(df, textCol) <= broadcastBytesMax)
+      ngramJaccardPairsBroadcast(df, idCol, textCol, n, threshold)
+    else ngramJaccardPairsPrefix(df, idCol, textCol, n, threshold)
+
+  /** Exact containment pairs, arm chosen by corpus size — the
+    * containment twin of [[ngramJaccardPairsExact]]: broadcast NLJ under
+    * the byte budget, prefix filter above it. Identical directed output
+    * either way. */
+  def containmentPairsExact(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.9,
+      broadcastBytesMax: Long = ExactJoinBroadcastBytesMax): DataFrame =
+    if (estimatedGramSetBytes(df, textCol) <= broadcastBytesMax)
+      containmentPairs(df, idCol, textCol, n, threshold)
+    else containmentPairsPrefix(df, idCol, textCol, n, threshold)
+
   /** Connected components over near-dup pairs: groups transitively linked
     * documents into clusters labeled by their minimum id — the step that
     * turns pairwise similarity into dedup groups (pick `min(id)` as the

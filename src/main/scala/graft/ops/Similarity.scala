@@ -630,4 +630,72 @@ object Similarity {
         .select(col("id1"), col("id2"))
     }
   }
+
+  /** EXACT cosine near-dup pairs, tiled: same output as
+    * `nearDupPairs(bruteForce = true)` without broadcasting either side.
+    *
+    * An exact threshold join over DENSE vectors is intrinsically
+    * Omega(n^2) compute — no order of the coordinates prunes the way a
+    * gram frequency order prunes set joins — so the scalable form is not
+    * a smaller join but an EVENLY DISTRIBUTED one: hash every row into
+    * one of `tiles` buckets and materialize each unordered bucket pair
+    * (i, j) as one join tile. A row lands in ~(tiles+1)/2 tiles (linear
+    * replication, controlled), every task owns a (n/tiles)^2 pair block
+    * that fits memory no matter the corpus size, and no single executor
+    * sees more than 2n/tiles vectors at once. The tile key is the join
+    * key, so Spark schedules the n^2 work as `tiles^2/2` uniform tasks —
+    * the shape that survives a 1000-executor scale-out where the
+    * broadcast arm OOMs the driver.
+    *
+    * An off-diagonal pair meets in exactly one tile with one
+    * orientation; the diagonal tile sees both orientations, so it alone
+    * keeps id1 < id2 and the output is canonicalized with
+    * least/greatest. */
+  def nearDupPairsTiled(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tiles: Int = 16): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2, got $tiles")
+    val base = withNorm(df, vecCol, "__n")
+      .withColumn("__b", pmod(xxhash64(col(idCol)), lit(tiles)).cast("int"))
+    val left = base.select(col(idCol).as("id1"), col(vecCol).as("__v1"),
+        col("__n").as("__n1"), col("__b").as("__bi"))
+      .withColumn("__tile",
+        explode(expr(s"transform(sequence(__bi, ${tiles - 1}), j -> __bi * $tiles + j)")))
+    val right = base.select(col(idCol).as("id2"), col(vecCol).as("__v2"),
+        col("__n").as("__n2"), col("__b").as("__bj"))
+      .withColumn("__tile",
+        explode(expr(s"transform(sequence(0, __bj), i -> i * $tiles + __bj)")))
+    left.join(right, Seq("__tile"))
+      .filter(col("__bi") =!= col("__bj") || col("id1") < col("id2"))
+      .filter(col("id1") =!= col("id2"))
+      .filter(cosineWithNorms(col("__v1"), col("__n1"), col("__v2"), col("__n2")) >= threshold)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+  }
+
+  /** Rows under which [[nearDupPairsExact]] picks the broadcast
+    * brute-force arm: vectors are fixed-width (embeddings table: 64 x 4B
+    * + overhead ~= 0.5 KiB/row), so a row budget IS a byte budget —
+    * 100k rows ~= 50 MiB broadcast, the same line as
+    * [[graft.exec.Mor.BroadcastDeleteBytesMax]]. */
+  val ExactCosineBroadcastRowsMax: Long = 100000L
+
+  /** Exact cosine near-dup pairs, arm chosen by corpus size: broadcast
+    * brute force under [[ExactCosineBroadcastRowsMax]] rows (one
+    * broadcast, zero shuffles), the tiled join above it — tile count
+    * sized so each tile side stays near the broadcast budget. Both arms
+    * emit identical pairs. Sub-quadratic COMPUTE requires accepting
+    * approximation: that is `nearDupPairs(bruteForce = false)` /
+    * [[ivfFlatTopK]], not this function. */
+  def nearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, broadcastRowsMax: Long = ExactCosineBroadcastRowsMax): DataFrame = {
+    require(broadcastRowsMax > 0,
+      s"broadcastRowsMax must be positive (it also sizes the tiles), got $broadcastRowsMax")
+    val rows = df.count()
+    if (rows <= broadcastRowsMax)
+      nearDupPairs(df, idCol, vecCol, threshold, bruteForce = true)
+    else {
+      val tiles = math.max(2L, (rows + broadcastRowsMax - 1) / broadcastRowsMax)
+      nearDupPairsTiled(df, idCol, vecCol, threshold, tiles.toInt)
+    }
+  }
 }

@@ -163,28 +163,51 @@ object OpsQueries {
     "d3_simhash" -> ((s, dir) =>
       Dedup.simHash(tbl(s, dir, "documents"), "doc_id", "text")),
 
-    // exact n-gram Jaccard pairs — the quadratic baseline for the LSH
-    // path, so it runs on a bounded deterministic slice (doc_id < 1000:
-    // the whole corpus at sf<=0.01, a fixed 1000-doc slice above) in the
-    // broadcast nested-loop formulation (zero shuffles; length prefilter
-    // gates the exact intersection). The unbounded-scale variant IS d2
-    // (MinHash+LSH).
+    // exact n-gram Jaccard pairs via the adaptive dispatcher: the
+    // broadcast nested-loop arm when the hashed gram sets fit 64 MiB
+    // (this deterministic slice does — doc_id < 1000: the whole corpus
+    // at sf<=0.01, a fixed 1000-doc slice above), the PPJoin prefix
+    // arm beyond the budget. Identical exact pairs either way; the
+    // sub-quadratic APPROXIMATE variant is d2 (MinHash+LSH).
     "d4_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairsBroadcast(
+      Dedup.ngramJaccardPairsExact(
         corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
         "doc_id", "text", n = 4, threshold = 0.6)),
 
     // directed containment pairs (contained -> container): asymmetric
-    // overlap that Jaccard is blind to; bounded slice like d4
+    // overlap that Jaccard is blind to; same adaptive dispatch as d4
+    // (broadcast under the byte budget, prefix filter above it)
     "d11_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(
+      Dedup.containmentPairsExact(
         corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
         "doc_id", "text", n = 4, threshold = 0.9)),
 
-    // embedding cosine near-dup (brute-force baseline; LSH path in s2)
+    // exact embedding cosine near-dup via the adaptive dispatcher:
+    // broadcast brute force under 100k rows, the tiled O(n^2/tiles^2)-
+    // per-task join above it; approximate paths are s2 (LSH) / s3 (IVF)
     "d5_embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(embCorpus(s, dir), "vec_id", "embedding",
-        threshold = 0.9, bruteForce = true)),
+      Similarity.nearDupPairsExact(embCorpus(s, dir), "vec_id", "embedding",
+        threshold = 0.9)),
+
+    // SCALE-ARM TWINS of d4/d11/d5: the same exact semantics forced down
+    // the shuffle-partitioned arm a 100 TB corpus would take (prefix
+    // filter / tiled join — budget 0 disables the broadcast arm), checked
+    // against the SAME oracle SQL. The broadcast twins prove the small-
+    // corpus constant factor; these prove the unbounded-corpus plan
+    // emits identical pairs under the driver's hash gate.
+    "d4p_jaccard_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsExact(
+        corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
+        "doc_id", "text", n = 4, threshold = 0.6, broadcastBytesMax = 0L)),
+
+    "d11p_containment_prefix" -> ((s, dir) =>
+      Dedup.containmentPairsExact(
+        corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
+        "doc_id", "text", n = 4, threshold = 0.9, broadcastBytesMax = 0L)),
+
+    "d5t_embed_tiled" -> ((s, dir) =>
+      Similarity.nearDupPairsTiled(embCorpus(s, dir), "vec_id", "embedding",
+        threshold = 0.9, tiles = 8)),
 
     // brute-force ANN top-3 for 10 query vectors
     "s1_ann_topk" -> ((s, dir) => {
@@ -1891,7 +1914,7 @@ object OpsQueries {
        |    ON b.band = z.band AND b.bh = z.bh
        |  WHERE z.n <= $cap)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "d1_exact_dedup" ->
       s"""WITH $corpusSql
          |SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
@@ -3788,4 +3811,11 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |  t(media_id, sample_rate, channels, duration_ms, rms_e6)""".stripMargin
     }
   )
+
+  /** The scale-arm twins share their broadcast twins' oracle SQL
+    * verbatim: identical exact semantics, different physical arm. */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "d4p_jaccard_prefix" -> oraclesBase("d4_ngram_jaccard"),
+    "d11p_containment_prefix" -> oraclesBase("d11_containment"),
+    "d5t_embed_tiled" -> oraclesBase("d5_embed_neardup"))
 }

@@ -7,7 +7,8 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** import(export(T)) fidelity, fuzzed: for 100 randomized EXPORTABLE
-  * tables — random typed schemas, identity/bucket partition specs,
+  * tables — random typed schemas, identity/bucket/time partition specs
+  * (year/month/day/hour literals <-> spec int ordinals at the boundary),
   * snapshot chains with refs/tags/branches, data + equality-delete
   * entries, per-file partition values and sequence numbers — exporting
   * to the Iceberg-v2 layout (real avro manifests + metadata JSON on
@@ -50,38 +51,62 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
     SchemaField(i + 1, s"c$i", t, nullable = i % 2 == 0)
   }
 
+  private val timePartTypes = Set("DATE", "TIMESTAMP")
+
   private def specGen(schema: Seq[SchemaField]): Gen[Seq[PartitionField]] = {
     val identityCands = schema.filter(f => identityPartTypes.contains(f.dataType))
     val bucketCands = schema.filter(f =>
       Set("BIGINT", "INT", "STRING").contains(f.dataType))
+    val timeCands = schema.filter(f => timePartTypes.contains(f.dataType))
     for {
       nId <- Gen.chooseNum(0, math.min(1, identityCands.size))
       idCols <- Gen.pick(nId, identityCands)
       bkPool = bucketCands.filterNot(idCols.contains)
       nBk <- Gen.chooseNum(0, math.min(1, bkPool.size))
       bkCols <- Gen.pick(nBk, bkPool)
+      tPool = timeCands.filterNot(idCols.contains).filterNot(bkCols.contains)
+      nT <- Gen.chooseNum(0, math.min(1, tPool.size))
+      tCols <- Gen.pick(nT, tPool)
+      // hour needs sub-day resolution in the source column (spec: hour is
+      // a timestamp transform); year/month/day apply to both types
+      tTransform <- Gen.oneOf("year", "month", "day", "hour")
     } yield idCols.map(f => PartitionField(f.name)).toSeq ++
-      bkCols.map(f => PartitionField(f.name, "bucket[8]")).toSeq
+      bkCols.map(f => PartitionField(f.name, "bucket[8]")).toSeq ++
+      tCols.map(f => PartitionField(f.name,
+        if (tTransform == "hour" && f.dataType != "TIMESTAMP") "day" else tTransform)).toSeq
   }
 
   private def partValue(f: SchemaField, p: PartitionField, i: Int): String =
-    if (!p.isIdentity) (i % 8).toString
+    if (p.isTime) PartitionField.timeOrdinalToLiteral(p.transform, 19000 + i)
+    else if (!p.isIdentity) (i % 8).toString
     else f.dataType match {
       case "BIGINT" | "INT" => (i * 10).toString
       case "DATE" => java.time.LocalDate.ofEpochDay(18000L + i).toString
       case _ => s"v$i"
     }
 
-  /** An optional HISTORICAL spec (marker 3): a bucket spec some files
-    * were written under before an evolution — exercises the multi-spec
-    * export/import path. */
+  /** An optional HISTORICAL spec (marker 3): a bucket or time spec some
+    * files were written under before an evolution — exercises the
+    * multi-spec export/import path. */
   private def histSpecGen(schema: Seq[SchemaField]): Gen[Option[Seq[PartitionField]]] = {
-    val cands = schema.filter(f => Set("BIGINT", "INT", "STRING").contains(f.dataType))
-    if (cands.isEmpty) Gen.const(None)
-    else Gen.option(for {
-      col <- Gen.oneOf(cands)
+    val bCands = schema.filter(f => Set("BIGINT", "INT", "STRING").contains(f.dataType))
+    val tCands = schema.filter(f => timePartTypes.contains(f.dataType))
+    // defs, not vals: Gen.oneOf rejects an empty pool at CONSTRUCTION
+    // time, so each generator may only be built inside its guarded branch
+    def bucketGen = for {
+      col <- Gen.oneOf(bCands)
       n <- Gen.oneOf(2, 4)
-    } yield Seq(PartitionField(col.name, s"bucket[$n]")))
+    } yield Seq(PartitionField(col.name, s"bucket[$n]"))
+    def timeGen = for {
+      col <- Gen.oneOf(tCands)
+      t <- Gen.oneOf("year", "month", "day")
+    } yield Seq(PartitionField(col.name, t))
+    (bCands.nonEmpty, tCands.nonEmpty) match {
+      case (false, false) => Gen.const(None)
+      case (true, false) => Gen.option(bucketGen)
+      case (false, true) => Gen.option(timeGen)
+      case (true, true) => Gen.option(Gen.oneOf(bucketGen, timeGen))
+    }
   }
   private val HistMarker = 3
 
