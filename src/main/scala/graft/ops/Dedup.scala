@@ -32,6 +32,20 @@ object Dedup {
         )).as("gram"))
       .distinct()
 
+  /** Per-row distinct char-n-gram SETS as sorted xxhash64 arrays:
+    * (id, gset) — zero shuffle (pure per-row expression), the
+    * representation every exact char-gram join consumes (codegen'd
+    * sorted-merge tests on the broadcast arms; explode-for-ranking plus
+    * set verification on the prefix arms). */
+  def charGramSets(df: DataFrame, idCol: String, textCol: String, n: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+      expr(
+        s"""array_sort(array_distinct(transform(
+           |  array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 2}, 1)),
+           |                           i -> substring($textCol, i, $n))),
+           |  g -> xxhash64(g))))""".stripMargin
+      ).as("gset"))
+
   /** distinct word n-gram shingles per id: the standard MinHash document
     * representation — ~5x fewer shingles than char 4-grams on prose, which
     * directly divides the signature stage's md5 bill. */
@@ -645,13 +659,7 @@ object Dedup {
     * fit a broadcast (the scale path remains [[minHashNearDupPairs]]). */
   def ngramJaccardPairsBroadcast(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.6): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      expr(
-        s"""array_sort(array_distinct(transform(
-           |  array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 2}, 1)),
-           |                           i -> substring($textCol, i, $n))),
-           |  g -> xxhash64(g))))""".stripMargin
-      ).as("grams"))
+    val sets = charGramSets(df, idCol, textCol, n).withColumnRenamed("gset", "grams")
     val a = sets.select(col("id").as("id1"), col("grams").as("g1"))
     val b = sets.select(col("id").as("id2"), col("grams").as("g2"))
     b.join(broadcast(a), col("id1") < col("id2") &&
@@ -678,13 +686,7 @@ object Dedup {
     * pair is DIRECTED; callers wanting undirected dedup keep id1 < id2). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.9): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      expr(
-        s"""array_sort(array_distinct(transform(
-           |  array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 2}, 1)),
-           |                           i -> substring($textCol, i, $n))),
-           |  g -> xxhash64(g))))""".stripMargin
-      ).as("grams"))
+    val sets = charGramSets(df, idCol, textCol, n).withColumnRenamed("gset", "grams")
     val a = sets.select(col("id").as("id1"), col("grams").as("g1"))
     val b = sets.select(col("id").as("id2"), col("grams").as("g2"))
     b.join(broadcast(a), col("id1") =!= col("id2") &&
@@ -702,29 +704,37 @@ object Dedup {
     * qualifying pair; candidates are then verified with the full sets.
     * On Zipfian natural text the prefix is dominated by RARE grams, which
     * kills the quadratic blowup of joining on ubiquitous grams; on dense
-    * small-vocabulary corpora it cannot prune — measured slower there
-    * than [[ngramJaccardPairs]] (62s vs 23s on the synthetic docs table).
-    */
+    * small-vocabulary corpora it cannot prune and the broadcast arm wins
+    * the constant factor ([[ngramJaccardPairsExact]] dispatches).
+    *
+    * Everything downstream of the per-row set projection moves 8-byte
+    * gram HASHES, never gram strings: ranking explodes the hashed sets
+    * (narrow shuffles), and verification is the same gated
+    * set-resolution join every LSH verify stage uses — candidate pairs
+    * broadcast when small, id-keyed shuffles when not, the codegen'd
+    * sorted-merge test either way. A gram-relation re-join here
+    * (O(pairs x doc grams) through an aggregate) measured ~15x slower. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, threshold: Double = 0.6): DataFrame = {
+      n: Int = 4, threshold: Double = 0.6,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     // localCheckpoint not cache(): see minHashNearDupPairs
-    val grams = shingles(df, idCol, textCol, n).localCheckpoint(false)
-    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // global frequency order: df asc, gram asc (total, deterministic)
-    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
-    val ranked = grams.join(freq, Seq("gram"))
+    val sets = charGramSets(df, idCol, textCol, n).localCheckpoint(false)
+    val grams = sets.select(col("id"), size(col("gset")).as("n"),
+      explode(col("gset")).as("g"))
+    // global frequency order: df asc, hash asc (total, deterministic)
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val prefix = grams.join(freq, Seq("g"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("gdf").asc, col("gram").asc)))
-      .join(sizes, Seq("id"))
-    val prefix = ranked
+          .orderBy(col("gdf").asc, col("g").asc)))
       .filter(col("rank") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("gram"))
-    val cand = prefix.select(col("id").as("id1"), col("gram"))
-      .join(prefix.select(col("id").as("id2"), col("gram")), Seq("gram"))
+      .select(col("id"), col("g"))
+    val cand = prefix.select(col("id").as("id1"), col("g"))
+      .join(prefix.select(col("id").as("id2"), col("g")), Seq("g"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-    verifyJaccard(cand, grams, threshold)
+      .select(col("id1"), col("id2")).distinct().localCheckpoint(false)
+    if (cand.count() <= maxBroadcastCandidates) verifyJaccardSets(cand, sets, threshold)
+    else verifyJaccardSetsShuffled(cand, sets, threshold)
   }
 
   /** Exact containment pairs with the prefix filter — the scalable exact
@@ -745,32 +755,28 @@ object Dedup {
     * every gram is ubiquitous — that is the broadcast arm's regime).
     * Candidates are verified exactly against the full gram sets. */
   def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, threshold: Double = 0.9): DataFrame = {
+      n: Int = 4, threshold: Double = 0.9,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     // localCheckpoint not cache(): see minHashNearDupPairs
-    val grams = shingles(df, idCol, textCol, n).localCheckpoint(false)
-    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
-    val ranked = grams.join(freq, Seq("gram"))
+    val sets = charGramSets(df, idCol, textCol, n).localCheckpoint(false)
+    val grams = sets.select(col("id"), size(col("gset")).as("n"),
+      explode(col("gset")).as("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val prefix = grams.join(freq, Seq("g"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("gdf").asc, col("gram").asc)))
-      .join(sizes, Seq("id"))
-    val prefix = ranked
+          .orderBy(col("gdf").asc, col("g").asc)))
       .filter(col("rank") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("gram"))
-    val cand = prefix.select(col("id").as("id1"), col("gram"))
-      .join(grams.select(col("id").as("id2"), col("gram")), Seq("gram"))
+      .select(col("id"), col("g"))
+    // contained side contributes its prefix, the container its FULL list
+    val cand = prefix.select(col("id").as("id1"), col("g"))
+      .join(grams.select(col("id").as("id2"), col("g")), Seq("g"))
       .filter(col("id1") =!= col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-    // exact directed verification: common-gram count c against |A| = n1
-    val g1 = grams.select(col("id").as("id1"), col("gram"))
-    val g2 = grams.select(col("id").as("id2"), col("gram"))
-    val common = cand.join(g1, Seq("id1")).join(g2, Seq("id2", "gram"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), Seq("id1"))
-      .filter(col("c").cast("double") / col("n1") >= threshold)
-      .select(col("id1"), col("id2"))
+      .select(col("id1"), col("id2")).distinct().localCheckpoint(false)
+    // exact directed verification on the full sets, codegen'd
+    verifySets(cand, sets,
+      graft.functions.SetFunctions.containment_ge(_, _, threshold),
+      broadcastPairs = cand.count() <= maxBroadcastCandidates)
   }
 
   /** Byte budget under which the exact-join dispatchers pick the

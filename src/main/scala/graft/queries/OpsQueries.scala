@@ -192,17 +192,21 @@ object OpsQueries {
     // SCALE-ARM TWINS of d4/d11/d5: the same exact semantics forced down
     // the shuffle-partitioned arm a 100 TB corpus would take (prefix
     // filter / tiled join — budget 0 disables the broadcast arm), checked
-    // against the SAME oracle SQL. The broadcast twins prove the small-
-    // corpus constant factor; these prove the unbounded-corpus plan
-    // emits identical pairs under the driver's hash gate.
+    // against the SAME oracle SQL (slice rewritten to match). The
+    // broadcast twins prove the small-corpus constant factor; these prove
+    // the unbounded-corpus plan emits identical pairs under the driver's
+    // hash gate. Slice is 250 docs, not d4/d11's 1000: the synthetic
+    // corpus's dense vocabulary defeats prefix pruning by design
+    // (candidates ~ all pairs), so the twins pin CORRECTNESS of the arm,
+    // not its Zipfian-corpus constant factor.
     "d4p_jaccard_prefix" -> ((s, dir) =>
       Dedup.ngramJaccardPairsExact(
-        corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
+        corpus(s, dir).filter(col("doc_id") % 100000 < 250),
         "doc_id", "text", n = 4, threshold = 0.6, broadcastBytesMax = 0L)),
 
     "d11p_containment_prefix" -> ((s, dir) =>
       Dedup.containmentPairsExact(
-        corpus(s, dir).filter(col("doc_id") % 100000 < 1000),
+        corpus(s, dir).filter(col("doc_id") % 100000 < 250),
         "doc_id", "text", n = 4, threshold = 0.9, broadcastBytesMax = 0L)),
 
     "d5t_embed_tiled" -> ((s, dir) =>
@@ -3812,10 +3816,13 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
     }
   )
 
-  /** The scale-arm twins share their broadcast twins' oracle SQL
-    * verbatim: identical exact semantics, different physical arm. */
+  /** The scale-arm twins share their broadcast twins' oracle SQL —
+    * identical exact semantics, different physical arm — with the
+    * Jaccard/containment slice narrowed to the twins' 250 docs. */
   val oracles: Map[String, String] = oraclesBase ++ Map(
-    "d4p_jaccard_prefix" -> oraclesBase("d4_ngram_jaccard"),
-    "d11p_containment_prefix" -> oraclesBase("d11_containment"),
+    "d4p_jaccard_prefix" ->
+      oraclesBase("d4_ngram_jaccard").replace("% 100000 < 1000", "% 100000 < 250"),
+    "d11p_containment_prefix" ->
+      oraclesBase("d11_containment").replace("% 100000 < 1000", "% 100000 < 250"),
     "d5t_embed_tiled" -> oraclesBase("d5_embed_neardup"))
 }
