@@ -82,7 +82,11 @@ final class Compaction(
       * a scoped (cloned) session so the caller's conf is never mutated;
       * with normalization on, manifest column names whose case drifted
       * from the files' still resolve. */
-    val enableIdentNormalization: Boolean = true
+    val enableIdentNormalization: Boolean = true,
+    /** parquet writer tunables for rewritten files — the reference's
+      * `write_parquet_properties` (config/mod.rs:403); defaults keep
+      * reference parity (zstd, 128 MiB row groups). */
+    val parquetWrite: graft.exec.ParquetWriteConfig = graft.exec.ParquetWriteConfig()
 ) {
 
   /** The session rewrites run under: the caller's, unless the ident-
@@ -140,7 +144,8 @@ final class Compaction(
       // non-overlapping zone maps (range reads then prune to the files
       // that intersect — the clustering that makes tableRange useful)
       rangeDistribute =
-        table.properties.get("write.distribution-mode").contains("range")
+        table.properties.get("write.distribution-mode").contains("range"),
+      parquet = parquetWrite
     )
     val res = executor.rewriteFiles(execSpark, req)
     if (enableDynamicSizeEstimation)

@@ -8,6 +8,26 @@ import org.apache.spark.sql.functions._
 import graft.meta.{FileContent, FileEntry, PartitionField, SchemaField, SortField}
 import graft.selection.FileGroup
 
+/** Parquet writer tunables for the rolling sink — the reference's
+  * `write_parquet_properties` knob (core/src/config/mod.rs:403; its
+  * default is ZSTD + Iceberg's 128 MiB row groups, config/mod.rs:33,297),
+  * expressed as the Spark/Hadoop writer options. Defaults preserve the
+  * reference parity the hard-coded sink had. */
+final case class ParquetWriteConfig(
+    /** parquet codec: zstd (default), snappy, gzip, lz4, none, ... */
+    compression: String = "zstd",
+    /** target row-group size (parquet.block.size) — the scan-parallelism
+      * and memory unit; Iceberg's default 128 MiB. */
+    rowGroupBytes: Long = 128L * 1024 * 1024,
+    /** data page size (parquet.page.size); None = writer default 1 MiB. */
+    pageSizeBytes: Option[Long] = None,
+    /** dictionary encoding toggle (parquet.enable.dictionary);
+      * None = writer default (on). */
+    dictionaryEnabled: Option[Boolean] = None,
+    /** columns to write parquet bloom filters for — point-lookup file
+      * skipping for readers that honor them. */
+    bloomFilterColumns: Seq[String] = Nil)
+
 /** One rewrite job: inputs (a planned file group) -> new data files. */
 final case class RewriteRequest(
     group: FileGroup,
@@ -37,7 +57,9 @@ final case class RewriteRequest(
     /** v3 row lineage: read surviving rows WITH their row ids and
       * MATERIALIZE `_row_id` into the rewritten files — compaction must
       * not re-identify rows. Set by Compaction on v3 tables. */
-    preserveRowIds: Boolean = false
+    preserveRowIds: Boolean = false,
+    /** parquet writer tunables for the rewritten files. */
+    parquet: ParquetWriteConfig = ParquetWriteConfig()
 )
 
 final case class RewriteStats(
@@ -128,7 +150,8 @@ object SparkExecutor extends CompactionExecutor {
         * compaction supplies them from manifest zone maps (free); missing
         * domains are computed here with one agg pass over the input. */
       zorderDomains: Map[String, (BigDecimal, BigDecimal)] = Map.empty,
-      rangeDistribute: Boolean = false): Seq[FileEntry] = {
+      rangeDistribute: Boolean = false,
+      parquet: ParquetWriteConfig = ParquetWriteConfig()): Seq[FileEntry] = {
     // columns whose StructField metadata carries `parquet.field.id` get the
     // id written into the parquet footer (id-addressed reads depend on it);
     // default-true in Spark 4, pinned here so a session override can't
@@ -197,9 +220,14 @@ object SparkExecutor extends CompactionExecutor {
     val outDir = graft.meta.MetaIO.join(outputDir, UUID.randomUUID().toString)
     var writer = df.write
       .mode("overwrite")
-      .option("compression", "zstd")                      // config/mod.rs:297
-      .option("parquet.block.size", 128L * 1024 * 1024)   // config/mod.rs:35
+      .option("compression", parquet.compression)         // default config/mod.rs:297
+      .option("parquet.block.size", parquet.rowGroupBytes) // default config/mod.rs:35
       .option("maxRecordsPerFile", math.max(1L, maxRecordsPerFile))
+    parquet.pageSizeBytes.foreach(v => writer = writer.option("parquet.page.size", v))
+    parquet.dictionaryEnabled.foreach(v =>
+      writer = writer.option("parquet.enable.dictionary", v.toString))
+    parquet.bloomFilterColumns.foreach(c =>
+      writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true"))
     if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
     writer.parquet(outDir)
     listWrittenFiles(spark, outDir, partitionSpec)
@@ -269,7 +297,8 @@ object SparkExecutor extends CompactionExecutor {
     // preserve_partitioning, datafusion_processor.rs:193-213)
     val added = writeDataFiles(spark, df, req.outputDir, req.partitionSpec,
       req.sortOrder, maxRecordsPerFile, repartitionTo = g.outputParallelism,
-      zorderDomains = zorderDomains, rangeDistribute = req.rangeDistribute)
+      zorderDomains = zorderDomains, rangeDistribute = req.rangeDistribute,
+      parquet = req.parquet)
     val stats = RewriteStats(
       inputFiles = g.inputFilesCount,
       inputBytes = g.inputTotalBytes,

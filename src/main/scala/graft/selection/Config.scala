@@ -66,3 +66,15 @@ final case class FilesWithDeletesConfig(
     params: PlanningParams = PlanningParams(),
     minDeleteFileCountThreshold: Int = Defaults.MinDeleteFileCountThreshold
 ) extends PlanningConfig
+
+/** A POLICY wrapper around any base config: the base's strategy plus
+  * extra file/group filters (see [[CompactionPolicy]] for the built-in
+  * time-based and cost-optimized policies). Planning params delegate to
+  * the base unchanged. */
+final case class PolicyConfig(
+    base: PlanningConfig,
+    extraFileFilters: Seq[FileFilterStrategy] = Nil,
+    extraGroupFilters: Seq[GroupFilterStrategy] = Nil
+) extends PlanningConfig {
+  override def params: PlanningParams = base.params
+}

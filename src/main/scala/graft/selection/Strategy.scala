@@ -106,6 +106,15 @@ object PlanStrategy {
     }
 
   def fromConfig(config: PlanningConfig): PlanStrategy = config match {
+    case c: PolicyConfig =>
+      // policy wrapper: the base strategy with extra filters appended —
+      // file filters run after the base's (an intersection of scopes),
+      // group filters run after gating (a budget sees only viable groups)
+      val b = fromConfig(c.base)
+      new PlanStrategy(
+        b.fileFilters ++ c.extraFileFilters,
+        b.grouping, b.fileGroupScope,
+        b.groupFilters ++ c.extraGroupFilters)
     case c: SmallFilesConfig =>
       new PlanStrategy(
         Seq(SizeFilter(None, Some(c.smallFileThresholdBytes))),
