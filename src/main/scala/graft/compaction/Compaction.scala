@@ -157,12 +157,20 @@ final class Compaction(
   /** Bounded-concurrency plan execution (mod.rs:523-540; default 4).
     * Each plan is an independent Spark job; Spark's scheduler interleaves
     * their stages across the shared executor pool. */
-  def concurrentRewritePlans(plans: Seq[CompactionPlan]): Seq[RewriteOutcome] = {
+  def concurrentRewritePlans(plans: Seq[CompactionPlan]): Seq[RewriteOutcome] =
+    concurrentRewritePlans(plans, _ => ())
+
+  /** [[concurrentRewritePlans]] with a per-completion hook, invoked on
+    * the worker thread as soon as that plan's rewrite finishes — the
+    * journaling point for [[compactResumable]] (a crash mid-batch keeps
+    * every hooked completion). */
+  def concurrentRewritePlans(plans: Seq[CompactionPlan],
+      onComplete: RewriteOutcome => Unit): Seq[RewriteOutcome] = {
     if (plans.isEmpty) return Nil
     val pool = Executors.newFixedThreadPool(math.max(1, math.min(maxConcurrentPlans, plans.size)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
-      val futs = plans.map(p => Future(rewritePlan(p)))
+      val futs = plans.map(p => Future { val o = rewritePlan(p); onComplete(o); o })
       Await.result(Future.sequence(futs), Duration.Inf)
     } finally {
       pool.shutdown()
@@ -230,6 +238,54 @@ final class Compaction(
     if (plans.isEmpty) return CompactionResult(Nil, Nil, None)
     val outcomes = concurrentRewritePlans(plans)
     var committed = commitRewriteResults(outcomes)
+    if (cleanupDanglingDeletes)
+      committed = Maintenance.removeDanglingDeletes(spark, catalog, tableName, retry)
+    metrics.recordCompaction((System.nanoTime() - t0) / 1000000L)
+    if (enableValidate) {
+      val table = committed
+      outcomes.foreach { o =>
+        Validator.validate(spark, o.plan.fileGroup, o.result.addedFiles,
+          table.schemaColumns, table.formatVersion, table.schema)
+      }
+    }
+    CompactionResult(outcomes.flatMap(_.result.addedFiles), outcomes.map(_.result.stats), Some(committed))
+  }
+
+  /** [[compact]] with BREAKPOINT RESUME (reference roadmap README.md:61):
+    * every completed group rewrite is journaled before the commit, so a
+    * crashed run rerun with the SAME runId reuses its finished rewrites
+    * (the written parquet is committed as-is) and only executes the
+    * remaining groups. The journal binds to the planned snapshot — a
+    * head that moved between crash and resume invalidates it and the run
+    * degrades to a normal full compaction (stale outputs are orphans for
+    * [[Maintenance.orphanFiles]]). On success the journal is deleted;
+    * results and commit semantics are identical to [[compact]]. */
+  def compactResumable(runId: String): CompactionResult = {
+    val t0 = System.nanoTime()
+    val plans = planCompaction()
+    if (plans.isEmpty) return CompactionResult(Nil, Nil, None)
+    val journal = new RewriteJournal(catalog, tableName, runId)
+    val recovered = journal.load(plans.head.snapshotId)
+    // reuse only fully intact journal entries (every output still on disk)
+    val (done, todo) = plans.partition { p =>
+      recovered.get(RewriteJournal.groupKey(p.fileGroup))
+        .exists(fs => fs.nonEmpty && fs.forall(f => graft.meta.MetaIO.exists(f.path)))
+    }
+    val reused = done.map { p =>
+      val added = recovered(RewriteJournal.groupKey(p.fileGroup))
+      RewriteOutcome(p, graft.exec.RewriteResult(added, graft.exec.RewriteStats(
+        inputFiles = p.fileGroup.inputFilesCount,
+        inputBytes = p.fileGroup.inputTotalBytes,
+        outputFiles = added.size,
+        outputBytes = added.map(_.length).sum,
+        outputRecords = added.map(_.recordCount).sum,
+        durationMs = 0L)))
+    }
+    val fresh = concurrentRewritePlans(todo,
+      o => journal.append(RewriteJournal.groupKey(o.plan.fileGroup), o.result.addedFiles))
+    val outcomes = reused ++ fresh
+    var committed = commitRewriteResults(outcomes)
+    journal.delete()
     if (cleanupDanglingDeletes)
       committed = Maintenance.removeDanglingDeletes(spark, catalog, tableName, retry)
     metrics.recordCompaction((System.nanoTime() - t0) / 1000000L)

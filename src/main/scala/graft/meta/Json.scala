@@ -153,6 +153,14 @@ object MetadataJson {
 
   def write(m: TableMetadata): String = JsonMethods.pretty(JsonMethods.render(toJson(m)))
 
+  /** Standalone FileEntry-list codec for auxiliary persistence (the
+    * compaction rewrite journal) — same field encoding as the manifest. */
+  def fileEntriesToJson(files: Seq[FileEntry]): JValue = JArray(files.map(fileToJson).toList)
+  def fileEntriesFromJson(v: JValue): Seq[FileEntry] = v match {
+    case JArray(xs) => xs.map(file)
+    case other => sys.error(s"expected file entry array, got $other")
+  }
+
   /** CROSS-VERSION delta: serializes `updated` against the already-
     * persisted `base` version, so a commit writes O(change) bytes instead
     * of re-inlining the whole manifest chain — at 10^6 tracked files the
