@@ -607,6 +607,35 @@ object CoreQueries {
       }.toDF("file", "weight", "bin_id").orderBy("file")
     }),
 
+    // cost-optimized policy selection (CostBudget) replayed relationally:
+    // 24 synthetic groups with deterministic file/delete counts and sizes,
+    // greedily admitted by benefit-per-byte under a 20 MB rewrite budget —
+    // greedy-WITH-SKIP (an overflowing group is skipped, later smaller
+    // ones may still fit), the same recursive-CTE replay style as q27's
+    // FFD. Output = the kept groups in planning order.
+    "q_cost_budget" -> ((s, dir) => {
+      import s.implicits._
+      val fgs = (0 until 24).map { i =>
+        val files = (i % 4) + 1
+        val deletes = (i * 7) % 5
+        val bytes = (((i * 48271L) % 997L) + 3L) * 12000L // divisible by 1..4
+        val per = bytes / files
+        graft.selection.FileGroup(
+          dataFiles = (0 until files).map(k => graft.meta.FileEntry(
+            path = f"/g$i%02d/f$k", length = per,
+            content = graft.meta.FileContent.Data, recordCount = 1, sequenceNumber = 1)),
+          positionDeleteFiles = (0 until deletes).map(k => graft.meta.FileEntry(
+            path = f"/g$i%02d/d$k", length = 10L,
+            content = graft.meta.FileContent.PositionDeletes, recordCount = 1, sequenceNumber = 1)),
+          equalityDeleteFiles = Nil)
+      }
+      graft.selection.CostBudget(maxRewriteBytes = 20000000L).filterGroups(fgs)
+        .map { g =>
+          val id = g.dataFiles.head.path.substring(2, 4).toInt
+          (id, g.dataFileCount, g.positionDeleteFiles.size, g.totalSize)
+        }.toDF("group_id", "files", "deletes", "total_bytes").orderBy("group_id")
+    }),
+
     // op 30: parallelism calculator outputs (planning math; rows-only)
     "q30_parallelism" -> ((s, dir) => {
       import s.implicits._
@@ -1015,6 +1044,31 @@ object CoreQueries {
         |  FROM fold f JOIN items it ON it.seq = f.seq + 1)
         |SELECT file, CAST(w AS BIGINT) AS weight, CAST(bin_id AS INT) AS bin_id
         |FROM fold ORDER BY file""".stripMargin,
+
+    "q_cost_budget" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT i, (i % 4) + 1 AS files, (i * 7) % 5 AS deletes,
+        |    (((i*48271) % 997) + 3) * 12000 AS total,
+        |    '/g' || CASE WHEN i < 10 THEN '0' ELSE '' END || CAST(i AS VARCHAR) || '/f0' AS path
+        |  FROM range(0, 24) t(i)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY (deletes * 4.0 + (files - 1) * 1.0) / total DESC,
+        |             total ASC, path ASC) AS seq
+        |  FROM g WHERE deletes * 4.0 + (files - 1) * 1.0 > 0),
+        |fold AS (
+        |  SELECT seq, i, files, deletes, total,
+        |    CASE WHEN total <= 20000000 THEN total ELSE 0 END AS spent,
+        |    total <= 20000000 AS kept
+        |  FROM ranked WHERE seq = 1
+        |  UNION ALL
+        |  SELECT r.seq, r.i, r.files, r.deletes, r.total,
+        |    CASE WHEN f.spent + r.total <= 20000000 THEN f.spent + r.total ELSE f.spent END,
+        |    f.spent + r.total <= 20000000
+        |  FROM fold f JOIN ranked r ON r.seq = f.seq + 1)
+        |SELECT CAST(i AS INT) AS group_id, CAST(files AS INT) AS files,
+        |  CAST(deletes AS INT) AS deletes, CAST(total AS BIGINT) AS total_bytes
+        |FROM fold WHERE kept ORDER BY group_id""".stripMargin,
 
     "q30_parallelism" ->
       """WITH cases(input_bytes) AS (VALUES (536870912::BIGINT), (2357198848::BIGINT),

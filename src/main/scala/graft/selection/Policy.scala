@@ -58,7 +58,9 @@ final case class TimePartitionFilter(
   * bytes prices both against the I/O the rewrite costs. Groups are
   * taken greedily by density (ties: smaller first, then first-data-file
   * path — deterministic across runs); a group that would overflow the
-  * budget is skipped, later (smaller) groups may still fit. */
+  * budget is skipped, later (smaller) groups may still fit. Zero-benefit
+  * groups (single file, no deletes) are never admitted — a cost policy
+  * does not spend budget on rewrites that change nothing. */
 final case class CostBudget(
     maxRewriteBytes: Long,
     deleteWeight: Double = 4.0,
@@ -73,7 +75,7 @@ final case class CostBudget(
   }
 
   override def filterGroups(groups: Seq[FileGroup]): Seq[FileGroup] = {
-    val ranked = groups.sortBy(g =>
+    val ranked = groups.filter(score(_) > 0).sortBy(g =>
       (-score(g), g.totalSize, g.dataFiles.headOption.map(_.path).getOrElse("")))
     var spent = 0L
     val kept = Seq.newBuilder[FileGroup]

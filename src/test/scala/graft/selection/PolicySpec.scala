@@ -72,9 +72,11 @@ class PolicySpec extends AnyFunSuite {
     val strat = PlanStrategy.fromConfig(cfg)
     assert(strat.describe.contains("TimePartitionFilter") &&
       strat.describe.contains("CostBudget"))
-    val files = Seq(entry("/a", "2024-01-01"), entry("/b", "2024-01-09"))
+    // two old-day files (a mergeable group: benefit > 0) + one hot-day file
+    val files = Seq(entry("/a", "2024-01-01"), entry("/a2", "2024-01-01"),
+      entry("/b", "2024-01-09"))
     val groups = strat.execute(files, cfg.params, _ => None)
-    assert(groups.flatMap(_.dataFiles).map(_.path) == Seq("/a"))
+    assert(groups.flatMap(_.dataFiles).map(_.path) == Seq("/a", "/a2"))
   }
 
   test("time-based policy compacts only days older than the cutoff; rows invariant") {
@@ -114,6 +116,9 @@ class PolicySpec extends AnyFunSuite {
     val catalog = LocalCatalog(Files.createTempDirectory("pol-cost").toString)
     IceWrite.create(spark, catalog, "ev_cost", events.filter(dayofmonth(col("ts")) <= 6),
       partitionSpec = Seq(PartitionField("ts", "day")))
+    // second batch -> 2 files per day: every group has benefit > 0
+    // (a cost policy never admits zero-benefit groups)
+    IceWrite.append(spark, catalog, "ev_cost", events.filter(dayofmonth(col("ts")) <= 6))
     val before = catalog.loadTable("ev_cost").currentSnapshot.get.manifest
     val totalBytes = before.map(_.length).sum
     val budget = totalBytes / 2
