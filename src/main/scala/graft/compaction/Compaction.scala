@@ -22,6 +22,17 @@ final case class CompactionPlan(
 
 final case class RewriteOutcome(plan: CompactionPlan, result: RewriteResult)
 
+/** One progress tick of a managed compaction run — phase is "planned",
+  * "rewriting" (per completed group), or "committed". Byte figures are
+  * planned INPUT bytes, known at planning time, so a display can show a
+  * meaningful fraction before the first rewrite finishes. */
+final case class CompactionProgress(
+    phase: String,
+    plansTotal: Int,
+    plansDone: Int,
+    bytesTotal: Long,
+    bytesDone: Long)
+
 final case class CompactionResult(
     addedFiles: Seq[FileEntry],
     stats: Seq[RewriteStats],
@@ -86,7 +97,12 @@ final class Compaction(
     /** parquet writer tunables for rewritten files — the reference's
       * `write_parquet_properties` (config/mod.rs:403); defaults keep
       * reference parity (zstd, 128 MiB row groups). */
-    val parquetWrite: graft.exec.ParquetWriteConfig = graft.exec.ParquetWriteConfig()
+    val parquetWrite: graft.exec.ParquetWriteConfig = graft.exec.ParquetWriteConfig(),
+    /** live progress callback (reference roadmap "Job progress display",
+      * README.md:66): fired once after planning, per completed group
+      * rewrite (from the worker thread that finished it), and after the
+      * commit. No-op by default. */
+    val onProgress: CompactionProgress => Unit = _ => ()
 ) {
 
   /** The session rewrites run under: the caller's, unless the ident-
@@ -202,6 +218,22 @@ final class Compaction(
     )
   }
 
+  /** Emits [[CompactionProgress]] ticks through `onProgress`: one
+    * "planned" tick at construction, thread-safe per-completion
+    * "rewriting" ticks, one "committed" tick. */
+  private final class ProgressTracker(plans: Seq[CompactionPlan]) {
+    private val total = plans.size
+    private val bytesTotal = plans.map(_.fileGroup.totalSize).sum
+    private val nDone = new java.util.concurrent.atomic.AtomicInteger
+    private val bDone = new java.util.concurrent.atomic.AtomicLong
+    onProgress(CompactionProgress("planned", total, 0, bytesTotal, 0L))
+    def completed(o: RewriteOutcome): Unit =
+      onProgress(CompactionProgress("rewriting", total, nDone.incrementAndGet(),
+        bytesTotal, bDone.addAndGet(o.plan.fileGroup.totalSize)))
+    def committed(): Unit =
+      onProgress(CompactionProgress("committed", total, total, bytesTotal, bytesTotal))
+  }
+
   /** All results must target one branch + snapshot before a single-
     * transaction commit (mod.rs:55-76). */
   def validateResultsConsistency(outcomes: Seq[RewriteOutcome]): Unit = {
@@ -236,8 +268,10 @@ final class Compaction(
     val t0 = System.nanoTime()
     val plans = planCompaction()
     if (plans.isEmpty) return CompactionResult(Nil, Nil, None)
-    val outcomes = concurrentRewritePlans(plans)
+    val progress = new ProgressTracker(plans)
+    val outcomes = concurrentRewritePlans(plans, progress.completed)
     var committed = commitRewriteResults(outcomes)
+    progress.committed()
     if (cleanupDanglingDeletes)
       committed = Maintenance.removeDanglingDeletes(spark, catalog, tableName, retry)
     metrics.recordCompaction((System.nanoTime() - t0) / 1000000L)
@@ -265,6 +299,7 @@ final class Compaction(
     val plans = planCompaction()
     if (plans.isEmpty) return CompactionResult(Nil, Nil, None)
     val journal = new RewriteJournal(catalog, tableName, runId)
+    val progress = new ProgressTracker(plans)
     val recovered = journal.load(plans.head.snapshotId)
     // reuse only fully intact journal entries (every output still on disk)
     val (done, todo) = plans.partition { p =>
@@ -281,10 +316,14 @@ final class Compaction(
         outputRecords = added.map(_.recordCount).sum,
         durationMs = 0L)))
     }
-    val fresh = concurrentRewritePlans(todo,
-      o => journal.append(RewriteJournal.groupKey(o.plan.fileGroup), o.result.addedFiles))
+    reused.foreach(progress.completed)
+    val fresh = concurrentRewritePlans(todo, { o =>
+      journal.append(RewriteJournal.groupKey(o.plan.fileGroup), o.result.addedFiles)
+      progress.completed(o)
+    })
     val outcomes = reused ++ fresh
     var committed = commitRewriteResults(outcomes)
+    progress.committed()
     journal.delete()
     if (cleanupDanglingDeletes)
       committed = Maintenance.removeDanglingDeletes(spark, catalog, tableName, retry)

@@ -82,4 +82,27 @@ class MetricsSpec extends AnyFunSuite {
     // +Inf bucket always equals total count
     h.values.foreach(s => assert(s.cumulativeCounts.last == s.count))
   }
+
+  test("progress callback ticks planned -> per-group rewriting -> committed") {
+    val spark = SparkTestBase.spark
+    val catalog = graft.meta.LocalCatalog(Files.createTempDirectory("graft-wh").toString)
+    val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    FileGenerator.writeTable(spark, catalog, "t_prog", src,
+      FileGenerator.Config(dataFileCount = 4, orderCol = "n_nationkey"))
+    val ticks = new java.util.concurrent.ConcurrentLinkedQueue[CompactionProgress]
+    new Compaction(catalog, "t_prog", spark,
+      config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 1)),
+      onProgress = ticks.add(_): Unit).compact()
+    val seq = ticks.toArray(Array.empty[CompactionProgress]).toSeq
+    val total = seq.head.plansTotal
+    assert(total >= 1 && seq.head.phase == "planned" && seq.head.plansDone == 0)
+    val rewrites = seq.filter(_.phase == "rewriting")
+    assert(rewrites.size == total, "one rewriting tick per plan")
+    assert(rewrites.map(_.plansDone).sorted == (1 to total),
+      "plansDone counts up monotonically across worker threads")
+    assert(rewrites.map(_.bytesDone).max == seq.head.bytesTotal,
+      "the last rewriting tick accounts for every planned input byte")
+    assert(seq.last.phase == "committed" && seq.last.plansDone == total &&
+      seq.last.bytesDone == seq.last.bytesTotal)
+  }
 }
