@@ -401,21 +401,6 @@ object Dedup {
     withLanes.select(col("id") +: gset +: mhCols: _*)
   }
 
-  /** Exact Jaccard verification of candidate pairs against the shingle
-    * sets. Returns pairs with jaccard >= threshold. */
-  def verifyJaccard(pairs: DataFrame, grams: DataFrame, threshold: Double): DataFrame = {
-    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val g1 = grams.select(col("id").as("id1"), col("gram"))
-    val g2 = grams.select(col("id").as("id2"), col("gram"))
-    val common = pairs.join(g1, Seq("id1")).join(g2, Seq("id2", "gram"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), Seq("id1"))
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"), Seq("id2"))
-      .filter(col("c").cast("double") / (col("n1") + col("n2") - col("c")) >= threshold)
-      .select(col("id1"), col("id2"))
-  }
-
   /** Per-row word-shingle SETS as sorted xxhash64 arrays — the zero-
     * shuffle representation [[graft.functions.SortedJaccardGe]] consumes.
     * Same distinct-shingle semantics as [[wordShingles]], but no explode

@@ -84,6 +84,26 @@ class ExactDispatchSpec extends AnyFunSuite {
     assert(under.count() > 0)
   }
 
+  test("prefix arms stay exact across a threshold sweep") {
+    // the prefix length formula |A| - ceil(t|A|) + 1 must be lossless at
+    // EVERY threshold, not just the defaults the other tests pin
+    val corpus = docs.select($"doc_id", $"text").limit(60)
+      .unionAll(docs.limit(60).filter($"doc_id" % 2 === 0)
+        .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" pad")).as("text")))
+    for (t <- Seq(0.35, 0.6, 0.85)) {
+      val direct = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 4, t)
+      val prefix = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", 4, t)
+      assert(direct.exceptAll(prefix).isEmpty && prefix.exceptAll(direct).isEmpty,
+        s"jaccard prefix diverged at t=$t")
+    }
+    for (t <- Seq(0.5, 0.75, 0.95)) {
+      val bcast = Dedup.containmentPairs(containCorpus, "doc_id", "text", 4, t)
+      val prefix = Dedup.containmentPairsPrefix(containCorpus, "doc_id", "text", 4, t)
+      assert(bcast.exceptAll(prefix).isEmpty && prefix.exceptAll(bcast).isEmpty,
+        s"containment prefix diverged at t=$t")
+    }
+  }
+
   test("tiled join distributes: no task sees more than ~2n/tiles rows of either side") {
     // structural invariant at scale: with `tiles` buckets a tile joins
     // two ~n/tiles slices, so the per-task pair block is (n/tiles)^2
