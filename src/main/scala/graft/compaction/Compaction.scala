@@ -96,7 +96,8 @@ final class Compaction(
     val enableIdentNormalization: Boolean = true,
     /** parquet writer tunables for rewritten files — the reference's
       * `write_parquet_properties` (config/mod.rs:403); defaults keep
-      * reference parity (zstd, 128 MiB row groups). */
+      * reference parity (zstd, 128 MiB row groups). The table's own
+      * Iceberg `write.parquet.*` properties override per field. */
     val parquetWrite: graft.exec.ParquetWriteConfig = graft.exec.ParquetWriteConfig(),
     /** live progress callback (reference roadmap "Job progress display",
       * README.md:66): fired once after planning, per completed group
@@ -161,7 +162,11 @@ final class Compaction(
       // that intersect — the clustering that makes tableRange useful)
       rangeDistribute =
         table.properties.get("write.distribution-mode").contains("range"),
-      parquet = parquetWrite
+      // Iceberg `write.parquet.*` TABLE PROPERTIES take precedence (the
+      // table owns its layout, like write.distribution-mode above); the
+      // constructor config supplies every field no property names
+      parquet = graft.exec.ParquetWriteConfig.fromProperties(
+        table.properties, base = parquetWrite)
     )
     val res = executor.rewriteFiles(execSpark, req)
     if (enableDynamicSizeEstimation)

@@ -28,6 +28,31 @@ final case class ParquetWriteConfig(
       * skipping for readers that honor them. */
     bloomFilterColumns: Seq[String] = Nil)
 
+object ParquetWriteConfig {
+  /** Public Iceberg table-property names (Iceberg table-configuration
+    * docs: write properties). A table that carries them keeps its write
+    * tuning through export/import, and EVERY writer — ingest, upsert,
+    * partition overwrite, compaction — honors them. */
+  val CompressionKey = "write.parquet.compression-codec"
+  val RowGroupKey = "write.parquet.row-group-size-bytes"
+  val PageSizeKey = "write.parquet.page-size-bytes"
+  val BloomPrefix = "write.parquet.bloom-filter-enabled.column."
+
+  /** Writer config from table properties; absent keys keep `base`'s
+    * values (so an explicit config passed by a caller still wins where
+    * the caller set it and table properties fill the rest). */
+  def fromProperties(props: Map[String, String],
+      base: ParquetWriteConfig = ParquetWriteConfig()): ParquetWriteConfig =
+    base.copy(
+      compression = props.getOrElse(CompressionKey, base.compression),
+      rowGroupBytes = props.get(RowGroupKey).map(_.trim.toLong).getOrElse(base.rowGroupBytes),
+      pageSizeBytes = props.get(PageSizeKey).map(_.trim.toLong).orElse(base.pageSizeBytes),
+      bloomFilterColumns = (base.bloomFilterColumns ++ props.collect {
+        case (k, v) if k.startsWith(BloomPrefix) && v.trim.equalsIgnoreCase("true") =>
+          k.stripPrefix(BloomPrefix)
+      }).distinct.sorted)
+}
+
 /** One rewrite job: inputs (a planned file group) -> new data files. */
 final case class RewriteRequest(
     group: FileGroup,

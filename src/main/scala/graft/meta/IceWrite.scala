@@ -41,7 +41,8 @@ object IceWrite {
     val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L)
     val written = SparkExecutor.writeDataFiles(
       spark, out, MetaIO.join(catalog.tableLocation(name), "data"),
-      partitionSpec, sortOrder, maxRecordsPerFile = rowsEstimate)
+      partitionSpec, sortOrder, maxRecordsPerFile = rowsEstimate,
+      parquet = graft.exec.ParquetWriteConfig.fromProperties(extraProperties))
     require(written.nonEmpty || df.isEmpty, s"create of $name wrote no files")
     var rowCursor = 0L
     val stamped = written.map { f =>
@@ -430,7 +431,8 @@ object IceWrite {
       spark, out, MetaIO.join(table0.location, "data"),
       if (content == FileContent.Data) table0.partitionSpec else Nil,
       if (content == FileContent.Data) table0.sortOrder else Nil,
-      maxRecordsPerFile = rowsEstimate)
+      maxRecordsPerFile = rowsEstimate,
+      parquet = graft.exec.ParquetWriteConfig.fromProperties(table0.properties))
     require(written.nonEmpty || df.isEmpty, s"append to $name wrote no files")
     afterWrite(written) // may throw (e.g. constraint violations) -> no commit
     commitSnapshot(catalog, name,
@@ -521,7 +523,8 @@ object IceWrite {
     val written = SparkExecutor.writeDataFiles(
       spark, out, MetaIO.join(meta0.location, "data"),
       meta0.partitionSpec, meta0.sortOrder,
-      maxRecordsPerFile = math.max(1L, Defaults.TargetFileSize / 256L))
+      maxRecordsPerFile = math.max(1L, Defaults.TargetFileSize / 256L),
+      parquet = graft.exec.ParquetWriteConfig.fromProperties(meta0.properties))
     val touched = written.map(_.partitionValues).distinct
     commitSnapshot(catalog, name,
       Seq(StampSet(written, FileContent.Data, Nil, Nil)),

@@ -137,6 +137,35 @@ class PolicySpec extends AnyFunSuite {
     assert(IceRead.table(spark, catalog, "ev_cost").count() == total)
   }
 
+  test("Iceberg write.parquet.* table properties drive every writer") {
+    import scala.jdk.CollectionConverters._
+    val catalog = LocalCatalog(Files.createTempDirectory("pol-prop").toString)
+    IceWrite.create(spark, catalog, "t_prop",
+      spark.read.parquet(s"$sf/nation.parquet"),
+      extraProperties = Map("write.parquet.compression-codec" -> "snappy"))
+    IceWrite.append(spark, catalog, "t_prop", spark.read.parquet(s"$sf/nation.parquet"))
+    new Compaction(catalog, "t_prop", spark,
+      config = FullCompactionConfig(),
+      targetFileSizeBytes = 512L * 1024 * 1024).compact()
+    val conf = spark.sessionState.newHadoopConf()
+    val files = catalog.loadTable("t_prop").currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data)
+    assert(files.nonEmpty)
+    // the create write, the append write, and the compaction rewrite all
+    // honored the table property (only compaction outputs survive here,
+    // but a wrong codec anywhere would surface as a mixed set pre-compact)
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.path), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val codecs = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala).map(_.getCodec.toString).toSet
+        assert(codecs == Set("SNAPPY"), s"expected SNAPPY, got $codecs in ${f.path}")
+      } finally r.close()
+    }
+  }
+
   test("parquet writer tunables reach the rewritten files") {
     import scala.jdk.CollectionConverters._
     val catalog = LocalCatalog(Files.createTempDirectory("pol-pq").toString)
