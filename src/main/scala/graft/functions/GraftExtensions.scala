@@ -17,6 +17,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SQL front door: `SELECT ... FROM graft.t`, time travel suffixes,
+    // metadata tables, INSERT INTO/OVERWRITE (graft.meta.GraftSql).
+    // Injected into the HINTS batch, which the analyzer runs BEFORE the
+    // Resolution batch: Spark's own RelationResolution throws
+    // REQUIRES_SINGLE_PART_NAMESPACE on three-part names like
+    // `graft.t.branch_dev` before extendedResolutionRules would get a
+    // look, so the front door must claim its relations first.
+    e.injectHintResolutionRule(session => new graft.meta.GraftSql.SqlRule(session))
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.jaccardGeDescriptor)
     e.injectFunction(GraftExtensions.nfcDescriptor)

@@ -501,6 +501,26 @@ object IceWrite {
       pruneParent = prunePartitions(partitionFilter, _))
   }
 
+  /** Atomic full-table replace (SQL `INSERT OVERWRITE` on an
+    * unpartitioned table): ONE snapshot drops every live file — data AND
+    * deletes, which would dangle once their data files go — and adds the
+    * incoming rows. An empty source truncates. No reader observes old and
+    * new rows together; time travel to the pre-replace snapshot keeps
+    * working because the dropped files stay on disk until expiry. */
+  def replaceAll(spark: SparkSession, catalog: Catalog, name: String,
+      df: DataFrame): TableMetadata = {
+    val meta0 = catalog.loadTable(name)
+    val out = if (typedOf(meta0)) withFieldIds(df, meta0.schema) else df
+    val written = SparkExecutor.writeDataFiles(
+      spark, out, MetaIO.join(meta0.location, "data"),
+      meta0.partitionSpec, meta0.sortOrder,
+      maxRecordsPerFile = math.max(1L, Defaults.TargetFileSize / 256L),
+      parquet = graft.exec.ParquetWriteConfig.fromProperties(meta0.properties))
+    commitSnapshot(catalog, name,
+      Seq(StampSet(written, FileContent.Data, Nil, Nil)),
+      operation = "overwrite", branch = "main", pruneParent = _ => Nil)
+  }
+
   /** Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION): ONE
     * atomic snapshot replaces every partition PRESENT IN `df` with the
     * incoming rows — untouched partitions keep their files byte-for-byte,

@@ -1229,6 +1229,30 @@ object OpsQueries {
           col("s_nationkey").cast("long").as("s_nationkey"))
     }),
 
+    // SQL FRONT DOOR as an oracle-checked query: a real table is created
+    // from `customer` and registered under a SQL catalog name, a slice
+    // is appended back through `INSERT INTO ... SELECT` READING THE SAME
+    // front-door relation (snapshot isolation: the source resolves the
+    // pre-insert snapshot), and the final statement aggregates the table
+    // while a scalar subquery time-travels to the create snapshot — SQL
+    // resolution, write path, and `snapshot_id_` suffix all hash-checked
+    "q_sql_frontdoor" -> ((s, dir) => {
+      import graft.meta.{GraftSql, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-sql-wh").toString)
+      GraftSql.register("qsql", catalog)
+      IceWrite.create(s, catalog, "t_q_sql", tbl(s, dir, "customer"))
+      s.sql("""INSERT INTO qsql.t_q_sql
+              |SELECT c_custkey + 1000000, upper(c_name), c_nationkey,
+              |       c_acctbal, c_mktsegment
+              |FROM qsql.t_q_sql WHERE c_custkey % 10 = 0""".stripMargin)
+      s.sql("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+              |       CAST(sum(c_nationkey) AS BIGINT) AS sum_nk,
+              |       (SELECT CAST(count(*) AS BIGINT)
+              |        FROM qsql.t_q_sql.snapshot_id_1) AS base_rows
+              |FROM qsql.t_q_sql GROUP BY c_mktsegment""".stripMargin)
+    }),
+
     // v3 ROW LINEAGE as an oracle-checked query: a single sorted data
     // file makes the inherited id assignment deterministic (row N of the
     // file = rank N in s_suppkey order), deleteWhere tombstones a seventh
@@ -2267,6 +2291,18 @@ object OpsQueries {
         |  UNION ALL SELECT * FROM ins)
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
         |FROM final0 WHERE s_suppkey % 7 <> 0""".stripMargin,
+
+    "q_sql_frontdoor" ->
+      """WITH t AS (
+        |  SELECT * FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, upper(c_name), c_nationkey,
+        |         c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(c_nationkey) AS BIGINT) AS sum_nk,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM customer) AS base_rows
+        |FROM t GROUP BY c_mktsegment""".stripMargin,
 
     "q_row_lineage" ->
       """WITH ranked AS (

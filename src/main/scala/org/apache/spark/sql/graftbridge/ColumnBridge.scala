@@ -17,4 +17,12 @@ object ColumnBridge {
     * field-id reads) needs it. */
   def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** DataFrame over a logical plan (`Dataset.ofRows` went `private[sql]`
+    * with the classic/connect split). The SQL front door's INSERT command
+    * needs it to execute the parsed source query. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,165 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** SQL front door ([[GraftSql]]): relation resolution, late binding,
+  * time travel / metadata suffixes, INSERT INTO/OVERWRITE, pushdown
+  * through the injected plans. The session under test is built with
+  * GraftExtensions (SparkTestBase), i.e. exactly the deployment shape. */
+class GraftSqlSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshCatalog(name: String): Catalog = {
+    val c = LocalCatalog(Files.createTempDirectory(s"graft-sql-$name").toString)
+    GraftSql.register(name, c)
+    c
+  }
+
+  test("SELECT resolves the MOR view and binds LATE (appends visible per statement)") {
+    val cat = freshCatalog("g1")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    IceWrite.create(spark, cat, "nation", nation)
+
+    val viaSql = spark.sql("SELECT n_name, n_regionkey FROM g1.nation WHERE n_regionkey = 2")
+    val viaApi = IceRead.table(spark, cat, "nation")
+      .where(col("n_regionkey") === 2).select("n_name", "n_regionkey")
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+
+    val before = spark.sql("SELECT count(*) AS c FROM g1.nation").head.getLong(0)
+    IceWrite.append(spark, cat, "nation", nation.limit(3))
+    val after = spark.sql("SELECT count(*) AS c FROM g1.nation").head.getLong(0)
+    assert(after == before + 3, "a new statement must see the commit (no view pinning)")
+  }
+
+  test("filters and projection push into the parquet scan through the front door") {
+    val cat = freshCatalog("g2")
+    IceWrite.create(spark, cat, "orders", spark.read.parquet(s"$sf/orders.parquet"))
+    val plan = spark.sql(
+      "SELECT o_orderkey FROM g2.orders WHERE o_orderkey = 42")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(o_orderkey,42)") && plan.contains("PushedFilters"),
+      s"expected pushed filters in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint>"),
+      s"expected pruned read schema in:\n$plan")
+  }
+
+  test("aggregates, joins and graft SQL functions compose over front-door relations") {
+    val cat = freshCatalog("g3")
+    IceWrite.create(spark, cat, "nation", spark.read.parquet(s"$sf/nation.parquet"))
+    IceWrite.create(spark, cat, "region", spark.read.parquet(s"$sf/region.parquet"))
+    val joined = spark.sql(
+      """SELECT r.r_name, count(*) AS nations
+        |FROM g3.nation n JOIN g3.region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin).collect()
+    assert(joined.length == 5 && joined.map(_.getLong(1)).sum == 25)
+    // native function + front door in one statement
+    val d = spark.sql(
+      "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d FROM g3.region LIMIT 1")
+      .head.getDouble(0)
+    assert(math.abs(d - 11.0) < 1e-9)
+  }
+
+  test("time travel suffixes: snapshot_id / tag / branch / at_timestamp") {
+    val cat = freshCatalog("g4")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    IceWrite.create(spark, cat, "n", nation) // snapshot 1, 25 rows
+    val s1 = cat.loadTable("n").currentSnapshot.get
+    IceWrite.createTag(cat, "n", "v1", s1.snapshotId)
+    IceWrite.createBranch(cat, "n", "dev")
+    IceWrite.append(spark, cat, "n", nation.limit(5)) // main -> 30 rows
+
+    assert(spark.sql("SELECT count(*) AS c FROM g4.n").head.getLong(0) == 30)
+    assert(spark.sql(s"SELECT count(*) AS c FROM g4.n.snapshot_id_${s1.snapshotId}")
+      .head.getLong(0) == 25)
+    assert(spark.sql("SELECT count(*) AS c FROM g4.n.tag_v1").head.getLong(0) == 25)
+    assert(spark.sql("SELECT count(*) AS c FROM g4.n.branch_dev").head.getLong(0) == 25)
+    assert(spark.sql(s"SELECT count(*) AS c FROM g4.n.at_timestamp_${s1.timestampMs}")
+      .head.getLong(0) == 25)
+  }
+
+  test("metadata tables are addressable as suffixes") {
+    val cat = freshCatalog("g5")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    IceWrite.create(spark, cat, "n", nation)
+    IceWrite.append(spark, cat, "n", nation.limit(5))
+
+    assert(spark.sql("SELECT * FROM g5.n.snapshots").count() == 2)
+    assert(spark.sql("SELECT * FROM g5.n.history").count() == 2)
+    assert(spark.sql("SELECT file_path FROM g5.n.files").count() >= 2)
+    assert(spark.sql("SELECT * FROM g5.n.refs WHERE name = 'main'").count() == 1)
+    assert(spark.sql("SELECT * FROM g5.n.partitions").count() == 1)
+    assert(spark.sql(
+      "SELECT max(sequence_number) AS s FROM g5.n.all_files").head.getLong(0) == 2L)
+  }
+
+  test("INSERT INTO appends: positional, column list, BY NAME, NULL fill") {
+    val cat = freshCatalog("g6")
+    IceWrite.create(spark, cat, "t", // NULL literals -> nullable columns
+      spark.range(0).select(lit(null).cast("bigint").as("a"),
+        lit(null).cast("string").as("b"), lit(null).cast("double").as("c")))
+
+    spark.sql("INSERT INTO g6.t VALUES (1, 'one', 1.0), (2, 'two', 2.0)")
+    spark.sql("INSERT INTO g6.t (b, a) VALUES ('three', 3)") // c fills NULL
+    spark.sql("INSERT INTO g6.t BY NAME SELECT 4.0 AS c, 4 AS a, 'four' AS b")
+    val rows = spark.sql("SELECT a, b, c FROM g6.t ORDER BY a").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("one", "two", "three", "four"))
+    assert(rows(2).isNullAt(2) && rows(3).getDouble(2) == 4.0)
+    // INSERT's source query may itself read through the front door
+    spark.sql("INSERT INTO g6.t SELECT a + 10, b, c FROM g6.t WHERE a = 1")
+    assert(spark.sql("SELECT count(*) AS c FROM g6.t WHERE a = 11").head.getLong(0) == 1)
+  }
+
+  test("INSERT OVERWRITE: full replace (unpartitioned), dynamic overwrite (partitioned)") {
+    val cat = freshCatalog("g7")
+    IceWrite.create(spark, cat, "u",
+      spark.range(5).select(col("id").as("a")))
+    spark.sql("INSERT OVERWRITE g7.u SELECT CAST(99 AS BIGINT) AS a")
+    assert(spark.sql("SELECT * FROM g7.u").collect().map(_.getLong(0)).toSeq == Seq(99L))
+    assert(cat.loadTable("u").snapshots.length == 2, "replace is ONE atomic snapshot")
+
+    val src = spark.range(6).select(
+      (col("id") % 3).cast("int").as("p"), col("id").as("v"))
+    IceWrite.create(spark, cat, "pt", src, partitionSpec = Seq(PartitionField("p")))
+    // replace only partition p=0 (dynamic: partitions present in the source)
+    spark.sql("INSERT OVERWRITE g7.pt SELECT CAST(0 AS INT) AS p, CAST(100 AS BIGINT) AS v")
+    val after = spark.sql("SELECT p, v FROM g7.pt ORDER BY p, v").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(after == Seq((0, 100L), (1, 1L), (1, 4L), (2, 2L), (2, 5L)))
+    // static PARTITION value becomes a literal column
+    spark.sql("INSERT OVERWRITE g7.pt PARTITION (p = 1) SELECT CAST(200 AS BIGINT) AS v")
+    assert(spark.sql("SELECT v FROM g7.pt WHERE p = 1").collect()
+      .map(_.getLong(0)).toSeq == Seq(200L))
+  }
+
+  test("conf-declared warehouse: spark.graft.catalog.<name> resolves without register()") {
+    val wh = Files.createTempDirectory("graft-sql-conf").toString
+    val cat = LocalCatalog(wh)
+    IceWrite.create(spark, cat, "n", spark.read.parquet(s"$sf/nation.parquet"))
+    spark.conf.set("spark.graft.catalog.confcat", wh)
+    try assert(spark.sql("SELECT count(*) AS c FROM confcat.n").head.getLong(0) == 25)
+    finally spark.conf.unset("spark.graft.catalog.confcat")
+  }
+
+  test("errors: unknown table, unknown suffix, write to a read-only suffix") {
+    val cat = freshCatalog("g8")
+    IceWrite.create(spark, cat, "n", spark.read.parquet(s"$sf/nation.parquet"))
+    val e1 = intercept[Exception](spark.sql("SELECT * FROM g8.nope"))
+    assert(e1.getMessage.contains("does not exist"))
+    val e2 = intercept[Exception](spark.sql("SELECT * FROM g8.n.bogus_suffix"))
+    assert(e2.getMessage.contains("unknown suffix"))
+    val e3 = intercept[Exception](
+      spark.sql("INSERT INTO g8.n.branch_dev VALUES (1, 'x', 'y', 2)"))
+    assert(e3.getMessage.contains("read-only"))
+    // non-graft relations still resolve through Spark's own catalogs
+    spark.range(3).createOrReplaceTempView("plain_view")
+    assert(spark.sql("SELECT count(*) AS c FROM plain_view").head.getLong(0) == 3)
+  }
+}
