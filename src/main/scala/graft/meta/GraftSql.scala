@@ -1,12 +1,16 @@
 package graft.meta
 
+import java.util.Locale
+
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, ShowTables, SubqueryAlias, TruncateTable, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -40,6 +44,20 @@ import org.apache.spark.sql.types.DataType
   *                                                     -- overwrite (or full
   *                                                     -- replace when
   *                                                     -- unpartitioned)
+  * DELETE FROM graft.t WHERE ...                       -- MOR tombstones
+  * UPDATE graft.t SET a = expr WHERE ...               -- ONE snapshot:
+  *                                                     -- tombstones + copies
+  * MERGE INTO graft.t AS t USING src AS s ON t.k = s.k -- one snapshot,
+  *   WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE -- equality-delete
+  *   WHEN NOT MATCHED [AND c] THEN INSERT ...          -- keys + new files
+  *   WHEN NOT MATCHED BY SOURCE THEN UPDATE ... | DELETE
+  * CREATE TABLE graft.t (k BIGINT, day DATE)           -- DDL: typed create,
+  *   PARTITIONED BY (days(day), bucket(4, k))          -- Iceberg transforms,
+  *   TBLPROPERTIES ('format-version'='3', ...)         -- v3 via property
+  * CREATE TABLE graft.t2 AS SELECT ...                 -- CTAS
+  * TRUNCATE TABLE graft.t                              -- one-snapshot empty
+  * DROP TABLE [IF EXISTS] graft.t
+  * SHOW TABLES IN graft [LIKE 't*']
   * }}}
   *
   * The suffix grammar (`branch_` / `tag_` / `snapshot_id_` /
@@ -93,7 +111,7 @@ object GraftSql {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
       case ins @ InsertIntoStatement(u: UnresolvedRelation, _, _, _, _, _, _)
           if resolvable(u.multipartIdentifier).isDefined =>
-        val (catName, cat, parts) = resolvable(u.multipartIdentifier).get
+        val (catName, _, parts) = resolvable(u.multipartIdentifier).get
         require(parts.lengthCompare(1) == 0,
           s"INSERT into ${u.multipartIdentifier.mkString(".")}: writes target the " +
             "table itself — branch/tag/snapshot suffixes and metadata tables are read-only")
@@ -102,9 +120,100 @@ object GraftSql {
             "or INSERT OVERWRITE (replace)")
         InsertCommand(catName, parts.head, ins.partitionSpec,
           ins.userSpecifiedCols, ins.query, ins.overwrite, ins.byName)
+
+      case d: DeleteFromTable if writeTarget(d.table).isDefined =>
+        val t = writeTarget(d.table).get
+        DeleteCommand(t.catName, t.table,
+          ColumnBridge.column(stripQuals(d.condition, t.prefixes)))
+
+      case u: UpdateTable if writeTarget(u.table).isDefined =>
+        val t = writeTarget(u.table).get
+        val set = u.assignments.map { a =>
+          assignKey(a, t.prefixes) ->
+            ColumnBridge.column(stripQuals(a.value, t.prefixes))
+        }.toMap
+        UpdateCommand(t.catName, t.table, set,
+          u.condition.map(c => ColumnBridge.column(stripQuals(c, t.prefixes)))
+            .getOrElse(lit(true)))
+
+      case m: MergeIntoTable if writeTarget(m.targetTable).isDefined =>
+        convertMerge(m, writeTarget(m.targetTable).get)
+
+      case ct: CreateTable => ct.name match {
+        case id: UnresolvedIdentifier if idTarget(id.nameParts).isDefined =>
+          val (catName, t) = idTarget(id.nameParts).get
+          CreateCommand(catName, t, Some(ct.tableSchema), None,
+            ct.partitioning.map(toPartitionField),
+            specProperties(ct.tableSpec), ct.ignoreIfExists)
+        case _ => ct
+      }
+
+      case cta: CreateTableAsSelect => cta.name match {
+        case id: UnresolvedIdentifier if idTarget(id.nameParts).isDefined =>
+          val (catName, t) = idTarget(id.nameParts).get
+          CreateCommand(catName, t, None, Some(cta.query),
+            cta.partitioning.map(toPartitionField),
+            specProperties(cta.tableSpec), cta.ignoreIfExists)
+        case _ => cta
+      }
+
+      case dt: org.apache.spark.sql.catalyst.plans.logical.DropTable => dt.child match {
+        case id: UnresolvedIdentifier if idTarget(id.nameParts).isDefined =>
+          val (catName, t) = idTarget(id.nameParts).get
+          DropCommand(catName, t, dt.ifExists)
+        case _ => dt
+      }
+
+      case tt: TruncateTable => tt.table match {
+        case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if idTarget(ut.multipartIdentifier).isDefined =>
+          val (catName, t) = idTarget(ut.multipartIdentifier).get
+          TruncateCommand(catName, t)
+        case _ => tt
+      }
+
+      case st: ShowTables => st.namespace match {
+        case ns: UnresolvedNamespace
+            if ns.multipartIdentifier.lengthCompare(1) == 0 &&
+              resolve(spark, ns.multipartIdentifier.head).isDefined =>
+          ShowTablesCommand(ns.multipartIdentifier.head, st.pattern, st.output)
+        case _ => st
+      }
+
+      case c: org.apache.spark.sql.catalyst.plans.logical.Call => c.procedure match {
+        case up: org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure =>
+          (up.nameParts match {
+            case Seq(cat, "system", proc) if resolve(spark, cat).isDefined => Some((cat, proc))
+            case Seq(cat, proc) if resolve(spark, cat).isDefined => Some((cat, proc))
+            case _ => None
+          }) match {
+            case Some((cat, proc)) => ProcedureCommand(cat, proc, c.args.map(procArg))
+            case None => c
+          }
+        case _ => c
+      }
+
       case u: UnresolvedRelation if resolvable(u.multipartIdentifier).isDefined =>
         val (catName, cat, parts) = resolvable(u.multipartIdentifier).get
         SubqueryAlias(catName +: parts, relationPlan(cat, catName, parts))
+    }
+
+    /** CALL argument -> (name?, literal value). Procedures take literal
+      * arguments only (Iceberg's CALL convention). */
+    private def procArg(e: Expression): (Option[String], Any) = {
+      def value(v: Expression): Any = v match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => other
+        }
+        case other => throw new IllegalArgumentException(
+          s"CALL arguments must be literals, got: ${other.sql}")
+      }
+      e match {
+        case na: org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression =>
+          (Some(na.key.toLowerCase(Locale.ROOT)), value(na.value))
+        case other => (None, value(other))
+      }
     }
 
     /** Some((catalogName, catalog, identifier-after-catalog)) when the
@@ -143,6 +252,220 @@ object GraftSql {
           s"${(catName +: parts).mkString(".")}: at most one suffix part after the table name")
       }
       df.queryExecution.analyzed
+    }
+
+    /** A DML write target: `cat.table` or `alias OF cat.table`, plus the
+      * qualifier prefixes user expressions may carry for it. */
+    private case class WriteTarget(catName: String, cat: Catalog, table: String,
+        alias: Option[String]) {
+      def prefixes: Seq[Seq[String]] =
+        (alias.map(Seq(_)).toSeq :+ Seq(table) :+ Seq(catName, table)).distinct
+    }
+
+    private def writeTarget(plan: LogicalPlan): Option[WriteTarget] = plan match {
+      case SubqueryAlias(a, child) =>
+        writeTarget(child).map(_.copy(alias = Some(a.name)))
+      case u: UnresolvedRelation =>
+        resolvable(u.multipartIdentifier).map { case (catName, cat, parts) =>
+          require(parts.lengthCompare(1) == 0,
+            s"${u.multipartIdentifier.mkString(".")}: DML writes target the table " +
+              "itself — branch/tag/snapshot suffixes and metadata tables are read-only")
+          WriteTarget(catName, cat, parts.head, None)
+        }
+      case _ => None
+    }
+
+    /** DDL identifier (`CREATE/DROP TABLE cat.t`). */
+    private def idTarget(parts: Seq[String]): Option[(String, String)] =
+      if (parts.lengthCompare(2) == 0 && resolve(spark, parts.head).isDefined)
+        Some((parts.head, parts(1)))
+      else None
+
+    private def sameIdent(a: String, b: String): Boolean =
+      a.toLowerCase(Locale.ROOT) == b.toLowerCase(Locale.ROOT)
+
+    private def hasPrefix(nameParts: Seq[String], prefix: Seq[String]): Boolean =
+      nameParts.lengthCompare(prefix.length) > 0 &&
+        nameParts.zip(prefix).forall { case (a, b) => sameIdent(a, b) }
+
+    /** Drops single-table qualifiers (`t.a`, `cat.t.a`, `alias.a` -> `a`)
+      * so the expression resolves against the bare scan inside
+      * deleteWhere/updateWhere. */
+    private def stripQuals(e: Expression, prefixes: Seq[Seq[String]]): Expression =
+      e.transform {
+        case ua: UnresolvedAttribute =>
+          prefixes.find(hasPrefix(ua.nameParts, _))
+            .map(p => UnresolvedAttribute(ua.nameParts.drop(p.length)))
+            .getOrElse(ua)
+      }
+
+    /** Assignment key -> bare column name (struct-field paths rejected). */
+    private def assignKey(a: Assignment, prefixes: Seq[Seq[String]]): String = {
+      val parts = a.key match {
+        case ua: UnresolvedAttribute =>
+          prefixes.find(hasPrefix(ua.nameParts, _))
+            .map(p => ua.nameParts.drop(p.length)).getOrElse(ua.nameParts)
+        case other => throw new IllegalArgumentException(
+          s"SET target must be a column, got $other")
+      }
+      require(parts.lengthCompare(1) == 0,
+        s"SET ${parts.mkString(".")}: nested-field assignment is not supported — " +
+          "update the whole top-level column")
+      parts.head
+    }
+
+    /** MERGE INTO -> [[MergeCommand]] over [[IceWrite.merge]]. The ON
+      * condition must be a conjunction of `t.k = s.k` equalities on
+      * same-named columns (the equality-delete key shape merge commits);
+      * WHEN clauses map onto merge()'s condition/set parameters with
+      * SQL's in-order clause precedence preserved. */
+    private def convertMerge(m: MergeIntoTable, t: WriteTarget): LogicalPlan = {
+      val (srcPlan, srcAlias) = m.sourceTable match {
+        case sa @ SubqueryAlias(a, _) => (sa: LogicalPlan, Some(a.name))
+        case other => (other, None)
+      }
+      val srcPrefixes: Seq[Seq[String]] =
+        (srcAlias.map(Seq(_)).toSeq ++ (m.sourceTable match {
+          case u: UnresolvedRelation =>
+            Seq(Seq(u.multipartIdentifier.last), u.multipartIdentifier)
+          case _ => Nil
+        })).distinct
+
+      // requalify user expressions onto merge()'s `t`/`s` join aliases
+      def reQual(e: Expression): Expression = e.transform {
+        case ua: UnresolvedAttribute =>
+          t.prefixes.find(hasPrefix(ua.nameParts, _))
+            .map(p => UnresolvedAttribute("t" +: ua.nameParts.drop(p.length)))
+            .orElse(srcPrefixes.find(hasPrefix(ua.nameParts, _))
+              .map(p => UnresolvedAttribute("s" +: ua.nameParts.drop(p.length))))
+            .getOrElse(ua)
+      }
+      def cond(c: Option[Expression]): Column =
+        c.map(e => ColumnBridge.column(reQual(e))).getOrElse(lit(true))
+
+      // ON: conjunction of same-named t/s key equalities
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      val keys = conjuncts(m.mergeCondition).map { c =>
+        reQual(c) match {
+          case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+              if Set(a.nameParts.head, b.nameParts.head) == Set("t", "s") &&
+                a.nameParts.lengthCompare(2) == 0 && b.nameParts.lengthCompare(2) == 0 &&
+                sameIdent(a.nameParts(1), b.nameParts(1)) =>
+            a.nameParts(1)
+          case other => throw new IllegalArgumentException(
+            s"MERGE ON must be a conjunction of target.k = source.k equalities on " +
+              s"same-named, alias-qualified columns (the merge key); got: ${other.sql}")
+        }
+      }.distinct
+
+      def toSet(assigns: Seq[Assignment]): Map[String, Column] =
+        assigns.map(a => assignKey(a, t.prefixes) ->
+          ColumnBridge.column(reQual(a.value))).toMap
+
+      // SQL UPDATE SET keeps the TARGET value for unassigned columns;
+      // IceWrite.merge's updateSet default is whole-row SOURCE replace
+      // (the upsert shape). Pin every unassigned column to `t.<c>` —
+      // without this, MERGE ... UPDATE SET one_col silently clobbers the
+      // other columns with source values (caught by the q_sql_dml oracle).
+      lazy val tableCols: Seq[String] = {
+        val meta = t.cat.loadTable(t.table)
+        if (meta.schema.nonEmpty) meta.schemaColumns
+        else IceRead.table(spark, t.cat, t.table).columns.toSeq
+      }
+      def withTargetDefaults(assigned: Map[String, Column]): Map[String, Column] =
+        assigned ++ tableCols.filterNot(assigned.contains)
+          .map(c => c -> col(s"t.$c"))
+
+      var updWhen: Column = lit(false)
+      var updSet: Map[String, Column] = Map.empty
+      var delWhen: Column = lit(false)
+      m.matchedActions match {
+        case Seq() =>
+        case Seq(one) => one match {
+          case ua: UpdateAction => updWhen = cond(ua.condition); updSet = withTargetDefaults(toSet(ua.assignments))
+          case us: UpdateStarAction => updWhen = cond(us.condition)
+          case da: DeleteAction => delWhen = cond(da.condition)
+          case other => unsupportedAction(other)
+        }
+        case Seq(first, second) =>
+          (first, second) match {
+            case (u: UpdateAction, d: DeleteAction) =>
+              updWhen = cond(u.condition); updSet = withTargetDefaults(toSet(u.assignments))
+              delWhen = cond(d.condition) && !updWhen // update clause fires first
+            case (u: UpdateStarAction, d: DeleteAction) =>
+              updWhen = cond(u.condition)
+              delWhen = cond(d.condition) && !updWhen
+            case (d: DeleteAction, u: UpdateAction) =>
+              delWhen = cond(d.condition) // delete-first = merge()'s precedence
+              updWhen = cond(u.condition); updSet = withTargetDefaults(toSet(u.assignments))
+            case (d: DeleteAction, u: UpdateStarAction) =>
+              delWhen = cond(d.condition); updWhen = cond(u.condition)
+            case _ => throw new IllegalArgumentException(
+              "MERGE supports at most one WHEN MATCHED UPDATE and one WHEN MATCHED DELETE")
+          }
+        case _ => throw new IllegalArgumentException(
+          "MERGE supports at most one WHEN MATCHED UPDATE and one WHEN MATCHED DELETE")
+      }
+
+      var insWhen: Column = lit(false)
+      m.notMatchedActions match {
+        case Seq() =>
+        case Seq(ia: InsertStarAction) => insWhen = cond(ia.condition)
+        case Seq(ia: InsertAction) =>
+          // identity column list (INSERT (a, b) VALUES (s.a, s.b)) is the
+          // whole-source-row insert merge() performs; anything else would
+          // need a per-clause source projection
+          val identity = ia.assignments.forall { a =>
+            val k = assignKey(a, t.prefixes)
+            reQual(a.value) match {
+              case ua: UnresolvedAttribute =>
+                sameIdent(ua.nameParts.last, k)
+              case _ => false
+            }
+          }
+          require(identity,
+            "MERGE WHEN NOT MATCHED THEN INSERT must insert the source row " +
+              "(INSERT * or a column-for-column list); expressions belong in the " +
+              "source query")
+          insWhen = cond(ia.condition)
+        case _ => throw new IllegalArgumentException(
+          "MERGE supports at most one WHEN NOT MATCHED THEN INSERT clause")
+      }
+
+      var bsUpdWhen: Option[Column] = None
+      var bsUpdSet: Map[String, Column] = Map.empty
+      var bsDelWhen: Option[Column] = None
+      m.notMatchedBySourceActions.foreach {
+        case ua: UpdateAction =>
+          require(bsUpdWhen.isEmpty, "at most one WHEN NOT MATCHED BY SOURCE UPDATE")
+          bsUpdWhen = Some(cond(ua.condition)); bsUpdSet = toSet(ua.assignments)
+        case da: DeleteAction =>
+          require(bsDelWhen.isEmpty, "at most one WHEN NOT MATCHED BY SOURCE DELETE")
+          bsDelWhen = Some(cond(da.condition))
+        case other => unsupportedAction(other)
+      }
+
+      MergeCommand(t.catName, t.table, srcPlan, keys,
+        updWhen, delWhen, updSet, insWhen,
+        bsUpdWhen.getOrElse(lit(false)), bsDelWhen.getOrElse(lit(false)), bsUpdSet)
+    }
+
+    private def unsupportedAction(a: MergeAction): Nothing =
+      throw new IllegalArgumentException(s"unsupported MERGE action: $a")
+
+    /** Spark DDL partition transform -> graft [[PartitionField]]. */
+    private def toPartitionField(tr: Transform): PartitionField = {
+      val (column, transform) = ColumnBridge.decomposeTransform(tr)
+      PartitionField(column, transform)
+    }
+
+    private def specProperties(spec: Any): Map[String, String] = spec match {
+      case u: UnresolvedTableSpec =>
+        u.properties ++ u.comment.map("comment" -> _)
+      case _ => Map.empty
     }
   }
 
@@ -222,6 +545,232 @@ object GraftSql {
       else if (meta.partitionSpec.nonEmpty) IceWrite.overwritePartitions(spark, cat, table, out)
       else IceWrite.replaceAll(spark, cat, table, out)
       Seq.empty
+    }
+  }
+
+  private def catalogOrDie(spark: SparkSession, name: String): Catalog =
+    resolve(spark, name).getOrElse(throw new IllegalStateException(
+      s"graft catalog $name vanished between analysis and execution"))
+
+  /** `DELETE FROM cat.t WHERE ...` -> [[IceWrite.deleteWhere]] (MOR
+    * position tombstones, no data file rewritten). */
+  final case class DeleteCommand(catalogName: String, table: String,
+      condition: Column) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      IceWrite.deleteWhere(spark, catalogOrDie(spark, catalogName), table, condition)
+      Seq.empty
+    }
+  }
+
+  /** `UPDATE cat.t SET ... WHERE ...` -> [[IceWrite.updateWhere]] (ONE
+    * snapshot: tombstones + updated copies). */
+  final case class UpdateCommand(catalogName: String, table: String,
+      set: Map[String, Column], condition: Column) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      IceWrite.updateWhere(spark, catalogOrDie(spark, catalogName), table, set, condition)
+      Seq.empty
+    }
+  }
+
+  /** `MERGE INTO cat.t USING src ON ... WHEN ...` -> [[IceWrite.merge]]
+    * (ONE snapshot: equality-delete keys + new data files). The source
+    * plan analyzes at run time, so it may itself read graft relations. */
+  final case class MergeCommand(catalogName: String, table: String,
+      source: LogicalPlan, keys: Seq[String],
+      matchedUpdateWhen: Column, matchedDeleteWhen: Column,
+      updateSet: Map[String, Column], insertWhen: Column,
+      bySourceUpdateWhen: Column, bySourceDeleteWhen: Column,
+      bySourceSet: Map[String, Column]) extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(spark: SparkSession): Seq[Row] = {
+      IceWrite.merge(spark, catalogOrDie(spark, catalogName), table,
+        ColumnBridge.ofRows(spark, source), keys,
+        matchedUpdateWhen = matchedUpdateWhen,
+        matchedDeleteWhen = matchedDeleteWhen,
+        updateSet = updateSet,
+        insertWhen = insertWhen,
+        notMatchedBySourceUpdateWhen = bySourceUpdateWhen,
+        notMatchedBySourceDeleteWhen = bySourceDeleteWhen,
+        notMatchedBySourceSet = bySourceSet)
+      Seq.empty
+    }
+  }
+
+  /** `CREATE TABLE cat.t (...) [PARTITIONED BY ...] [TBLPROPERTIES ...]`
+    * (explicit `schema`) and `CREATE TABLE ... AS SELECT` (`query`) ->
+    * [[IceWrite.create]]. `format-version` arrives as a table property. */
+  final case class CreateCommand(catalogName: String, table: String,
+      declaredSchema: Option[org.apache.spark.sql.types.StructType],
+      query: Option[LogicalPlan], partitionSpec: Seq[PartitionField],
+      properties: Map[String, String], ignoreIfExists: Boolean)
+      extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = query.toSeq
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      if (cat.tableExists(table)) {
+        if (ignoreIfExists) return Seq.empty
+        throw new IllegalArgumentException(s"table $catalogName.$table already exists")
+      }
+      val df = query.map(ColumnBridge.ofRows(spark, _)).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], declaredSchema.get))
+      val formatVersion =
+        properties.get("format-version").map(_.trim.toInt).getOrElse(2)
+      IceWrite.create(spark, cat, table, df, partitionSpec = partitionSpec,
+        formatVersion = formatVersion,
+        extraProperties = properties - "format-version")
+      Seq.empty
+    }
+  }
+
+  /** `DROP TABLE [IF EXISTS] cat.t` -> `Catalog.dropTable`. */
+  final case class DropCommand(catalogName: String, table: String,
+      ifExists: Boolean) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      if (!cat.tableExists(table)) {
+        if (ifExists) return Seq.empty
+        throw new IllegalArgumentException(s"table $catalogName.$table does not exist")
+      }
+      cat.dropTable(table)
+      Seq.empty
+    }
+  }
+
+  /** `TRUNCATE TABLE cat.t` -> [[IceWrite.replaceAll]] with an empty
+    * frame: ONE snapshot drops every live file; history stays
+    * time-travelable until expiry. */
+  final case class TruncateCommand(catalogName: String, table: String)
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      val meta = cat.loadTable(table)
+      val schema = meta.typedStruct.getOrElse(
+        IceRead.table(spark, cat, table).schema)
+      IceWrite.replaceAll(spark, cat, table,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+      Seq.empty
+    }
+  }
+
+  /** SQL `CALL cat.system.<proc>(...)` maintenance procedures, named
+    * after Iceberg's public Spark procedures so operational runbooks
+    * port: `rewrite_data_files`, `rewrite_position_delete_files`,
+    * `expire_snapshots`, `remove_orphan_files`, `rollback_to_snapshot`.
+    * First positional argument (or `table =>`) is always the table name;
+    * remaining arguments are named. Each returns the same shape of
+    * result row Iceberg's procedure of that name does. */
+  final case class ProcedureCommand(catalogName: String, proc: String,
+      args: Seq[(Option[String], Any)]) extends LeafRunnableCommand {
+
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+    override val output: Seq[Attribute] = proc match {
+      case "rewrite_data_files" | "rewrite_position_delete_files" => Seq(
+        AttributeReference("rewritten_files_count", IntegerType)(),
+        AttributeReference("added_files_count", IntegerType)(),
+        AttributeReference("rewritten_bytes_count", LongType)(),
+        AttributeReference("added_bytes_count", LongType)())
+      case "expire_snapshots" => Seq(
+        AttributeReference("expired_snapshots_count", LongType)(),
+        AttributeReference("remaining_snapshots_count", LongType)())
+      case "remove_orphan_files" => Seq(
+        AttributeReference("orphan_file_location", StringType)())
+      case "rollback_to_snapshot" => Seq(
+        AttributeReference("previous_snapshot_id", LongType)(),
+        AttributeReference("current_snapshot_id", LongType)())
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure $catalogName.system.$other (supported: " +
+          "rewrite_data_files, rewrite_position_delete_files, expire_snapshots, " +
+          "remove_orphan_files, rollback_to_snapshot)")
+    }
+
+    private def named(name: String): Option[Any] =
+      args.collectFirst { case (Some(`name`), v) => v }
+    private def tableArg: String =
+      named("table").orElse(args.collectFirst { case (None, v) => v })
+        .map(_.toString).getOrElse(throw new IllegalArgumentException(
+          s"$proc: pass the table name as the first argument or table => '...'"))
+    private def longArg(name: String): Option[Long] =
+      named(name).map {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(s"$name must be numeric, got $other")
+      }
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      val table = tableArg
+      proc match {
+        case "rewrite_data_files" =>
+          val compaction = new graft.compaction.Compaction(cat, table, spark,
+            targetFileSizeBytes = longArg("target_file_size_bytes")
+              .getOrElse(graft.selection.Defaults.TargetFileSize))
+          val res = compaction.compact()
+          val in = res.stats.map(_.inputFiles).sum
+          val inB = res.stats.map(_.inputBytes).sum
+          val outB = res.stats.map(_.outputBytes).sum
+          Seq(Row(in, res.addedFiles.length, inB, outB))
+        case "rewrite_position_delete_files" =>
+          def posDeletes(m: TableMetadata) = m.currentSnapshot.toSeq
+            .flatMap(_.manifest).filter(f =>
+              f.content == FileContent.PositionDeletes && !f.isDeletionVector)
+          val before = posDeletes(cat.loadTable(table))
+          val after = posDeletes(
+            graft.compaction.Maintenance.rewritePositionDeletes(spark, cat, table))
+          val rewritten = before.map(_.path).toSet -- after.map(_.path).toSet
+          val added = after.map(_.path).toSet -- before.map(_.path).toSet
+          Seq(Row(rewritten.size, added.size,
+            before.filter(f => rewritten(f.path)).map(_.length).sum,
+            after.filter(f => added(f.path)).map(_.length).sum))
+        case "expire_snapshots" =>
+          val before = cat.loadTable(table).snapshots.length
+          val afterMeta = (longArg("older_than"), longArg("retain_last")) match {
+            case (Some(ts), retain) => graft.compaction.Maintenance
+              .expireSnapshotsOlderThan(cat, table, ts, retain.map(_.toInt).getOrElse(1))
+            case (None, Some(keep)) => graft.compaction.Maintenance
+              .expireSnapshots(cat, table, keep.toInt)
+            case (None, None) => throw new IllegalArgumentException(
+              "expire_snapshots: pass older_than => <epoch-ms> and/or retain_last => <n>")
+          }
+          Seq(Row((before - afterMeta.snapshots.length).toLong,
+            afterMeta.snapshots.length.toLong))
+        case "remove_orphan_files" =>
+          val grace = longArg("older_than")
+            .getOrElse(graft.compaction.Maintenance.DefaultOrphanGraceMs)
+          val orphans = graft.compaction.Maintenance.orphanFiles(cat, table, grace)
+          graft.compaction.Maintenance.deleteOrphans(cat, table, orphans, grace)
+          orphans.sorted.map(Row(_))
+        case "rollback_to_snapshot" =>
+          val snapshotId = longArg("snapshot_id")
+            .orElse(args.collect { case (None, v) => v }.drop(1).headOption.map {
+              case n: Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                s"snapshot_id must be numeric, got $other")
+            })
+            .getOrElse(throw new IllegalArgumentException(
+              "rollback_to_snapshot: pass snapshot_id"))
+          val prev = cat.loadTable(table).currentSnapshotId.getOrElse(-1L)
+          val after = IceWrite.rollbackTo(cat, table, snapshotId)
+          Seq(Row(prev, after.currentSnapshotId.getOrElse(-1L)))
+      }
+    }
+  }
+
+  /** `SHOW TABLES IN cat [LIKE 'pat']` -> `Catalog.listTables`, emitted
+    * with Spark's own SHOW TABLES output schema. */
+  final case class ShowTablesCommand(catalogName: String,
+      pattern: Option[String], override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      val re = pattern.map(p =>
+        java.util.regex.Pattern.compile(
+          p.replace("*", ".*").replace("|", "|"), // SHOW TABLES glob form
+          java.util.regex.Pattern.CASE_INSENSITIVE))
+      cat.listTables.sorted
+        .filter(t => re.forall(_.matcher(t).matches()))
+        .map(t => Row(catalogName, t, false))
     }
   }
 }

@@ -145,7 +145,12 @@ object IceRead {
       keep: FileEntry => Boolean = _ => true, keepHidden: Boolean = false,
       keepRowIds: Boolean = false): DataFrame = {
     val all = meta.scanTasks(snap)
-    require(all.nonEmpty, s"table ${meta.name} is empty")
+    // a TYPED empty table (e.g. just created via SQL CREATE TABLE, or
+    // truncated) reads as an empty relation with the declared schema —
+    // `SELECT count(*)` must return 0, not error. Untyped tables have no
+    // schema to synthesize a frame from, so they keep the hard error.
+    require(all.nonEmpty || meta.typedStruct.isDefined,
+      s"table ${meta.name} is empty")
     val tasks = all.filter(keep)
     if (tasks.isEmpty) {
       // pruned to nothing: an empty frame with the table schema, not an

@@ -661,11 +661,13 @@ object IceWrite {
     // value. Same delete-over-update clause precedence as matched rows.
     // Statically-off clauses (the lit(false) defaults) skip the extra
     // target scans entirely, so a plain merge pays nothing for them.
+    // NB: Spark 4 columns wrap lazy ColumnNodes — a catalyst-Literal
+    // pattern match on expression(c) silently never fires, which would
+    // charge EVERY merge the by-source scans below (caught by the SQL
+    // front door's MERGE tests; ColumnBridge.isLiteralFalse checks the
+    // node itself)
     def isLitFalse(c: org.apache.spark.sql.Column): Boolean =
-      org.apache.spark.sql.graftbridge.ColumnBridge.expression(c) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(false, _) => true
-        case _ => false
-      }
+      org.apache.spark.sql.graftbridge.ColumnBridge.isLiteralFalse(c)
     val bySourceOn =
       !(isLitFalse(notMatchedBySourceDeleteWhen) && isLitFalse(notMatchedBySourceUpdateWhen))
     val targetOnly = target.alias("t")
@@ -726,6 +728,67 @@ object IceWrite {
         .select(col("__fp").as("file_path"), col("__pos").as("pos")))
     appendInternal(spark, catalog, name, positions, FileContent.PositionDeletes, Nil,
       Defaults.TargetFileSize, branch)
+  }
+
+  /** Row-level UPDATE ... SET ... WHERE: ONE atomic snapshot carries
+    * (file_path, pos) tombstones for every matched row PLUS new data
+    * files holding the updated copies at the same sequence number — no
+    * reader observes the delete without the rewrite, and no data file is
+    * rewritten in place (the MOR write pattern, like [[upsert]], but
+    * positional: no key columns required).
+    *
+    * The matched set comes from the LIVE MOR view (deletes applied), not
+    * the raw data files — an already-tombstoned row matching `condition`
+    * must NOT be resurrected as an updated copy. `set` maps column name
+    * -> expression over the row's columns (unqualified); expressions
+    * cast to the table's declared column types.
+    *
+    * Scale shape: the filtered scan runs twice (tombstone projection +
+    * updated-row projection) — two pruned passes beat caching an
+    * unbounded matched set, and both plans push `condition` into the
+    * parquet scan. The commit is metadata-only. */
+  def updateWhere(spark: SparkSession, catalog: Catalog, name: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      condition: org.apache.spark.sql.Column,
+      branch: String = "main",
+      targetFileSizeBytes: Long = Defaults.TargetFileSize): TableMetadata = {
+    import org.apache.spark.sql.functions.col
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val table0 = catalog.loadTable(name)
+    val snap = table0.snapshotForRef(branch)
+      .orElse(if (branch == "main") table0.currentSnapshot else None)
+      .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
+    val live = IceRead.ofSnapshot(spark, table0, snap, keepHidden = true)
+    val hiddenCols = Set(graft.exec.Mor.FilePathCol, graft.exec.Mor.PosCol)
+    val colNames =
+      if (table0.schema.nonEmpty) table0.schemaColumns
+      else live.columns.toSeq.filterNot(hiddenCols)
+    set.keys.foreach(k => require(colNames.contains(k),
+      s"updateWhere: $name has no column $k (columns: ${colNames.mkString(", ")})"))
+    val matched = live.filter(condition)
+    val positions = matched.select(
+      col(graft.exec.Mor.FilePathCol).as("file_path"),
+      col(graft.exec.Mor.PosCol).as("pos"))
+    val updated = matched.select(colNames.map { c =>
+      val v = set.getOrElse(c, col(c))
+      table0.fieldByName(c).filter(_.isTyped).fold(v)(f => v.cast(f.sparkType)).as(c)
+    }: _*)
+    val typed = typedOf(table0)
+    val dataDir = MetaIO.join(table0.location, "data")
+    val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L)
+    val parquetCfg = graft.exec.ParquetWriteConfig.fromProperties(table0.properties)
+    val posFiles = SparkExecutor.writeDataFiles(spark,
+      withPosDeleteFieldIds(positions), dataDir, Nil, Nil, rowsEstimate,
+      parquet = parquetCfg)
+    if (posFiles.isEmpty) return table0 // nothing matched: no-op, no commit
+    val dataFiles = SparkExecutor.writeDataFiles(spark,
+      if (typed) withFieldIds(updated, table0.schema) else updated,
+      dataDir, table0.partitionSpec, table0.sortOrder, rowsEstimate,
+      parquet = parquetCfg)
+    commitSnapshot(catalog, name, Seq(
+      StampSet(posFiles, FileContent.PositionDeletes, Nil, Nil),
+      StampSet(dataFiles, FileContent.Data)),
+      operation = "overwrite", branch = branch)
   }
 
   /** Row-level DELETE WHERE writing Iceberg v3 DELETION VECTORS directly:

@@ -1253,6 +1253,36 @@ object OpsQueries {
               |FROM qsql.t_q_sql GROUP BY c_mktsegment""".stripMargin)
     }),
 
+    // SQL DML as an oracle-checked query: the whole lifecycle — CTAS,
+    // UPDATE (one-snapshot tombstones+copies), DELETE (MOR tombstones),
+    // MERGE (one-snapshot equality-delete upsert with insert-of-unmatched,
+    // including keys the DELETE removed, which MERGE must re-insert via
+    // its NOT MATCHED branch) — runs through spark.sql against the front
+    // door, and DuckDB reconstructs the final state relationally
+    "q_sql_dml" -> ((s, dir) => {
+      import graft.meta.{GraftSql, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-sqldml-wh").toString)
+      GraftSql.register("qsqld", catalog)
+      tbl(s, dir, "supplier").createOrReplaceTempView("q_sqldml_supplier")
+      s.sql("""CREATE TABLE qsqld.t AS
+              |SELECT s_suppkey, s_name, s_nationkey FROM q_sqldml_supplier""".stripMargin)
+      s.sql("UPDATE qsqld.t SET s_name = upper(s_name) WHERE s_suppkey % 3 = 0")
+      s.sql("DELETE FROM qsqld.t WHERE s_suppkey % 7 = 0")
+      s.sql("""SELECT s_suppkey, s_name, s_nationkey FROM q_sqldml_supplier
+              |WHERE s_suppkey % 5 = 0
+              |UNION ALL
+              |SELECT s_suppkey + 1000000, s_name, s_nationkey FROM q_sqldml_supplier
+              |WHERE s_suppkey % 10 = 0""".stripMargin)
+        .createOrReplaceTempView("q_sqldml_src")
+      s.sql("""MERGE INTO qsqld.t AS t USING q_sqldml_src AS s
+              |ON t.s_suppkey = s.s_suppkey
+              |WHEN MATCHED THEN UPDATE SET s_nationkey = s.s_nationkey + 100
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+              |FROM qsqld.t""".stripMargin)
+    }),
+
     // v3 ROW LINEAGE as an oracle-checked query: a single sorted data
     // file makes the inherited id assignment deterministic (row N of the
     // file = rank N in s_suppkey order), deleteWhere tombstones a seventh
@@ -2291,6 +2321,30 @@ object OpsQueries {
         |  UNION ALL SELECT * FROM ins)
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
         |FROM final0 WHERE s_suppkey % 7 <> 0""".stripMargin,
+
+    "q_sql_dml" ->
+      """WITH upd AS (
+        |  SELECT s_suppkey,
+        |         CASE WHEN s_suppkey % 3 = 0 THEN upper(s_name) ELSE s_name END AS s_name,
+        |         s_nationkey
+        |  FROM supplier),
+        |del AS (SELECT * FROM upd WHERE s_suppkey % 7 <> 0),
+        |src AS (
+        |  SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey % 5 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000 AS s_suppkey, s_name, s_nationkey FROM supplier
+        |  WHERE s_suppkey % 10 = 0),
+        |merged AS (
+        |  SELECT d.s_suppkey, d.s_name,
+        |         CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_nationkey + 100
+        |              ELSE d.s_nationkey END AS s_nationkey
+        |  FROM del d LEFT JOIN src s ON d.s_suppkey = s.s_suppkey
+        |  UNION ALL
+        |  SELECT s.s_suppkey, s.s_name, s.s_nationkey
+        |  FROM src s LEFT JOIN del d ON s.s_suppkey = d.s_suppkey
+        |  WHERE d.s_suppkey IS NULL)
+        |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+        |FROM merged""".stripMargin,
 
     "q_sql_frontdoor" ->
       """WITH t AS (

@@ -148,6 +148,133 @@ class GraftSqlSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.catalog.confcat")
   }
 
+  test("DELETE FROM tombstones via MOR; alias-qualified predicates resolve") {
+    val cat = freshCatalog("g9")
+    IceWrite.create(spark, cat, "n", spark.read.parquet(s"$sf/nation.parquet"))
+    spark.sql("DELETE FROM g9.n WHERE n_regionkey = 2")
+    assert(spark.sql("SELECT count(*) AS c FROM g9.n WHERE n_regionkey = 2")
+      .head.getLong(0) == 0)
+    spark.sql("DELETE FROM g9.n AS x WHERE x.n_nationkey < 3")
+    val left = spark.sql("SELECT count(*) AS c FROM g9.n").head.getLong(0)
+    assert(left == 25 - 5 - 3 + 1) // region 2 has 5 nations; keys 0,1 remain-deleted, 2 already gone
+    // no data file was rewritten: both deletes are tombstone appends
+    val files = cat.loadTable("n").currentSnapshot.get.manifest
+    assert(files.count(_.content == FileContent.Data) ==
+      cat.loadTable("n").snapshots.head.manifest.count(_.content == FileContent.Data))
+  }
+
+  test("UPDATE is ONE snapshot and never resurrects tombstoned rows") {
+    val cat = freshCatalog("g10")
+    IceWrite.create(spark, cat, "n", spark.read.parquet(s"$sf/nation.parquet"))
+    // tombstone one row that WOULD match the update predicate
+    spark.sql("DELETE FROM g10.n WHERE n_nationkey = 4") // region 4's IRAN? key 4 in region 4
+    val snapsBefore = cat.loadTable("n").snapshots.length
+    spark.sql("UPDATE g10.n SET n_name = lower(n_name) WHERE n_regionkey = 4")
+    assert(cat.loadTable("n").snapshots.length == snapsBefore + 1,
+      "UPDATE must commit tombstones + updated copies in ONE snapshot")
+    val rows = spark.sql(
+      "SELECT n_nationkey, n_name FROM g10.n WHERE n_regionkey = 4").collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getString(1) == r.getString(1).toLowerCase))
+    assert(!rows.exists(_.getInt(0) == 4), "deleted row must NOT be resurrected")
+    // rows outside the predicate untouched (uppercase names intact)
+    val others = spark.sql(
+      "SELECT n_name FROM g10.n WHERE n_regionkey <> 4").collect()
+    assert(others.nonEmpty && others.forall(r => r.getString(0) == r.getString(0).toUpperCase))
+    assert(rows.length + others.length == 24) // 25 nations minus the deleted key 4
+  }
+
+  test("MERGE INTO: conditional update, delete, insert, not-matched-by-source") {
+    val cat = freshCatalog("g11")
+    IceWrite.create(spark, cat, "t",
+      spark.range(6).select(col("id").as("k"), (col("id") * 10).as("v")))
+    spark.range(4, 9).select(col("id").as("k"), (col("id") * 100).as("v"))
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      """MERGE INTO g11.t AS tgt USING merge_src AS src ON tgt.k = src.k
+        |WHEN MATCHED AND src.k = 5 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = src.v + tgt.v
+        |WHEN NOT MATCHED AND src.k < 8 THEN INSERT (k, v) VALUES (src.k, src.v)
+        |WHEN NOT MATCHED BY SOURCE AND tgt.k = 0 THEN DELETE""".stripMargin)
+    val out = spark.sql("SELECT k, v FROM g11.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 0 deleted (by-source), 1-3 kept, 4 updated 40+400, 5 deleted, 6/7 inserted, 8 filtered
+    assert(out == Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 440L), (6L, 600L), (7L, 700L)),
+      s"got $out")
+    // single snapshot for the whole MERGE
+    assert(cat.loadTable("t").snapshots.length == 2)
+  }
+
+  test("CREATE TABLE / CTAS / SHOW TABLES / TRUNCATE / DROP") {
+    val cat = freshCatalog("g12")
+    spark.sql(
+      """CREATE TABLE g12.evts (k BIGINT, day DATE, v STRING)
+        |PARTITIONED BY (days(day), bucket(4, k))
+        |TBLPROPERTIES ('write.parquet.compression-codec' = 'snappy',
+        |               'format-version' = '3')""".stripMargin)
+    val meta = cat.loadTable("evts")
+    assert(meta.schema.map(_.name) == Seq("k", "day", "v"))
+    assert(meta.partitionSpec == Seq(PartitionField("day", "day"), PartitionField("k", "bucket[4]")))
+    assert(meta.formatVersion == 3)
+    assert(meta.properties("write.parquet.compression-codec") == "snappy")
+    spark.sql("CREATE TABLE IF NOT EXISTS g12.evts (other INT)") // no-op
+    assert(cat.loadTable("evts").schema.map(_.name) == Seq("k", "day", "v"))
+
+    spark.sql("INSERT INTO g12.evts VALUES (1, DATE'2024-03-01', 'a'), (2, DATE'2024-03-02', 'b')")
+    assert(spark.sql("SELECT count(*) AS c FROM g12.evts").head.getLong(0) == 2)
+
+    spark.sql("CREATE TABLE g12.evts2 AS SELECT k, v FROM g12.evts WHERE k = 1")
+    assert(spark.sql("SELECT k, v FROM g12.evts2").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    val shown = spark.sql("SHOW TABLES IN g12").collect().map(_.getString(1)).toSeq
+    assert(shown == Seq("evts", "evts2"))
+
+    spark.sql("TRUNCATE TABLE g12.evts")
+    assert(spark.sql("SELECT count(*) AS c FROM g12.evts").head.getLong(0) == 0)
+    assert(cat.loadTable("evts").snapshots.length == 3, "truncate is one snapshot")
+
+    spark.sql("DROP TABLE g12.evts2")
+    assert(!cat.tableExists("evts2"))
+    spark.sql("DROP TABLE IF EXISTS g12.nope") // no-op
+    val e = intercept[Exception](spark.sql("DROP TABLE g12.nope"))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("CALL maintenance procedures: rewrite_data_files, expire, orphans, rollback") {
+    val cat = freshCatalog("g13")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    IceWrite.create(spark, cat, "n", nation)
+    (1 to 3).foreach(_ => IceWrite.append(spark, cat, "n", nation.limit(2)))
+
+    // compaction folds the 4 small files into 1; result row carries counts
+    val rw = spark.sql("CALL g13.system.rewrite_data_files('n')").head
+    assert(rw.getInt(0) == 4 && rw.getInt(1) == 1)
+    assert(cat.loadTable("n").currentSnapshot.get.manifest
+      .count(_.content == FileContent.Data) == 1)
+    assert(spark.sql("SELECT count(*) AS c FROM g13.n").head.getLong(0) == 31)
+
+    // expire everything but the compaction head, orphaning the 4 inputs
+    val ex = spark.sql(
+      "CALL g13.system.expire_snapshots(table => 'n', retain_last => 1)").head
+    assert(ex.getLong(0) == 4 && ex.getLong(1) == 1)
+    val orphans = spark.sql(
+      "CALL g13.system.remove_orphan_files(table => 'n', older_than => 0)")
+      .collect().map(_.getString(0))
+    assert(orphans.length >= 4, s"expired inputs must orphan, got ${orphans.length}")
+    assert(spark.sql("SELECT count(*) AS c FROM g13.n").head.getLong(0) == 31)
+
+    // rollback on a fresh table: the append snapshot is abandoned
+    IceWrite.create(spark, cat, "r", nation)
+    val s1 = cat.loadTable("r").currentSnapshotId.get
+    IceWrite.append(spark, cat, "r", nation.limit(5))
+    val rb = spark.sql(s"CALL g13.system.rollback_to_snapshot('r', $s1)").head
+    assert(rb.getLong(1) == s1)
+    assert(spark.sql("SELECT count(*) AS c FROM g13.r").head.getLong(0) == 25)
+
+    val e = intercept[Exception](spark.sql("CALL g13.system.nope('n')"))
+    assert(e.getMessage.contains("unknown procedure"))
+  }
+
   test("errors: unknown table, unknown suffix, write to a read-only suffix") {
     val cat = freshCatalog("g8")
     IceWrite.create(spark, cat, "n", spark.read.parquet(s"$sf/nation.parquet"))
