@@ -58,6 +58,19 @@ import org.apache.spark.sql.types.DataType
   * TRUNCATE TABLE graft.t                              -- one-snapshot empty
   * DROP TABLE [IF EXISTS] graft.t
   * SHOW TABLES IN graft [LIKE 't*']
+  * ALTER TABLE graft.t ADD COLUMNS (x DOUBLE,          -- schema evolution:
+  *   tag STRING DEFAULT 'none')                        -- v3 initial-default
+  * ALTER TABLE graft.t ALTER COLUMN k TYPE BIGINT      -- widening only
+  * ALTER TABLE graft.t RENAME COLUMN v TO label        -- id-stable rename
+  * ALTER TABLE graft.t DROP COLUMN x
+  * ALTER TABLE graft.t SET/UNSET TBLPROPERTIES (...)
+  * DESCRIBE [EXTENDED] graft.t
+  * CALL graft.system.rewrite_data_files('t')           -- maintenance
+  * CALL graft.system.expire_snapshots(table => 't',    -- procedures with
+  *   retain_last => 1)                                 -- Iceberg's names
+  * CALL graft.system.remove_orphan_files(table => 't')
+  * CALL graft.system.rollback_to_snapshot('t', 42)
+  * CALL graft.system.rewrite_position_delete_files('t')
   * }}}
   *
   * The suffix grammar (`branch_` / `tag_` / `snapshot_id_` /
@@ -180,6 +193,63 @@ object GraftSql {
         case _ => st
       }
 
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
+        alterTarget(ac.table).map { case (cat, t) =>
+          val cols = ac.columnsToAdd.map { qct =>
+            require(qct.path.isEmpty, "nested ADD COLUMN is not supported")
+            require(qct.position.isEmpty, "FIRST/AFTER positions are not supported — " +
+              "columns append in declaration order")
+            require(qct.nullable || qct.default.nonEmpty,
+              s"new column ${qct.colName} must be nullable or carry a DEFAULT " +
+                "(existing rows have no value for it)")
+            (qct.colName, qct.dataType.sql, qct.default.map(_.originalSQL))
+          }
+          AlterCommand(cat, t, AlterOp.AddCols(cols)): LogicalPlan
+        }.getOrElse(ac)
+
+      case dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+        alterTarget(dc.table).map { case (cat, t) =>
+          AlterCommand(cat, t, AlterOp.DropCols(
+            dc.columnsToDrop.map(f => singleName(f.name)), dc.ifExists)): LogicalPlan
+        }.getOrElse(dc)
+
+      case rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+        alterTarget(rc.table).map { case (cat, t) =>
+          AlterCommand(cat, t,
+            AlterOp.Rename(singleName(rc.column.name), rc.newName)): LogicalPlan
+        }.getOrElse(rc)
+
+      case alc: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+        alterTarget(alc.table).map { case (cat, t) =>
+          val widens = alc.specs.map { spec =>
+            require(spec.newDataType.nonEmpty &&
+              spec.newNullability.isEmpty && spec.newComment.isEmpty &&
+              spec.newPosition.isEmpty && spec.newDefaultExpression.isEmpty &&
+              !spec.dropDefault,
+              "ALTER COLUMN supports TYPE widening only")
+            (singleName(spec.column.name), spec.newDataType.get.sql)
+          }
+          AlterCommand(cat, t, AlterOp.Widen(widens)): LogicalPlan
+        }.getOrElse(alc)
+
+      case sp: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
+        alterTarget(sp.table).map { case (cat, t) =>
+          AlterCommand(cat, t, AlterOp.SetProps(sp.properties)): LogicalPlan
+        }.getOrElse(sp)
+
+      case up: org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties =>
+        alterTarget(up.table).map { case (cat, t) =>
+          AlterCommand(cat, t, AlterOp.UnsetProps(up.propertyKeys)): LogicalPlan
+        }.getOrElse(up)
+
+      case dr: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation => dr.relation match {
+        case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+            if idTarget(tv.multipartIdentifier).isDefined =>
+          val (catName, t) = idTarget(tv.multipartIdentifier).get
+          DescribeCommand(catName, t, dr.isExtended, dr.output)
+        case _ => dr
+      }
+
       case c: org.apache.spark.sql.catalyst.plans.logical.Call => c.procedure match {
         case up: org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure =>
           (up.nameParts match {
@@ -280,6 +350,19 @@ object GraftSql {
       if (parts.lengthCompare(2) == 0 && resolve(spark, parts.head).isDefined)
         Some((parts.head, parts(1)))
       else None
+
+    /** ALTER statements wrap their target in UnresolvedTable. */
+    private def alterTarget(plan: LogicalPlan): Option[(String, String)] = plan match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        idTarget(ut.multipartIdentifier)
+      case _ => None
+    }
+
+    private def singleName(parts: Seq[String]): String = {
+      require(parts.lengthCompare(1) == 0,
+        s"nested column ${parts.mkString(".")} is not supported")
+      parts.head
+    }
 
     private def sameIdent(a: String, b: String): Boolean =
       a.toLowerCase(Locale.ROOT) == b.toLowerCase(Locale.ROOT)
@@ -650,6 +733,83 @@ object GraftSql {
       IceWrite.replaceAll(spark, cat, table,
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
       Seq.empty
+    }
+  }
+
+  /** ALTER TABLE operation, converted at analysis time. */
+  sealed trait AlterOp
+  object AlterOp {
+    /** (name, DDL type, DEFAULT literal SQL). */
+    final case class AddCols(cols: Seq[(String, String, Option[String])]) extends AlterOp
+    final case class DropCols(names: Seq[String], ifExists: Boolean) extends AlterOp
+    final case class Rename(from: String, to: String) extends AlterOp
+    /** (name, new DDL type) — widening only, per Iceberg evolution rules. */
+    final case class Widen(cols: Seq[(String, String)]) extends AlterOp
+    final case class SetProps(props: Map[String, String]) extends AlterOp
+    final case class UnsetProps(keys: Seq[String]) extends AlterOp
+  }
+
+  /** `ALTER TABLE cat.t ...` -> [[SchemaEvolution]] (metadata-only CAS
+    * commits; Iceberg evolution rules — ids never reused, widenings
+    * only, DEFAULT becomes the v3 initial-default). */
+  final case class AlterCommand(catalogName: String, table: String,
+      op: AlterOp) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      op match {
+        case AlterOp.AddCols(cols) => cols.foreach { case (n, ddl, dflt) =>
+          SchemaEvolution.addColumn(cat, table, n, ddl, dflt)
+        }
+        case AlterOp.DropCols(names, ifExists) => names.foreach { n =>
+          if (!ifExists || cat.loadTable(table).fieldByName(n).nonEmpty)
+            SchemaEvolution.dropColumn(cat, table, n)
+        }
+        case AlterOp.Rename(from, to) =>
+          SchemaEvolution.renameColumn(cat, table, from, to)
+        case AlterOp.Widen(cols) => cols.foreach { case (n, ddl) =>
+          SchemaEvolution.widenColumnType(cat, table, n, ddl)
+        }
+        case AlterOp.SetProps(props) =>
+          SchemaEvolution.updateProperties(cat, table, props)
+        case AlterOp.UnsetProps(keys) =>
+          SchemaEvolution.updateProperties(cat, table, Map.empty, keys.toSet)
+      }
+      Seq.empty
+    }
+  }
+
+  /** `DESCRIBE [EXTENDED] cat.t` with Spark's own describe output shape
+    * (col_name, data_type, comment). EXTENDED appends partition spec,
+    * sort order, format, location, snapshot, and properties. */
+  final case class DescribeCommand(catalogName: String, table: String,
+      isExtended: Boolean, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      val meta = cat.loadTable(table)
+      val cols: Seq[Row] =
+        if (meta.schema.nonEmpty)
+          meta.schema.map(f => Row(f.name,
+            if (f.isTyped) f.dataType.toLowerCase(Locale.ROOT) else "",
+            f.initialDefault.map(d => s"default: $d").orNull))
+        else IceRead.table(spark, cat, table).schema.fields.toSeq
+          .map(f => Row(f.name, f.dataType.simpleString, null))
+      if (!isExtended) return cols
+      val info = Seq(
+        Row("", "", null),
+        Row("# Detailed Table Information", "", null),
+        Row("Name", s"$catalogName.$table", null),
+        Row("Location", meta.location, null),
+        Row("Provider", "graft", null),
+        Row("Format version", meta.formatVersion.toString, null),
+        Row("Partition spec", meta.partitionSpec.map(p =>
+          if (p.isIdentity) p.column else s"${p.transform}(${p.column})")
+          .mkString(", "), null),
+        Row("Sort order", meta.sortOrder.map(_.toString).mkString(", "), null),
+        Row("Current snapshot", meta.currentSnapshotId.fold("")(_.toString), null),
+        Row("Properties", meta.properties.toSeq.sorted
+          .map { case (k, v) => s"$k=$v" }.mkString(", "), null))
+      cols ++ info
     }
   }
 

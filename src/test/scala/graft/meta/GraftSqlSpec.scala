@@ -275,6 +275,43 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown procedure"))
   }
 
+  test("ALTER TABLE: add/drop/rename/widen columns, properties; DESCRIBE") {
+    val cat = freshCatalog("g14")
+    spark.sql("CREATE TABLE g14.t (k INT, v STRING)")
+    spark.sql("INSERT INTO g14.t VALUES (1, 'a')")
+
+    spark.sql("ALTER TABLE g14.t ADD COLUMNS (score DOUBLE, tag STRING DEFAULT 'none')")
+    val r1 = spark.sql("SELECT k, v, score, tag FROM g14.t").head
+    assert(r1.isNullAt(2) && r1.getString(3) == "none",
+      "pre-existing rows read NULL / the DEFAULT for new columns")
+
+    spark.sql("ALTER TABLE g14.t ALTER COLUMN k TYPE BIGINT")
+    spark.sql("INSERT INTO g14.t VALUES (3000000000, 'big', 1.5, 'x')")
+    assert(spark.sql("SELECT max(k) AS m FROM g14.t").head.getLong(0) == 3000000000L)
+
+    spark.sql("ALTER TABLE g14.t RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM g14.t WHERE k = 1").head.getString(0) == "a")
+
+    spark.sql("ALTER TABLE g14.t DROP COLUMN score")
+    assert(!spark.sql("SELECT * FROM g14.t").columns.contains("score"))
+
+    spark.sql("ALTER TABLE g14.t SET TBLPROPERTIES ('team' = 'ops', 'x' = '1')")
+    spark.sql("ALTER TABLE g14.t UNSET TBLPROPERTIES ('x')")
+    val props = cat.loadTable("t").properties
+    assert(props("team") == "ops" && !props.contains("x"))
+
+    val desc = spark.sql("DESCRIBE g14.t").collect().map(r => r.getString(0) -> r.getString(1))
+    assert(desc.toSeq == Seq("k" -> "bigint", "label" -> "string", "tag" -> "string"))
+    val ext = spark.sql("DESCRIBE EXTENDED g14.t").collect()
+      .map(_.getString(0))
+    assert(ext.contains("Format version") && ext.contains("Location"))
+
+    // a non-nullable add without DEFAULT must refuse
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE g14.t ADD COLUMNS (strict INT NOT NULL)"))
+    assert(e.getMessage.contains("nullable") || e.getMessage.contains("DEFAULT"))
+  }
+
   test("errors: unknown table, unknown suffix, write to a read-only suffix") {
     val cat = freshCatalog("g8")
     IceWrite.create(spark, cat, "n", spark.read.parquet(s"$sf/nation.parquet"))
