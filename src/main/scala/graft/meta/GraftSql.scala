@@ -444,20 +444,16 @@ object GraftSql {
         }
       }.distinct
 
-      def toSet(assigns: Seq[Assignment]): Map[String, Column] =
-        assigns.map(a => assignKey(a, t.prefixes) ->
-          ColumnBridge.column(reQual(a.value))).toMap
+      lazy val tableCols: Seq[String] = columnsOf(spark, t.cat, t.table)
 
-      // SQL UPDATE SET keeps the TARGET value for unassigned columns;
-      // IceWrite.merge's updateSet default is whole-row SOURCE replace
-      // (the upsert shape). Pin every unassigned column to `t.<c>` —
-      // without this, MERGE ... UPDATE SET one_col silently clobbers the
-      // other columns with source values (caught by the q_sql_dml oracle).
-      lazy val tableCols: Seq[String] = {
-        val meta = t.cat.loadTable(t.table)
-        if (meta.schema.nonEmpty) meta.schemaColumns
-        else IceRead.table(spark, t.cat, t.table).columns.toSeq
-      }
+      // SET keys resolve to the table's declared casing HERE — a
+      // user-cased key beside the exact-cased t.* defaults below would
+      // otherwise produce two map entries with the default silently
+      // winning over the user's assignment
+      def toSet(assigns: Seq[Assignment]): Map[String, Column] =
+        assigns.map(a => resolveColumn(spark, assignKey(a, t.prefixes),
+            tableCols, s"MERGE INTO ${t.catName}.${t.table} SET") ->
+          ColumnBridge.column(reQual(a.value))).toMap
       def withTargetDefaults(assigned: Map[String, Column]): Map[String, Column] =
         assigned ++ tableCols.filterNot(assigned.contains)
           .map(c => c -> col(s"t.$c"))
@@ -584,31 +580,25 @@ object GraftSql {
           IceRead.table(spark, cat, table).schema.fields.toSeq
             .map(f => (f.name, Some(f.dataType), f.nullable))
 
-      val static = staticPartition.collect { case (k, Some(v)) => k -> v }
-      static.keys.foreach { k =>
-        require(target.exists(_._1 == k),
-          s"PARTITION column $k is not a column of $catalogName.$table")
-      }
+      val ctx = s"INSERT into $catalogName.$table"
+      val targetNames = target.map(_._1)
+      def toTarget(n: String) = resolveColumn(spark, n, targetNames, ctx)
+      val static = staticPartition.collect { case (k, Some(v)) => toTarget(k) -> v }
 
       val src = ColumnBridge.ofRows(spark, query)
-      // name the provided columns
+      // name the provided columns, resolved to the table's casing
       val provided: Seq[(String, org.apache.spark.sql.Column)] =
-        if (byName) src.columns.toSeq.map(c => c -> col(c))
+        if (byName) src.columns.toSeq.map(c => toTarget(c) -> col(c))
         else {
           val names =
-            if (userCols.nonEmpty) userCols
-            else target.map(_._1).filterNot(static.contains)
+            if (userCols.nonEmpty) userCols.map(toTarget)
+            else targetNames.filterNot(static.contains)
           require(src.columns.length == names.length,
-            s"INSERT into $catalogName.$table: query produces ${src.columns.length} " +
+            s"$ctx: query produces ${src.columns.length} " +
               s"columns but ${names.length} are expected (${names.mkString(", ")})")
           names.zip(src.columns.toSeq.map(col))
         }
       val byTarget = provided.toMap
-      provided.map(_._1).diff(target.map(_._1)).headOption.foreach { extra =>
-        throw new IllegalArgumentException(
-          s"INSERT into $catalogName.$table: column $extra does not exist " +
-            s"(table columns: ${target.map(_._1).mkString(", ")})")
-      }
 
       val out = src.select(target.map { case (name, dt, nullable) =>
         def typedCol(c: org.apache.spark.sql.Column) = dt.fold(c)(c.cast)
@@ -635,6 +625,26 @@ object GraftSql {
     resolve(spark, name).getOrElse(throw new IllegalStateException(
       s"graft catalog $name vanished between analysis and execution"))
 
+  /** SQL identifiers match case-insensitively unless
+    * spark.sql.caseSensitive; the TABLE's declared casing wins so the
+    * string-keyed engine APIs (updateWhere/merge/SchemaEvolution) get
+    * exact names. */
+  private def resolveColumn(spark: SparkSession, provided: String,
+      targetCols: Seq[String], context: String): String = {
+    val cs = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    targetCols.find(c => if (cs) c == provided else c.equalsIgnoreCase(provided))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$context: column $provided does not exist " +
+          s"(columns: ${targetCols.mkString(", ")})"))
+  }
+
+  /** Column names of a table for identifier resolution. */
+  private def columnsOf(spark: SparkSession, cat: Catalog, table: String): Seq[String] = {
+    val meta = cat.loadTable(table)
+    if (meta.schema.nonEmpty) meta.schemaColumns
+    else IceRead.table(spark, cat, table).columns.toSeq
+  }
+
   /** `DELETE FROM cat.t WHERE ...` -> [[IceWrite.deleteWhere]] (MOR
     * position tombstones, no data file rewritten). */
   final case class DeleteCommand(catalogName: String, table: String,
@@ -650,7 +660,12 @@ object GraftSql {
   final case class UpdateCommand(catalogName: String, table: String,
       set: Map[String, Column], condition: Column) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      IceWrite.updateWhere(spark, catalogOrDie(spark, catalogName), table, set, condition)
+      val cat = catalogOrDie(spark, catalogName)
+      val cols = columnsOf(spark, cat, table)
+      val resolved = set.map { case (k, v) =>
+        resolveColumn(spark, k, cols, s"UPDATE $catalogName.$table") -> v
+      }
+      IceWrite.updateWhere(spark, cat, table, resolved, condition)
       Seq.empty
     }
   }
@@ -666,15 +681,21 @@ object GraftSql {
       bySourceSet: Map[String, Column]) extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(spark: SparkSession): Seq[Row] = {
-      IceWrite.merge(spark, catalogOrDie(spark, catalogName), table,
-        ColumnBridge.ofRows(spark, source), keys,
+      val cat = catalogOrDie(spark, catalogName)
+      val cols = columnsOf(spark, cat, table)
+      def res(m: Map[String, Column]) = m.map { case (k, v) =>
+        resolveColumn(spark, k, cols, s"MERGE INTO $catalogName.$table") -> v
+      }
+      IceWrite.merge(spark, cat, table,
+        ColumnBridge.ofRows(spark, source),
+        keys.map(resolveColumn(spark, _, cols, s"MERGE INTO $catalogName.$table ON")),
         matchedUpdateWhen = matchedUpdateWhen,
         matchedDeleteWhen = matchedDeleteWhen,
-        updateSet = updateSet,
+        updateSet = res(updateSet),
         insertWhen = insertWhen,
         notMatchedBySourceUpdateWhen = bySourceUpdateWhen,
         notMatchedBySourceDeleteWhen = bySourceDeleteWhen,
-        notMatchedBySourceSet = bySourceSet)
+        notMatchedBySourceSet = res(bySourceSet))
       Seq.empty
     }
   }
@@ -699,7 +720,9 @@ object GraftSql {
           spark.sparkContext.emptyRDD[Row], declaredSchema.get))
       val formatVersion =
         properties.get("format-version").map(_.trim.toInt).getOrElse(2)
-      IceWrite.create(spark, cat, table, df, partitionSpec = partitionSpec,
+      val spec = partitionSpec.map(p => p.copy(column = resolveColumn(spark,
+        p.column, df.columns.toSeq, s"CREATE TABLE $catalogName.$table PARTITIONED BY")))
+      IceWrite.create(spark, cat, table, df, partitionSpec = spec,
         formatVersion = formatVersion,
         extraProperties = properties - "format-version")
       Seq.empty
@@ -756,18 +779,21 @@ object GraftSql {
       op: AlterOp) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOrDie(spark, catalogName)
+      def res(n: String) = resolveColumn(spark, n,
+        columnsOf(spark, cat, table), s"ALTER TABLE $catalogName.$table")
       op match {
         case AlterOp.AddCols(cols) => cols.foreach { case (n, ddl, dflt) =>
           SchemaEvolution.addColumn(cat, table, n, ddl, dflt)
         }
         case AlterOp.DropCols(names, ifExists) => names.foreach { n =>
-          if (!ifExists || cat.loadTable(table).fieldByName(n).nonEmpty)
-            SchemaEvolution.dropColumn(cat, table, n)
+          if (!ifExists || cat.loadTable(table).schemaColumns
+              .exists(_.equalsIgnoreCase(n)))
+            SchemaEvolution.dropColumn(cat, table, res(n))
         }
         case AlterOp.Rename(from, to) =>
-          SchemaEvolution.renameColumn(cat, table, from, to)
+          SchemaEvolution.renameColumn(cat, table, res(from), to)
         case AlterOp.Widen(cols) => cols.foreach { case (n, ddl) =>
-          SchemaEvolution.widenColumnType(cat, table, n, ddl)
+          SchemaEvolution.widenColumnType(cat, table, res(n), ddl)
         }
         case AlterOp.SetProps(props) =>
           SchemaEvolution.updateProperties(cat, table, props)

@@ -312,6 +312,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nullable") || e.getMessage.contains("DEFAULT"))
   }
 
+  test("SQL identifiers resolve case-insensitively against declared column casing") {
+    val cat = freshCatalog("g15")
+    spark.sql("CREATE TABLE g15.t (myKey BIGINT, myVal STRING) PARTITIONED BY (MYKEY)")
+    assert(cat.loadTable("t").partitionSpec == Seq(PartitionField("myKey")))
+    spark.sql("INSERT INTO g15.t (MYVAL, mykey) VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO g15.t BY NAME SELECT 'c' AS MYVAL, 3 AS MyKey")
+    spark.sql("UPDATE g15.t SET MYVAL = 'z' WHERE myval = 'b'")
+    spark.range(3, 5).selectExpr("id AS myKey", "'m' AS myVal")
+      .createOrReplaceTempView("g15_src")
+    spark.sql(
+      """MERGE INTO g15.t AS t USING g15_src AS s ON t.MYKEY = s.myKey
+        |WHEN MATCHED THEN UPDATE SET MyVal = s.myVal
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT myKey, myVal FROM g15.t ORDER BY myKey").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "z"), (3L, "m"), (4L, "m")), s"got $rows")
+    spark.sql("ALTER TABLE g15.t RENAME COLUMN MYVAL TO v2")
+    assert(cat.loadTable("t").schemaColumns == Seq("myKey", "v2"))
+  }
+
   test("errors: unknown table, unknown suffix, write to a read-only suffix") {
     val cat = freshCatalog("g8")
     IceWrite.create(spark, cat, "n", spark.read.parquet(s"$sf/nation.parquet"))
