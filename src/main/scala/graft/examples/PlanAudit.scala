@@ -7,6 +7,7 @@ package graft.examples
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.adaptive.enabled","true")
       .config("spark.ui.enabled","false").getOrCreate()
@@ -47,7 +48,7 @@ object PlanAudit {
         "q_growth","g3_kcore","d12_containment_lsh","t36_edit_distance","t37_winnow","d13_winnow_pairs","p11_chunk_overlap",
         "q_moving_sum","t38_winnow_decontam","q_argmax","q_first_last",
         "q_day_retention","d4p_jaccard_prefix","d11p_containment_prefix",
-        "d5t_embed_tiled","q_cost_budget")) {
+        "d5t_embed_tiled","q_cost_budget","q_sql_frontdoor","q_sql_dml")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
