@@ -332,6 +332,36 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(cat.loadTable("t").schemaColumns == Seq("myKey", "v2"))
   }
 
+  test("front door is catalog-agnostic: full SQL DML cycle over RestCatalog on mocks3") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mocks3.impl", classOf[graft.testkit.MockS3FileSystem].getName)
+    hc.set("fs.AbstractFileSystem.mocks3.impl", classOf[graft.testkit.MockS3Afs].getName)
+    val server = new RestCatalog.Server(
+      "mocks3://" + Files.createTempDirectory("graft-sql-s3").toString)
+    try {
+      GraftSql.register("s3sql", new RestCatalog.Client(server.uri))
+      spark.sql("CREATE TABLE s3sql.t (k BIGINT, v STRING)")
+      spark.sql("INSERT INTO s3sql.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      spark.sql("UPDATE s3sql.t SET v = upper(v) WHERE k = 2")
+      spark.sql("DELETE FROM s3sql.t WHERE k = 3")
+      spark.range(2, 5).selectExpr("id AS k", "'m' AS v")
+        .createOrReplaceTempView("s3sql_src")
+      spark.sql(
+        """MERGE INTO s3sql.t AS t USING s3sql_src AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql("CALL s3sql.system.rewrite_data_files('t')")
+      val rows = spark.sql("SELECT k, v FROM s3sql.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "a"), (2L, "m"), (3L, "m"), (4L, "m")), s"got $rows")
+      // every byte of the SQL-built table lives on object-store semantics
+      new RestCatalog.Client(server.uri).loadTable("t")
+        .currentSnapshot.get.manifest.foreach { f =>
+          assert(f.path.startsWith("mocks3:/"), f.path)
+        }
+    } finally server.stop()
+  }
+
   test("errors: unknown table, unknown suffix, write to a read-only suffix") {
     val cat = freshCatalog("g8")
     IceWrite.create(spark, cat, "n", spark.read.parquet(s"$sf/nation.parquet"))
