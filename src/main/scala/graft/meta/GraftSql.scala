@@ -598,6 +598,9 @@ object GraftSql {
               s"columns but ${names.length} are expected (${names.mkString(", ")})")
           names.zip(src.columns.toSeq.map(col))
         }
+      provided.groupBy(_._1).collectFirst { case (n, xs) if xs.lengthCompare(1) > 0 => n }
+        .foreach(n => throw new IllegalArgumentException(
+          s"$ctx: column $n is provided more than once"))
       val byTarget = provided.toMap
 
       val out = src.select(target.map { case (name, dt, nullable) =>
@@ -952,7 +955,7 @@ object GraftSql {
       val cat = catalogOrDie(spark, catalogName)
       val re = pattern.map(p =>
         java.util.regex.Pattern.compile(
-          p.replace("*", ".*").replace("|", "|"), // SHOW TABLES glob form
+          p.replace("*", ".*"), // SHOW TABLES glob form ('|' alternation kept)
           java.util.regex.Pattern.CASE_INSENSITIVE))
       cat.listTables.sorted
         .filter(t => re.forall(_.matcher(t).matches()))

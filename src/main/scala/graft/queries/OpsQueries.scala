@@ -1283,6 +1283,31 @@ object OpsQueries {
               |FROM qsqld.t""".stripMargin)
     }),
 
+    // SQL SCHEMA EVOLUTION as an oracle-checked query: CTAS, ADD COLUMNS
+    // with a DEFAULT (v3-style initial-default: PRE-EXISTING rows read it
+    // per-file without rewrite), ALTER COLUMN TYPE widening, then an
+    // INSERT exceeding the old type's range — DuckDB reconstructs the
+    // final state relationally, so the default plumbing and the widened
+    // reads are hash-checked
+    "q_sql_evolution" -> ((s, dir) => {
+      import graft.meta.{GraftSql, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-sqlev-wh").toString)
+      GraftSql.register("qsqle", catalog)
+      tbl(s, dir, "supplier").createOrReplaceTempView("q_sqlev_supplier")
+      s.sql("""CREATE TABLE qsqle.t AS
+              |SELECT s_suppkey, s_name, CAST(s_nationkey AS INT) AS nk
+              |FROM q_sqlev_supplier""".stripMargin)
+      s.sql("ALTER TABLE qsqle.t ADD COLUMNS " +
+        "(category STRING DEFAULT 'unknown', score DOUBLE)")
+      s.sql("ALTER TABLE qsqle.t ALTER COLUMN nk TYPE BIGINT")
+      s.sql("""INSERT INTO qsqle.t
+              |SELECT s_suppkey + 1000000, s_name, CAST(3000000000 + s_nationkey AS BIGINT),
+              |       'new', CAST(s_nationkey AS DOUBLE)
+              |FROM q_sqlev_supplier WHERE s_suppkey % 4 = 0""".stripMargin)
+      s.sql("SELECT s_suppkey, s_name, nk, category, score FROM qsqle.t")
+    }),
+
     // v3 ROW LINEAGE as an oracle-checked query: a single sorted data
     // file makes the inherited id assignment deterministic (row N of the
     // file = rank N in s_suppkey order), deleteWhere tombstones a seventh
@@ -2321,6 +2346,16 @@ object OpsQueries {
         |  UNION ALL SELECT * FROM ins)
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
         |FROM final0 WHERE s_suppkey % 7 <> 0""".stripMargin,
+
+    "q_sql_evolution" ->
+      """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nk,
+        |       'unknown' AS category, CAST(NULL AS DOUBLE) AS score
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey + 1000000, s_name,
+        |       CAST(3000000000 + s_nationkey AS BIGINT), 'new',
+        |       CAST(s_nationkey AS DOUBLE)
+        |FROM supplier WHERE s_suppkey % 4 = 0""".stripMargin,
 
     "q_sql_dml" ->
       """WITH upd AS (
