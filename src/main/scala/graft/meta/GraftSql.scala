@@ -263,9 +263,55 @@ object GraftSql {
         case _ => c
       }
 
+      // standard time-travel syntax: SELECT ... FROM t VERSION AS OF <id>
+      // / TIMESTAMP AS OF <ts> — equivalent to the snapshot_id_/
+      // at_timestamp_ suffixes, provided for porting queries verbatim
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        tt.relation match {
+          case u: UnresolvedRelation if resolvable(u.multipartIdentifier).isDefined =>
+            val (catName, cat, parts) = resolvable(u.multipartIdentifier).get
+            require(parts.lengthCompare(1) == 0,
+              s"${u.multipartIdentifier.mkString(".")}: VERSION/TIMESTAMP AS OF " +
+                "applies to the table itself, not a suffix form")
+            val table = parts.head
+            require(cat.tableExists(table),
+              s"table $catName.$table does not exist in the registered catalog")
+            val df = (tt.version, tt.timestamp) match {
+              case (Some(v), None) =>
+                IceRead.tableAt(spark, cat, table, v.toLong)
+              case (None, Some(ts)) =>
+                IceRead.tableAsOf(spark, cat, table, timestampMs(ts))
+              case _ => throw new IllegalArgumentException(
+                "pass exactly one of VERSION AS OF / TIMESTAMP AS OF")
+            }
+            SubqueryAlias(Seq(catName, table), df.queryExecution.analyzed)
+          case _ => tt
+        }
+
       case u: UnresolvedRelation if resolvable(u.multipartIdentifier).isDefined =>
         val (catName, cat, parts) = resolvable(u.multipartIdentifier).get
         SubqueryAlias(catName +: parts, relationPlan(cat, catName, parts))
+    }
+
+    /** TIMESTAMP AS OF argument -> epoch millis: a timestamp/date/string
+      * literal (parsed in the session zone) or a numeric epoch-seconds/
+      * millis literal (Spark's convention: values < 10^11 are seconds). */
+    private def timestampMs(e: Expression): Long = e match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value match {
+        case micros: java.lang.Long
+            if l.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] =>
+          micros / 1000L
+        case n: Number =>
+          val v = n.longValue(); if (v < 100000000000L) v * 1000L else v
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          val t = java.sql.Timestamp.valueOf(
+            if (u.toString.length == 10) u.toString + " 00:00:00" else u.toString)
+          t.getTime
+        case other => throw new IllegalArgumentException(
+          s"TIMESTAMP AS OF: unsupported literal $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF must be a literal, got ${other.sql}")
     }
 
     /** CALL argument -> (name?, literal value). Procedures take literal

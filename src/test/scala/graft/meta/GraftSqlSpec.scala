@@ -82,6 +82,11 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS c FROM g4.n.branch_dev").head.getLong(0) == 25)
     assert(spark.sql(s"SELECT count(*) AS c FROM g4.n.at_timestamp_${s1.timestampMs}")
       .head.getLong(0) == 25)
+    // standard syntax forms are equivalent to the suffixes
+    assert(spark.sql(s"SELECT count(*) AS c FROM g4.n VERSION AS OF ${s1.snapshotId}")
+      .head.getLong(0) == 25)
+    assert(spark.sql(s"SELECT count(*) AS c FROM g4.n TIMESTAMP AS OF ${s1.timestampMs}")
+      .head.getLong(0) == 25)
   }
 
   test("metadata tables are addressable as suffixes") {
