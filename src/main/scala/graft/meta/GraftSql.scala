@@ -35,6 +35,8 @@ import org.apache.spark.sql.types.DataType
   * SELECT * FROM graft.t.tag_v1                        -- immutable tag
   * SELECT * FROM graft.t.snapshot_id_42                -- time travel by id
   * SELECT * FROM graft.t.at_timestamp_1700000000000    -- time travel by ms
+  * SELECT * FROM graft.t VERSION AS OF 42              -- standard syntax,
+  * SELECT * FROM graft.t TIMESTAMP AS OF '2024-01-01'  -- same semantics
   * SELECT * FROM graft.t.snapshots                     -- metadata tables:
   *                                                     -- files / history /
   *                                                     -- refs / partitions /
