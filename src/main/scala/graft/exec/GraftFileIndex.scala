@@ -1,0 +1,281 @@
+package graft.exec
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.meta.FileEntry
+
+/** Manifest-backed [[FileIndex]]: the seam through which Catalyst's pushed
+  * data filters reach MANIFEST-level file skipping.
+  *
+  * Spark's `FileSourceScanExec` hands every pushed-down predicate to
+  * `location.listFiles(partitionFilters, dataFilters)` at plan time — the
+  * same hook Delta Lake's TahoeFileIndex and Iceberg's DSv2 scan use.
+  * Backing the engine's parquet relations with this index (instead of
+  * `spark.read.parquet(paths)`, whose InMemoryFileIndex keeps every file)
+  * makes ANY filter — SQL front door, Scala API, filters composed inside
+  * MOR/COW/changelog plans — prune files before a single task is launched,
+  * using metadata the manifest already carries:
+  *
+  *  - numeric zone maps ([[FileEntry.columnStats]] min/max, decimal-string
+  *    encoded: ints/longs/floats/doubles as literal values, DATE as days,
+  *    TIMESTAMP as micros, int-backed DECIMAL as unscaled);
+  *  - per-column null counts ([[FileEntry.nullCounts]]) for
+  *    IsNull/IsNotNull;
+  *  - identity-partition constants: for a file written under an identity
+  *    transform, the partition value IS the column value for every row, so
+  *    any deterministic conjunct referencing only such columns is
+  *    evaluated EXACTLY (string predicates included — zone maps are
+  *    numeric-only, but `WHERE tenant = 'x'` still prunes).
+  *
+  * Everything is conservative: a file is dropped only when NO row in it
+  * can satisfy the filters; unparsable/missing stats keep the file. The
+  * filter still runs post-scan, so pruning mistakes in the "keep"
+  * direction cost nothing but I/O. At 100 TB this is the difference
+  * between opening 10^6 parquet footers and opening the few hundred whose
+  * zone ranges overlap the predicate.
+  *
+  * Reference context: the reference engine always enumerates the full
+  * task list per file group (core/src/compaction/mod.rs:734-761) — scan
+  * pruning is left to its embedded DataFusion per-file row-group stats.
+  * This index adds the manifest layer above it, per the Iceberg spec's
+  * intent for manifest `lower_bounds`/`upper_bounds`.
+  */
+final class GraftFileIndex(
+    entries: Seq[FileEntry],
+    schema: StructType,
+    /** columns whose per-file [[FileEntry.partitionValues]] entry is the
+      * exact column value for every row — identity-transform partition
+      * columns of the CURRENT spec. Only consulted for `specId == 0`
+      * files (historical/imported specs may bind other transforms to the
+      * same name). */
+    identityCols: Set[String] = Set.empty
+) extends FileIndex {
+
+  /** last listFiles outcome, for specs/plan audits: (total, kept). */
+  @volatile var lastPrune: (Int, Int) = (entries.size, entries.size)
+
+  override def rootPaths: Seq[Path] =
+    entries.map(e => new Path(e.path).getParent).distinct
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def sizeInBytes: Long = entries.map(_.length).sum
+
+  override def inputFiles: Array[String] = entries.map(_.path).toArray
+
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val filters = partitionFilters ++ dataFilters
+    val kept =
+      if (filters.isEmpty) entries
+      else {
+        val zone = SQLConf.get.sessionLocalTimeZone
+        entries.filter(e => filters.forall(f => ZonePrune.mayMatch(f, e, schema, identityCols, zone)))
+      }
+    lastPrune = (entries.size, kept.size)
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(e =>
+      new FileStatus(e.length, false, 1, 128L * 1024 * 1024, 0L, new Path(e.path))).toArray))
+  }
+}
+
+object GraftScan {
+  /** Parquet relation over manifest entries with [[GraftFileIndex]] file
+    * skipping. Drop-in for `spark.read.schema(schema).parquet(paths)` —
+    * same vectorized parquet source, same session-conf resolution (pass a
+    * field-id-scoped clone for id-addressed reads), but the file listing
+    * consults zone maps instead of keeping everything. */
+  def relation(spark: SparkSession, files: Seq[FileEntry], schema: StructType,
+      identityCols: Set[String] = Set.empty): DataFrame = {
+    // file-source schemas are ALWAYS nullable (DataFrameReader.schema does
+    // the same): a parquet file may hold nulls regardless of what the
+    // table schema declares, and a non-nullable read schema makes the
+    // vectorized reader fabricate zeros and lets the optimizer fold
+    // isnotnull(c) to true
+    val readSchema = asNullable(schema)
+    val idx = new GraftFileIndex(files, readSchema, identityCols)
+    val rel = HadoopFsRelation(idx, new StructType(), readSchema, None,
+      new ParquetFileFormat(), Map.empty)(spark)
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, LogicalRelation(rel))
+  }
+
+  /** Recursively nullable copy (StructType.asNullable is private[spark]);
+    * field metadata — parquet field ids, defaults — is preserved. */
+  private def asNullable(st: StructType): StructType =
+    StructType(st.fields.map(f => f.copy(dataType = nullableType(f.dataType), nullable = true)))
+  private def nullableType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case s: StructType => asNullable(s)
+      case a: ArrayType => a.copy(elementType = nullableType(a.elementType), containsNull = true)
+      case m: MapType => m.copy(valueType = nullableType(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+
+  /** (files listed, files kept) summed over every [[GraftFileIndex]] scan
+    * in the frame's EXECUTED plan — observability for file skipping (plan
+    * audits, specs, in-query pruning proofs). Call after an action; AQE
+    * stage wrappers are traversed. */
+  def pruneStats(df: DataFrame): (Int, Int) = {
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[GraftFileIndex] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.isInstanceOf[GraftFileIndex] =>
+          Seq(s.relation.location.asInstanceOf[GraftFileIndex])
+      }.flatten ++ p.subqueries.flatMap(scans)
+    val idx = scans(df.queryExecution.executedPlan).distinct
+    (idx.map(_.lastPrune._1).sum, idx.map(_.lastPrune._2).sum)
+  }
+}
+
+/** Conservative per-file predicate analysis for [[GraftFileIndex]]. */
+object ZonePrune {
+
+  /** True when file `f` MAY contain a row satisfying `e` (false = provably
+    * none — safe to skip the file). */
+  def mayMatch(e: Expression, f: FileEntry, schema: StructType,
+      identityCols: Set[String], sessionZone: String): Boolean = {
+    // exact arm first: a deterministic predicate over identity-partition
+    // constants evaluates to one answer for EVERY row of the file —
+    // handles arbitrary shapes (LIKE, startsWith, functions) that zone
+    // logic can't
+    constEval(e, f, schema, identityCols, sessionZone) match {
+      case Some(b) => b
+      case None => structural(e, f, schema, identityCols, sessionZone)
+    }
+  }
+
+  private def structural(e: Expression, f: FileEntry, schema: StructType,
+      identityCols: Set[String], zone: String): Boolean = e match {
+    case And(l, r) =>
+      mayMatch(l, f, schema, identityCols, zone) && mayMatch(r, f, schema, identityCols, zone)
+    case Or(l, r) =>
+      mayMatch(l, f, schema, identityCols, zone) || mayMatch(r, f, schema, identityCols, zone)
+
+    case IsNull(a: AttributeReference) =>
+      // no-nulls file can't satisfy IS NULL; missing count keeps
+      f.nullCounts.get(a.name).forall(_ > 0L)
+    case IsNotNull(a: AttributeReference) =>
+      // all-null column (count == rows) can't satisfy IS NOT NULL
+      !(f.recordCount > 0L && f.nullCounts.get(a.name).contains(f.recordCount))
+
+    case cmp: BinaryComparison => (cmp.left, cmp.right) match {
+      case (a: AttributeReference, l: Literal) => zoneCompare(cmp, a, l, f, flipped = false)
+      case (l: Literal, a: AttributeReference) => zoneCompare(cmp, a, l, f, flipped = true)
+      case _ => true
+    }
+
+    case In(a: AttributeReference, elems) if elems.forall(_.isInstanceOf[Literal]) =>
+      elems.isEmpty || elems.exists(l =>
+        zoneCompare(EqualTo(a, l), a, l.asInstanceOf[Literal], f, flipped = false))
+    case InSet(a: AttributeReference, hset) =>
+      hset.isEmpty || hset.exists(v =>
+        zoneCompare(EqualTo(a, Literal(v, a.dataType)), a, Literal(v, a.dataType), f, flipped = false))
+
+    case _ => true // unknown shape: keep
+  }
+
+  /** Zone-map check for one comparison `a <op> lit` (or flipped). True =
+    * may match. Conservative at every unknown: missing stats, unparsable
+    * stats, non-numeric-representable literals all keep the file. */
+  private def zoneCompare(cmp: BinaryComparison, a: AttributeReference, l: Literal,
+      f: FileEntry, flipped: Boolean): Boolean = {
+    if (l.value == null) cmp match {
+      // `a <=> null` matches exactly the null rows
+      case _: EqualNullSafe => f.nullCounts.get(a.name).forall(_ > 0L)
+      // any other comparison with null is null for every row -> filtered
+      case _ => false
+    } else zoneOf(f, a.name) match {
+      case None => true
+      case Some((lo, hi)) =>
+        litValue(l, a.dataType) match {
+          case None => true
+          case Some(v) => cmp match {
+            case _: EqualTo | _: EqualNullSafe => lo <= v && v <= hi
+            case _: GreaterThan => if (flipped) v > lo else hi > v // a > v / v > a
+            case _: GreaterThanOrEqual => if (flipped) v >= lo else hi >= v
+            case _: LessThan => if (flipped) v < hi else lo < v
+            case _: LessThanOrEqual => if (flipped) v <= hi else lo <= v
+            case _ => true
+          }
+        }
+    }
+  }
+
+  private def zoneOf(f: FileEntry, name: String): Option[(BigDecimal, BigDecimal)] =
+    f.columnStats.get(name).flatMap { case (mn, mx) =>
+      try Some((BigDecimal(mn), BigDecimal(mx)))
+      catch { case _: NumberFormatException => None }
+    }
+
+  /** The literal as a BigDecimal comparable against footer zone maps in
+    * their recorded representation (days/micros/unscaled). None = not
+    * representable (NaN, strings, ...) -> keep. */
+  private def litValue(l: Literal, attrDt: DataType): Option[BigDecimal] = (l.value, attrDt) match {
+    case (v: java.lang.Number, dt) => dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        Some(BigDecimal(v.longValue()))
+      case _: FloatType =>
+        val d = v.floatValue(); if (d.isNaN) None else Some(BigDecimal(d.toString))
+      case _: DoubleType =>
+        val d = v.doubleValue(); if (d.isNaN) None else Some(BigDecimal(d.toString))
+      // DATE is Int days, TIMESTAMP/_NTZ Long micros — exactly the footer encoding
+      case _: DateType | _: TimestampType | _: TimestampNTZType =>
+        Some(BigDecimal(v.longValue()))
+      case _ => None
+    }
+    case (d: org.apache.spark.sql.types.Decimal, dt: DecimalType) if dt.precision <= 18 =>
+      val s = dt.scale
+      // int32/int64-backed parquet decimals put the UNSCALED value in
+      // footer stats; align the literal to the column scale
+      try Some(BigDecimal(d.toJavaBigDecimal.setScale(s).unscaledValue()))
+      catch { case _: ArithmeticException => None } // literal needs more scale: inexact, keep
+    case _ => None
+  }
+
+  /** Exact evaluation over identity-partition constants: if every
+    * reference of `e` is a constant column for this file, substitute and
+    * evaluate. Some(false) = no row matches; None = not decidable here. */
+  private def constEval(e: Expression, f: FileEntry, schema: StructType,
+      identityCols: Set[String], zone: String): Option[Boolean] = {
+    if (!e.deterministic || f.specId != 0 || identityCols.isEmpty) return None
+    val refs = e.references.toSeq.map(_.name)
+    if (refs.isEmpty || !refs.forall(n => identityCols.contains(n) && f.partitionValues.contains(n)))
+      return None
+    val consts: Map[String, Literal] = refs.distinct.flatMap { n =>
+      schema.fields.find(_.name == n).flatMap(fd =>
+        constLit(f.partitionValues(n), fd.dataType, zone).map(n -> _))
+    }.toMap
+    if (!refs.forall(consts.contains)) return None
+    val bound = e.transform { case a: AttributeReference if consts.contains(a.name) => consts(a.name) }
+    try bound.eval(InternalRow.empty) match {
+      case null => Some(false) // null predicate -> row filtered, for every row
+      case b: java.lang.Boolean => Some(b.booleanValue())
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-directory string -> typed literal via TRY cast (null on
+    * any parse failure -> undecidable). */
+  private def constLit(value: String, dt: DataType, zone: String): Option[Literal] = dt match {
+    case StringType => Some(Literal(UTF8String.fromString(value), StringType))
+    case _ =>
+      try {
+        val v = Cast(Literal(UTF8String.fromString(value), StringType), dt, Some(zone),
+          EvalMode.TRY).eval(InternalRow.empty)
+        if (v == null) None else Some(Literal(v, dt))
+      } catch { case _: Exception => None }
+  }
+}

@@ -80,10 +80,16 @@ object Mor {
     * empirically), so the flag is set on a cloned session and the caller's
     * session is never mutated. The relation keeps the clone alive; frames
     * built here compose freely with the caller's frames. */
-  def fieldIdReader(spark: SparkSession, schema: StructType): org.apache.spark.sql.DataFrameReader = {
+  def fieldIdReader(spark: SparkSession, schema: StructType): org.apache.spark.sql.DataFrameReader =
+    fieldIdSession(spark).read.schema(schema)
+
+  /** The field-id-scoped session clone [[fieldIdReader]] reads under,
+    * exposed for relation builders that attach a session directly
+    * ([[GraftScan.relation]]). */
+  def fieldIdSession(spark: SparkSession): SparkSession = {
     val scoped = org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(spark)
     scoped.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    scoped.read.schema(schema)
+    scoped
   }
 
   /** Reads DATA files with correct per-file column addressing: engine-
@@ -95,9 +101,17 @@ object Mor {
     * the union, so `_metadata.file_path`/`row_index` references inside it
     * still bind to their own scan; filters inside `f` push down per
     * branch. Every data-file read in the engine (MOR, deleteWhere, COW
-    * discovery, bloom build, eq->pos conversion) goes through here. */
+    * discovery, bloom build, eq->pos conversion) goes through here.
+    *
+    * Typed reads are backed by [[GraftFileIndex]], so any filter Catalyst
+    * pushes to the scan — from `f`, from SQL, from frames composed on
+    * top — skips files by manifest zone maps / null counts / identity-
+    * partition values before tasks launch. `identityCols` names the
+    * current spec's identity-partition columns (enables exact pruning on
+    * string partition predicates; empty = zone maps only). */
   def readDataWith(spark: SparkSession, files: Seq[FileEntry],
-      typed: Option[StructType])(f: DataFrame => DataFrame): DataFrame = {
+      typed: Option[StructType], identityCols: Set[String] = Set.empty)(
+      f: DataFrame => DataFrame): DataFrame = {
     require(files.nonEmpty, "readDataWith: empty file list")
     def strippedIds(st: StructType): StructType = StructType(st.fields.map { fd =>
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
@@ -109,10 +123,11 @@ object Mor {
       case Some(st) =>
         val (byName, byId) = files.partition(_.nameMatched)
         Seq(
-          if (byId.nonEmpty) Some(fieldIdReader(spark, st).parquet(byId.map(_.path): _*))
+          if (byId.nonEmpty)
+            Some(GraftScan.relation(fieldIdSession(spark), byId, st, identityCols))
           else None,
           if (byName.nonEmpty)
-            Some(spark.read.schema(strippedIds(st)).parquet(byName.map(_.path): _*))
+            Some(GraftScan.relation(spark, byName, strippedIds(st), identityCols))
           else None).flatten
     }
     frames.map(f).reduce(_ unionByName _)
@@ -247,7 +262,11 @@ object Mor {
       /** emit [[RowIdCol]] (v3 row lineage): the materialized `_row_id`
         * when the file carries one, else the inherited
         * `firstRowId + row position`. Requires a typed schema. */
-      keepRowIds: Boolean = false
+      keepRowIds: Boolean = false,
+      /** identity-partition column names of the table's CURRENT spec —
+        * lets [[GraftFileIndex]] prune files by exact partition-value
+        * predicate evaluation (zone maps alone are numeric-only). */
+      identityCols: Set[String] = Set.empty
   ): DataFrame = {
     require(group.dataFiles.nonEmpty, "empty file group")
     val typed: Option[StructType] =
@@ -272,7 +291,7 @@ object Mor {
       r.parquet(files.map(_.path): _*)
     }
     def readDataSelect(files: Seq[FileEntry], cols: Seq[Column]): DataFrame =
-      readDataWith(spark, files, dataTyped)(_.select(cols: _*))
+      readDataWith(spark, files, dataTyped, identityCols)(_.select(cols: _*))
     // with a typed schema, the authoritative eq key is the field-id list;
     // resolve to CURRENT names so the join condition survives renames
     def resolveEq(f: FileEntry): FileEntry =

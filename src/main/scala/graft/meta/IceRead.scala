@@ -180,10 +180,13 @@ object IceRead {
           .sortBy { case ((sid, pv), _) => (sid, pv.toSeq.sorted.mkString(",")) }
           .map(_._2)
       else Seq(tasks)
+    // identity-partition columns of the CURRENT spec: the file index can
+    // evaluate predicates over them exactly (string partitions included)
+    val identityCols = meta.partitionSpec.filter(_.isIdentity).map(_.column).toSet
     taskGroups.map { ts =>
       val group = FileGroup.fromDataFiles(ts, byPath.get)
       Mor.dataFrame(spark, group, meta.schemaColumns, meta.formatVersion, meta.schema,
-        keepHidden = keepHidden, keepRowIds = keepRowIds)
+        keepHidden = keepHidden, keepRowIds = keepRowIds, identityCols = identityCols)
     }.reduce(_ unionAll _)
   }
 

@@ -1512,6 +1512,43 @@ object OpsQueries {
       IceRead.table(s, catalog, "t_q_dv").select(col("s_suppkey"), col("s_name"))
     }),
 
+    // MANIFEST-LEVEL FILE SKIPPING as an oracle-checked query: lineitem
+    // lands in a graft table partitioned by l_returnflag (identity) in
+    // three disjoint l_orderkey ranges (3 commits x 3 partitions -> a
+    // file grid with tight zone maps); the read filters to one flag and
+    // the low range, so the GraftFileIndex must drop >=2/3 of the files
+    // at PLAN time — partition constants kill the other flags, zone maps
+    // kill the other ranges. The in-query require turns the skipping
+    // itself into a checked invariant; the oracle checks the surviving
+    // rows against the same filter over raw lineitem. At 100 TB this is
+    // the difference between opening 10^6 footers and opening only the
+    // overlapping ones.
+    "q_prune_scan" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog, PartitionField}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-prune-wh").toString)
+      val src = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val cut = src.agg(max(col("l_orderkey"))).head.getLong(0) / 3
+      IceWrite.create(s, catalog, "t_q_prune",
+        src.filter(col("l_orderkey") <= cut),
+        partitionSpec = Seq(PartitionField("l_returnflag")))
+      IceWrite.append(s, catalog, "t_q_prune",
+        src.filter(col("l_orderkey") > cut && col("l_orderkey") <= cut * 2))
+      IceWrite.append(s, catalog, "t_q_prune",
+        src.filter(col("l_orderkey") > cut * 2))
+      val q = IceRead.table(s, catalog, "t_q_prune")
+        .filter(col("l_returnflag") === "A" && col("l_orderkey") <= cut)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      q.collect()
+      val (totalFiles, keptFiles) = graft.exec.GraftScan.pruneStats(q)
+      require(totalFiles >= 9 && keptFiles * 3 <= totalFiles,
+        s"file skipping did not engage: kept $keptFiles of $totalFiles files")
+      q
+    }),
+
     // COPY-ON-WRITE row-level semantics as an oracle-checked query:
     // create from supplier, MOR-tombstone every 7th key, COW-UPDATE
     // every 3rd (affected files rewritten THROUGH the MOR view —
@@ -3400,6 +3437,15 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
       """SELECT s_suppkey, s_name
         |FROM supplier
         |WHERE s_suppkey % 4 <> 0 AND s_suppkey % 4 <> 1""".stripMargin,
+
+    "q_prune_scan" ->
+      """WITH cut AS (SELECT CAST(floor(max(l_orderkey) / 3) AS BIGINT) AS c FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem, cut
+        |WHERE l_returnflag = 'A' AND l_orderkey <= c
+        |GROUP BY 1""".stripMargin,
 
     "q_cow_update" ->
       """SELECT s_suppkey,

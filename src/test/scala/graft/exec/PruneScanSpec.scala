@@ -1,0 +1,134 @@
+package graft.exec
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.meta.{IceRead, IceWrite, LocalCatalog, PartitionField}
+
+/** End-to-end manifest-level file skipping: filters on graft-table reads
+  * must reach [[GraftFileIndex.listFiles]] through Catalyst's pushdown and
+  * drop files by zone maps / identity partition values — with results
+  * identical to the unpruned scan (pruning is plan-shape only). */
+class PruneScanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def freshCatalog() =
+    LocalCatalog(Files.createTempDirectory("prune-wh").toString)
+
+  /** (total files listed, files kept) summed over every GraftFileIndex
+    * scan in the executed plan. Forces execution first so AQE final plans
+    * and lazy listings are settled. */
+  private def pruneCounts(df: DataFrame): (Int, Int) = {
+    df.collect()
+    val counts @ (total, _) = GraftScan.pruneStats(df)
+    assert(total > 0, "no GraftFileIndex scan in plan:\n" + df.queryExecution.executedPlan)
+    counts
+  }
+
+  test("string identity-partition predicate prunes to one file per matching partition") {
+    val cat = freshCatalog()
+    val rows = Seq("a", "b", "c").flatMap(g => (1L to 10L).map(i => (i, g))).toDF("id", "grp")
+    IceWrite.create(spark, cat, "t", rows, partitionSpec = Seq(PartitionField("grp")))
+
+    val full = IceRead.table(spark, cat, "t")
+    val q = full.filter(col("grp") === "b")
+    val (total, kept) = pruneCounts(q)
+    assert(total >= 3, s"expected >=3 data files, saw $total")
+    assert(kept < total, s"no pruning happened ($kept of $total)")
+    assert(q.count() == 10)
+    // pruned result identical to a post-hoc filter over the full scan
+    assert(q.select("id").as[Long].collect().sorted.toSeq ==
+      full.collect().filter(_.getString(1) == "b").map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("numeric zone maps prune disjoint-range appends; results exact") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "z", (1L to 100L).map(i => (i, i * 2)).toDF("id", "v"))
+    IceWrite.append(spark, cat, "z", (101L to 200L).map(i => (i, i * 2)).toDF("id", "v"))
+    IceWrite.append(spark, cat, "z", (201L to 300L).map(i => (i, i * 2)).toDF("id", "v"))
+
+    val q = IceRead.table(spark, cat, "z").filter(col("id") > 250L)
+    val (total, kept) = pruneCounts(q)
+    assert(total >= 3 && kept < total, s"zone maps did not prune ($kept of $total)")
+    assert(q.count() == 50)
+
+    // between straddling two files keeps exactly those
+    val mid = IceRead.table(spark, cat, "z").filter(col("id").between(95L, 105L))
+    val (t2, k2) = pruneCounts(mid)
+    assert(k2 < t2)
+    assert(mid.count() == 11)
+
+    // a filter matching nothing prunes every file and returns empty
+    val none = IceRead.table(spark, cat, "z").filter(col("id") === -5L)
+    val (_, k3) = pruneCounts(none)
+    assert(k3 == 0)
+    assert(none.count() == 0)
+  }
+
+  test("MOR read with deletes stays correct under pruning") {
+    val cat = freshCatalog()
+    val rows = Seq("a", "b").flatMap(g => (1L to 10L).map(i => (i, g))).toDF("id", "grp")
+    IceWrite.create(spark, cat, "m", rows, partitionSpec = Seq(PartitionField("grp")))
+    IceWrite.deleteWhere(spark, cat, "m", col("grp") === "b" && col("id") <= 3L)
+
+    val q = IceRead.table(spark, cat, "m").filter(col("grp") === "b")
+    val (total, kept) = pruneCounts(q)
+    assert(kept < total)
+    assert(q.count() == 7, "deletes must still apply on the pruned branch")
+    // untouched partition unaffected
+    assert(IceRead.table(spark, cat, "m").filter(col("grp") === "a").count() == 10)
+  }
+
+  test("SQL front door prunes through spark.sql WHERE clauses") {
+    val cat = freshCatalog()
+    graft.meta.GraftSql.register("prunecat", cat)
+    try {
+      val rows = Seq("x", "y", "z").flatMap(g => (1L to 5L).map(i => (i, g))).toDF("id", "grp")
+      IceWrite.create(spark, cat, "s", rows, partitionSpec = Seq(PartitionField("grp")))
+      val q = spark.sql("SELECT id FROM prunecat.s WHERE grp = 'y' AND id >= 2")
+      val (total, kept) = pruneCounts(q)
+      assert(total >= 3 && kept < total, s"SQL filter did not prune ($kept of $total)")
+      assert(q.as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L, 5L))
+    } finally graft.meta.GraftSql.unregister("prunecat")
+  }
+
+  test("randomized range predicates: pruned scan equals post-hoc filtering") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "r",
+      (1L to 60L).map(i => (i, (i % 7).toDouble)).toDF("id", "v"))
+    (1 to 4).foreach(b => IceWrite.append(spark, cat, "r",
+      ((b * 60L + 1) to (b * 60L + 60L)).map(i => (i, (i % 7).toDouble)).toDF("id", "v")))
+    val all = IceRead.table(spark, cat, "r").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val rnd = new scala.util.Random(42)
+    (1 to 12).foreach { _ =>
+      val lo = rnd.nextLong().abs % 300 + 1
+      val hi = math.min(300L, lo + rnd.nextInt(80))
+      val q = IceRead.table(spark, cat, "r")
+        .filter(col("id") >= lo && col("id") <= hi && col("v") < 5.0)
+      val expect = all.filter { case (i, v) => i >= lo && i <= hi && v < 5.0 }
+      assert(q.count() == expect.length, s"mismatch for id in [$lo,$hi]")
+    }
+  }
+
+  test("time travel keeps pruning and snapshot isolation") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "tt", (1L to 50L).map(i => (i, i)).toDF("id", "v"))
+    val v1 = cat.loadTable("tt").currentSnapshot.get.snapshotId
+    IceWrite.append(spark, cat, "tt", (51L to 100L).map(i => (i, i)).toDF("id", "v"))
+
+    val q = IceRead.tableAt(spark, cat, "tt", v1).filter(col("id") > 40L)
+    val (_, kept) = pruneCounts(q)
+    assert(q.count() == 10, "time travel must not see the later append")
+    assert(kept >= 1)
+    val q2 = IceRead.tableAt(spark, cat, "tt", v1).filter(col("id") > 60L)
+    val (_, k2) = pruneCounts(q2)
+    assert(k2 == 0 && q2.count() == 0)
+  }
+}
