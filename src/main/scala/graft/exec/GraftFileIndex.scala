@@ -56,16 +56,28 @@ final class GraftFileIndex(
       * columns of the CURRENT spec. Only consulted for `specId == 0`
       * files (historical/imported specs may bind other transforms to the
       * same name). */
-    identityCols: Set[String] = Set.empty
+    identityCols: Set[String] = Set.empty,
+    /** PARTITION-SCHEMA mode ([[GraftScan.partitionGroups]]): identity
+      * partition columns served as real Spark partition columns — values
+      * decoded once from the manifest, files grouped per tuple. Spark then
+      * does its own static partition pruning, runs DYNAMIC partition
+      * pruning on joins against these columns, and never reads their
+      * bytes from parquet. None = flat mode (all columns in dataSchema). */
+    partitioned: Option[(Seq[StructField], Seq[(InternalRow, Seq[FileEntry])])] = None
 ) extends FileIndex {
 
   /** last listFiles outcome, for specs/plan audits: (total, kept). */
   @volatile var lastPrune: (Int, Int) = (entries.size, entries.size)
 
+  /** true when identity partition columns are served as Spark partition
+    * columns (DPP-capable). */
+  def partitionMode: Boolean = partitioned.isDefined
+
   override def rootPaths: Seq[Path] =
     entries.map(e => new Path(e.path).getParent).distinct
 
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSchema: StructType =
+    StructType(partitioned.map(_._1).getOrElse(Nil))
 
   override def sizeInBytes: Long = entries.map(_.length).sum
 
@@ -73,18 +85,43 @@ final class GraftFileIndex(
 
   override def refresh(): Unit = ()
 
+  private def status(e: FileEntry): FileStatus =
+    new FileStatus(e.length, false, 1, 128L * 1024 * 1024, 0L, new Path(e.path))
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val filters = partitionFilters ++ dataFilters
-    val kept =
-      if (filters.isEmpty) entries
-      else {
-        val zone = SQLConf.get.sessionLocalTimeZone
-        entries.filter(e => filters.forall(f => ZonePrune.mayMatch(f, e, schema, identityCols, zone)))
-      }
-    lastPrune = (entries.size, kept.size)
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(e =>
-      new FileStatus(e.length, false, 1, 128L * 1024 * 1024, 0L, new Path(e.path))).toArray))
+    val zone = SQLConf.get.sessionLocalTimeZone
+    def zoneKept(es: Seq[FileEntry], filters: Seq[Expression]): Seq[FileEntry] =
+      if (filters.isEmpty) es
+      else es.filter(e => filters.forall(f => ZonePrune.mayMatch(f, e, schema, identityCols, zone)))
+    val dirs = partitioned match {
+      case None =>
+        // flat mode: every filter (Spark saw no partition columns, so all
+        // arrive as dataFilters) checks zone maps + identity constants
+        val kept = zoneKept(entries, partitionFilters ++ dataFilters)
+        Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
+      case Some((pFields, groups)) =>
+        // partition filters evaluate EXACTLY against the decoded tuples
+        // (the standard FileIndex contract — same as InMemoryFileIndex)
+        val keptGroups =
+          if (partitionFilters.isEmpty) groups
+          else {
+            val bound = partitionFilters.reduce(And).transform {
+              case a: AttributeReference =>
+                val i = pFields.indexWhere(_.name == a.name)
+                if (i >= 0) BoundReference(i, pFields(i).dataType, nullable = true) else a
+            }
+            groups.filter { case (row, _) =>
+              // eval errors / unbound refs keep the partition (conservative)
+              try bound.eval(row) == true catch { case _: Exception => true }
+            }
+          }
+        keptGroups.map { case (row, es) =>
+          PartitionDirectory(row, zoneKept(es, dataFilters).map(status).toArray)
+        }.filter(_.files.nonEmpty)
+    }
+    lastPrune = (entries.size, dirs.map(_.files.size).sum)
+    dirs
   }
 }
 
@@ -102,10 +139,63 @@ object GraftScan {
     // vectorized reader fabricate zeros and lets the optimizer fold
     // isnotnull(c) to true
     val readSchema = asNullable(schema)
-    val idx = new GraftFileIndex(files, readSchema, identityCols)
-    val rel = HadoopFsRelation(idx, new StructType(), readSchema, None,
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val (idx, partSchema, dataSchema) = partitionGroups(files, readSchema, identityCols, zone) match {
+      case Some((pFields, groups)) =>
+        // partition-schema mode: identity partition columns become real
+        // Spark partition columns (values from the manifest, appended by
+        // the scan, never read from parquet) -> Spark-native static
+        // pruning AND dynamic partition pruning on joins
+        val ds = StructType(readSchema.fields.filterNot(f => pFields.exists(_.name == f.name)))
+        (new GraftFileIndex(files, readSchema, identityCols, Some((pFields, groups))),
+          StructType(pFields), ds)
+      case None =>
+        (new GraftFileIndex(files, readSchema, identityCols), new StructType(), readSchema)
+    }
+    val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat(), Map.empty)(spark)
+    // NOTE in partition mode the relation's column ORDER differs (Spark
+    // appends partition columns last); every consumer goes through
+    // readDataWith and projects by NAME, and cross-branch unions are
+    // unionByName — no positional access exists on the raw relation
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, LogicalRelation(rel))
+  }
+
+  /** Partition-column types whose directory-string round trip is exact —
+    * the gate for serving a column from manifest values instead of
+    * parquet bytes. Floats/doubles (formatting) and timestamps (zone
+    * rendering) stay in the data path. */
+  private def safePartitionType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType | DateType | BooleanType => true
+    case _ => false
+  }
+
+  /** The partition-schema mode plan: Some((fields, groups)) when EVERY
+    * identity partition column has a safe type and EVERY file is
+    * current-spec with a decodable value for each — else None (flat mode,
+    * zone maps + const-eval still prune). Values decode ONCE per distinct
+    * tuple. */
+  private[exec] def partitionGroups(files: Seq[FileEntry], schema: StructType,
+      identityCols: Set[String], zone: String
+  ): Option[(Seq[StructField], Seq[(InternalRow, Seq[FileEntry])])] = {
+    if (identityCols.isEmpty || files.isEmpty) return None
+    val fields = schema.fields.filter(f => identityCols.contains(f.name)).toSeq
+    if (fields.size != identityCols.size) return None // identity col absent from schema
+    if (!fields.forall(f => safePartitionType(f.dataType))) return None
+    if (!files.forall(e => e.specId == 0 && fields.forall(f => e.partitionValues.contains(f.name))))
+      return None
+    val grouped = files.groupBy(e => fields.map(f => e.partitionValues(f.name))).toSeq
+      .sortBy(_._1.mkString(" ")) // deterministic listing order
+    val rows = grouped.map { case (strs, es) =>
+      val vals = strs.zip(fields).map { case (s, f) =>
+        ZonePrune.constLit(s, f.dataType, zone).map(_.value)
+      }
+      if (vals.exists(_.isEmpty)) return None // undecodable value: flat mode
+      (InternalRow.fromSeq(vals.map(_.get)), es)
+    }
+    // partition columns are appended by the scan, so mark them nullable
+    // like any file-source column (values themselves are never null here)
+    Some((fields.map(_.copy(nullable = true)), rows))
   }
 
   /** Recursively nullable copy (StructType.asNullable is private[spark]);
@@ -269,7 +359,7 @@ object ZonePrune {
 
   /** Partition-directory string -> typed literal via TRY cast (null on
     * any parse failure -> undecidable). */
-  private def constLit(value: String, dt: DataType, zone: String): Option[Literal] = dt match {
+  private[exec] def constLit(value: String, dt: DataType, zone: String): Option[Literal] = dt match {
     case StringType => Some(Literal(UTF8String.fromString(value), StringType))
     case _ =>
       try {

@@ -117,6 +117,90 @@ class PruneScanSpec extends AnyFunSuite {
     }
   }
 
+  private def graftScans(df: DataFrame): Seq[FileSourceScanExec] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case s: FileSourceScanExec if s.relation.location.isInstanceOf[GraftFileIndex] => Seq(s)
+      }.flatten ++ p.subqueries.flatMap(walk)
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("identity partition columns are served as Spark partition columns") {
+    val cat = freshCatalog()
+    val rows = Seq("a", "b", "c").flatMap(g => (1L to 8L).map(i => (i, g, i * 2))).toDF("id", "grp", "v")
+    IceWrite.create(spark, cat, "pm", rows, partitionSpec = Seq(PartitionField("grp")))
+    val q = IceRead.table(spark, cat, "pm").filter(col("grp") >= "b")
+    q.collect()
+    val scans = graftScans(q)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.asInstanceOf[GraftFileIndex].partitionMode),
+      "partition-schema mode did not engage")
+    // the predicate must arrive as a PARTITION filter, not a pushed data filter
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      s"no partition filters on scan: ${scans.map(_.partitionFilters)}")
+    // values decode from the manifest; results and schema order unchanged
+    assert(q.columns.toSeq == Seq("id", "grp", "v"))
+    assert(q.count() == 16)
+    assert(q.select("grp").distinct().as[String].collect().toSet == Set("b", "c"))
+  }
+
+  test("dynamic partition pruning fires on a join against the partition column") {
+    val cat = freshCatalog()
+    val fact = Seq("a", "b", "c", "d").flatMap(g => (1L to 20L).map(i => (i, g))).toDF("id", "grp")
+    IceWrite.create(spark, cat, "dppf", fact, partitionSpec = Seq(PartitionField("grp")))
+    // DPP requires a SELECTIVE Filter on the build side at optimization
+    // time — a local Seq dim constant-folds away (ConvertToLocalRelation
+    // runs before the PartitionPruning batch), so the dim must be a real
+    // file source with the filter above it
+    val dimDir = Files.createTempDirectory("dpp-dim").toString
+    Seq(("a", "drop"), ("b", "keep"), ("c", "drop"), ("d", "drop"))
+      .toDF("grp", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    val q = IceRead.table(spark, cat, "dppf").join(dim, Seq("grp"))
+    val rows = q.collect()
+    assert(rows.length == 20)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected a DPP subquery in the plan:\n$plan")
+    // the runtime filter must have pruned the scan to grp=b's files only
+    val scans = graftScans(q)
+    val scanned = scans.map(s =>
+      s.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    val total = scans.map(_.relation.location.asInstanceOf[GraftFileIndex].lastPrune._1).sum
+    assert(total >= 4 && scanned < total,
+      s"DPP did not reduce scanned files ($scanned of $total)")
+  }
+
+  test("unsafe partition column types fall back to flat mode, results exact") {
+    val cat = freshCatalog()
+    // double identity partition: dir-string round trip not guaranteed ->
+    // the index must NOT serve it from the manifest
+    val rows = Seq(0.5, 1.5).flatMap(g => (1L to 5L).map(i => (i, g))).toDF("id", "g")
+    IceWrite.create(spark, cat, "fm", rows, partitionSpec = Seq(PartitionField("g")))
+    val q = IceRead.table(spark, cat, "fm").filter(col("g") === 0.5)
+    q.collect()
+    val scans = graftScans(q)
+    assert(scans.nonEmpty)
+    assert(scans.forall(!_.relation.location.asInstanceOf[GraftFileIndex].partitionMode))
+    assert(q.count() == 5)
+    assert(q.select("g").distinct().as[Double].collect().toSeq == Seq(0.5))
+  }
+
+  test("typed date partition column round-trips through partition mode") {
+    val cat = freshCatalog()
+    val rows = Seq("2024-01-15", "2024-02-20").flatMap(d => (1L to 4L).map(i => (i, d)))
+      .toDF("id", "ds").select(col("id"), col("ds").cast("date").as("d"))
+    IceWrite.create(spark, cat, "dm", rows, partitionSpec = Seq(PartitionField("d")))
+    val q = IceRead.table(spark, cat, "dm").filter(col("d") === lit("2024-01-15").cast("date"))
+    q.collect()
+    assert(graftScans(q).forall(_.relation.location.asInstanceOf[GraftFileIndex].partitionMode))
+    assert(q.count() == 4)
+    assert(q.select("d").distinct().as[java.sql.Date].collect().map(_.toString).toSeq ==
+      Seq("2024-01-15"))
+  }
+
   test("time travel keeps pruning and snapshot isolation") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "tt", (1L to 50L).map(i => (i, i)).toDF("id", "v"))

@@ -177,6 +177,35 @@ class ZonePruneSpec extends AnyFunSuite {
     assert(elapsedMs < 1000.0, s"listFiles took ${elapsedMs}ms for 100k entries")
   }
 
+  test("partitionGroups gates: safe types, current spec, decodable values only") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    def pg(files: Seq[FileEntry], idCols: Set[String]) =
+      GraftScan.partitionGroups(files, schema, idCols, UTC)
+
+    val ok = Seq(entry(parts = Map("grp" -> "a")), entry(parts = Map("grp" -> "b")),
+      entry(parts = Map("grp" -> "b")))
+    val Some((fields, groups)) = pg(ok, Set("grp"))
+    assert(fields.map(_.name) == Seq("grp") && fields.forall(_.nullable))
+    assert(groups.size == 2 && groups.map(_._2.size).sorted == Seq(1, 2))
+    assert(groups.forall { case (row, _) =>
+      row.isInstanceOf[InternalRow] && row.getUTF8String(0) != null })
+
+    // date values decode to day ordinals
+    val dated = Seq(entry(parts = Map("d" -> "2024-01-15")))
+    val Some((_, dg)) = pg(dated, Set("d"))
+    assert(dg.head._1.getInt(0) == 19737)
+
+    // gates -> None (flat mode)
+    assert(pg(ok, Set("price")).isEmpty, "double type must be unsafe")
+    assert(pg(Seq(entry(parts = Map.empty)), Set("grp")).isEmpty, "missing value")
+    assert(pg(Seq(entry(parts = Map("grp" -> "a"), specId = 2)), Set("grp")).isEmpty,
+      "historical spec")
+    assert(pg(Seq(entry(parts = Map("d" -> "not-a-date"))), Set("d")).isEmpty,
+      "undecodable value")
+    assert(pg(ok, Set("grp", "nope")).isEmpty, "identity col absent from schema")
+    assert(pg(ok, Set.empty).isEmpty)
+  }
+
   test("unknown expression shapes keep the file") {
     val f = entry(stats = Map("id" -> ("10", "20")))
     // attr-to-attr comparison: undecidable
