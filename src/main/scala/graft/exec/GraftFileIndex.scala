@@ -69,6 +69,58 @@ final class GraftFileIndex(
   /** last listFiles outcome, for specs/plan audits: (total, kept). */
   @volatile var lastPrune: (Int, Int) = (entries.size, entries.size)
 
+  /** Manifest row count of the indexed files (footer record counts
+    * collected at write) — the metadata-only `count(*)` answer for a
+    * deleteless scan. */
+  def totalRecords: Long = entries.map(_.recordCount).sum
+
+  /** Metadata-only `count(col)`: record count minus null count, answerable
+    * only when EVERY file states the column's null count. */
+  def countNonNull(col: String): Option[Long] = {
+    val per = entries.map(e => e.nullCounts.get(col).map(n => e.recordCount - n))
+    if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+  }
+
+  /** Metadata-only `min/max(col)` folded from per-file zone maps, as the
+    * column's INTERNAL value (or null when every row is null). None = not
+    * answerable: a file lacking stats without being provably all-null, an
+    * unparsable bound, or a type whose footer encoding does not
+    * reconstruct exactly (floats: NaN poisons footer ordering). */
+  def boundOf(col: String, dt: org.apache.spark.sql.types.DataType,
+      isMin: Boolean): Option[Any] = {
+    import org.apache.spark.sql.types._
+    val reconstruct: BigDecimal => Option[Any] = dt match {
+      case ByteType => v => Some(v.toByteExact)
+      case ShortType => v => Some(v.toShortExact)
+      case IntegerType | DateType => v => Some(v.toIntExact)
+      case LongType | TimestampType | TimestampNTZType => v => Some(v.toLongExact)
+      case d: DecimalType if d.precision <= 18 =>
+        // footer stats hold the UNSCALED value
+        v => v.toBigIntExact.map(bi => Decimal(BigDecimal(bi, d.scale), d.precision, d.scale))
+      case _ => _ => None
+    }
+    val per: Seq[Option[Option[BigDecimal]]] = entries.map { e =>
+      e.columnStats.get(col) match {
+        case Some((mn, mx)) =>
+          try Some(Some(BigDecimal(if (isMin) mn else mx)))
+          catch { case _: NumberFormatException => None }
+        case None =>
+          // no zone map: fine only if the file provably holds no values
+          if (e.recordCount == 0L || e.nullCounts.get(col).contains(e.recordCount))
+            Some(None)
+          else None
+      }
+    }
+    if (per.exists(_.isEmpty)) return None
+    val values = per.flatten.flatten
+    if (values.isEmpty) Some(null) // min/max over all-null column is null
+    else {
+      val bound = if (isMin) values.min else values.max
+      // toXxxExact throw on any non-exact reconstruction: not answerable
+      try reconstruct(bound) catch { case _: ArithmeticException => None }
+    }
+  }
+
   /** true when identity partition columns are served as Spark partition
     * columns (DPP-capable). */
   def partitionMode: Boolean = partitioned.isDefined
@@ -227,6 +279,114 @@ object GraftScan {
       }.flatten ++ p.subqueries.flatMap(scans)
     val idx = scans(df.queryExecution.executedPlan).distinct
     (idx.map(_.lastPrune._1).sum, idx.map(_.lastPrune._2).sum)
+  }
+}
+
+/** Metadata-only aggregates: a global ungrouped COUNT / MIN / MAX over a
+  * deleteless graft scan is already recorded in the manifest — answer it
+  * there instead of launching a scan job (Iceberg/Delta answer snapshot
+  * counts the same way; min/max additionally fold the per-file zone
+  * maps). At 10^6 files the scan alternative opens a million footers to
+  * re-derive numbers the manifest holds.
+  *
+  * Safety comes from the plan SHAPE plus per-column stats checks:
+  *  - the rewrite fires only when the aggregate sits over
+  *    cardinality-preserving nodes (Project with alias-only or pass-through
+  *    columns is guaranteed by matching attributes back to the relation;
+  *    recursion covers SubqueryAlias and Union) directly on
+  *    [[GraftFileIndex]] relations. Any delete application (anti joins,
+  *    DV filters), row filter, limit, or sample is a different node and
+  *    blocks the match — MOR tables with live deletes always scan;
+  *  - `count(*)` needs only record counts; `count(col)` needs a null
+  *    count on EVERY file; `min/max(col)` need a zone map on every file
+  *    that is not provably all-null, and only for types whose footer
+  *    encoding reconstructs exactly (int family, date, timestamp,
+  *    short decimal — floats excluded: NaN poisons footer ordering).
+  * Injected via [[graft.functions.GraftExtensions]]. */
+object MetadataOnlyCount extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+  import org.apache.spark.sql.execution.datasources.LogicalRelationWithTable
+
+  /** Leaf scans under cardinality-preserving nodes; None = shape not safe.
+    * Attribute lineage: Project may rename via Alias(attr), so column
+    * answers resolve through the projection by exprId when needed — here
+    * we only allow aggregates over attributes that map straight to
+    * relation output NAMES (Project(attr or Alias(attr)) chains). */
+  private def leafIndexes(p: LogicalPlan): Option[Seq[GraftFileIndex]] = p match {
+    case Project(exprs, child) if exprs.forall {
+      case _: AttributeReference => true
+      case Alias(_: AttributeReference, _) => true
+      case _ => false
+    } => leafIndexes(child)
+    // a Project computing new expressions still preserves cardinality, so
+    // count(*) stays answerable; column aggs bail via resolveColumn below
+    case Project(_, child) => leafIndexes(child)
+    case SubqueryAlias(_, child) => leafIndexes(child)
+    case u: Union if u.children.nonEmpty =>
+      u.children.foldLeft(Option(Seq.empty[GraftFileIndex])) {
+        case (acc, c) => for { xs <- acc; ys <- leafIndexes(c) } yield xs ++ ys
+      }
+    case LogicalRelationWithTable(rel: HadoopFsRelation, _) => rel.location match {
+      case idx: GraftFileIndex => Some(Seq(idx))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The relation-level column NAME an aggregated attribute denotes, or
+    * None when any projection in between computes/renames it (renames are
+    * resolvable in principle; conservative is fine here). */
+  private def passesThrough(p: LogicalPlan, a: AttributeReference): Boolean = p match {
+    case Project(exprs, child) => exprs.exists {
+      case ar: AttributeReference => ar.exprId == a.exprId && ar.name == a.name
+      case _ => false
+    } && passesThrough(child, a)
+    case SubqueryAlias(_, child) => passesThrough(child, a)
+    case u: Union => // union output attrs are positional merges: bail on column aggs
+      false
+    case LogicalRelationWithTable(_, _) => p.output.exists(o => o.exprId == a.exprId)
+    case _ => false
+  }
+
+  private sealed trait Answer
+  private case class Const(v: Any) extends Answer
+  private case object NotAnswerable extends Answer
+
+  private def answer(e: Expression, child: LogicalPlan,
+      idxs: Seq[GraftFileIndex]): Answer = e match {
+    case Alias(inner, _) => answer(inner, child, idxs)
+    case AggregateExpression(Count(Seq(Literal(v, _))), Complete, false, None, _) if v != null =>
+      Const(idxs.map(_.totalRecords).sum)
+    case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _)
+        if passesThrough(child, a) =>
+      idxs.head.countNonNull(a.name) match { // single relation (Union bails above)
+        case Some(n) => Const(n)
+        case None => NotAnswerable
+      }
+    case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _)
+        if passesThrough(child, a) =>
+      idxs.head.boundOf(a.name, a.dataType, isMin = true)
+        .map(Const(_)).getOrElse(NotAnswerable)
+    case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _)
+        if passesThrough(child, a) =>
+      idxs.head.boundOf(a.name, a.dataType, isMin = false)
+        .map(Const(_)).getOrElse(NotAnswerable)
+    case _ => NotAnswerable
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case a @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
+      leafIndexes(child) match {
+        case Some(idxs) if idxs.nonEmpty =>
+          val answers = aggExprs.map(e => answer(e, child, idxs))
+          if (answers.forall(_.isInstanceOf[Const]))
+            LocalRelation(a.output,
+              Seq(InternalRow.fromSeq(answers.map(_.asInstanceOf[Const].v))))
+          else a
+        case _ => a
+      }
   }
 }
 

@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // `graft.t.branch_dev` before extendedResolutionRules would get a
     // look, so the front door must claim its relations first.
     e.injectHintResolutionRule(session => new graft.meta.GraftSql.SqlRule(session))
+    // metadata-only count(*): ungrouped counts over deleteless graft
+    // scans answer from manifest record counts, no scan job
+    e.injectOptimizerRule(_ => graft.exec.MetadataOnlyCount)
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.jaccardGeDescriptor)
     e.injectFunction(GraftExtensions.nfcDescriptor)

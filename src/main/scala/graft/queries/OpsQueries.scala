@@ -1549,6 +1549,34 @@ object OpsQueries {
       q
     }),
 
+    // METADATA-ONLY COUNT as an oracle-checked query: count(*) over a
+    // deleteless graft table must answer from manifest record counts —
+    // the in-query require proves NO scan ran (no FileSourceScanExec in
+    // the executed plan); the oracle recounts supplier relationally. At
+    // 10^6 files the scan alternative opens a million footers to add up
+    // numbers the manifest already holds.
+    "q_meta_count" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-mcount-wh").toString)
+      val src = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      IceWrite.create(s, catalog, "t_q_mcount", src.filter(col("s_suppkey") % 2 === 0))
+      IceWrite.append(s, catalog, "t_q_mcount", src.filter(col("s_suppkey") % 2 =!= 0))
+      val q = IceRead.table(s, catalog, "t_q_mcount")
+        .agg(count(lit(1)).as("n_rows"))
+      q.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collectFirst {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(qs.plan)
+          case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        }.getOrElse(false)
+      require(!scans(q.queryExecution.executedPlan),
+        "metadata-only count ran a scan:\n" + q.queryExecution.executedPlan)
+      q
+    }),
+
     // COPY-ON-WRITE row-level semantics as an oracle-checked query:
     // create from supplier, MOR-tombstone every 7th key, COW-UPDATE
     // every 3rd (affected files rewritten THROUGH the MOR view —
@@ -3446,6 +3474,9 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |FROM lineitem, cut
         |WHERE l_returnflag = 'A' AND l_orderkey <= c
         |GROUP BY 1""".stripMargin,
+
+    "q_meta_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM supplier",
 
     "q_cow_update" ->
       """SELECT s_suppkey,
