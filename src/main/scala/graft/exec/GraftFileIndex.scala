@@ -24,16 +24,17 @@ import graft.meta.FileEntry
   * MOR/COW/changelog plans — prune files before a single task is launched,
   * using metadata the manifest already carries:
   *
-  *  - numeric zone maps ([[FileEntry.columnStats]] min/max, decimal-string
-  *    encoded: ints/longs/floats/doubles as literal values, DATE as days,
-  *    TIMESTAMP as micros, int-backed DECIMAL as unscaled);
+  *  - zone maps ([[FileEntry.columnStats]] min/max): numeric columns in
+  *    footer encoding (ints/longs/floats/doubles literal, DATE days,
+  *    TIMESTAMP micros, int-backed DECIMAL unscaled) and STRING columns
+  *    as bound strings in parquet's unsigned-byte order (comparisons,
+  *    In, and LIKE-prefix/StartsWith prune on them);
   *  - per-column null counts ([[FileEntry.nullCounts]]) for
   *    IsNull/IsNotNull;
   *  - identity-partition constants: for a file written under an identity
   *    transform, the partition value IS the column value for every row, so
   *    any deterministic conjunct referencing only such columns is
-  *    evaluated EXACTLY (string predicates included — zone maps are
-  *    numeric-only, but `WHERE tenant = 'x'` still prunes).
+  *    evaluated EXACTLY.
   *
   * Everything is conservative: a file is dropped only when NO row in it
   * can satisfy the filters; unparsable/missing stats keep the file. The
@@ -237,7 +238,7 @@ object GraftScan {
     if (!files.forall(e => e.specId == 0 && fields.forall(f => e.partitionValues.contains(f.name))))
       return None
     val grouped = files.groupBy(e => fields.map(f => e.partitionValues(f.name))).toSeq
-      .sortBy(_._1.mkString(" ")) // deterministic listing order
+      .sortBy(_._1.mkString("\u0000")) // deterministic listing order
     val rows = grouped.map { case (strs, es) =>
       val vals = strs.zip(fields).map { case (s, f) =>
         ZonePrune.constLit(s, f.dataType, zone).map(_.value)
@@ -427,6 +428,15 @@ object ZonePrune {
       case _ => true
     }
 
+    // prefix predicates (LIKE 'p%'): strings with prefix p form the byte
+    // interval [p, increment(p)) — prune when the string zone map misses it
+    case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType)) if p != null =>
+      stringZone(f, a.name) match {
+        case Some((lo, hi)) =>
+          hi.compareTo(p) >= 0 && incrementBytes(p).forall(up => lo.compareTo(up) < 0)
+        case None => true
+      }
+
     case In(a: AttributeReference, elems) if elems.forall(_.isInstanceOf[Literal]) =>
       elems.isEmpty || elems.exists(l =>
         zoneCompare(EqualTo(a, l), a, l.asInstanceOf[Literal], f, flipped = false))
@@ -447,6 +457,23 @@ object ZonePrune {
       case _: EqualNullSafe => f.nullCounts.get(a.name).forall(_ > 0L)
       // any other comparison with null is null for every row -> filtered
       case _ => false
+    } else if (a.dataType == StringType) (stringZone(f, a.name), l.value) match {
+      // string zone maps: parquet UTF8 statistics order == UTF8String's
+      // unsigned-byte comparison, so bounds compare directly; bounds may
+      // be writer-truncated yet stay VALID (lower <= all, upper >= all),
+      // which one-sided pruning tolerates
+      case (Some((lo, hi)), v: UTF8String) =>
+        def le(x: UTF8String, y: UTF8String) = x.compareTo(y) <= 0
+        def lt(x: UTF8String, y: UTF8String) = x.compareTo(y) < 0
+        cmp match {
+          case _: EqualTo | _: EqualNullSafe => le(lo, v) && le(v, hi)
+          case _: GreaterThan => if (flipped) lt(lo, v) else lt(v, hi)
+          case _: GreaterThanOrEqual => if (flipped) le(lo, v) else le(v, hi)
+          case _: LessThan => if (flipped) lt(v, hi) else lt(lo, v)
+          case _: LessThanOrEqual => if (flipped) le(v, hi) else le(lo, v)
+          case _ => true
+        }
+      case _ => true
     } else zoneOf(f, a.name) match {
       case None => true
       case Some((lo, hi)) =>
@@ -461,6 +488,27 @@ object ZonePrune {
             case _ => true
           }
         }
+    }
+  }
+
+  /** String zone map of `col` as UTF8Strings (binary-ordered like the
+    * recorded parquet statistics); None when absent. */
+  private def stringZone(f: FileEntry, col: String): Option[(UTF8String, UTF8String)] =
+    f.columnStats.get(col).map { case (mn, mx) =>
+      (UTF8String.fromString(mn), UTF8String.fromString(mx))
+    }
+
+  /** Smallest byte string strictly greater than every string with prefix
+    * `p`: increment the last non-0xFF byte and truncate; None when p is
+    * all 0xFF (no upper bound exists). */
+  private[exec] def incrementBytes(p: UTF8String): Option[UTF8String] = {
+    val bytes = p.getBytes.clone()
+    var i = bytes.length - 1
+    while (i >= 0 && bytes(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      bytes(i) = (bytes(i) + 1).toByte
+      Some(UTF8String.fromBytes(bytes.take(i + 1)))
     }
   }
 

@@ -312,9 +312,12 @@ object SparkExecutor extends CompactionExecutor {
         .flatMap { c =>
           val perFile = g.dataFiles.map(_.columnStats.get(c))
           if (perFile.nonEmpty && perFile.forall(_.isDefined)) {
-            val mins = perFile.flatten.map(v => BigDecimal(v._1))
-            val maxs = perFile.flatten.map(v => BigDecimal(v._2))
-            Some(c -> (mins.min, maxs.max))
+            // STRING zone maps don't parse: fall to the agg-pass path
+            scala.util.Try {
+              val mins = perFile.flatten.map(v => BigDecimal(v._1))
+              val maxs = perFile.flatten.map(v => BigDecimal(v._2))
+              c -> (mins.min, maxs.max)
+            }.toOption
           } else None
         }.toMap
 
@@ -448,10 +451,18 @@ object SparkExecutor extends CompactionExecutor {
     try {
       val blocks = r.getFooter.getBlocks.asScala
       val acc = scala.collection.mutable.Map.empty[String, (BigDecimal, BigDecimal)]
+      // string zone maps, merged in parquet's unsigned-byte order
+      val sacc = scala.collection.mutable.Map.empty[String, (String, String)]
       // null counts: Some(total) while every row group states the count
       // for the column; one unset row group invalidates it (None) —
       // a partial sum would understate nulls and mislead readers
       val nulls = scala.collection.mutable.Map.empty[String, Option[Long]]
+      def isUtf8(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean =
+        c.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
+          org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      def utf8Lt(a: String, b: String): Boolean =
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
       // parquet's Statistics[_ <: Comparable[_]] is an existential type
       import scala.language.existentials
       for (b <- blocks; c <- b.getColumns.asScala) {
@@ -470,7 +481,7 @@ object SparkExecutor extends CompactionExecutor {
               case (mn: java.lang.Number, mx: java.lang.Number) =>
                 // NaN / infinite double stats are not representable: skip
                 scala.util.Try((BigDecimal(mn.toString), BigDecimal(mx.toString))).toOption
-              case _ => None // binary/bool/nested: no zone map
+              case _ => None // non-string binary/bool/nested: no zone map
             }
             mm.foreach { case (mn, mx) =>
               acc.updateWith(name) {
@@ -478,11 +489,34 @@ object SparkExecutor extends CompactionExecutor {
                 case None           => Some((mn, mx))
               }
             }
+            // STRING zone maps: parquet UTF8 statistics order is unsigned
+            // byte-lexicographic — exactly UTF8String's comparison, so the
+            // recorded bounds prune string predicates. Values above 64
+            // bytes are skipped (bounds on long text are useless and
+            // bloat manifests); even writer-truncated statistics remain
+            // VALID bounds (parquet's BinaryTruncator increments the max
+            // prefix), which pruning tolerates — exact-answer consumers
+            // (metadata min/max) never read string stats.
+            if (mm.isEmpty && isUtf8(c)) (st.genericGetMin, st.genericGetMax) match {
+              case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary)
+                  if mn.length <= 64 && mx.length <= 64 =>
+                scala.util.Try((mn.toStringUsingUTF8, mx.toStringUsingUTF8)).foreach {
+                  case (mnS, mxS) =>
+                    sacc.updateWith(name) {
+                      case Some((lo, hi)) => Some((
+                        if (utf8Lt(mnS, lo)) mnS else lo,
+                        if (utf8Lt(hi, mxS)) mxS else hi))
+                      case None => Some((mnS, mxS))
+                    }
+                }
+              case _ => ()
+            }
           }
         }
       }
       FooterInfo(r.getRecordCount,
-        acc.map { case (k, (mn, mx)) => k -> (mn.toString, mx.toString) }.toMap,
+        acc.map { case (k, (mn, mx)) => k -> (mn.toString, mx.toString) }.toMap ++
+          sacc.toMap, // disjoint keys: a column is numeric or string, never both
         nulls.collect { case (k, Some(n)) => k -> n }.toMap)
     } finally r.close()
   }

@@ -231,11 +231,11 @@ object IcebergExport {
   }
 
   /** Iceberg single-value binary serialization (table spec Appendix D) of
-    * one zone-map bound recorded as a decimal string. graft collects
-    * numeric footer statistics only, so every representable stat is one
-    * of the numeric-backed Iceberg types below; anything else (or a
-    * string that doesn't parse exactly) yields None and the bound is
-    * omitted — spec-legal, readers just don't prune on that column. */
+    * one zone-map bound. Numeric stats are decimal strings in footer
+    * encoding; string stats are the bound itself (UTF-8 serialized).
+    * Anything else (or a value that doesn't parse exactly) yields None
+    * and the bound is omitted — spec-legal, readers just don't prune on
+    * that column. */
   private[meta] def boundBytes(ddl: String, v: String): Option[java.nio.ByteBuffer] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(n: Int)(put: ByteBuffer => ByteBuffer): ByteBuffer = {
@@ -243,6 +243,11 @@ object IcebergExport {
       b.flip(); b
     }
     val t = ddl.trim.toUpperCase
+    // string bounds: Appendix D serializes as UTF-8 bytes; the recorded
+    // zone-map strings are valid (possibly writer-truncated) bounds,
+    // which the spec permits for lower/upper_bounds
+    if (t == "STRING" || t.startsWith("VARCHAR") || t.startsWith("CHAR"))
+      return Some(java.nio.ByteBuffer.wrap(v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     try {
       val d = BigDecimal(v)
       t match {

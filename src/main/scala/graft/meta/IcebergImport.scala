@@ -67,6 +67,12 @@ object IcebergImport {
       case dec if dec.startsWith("DECIMAL") =>
         val arr = new Array[Byte](b.remaining); b.get(arr)
         Some(BigInt(arr).toString)
+      // string bounds are UTF-8 (Appendix D); spec-truncated bounds stay
+      // VALID bounds, which pruning tolerates. Same 64-byte cap as the
+      // footer collector.
+      case "STRING" | "VARCHAR" | "CHAR" if b.remaining <= 64 =>
+        val arr = new Array[Byte](b.remaining); b.get(arr)
+        Some(new String(arr, java.nio.charset.StandardCharsets.UTF_8))
       case _ => None
     } catch { case _: NumberFormatException => None }
   }

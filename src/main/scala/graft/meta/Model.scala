@@ -89,9 +89,12 @@ final case class FileEntry(
     equalityFieldIds: Seq[Int] = Nil,
     partitionValues: Map[String, String] = Map.empty,
     deletes: Seq[String] = Nil,
-    /** per-column numeric zone maps (min, max), decimal-string encoded —
-      * collected from parquet footers at write time; used for manifest-
-      * level file skipping on range predicates. */
+    /** per-column zone maps (min, max) collected from parquet footers at
+      * write time — numeric columns as decimal strings (footer encoding:
+      * DATE days, TIMESTAMP micros, short DECIMAL unscaled), string
+      * columns as the bound strings themselves (parquet UTF8 statistics
+      * order = unsigned-byte = UTF8String order; values over 64 bytes are
+      * not recorded). Used for manifest-level file skipping. */
     columnStats: Map[String, (String, String)] = Map.empty,
     /** per-column null counts from the parquet footer — only columns whose
       * count every row group states. Feeds Iceberg export's

@@ -73,4 +73,21 @@ class FooterReadSpec extends AnyFunSuite {
     assert(entries.map(_.partitionValues("o_orderstatus")).toSet == Set("O", "F", "P"))
     assert(entries.map(_.recordCount).sum == src.count())
   }
+
+  test("footer collector records string zone maps (<=64 bytes) alongside numeric") {
+    val dir = Files.createTempDirectory("footer-str").toString
+    import spark.implicits._
+    val long = "x" * 100
+    Seq((1L, "delta", long), (2L, "alpha", long), (3L, "kappa", long))
+      .toDF("id", "domain", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val f = graft.meta.MetaIO.listFilesRecursive(dir).map(_._1).find(_.endsWith(".parquet")).get
+    val info = SparkExecutor.parquetFooterInfo(conf, f)
+    assert(info.stats("id") == ("1", "3"))
+    assert(info.stats("domain") == ("alpha", "kappa"),
+      s"string zone map missing/wrong: ${info.stats.get("domain")}")
+    assert(!info.stats.contains("text"), "values over 64 bytes must not be recorded")
+    assert(info.nullCounts.get("domain").contains(0L))
+  }
 }

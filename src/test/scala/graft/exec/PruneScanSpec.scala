@@ -201,6 +201,37 @@ class PruneScanSpec extends AnyFunSuite {
       Seq("2024-01-15"))
   }
 
+  test("string zone maps prune data-column predicates across sorted appends") {
+    val cat = freshCatalog()
+    // three appends with disjoint DOMAIN ranges on a plain string column
+    // (not a partition column — this is the zone-map path)
+    val batches = Seq(
+      ('a' to 'h').map(c => (c.toString * 3, 1L)),
+      ('i' to 'p').map(c => (c.toString * 3, 2L)),
+      ('q' to 'z').map(c => (c.toString * 3, 3L)))
+    IceWrite.create(spark, cat, "sz", batches.head.toDF("domain", "v"))
+    batches.tail.foreach(b => IceWrite.append(spark, cat, "sz", b.toDF("domain", "v")))
+
+    val eq = IceRead.table(spark, cat, "sz").filter(col("domain") === "kkk")
+    val (t1, k1) = pruneCounts(eq)
+    assert(t1 >= 3 && k1 < t1, s"string equality did not prune ($k1 of $t1)")
+    assert(eq.count() == 1)
+
+    val pre = IceRead.table(spark, cat, "sz").filter(col("domain").startsWith("qq"))
+    val (t2, k2) = pruneCounts(pre)
+    assert(k2 < t2, s"prefix did not prune ($k2 of $t2)")
+    assert(pre.count() == 1)
+
+    val like = IceRead.table(spark, cat, "sz").filter(col("domain") < "ccc")
+    val (t3, k3) = pruneCounts(like)
+    assert(k3 < t3)
+    assert(like.count() == 2) // aaa, bbb
+
+    val none = IceRead.table(spark, cat, "sz").filter(col("domain") === "0zero")
+    val (_, k4) = pruneCounts(none)
+    assert(k4 == 0 && none.count() == 0)
+  }
+
   test("time travel keeps pruning and snapshot isolation") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "tt", (1L to 50L).map(i => (i, i)).toDF("id", "v"))

@@ -177,6 +177,41 @@ class ZonePruneSpec extends AnyFunSuite {
     assert(elapsedMs < 1000.0, s"listFiles took ${elapsedMs}ms for 100k entries")
   }
 
+  test("string zone maps prune comparisons, In, and prefix predicates") {
+    def s(v: String) = Literal(UTF8String.fromString(v), StringType)
+    val f = entry(stats = Map("grp" -> ("carrot", "melon")))
+    assert(!may(EqualTo(attr("grp"), s("apple")), f))
+    assert(!may(EqualTo(attr("grp"), s("zebra")), f))
+    assert(may(EqualTo(attr("grp"), s("carrot")), f)) // inclusive bounds
+    assert(may(EqualTo(attr("grp"), s("melon")), f))
+    assert(may(EqualTo(attr("grp"), s("grape")), f))
+    // ranges, both orientations
+    assert(!may(GreaterThan(attr("grp"), s("melon")), f))   // grp > 'melon'
+    assert(may(GreaterThanOrEqual(attr("grp"), s("melon")), f))
+    assert(!may(LessThan(attr("grp"), s("carrot")), f))
+    assert(may(LessThan(s("carrot"), attr("grp")), f))      // 'carrot' < grp
+    assert(!may(GreaterThan(s("carrot"), attr("grp")), f))  // 'carrot' > grp
+    // In
+    assert(!may(In(attr("grp"), Seq(s("apple"), s("zzz"))), f))
+    assert(may(In(attr("grp"), Seq(s("apple"), s("fig"))), f))
+    // prefix: interval [p, increment(p)) vs [min, max]
+    assert(may(StartsWith(attr("grp"), s("car")), f))
+    assert(may(StartsWith(attr("grp"), s("mel")), f))
+    assert(!may(StartsWith(attr("grp"), s("app")), f))  // before min
+    assert(!may(StartsWith(attr("grp"), s("zzz")), f))  // after max
+    assert(may(StartsWith(attr("grp"), s("")), f))      // empty prefix: everything
+    // missing stats keep
+    assert(may(StartsWith(attr("grp"), s("zzz")), entry()))
+  }
+
+  test("incrementBytes carries over 0xFF and returns None at the top") {
+    def u(s: String) = UTF8String.fromString(s)
+    assert(ZonePrune.incrementBytes(u("ab")).contains(u("ac")))
+    val ff = UTF8String.fromBytes(Array[Byte]('a'.toByte, 0xFF.toByte))
+    assert(ZonePrune.incrementBytes(ff).contains(u("b")))
+    assert(ZonePrune.incrementBytes(UTF8String.fromBytes(Array[Byte](0xFF.toByte))).isEmpty)
+  }
+
   test("partitionGroups gates: safe types, current spec, decodable values only") {
     import org.apache.spark.sql.catalyst.InternalRow
     def pg(files: Seq[FileEntry], idCols: Set[String]) =
