@@ -52,12 +52,11 @@ import graft.meta.FileEntry
 final class GraftFileIndex(
     entries: Seq[FileEntry],
     schema: StructType,
-    /** columns whose per-file [[FileEntry.partitionValues]] entry is the
-      * exact column value for every row — identity-transform partition
-      * columns of the CURRENT spec. Only consulted for `specId == 0`
-      * files (historical/imported specs may bind other transforms to the
-      * same name). */
-    identityCols: Set[String] = Set.empty,
+    /** the table's CURRENT partition spec: identity fields give exact
+      * per-file constants, bucket fields prune equality predicates via
+      * the transform, both only for `specId == 0` files (historical/
+      * imported specs may bind other transforms to the same name). */
+    spec: Seq[graft.meta.PartitionField] = Nil,
     /** PARTITION-SCHEMA mode ([[GraftScan.partitionGroups]]): identity
       * partition columns served as real Spark partition columns — values
       * decoded once from the manifest, files grouped per tuple. Spark then
@@ -69,6 +68,9 @@ final class GraftFileIndex(
 
   /** last listFiles outcome, for specs/plan audits: (total, kept). */
   @volatile var lastPrune: (Int, Int) = (entries.size, entries.size)
+
+  private val identityCols: Set[String] = spec.filter(_.isIdentity).map(_.column).toSet
+  private val bucketFields: Seq[graft.meta.PartitionField] = spec.filter(_.isBucket)
 
   /** Manifest row count of the indexed files (footer record counts
     * collected at write) — the metadata-only `count(*)` answer for a
@@ -146,7 +148,7 @@ final class GraftFileIndex(
     val zone = SQLConf.get.sessionLocalTimeZone
     def zoneKept(es: Seq[FileEntry], filters: Seq[Expression]): Seq[FileEntry] =
       if (filters.isEmpty) es
-      else es.filter(e => filters.forall(f => ZonePrune.mayMatch(f, e, schema, identityCols, zone)))
+      else es.filter(e => filters.forall(f => ZonePrune.mayMatch(f, e, schema, identityCols, zone, bucketFields)))
     val dirs = partitioned match {
       case None =>
         // flat mode: every filter (Spark saw no partition columns, so all
@@ -185,7 +187,7 @@ object GraftScan {
     * field-id-scoped clone for id-addressed reads), but the file listing
     * consults zone maps instead of keeping everything. */
   def relation(spark: SparkSession, files: Seq[FileEntry], schema: StructType,
-      identityCols: Set[String] = Set.empty): DataFrame = {
+      spec: Seq[graft.meta.PartitionField] = Nil): DataFrame = {
     // file-source schemas are ALWAYS nullable (DataFrameReader.schema does
     // the same): a parquet file may hold nulls regardless of what the
     // table schema declares, and a non-nullable read schema makes the
@@ -193,6 +195,7 @@ object GraftScan {
     // isnotnull(c) to true
     val readSchema = asNullable(schema)
     val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val identityCols = spec.filter(_.isIdentity).map(_.column).toSet
     val (idx, partSchema, dataSchema) = partitionGroups(files, readSchema, identityCols, zone) match {
       case Some((pFields, groups)) =>
         // partition-schema mode: identity partition columns become real
@@ -200,10 +203,10 @@ object GraftScan {
         // the scan, never read from parquet) -> Spark-native static
         // pruning AND dynamic partition pruning on joins
         val ds = StructType(readSchema.fields.filterNot(f => pFields.exists(_.name == f.name)))
-        (new GraftFileIndex(files, readSchema, identityCols, Some((pFields, groups))),
+        (new GraftFileIndex(files, readSchema, spec, Some((pFields, groups))),
           StructType(pFields), ds)
       case None =>
-        (new GraftFileIndex(files, readSchema, identityCols), new StructType(), readSchema)
+        (new GraftFileIndex(files, readSchema, spec), new StructType(), readSchema)
     }
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat(), Map.empty)(spark)
@@ -395,25 +398,31 @@ object MetadataOnlyCount extends org.apache.spark.sql.catalyst.rules.Rule[
 object ZonePrune {
 
   /** True when file `f` MAY contain a row satisfying `e` (false = provably
-    * none — safe to skip the file). */
+    * none — safe to skip the file). `bucketFields` are the current spec's
+    * bucket transforms: equality predicates on their source columns prune
+    * by recomputing the transform on the literal. */
   def mayMatch(e: Expression, f: FileEntry, schema: StructType,
-      identityCols: Set[String], sessionZone: String): Boolean = {
+      identityCols: Set[String], sessionZone: String,
+      bucketFields: Seq[graft.meta.PartitionField] = Nil): Boolean = {
     // exact arm first: a deterministic predicate over identity-partition
     // constants evaluates to one answer for EVERY row of the file —
     // handles arbitrary shapes (LIKE, startsWith, functions) that zone
     // logic can't
     constEval(e, f, schema, identityCols, sessionZone) match {
       case Some(b) => b
-      case None => structural(e, f, schema, identityCols, sessionZone)
+      case None => structural(e, f, schema, identityCols, sessionZone, bucketFields)
     }
   }
 
   private def structural(e: Expression, f: FileEntry, schema: StructType,
-      identityCols: Set[String], zone: String): Boolean = e match {
+      identityCols: Set[String], zone: String,
+      bucketFields: Seq[graft.meta.PartitionField]): Boolean = e match {
     case And(l, r) =>
-      mayMatch(l, f, schema, identityCols, zone) && mayMatch(r, f, schema, identityCols, zone)
+      mayMatch(l, f, schema, identityCols, zone, bucketFields) &&
+        mayMatch(r, f, schema, identityCols, zone, bucketFields)
     case Or(l, r) =>
-      mayMatch(l, f, schema, identityCols, zone) || mayMatch(r, f, schema, identityCols, zone)
+      mayMatch(l, f, schema, identityCols, zone, bucketFields) ||
+        mayMatch(r, f, schema, identityCols, zone, bucketFields)
 
     case IsNull(a: AttributeReference) =>
       // no-nulls file can't satisfy IS NULL; missing count keeps
@@ -423,8 +432,10 @@ object ZonePrune {
       !(f.recordCount > 0L && f.nullCounts.get(a.name).contains(f.recordCount))
 
     case cmp: BinaryComparison => (cmp.left, cmp.right) match {
-      case (a: AttributeReference, l: Literal) => zoneCompare(cmp, a, l, f, flipped = false)
-      case (l: Literal, a: AttributeReference) => zoneCompare(cmp, a, l, f, flipped = true)
+      case (a: AttributeReference, l: Literal) =>
+        zoneCompare(cmp, a, l, f, flipped = false) && bucketCompare(cmp, a, l, f, bucketFields)
+      case (l: Literal, a: AttributeReference) =>
+        zoneCompare(cmp, a, l, f, flipped = true) && bucketCompare(cmp, a, l, f, bucketFields)
       case _ => true
     }
 
@@ -438,11 +449,17 @@ object ZonePrune {
       }
 
     case In(a: AttributeReference, elems) if elems.forall(_.isInstanceOf[Literal]) =>
-      elems.isEmpty || elems.exists(l =>
-        zoneCompare(EqualTo(a, l), a, l.asInstanceOf[Literal], f, flipped = false))
+      elems.isEmpty || elems.exists { e =>
+        val l = e.asInstanceOf[Literal]
+        val eq = EqualTo(a, l)
+        zoneCompare(eq, a, l, f, flipped = false) && bucketCompare(eq, a, l, f, bucketFields)
+      }
     case InSet(a: AttributeReference, hset) =>
-      hset.isEmpty || hset.exists(v =>
-        zoneCompare(EqualTo(a, Literal(v, a.dataType)), a, Literal(v, a.dataType), f, flipped = false))
+      hset.isEmpty || hset.exists { v =>
+        val l = Literal(v, a.dataType)
+        val eq = EqualTo(a, l)
+        zoneCompare(eq, a, l, f, flipped = false) && bucketCompare(eq, a, l, f, bucketFields)
+      }
 
     case _ => true // unknown shape: keep
   }
@@ -488,6 +505,35 @@ object ZonePrune {
             case _ => true
           }
         }
+    }
+  }
+
+  /** Bucket-transform pruning: for an EQUALITY on a bucket-partitioned
+    * source column, recompute the transform on the literal with the SAME
+    * expression the writer used ([[graft.functions.IcebergBucket]] /
+    * Spark murmur3 pmod) and keep the file only when its stored bucket
+    * ordinal matches. Zone maps are useless on bucketed columns (every
+    * bucket spans the full value range) — this is the point-lookup path
+    * on bucketed tables. Non-equality comparisons, historical-spec files,
+    * eval failures: keep. */
+  private def bucketCompare(cmp: BinaryComparison, a: AttributeReference, l: Literal,
+      f: FileEntry, bucketFields: Seq[graft.meta.PartitionField]): Boolean = {
+    val isEq = cmp.isInstanceOf[EqualTo] || cmp.isInstanceOf[EqualNullSafe]
+    if (!isEq || l.value == null || f.specId != 0 || bucketFields.isEmpty) return true
+    bucketFields.find(_.column == a.name) match {
+      case None => true
+      case Some(p) => f.partitionValues.get(p.column) match {
+        case None => true
+        case Some(stored) =>
+          val expr: Option[Expression] =
+            p.bucketN.map(n => graft.functions.IcebergBucket(l, n))
+              .orElse(p.sparkBucketN.map(n =>
+                Pmod(new Murmur3Hash(Seq(l)), Literal(n))))
+          try expr.flatMap(e => Option(e.eval(InternalRow.empty))) match {
+            case Some(b) => stored == b.toString
+            case None => true
+          } catch { case _: Exception => true }
+      }
     }
   }
 

@@ -106,11 +106,12 @@ object Mor {
     * Typed reads are backed by [[GraftFileIndex]], so any filter Catalyst
     * pushes to the scan — from `f`, from SQL, from frames composed on
     * top — skips files by manifest zone maps / null counts / identity-
-    * partition values before tasks launch. `identityCols` names the
-    * current spec's identity-partition columns (enables exact pruning on
-    * string partition predicates; empty = zone maps only). */
+    * partition values before tasks launch. `pruneSpec` is the table's
+    * CURRENT partition spec (identity fields give exact per-file
+    * constants, bucket fields prune equality predicates; empty = zone
+    * maps only). */
   def readDataWith(spark: SparkSession, files: Seq[FileEntry],
-      typed: Option[StructType], identityCols: Set[String] = Set.empty)(
+      typed: Option[StructType], pruneSpec: Seq[graft.meta.PartitionField] = Nil)(
       f: DataFrame => DataFrame): DataFrame = {
     require(files.nonEmpty, "readDataWith: empty file list")
     def strippedIds(st: StructType): StructType = StructType(st.fields.map { fd =>
@@ -124,10 +125,10 @@ object Mor {
         val (byName, byId) = files.partition(_.nameMatched)
         Seq(
           if (byId.nonEmpty)
-            Some(GraftScan.relation(fieldIdSession(spark), byId, st, identityCols))
+            Some(GraftScan.relation(fieldIdSession(spark), byId, st, pruneSpec))
           else None,
           if (byName.nonEmpty)
-            Some(GraftScan.relation(spark, byName, strippedIds(st), identityCols))
+            Some(GraftScan.relation(spark, byName, strippedIds(st), pruneSpec))
           else None).flatten
     }
     frames.map(f).reduce(_ unionByName _)
@@ -263,10 +264,10 @@ object Mor {
         * when the file carries one, else the inherited
         * `firstRowId + row position`. Requires a typed schema. */
       keepRowIds: Boolean = false,
-      /** identity-partition column names of the table's CURRENT spec —
-        * lets [[GraftFileIndex]] prune files by exact partition-value
-        * predicate evaluation (zone maps alone are numeric-only). */
-      identityCols: Set[String] = Set.empty
+      /** the table's CURRENT partition spec — lets [[GraftFileIndex]]
+        * prune by exact identity-partition values and bucket-transform
+        * equality, beyond the zone maps. */
+      pruneSpec: Seq[graft.meta.PartitionField] = Nil
   ): DataFrame = {
     require(group.dataFiles.nonEmpty, "empty file group")
     val typed: Option[StructType] =
@@ -291,7 +292,7 @@ object Mor {
       r.parquet(files.map(_.path): _*)
     }
     def readDataSelect(files: Seq[FileEntry], cols: Seq[Column]): DataFrame =
-      readDataWith(spark, files, dataTyped, identityCols)(_.select(cols: _*))
+      readDataWith(spark, files, dataTyped, pruneSpec)(_.select(cols: _*))
     // with a typed schema, the authoritative eq key is the field-id list;
     // resolve to CURRENT names so the join condition survives renames
     def resolveEq(f: FileEntry): FileEntry =

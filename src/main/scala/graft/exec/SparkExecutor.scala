@@ -266,7 +266,7 @@ object SparkExecutor extends CompactionExecutor {
         keepRowIds = req.preserveRowIds,
         // lets rowTransform filters (COW deleteWhere/update discovery)
         // prune files by identity partition values at plan time
-        identityCols = req.partitionSpec.filter(_.isIdentity).map(_.column).toSet))
+        pruneSpec = req.partitionSpec))
     // re-stamp field ids explicitly: the MOR frame's id metadata is
     // stripped on the name-matched branch (add_files-imported inputs), and
     // a union drops it when such files dominate — rewritten files must

@@ -180,13 +180,12 @@ object IceRead {
           .sortBy { case ((sid, pv), _) => (sid, pv.toSeq.sorted.mkString(",")) }
           .map(_._2)
       else Seq(tasks)
-    // identity-partition columns of the CURRENT spec: the file index can
-    // evaluate predicates over them exactly (string partitions included)
-    val identityCols = meta.partitionSpec.filter(_.isIdentity).map(_.column).toSet
+    // the CURRENT spec rides into the file index: identity fields give
+    // exact per-file constants, bucket fields prune equality predicates
     taskGroups.map { ts =>
       val group = FileGroup.fromDataFiles(ts, byPath.get)
       Mor.dataFrame(spark, group, meta.schemaColumns, meta.formatVersion, meta.schema,
-        keepHidden = keepHidden, keepRowIds = keepRowIds, identityCols = identityCols)
+        keepHidden = keepHidden, keepRowIds = keepRowIds, pruneSpec = meta.partitionSpec)
     }.reduce(_ unionAll _)
   }
 

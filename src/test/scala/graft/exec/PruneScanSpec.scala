@@ -232,6 +232,25 @@ class PruneScanSpec extends AnyFunSuite {
     assert(k4 == 0 && none.count() == 0)
   }
 
+  test("bucket-partitioned point lookups prune to one bucket's files") {
+    val cat = freshCatalog()
+    val rows = (1L to 400L).map(i => (i, s"name$i")).toDF("id", "name")
+    IceWrite.create(spark, cat, "bk", rows,
+      partitionSpec = Seq(PartitionField("id", "bucket[8]")))
+    val q = IceRead.table(spark, cat, "bk").filter(col("id") === 123L)
+    val (total, kept) = pruneCounts(q)
+    // zone maps can't help (every bucket spans the id range): the bucket
+    // transform must do the pruning
+    assert(total >= 8 && kept * 4 <= total, s"bucket pruning did not engage ($kept of $total)")
+    assert(q.count() == 1)
+    // a value that exists nowhere still maps to exactly one bucket
+    val none = IceRead.table(spark, cat, "bk").filter(col("id") === 100000L)
+    val (_, k2) = pruneCounts(none)
+    assert(k2 * 4 <= total && none.count() == 0)
+    // range predicates on the bucketed column fall back to a full scan
+    assert(IceRead.table(spark, cat, "bk").filter(col("id") > 390L).count() == 10)
+  }
+
   test("time travel keeps pruning and snapshot isolation") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "tt", (1L to 50L).map(i => (i, i)).toDF("id", "v"))

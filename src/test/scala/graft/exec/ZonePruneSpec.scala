@@ -163,7 +163,7 @@ class ZonePruneSpec extends AnyFunSuite {
         columnStats = Map("id" -> ((i * 100L).toString, (i * 100L + 99L).toString)),
         nullCounts = Map("id" -> 0L))
     }
-    val idx = new GraftFileIndex(entries, schema, Set("grp"))
+    val idx = new GraftFileIndex(entries, schema, Seq(graft.meta.PartitionField("grp")))
     val pred = And(
       EqualTo(attr("grp"), Literal(UTF8String.fromString("g7"), StringType)),
       And(GreaterThanOrEqual(attr("id"), Literal(500000L)),
@@ -175,6 +175,41 @@ class ZonePruneSpec extends AnyFunSuite {
     // ids 500000..799999 live in files 5000..7999; grp g7 = every 50th
     assert(kept == 60, s"expected 60 files, kept $kept")
     assert(elapsedMs < 1000.0, s"listFiles took ${elapsedMs}ms for 100k entries")
+  }
+
+  test("bucket transforms prune equality and In on the source column") {
+    import graft.meta.PartitionField
+    val n = 8
+    val spec = Seq(PartitionField("id", s"bucket[$n]"))
+    def bucketOf(v: Long): Int =
+      graft.functions.IcebergBucket(Literal(v), n)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]
+    val v = 42L
+    val fIn = entry(parts = Map("id" -> bucketOf(v).toString))
+    val fOut = entry(parts = Map("id" -> ((bucketOf(v) + 1) % n).toString))
+    def mayB(e: Expression, f: FileEntry): Boolean =
+      ZonePrune.mayMatch(e, f, schema, Set.empty, UTC, spec)
+    assert(mayB(EqualTo(attr("id"), Literal(v)), fIn))
+    assert(!mayB(EqualTo(attr("id"), Literal(v)), fOut))
+    assert(mayB(EqualTo(Literal(v), attr("id")), fIn))
+    assert(!mayB(EqualTo(Literal(v), attr("id")), fOut))
+    // In keeps a file iff ANY element lands in its bucket
+    assert(!mayB(In(attr("id"), Seq(Literal(v))), fOut))
+    val other = (1L to 50L).find(x => bucketOf(x) == ((bucketOf(v) + 1) % n)).get
+    assert(mayB(In(attr("id"), Seq(Literal(v), Literal(other))), fOut))
+    // range predicates never bucket-prune; historical specs keep
+    assert(mayB(GreaterThan(attr("id"), Literal(v)), fOut))
+    assert(mayB(EqualTo(attr("id"), Literal(v)), fOut.copy(specId = 3)))
+    // sparkbucket variant prunes with Spark's murmur3 pmod
+    val sspec = Seq(PartitionField("id", s"sparkbucket[$n]"))
+    val sb = Pmod(new Murmur3Hash(Seq(Literal(v))), Literal(n))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]
+    val sIn = entry(parts = Map("id" -> sb.toString))
+    val sOut = entry(parts = Map("id" -> ((sb + 1) % n).toString))
+    def mayS(e: Expression, f: FileEntry): Boolean =
+      ZonePrune.mayMatch(e, f, schema, Set.empty, UTC, sspec)
+    assert(mayS(EqualTo(attr("id"), Literal(v)), sIn))
+    assert(!mayS(EqualTo(attr("id"), Literal(v)), sOut))
   }
 
   test("string zone maps prune comparisons, In, and prefix predicates") {
