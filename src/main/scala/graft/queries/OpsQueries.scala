@@ -1577,6 +1577,52 @@ object OpsQueries {
       q
     }),
 
+    // DYNAMIC PARTITION PRUNING as an oracle-checked query: customer
+    // lands in a graft table identity-partitioned by c_nationkey (the
+    // file index serves it as a real Spark partition column), nation is
+    // the filtered dim of a star join keyed on it. Spark must insert a
+    // DPP subquery (runtime file pruning through the reused broadcast)
+    // and the scan must touch only the surviving nations' files — both
+    // proven by in-query requires; the oracle replays the join
+    // relationally. This is THE fact-dim shape at 100 TB: the dim filter
+    // decides which fact partitions exist in the plan at runtime.
+    "q_dpp_star" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog, PartitionField}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-dpp-wh").toString)
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      IceWrite.create(s, catalog, "t_q_dpp", cust,
+        partitionSpec = Seq(PartitionField("c_nationkey")))
+      val dim = tbl(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        .select(col("n_nationkey"), col("n_name"))
+      val q = IceRead.table(s, catalog, "t_q_dpp")
+        .join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+        "no dynamic-partition-pruning subquery in the star-join plan:\n" + plan)
+      def scanInfo(p: org.apache.spark.sql.execution.SparkPlan): Seq[(Long, Int)] =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanInfo(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => scanInfo(qs.plan)
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec
+              if sc.relation.location.isInstanceOf[graft.exec.GraftFileIndex] =>
+            Seq((sc.metrics.get("numFiles").map(_.value).getOrElse(0L),
+              sc.relation.location.asInstanceOf[graft.exec.GraftFileIndex].lastPrune._1))
+        }.flatten ++ p.subqueries.flatMap(scanInfo)
+      val (scanned, total) = scanInfo(q.queryExecution.executedPlan)
+        .foldLeft((0L, 0)) { case ((s0, t0), (s1, t1)) => (s0 + s1, t0 + t1) }
+      require(total >= 10 && scanned * 2 <= total,
+        s"DPP did not reduce scanned files ($scanned of $total)")
+      q
+    }),
+
     // COPY-ON-WRITE row-level semantics as an oracle-checked query:
     // create from supplier, MOR-tombstone every 7th key, COW-UPDATE
     // every 3rd (affected files rewritten THROUGH the MOR view —
@@ -3477,6 +3523,14 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
 
     "q_meta_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM supplier",
+
+    "q_dpp_star" ->
+      """SELECT n_name,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_7')
+        |GROUP BY 1""".stripMargin,
 
     "q_cow_update" ->
       """SELECT s_suppkey,
