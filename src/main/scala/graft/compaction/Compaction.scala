@@ -147,6 +147,7 @@ final class Compaction(
       outputDir = Paths.get(table.location, "data").toString,
       targetFileSizeBytes = targetFileSizeBytes,
       partitionSpec = table.partitionSpec,
+      statsRetired = table.statsRetiredNames,
       sortOrder = table.sortOrder,
       formatVersion = table.formatVersion,
       tableSchema = table.schema,

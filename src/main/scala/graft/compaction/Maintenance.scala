@@ -308,7 +308,8 @@ object Maintenance {
       .map { case (_, fs) => graft.selection.FileGroup.fromDataFiles(fs, byPath.get) }
 
     val killed = groups.map { g =>
-      val raw = Mor.readDataWith(spark, g.dataFiles, meta0.typedStruct)(
+      val raw = Mor.readDataWith(spark, g.dataFiles, meta0.typedStruct,
+        meta0.partitionSpec, meta0.statsRetiredNames)(
         _.select(Mor.normalizePath(col("_metadata.file_path")).as("file_path"),
           col("_metadata.row_index").as("pos")))
       val live = Mor.dataFrame(spark, g, meta0.schemaColumns,

@@ -101,7 +101,8 @@ object RowRewrite {
     // metadata-column projection. A file whose only matching rows are
     // already tombstoned still qualifies — it is rewritten identically
     // (wasted work, never wrong).
-    val affectedPaths = Mor.readDataWith(spark, tasks, meta.typedStruct)(
+    val affectedPaths = Mor.readDataWith(spark, tasks, meta.typedStruct,
+        meta.partitionSpec, meta.statsRetiredNames)(
         _.filter(condition)
           .select(Mor.normalizePath(col("_metadata.file_path")).as("p")))
       .distinct().collect().map(_.getString(0)).toSet
@@ -123,6 +124,7 @@ object RowRewrite {
         outputDir = Paths.get(meta.location, "data").toString,
         targetFileSizeBytes = Defaults.TargetFileSize,
         partitionSpec = meta.partitionSpec,
+        statsRetired = meta.statsRetiredNames,
         sortOrder = meta.sortOrder,
         formatVersion = meta.formatVersion,
         tableSchema = meta.schema,

@@ -63,7 +63,12 @@ final class GraftFileIndex(
       * does its own static partition pruning, runs DYNAMIC partition
       * pruning on joins against these columns, and never reads their
       * bytes from parquet. None = flat mode (all columns in dataSchema). */
-    partitioned: Option[(Seq[StructField], Seq[(InternalRow, Seq[FileEntry])])] = None
+    partitioned: Option[(Seq[StructField], Seq[(InternalRow, Seq[FileEntry])])] = None,
+    /** column names whose manifest statistics are RETIRED (renamed-away /
+      * dropped names that a later addColumn may reuse for a different
+      * field — [[graft.meta.TableMetadata.statsRetiredNames]]): zone maps,
+      * null counts, and metadata aggregates must not consult them. */
+    statsRetired: Set[String] = Set.empty
 ) extends FileIndex {
 
   /** last listFiles outcome, for specs/plan audits: (total, kept). */
@@ -80,6 +85,7 @@ final class GraftFileIndex(
   /** Metadata-only `count(col)`: record count minus null count, answerable
     * only when EVERY file states the column's null count. */
   def countNonNull(col: String): Option[Long] = {
+    if (statsRetired.contains(col)) return None
     val per = entries.map(e => e.nullCounts.get(col).map(n => e.recordCount - n))
     if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
   }
@@ -91,6 +97,7 @@ final class GraftFileIndex(
     * reconstruct exactly (floats: NaN poisons footer ordering). */
   def boundOf(col: String, dt: org.apache.spark.sql.types.DataType,
       isMin: Boolean): Option[Any] = {
+    if (statsRetired.contains(col)) return None
     import org.apache.spark.sql.types._
     val reconstruct: BigDecimal => Option[Any] = dt match {
       case ByteType => v => Some(v.toByteExact)
@@ -148,7 +155,7 @@ final class GraftFileIndex(
     val zone = SQLConf.get.sessionLocalTimeZone
     def zoneKept(es: Seq[FileEntry], filters: Seq[Expression]): Seq[FileEntry] =
       if (filters.isEmpty) es
-      else es.filter(e => filters.forall(f => ZonePrune.mayMatch(f, e, schema, identityCols, zone, bucketFields)))
+      else es.filter(e => filters.forall(f => ZonePrune.mayMatch(f, e, schema, identityCols, zone, bucketFields, statsRetired)))
     val dirs = partitioned match {
       case None =>
         // flat mode: every filter (Spark saw no partition columns, so all
@@ -187,14 +194,30 @@ object GraftScan {
     * field-id-scoped clone for id-addressed reads), but the file listing
     * consults zone maps instead of keeping everything. */
   def relation(spark: SparkSession, files: Seq[FileEntry], schema: StructType,
-      spec: Seq[graft.meta.PartitionField] = Nil): DataFrame = {
+      spec: Seq[graft.meta.PartitionField] = Nil,
+      statsRetired: Set[String] = Set.empty): DataFrame = {
     // file-source schemas are ALWAYS nullable (DataFrameReader.schema does
     // the same): a parquet file may hold nulls regardless of what the
     // table schema declares, and a non-nullable read schema makes the
     // vectorized reader fabricate zeros and lets the optimizer fold
     // isnotnull(c) to true
     val readSchema = asNullable(schema)
-    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    // parquet's row-group/page filter pushdown matches columns BY NAME
+    // while projection matches BY FIELD ID: when a retired name is REUSED
+    // by the current schema, a pushed predicate would evaluate against
+    // the OLD physical column of historical files and silently drop row
+    // groups whose projected (new-field) values match. Disable pushdown
+    // for such relations — the Filter node above the scan still applies
+    // exactly; only row-group skipping inside those files is lost.
+    val reusedRetired = statsRetired.intersect(schema.fieldNames.toSet)
+    val session =
+      if (reusedRetired.isEmpty) spark
+      else {
+        val s2 = org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(spark)
+        s2.conf.set("spark.sql.parquet.filterPushdown", "false")
+        s2
+      }
+    val zone = session.sessionState.conf.sessionLocalTimeZone
     val identityCols = spec.filter(_.isIdentity).map(_.column).toSet
     val (idx, partSchema, dataSchema) = partitionGroups(files, readSchema, identityCols, zone) match {
       case Some((pFields, groups)) =>
@@ -203,28 +226,27 @@ object GraftScan {
         // the scan, never read from parquet) -> Spark-native static
         // pruning AND dynamic partition pruning on joins
         val ds = StructType(readSchema.fields.filterNot(f => pFields.exists(_.name == f.name)))
-        (new GraftFileIndex(files, readSchema, spec, Some((pFields, groups))),
+        (new GraftFileIndex(files, readSchema, spec, Some((pFields, groups)), statsRetired),
           StructType(pFields), ds)
       case None =>
-        (new GraftFileIndex(files, readSchema, spec), new StructType(), readSchema)
+        (new GraftFileIndex(files, readSchema, spec, None, statsRetired), new StructType(), readSchema)
     }
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
-      new ParquetFileFormat(), Map.empty)(spark)
+      new ParquetFileFormat(), Map.empty)(session)
     // NOTE in partition mode the relation's column ORDER differs (Spark
     // appends partition columns last); every consumer goes through
     // readDataWith and projects by NAME, and cross-branch unions are
     // unionByName — no positional access exists on the raw relation
-    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, LogicalRelation(rel))
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, LogicalRelation(rel))
   }
 
   /** Partition-column types whose directory-string round trip is exact —
     * the gate for serving a column from manifest values instead of
-    * parquet bytes. Floats/doubles (formatting) and timestamps (zone
-    * rendering) stay in the data path. */
-  private def safePartitionType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-    case StringType | ByteType | ShortType | IntegerType | LongType | DateType | BooleanType => true
-    case _ => false
-  }
+    * parquet bytes, AND for const-evaluating predicates over identity
+    * partition values ([[ZonePrune.dirExactType]]). Floats/doubles
+    * (formatting) and timestamps (zone rendering) stay in the data path. */
+  private def safePartitionType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    ZonePrune.dirExactType(dt)
 
   /** The partition-schema mode plan: Some((fields, groups)) when EVERY
     * identity partition column has a safe type and EVERY file is
@@ -403,46 +425,51 @@ object ZonePrune {
     * by recomputing the transform on the literal. */
   def mayMatch(e: Expression, f: FileEntry, schema: StructType,
       identityCols: Set[String], sessionZone: String,
-      bucketFields: Seq[graft.meta.PartitionField] = Nil): Boolean = {
+      bucketFields: Seq[graft.meta.PartitionField] = Nil,
+      statsRetired: Set[String] = Set.empty): Boolean = {
     // exact arm first: a deterministic predicate over identity-partition
     // constants evaluates to one answer for EVERY row of the file —
     // handles arbitrary shapes (LIKE, startsWith, functions) that zone
     // logic can't
     constEval(e, f, schema, identityCols, sessionZone) match {
       case Some(b) => b
-      case None => structural(e, f, schema, identityCols, sessionZone, bucketFields)
+      case None => structural(e, f, schema, identityCols, sessionZone, bucketFields, statsRetired)
     }
   }
 
   private def structural(e: Expression, f: FileEntry, schema: StructType,
       identityCols: Set[String], zone: String,
-      bucketFields: Seq[graft.meta.PartitionField]): Boolean = e match {
+      bucketFields: Seq[graft.meta.PartitionField],
+      retired: Set[String]): Boolean = e match {
     case And(l, r) =>
-      mayMatch(l, f, schema, identityCols, zone, bucketFields) &&
-        mayMatch(r, f, schema, identityCols, zone, bucketFields)
+      mayMatch(l, f, schema, identityCols, zone, bucketFields, retired) &&
+        mayMatch(r, f, schema, identityCols, zone, bucketFields, retired)
     case Or(l, r) =>
-      mayMatch(l, f, schema, identityCols, zone, bucketFields) ||
-        mayMatch(r, f, schema, identityCols, zone, bucketFields)
+      mayMatch(l, f, schema, identityCols, zone, bucketFields, retired) ||
+        mayMatch(r, f, schema, identityCols, zone, bucketFields, retired)
 
     case IsNull(a: AttributeReference) =>
-      // no-nulls file can't satisfy IS NULL; missing count keeps
-      f.nullCounts.get(a.name).forall(_ > 0L)
+      // no-nulls file can't satisfy IS NULL; missing/retired count keeps
+      retired.contains(a.name) || f.nullCounts.get(a.name).forall(_ > 0L)
     case IsNotNull(a: AttributeReference) =>
       // all-null column (count == rows) can't satisfy IS NOT NULL
-      !(f.recordCount > 0L && f.nullCounts.get(a.name).contains(f.recordCount))
+      retired.contains(a.name) ||
+        !(f.recordCount > 0L && f.nullCounts.get(a.name).contains(f.recordCount))
 
     case cmp: BinaryComparison => (cmp.left, cmp.right) match {
       case (a: AttributeReference, l: Literal) =>
-        zoneCompare(cmp, a, l, f, flipped = false) && bucketCompare(cmp, a, l, f, bucketFields)
+        (retired.contains(a.name) || zoneCompare(cmp, a, l, f, flipped = false)) &&
+          bucketCompare(cmp, a, l, f, bucketFields)
       case (l: Literal, a: AttributeReference) =>
-        zoneCompare(cmp, a, l, f, flipped = true) && bucketCompare(cmp, a, l, f, bucketFields)
+        (retired.contains(a.name) || zoneCompare(cmp, a, l, f, flipped = true)) &&
+          bucketCompare(cmp, a, l, f, bucketFields)
       case _ => true
     }
 
     // prefix predicates (LIKE 'p%'): strings with prefix p form the byte
     // interval [p, increment(p)) — prune when the string zone map misses it
     case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType)) if p != null =>
-      stringZone(f, a.name) match {
+      (if (retired.contains(a.name)) None else stringZone(f, a.name)) match {
         case Some((lo, hi)) =>
           hi.compareTo(p) >= 0 && incrementBytes(p).forall(up => lo.compareTo(up) < 0)
         case None => true
@@ -452,13 +479,15 @@ object ZonePrune {
       elems.isEmpty || elems.exists { e =>
         val l = e.asInstanceOf[Literal]
         val eq = EqualTo(a, l)
-        zoneCompare(eq, a, l, f, flipped = false) && bucketCompare(eq, a, l, f, bucketFields)
+        (retired.contains(a.name) || zoneCompare(eq, a, l, f, flipped = false)) &&
+          bucketCompare(eq, a, l, f, bucketFields)
       }
     case InSet(a: AttributeReference, hset) =>
       hset.isEmpty || hset.exists { v =>
         val l = Literal(v, a.dataType)
         val eq = EqualTo(a, l)
-        zoneCompare(eq, a, l, f, flipped = false) && bucketCompare(eq, a, l, f, bucketFields)
+        (retired.contains(a.name) || zoneCompare(eq, a, l, f, flipped = false)) &&
+          bucketCompare(eq, a, l, f, bucketFields)
       }
 
     case _ => true // unknown shape: keep
@@ -589,6 +618,17 @@ object ZonePrune {
     case _ => None
   }
 
+  /** Types whose partition-directory string round trip is EXACT in any
+    * session: strings verbatim, integers canonical, dates zone-free.
+    * Floats (formatting) and timestamps (the dir string renders in the
+    * WRITER's session zone; a reader in another zone would decode a
+    * shifted instant and prune wrongly) are NOT exact — excluded from
+    * both const-evaluation and partition-schema mode. */
+  private[exec] def dirExactType(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType | DateType | BooleanType => true
+    case _ => false
+  }
+
   /** Exact evaluation over identity-partition constants: if every
     * reference of `e` is a constant column for this file, substitute and
     * evaluate. Some(false) = no row matches; None = not decidable here. */
@@ -599,7 +639,7 @@ object ZonePrune {
     if (refs.isEmpty || !refs.forall(n => identityCols.contains(n) && f.partitionValues.contains(n)))
       return None
     val consts: Map[String, Literal] = refs.distinct.flatMap { n =>
-      schema.fields.find(_.name == n).flatMap(fd =>
+      schema.fields.find(_.name == n).filter(fd => dirExactType(fd.dataType)).flatMap(fd =>
         constLit(f.partitionValues(n), fd.dataType, zone).map(n -> _))
     }.toMap
     if (!refs.forall(consts.contains)) return None
@@ -612,8 +652,20 @@ object ZonePrune {
   }
 
   /** Partition-directory string -> typed literal via TRY cast (null on
-    * any parse failure -> undecidable). */
-  private[exec] def constLit(value: String, dt: DataType, zone: String): Option[Literal] = dt match {
+    * any parse failure -> undecidable). Memoized: tables have few distinct
+    * partition values but 10^6s of files, and a Cast construction +
+    * evaluation per (file x conjunct) at plan time is pure waste. The memo
+    * is cleared past a bound so runaway-cardinality strings can't grow it
+    * unboundedly. */
+  private val constLitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, DataType, String), Option[Literal]]()
+  private[exec] def constLit(value: String, dt: DataType, zone: String): Option[Literal] = {
+    if (constLitMemo.size > 65536) constLitMemo.clear()
+    constLitMemo.computeIfAbsent((value, dt, zone),
+      _ => constLitUncached(value, dt, zone))
+  }
+
+  private def constLitUncached(value: String, dt: DataType, zone: String): Option[Literal] = dt match {
     case StringType => Some(Literal(UTF8String.fromString(value), StringType))
     case _ =>
       try {

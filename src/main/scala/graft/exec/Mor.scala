@@ -111,7 +111,8 @@ object Mor {
     * constants, bucket fields prune equality predicates; empty = zone
     * maps only). */
   def readDataWith(spark: SparkSession, files: Seq[FileEntry],
-      typed: Option[StructType], pruneSpec: Seq[graft.meta.PartitionField] = Nil)(
+      typed: Option[StructType], pruneSpec: Seq[graft.meta.PartitionField] = Nil,
+      statsRetired: Set[String] = Set.empty)(
       f: DataFrame => DataFrame): DataFrame = {
     require(files.nonEmpty, "readDataWith: empty file list")
     def strippedIds(st: StructType): StructType = StructType(st.fields.map { fd =>
@@ -125,10 +126,10 @@ object Mor {
         val (byName, byId) = files.partition(_.nameMatched)
         Seq(
           if (byId.nonEmpty)
-            Some(GraftScan.relation(fieldIdSession(spark), byId, st, pruneSpec))
+            Some(GraftScan.relation(fieldIdSession(spark), byId, st, pruneSpec, statsRetired))
           else None,
           if (byName.nonEmpty)
-            Some(GraftScan.relation(spark, byName, strippedIds(st), pruneSpec))
+            Some(GraftScan.relation(spark, byName, strippedIds(st), pruneSpec, statsRetired))
           else None).flatten
     }
     frames.map(f).reduce(_ unionByName _)
@@ -267,7 +268,9 @@ object Mor {
       /** the table's CURRENT partition spec — lets [[GraftFileIndex]]
         * prune by exact identity-partition values and bucket-transform
         * equality, beyond the zone maps. */
-      pruneSpec: Seq[graft.meta.PartitionField] = Nil
+      pruneSpec: Seq[graft.meta.PartitionField] = Nil,
+      /** retired stats names ([[graft.meta.TableMetadata.statsRetiredNames]]). */
+      statsRetired: Set[String] = Set.empty
   ): DataFrame = {
     require(group.dataFiles.nonEmpty, "empty file group")
     val typed: Option[StructType] =
@@ -292,7 +295,7 @@ object Mor {
       r.parquet(files.map(_.path): _*)
     }
     def readDataSelect(files: Seq[FileEntry], cols: Seq[Column]): DataFrame =
-      readDataWith(spark, files, dataTyped, pruneSpec)(_.select(cols: _*))
+      readDataWith(spark, files, dataTyped, pruneSpec, statsRetired)(_.select(cols: _*))
     // with a typed schema, the authoritative eq key is the field-id list;
     // resolve to CURRENT names so the join condition survives renames
     def resolveEq(f: FileEntry): FileEntry =

@@ -84,7 +84,10 @@ final case class RewriteRequest(
       * not re-identify rows. Set by Compaction on v3 tables. */
     preserveRowIds: Boolean = false,
     /** parquet writer tunables for the rewritten files. */
-    parquet: ParquetWriteConfig = ParquetWriteConfig()
+    parquet: ParquetWriteConfig = ParquetWriteConfig(),
+    /** retired stats names ([[graft.meta.TableMetadata.statsRetiredNames]]):
+      * pruning/zorder domains must not consult them. */
+    statsRetired: Set[String] = Set.empty
 )
 
 final case class RewriteStats(
@@ -266,7 +269,7 @@ object SparkExecutor extends CompactionExecutor {
         keepRowIds = req.preserveRowIds,
         // lets rowTransform filters (COW deleteWhere/update discovery)
         // prune files by identity partition values at plan time
-        pruneSpec = req.partitionSpec))
+        pruneSpec = req.partitionSpec, statsRetired = req.statsRetired))
     // re-stamp field ids explicitly: the MOR frame's id metadata is
     // stripped on the name-matched branch (add_files-imported inputs), and
     // a union drops it when such files dominate — rewritten files must
@@ -311,7 +314,7 @@ object SparkExecutor extends CompactionExecutor {
       req.sortOrder.flatMap(s => SparkExecutor.multiColsOf(s.column)).flatten.distinct
         .flatMap { c =>
           val perFile = g.dataFiles.map(_.columnStats.get(c))
-          if (perFile.nonEmpty && perFile.forall(_.isDefined)) {
+          if (!req.statsRetired.contains(c) && perFile.nonEmpty && perFile.forall(_.isDefined)) {
             // STRING zone maps don't parse: fall to the agg-pass path
             scala.util.Try {
               val mins = perFile.flatten.map(v => BigDecimal(v._1))
@@ -450,9 +453,17 @@ object SparkExecutor extends CompactionExecutor {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = r.getFooter.getBlocks.asScala
-      val acc = scala.collection.mutable.Map.empty[String, (BigDecimal, BigDecimal)]
+      // zone-map accumulators: None = POISONED for this file. One row
+      // group whose stats exist but are unrepresentable (NaN doubles,
+      // >64-byte or non-UTF-8 string bounds) must invalidate the COLUMN's
+      // file-level zone map — merging only the representable row groups
+      // would record bounds narrower than the file's true range, and a
+      // too-narrow bound turns plan-time file skipping into silent row
+      // loss. (A row group with no non-null values contributes nothing
+      // and poisons nothing: null rows violate no bound.)
+      val acc = scala.collection.mutable.Map.empty[String, Option[(BigDecimal, BigDecimal)]]
       // string zone maps, merged in parquet's unsigned-byte order
-      val sacc = scala.collection.mutable.Map.empty[String, (String, String)]
+      val sacc = scala.collection.mutable.Map.empty[String, Option[(String, String)]]
       // null counts: Some(total) while every row group states the count
       // for the column; one unset row group invalidates it (None) —
       // a partial sum would understate nulls and mislead readers
@@ -465,10 +476,16 @@ object SparkExecutor extends CompactionExecutor {
           .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
       // parquet's Statistics[_ <: Comparable[_]] is an existential type
       import scala.language.existentials
-      for (b <- blocks; c <- b.getColumns.asScala) {
+      for (b <- blocks; c <- b.getColumns.asScala; if c.getPath.size() == 1) {
         val st = c.getStatistics
-        if (st != null && c.getPath.size() == 1) {
-          val name = c.getPath.toDotString
+        val name = c.getPath.toDotString
+        if (st == null) {
+          // a row group with NO statistics object: values unknowable —
+          // poison everything for this column (a partial merge of the
+          // OTHER row groups would record bounds/null counts that lie
+          // about this one's rows)
+          nulls.update(name, None); acc.update(name, None); sacc.update(name, None)
+        } else {
           nulls.updateWith(name) {
             case Some(None) => Some(None)
             case prev =>
@@ -476,47 +493,64 @@ object SparkExecutor extends CompactionExecutor {
                 Some(Some(prev.flatten.getOrElse(0L) + st.getNumNulls))
               else Some(None)
           }
-          if (st.hasNonNullValue) {
-            val mm: Option[(BigDecimal, BigDecimal)] = (st.genericGetMin, st.genericGetMax) match {
-              case (mn: java.lang.Number, mx: java.lang.Number) =>
-                // NaN / infinite double stats are not representable: skip
-                scala.util.Try((BigDecimal(mn.toString), BigDecimal(mx.toString))).toOption
-              case _ => None // non-string binary/bool/nested: no zone map
-            }
-            mm.foreach { case (mn, mx) =>
+          if (!st.hasNonNullValue) {
+            // min/max omitted: legitimate ONLY when the row group is
+            // provably all-null. parquet-mr also omits double/float stats
+            // when a NaN was observed — such a row group HAS values the
+            // recorded bounds would not cover, so poison the column.
+            val allNull = st.isNumNullsSet && st.getNumNulls == b.getRowCount
+            if (!allNull) { acc.update(name, None); sacc.update(name, None) }
+          } else (st.genericGetMin, st.genericGetMax) match {
+            case (mn: java.lang.Number, mx: java.lang.Number) =>
+              // NaN / infinite double stats are not representable: POISON
+              // the column (a partial merge would understate the range)
+              val parsed = scala.util.Try(
+                (BigDecimal(mn.toString), BigDecimal(mx.toString))).toOption
               acc.updateWith(name) {
-                case Some((lo, hi)) => Some((lo.min(mn), hi.max(mx)))
-                case None           => Some((mn, mx))
+                case Some(None) => Some(None)
+                case prev => parsed match {
+                  case None => Some(None)
+                  case Some((pmn, pmx)) => Some(Some(prev.flatten match {
+                    case Some((lo, hi)) => (lo.min(pmn), hi.max(pmx))
+                    case None => (pmn, pmx)
+                  }))
+                }
               }
-            }
             // STRING zone maps: parquet UTF8 statistics order is unsigned
             // byte-lexicographic — exactly UTF8String's comparison, so the
-            // recorded bounds prune string predicates. Values above 64
-            // bytes are skipped (bounds on long text are useless and
-            // bloat manifests); even writer-truncated statistics remain
-            // VALID bounds (parquet's BinaryTruncator increments the max
-            // prefix), which pruning tolerates — exact-answer consumers
-            // (metadata min/max) never read string stats.
-            if (mm.isEmpty && isUtf8(c)) (st.genericGetMin, st.genericGetMax) match {
-              case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary)
-                  if mn.length <= 64 && mx.length <= 64 =>
-                scala.util.Try((mn.toStringUsingUTF8, mx.toStringUsingUTF8)).foreach {
-                  case (mnS, mxS) =>
-                    sacc.updateWith(name) {
-                      case Some((lo, hi)) => Some((
-                        if (utf8Lt(mnS, lo)) mnS else lo,
-                        if (utf8Lt(hi, mxS)) mxS else hi))
-                      case None => Some((mnS, mxS))
-                    }
+            // recorded bounds prune string predicates. A row group whose
+            // bounds exceed 64 bytes (or fail UTF-8 decode) poisons the
+            // column for this file — bounds on long text are useless, and
+            // a partial merge would be WRONG, not just useless. Even
+            // writer-truncated statistics remain VALID bounds (parquet's
+            // BinaryTruncator increments the max prefix), which pruning
+            // tolerates — exact-answer consumers (metadata min/max) never
+            // read string stats.
+            case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary)
+                if isUtf8(c) =>
+              val decoded =
+                if (mn.length <= 64 && mx.length <= 64)
+                  scala.util.Try((mn.toStringUsingUTF8, mx.toStringUsingUTF8)).toOption
+                else None
+              sacc.updateWith(name) {
+                case Some(None) => Some(None)
+                case prev => decoded match {
+                  case None => Some(None)
+                  case Some((mnS, mxS)) => Some(Some(prev.flatten match {
+                    case Some((lo, hi)) => (
+                      if (utf8Lt(mnS, lo)) mnS else lo,
+                      if (utf8Lt(hi, mxS)) mxS else hi)
+                    case None => (mnS, mxS)
+                  }))
                 }
-              case _ => ()
-            }
+              }
+            case _ => () // bool/nested/non-utf8 binary: no zone map at all
           }
         }
       }
       FooterInfo(r.getRecordCount,
-        acc.map { case (k, (mn, mx)) => k -> (mn.toString, mx.toString) }.toMap ++
-          sacc.toMap, // disjoint keys: a column is numeric or string, never both
+        acc.collect { case (k, Some((mn, mx))) => k -> (mn.toString, mx.toString) }.toMap ++
+          sacc.collect { case (k, Some(b)) => k -> b }.toMap, // disjoint keys
         nulls.collect { case (k, Some(n)) => k -> n }.toMap)
     } finally r.close()
   }

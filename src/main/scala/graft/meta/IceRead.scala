@@ -117,7 +117,12 @@ object IceRead {
     val meta = catalog.loadTable(name)
     val snap = resolveSnapshot(meta, name, branch)
     import org.apache.spark.sql.functions.col
-    ofSnapshot(spark, meta, snap, _.mayContainRange(colName, lo, hi))
+    // retired stats names (renamed-away/dropped then possibly reused):
+    // the recorded bounds may describe ANOTHER field — keep every file
+    val keep: FileEntry => Boolean =
+      if (meta.statsRetiredNames.contains(colName)) _ => true
+      else _.mayContainRange(colName, lo, hi)
+    ofSnapshot(spark, meta, snap, keep)
       .filter(col(colName) >= lo.toDouble && col(colName) <= hi.toDouble)
   }
 
@@ -185,7 +190,8 @@ object IceRead {
     taskGroups.map { ts =>
       val group = FileGroup.fromDataFiles(ts, byPath.get)
       Mor.dataFrame(spark, group, meta.schemaColumns, meta.formatVersion, meta.schema,
-        keepHidden = keepHidden, keepRowIds = keepRowIds, pruneSpec = meta.partitionSpec)
+        keepHidden = keepHidden, keepRowIds = keepRowIds, pruneSpec = meta.partitionSpec,
+        statsRetired = meta.statsRetiredNames)
     }.reduce(_ unionAll _)
   }
 

@@ -721,7 +721,8 @@ object IceWrite {
     val dataFiles = snap.manifest.filter(_.content == FileContent.Data)
     require(dataFiles.nonEmpty, s"table $name has no data files")
     // per-file addressing (field-id vs imported name-matched) via readDataWith
-    val positions = graft.exec.Mor.readDataWith(spark, dataFiles, meta.typedStruct)(
+    val positions = graft.exec.Mor.readDataWith(spark, dataFiles, meta.typedStruct,
+      meta.partitionSpec, meta.statsRetiredNames)(
       _.withColumn("__fp", graft.exec.Mor.normalizePath(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
         .filter(condition)
@@ -809,7 +810,8 @@ object IceWrite {
       .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
     val dataFiles = snap0.manifest.filter(_.content == FileContent.Data)
     require(dataFiles.nonEmpty, s"table $name has no data files")
-    val positions = graft.exec.Mor.readDataWith(spark, dataFiles, meta0.typedStruct)(
+    val positions = graft.exec.Mor.readDataWith(spark, dataFiles, meta0.typedStruct,
+      meta0.partitionSpec, meta0.statsRetiredNames)(
       _.withColumn("__fp", graft.exec.Mor.normalizePath(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
         .filter(condition)

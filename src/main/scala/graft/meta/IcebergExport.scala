@@ -551,19 +551,27 @@ object IcebergExport {
             df.put("lower_bounds", null)
             df.put("upper_bounds", null)
           } else {
+            // RETIRED names (renamed-away/dropped, possibly reused by a
+            // later column with a new field id): their recorded stats may
+            // describe another field — exporting them would hand external
+            // readers wrong bounds. Omit (spec-optional).
+            val retired = meta.statsRetiredNames
             val resolved = f.columnStats.toSeq.flatMap { case (n, (mn, mx)) =>
-              meta.fieldByName(n).map(fs => (fs.id, fs.dataType, mn, mx))
+              if (retired.contains(n)) None
+              else meta.fieldByName(n).map(fs => (fs.id, fs.dataType, mn, mx))
             }.sortBy(_._1)
             // a top-level column holds exactly one value per row (nulls
             // included per spec), so value_count == record_count for every
             // column the footer observed
             val observed = (f.columnStats.keySet ++ f.nullCounts.keySet).toSeq
+              .filterNot(retired.contains)
               .flatMap(n => meta.fieldByName(n).map(_.id)).distinct.sorted
             df.put("value_counts", kvArray("value_counts",
               observed.map(id => id -> (java.lang.Long.valueOf(f.recordCount): AnyRef))))
             df.put("null_value_counts", kvArray("null_value_counts",
               f.nullCounts.toSeq.flatMap { case (n, c) =>
-                meta.fieldByName(n).map(fs => fs.id -> (java.lang.Long.valueOf(c): AnyRef))
+                if (retired.contains(n)) None
+                else meta.fieldByName(n).map(fs => fs.id -> (java.lang.Long.valueOf(c): AnyRef))
               }.sortBy(_._1)))
             df.put("lower_bounds", kvArray("lower_bounds",
               resolved.flatMap { case (id, dt, mn, _) =>

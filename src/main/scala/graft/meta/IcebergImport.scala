@@ -69,8 +69,10 @@ object IcebergImport {
         Some(BigInt(arr).toString)
       // string bounds are UTF-8 (Appendix D); spec-truncated bounds stay
       // VALID bounds, which pruning tolerates. Same 64-byte cap as the
-      // footer collector.
-      case "STRING" | "VARCHAR" | "CHAR" if b.remaining <= 64 =>
+      // footer collector; startsWith matches VARCHAR(n)/CHAR(n) like the
+      // export side does.
+      case s if (s == "STRING" || s.startsWith("VARCHAR") || s.startsWith("CHAR")) &&
+          b.remaining <= 64 =>
         val arr = new Array[Byte](b.remaining); b.get(arr)
         Some(new String(arr, java.nio.charset.StandardCharsets.UTF_8))
       case _ => None

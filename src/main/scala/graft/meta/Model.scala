@@ -306,6 +306,26 @@ final case class TableMetadata(
       copy(historicalSpecs = historicalSpecs.filter { case (k, _) => referenced(k) })
     }
 
+  /** Column names whose manifest statistics must NOT be trusted: a name
+    * that was ever renamed away or dropped may be REUSED by a later
+    * addColumn with a fresh field id, while historical files still carry
+    * columnStats/nullCounts recorded under that name for the OLD field —
+    * consulting them for the new column would prune files or answer
+    * aggregates from another column's data. Maintained by
+    * [[SchemaEvolution.renameColumn]]/[[SchemaEvolution.dropColumn]] in a
+    * reserved table property; every stats consumer (file skipping,
+    * metadata aggregates, range pruning, stats export) skips these names.
+    * Partition columns never enter (rename/drop of them is rejected). */
+  def statsRetiredNames: Set[String] =
+    properties.get(TableMetadata.StatsRetiredKey)
+      .map(_.split('\u001F').iterator.filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** [[statsRetiredNames]] plus `names`, property-encoded. */
+  def withStatsRetired(names: Iterable[String]): Map[String, String] =
+    properties.updated(TableMetadata.StatsRetiredKey,
+      (statsRetiredNames ++ names).toSeq.sorted.mkString("\u001F"))
+
   /** Current column names, in schema order. */
   def schemaColumns: Seq[String] = schema.map(_.name)
   def fieldById(id: Int): Option[SchemaField] = schema.find(_.id == id)
@@ -361,6 +381,10 @@ final case class TableMetadata(
 }
 
 object TableMetadata {
+  /** Reserved table property holding the retired stats names
+    * (unit-separator-joined; see [[TableMetadata.statsRetiredNames]]). */
+  val StatsRetiredKey = "graft.stats.retired-names"
+
   /** Summary keys auto-computed per snapshot; never copied forward when
     * preserving custom snapshot properties (mod.rs:1187-1224). */
   val ReservedSummaryKeys: Set[String] = Set(

@@ -39,7 +39,11 @@ object SchemaEvolution {
           "to field-id addressing")
       meta.copy(
         schema = meta.schema.map(f => if (f.id == field.id) f.copy(name = to) else f),
-        sortOrder = meta.sortOrder.map(s => if (s.column == from) s.copy(column = to) else s))
+        sortOrder = meta.sortOrder.map(s => if (s.column == from) s.copy(column = to) else s),
+        // historical files keep columnStats/nullCounts keyed by the OLD
+        // name; if a later addColumn reuses it, those stats would describe
+        // another field — retire the name from every stats consumer
+        properties = meta.withStatsRetired(Seq(from)))
     }
 
   /** Adds a nullable column with a fresh field id (never reused — a dropped
@@ -117,7 +121,10 @@ object SchemaEvolution {
         s"cannot drop equality-delete key column $name")
       meta.copy(
         schema = meta.schema.filterNot(_.id == field.id),
-        lastColumnId = math.max(meta.lastColumnId, field.id))
+        lastColumnId = math.max(meta.lastColumnId, field.id),
+        // same hazard as rename: a re-added column with this name must not
+        // inherit the dropped field's manifest statistics
+        properties = meta.withStatsRetired(Seq(name)))
     }
 
   /** Replaces the partition spec (metadata-only). Existing files keep

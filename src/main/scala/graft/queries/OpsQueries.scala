@@ -1565,13 +1565,16 @@ object OpsQueries {
       val q = IceRead.table(s, catalog, "t_q_mcount")
         .agg(count(lit(1)).as("n_rows"))
       q.collect()
+      // collect-ALL traversal incl. subqueries: a collectFirst would stop
+      // at the first stage wrapper and could pass vacuously with a scan
+      // hiding in a sibling stage
       def scans(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-        p.collectFirst {
+        (p.collect {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
             scans(a.executedPlan)
           case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(qs.plan)
           case _: org.apache.spark.sql.execution.FileSourceScanExec => true
-        }.getOrElse(false)
+        } ++ p.subqueries.map(scans)).contains(true)
       require(!scans(q.queryExecution.executedPlan),
         "metadata-only count ran a scan:\n" + q.queryExecution.executedPlan)
       q
