@@ -137,8 +137,10 @@ object RowRewrite {
         rowTransform = transform)
       val res = SparkExecutor.rewriteFiles(spark, req)
       if (countPreserving) {
+        // metadataAggregates=false: the in==out guard must re-scan the
+        // inputs, not fold manifest recordCounts (see Validator)
         val in = Mor.dataFrame(spark, g, meta.schemaColumns,
-          meta.formatVersion, meta.schema).count()
+          meta.formatVersion, meta.schema, metadataAggregates = false).count()
         val out = res.addedFiles.map(_.recordCount).sum
         require(in == out,
           s"COW update changed the row count ($in -> $out) — refusing to commit")

@@ -23,7 +23,13 @@ object Validator {
       formatVersion: Int,
       tableSchema: Seq[SchemaField] = Nil
   ): Unit = {
-    val inputRows = Mor.dataFrame(spark, inputGroup, schemaColumns, formatVersion, tableSchema).count()
+    // metadataAggregates=false: the input count must come from an actual
+    // scan — answering it from manifest recordCounts would compare
+    // recorded statistics against output counts instead of independently
+    // re-reading the data, which is the invariant this validator exists
+    // to enforce
+    val inputRows = Mor.dataFrame(spark, inputGroup, schemaColumns, formatVersion, tableSchema,
+      metadataAggregates = false).count()
     val outputRows =
       if (outputFiles.isEmpty) 0L
       else spark.read.parquet(outputFiles.map(_.path): _*).count()

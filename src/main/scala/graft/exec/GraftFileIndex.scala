@@ -68,7 +68,12 @@ final class GraftFileIndex(
       * dropped names that a later addColumn may reuse for a different
       * field — [[graft.meta.TableMetadata.statsRetiredNames]]): zone maps,
       * null counts, and metadata aggregates must not consult them. */
-    statsRetired: Set[String] = Set.empty
+    statsRetired: Set[String] = Set.empty,
+    /** false = aggregates over this scan must never be answered from
+      * manifest statistics ([[MetadataOnlyCount]] skips it). Validation
+      * counts set this: comparing manifest recordCounts against output
+      * counts would make the rows-preserved invariant circular. */
+    val metadataAggregates: Boolean = true
 ) extends FileIndex {
 
   /** last listFiles outcome, for specs/plan audits: (total, kept). */
@@ -195,7 +200,8 @@ object GraftScan {
     * consults zone maps instead of keeping everything. */
   def relation(spark: SparkSession, files: Seq[FileEntry], schema: StructType,
       spec: Seq[graft.meta.PartitionField] = Nil,
-      statsRetired: Set[String] = Set.empty): DataFrame = {
+      statsRetired: Set[String] = Set.empty,
+      metadataAggregates: Boolean = true): DataFrame = {
     // file-source schemas are ALWAYS nullable (DataFrameReader.schema does
     // the same): a parquet file may hold nulls regardless of what the
     // table schema declares, and a non-nullable read schema makes the
@@ -226,10 +232,11 @@ object GraftScan {
         // the scan, never read from parquet) -> Spark-native static
         // pruning AND dynamic partition pruning on joins
         val ds = StructType(readSchema.fields.filterNot(f => pFields.exists(_.name == f.name)))
-        (new GraftFileIndex(files, readSchema, spec, Some((pFields, groups)), statsRetired),
-          StructType(pFields), ds)
+        (new GraftFileIndex(files, readSchema, spec, Some((pFields, groups)), statsRetired,
+          metadataAggregates), StructType(pFields), ds)
       case None =>
-        (new GraftFileIndex(files, readSchema, spec, None, statsRetired), new StructType(), readSchema)
+        (new GraftFileIndex(files, readSchema, spec, None, statsRetired, metadataAggregates),
+          new StructType(), readSchema)
     }
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat(), Map.empty)(session)
@@ -355,7 +362,7 @@ object MetadataOnlyCount extends org.apache.spark.sql.catalyst.rules.Rule[
         case (acc, c) => for { xs <- acc; ys <- leafIndexes(c) } yield xs ++ ys
       }
     case LogicalRelationWithTable(rel: HadoopFsRelation, _) => rel.location match {
-      case idx: GraftFileIndex => Some(Seq(idx))
+      case idx: GraftFileIndex if idx.metadataAggregates => Some(Seq(idx))
       case _ => None
     }
     case _ => None

@@ -112,7 +112,8 @@ object Mor {
     * maps only). */
   def readDataWith(spark: SparkSession, files: Seq[FileEntry],
       typed: Option[StructType], pruneSpec: Seq[graft.meta.PartitionField] = Nil,
-      statsRetired: Set[String] = Set.empty)(
+      statsRetired: Set[String] = Set.empty,
+      metadataAggregates: Boolean = true)(
       f: DataFrame => DataFrame): DataFrame = {
     require(files.nonEmpty, "readDataWith: empty file list")
     def strippedIds(st: StructType): StructType = StructType(st.fields.map { fd =>
@@ -126,10 +127,12 @@ object Mor {
         val (byName, byId) = files.partition(_.nameMatched)
         Seq(
           if (byId.nonEmpty)
-            Some(GraftScan.relation(fieldIdSession(spark), byId, st, pruneSpec, statsRetired))
+            Some(GraftScan.relation(fieldIdSession(spark), byId, st, pruneSpec, statsRetired,
+              metadataAggregates))
           else None,
           if (byName.nonEmpty)
-            Some(GraftScan.relation(spark, byName, strippedIds(st), pruneSpec, statsRetired))
+            Some(GraftScan.relation(spark, byName, strippedIds(st), pruneSpec, statsRetired,
+              metadataAggregates))
           else None).flatten
     }
     frames.map(f).reduce(_ unionByName _)
@@ -270,7 +273,11 @@ object Mor {
         * equality, beyond the zone maps. */
       pruneSpec: Seq[graft.meta.PartitionField] = Nil,
       /** retired stats names ([[graft.meta.TableMetadata.statsRetiredNames]]). */
-      statsRetired: Set[String] = Set.empty
+      statsRetired: Set[String] = Set.empty,
+      /** false = this frame's aggregates must come from a real scan, never
+        * from manifest statistics (validation counts — see
+        * [[GraftFileIndex.metadataAggregates]]). */
+      metadataAggregates: Boolean = true
   ): DataFrame = {
     require(group.dataFiles.nonEmpty, "empty file group")
     val typed: Option[StructType] =
@@ -295,7 +302,8 @@ object Mor {
       r.parquet(files.map(_.path): _*)
     }
     def readDataSelect(files: Seq[FileEntry], cols: Seq[Column]): DataFrame =
-      readDataWith(spark, files, dataTyped, pruneSpec, statsRetired)(_.select(cols: _*))
+      readDataWith(spark, files, dataTyped, pruneSpec, statsRetired,
+        metadataAggregates)(_.select(cols: _*))
     // with a typed schema, the authoritative eq key is the field-id list;
     // resolve to CURRENT names so the join condition survives renames
     def resolveEq(f: FileEntry): FileEntry =

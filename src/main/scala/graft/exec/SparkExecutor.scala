@@ -528,9 +528,21 @@ object SparkExecutor extends CompactionExecutor {
             // read string stats.
             case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary)
                 if isUtf8(c) =>
+              // STRICT decode: Binary.toStringUsingUTF8 substitutes U+FFFD
+              // for malformed bytes instead of throwing, and U+FFFD
+              // (EF BF BD) can sort ABOVE the true byte-truncated min —
+              // recording a min larger than reality enables wrong skips.
+              // A bound that is not valid UTF-8 (e.g. a foreign writer
+              // byte-truncated mid-codepoint) poisons the column instead.
+              def strict(b: org.apache.parquet.io.api.Binary): Option[String] = {
+                val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+                  .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+                  .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+                scala.util.Try(dec.decode(b.toByteBuffer).toString).toOption
+              }
               val decoded =
                 if (mn.length <= 64 && mx.length <= 64)
-                  scala.util.Try((mn.toStringUsingUTF8, mx.toStringUsingUTF8)).toOption
+                  for { a <- strict(mn); b <- strict(mx) } yield (a, b)
                 else None
               sacc.updateWith(name) {
                 case Some(None) => Some(None)

@@ -159,8 +159,13 @@ object Changelog {
             p.partitionValues.isEmpty || p.partitionValues == d.partitionValues).map(_.path))
         }
         val byPath = addedPos.map(f => f.path -> f).toMap
+        // pruneSpec/statsRetired must ride along like every other typed
+        // read: after a rename/drop + name reuse, the OLD field's
+        // name-keyed zone maps / null counts must not prune (or push
+        // parquet filters for) the NEW field of the same name
         Some(Mor.dataFrame(spark, FileGroup.fromDataFiles(tasks, byPath.get),
-          cols, meta.formatVersion, meta.schema, keepRowIds = withRowIds))
+          cols, meta.formatVersion, meta.schema, keepRowIds = withRowIds,
+          pruneSpec = meta.partitionSpec, statsRetired = meta.statsRetiredNames))
       }
 
     // ---- deletes: parent-live rows this snapshot kills. A parent with

@@ -118,9 +118,25 @@ object IceRead {
     val snap = resolveSnapshot(meta, name, branch)
     import org.apache.spark.sql.functions.col
     // retired stats names (renamed-away/dropped then possibly reused):
-    // the recorded bounds may describe ANOTHER field — keep every file
+    // the recorded bounds may describe ANOTHER field — keep every file.
+    // STRING columns must also never range-prune here: their recorded
+    // bounds are LEXICOGRAPHIC min/max, so a numeric-looking bounds pair
+    // like ("10","9") (values {"9","10"}) would wrongly drop a file
+    // containing "10" for the numeric range [10,10] — silent row loss
+    // (the residual filter casts numerically, the manifest compares as
+    // text). An UNTYPED table cannot prove its column non-string, so it
+    // never manifest-prunes either; the residual filter keeps the result
+    // exact.
+    val provablyNumeric = meta.fieldByName(colName).exists(f =>
+      f.isTyped && (f.sparkType match {
+        case _: org.apache.spark.sql.types.StringType => false
+        case _: org.apache.spark.sql.types.CharType => false
+        case _: org.apache.spark.sql.types.VarcharType => false
+        case _: org.apache.spark.sql.types.BinaryType => false
+        case _ => true
+      }))
     val keep: FileEntry => Boolean =
-      if (meta.statsRetiredNames.contains(colName)) _ => true
+      if (meta.statsRetiredNames.contains(colName) || !provablyNumeric) _ => true
       else _.mayContainRange(colName, lo, hi)
     ofSnapshot(spark, meta, snap, keep)
       .filter(col(colName) >= lo.toDouble && col(colName) <= hi.toDouble)
