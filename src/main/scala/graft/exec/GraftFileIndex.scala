@@ -80,7 +80,10 @@ final class GraftFileIndex(
   @volatile var lastPrune: (Int, Int) = (entries.size, entries.size)
 
   private val identityCols: Set[String] = spec.filter(_.isIdentity).map(_.column).toSet
-  private val bucketFields: Seq[graft.meta.PartitionField] = spec.filter(_.isBucket)
+  // bucket (equality-only) AND truncate (order-preserving, range-capable)
+  // transform fields — both prune through the same mayMatch seam
+  private val bucketFields: Seq[graft.meta.PartitionField] =
+    spec.filter(p => p.isBucket || p.isTruncate)
 
   /** Manifest row count of the indexed files (footer record counts
     * collected at write) — the metadata-only `count(*)` answer for a
@@ -466,35 +469,39 @@ object ZonePrune {
     case cmp: BinaryComparison => (cmp.left, cmp.right) match {
       case (a: AttributeReference, l: Literal) =>
         (retired.contains(a.name) || zoneCompare(cmp, a, l, f, flipped = false)) &&
-          bucketCompare(cmp, a, l, f, bucketFields)
+          bucketCompare(cmp, a, l, f, bucketFields) &&
+          truncCompare(cmp, a, l, f, bucketFields, flipped = false)
       case (l: Literal, a: AttributeReference) =>
         (retired.contains(a.name) || zoneCompare(cmp, a, l, f, flipped = true)) &&
-          bucketCompare(cmp, a, l, f, bucketFields)
+          bucketCompare(cmp, a, l, f, bucketFields) &&
+          truncCompare(cmp, a, l, f, bucketFields, flipped = true)
       case _ => true
     }
 
     // prefix predicates (LIKE 'p%'): strings with prefix p form the byte
     // interval [p, increment(p)) — prune when the string zone map misses it
     case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType)) if p != null =>
-      (if (retired.contains(a.name)) None else stringZone(f, a.name)) match {
+      ((if (retired.contains(a.name)) None else stringZone(f, a.name)) match {
         case Some((lo, hi)) =>
           hi.compareTo(p) >= 0 && incrementBytes(p).forall(up => lo.compareTo(up) < 0)
         case None => true
-      }
+      }) && truncPrefixMatch(a.name, p, f, bucketFields)
 
     case In(a: AttributeReference, elems) if elems.forall(_.isInstanceOf[Literal]) =>
       elems.isEmpty || elems.exists { e =>
         val l = e.asInstanceOf[Literal]
         val eq = EqualTo(a, l)
         (retired.contains(a.name) || zoneCompare(eq, a, l, f, flipped = false)) &&
-          bucketCompare(eq, a, l, f, bucketFields)
+          bucketCompare(eq, a, l, f, bucketFields) &&
+          truncCompare(eq, a, l, f, bucketFields, flipped = false)
       }
     case InSet(a: AttributeReference, hset) =>
       hset.isEmpty || hset.exists { v =>
         val l = Literal(v, a.dataType)
         val eq = EqualTo(a, l)
         (retired.contains(a.name) || zoneCompare(eq, a, l, f, flipped = false)) &&
-          bucketCompare(eq, a, l, f, bucketFields)
+          bucketCompare(eq, a, l, f, bucketFields) &&
+          truncCompare(eq, a, l, f, bucketFields, flipped = false)
       }
 
     case _ => true // unknown shape: keep
@@ -569,6 +576,112 @@ object ZonePrune {
             case Some(b) => stored == b.toString
             case None => true
           } catch { case _: Exception => true }
+      }
+    }
+  }
+
+  /** Truncate-transform pruning: a truncate[W] partition value T is an
+    * ORDER-PRESERVING summary of the file's rows for the source column —
+    * every row value lies in the interval [T, T + W·ulp) for numerics,
+    * in the byte-prefix interval of T for full-width strings, or equals
+    * T exactly for strings shorter than W code points. Unlike bucket
+    * ordinals this supports RANGE comparisons, not just equality.
+    * Historical-spec files, unparsable values, nulls, unsupported
+    * types: keep. */
+  private def truncCompare(cmp: BinaryComparison, a: AttributeReference, l: Literal,
+      f: FileEntry, fields: Seq[graft.meta.PartitionField], flipped: Boolean): Boolean = {
+    if (l.value == null || f.specId != 0 || fields.isEmpty) return true
+    fields.find(p => p.isTruncate && p.column == a.name) match {
+      case None => true
+      case Some(p) =>
+        val w = p.truncateW.get
+        f.partitionValues.get(p.column) match {
+          case None => true
+          case Some(stored) =>
+            // normalize (cmp, flipped) to the attribute-relative relation
+            sealed trait Rel
+            object EQ extends Rel; object AGT extends Rel; object AGE extends Rel
+            object ALT extends Rel; object ALE extends Rel
+            val rel: Rel = cmp match {
+              case _: EqualTo | _: EqualNullSafe => EQ
+              case _: GreaterThan => if (flipped) ALT else AGT
+              case _: GreaterThanOrEqual => if (flipped) ALE else AGE
+              case _: LessThan => if (flipped) AGT else ALT
+              case _: LessThanOrEqual => if (flipped) AGE else ALE
+              case _ => return true
+            }
+            a.dataType match {
+              case StringType => l.value match {
+                case v: UTF8String =>
+                  val t = UTF8String.fromString(stored)
+                  if (t.numChars < w) {
+                    // short value truncates to itself: the file's rows for
+                    // this column are EXACTLY t
+                    rel match {
+                      case EQ => t.compareTo(v) == 0
+                      case AGT => t.compareTo(v) > 0
+                      case AGE => t.compareTo(v) >= 0
+                      case ALT => t.compareTo(v) < 0
+                      case ALE => t.compareTo(v) <= 0
+                    }
+                  } else {
+                    // full-width prefix: rows lie in [t, incrementBytes(t));
+                    // the set has min t (attained) and no maximum
+                    def belowSup = incrementBytes(t).forall(up => v.compareTo(up) < 0)
+                    rel match {
+                      case EQ => t.compareTo(v) <= 0 && belowSup
+                      case AGT | AGE => belowSup
+                      case ALT => t.compareTo(v) < 0
+                      case ALE => t.compareTo(v) <= 0
+                    }
+                  }
+                case _ => true
+              }
+              case _: ByteType | _: ShortType | _: IntegerType | _: LongType | _: DecimalType =>
+                val litNum: Option[BigDecimal] = (l.value, a.dataType) match {
+                  case (n: java.lang.Number, _: DecimalType) => None // mismatched shapes: keep
+                  case (n: java.lang.Number, _) => Some(BigDecimal(n.longValue()))
+                  case (d: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+                    Some(BigDecimal(d.toJavaBigDecimal))
+                  case _ => None
+                }
+                (litNum, scala.util.Try(BigDecimal(stored)).toOption) match {
+                  case (Some(v), Some(lo)) =>
+                    // rows lie in [lo, lo + (w-1)·ulp] where ulp = 10^-scale
+                    // of the stored literal (truncate floors the UNSCALED
+                    // value by w, so the interval is w unscaled steps wide)
+                    val hi = lo + BigDecimal(BigInt(w.toLong - 1), lo.scale)
+                    rel match {
+                      case EQ => lo <= v && v <= hi
+                      case AGT => hi > v
+                      case AGE => hi >= v
+                      case ALT => lo < v
+                      case ALE => lo <= v
+                    }
+                  case _ => true
+                }
+              case _ => true
+            }
+        }
+    }
+  }
+
+  /** StartsWith against a string truncate[W] partition value: the file's
+    * rows share the stored prefix T, so `a LIKE 'p%'` can only match when
+    * the shorter of (p, T) is a byte-prefix of the longer (exact-set
+    * files — T shorter than W — require T to start with p). */
+  private def truncPrefixMatch(colName: String, p: UTF8String, f: FileEntry,
+      fields: Seq[graft.meta.PartitionField]): Boolean = {
+    if (f.specId != 0 || fields.isEmpty) return true
+    fields.find(pf => pf.isTruncate && pf.column == colName) match {
+      case None => true
+      case Some(pf) => f.partitionValues.get(pf.column) match {
+        case None => true
+        case Some(stored) =>
+          val t = UTF8String.fromString(stored)
+          if (t.numChars < pf.truncateW.get) t.startsWith(p) // exact-set file
+          else if (p.numBytes <= t.numBytes) t.startsWith(p)
+          else p.startsWith(t)
       }
     }
   }

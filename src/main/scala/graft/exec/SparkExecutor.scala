@@ -148,12 +148,15 @@ object SparkExecutor extends CompactionExecutor {
   def partitionExpr(p: PartitionField): Column = (p.bucketN, p.sparkBucketN) match {
     case (Some(n), _) => graft.functions.IcebergBucketFunctions.iceberg_bucket(col(p.column), n)
     case (_, Some(n)) => pmod(hash(col(p.column)), lit(n))
-    case _ => p.transform match {
-      case "year" => date_format(col(p.column), "yyyy")
-      case "month" => date_format(col(p.column), "yyyy-MM")
-      case "day" => date_format(col(p.column), "yyyy-MM-dd")
-      case "hour" => date_format(col(p.column), "yyyy-MM-dd-HH")
-      case _ => col(p.column)
+    case _ => p.truncateW match {
+      case Some(w) => graft.functions.IcebergTruncateFunctions.iceberg_truncate(col(p.column), w)
+      case None => p.transform match {
+        case "year" => date_format(col(p.column), "yyyy")
+        case "month" => date_format(col(p.column), "yyyy-MM")
+        case "day" => date_format(col(p.column), "yyyy-MM-dd")
+        case "hour" => date_format(col(p.column), "yyyy-MM-dd-HH")
+        case _ => col(p.column)
+      }
     }
   }
 

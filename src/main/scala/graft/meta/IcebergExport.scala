@@ -86,12 +86,14 @@ object IcebergExport {
   private def partFieldName(p: PartitionField): String =
     if (p.isIdentity) p.column
     else if (p.bucketN.nonEmpty || p.sparkBucketN.nonEmpty) s"${p.column}_bucket"
+    else if (p.isTruncate) s"${p.column}_trunc"
     else if (p.isTime) s"${p.column}_${p.transform}"
     else sys.error(s"unsupported partition transform: ${p.transform}")
 
   private def partTransform(p: PartitionField): String =
     if (p.isIdentity) "identity"
     else if (p.isTime) p.transform
+    else if (p.isTruncate) s"truncate[${p.truncateW.get}]"
     else p.bucketN.map(n => s"bucket[$n]").getOrElse(
       sys.error(s"exportIcebergMetadata: transform ${p.transform} is engine-internal " +
         "(sparkbucket is not Iceberg-spec); rewrite the table with bucket[n]"))
@@ -155,8 +157,16 @@ object IcebergExport {
     * struct: identity mirrors the source column, bucket is an int. */
   private def partAvroType(meta: TableMetadata, p: PartitionField): JValue =
     // day's result type is a date (int days, avro date logical type);
-    // year/month/hour are plain int ordinals, like bucket
+    // year/month/hour are plain int ordinals, like bucket; truncate's
+    // result type is the SOURCE type (spec: "Partition Transforms")
     if (p.transform == "day") ("type" -> "int") ~ ("logicalType" -> "date")
+    else if (p.isTruncate)
+      meta.fieldByName(p.column).map(_.dataType.trim.toUpperCase) match {
+        case Some("BIGINT") | Some("LONG") => JString("long")
+        case Some("INT") | Some("INTEGER") => JString("int")
+        case Some("STRING") | Some("VARCHAR") => JString("string")
+        case other => sys.error(s"unsupported truncate partition source type $other")
+      }
     else if (!p.isIdentity) JString("int")
     else meta.fieldByName(p.column).map(_.dataType.trim.toUpperCase) match {
       case Some("BIGINT") | Some("LONG") => JString("long")
@@ -279,6 +289,13 @@ object IcebergExport {
       // the int ordinal
       case Some(v) if p.isTime =>
         Integer.valueOf(PartitionField.timeLiteralToOrdinal(p.transform, v))
+      // truncate values ride in the SOURCE type (the literal is faithful)
+      case Some(v) if p.isTruncate =>
+        meta.fieldByName(p.column).map(_.dataType.trim.toUpperCase) match {
+          case Some("BIGINT") | Some("LONG") => java.lang.Long.valueOf(v.toLong)
+          case Some("INT") | Some("INTEGER") => Integer.valueOf(v.toInt)
+          case _ => v // string
+        }
       case Some(v) if !p.isIdentity => Integer.valueOf(v.toInt)
       case Some(v) =>
         meta.fieldByName(p.column).map(_.dataType.trim.toUpperCase) match {
@@ -387,6 +404,9 @@ object IcebergExport {
   private def exportableSpecField(meta: TableMetadata, p: PartitionField): Boolean =
     meta.fieldByName(p.column).exists { f =>
       if (p.bucketN.nonEmpty || p.isTime) true
+      else if (p.isTruncate)
+        Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR")
+          .contains(f.dataType.trim.toUpperCase)
       else if (!p.isIdentity) false // sparkbucket etc: engine-internal
       else Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR",
         "DOUBLE", "FLOAT", "DATE", "BOOLEAN").contains(f.dataType.trim.toUpperCase)

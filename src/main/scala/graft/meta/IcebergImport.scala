@@ -148,10 +148,19 @@ object IcebergImport {
             sys.error(s"partition source-id ${f \ "source-id"} not in schema"))
           val transform = str(f \ "transform")
           require(transform == "identity" || transform.matches("bucket\\[\\d+\\]") ||
+              transform.matches("truncate\\[\\d+\\]") ||
               PartitionField.TimeTransforms.contains(transform),
             s"importIcebergMetadata: unsupported partition transform $transform " +
               s"(spec $specId)")
           val srcDdl = src.dataType.trim.toUpperCase
+          if (transform.startsWith("truncate["))
+            // truncate values ride in the SOURCE type; int/long/string have
+            // one faithful literal form (decimal/binary truncation does not
+            // round-trip through graft's string partition values)
+            require(Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR")
+                .contains(srcDdl),
+              s"importIcebergMetadata: truncate partition on ${src.name}: $srcDdl has " +
+                "no faithful literal partition-value form here")
           if (transform == "identity")
             // graft records partition values as LITERAL strings and prunes by
             // string equality — only types whose avro partition value has one

@@ -197,13 +197,18 @@ final case class PartitionField(column: String, transform: String = "identity") 
   def isIdentity: Boolean = transform == "identity"
   /** true for the Iceberg time transforms (year/month/day/hour). */
   def isTime: Boolean = PartitionField.TimeTransforms.contains(transform)
-  /** identity AND time transforms are value-addressable: the recorded
-    * partition value is a faithful literal a user can name in a filter
-    * or a drop — unlike bucket ordinals. */
-  def isValueAddressable: Boolean = isIdentity || isTime
+  /** identity, time, AND truncate transforms are value-addressable: the
+    * recorded partition value is a faithful literal a user can name in a
+    * filter or a drop (truncate values are real prefixes / floor
+    * multiples of the source) — unlike bucket ordinals. */
+  def isValueAddressable: Boolean = isIdentity || isTime || isTruncate
   def bucketN: Option[Int] = bucketArg("bucket")
   def sparkBucketN: Option[Int] = bucketArg("sparkbucket")
   def isBucket: Boolean = bucketN.nonEmpty || sparkBucketN.nonEmpty
+  /** Iceberg `truncate[W]`: width-W order-preserving truncation
+    * ([[graft.functions.IcebergTruncate]]). */
+  def truncateW: Option[Int] = bucketArg("truncate")
+  def isTruncate: Boolean = truncateW.nonEmpty
   private def bucketArg(prefix: String): Option[Int] =
     if (transform.startsWith(prefix + "[") && transform.endsWith("]"))
       Some(transform.stripPrefix(prefix + "[").stripSuffix("]").toInt)

@@ -164,7 +164,7 @@ object SchemaEvolution {
       for (p <- newSpec) {
         require(meta.fieldByName(p.column).nonEmpty,
           s"partition column ${p.column} not in schema")
-        require(p.isIdentity || p.isBucket || p.isTime,
+        require(p.isIdentity || p.isBucket || p.isTime || p.isTruncate,
           s"unsupported transform ${p.transform}")
       }
       val head = meta.currentSnapshot

@@ -1549,6 +1549,35 @@ object OpsQueries {
       q
     }),
 
+    // TRUNCATE-TRANSFORM FILE SKIPPING as an oracle-checked query: part
+    // lands in a graft table partitioned by truncate[3] on p_name (the
+    // URL/prefix-key layout of corpus curation — 8 distinct prefixes in
+    // this corpus), and the read filters to one prefix. Truncate values
+    // are order-preserving literals, so the prefix predicate must drop
+    // the other prefixes' files at PLAN time (the prefix-interval
+    // machinery — the same [p, increment(p)) logic as StartsWith on zone
+    // maps, applied to the stored partition value). The in-query require
+    // proves >=3/4 of files skipped; the oracle replays the filter over
+    // raw part.
+    "q_truncate_prune" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog, PartitionField}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-trunc-wh").toString)
+      val src = tbl(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+      IceWrite.create(s, catalog, "t_q_trunc", src,
+        partitionSpec = Seq(PartitionField("p_name", "truncate[3]")))
+      val q = IceRead.table(s, catalog, "t_q_trunc")
+        .filter(col("p_name").startsWith("red"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("p_size").cast("long")).as("sum_size"))
+      q.collect()
+      val (totalFiles, keptFiles) = graft.exec.GraftScan.pruneStats(q)
+      require(totalFiles >= 8 && keptFiles * 4 <= totalFiles,
+        s"truncate pruning did not engage: kept $keptFiles of $totalFiles files")
+      q
+    }),
+
     // METADATA-ONLY COUNT as an oracle-checked query: count(*) over a
     // deleteless graft table must answer from manifest record counts —
     // the in-query require proves NO scan ran (no FileSourceScanExec in
@@ -3523,6 +3552,11 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |FROM lineitem, cut
         |WHERE l_returnflag = 'A' AND l_orderkey <= c
         |GROUP BY 1""".stripMargin,
+
+    "q_truncate_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size
+        |FROM part WHERE p_name LIKE 'red%'""".stripMargin,
 
     "q_meta_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM supplier",

@@ -53,9 +53,21 @@ object ColumnBridge {
         require(cols.length == 1 && sorted.isEmpty,
           "multi-column / sorted bucket is not supported")
         (name(cols.head), s"bucket[$n]")
+      // truncate(W, col) — Iceberg also accepts truncate(col, W)
+      case ApplyTransform(fn, args) if fn.equalsIgnoreCase("truncate") && args.length == 2 =>
+        def intOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] = e match {
+          case LiteralValue(v: Number, _) => Some(v.intValue)
+          case _ => None
+        }
+        (args(0), args(1)) match {
+          case (w, r: NamedReference) if intOf(w).nonEmpty => (name(r), s"truncate[${intOf(w).get}]")
+          case (r: NamedReference, w) if intOf(w).nonEmpty => (name(r), s"truncate[${intOf(w).get}]")
+          case _ => throw new IllegalArgumentException(
+            s"truncate transform needs (width, column): $tr")
+        }
       case other => throw new IllegalArgumentException(
         s"unsupported partition transform: $other (identity, year/month/day/hour, " +
-          "bucket(n) are supported)")
+          "bucket(n), truncate(w, col) are supported)")
     }
   }
 

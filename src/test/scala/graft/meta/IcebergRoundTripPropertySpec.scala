@@ -70,14 +70,22 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
       // hour needs sub-day resolution in the source column (spec: hour is
       // a timestamp transform); year/month/day apply to both types
       tTransform <- Gen.oneOf("year", "month", "day", "hour")
+      // the non-identity hashed/truncated slot exercises both transforms
+      bkTransform <- Gen.oneOf("bucket[8]", "truncate[4]")
     } yield idCols.map(f => PartitionField(f.name)).toSeq ++
-      bkCols.map(f => PartitionField(f.name, "bucket[8]")).toSeq ++
+      bkCols.map(f => PartitionField(f.name, bkTransform)).toSeq ++
       tCols.map(f => PartitionField(f.name,
         if (tTransform == "hour" && f.dataType != "TIMESTAMP") "day" else tTransform)).toSeq
   }
 
   private def partValue(f: SchemaField, p: PartitionField, i: Int): String =
     if (p.isTime) PartitionField.timeOrdinalToLiteral(p.transform, 19000 + i)
+    else if (p.isTruncate) f.dataType match {
+      // truncate values are SOURCE-TYPED literals already floored/prefixed
+      // at the width (w=4 here)
+      case "BIGINT" | "INT" => (i * 4).toString
+      case _ => s"p$i".take(4)
+    }
     else if (!p.isIdentity) (i % 8).toString
     else f.dataType match {
       case "BIGINT" | "INT" => (i * 10).toString
@@ -95,8 +103,8 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
     // time, so each generator may only be built inside its guarded branch
     def bucketGen = for {
       col <- Gen.oneOf(bCands)
-      n <- Gen.oneOf(2, 4)
-    } yield Seq(PartitionField(col.name, s"bucket[$n]"))
+      tr <- Gen.oneOf("bucket[2]", "bucket[4]", "truncate[4]")
+    } yield Seq(PartitionField(col.name, tr))
     def timeGen = for {
       col <- Gen.oneOf(tCands)
       t <- Gen.oneOf("year", "month", "day")
