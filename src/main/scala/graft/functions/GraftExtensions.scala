@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // `graft.t.branch_dev` before extendedResolutionRules would get a
     // look, so the front door must claim its relations first.
     e.injectHintResolutionRule(session => new graft.meta.GraftSql.SqlRule(session))
+    // extension grammar Spark's parser lacks: ALTER TABLE ... ADD/DROP/
+    // REPLACE PARTITION FIELD, WRITE ORDERED BY / WRITE UNORDERED —
+    // Iceberg's SQL-extensions surface, so operational DDL ports verbatim
+    e.injectParser((session, delegate) => new graft.meta.GraftSqlParser(session, delegate))
     // metadata-only count(*): ungrouped counts over deleteless graft
     // scans answer from manifest record counts, no scan job
     e.injectOptimizerRule(_ => graft.exec.MetadataOnlyCount)

@@ -821,6 +821,12 @@ object GraftSql {
     final case class Widen(cols: Seq[(String, String)]) extends AlterOp
     final case class SetProps(props: Map[String, String]) extends AlterOp
     final case class UnsetProps(keys: Seq[String]) extends AlterOp
+    /** partition-spec evolution ([[GraftSqlParser]] extension grammar). */
+    final case class AddPartField(field: PartitionField) extends AlterOp
+    final case class DropPartField(field: PartitionField) extends AlterOp
+    final case class ReplacePartField(from: PartitionField, to: PartitionField) extends AlterOp
+    /** sort-order replacement (`WRITE ORDERED BY` / `WRITE UNORDERED`). */
+    final case class WriteOrdered(order: Seq[SortField]) extends AlterOp
   }
 
   /** `ALTER TABLE cat.t ...` -> [[SchemaEvolution]] (metadata-only CAS
@@ -850,6 +856,41 @@ object GraftSql {
           SchemaEvolution.updateProperties(cat, table, props)
         case AlterOp.UnsetProps(keys) =>
           SchemaEvolution.updateProperties(cat, table, Map.empty, keys.toSet)
+
+        case AlterOp.AddPartField(f0) =>
+          val f = f0.copy(column = res(f0.column))
+          val spec = cat.loadTable(table).partitionSpec
+          require(!spec.exists(_.column == f.column),
+            s"ALTER TABLE $catalogName.$table: ${f.column} is already a partition " +
+              s"field (${spec.find(_.column == f.column).get.transform}); use " +
+              "REPLACE PARTITION FIELD to change its transform")
+          SchemaEvolution.updatePartitionSpec(cat, table, spec :+ f)
+        case AlterOp.DropPartField(f0) =>
+          val f = f0.copy(column = res(f0.column))
+          val spec = cat.loadTable(table).partitionSpec
+          require(spec.contains(f),
+            s"ALTER TABLE $catalogName.$table: ${f.transform}(${f.column}) is not a " +
+              s"partition field (spec: ${spec.map(p => s"${p.transform}(${p.column})").mkString(", ")})")
+          SchemaEvolution.updatePartitionSpec(cat, table, spec.filterNot(_ == f))
+        case AlterOp.ReplacePartField(from0, to0) =>
+          val from = from0.copy(column = res(from0.column))
+          val to = to0.copy(column = res(to0.column))
+          val spec = cat.loadTable(table).partitionSpec
+          require(spec.contains(from),
+            s"ALTER TABLE $catalogName.$table: ${from.transform}(${from.column}) is not " +
+              s"a partition field (spec: ${spec.map(p => s"${p.transform}(${p.column})").mkString(", ")})")
+          // position-preserving: the field keeps its slot in the spec
+          SchemaEvolution.updatePartitionSpec(cat, table,
+            spec.map(p => if (p == from) to else p))
+
+        case AlterOp.WriteOrdered(order) =>
+          val resolved = order.map { s =>
+            // zorder(a,b)/hilbert(a,b) multi-column fields resolve their
+            // inner columns; plain fields resolve directly
+            if (graft.exec.SparkExecutor.multiColsOf(s.column).isDefined) s
+            else s.copy(column = res(s.column))
+          }
+          SchemaEvolution.updateSortOrder(cat, table, resolved)
       }
       Seq.empty
     }

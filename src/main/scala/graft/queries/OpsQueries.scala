@@ -1308,6 +1308,46 @@ object OpsQueries {
       s.sql("SELECT s_suppkey, s_name, nk, category, score FROM qsqle.t")
     }),
 
+    // SQL PARTITION-SPEC EVOLUTION as an oracle-checked query: the
+    // bucket-outgrowth migration every bucketed table eventually runs —
+    // bucket[2] -> bucket[4] via ALTER TABLE ... REPLACE PARTITION FIELD
+    // (extension grammar), more data under the new spec, then the healing
+    // compaction. In-query requires prove the old spec was RECORDED as
+    // history (multi-spec export fidelity), the heal cleared every
+    // marker, and the healed files span all 4 buckets; the oracle proves
+    // the rows rode through untouched (evolution is content-invariant).
+    "q_sql_spec_evolve" -> ((s, dir) => {
+      import graft.meta.{GraftSql, LocalCatalog, PartitionField}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-specev-wh").toString)
+      GraftSql.register("qspev", catalog)
+      tbl(s, dir, "supplier").createOrReplaceTempView("q_spev_supplier")
+      s.sql("""CREATE TABLE qspev.t (s_suppkey BIGINT, s_name STRING)
+              |PARTITIONED BY (bucket(2, s_suppkey))""".stripMargin)
+      s.sql("""INSERT INTO qspev.t
+              |SELECT s_suppkey, s_name FROM q_spev_supplier
+              |WHERE s_suppkey % 2 = 0""".stripMargin)
+      s.sql("ALTER TABLE qspev.t REPLACE PARTITION FIELD " +
+        "bucket(2, s_suppkey) WITH bucket(4, s_suppkey)")
+      val evolved = catalog.loadTable("t")
+      require(evolved.partitionSpec == Seq(PartitionField("s_suppkey", "bucket[4]")),
+        s"spec not evolved: ${evolved.partitionSpec}")
+      require(evolved.historicalSpecs.values.toSeq
+        .contains(Seq(PartitionField("s_suppkey", "bucket[2]"))),
+        "superseded spec definition not recorded")
+      s.sql("""INSERT INTO qspev.t
+              |SELECT s_suppkey, s_name FROM q_spev_supplier
+              |WHERE s_suppkey % 2 = 1""".stripMargin)
+      s.sql("CALL qspev.system.rewrite_data_files('t')")
+      val healed = catalog.loadTable("t").currentSnapshot.get.manifest
+        .filter(_.content == graft.meta.FileContent.Data)
+      require(healed.forall(_.specId == 0), "heal left marker-bearing files")
+      require(healed.flatMap(_.partitionValues.get("s_suppkey")).toSet
+        == Set("0", "1", "2", "3"),
+        s"healed files do not span bucket[4]: ${healed.flatMap(_.partitionValues.get("s_suppkey"))}")
+      s.sql("SELECT s_suppkey, s_name FROM qspev.t")
+    }),
+
     // v3 ROW LINEAGE as an oracle-checked query: a single sorted data
     // file makes the inherited id assignment deterministic (row N of the
     // file = rank N in s_suppkey order), deleteWhere tombstones a seventh
@@ -2499,6 +2539,9 @@ object OpsQueries {
         |       CAST(3000000000 + s_nationkey AS BIGINT), 'new',
         |       CAST(s_nationkey AS DOUBLE)
         |FROM supplier WHERE s_suppkey % 4 = 0""".stripMargin,
+
+    "q_sql_spec_evolve" ->
+      "SELECT s_suppkey, s_name FROM supplier",
 
     "q_sql_dml" ->
       """WITH upd AS (

@@ -33,7 +33,8 @@ class GraftSqlFuzzSpec extends AnyFunSuite {
     assert(got == want, s"divergence after $at:\n  spark=$got\n  model=$want")
   }
 
-  private def runSeed(seed: Long, nOps: Int): Unit = {
+  private def runSeed(seed: Long, nOps: Int): Seq[String] = {
+    val opLog = Seq.newBuilder[String]
     val rnd = new Random(seed)
     val cat = LocalCatalog(Files.createTempDirectory(s"graft-fuzz-$seed").toString)
     GraftSql.register(s"fz$seed", cat)
@@ -110,19 +111,56 @@ class GraftSqlFuzzSpec extends AnyFunSuite {
           } ++ incoming.filter(r => !targetKeys.contains(r._1) && r._2 < 3)
           s"MERGE ${incoming.length}"
 
-        case x if x < 92 => // INSERT OVERWRITE: full replace
+        case x if x < 92 => // INSERT OVERWRITE: full or dynamic by spec
           val rows = Vector.fill(1 + rnd.nextInt(3))(freshRow())
           spark.sql(s"INSERT OVERWRITE $t VALUES ${rows.map(lit).mkString(", ")}")
-          model = rows
-          s"OVERWRITE ${rows.length}"
+          // unpartitioned = atomic full replace; partitioned = DYNAMIC
+          // overwrite (only the partitions present in the incoming rows
+          // are replaced) — the model applies the live spec's transform
+          val spec = cat.loadTable("t").partitionSpec
+          model = spec.headOption match {
+            case None => rows
+            case Some(p) =>
+              def pkey(g: Int): Int = p.transform match {
+                case "identity" => g
+                case "truncate[2]" => g - Math.floorMod(g, 2)
+                case other => sys.error(s"fuzz spec drift: $other")
+              }
+              val replaced = rows.map(r => pkey(r._2)).toSet
+              model.filterNot(r => replaced.contains(pkey(r._2))) ++ rows
+          }
+          s"OVERWRITE ${rows.length} (spec=${spec.map(_.transform).mkString})"
+
+        case x if x < 96 => // partition-spec evolution (content-invariant)
+          val spec = cat.loadTable("t").partitionSpec
+          val stmt = spec.headOption match {
+            case None => s"ALTER TABLE $t ADD PARTITION FIELD g"
+            case Some(PartitionField("g", "identity")) =>
+              s"ALTER TABLE $t REPLACE PARTITION FIELD g WITH truncate(2, g)"
+            case Some(PartitionField("g", "truncate[2]")) =>
+              s"ALTER TABLE $t DROP PARTITION FIELD truncate(2, g)"
+            case other => sys.error(s"fuzz spec drift: $other")
+          }
+          spark.sql(stmt)
+          // compact so every live file records values under the NEW spec
+          // (value-keyed partition ops refuse marker-bearing/value-less
+          // files) — the evolve-then-compact sequence every real migration
+          // runs. Keyed on live DATA FILES, not the model: a table emptied
+          // by DELETE still holds tombstoned files lacking the new value.
+          val hasData = cat.loadTable("t").currentSnapshot
+            .exists(_.manifest.exists(_.content == FileContent.Data))
+          if (hasData) spark.sql(s"CALL fz$seed.system.rewrite_data_files('t')")
+          s"SPEC ${stmt.replace(s"ALTER TABLE $t ", "")}"
 
         case _ => // TRUNCATE
           spark.sql(s"TRUNCATE TABLE $t")
           model = Vector.empty
           "TRUNCATE"
       }
+      opLog += what
       if (op % 5 == 0 || op == nOps) check(t, model, s"op $op ($what)")
     }
+    opLog.result()
   }
 
   test("random DML sequences match the hand-evaluated model (seed 42)") {
@@ -131,5 +169,14 @@ class GraftSqlFuzzSpec extends AnyFunSuite {
 
   test("random DML sequences match the hand-evaluated model (seed 7)") {
     runSeed(7L, 40)
+  }
+
+  test("DML under live partition-spec evolution matches the model (seed 13)") {
+    val ops = runSeed(13L, 60)
+    // the evolve-then-compact op and a dynamic (partitioned) overwrite
+    // must both actually fire for this seed to pin anything
+    assert(ops.count(_.startsWith("SPEC")) >= 2, s"spec ops missing: $ops")
+    assert(ops.exists(o => o.startsWith("OVERWRITE") && !o.endsWith("(spec=)")),
+      s"no partitioned overwrite fired: $ops")
   }
 }

@@ -317,6 +317,81 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nullable") || e.getMessage.contains("DEFAULT"))
   }
 
+  test("SQL partition-spec evolution: bucket outgrowth, ADD/DROP PARTITION FIELD") {
+    val cat = freshCatalog("g20")
+    spark.sql("CREATE TABLE g20.t (id BIGINT, name STRING, ts TIMESTAMP) " +
+      "PARTITIONED BY (bucket(2, id))")
+    spark.sql("INSERT INTO g20.t SELECT id, concat('n', id) AS name, " +
+      "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT)) AS ts " +
+      "FROM range(20)")
+    assert(cat.loadTable("t").partitionSpec == Seq(PartitionField("id", "bucket[2]")))
+
+    // the canonical bucket-outgrowth path, purely via SQL
+    spark.sql("ALTER TABLE g20.t REPLACE PARTITION FIELD bucket(2, id) WITH bucket(4, id)")
+    val meta1 = cat.loadTable("t")
+    assert(meta1.partitionSpec == Seq(PartitionField("id", "bucket[4]")))
+    // pre-evolution files carry historical-spec markers (old bucket domain)
+    assert(meta1.currentSnapshot.get.manifest.forall(_.specId != 0))
+    assert(meta1.historicalSpecs.values.toSeq.contains(Seq(PartitionField("id", "bucket[2]"))))
+
+    // new writes land under the new spec; reads span both correctly
+    spark.sql("INSERT INTO g20.t SELECT id, concat('n', id) AS name, " +
+      "TIMESTAMP'2024-02-01 00:00:00' AS ts FROM range(20, 30)")
+    assert(spark.sql("SELECT count(*) AS n FROM g20.t").head.getLong(0) == 30L)
+    assert(spark.sql("SELECT count(*) AS n FROM g20.t WHERE id = 7").head.getLong(0) == 1L)
+
+    // compaction heals the markers; the healed table prunes on bucket[4]
+    spark.sql("CALL g20.system.rewrite_data_files('t')")
+    val healed = cat.loadTable("t")
+    assert(healed.currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data).forall(_.specId == 0))
+    assert(spark.sql("SELECT count(*) AS n FROM g20.t").head.getLong(0) == 30L)
+
+    // ADD a second field (time transform, plural alias), then DROP it
+    spark.sql("ALTER TABLE g20.t ADD PARTITION FIELD days(ts)")
+    assert(cat.loadTable("t").partitionSpec ==
+      Seq(PartitionField("id", "bucket[4]"), PartitionField("ts", "day")))
+    spark.sql("ALTER TABLE g20.t DROP PARTITION FIELD days(ts)")
+    assert(cat.loadTable("t").partitionSpec == Seq(PartitionField("id", "bucket[4]")))
+
+    // adding over an existing source column must point at REPLACE
+    val e = intercept[Exception](spark.sql("ALTER TABLE g20.t ADD PARTITION FIELD bucket(8, id)"))
+    assert(e.getMessage.contains("REPLACE PARTITION FIELD"))
+    // dropping a non-field is a clear error
+    val e2 = intercept[Exception](spark.sql("ALTER TABLE g20.t DROP PARTITION FIELD name"))
+    assert(e2.getMessage.contains("not a partition field"))
+    // statements on unregistered catalogs fall through to Spark's parser
+    intercept[Exception](spark.sql("ALTER TABLE nosuch.t ADD PARTITION FIELD days(ts)"))
+  }
+
+  test("SQL WRITE ORDERED BY / WRITE UNORDERED replace the table sort order") {
+    val cat = freshCatalog("g21")
+    spark.sql("CREATE TABLE g21.t (id BIGINT, category STRING, v DOUBLE)")
+    spark.sql("INSERT INTO g21.t SELECT id, concat('c', id % 3) AS category, " +
+      "CAST(id AS DOUBLE) AS v FROM range(100)")
+
+    spark.sql("ALTER TABLE g21.t WRITE ORDERED BY category DESC NULLS LAST, id")
+    assert(cat.loadTable("t").sortOrder == Seq(
+      SortField("category", ascending = false, nullsFirst = false),
+      SortField("id", ascending = true, nullsFirst = true)))
+
+    // case-insensitive column resolution onto declared casing
+    spark.sql("ALTER TABLE g21.t WRITE ORDERED BY CATEGORY ASC")
+    assert(cat.loadTable("t").sortOrder == Seq(SortField("category")))
+
+    // the order drives the next rewrite: compacted files are clustered
+    spark.sql("ALTER TABLE g21.t WRITE ORDERED BY id DESC")
+    spark.sql("CALL g21.system.rewrite_data_files('t')")
+    assert(spark.sql("SELECT count(*) AS n FROM g21.t").head.getLong(0) == 100L)
+
+    spark.sql("ALTER TABLE g21.t WRITE UNORDERED")
+    assert(cat.loadTable("t").sortOrder.isEmpty)
+
+    // unknown sort column is refused
+    val e = intercept[Exception](spark.sql("ALTER TABLE g21.t WRITE ORDERED BY nope"))
+    assert(e.getMessage.toLowerCase.contains("nope"))
+  }
+
   test("SQL identifiers resolve case-insensitively against declared column casing") {
     val cat = freshCatalog("g15")
     spark.sql("CREATE TABLE g15.t (myKey BIGINT, myVal STRING) PARTITIONED BY (MYKEY)")
