@@ -88,14 +88,47 @@ final class GraftFileIndex(
   /** Manifest row count of the indexed files (footer record counts
     * collected at write) — the metadata-only `count(*)` answer for a
     * deleteless scan. */
-  def totalRecords: Long = entries.map(_.recordCount).sum
+  def totalRecords: Long = totalRecordsOf(entries)
+
+  /** [[totalRecords]] over a subset (one partition group). */
+  def totalRecordsOf(es: Seq[FileEntry]): Long = es.map(_.recordCount).sum
 
   /** Metadata-only `count(col)`: record count minus null count, answerable
     * only when EVERY file states the column's null count. */
-  def countNonNull(col: String): Option[Long] = {
+  def countNonNull(col: String): Option[Long] = countNonNullOf(entries, col)
+
+  def countNonNullOf(es: Seq[FileEntry], col: String): Option[Long] = {
     if (statsRetired.contains(col)) return None
-    val per = entries.map(e => e.nullCounts.get(col).map(n => e.recordCount - n))
+    val per = es.map(e => e.nullCounts.get(col).map(n => e.recordCount - n))
     if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+  }
+
+  /** Entries grouped by their EXACT identity-partition tuple for `cols` —
+    * the seam for partition-grouped metadata aggregates ("rows per day").
+    * Answerable only when every column is an identity field of the
+    * CURRENT spec with a directory-exact type, no name is retired, and
+    * every file is current-spec with every value present (a marked file's
+    * values may belong to another spec's domain). Keys are INTERNAL
+    * values ([[ZonePrune.constLit]] decode). None = not answerable. */
+  def identityGroups(cols: Seq[String],
+      dts: Seq[org.apache.spark.sql.types.DataType],
+      zone: String): Option[Seq[(Seq[Any], Seq[FileEntry])]] = {
+    if (cols.isEmpty || cols.length != dts.length) return None
+    if (!cols.forall(identityCols.contains)) return None
+    if (!dts.forall(ZonePrune.dirExactType)) return None
+    if (cols.exists(statsRetired.contains)) return None
+    if (!entries.forall(e => e.specId == 0 && cols.forall(e.partitionValues.contains)))
+      return None
+    val decoded = entries.map { e =>
+      val key = cols.zip(dts).map { case (c, dt) =>
+        ZonePrune.constLit(e.partitionValues(c), dt, zone) match {
+          case Some(l) => l.value
+          case None => return None
+        }
+      }
+      (key, e)
+    }
+    Some(decoded.groupBy(_._1).toSeq.map { case (k, es) => (k, es.map(_._2)) })
   }
 
   /** Metadata-only `min/max(col)` folded from per-file zone maps, as the
@@ -104,7 +137,10 @@ final class GraftFileIndex(
     * unparsable bound, or a type whose footer encoding does not
     * reconstruct exactly (floats: NaN poisons footer ordering). */
   def boundOf(col: String, dt: org.apache.spark.sql.types.DataType,
-      isMin: Boolean): Option[Any] = {
+      isMin: Boolean): Option[Any] = boundOfEntries(entries, col, dt, isMin)
+
+  def boundOfEntries(es: Seq[FileEntry], col: String,
+      dt: org.apache.spark.sql.types.DataType, isMin: Boolean): Option[Any] = {
     if (statsRetired.contains(col)) return None
     import org.apache.spark.sql.types._
     val reconstruct: BigDecimal => Option[Any] = dt match {
@@ -117,7 +153,7 @@ final class GraftFileIndex(
         v => v.toBigIntExact.map(bi => Decimal(BigDecimal(bi, d.scale), d.precision, d.scale))
       case _ => _ => None
     }
-    val per: Seq[Option[Option[BigDecimal]]] = entries.map { e =>
+    val per: Seq[Option[Option[BigDecimal]]] = es.map { e =>
       e.columnStats.get(col) match {
         case Some((mn, mx)) =>
           try Some(Some(BigDecimal(if (isMin) mn else mx)))
@@ -412,6 +448,41 @@ object MetadataOnlyCount extends org.apache.spark.sql.catalyst.rules.Rule[
     case _ => NotAnswerable
   }
 
+  /** Per-group answer: grouping attributes answer with the group key;
+    * count(*)/count(col)/min/max fold over the group's entries. Min/max
+    * and count of a GROUPING column short-circuit to the key (every row
+    * of the group holds exactly that non-null value — identity partition
+    * values are never null by write-path contract). */
+  private def answerGrouped(e: Expression, child: LogicalPlan,
+      idx: GraftFileIndex, es: Seq[FileEntry],
+      keyOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Any]): Answer = e match {
+    case Alias(inner, _) => answerGrouped(inner, child, idx, es, keyOf)
+    case a: AttributeReference if keyOf.contains(a.exprId) => Const(keyOf(a.exprId))
+    case AggregateExpression(Count(Seq(Literal(v, _))), Complete, false, None, _) if v != null =>
+      Const(idx.totalRecordsOf(es))
+    case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _)
+        if keyOf.contains(a.exprId) =>
+      Const(idx.totalRecordsOf(es))
+    case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _)
+        if passesThrough(child, a) =>
+      idx.countNonNullOf(es, a.name).map(Const(_)).getOrElse(NotAnswerable)
+    case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _)
+        if keyOf.contains(a.exprId) =>
+      Const(keyOf(a.exprId))
+    case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _)
+        if keyOf.contains(a.exprId) =>
+      Const(keyOf(a.exprId))
+    case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _)
+        if passesThrough(child, a) =>
+      idx.boundOfEntries(es, a.name, a.dataType, isMin = true)
+        .map(Const(_)).getOrElse(NotAnswerable)
+    case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _)
+        if passesThrough(child, a) =>
+      idx.boundOfEntries(es, a.name, a.dataType, isMin = false)
+        .map(Const(_)).getOrElse(NotAnswerable)
+    case _ => NotAnswerable
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case a @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
       leafIndexes(child) match {
@@ -421,6 +492,43 @@ object MetadataOnlyCount extends org.apache.spark.sql.catalyst.rules.Rule[
             LocalRelation(a.output,
               Seq(InternalRow.fromSeq(answers.map(_.asInstanceOf[Const].v))))
           else a
+        case _ => a
+      }
+
+    // PARTITION-GROUPED metadata aggregates: `count(*)/count(col)/min/max
+    // GROUP BY <identity partition cols>` over a single deleteless graft
+    // scan — the "rows per day" ops query — folds per partition tuple
+    // from the manifest, zero scan jobs. Single relation only (Union
+    // merges attrs positionally); groups whose files hold zero records
+    // are omitted (SQL emits a group only when >=1 row exists).
+    case a @ Aggregate(groupExprs, aggExprs, child, _)
+        if groupExprs.nonEmpty && aggExprs.nonEmpty =>
+      val single = leafIndexes(child) match {
+        case Some(Seq(idx)) => Some(idx)
+        case _ => None
+      }
+      val groupAttrs: Option[Seq[AttributeReference]] =
+        if (groupExprs.forall(g => g.isInstanceOf[AttributeReference] &&
+            passesThrough(child, g.asInstanceOf[AttributeReference])))
+          Some(groupExprs.map(_.asInstanceOf[AttributeReference]))
+        else None
+      (single, groupAttrs) match {
+        case (Some(idx), Some(gs)) =>
+          val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+          idx.identityGroups(gs.map(_.name), gs.map(_.dataType), zone) match {
+            case None => a
+            case Some(groups) =>
+              val rows = groups
+                .filter { case (_, es) => idx.totalRecordsOf(es) > 0L }
+                .map { case (key, es) =>
+                  val keyOf = gs.map(_.exprId).zip(key).toMap
+                  aggExprs.map(e => answerGrouped(e, child, idx, es, keyOf))
+                }
+              if (rows.forall(_.forall(_.isInstanceOf[Const])))
+                LocalRelation(a.output,
+                  rows.map(r => InternalRow.fromSeq(r.map(_.asInstanceOf[Const].v))))
+              else a
+          }
         case _ => a
       }
   }

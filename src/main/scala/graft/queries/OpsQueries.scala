@@ -1649,6 +1649,39 @@ object OpsQueries {
       q
     }),
 
+    // PARTITION-GROUPED METADATA AGGREGATES as an oracle-checked query:
+    // "rows per partition" — THE operational query on any partitioned
+    // table — folds count/min/max per identity-partition tuple straight
+    // from the manifest. The in-query require proves NO scan ran; the
+    // oracle replays the grouping relationally. At 10^6 files this
+    // answers from metadata the cluster already holds instead of
+    // launching a million-task job.
+    "q_meta_group" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, LocalCatalog, PartitionField}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-mgroup-wh").toString)
+      val src = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      IceWrite.create(s, catalog, "t_q_mgroup", src.filter(col("s_suppkey") % 2 === 0),
+        partitionSpec = Seq(PartitionField("s_nationkey")))
+      IceWrite.append(s, catalog, "t_q_mgroup", src.filter(col("s_suppkey") % 2 =!= 0))
+      val q = IceRead.table(s, catalog, "t_q_mgroup")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("s_suppkey")).as("mn_key"),
+          max(col("s_suppkey")).as("mx_key"))
+      q.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        (p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(qs.plan)
+          case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        } ++ p.subqueries.map(scans)).contains(true)
+      require(!scans(q.queryExecution.executedPlan),
+        "grouped metadata aggregate ran a scan:\n" + q.queryExecution.executedPlan)
+      q
+    }),
+
     // DYNAMIC PARTITION PRUNING as an oracle-checked query: customer
     // lands in a graft table identity-partitioned by c_nationkey (the
     // file index serves it as a real Spark partition column), nation is
@@ -3603,6 +3636,13 @@ s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
 
     "q_meta_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM supplier",
+
+    "q_meta_group" ->
+      """SELECT s_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(s_suppkey) AS BIGINT) AS mn_key,
+        |  CAST(max(s_suppkey) AS BIGINT) AS mx_key
+        |FROM supplier GROUP BY 1""".stripMargin,
 
     "q_dpp_star" ->
       """SELECT n_name,

@@ -117,6 +117,73 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(!hasScan(q))
   }
 
+  test("partition-grouped count/min/max answer from the manifest, no scan") {
+    val cat = freshCatalog()
+    val rows = (1L to 60L).map(i => (i, s"g${i % 3}", i % 5,
+      if (i % 4 == 0) null else java.lang.Long.valueOf(i * 2))).toDF("id", "grp", "band", "v")
+    IceWrite.create(spark, cat, "gt", rows.filter(col("id") <= 30L),
+      partitionSpec = Seq(PartitionField("grp"), PartitionField("band")))
+    IceWrite.append(spark, cat, "gt", rows.filter(col("id") > 30L))
+
+    // full-tuple grouping: one answer row per (grp, band) from the manifest
+    val q = IceRead.table(spark, cat, "gt").groupBy("grp", "band")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"),
+        count(col("v")).as("nv"), max(col("grp")).as("gmax"))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))).toMap
+    val want = rows.collect().groupBy(r => (r.getString(1), r.getLong(2))).map {
+      case (k, rs) => k -> (rs.length.toLong, rs.map(_.getLong(0)).min,
+        rs.map(_.getLong(0)).max, rs.count(!_.isNullAt(3)).toLong, k._1)
+    }
+    assert(got == want, s"grouped metadata answers diverge:\n got=$got\n want=$want")
+    assert(!hasScan(q), "grouped metadata aggregate must not scan:\n" +
+      q.queryExecution.executedPlan)
+
+    // grouping by a SUBSET of the partition columns merges tuples
+    val sub = IceRead.table(spark, cat, "gt").groupBy("grp")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    assert(sub.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("g0" -> 20L, "g1" -> 20L, "g2" -> 20L))
+    assert(!hasScan(sub))
+
+    // SQL front door: the "rows per partition" ops query, zero scan jobs
+    graft.meta.GraftSql.register("mgrp", cat)
+    try {
+      val sq = spark.sql(
+        "SELECT grp, count(*) AS n, max(id) AS mx FROM mgrp.gt GROUP BY grp")
+      assert(sq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("g0" -> 20L, "g1" -> 20L, "g2" -> 20L))
+      assert(!hasScan(sq))
+    } finally graft.meta.GraftSql.unregister("mgrp")
+  }
+
+  test("grouped fallbacks: deletes, non-partition keys, marked specs all scan") {
+    val cat = freshCatalog()
+    val rows = (1L to 40L).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
+    IceWrite.create(spark, cat, "gf", rows,
+      partitionSpec = Seq(PartitionField("grp")))
+
+    // grouping by a NON-partition column scans (manifest has no tuples)
+    val byData = IceRead.table(spark, cat, "gf").groupBy(col("id") <= 20L).count()
+    assert(byData.collect().map(_.getLong(1)).sum == 40L && hasScan(byData))
+
+    // MOR deletes invalidate: grouped counts reflect tombstones via a scan
+    IceWrite.deleteWhere(spark, cat, "gf", col("id") <= 10L)
+    val q = IceRead.table(spark, cat, "gf").groupBy("grp").count()
+    assert(q.collect().map(_.getLong(1)).sum == 30L)
+    assert(hasScan(q), "deletes must force grouped counts to scan")
+
+    // partition-spec transform change marks files: grouped answers must
+    // not trust marked files' values (old domain) -> scan, still correct
+    val cat2 = freshCatalog()
+    IceWrite.create(spark, cat2, "gm", rows, partitionSpec = Seq(PartitionField("grp")))
+    graft.meta.SchemaEvolution.updatePartitionSpec(cat2, "gm",
+      Seq(PartitionField("grp", "truncate[1]")))
+    val qm = IceRead.table(spark, cat2, "gm").groupBy("grp").count()
+    assert(qm.collect().map(_.getLong(1)).sum == 40L)
+    assert(hasScan(qm), "marked files must force grouped counts to scan")
+  }
+
   test("time travel counts the snapshot it names") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "c4", (1L to 25L).map(i => (i, i)).toDF("id", "v"))
