@@ -665,9 +665,27 @@ object GraftSql {
         }
       }: _*)
 
-      if (!overwrite) IceWrite.append(spark, cat, table, out)
-      else if (meta.partitionSpec.nonEmpty) IceWrite.overwritePartitions(spark, cat, table, out)
-      else IceWrite.replaceAll(spark, cat, table, out)
+      // write-audit-publish session confs (Iceberg's): spark.wap.branch
+      // redirects appends to a branch; spark.wap.id (with the table
+      // property write.wap.enabled) STAGES the snapshot unpublished —
+      // audit via the snapshots metadata table / snapshot_id suffix, then
+      // CALL cherrypick_snapshot to publish
+      val wapBranch = spark.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
+      val wapId = spark.conf.getOption("spark.wap.id").filter(_.nonEmpty)
+        .filter(_ => meta.properties.get("write.wap.enabled").exists(_.equalsIgnoreCase("true")))
+      if (overwrite) {
+        require(wapBranch.isEmpty && wapId.isEmpty,
+          s"$ctx: INSERT OVERWRITE cannot be staged (spark.wap.id/spark.wap.branch); " +
+            "stage appends, or overwrite a branch via the Scala API")
+        if (meta.partitionSpec.nonEmpty) IceWrite.overwritePartitions(spark, cat, table, out)
+        else IceWrite.replaceAll(spark, cat, table, out)
+      } else wapBranch match {
+        case Some(b) =>
+          require(wapId.isEmpty,
+            s"$ctx: set spark.wap.branch OR spark.wap.id, not both")
+          IceWrite.append(spark, cat, table, out, branch = b)
+        case None => IceWrite.append(spark, cat, table, out, stageWapId = wapId)
+      }
       Seq.empty
     }
   }
@@ -955,13 +973,21 @@ object GraftSql {
         AttributeReference("remaining_snapshots_count", LongType)())
       case "remove_orphan_files" => Seq(
         AttributeReference("orphan_file_location", StringType)())
-      case "rollback_to_snapshot" => Seq(
+      case "rollback_to_snapshot" | "set_current_snapshot" => Seq(
         AttributeReference("previous_snapshot_id", LongType)(),
         AttributeReference("current_snapshot_id", LongType)())
+      case "cherrypick_snapshot" => Seq(
+        AttributeReference("source_snapshot_id", LongType)(),
+        AttributeReference("current_snapshot_id", LongType)())
+      case "fast_forward" => Seq(
+        AttributeReference("branch_updated", StringType)(),
+        AttributeReference("previous_ref", LongType)(),
+        AttributeReference("updated_ref", LongType)())
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.system.$other (supported: " +
           "rewrite_data_files, rewrite_position_delete_files, expire_snapshots, " +
-          "remove_orphan_files, rollback_to_snapshot)")
+          "remove_orphan_files, rollback_to_snapshot, cherrypick_snapshot, " +
+          "set_current_snapshot, fast_forward)")
     }
 
     private def named(name: String): Option[Any] =
@@ -1020,19 +1046,46 @@ object GraftSql {
           graft.compaction.Maintenance.deleteOrphans(cat, table, orphans, grace)
           orphans.sorted.map(Row(_))
         case "rollback_to_snapshot" =>
-          val snapshotId = longArg("snapshot_id")
-            .orElse(args.collect { case (None, v) => v }.drop(1).headOption.map {
-              case n: Number => n.longValue()
-              case other => throw new IllegalArgumentException(
-                s"snapshot_id must be numeric, got $other")
-            })
-            .getOrElse(throw new IllegalArgumentException(
-              "rollback_to_snapshot: pass snapshot_id"))
+          val snapshotId = positionalLong("snapshot_id")
           val prev = cat.loadTable(table).currentSnapshotId.getOrElse(-1L)
           val after = IceWrite.rollbackTo(cat, table, snapshotId)
           Seq(Row(prev, after.currentSnapshotId.getOrElse(-1L)))
+
+        // ---- write-audit-publish procedures (Iceberg's names, so WAP
+        // runbooks port): stage with spark.wap.id (or on a branch), audit
+        // the unpublished state, publish with one of these ----
+        case "cherrypick_snapshot" =>
+          val snapshotId = positionalLong("snapshot_id")
+          val after = IceWrite.cherrypickSnapshot(cat, table, snapshotId)
+          Seq(Row(snapshotId, after.currentSnapshotId.getOrElse(-1L)))
+
+        case "set_current_snapshot" =>
+          val snapshotId = positionalLong("snapshot_id")
+          val (prev, cur) = IceWrite.setCurrentSnapshot(cat, table, snapshotId)
+          Seq(Row(prev.getOrElse(-1L), cur))
+
+        case "fast_forward" =>
+          val pos = args.collect { case (None, v) => v }.drop(1).map(_.toString)
+          val branch = named("branch").map(_.toString)
+            .orElse(pos.headOption).getOrElse(throw new IllegalArgumentException(
+              "fast_forward: pass (table, branch, to)"))
+          val to = named("to").map(_.toString)
+            .orElse(pos.drop(1).headOption).getOrElse(throw new IllegalArgumentException(
+              "fast_forward: pass (table, branch, to)"))
+          val (prev, head) = IceWrite.fastForward(cat, table, branch, to)
+          Seq(Row(branch, prev.getOrElse(-1L), head))
       }
     }
+
+    /** snapshot-id argument: named `snapshot_id =>` or second positional. */
+    private def positionalLong(name: String): Long =
+      longArg(name)
+        .orElse(args.collect { case (None, v) => v }.drop(1).headOption.map {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"$name must be numeric, got $other")
+        })
+        .getOrElse(throw new IllegalArgumentException(s"$proc: pass $name"))
   }
 
   /** `SHOW TABLES IN cat [LIKE 'pat']` -> `Catalog.listTables`, emitted

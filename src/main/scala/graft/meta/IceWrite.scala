@@ -64,12 +64,16 @@ object IceWrite {
       properties = extraProperties))
   }
 
-  /** Appends rows as new data files (new snapshot, fresh sequence number). */
+  /** Appends rows as new data files (new snapshot, fresh sequence number).
+    * `branch` targets a non-main ref; `stageWapId` commits the snapshot
+    * UNPUBLISHED (write-audit-publish — see [[cherrypickSnapshot]]). */
   def append(spark: SparkSession, catalog: Catalog, name: String, df: DataFrame,
       targetFileSizeBytes: Long = Defaults.TargetFileSize,
-      extraProperties: Map[String, String] = Map.empty): TableMetadata =
+      extraProperties: Map[String, String] = Map.empty,
+      branch: String = "main",
+      stageWapId: Option[String] = None): TableMetadata =
     appendInternal(spark, catalog, name, df, FileContent.Data, Nil, targetFileSizeBytes,
-      extraProperties = extraProperties)
+      branch = branch, extraProperties = extraProperties, stageWapId = stageWapId)
 
   /** Append with a post-write, pre-commit validation hook: the hook sees
     * the written file entries AFTER the one data pass completes (so an
@@ -350,7 +354,12 @@ object IceWrite {
         * CAS race re-evaluates against the fresh head): returns the kept
         * entries. Powers partition drop/overwrite, which remove whole
         * files from the manifest rather than appending tombstones. */
-      pruneParent: Seq[FileEntry] => Seq[FileEntry] = identity): TableMetadata = {
+      pruneParent: Seq[FileEntry] => Seq[FileEntry] = identity,
+      /** write-audit-publish STAGING (Iceberg's `spark.wap.id`): the
+        * snapshot commits into the snapshot list with `wap.id` in its
+        * summary but NO ref moves — readers see nothing until
+        * [[cherrypickSnapshot]] publishes it. */
+      stageWapId: Option[String] = None): TableMetadata = {
     var attempt = 0
     while (true) {
       val meta = catalog.loadTable(name)
@@ -382,11 +391,14 @@ object IceWrite {
         summary = base.map(s => TableMetadata.preservedProperties(s.summary))
           .getOrElse(Map.empty) ++
           TableMetadata.computedSummary(parentManifest, newManifest) +
-          ("operation" -> operation))
+          ("operation" -> operation) ++
+          stageWapId.map("wap.id" -> _))
       val updated = meta.copy(
         currentSnapshotId =
-          if (branch == "main") Some(snapshotId) else meta.currentSnapshotId,
-        refs = meta.refs + (branch -> snapshotId),
+          if (branch == "main" && stageWapId.isEmpty) Some(snapshotId)
+          else meta.currentSnapshotId,
+        refs =
+          if (stageWapId.isEmpty) meta.refs + (branch -> snapshotId) else meta.refs,
         snapshots = meta.snapshots :+ snap,
         lastSequenceNumber = newSeq,
         nextRowId = rowCursor,
@@ -415,7 +427,8 @@ object IceWrite {
       targetFileSizeBytes: Long,
       branch: String = "main",
       extraProperties: Map[String, String] = Map.empty,
-      afterWrite: Seq[FileEntry] => Unit = _ => ()): TableMetadata = {
+      afterWrite: Seq[FileEntry] => Unit = _ => (),
+      stageWapId: Option[String] = None): TableMetadata = {
     val table0 = catalog.loadTable(name)
     val typed = typedOf(table0)
     // data and equality-delete files carry table-schema columns -> stamp
@@ -438,7 +451,7 @@ object IceWrite {
     commitSnapshot(catalog, name,
       Seq(StampSet(written, content, equalityIds, eqIdsOf(table0, equalityIds))),
       operation = if (content == FileContent.Data) "append" else "delete",
-      branch = branch, extraProperties = extraProperties)
+      branch = branch, extraProperties = extraProperties, stageWapId = stageWapId)
   }
 
   /** Shared prune for the partition-level ops: keeps manifest entries
@@ -966,6 +979,120 @@ object IceWrite {
         throw new IllegalArgumentException(s"no such branch: $branch"))
       try return catalog.commit(meta, meta.copy(
         refs = meta.refs + ("main" -> head), currentSnapshotId = Some(head)))
+      catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Iceberg's `fast_forward` procedure: moves `branch` to `to`'s head,
+    * refusing unless that is a true fast-forward (`branch`'s head, when
+    * it exists, must be an ancestor of `to`'s head — divergent refs need
+    * an explicit [[createBranch]] reset, not a silent history swap).
+    * Returns (previous head if any, new head). */
+  def fastForward(catalog: Catalog, name: String, branch: String,
+      to: String): (Option[Long], Long) = {
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(name)
+      val toHead = meta.refs.getOrElse(to,
+        throw new IllegalArgumentException(s"no such branch: $to"))
+      val prev = meta.refs.get(branch)
+      prev.foreach { bh =>
+        var cur = meta.snapshotById(toHead)
+        while (cur.nonEmpty && cur.get.snapshotId != bh)
+          cur = cur.get.parentId.flatMap(meta.snapshotById)
+        require(cur.nonEmpty,
+          s"$branch (head $bh) is not an ancestor of $to (head $toHead): not a fast-forward")
+      }
+      try {
+        catalog.commit(meta, meta.copy(
+          refs = meta.refs + (branch -> toHead),
+          currentSnapshotId =
+            if (branch == "main") Some(toHead) else meta.currentSnapshotId))
+        return (prev, toHead)
+      } catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Iceberg's `set_current_snapshot` procedure: points main at ANY
+    * existing snapshot — unlike [[rollbackTo]] it accepts non-ancestors
+    * (the recover-from-a-bad-publish hammer). Returns (previous, new). */
+  def setCurrentSnapshot(catalog: Catalog, name: String,
+      snapshotId: Long): (Option[Long], Long) = {
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(name)
+      require(meta.snapshotById(snapshotId).nonEmpty,
+        s"table $name has no snapshot $snapshotId")
+      val prev = meta.currentSnapshotId
+      try {
+        catalog.commit(meta, meta.copy(
+          refs = meta.refs + ("main" -> snapshotId),
+          currentSnapshotId = Some(snapshotId)))
+        return (prev, snapshotId)
+      } catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Iceberg's `cherrypick_snapshot`: publishes one APPEND-SHAPED
+    * snapshot (typically a `wap.id`-staged write) onto main. When the
+    * snapshot's parent IS the current head this is a pure fast-forward
+    * (the staged snapshot itself becomes current); when main moved since
+    * staging, the snapshot's ADDED data files are re-applied as a fresh
+    * append commit carrying `published-wap-id`. Snapshots that removed
+    * files (overwrites, deletes, compactions) refuse — their conflict
+    * semantics cannot be replayed blindly. */
+  def cherrypickSnapshot(catalog: Catalog, name: String,
+      snapshotId: Long): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(name)
+      val snap = meta.snapshotById(snapshotId).getOrElse(
+        throw new IllegalArgumentException(s"table $name has no snapshot $snapshotId"))
+      val parent = snap.parentId.flatMap(meta.snapshotById)
+      val parentKeys = parent.map(_.manifest.map(_.resolutionKey).toSet).getOrElse(Set.empty)
+      val snapKeys = snap.manifest.map(_.resolutionKey).toSet
+      require(parentKeys.subsetOf(snapKeys),
+        s"snapshot $snapshotId removed files — only append-shaped snapshots cherry-pick")
+      val added = snap.manifest.filterNot(f => parentKeys.contains(f.resolutionKey))
+      require(added.forall(_.content == FileContent.Data),
+        s"snapshot $snapshotId added delete files — only plain appends cherry-pick")
+      val head = meta.currentSnapshot
+      val updated =
+        if (head.map(_.snapshotId) == snap.parentId)
+          // fast-forward arm: the staged snapshot becomes current as-is
+          meta.copy(refs = meta.refs + ("main" -> snap.snapshotId),
+            currentSnapshotId = Some(snap.snapshotId))
+        else {
+          // re-apply arm: main moved since staging — add the staged data
+          // files on top of the CURRENT head, fresh sequence (row-lineage
+          // ids keep their staged assignment; the ranges were already
+          // claimed through the cursor at staging)
+          val headManifest = head.map(_.manifest).getOrElse(Nil)
+          val headKeys = headManifest.map(_.resolutionKey).toSet
+          require(!added.exists(f => headKeys.contains(f.resolutionKey)),
+            s"snapshot $snapshotId's files are already in the current state " +
+              "(cherry-picked twice?)")
+          val newSeq = meta.lastSequenceNumber + 1
+          val restamped = added.map(_.copy(sequenceNumber = newSeq))
+          val newId = meta.snapshots.map(_.snapshotId).max + 1
+          val manifest = headManifest ++ restamped
+          val pub = Snapshot(newId, head.map(_.snapshotId), newSeq,
+            System.currentTimeMillis(), manifest,
+            head.map(s => TableMetadata.preservedProperties(s.summary))
+              .getOrElse(Map.empty) ++
+              TableMetadata.computedSummary(headManifest, manifest) +
+              ("operation" -> "append") ++
+              snap.summary.get("wap.id").map("published-wap-id" -> _))
+          meta.copy(
+            refs = meta.refs + ("main" -> newId),
+            currentSnapshotId = Some(newId),
+            snapshots = meta.snapshots :+ pub,
+            lastSequenceNumber = newSeq)
+        }
+      try return catalog.commit(meta, updated)
       catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
     }
     sys.error("unreachable")

@@ -666,6 +666,39 @@ object OpsQueries {
         .withColumn("pre_publish_rows", lit(prePublishRows))
     }),
 
+    // write-audit-publish PURELY through SQL (q_wap's twin): stage an
+    // append under spark.wap.id (the snapshot commits unpublished),
+    // prove main is untouched while staged (in-query require), locate
+    // the staged snapshot via the snapshots metadata table, publish with
+    // CALL cherrypick_snapshot — Iceberg's procedure names, so WAP
+    // runbooks port verbatim. The oracle replays base+staged rows and
+    // the pre-publish count relationally.
+    "q_wap_sql" -> ((s, dir) => {
+      import graft.meta.{GraftSql, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-wapsql-wh").toString)
+      GraftSql.register("qwap", catalog)
+      tbl(s, dir, "supplier").createOrReplaceTempView("q_wap_supplier")
+      s.sql("""CREATE TABLE qwap.t (s_suppkey BIGINT, s_name STRING)
+              |TBLPROPERTIES ('write.wap.enabled' = 'true')""".stripMargin)
+      s.sql("INSERT INTO qwap.t SELECT s_suppkey, s_name FROM q_wap_supplier")
+      val baseRows = s.sql("SELECT count(*) FROM qwap.t").head.getLong(0)
+      s.conf.set("spark.wap.id", "audit-7")
+      try s.sql("""INSERT INTO qwap.t
+                  |SELECT s_suppkey + 1000000, s_name FROM q_wap_supplier
+                  |WHERE s_suppkey % 3 = 0""".stripMargin)
+      finally s.conf.unset("spark.wap.id")
+      val prePublish = s.sql("SELECT count(*) FROM qwap.t").head.getLong(0)
+      require(prePublish == baseRows,
+        s"staged snapshot leaked into main: $prePublish != $baseRows")
+      val stagedId = s.sql(
+        "SELECT snapshot_id FROM qwap.t.snapshots WHERE summary['wap.id'] = 'audit-7'")
+        .head.getLong(0)
+      s.sql(s"CALL qwap.system.cherrypick_snapshot('t', $stagedId)")
+      s.sql("SELECT s_suppkey, s_name FROM qwap.t")
+        .withColumn("pre_publish_rows", lit(prePublish))
+    }),
+
     // z-order (Morton) clustering key: bit-interleave two integer bucket
     // columns with the codegen'd shift/or tree (bit i of column j lands
     // at key bit i*ncols+j); the oracle unrolls the identical bit
@@ -3126,6 +3159,15 @@ object OpsQueries {
         |SELECT f.*,
         |       (SELECT CAST(count(*) AS BIGINT) FROM base) AS pre_publish_rows
         |FROM final f""".stripMargin,
+
+    "q_wap_sql" ->
+      """SELECT u.s_suppkey, u.s_name,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS pre_publish_rows
+        |FROM (
+        |  SELECT s_suppkey, s_name FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000, s_name FROM supplier WHERE s_suppkey % 3 = 0
+        |) u""".stripMargin,
 
     // 8-bit interleave of (s_nationkey, s_suppkey % 256): bit i of column
     // j -> key bit i*2+j, unrolled as 16 shift/mask terms

@@ -392,6 +392,85 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("nope"))
   }
 
+  test("write-audit-publish through SQL: wap.id staging, cherrypick, fast_forward, set_current_snapshot") {
+    val cat = freshCatalog("g22")
+    spark.sql("CREATE TABLE g22.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.wap.enabled' = 'true')")
+    spark.sql("INSERT INTO g22.t VALUES (1, 'base'), (2, 'base')")
+    val published = cat.loadTable("t").currentSnapshotId.get
+
+    // ---- stage: spark.wap.id makes the INSERT commit UNPUBLISHED ----
+    spark.conf.set("spark.wap.id", "job1")
+    try {
+      spark.sql("INSERT INTO g22.t VALUES (3, 'staged')")
+      // main readers see nothing of the staged snapshot
+      assert(spark.sql("SELECT count(*) AS n FROM g22.t").head.getLong(0) == 2L)
+      assert(cat.loadTable("t").currentSnapshotId.contains(published))
+      // audit: the staged snapshot is addressable via the snapshots
+      // metadata table (summary carries wap.id) + snapshot_id suffix
+      val stagedId = spark.sql(
+        "SELECT snapshot_id FROM g22.t.snapshots WHERE summary['wap.id'] = 'job1'")
+        .head.getLong(0)
+      assert(spark.sql(s"SELECT count(*) AS n FROM g22.t.snapshot_id_$stagedId")
+        .head.getLong(0) == 3L)
+
+      // ---- publish: cherrypick fast-forwards (parent IS the head) ----
+      val r = spark.sql(s"CALL g22.system.cherrypick_snapshot('t', $stagedId)").head
+      assert(r.getLong(0) == stagedId && r.getLong(1) == stagedId,
+        "parent-is-head cherry-pick must fast-forward to the staged snapshot")
+      assert(spark.sql("SELECT count(*) AS n FROM g22.t").head.getLong(0) == 3L)
+
+      // ---- re-apply arm: main moves between staging and publish ----
+      spark.sql("INSERT INTO g22.t VALUES (4, 'staged2')") // staged (wap.id still set)
+      val staged2 = spark.sql(
+        "SELECT max(snapshot_id) AS s FROM g22.t.snapshots WHERE summary['wap.id'] = 'job1'")
+        .head.getLong(0)
+      spark.conf.unset("spark.wap.id")
+      spark.sql("INSERT INTO g22.t VALUES (5, 'concurrent')") // published append
+      spark.sql(s"CALL g22.system.cherrypick_snapshot('t', $staged2)")
+      assert(spark.sql("SELECT id FROM g22.t ORDER BY id").collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L), "re-applied cherry-pick must keep the concurrent append")
+      val head = cat.loadTable("t").currentSnapshot.get
+      assert(head.summary.get("published-wap-id").contains("job1"))
+
+      // double cherry-pick refuses (files already in the current state)
+      val dup = intercept[Exception](
+        spark.sql(s"CALL g22.system.cherrypick_snapshot('t', $staged2)"))
+      assert(dup.getMessage.contains("already"))
+    } finally spark.conf.unset("spark.wap.id")
+
+    // ---- branch staging + fast_forward ----
+    spark.sql("CALL g22.system.rewrite_data_files('t')") // compact for a clean base
+    IceWrite.createBranch(cat, "t", "audit")
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      spark.sql("INSERT INTO g22.t VALUES (6, 'branch-staged')")
+    } finally spark.conf.unset("spark.wap.branch")
+    assert(spark.sql("SELECT count(*) AS n FROM g22.t").head.getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) AS n FROM g22.t.branch_audit").head.getLong(0) == 6L)
+    val ff = spark.sql("CALL g22.system.fast_forward('t', 'main', 'audit')").head
+    assert(ff.getString(0) == "main" && ff.getLong(2) == cat.loadTable("t").refs("audit"))
+    assert(spark.sql("SELECT count(*) AS n FROM g22.t").head.getLong(0) == 6L)
+
+    // ---- set_current_snapshot jumps anywhere, including forward ----
+    val cur = cat.loadTable("t").currentSnapshotId.get
+    val sc = spark.sql(s"CALL g22.system.set_current_snapshot('t', $published)").head
+    assert(sc.getLong(0) == cur && sc.getLong(1) == published)
+    assert(spark.sql("SELECT count(*) AS n FROM g22.t").head.getLong(0) == 2L)
+    // jump forward again — the non-rollback direction rollbackTo refuses
+    spark.sql(s"CALL g22.system.set_current_snapshot('t', $cur)")
+    assert(spark.sql("SELECT count(*) AS n FROM g22.t").head.getLong(0) == 6L)
+
+    // ---- genuinely diverged refs refuse the fast-forward ----
+    spark.sql("INSERT INTO g22.t VALUES (7, 'main-only')")
+    spark.conf.set("spark.wap.branch", "audit")
+    try spark.sql("INSERT INTO g22.t VALUES (8, 'audit-only')")
+    finally spark.conf.unset("spark.wap.branch")
+    val div = intercept[Exception](
+      spark.sql("CALL g22.system.fast_forward('t', 'main', 'audit')"))
+    assert(div.getMessage.contains("not a fast-forward"))
+  }
+
   test("SQL identifiers resolve case-insensitively against declared column casing") {
     val cat = freshCatalog("g15")
     spark.sql("CREATE TABLE g15.t (myKey BIGINT, myVal STRING) PARTITIONED BY (MYKEY)")
