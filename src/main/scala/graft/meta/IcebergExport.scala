@@ -465,7 +465,13 @@ object IcebergExport {
     * exported; the lineage columns materialized in data files are
     * invisible to id-addressed readers. */
   def exportIcebergMetadata(catalog: Catalog, name: String,
-      outDir: Option[String] = None, allowV3: Boolean = false): String = {
+      outDir: Option[String] = None, allowV3: Boolean = false,
+      /** per-column NDV sketches ([[NdvStats.compute]]): written as a
+        * Puffin statistics file of `apache-datasketches-theta-v1` blobs
+        * (each carrying the authoritative `ndv` property) referenced from
+        * the metadata `statistics` list — external engines' CBOs read
+        * cardinalities from exactly there. */
+      ndvSketches: Map[String, ThetaSketch] = Map.empty): String = {
     val fullMeta = catalog.loadTable(name)
     val exportable =
       if (!allowV3) {
@@ -671,6 +677,37 @@ object IcebergExport {
       } ++ meta.tags.map { case (t, id) =>
         t -> (("snapshot-id" -> id) ~ ("type" -> "tag"))
       }).toList)
+
+    // NDV statistics (Puffin theta blobs, one per resolvable column),
+    // bound to the CURRENT snapshot — the spec's `statistics` list entry
+    val statisticsJ: List[JValue] = (meta.currentSnapshot, ndvSketches) match {
+      case (Some(cur), sk) if sk.nonEmpty =>
+        val resolved = sk.toSeq
+          .flatMap { case (c, s) => meta.fieldByName(c).map(f => (f.id, c, s)) }
+          .sortBy(_._1)
+        if (resolved.isEmpty) Nil
+        else {
+          val statsPath = MetaIO.join(dir, s"$uuid-${cur.snapshotId}.stats")
+          val blobs = resolved.map { case (fid, _, s) =>
+            Puffin.Blob("apache-datasketches-theta-v1", s.serialize,
+              cur.snapshotId, cur.sequenceNumber, Seq(fid),
+              Map("ndv" -> s.estimate.toString))
+          }
+          val (metas, fileSize, footerSize) = Puffin.writeWithSizes(statsPath, blobs)
+          List(
+            ("snapshot-id" -> cur.snapshotId) ~
+              ("statistics-path" -> statsPath) ~
+              ("file-size-in-bytes" -> fileSize) ~
+              ("file-footer-size-in-bytes" -> footerSize) ~
+              ("blob-metadata" -> metas.map(m =>
+                ("type" -> m.blobType) ~
+                  ("snapshot-id" -> m.snapshotId) ~
+                  ("sequence-number" -> m.sequenceNumber) ~
+                  ("fields" -> m.fields) ~
+                  ("properties" -> m.properties))))
+        }
+      case _ => Nil
+    }
     val metadataJ: JValue =
       ("format-version" -> 2) ~
         ("table-uuid" -> uuid) ~
@@ -692,7 +729,8 @@ object IcebergExport {
         ("snapshots" -> snapshotsJ) ~
         ("snapshot-log" -> meta.snapshots.map(s =>
           ("timestamp-ms" -> s.timestampMs) ~ ("snapshot-id" -> s.snapshotId))) ~
-        ("metadata-log" -> JArray(Nil))
+        ("metadata-log" -> JArray(Nil)) ~
+        ("statistics" -> JArray(statisticsJ))
     val jsonPath = MetaIO.join(dir, s"00000-$uuid.metadata.json")
     MetaIO.writeString(jsonPath, JsonMethods.pretty(JsonMethods.render(metadataJ)))
     jsonPath

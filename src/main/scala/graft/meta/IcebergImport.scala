@@ -336,9 +336,61 @@ object IcebergImport {
       lastSequenceNumber = lng(j \ "last-sequence-number"),
       lastColumnId = lng(j \ "last-column-id").toInt,
       tags = tagRefs,
-      properties = (j \ "properties") match {
+      properties = ((j \ "properties") match {
         case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
-        case _ => Map.empty
-      }))
+        case _ => Map.empty[String, String]
+      }) ++ ndvProperties(j, currentId, byId)))
+  }
+
+  /** Foreign NDV statistics (`statistics` list, theta blobs) for the
+    * CURRENT snapshot, as graft `stats.<col>.ndv` table properties — the
+    * same keys [[graft.compaction.Maintenance.analyzeTable]] writes, so
+    * cost-based consumers read one scheme. The blob `ndv` property is
+    * authoritative (what Iceberg's stats handler writes and engines
+    * read); when absent, the sketch payload decodes best-effort. Stale
+    * entries (other snapshots) and unresolvable field ids are ignored. */
+  private def ndvProperties(j: JValue, currentId: Option[Long],
+      byId: Map[Int, SchemaField]): Map[String, String] = {
+    val entries = (j \ "statistics") match {
+      case JArray(xs) => xs
+      case _ => return Map.empty
+    }
+    val cur = currentId.getOrElse(return Map.empty)
+    val ndv = entries.filter(e => scala.util.Try(lng(e \ "snapshot-id")).toOption.contains(cur))
+      .flatMap { e =>
+        val statsPath = (e \ "statistics-path") match {
+          case JString(p) => Some(p)
+          case _ => None
+        }
+        arr(e \ "blob-metadata").flatMap { b =>
+          val isTheta = (b \ "type") == JString("apache-datasketches-theta-v1")
+          val field = (b \ "fields") match {
+            case JArray(List(f)) => scala.util.Try(lng(f).toInt).toOption
+            case _ => None
+          }
+          val fromProp = (b \ "properties" \ "ndv") match {
+            case JString(v) => scala.util.Try(v.toLong).toOption
+            case _ => None
+          }
+          // fall back to decoding the sketch bytes from the Puffin file
+          def fromSketch: Option[Long] = statsPath.flatMap(p => scala.util.Try {
+            Puffin.readFooter(p).find(m =>
+              m.blobType == "apache-datasketches-theta-v1" && m.fields == field.toSeq)
+              .map { m =>
+                val all = MetaIO.readBytes(p)
+                ThetaSketch.deserialize(java.util.Arrays.copyOfRange(
+                  all, m.offset.toInt, (m.offset + m.length).toInt)).estimate
+              }
+          }.toOption.flatten)
+          for {
+            _ <- Some(()).filter(_ => isTheta)
+            fid <- field
+            f <- byId.get(fid)
+            n <- fromProp.orElse(fromSketch)
+          } yield s"stats.${f.name}.ndv" -> n.toString
+        }
+      }.toMap
+    if (ndv.isEmpty) Map.empty
+    else ndv + ("stats.snapshot-id" -> cur.toString)
   }
 }

@@ -182,7 +182,13 @@ object Puffin {
 
   /** Writes a Puffin file; returns the footer records (offset/length per
     * blob) in input order. */
-  def write(path: String, blobs: Seq[Blob]): Seq[BlobMeta] = {
+  def write(path: String, blobs: Seq[Blob]): Seq[BlobMeta] =
+    writeWithSizes(path, blobs)._1
+
+  /** [[write]] plus (file size, footer size) — Iceberg's `statistics`
+    * metadata entries record both so readers can fetch the footer in one
+    * ranged read. Footer size = magic + payload + size/flags + magic. */
+  def writeWithSizes(path: String, blobs: Seq[Blob]): (Seq[BlobMeta], Long, Long) = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.write(ContainerMagic)
@@ -201,8 +207,9 @@ object Puffin {
     out.write(tail.array())
     out.write(ContainerMagic)
     out.flush()
-    MetaIO.write(path, bos.toByteArray)
-    metas
+    val bytes = bos.toByteArray
+    MetaIO.write(path, bytes)
+    (metas, bytes.length.toLong, (footer.length + 16).toLong)
   }
 
   private def footerJson(metas: Seq[BlobMeta]): String = {

@@ -666,6 +666,34 @@ object OpsQueries {
         .withColumn("pre_publish_rows", lit(prePublishRows))
     }),
 
+    // NDV STATISTICS INTEROP as an oracle-checked query: nation lands in
+    // a graft table, per-column theta sketches ride the Iceberg export as
+    // Puffin apache-datasketches-theta-v1 blobs (the statistics list
+    // external CBOs read), and the IMPORTED table's stats.<col>.ndv
+    // properties are emitted as rows. Nation's cardinalities sit far
+    // below the sketch nominal, so the estimates are EXACT by
+    // construction and DuckDB replays them as count(DISTINCT ...) — the
+    // whole export->import stats loop is hash-checked.
+    "q_ndv_stats" -> ((s, dir) => {
+      import graft.meta.{IceWrite, IcebergExport, IcebergImport, LocalCatalog, NdvStats}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-ndv-wh").toString)
+      IceWrite.create(s, catalog, "t_q_ndv", tbl(s, dir, "nation"))
+      val sketches = NdvStats.compute(s, catalog, "t_q_ndv")
+      val jsonPath = IcebergExport.exportIcebergMetadata(catalog, "t_q_ndv",
+        ndvSketches = sketches)
+      val dst = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-ndv-dst").toString)
+      val back = IcebergImport.importIcebergMetadata(dst, "t_q_ndv2", jsonPath)
+      val rows = back.properties.toSeq.collect {
+        case (k, v) if k.startsWith("stats.") && k.endsWith(".ndv") =>
+          (k.stripPrefix("stats.").stripSuffix(".ndv"), v.toLong)
+      }.sortBy(_._1)
+      require(rows.nonEmpty, "import carried no ndv statistics")
+      import s.implicits._
+      rows.toDF("col_name", "ndv")
+    }),
+
     // write-audit-publish PURELY through SQL (q_wap's twin): stage an
     // append under spark.wap.id (the snapshot commits unpublished),
     // prove main is untouched while staged (in-query require), locate
@@ -3159,6 +3187,13 @@ object OpsQueries {
         |SELECT f.*,
         |       (SELECT CAST(count(*) AS BIGINT) FROM base) AS pre_publish_rows
         |FROM final f""".stripMargin,
+
+    "q_ndv_stats" ->
+      """SELECT 'n_name' AS col_name, CAST(count(DISTINCT n_name) AS BIGINT) AS ndv FROM nation
+        |UNION ALL
+        |SELECT 'n_nationkey', CAST(count(DISTINCT n_nationkey) AS BIGINT) FROM nation
+        |UNION ALL
+        |SELECT 'n_regionkey', CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM nation""".stripMargin,
 
     "q_wap_sql" ->
       """SELECT u.s_suppkey, u.s_name,
