@@ -49,7 +49,9 @@ object PlanAudit {
         "q_moving_sum","t38_winnow_decontam","q_argmax","q_first_last",
         "q_day_retention","d4p_jaccard_prefix","d11p_containment_prefix",
         "d5t_embed_tiled","q_cost_budget","q_sql_frontdoor","q_sql_dml",
-        "q_prune_scan","q_meta_count","q_dpp_star")) {
+        "q_prune_scan","q_meta_count","q_dpp_star",
+        "q_truncate_prune","q_sql_spec_evolve","q_meta_group","q_wap_sql",
+        "q_ndv_stats")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length

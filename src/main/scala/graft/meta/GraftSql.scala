@@ -719,7 +719,9 @@ object GraftSql {
   final case class DeleteCommand(catalogName: String, table: String,
       condition: Column) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      IceWrite.deleteWhere(spark, catalogOrDie(spark, catalogName), table, condition)
+      val cat = catalogOrDie(spark, catalogName)
+      IceWrite.deleteWhere(spark, cat, table, condition,
+        branch = wapWriteBranch(spark, cat, table, s"DELETE FROM $catalogName.$table"))
       Seq.empty
     }
   }
@@ -734,7 +736,8 @@ object GraftSql {
       val resolved = set.map { case (k, v) =>
         resolveColumn(spark, k, cols, s"UPDATE $catalogName.$table") -> v
       }
-      IceWrite.updateWhere(spark, cat, table, resolved, condition)
+      IceWrite.updateWhere(spark, cat, table, resolved, condition,
+        branch = wapWriteBranch(spark, cat, table, s"UPDATE $catalogName.$table"))
       Seq.empty
     }
   }
@@ -764,7 +767,8 @@ object GraftSql {
         insertWhen = insertWhen,
         notMatchedBySourceUpdateWhen = bySourceUpdateWhen,
         notMatchedBySourceDeleteWhen = bySourceDeleteWhen,
-        notMatchedBySourceSet = res(bySourceSet))
+        notMatchedBySourceSet = res(bySourceSet),
+        branch = wapWriteBranch(spark, cat, table, s"MERGE INTO $catalogName.$table"))
       Seq.empty
     }
   }
@@ -820,12 +824,37 @@ object GraftSql {
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOrDie(spark, catalogName)
       val meta = cat.loadTable(table)
+      // TRUNCATE is a full replace with no branch form: refuse WAP confs
+      // loudly rather than silently publishing a destructive op
+      require(spark.conf.getOption("spark.wap.branch").forall(_.isEmpty) &&
+        spark.conf.getOption("spark.wap.id").forall(_.isEmpty ||
+          !meta.properties.get("write.wap.enabled").exists(_.equalsIgnoreCase("true"))),
+        s"TRUNCATE TABLE $catalogName.$table cannot be staged " +
+          "(spark.wap.id/spark.wap.branch); unset the conf or truncate a branch " +
+          "via the Scala API")
       val schema = meta.typedStruct.getOrElse(
         IceRead.table(spark, cat, table).schema)
       IceWrite.replaceAll(spark, cat, table,
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
       Seq.empty
     }
+  }
+
+  /** Branch a row-level front-door write lands on, honoring WAP session
+    * confs: `spark.wap.branch` redirects the op; `spark.wap.id` staging
+    * is APPEND-only (cherry-pick cannot replay row-level deletes), so a
+    * staged-id session refuses row-level ops with the branch alternative
+    * spelled out instead of silently publishing. */
+  private def wapWriteBranch(spark: SparkSession, cat: Catalog, table: String,
+      ctx: String): String = {
+    val wapId = spark.conf.getOption("spark.wap.id").filter(_.nonEmpty)
+      .filter(_ => cat.loadTable(table).properties
+        .get("write.wap.enabled").exists(_.equalsIgnoreCase("true")))
+    require(wapId.isEmpty,
+      s"$ctx: spark.wap.id stages APPENDS only (cherrypick_snapshot cannot replay " +
+        "row-level deletes); stage this operation on a branch via spark.wap.branch " +
+        "and publish with CALL fast_forward")
+    spark.conf.getOption("spark.wap.branch").filter(_.nonEmpty).getOrElse("main")
   }
 
   /** ALTER TABLE operation, converted at analysis time. */

@@ -471,6 +471,47 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(div.getMessage.contains("not a fast-forward"))
   }
 
+  test("WAP row-level ops: branch staging for DELETE/UPDATE/MERGE, wap.id refusal") {
+    val cat = freshCatalog("g23")
+    spark.sql("CREATE TABLE g23.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.wap.enabled' = 'true')")
+    spark.sql("INSERT INTO g23.t SELECT id, concat('v', id) AS v FROM range(10)")
+    IceWrite.createBranch(cat, "t", "audit")
+
+    // DELETE/UPDATE/MERGE staged on the branch leave main untouched
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      spark.sql("DELETE FROM g23.t WHERE id >= 8")
+      spark.sql("UPDATE g23.t SET v = upper(v) WHERE id < 2")
+      spark.sql("SELECT CAST(5 AS BIGINT) AS id, 'merged' AS v")
+        .createOrReplaceTempView("g23_src")
+      spark.sql("""MERGE INTO g23.t AS t USING g23_src AS s ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    } finally spark.conf.unset("spark.wap.branch")
+    assert(spark.sql("SELECT count(*) AS n FROM g23.t").head.getLong(0) == 10L)
+    assert(spark.sql("SELECT v FROM g23.t WHERE id = 0").head.getString(0) == "v0")
+    val audit = spark.sql("SELECT id, v FROM g23.t.branch_audit ORDER BY id").collect()
+    assert(audit.length == 8)
+    assert(audit(0).getString(1) == "V0" && audit(5).getString(1) == "merged")
+    // publish and read the staged state from main
+    spark.sql("CALL g23.system.fast_forward('t', 'main', 'audit')")
+    assert(spark.sql("SELECT count(*) AS n FROM g23.t").head.getLong(0) == 8L)
+    assert(spark.sql("SELECT v FROM g23.t WHERE id = 5").head.getString(0) == "merged")
+
+    // wap.id staging is append-only: row-level ops refuse loudly instead
+    // of silently publishing
+    spark.conf.set("spark.wap.id", "job9")
+    try {
+      val e1 = intercept[Exception](spark.sql("DELETE FROM g23.t WHERE id = 1"))
+      assert(e1.getMessage.contains("spark.wap.branch"))
+      val e2 = intercept[Exception](spark.sql("UPDATE g23.t SET v = 'x' WHERE id = 1"))
+      assert(e2.getMessage.contains("spark.wap.branch"))
+      val e3 = intercept[Exception](spark.sql("TRUNCATE TABLE g23.t"))
+      assert(e3.getMessage.toLowerCase.contains("staged"))
+    } finally spark.conf.unset("spark.wap.id")
+    assert(spark.sql("SELECT count(*) AS n FROM g23.t").head.getLong(0) == 8L)
+  }
+
   test("SQL identifiers resolve case-insensitively against declared column casing") {
     val cat = freshCatalog("g15")
     spark.sql("CREATE TABLE g15.t (myKey BIGINT, myVal STRING) PARTITIONED BY (MYKEY)")
