@@ -36,12 +36,15 @@ object NdvStats {
       // single-value encoding rules the bucket transform hashes
       case IntegerType | DateType => s.updateLong(r.getAs[Any](i) match {
         case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case d: java.time.LocalDate => d.toEpochDay // datetime.java8API sessions
         case n: Int => n.toLong
         case n: Number => n.longValue()
       })
       case LongType => s.updateLong(r.getLong(i))
       case TimestampType => s.updateLong(r.getAs[Any](i) match {
         case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+        case t: java.time.Instant => // datetime.java8API sessions
+          t.getEpochSecond * 1000000L + t.getNano / 1000
         case n: Number => n.longValue()
       })
       case StringType => s.updateString(r.getString(i))

@@ -102,6 +102,33 @@ class PruneFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("100 random predicates over a TRUNCATE-partitioned table match the model") {
+    // the same corpus re-laid-out under truncate transforms: string
+    // prefixes on s (the URL/key layout) + width-1000 buckets on id.
+    // Every predicate now ALSO exercises truncCompare/truncPrefixMatch —
+    // a wrong skip in the prefix-interval math is silent row loss here.
+    val c2 = LocalCatalog(Files.createTempDirectory("fuzz-tr-wh").toString)
+    val batches = (0 until 4).map(s => mkRows(s, 150))
+    IceWrite.create(spark, c2, "ft", batches.head.toDF(),
+      partitionSpec = Seq(
+        PartitionField("s", "truncate[2]"), PartitionField("id", "truncate[1000]")))
+    batches.tail.foreach(b => IceWrite.append(spark, c2, "ft", b.toDF()))
+    val rnd = new scala.util.Random(20260816)
+    var pruned = 0
+    (1 to 100).foreach { i =>
+      val (pred, model) = randomPredicate(rnd)
+      val q = IceRead.table(spark, c2, "ft").filter(pred)
+      val got = q.select("id").as[Long].collect().sorted.toSeq
+      val want = truth.filter(model).map(_.id).sorted
+      assert(got == want, s"case $i predicate $pred: got ${got.size} want ${want.size}")
+      if (want.nonEmpty) {
+        val (total, kept) = GraftScan.pruneStats(q)
+        if (total > 0 && kept < total) pruned += 1
+      }
+    }
+    assert(pruned > 10, s"truncate layout never pruned ($pruned) — arm is vacuous")
+  }
+
   test("metadata aggregates match the collected model across random columns") {
     val byCol = Map[String, R => Option[Long]](
       "id" -> (r => Some(r.id)),

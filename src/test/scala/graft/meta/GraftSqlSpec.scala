@@ -512,6 +512,31 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM g23.t").head.getLong(0) == 8L)
   }
 
+  test("WAP staging preserves v3 row-lineage uniqueness across cherry-pick") {
+    val cat = freshCatalog("g24")
+    spark.sql("CREATE TABLE g24.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.wap.enabled' = 'true', 'format-version' = '3')")
+    spark.sql("INSERT INTO g24.t SELECT id, concat('b', id) AS v FROM range(10)")
+    spark.conf.set("spark.wap.id", "jx")
+    try spark.sql("INSERT INTO g24.t SELECT id, concat('s', id) AS v FROM range(10, 20)")
+    finally spark.conf.unset("spark.wap.id")
+    // a concurrent published append between staging and publish: its
+    // row-id range was claimed through the same cursor, so re-applied
+    // staged files cannot collide with it
+    spark.sql("INSERT INTO g24.t SELECT id, concat('c', id) AS v FROM range(20, 30)")
+    val stagedId = spark.sql(
+      "SELECT snapshot_id FROM g24.t.snapshots WHERE summary['wap.id'] = 'jx'")
+      .head.getLong(0)
+    spark.sql(s"CALL g24.system.cherrypick_snapshot('t', $stagedId)")
+
+    val withIds = IceRead.tableWithRowIds(spark, cat, "t")
+      .select("id", "_row_id").collect()
+    assert(withIds.length == 30)
+    val ids = withIds.map(_.getLong(1))
+    assert(ids.distinct.length == 30,
+      s"row-id collision after cherry-pick: ${ids.sorted.mkString(",")}")
+  }
+
   test("SQL identifiers resolve case-insensitively against declared column casing") {
     val cat = freshCatalog("g15")
     spark.sql("CREATE TABLE g15.t (myKey BIGINT, myVal STRING) PARTITIONED BY (MYKEY)")

@@ -108,6 +108,24 @@ class TruncatePartitionSpec extends AnyFunSuite {
     assert(may(EqualTo(a, lit("zz")), marked))
   }
 
+  test("multibyte string truncate pruning stays byte/codepoint consistent") {
+    val schema = StructType(Seq(StructField("k", StringType)))
+    val a = AttributeReference("k", StringType)()
+    def lit(s: String) = Literal(UTF8String.fromString(s), StringType)
+    // full-width value of 2 CODE POINTS = 6 UTF-8 bytes
+    val f = truncEntry("日本")
+    def may(e: Expression) = ZonePrune.mayMatch(e, f, schema, Set.empty, "UTC", strFields)
+    assert(may(EqualTo(a, lit("日本語テスト"))))
+    assert(may(EqualTo(a, lit("日本"))))
+    assert(!may(EqualTo(a, lit("日中")))) // shares the first codepoint only
+    assert(!may(EqualTo(a, lit("english"))))
+    assert(may(StartsWith(a, lit("日"))) && may(StartsWith(a, lit("日本語"))))
+    assert(!may(StartsWith(a, lit("日中"))))
+    // range: the prefix interval sorts between its byte neighbors
+    assert(may(GreaterThan(a, lit("日本")))) // longer strings with the prefix exist
+    assert(!may(LessThan(a, lit("日本")))) // min attainable IS the stored prefix
+  }
+
   test("decimal truncate pruning uses unscaled-step intervals") {
     val dt = DecimalType(4, 2)
     val schema = StructType(Seq(StructField("k", dt)))
