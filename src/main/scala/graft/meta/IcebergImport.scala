@@ -114,8 +114,15 @@ object IcebergImport {
     * `*.metadata.json`) into `catalog` under `name`. Returns the
     * registered metadata. */
   def importIcebergMetadata(catalog: Catalog, name: String,
-      metadataJsonPath: String): TableMetadata = {
-    val j = JsonMethods.parse(MetaIO.readString(metadataJsonPath))
+      metadataJsonPath: String): TableMetadata =
+    importIcebergMetadataJson(catalog, name,
+      JsonMethods.parse(MetaIO.readString(metadataJsonPath)))
+
+  /** [[importIcebergMetadata]] over an already-parsed table-metadata
+    * document — what a REST catalog's LoadTableResult embeds
+    * ([[IcebergRestImport]]). */
+  def importIcebergMetadataJson(catalog: Catalog, name: String,
+      j: JValue): TableMetadata = {
     val fv = lng(j \ "format-version")
     require(fv == 2, s"importIcebergMetadata: format-version $fv not supported (v2 only)")
 
