@@ -1012,11 +1012,15 @@ object GraftSql {
         AttributeReference("branch_updated", StringType)(),
         AttributeReference("previous_ref", LongType)(),
         AttributeReference("updated_ref", LongType)())
+      case "attach_iceberg" | "attach_iceberg_rest" => Seq(
+        AttributeReference("table_name", StringType)(),
+        AttributeReference("snapshot_id", LongType)(),
+        AttributeReference("data_files", LongType)())
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.system.$other (supported: " +
           "rewrite_data_files, rewrite_position_delete_files, expire_snapshots, " +
           "remove_orphan_files, rollback_to_snapshot, cherrypick_snapshot, " +
-          "set_current_snapshot, fast_forward)")
+          "set_current_snapshot, fast_forward, attach_iceberg, attach_iceberg_rest)")
     }
 
     private def named(name: String): Option[Any] =
@@ -1103,6 +1107,32 @@ object GraftSql {
               "fast_forward: pass (table, branch, to)"))
           val (prev, head) = IceWrite.fastForward(cat, table, branch, to)
           Seq(Row(branch, prev.getOrElse(-1L), head))
+
+        // ---- onboarding procedures: register FOREIGN Iceberg tables
+        // (metadata-only; data stays in place) ----
+        case "attach_iceberg" => // (table, metadata_json_path)
+          val path = named("metadata_location").map(_.toString)
+            .orElse(args.collect { case (None, v) => v }.drop(1).headOption.map(_.toString))
+            .getOrElse(throw new IllegalArgumentException(
+              "attach_iceberg: pass (table, metadata_json_path)"))
+          val m = IcebergImport.importIcebergMetadata(cat, table, path)
+          Seq(Row(table, m.currentSnapshotId.getOrElse(-1L),
+            m.currentSnapshot.map(_.manifest.count(_.content == FileContent.Data).toLong)
+              .getOrElse(0L)))
+        case "attach_iceberg_rest" => // (table, uri, namespace, source_table)
+          val pos = args.collect { case (None, v) => v }.drop(1).map(_.toString)
+          def argOf(n: String, i: Int) = named(n).map(_.toString)
+            .orElse(pos.drop(i).headOption).getOrElse(throw new IllegalArgumentException(
+              "attach_iceberg_rest: pass (table, uri, namespace, source_table " +
+                "[, token => '...'])"))
+          val m = IcebergRestImport.importTable(cat, table,
+            uri = argOf("uri", 0),
+            namespace = argOf("namespace", 1).split('.').toSeq,
+            table = argOf("source_table", 2),
+            authToken = named("token").map(_.toString))
+          Seq(Row(table, m.currentSnapshotId.getOrElse(-1L),
+            m.currentSnapshot.map(_.manifest.count(_.content == FileContent.Data).toLong)
+              .getOrElse(0L)))
       }
     }
 

@@ -55,6 +55,33 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("SQL onboarding: CALL attach_iceberg / attach_iceberg_rest") {
+    val srcCat = freshCatalog()
+    IceWrite.create(spark, srcCat, "orders",
+      (1L to 60L).map(i => (i, s"c${i % 5}")).toDF("o_id", "o_cust"))
+    val jsonPath = IcebergExport.exportIcebergMetadata(srcCat, "orders")
+    val srv = new IcebergRestServe(srcCat, namespace = "wh", prefix = "p1",
+      bearerToken = Some("tk"))
+    try {
+      val dst = freshCatalog()
+      GraftSql.register("onb", dst)
+      try {
+        // file-path attach
+        val r1 = spark.sql(s"CALL onb.system.attach_iceberg('o1', '$jsonPath')").head
+        assert(r1.getString(0) == "o1" && r1.getLong(2) > 0L)
+        assert(spark.sql("SELECT count(*) AS n FROM onb.o1").head.getLong(0) == 60L)
+        // REST attach with named token arg
+        val r2 = spark.sql("CALL onb.system.attach_iceberg_rest('o2', " +
+          s"'${srv.uri}', 'wh', 'orders', token => 'tk')").head
+        assert(r2.getString(0) == "o2")
+        assert(spark.sql("SELECT count(*) AS n FROM onb.o2").head.getLong(0) == 60L)
+        // the attached tables are full graft tables: DML works
+        spark.sql("DELETE FROM onb.o2 WHERE o_id <= 10")
+        assert(spark.sql("SELECT count(*) AS n FROM onb.o2").head.getLong(0) == 50L)
+      } finally GraftSql.unregister("onb")
+    } finally srv.stop()
+  }
+
   test("listing endpoints, auth, write refusal, v3 refusal") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "t1", (1L to 5L).map(i => (i, i)).toDF("a", "b"))
