@@ -666,6 +666,39 @@ object OpsQueries {
         .withColumn("pre_publish_rows", lit(prePublishRows))
     }),
 
+    // ICEBERG REST CATALOG LOOP as an oracle-checked query: supplier
+    // lands in a graft table with MOR deletes, is SERVED over the public
+    // Iceberg REST read surface (IcebergRestServe), attached back through
+    // the spec client into a second catalog, and read with a filter. The
+    // in-query require proves the attach pruned files on the foreign
+    // table (imported zone maps, zero footer reads); the oracle replays
+    // the surviving rows relationally. This is the switch-engines path: a
+    // spec client loads graft tables, graft loads REST-served tables.
+    "q_rest_loop" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, IcebergRestImport, IcebergRestServe, LocalCatalog}
+      val src = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-rest-src").toString)
+      val base = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      // two RANGE-disjoint files so the imported bounds can discriminate
+      val cut = base.agg(max(col("s_suppkey"))).head.getLong(0) / 2
+      IceWrite.create(s, src, "t_rest", base.filter(col("s_suppkey") <= cut))
+      IceWrite.append(s, src, "t_rest", base.filter(col("s_suppkey") > cut))
+      IceWrite.deleteWhere(s, src, "t_rest", col("s_suppkey") % 9 === 0)
+      val srv = new IcebergRestServe(src, namespace = "wh", prefix = "p")
+      try {
+        val dst = LocalCatalog(
+          java.nio.file.Files.createTempDirectory("q-rest-dst").toString)
+        IcebergRestImport.importTable(dst, "t_back", srv.uri, Seq("wh"), "t_rest")
+        val q = IceRead.table(s, dst, "t_back")
+          .filter(col("s_suppkey") <= cut)
+        q.collect()
+        val (total, kept) = graft.exec.GraftScan.pruneStats(q)
+        require(total >= 2 && kept < total,
+          s"attached table did not prune via imported bounds: $kept of $total")
+        q
+      } finally srv.stop()
+    }),
+
     // NDV STATISTICS INTEROP as an oracle-checked query: nation lands in
     // a graft table, per-column theta sketches ride the Iceberg export as
     // Puffin apache-datasketches-theta-v1 blobs (the statistics list
@@ -3187,6 +3220,11 @@ object OpsQueries {
         |SELECT f.*,
         |       (SELECT CAST(count(*) AS BIGINT) FROM base) AS pre_publish_rows
         |FROM final f""".stripMargin,
+
+    "q_rest_loop" ->
+      """WITH cut AS (SELECT CAST(floor(max(s_suppkey) / 2) AS BIGINT) AS c FROM supplier)
+        |SELECT s_suppkey, s_name FROM supplier, cut
+        |WHERE s_suppkey % 9 <> 0 AND s_suppkey <= c""".stripMargin,
 
     "q_ndv_stats" ->
       """SELECT 'n_name' AS col_name, CAST(count(DISTINCT n_name) AS BIGINT) AS ndv FROM nation
