@@ -244,6 +244,40 @@ object GraftSql {
           AlterCommand(cat, t, AlterOp.UnsetProps(up.propertyKeys)): LogicalPlan
         }.getOrElse(up)
 
+      case sct: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable => sct.child match {
+        case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+            if idTarget(ut.multipartIdentifier).isDefined =>
+          val (catName, t) = idTarget(ut.multipartIdentifier).get
+          ShowCreateCommand(catName, t, sct.output)
+        case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if idTarget(ut.multipartIdentifier).isDefined =>
+          val (catName, t) = idTarget(ut.multipartIdentifier).get
+          ShowCreateCommand(catName, t, sct.output)
+        case _ => sct
+      }
+
+      case at: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable => at.child match {
+        case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+            if idTarget(ut.multipartIdentifier).isDefined =>
+          val (catName, t) = idTarget(ut.multipartIdentifier).get
+          require(at.partitionSpec.isEmpty,
+            s"ANALYZE TABLE $catName.$t: per-partition statistics are not " +
+              "supported — run the table-level form")
+          AnalyzeCommand(catName, t, at.noScan)
+        case _ => at
+      }
+
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn => ac.child match {
+        case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+            if idTarget(ut.multipartIdentifier).isDefined =>
+          val (catName, t) = idTarget(ut.multipartIdentifier).get
+          require(!ac.allColumns || ac.columnNames.isEmpty,
+            s"ANALYZE $catName.$t: pass FOR COLUMNS c1, c2 or FOR ALL COLUMNS")
+          AnalyzeColumnsCommand(catName, t,
+            if (ac.allColumns) Nil else ac.columnNames.getOrElse(Nil))
+        case _ => ac
+      }
+
       case dr: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation => dr.relation match {
         case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
             if idTarget(tv.multipartIdentifier).isDefined =>
@@ -620,13 +654,14 @@ object GraftSql {
         throw new IllegalStateException(s"graft catalog $catalogName vanished between " +
           "analysis and execution"))
       val meta = cat.loadTable(table)
-      val target: Seq[(String, Option[DataType], Boolean)] =
+      val target: Seq[(String, Option[DataType], Boolean, Option[String])] =
         if (meta.schema.nonEmpty)
           meta.schema.map(f =>
-            (f.name, if (f.isTyped) Some(f.sparkType) else None, f.nullable))
+            (f.name, if (f.isTyped) Some(f.sparkType) else None, f.nullable,
+              f.initialDefault))
         else // legacy untyped table: names+types from the live read schema
           IceRead.table(spark, cat, table).schema.fields.toSeq
-            .map(f => (f.name, Some(f.dataType), f.nullable))
+            .map(f => (f.name, Some(f.dataType), f.nullable, None))
 
       val ctx = s"INSERT into $catalogName.$table"
       val targetNames = target.map(_._1)
@@ -651,16 +686,21 @@ object GraftSql {
           s"$ctx: column $n is provided more than once"))
       val byTarget = provided.toMap
 
-      val out = src.select(target.map { case (name, dt, nullable) =>
+      val out = src.select(target.map { case (name, dt, nullable, dflt) =>
         def typedCol(c: org.apache.spark.sql.Column) = dt.fold(c)(c.cast)
         static.get(name) match {
           case Some(v) => typedCol(lit(v)).as(name)
           case None => byTarget.get(name) match {
             case Some(c) => typedCol(c).as(name)
-            case None =>
-              require(nullable, s"INSERT into $catalogName.$table: non-nullable " +
-                s"column $name has no value")
-              typedCol(lit(null)).as(name)
+            case None => dflt match {
+              // omitted DEFAULT-carrying columns take their default (SQL
+              // semantics), not NULL
+              case Some(sql) => typedCol(org.apache.spark.sql.functions.expr(sql)).as(name)
+              case None =>
+                require(nullable, s"INSERT into $catalogName.$table: non-nullable " +
+                  s"column $name has no value")
+                typedCol(lit(null)).as(name)
+            }
           }
         }
       }: _*)
@@ -975,6 +1015,70 @@ object GraftSql {
         Row("Properties", meta.properties.toSeq.sorted
           .map { case (k, v) => s"$k=$v" }.mkString(", "), null))
       cols ++ info
+    }
+  }
+
+  /** `SHOW CREATE TABLE cat.t`: reconstructs runnable CREATE DDL from
+    * table metadata — schema with NOT NULL, PARTITIONED BY in transform
+    * syntax, TBLPROPERTIES incl. format-version. */
+  final case class ShowCreateCommand(catalogName: String, table: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val meta = catalogOrDie(spark, catalogName).loadTable(table)
+      require(meta.schema.nonEmpty && meta.schema.forall(_.isTyped),
+        s"SHOW CREATE TABLE $catalogName.$table: untyped legacy table has no DDL form")
+      val cols = meta.schema.map { f =>
+        val nn = if (f.nullable) "" else " NOT NULL"
+        val dflt = f.initialDefault.map(d => s" DEFAULT $d").getOrElse("")
+        s"  ${f.name} ${f.dataType}$nn$dflt"
+      }.mkString(",\n")
+      def transformSql(p: PartitionField): String =
+        if (p.isIdentity) p.column
+        else (p.bucketN, p.truncateW) match {
+          case (Some(n), _) => s"bucket($n, ${p.column})"
+          case (_, Some(w)) => s"truncate($w, ${p.column})"
+          case _ => s"${p.transform}s(${p.column})" // year/month/day/hour -> days() form
+        }
+      val part =
+        if (meta.partitionSpec.isEmpty) ""
+        else meta.partitionSpec.map(transformSql).mkString("\nPARTITIONED BY (", ", ", ")")
+      val props = (meta.properties + ("format-version" -> meta.formatVersion.toString))
+        .toSeq.sorted.map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+        .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+      Seq(Row(s"CREATE TABLE $catalogName.$table (\n$cols)$part$props"))
+    }
+  }
+
+  /** `ANALYZE TABLE cat.t COMPUTE STATISTICS [NOSCAN]` -> persisted
+    * `stats.*` table properties. NOSCAN records only the row count
+    * (answered from the manifest when the table is deleteless); the full
+    * form runs [[graft.compaction.Maintenance.analyzeTable]]. */
+  final case class AnalyzeCommand(catalogName: String, table: String,
+      noScan: Boolean) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      if (noScan) {
+        val meta = cat.loadTable(table)
+        val snap = meta.currentSnapshotId.getOrElse(
+          throw new IllegalStateException(s"table $table has no snapshot"))
+        val rows = IceRead.tableAt(spark, cat, table, snap).count()
+        SchemaEvolution.updateProperties(cat, table, Map(
+          "stats.rows" -> rows.toString, "stats.snapshot-id" -> snap.toString))
+      } else graft.compaction.Maintenance.analyzeTable(spark, cat, table)
+      Seq.empty
+    }
+  }
+
+  /** `ANALYZE TABLE cat.t COMPUTE STATISTICS FOR [ALL] COLUMNS ...`. */
+  final case class AnalyzeColumnsCommand(catalogName: String, table: String,
+      cols: Seq[String]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      val resolved = cols.map(c =>
+        resolveColumn(spark, c, columnsOf(spark, cat, table),
+          s"ANALYZE TABLE $catalogName.$table"))
+      graft.compaction.Maintenance.analyzeTable(spark, cat, table, resolved)
+      Seq.empty
     }
   }
 

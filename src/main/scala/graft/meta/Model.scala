@@ -55,7 +55,15 @@ object SchemaField {
   /** Typed schema from a Spark schema, ids assigned 1..n. */
   def fromStruct(st: org.apache.spark.sql.types.StructType): Seq[SchemaField] =
     st.fields.toSeq.zipWithIndex.map { case (f, i) =>
-      SchemaField(i + 1, f.name, f.dataType.sql, f.nullable)
+      // CREATE-time column DEFAULTs ride StructField metadata (Spark's
+      // CURRENT_DEFAULT carries the original SQL literal) -> the same
+      // initial-default slot ALTER ADD COLUMNS fills, used both for
+      // file-absent reads and the INSERT missing-column fill
+      val dflt =
+        if (f.metadata.contains("CURRENT_DEFAULT"))
+          Some(f.metadata.getString("CURRENT_DEFAULT"))
+        else None
+      SchemaField(i + 1, f.name, f.dataType.sql, f.nullable, initialDefault = dflt)
     }
 
   /** Untyped (name-addressed) schema for legacy tables, ids positional. */

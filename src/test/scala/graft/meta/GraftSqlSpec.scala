@@ -537,6 +537,50 @@ class GraftSqlSpec extends AnyFunSuite {
       s"row-id collision after cherry-pick: ${ids.sorted.mkString(",")}")
   }
 
+  test("SHOW CREATE TABLE emits runnable DDL; ANALYZE persists stats properties") {
+    val cat = freshCatalog("g25")
+    spark.sql("CREATE TABLE g25.t (id BIGINT NOT NULL, name STRING, ts TIMESTAMP, " +
+      "tag STRING DEFAULT 'none') " +
+      "PARTITIONED BY (bucket(4, id), truncate(2, name), days(ts)) " +
+      "TBLPROPERTIES ('team' = 'ops')")
+    val ddl = spark.sql("SHOW CREATE TABLE g25.t").head.getString(0)
+    assert(ddl.contains("id BIGINT NOT NULL") && ddl.contains("DEFAULT 'none'"))
+    assert(ddl.contains("bucket(4, id)") && ddl.contains("truncate(2, name)") &&
+      ddl.contains("days(ts)"))
+    assert(ddl.contains("'team' = 'ops'"))
+    // the DDL is RUNNABLE: re-executing it in a fresh catalog reproduces
+    // schema + spec (swap the catalog name in the statement)
+    val cat2 = freshCatalog("g25b")
+    spark.sql(ddl.replace("CREATE TABLE g25.t", "CREATE TABLE g25b.t"))
+    val (a, b) = (cat.loadTable("t"), cat2.loadTable("t"))
+    assert(a.schema.map(f => (f.name, f.dataType, f.nullable, f.initialDefault)) ==
+      b.schema.map(f => (f.name, f.dataType, f.nullable, f.initialDefault)))
+    assert(a.partitionSpec == b.partitionSpec)
+    assert(b.properties.get("team").contains("ops"))
+
+    // a column-list INSERT omitting the DEFAULT column fills the default,
+    // not NULL (CREATE-time defaults now flow into initial-default)
+    spark.sql("INSERT INTO g25.t (id, name, ts) SELECT id, concat('n', id % 7) AS name, " +
+      "TIMESTAMP'2024-03-01 00:00:00' AS ts FROM range(50)")
+    assert(spark.sql("SELECT count(*) AS n FROM g25.t WHERE tag = 'none'")
+      .head.getLong(0) == 50L)
+
+    // ANALYZE: NOSCAN records rows only; full + FOR COLUMNS record ndv/min/max
+    spark.sql("ANALYZE TABLE g25.t COMPUTE STATISTICS NOSCAN")
+    val p1 = cat.loadTable("t").properties
+    assert(p1.get("stats.rows").contains("50") && p1.contains("stats.snapshot-id"))
+    assert(!p1.contains("stats.id.ndv"))
+    spark.sql("ANALYZE TABLE g25.t COMPUTE STATISTICS FOR COLUMNS id, name")
+    val p2 = cat.loadTable("t").properties
+    // analyzeTable's ndv is an HLL ESTIMATE — assert the band, not equality
+    val idNdv = p2("stats.id.ndv").toLong
+    assert(idNdv >= 45 && idNdv <= 55, s"ndv(id)=$idNdv for 50 distinct")
+    val nameNdv = p2("stats.name.ndv").toLong
+    assert(nameNdv >= 6 && nameNdv <= 8, s"ndv(name)=$nameNdv for 7 distinct")
+    spark.sql("ANALYZE TABLE g25.t COMPUTE STATISTICS")
+    assert(cat.loadTable("t").properties.contains("stats.ts.nulls"))
+  }
+
   test("SQL identifiers resolve case-insensitively against declared column casing") {
     val cat = freshCatalog("g15")
     spark.sql("CREATE TABLE g15.t (myKey BIGINT, myVal STRING) PARTITIONED BY (MYKEY)")
