@@ -13,8 +13,8 @@ object PlanAudit {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    println("| query | exchanges | broadcast joins | sort-merge joins | pushed filters |")
-    println("|---|---|---|---|---|")
+    println("| query | exchanges | broadcast joins | sort-merge joins | pushed filters | codegen spans |")
+    println("|---|---|---|---|---|---|")
     for (q <- Seq("q10_projection","q14_pos_anti_join","q15_eq_anti_join_seq",
         "q16_chained_deletes","q1_agg","q3_join_agg","q5_star_join","q6_filter_agg",
         "q_outer_join","q_semi_join","q_window_topk","q_asof_join","q_rollup",
@@ -52,13 +52,39 @@ object PlanAudit {
         "q_prune_scan","q_meta_count","q_dpp_star",
         "q_truncate_prune","q_sql_spec_evolve","q_meta_group","q_wap_sql",
         "q_ndv_stats")) {
-      val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
-      val nEx = "Exchange".r.findAllIn(plan).length
-      val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
-      val nSmj = "SortMergeJoin".r.findAllIn(plan).length
-      val pushed = plan.linesIterator.count(l =>
-        l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
-      println(s"| $q | $nEx | $nBhj | $nSmj | $pushed scans |")
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      // materialize THIS df (count() would execute a different plan):
+      // AQE final plans + codegen stages exist only post-execution
+      df.collect()
+      // audit the FINAL executed trees — AdaptiveSparkPlanExec.toString
+      // prints initial AND final plans (double counts), and codegen/
+      // exchange nodes hide inside query stages
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def nodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case qs: QueryStageExec => qs +: nodes(qs.plan)
+          case n => Seq(n)
+        }.flatten
+      val ns = nodes(df.queryExecution.executedPlan)
+      val nEx = ns.count {
+        case _: org.apache.spark.sql.execution.exchange.Exchange => true
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+        case _ => false
+      }
+      val nBhj = ns.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      val nSmj = ns.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+      val pushed = ns.count {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata.get("PushedFilters").exists(v => v.nonEmpty && v != "[]")
+        case _ => false
+      }
+      val nWsc = ns.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.WholeStageCodegenExec])
+      println(s"| $q | $nEx | $nBhj | $nSmj | $pushed scans | $nWsc |")
     }
     spark.stop()
   }

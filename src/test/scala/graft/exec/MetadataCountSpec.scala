@@ -154,6 +154,13 @@ class MetadataCountSpec extends AnyFunSuite {
       assert(sq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
         Map("g0" -> 20L, "g1" -> 20L, "g2" -> 20L))
       assert(!hasScan(sq))
+
+      // SELECT DISTINCT <partition col> is the same Aggregate shape —
+      // the partition-value listing answers from the manifest too
+      val dq = spark.sql("SELECT DISTINCT grp FROM mgrp.gt")
+      assert(dq.as[String].collect().sorted.toSeq == Seq("g0", "g1", "g2"))
+      assert(!hasScan(dq), "DISTINCT partition col must be metadata-only:\n" +
+        dq.queryExecution.executedPlan)
     } finally graft.meta.GraftSql.unregister("mgrp")
   }
 
