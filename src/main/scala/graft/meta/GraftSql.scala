@@ -914,6 +914,12 @@ object GraftSql {
     final case class ReplacePartField(from: PartitionField, to: PartitionField) extends AlterOp
     /** sort-order replacement (`WRITE ORDERED BY` / `WRITE UNORDERED`). */
     final case class WriteOrdered(order: Seq[SortField]) extends AlterOp
+    /** `CREATE BRANCH/TAG [IF NOT EXISTS] ref [AS OF VERSION v]`. */
+    final case class CreateRef(ref: String, isBranch: Boolean,
+        ifNotExists: Boolean, asOfVersion: Option[Long]) extends AlterOp
+    /** `DROP BRANCH/TAG [IF EXISTS] ref`. */
+    final case class DropRef(ref: String, isBranch: Boolean,
+        ifExists: Boolean) extends AlterOp
   }
 
   /** `ALTER TABLE cat.t ...` -> [[SchemaEvolution]] (metadata-only CAS
@@ -978,6 +984,25 @@ object GraftSql {
             else s.copy(column = res(s.column))
           }
           SchemaEvolution.updateSortOrder(cat, table, resolved)
+
+        case AlterOp.CreateRef(ref, isBranch, ifNotExists, asOf) =>
+          val meta = cat.loadTable(table)
+          val exists = if (isBranch) meta.refs.contains(ref) else meta.tags.contains(ref)
+          if (exists && ifNotExists) () // no-op by request
+          else if (isBranch) asOf match {
+            case Some(v) => IceWrite.createBranchAt(cat, table, ref, v)
+            case None => IceWrite.createBranch(cat, table, ref)
+          } else {
+            val at = asOf.orElse(meta.currentSnapshotId).getOrElse(
+              throw new IllegalStateException(s"table $table has no snapshot to tag"))
+            IceWrite.createTag(cat, table, ref, at)
+          }
+        case AlterOp.DropRef(ref, isBranch, ifExists) =>
+          val meta = cat.loadTable(table)
+          val exists = if (isBranch) meta.refs.contains(ref) else meta.tags.contains(ref)
+          if (!exists && ifExists) () // tolerated by request
+          else if (isBranch) IceWrite.dropBranch(cat, table, ref)
+          else IceWrite.dropTag(cat, table, ref)
       }
       Seq.empty
     }

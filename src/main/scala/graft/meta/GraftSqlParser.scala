@@ -59,6 +59,11 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
   private val UnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+  private val CreateRefRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+CREATE\s+(BRANCH|TAG)\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?(\S+?)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
+  private val DropRefRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+(BRANCH|TAG)\s+(IF\s+EXISTS\s+)?(\S+?)\s*;?\s*$""".r
 
   /** Some(plan) when the statement is extension grammar targeting a
     * registered graft catalog; None delegates to Spark's parser. */
@@ -78,6 +83,17 @@ object GraftSqlParser {
       }
       case UnorderedRe(ident) => target(spark, ident).map { case (cat, t) =>
         AlterCommand(cat, t, AlterOp.WriteOrdered(Nil))
+      }
+      case CreateRefRe(ident, kind, ifNot, ref, asOf) => target(spark, ident).map {
+        case (cat, t) => AlterCommand(cat, t, AlterOp.CreateRef(
+          strip(ref), isBranch = kind.equalsIgnoreCase("BRANCH"),
+          ifNotExists = ifNot != null,
+          asOfVersion = Option(asOf).map(_.toLong)))
+      }
+      case DropRefRe(ident, kind, ifExists, ref) => target(spark, ident).map {
+        case (cat, t) => AlterCommand(cat, t, AlterOp.DropRef(
+          strip(ref), isBranch = kind.equalsIgnoreCase("BRANCH"),
+          ifExists = ifExists != null))
       }
       case _ => None
     }

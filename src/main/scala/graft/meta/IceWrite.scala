@@ -909,6 +909,35 @@ object IceWrite {
     sys.error("unreachable")
   }
 
+  /** Creates (or resets) a branch ref at an EXPLICIT snapshot (SQL's
+    * `CREATE BRANCH b AS OF VERSION v`). */
+  def createBranchAt(catalog: Catalog, name: String, branch: String,
+      snapshotId: Long): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(name)
+      require(meta.snapshotById(snapshotId).nonEmpty,
+        s"table $name has no snapshot $snapshotId")
+      try return catalog.commit(meta, meta.copy(refs = meta.refs + (branch -> snapshotId)))
+      catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Drops a branch ref. The snapshots it pointed at stay time-travelable
+    * until expiry; `main` is the table identity and cannot drop. */
+  def dropBranch(catalog: Catalog, name: String, branch: String): TableMetadata = {
+    require(branch != "main", "cannot drop the main branch")
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTable(name)
+      require(meta.refs.contains(branch), s"no such branch: $branch")
+      try return catalog.commit(meta, meta.copy(refs = meta.refs - branch))
+      catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
+
   /** Rolls a branch back to an ANCESTOR snapshot (Iceberg's
     * rollback_to_snapshot): moves the ref — and for main, the current
     * snapshot pointer — without writing or deleting anything, so the

@@ -512,6 +512,44 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM g23.t").head.getLong(0) == 8L)
   }
 
+  test("branch/tag lifecycle DDL: CREATE/DROP BRANCH and TAG, AS OF VERSION") {
+    val cat = freshCatalog("g26")
+    spark.sql("CREATE TABLE g26.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g26.t VALUES (1, 'a')")
+    val v1 = cat.loadTable("t").currentSnapshotId.get
+    spark.sql("INSERT INTO g26.t VALUES (2, 'b')")
+
+    // tag the FIRST version, branch from the head, branch at an explicit version
+    spark.sql(s"ALTER TABLE g26.t CREATE TAG v1_release AS OF VERSION $v1")
+    spark.sql("ALTER TABLE g26.t CREATE BRANCH audit")
+    spark.sql(s"ALTER TABLE g26.t CREATE BRANCH hotfix AS OF VERSION $v1")
+    val meta = cat.loadTable("t")
+    assert(meta.tags.get("v1_release").contains(v1))
+    assert(meta.refs.get("hotfix").contains(v1))
+    assert(meta.refs("audit") == meta.currentSnapshotId.get)
+    assert(spark.sql("SELECT count(*) AS n FROM g26.t.branch_hotfix").head.getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM g26.t.tag_v1_release").head.getLong(0) == 1L)
+
+    // IF NOT EXISTS no-ops on an existing ref; plain re-create of a TAG refuses
+    spark.sql("ALTER TABLE g26.t CREATE BRANCH IF NOT EXISTS audit")
+    intercept[Exception](spark.sql("ALTER TABLE g26.t CREATE TAG v1_release"))
+
+    // the SQL-only WAP loop end to end: stage on the branch, publish, drop
+    spark.conf.set("spark.wap.branch", "audit")
+    try spark.sql("INSERT INTO g26.t VALUES (3, 'staged')")
+    finally spark.conf.unset("spark.wap.branch")
+    assert(spark.sql("SELECT count(*) AS n FROM g26.t").head.getLong(0) == 2L)
+    spark.sql("CALL g26.system.fast_forward('t', 'main', 'audit')")
+    assert(spark.sql("SELECT count(*) AS n FROM g26.t").head.getLong(0) == 3L)
+    spark.sql("ALTER TABLE g26.t DROP BRANCH audit")
+    spark.sql("ALTER TABLE g26.t DROP BRANCH IF EXISTS audit") // tolerated
+    intercept[Exception](spark.sql("ALTER TABLE g26.t DROP BRANCH audit"))
+    intercept[Exception](spark.sql("ALTER TABLE g26.t DROP BRANCH main"))
+    spark.sql("ALTER TABLE g26.t DROP TAG v1_release")
+    assert(cat.loadTable("t").tags.isEmpty)
+    assert(!cat.loadTable("t").refs.contains("audit"))
+  }
+
   test("WAP staging preserves v3 row-lineage uniqueness across cherry-pick") {
     val cat = freshCatalog("g24")
     spark.sql("CREATE TABLE g24.t (id BIGINT, v STRING) " +
