@@ -278,6 +278,18 @@ object GraftSql {
         case _ => ac
       }
 
+      case stp: org.apache.spark.sql.catalyst.plans.logical.ShowTableProperties => stp.table match {
+        case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+            if idTarget(ut.multipartIdentifier).isDefined =>
+          val (catName, t) = idTarget(ut.multipartIdentifier).get
+          ShowPropertiesCommand(catName, t, stp.propertyKey, stp.output)
+        case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if idTarget(ut.multipartIdentifier).isDefined =>
+          val (catName, t) = idTarget(ut.multipartIdentifier).get
+          ShowPropertiesCommand(catName, t, stp.propertyKey, stp.output)
+        case _ => stp
+      }
+
       case dr: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation => dr.relation match {
         case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
             if idTarget(tv.multipartIdentifier).isDefined =>
@@ -1071,6 +1083,22 @@ object GraftSql {
         .toSeq.sorted.map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
         .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
       Seq(Row(s"CREATE TABLE $catalogName.$table (\n$cols)$part$props"))
+    }
+  }
+
+  /** `SHOW TBLPROPERTIES cat.t [('key')]` over the metadata properties
+    * map (format-version included, like DESCRIBE EXTENDED). */
+  final case class ShowPropertiesCommand(catalogName: String, table: String,
+      propertyKey: Option[String], override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val meta = catalogOrDie(spark, catalogName).loadTable(table)
+      val props = meta.properties + ("format-version" -> meta.formatVersion.toString)
+      propertyKey match {
+        case Some(k) => Seq(Row(k, props.getOrElse(k,
+          s"Table ${catalogName}.$table does not have property: $k")))
+        case None => props.toSeq.sorted.map { case (k, v) => Row(k, v) }
+      }
     }
   }
 

@@ -596,6 +596,12 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(a.partitionSpec == b.partitionSpec)
     assert(b.properties.get("team").contains("ops"))
 
+    // SHOW TBLPROPERTIES: full map + single-key form
+    val sp = spark.sql("SHOW TBLPROPERTIES g25.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sp.get("team").contains("ops") && sp.get("format-version").contains("2"))
+    assert(spark.sql("SHOW TBLPROPERTIES g25.t ('team')").head.getString(1) == "ops")
+
     // a column-list INSERT omitting the DEFAULT column fills the default,
     // not NULL (CREATE-time defaults now flow into initial-default)
     spark.sql("INSERT INTO g25.t (id, name, ts) SELECT id, concat('n', id % 7) AS name, " +
