@@ -1173,11 +1173,14 @@ object GraftSql {
         AttributeReference("table_name", StringType)(),
         AttributeReference("snapshot_id", LongType)(),
         AttributeReference("data_files", LongType)())
+      case "create_changelog_view" => Seq(
+        AttributeReference("changelog_view", StringType)())
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.system.$other (supported: " +
           "rewrite_data_files, rewrite_position_delete_files, expire_snapshots, " +
           "remove_orphan_files, rollback_to_snapshot, cherrypick_snapshot, " +
-          "set_current_snapshot, fast_forward, attach_iceberg, attach_iceberg_rest)")
+          "set_current_snapshot, fast_forward, attach_iceberg, attach_iceberg_rest, " +
+          "create_changelog_view)")
     }
 
     private def named(name: String): Option[Any] =
@@ -1290,6 +1293,25 @@ object GraftSql {
           Seq(Row(table, m.currentSnapshotId.getOrElse(-1L),
             m.currentSnapshot.map(_.manifest.count(_.content == FileContent.Data).toLong)
               .getOrElse(0L)))
+
+        // Iceberg's create_changelog_view: registers the changelog of
+        // (start-snapshot, current] as a queryable temp view — SQL-only
+        // CDC consumption (Changelog.changesBetween does the work;
+        // compaction frames emit nothing, as ever)
+        case "create_changelog_view" =>
+          val meta = cat.loadTable(table)
+          val endId = meta.currentSnapshotId.getOrElse(
+            throw new IllegalStateException(s"table $table has no snapshot"))
+          val startId = longArg("start_snapshot_id").getOrElse(0L)
+          val viewName = named("changelog_view").map(_.toString)
+            .getOrElse(s"${table}_changes")
+          // the changelog frame may be built on a field-id-scoped session
+          // CLONE; re-bind its analyzed plan to the CALLING session or the
+          // temp view registers in the clone's catalog and vanishes
+          val changes = Changelog.changesBetween(spark, cat, table, startId, endId)
+          ColumnBridge.ofRows(spark, changes.queryExecution.analyzed)
+            .createOrReplaceTempView(viewName)
+          Seq(Row(viewName))
       }
     }
 

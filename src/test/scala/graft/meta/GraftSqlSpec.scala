@@ -512,6 +512,39 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM g23.t").head.getLong(0) == 8L)
   }
 
+  test("CALL create_changelog_view: SQL-only CDC consumption") {
+    val cat = freshCatalog("g27")
+    spark.sql("CREATE TABLE g27.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g27.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val v1 = cat.loadTable("t").currentSnapshotId.get
+    spark.sql("DELETE FROM g27.t WHERE id = 2")
+    spark.sql("INSERT INTO g27.t VALUES (4, 'd')")
+
+    // full history: 3 inserts, 1 delete, 1 insert
+    val view = spark.sql("CALL g27.system.create_changelog_view('t')").head.getString(0)
+    assert(view == "t_changes")
+    assert(spark.catalog.tableExists("t_changes"),
+      "temp view not registered in the calling session")
+    val all = spark.sql(s"SELECT _change_type, id FROM $view ORDER BY id, _change_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all == Seq(("insert", 1L), ("delete", 2L), ("insert", 2L),
+      ("insert", 3L), ("insert", 4L)), s"unexpected changelog: $all")
+
+    // windowed: only the changes after v1
+    spark.sql("CALL g27.system.create_changelog_view('t', " +
+      s"start_snapshot_id => $v1, changelog_view => 'recent')")
+    val recent = spark.sql("SELECT _change_type, id FROM recent ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(recent == Seq(("delete", 2L), ("insert", 4L)), s"unexpected window: $recent")
+
+    // compaction emits nothing into a fresh view over the same window
+    spark.sql("CALL g27.system.rewrite_data_files('t')")
+    spark.sql("CALL g27.system.create_changelog_view('t', " +
+      s"start_snapshot_id => $v1, changelog_view => 'recent2')")
+    assert(spark.sql("SELECT count(*) AS n FROM recent2").head.getLong(0) == 2L,
+      "compaction must be invisible to changelog consumers")
+  }
+
   test("branch/tag lifecycle DDL: CREATE/DROP BRANCH and TAG, AS OF VERSION") {
     val cat = freshCatalog("g26")
     spark.sql("CREATE TABLE g26.t (id BIGINT, v STRING)")
