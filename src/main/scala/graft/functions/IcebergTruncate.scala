@@ -36,6 +36,8 @@ object IcebergTruncateUtil {
   def truncDecimal(v: Decimal, w: Int, precision: Int, scale: Int): Decimal = {
     val unscaled = v.toJavaBigDecimal.unscaledValue
     val rem = unscaled.mod(java.math.BigInteger.valueOf(w.toLong)) // mod is non-negative
+    // precision here is the WIDENED result precision (source + 1): boundary
+    // negatives floor past the source range and must still fit
     Decimal(new java.math.BigDecimal(unscaled.subtract(rem), scale), precision, scale)
   }
 }
@@ -47,7 +49,14 @@ case class IcebergTruncate(child: Expression, width: Int) extends UnaryExpressio
 
   require(width > 0, s"truncate width must be positive, got $width")
 
-  override def dataType: DataType = child.dataType
+  // decimals widen precision by 1 (capped): flooring a boundary negative
+  // can need one more integer digit than the source declares (decimal(3,2)
+  // -9.99 truncate 100 -> -10.00), and the spec transform is total — the
+  // partition VALUE need not fit the column's declared precision
+  override def dataType: DataType = child.dataType match {
+    case d: DecimalType => DecimalType(math.min(d.precision + 1, 38), d.scale)
+    case t => t
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -64,7 +73,8 @@ case class IcebergTruncate(child: Expression, width: Int) extends UnaryExpressio
     case StringType => IcebergTruncateUtil.truncString(v.asInstanceOf[UTF8String], width)
     case BinaryType => IcebergTruncateUtil.truncBinary(v.asInstanceOf[Array[Byte]], width)
     case d: DecimalType =>
-      IcebergTruncateUtil.truncDecimal(v.asInstanceOf[Decimal], width, d.precision, d.scale)
+      IcebergTruncateUtil.truncDecimal(v.asInstanceOf[Decimal], width,
+        math.min(d.precision + 1, 38), d.scale)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -74,7 +84,8 @@ case class IcebergTruncate(child: Expression, width: Int) extends UnaryExpressio
       case LongType => c => s"$util.truncLong($c, $width)"
       case StringType => c => s"$util.truncString($c, $width)"
       case BinaryType => c => s"$util.truncBinary($c, $width)"
-      case d: DecimalType => c => s"$util.truncDecimal($c, $width, ${d.precision}, ${d.scale})"
+      case d: DecimalType =>
+        c => s"$util.truncDecimal($c, $width, ${math.min(d.precision + 1, 38)}, ${d.scale})"
     }
     defineCodeGen(ctx, ev, call)
   }

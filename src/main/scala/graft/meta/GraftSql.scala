@@ -1001,6 +1001,12 @@ object GraftSql {
           val meta = cat.loadTable(table)
           val exists = if (isBranch) meta.refs.contains(ref) else meta.tags.contains(ref)
           if (exists && ifNotExists) () // no-op by request
+          // createBranch/createBranchAt are create-or-reset primitives; an
+          // unqualified CREATE on an existing ref must refuse (Iceberg
+          // errors here), not silently move the ref to main's head
+          else if (exists) throw new IllegalArgumentException(
+            s"${if (isBranch) "branch" else "tag"} $ref already exists in $table " +
+              "(use IF NOT EXISTS to tolerate)")
           else if (isBranch) asOf match {
             case Some(v) => IceWrite.createBranchAt(cat, table, ref, v)
             case None => IceWrite.createBranch(cat, table, ref)

@@ -1081,6 +1081,12 @@ object IceWrite {
       val snap = meta.snapshotById(snapshotId).getOrElse(
         throw new IllegalArgumentException(s"table $name has no snapshot $snapshotId"))
       val parent = snap.parentId.flatMap(meta.snapshotById)
+      // if the parent was expired we cannot derive the added-file set: an
+      // empty parentKeys would make the whole staged manifest look "added"
+      // and re-apply files that may have since been compacted away
+      require(snap.parentId.isEmpty || parent.nonEmpty,
+        s"snapshot $snapshotId's parent ${snap.parentId.get} was expired — " +
+          "cannot derive its added files to cherry-pick")
       val parentKeys = parent.map(_.manifest.map(_.resolutionKey).toSet).getOrElse(Set.empty)
       val snapKeys = snap.manifest.map(_.resolutionKey).toSet
       require(parentKeys.subsetOf(snapKeys),

@@ -30,8 +30,11 @@ import org.json4s.jackson.JsonMethods
 final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     prefix: String = "graft", bearerToken: Option[String] = None, port: Int = 0) {
 
-  /** exported metadata JSON cached per (table, version). */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  /** exported metadata (file path, JSON content) cached per
+    * (table, version) — the path is served as `metadata-location`, so it
+    * must be the actual `*.metadata.json` file, not its directory. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (String, String)]()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -91,14 +94,23 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
 
   private def loadTableResult(table: String): (Int, String) = {
     val meta = catalog.loadTable(table)
-    val json =
-      try cache.computeIfAbsent((table, meta.version), _ =>
-        MetaIO.readString(IcebergExport.exportIcebergMetadata(catalog, table)))
+    val (jsonPath, json) =
+      try cache.computeIfAbsent((table, meta.version), _ => {
+        val p = IcebergExport.exportIcebergMetadata(catalog, table)
+        (p, MetaIO.readString(p))
+      })
       catch {
         // v3 features the v2 wire cannot carry: refuse with the reason
         // rather than serving wrong metadata
         case e: IllegalArgumentException => return err(e.getMessage, 409)
       }
-    200 -> s"""{"metadata-location":"${MetaIO.join(meta.location, "iceberg-metadata")}","metadata":$json,"config":{}}"""
+    // metadata-location is the exported *.metadata.json itself (spec
+    // clients that honor it over the embedded copy must land on a real
+    // file), and the whole response renders through json4s so paths with
+    // quotes/backslashes stay valid JSON
+    200 -> JsonMethods.compact(JsonMethods.render(
+      ("metadata-location" -> jsonPath) ~
+        ("metadata" -> JsonMethods.parse(json)) ~
+        ("config" -> JObject(Nil))))
   }
 }

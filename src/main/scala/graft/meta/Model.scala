@@ -59,12 +59,37 @@ object SchemaField {
       // CURRENT_DEFAULT carries the original SQL literal) -> the same
       // initial-default slot ALTER ADD COLUMNS fills, used both for
       // file-absent reads and the INSERT missing-column fill
+      // the initial-default slot doubles as Iceberg v3's initial-default
+      // and the EXISTS_DEFAULT read fill, both of which the spec requires
+      // to be a FIXED literal — fold the default expression now (so
+      // current_timestamp() can't make snapshot reads non-deterministic)
+      // and refuse non-foldable expressions at CREATE
       val dflt =
-        if (f.metadata.contains("CURRENT_DEFAULT"))
+        (if (f.metadata.contains("EXISTS_DEFAULT"))
+          Some(f.metadata.getString("EXISTS_DEFAULT"))
+        else if (f.metadata.contains("CURRENT_DEFAULT"))
           Some(f.metadata.getString("CURRENT_DEFAULT"))
-        else None
+        else None).map(foldDefault(f.name, _))
       SchemaField(i + 1, f.name, f.dataType.sql, f.nullable, initialDefault = dflt)
     }
+
+  /** Folds a column-DEFAULT SQL expression to a literal's SQL text, or
+    * throws for non-foldable expressions (current_timestamp() etc. —
+    * Iceberg's initial-default is a fixed literal, and a re-evaluated
+    * default would make file-absent snapshot reads non-deterministic). */
+  private def foldDefault(col: String, sql: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val folded =
+      try {
+        val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+        if (e.resolved && e.foldable) Some(Literal.create(e.eval(), e.dataType).sql)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    folded.getOrElse(throw new IllegalArgumentException(
+      s"column $col DEFAULT $sql is not a constant — defaults must fold to a " +
+        "literal at CREATE time (the initial-default fills file-absent reads and " +
+        "must be fixed at schema-change time, not re-evaluated per query)"))
+  }
 
   /** Untyped (name-addressed) schema for legacy tables, ids positional. */
   def fromNames(names: Seq[String]): Seq[SchemaField] =

@@ -566,6 +566,14 @@ class GraftSqlSpec extends AnyFunSuite {
     // IF NOT EXISTS no-ops on an existing ref; plain re-create of a TAG refuses
     spark.sql("ALTER TABLE g26.t CREATE BRANCH IF NOT EXISTS audit")
     intercept[Exception](spark.sql("ALTER TABLE g26.t CREATE TAG v1_release"))
+    // plain re-create of a BRANCH refuses too — and must NOT silently
+    // reset the branch to main's head (createBranch is create-or-reset
+    // underneath; the DDL front door guards it)
+    intercept[Exception](spark.sql("ALTER TABLE g26.t CREATE BRANCH hotfix"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE g26.t CREATE BRANCH hotfix AS OF VERSION $v1"))
+    assert(cat.loadTable("t").refs.get("hotfix").contains(v1),
+      "a refused CREATE BRANCH must leave the branch position untouched")
 
     // the SQL-only WAP loop end to end: stage on the branch, publish, drop
     spark.conf.set("spark.wap.branch", "audit")
@@ -656,6 +664,22 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(nameNdv >= 6 && nameNdv <= 8, s"ndv(name)=$nameNdv for 7 distinct")
     spark.sql("ANALYZE TABLE g25.t COMPUTE STATISTICS")
     assert(cat.loadTable("t").properties.contains("stats.ts.nulls"))
+  }
+
+  test("column DEFAULTs fold to literals at CREATE; non-constants refuse") {
+    val cat = freshCatalog("g28")
+    // a constant EXPRESSION folds once at CREATE time — the stored
+    // initial-default is the evaluated literal, not the expression text
+    spark.sql("CREATE TABLE g28.t (id BIGINT, n INT DEFAULT 1 + 1)")
+    assert(cat.loadTable("t").schema.find(_.name == "n").get.initialDefault.contains("2"))
+    spark.sql("INSERT INTO g28.t (id) VALUES (7)")
+    assert(spark.sql("SELECT n FROM g28.t").head.getInt(0) == 2)
+    // a non-constant default would make file-absent snapshot reads
+    // re-evaluate per query (and is not a legal Iceberg initial-default)
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE g28.bad (id BIGINT, ts TIMESTAMP DEFAULT current_timestamp())"))
+    assert(e.getMessage.contains("constant") || e.getMessage.contains("literal"))
+    assert(!cat.tableExists("bad"))
   }
 
   test("SQL identifiers resolve case-insensitively against declared column casing") {

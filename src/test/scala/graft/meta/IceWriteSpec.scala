@@ -443,4 +443,34 @@ class IceWriteSpec extends AnyFunSuite {
     assert(after.count() == n)
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
+
+  test("cherry-pick refuses a staged snapshot whose parent was expired") {
+    val catalog = newCatalog()
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    IceWrite.create(spark, catalog, "t_cp", src) // snap 1
+    // stage an append (parent = snap 1), then move main twice
+    IceWrite.append(spark, catalog, "t_cp",
+      src.withColumn("r_regionkey", col("r_regionkey") + 100),
+      stageWapId = Some("w1"))
+    val stagedId = catalog.loadTable("t_cp").snapshots
+      .find(_.summary.get("wap.id").contains("w1")).get.snapshotId
+    IceWrite.append(spark, catalog, "t_cp",
+      src.withColumn("r_regionkey", col("r_regionkey") + 200))
+    IceWrite.append(spark, catalog, "t_cp",
+      src.withColumn("r_regionkey", col("r_regionkey") + 300))
+    // expire the staged snapshot's parent: keep the newest 3 (incl. the
+    // staged one) so only snap 1 drops
+    Maintenance.expireSnapshots(catalog, "t_cp", keepLast = 3)
+    val meta = catalog.loadTable("t_cp")
+    assert(meta.snapshotById(stagedId).nonEmpty, "test setup: staged snapshot survives")
+    assert(meta.snapshotById(meta.snapshotById(stagedId).get.parentId.get).isEmpty,
+      "test setup: the staged snapshot's parent is expired")
+    // without the parent, the 'added files' of the staged snapshot cannot
+    // be derived — a blind re-apply would duplicate its EXISTING files
+    val e = intercept[IllegalArgumentException](
+      IceWrite.cherrypickSnapshot(catalog, "t_cp", stagedId))
+    assert(e.getMessage.contains("expired"))
+    // and the refusal left the table untouched
+    assert(IceRead.table(spark, catalog, "t_cp").count() == 15)
+  }
 }

@@ -45,6 +45,15 @@ class IcebergRestServeSpec extends AnyFunSuite {
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
       assert(back.partitionSpec == Seq(PartitionField("grp")))
 
+      // metadata-location names the exported *.metadata.json FILE (spec
+      // clients may honor it over the embedded copy): it must exist and
+      // parse to the same metadata the response embeds
+      val ltr = JsonMethods.parse(get(
+        s"${srv.uri}/v1/acct/namespaces/warehouse/tables/clicks").body())
+      val loc = (ltr \ "metadata-location").asInstanceOf[JString].s
+      assert(loc.endsWith(".metadata.json"), s"metadata-location not a file: $loc")
+      assert(JsonMethods.parse(MetaIO.readString(loc)) == (ltr \ "metadata"))
+
       // an appended version serves FRESH metadata (per-version cache)
       IceWrite.append(spark, cat, "clicks",
         Seq((1000L, "g0", "late")).toDF("id", "grp", "name"))

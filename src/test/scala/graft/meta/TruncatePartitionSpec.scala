@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 import graft.compaction.Compaction
 import graft.exec.{GraftScan, ZonePrune}
-import graft.functions.IcebergTruncateUtil
+import graft.functions.{IcebergTruncate, IcebergTruncateUtil}
 import graft.selection.{FullCompactionConfig, PlanningParams}
 
 /** Iceberg `truncate[W]` partition transform end-to-end: the last of the
@@ -42,6 +42,15 @@ class TruncatePartitionSpec extends AnyFunSuite {
     // decimal floors the UNSCALED value by W, scale preserved (spec example)
     assert(IcebergTruncateUtil.truncDecimal(Decimal("12.34"), 10, 4, 2).toString == "12.30")
     assert(IcebergTruncateUtil.truncDecimal(Decimal("-0.05"), 10, 4, 2).toString == "-0.10")
+    // boundary negatives floor PAST the source precision: the transform is
+    // total, so the partition value carries one extra digit (decimal(3,2)
+    // -9.99 truncate 100 -> -10.00 — must not overflow-throw)
+    assert(IcebergTruncateUtil.truncDecimal(Decimal("-9.99"), 100, 4, 2).toString == "-10.00")
+    // and the expression form widens its declared type to match
+    assert(IcebergTruncate(
+      Literal(Decimal("-9.99"), DecimalType(3, 2)), 100).dataType == DecimalType(4, 2))
+    assert(IcebergTruncate(Literal(Decimal("-9.99"), DecimalType(3, 2)), 100)
+      .eval().asInstanceOf[Decimal].toString == "-10.00")
     // binary keeps the first W bytes
     assert(IcebergTruncateUtil.truncBinary(Array[Byte](1, 2, 3, 4), 2).toSeq == Seq[Byte](1, 2))
   }
