@@ -23,9 +23,13 @@ import org.json4s.jackson.JsonMethods
   * `format-version`, `content`). The reference engine itself delegates
   * this layer to `iceberg-rust`; this module is the from-spec equivalent.
   *
-  * Scope (documented, checked): format v2 — v3 features (deletion
-  * vectors, row lineage) are refused with a clear error; convert DVs via
-  * compaction first. Schema export covers primitive columns plus
+  * Scope (documented, checked): format v2, and format v3 for v3-featured
+  * tables — deletion vectors export as content=1 manifest entries naming
+  * their Puffin blob (referenced_data_file/content_offset/
+  * content_size_in_bytes, data_file fields 143-145), row lineage as
+  * explicit per-file first_row_id (field 142) + metadata next-row-id,
+  * column defaults as initial-default/write-default (Appendix D JSON
+  * single values). Schema export covers primitive columns plus
   * ARRAY<primitive>. Per-file stats: graft's manifest zone maps + null
   * counts export as `lower_bounds`/`upper_bounds`/`value_counts`/
   * `null_value_counts` (data_file fields 109/110/125/128, Appendix D
@@ -68,17 +72,64 @@ object IcebergExport {
     * `last-column-id`: the spec requires last-column-id >= every assigned
     * field id, or a later ADD COLUMN by another engine would mint a
     * colliding id. */
-  private def schemaJsonWithMax(meta: TableMetadata): (JValue, Int) = {
+  private def schemaJsonWithMax(meta: TableMetadata, fv: Int = 2): (JValue, Int) = {
     require(meta.schema.nonEmpty && meta.schema.forall(_.isTyped),
       "exportIcebergMetadata requires a typed (field-id) schema")
     var next = math.max(meta.lastColumnId, meta.schema.map(_.id).max)
     val fresh = () => { next += 1; next }
     val j: JValue = ("type" -> "struct") ~ ("schema-id" -> 0) ~
       ("fields" -> meta.schema.map { f =>
-        ("id" -> f.id) ~ ("name" -> f.name) ~
+        val base = ("id" -> f.id) ~ ("name" -> f.name) ~
           ("required" -> !f.nullable) ~ ("type" -> icebergType(f.dataType, fresh))
+        // v3 schema defaults (spec "Default values"): graft's single
+        // initial-default slot fills both file-absent reads AND missing
+        // INSERT columns, so it exports as initial-default + write-default
+        val dflt = if (fv >= 3) f.initialDefault.flatMap(defaultJsonValue(f.dataType, _))
+                   else None
+        dflt.fold(base)(v => base ~ ("initial-default" -> v) ~ ("write-default" -> v))
       })
     (j, next)
+  }
+
+  /** Spec Appendix D "JSON single-value serialization" of a folded SQL
+    * literal default. None when the literal cannot be rendered (the
+    * default then simply does not export — spec-optional). */
+  private[meta] def defaultJsonValue(ddl: String, sql: String): Option[JValue] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val lit =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql) match {
+        case l: Literal => Some(l)
+        case c @ Cast(l: Literal, _, _, _) if c.resolved && c.foldable =>
+          Some(Literal.create(c.eval(), c.dataType))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    lit.flatMap { l =>
+      if (l.value == null) return Some(JNull)
+      val t = ddl.trim.toUpperCase
+      (t, l.value) match {
+        case ("BOOLEAN", b: Boolean) => Some(JBool(b))
+        case (("INT" | "INTEGER" | "SMALLINT" | "TINYINT" | "BIGINT" | "LONG"), _) =>
+          scala.util.Try(JLong(l.value.toString.toLong)).toOption
+        case (("DOUBLE" | "FLOAT" | "REAL"), _) =>
+          scala.util.Try(JDouble(l.value.toString.toDouble)).toOption
+        case (d, _) if d.startsWith("DECIMAL") =>
+          // decimal serializes as a JSON string preserving scale
+          Some(JString(l.value.toString))
+        case (("STRING" | "VARCHAR"), s) => Some(JString(s.toString))
+        case ("DATE", _) => l.value match {
+          // Literal dates fold to epoch-day ints; spec wants "YYYY-MM-DD"
+          case i: Int => Some(JString(java.time.LocalDate.ofEpochDay(i.toLong).toString))
+          case _ => Some(JString(l.value.toString))
+        }
+        case (("TIMESTAMP" | "TIMESTAMP_NTZ"), _) => l.value match {
+          case micros: Long => Some(JString(
+            java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)
+              .toString.stripSuffix("Z") + (if (t == "TIMESTAMP") "+00:00" else "")))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
   }
 
   /** Iceberg partition-field name convention: identity keeps the column
@@ -129,8 +180,8 @@ object IcebergExport {
   private def optFld(name: String, id: Int, typ: JValue): JValue =
     ("name" -> name) ~ ("type" -> opt(typ)) ~ ("default" -> JNull) ~ ("field-id" -> id)
 
-  private[meta] val manifestListSchemaJson: String = JsonMethods.compact(JsonMethods.render(
-    ("type" -> "record") ~ ("name" -> "manifest_file") ~ ("fields" -> List(
+  private[meta] def manifestListSchemaJsonV(fv: Int): String = JsonMethods.compact(JsonMethods.render(
+    ("type" -> "record") ~ ("name" -> "manifest_file") ~ ("fields" -> (List(
       fld("manifest_path", 500, JString("string")),
       fld("manifest_length", 501, JString("long")),
       fld("partition_spec_id", 502, JString("int")),
@@ -151,7 +202,13 @@ object IcebergExport {
             optFld("contains_nan", 518, JString("boolean")),
             optFld("lower_bound", 510, JString("bytes")),
             optFld("upper_bound", 511, JString("bytes"))))))),
-      optFld("key_metadata", 519, JString("bytes"))))))
+      optFld("key_metadata", 519, JString("bytes"))) ++
+      // v3 row lineage: the starting _row_id for rows in this manifest's
+      // ADDED data files (spec manifest-list field 520); graft writes
+      // per-file first_row_id explicitly too, so inheritance never fires
+      (if (fv >= 3) List(optFld("first_row_id", 520, JString("long"))) else Nil)))))
+
+  private[meta] val manifestListSchemaJson: String = manifestListSchemaJsonV(2)
 
   /** Avro type of one partition column inside the manifest `partition`
     * struct: identity mirrors the source column, bucket is an int. */
@@ -196,12 +253,13 @@ object IcebergExport {
       p => 1000 + meta.partitionSpec.indexOf(p))
 
   private[meta] def manifestSchemaJsonFor(meta: TableMetadata,
-      specFields: Seq[PartitionField], idOf: PartitionField => Int): String = {
+      specFields: Seq[PartitionField], idOf: PartitionField => Int,
+      fv: Int = 2): String = {
     val partFields = specFields.map { p =>
       optFld(partFieldName(p), idOf(p), partAvroType(meta, p))
     }
     val dataFile =
-      ("type" -> "record") ~ ("name" -> "r2") ~ ("fields" -> List(
+      ("type" -> "record") ~ ("name" -> "r2") ~ ("fields" -> (List(
         fld("content", 134, JString("int")),
         fld("file_path", 100, JString("string")),
         fld("file_format", 101, JString("string")),
@@ -217,7 +275,15 @@ object IcebergExport {
         optFld("upper_bounds", 128, kvMapType(129, 130, "bytes")),
         optFld("equality_ids", 135,
           ("type" -> "array") ~ ("element-id" -> 136) ~ ("items" -> JString("int"))),
-        optFld("sort_order_id", 140, JString("int"))))
+        optFld("sort_order_id", 140, JString("int"))) ++
+        // v3 additions (spec data_file fields 142-145): row lineage per
+        // data file, and deletion-vector addressing (a Puffin blob named
+        // by referenced data file + byte range) for content=1 entries
+        (if (fv >= 3) List(
+          optFld("first_row_id", 142, JString("long")),
+          optFld("referenced_data_file", 143, JString("string")),
+          optFld("content_offset", 144, JString("long")),
+          optFld("content_size_in_bytes", 145, JString("long"))) else Nil)))
     JsonMethods.compact(JsonMethods.render(
       ("type" -> "record") ~ ("name" -> "manifest_entry") ~ ("fields" -> List(
         fld("status", 0, JString("int")),
@@ -449,10 +515,12 @@ object IcebergExport {
       tags = meta.tags.filter { case (_, id) => keptIds.contains(id) })
   }
 
-  /** Writes the Iceberg-v2 metadata for every snapshot of `name` under
+  /** Writes the Iceberg metadata for every snapshot of `name` under
     * `<table location>/iceberg-metadata/` (or `outDir`) and returns the
     * path of the table-metadata JSON. Data files are referenced in
-    * place.
+    * place. Tables with v3 features (deletion vectors, row lineage,
+    * format-version 3) export as format-version 3; everything else as
+    * format-version 2.
     *
     * `allowV3 = true` is the downgrade-export mode
     * ([[graft.compaction.Maintenance.exportIcebergV2]] is the one-call
@@ -473,13 +541,15 @@ object IcebergExport {
         * cardinalities from exactly there. */
       ndvSketches: Map[String, ThetaSketch] = Map.empty): String = {
     val fullMeta = catalog.loadTable(name)
+    // format-v3-featured tables export AS format-version 3 (DV manifest
+    // entries, per-file first_row_id, next-row-id, schema defaults);
+    // `allowV3` remains the explicit DOWNGRADE mode (v2 wire, DV history
+    // filtered) for readers that cannot consume v3 yet
+    val v3Featured = fullMeta.formatVersion >= 3 || fullMeta.nextRowId > 0 ||
+      fullMeta.snapshots.exists(_.manifest.exists(_.isDeletionVector))
+    val fv = if (!allowV3 && v3Featured) 3 else 2
     val exportable =
       if (!allowV3) {
-        require(fullMeta.formatVersion <= 2 &&
-            fullMeta.snapshots.forall(_.manifest.forall(!_.isDeletionVector)),
-          s"exportIcebergMetadata: $name uses v3 features (deletion vectors / row " +
-            "lineage); use Maintenance.exportIcebergV2 to convert-and-export, or " +
-            "compact to fold them in first")
         fullMeta
       } else {
         require(fullMeta.currentSnapshot.forall(_.manifest.forall(!_.isDeletionVector)),
@@ -514,10 +584,10 @@ object IcebergExport {
     allSpecs.foreach { case (_, fs) => fs.foreach(idOf) }
 
     val manifestSchemaOf: Map[Int, Schema] = allSpecs.map { case (k, fs) =>
-      k -> new Schema.Parser().parse(manifestSchemaJsonFor(meta, fs, idOf))
+      k -> new Schema.Parser().parse(manifestSchemaJsonFor(meta, fs, idOf, fv))
     }.toMap
-    val listSchema = new Schema.Parser().parse(manifestListSchemaJson)
-    val (schemaJV, maxFieldId) = schemaJsonWithMax(meta)
+    val listSchema = new Schema.Parser().parse(manifestListSchemaJsonV(fv))
+    val (schemaJV, maxFieldId) = schemaJsonWithMax(meta, fv)
     val schemaJ = JsonMethods.compact(JsonMethods.render(schemaJV))
     val specFieldsJOf: Map[Int, String] = allSpecs.map { case (k, fs) =>
       k -> JsonMethods.compact(JsonMethods.render(
@@ -549,7 +619,7 @@ object IcebergExport {
             case FileContent.EqualityDeletes => 2
           }))
           df.put("file_path", f.path)
-          df.put("file_format", "PARQUET")
+          df.put("file_format", if (f.isDeletionVector) "PUFFIN" else "PARQUET")
           df.put("partition", part)
           df.put("record_count", java.lang.Long.valueOf(f.recordCount))
           df.put("file_size_in_bytes", java.lang.Long.valueOf(f.length))
@@ -614,6 +684,16 @@ object IcebergExport {
               l
             })
           df.put("sort_order_id", null)
+          if (fv >= 3) {
+            // row lineage is written EXPLICITLY per data file (inheritance
+            // never fires on graft exports); DVs carry their Puffin blob
+            // coordinates (referenced data file + byte range)
+            df.put("first_row_id", f.firstRowId.map(java.lang.Long.valueOf).orNull)
+            df.put("referenced_data_file", f.referencedDataFile.orNull)
+            df.put("content_offset", f.contentOffset.map(java.lang.Long.valueOf).orNull)
+            df.put("content_size_in_bytes",
+              f.contentSizeInBytes.map(java.lang.Long.valueOf).orNull)
+          }
           val e = new GenericData.Record(manifestSchema)
           // ADDED in the exporting snapshot iff the file's sequence is the
           // snapshot's; everything else EXISTING with explicit sequences
@@ -629,7 +709,7 @@ object IcebergExport {
           "schema" -> schemaJ,
           "partition-spec" -> specFieldsJOf(specId),
           "partition-spec-id" -> specId.toString,
-          "format-version" -> "2",
+          "format-version" -> fv.toString,
           "content" -> (if (content == 0) "data" else "deletes")), records)
         val added = files.filter(_.sequenceNumber == snap.sequenceNumber)
         val existing = files.filterNot(_.sequenceNumber == snap.sequenceNumber)
@@ -650,16 +730,23 @@ object IcebergExport {
         le.put("deleted_rows_count", java.lang.Long.valueOf(0L))
         le.put("partitions", null)
         le.put("key_metadata", null)
+        if (fv >= 3)
+          // starting row id of this manifest's added DATA files; null for
+          // delete manifests and for pre-lineage files (spec: optional —
+          // per-file explicit values make inheritance a no-op anyway)
+          le.put("first_row_id",
+            (if (content == 0) added.flatMap(_.firstRowId).minOption else None)
+              .map(java.lang.Long.valueOf).orNull)
         le
       }
       val listPath = MetaIO.join(dir, s"snap-${snap.snapshotId}-1-$uuid.avro")
       avroWrite(listPath, listSchema, Map(
-        "format-version" -> "2",
+        "format-version" -> fv.toString,
         "snapshot-id" -> snap.snapshotId.toString,
         "sequence-number" -> snap.sequenceNumber.toString,
         "parent-snapshot-id" -> snap.parentId.map(_.toString).getOrElse("null")),
         listEntries)
-      ("snapshot-id" -> snap.snapshotId) ~
+      val snapJ = ("snapshot-id" -> snap.snapshotId) ~
         ("parent-snapshot-id" -> snap.parentId) ~
         ("sequence-number" -> snap.sequenceNumber) ~
         ("timestamp-ms" -> snap.timestampMs) ~
@@ -667,6 +754,13 @@ object IcebergExport {
         ("summary" -> (("operation" ->
           snap.summary.getOrElse("operation", "append")): JValue)) ~
         ("schema-id" -> 0)
+      // v3 row lineage: the first row id assigned by this snapshot (files
+      // added here carry explicit values; this is their minimum)
+      val firstRowId = if (fv >= 3)
+        snap.manifest.filter(f => f.content == FileContent.Data &&
+          f.sequenceNumber == snap.sequenceNumber).flatMap(_.firstRowId).minOption
+      else None
+      firstRowId.fold(snapJ)(r => snapJ ~ ("first-row-id" -> r))
     }
 
     val lastPartId = if (partFieldIds.isEmpty) 999
@@ -708,8 +802,8 @@ object IcebergExport {
         }
       case _ => Nil
     }
-    val metadataJ: JValue =
-      ("format-version" -> 2) ~
+    val metadataJ: JObject =
+      ("format-version" -> fv) ~
         ("table-uuid" -> uuid) ~
         ("location" -> meta.location) ~
         ("last-sequence-number" -> meta.lastSequenceNumber) ~
@@ -731,8 +825,10 @@ object IcebergExport {
           ("timestamp-ms" -> s.timestampMs) ~ ("snapshot-id" -> s.snapshotId))) ~
         ("metadata-log" -> JArray(Nil)) ~
         ("statistics" -> JArray(statisticsJ))
+    val metadataJV =
+      if (fv >= 3) metadataJ ~ ("next-row-id" -> meta.nextRowId) else metadataJ
     val jsonPath = MetaIO.join(dir, s"00000-$uuid.metadata.json")
-    MetaIO.writeString(jsonPath, JsonMethods.pretty(JsonMethods.render(metadataJ)))
+    MetaIO.writeString(jsonPath, JsonMethods.pretty(JsonMethods.render(metadataJV)))
     jsonPath
   }
 

@@ -3,7 +3,7 @@ package graft.meta
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** ONE-WAY import of an Apache Iceberg format-v2 table's metadata into a
+/** ONE-WAY import of an Apache Iceberg format-v2/v3 table's metadata into a
   * graft catalog — the inverse of [[IcebergExport]]: the spec's
   * table-metadata JSON, manifest lists, and manifest files (all public
   * Iceberg table-spec layouts) are read back into graft's native model
@@ -12,8 +12,14 @@ import org.json4s.jackson.JsonMethods
   * an Iceberg table to this engine costs one metadata read per manifest
   * and one catalog commit, regardless of data size.
   *
-  * Supported: format v2; parquet data files; data + position-delete +
-  * equality-delete content; ADDED/EXISTING entries with the spec's
+  * Supported: formats v2 AND v3 — v3 deletion vectors (content=1 entries
+  * naming a Puffin `deletion-vector-v1` blob by referenced data file +
+  * byte range) map onto graft's native DV model, row lineage imports
+  * with the spec's first_row_id inheritance (explicit per-file values,
+  * else manifest first_row_id + preceding added record counts) and the
+  * `next-row-id` cursor, and schema `initial-default` values land in
+  * graft's initial-default slot; parquet data files; data +
+  * position-delete + equality-delete content; ADDED/EXISTING entries with the spec's
   * sequence-number inheritance (a null sequence on an ADDED entry
   * inherits the manifest-list sequence); identity and bucket[n] partition
   * transforms; PARTITION-SPEC EVOLUTION — each manifest decodes its
@@ -92,6 +98,30 @@ object IcebergImport {
         }.toMap
       }.getOrElse(Map.empty)
 
+  /** Inverse of [[IcebergExport.defaultJsonValue]]: a spec JSON
+    * single-value default back to the SQL literal text graft stores in
+    * [[SchemaField.initialDefault]]. Unsupported shapes import as no
+    * default (spec-optional — the column just reads NULL-filled). */
+  private[meta] def defaultSqlOf(ddl: String, j: JValue): Option[String] = {
+    val t = ddl.trim.toUpperCase
+    j match {
+      case JNothing | JNull => None
+      case JBool(b) => Some(b.toString)
+      case JInt(n) => Some(n.toString)
+      case JLong(n) => Some(n.toString)
+      case JDouble(d) if t == "DOUBLE" => Some(s"CAST($d AS DOUBLE)")
+      case JDouble(d) if t == "FLOAT" || t == "REAL" => Some(s"CAST($d AS FLOAT)")
+      case JDecimal(d) => Some(d.toString)
+      case JString(s) if t.startsWith("DECIMAL") => Some(s)
+      case JString(s) if t == "DATE" => Some(s"DATE '$s'")
+      case JString(s) if t == "TIMESTAMP" || t == "TIMESTAMP_NTZ" =>
+        // spec timestamps are ISO-8601; Spark's literal form wants a space
+        Some(s"TIMESTAMP '${s.replace("T", " ").stripSuffix("+00:00")}'")
+      case JString(s) => Some("'" + s.replace("'", "''") + "'")
+      case _ => None
+    }
+  }
+
   /** Iceberg type JSON -> graft DDL string. */
   private[meta] def ddlOf(t: JValue): String = t match {
     case JString("long") => "BIGINT"
@@ -124,15 +154,20 @@ object IcebergImport {
   def importIcebergMetadataJson(catalog: Catalog, name: String,
       j: JValue): TableMetadata = {
     val fv = lng(j \ "format-version")
-    require(fv == 2, s"importIcebergMetadata: format-version $fv not supported (v2 only)")
+    require(fv == 2 || fv == 3,
+      s"importIcebergMetadata: format-version $fv not supported (v2/v3 only)")
 
     val currentSchemaId = lng(j \ "current-schema-id")
     val schemaJ = arr(j \ "schemas").find(s =>
       lng(s \ "schema-id") == currentSchemaId).getOrElse(
       sys.error(s"no schema with id $currentSchemaId"))
     val schema = arr(schemaJ \ "fields").map { f =>
-      SchemaField(lng(f \ "id").toInt, str(f \ "name"), ddlOf(f \ "type"),
-        nullable = (f \ "required") != JBool(true))
+      val ddl = ddlOf(f \ "type")
+      SchemaField(lng(f \ "id").toInt, str(f \ "name"), ddl,
+        nullable = (f \ "required") != JBool(true),
+        // v3 initial-default (Appendix D JSON single value) -> the SQL
+        // literal graft's read fill / INSERT fill consume
+        initialDefault = defaultSqlOf(ddl, f \ "initial-default"))
     }
     val byId = schema.map(f => f.id -> f).toMap
 
@@ -214,22 +249,43 @@ object IcebergImport {
         val mSpecId = le.get("partition_spec_id").asInstanceOf[Int].toLong
         val mSpecFields = resolveSpec(mSpecId)
         val (recs, _) = IcebergExport.readAvro(mPath)
+        // v3 row-lineage inheritance: ADDED data files with a null
+        // first_row_id take the manifest's first_row_id plus the record
+        // counts of the ADDED data files before them (spec "Row Lineage")
+        var rowIdCursor: Option[Long] =
+          if (le.getSchema.getField("first_row_id") == null) None
+          else Option(le.get("first_row_id")).map(_.asInstanceOf[Long])
         recs.flatMap { r =>
           val status = r.get("status").asInstanceOf[Int]
           if (status == 2) None // DELETED: not part of the snapshot's state
           else {
             val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-            val fmt = df.get("file_format").toString
-            require(fmt.equalsIgnoreCase("PARQUET"),
-              s"importIcebergMetadata: unsupported file format $fmt")
+            def optF(field: String): Option[AnyRef] =
+              if (df.getSchema.getField(field) == null) None else Option(df.get(field))
             val content = df.get("content").asInstanceOf[Int]
-            // v3 DVs ride content=1 with referenced_data_file; the schema
-            // we parse is v2, so a v3 manifest would fail the avro read
-            // before reaching here — this guard is for hand-built files
+            // v3 deletion vectors: content=1 entries addressing a Puffin
+            // blob by referenced data file + byte range
+            val refFile = optF("referenced_data_file").map(_.toString)
+            val isDv = content == 1 && refFile.nonEmpty
+            val fmt = df.get("file_format").toString
+            require(fmt.equalsIgnoreCase("PARQUET") ||
+                (isDv && fmt.equalsIgnoreCase("PUFFIN")),
+              s"importIcebergMetadata: unsupported file format $fmt")
+            require(!isDv || (optF("content_offset").nonEmpty &&
+                optF("content_size_in_bytes").nonEmpty),
+              s"importIcebergMetadata: deletion vector for ${refFile.get} lacks " +
+                "content_offset/content_size_in_bytes")
             val seq = Option(r.get("sequence_number"))
               .map(_.asInstanceOf[Long])
               .getOrElse { require(status == 1,
                 "EXISTING entry without explicit sequence number"); listSeq }
+            val firstRowId: Option[Long] =
+              if (content != 0) None
+              else optF("first_row_id").map(_.asInstanceOf[Long].longValue)
+                .orElse(if (status == 1) rowIdCursor else None)
+            if (content == 0 && status == 1)
+              rowIdCursor = rowIdCursor.map(_ +
+                df.get("record_count").asInstanceOf[Long])
             val partVals = {
               val part = df.get("partition")
                 .asInstanceOf[org.apache.avro.generic.GenericRecord]
@@ -291,7 +347,15 @@ object IcebergImport {
               partitionValues = partVals,
               columnStats = stats,
               nullCounts = nulls,
-              specId = graftSpecId(mSpecId)))
+              specId = graftSpecId(mSpecId),
+              referencedDataFile = refFile.filter(_ => isDv),
+              contentOffset =
+                if (isDv) optF("content_offset").map(_.asInstanceOf[Long].longValue)
+                else None,
+              contentSizeInBytes =
+                if (isDv) optF("content_size_in_bytes").map(_.asInstanceOf[Long].longValue)
+                else None,
+              firstRowId = firstRowId))
           }
         }
       }
@@ -324,9 +388,19 @@ object IcebergImport {
       case v => Some(lng(v)).filter(_ != -1L)
     }
 
+    // the row-id cursor resumes PAST every assigned range, so native
+    // appends after the attach cannot collide with imported lineage
+    val nextRowId: Long = (j \ "next-row-id") match {
+      case JNothing | JNull =>
+        snapshots.flatMap(_.manifest.flatMap(f =>
+          f.firstRowId.map(_ + f.recordCount))).foldLeft(0L)(math.max)
+      case v => lng(v)
+    }
+
     catalog.createTable(TableMetadata(
       name = name, location = "",
-      formatVersion = 2,
+      formatVersion = fv.toInt,
+      nextRowId = nextRowId,
       schema = schema,
       partitionSpec = specFields.map(_._2),
       // every referenced NON-default spec's definition, keyed by its

@@ -727,6 +727,40 @@ object OpsQueries {
       rows.toDF("col_name", "ndv")
     }),
 
+    // ICEBERG V3 INTEROP as an oracle-checked query: supplier lands in a
+    // format-v3 graft table, deletion vectors tombstone s_suppkey % 7 = 0
+    // (Puffin deletion-vector-v1 blobs), the table exports AS
+    // format-version 3 — DV manifest entries carrying blob coordinates
+    // (referenced_data_file/content_offset/content_size_in_bytes), row
+    // lineage, next-row-id — and attaches into a SECOND catalog. In-query
+    // requires prove the attach carried real DV entries and a consistent
+    // row-id space; the MOR read over the attached table hash-matches
+    // DuckDB. This is the v3 switch-engines path the v2 loop (q_rest_loop)
+    // cannot carry.
+    "q_v3_attach" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, IcebergExport, IcebergImport, LocalCatalog}
+      val src = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-v3-src").toString)
+      val base = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      IceWrite.create(s, src, "t_v3", base, formatVersion = 3)
+      IceWrite.deleteWhereDv(s, src, "t_v3", col("s_suppkey") % 7 === 0)
+      val jsonPath = IcebergExport.exportIcebergMetadata(src, "t_v3")
+      val dst = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-v3-dst").toString)
+      val back = IcebergImport.importIcebergMetadata(dst, "t_v3b", jsonPath)
+      require(back.formatVersion == 3 &&
+        back.currentSnapshot.get.manifest.exists(_.isDeletionVector),
+        "v3 attach lost the deletion vectors")
+      // row lineage survived: every surviving row has a distinct id below
+      // the imported next-row-id cursor
+      val ids = IceRead.tableWithRowIds(s, dst, "t_v3b")
+        .agg(count(lit(1)).as("n"), countDistinct(col("_row_id")).as("d"),
+          max(col("_row_id")).as("mx")).head
+      require(ids.getLong(0) == ids.getLong(1) && ids.getLong(2) < back.nextRowId,
+        s"v3 attach lost row lineage: $ids vs next-row-id ${back.nextRowId}")
+      IceRead.table(s, dst, "t_v3b")
+    }),
+
     // write-audit-publish PURELY through SQL (q_wap's twin): stage an
     // append under spark.wap.id (the snapshot commits unpublished),
     // prove main is untouched while staged (in-query require), locate
@@ -3232,6 +3266,9 @@ object OpsQueries {
         |SELECT 'n_nationkey', CAST(count(DISTINCT n_nationkey) AS BIGINT) FROM nation
         |UNION ALL
         |SELECT 'n_regionkey', CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM nation""".stripMargin,
+
+    "q_v3_attach" ->
+      "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 7 <> 0",
 
     "q_wap_sql" ->
       """SELECT u.s_suppkey, u.s_name,

@@ -245,14 +245,43 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(IceRead.table(spark, catalog, "t_unst").count() == src.count() - 1)
   }
 
-  test("v3 tables with deletion vectors are refused with a clear error") {
+  test("v3 table with deletion vectors exports as format-version 3") {
     val catalog = LocalCatalog(Files.createTempDirectory("ice-exp-dv").toString)
     val src = spark.read.parquet(s"$sf/region.parquet")
     IceWrite.create(spark, catalog, "t_dv", src)
     IceWrite.deleteWhereDv(spark, catalog, "t_dv", col("r_regionkey") === 0L)
-    val e = intercept[IllegalArgumentException](
-      IcebergExport.exportIcebergMetadata(catalog, "t_dv"))
-    assert(e.getMessage.contains("v3"))
+    val jsonPath = IcebergExport.exportIcebergMetadata(catalog, "t_dv")
+    val j = JsonMethods.parse(MetaIO.readString(jsonPath))
+    assert((j \ "format-version") == JInt(3))
+    // the DV rides the deletes manifest as a content=1 PUFFIN entry with
+    // blob coordinates
+    val listPath = (j \ "snapshots") match {
+      case JArray(ss) => ss.map(s => (s \ "manifest-list") match {
+        case JString(p) => p; case o => fail(s"bad manifest-list $o")
+      }).last
+      case o => fail(s"bad snapshots $o")
+    }
+    val (listEntries, _) = IcebergExport.readAvro(listPath)
+    val deletes = listEntries.filter(_.get("content").asInstanceOf[Int] == 1)
+    assert(deletes.nonEmpty, "expected a deletes manifest")
+    val (recs, _) = IcebergExport.readAvro(deletes.head.get("manifest_path").toString)
+    val dvs = recs.map(_.get("data_file").asInstanceOf[
+      org.apache.avro.generic.GenericRecord])
+      .filter(d => d.get("referenced_data_file") != null)
+    assert(dvs.nonEmpty, "expected DV entries")
+    dvs.foreach { d =>
+      assert(d.get("file_format").toString == "PUFFIN")
+      assert(d.get("content").asInstanceOf[Int] == 1)
+      assert(d.get("content_offset") != null && d.get("content_size_in_bytes") != null)
+      // the named blob decodes as a spec deletion-vector-v1 payload
+      val blob = Puffin.readBlob(d.get("file_path").toString,
+        d.get("content_offset").asInstanceOf[Long],
+        d.get("content_size_in_bytes").asInstanceOf[Long])
+      assert(Puffin.decodeDvBlob(blob).cardinality ==
+        d.get("record_count").asInstanceOf[Long])
+    }
+    // row lineage: next-row-id present, data files carry first_row_id
+    assert((j \ "next-row-id") != JNothing)
   }
 
   test("v3 table with DVs round-trips through the convert-then-export path") {

@@ -338,10 +338,190 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(rt.exceptAll(got).isEmpty && got.exceptAll(rt).isEmpty)
   }
 
-  test("format v3 and non-parquet formats are refused") {
+  /** A FOREIGN format-v3 table, hand-built the way a v3 writer lays it
+    * out: a Puffin deletion vector addressed by a content=1 manifest
+    * entry (referenced_data_file + blob byte range), row lineage via
+    * manifest-level first_row_id INHERITANCE (data files carry null), a
+    * schema initial-default on a column the data file predates, and
+    * metadata next-row-id. Import must reconstruct MOR semantics, row
+    * ids, and the default fill — then re-export as v3 and round-trip. */
+  test("foreign v3 table: DV + row-lineage inheritance + initial-default import") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericData
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+
+    val dir = Files.createTempDirectory("ice-v3fx")
+    val schemaFields = Seq(
+      SchemaField(1, "n_nationkey", "BIGINT", nullable = false),
+      SchemaField(2, "n_name", "STRING"),
+      SchemaField(3, "n_regionkey", "BIGINT", nullable = false))
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").cast("bigint").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("bigint").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+    val dfData = IceWrite.withFieldIds(nat, schemaFields)
+    val (pData, szData, rowsData, _) =
+      graft.testkit.FileGenerator.writeSingleParquet(spark, dfData, dir.resolve("d.parquet"))
+    assert(rowsData == 25L)
+    // which keys sit at file positions 0/3/7 (the DV tombstones)
+    val keysInOrder = spark.read.parquet(pData).select("n_nationkey")
+      .collect().map(_.getLong(0)).toSeq
+    val deletedKeys = Seq(0, 3, 7).map(keysInOrder)
+
+    // --- the deletion vector: a spec deletion-vector-v1 blob in a Puffin
+    // container, addressed by byte range
+    val dvPath = MetaIO.join(dir.toString, "del.puffin")
+    val bm = Puffin.PositionBitmap.of(Seq(0L, 3L, 7L))
+    val blobMeta = Puffin.write(dvPath,
+      Seq(Puffin.Blob(Puffin.DvBlobType, Puffin.encodeDvBlob(bm), 99L, 2L))).head
+
+    // --- v3 manifests (unpartitioned)
+    val metaFx = TableMetadata("fx3", dir.toString, schema = schemaFields)
+    val mSchema = new Schema.Parser().parse(
+      IcebergExport.manifestSchemaJsonFor(metaFx, Nil, _ => 1000, fv = 3))
+    def entry(path: String, fmt: String, size: Long, rows: Long, seq: Long,
+        content: Int, dv: Option[Puffin.BlobMeta]): GenericData.Record = {
+      val dfSchema = mSchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", Integer.valueOf(content))
+      df.put("file_path", path)
+      df.put("file_format", fmt)
+      df.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+      df.put("record_count", java.lang.Long.valueOf(rows))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(size))
+      dv.foreach { m =>
+        df.put("referenced_data_file", pData)
+        df.put("content_offset", java.lang.Long.valueOf(m.offset))
+        df.put("content_size_in_bytes", java.lang.Long.valueOf(m.length))
+      }
+      // first_row_id stays NULL: the importer must assign it from the
+      // manifest's first_row_id (spec inheritance)
+      val e = new GenericData.Record(mSchema)
+      e.put("status", Integer.valueOf(1))
+      e.put("snapshot_id", java.lang.Long.valueOf(99L))
+      e.put("sequence_number", java.lang.Long.valueOf(seq))
+      e.put("file_sequence_number", java.lang.Long.valueOf(seq))
+      e.put("data_file", df)
+      e
+    }
+    val mData = MetaIO.join(dir.toString, "m-data.avro")
+    val mDel = MetaIO.join(dir.toString, "m-del.avro")
+    val lenData = IcebergExport.avroWrite(mData, mSchema,
+      Map("format-version" -> "3", "content" -> "data"),
+      Seq(entry(pData, "PARQUET", szData, rowsData, 1L, 0, None)))
+    val lenDel = IcebergExport.avroWrite(mDel, mSchema,
+      Map("format-version" -> "3", "content" -> "deletes"),
+      Seq(entry(dvPath, "PUFFIN", MetaIO.size(dvPath), bm.cardinality, 2L, 1,
+        Some(blobMeta))))
+
+    // --- manifest list (v3: carries first_row_id for lineage inheritance)
+    val listSchema = new Schema.Parser().parse(IcebergExport.manifestListSchemaJsonV(3))
+    def listEntry(path: String, len: Long, content: Int, seq: Long, rows: Long,
+        firstRowId: Option[Long]): GenericData.Record = {
+      val le = new GenericData.Record(listSchema)
+      le.put("manifest_path", path)
+      le.put("manifest_length", java.lang.Long.valueOf(len))
+      le.put("partition_spec_id", Integer.valueOf(0))
+      le.put("content", Integer.valueOf(content))
+      le.put("sequence_number", java.lang.Long.valueOf(seq))
+      le.put("min_sequence_number", java.lang.Long.valueOf(seq))
+      le.put("added_snapshot_id", java.lang.Long.valueOf(99L))
+      le.put("added_files_count", Integer.valueOf(1))
+      le.put("existing_files_count", Integer.valueOf(0))
+      le.put("deleted_files_count", Integer.valueOf(0))
+      le.put("added_rows_count", java.lang.Long.valueOf(rows))
+      le.put("existing_rows_count", java.lang.Long.valueOf(0L))
+      le.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+      firstRowId.foreach(r => le.put("first_row_id", java.lang.Long.valueOf(r)))
+      le
+    }
+    val listPath = MetaIO.join(dir.toString, "snap-99.avro")
+    IcebergExport.avroWrite(listPath, listSchema, Map("format-version" -> "3"),
+      Seq(listEntry(mData, lenData, 0, 1L, rowsData, Some(100L)),
+        listEntry(mDel, lenDel, 1, 2L, bm.cardinality, None)))
+
+    // --- v3 table metadata: next-row-id, and a column the data file
+    // PREDATES whose initial-default fills file-absent reads
+    val metadataJ: JValue =
+      ("format-version" -> 3) ~
+        ("table-uuid" -> "00000000-0000-0000-0000-000000000003") ~
+        ("location" -> dir.toString) ~
+        ("last-sequence-number" -> 2) ~
+        ("last-updated-ms" -> 1L) ~
+        ("last-column-id" -> 4) ~
+        ("next-row-id" -> 125L) ~
+        ("current-schema-id" -> 0) ~
+        ("schemas" -> List(
+          ("type" -> "struct") ~ ("schema-id" -> 0) ~ ("fields" -> List(
+            ("id" -> 1) ~ ("name" -> "n_nationkey") ~ ("required" -> true) ~ ("type" -> "long"),
+            ("id" -> 2) ~ ("name" -> "n_name") ~ ("required" -> false) ~ ("type" -> "string"),
+            ("id" -> 3) ~ ("name" -> "n_regionkey") ~ ("required" -> true) ~ ("type" -> "long"),
+            ("id" -> 4) ~ ("name" -> "tier") ~ ("required" -> false) ~ ("type" -> "string") ~
+              ("initial-default" -> "bronze") ~ ("write-default" -> "bronze"))))) ~
+        ("default-spec-id" -> 0) ~
+        ("partition-specs" -> List(("spec-id" -> 0) ~ ("fields" -> JArray(Nil)))) ~
+        ("last-partition-id" -> 999) ~
+        ("default-sort-order-id" -> 0) ~
+        ("sort-orders" -> List(("order-id" -> 0) ~ ("fields" -> JArray(Nil)))) ~
+        ("current-snapshot-id" -> 99L) ~
+        ("refs" -> ("main" -> (("snapshot-id" -> 99L) ~ ("type" -> "branch")))) ~
+        ("snapshots" -> List(
+          ("snapshot-id" -> 99L) ~ ("sequence-number" -> 2) ~
+            ("timestamp-ms" -> 1L) ~ ("manifest-list" -> listPath) ~
+            ("first-row-id" -> 100L) ~
+            ("summary" -> ("operation" -> "overwrite")) ~ ("schema-id" -> 0))) ~
+        ("snapshot-log" -> JArray(Nil)) ~ ("metadata-log" -> JArray(Nil))
+    val jsonPath = MetaIO.join(dir.toString, "00000-fx3.metadata.json")
+    MetaIO.writeString(jsonPath, JsonMethods.pretty(JsonMethods.render(metadataJ)))
+
+    // --- import and verify
+    val cat = LocalCatalog(Files.createTempDirectory("ice-v3fx-cat").toString)
+    val back = IcebergImport.importIcebergMetadata(cat, "t_v3", jsonPath)
+    assert(back.formatVersion == 3)
+    assert(back.nextRowId == 125L)
+    val manifest = back.currentSnapshot.get.manifest
+    val dvEntry = manifest.find(_.isDeletionVector).get
+    assert(dvEntry.referencedDataFile.contains(pData))
+    assert(dvEntry.contentOffset.contains(blobMeta.offset) &&
+      dvEntry.contentSizeInBytes.contains(blobMeta.length))
+    // lineage inheritance assigned the manifest's first_row_id
+    assert(manifest.find(_.path == pData).get.firstRowId.contains(100L))
+    // the initial-default landed as a graft SQL literal
+    assert(back.schema.find(_.name == "tier").get.initialDefault.contains("'bronze'"))
+
+    // MOR view: exactly the DV-tombstoned positions are gone; the
+    // file-absent column reads its default
+    val got = IceRead.table(spark, cat, "t_v3")
+    assert(got.count() == rowsData - 3)
+    deletedKeys.foreach(k =>
+      assert(got.filter(col("n_nationkey") === k).count() == 0, s"key $k must be deleted"))
+    assert(got.filter(col("tier") === "bronze").count() == rowsData - 3)
+    // row ids: firstRowId + position, with tombstoned positions absent
+    val ids = IceRead.tableWithRowIds(spark, cat, "t_v3")
+      .select("_row_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (100L until 125L).filterNot(Seq(100L, 103L, 107L).contains))
+
+    // --- v3 re-export round-trips (DV coordinates, lineage, defaults)
+    val reJson = IcebergExport.exportIcebergMetadata(cat, "t_v3")
+    assert((JsonMethods.parse(MetaIO.readString(reJson)) \ "format-version") == JInt(3))
+    val cat2 = LocalCatalog(Files.createTempDirectory("ice-v3fx-cat2").toString)
+    val back2 = IcebergImport.importIcebergMetadata(cat2, "t_v3rt", reJson)
+    assert(back2.nextRowId == 125L)
+    val rt = IceRead.table(spark, cat2, "t_v3rt")
+    assert(rt.exceptAll(got).isEmpty && got.exceptAll(rt).isEmpty)
+    val rtIds = IceRead.tableWithRowIds(spark, cat2, "t_v3rt")
+      .select("_row_id").collect().map(_.getLong(0)).sorted
+    assert(rtIds.toSeq == ids.toSeq, "row lineage must survive the round trip")
+  }
+
+  test("unknown format versions are refused") {
     val dir = Files.createTempDirectory("ice-rt-bad").toString
     val p = MetaIO.join(dir, "bad.metadata.json")
-    MetaIO.writeString(p, """{"format-version": 3}""")
+    MetaIO.writeString(p, """{"format-version": 4}""")
     val cat = LocalCatalog(Files.createTempDirectory("ice-rt-bad-c").toString)
     val e = intercept[IllegalArgumentException](
       IcebergImport.importIcebergMetadata(cat, "t_bad", p))

@@ -91,11 +91,11 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
-  test("listing endpoints, auth, write refusal, v3 refusal") {
+  test("listing endpoints, auth, write refusal, v3 served faithfully") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "t1", (1L to 5L).map(i => (i, i)).toDF("a", "b"))
     IceWrite.create(spark, cat, "t2", (1L to 5L).map(i => (i, i)).toDF("a", "b"))
-    // a v3 table with deletion vectors cannot serve v2 metadata
+    // a v3 table with deletion vectors serves format-version 3 metadata
     IceWrite.create(spark, cat, "tv3", (1L to 20L).map(i => (i, i)).toDF("a", "b"),
       formatVersion = 3)
     IceWrite.deleteWhereDv(spark, cat, "tv3", col("a") % 2 === 0)
@@ -124,10 +124,18 @@ class IcebergRestServeSpec extends AnyFunSuite {
         .POST(HttpRequest.BodyPublishers.ofString("{}")).build()
       assert(http.send(post, HttpResponse.BodyHandlers.ofString()).statusCode() == 405)
 
-      // v3 DV table: 409 with the exporter's reason, not wrong metadata
+      // v3 DV table: served as a format-version 3 LoadTableResult, and a
+      // spec client (our import) attaches it with MOR semantics intact
       val v3 = get(s"${srv.uri}/v1/graft/namespaces/graft/tables/tv3", tok)
-      assert(v3.statusCode() == 409, s"expected 409, got ${v3.statusCode()}: ${v3.body()}")
-      assert(v3.body().contains("v3") || v3.body().toLowerCase.contains("deletion"))
+      assert(v3.statusCode() == 200, s"expected 200, got ${v3.statusCode()}: ${v3.body()}")
+      assert((JsonMethods.parse(v3.body()) \ "metadata" \ "format-version") == JInt(3))
+      val dst = freshCatalog()
+      IcebergRestImport.importTable(dst, "tv3b", srv.uri, Seq("graft"), "tv3",
+        authToken = Some("s3cret"))
+      val a = IceRead.table(spark, cat, "tv3")
+      val b = IceRead.table(spark, dst, "tv3b")
+      assert(b.count() == 10L)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     } finally srv.stop()
   }
 }

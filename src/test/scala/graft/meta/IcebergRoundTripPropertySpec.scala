@@ -17,20 +17,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * record count, sequence number, equality ids, partition values),
   * snapshot lineage and sequences, refs, tags, schema, sort order.
   *
-  * Deliberately OUT of the property (not representable in the v2 layout
-  * or validated elsewhere): zone maps / null counts (export emits them
-  * as bounds; import leaves pruning stats to the new engine's own
-  * footer reads), snapshot summary keys beyond `operation`, column
-  * `initial-default`s, and MOR execution itself — data-backed MOR
-  * equivalence of the round trip is pinned by IcebergImportSpec's
-  * oracle-checked fixtures; this spec fuzzes the metadata space those
-  * fixtures can't enumerate.
+  * Half the cases take the FORMAT-V3 arm: deletion vectors (content=1
+  * entries with blob coordinates), per-file first_row_id + next-row-id
+  * row lineage, and column initial-defaults — asserting the v3 wire
+  * carries them losslessly too.
   *
-  * Generator constraints mirror the exporter's documented scope:
-  * format v2, no deletion vectors, no position deletes (their footers
-  * must exist on disk and carry reserved field ids — covered by
-  * IcebergExportSpec), partition values present for exactly the spec's
-  * fields, equality ids drawn from the schema. */
+  * Deliberately OUT of the property (not representable in the wire
+  * layout or validated elsewhere): zone maps / null counts (export emits
+  * them as bounds; import leaves pruning stats to the new engine's own
+  * footer reads), snapshot summary keys beyond `operation`, and MOR
+  * execution itself — data-backed MOR equivalence of the round trip is
+  * pinned by IcebergImportSpec's oracle-checked fixtures; this spec
+  * fuzzes the metadata space those fixtures can't enumerate.
+  *
+  * Generator constraints mirror the exporter's documented scope: no
+  * plain parquet position deletes (their footers must exist on disk and
+  * carry reserved field ids — covered by IcebergExportSpec), partition
+  * values present for exactly the spec's fields, equality ids drawn
+  * from the schema. */
 class IcebergRoundTripPropertySpec extends AnyFunSuite {
 
   private def samples[T](gen: Gen[T], n: Int): Seq[T] =
@@ -159,6 +163,43 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
       Map("operation" -> (if (i == 0) "append" else "overwrite")))
   }
 
+  /** A round-trippable default literal for the v3 arm (types whose
+    * Appendix-D JSON single value maps back to the same SQL text). */
+  private def defaultFor(t: String, i: Int): Option[String] = t match {
+    case "STRING" => Some(s"'d$i'")
+    case "INT" | "BIGINT" => Some((i * 7).toString)
+    case "BOOLEAN" => Some((i % 2 == 0).toString)
+    case "DATE" => Some(s"DATE '${java.time.LocalDate.ofEpochDay(18000L + i)}'")
+    case "DECIMAL(10,2)" => Some(s"$i.25")
+    case _ => None
+  }
+
+  /** The v3 arm: row lineage (per-file first_row_id + next-row-id), one
+    * deletion vector per snapshot referencing one of its data files, and
+    * column defaults — everything the v3 wire carries beyond v2. */
+  private def v3ify(meta: TableMetadata): TableMetadata = {
+    var cursor = 0L
+    val snaps = meta.snapshots.map { s =>
+      val withIds = s.manifest.map { f =>
+        if (f.content == FileContent.Data) {
+          val r = f.copy(firstRowId = Some(cursor)); cursor += f.recordCount; r
+        } else f
+      }
+      val dv = withIds.find(_.content == FileContent.Data).map { d =>
+        FileEntry(path = s"${d.path}.dv.puffin", length = 200L,
+          content = FileContent.PositionDeletes, recordCount = 3L,
+          sequenceNumber = s.sequenceNumber,
+          partitionValues = d.partitionValues, specId = d.specId,
+          referencedDataFile = Some(d.path), contentOffset = Some(4L),
+          contentSizeInBytes = Some(64L))
+      }
+      s.copy(manifest = withIds ++ dv.toSeq)
+    }
+    meta.copy(formatVersion = 3, snapshots = snaps, nextRowId = cursor,
+      schema = meta.schema.map(f =>
+        f.copy(initialDefault = defaultFor(f.dataType, f.id))))
+  }
+
   private val metaGen: Gen[TableMetadata] = for {
     schema <- schemaGen
     spec <- specGen(schema)
@@ -168,6 +209,7 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
     snaps <- snapshotsGen(schema, spec, histSpec)
     nTags <- Gen.chooseNum(0, 2)
     extraBranch <- Gen.oneOf(true, false)
+    v3 <- Gen.oneOf(true, false)
   } yield {
     val cur = snaps.last.snapshotId
     val refs = Map("main" -> cur) ++
@@ -176,7 +218,7 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
     val tags = snaps.take(nTags).zipWithIndex.map { case (s, i) =>
       s"tag$i" -> s.snapshotId
     }.toMap
-    TableMetadata(
+    val base = TableMetadata(
       name = "fuzz", location = "", formatVersion = 2,
       schema = schema, partitionSpec = spec,
       sortOrder = sortCols.take(2).map(f => SortField(f.name, asc, !asc)).toSeq,
@@ -185,11 +227,14 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
       lastColumnId = schema.map(_.id).max, tags = tags,
       properties = Map("fuzz.case" -> "1"),
       historicalSpecs = histSpec.map(HistMarker -> _).toMap)
+    if (v3) v3ify(base) else base
   }
 
   private def entryKey(f: FileEntry) =
     (f.path, f.content, f.length, f.recordCount, f.sequenceNumber,
-      f.equalityFieldIds, f.equalityIds.toSet, f.partitionValues)
+      f.equalityFieldIds, f.equalityIds.toSet, f.partitionValues,
+      // v3 facts: DV blob coordinates and row lineage
+      f.referencedDataFile, f.contentOffset, f.contentSizeInBytes, f.firstRowId)
 
   test("import(export(T)) preserves entry sets, sequences, refs over 100 random tables") {
     val srcCat = LocalCatalog(Files.createTempDirectory("ice-fz-src").toString)
@@ -205,6 +250,8 @@ class IcebergRoundTripPropertySpec extends AnyFunSuite {
       val orig = srcCat.loadTable(name)
 
       assert(back.schema == orig.schema, s"case $i: schema drift")
+      assert(back.formatVersion == orig.formatVersion, s"case $i: format-version drift")
+      assert(back.nextRowId == orig.nextRowId, s"case $i: next-row-id drift")
       assert(back.partitionSpec == orig.partitionSpec, s"case $i: spec drift")
       assert(back.sortOrder == orig.sortOrder, s"case $i: sort-order drift")
       assert(back.currentSnapshotId == orig.currentSnapshotId, s"case $i")
