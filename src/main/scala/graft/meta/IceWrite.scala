@@ -294,7 +294,7 @@ object IceWrite {
     * safe id-addressed reads. Columns are emitted in table-schema order;
     * absent (newly added, nullable) columns are simply not written and read
     * back as NULL by id. */
-  private[meta] def withFieldIds(df: DataFrame, schema: Seq[SchemaField]): DataFrame = {
+  def withFieldIds(df: DataFrame, schema: Seq[SchemaField]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val names = schema.map(_.name).toSet
     val unknown = df.columns.filterNot(names.contains)

@@ -134,7 +134,7 @@ object IcebergExport {
 
   /** Iceberg partition-field name convention: identity keeps the column
     * name, bucket[n] appends `_bucket`. */
-  private def partFieldName(p: PartitionField): String =
+  private[meta] def partFieldName(p: PartitionField): String =
     if (p.isIdentity) p.column
     else if (p.bucketN.nonEmpty || p.sparkBucketN.nonEmpty) s"${p.column}_bucket"
     else if (p.isTruncate) s"${p.column}_trunc"
@@ -348,7 +348,7 @@ object IcebergExport {
     }
   }
 
-  private def partitionValue(meta: TableMetadata, p: PartitionField, raw: Option[String]): AnyRef =
+  private[meta] def partitionValue(meta: TableMetadata, p: PartitionField, raw: Option[String]): AnyRef =
     raw match {
       case None => null
       // time transforms: graft records the human literal, the spec wants

@@ -238,9 +238,86 @@ object IcebergImport {
     }).getOrElse(Nil)
 
     val snapshots = arr(j \ "snapshots").map { s =>
-      val listPath = str(s \ "manifest-list")
-      val (listEntries, _) = IcebergExport.readAvro(listPath)
-      val manifest = listEntries.flatMap { le =>
+      val manifest = decodeManifestList(str(s \ "manifest-list"), byId,
+        resolveSpec, graftSpecId)
+      Snapshot(
+        snapshotId = lng(s \ "snapshot-id"),
+        parentId = (s \ "parent-snapshot-id") match {
+          case JNothing | JNull => None; case p => Some(lng(p))
+        },
+        sequenceNumber = lng(s \ "sequence-number"),
+        timestampMs = lng(s \ "timestamp-ms"),
+        manifest = manifest,
+        summary = (s \ "summary") match {
+          case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty
+        })
+    }
+
+    val refs = (j \ "refs") match {
+      case JObject(kv) => kv.toMap
+      case _ => Map.empty[String, JValue]
+    }
+    val branchRefs = refs.collect {
+      case (b, r) if (r \ "type") == JString("branch") => b -> lng(r \ "snapshot-id")
+    }
+    val tagRefs = refs.collect {
+      case (t, r) if (r \ "type") == JString("tag") => t -> lng(r \ "snapshot-id")
+    }
+    val currentId = (j \ "current-snapshot-id") match {
+      case JNothing | JNull => None
+      case v => Some(lng(v)).filter(_ != -1L)
+    }
+
+    // the row-id cursor resumes PAST every assigned range, so native
+    // appends after the attach cannot collide with imported lineage
+    val nextRowId: Long = (j \ "next-row-id") match {
+      case JNothing | JNull =>
+        snapshots.flatMap(_.manifest.flatMap(f =>
+          f.firstRowId.map(_ + f.recordCount))).foldLeft(0L)(math.max)
+      case v => lng(v)
+    }
+
+    catalog.createTable(TableMetadata(
+      name = name, location = "",
+      formatVersion = fv.toInt,
+      nextRowId = nextRowId,
+      schema = schema,
+      partitionSpec = specFields.map(_._2),
+      // every referenced NON-default spec's definition, keyed by its
+      // graft marker — what lets a later re-export stay spec-faithful
+      historicalSpecs = resolvedSpecs.toMap.collect {
+        case (fid, fields) if fid != defaultSpecId =>
+          graftSpecId(fid) -> fields.map(_._2)
+      },
+      sortOrder = sortOrder,
+      currentSnapshotId = currentId,
+      refs = if (branchRefs.nonEmpty) branchRefs
+             else currentId.map(id => Map("main" -> id)).getOrElse(Map.empty),
+      snapshots = snapshots,
+      lastSequenceNumber = lng(j \ "last-sequence-number"),
+      lastColumnId = lng(j \ "last-column-id").toInt,
+      tags = tagRefs,
+      properties = ((j \ "properties") match {
+        case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }) ++ ndvProperties(j, currentId, byId)))
+  }
+
+
+  /** Decodes every manifest referenced by one manifest LIST into graft
+    * [[FileEntry]]s — the shared read path of the full import, the REST
+    * commit endpoint (validating a client-written list against the
+    * served table), and foreign-table refresh. `resolveSpec` maps a
+    * foreign spec id to its decoded fields in manifest layout (field
+    * name, graft field, source DDL); `graftSpecId` maps it to the
+    * graft-relative marker recorded on each file. */
+  private[meta] def decodeManifestList(listPath: String,
+      byId: Map[Int, SchemaField],
+      resolveSpec: Long => Seq[(String, PartitionField, String)],
+      graftSpecId: Long => Int): Seq[FileEntry] = {
+    val (listEntries, _) = IcebergExport.readAvro(listPath)
+    listEntries.flatMap { le =>
         val mPath = le.get("manifest_path").toString
         val listSeq = le.get("sequence_number").asInstanceOf[Long]
         // each manifest decodes with the spec it was WRITTEN under — a
@@ -359,68 +436,28 @@ object IcebergImport {
           }
         }
       }
-      Snapshot(
-        snapshotId = lng(s \ "snapshot-id"),
-        parentId = (s \ "parent-snapshot-id") match {
-          case JNothing | JNull => None; case p => Some(lng(p))
-        },
-        sequenceNumber = lng(s \ "sequence-number"),
-        timestampMs = lng(s \ "timestamp-ms"),
-        manifest = manifest,
-        summary = (s \ "summary") match {
-          case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
-          case _ => Map.empty
-        })
-    }
+  }
 
-    val refs = (j \ "refs") match {
-      case JObject(kv) => kv.toMap
-      case _ => Map.empty[String, JValue]
+  /** [[decodeManifestList]] AGAINST an existing graft table: spec ids in
+    * the list are graft's own markers (what [[IcebergExport]] writes —
+    * 0 = the current spec, historical markers verbatim) and field names
+    * follow the export layout. This is how the REST commit endpoint
+    * reads a manifest list a spec client wrote on top of served
+    * metadata. */
+  private[meta] def decodeManifestListForTable(meta: TableMetadata,
+      listPath: String): Seq[FileEntry] = {
+    val byId = meta.schema.map(f => f.id -> f).toMap
+    def fieldsOf(spec: Seq[PartitionField]) = spec.map { p =>
+      val src = meta.fieldByName(p.column).getOrElse(
+        sys.error(s"partition column ${p.column} not in schema"))
+      (IcebergExport.partFieldName(p), p, src.dataType.trim.toUpperCase)
     }
-    val branchRefs = refs.collect {
-      case (b, r) if (r \ "type") == JString("branch") => b -> lng(r \ "snapshot-id")
-    }
-    val tagRefs = refs.collect {
-      case (t, r) if (r \ "type") == JString("tag") => t -> lng(r \ "snapshot-id")
-    }
-    val currentId = (j \ "current-snapshot-id") match {
-      case JNothing | JNull => None
-      case v => Some(lng(v)).filter(_ != -1L)
-    }
-
-    // the row-id cursor resumes PAST every assigned range, so native
-    // appends after the attach cannot collide with imported lineage
-    val nextRowId: Long = (j \ "next-row-id") match {
-      case JNothing | JNull =>
-        snapshots.flatMap(_.manifest.flatMap(f =>
-          f.firstRowId.map(_ + f.recordCount))).foldLeft(0L)(math.max)
-      case v => lng(v)
-    }
-
-    catalog.createTable(TableMetadata(
-      name = name, location = "",
-      formatVersion = fv.toInt,
-      nextRowId = nextRowId,
-      schema = schema,
-      partitionSpec = specFields.map(_._2),
-      // every referenced NON-default spec's definition, keyed by its
-      // graft marker — what lets a later re-export stay spec-faithful
-      historicalSpecs = resolvedSpecs.toMap.collect {
-        case (fid, fields) if fid != defaultSpecId =>
-          graftSpecId(fid) -> fields.map(_._2)
-      },
-      sortOrder = sortOrder,
-      currentSnapshotId = currentId,
-      refs = if (branchRefs.nonEmpty) branchRefs
-             else currentId.map(id => Map("main" -> id)).getOrElse(Map.empty),
-      snapshots = snapshots,
-      lastSequenceNumber = lng(j \ "last-sequence-number"),
-      lastColumnId = lng(j \ "last-column-id").toInt,
-      tags = tagRefs,
-      properties = ((j \ "properties") match {
-        case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
-        case _ => Map.empty[String, String]
-      }) ++ ndvProperties(j, currentId, byId)))
+    decodeManifestList(listPath, byId,
+      specId =>
+        if (specId == 0) fieldsOf(meta.partitionSpec)
+        else fieldsOf(meta.historicalSpecs.getOrElse(specId.toInt,
+          sys.error(s"unknown partition spec marker $specId"))),
+      _.toInt)
   }
 
   /** Foreign NDV statistics (`statistics` list, theta blobs) for the

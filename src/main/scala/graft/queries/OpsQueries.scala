@@ -671,11 +671,14 @@ object OpsQueries {
     // Iceberg REST read surface (IcebergRestServe), attached back through
     // the spec client into a second catalog, and read with a filter. The
     // in-query require proves the attach pruned files on the foreign
-    // table (imported zone maps, zero footer reads); the oracle replays
-    // the surviving rows relationally. This is the switch-engines path: a
-    // spec client loads graft tables, graft loads REST-served tables.
+    // table (imported zone maps, zero footer reads). Then the WRITE-BACK
+    // leg: the spec client appends a parquet file through the REST commit
+    // endpoint (IcebergRestCommit: load, client-written manifests,
+    // requirements + add-snapshot POST) and the serving engine's read
+    // picks the rows up — switch-engines in BOTH directions, one oracle.
     "q_rest_loop" -> ((s, dir) => {
-      import graft.meta.{IceRead, IceWrite, IcebergRestImport, IcebergRestServe, LocalCatalog}
+      import graft.meta.{IceRead, IceWrite, IcebergRestCommit, IcebergRestImport,
+        IcebergRestServe, LocalCatalog}
       val src = LocalCatalog(
         java.nio.file.Files.createTempDirectory("q-rest-src").toString)
       val base = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
@@ -689,13 +692,25 @@ object OpsQueries {
         val dst = LocalCatalog(
           java.nio.file.Files.createTempDirectory("q-rest-dst").toString)
         IcebergRestImport.importTable(dst, "t_back", srv.uri, Seq("wh"), "t_rest")
-        val q = IceRead.table(s, dst, "t_back")
+        val probe = IceRead.table(s, dst, "t_back")
           .filter(col("s_suppkey") <= cut)
-        q.collect()
-        val (total, kept) = graft.exec.GraftScan.pruneStats(q)
+        probe.collect()
+        val (total, kept) = graft.exec.GraftScan.pruneStats(probe)
         require(total >= 2 && kept < total,
           s"attached table did not prune via imported bounds: $kept of $total")
-        q
+
+        // write-back: the spec client appends shifted copies of every
+        // 5th supplier through the commit endpoint
+        val staging = java.nio.file.Files.createTempDirectory("q-rest-wb").toString
+        val extra = base.filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") + 1000000L).as("s_suppkey"), col("s_name"))
+        val (p1, sz1, n1, _) = graft.testkit.FileGenerator.writeSingleParquet(
+          s, IceWrite.withFieldIds(extra, src.loadTable("t_rest").schema),
+          java.nio.file.Paths.get(staging, "wb.parquet"))
+        IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "t_rest",
+          Seq(IcebergRestCommit.AddedFile(p1, sz1, n1)), staging)
+        IceRead.table(s, src, "t_rest")
+          .filter(col("s_suppkey") <= cut || col("s_suppkey") >= 1000000L)
       } finally srv.stop()
     }),
 
@@ -3258,7 +3273,10 @@ object OpsQueries {
     "q_rest_loop" ->
       """WITH cut AS (SELECT CAST(floor(max(s_suppkey) / 2) AS BIGINT) AS c FROM supplier)
         |SELECT s_suppkey, s_name FROM supplier, cut
-        |WHERE s_suppkey % 9 <> 0 AND s_suppkey <= c""".stripMargin,
+        |WHERE s_suppkey % 9 <> 0 AND s_suppkey <= c
+        |UNION ALL
+        |SELECT s_suppkey + 1000000 AS s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey % 5 = 0""".stripMargin,
 
     "q_ndv_stats" ->
       """SELECT 'n_name' AS col_name, CAST(count(DISTINCT n_name) AS BIGINT) AS ndv FROM nation

@@ -91,6 +91,109 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("commit endpoint: spec client appends through REST; stale commits 409 and retry succeeds") {
+    val cat = freshCatalog()
+    val rows = (1L to 50L).map(i => (i, s"n$i")).toDF("id", "name")
+    IceWrite.create(spark, cat, "orders", rows)
+    val meta0 = cat.loadTable("orders")
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      // the client's data file: plain parquet on the shared store
+      val staging = Files.createTempDirectory("rest-commit-stage").toString
+      val newRows = (1000L to 1019L).map(i => (i, s"x$i")).toDF("id", "name")
+      val (p1, sz1, n1, _) = graft.testkit.FileGenerator.writeSingleParquet(
+        spark, IceWrite.withFieldIds(newRows, meta0.schema),
+        java.nio.file.Paths.get(staging, "add1.parquet"))
+
+      // ---- the full spec loop: load -> write manifests -> POST commit
+      val snapId = IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "orders",
+        Seq(IcebergRestCommit.AddedFile(p1, sz1, n1)), staging)
+      val after = cat.loadTable("orders")
+      assert(after.currentSnapshotId.contains(snapId),
+        "graft head must move to the REST-committed snapshot")
+      assert(after.currentSnapshot.get.summary("operation") == "append")
+      val got = IceRead.table(spark, cat, "orders")
+      assert(got.count() == 70L)
+      assert(got.filter(col("id") >= 1000L).count() == 20L)
+
+      // ---- a STALE commit (requirement pinned to the pre-append head)
+      // answers 409, and the table is untouched
+      val staleReq = s"""{"requirements":[{"type":"assert-ref-snapshot-id",
+        "ref":"main","snapshot-id":${meta0.currentSnapshotId.get}}],
+        "updates":[]}""".replace("\n", " ")
+      val post = HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/orders"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(staleReq)).build()
+      val staleResp = http.send(post, HttpResponse.BodyHandlers.ofString())
+      assert(staleResp.statusCode() == 409, s"stale requirement must 409: ${staleResp.body()}")
+      // ...and the spec retry loop (reload + rebuild) still lands a commit
+      val (p2, sz2, n2, _) = graft.testkit.FileGenerator.writeSingleParquet(
+        spark, IceWrite.withFieldIds(
+          (2000L to 2009L).map(i => (i, s"y$i")).toDF("id", "name"), meta0.schema),
+        java.nio.file.Paths.get(staging, "add2.parquet"))
+      IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "orders",
+        Seq(IcebergRestCommit.AddedFile(p2, sz2, n2)), staging)
+      assert(IceRead.table(spark, cat, "orders").count() == 80L)
+
+      // ---- non-append shapes refuse with 400: a commit whose manifest
+      // list DROPS the table's live files
+      val listSchema = new org.apache.avro.Schema.Parser().parse(
+        IcebergExport.manifestListSchemaJsonV(2))
+      val emptyList = MetaIO.join(staging, "empty-list.avro")
+      IcebergExport.avroWrite(emptyList, listSchema, Map("format-version" -> "2"), Nil)
+      val dropBody = """{"requirements":[],"updates":[
+        {"action":"add-snapshot","snapshot":{"snapshot-id":777,
+         "sequence-number":99,"timestamp-ms":1,"manifest-list":"""" + emptyList +
+        """","summary":{"operation":"delete"}}}]}"""
+      val dropResp = http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/orders"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(dropBody)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(dropResp.statusCode() == 400,
+        s"file-dropping commit must 400: ${dropResp.statusCode()} ${dropResp.body()}")
+
+      // set-properties / remove-properties ride the same endpoint
+      val propBody = """{"requirements":[],"updates":[
+        {"action":"set-properties","updates":{"owner":"etl"}}]}"""
+      val propResp = http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/orders"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(propBody)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(propResp.statusCode() == 200, propResp.body())
+      assert(cat.loadTable("orders").properties.get("owner").contains("etl"))
+    } finally srv.stop()
+  }
+
+  test("commit endpoint on a v3 table: server assigns row lineage to REST-appended files") {
+    val cat = freshCatalog()
+    val rows = (1L to 30L).map(i => (i, s"n$i")).toDF("id", "name")
+    IceWrite.create(spark, cat, "ev", rows, formatVersion = 3)
+    val nextBefore = cat.loadTable("ev").nextRowId
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      val staging = Files.createTempDirectory("rest-commit-v3").toString
+      val (p1, sz1, n1, _) = graft.testkit.FileGenerator.writeSingleParquet(
+        spark, IceWrite.withFieldIds(
+          (500L to 509L).map(i => (i, s"z$i")).toDF("id", "name"),
+          cat.loadTable("ev").schema),
+        java.nio.file.Paths.get(staging, "v3add.parquet"))
+      IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "ev",
+        Seq(IcebergRestCommit.AddedFile(p1, sz1, n1)), staging)
+      val after = cat.loadTable("ev")
+      val added = after.currentSnapshot.get.manifest.find(_.path == p1).get
+      assert(added.firstRowId.contains(nextBefore),
+        "REST-appended file must take row ids from the table cursor")
+      assert(after.nextRowId == nextBefore + n1)
+      // row ids stay globally unique through the mixed history
+      val ids = IceRead.tableWithRowIds(spark, cat, "ev")
+        .select("_row_id").collect().map(_.getLong(0))
+      assert(ids.length == 40 && ids.distinct.length == 40)
+    } finally srv.stop()
+  }
+
   test("listing endpoints, auth, write refusal, v3 served faithfully") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "t1", (1L to 5L).map(i => (i, i)).toDF("a", "b"))
