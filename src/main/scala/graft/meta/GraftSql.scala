@@ -1152,7 +1152,7 @@ object GraftSql {
       args: Seq[(Option[String], Any)]) extends LeafRunnableCommand {
 
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
 
     override val output: Seq[Attribute] = proc match {
       case "rewrite_data_files" | "rewrite_position_delete_files" => Seq(
@@ -1179,6 +1179,11 @@ object GraftSql {
         AttributeReference("table_name", StringType)(),
         AttributeReference("snapshot_id", LongType)(),
         AttributeReference("data_files", LongType)())
+      case "refresh_iceberg_rest" => Seq(
+        AttributeReference("table_name", StringType)(),
+        AttributeReference("refreshed", BooleanType)(),
+        AttributeReference("snapshot_id", LongType)(),
+        AttributeReference("added_snapshots", LongType)())
       case "create_changelog_view" => Seq(
         AttributeReference("changelog_view", StringType)())
       case other => throw new IllegalArgumentException(
@@ -1186,7 +1191,7 @@ object GraftSql {
           "rewrite_data_files, rewrite_position_delete_files, expire_snapshots, " +
           "remove_orphan_files, rollback_to_snapshot, cherrypick_snapshot, " +
           "set_current_snapshot, fast_forward, attach_iceberg, attach_iceberg_rest, " +
-          "create_changelog_view)")
+          "refresh_iceberg_rest, create_changelog_view)")
     }
 
     private def named(name: String): Option[Any] =
@@ -1299,6 +1304,13 @@ object GraftSql {
           Seq(Row(table, m.currentSnapshotId.getOrElse(-1L),
             m.currentSnapshot.map(_.manifest.count(_.content == FileContent.Data).toLong)
               .getOrElse(0L)))
+        case "refresh_iceberg_rest" => // (table [, token => '...'])
+          // re-sync a REST-attached table with its source (provenance in
+          // attach.* properties); a fresh source is a no-op probe
+          val r = IcebergRestImport.refreshTable(cat, table,
+            authToken = named("token").map(_.toString))
+          Seq(Row(table, r.refreshed, r.snapshotId.getOrElse(-1L),
+            r.addedSnapshots.toLong))
 
         // Iceberg's create_changelog_view: registers the changelog of
         // (start-snapshot, current] as a queryable temp view — SQL-only

@@ -152,7 +152,15 @@ object IcebergImport {
     * document — what a REST catalog's LoadTableResult embeds
     * ([[IcebergRestImport]]). */
   def importIcebergMetadataJson(catalog: Catalog, name: String,
-      j: JValue): TableMetadata = {
+      j: JValue): TableMetadata =
+    catalog.createTable(parseIcebergMetadataJson(name, j))
+
+  /** The pure parse half of the import: an Iceberg table-metadata
+    * document to a graft [[TableMetadata]] (location unset — the catalog
+    * assigns it at registration). Shared by first attach and
+    * [[IcebergRestImport.refreshTable]], which commits the re-parsed
+    * state as a new VERSION of an already-attached table. */
+  def parseIcebergMetadataJson(name: String, j: JValue): TableMetadata = {
     val fv = lng(j \ "format-version")
     require(fv == 2 || fv == 3,
       s"importIcebergMetadata: format-version $fv not supported (v2/v3 only)")
@@ -278,7 +286,7 @@ object IcebergImport {
       case v => lng(v)
     }
 
-    catalog.createTable(TableMetadata(
+    TableMetadata(
       name = name, location = "",
       formatVersion = fv.toInt,
       nextRowId = nextRowId,
@@ -301,7 +309,7 @@ object IcebergImport {
       properties = ((j \ "properties") match {
         case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
         case _ => Map.empty[String, String]
-      }) ++ ndvProperties(j, currentId, byId)))
+      }) ++ ndvProperties(j, currentId, byId))
   }
 
 

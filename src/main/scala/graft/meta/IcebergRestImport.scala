@@ -46,17 +46,8 @@ object IcebergRestImport {
       }
     } catch { case _: Exception => "" } // config endpoint optional in practice
 
-  /** Fetches LoadTableResult for `namespace.table` and registers it into
-    * `catalog` as `name` via [[IcebergImport.importIcebergMetadataJson]].
-    * `namespace` levels (e.g. Seq("prod","events")) join with the spec's
-    * unit separator. Everything the file-based import supports (spec
-    * evolution, deletes, zone-map bounds, NDV statistics) applies. */
-  def importTable(catalog: Catalog, name: String, uri: String,
-      namespace: Seq[String], table: String,
-      authToken: Option[String] = None,
-      /** pass a known prefix to skip the config handshake; None resolves
-        * via `GET /v1/config`. */
-      prefix: Option[String] = None): TableMetadata = {
+  private def loadResult(uri: String, namespace: Seq[String], table: String,
+      authToken: Option[String], prefix: Option[String]): (JValue, Option[String], String) = {
     require(namespace.nonEmpty, "importTable: empty namespace")
     val base = uri.stripSuffix("/")
     val pfx = prefix.getOrElse(resolvePrefix(uri, authToken)) match {
@@ -71,17 +62,112 @@ object IcebergRestImport {
     val ns = enc(namespace.mkString("\u001f"))
     val t = enc(table)
     val body = JsonMethods.parse(get(s"$base/v1$pfx/namespaces/$ns/tables/$t", authToken))
+    val loc = body \ "metadata-location" match {
+      case JString(l) => Some(l); case _ => None
+    }
     val metadata = body \ "metadata" match {
       case JNothing | JNull =>
         // spec allows metadata-location-only responses; fall back to
         // reading the metadata file directly (reachable warehouses only)
-        body \ "metadata-location" match {
-          case JString(loc) => JsonMethods.parse(MetaIO.readString(loc))
-          case _ => sys.error(
-            s"LoadTableResult for $table carries neither metadata nor metadata-location")
-        }
+        loc.map(l => JsonMethods.parse(MetaIO.readString(l))).getOrElse(sys.error(
+          s"LoadTableResult for $table carries neither metadata nor metadata-location"))
       case m => m
     }
-    IcebergImport.importIcebergMetadataJson(catalog, name, metadata)
+    (metadata, loc, pfx.stripPrefix("/"))
+  }
+
+  /** The provenance an attach records (as `attach.*` table properties) so
+    * [[refreshTable]] can re-find and re-sync the source later. The auth
+    * token is deliberately NOT stored — pass it to refresh. */
+  private def provenance(uri: String, namespace: Seq[String], table: String,
+      pfx: String, loc: Option[String], parsed: TableMetadata): Map[String, String] =
+    Map(
+      "attach.rest.uri" -> uri.stripSuffix("/"),
+      "attach.rest.namespace" -> namespace.mkString("\u001f"),
+      "attach.rest.table" -> table,
+      "attach.rest.prefix" -> pfx,
+      "attach.snapshot-id" -> parsed.currentSnapshotId.getOrElse(-1L).toString) ++
+      loc.map("attach.metadata-location" -> _)
+
+  /** Fetches LoadTableResult for `namespace.table` and registers it into
+    * `catalog` as `name`. `namespace` levels (e.g. Seq("prod","events"))
+    * join with the spec's unit separator. Everything the file-based
+    * import supports (spec evolution, deletes, v3 DVs + lineage,
+    * zone-map bounds, NDV statistics) applies. Provenance lands in
+    * `attach.*` properties so the table can later FOLLOW its source via
+    * [[refreshTable]]. */
+  def importTable(catalog: Catalog, name: String, uri: String,
+      namespace: Seq[String], table: String,
+      authToken: Option[String] = None,
+      /** pass a known prefix to skip the config handshake; None resolves
+        * via `GET /v1/config`. */
+      prefix: Option[String] = None): TableMetadata = {
+    val (metadata, loc, pfx) = loadResult(uri, namespace, table, authToken, prefix)
+    val parsed = IcebergImport.parseIcebergMetadataJson(name, metadata)
+    catalog.createTable(parsed.copy(properties = parsed.properties ++
+      provenance(uri, namespace, table, pfx, loc, parsed)))
+  }
+
+  /** What [[refreshTable]] did: `refreshed` is false when the source
+    * hadn't moved (metadata-location/head unchanged — a no-op probe);
+    * `addedSnapshots` counts foreign snapshots the local copy gained
+    * (negative when the source also EXPIRED old history). */
+  final case class RefreshResult(refreshed: Boolean, snapshotId: Option[Long],
+      addedSnapshots: Int)
+
+  /** Re-syncs a REST-attached table with its source catalog: one GET, a
+    * staleness check against the recorded `attach.metadata-location` /
+    * head snapshot, and — if the source moved — a re-parse committed as a
+    * new VERSION of the local table. Snapshot ids and manifests are the
+    * source's own, so changelogs stay continuous across the refresh:
+    * unchanged rows produce no spurious inserts/deletes.
+    *
+    * Local commits past the attach point REFUSE loudly (this engine does
+    * not rebase local writes onto a foreign history — re-attach under a
+    * new name, or push the writes through the source's own commit path,
+    * e.g. [[IcebergRestCommit]]). A source that expired/rewrote history
+    * such that the local head no longer exists there also refuses. */
+  def refreshTable(catalog: Catalog, name: String,
+      authToken: Option[String] = None): RefreshResult = {
+    val meta = catalog.loadTable(name)
+    val uri = meta.properties.getOrElse("attach.rest.uri",
+      throw new IllegalArgumentException(
+        s"refresh_iceberg_rest: $name was not attached from a REST catalog " +
+          "(no attach.rest.uri property)"))
+    val namespace = meta.properties("attach.rest.namespace").split('\u001f').toSeq
+    val table = meta.properties("attach.rest.table")
+    val prefix = meta.properties.get("attach.rest.prefix")
+    val attachedAt = meta.properties.get("attach.snapshot-id").map(_.toLong).filter(_ >= 0)
+    require(meta.currentSnapshotId == attachedAt,
+      s"refresh_iceberg_rest: $name has LOCAL commits past the attach point " +
+        s"(head ${meta.currentSnapshotId.getOrElse(-1L)}, attached at " +
+        s"${attachedAt.getOrElse(-1L)}) — local writes cannot be rebased onto the " +
+        "foreign history. Re-attach under a new name, or write through the " +
+        "source catalog (IcebergRestCommit).")
+
+    val (metadata, loc, pfx) = loadResult(uri, namespace, table, authToken, prefix)
+    val foreignCur = (metadata \ "current-snapshot-id") match {
+      case JNothing | JNull => None
+      case JInt(v) => Some(v.toLong).filter(_ != -1L)
+      case v => Some(v.values.toString.toLong).filter(_ != -1L)
+    }
+    val sameLoc = loc.nonEmpty &&
+      loc == meta.properties.get("attach.metadata-location")
+    if (sameLoc || (loc.isEmpty && foreignCur == attachedAt))
+      return RefreshResult(refreshed = false, attachedAt, 0)
+
+    val parsed = IcebergImport.parseIcebergMetadataJson(name, metadata)
+    // continuity guard: the local head must still exist in the source's
+    // history, or a changelog across the refresh would be meaningless
+    require(attachedAt.forall(id => parsed.snapshots.exists(_.snapshotId == id)),
+      s"refresh_iceberg_rest: the source rewrote history — local head " +
+        s"${attachedAt.getOrElse(-1L)} no longer exists there. Re-attach.")
+    val merged = parsed.copy(
+      location = meta.location,
+      properties = parsed.properties ++
+        provenance(uri, namespace, table, pfx, loc, parsed))
+    catalog.commit(meta, merged)
+    RefreshResult(refreshed = true, merged.currentSnapshotId,
+      parsed.snapshots.size - meta.snapshots.size)
   }
 }

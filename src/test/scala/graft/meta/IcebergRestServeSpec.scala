@@ -194,6 +194,65 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("refresh: an attached table follows its source; local commits refuse") {
+    val src = freshCatalog()
+    val rows = (1L to 50L).map(i => (i, s"n$i")).toDF("id", "name")
+    IceWrite.create(spark, src, "orders", rows)
+    val srv = new IcebergRestServe(src, namespace = "wh", prefix = "p")
+    try {
+      val dst = freshCatalog()
+      IcebergRestImport.importTable(dst, "o", srv.uri, Seq("wh"), "orders")
+      val attachedAt = dst.loadTable("o").currentSnapshotId.get
+
+      // fresh source: the probe is a NO-OP (metadata-location unchanged)
+      val r0 = IcebergRestImport.refreshTable(dst, "o")
+      assert(!r0.refreshed && r0.snapshotId.contains(attachedAt))
+
+      // the SOURCE moves: an append and a MOR delete
+      IceWrite.append(spark, src, "orders",
+        (100L to 119L).map(i => (i, s"late$i")).toDF("id", "name"))
+      IceWrite.deleteWhere(spark, src, "orders", col("id") % 10 === 0)
+      val r1 = IcebergRestImport.refreshTable(dst, "o")
+      assert(r1.refreshed && r1.addedSnapshots == 2)
+      val a = IceRead.table(spark, src, "orders")
+      val b = IceRead.table(spark, dst, "o")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+      // CHANGELOG CONTINUITY across the refresh: from the attach point to
+      // the refreshed head, only the real foreign changes appear — the 20
+      // appended rows as inserts, the 7 tombstoned rows as deletes (ids
+      // 10,20,30,40,50,100,110), NO churn for the 45 unchanged rows
+      val changes = Changelog.changesBetween(spark, dst, "o",
+        attachedAt, dst.loadTable("o").currentSnapshotId.get)
+      val byType = changes.groupBy("_change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType.getOrElse("insert", 0L) == 20L, s"changelog: $byType")
+      assert(byType.getOrElse("delete", 0L) == 7L, s"changelog: $byType")
+
+      // a second refresh right after is a no-op again
+      assert(!IcebergRestImport.refreshTable(dst, "o").refreshed)
+
+      // LOCAL commits past the attach point refuse (no rebase)
+      IceWrite.append(spark, dst, "o", Seq((9999L, "local")).toDF("id", "name"))
+      val e = intercept[IllegalArgumentException](
+        IcebergRestImport.refreshTable(dst, "o"))
+      assert(e.getMessage.contains("LOCAL commits"))
+
+      // the SQL procedure drives the same loop
+      val dst2 = freshCatalog()
+      GraftSql.register("rf", dst2)
+      try {
+        spark.sql(s"CALL rf.system.attach_iceberg_rest('o2', '${srv.uri}', 'wh', 'orders')")
+        val row = spark.sql("CALL rf.system.refresh_iceberg_rest('o2')").head
+        assert(!row.getBoolean(1), "freshly attached table must probe as fresh")
+        IceWrite.append(spark, src, "orders", Seq((7777L, "x")).toDF("id", "name"))
+        val row2 = spark.sql("CALL rf.system.refresh_iceberg_rest('o2')").head
+        assert(row2.getBoolean(1) && row2.getLong(3) == 1L)
+        assert(spark.sql("SELECT count(*) AS n FROM rf.o2 WHERE id = 7777").head.getLong(0) == 1L)
+      } finally GraftSql.unregister("rf")
+    } finally srv.stop()
+  }
+
   test("listing endpoints, auth, write refusal, v3 served faithfully") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "t1", (1L to 5L).map(i => (i, i)).toDF("a", "b"))
