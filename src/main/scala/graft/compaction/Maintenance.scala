@@ -685,11 +685,16 @@ object Maintenance {
 
   /** ANALYZE-style table statistics, persisted as TABLE properties: row
     * count, per-column null count / min / max (one fused aggregate pass)
-    * and per-column distinct-count estimates (a second pass — ALL
-    * columns' HLL registers ride one scan via
-    * [[graft.ops.Sketch.hyperLogLogBy]], state bounded at 256 registers
-    * per column). Two scans total however many columns, nothing
-    * collected beyond the bounded register table.
+    * and per-column distinct counts. Columns with an Iceberg single-value
+    * encoding get THETA sketches via [[graft.meta.NdvStats.analyze]] —
+    * exact below the sketch nominal, PERSISTED as a Puffin sidecar (so
+    * exports/REST serving bind them into the spec `statistics` list for
+    * external CBOs), and INCREMENTALLY maintained: an ANALYZE after an
+    * append-only change scans only the appended files. Remaining columns
+    * (double/float/array — no stable single-value encoding) fall back to
+    * one HLL pass ([[graft.ops.Sketch.hyperLogLogBy]], state bounded at
+    * 256 registers per column). Nothing collected beyond bounded
+    * sketch/register state.
     *
     * Written keys: `stats.rows`, `stats.<col>.{nulls,min,max,ndv}`, and
     * `stats.snapshot-id` (provenance — a reader can tell stale stats
@@ -717,13 +722,26 @@ object Maintenance {
       max(col(c)).cast("string").as(s"__max::$c"))
     }
     val row = df.agg(count(lit(1)).as("__rows"), aggs: _*).head()
-    val kv = df.select(explode(array(target.map(c =>
-        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
-      .select(col("kv.c").as("c"), col("kv.v").as("v"))
-    val regs = graft.ops.Sketch.hyperLogLogBy(kv, "c", "v")
-      .collect().groupBy(_.getString(0))
-      .view.mapValues(rs => graft.ops.Sketch.hllEstimateFromRegisters(
-        rs.map(_.getLong(2)).toSeq)).toMap
+    // distinct counts: theta sketches for every encodable column
+    // (persisted + incremental), HLL only for the leftovers
+    val thetaCols = target.filter(c =>
+      graft.meta.NdvStats.supported(df.schema(df.schema.fieldIndex(c)).dataType))
+    val thetaNdv: Map[String, Long] =
+      if (thetaCols.isEmpty) Map.empty
+      else graft.meta.NdvStats.analyze(spark, catalog, tableName, thetaCols)
+        .sketches.view.mapValues(_.estimate).toMap
+    val hllCols = target.filterNot(thetaNdv.contains)
+    val regs: Map[String, Long] =
+      if (hllCols.isEmpty) Map.empty
+      else {
+        val kv = df.select(explode(array(hllCols.map(c =>
+            struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
+          .select(col("kv.c").as("c"), col("kv.v").as("v"))
+        graft.ops.Sketch.hyperLogLogBy(kv, "c", "v")
+          .collect().groupBy(_.getString(0))
+          .view.mapValues(rs => graft.ops.Sketch.hllEstimateFromRegisters(
+            rs.map(_.getLong(2)).toSeq)).toMap
+      }
     val get = (name: String) => Option(row.get(row.fieldIndex(name))).map(String.valueOf)
     val stats = Map("stats.rows" -> row.getLong(0).toString,
       "stats.snapshot-id" -> pinnedSnapshot.toString) ++
@@ -731,7 +749,7 @@ object Maintenance {
         // sums over zero rows are NULL: counts default to 0, min/max are
         // simply omitted (an empty "" would blow up readers doing .toLong)
         Seq(s"stats.$c.nulls" -> get(s"__nulls::$c").getOrElse("0"),
-          s"stats.$c.ndv" -> regs.getOrElse(c, 0L).toString) ++
+          s"stats.$c.ndv" -> thetaNdv.getOrElse(c, regs.getOrElse(c, 0L)).toString) ++
           get(s"__min::$c").map(v => s"stats.$c.min" -> v) ++
           get(s"__max::$c").map(v => s"stats.$c.max" -> v)
       }

@@ -773,8 +773,13 @@ object IcebergExport {
       }).toList)
 
     // NDV statistics (Puffin theta blobs, one per resolvable column),
-    // bound to the CURRENT snapshot — the spec's `statistics` list entry
-    val statisticsJ: List[JValue] = (meta.currentSnapshot, ndvSketches) match {
+    // bound to the CURRENT snapshot — the spec's `statistics` list entry.
+    // When the caller passes none, persisted ANALYZE sketches covering
+    // the current snapshot bind automatically (so REST-served metadata
+    // carries cardinalities for external CBOs without an explicit pass).
+    val effectiveSketches =
+      if (ndvSketches.nonEmpty) ndvSketches else NdvStats.persistedForCurrent(meta)
+    val statisticsJ: List[JValue] = (meta.currentSnapshot, effectiveSketches) match {
       case (Some(cur), sk) if sk.nonEmpty =>
         val resolved = sk.toSeq
           .flatMap { case (c, s) => meta.fieldByName(c).map(f => (f.id, c, s)) }

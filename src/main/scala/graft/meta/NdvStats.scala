@@ -1,15 +1,28 @@
 package graft.meta
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
-/** Distinct-value statistics for Iceberg interop: one distributed pass
-  * builds a [[ThetaSketch]] per supported column (per-partition sketches,
-  * driver merge — sketch state is bounded at `nominal` hashes, so the
-  * collect is KBs regardless of table size). [[IcebergExport]] writes
-  * them as Puffin `apache-datasketches-theta-v1` blobs referenced from
-  * the metadata `statistics` list, which is where external engines' CBOs
-  * look for NDV. */
+import graft.functions.ThetaSketchAgg
+
+/** Distinct-value statistics for Iceberg interop: ONE vectorized
+  * aggregate pass builds a [[ThetaSketch]] per supported column via
+  * [[graft.functions.ThetaSketchAgg]] (the scan stays columnar and
+  * inside whole-stage codegen; partial aggregation ships one bounded
+  * sketch per partition, so nothing larger than KBs ever reaches the
+  * driver). [[IcebergExport]] writes them as Puffin
+  * `apache-datasketches-theta-v1` blobs referenced from the metadata
+  * `statistics` list, which is where external engines' CBOs look for
+  * NDV.
+  *
+  * [[analyze]] is the PERSISTED, incrementally-maintained form: sketches
+  * land in a Puffin sidecar under `<location>/stats/` with provenance in
+  * table properties, and an ANALYZE after an append-only change scans
+  * ONLY the appended files and unions their sketches with the stored
+  * ones (sketches are mergeable by construction) — at 100 TB that is the
+  * difference between a statistics refresh costing a full-table pass and
+  * costing one pass over the day's ingest. */
 object NdvStats {
 
   /** Types with an Iceberg single-value binary encoding this sketches. */
@@ -20,55 +33,149 @@ object NdvStats {
     case _ => false
   }
 
+  private def targetCols(df: DataFrame, cols: Seq[String]): Seq[String] =
+    (if (cols.nonEmpty) cols else df.columns.toSeq)
+      .filter(c => df.schema.fields.find(_.name == c).exists(f => supported(f.dataType)))
+
+  /** One aggregate pass over `df`: column name -> sketch. */
+  private def sketchOver(df: DataFrame, target: Seq[String]): Map[String, ThetaSketch] = {
+    if (target.isEmpty) return Map.empty
+    val aggs = target.map(c => ThetaSketchAgg.theta_sketch(col(c)).as(s"__theta::$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    target.zipWithIndex.map { case (c, i) =>
+      c -> ThetaSketch.deserialize(row.getAs[Array[Byte]](i))
+    }.toMap
+  }
+
   /** Sketches every supported column (or `cols`) of the CURRENT
     * snapshot. Column name -> sketch. */
   def compute(spark: SparkSession, catalog: Catalog, name: String,
       cols: Seq[String] = Nil): Map[String, ThetaSketch] = {
-    val df0 = IceRead.table(spark, catalog, name)
-    val target = (if (cols.nonEmpty) cols else df0.columns.toSeq)
-      .filter(c => df0.schema.fields.find(_.name == c).exists(f => supported(f.dataType)))
-    if (target.isEmpty) return Map.empty
-    val df = df0.select(target.map(org.apache.spark.sql.functions.col): _*)
-    val dts = df.schema.fields.map(_.dataType)
-
-    def upd(s: ThetaSketch, dt: DataType, r: Row, i: Int): Unit = dt match {
-      // ints/dates promote to long; timestamps are micros — the same
-      // single-value encoding rules the bucket transform hashes
-      case IntegerType | DateType => s.updateLong(r.getAs[Any](i) match {
-        case d: java.sql.Date => d.toLocalDate.toEpochDay
-        case d: java.time.LocalDate => d.toEpochDay // datetime.java8API sessions
-        case n: Int => n.toLong
-        case n: Number => n.longValue()
-      })
-      case LongType => s.updateLong(r.getLong(i))
-      case TimestampType => s.updateLong(r.getAs[Any](i) match {
-        case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
-        case t: java.time.Instant => // datetime.java8API sessions
-          t.getEpochSecond * 1000000L + t.getNano / 1000
-        case n: Number => n.longValue()
-      })
-      case StringType => s.updateString(r.getString(i))
-      case BooleanType => s.updateBytes(Array[Byte](if (r.getBoolean(i)) 1 else 0))
-      case _: DecimalType =>
-        s.updateBytes(r.getDecimal(i).unscaledValue.toByteArray)
-      case _ => ()
-    }
-
-    val partials: Array[Array[Array[Byte]]] = df.rdd.mapPartitions { rows =>
-      val sketches = Array.fill(dts.length)(ThetaSketch.empty())
-      rows.foreach { r =>
-        var i = 0
-        while (i < dts.length) {
-          if (!r.isNullAt(i)) upd(sketches(i), dts(i), r, i)
-          i += 1
-        }
-      }
-      Iterator.single(sketches.map(_.serialize))
-    }.collect()
-
-    val merged = partials.foldLeft(Array.fill(dts.length)(ThetaSketch.empty())) {
-      (acc, part) => acc.zip(part).map { case (a, b) => a.merge(ThetaSketch.deserialize(b)) }
-    }
-    target.zip(merged).toMap
+    val df = IceRead.table(spark, catalog, name)
+    sketchOver(df, targetCols(df, cols))
   }
+
+  /** What [[analyze]] did: the sketches, HOW they were obtained
+    * (`incremental` = stored sketches unioned with a pass over only
+    * `scannedFiles`; otherwise a full-table pass), and where they
+    * persist. */
+  final case class AnalyzeResult(sketches: Map[String, ThetaSketch],
+      scannedFiles: Seq[String], incremental: Boolean, statsPath: String)
+
+  /** Provenance keys for the persisted sketch sidecar. */
+  private val PathKey = "ndv.sketch.path"
+  private val SnapshotKey = "ndv.sketch.snapshot-id"
+  private val SchemaKey = "ndv.sketch.schema"
+
+  private def schemaKeyOf(meta: TableMetadata): String =
+    meta.schema.map(f => s"${f.id}:${f.name}:${f.dataType}").mkString(",").hashCode.toString
+
+  /** Reads a persisted sketch sidecar back: column name -> sketch. */
+  private[meta] def readSketches(meta: TableMetadata, path: String): Map[String, ThetaSketch] = {
+    val bytes = MetaIO.readBytes(path)
+    Puffin.readFooter(path)
+      .filter(_.blobType == "apache-datasketches-theta-v1")
+      .flatMap { b =>
+        b.fields.headOption.flatMap(fid => meta.schema.find(_.id == fid)).map { f =>
+          f.name -> ThetaSketch.deserialize(java.util.Arrays.copyOfRange(
+            bytes, b.offset.toInt, (b.offset + b.length).toInt))
+        }
+      }.toMap
+  }
+
+  /** True when `cur` is `old` plus NEW DATA FILES only — no file removed,
+    * no delete file added (a new delete would hide rows the stored
+    * sketches already counted). */
+  private def appendOnlyDiff(old: Snapshot, cur: Snapshot): Boolean = {
+    val oldKeys = old.manifest.map(_.resolutionKey).toSet
+    val curKeys = cur.manifest.map(_.resolutionKey).toSet
+    oldKeys.subsetOf(curKeys) &&
+      cur.manifest.forall(f => oldKeys.contains(f.resolutionKey) ||
+        f.content == FileContent.Data)
+  }
+
+  /** ANALYZE with persistence and incremental maintenance: computes the
+    * per-column sketches of the CURRENT snapshot, writes them as a
+    * Puffin sidecar under `<location>/stats/`, and records provenance
+    * (`ndv.sketch.{path,snapshot-id,schema}` properties) via a
+    * metadata-only CAS commit. When the stored provenance names an
+    * ancestor snapshot, the schema hasn't changed, and the diff is
+    * append-only, only the APPENDED files are scanned and their sketches
+    * union with the stored ones; anything else (deletes, rewrites,
+    * schema changes, different column set) falls back to a full pass. */
+  def analyze(spark: SparkSession, catalog: Catalog, name: String,
+      cols: Seq[String] = Nil): AnalyzeResult = {
+    val meta = catalog.loadTable(name)
+    val cur = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshot"))
+    val df = IceRead.table(spark, catalog, name)
+    val target = targetCols(df, cols)
+    val schemaKey = schemaKeyOf(meta)
+
+    val stored = for {
+      p <- meta.properties.get(PathKey)
+      sid <- meta.properties.get(SnapshotKey).map(_.toLong)
+      sk <- meta.properties.get(SchemaKey) if sk == schemaKey
+      old <- meta.snapshotById(sid)
+    } yield (p, old)
+
+    val (sketches, scanned, incremental): (Map[String, ThetaSketch], Seq[String], Boolean) =
+      stored match {
+        case Some((p, old)) if appendOnlyDiff(old, cur) =>
+          val prev = readSketches(meta, p)
+          if (target.forall(prev.contains)) {
+            val oldKeys = old.manifest.map(_.resolutionKey).toSet
+            val newFiles = cur.manifest
+              .filter(f => f.content == FileContent.Data &&
+                !oldKeys.contains(f.resolutionKey))
+              .map(_.path)
+            if (newFiles.isEmpty)
+              (target.map(c => c -> prev(c)).toMap, Nil, true)
+            else {
+              // the appended files carry no deletes (their sequence is the
+              // newest), so a raw parquet pass over exactly them is the
+              // MOR view of the delta
+              val fresh = sketchOver(
+                spark.read.parquet(newFiles: _*).select(target.map(col): _*), target)
+              (target.map(c => c -> prev(c).merge(fresh(c))).toMap, newFiles, true)
+            }
+          } else (sketchOver(df, target), cur.manifest.collect {
+            case f if f.content == FileContent.Data => f.path
+          }, false)
+        case _ =>
+          (sketchOver(df, target), cur.manifest.collect {
+            case f if f.content == FileContent.Data => f.path
+          }, false)
+      }
+
+    // persist + provenance (CAS metadata-only commit)
+    val statsPath = MetaIO.join(meta.location, "stats",
+      s"ndv-${cur.snapshotId}-${java.util.UUID.randomUUID()}.puffin")
+    val blobs = sketches.toSeq
+      .flatMap { case (c, s) => meta.fieldByName(c).map(f => (f.id, s)) }
+      .sortBy(_._1)
+      .map { case (fid, s) =>
+        Puffin.Blob("apache-datasketches-theta-v1", s.serialize,
+          cur.snapshotId, cur.sequenceNumber, Seq(fid),
+          Map("ndv" -> s.estimate.toString))
+      }
+    Puffin.write(statsPath, blobs)
+    SchemaEvolution.updateProperties(catalog, name, Map(
+      PathKey -> statsPath,
+      SnapshotKey -> cur.snapshotId.toString,
+      SchemaKey -> schemaKey))
+    AnalyzeResult(sketches, scanned, incremental, statsPath)
+  }
+
+  /** The persisted sketches, when they cover the CURRENT snapshot —
+    * what [[IcebergExport]] binds into the metadata `statistics` list
+    * when the caller didn't pass sketches explicitly. */
+  private[meta] def persistedForCurrent(meta: TableMetadata): Map[String, ThetaSketch] =
+    (for {
+      p <- meta.properties.get(PathKey)
+      sid <- meta.properties.get(SnapshotKey).map(_.toLong)
+      if meta.currentSnapshotId.contains(sid)
+      if scala.util.Try(MetaIO.exists(p)).getOrElse(false)
+    } yield scala.util.Try(readSketches(meta, p)).getOrElse(Map.empty[String, ThetaSketch]))
+      .getOrElse(Map.empty)
 }

@@ -687,11 +687,17 @@ object OpsQueries {
       IceWrite.create(s, src, "t_rest", base.filter(col("s_suppkey") <= cut))
       IceWrite.append(s, src, "t_rest", base.filter(col("s_suppkey") > cut))
       IceWrite.deleteWhere(s, src, "t_rest", col("s_suppkey") % 9 === 0)
+      // ANALYZE persists theta sketches — served metadata must then carry
+      // the spec `statistics` list so external CBOs see cardinalities
+      graft.meta.NdvStats.analyze(s, src, "t_rest")
       val srv = new IcebergRestServe(src, namespace = "wh", prefix = "p")
       try {
         val dst = LocalCatalog(
           java.nio.file.Files.createTempDirectory("q-rest-dst").toString)
-        IcebergRestImport.importTable(dst, "t_back", srv.uri, Seq("wh"), "t_rest")
+        val attached = IcebergRestImport.importTable(dst, "t_back", srv.uri,
+          Seq("wh"), "t_rest")
+        require(attached.properties.contains("stats.s_suppkey.ndv"),
+          "served statistics did not reach the attach client as stats.<col>.ndv")
         val probe = IceRead.table(s, dst, "t_back")
           .filter(col("s_suppkey") <= cut)
         probe.collect()

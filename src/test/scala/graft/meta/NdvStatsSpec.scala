@@ -68,6 +68,103 @@ class NdvStatsSpec extends AnyFunSuite {
     assert(sk("flag").estimate == 2L)
   }
 
+  test("aggregate path is bit-identical to a reference Row pass") {
+    // the oracle: the encoding rules applied row-by-row on the driver
+    val cat = LocalCatalog(Files.createTempDirectory("ndv-par-wh").toString)
+    val rows = (1L to 800L).map(i => (i, s"s${i % 31}", (i % 11).toInt,
+      BigDecimal(i).setScale(2) * 3, i % 2 == 1))
+      .toDF("id", "name", "band", "amt", "flag")
+    IceWrite.create(spark, cat, "t", rows.repartition(5))
+    val got = NdvStats.compute(spark, cat, "t")
+
+    val collected = IceRead.table(spark, cat, "t").collect()
+    val want = Map(
+      "id" -> { val s = ThetaSketch.empty()
+        collected.foreach(r => s.updateLong(r.getAs[Long]("id"))); s },
+      "name" -> { val s = ThetaSketch.empty()
+        collected.foreach(r => s.updateString(r.getAs[String]("name"))); s },
+      "band" -> { val s = ThetaSketch.empty()
+        collected.foreach(r => s.updateLong(r.getAs[Int]("band").toLong)); s },
+      "amt" -> { val s = ThetaSketch.empty()
+        collected.foreach(r => s.updateBytes(
+          r.getAs[java.math.BigDecimal]("amt").unscaledValue.toByteArray)); s },
+      "flag" -> { val s = ThetaSketch.empty()
+        collected.foreach(r => s.updateBytes(
+          Array[Byte](if (r.getAs[Boolean]("flag")) 1 else 0))); s })
+    want.foreach { case (c, w) =>
+      assert(java.util.Arrays.equals(got(c).serialize, w.serialize),
+        s"column $c: aggregate sketch bytes differ from the reference pass")
+    }
+  }
+
+  test("analyze persists sketches; append-then-analyze scans ONLY the appended files") {
+    val cat = LocalCatalog(Files.createTempDirectory("ndv-inc-wh").toString)
+    val rows = (1L to 600L).map(i => (i, s"g${i % 9}")).toDF("id", "grp")
+    IceWrite.create(spark, cat, "t", rows)
+
+    // first ANALYZE: full pass, persisted sidecar + provenance
+    val r1 = NdvStats.analyze(spark, cat, "t")
+    assert(!r1.incremental && r1.sketches("id").estimate == 600L)
+    val p1 = cat.loadTable("t").properties
+    assert(p1.get("ndv.sketch.snapshot-id").contains("1"))
+    assert(MetaIO.exists(r1.statsPath))
+
+    // append 200 new ids -> the incremental pass must touch ONLY the
+    // appended files and still agree BIT-IDENTICALLY with a full pass
+    IceWrite.append(spark, cat, "t",
+      (1000L to 1199L).map(i => (i, s"g${i % 9}")).toDF("id", "grp"))
+    val oldPaths = cat.loadTable("t").snapshotById(1L).get.manifest.map(_.path).toSet
+    val r2 = NdvStats.analyze(spark, cat, "t")
+    assert(r2.incremental, "append-only diff must take the incremental path")
+    assert(r2.scannedFiles.nonEmpty &&
+      r2.scannedFiles.forall(p => !oldPaths.contains(p)),
+      s"incremental analyze scanned pre-existing files: ${r2.scannedFiles}")
+    assert(r2.sketches("id").estimate == 800L)
+    val full = NdvStats.compute(spark, cat, "t")
+    r2.sketches.foreach { case (c, s) =>
+      assert(java.util.Arrays.equals(s.serialize, full(c).serialize),
+        s"column $c: incremental sketch differs from a full recompute")
+    }
+
+    // an unchanged table re-analyzes with ZERO files scanned
+    val r3 = NdvStats.analyze(spark, cat, "t")
+    assert(r3.incremental && r3.scannedFiles.isEmpty)
+
+    // a DELETE hides rows the stored sketches counted -> full recompute
+    IceWrite.deleteWhere(spark, cat, "t", org.apache.spark.sql.functions.col("id") <= 100L)
+    val r4 = NdvStats.analyze(spark, cat, "t")
+    assert(!r4.incremental, "a delete must force the full pass")
+    assert(r4.sketches("id").estimate == 700L)
+
+    // a schema change also invalidates the provenance
+    SchemaEvolution.addColumn(cat, "t", "tag", "STRING")
+    IceWrite.append(spark, cat, "t",
+      Seq((5000L, "g0", "x")).toDF("id", "grp", "tag"))
+    assert(!NdvStats.analyze(spark, cat, "t").incremental)
+  }
+
+  test("persisted ANALYZE sketches bind into export statistics automatically") {
+    val cat = LocalCatalog(Files.createTempDirectory("ndv-auto-wh").toString)
+    IceWrite.create(spark, cat, "t",
+      (1L to 300L).map(i => (i, s"n${i % 12}")).toDF("id", "name"))
+    NdvStats.analyze(spark, cat, "t")
+    // export WITHOUT explicit sketches: the persisted ones bind
+    val jsonPath = IcebergExport.exportIcebergMetadata(cat, "t")
+    val j = JsonMethods.parse(MetaIO.readString(jsonPath))
+    assert((j \ "statistics") != JArray(Nil), "persisted sketches must export")
+    // ...and the attach side reads them back as stats.<col>.ndv
+    val dst = LocalCatalog(Files.createTempDirectory("ndv-auto-dst").toString)
+    val back = IcebergImport.importIcebergMetadata(dst, "t2", jsonPath)
+    assert(back.properties.get("stats.id.ndv").contains("300"))
+    assert(back.properties.get("stats.name.ndv").contains("12"))
+    // stale persisted sketches (table moved past them) do NOT bind
+    IceWrite.append(spark, cat, "t", Seq((9999L, "late")).toDF("id", "name"))
+    val j2 = JsonMethods.parse(MetaIO.readString(
+      IcebergExport.exportIcebergMetadata(cat, "t")))
+    assert((j2 \ "statistics") == JArray(Nil),
+      "sketches for an older snapshot must not bind to the current one")
+  }
+
   test("export writes theta blobs + statistics entry; import lands stats.*.ndv") {
     val cat = LocalCatalog(Files.createTempDirectory("ndv-exp-wh").toString)
     val rows = (1L to 500L).map(i => (i, s"n${i % 25}")).toDF("id", "name")
