@@ -98,7 +98,8 @@ object GraftSql {
     * `graft.t.snapshots` is unambiguous (`t.snapshots` is not a legal
     * table name). */
   private val MetadataTables =
-    Set("snapshots", "files", "history", "refs", "partitions", "all_files")
+    Set("snapshots", "files", "history", "refs", "partitions", "all_files",
+      "entries", "manifests")
 
   def register(name: String, catalog: Catalog): Unit =
     registry.put(name.toLowerCase(java.util.Locale.ROOT), catalog)
@@ -256,6 +257,19 @@ object GraftSql {
         case _ => sct
       }
 
+      case sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions => sp.child match {
+        case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if idTarget(ut.multipartIdentifier).isDefined =>
+          val (catName, t) = idTarget(ut.multipartIdentifier).get
+          val filter: Map[String, String] = sp.pattern match {
+            case Some(ps: org.apache.spark.sql.catalyst.analysis.UnresolvedPartitionSpec) =>
+              ps.spec.map { case (k, v) => k -> v }
+            case _ => Map.empty
+          }
+          ShowPartitionsCommand(catName, t, filter, sp.output)
+        case _ => sp
+      }
+
       case at: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable => at.child match {
         case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
             if idTarget(ut.multipartIdentifier).isDefined =>
@@ -399,6 +413,8 @@ object GraftSql {
           case "refs" => IceRead.refs(spark, cat, table)
           case "partitions" => IceRead.partitions(spark, cat, table)
           case "all_files" => IceRead.allFiles(spark, cat, table)
+          case "entries" => IceRead.entries(spark, cat, table)
+          case "manifests" => IceRead.manifests(spark, cat, table)
           case b if b.startsWith("branch_") =>
             IceRead.table(spark, cat, table, branch = b.stripPrefix("branch_"))
           case t if t.startsWith("tag_") =>
@@ -1058,6 +1074,40 @@ object GraftSql {
         Row("Properties", meta.properties.toSeq.sorted
           .map { case (k, v) => s"$k=$v" }.mkString(", "), null))
       cols ++ info
+    }
+  }
+
+  /** `SHOW PARTITIONS cat.t [PARTITION (col=value, ...)]`: one
+    * `field=value/field2=value2` line per live partition of the head —
+    * Spark's output shape, field names in Iceberg's transform convention
+    * (`ts_day`, `id_bucket`), values escaped like path segments.
+    * Metadata-only: a driver-side distinct over the manifest's recorded
+    * partition values, zero scan jobs at any table size. */
+  final case class ShowPartitionsCommand(catalogName: String, table: String,
+      filter: Map[String, String], override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      val meta = cat.loadTable(table)
+      require(meta.partitionSpec.nonEmpty,
+        s"SHOW PARTITIONS $catalogName.$table: table is not partitioned")
+      val specCols = meta.partitionSpec.map(_.column.toLowerCase(java.util.Locale.ROOT))
+      filter.keys.foreach(k => require(
+        specCols.contains(k.toLowerCase(java.util.Locale.ROOT)),
+        s"SHOW PARTITIONS $catalogName.$table: $k is not a partition column " +
+          s"(spec: ${meta.partitionSpec.map(_.column).mkString(", ")})"))
+      def norm(m: Map[String, String]) =
+        m.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+      val want = norm(filter)
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+      meta.currentSnapshot.map(_.manifest).getOrElse(Nil)
+        .filter(_.content == FileContent.Data)
+        .map(_.partitionValues).distinct
+        .filter(pv => { val n = norm(pv); want.forall { case (k, v) => n.get(k).contains(v) } })
+        .map(pv => meta.partitionSpec.flatMap(p => pv.get(p.column).map(v =>
+          s"${IcebergExport.partFieldName(p)}=${esc(v)}")).mkString("/"))
+        .filter(_.nonEmpty).distinct.sorted
+        .map(Row(_))
     }
   }
 

@@ -345,6 +345,56 @@ object IceRead {
       "record_count", "sequence_number")
   }
 
+  /** `entries` metadata table (like Iceberg's `table$entries`): one row
+    * per manifest entry of the branch head, with the spec's entry fields
+    * — `status` (1 = ADDED by the head snapshot, 0 = EXISTING, i.e. the
+    * same encoding the Iceberg export writes), the snapshot that ADDED
+    * the file (derived from history: the first snapshot listing it), and
+    * the data-file facts. Metadata-only. */
+  def entries(spark: SparkSession, catalog: Catalog, name: String,
+      branch: String = "main"): DataFrame = {
+    import spark.implicits._
+    val meta = catalog.loadTable(name)
+    val snap = resolveSnapshot(meta, name, branch)
+    // adding snapshot per file: the first (oldest) snapshot listing the key
+    val addedBy: Map[String, Long] = meta.snapshots.sortBy(_.sequenceNumber)
+      .flatMap(s => s.manifest.map(f => f.resolutionKey -> s.snapshotId))
+      .groupBy(_._1).view.mapValues(_.head._2).toMap
+    snap.manifest.map { f =>
+      (if (f.sequenceNumber == snap.sequenceNumber) 1 else 0,
+        addedBy.getOrElse(f.resolutionKey, snap.snapshotId),
+        f.sequenceNumber, f.sequenceNumber,
+        f.path, f.content.toString, f.length, f.recordCount, f.partitionValues)
+    }.toDF("status", "snapshot_id", "sequence_number", "file_sequence_number",
+      "file_path", "content", "file_size_in_bytes", "record_count", "partition")
+  }
+
+  /** `manifests` metadata table (like Iceberg's `table$manifests`): one
+    * row per manifest GROUP of the branch head. Graft's manifests live
+    * embedded in the table metadata rather than as separate avro files,
+    * so each row describes the (content, partition-spec) group an
+    * Iceberg export would write as one manifest — same grouping, same
+    * counts — with `path` empty until an export materializes it. */
+  def manifests(spark: SparkSession, catalog: Catalog, name: String,
+      branch: String = "main"): DataFrame = {
+    import spark.implicits._
+    val meta = catalog.loadTable(name)
+    val snap = resolveSnapshot(meta, name, branch)
+    snap.manifest.groupBy(f =>
+      (if (f.content == FileContent.Data) 0 else 1, f.specId)).toSeq.sortBy(_._1)
+      .map { case ((content, specId), files) =>
+        val added = files.filter(_.sequenceNumber == snap.sequenceNumber)
+        val existing = files.filterNot(_.sequenceNumber == snap.sequenceNumber)
+        ("", content, specId, snap.snapshotId,
+          added.size.toLong, existing.size.toLong,
+          added.map(_.recordCount).sum, existing.map(_.recordCount).sum,
+          files.map(_.sequenceNumber).min, snap.sequenceNumber)
+      }.toDF("path", "content", "partition_spec_id", "added_snapshot_id",
+        "added_files_count", "existing_files_count",
+        "added_rows_count", "existing_rows_count",
+        "min_sequence_number", "sequence_number")
+  }
+
   /** Registers the MOR view as a temp view for SQL access. */
   def createTempView(spark: SparkSession, catalog: Catalog, name: String,
       viewName: String, branch: String = "main"): Unit =

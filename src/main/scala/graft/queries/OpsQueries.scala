@@ -789,6 +789,30 @@ object OpsQueries {
     // CALL cherrypick_snapshot — Iceberg's procedure names, so WAP
     // runbooks port verbatim. The oracle replays base+staged rows and
     // the pre-publish count relationally.
+    // PARTITIONS METADATA TABLE as an oracle-checked query: orders lands
+    // identity-partitioned by o_orderstatus, and graft.t.partitions plus
+    // SHOW PARTITIONS answer per-partition totals from the MANIFEST alone
+    // (driver-side aggregation, zero scan jobs at any table size). The
+    // in-query require pins SHOW PARTITIONS against the same grouping;
+    // DuckDB replays the per-partition row totals relationally.
+    "q_meta_partitions" -> ((s, dir) => {
+      import graft.meta.{GraftSql, LocalCatalog}
+      val catalog = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-mpart-wh").toString)
+      GraftSql.register("qpm", catalog)
+      tbl(s, dir, "orders").createOrReplaceTempView("q_pm_orders")
+      s.sql("CREATE TABLE qpm.t (o_orderkey BIGINT, o_orderstatus STRING) " +
+        "PARTITIONED BY (o_orderstatus)")
+      s.sql("INSERT INTO qpm.t SELECT o_orderkey, o_orderstatus FROM q_pm_orders")
+      val shown = s.sql("SHOW PARTITIONS qpm.t").collect()
+        .map(_.getString(0).stripPrefix("o_orderstatus=")).sorted.toSeq
+      val q = s.sql("SELECT partition['o_orderstatus'] AS o_orderstatus, " +
+        "record_count AS rows FROM qpm.t.partitions")
+      require(q.collect().map(_.getString(0)).sorted.toSeq == shown,
+        "SHOW PARTITIONS disagrees with the partitions metadata table")
+      q
+    }),
+
     "q_wap_sql" -> ((s, dir) => {
       import graft.meta.{GraftSql, LocalCatalog}
       val catalog = LocalCatalog(
@@ -3293,6 +3317,10 @@ object OpsQueries {
 
     "q_v3_attach" ->
       "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 7 <> 0",
+
+    "q_meta_partitions" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS rows
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_wap_sql" ->
       """SELECT u.s_suppkey, u.s_name,

@@ -666,6 +666,48 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(cat.loadTable("t").properties.contains("stats.ts.nulls"))
   }
 
+  test("SHOW PARTITIONS + entries/manifests metadata tables") {
+    val cat = freshCatalog("g29")
+    spark.sql("CREATE TABLE g29.t (id BIGINT, region BIGINT, name STRING) " +
+      "PARTITIONED BY (region, bucket(4, id))")
+    spark.sql("INSERT INTO g29.t SELECT id, id % 3 AS region, concat('n', id) AS name " +
+      "FROM range(60)")
+
+    // SHOW PARTITIONS: one field=value/field=value line per live partition
+    val parts = spark.sql("SHOW PARTITIONS g29.t").collect().map(_.getString(0))
+    assert(parts.forall(p => p.startsWith("region=") && p.contains("/id_bucket=")), parts.mkString(";"))
+    assert(parts.map(_.split("/")(0)).distinct.sorted.toSeq ==
+      Seq("region=0", "region=1", "region=2"))
+    // the PARTITION filter narrows to one source-column value
+    val r1 = spark.sql("SHOW PARTITIONS g29.t PARTITION (region = 1)")
+      .collect().map(_.getString(0))
+    assert(r1.nonEmpty && r1.forall(_.startsWith("region=1/")))
+    // a non-partition column refuses; an unpartitioned table refuses
+    intercept[Exception](spark.sql("SHOW PARTITIONS g29.t PARTITION (name = 'x')"))
+    spark.sql("CREATE TABLE g29.flat (id BIGINT)")
+    intercept[Exception](spark.sql("SHOW PARTITIONS g29.flat"))
+
+    // entries: ADDED/EXISTING status tracks the head sequence; the adding
+    // snapshot is the first one listing the file
+    spark.sql("INSERT INTO g29.t VALUES (1000, 9, 'late')")
+    val headId = cat.loadTable("t").currentSnapshotId.get
+    val e = spark.sql("SELECT status, snapshot_id, content FROM g29.t.entries").collect()
+    assert(e.count(_.getInt(0) == 1) >= 1, "the late append must show ADDED")
+    assert(e.filter(_.getInt(0) == 1).forall(_.getLong(1) == headId))
+    assert(e.filter(_.getInt(0) == 0).forall(_.getLong(1) < headId))
+
+    // manifests: one row per (content, spec) group with export-shaped counts
+    val m = spark.sql("SELECT content, added_files_count, existing_files_count " +
+      "FROM g29.t.manifests").collect()
+    assert(m.map(_.getInt(0)).toSet == Set(0), "data-only table: one data group")
+    assert(m.map(r => r.getLong(1) + r.getLong(2)).sum ==
+      spark.sql("SELECT count(*) FROM g29.t.files").head.getLong(0))
+    // a delete adds a deletes group
+    spark.sql("DELETE FROM g29.t WHERE id = 7")
+    assert(spark.sql("SELECT content FROM g29.t.manifests").collect()
+      .map(_.getInt(0)).toSet == Set(0, 1))
+  }
+
   test("column DEFAULTs fold to literals at CREATE; non-constants refuse") {
     val cat = freshCatalog("g28")
     // a constant EXPRESSION folds once at CREATE time — the stored
