@@ -82,6 +82,15 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         if (!catalog.tableExists(t)) err(s"table $t not found", 404)
         else commitTable(t, body)
       }
+      else if (ex.getRequestMethod == "HEAD" &&
+          path.startsWith(s"/v1/$prefix/namespaces/$namespace/tables/") &&
+          !path.stripPrefix(s"/v1/$prefix/namespaces/$namespace/tables/").contains("/")) {
+        // spec table-existence check: status only, no body
+        val t = java.net.URLDecoder.decode(
+          path.stripPrefix(s"/v1/$prefix/namespaces/$namespace/tables/"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        (if (catalog.tableExists(t)) 204 else 404) -> ""
+      }
       else if (ex.getRequestMethod != "GET")
         err(s"${ex.getRequestMethod} not supported: reads plus the table " +
           "commit endpoint; other mutations stay with the graft engine", 405)

@@ -230,14 +230,16 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(stats("stats.fruit.nulls") == "1" && stats("stats.qty.nulls") == "1")
     assert(stats("stats.fruit.min") == "apple" && stats("stats.fruit.max") == "quince")
     assert(stats("stats.qty.min") == "-2" && stats("stats.qty.max") == "30")
-    // small-n HLL sits in the exact linear-counting regime (+-1 for a
-    // rare register collision)
-    assert(math.abs(stats("stats.id.ndv").toLong - 5L) <= 1)
-    assert(math.abs(stats("stats.fruit.ndv").toLong - 3L) <= 1)
-    assert(math.abs(stats("stats.qty.ndv").toLong - 3L) <= 1)
+    // theta sketches below nominal are EXACT
+    assert(stats("stats.id.ndv").toLong == 5L)
+    assert(stats("stats.fruit.ndv").toLong == 3L)
+    assert(stats("stats.qty.ndv").toLong == 3L)
     // persisted on the TABLE, visible to a fresh load; provenance pinned
+    // (ndv.sketch.* keys are the sketch sidecar's provenance, persisted
+    // alongside — they make the next ANALYZE incremental)
     val meta = catalog.loadTable("t_stats")
-    assert(meta.properties == stats)
+    assert(meta.properties.view.filterKeys(!_.startsWith("ndv.sketch.")).toMap == stats)
+    assert(meta.properties.contains("ndv.sketch.path"))
     assert(stats("stats.snapshot-id") == meta.currentSnapshotId.get.toString)
     // metadata-only property upsert keeps unrelated keys
     SchemaEvolution.updateProperties(catalog, "t_stats", Map("owner" -> "curation"))

@@ -167,6 +167,43 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("commit endpoint on a partitioned table: client-written partition values decode") {
+    val cat = freshCatalog()
+    val rows = (1L to 40L).map(i => (i, i % 4, s"n$i")).toDF("id", "region", "name")
+    IceWrite.create(spark, cat, "pt", rows,
+      partitionSpec = Seq(PartitionField("region")))
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      val staging = Files.createTempDirectory("rest-commit-part").toString
+      // one appended file, all rows in partition region=9
+      val extra = (500L to 509L).map(i => (i, 9L, s"x$i")).toDF("id", "region", "name")
+      val (p1, sz1, n1, _) = graft.testkit.FileGenerator.writeSingleParquet(
+        spark, IceWrite.withFieldIds(extra, cat.loadTable("pt").schema),
+        java.nio.file.Paths.get(staging, "part-add.parquet"))
+      IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "pt",
+        Seq(IcebergRestCommit.AddedFile(p1, sz1, n1,
+          partitionValues = Map("region" -> "9"))), staging)
+      val added = cat.loadTable("pt").currentSnapshot.get.manifest.find(_.path == p1).get
+      assert(added.partitionValues == Map("region" -> "9"),
+        s"partition values lost through the commit wire: ${added.partitionValues}")
+      // the appended partition is value-addressable like any native one
+      assert(IceRead.tablePartition(spark, cat, "pt", Map("region" -> "9")).count() == 10L)
+      assert(spark.sql("SELECT 1").count() == 1L) // session sanity
+      assert(IceRead.table(spark, cat, "pt").count() == 50L)
+
+      // HEAD: the spec existence probe answers status-only
+      val head = http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/pt"))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(head.statusCode() == 204 && head.body().isEmpty)
+      assert(http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/nope"))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("commit endpoint on a v3 table: server assigns row lineage to REST-appended files") {
     val cat = freshCatalog()
     val rows = (1L to 30L).map(i => (i, s"n$i")).toDF("id", "name")
