@@ -395,6 +395,53 @@ object IceRead {
         "min_sequence_number", "sequence_number")
   }
 
+  /** `position_deletes` metadata table (like Iceberg's
+    * `table$position_deletes`): every live position tombstone of the
+    * branch head as (file_path, pos) rows with provenance — parquet
+    * delete files read distributed, deletion vectors decoded
+    * EXECUTOR-side from their Puffin blob coordinates (one ranged read
+    * per blob, never the whole container on the driver). The delete
+    * debugging view: "which rows of which files are shaded, and by which
+    * delete file". */
+  def positionDeletes(spark: SparkSession, catalog: Catalog, name: String,
+      branch: String = "main"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val meta = catalog.loadTable(name)
+    val snap = resolveSnapshot(meta, name, branch)
+    val (dvs, posFiles) = snap.manifest
+      .filter(_.content == FileContent.PositionDeletes)
+      .partition(_.isDeletionVector)
+    val cols = Seq("file_path", "pos", "delete_file", "sequence_number")
+    val empty = Seq.empty[(String, Long, String, Long)].toDF(cols: _*)
+    val fromParquet =
+      if (posFiles.isEmpty) empty
+      else {
+        // join key: _metadata.file_path is a file: URI; the manifest
+        // stores plain paths — normalize the scheme off before matching
+        val seqOf = posFiles.map(f => (MetaIO.normalize(f.path), f.path, f.sequenceNumber))
+          .toDF("__k", "delete_file", "sequence_number")
+        spark.read.parquet(posFiles.map(_.path): _*)
+          .select(col("file_path"), col("pos"),
+            org.apache.spark.sql.functions.regexp_replace(
+              col("_metadata.file_path"), "^file:/+", "/").as("__k"))
+          // tiny dimension (one row per delete file): broadcast by size
+          .join(org.apache.spark.sql.functions.broadcast(seqOf), Seq("__k"))
+          .select(cols.map(col): _*)
+      }
+    val fromDvs =
+      if (dvs.isEmpty) empty
+      else {
+        val coords = dvs.map(e => (e.path, e.contentOffset.getOrElse(0L),
+          e.contentSizeInBytes.get, e.referencedDataFile.get, e.sequenceNumber))
+        spark.createDataset(coords).flatMap { case (path, off, len, referenced, seq) =>
+          Puffin.decodeDvBlob(Puffin.readBlob(path, off, len))
+            .positions.map(p => (referenced, p, path, seq))
+        }.toDF(cols: _*)
+      }
+    fromParquet.unionAll(fromDvs)
+  }
+
   /** Registers the MOR view as a temp view for SQL access. */
   def createTempView(spark: SparkSession, catalog: Catalog, name: String,
       viewName: String, branch: String = "main"): Unit =

@@ -708,6 +708,30 @@ class GraftSqlSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSet == Set(0, 1))
   }
 
+  test("position_deletes metadata table: parquet tombstones AND deletion vectors decode") {
+    val cat = freshCatalog("g30")
+    spark.sql("CREATE TABLE g30.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g30.t SELECT id, concat('v', id) FROM range(40)")
+    spark.sql("DELETE FROM g30.t WHERE id IN (3, 17)") // parquet tombstones
+    val pd1 = spark.sql(
+      "SELECT file_path, pos, delete_file, sequence_number FROM g30.t.position_deletes")
+      .collect()
+    assert(pd1.length == 2)
+    assert(pd1.forall(r => r.getString(2).endsWith(".parquet") && r.getLong(3) >= 2L))
+
+    // a v3 table's DV tombstones decode from their Puffin blob coordinates
+    val cat2 = freshCatalog("g31")
+    spark.sql("CREATE TABLE g31.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('format-version' = '3')")
+    spark.sql("INSERT INTO g31.t SELECT id, concat('v', id) FROM range(40)")
+    IceWrite.deleteWhereDv(spark, cat2, "t", col("id") % 8 === 0)
+    val pd2 = spark.sql("SELECT * FROM g31.t.position_deletes").collect()
+    assert(pd2.length == 5, s"expected 5 DV tombstones, got ${pd2.length}")
+    assert(pd2.forall(_.getString(2).endsWith(".puffin")))
+    // positions are consistent with the MOR view: tombstoned rows are gone
+    assert(spark.sql("SELECT count(*) FROM g31.t").head.getLong(0) == 35L)
+  }
+
   test("column DEFAULTs fold to literals at CREATE; non-constants refuse") {
     val cat = freshCatalog("g28")
     // a constant EXPRESSION folds once at CREATE time — the stored
