@@ -118,8 +118,11 @@ object IcebergRestCommit {
       val mSchema = new Schema.Parser().parse(IcebergExport.manifestSchemaJsonFor(
         clientMeta, specFields.map(_._1), idOf, fv))
 
-      // ---- 2a. the new manifest (ADDED data entries, explicit sequences)
-      val tag = s"$newSnapId-${attempt}"
+      // ---- 2a. the new manifest (ADDED data entries, explicit sequences).
+      // UUID-named like any Iceberg writer's metadata files: two clients
+      // racing the same head would otherwise write the SAME staging path
+      // (both compute the same next snapshot id) and tear each other's avro
+      val tag = java.util.UUID.randomUUID().toString.take(12)
       val records = files.map { f =>
         val dfSchema = mSchema.getField("data_file").schema()
         val part = new GenericData.Record(dfSchema.getField("partition").schema())

@@ -167,6 +167,42 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("concurrent REST commits both land via the 409-retry loop") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "race", (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"))
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      val staging = Files.createTempDirectory("rest-race").toString
+      val schema = cat.loadTable("race").schema
+      val files = (0 until 2).map { i =>
+        graft.testkit.FileGenerator.writeSingleParquet(
+          spark, IceWrite.withFieldIds(
+            (100L * (i + 1) to 100L * (i + 1) + 9).map(j => (j, s"c$i-$j")).toDF("id", "name"),
+            schema),
+          java.nio.file.Paths.get(staging, s"race-$i.parquet"))
+      }
+      // two spec clients race the same head: one MUST hit 409 and retry
+      // with a rebuilt manifest list off the new head
+      val pool = Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val commits = files.map { case (p, sz, n, _) => Future {
+          IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "race",
+            Seq(IcebergRestCommit.AddedFile(p, sz, n)), staging)
+        }}
+        val ids = Await.result(Future.sequence(commits), 120.seconds)
+        assert(ids.distinct.size == 2, s"snapshot ids must differ: $ids")
+      } finally pool.shutdown()
+      val after = cat.loadTable("race")
+      assert(after.snapshots.size == 3, "both commits must land as snapshots")
+      assert(IceRead.table(spark, cat, "race").count() == 30L,
+        "no rows lost or duplicated under the race")
+    } finally srv.stop()
+  }
+
   test("commit endpoint on a partitioned table: client-written partition values decode") {
     val cat = freshCatalog()
     val rows = (1L to 40L).map(i => (i, i % 4, s"n$i")).toDF("id", "region", "name")
