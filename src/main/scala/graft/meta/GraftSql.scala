@@ -99,7 +99,7 @@ object GraftSql {
     * table name). */
   private val MetadataTables =
     Set("snapshots", "files", "history", "refs", "partitions", "all_files",
-      "entries", "manifests", "position_deletes")
+      "entries", "manifests", "position_deletes", "all_entries")
 
   def register(name: String, catalog: Catalog): Unit =
     registry.put(name.toLowerCase(java.util.Locale.ROOT), catalog)
@@ -416,6 +416,7 @@ object GraftSql {
           case "entries" => IceRead.entries(spark, cat, table)
           case "manifests" => IceRead.manifests(spark, cat, table)
           case "position_deletes" => IceRead.positionDeletes(spark, cat, table)
+          case "all_entries" => IceRead.allEntries(spark, cat, table)
           case b if b.startsWith("branch_") =>
             IceRead.table(spark, cat, table, branch = b.stripPrefix("branch_"))
           case t if t.startsWith("tag_") =>

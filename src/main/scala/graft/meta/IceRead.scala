@@ -395,6 +395,28 @@ object IceRead {
         "min_sequence_number", "sequence_number")
   }
 
+  /** `all_entries` metadata table (like Iceberg's `table$all_entries`):
+    * [[entries]] across the WHOLE history — one row per (snapshot,
+    * manifest entry), ADDED/EXISTING relative to each listing snapshot.
+    * Metadata-only. */
+  def allEntries(spark: SparkSession, catalog: Catalog, name: String): DataFrame = {
+    import spark.implicits._
+    val meta = catalog.loadTable(name)
+    val addedBy: Map[String, Long] = meta.snapshots.sortBy(_.sequenceNumber)
+      .flatMap(s => s.manifest.map(f => f.resolutionKey -> s.snapshotId))
+      .groupBy(_._1).view.mapValues(_.head._2).toMap
+    meta.snapshots.flatMap { snap =>
+      snap.manifest.map { f =>
+        (snap.snapshotId,
+          if (f.sequenceNumber == snap.sequenceNumber) 1 else 0,
+          addedBy.getOrElse(f.resolutionKey, snap.snapshotId),
+          f.sequenceNumber, f.path, f.content.toString, f.length,
+          f.recordCount, f.partitionValues)
+      }
+    }.toDF("listing_snapshot_id", "status", "snapshot_id", "sequence_number",
+      "file_path", "content", "file_size_in_bytes", "record_count", "partition")
+  }
+
   /** `position_deletes` metadata table (like Iceberg's
     * `table$position_deletes`): every live position tombstone of the
     * branch head as (file_path, pos) rows with provenance — parquet

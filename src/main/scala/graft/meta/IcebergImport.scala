@@ -140,13 +140,47 @@ object IcebergImport {
     case other => sys.error(s"importIcebergMetadata: unsupported type $other")
   }
 
-  /** Imports the table at `metadataJsonPath` (an Iceberg v2
-    * `*.metadata.json`) into `catalog` under `name`. Returns the
+  /** Resolves a user-supplied attach location to the table-metadata
+    * JSON file: a `*.metadata.json` path passes through; a TABLE
+    * DIRECTORY resolves like Iceberg's HadoopCatalog/HadoopTables —
+    * `metadata/version-hint.text` names the current version
+    * (`v<N>.metadata.json`), falling back to the lexicographically
+    * newest `*.metadata.json` under `metadata/` (Iceberg version files
+    * sort by their zero-padded/sequence prefix). */
+  private[meta] def resolveMetadataJson(location: String): String = {
+    if (location.endsWith(".metadata.json") || MetaIO.isFile(location)) return location
+    val metaDir =
+      if (MetaIO.fileName(location) == "metadata") location
+      else MetaIO.join(location, "metadata")
+    require(MetaIO.exists(metaDir) && MetaIO.isDirectory(metaDir),
+      s"importIcebergMetadata: $location is neither a *.metadata.json file nor a " +
+        "table directory with a metadata/ folder")
+    val hint = MetaIO.join(metaDir, "version-hint.text")
+    val hinted =
+      if (!MetaIO.exists(hint)) None
+      else scala.util.Try(MetaIO.readString(hint).trim).toOption.flatMap { v =>
+        // HadoopCatalog writes the bare version number; tolerate a full
+        // file name too
+        Seq(s"v$v.metadata.json", v).map(MetaIO.join(metaDir, _))
+          .find(p => scala.util.Try(MetaIO.isFile(p)).getOrElse(false))
+      }
+    hinted.getOrElse {
+      val candidates = MetaIO.listFiles(metaDir).map(_._1)
+        .filter(_.endsWith(".metadata.json")).sorted
+      require(candidates.nonEmpty,
+        s"importIcebergMetadata: no *.metadata.json under $metaDir")
+      candidates.last
+    }
+  }
+
+  /** Imports the table at `metadataJsonPath` (an Iceberg
+    * `*.metadata.json`, or a HadoopCatalog-style table directory — see
+    * [[resolveMetadataJson]]) into `catalog` under `name`. Returns the
     * registered metadata. */
   def importIcebergMetadata(catalog: Catalog, name: String,
       metadataJsonPath: String): TableMetadata =
     importIcebergMetadataJson(catalog, name,
-      JsonMethods.parse(MetaIO.readString(metadataJsonPath)))
+      JsonMethods.parse(MetaIO.readString(resolveMetadataJson(metadataJsonPath))))
 
   /** [[importIcebergMetadata]] over an already-parsed table-metadata
     * document — what a REST catalog's LoadTableResult embeds

@@ -706,6 +706,16 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DELETE FROM g29.t WHERE id = 7")
     assert(spark.sql("SELECT content FROM g29.t.manifests").collect()
       .map(_.getInt(0)).toSet == Set(0, 1))
+
+    // all_entries: one row per (snapshot, entry) across the history —
+    // every snapshot's entry count sums, and per-listing-snapshot the
+    // rows match that snapshot's files table
+    val headFiles = spark.sql("SELECT count(*) FROM g29.t.files").head.getLong(0)
+    val lastListing = spark.sql(
+      "SELECT count(*) FROM g29.t.all_entries WHERE listing_snapshot_id = " +
+        cat.loadTable("t").currentSnapshotId.get).head.getLong(0)
+    assert(lastListing == headFiles)
+    assert(spark.sql("SELECT count(*) FROM g29.t.all_entries").head.getLong(0) > headFiles)
   }
 
   test("position_deletes metadata table: parquet tombstones AND deletion vectors decode") {

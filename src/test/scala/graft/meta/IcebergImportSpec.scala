@@ -518,6 +518,40 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(rtIds.toSeq == ids.toSeq, "row lineage must survive the round trip")
   }
 
+  test("attach by HadoopCatalog table directory: version-hint resolution") {
+    // a foreign HadoopCatalog layout: <table>/metadata/v<N>.metadata.json
+    // + version-hint.text naming the current N
+    val srcCat = LocalCatalog(Files.createTempDirectory("ice-hint-src").toString)
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    IceWrite.create(spark, srcCat, "t_h", src)
+    val exported = IcebergExport.exportIcebergMetadata(srcCat, "t_h")
+    val tableDir = Files.createTempDirectory("ice-hint-tbl").toString
+    MetaIO.mkdirs(MetaIO.join(tableDir, "metadata"))
+    MetaIO.writeString(MetaIO.join(tableDir, "metadata", "v1.metadata.json"),
+      """{"format-version": 4}""") // stale version: must NOT be picked
+    MetaIO.writeString(MetaIO.join(tableDir, "metadata", "v3.metadata.json"),
+      MetaIO.readString(exported))
+    MetaIO.writeString(MetaIO.join(tableDir, "metadata", "version-hint.text"), "3\n")
+
+    val dst = LocalCatalog(Files.createTempDirectory("ice-hint-dst").toString)
+    val back = IcebergImport.importIcebergMetadata(dst, "t_hb", tableDir)
+    assert(IceRead.table(spark, dst, "t_hb").count() == src.count())
+
+    // without the hint, the newest *.metadata.json wins
+    val dir2 = Files.createTempDirectory("ice-hint2").toString
+    MetaIO.mkdirs(MetaIO.join(dir2, "metadata"))
+    MetaIO.writeString(MetaIO.join(dir2, "metadata", "00000-a.metadata.json"),
+      """{"format-version": 4}""")
+    MetaIO.writeString(MetaIO.join(dir2, "metadata", "00001-b.metadata.json"),
+      MetaIO.readString(exported))
+    val back2 = IcebergImport.importIcebergMetadata(dst, "t_hb2", dir2)
+    assert(back2.currentSnapshotId == back.currentSnapshotId)
+    // a directory with no metadata at all refuses with a clear error
+    val e = intercept[IllegalArgumentException](IcebergImport.importIcebergMetadata(
+      dst, "t_none", Files.createTempDirectory("ice-hint3").toString))
+    assert(e.getMessage.contains("metadata"))
+  }
+
   test("unknown format versions are refused") {
     val dir = Files.createTempDirectory("ice-rt-bad").toString
     val p = MetaIO.join(dir, "bad.metadata.json")
