@@ -76,6 +76,17 @@ object IcebergRestImport {
     (metadata, loc, pfx.stripPrefix("/"))
   }
 
+  /** Fingerprint of everything a refresh would REPLACE: any local
+    * mutation of these (schema evolution, spec/sort changes, branch/tag
+    * moves, commits) since the attach makes a blind re-import lossy, so
+    * [[refreshTable]] refuses when it no longer matches. Properties are
+    * excluded — graft's own provenance/statistics keys ride there
+    * legitimately. */
+  private def localFingerprint(m: TableMetadata): String =
+    (m.schema, m.partitionSpec, m.sortOrder, m.refs.toSeq.sorted,
+      m.tags.toSeq.sorted, m.snapshots.map(_.snapshotId),
+      m.formatVersion).hashCode.toString
+
   /** The provenance an attach records (as `attach.*` table properties) so
     * [[refreshTable]] can re-find and re-sync the source later. The auth
     * token is deliberately NOT stored — pass it to refresh. */
@@ -86,7 +97,8 @@ object IcebergRestImport {
       "attach.rest.namespace" -> namespace.mkString("\u001f"),
       "attach.rest.table" -> table,
       "attach.rest.prefix" -> pfx,
-      "attach.snapshot-id" -> parsed.currentSnapshotId.getOrElse(-1L).toString) ++
+      "attach.snapshot-id" -> parsed.currentSnapshotId.getOrElse(-1L).toString,
+      "attach.fingerprint" -> localFingerprint(parsed)) ++
       loc.map("attach.metadata-location" -> _)
 
   /** Fetches LoadTableResult for `namespace.table` and registers it into
@@ -144,6 +156,14 @@ object IcebergRestImport {
         s"${attachedAt.getOrElse(-1L)}) — local writes cannot be rebased onto the " +
         "foreign history. Re-attach under a new name, or write through the " +
         "source catalog (IcebergRestCommit).")
+    // metadata-only local changes (schema evolution, spec/sort edits,
+    // branch/tag moves) would be silently DISCARDED by a re-import —
+    // refuse those too (properties excluded: ANALYZE etc. is fine)
+    meta.properties.get("attach.fingerprint").foreach(fp =>
+      require(fp == localFingerprint(meta),
+        s"refresh_iceberg_rest: $name has local metadata changes since the " +
+          "attach (schema/spec/sort/refs) that a refresh would discard — " +
+          "re-attach under a new name to follow the source."))
 
     val (metadata, loc, pfx) = loadResult(uri, namespace, table, authToken, prefix)
     val foreignCur = (metadata \ "current-snapshot-id") match {

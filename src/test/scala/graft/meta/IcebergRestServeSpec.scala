@@ -322,6 +322,14 @@ class IcebergRestServeSpec extends AnyFunSuite {
         val row2 = spark.sql("CALL rf.system.refresh_iceberg_rest('o2')").head
         assert(row2.getBoolean(1) && row2.getLong(3) == 1L)
         assert(spark.sql("SELECT count(*) AS n FROM rf.o2 WHERE id = 7777").head.getLong(0) == 1L)
+        // local PROPERTY changes (ANALYZE) do not block following...
+        spark.sql("ANALYZE TABLE rf.o2 COMPUTE STATISTICS NOSCAN")
+        assert(!spark.sql("CALL rf.system.refresh_iceberg_rest('o2')").head.getBoolean(1))
+        // ...but metadata-only local changes (schema evolution here)
+        // would be DISCARDED by a re-import — the fingerprint guard refuses
+        spark.sql("ALTER TABLE rf.o2 ADD COLUMNS (note STRING)")
+        val e2 = intercept[Exception](spark.sql("CALL rf.system.refresh_iceberg_rest('o2')"))
+        assert(e2.getMessage.contains("metadata changes"), e2.getMessage)
       } finally GraftSql.unregister("rf")
     } finally srv.stop()
   }
