@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vecHammingDescriptor)
     e.injectFunction(GraftExtensions.containmentGeDescriptor)
     e.injectFunction(GraftExtensions.hilbertD2Descriptor)
+    e.injectFunction(GraftExtensions.thetaSketchDescriptor)
+    e.injectFunction(GraftExtensions.thetaEstimateDescriptor)
   }
 }
 
@@ -193,6 +195,29 @@ object GraftExtensions {
     buildHilbertD2
   )
 
+  private def buildThetaSketch(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, s"theta_sketch expects 1 argument, got ${exprs.length}")
+    ThetaSketchAgg(exprs.head)
+  }
+  private def buildThetaEstimate(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, s"theta_estimate expects 1 argument, got ${exprs.length}")
+    ThetaEstimate(exprs.head)
+  }
+
+  private[functions] val thetaSketchDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("theta_sketch"),
+    new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch"),
+    buildThetaSketch
+  )
+
+  private[functions] val thetaEstimateDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("theta_estimate"),
+    new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+    buildThetaEstimate
+  )
+
   /** Installs the functions into an existing session's registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -211,5 +236,9 @@ object GraftExtensions {
       "containment_ge", buildContainmentGe, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hilbert_d2", buildHilbertD2, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_sketch", buildThetaSketch, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_estimate", buildThetaEstimate, "built-in")
   }
 }

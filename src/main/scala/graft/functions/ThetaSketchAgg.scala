@@ -86,3 +86,22 @@ object ThetaSketchAgg {
     ColumnBridge.column(
       ThetaSketchAgg(ColumnBridge.expression(c)).toAggregateExpression())
 }
+
+/** `theta_estimate(bin)`: the distinct-value estimate of a serialized
+  * theta sketch (the binary `theta_sketch` emits, or any
+  * `apache-datasketches-theta-v1` compact blob). Evaluated once per
+  * aggregated row — interpreter fallback is fine off the hot path. */
+case class ThetaEstimate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"theta_estimate expects a serialized theta sketch (binary), got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    ThetaSketch.deserialize(v.asInstanceOf[Array[Byte]]).estimate
+  override protected def withNewChildInternal(newChild: Expression): ThetaEstimate =
+    copy(child = newChild)
+}

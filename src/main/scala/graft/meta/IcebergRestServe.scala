@@ -95,8 +95,18 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         err(s"${ex.getRequestMethod} not supported: reads plus the table " +
           "commit endpoint; other mutations stay with the graft engine", 405)
       else if (path == "/v1/config")
+        // the spec capability list: clients discover that this server
+        // takes table COMMITS as well as reads
         200 -> JsonMethods.compact(JsonMethods.render(
-          ("defaults" -> JObject(Nil)) ~ ("overrides" -> ("prefix" -> prefix))))
+          ("defaults" -> JObject(Nil)) ~ ("overrides" -> ("prefix" -> prefix)) ~
+            ("endpoints" -> List(
+              "GET /v1/config",
+              "GET /v1/{prefix}/namespaces",
+              "GET /v1/{prefix}/namespaces/{namespace}",
+              "GET /v1/{prefix}/namespaces/{namespace}/tables",
+              "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+              "HEAD /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+              "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}"))))
       else if (path == s"/v1/$prefix/namespaces")
         200 -> JsonMethods.compact(JsonMethods.render(
           "namespaces" -> List(List(namespace))))

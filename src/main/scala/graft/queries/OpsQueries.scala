@@ -748,6 +748,19 @@ object OpsQueries {
       rows.toDF("col_name", "ndv")
     }),
 
+    // THETA SKETCHES THROUGH SQL: theta_sketch is a registered aggregate
+    // (TypedImperativeAggregate — the scan stays codegen'd, partials ship
+    // one bounded sketch per partition) and theta_estimate decodes the
+    // blob; both cardinalities sit far below the sketch nominal, so the
+    // estimates are EXACT and DuckDB replays them as count(DISTINCT ...)
+    "q_theta_sql" -> ((s, dir) => {
+      graft.functions.GraftExtensions.register(s)
+      tbl(s, dir, "orders").createOrReplaceTempView("q_theta_orders")
+      s.sql("""SELECT theta_estimate(theta_sketch(o_custkey)) AS ndv_cust,
+              |       theta_estimate(theta_sketch(o_orderstatus)) AS ndv_status
+              |FROM q_theta_orders""".stripMargin)
+    }),
+
     // ICEBERG V3 INTEROP as an oracle-checked query: supplier lands in a
     // format-v3 graft table, deletion vectors tombstone s_suppkey % 7 = 0
     // (Puffin deletion-vector-v1 blobs), the table exports AS
@@ -3314,6 +3327,11 @@ object OpsQueries {
         |SELECT 'n_nationkey', CAST(count(DISTINCT n_nationkey) AS BIGINT) FROM nation
         |UNION ALL
         |SELECT 'n_regionkey', CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM nation""".stripMargin,
+
+    "q_theta_sql" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_cust,
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status
+        |FROM orders""".stripMargin,
 
     "q_v3_attach" ->
       "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 7 <> 0",
