@@ -128,13 +128,18 @@ object Maintenance {
   def orphanFiles(catalog: Catalog, tableName: String,
       olderThanMs: Long = DefaultOrphanGraceMs): Seq[String] = {
     val meta = catalog.loadTable(tableName)
-    val live = meta.snapshots.flatMap(_.manifest.map(_.path)).toSet
+    val live = meta.snapshots.flatMap(_.manifest.map(_.path)).toSet ++
+      // the one ANALYZE sketch sidecar the table properties reference;
+      // superseded sidecars under stats/ are re-creatable garbage
+      meta.properties.get("ndv.sketch.path")
     val cutoff = System.currentTimeMillis() - math.max(0L, olderThanMs)
-    // data parquet lives under data/; DV Puffin containers under deletes/ —
-    // both become unreferenced once snapshots expire and must be reclaimable
+    // data parquet lives under data/; DV Puffin containers under deletes/;
+    // NDV sketch sidecars under stats/ — all become unreferenced (expiry /
+    // re-ANALYZE) and must be reclaimable
     val roots = Seq(
       MetaIO.join(meta.location, "data") -> ".parquet",
-      MetaIO.join(meta.location, "deletes") -> ".puffin")
+      MetaIO.join(meta.location, "deletes") -> ".puffin",
+      MetaIO.join(meta.location, "stats") -> ".puffin")
     roots.flatMap { case (dir, ext) =>
       MetaIO.listFilesRecursive(dir)
         .filter { case (path, _, mtime) => path.endsWith(ext) && mtime <= cutoff }

@@ -47,6 +47,20 @@ class MaintenanceSpec extends AnyFunSuite {
     val rows = IceRead.table(spark, catalog, "t_gc").count()
     assert(rows == 25)
     assert(Maintenance.orphanFiles(catalog, "t_gc", olderThanMs = 0L).isEmpty)
+
+    // ANALYZE sketch sidecars: the property-referenced one is LIVE, a
+    // superseded one (re-ANALYZE after an append) becomes orphan
+    val r1 = graft.meta.NdvStats.analyze(spark, catalog, "t_gc")
+    graft.meta.IceWrite.append(spark, catalog, "t_gc",
+      src.limit(2).withColumn("n_nationkey",
+        org.apache.spark.sql.functions.col("n_nationkey") + 100))
+    val r2 = graft.meta.NdvStats.analyze(spark, catalog, "t_gc")
+    assert(r1.statsPath != r2.statsPath)
+    val statOrphans = Maintenance.orphanFiles(catalog, "t_gc", olderThanMs = 0L)
+    assert(statOrphans.contains(r1.statsPath) && !statOrphans.contains(r2.statsPath),
+      s"superseded sidecar must be orphan, live one must not: $statOrphans")
+    assert(Maintenance.deleteOrphans(catalog, "t_gc", statOrphans, olderThanMs = 0L) ==
+      statOrphans.size)
   }
 
   test("dangling delete files are detected after compaction and removed safely") {
