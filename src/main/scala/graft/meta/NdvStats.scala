@@ -119,33 +119,38 @@ object NdvStats {
       old <- meta.snapshotById(sid)
     } yield (p, old)
 
+    def fullPass(): (Map[String, ThetaSketch], Seq[String], Boolean) =
+      (sketchOver(df, target), cur.manifest.collect {
+        case f if f.content == FileContent.Data => f.path
+      }, false)
     val (sketches, scanned, incremental): (Map[String, ThetaSketch], Seq[String], Boolean) =
       stored match {
         case Some((p, old)) if appendOnlyDiff(old, cur) =>
-          val prev = readSketches(meta, p)
-          if (target.forall(prev.contains)) {
-            val oldKeys = old.manifest.map(_.resolutionKey).toSet
-            val newFiles = cur.manifest
-              .filter(f => f.content == FileContent.Data &&
-                !oldKeys.contains(f.resolutionKey))
-              .map(_.path)
-            if (newFiles.isEmpty)
-              (target.map(c => c -> prev(c)).toMap, Nil, true)
-            else {
-              // the appended files carry no deletes (their sequence is the
-              // newest), so a raw parquet pass over exactly them is the
-              // MOR view of the delta
-              val fresh = sketchOver(
-                spark.read.parquet(newFiles: _*).select(target.map(col): _*), target)
-              (target.map(c => c -> prev(c).merge(fresh(c))).toMap, newFiles, true)
-            }
-          } else (sketchOver(df, target), cur.manifest.collect {
-            case f if f.content == FileContent.Data => f.path
-          }, false)
-        case _ =>
-          (sketchOver(df, target), cur.manifest.collect {
-            case f if f.content == FileContent.Data => f.path
-          }, false)
+          // any surprise on the delta path (unreadable sidecar, a column
+          // the appended files don't materialize, missing file) DEGRADES
+          // to the full pass — incremental is an optimization, never a
+          // correctness dependency
+          try {
+            val prev = readSketches(meta, p)
+            if (target.forall(prev.contains)) {
+              val oldKeys = old.manifest.map(_.resolutionKey).toSet
+              val newFiles = cur.manifest
+                .filter(f => f.content == FileContent.Data &&
+                  !oldKeys.contains(f.resolutionKey))
+                .map(_.path)
+              if (newFiles.isEmpty)
+                (target.map(c => c -> prev(c)).toMap, Nil, true)
+              else {
+                // the appended files carry no deletes (their sequence is
+                // the newest), so a raw parquet pass over exactly them is
+                // the MOR view of the delta
+                val fresh = sketchOver(
+                  spark.read.parquet(newFiles: _*).select(target.map(col): _*), target)
+                (target.map(c => c -> prev(c).merge(fresh(c))).toMap, newFiles, true)
+              }
+            } else fullPass()
+          } catch { case scala.util.control.NonFatal(_) => fullPass() }
+        case _ => fullPass()
       }
 
     // persist + provenance (CAS metadata-only commit)
