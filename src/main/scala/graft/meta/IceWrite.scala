@@ -729,6 +729,12 @@ object IceWrite {
       condition: org.apache.spark.sql.Column, branch: String = "main"): TableMetadata = {
     import org.apache.spark.sql.functions.col
     val meta = catalog.loadTable(name)
+    // format v3 replaces position-delete FILES with deletion vectors
+    // (spec: writers must not add new position-delete files to v3
+    // tables) — route the row-level delete to the DV writer so v3
+    // tables stay export-faithful without a conversion pass
+    if (meta.formatVersion >= 3)
+      return deleteWhereDv(spark, catalog, name, condition, branch)
     val snap = meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
       .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
     val dataFiles = snap.manifest.filter(_.content == FileContent.Data)

@@ -463,6 +463,34 @@ object IcebergExport {
       tags = meta.tags.filter { case (_, id) => keptIds.contains(id) })
   }
 
+  /** v3 metadata must not reference plain position-delete FILES (the
+    * spec replaces them with deletion vectors; writers must not add them
+    * to v3 tables). A current snapshot carrying one aborts with the
+    * conversion remediation; historical snapshots carrying them drop
+    * from the export — the same reachability split as the
+    * unstamped-pos-delete and unknown-spec filters. */
+  private def filterPlainPosDeletesForV3(meta: TableMetadata): TableMetadata = {
+    def plain(f: FileEntry) =
+      f.content == FileContent.PositionDeletes && !f.isDeletionVector
+    if (meta.snapshots.forall(_.manifest.forall(!plain(_)))) return meta
+    meta.currentSnapshot.foreach { s =>
+      val hit = s.manifest.find(plain)
+      require(hit.isEmpty,
+        s"exportIcebergMetadata: ${hit.get.path} (current snapshot) is a plain " +
+          "position-delete file, which format-version 3 forbids (deletion " +
+          "vectors replace them). Run Maintenance.convertPositionDeletesToDVs " +
+          "first, then re-export. Historical snapshots carrying plain position " +
+          "deletes are dropped from the export automatically.")
+    }
+    val kept = meta.snapshots.filter(_.manifest.forall(!plain(_)))
+    val keptIds = kept.map(_.snapshotId).toSet
+    meta.copy(
+      snapshots = kept.map(s =>
+        if (s.parentId.exists(keptIds.contains)) s else s.copy(parentId = None)),
+      refs = meta.refs.filter { case (_, id) => keptIds.contains(id) },
+      tags = meta.tags.filter { case (_, id) => keptIds.contains(id) })
+  }
+
   /** True when a historical spec's field can be emitted into the v2
     * layout: its source column still resolves, its transform is a spec
     * transform, and (identity only) its avro partition value type is
@@ -550,7 +578,7 @@ object IcebergExport {
     val fv = if (!allowV3 && v3Featured) 3 else 2
     val exportable =
       if (!allowV3) {
-        fullMeta
+        if (fv == 3) filterPlainPosDeletesForV3(fullMeta) else fullMeta
       } else {
         require(fullMeta.currentSnapshot.forall(_.manifest.forall(!_.isDeletionVector)),
           s"exportIcebergMetadata: $name's CURRENT snapshot still carries deletion " +

@@ -729,17 +729,24 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(pd1.length == 2)
     assert(pd1.forall(r => r.getString(2).endsWith(".parquet") && r.getLong(3) >= 2L))
 
-    // a v3 table's DV tombstones decode from their Puffin blob coordinates
+    // on a v3 table the SAME front-door DELETE routes to deletion vectors
+    // (the spec forbids new position-delete files in v3) and the
+    // tombstones decode from their Puffin blob coordinates
     val cat2 = freshCatalog("g31")
     spark.sql("CREATE TABLE g31.t (id BIGINT, v STRING) " +
       "TBLPROPERTIES ('format-version' = '3')")
     spark.sql("INSERT INTO g31.t SELECT id, concat('v', id) FROM range(40)")
-    IceWrite.deleteWhereDv(spark, cat2, "t", col("id") % 8 === 0)
+    spark.sql("DELETE FROM g31.t WHERE id % 8 = 0")
+    assert(cat2.loadTable("t").currentSnapshot.get.manifest
+      .filter(_.content == FileContent.PositionDeletes).forall(_.isDeletionVector),
+      "v3 front-door DELETE must write deletion vectors, not parquet tombstones")
     val pd2 = spark.sql("SELECT * FROM g31.t.position_deletes").collect()
     assert(pd2.length == 5, s"expected 5 DV tombstones, got ${pd2.length}")
     assert(pd2.forall(_.getString(2).endsWith(".puffin")))
     // positions are consistent with the MOR view: tombstoned rows are gone
     assert(spark.sql("SELECT count(*) FROM g31.t").head.getLong(0) == 35L)
+    // ...and the table exports as clean v3 without any conversion pass
+    IcebergExport.exportIcebergMetadata(cat2, "t")
   }
 
   test("column DEFAULTs fold to literals at CREATE; non-constants refuse") {

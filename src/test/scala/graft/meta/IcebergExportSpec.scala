@@ -284,6 +284,28 @@ class IcebergExportSpec extends AnyFunSuite {
     assert((j \ "next-row-id") != JNothing)
   }
 
+  test("v3 export refuses plain parquet tombstones with the convert remediation") {
+    import graft.compaction.Maintenance
+    val catalog = LocalCatalog(Files.createTempDirectory("ice-exp-v3pos").toString)
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    IceWrite.create(spark, catalog, "t_v3p", src, formatVersion = 3)
+    // updateWhere still writes parquet tombstones (one-snapshot
+    // tombstone+rewrite) — a v3 export must not emit them (the spec
+    // replaces position-delete files with DVs) and names the fix
+    IceWrite.updateWhere(spark, catalog, "t_v3p",
+      Map("n_name" -> org.apache.spark.sql.functions.upper(col("n_name"))),
+      col("n_nationkey") < 3)
+    val before = IceRead.table(spark, catalog, "t_v3p").collect().toSet
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.exportIcebergMetadata(catalog, "t_v3p"))
+    assert(e.getMessage.contains("convertPositionDeletesToDVs"))
+    // the named remediation makes the export pass, MOR view unchanged
+    Maintenance.convertPositionDeletesToDVs(spark, catalog, "t_v3p")
+    val jsonPath = IcebergExport.exportIcebergMetadata(catalog, "t_v3p")
+    assert((JsonMethods.parse(MetaIO.readString(jsonPath)) \ "format-version") == JInt(3))
+    assert(IceRead.table(spark, catalog, "t_v3p").collect().toSet == before)
+  }
+
   test("v3 table with DVs round-trips through the convert-then-export path") {
     import graft.compaction.Maintenance
     val catalog = LocalCatalog(Files.createTempDirectory("ice-exp-dv2").toString)
