@@ -778,8 +778,16 @@ object IceWrite {
     val snap = table0.snapshotForRef(branch)
       .orElse(if (branch == "main") table0.currentSnapshot else None)
       .getOrElse(throw new IllegalStateException(s"table $name has no snapshot on branch $branch"))
-    val live = IceRead.ofSnapshot(spark, table0, snap, keepHidden = true)
-    val hiddenCols = Set(graft.exec.Mor.FilePathCol, graft.exec.Mor.PosCol)
+    // v3 row lineage: the rewritten copies MATERIALIZE the survivor's
+    // _row_id (reserved field id, same convention as compaction) so an
+    // UPDATE preserves row identity — the updated row is the SAME row,
+    // its _last_updated_seq moving to the new snapshot's sequence via the
+    // file's sequence number (nothing to materialize for that)
+    val carryRowIds = table0.formatVersion >= 3 && typedOf(table0)
+    val live = IceRead.ofSnapshot(spark, table0, snap, keepHidden = true,
+      keepRowIds = carryRowIds)
+    val hiddenCols = Set(graft.exec.Mor.FilePathCol, graft.exec.Mor.PosCol,
+      graft.exec.Mor.RowIdCol, graft.exec.Mor.LastUpdatedSeqCol)
     val colNames =
       if (table0.schema.nonEmpty) table0.schemaColumns
       else live.columns.toSeq.filterNot(hiddenCols)
@@ -792,19 +800,47 @@ object IceWrite {
     val updated = matched.select(colNames.map { c =>
       val v = set.getOrElse(c, col(c))
       table0.fieldByName(c).filter(_.isTyped).fold(v)(f => v.cast(f.sparkType)).as(c)
-    }: _*)
+    } ++ (if (carryRowIds) Seq(col(graft.exec.Mor.RowIdCol)) else Nil): _*)
     val typed = typedOf(table0)
     val dataDir = MetaIO.join(table0.location, "data")
     val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L)
     val parquetCfg = graft.exec.ParquetWriteConfig.fromProperties(table0.properties)
+    def writeUpdatedCopies(): Seq[FileEntry] = {
+      // schema columns get their field ids; the materialized _row_id gets
+      // the spec's reserved lineage id so id-matched readers (ours and
+      // external v3 engines) resolve it in the rewritten files
+      val stamped =
+        if (!typed) updated
+        else {
+          val byName = table0.schema.map(f => f.name -> f).toMap
+          updated.select(updated.columns.toSeq.map { c =>
+            val id = byName.get(c).map(_.id)
+              .orElse(if (c == graft.exec.Mor.RowIdCol)
+                Some(graft.exec.Mor.RowIdFieldId) else None)
+            id.fold(col(c)) { i =>
+              val md = new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(SchemaField.ParquetFieldIdKey, i.toLong).build()
+              col(c).as(c, md)
+            }
+          }: _*)
+        }
+      SparkExecutor.writeDataFiles(spark, stamped,
+        dataDir, table0.partitionSpec, table0.sortOrder, rowsEstimate,
+        parquet = parquetCfg)
+    }
+    if (table0.formatVersion >= 3)
+      // v3 forbids new position-delete FILES: the tombstones become
+      // deletion vectors committed in the SAME snapshot as the rewritten
+      // copies (commitDvSnapshot writes the data files only if rows
+      // matched — an unmatched UPDATE stays a no-op with no commit)
+      return commitDvSnapshot(spark, catalog, name, positions, branch,
+        DeletionVectors.MaxDriverBlobBytes,
+        newDataFiles = () => writeUpdatedCopies(), operation = "overwrite")
     val posFiles = SparkExecutor.writeDataFiles(spark,
       withPosDeleteFieldIds(positions), dataDir, Nil, Nil, rowsEstimate,
       parquet = parquetCfg)
     if (posFiles.isEmpty) return table0 // nothing matched: no-op, no commit
-    val dataFiles = SparkExecutor.writeDataFiles(spark,
-      if (typed) withFieldIds(updated, table0.schema) else updated,
-      dataDir, table0.partitionSpec, table0.sortOrder, rowsEstimate,
-      parquet = parquetCfg)
+    val dataFiles = writeUpdatedCopies()
     commitSnapshot(catalog, name, Seq(
       StampSet(posFiles, FileContent.PositionDeletes, Nil, Nil),
       StampSet(dataFiles, FileContent.Data)),
@@ -835,6 +871,22 @@ object IceWrite {
         .withColumn("__pos", col("_metadata.row_index"))
         .filter(condition)
         .select(col("__fp").as("file_path"), col("__pos").as("pos")))
+    commitDvSnapshot(spark, catalog, name, positions, branch, maxDriverBlobBytes)
+  }
+
+  /** Shared DV-snapshot commit: the (file_path, pos) tombstone set
+    * becomes per-file deletion-vector blobs merged against the head's
+    * existing DVs (one DV per data file, per spec), optionally committed
+    * TOGETHER with `newDataFiles` in one snapshot — the v3 shape of a
+    * row-level UPDATE (tombstone + rewritten copies, no reader observes
+    * one without the other). `newDataFiles` is a thunk so the data write
+    * only happens once something actually matched. */
+  private def commitDvSnapshot(spark: SparkSession, catalog: Catalog,
+      name: String, positions: DataFrame, branch: String,
+      maxDriverBlobBytes: Long,
+      newDataFiles: () => Seq[FileEntry] = () => Nil,
+      operation: String = "delete"): TableMetadata = {
+    val meta0 = catalog.loadTable(name)
     // driver gate: below it, blobs collect to the driver and one container
     // is written per attempt (simplest commit); above it — a dense delete
     // over a big table — the containers stream executor-side and only
@@ -849,6 +901,9 @@ object IceWrite {
         positions.select("file_path").distinct().as[String].collect().toSet
       }
     if (affected.isEmpty) return meta0
+    // written once, outside the CAS loop: paths are fresh per call, so a
+    // lost race re-commits the same files against the new head
+    val dataEntries = newDataFiles()
 
     var attempt = 0
     while (true) {
@@ -876,9 +931,19 @@ object IceWrite {
               f -> (e.path, e.contentOffset.getOrElse(0L), e.contentSizeInBytes.get) },
             meta.location, snapshotId, newSeq,
             f => partitionOf.getOrElse(f, Map.empty))
+      // new data files (the UPDATE shape) share the snapshot and its
+      // sequence; v3 row lineage is assigned inside the retry loop so a
+      // lost CAS race re-claims disjoint ranges against the fresh head
+      var rowCursor = meta.nextRowId
+      val stampedData = dataEntries.map { f =>
+        val withSeq = f.copy(content = FileContent.Data, sequenceNumber = newSeq)
+        if (meta.formatVersion < 3) withSeq
+        else { val a = withSeq.copy(firstRowId = Some(rowCursor))
+               rowCursor += f.recordCount; a }
+      }
       val parentManifest = base.manifest
       val newManifest = parentManifest.filterNot(f =>
-        replacedKeys.contains(f.resolutionKey)) ++ dvEntries
+        replacedKeys.contains(f.resolutionKey)) ++ dvEntries ++ stampedData
       val snap = Snapshot(
         snapshotId = snapshotId,
         parentId = Some(base.snapshotId),
@@ -887,13 +952,14 @@ object IceWrite {
         manifest = newManifest,
         summary = TableMetadata.preservedProperties(base.summary) ++
           TableMetadata.computedSummary(parentManifest, newManifest) +
-          ("operation" -> "delete"))
+          ("operation" -> operation))
       val updated = meta.copy(
         currentSnapshotId =
           if (branch == "main") Some(snapshotId) else meta.currentSnapshotId,
         refs = meta.refs + (branch -> snapshotId),
         snapshots = meta.snapshots :+ snap,
-        lastSequenceNumber = newSeq)
+        lastSequenceNumber = newSeq,
+        nextRowId = rowCursor)
       try return catalog.commit(meta, updated)
       catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
     }

@@ -284,22 +284,37 @@ class IcebergExportSpec extends AnyFunSuite {
     assert((j \ "next-row-id") != JNothing)
   }
 
-  test("v3 export refuses plain parquet tombstones with the convert remediation") {
+  test("v3 writes produce DVs; export refuses stray parquet tombstones with remediation") {
     import graft.compaction.Maintenance
     val catalog = LocalCatalog(Files.createTempDirectory("ice-exp-v3pos").toString)
     val src = spark.read.parquet(s"$sf/nation.parquet")
     IceWrite.create(spark, catalog, "t_v3p", src, formatVersion = 3)
-    // updateWhere still writes parquet tombstones (one-snapshot
-    // tombstone+rewrite) — a v3 export must not emit them (the spec
-    // replaces position-delete files with DVs) and names the fix
+    // the ROW-LEVEL write paths stay v3-faithful by construction: UPDATE
+    // commits deletion vectors + rewritten copies in ONE snapshot
     IceWrite.updateWhere(spark, catalog, "t_v3p",
       Map("n_name" -> org.apache.spark.sql.functions.upper(col("n_name"))),
       col("n_nationkey") < 3)
+    val afterUpdate = catalog.loadTable("t_v3p").currentSnapshot.get
+    assert(afterUpdate.summary("operation") == "overwrite")
+    assert(afterUpdate.manifest.filter(_.content == FileContent.PositionDeletes)
+      .forall(_.isDeletionVector), "v3 UPDATE must tombstone via deletion vectors")
+    val got = IceRead.table(spark, catalog, "t_v3p")
+    assert(got.count() == src.count())
+    assert(got.filter(col("n_nationkey") < 3)
+      .collect().forall(r => r.getAs[String]("n_name") == r.getAs[String]("n_name").toUpperCase))
+    IcebergExport.exportIcebergMetadata(catalog, "t_v3p") // clean v3, no conversion
+
+    // a STRAY parquet tombstone (low-level appendPositionDeletes) is the
+    // one thing a v3 export must refuse, naming the fix
+    val victim = catalog.loadTable("t_v3p").currentSnapshot.get.manifest
+      .filter(_.content == FileContent.Data).maxBy(_.recordCount)
+    import spark.implicits._
+    IceWrite.appendPositionDeletes(spark, catalog, "t_v3p",
+      Seq((victim.path, 0L)).toDF("file_path", "pos"))
     val before = IceRead.table(spark, catalog, "t_v3p").collect().toSet
     val e = intercept[IllegalArgumentException](
       IcebergExport.exportIcebergMetadata(catalog, "t_v3p"))
     assert(e.getMessage.contains("convertPositionDeletesToDVs"))
-    // the named remediation makes the export pass, MOR view unchanged
     Maintenance.convertPositionDeletesToDVs(spark, catalog, "t_v3p")
     val jsonPath = IcebergExport.exportIcebergMetadata(catalog, "t_v3p")
     assert((JsonMethods.parse(MetaIO.readString(jsonPath)) \ "format-version") == JInt(3))

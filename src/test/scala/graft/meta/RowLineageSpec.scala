@@ -138,6 +138,42 @@ class RowLineageSpec extends AnyFunSuite {
       "purge changed survivor lineage")
   }
 
+  test("MOR updateWhere on v3: DV tombstones + identity-preserving rewritten copies") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "tm", rows(0, 12).repartition(2), formatVersion = 3)
+    def lineage() = IceRead.tableWithRowIds(spark, cat, "tm")
+      .select(col("id"), col(graft.exec.Mor.RowIdCol),
+        col(graft.exec.Mor.LastUpdatedSeqCol))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val before = lineage()
+
+    // ONE snapshot: deletion-vector tombstones (v3 forbids new parquet
+    // position deletes) + rewritten copies materializing the survivor's
+    // _row_id — the updated row is the SAME row
+    IceWrite.updateWhere(spark, cat, "tm",
+      Map("name" -> upper(col("name"))), col("id") % 4 === 0)
+    val head = cat.loadTable("tm").currentSnapshot.get
+    assert(head.summary("operation") == "overwrite")
+    assert(head.manifest.filter(_.content == FileContent.PositionDeletes)
+      .forall(_.isDeletionVector), "v3 MOR update must tombstone via DVs")
+
+    val after = lineage()
+    assert(after.keySet == before.keySet, "update lost or duplicated rows")
+    assert(after.forall { case (k, (rid, _)) => before(k)._1 == rid },
+      "MOR v3 update re-identified rows")
+    // updated rows' _last_updated_seq moves to the update's sequence
+    // (derived from the new file's sequence number, nothing materialized)
+    val updSeq = after.filter(_._1 % 4 == 0).values.map(_._2).toSet
+    assert(updSeq == Set(head.sequenceNumber), s"updated rows seq: $updSeq")
+    assert(after.filterNot(_._1 % 4 == 0).values.forall(_._2 == 1L),
+      "untouched rows lost their original update seq")
+    // values actually updated; ids stay globally unique
+    assert(IceRead.table(spark, cat, "tm").filter(col("id") % 4 === 0)
+      .select("name").as[String].collect().forall(n => n == n.toUpperCase))
+    val ids = after.values.map(_._1).toSeq
+    assert(ids.distinct.size == ids.size)
+  }
+
   test("concurrent appends claim disjoint ranges through the CAS") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "tr", rows(0, 4), formatVersion = 3)
