@@ -25,15 +25,18 @@ class GraftSqlPruneFuzzSpec extends AnyFunSuite {
   /** model row: (k, g, v, s) */
   private type R = (Long, Int, Double, String)
 
-  private def runSeed(seed: Long, nOps: Int): Unit = {
+  private def runSeed(seed: Long, nOps: Int, formatVersion: Int = 2): Unit = {
     val rnd = new Random(seed)
     val cat = LocalCatalog(Files.createTempDirectory(s"graft-pfuzz-$seed").toString)
     GraftSql.register(s"pf$seed", cat)
     val t = s"pf$seed.t"
     // identity partition on g: every write fans out per partition, every
-    // read prunes by partition constants + zone maps on k/v/s
+    // read prunes by partition constants + zone maps on k/v/s. On v3 the
+    // SAME DML routes through deletion vectors (DELETE) and the
+    // one-snapshot DV+copies UPDATE — the model must not notice.
     spark.sql(s"CREATE TABLE $t (k BIGINT, g INT, v DOUBLE, s STRING) " +
-      "PARTITIONED BY (g)")
+      "PARTITIONED BY (g) " +
+      s"TBLPROPERTIES ('format-version' = '$formatVersion')")
     var model = Vector.empty[R]
     var nextK = 0L
     var readsChecked = 0
@@ -123,6 +126,18 @@ class GraftSqlPruneFuzzSpec extends AnyFunSuite {
     assert(readsPruned > 0,
       s"no read ever skipped a file over $readsChecked checked reads — " +
         "the pruning arm of this spec is vacuous")
+    if (formatVersion >= 3) {
+      // the whole random history preserved v3 invariants: every live row
+      // has a distinct _row_id, new position deletes are DVs only
+      val ids = IceRead.tableWithRowIds(spark, cat, "t")
+        .select("_row_id").collect().map(_.getLong(0))
+      assert(ids.length == model.length && ids.distinct.length == ids.length,
+        s"row-id invariant broke: ${ids.length} ids, ${ids.distinct.length} distinct, " +
+          s"${model.length} model rows")
+      assert(cat.loadTable("t").snapshots.flatMap(_.manifest)
+        .filter(_.content == FileContent.PositionDeletes).forall(_.isDeletionVector),
+        "a v3 history must never contain plain parquet position deletes")
+    }
   }
 
   test("front-door DML x pruned reads match the model (seed 101)") {
@@ -131,5 +146,9 @@ class GraftSqlPruneFuzzSpec extends AnyFunSuite {
 
   test("front-door DML x pruned reads match the model (seed 202)") {
     runSeed(202L, 40)
+  }
+
+  test("front-door DML x pruned reads on a FORMAT-V3 table (seed 303): DV routing + lineage") {
+    runSeed(303L, 40, formatVersion = 3)
   }
 }
