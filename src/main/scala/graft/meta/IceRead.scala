@@ -351,15 +351,20 @@ object IceRead {
     * same encoding the Iceberg export writes), the snapshot that ADDED
     * the file (derived from history: the first snapshot listing it), and
     * the data-file facts. Metadata-only. */
+  /** Adding snapshot per file key: the first (oldest-sequence) snapshot
+    * listing it — shared by [[entries]] and [[allEntries]] so the two
+    * metadata tables can never disagree on the derivation. */
+  private def addedBySnapshot(meta: TableMetadata): Map[String, Long] =
+    meta.snapshots.sortBy(_.sequenceNumber)
+      .flatMap(s => s.manifest.map(f => f.resolutionKey -> s.snapshotId))
+      .groupBy(_._1).view.mapValues(_.head._2).toMap
+
   def entries(spark: SparkSession, catalog: Catalog, name: String,
       branch: String = "main"): DataFrame = {
     import spark.implicits._
     val meta = catalog.loadTable(name)
     val snap = resolveSnapshot(meta, name, branch)
-    // adding snapshot per file: the first (oldest) snapshot listing the key
-    val addedBy: Map[String, Long] = meta.snapshots.sortBy(_.sequenceNumber)
-      .flatMap(s => s.manifest.map(f => f.resolutionKey -> s.snapshotId))
-      .groupBy(_._1).view.mapValues(_.head._2).toMap
+    val addedBy = addedBySnapshot(meta)
     snap.manifest.map { f =>
       (if (f.sequenceNumber == snap.sequenceNumber) 1 else 0,
         addedBy.getOrElse(f.resolutionKey, snap.snapshotId),
@@ -402,9 +407,7 @@ object IceRead {
   def allEntries(spark: SparkSession, catalog: Catalog, name: String): DataFrame = {
     import spark.implicits._
     val meta = catalog.loadTable(name)
-    val addedBy: Map[String, Long] = meta.snapshots.sortBy(_.sequenceNumber)
-      .flatMap(s => s.manifest.map(f => f.resolutionKey -> s.snapshotId))
-      .groupBy(_._1).view.mapValues(_.head._2).toMap
+    val addedBy = addedBySnapshot(meta)
     meta.snapshots.flatMap { snap =>
       snap.manifest.map { f =>
         (snap.snapshotId,

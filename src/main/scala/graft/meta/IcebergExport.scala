@@ -595,6 +595,11 @@ object IcebergExport {
     val meta = filterUnknownSpecHistory(filterUnstampedPosDeleteHistory(exportable))
     val dir = outDir.getOrElse(MetaIO.join(meta.location, "iceberg-metadata"))
     MetaIO.mkdirs(dir)
+    // per-EXPORT tag, only ever used in FILE NAMES (exports of successive
+    // versions must not overwrite each other's metadata files); the
+    // `table-uuid` FIELD below is the table's stable identity instead —
+    // the spec requires it immutable across the table's life (REST
+    // clients validate it on refresh, assert-table-uuid compares to it)
     val uuid = java.util.UUID.randomUUID().toString
 
     // EVERY spec referenced by a surviving manifest entry exports: the
@@ -837,7 +842,7 @@ object IcebergExport {
     }
     val metadataJ: JObject =
       ("format-version" -> fv) ~
-        ("table-uuid" -> uuid) ~
+        ("table-uuid" -> meta.stableUuid) ~
         ("location" -> meta.location) ~
         ("last-sequence-number" -> meta.lastSequenceNumber) ~
         ("last-updated-ms" -> System.currentTimeMillis()) ~

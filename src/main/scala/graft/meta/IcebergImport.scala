@@ -39,14 +39,17 @@ import org.json4s.jackson.JsonMethods
   * so imported entries stay ID-addressed — renames remain safe. */
 object IcebergImport {
 
-  private def str(j: JValue): String = j match {
+  // strict JValue coercers, shared by the whole REST/import surface
+  // ([[IcebergRestServe]], [[IcebergRestCommit]]) — one place to extend
+  // if a server ever answers JDecimal/JDouble for an integral field
+  private[meta] def str(j: JValue): String = j match {
     case JString(s) => s; case other => sys.error(s"expected string, got $other")
   }
-  private def lng(j: JValue): Long = j match {
+  private[meta] def lng(j: JValue): Long = j match {
     case JInt(x) => x.toLong; case JLong(x) => x
     case other => sys.error(s"expected number, got $other")
   }
-  private def arr(j: JValue): List[JValue] = j match {
+  private[meta] def arr(j: JValue): List[JValue] = j match {
     case JArray(xs) => xs; case JNothing => Nil
     case other => sys.error(s"expected array, got $other")
   }
@@ -144,9 +147,10 @@ object IcebergImport {
     * JSON file: a `*.metadata.json` path passes through; a TABLE
     * DIRECTORY resolves like Iceberg's HadoopCatalog/HadoopTables —
     * `metadata/version-hint.text` names the current version
-    * (`v<N>.metadata.json`), falling back to the lexicographically
-    * newest `*.metadata.json` under `metadata/` (Iceberg version files
-    * sort by their zero-padded/sequence prefix). */
+    * (`v<N>.metadata.json`), falling back to the NUMERICALLY newest
+    * `v<N>.metadata.json` under `metadata/` (HadoopCatalog does not
+    * zero-pad, so v10 must beat v9), or the lexicographically newest
+    * for other naming schemes. */
   private[meta] def resolveMetadataJson(location: String): String = {
     if (location.endsWith(".metadata.json") || MetaIO.isFile(location)) return location
     val metaDir =
@@ -166,10 +170,19 @@ object IcebergImport {
       }
     hinted.getOrElse {
       val candidates = MetaIO.listFiles(metaDir).map(_._1)
-        .filter(_.endsWith(".metadata.json")).sorted
+        .filter(_.endsWith(".metadata.json"))
       require(candidates.nonEmpty,
         s"importIcebergMetadata: no *.metadata.json under $metaDir")
-      candidates.last
+      // HadoopCatalog writes UNPADDED v<N>.metadata.json, so v10+ sorts
+      // BEFORE v9 lexicographically — compare the version number
+      // numerically when present ("00000-uuid" padded names still sort
+      // correctly on the lexicographic fallback)
+      val vName = "^v(\\d+)\\.metadata\\.json$".r
+      val numbered = candidates.flatMap(p => MetaIO.fileName(p) match {
+        case vName(n) => Some(n.toLong -> p)
+        case _ => None
+      })
+      if (numbered.nonEmpty) numbered.maxBy(_._1)._2 else candidates.max
     }
   }
 
@@ -343,7 +356,16 @@ object IcebergImport {
       properties = ((j \ "properties") match {
         case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
         case _ => Map.empty[String, String]
-      }) ++ ndvProperties(j, currentId, byId))
+      }) ++ ndvProperties(j, currentId, byId) ++
+        // the FOREIGN table's identity rides along (spec: table-uuid is
+        // immutable for the table's life): re-export/serve emit the same
+        // uuid, and refreshTable can detect a dropped-and-recreated
+        // source — same name, new uuid — instead of silently replacing
+        // the follower's history
+        ((j \ "table-uuid") match {
+          case JString(u) => Map(TableMetadata.UuidKey -> u)
+          case _ => Map.empty[String, String]
+        }))
   }
 
 

@@ -47,17 +47,7 @@ object IcebergRestCommit {
       HttpResponse.BodyHandlers.ofString())
   }
 
-  private def lng(j: JValue): Long = j match {
-    case JInt(x) => x.toLong; case JLong(x) => x
-    case other => sys.error(s"expected number, got $other")
-  }
-  private def str(j: JValue): String = j match {
-    case JString(s) => s; case other => sys.error(s"expected string, got $other")
-  }
-  private def arr(j: JValue): List[JValue] = j match {
-    case JArray(xs) => xs; case JNothing => Nil
-    case other => sys.error(s"expected array, got $other")
-  }
+  import IcebergImport.{arr, lng, str}
 
   /** Appends `files` to `namespace.table` on the catalog at `uri` and
     * returns the snapshot id the commit published. `stagingDir` receives
@@ -68,15 +58,9 @@ object IcebergRestCommit {
       authToken: Option[String] = None, prefix: Option[String] = None,
       maxRetries: Int = 3): Long = {
     require(files.nonEmpty, "appendFiles: no files given")
-    val base = uri.stripSuffix("/")
-    val pfx = prefix.getOrElse(IcebergRestImport.resolvePrefix(uri, authToken)) match {
-      case "" => ""; case p => s"/$p"
-    }
-    def enc(s: String) = java.net.URLEncoder.encode(
-      s, java.nio.charset.StandardCharsets.UTF_8).replace("+", "%20")
-    // multipart namespaces join with the spec's 0x1F unit separator
-    val route = s"$base/v1$pfx/namespaces/${enc(namespace.mkString("\u001f"))}" +
-      s"/tables/${enc(table)}"
+    val route = IcebergRestImport.tableRoute(uri,
+      prefix.getOrElse(IcebergRestImport.resolvePrefix(uri, authToken)),
+      namespace, table)
 
     var attempt = 0
     while (true) {
@@ -105,8 +89,9 @@ object IcebergRestCommit {
           IcebergImport.ddlOf(f \ "type"), nullable = (f \ "required") != JBool(true))
       }
       val byId = schemaFields.map(f => f.id -> f).toMap
+      val defaultSpecId = lng(m \ "default-spec-id").toInt
       val specJ = arr(m \ "partition-specs").find(s =>
-        lng(s \ "spec-id") == lng(m \ "default-spec-id")).getOrElse(
+        lng(s \ "spec-id") == defaultSpecId).getOrElse(
         sys.error("no default partition spec in loaded metadata"))
       val specFields = arr(specJ \ "fields").map { f =>
         val src = byId(lng(f \ "source-id").toInt)
@@ -146,10 +131,14 @@ object IcebergRestCommit {
         e
       }
       val mPath = MetaIO.join(stagingDir, s"client-$tag-m0.avro")
+      // the manifest is written against the table's DEFAULT spec, and
+      // must say so — a catalog whose default-spec-id != 0 (any table
+      // that evolved its partition spec) would otherwise have readers
+      // decode the partition struct with the wrong spec's fields
       val mLen = IcebergExport.avroWrite(mPath, mSchema, Map(
         "schema" -> JsonMethods.compact(JsonMethods.render(schemaJ)),
         "partition-spec" -> JsonMethods.compact(JsonMethods.render(specJ \ "fields")),
-        "partition-spec-id" -> "0",
+        "partition-spec-id" -> defaultSpecId.toString,
         "format-version" -> fv.toString,
         "content" -> "data"), records)
 
@@ -173,7 +162,7 @@ object IcebergRestCommit {
       val le = new GenericData.Record(listSchema)
       le.put("manifest_path", mPath)
       le.put("manifest_length", java.lang.Long.valueOf(mLen))
-      le.put("partition_spec_id", Integer.valueOf(0))
+      le.put("partition_spec_id", Integer.valueOf(defaultSpecId))
       le.put("content", Integer.valueOf(0))
       le.put("sequence_number", java.lang.Long.valueOf(newSeq))
       le.put("min_sequence_number", java.lang.Long.valueOf(newSeq))
@@ -218,9 +207,15 @@ object IcebergRestCommit {
       resp.statusCode() match {
         case 200 => return newSnapId
         case 409 if attempt < maxRetries =>
-          attempt += 1 // someone moved the head — reload and rebuild
-        case code => sys.error(
-          s"commit $route failed: HTTP $code ${resp.body().take(500)}")
+          // someone moved the head — reload and rebuild. The losing
+          // attempt's staged avro is referenced by NOTHING (the table's
+          // orphan sweep never visits a foreign staging dir), so delete
+          // it here rather than leak two files per lost race
+          MetaIO.delete(mPath); MetaIO.delete(listPath)
+          attempt += 1
+        case code =>
+          MetaIO.delete(mPath); MetaIO.delete(listPath)
+          sys.error(s"commit $route failed: HTTP $code ${resp.body().take(500)}")
       }
     }
     sys.error("unreachable")

@@ -46,22 +46,25 @@ object IcebergRestImport {
       }
     } catch { case _: Exception => "" } // config endpoint optional in practice
 
-  private def loadResult(uri: String, namespace: Seq[String], table: String,
-      authToken: Option[String], prefix: Option[String]): (JValue, Option[String], String) = {
-    require(namespace.nonEmpty, "importTable: empty namespace")
-    val base = uri.stripSuffix("/")
-    val pfx = prefix.getOrElse(resolvePrefix(uri, authToken)) match {
-      case "" => ""
-      case p => s"/$p"
-    }
-    // multipart namespaces join with the spec's 0x1F unit separator
-    // (percent-encodes to %1F); URLEncoder form-encodes spaces as '+',
-    // which URL paths must not carry
+  /** The spec table route `/v1[/{prefix}]/namespaces/{ns}/tables/{t}`:
+    * multipart namespaces join with the spec's 0x1F unit separator
+    * (percent-encodes to %1F); URLEncoder form-encodes spaces as '+',
+    * which URL paths must not carry. Shared with [[IcebergRestCommit]] —
+    * the read and write clients must address tables identically. */
+  private[meta] def tableRoute(uri: String, prefix: String,
+      namespace: Seq[String], table: String): String = {
+    require(namespace.nonEmpty, "Iceberg REST: empty namespace")
     def enc(s: String) = java.net.URLEncoder.encode(
       s, java.nio.charset.StandardCharsets.UTF_8).replace("+", "%20")
-    val ns = enc(namespace.mkString("\u001f"))
-    val t = enc(table)
-    val body = JsonMethods.parse(get(s"$base/v1$pfx/namespaces/$ns/tables/$t", authToken))
+    val pfx = prefix match { case "" => ""; case p => s"/$p" }
+    s"${uri.stripSuffix("/")}/v1$pfx/namespaces/" +
+      s"${enc(namespace.mkString("\u001f"))}/tables/${enc(table)}"
+  }
+
+  private def loadResult(uri: String, namespace: Seq[String], table: String,
+      authToken: Option[String], prefix: Option[String]): (JValue, Option[String], String) = {
+    val pfx = prefix.getOrElse(resolvePrefix(uri, authToken))
+    val body = JsonMethods.parse(get(tableRoute(uri, pfx, namespace, table), authToken))
     val loc = body \ "metadata-location" match {
       case JString(l) => Some(l); case _ => None
     }
@@ -177,6 +180,17 @@ object IcebergRestImport {
       return RefreshResult(refreshed = false, attachedAt, 0)
 
     val parsed = IcebergImport.parseIcebergMetadataJson(name, metadata)
+    // identity guard: table-uuid is immutable for a table's life (spec),
+    // so a changed uuid means the source was DROPPED AND RECREATED under
+    // the same name — its snapshot ids may collide with the attached
+    // history (sequential engines restart at 1), which the continuity
+    // check below cannot see. Refuse instead of replacing the follower
+    // with an unrelated table's history.
+    for (local <- meta.properties.get(TableMetadata.UuidKey);
+         foreign <- parsed.properties.get(TableMetadata.UuidKey))
+      require(local == foreign,
+        s"refresh_iceberg_rest: the source's table-uuid changed " +
+          s"($local -> $foreign) — the table was dropped and recreated. Re-attach.")
     // continuity guard: the local head must still exist in the source's
     // history, or a changelog across the refresh would be meaningless
     require(attachedAt.forall(id => parsed.snapshots.exists(_.snapshotId == id)),

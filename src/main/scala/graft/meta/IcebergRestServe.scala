@@ -32,18 +32,32 @@ import org.json4s.jackson.JsonMethods
   *    same conservative contract as `cherrypick`); on v3 tables the
   *    server assigns row lineage from the table's next-row-id cursor.
   *
-  * Other mutations (CREATE/DROP over REST) stay with this engine and
-  * answer 405. Optional bearer-token auth; [[IcebergRestImport]] /
-  * [[IcebergRestCommit]] are the in-repo clients, and the round trip
-  * through real sockets is the contract test. */
+  *  - table LIFECYCLE: `POST .../namespaces/{ns}/tables` (spec
+  *    CreateTableRequest — the schema/partition-spec/write-order JSON is
+  *    synthesized into a metadata document and parsed by the SAME
+  *    [[IcebergImport]] machinery as an attach, so create-through-REST
+  *    and attach can never disagree on type mapping);
+  *    `POST .../namespaces/{ns}/register` (RegisterTableRequest: adopt
+  *    an existing `*.metadata.json`); `DELETE .../tables/{t}`;
+  *  - `POST /v1/{prefix}/transactions/commit` — the spec MULTI-TABLE
+  *    transaction: validate-all-then-apply-all, with compensating
+  *    rollback if a racing native commit CAS-fails one table mid-apply.
+  *
+  * Renames stay unsupported (405): graft table locations derive from
+  * names, and a metadata-only rename is not expressible here. Optional
+  * bearer-token auth; [[IcebergRestImport]] / [[IcebergRestCommit]] are
+  * the in-repo clients, and the round trip through real sockets is the
+  * contract test. */
 final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     prefix: String = "graft", bearerToken: Option[String] = None, port: Int = 0) {
 
-  /** exported metadata (file path, JSON content) cached per
-    * (table, version) — the path is served as `metadata-location`, so it
-    * must be the actual `*.metadata.json` file, not its directory. */
+  /** the fully-RENDERED LoadTableResult body cached per
+    * (table, version) — metadata-location must be the actual
+    * `*.metadata.json` file (not its directory), and caching the final
+    * body means repeated loads of an unchanged table cost neither a
+    * re-export nor an O(metadata-size) re-parse/re-render. */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -65,35 +79,51 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     code -> JsonMethods.compact(JsonMethods.render(
       "error" -> (("message" -> msg) ~ ("type" -> "RESTException") ~ ("code" -> code))))
 
+  private val tablesRoot = s"/v1/$prefix/namespaces/$namespace/tables"
+
+  /** The decoded table name when `path` addresses a single table under
+    * the served namespace (`.../tables/{t}`), else None. */
+  private def tableOf(path: String): Option[String] =
+    Some(path.stripPrefix(s"$tablesRoot/"))
+      .filter(t => path.startsWith(s"$tablesRoot/") && t.nonEmpty && !t.contains("/"))
+      .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getRawPath
+    val method = ex.getRequestMethod
     val (code, body): (Int, String) =
       if (bearerToken.exists(t => !Option(ex.getRequestHeaders.getFirst("Authorization"))
           .contains(s"Bearer $t")))
         err("not authorized", 401)
-      else if (ex.getRequestMethod == "POST" &&
-          path.startsWith(s"/v1/$prefix/namespaces/$namespace/tables/") &&
-          !path.stripPrefix(s"/v1/$prefix/namespaces/$namespace/tables/").contains("/")) {
-        val t = java.net.URLDecoder.decode(
-          path.stripPrefix(s"/v1/$prefix/namespaces/$namespace/tables/"),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val body = new String(ex.getRequestBody.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
+      else if (method == "POST" && tableOf(path).nonEmpty) {
+        val t = tableOf(path).get
         if (!catalog.tableExists(t)) err(s"table $t not found", 404)
-        else commitTable(t, body)
+        else commitTable(t, readBody(ex))
       }
-      else if (ex.getRequestMethod == "HEAD" &&
-          path.startsWith(s"/v1/$prefix/namespaces/$namespace/tables/") &&
-          !path.stripPrefix(s"/v1/$prefix/namespaces/$namespace/tables/").contains("/")) {
+      else if (method == "POST" && path == tablesRoot)
+        createTable(readBody(ex))
+      else if (method == "POST" && path == s"/v1/$prefix/namespaces/$namespace/register")
+        registerTable(readBody(ex))
+      else if (method == "POST" && path == s"/v1/$prefix/namespaces")
+        createNamespace(readBody(ex))
+      else if (method == "POST" && path == s"/v1/$prefix/transactions/commit")
+        commitTransaction(readBody(ex))
+      else if (method == "DELETE" && tableOf(path).nonEmpty) {
+        val t = tableOf(path).get
+        if (!catalog.tableExists(t)) err(s"table $t not found", 404)
+        else { catalog.dropTable(t); 204 -> "" }
+      }
+      else if (method == "HEAD" && tableOf(path).nonEmpty)
         // spec table-existence check: status only, no body
-        val t = java.net.URLDecoder.decode(
-          path.stripPrefix(s"/v1/$prefix/namespaces/$namespace/tables/"),
-          java.nio.charset.StandardCharsets.UTF_8)
-        (if (catalog.tableExists(t)) 204 else 404) -> ""
-      }
-      else if (ex.getRequestMethod != "GET")
-        err(s"${ex.getRequestMethod} not supported: reads plus the table " +
-          "commit endpoint; other mutations stay with the graft engine", 405)
+        (if (catalog.tableExists(tableOf(path).get)) 204 else 404) -> ""
+      else if (method != "GET")
+        err(s"$method $path not supported: reads, table lifecycle " +
+          "(create/register/drop) and the commit endpoint; renames stay " +
+          "with the graft engine", 405)
       else if (path == "/v1/config")
         // the spec capability list: clients discover that this server
         // takes table COMMITS as well as reads
@@ -106,7 +136,11 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
               "GET /v1/{prefix}/namespaces/{namespace}/tables",
               "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}",
               "HEAD /v1/{prefix}/namespaces/{namespace}/tables/{table}",
-              "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}"))))
+              "POST /v1/{prefix}/namespaces/{namespace}/tables",
+              "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+              "POST /v1/{prefix}/namespaces/{namespace}/register",
+              "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+              "POST /v1/{prefix}/transactions/commit"))))
       else if (path == s"/v1/$prefix/namespaces")
         200 -> JsonMethods.compact(JsonMethods.render(
           "namespaces" -> List(List(namespace))))
@@ -133,50 +167,148 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
 
   private def loadTableResult(table: String): (Int, String) = {
     val meta = catalog.loadTable(table)
-    val (jsonPath, json) =
+    val body =
       try cache.computeIfAbsent((table, meta.version), _ => {
-        val p = IcebergExport.exportIcebergMetadata(catalog, table)
-        (p, MetaIO.readString(p))
+        val jsonPath = IcebergExport.exportIcebergMetadata(catalog, table)
+        // metadata-location is the exported *.metadata.json itself (spec
+        // clients that honor it over the embedded copy must land on a
+        // real file), and the whole response renders through json4s so
+        // paths with quotes/backslashes stay valid JSON
+        JsonMethods.compact(JsonMethods.render(
+          ("metadata-location" -> jsonPath) ~
+            ("metadata" -> JsonMethods.parse(MetaIO.readString(jsonPath))) ~
+            ("config" -> JObject(Nil))))
       })
       catch {
         // v3 features the v2 wire cannot carry: refuse with the reason
         // rather than serving wrong metadata
         case e: IllegalArgumentException => return err(e.getMessage, 409)
       }
-    // metadata-location is the exported *.metadata.json itself (spec
-    // clients that honor it over the embedded copy must land on a real
-    // file), and the whole response renders through json4s so paths with
-    // quotes/backslashes stay valid JSON
-    200 -> JsonMethods.compact(JsonMethods.render(
-      ("metadata-location" -> jsonPath) ~
-        ("metadata" -> JsonMethods.parse(json)) ~
-        ("config" -> JObject(Nil))))
+    200 -> body
   }
 
-  /** The table-uuid the CURRENT version serves (exports mint one per
-    * version) — what `assert-table-uuid` requirements check against. */
-  private def servedUuid(table: String, meta: TableMetadata): Option[String] =
-    try {
-      val (_, json) = cache.computeIfAbsent((table, meta.version), _ => {
-        val p = IcebergExport.exportIcebergMetadata(catalog, table)
-        (p, MetaIO.readString(p))
-      })
-      JsonMethods.parse(json) \ "table-uuid" match {
-        case JString(u) => Some(u); case _ => None
-      }
-    } catch { case _: IllegalArgumentException => None }
+  import IcebergImport.{lng, str}
 
-  private def lng(j: JValue): Long = j match {
-    case JInt(x) => x.toLong; case JLong(x) => x
-    case other => sys.error(s"expected number, got $other")
+  /** `POST .../namespaces/{ns}/tables`: the spec CreateTableRequest. The
+    * request's schema / partition-spec / write-order / properties are
+    * synthesized into a MINIMAL table-metadata document and parsed by
+    * [[IcebergImport.parseIcebergMetadataJson]] — the exact machinery an
+    * attach uses — so REST-created tables get the same type mapping,
+    * transform validation, and refusal messages as attached ones. The
+    * server assigns the location (requested locations are ignored, as the
+    * spec allows) and the table uuid. */
+  private def createTable(body: String): (Int, String) =
+    try createTable0(body)
+    catch { case e: RuntimeException =>
+      err(s"bad CreateTableRequest: ${e.getMessage}", 400) }
+
+  private def createTable0(body: String): (Int, String) = {
+    val req = JsonMethods.parse(body)
+    val tname = str(req \ "name")
+    if ((req \ "stage-create") == JBool(true))
+      return err("stage-create is not supported — create the table directly", 400)
+    if (catalog.tableExists(tname))
+      return err(s"table $tname already exists", 409)
+    val schemaJ = (req \ "schema") match {
+      case JNothing | JNull => return err("CreateTableRequest: schema required", 400)
+      case s => s
+    }
+    val fieldIds = (schemaJ \ "fields") match {
+      case JArray(fs) if fs.nonEmpty => fs.map(f => lng(f \ "id"))
+      case _ => return err("CreateTableRequest: schema has no fields", 400)
+    }
+    val specFields: JValue = (req \ "partition-spec" \ "fields") match {
+      case JNothing | JNull => JArray(Nil); case fs => fs
+    }
+    val orderFields: JValue = (req \ "write-order" \ "fields") match {
+      case JNothing | JNull => JArray(Nil); case fs => fs
+    }
+    val properties = (req \ "properties") match {
+      case o: JObject => o; case _ => JObject(Nil)
+    }
+    // engines request v3 the way Iceberg itself does: a `format-version`
+    // table property on the create
+    val fv = (properties \ "format-version") match {
+      case JString("3") => 3
+      case JString("2") | JNothing | JNull => 2
+      case other => return err(s"unsupported format-version $other", 400)
+    }
+    val doc: JValue =
+      ("format-version" -> fv) ~
+        ("last-sequence-number" -> 0L) ~
+        ("last-column-id" -> fieldIds.max) ~
+        ("current-schema-id" -> 0) ~
+        ("schemas" -> JArray(List(schemaJ.merge(
+          ("schema-id" -> 0): JValue)))) ~
+        ("default-spec-id" -> 0) ~
+        ("partition-specs" -> JArray(List(
+          ("spec-id" -> 0) ~ ("fields" -> specFields)))) ~
+        ("default-sort-order-id" -> (if (orderFields == JArray(Nil)) 0 else 1)) ~
+        ("sort-orders" -> JArray(List(
+          ("order-id" -> 1) ~ ("fields" -> orderFields)))) ~
+        ("properties" -> properties) ~
+        ("current-snapshot-id" -> -1L) ~
+        ("snapshots" -> JArray(Nil))
+    try IcebergImport.importIcebergMetadataJson(catalog, tname, doc)
+    catch {
+      case e: RuntimeException =>
+        return err(s"cannot create $tname: ${e.getMessage}", 400)
+    }
+    loadTableResult(tname)
   }
-  private def str(j: JValue): String = j match {
-    case JString(s) => s; case other => sys.error(s"expected string, got $other")
+
+  /** `POST .../namespaces/{ns}/register`: the spec RegisterTableRequest —
+    * adopt a table that already has a `*.metadata.json` on shared storage
+    * (the REST analogue of `CALL attach_iceberg`). */
+  private def registerTable(body: String): (Int, String) = {
+    val req = JsonMethods.parse(body)
+    val (tname, loc) =
+      try (str(req \ "name"), str(req \ "metadata-location"))
+      catch { case e: RuntimeException =>
+        return err(s"bad RegisterTableRequest: ${e.getMessage}", 400) }
+    if (catalog.tableExists(tname))
+      return err(s"table $tname already exists", 409)
+    try IcebergImport.importIcebergMetadata(catalog, tname, loc)
+    catch {
+      case e: Exception =>
+        return err(s"cannot register $tname from $loc: ${e.getMessage}", 400)
+    }
+    loadTableResult(tname)
   }
+
+  /** `POST .../namespaces`: this catalog models exactly ONE namespace, so
+    * creating it again is the spec's AlreadyExists (409) and anything
+    * else is refused honestly. */
+  private def createNamespace(body: String): (Int, String) =
+    (JsonMethods.parse(body) \ "namespace") match {
+      case JArray(List(JString(ns))) if ns == namespace =>
+        err(s"namespace $namespace already exists", 409)
+      case other =>
+        err(s"single-namespace catalog (serves only '$namespace'): " +
+          s"cannot create $other", 400)
+    }
 
   /** `POST .../tables/{t}`: the spec CommitTableRequest. */
-  private def commitTable(table: String, body: String): (Int, String) = {
-    val req = JsonMethods.parse(body)
+  private def commitTable(table: String, body: String): (Int, String) =
+    buildCommit(table, JsonMethods.parse(body)) match {
+      case Left(e) => e
+      case Right((base, updated)) =>
+        try { catalog.commit(base, updated); loadTableResult(table) }
+        catch {
+          case _: CommitConflictException =>
+            err("concurrent commit — reload and retry", 409)
+        }
+    }
+
+  /** Validates one CommitTableRequest against the LIVE table state and
+    * builds `(base, updated)` WITHOUT committing — shared by the
+    * single-table commit endpoint and [[commitTransaction]], so a
+    * transaction applies exactly the semantics of N single commits. */
+  private def buildCommit(table: String, req: JValue)
+      : Either[(Int, String), (TableMetadata, TableMetadata)] = {
+    // shadows the class-level err: inside the builder every refusal is a
+    // Left of the same wire shape the endpoints answer
+    def err(msg: String, code: Int) = Left(IcebergRestServe.this.err(msg, code))
     val meta = catalog.loadTable(table)
 
     // ---- requirements: each validates against the LIVE state; failures
@@ -197,10 +329,13 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
             return err(s"requirement failed: ref $ref is at " +
               s"${have.getOrElse("absent")}, client expected ${want.getOrElse("absent")}", 409)
         case JString("assert-table-uuid") =>
-          val served = servedUuid(table, meta)
-          if (!served.contains(str(r \ "uuid")))
-            return err(s"requirement failed: table uuid changed (now " +
-              s"${served.getOrElse("unavailable")}) — reload and retry", 409)
+          // the STABLE identity every export of this table serves — uuid
+          // mismatch means the client loaded a different table (the spec
+          // treats table-uuid as immutable, so this is not retryable for
+          // conforming clients; answer 409 per the spec's error mapping)
+          if (str(r \ "uuid") != meta.stableUuid)
+            return err(s"requirement failed: table uuid is " +
+              s"${meta.stableUuid}, client expected ${str(r \ "uuid")}", 409)
         case JString(t) => return err(s"unsupported requirement: $t", 400)
         case o => return err(s"bad requirement: $o", 400)
       }
@@ -306,11 +441,64 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         m.copy(refs = m.refs + (name -> id), currentSnapshotId = Some(id))
       else m.copy(refs = m.refs + (name -> id))
     }
-    try catalog.commit(meta, updated)
-    catch {
-      case _: CommitConflictException =>
-        return err("concurrent commit — reload and retry", 409)
+    Right((meta, updated))
+  }
+
+  /** `POST /v1/{prefix}/transactions/commit`: the spec MULTI-TABLE
+    * commit (CommitTransactionRequest). Every change validates against
+    * live state and builds its updated metadata BEFORE any table
+    * commits, and this server dispatches requests on a single thread, so
+    * versus other REST writers the transaction is atomic by
+    * construction. A racing NATIVE graft commit can still CAS-fail one
+    * table mid-apply; the already-applied tables are then rolled back
+    * with compensating commits and the whole transaction answers 409 —
+    * the honest contract of a catalog whose CAS is per-table (readers
+    * can observe the intermediate state inside that rollback window). */
+  private def commitTransaction(body: String): (Int, String) = {
+    val req = JsonMethods.parse(body)
+    val changes = (req \ "table-changes") match {
+      case JArray(xs) if xs.nonEmpty => xs
+      case JArray(_) => return err("empty transaction", 400)
+      case o => return err(s"bad table-changes: $o", 400)
     }
-    loadTableResult(table)
+    val named: List[(String, JValue)] = changes.map { c =>
+      val ident = c \ "identifier"
+      (ident \ "namespace") match {
+        case JArray(List(JString(ns))) if ns == namespace => ()
+        case other => return err(s"unknown namespace in transaction: $other", 400)
+      }
+      str(ident \ "name") -> c
+    }
+    named.groupBy(_._1).collectFirst { case (t, cs) if cs.size > 1 => t }
+      .foreach(t => return err(
+        s"table $t appears twice in one transaction — merge its changes", 400))
+    named.collectFirst { case (t, _) if !catalog.tableExists(t) => t }
+      .foreach(t => return err(s"table $t not found", 404))
+    // ---- phase 1: validate + build EVERY change before committing ANY
+    val builds: List[(String, TableMetadata, TableMetadata)] = named.map {
+      case (t, c) => buildCommit(t, c) match {
+        case Left(e) => return e
+        case Right((base, updated)) => (t, base, updated)
+      }
+    }
+    // ---- phase 2: apply; roll back on a mid-apply CAS loss
+    var applied: List[(String, TableMetadata, TableMetadata)] = Nil
+    builds.foreach { case (t, base, updated) =>
+      try applied ::= ((t, base, catalog.commit(base, updated)))
+      catch {
+        case _: CommitConflictException =>
+          applied.foreach { case (rt, pre, committed) =>
+            val live = catalog.loadTable(rt)
+            // compensate only when OUR commit is still the head — if a
+            // native writer already built on top, its state wins
+            if (live.version == committed.version)
+              try catalog.commit(live, pre)
+              catch { case _: CommitConflictException => () }
+          }
+          return err(s"concurrent commit on $t — transaction rolled back, " +
+            "reload and retry", 409)
+      }
+    }
+    204 -> ""
   }
 }

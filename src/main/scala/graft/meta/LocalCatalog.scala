@@ -88,7 +88,8 @@ final class LocalCatalog(val warehouse: String,
     require(!tableExists(meta.name), s"table ${meta.name} already exists")
     MetaIO.mkdirs(metaDir(meta.name))
     MetaIO.mkdirs(dataDir(meta.name))
-    val m = meta.copy(version = 1, location = tableLocation(meta.name))
+    val m = TableMetadata.withStableUuid(
+      meta.copy(version = 1, location = tableLocation(meta.name)))
     writeVersion(m)
     cachePut(m.name, 1, m)
   }

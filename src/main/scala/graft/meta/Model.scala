@@ -354,6 +354,16 @@ final case class TableMetadata(
     * reserved table property; every stats consumer (file skipping,
     * metadata aggregates, range pruning, stats export) skips these names.
     * Partition columns never enter (rename/drop of them is rejected). */
+  /** The stable Iceberg `table-uuid` this table exports and serves
+    * ([[TableMetadata.UuidKey]], stamped at create/import time). Tables
+    * persisted before the key existed fall back to a DETERMINISTIC
+    * location-derived uuid, so their exports stay version-stable too. */
+  def stableUuid: String =
+    properties.getOrElse(TableMetadata.UuidKey,
+      java.util.UUID.nameUUIDFromBytes(
+        ("graft-table:" + location).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .toString)
+
   def statsRetiredNames: Set[String] =
     properties.get(TableMetadata.StatsRetiredKey)
       .map(_.split('\u001F').iterator.filter(_.nonEmpty).toSet)
@@ -422,6 +432,22 @@ object TableMetadata {
   /** Reserved table property holding the retired stats names
     * (unit-separator-joined; see [[TableMetadata.statsRetiredNames]]). */
   val StatsRetiredKey = "graft.stats.retired-names"
+
+  /** Reserved table property holding the table's STABLE uuid — the
+    * Iceberg `table-uuid` the spec requires to be immutable for the
+    * table's whole life (clients validate it on every refresh, and
+    * `assert-table-uuid` commit requirements compare against it).
+    * Stamped once at [[Catalog.createTable]] time; an Iceberg import
+    * carries the FOREIGN table's uuid here so re-export/serve/refresh
+    * all agree on the same identity. */
+  val UuidKey = "graft.table-uuid"
+
+  /** Stamps a fresh uuid under [[UuidKey]] unless one is already present
+    * (imports arrive with the source table's uuid — keep it). */
+  def withStableUuid(meta: TableMetadata): TableMetadata =
+    if (meta.properties.contains(UuidKey)) meta
+    else meta.copy(properties = meta.properties +
+      (UuidKey -> java.util.UUID.randomUUID().toString))
 
   /** Summary keys auto-computed per snapshot; never copied forward when
     * preserving custom snapshot properties (mod.rs:1187-1224). */

@@ -171,7 +171,8 @@ object RestCatalog {
 
     override def createTable(meta: TableMetadata): TableMetadata = {
       val resp = send(req("/v1/tables")
-        .POST(HttpRequest.BodyPublishers.ofString(MetadataJson.write(meta))).build())
+        .POST(HttpRequest.BodyPublishers.ofString(
+          MetadataJson.write(TableMetadata.withStableUuid(meta)))).build())
       require(resp.statusCode == 201, s"createTable ${meta.name} failed: ${resp.body}")
       MetadataJson.read(resp.body)
     }

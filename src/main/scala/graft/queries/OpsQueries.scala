@@ -720,6 +720,72 @@ object OpsQueries {
       } finally srv.stop()
     }),
 
+    // REST TABLE LIFECYCLE as an oracle-checked query: a spec client
+    // CREATES a table in the graft catalog through the public REST
+    // catalog's CreateTableRequest (the schema/sort-order JSON is parsed
+    // by the same machinery as an attach), REST-appends the nation rows
+    // below the cut as a client-written parquet commit, the NATIVE engine
+    // appends the rest, and the MOR read over the REST-created table
+    // hash-matches DuckDB over the same slices. In-query requires pin the
+    // created schema/sort/properties and that DELETE removes the table —
+    // the full switch-engines lifecycle (create, write both ways, drop)
+    // in one oracle.
+    "q_rest_create" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, IcebergRestCommit, IcebergRestServe,
+        LocalCatalog, SortField}
+      val cat = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-rest-create").toString)
+      val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+      try {
+        val http = java.net.http.HttpClient.newHttpClient()
+        def post(path: String, body: String) =
+          http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"${srv.uri}$path"))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+        val created = post("/v1/p/namespaces/wh/tables",
+          """{"name": "t_created",
+            |  "schema": {"type": "struct", "fields": [
+            |    {"id": 1, "name": "n_nationkey", "required": true, "type": "int"},
+            |    {"id": 2, "name": "n_name", "required": false, "type": "string"}]},
+            |  "write-order": {"fields": [
+            |    {"transform": "identity", "source-id": 1,
+            |     "direction": "asc", "null-order": "nulls-first"}]},
+            |  "properties": {"owner": "rest-client"}}""".stripMargin)
+        require(created.statusCode() == 200,
+          s"REST create failed: ${created.statusCode()} ${created.body()}")
+        val meta = cat.loadTable("t_created")
+        require(meta.schema.map(_.name) == Seq("n_nationkey", "n_name") &&
+          meta.sortOrder == Seq(SortField("n_nationkey")) &&
+          meta.properties.get("owner").contains("rest-client"),
+          s"REST create mapped the request wrong: $meta")
+
+        val base = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        // the spec client writes the LOW slice through the commit endpoint
+        val staging = java.nio.file.Files.createTempDirectory("q-rest-create-st").toString
+        val (p1, sz1, n1, _) = graft.testkit.FileGenerator.writeSingleParquet(
+          s, IceWrite.withFieldIds(base.filter(col("n_nationkey") < 13), meta.schema),
+          java.nio.file.Paths.get(staging, "low.parquet"))
+        IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "t_created",
+          Seq(IcebergRestCommit.AddedFile(p1, sz1, n1)), staging)
+        // the native engine writes the HIGH slice
+        IceWrite.append(s, cat, "t_created", base.filter(col("n_nationkey") >= 13))
+        // materialize BEFORE the drop below deletes the table's files
+        val rows = IceRead.table(s, cat, "t_created").collect().toSeq
+          .map(r => (r.getInt(0), r.getString(1)))
+
+        // DROP over REST removes the table from every route
+        val del = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/t_created"))
+          .DELETE().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(del.statusCode() == 204 && !cat.tableExists("t_created"),
+          s"REST drop failed: ${del.statusCode()}")
+        import s.implicits._
+        rows.toDF("n_nationkey", "n_name")
+      } finally srv.stop()
+    }),
+
     // NDV STATISTICS INTEROP as an oracle-checked query: nation lands in
     // a graft table, per-column theta sketches ride the Iceberg export as
     // Puffin apache-datasketches-theta-v1 blobs (the statistics list
@@ -3320,6 +3386,9 @@ object OpsQueries {
         |UNION ALL
         |SELECT s_suppkey + 1000000 AS s_suppkey, s_name FROM supplier
         |WHERE s_suppkey % 5 = 0""".stripMargin,
+
+    "q_rest_create" ->
+      "SELECT n_nationkey, n_name FROM nation",
 
     "q_ndv_stats" ->
       """SELECT 'n_name' AS col_name, CAST(count(DISTINCT n_name) AS BIGINT) AS ndv FROM nation

@@ -546,6 +546,17 @@ class IcebergImportSpec extends AnyFunSuite {
       MetaIO.readString(exported))
     val back2 = IcebergImport.importIcebergMetadata(dst, "t_hb2", dir2)
     assert(back2.currentSnapshotId == back.currentSnapshotId)
+    // no hint + UNPADDED HadoopCatalog names: v10 must beat v9
+    // NUMERICALLY ("v10" < "v9" lexicographically — a 10+-version table
+    // would silently attach a stale snapshot history otherwise)
+    val dir3 = Files.createTempDirectory("ice-hint10").toString
+    MetaIO.mkdirs(MetaIO.join(dir3, "metadata"))
+    MetaIO.writeString(MetaIO.join(dir3, "metadata", "v9.metadata.json"),
+      """{"format-version": 4}""") // stale: lexicographically LAST
+    MetaIO.writeString(MetaIO.join(dir3, "metadata", "v10.metadata.json"),
+      MetaIO.readString(exported))
+    val back3 = IcebergImport.importIcebergMetadata(dst, "t_hb3", dir3)
+    assert(back3.currentSnapshotId == back.currentSnapshotId)
     // a directory with no metadata at all refuses with a clear error
     val e = intercept[IllegalArgumentException](IcebergImport.importIcebergMetadata(
       dst, "t_none", Files.createTempDirectory("ice-hint3").toString))

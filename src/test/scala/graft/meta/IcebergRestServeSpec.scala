@@ -200,6 +200,13 @@ class IcebergRestServeSpec extends AnyFunSuite {
       assert(after.snapshots.size == 3, "both commits must land as snapshots")
       assert(IceRead.table(spark, cat, "race").count() == 30L,
         "no rows lost or duplicated under the race")
+      // LOSING attempts' staged avros are deleted on retry (nothing
+      // references them, and no orphan sweep visits a foreign staging
+      // dir) — exactly one manifest + one list per SUCCESSFUL commit
+      // remains however many 409 rounds the race took
+      val avros = MetaIO.listFiles(staging).map(_._1).filter(_.endsWith(".avro"))
+      assert(avros.size == 4,
+        s"staging must hold the 2 winning attempts' manifest+list pairs only: $avros")
     } finally srv.stop()
   }
 
@@ -334,6 +341,297 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("multi-table transaction commits all-or-nothing") {
+    val inner = freshCatalog()
+    // a decorator that fails ONE commit on demand — simulating a racing
+    // NATIVE writer CAS-beating the transaction mid-apply
+    @volatile var failOnce: Option[String] = None
+    val cat: Catalog = new Catalog {
+      def createTable(meta: TableMetadata) = inner.createTable(meta)
+      def loadTable(name: String) = inner.loadTable(name)
+      def tableExists(name: String) = inner.tableExists(name)
+      def commit(base: TableMetadata, updated: TableMetadata) = {
+        if (failOnce.contains(updated.name)) {
+          failOnce = None
+          throw new CommitConflictException(s"simulated native race on ${updated.name}")
+        }
+        inner.commit(base, updated)
+      }
+      def dropTable(name: String) = inner.dropTable(name)
+      def listTables = inner.listTables
+      def tableLocation(name: String) = inner.tableLocation(name)
+      def dataDir(name: String) = inner.dataDir(name)
+    }
+    IceWrite.create(spark, cat, "t1", Seq((1L, "a")).toDF("id", "v"))
+    IceWrite.create(spark, cat, "t2", Seq((2L, "b")).toDF("id", "v"))
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def txn(body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(
+          URI.create(s"${srv.uri}/v1/p/transactions/commit"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def change(t: String, k: String, v: String, reqs: String = "[]") =
+        s"""{"identifier": {"namespace": ["wh"], "name": "$t"},
+           |"requirements": $reqs,
+           |"updates": [{"action": "set-properties", "updates": {"$k": "$v"}}]}"""
+          .stripMargin
+      def prop(t: String, k: String) = cat.loadTable(t).properties.get(k)
+
+      // both changes land atomically
+      val ok = txn(s"""{"table-changes": [${change("t1", "stage", "gold")},
+        ${change("t2", "stage", "gold")}]}""")
+      assert(ok.statusCode() == 204, ok.body())
+      assert(prop("t1", "stage").contains("gold") && prop("t2", "stage").contains("gold"))
+
+      // a failing requirement on the SECOND change leaves the FIRST
+      // unapplied: validate-all strictly precedes apply-any
+      val headT2 = cat.loadTable("t2").currentSnapshotId.get
+      val stale = s"""[{"type": "assert-ref-snapshot-id", "ref": "main",
+        "snapshot-id": ${headT2 + 999}}]""".replace("\n", " ")
+      val bad = txn(s"""{"table-changes": [${change("t1", "round", "2")},
+        ${change("t2", "round", "2", stale)}]}""")
+      assert(bad.statusCode() == 409, bad.body())
+      assert(prop("t1", "round").isEmpty && prop("t2", "round").isEmpty)
+
+      // a mid-apply CAS loss on t2 rolls the already-applied t1 BACK
+      failOnce = Some("t2")
+      val raced = txn(s"""{"table-changes": [${change("t1", "round", "3")},
+        ${change("t2", "round", "3")}]}""")
+      assert(raced.statusCode() == 409, raced.body())
+      assert(prop("t1", "round").isEmpty, "applied change must compensate-rollback")
+      assert(prop("t2", "round").isEmpty)
+      // ...and the spec retry (reload + resend) then succeeds cleanly
+      val retry = txn(s"""{"table-changes": [${change("t1", "round", "4")},
+        ${change("t2", "round", "4")}]}""")
+      assert(retry.statusCode() == 204, retry.body())
+      assert(prop("t1", "round").contains("4") && prop("t2", "round").contains("4"))
+
+      // shape refusals: empty, duplicate table, unknown table
+      assert(txn("""{"table-changes": []}""").statusCode() == 400)
+      assert(txn(s"""{"table-changes": [${change("t1", "x", "1")},
+        ${change("t1", "y", "2")}]}""").statusCode() == 400)
+      assert(txn(s"""{"table-changes": [${change("nope", "x", "1")}]}""")
+        .statusCode() == 404)
+    } finally srv.stop()
+  }
+
+  test("table lifecycle over REST: create, write both ways, register, drop") {
+    val cat = freshCatalog()
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def post(path: String, body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      // ---- CREATE: the spec CreateTableRequest — schema, partition
+      // spec, write order and properties all land in the graft table
+      val createReq =
+        """{"name": "events",
+          |  "schema": {"type": "struct", "fields": [
+          |    {"id": 1, "name": "id", "required": true, "type": "long"},
+          |    {"id": 2, "name": "day", "required": false, "type": "string"},
+          |    {"id": 3, "name": "payload", "required": false, "type": "string"}]},
+          |  "partition-spec": {"fields": [
+          |    {"name": "day", "transform": "identity", "source-id": 2, "field-id": 1000}]},
+          |  "write-order": {"fields": [
+          |    {"transform": "identity", "source-id": 1,
+          |     "direction": "asc", "null-order": "nulls-first"}]},
+          |  "properties": {"owner": "etl"}}""".stripMargin
+      val created = post("/v1/p/namespaces/wh/tables", createReq)
+      assert(created.statusCode() == 200, created.body())
+      val meta = cat.loadTable("events")
+      assert(meta.schema.map(_.name) == Seq("id", "day", "payload"))
+      assert(!meta.schema.head.nullable && meta.schema(1).nullable)
+      assert(meta.partitionSpec == Seq(PartitionField("day", "identity")))
+      assert(meta.sortOrder == Seq(SortField("id")))
+      assert(meta.properties.get("owner").contains("etl"))
+      // the served uuid is the created table's stable identity
+      assert((JsonMethods.parse(created.body()) \ "metadata" \ "table-uuid") ==
+        JString(meta.stableUuid))
+
+      // the REST-created table takes NATIVE writes...
+      IceWrite.append(spark, cat, "events",
+        Seq((1L, "d1", "a"), (2L, "d2", "b")).toDF("id", "day", "payload"))
+      // ...and spec-client commits, partition values included
+      val staging = Files.createTempDirectory("rest-create-stage").toString
+      val (p1, sz1, n1, _) = graft.testkit.FileGenerator.writeSingleParquet(
+        spark, IceWrite.withFieldIds(
+          Seq((3L, "d3", "c")).toDF("id", "day", "payload"), meta.schema),
+        java.nio.file.Paths.get(staging, "add.parquet"))
+      IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "events",
+        Seq(IcebergRestCommit.AddedFile(p1, sz1, n1, Map("day" -> "d3"))), staging)
+      val rows = IceRead.table(spark, cat, "events")
+      assert(rows.count() == 3L)
+      assert(rows.filter(col("day") === "d3").count() == 1L)
+
+      // duplicate create: the spec's AlreadyExists
+      assert(post("/v1/p/namespaces/wh/tables", createReq).statusCode() == 409)
+      // stage-create is refused loudly, not silently ignored
+      val staged = post("/v1/p/namespaces/wh/tables",
+        createReq.replace("\"name\": \"events\"",
+          "\"name\": \"staged\", \"stage-create\": true"))
+      assert(staged.statusCode() == 400 && staged.body().contains("stage-create"))
+      // an unconvertible partition transform refuses with the SAME
+      // message an attach would produce (shared import machinery)
+      val badSpec = post("/v1/p/namespaces/wh/tables",
+        createReq.replace("\"events\"", "\"bad\"")
+          .replace("\"identity\", \"source-id\": 2", "\"void\", \"source-id\": 2"))
+      assert(badSpec.statusCode() == 400 &&
+        badSpec.body().contains("unsupported partition transform"), badSpec.body())
+      assert(!cat.tableExists("bad"), "a refused create must leave nothing behind")
+
+      // ---- REGISTER: adopt an exported *.metadata.json in place
+      val other = freshCatalog()
+      IceWrite.create(spark, other, "src",
+        (1L to 7L).map(i => (i, s"n$i")).toDF("a", "b"))
+      val exported = IcebergExport.exportIcebergMetadata(other, "src")
+      val reg = post("/v1/p/namespaces/wh/register",
+        s"""{"name": "adopted", "metadata-location": "$exported"}""")
+      assert(reg.statusCode() == 200, reg.body())
+      assert(IceRead.table(spark, cat, "adopted").count() == 7L)
+      assert(post("/v1/p/namespaces/wh/register",
+        s"""{"name": "adopted", "metadata-location": "$exported"}""")
+        .statusCode() == 409)
+
+      // ---- namespace create: single-namespace catalog answers honestly
+      assert(post("/v1/p/namespaces", """{"namespace": ["wh"]}""").statusCode() == 409)
+      assert(post("/v1/p/namespaces", """{"namespace": ["other"]}""").statusCode() == 400)
+
+      // ---- DROP: table gone from catalog and every read route
+      val del = http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/events")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 204)
+      assert(!cat.tableExists("events"))
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh/tables/events").statusCode() == 404)
+      val del2 = http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/events")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del2.statusCode() == 404, "double drop must 404, not crash")
+
+      // the endpoint capability list advertises the lifecycle routes
+      val cfg = get(s"${srv.uri}/v1/config").body()
+      assert(cfg.contains("POST /v1/{prefix}/namespaces/{namespace}/tables\"") &&
+        cfg.contains("/register") && cfg.contains("DELETE /v1/{prefix}"))
+    } finally srv.stop()
+  }
+
+  test("REST commit client labels manifests with the catalog's default spec id") {
+    // a FOREIGN catalog whose table evolved its partition spec: spec 0 is
+    // the retired layout, default-spec-id is 1. The client writes
+    // manifests against the default spec and must LABEL them so — a
+    // partition_spec_id of 0 would make conforming readers decode the
+    // partition struct with the wrong spec's fields. Graft's own serve
+    // always exports default-spec-id 0, so this needs a stub spec server.
+    val staging = Files.createTempDirectory("rest-specid").toString
+    val loadBody =
+      s"""{"metadata": {
+         |  "format-version": 2,
+         |  "table-uuid": "11111111-2222-3333-4444-555555555555",
+         |  "location": "$staging",
+         |  "last-sequence-number": 5,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "required": false, "type": "long"},
+         |    {"id": 2, "name": "name", "required": false, "type": "string"}]}],
+         |  "default-spec-id": 1,
+         |  "partition-specs": [
+         |    {"spec-id": 0, "fields": []},
+         |    {"spec-id": 1, "fields": [
+         |      {"name": "id", "transform": "identity", "source-id": 1, "field-id": 1001}]}],
+         |  "current-snapshot-id": -1,
+         |  "snapshots": []
+         |}}""".stripMargin
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var posted: String = null
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body =
+        if (ex.getRequestMethod == "POST") {
+          posted = new String(ex.getRequestBody.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          "{}"
+        } else loadBody
+      val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    })
+    srv.start()
+    try {
+      val snapId = IcebergRestCommit.appendFiles(
+        s"http://127.0.0.1:${srv.getAddress.getPort}", Seq("wh"), "evolved",
+        Seq(IcebergRestCommit.AddedFile(
+          MetaIO.join(staging, "f.parquet"), 10L, 3L, Map("id" -> "7"))),
+        staging, prefix = Some(""))
+      assert(snapId == 1L && posted != null)
+      val mPath = MetaIO.listFiles(staging).map(_._1)
+        .find(p => p.contains("-m0") && p.endsWith(".avro")).get
+      val (_, mMeta) = IcebergExport.readAvro(mPath)
+      assert(mMeta.get("partition-spec-id").contains("1"),
+        s"manifest must carry the DEFAULT spec id: $mMeta")
+      val listPath = MetaIO.listFiles(staging).map(_._1)
+        .find(p => p.contains("client-snap-") && p.endsWith(".avro")).get
+      val (entries, _) = IcebergExport.readAvro(listPath)
+      assert(entries.size == 1 &&
+        entries.head.get("partition_spec_id").toString == "1",
+        "manifest-list entry must carry the DEFAULT spec id")
+    } finally srv.stop(0)
+  }
+
+  test("table-uuid is stable across commits; a recreated source refuses refresh") {
+    val src = freshCatalog()
+    IceWrite.create(spark, src, "u", (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"))
+    val srv = new IcebergRestServe(src, namespace = "wh", prefix = "p")
+    try {
+      def servedUuid(): String =
+        (JsonMethods.parse(get(s"${srv.uri}/v1/p/namespaces/wh/tables/u").body()) \
+            "metadata" \ "table-uuid") match {
+          case JString(x) => x
+          case o => fail(s"no table-uuid in served metadata: $o")
+        }
+      // the spec requires table-uuid IMMUTABLE for the table's life —
+      // conforming clients (Iceberg Java/Rust) validate it on every
+      // refresh and hard-fail on a change, so a per-export uuid would
+      // break any client that loads, sees a commit land, and reloads
+      val u0 = servedUuid()
+      IceWrite.append(spark, src, "u", Seq((100L, "x")).toDF("id", "name"))
+      assert(servedUuid() == u0, "graft-side commit must not change table-uuid")
+      val staging = Files.createTempDirectory("rest-uuid-stage").toString
+      val (p1, sz1, n1, _) = graft.testkit.FileGenerator.writeSingleParquet(
+        spark, IceWrite.withFieldIds(Seq((200L, "y")).toDF("id", "name"),
+          src.loadTable("u").schema),
+        java.nio.file.Paths.get(staging, "add.parquet"))
+      IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "u",
+        Seq(IcebergRestCommit.AddedFile(p1, sz1, n1)), staging)
+      assert(servedUuid() == u0, "a REST client's own commit must not change table-uuid")
+
+      // a follower attaches, then the source is DROPPED AND RECREATED
+      // under the same name. Graft snapshot ids are sequential from 1, so
+      // the recreated table's ids COLLIDE with the attached history — the
+      // head-still-exists continuity check alone cannot see the swap; the
+      // uuid identity guard must refuse instead of silently replacing the
+      // follower with an unrelated table's rows
+      val dst = freshCatalog()
+      IcebergRestImport.importTable(dst, "uf", srv.uri, Seq("wh"), "u")
+      val headAtAttach = dst.loadTable("uf").currentSnapshotId.get
+      src.dropTable("u")
+      IceWrite.create(spark, src, "u", (1L to 5L).map(i => (i, s"other$i")).toDF("id", "name"))
+      (1 to headAtAttach.toInt).foreach(i =>
+        IceWrite.append(spark, src, "u", Seq((1000L + i, "z")).toDF("id", "name")))
+      assert(src.loadTable("u").snapshots.exists(_.snapshotId == headAtAttach),
+        "fixture: the recreated table must reuse the attached head's snapshot id")
+      val e = intercept[IllegalArgumentException](
+        IcebergRestImport.refreshTable(dst, "uf"))
+      assert(e.getMessage.contains("table-uuid"), e.getMessage)
+      // the follower's rows are untouched by the refused refresh
+      assert(IceRead.table(spark, dst, "uf").count() == 12L)
+    } finally srv.stop()
+  }
+
   test("listing endpoints, auth, write refusal, v3 served faithfully") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "t1", (1L to 5L).map(i => (i, i)).toDF("a", "b"))
@@ -360,12 +658,20 @@ class IcebergRestServeSpec extends AnyFunSuite {
       assert(get(s"${srv.uri}/v1/graft/namespaces/graft/tables/nosuch", tok)
         .statusCode() == 404)
 
-      // writes refuse with 405 (read-only surface)
+      // a malformed CreateTableRequest answers 400 with the reason...
       val post = HttpRequest.newBuilder(
         URI.create(s"${srv.uri}/v1/graft/namespaces/graft/tables"))
         .header("Authorization", "Bearer s3cret")
         .POST(HttpRequest.BodyPublishers.ofString("{}")).build()
-      assert(http.send(post, HttpResponse.BodyHandlers.ofString()).statusCode() == 405)
+      val malformed = http.send(post, HttpResponse.BodyHandlers.ofString())
+      assert(malformed.statusCode() == 400 &&
+        malformed.body().contains("CreateTableRequest"), malformed.body())
+      // ...and genuinely unsupported mutations (rename) still refuse 405
+      val rename = HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/graft/tables/rename"))
+        .header("Authorization", "Bearer s3cret")
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build()
+      assert(http.send(rename, HttpResponse.BodyHandlers.ofString()).statusCode() == 405)
 
       // v3 DV table: served as a format-version 3 LoadTableResult, and a
       // spec client (our import) attaches it with MOR semantics intact
