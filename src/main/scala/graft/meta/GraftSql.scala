@@ -404,6 +404,14 @@ object GraftSql {
       val table = parts.head
       require(cat.tableExists(table),
         s"table $catName.$table does not exist in the registered catalog")
+      if (Views.isView(cat.loadTable(table))) {
+        // a VIEW substitutes the analyzed plan of its stored SQL — filter
+        // pushdown / pruning flow through exactly as for its definition.
+        // Metadata suffixes address physical table state views don't have.
+        require(parts.lengthCompare(1) == 0,
+          s"$catName.$table is a view — metadata/branch suffixes apply to tables")
+        return Views.plan(spark, cat, catName, table)
+      }
       val df = parts.drop(1) match {
         case Seq() => IceRead.table(spark, cat, table)
         case Seq(sub) => sub match {
@@ -684,6 +692,8 @@ object GraftSql {
         throw new IllegalStateException(s"graft catalog $catalogName vanished between " +
           "analysis and execution"))
       val meta = cat.loadTable(table)
+      require(!Views.isView(meta),
+        s"$catalogName.$table is a VIEW — INSERT targets tables")
       val target: Seq[(String, Option[DataType], Boolean, Option[String])] =
         if (meta.schema.nonEmpty)
           meta.schema.map(f =>
@@ -760,6 +770,15 @@ object GraftSql {
     }
   }
 
+  /** Writes refuse views loudly — a view entry has no data files, so DML
+    * against one would otherwise treat it as an empty table and
+    * "succeed" silently. */
+  private def refuseView(cat: Catalog, catName: String, table: String,
+      verb: String): Unit =
+    if (cat.tableExists(table) && Views.isView(cat.loadTable(table)))
+      throw new IllegalArgumentException(
+        s"$catName.$table is a VIEW — $verb targets tables")
+
   private def catalogOrDie(spark: SparkSession, name: String): Catalog =
     resolve(spark, name).getOrElse(throw new IllegalStateException(
       s"graft catalog $name vanished between analysis and execution"))
@@ -790,6 +809,7 @@ object GraftSql {
       condition: Column) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOrDie(spark, catalogName)
+      refuseView(cat, catalogName, table, "DELETE")
       IceWrite.deleteWhere(spark, cat, table, condition,
         branch = wapWriteBranch(spark, cat, table, s"DELETE FROM $catalogName.$table"))
       Seq.empty
@@ -802,6 +822,7 @@ object GraftSql {
       set: Map[String, Column], condition: Column) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOrDie(spark, catalogName)
+      refuseView(cat, catalogName, table, "UPDATE")
       val cols = columnsOf(spark, cat, table)
       val resolved = set.map { case (k, v) =>
         resolveColumn(spark, k, cols, s"UPDATE $catalogName.$table") -> v
@@ -824,6 +845,7 @@ object GraftSql {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOrDie(spark, catalogName)
+      refuseView(cat, catalogName, table, "MERGE INTO")
       val cols = columnsOf(spark, cat, table)
       def res(m: Map[String, Column]) = m.map { case (k, v) =>
         resolveColumn(spark, k, cols, s"MERGE INTO $catalogName.$table") -> v
@@ -872,6 +894,32 @@ object GraftSql {
     }
   }
 
+  /** `CREATE [OR REPLACE] VIEW cat.v AS <query>` -> [[Views.create]].
+    * The definition analyzes at RUN time (it may read graft relations),
+    * pinning the schema and appending a view VERSION. */
+  final case class CreateViewCommand(catalogName: String, view: String,
+      sql: String, orReplace: Boolean) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      Views.create(spark, cat, view, sql, orReplace = orReplace)
+      Seq.empty
+    }
+  }
+
+  /** `DROP VIEW [IF EXISTS] cat.v` -> [[Views.drop]] (refuses tables). */
+  final case class DropViewCommand(catalogName: String, view: String,
+      ifExists: Boolean) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      if (!cat.tableExists(view)) {
+        if (ifExists) return Seq.empty
+        throw new IllegalArgumentException(s"view $catalogName.$view does not exist")
+      }
+      Views.drop(cat, view)
+      Seq.empty
+    }
+  }
+
   /** `DROP TABLE [IF EXISTS] cat.t` -> `Catalog.dropTable`. */
   final case class DropCommand(catalogName: String, table: String,
       ifExists: Boolean) extends LeafRunnableCommand {
@@ -881,6 +929,7 @@ object GraftSql {
         if (ifExists) return Seq.empty
         throw new IllegalArgumentException(s"table $catalogName.$table does not exist")
       }
+      refuseView(cat, catalogName, table, "DROP TABLE (use DROP VIEW)")
       cat.dropTable(table)
       Seq.empty
     }
@@ -893,6 +942,7 @@ object GraftSql {
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOrDie(spark, catalogName)
+      refuseView(cat, catalogName, table, "TRUNCATE")
       val meta = cat.loadTable(table)
       // TRUNCATE is a full replace with no branch form: refuse WAP confs
       // loudly rather than silently publishing a destructive op
@@ -959,6 +1009,7 @@ object GraftSql {
       op: AlterOp) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOrDie(spark, catalogName)
+      refuseView(cat, catalogName, table, "ALTER TABLE")
       def res(n: String) = resolveColumn(spark, n,
         columnsOf(spark, cat, table), s"ALTER TABLE $catalogName.$table")
       op match {
@@ -1120,6 +1171,9 @@ object GraftSql {
       override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val meta = catalogOrDie(spark, catalogName).loadTable(table)
+      if (Views.isView(meta))
+        return Seq(Row(s"CREATE VIEW $catalogName.$table AS\n" +
+          meta.properties(Views.SqlKey)))
       require(meta.schema.nonEmpty && meta.schema.forall(_.isTyped),
         s"SHOW CREATE TABLE $catalogName.$table: untyped legacy table has no DDL form")
       val cols = meta.schema.map { f =>
@@ -1231,6 +1285,10 @@ object GraftSql {
         AttributeReference("table_name", StringType)(),
         AttributeReference("snapshot_id", LongType)(),
         AttributeReference("data_files", LongType)())
+      case "attach_iceberg_view" | "attach_iceberg_rest_view" => Seq(
+        AttributeReference("view_name", StringType)(),
+        AttributeReference("current_version_id", LongType)(),
+        AttributeReference("versions", LongType)())
       case "refresh_iceberg_rest" => Seq(
         AttributeReference("table_name", StringType)(),
         AttributeReference("refreshed", BooleanType)(),
@@ -1243,7 +1301,8 @@ object GraftSql {
           "rewrite_data_files, rewrite_position_delete_files, expire_snapshots, " +
           "remove_orphan_files, rollback_to_snapshot, cherrypick_snapshot, " +
           "set_current_snapshot, fast_forward, attach_iceberg, attach_iceberg_rest, " +
-          "refresh_iceberg_rest, create_changelog_view)")
+          "attach_iceberg_view, attach_iceberg_rest_view, refresh_iceberg_rest, " +
+          "create_changelog_view)")
     }
 
     private def named(name: String): Option[Any] =
@@ -1356,6 +1415,27 @@ object GraftSql {
           Seq(Row(table, m.currentSnapshotId.getOrElse(-1L),
             m.currentSnapshot.map(_.manifest.count(_.content == FileContent.Data).toLong)
               .getOrElse(0L)))
+        case "attach_iceberg_view" => // (view, view_metadata_json_path)
+          val path = named("metadata_location").map(_.toString)
+            .orElse(args.collect { case (None, v) => v }.drop(1).headOption.map(_.toString))
+            .getOrElse(throw new IllegalArgumentException(
+              "attach_iceberg_view: pass (view, view_metadata_json_path)"))
+          val m = IcebergImport.importIcebergViewMetadata(cat, table, path)
+          Seq(Row(table, m.properties(Views.CurrentVersionKey).toLong,
+            Views.versions(m).size.toLong))
+        case "attach_iceberg_rest_view" => // (view, uri, namespace, source_view)
+          val pos = args.collect { case (None, v) => v }.drop(1).map(_.toString)
+          def argOf(n: String, i: Int) = named(n).map(_.toString)
+            .orElse(pos.drop(i).headOption).getOrElse(throw new IllegalArgumentException(
+              "attach_iceberg_rest_view: pass (view, uri, namespace, source_view " +
+                "[, token => '...'])"))
+          val m = IcebergRestImport.importView(cat, table,
+            uri = argOf("uri", 0),
+            namespace = argOf("namespace", 1).split('.').toSeq,
+            view = argOf("source_view", 2),
+            authToken = named("token").map(_.toString))
+          Seq(Row(table, m.properties(Views.CurrentVersionKey).toLong,
+            Views.versions(m).size.toLong))
         case "refresh_iceberg_rest" => // (table [, token => '...'])
           // re-sync a REST-attached table with its source (provenance in
           // attach.* properties); a fresh source is a no-op probe

@@ -16,6 +16,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * ALTER TABLE cat.t REPLACE PARTITION FIELD bucket(2, id) WITH bucket(4, id)
   * ALTER TABLE cat.t WRITE ORDERED BY category ASC NULLS LAST, id DESC
   * ALTER TABLE cat.t WRITE UNORDERED
+  * CREATE [OR REPLACE] VIEW cat.v AS SELECT ...   -- catalog views ([[Views]])
+  * DROP VIEW [IF EXISTS] cat.v
   * }}}
   *
   * Statements whose target catalog is NOT registered with [[GraftSql]]
@@ -64,6 +66,12 @@ object GraftSqlParser {
       """(IF\s+NOT\s+EXISTS\s+)?(\S+?)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+(BRANCH|TAG)\s+(IF\s+EXISTS\s+)?(\S+?)\s*;?\s*$""".r
+  // catalog VIEWS: only when the target catalog is registered — session
+  // (TEMPORARY) views never match this shape and keep Spark's grammar
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\S+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val DropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\S+?)\s*;?\s*$""".r
 
   /** Some(plan) when the statement is extension grammar targeting a
     * registered graft catalog; None delegates to Spark's parser. */
@@ -94,6 +102,13 @@ object GraftSqlParser {
         case (cat, t) => AlterCommand(cat, t, AlterOp.DropRef(
           strip(ref), isBranch = kind.equalsIgnoreCase("BRANCH"),
           ifExists = ifExists != null))
+      }
+      case CreateViewRe(orReplace, ident, query) => target(spark, ident).map {
+        case (cat, v) =>
+          GraftSql.CreateViewCommand(cat, v, query.trim, orReplace != null)
+      }
+      case DropViewRe(ifExists, ident) => target(spark, ident).map {
+        case (cat, v) => GraftSql.DropViewCommand(cat, v, ifExists != null)
       }
       case _ => None
     }

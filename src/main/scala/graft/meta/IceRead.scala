@@ -29,6 +29,11 @@ object IceRead {
 
   def table(spark: SparkSession, catalog: Catalog, name: String, branch: String = "main"): DataFrame = {
     val meta = catalog.loadTable(name)
+    // a VIEW entry has no files: reading it as a table would silently
+    // return an empty frame — refuse and point at the right door
+    require(!Views.isView(meta),
+      s"$name is a VIEW — query it through GraftSql (SELECT FROM <cat>.$name) " +
+        "or substitute Views.plan")
     val snap = resolveSnapshot(meta, name, branch)
     ofSnapshot(spark, meta, snap)
   }

@@ -569,6 +569,8 @@ object IcebergExport {
         * cardinalities from exactly there. */
       ndvSketches: Map[String, ThetaSketch] = Map.empty): String = {
     val fullMeta = catalog.loadTable(name)
+    require(!Views.isView(fullMeta),
+      s"exportIcebergMetadata: $name is a VIEW — use exportIcebergViewMetadata")
     // format-v3-featured tables export AS format-version 3 (DV manifest
     // entries, per-file first_row_id, next-row-id, schema defaults);
     // `allowV3` remains the explicit DOWNGRADE mode (v2 wire, DV history
@@ -867,6 +869,52 @@ object IcebergExport {
       if (fv >= 3) metadataJ ~ ("next-row-id" -> meta.nextRowId) else metadataJ
     val jsonPath = MetaIO.join(dir, s"00000-$uuid.metadata.json")
     MetaIO.writeString(jsonPath, JsonMethods.pretty(JsonMethods.render(metadataJV)))
+    jsonPath
+  }
+
+  /** Exports a graft VIEW ([[Views]]) as public **Iceberg view spec**
+    * format-version 1 view-metadata JSON: every stored version with its
+    * SQL representation and dialect, `current-version-id`, the
+    * `version-log`, and a stable `view-uuid`. One documented
+    * simplification: all versions reference the CURRENT schema (id 0) —
+    * graft pins a view's schema only for the live version, and the spec
+    * resolves reads through the current version alone.
+    * `graft.view.*` bookkeeping keys stay out of the exported properties
+    * (they are redundantly encoded as the versions list itself). */
+  def exportIcebergViewMetadata(catalog: Catalog, name: String,
+      outDir: Option[String] = None,
+      /** the namespace the view's table references resolve in on the
+        * serving catalog — the spec's per-version `default-namespace`. */
+      defaultNamespace: String = "graft"): String = {
+    val meta = catalog.loadTable(name)
+    require(Views.isView(meta),
+      s"exportIcebergViewMetadata: $name is a table — use exportIcebergMetadata")
+    val dir = outDir.getOrElse(MetaIO.join(meta.location, "iceberg-metadata"))
+    MetaIO.mkdirs(dir)
+    val (schemaJV, _) = schemaJsonWithMax(meta, 2)
+    val vs = Views.versions(meta)
+    val dialect = meta.properties.getOrElse(Views.DialectKey, "spark")
+    val j: JValue =
+      ("view-uuid" -> meta.stableUuid) ~
+        ("format-version" -> 1) ~
+        ("location" -> meta.location) ~
+        ("current-schema-id" -> 0) ~
+        ("schemas" -> JArray(List(schemaJV))) ~
+        ("current-version-id" -> meta.properties(Views.CurrentVersionKey).toInt) ~
+        ("versions" -> vs.map { case (id, sql, ts) =>
+          (("version-id" -> id) ~ ("timestamp-ms" -> ts) ~
+            ("schema-id" -> 0) ~
+            ("summary" -> (("engine-name" -> "graft"): JValue)) ~
+            ("representations" -> List(
+              ("type" -> "sql") ~ ("sql" -> sql) ~ ("dialect" -> dialect))) ~
+            ("default-namespace" -> List(defaultNamespace))): JValue
+        }.toList) ~
+        ("version-log" -> vs.map { case (id, _, ts) =>
+          (("timestamp-ms" -> ts) ~ ("version-id" -> id)): JValue }.toList) ~
+        ("properties" -> meta.properties.filterNot(_._1.startsWith("graft.view.")))
+    val tag = java.util.UUID.randomUUID().toString
+    val jsonPath = MetaIO.join(dir, f"${meta.version}%05d-$tag.view-metadata.json")
+    MetaIO.writeString(jsonPath, JsonMethods.pretty(JsonMethods.render(j)))
     jsonPath
   }
 

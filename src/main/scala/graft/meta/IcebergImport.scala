@@ -202,6 +202,72 @@ object IcebergImport {
       j: JValue): TableMetadata =
     catalog.createTable(parseIcebergMetadataJson(name, j))
 
+  /** Imports an **Iceberg view spec** (format-version 1) view-metadata
+    * JSON as a graft VIEW ([[Views]]): every version's SQL + timestamp
+    * under the source's own version ids, the current version resolved,
+    * and the spec's `view-uuid` as the stable identity. For each version
+    * the `spark` dialect representation is preferred; a view whose
+    * current representation is another dialect still imports (the
+    * dialect is recorded), and fails with that dialect named only when
+    * READ. */
+  def importIcebergViewMetadata(catalog: Catalog, name: String,
+      metadataJsonPath: String): TableMetadata =
+    catalog.createTable(parseIcebergViewMetadataJson(name,
+      JsonMethods.parse(MetaIO.readString(metadataJsonPath))))
+
+  /** [[importIcebergViewMetadata]] over an already-parsed document —
+    * what a REST LoadViewResult embeds. */
+  def importIcebergViewMetadataJson(catalog: Catalog, name: String,
+      j: JValue): TableMetadata =
+    catalog.createTable(parseIcebergViewMetadataJson(name, j))
+
+  /** The pure parse half of [[importIcebergViewMetadata]]. */
+  def parseIcebergViewMetadataJson(name: String, j: JValue): TableMetadata = {
+    val fv = lng(j \ "format-version")
+    require(fv == 1,
+      s"importIcebergViewMetadata: view format-version $fv not supported (v1 only)")
+    val curId = lng(j \ "current-version-id").toInt
+    val versionsJ = arr(j \ "versions")
+    require(versionsJ.nonEmpty, "importIcebergViewMetadata: no versions")
+    val versions = versionsJ.map { v =>
+      val id = lng(v \ "version-id").toInt
+      val ts = (v \ "timestamp-ms") match { case JNothing | JNull => 0L; case x => lng(x) }
+      val reps = arr(v \ "representations").collect {
+        case r if (r \ "type") == JString("sql") =>
+          (str(r \ "sql"), (r \ "dialect") match { case JString(d) => d; case _ => "" })
+      }
+      require(reps.nonEmpty,
+        s"importIcebergViewMetadata: version $id carries no SQL representation")
+      val (sql, dialect) = reps.find(_._2.equalsIgnoreCase("spark")).getOrElse(reps.head)
+      (id, sql, ts, dialect)
+    }
+    val cur = versions.find(_._1 == curId).getOrElse(sys.error(
+      s"importIcebergViewMetadata: current-version-id $curId not in versions"))
+    // the CURRENT version's schema is what reads/DESCRIBE surface
+    val schemaId = versionsJ.find(v => lng(v \ "version-id") == curId)
+      .map(v => (v \ "schema-id") match { case JNothing | JNull => 0L; case x => lng(x) })
+      .getOrElse(0L)
+    val schema = arr(j \ "schemas").find(s => lng(s \ "schema-id") == schemaId)
+      .map(s => arr(s \ "fields").map { f =>
+        SchemaField(lng(f \ "id").toInt, str(f \ "name"), ddlOf(f \ "type"),
+          nullable = (f \ "required") != JBool(true))
+      }).getOrElse(Nil)
+    val foreignProps = (j \ "properties") match {
+      case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    TableMetadata(name, location = "", schema = schema,
+      properties = foreignProps ++
+        versions.flatMap { case (id, sql, ts, _) => Seq(
+          Views.versionSqlKey(id) -> sql, Views.versionTsKey(id) -> ts.toString) } ++
+        Map(Views.SqlKey -> cur._2, Views.DialectKey -> cur._4,
+          Views.CurrentVersionKey -> curId.toString) ++
+        ((j \ "view-uuid") match {
+          case JString(u) => Map(TableMetadata.UuidKey -> u)
+          case _ => Map.empty[String, String]
+        }))
+  }
+
   /** The pure parse half of the import: an Iceberg table-metadata
     * document to a graft [[TableMetadata]] (location unset — the catalog
     * assigns it at registration). Shared by first attach and

@@ -52,13 +52,16 @@ object IcebergRestImport {
     * which URL paths must not carry. Shared with [[IcebergRestCommit]] —
     * the read and write clients must address tables identically. */
   private[meta] def tableRoute(uri: String, prefix: String,
-      namespace: Seq[String], table: String): String = {
+      namespace: Seq[String], table: String,
+      /** "tables" or "views" — the two spec object kinds share the
+        * route shape. */
+      kind: String = "tables"): String = {
     require(namespace.nonEmpty, "Iceberg REST: empty namespace")
     def enc(s: String) = java.net.URLEncoder.encode(
       s, java.nio.charset.StandardCharsets.UTF_8).replace("+", "%20")
     val pfx = prefix match { case "" => ""; case p => s"/$p" }
     s"${uri.stripSuffix("/")}/v1$pfx/namespaces/" +
-      s"${enc(namespace.mkString("\u001f"))}/tables/${enc(table)}"
+      s"${enc(namespace.mkString("\u001f"))}/$kind/${enc(table)}"
   }
 
   private def loadResult(uri: String, namespace: Seq[String], table: String,
@@ -121,6 +124,32 @@ object IcebergRestImport {
     val parsed = IcebergImport.parseIcebergMetadataJson(name, metadata)
     catalog.createTable(parsed.copy(properties = parsed.properties ++
       provenance(uri, namespace, table, pfx, loc, parsed)))
+  }
+
+  /** Attaches a VIEW from a spec REST catalog: one GET of the
+    * LoadViewResult, parsed by
+    * [[IcebergImport.parseIcebergViewMetadataJson]] — versions, dialect,
+    * current schema and the stable view-uuid all carry over. Table
+    * references inside the view SQL resolve BY NAME on the reading
+    * engine (the same contract Iceberg views have): register the
+    * catalogs those names expect before reading. */
+  def importView(catalog: Catalog, name: String, uri: String,
+      namespace: Seq[String], view: String,
+      authToken: Option[String] = None,
+      prefix: Option[String] = None): TableMetadata = {
+    val pfx = prefix.getOrElse(resolvePrefix(uri, authToken))
+    val body = JsonMethods.parse(
+      get(tableRoute(uri, pfx, namespace, view, kind = "views"), authToken))
+    val metadata = body \ "metadata" match {
+      case JNothing | JNull =>
+        (body \ "metadata-location") match {
+          case JString(l) => JsonMethods.parse(MetaIO.readString(l))
+          case _ => sys.error(s"LoadViewResult for $view carries neither " +
+            "metadata nor metadata-location")
+        }
+      case m => m
+    }
+    IcebergImport.importIcebergViewMetadataJson(catalog, name, metadata)
   }
 
   /** What [[refreshTable]] did: `refreshed` is false when the source

@@ -80,13 +80,20 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       "error" -> (("message" -> msg) ~ ("type" -> "RESTException") ~ ("code" -> code))))
 
   private val tablesRoot = s"/v1/$prefix/namespaces/$namespace/tables"
+  private val viewsRoot = s"/v1/$prefix/namespaces/$namespace/views"
+
+  private def lastSegment(path: String, root: String): Option[String] =
+    Some(path.stripPrefix(s"$root/"))
+      .filter(t => path.startsWith(s"$root/") && t.nonEmpty && !t.contains("/"))
+      .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
 
   /** The decoded table name when `path` addresses a single table under
     * the served namespace (`.../tables/{t}`), else None. */
-  private def tableOf(path: String): Option[String] =
-    Some(path.stripPrefix(s"$tablesRoot/"))
-      .filter(t => path.startsWith(s"$tablesRoot/") && t.nonEmpty && !t.contains("/"))
-      .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
+  private def tableOf(path: String): Option[String] = lastSegment(path, tablesRoot)
+  private def viewOf(path: String): Option[String] = lastSegment(path, viewsRoot)
+
+  private def isViewEntry(name: String): Boolean =
+    catalog.tableExists(name) && Views.isView(catalog.loadTable(name))
 
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(),
@@ -101,11 +108,16 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         err("not authorized", 401)
       else if (method == "POST" && tableOf(path).nonEmpty) {
         val t = tableOf(path).get
-        if (!catalog.tableExists(t)) err(s"table $t not found", 404)
+        // view entries are NOT tables: the table routes answer 404 for
+        // them, exactly as the spec separates the two object kinds
+        if (!catalog.tableExists(t) || isViewEntry(t))
+          err(s"table $t not found", 404)
         else commitTable(t, readBody(ex))
       }
       else if (method == "POST" && path == tablesRoot)
         createTable(readBody(ex))
+      else if (method == "POST" && path == viewsRoot)
+        createView(readBody(ex))
       else if (method == "POST" && path == s"/v1/$prefix/namespaces/$namespace/register")
         registerTable(readBody(ex))
       else if (method == "POST" && path == s"/v1/$prefix/namespaces")
@@ -114,12 +126,21 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         commitTransaction(readBody(ex))
       else if (method == "DELETE" && tableOf(path).nonEmpty) {
         val t = tableOf(path).get
-        if (!catalog.tableExists(t)) err(s"table $t not found", 404)
+        if (!catalog.tableExists(t) || isViewEntry(t))
+          err(s"table $t not found", 404)
         else { catalog.dropTable(t); 204 -> "" }
+      }
+      else if (method == "DELETE" && viewOf(path).nonEmpty) {
+        val v = viewOf(path).get
+        if (!isViewEntry(v)) err(s"view $v not found", 404)
+        else { catalog.dropTable(v); 204 -> "" }
       }
       else if (method == "HEAD" && tableOf(path).nonEmpty)
         // spec table-existence check: status only, no body
-        (if (catalog.tableExists(tableOf(path).get)) 204 else 404) -> ""
+        (if (catalog.tableExists(tableOf(path).get) &&
+          !isViewEntry(tableOf(path).get)) 204 else 404) -> ""
+      else if (method == "HEAD" && viewOf(path).nonEmpty)
+        (if (isViewEntry(viewOf(path).get)) 204 else 404) -> ""
       else if (method != "GET")
         err(s"$method $path not supported: reads, table lifecycle " +
           "(create/register/drop) and the commit endpoint; renames stay " +
@@ -140,23 +161,39 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
               "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}",
               "POST /v1/{prefix}/namespaces/{namespace}/register",
               "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}",
-              "POST /v1/{prefix}/transactions/commit"))))
+              "POST /v1/{prefix}/transactions/commit",
+              "GET /v1/{prefix}/namespaces/{namespace}/views",
+              "GET /v1/{prefix}/namespaces/{namespace}/views/{view}",
+              "HEAD /v1/{prefix}/namespaces/{namespace}/views/{view}",
+              "POST /v1/{prefix}/namespaces/{namespace}/views",
+              "DELETE /v1/{prefix}/namespaces/{namespace}/views/{view}"))))
       else if (path == s"/v1/$prefix/namespaces")
         200 -> JsonMethods.compact(JsonMethods.render(
           "namespaces" -> List(List(namespace))))
       else if (path == s"/v1/$prefix/namespaces/$namespace")
         200 -> JsonMethods.compact(JsonMethods.render(
           ("namespace" -> List(namespace)) ~ ("properties" -> JObject(Nil))))
-      else if (path == s"/v1/$prefix/namespaces/$namespace/tables")
+      else if (path == tablesRoot)
+        // views are their own object kind — the tables listing excludes them
         200 -> JsonMethods.compact(JsonMethods.render(
-          "identifiers" -> catalog.listTables.sorted.map(t =>
+          "identifiers" -> catalog.listTables.sorted.filterNot(isViewEntry).map(t =>
             ("namespace" -> List(namespace)) ~ ("name" -> t))))
-      else path.stripPrefix(s"/v1/$prefix/namespaces/$namespace/tables/") match {
-        case t if t.nonEmpty && !t.contains("/") && path.endsWith(s"/tables/$t") =>
-          val table = java.net.URLDecoder.decode(t, java.nio.charset.StandardCharsets.UTF_8)
+      else if (path == viewsRoot)
+        200 -> JsonMethods.compact(JsonMethods.render(
+          "identifiers" -> catalog.listTables.sorted.filter(isViewEntry).map(v =>
+            ("namespace" -> List(namespace)) ~ ("name" -> v))))
+      else if (viewOf(path).nonEmpty) {
+        val v = viewOf(path).get
+        if (!isViewEntry(v)) err(s"view $v not found", 404)
+        else loadViewResult(v)
+      }
+      else tableOf(path) match {
+        case Some(table) =>
           if (!catalog.tableExists(table)) err(s"table $table not found", 404)
+          else if (isViewEntry(table))
+            err(s"$table is a view — load it from the views route", 404)
           else loadTableResult(table)
-        case _ => err(s"no such route: $path", 404)
+        case None => err(s"no such route: $path", 404)
       }
     respond(ex, code, body)
   } catch {
@@ -256,6 +293,60 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     }
     loadTableResult(tname)
   }
+
+  /** `GET .../views/{v}`: the spec LoadViewResult — the Iceberg view-spec
+    * v1 metadata ([[IcebergExport.exportIcebergViewMetadata]]), cached
+    * fully-rendered per (view, version) like tables. */
+  private def loadViewResult(view: String): (Int, String) = {
+    val meta = catalog.loadTable(view)
+    val body =
+      try cache.computeIfAbsent((s"view:$view", meta.version), _ => {
+        val jsonPath = IcebergExport.exportIcebergViewMetadata(
+          catalog, view, defaultNamespace = namespace)
+        JsonMethods.compact(JsonMethods.render(
+          ("metadata-location" -> jsonPath) ~
+            ("metadata" -> JsonMethods.parse(MetaIO.readString(jsonPath))) ~
+            ("config" -> JObject(Nil))))
+      })
+      catch { case e: IllegalArgumentException => return err(e.getMessage, 400) }
+    200 -> body
+  }
+
+  /** `POST .../namespaces/{ns}/views`: the spec CreateViewRequest. Like
+    * table creates, the request is synthesized into a view-metadata
+    * document and parsed by the same [[IcebergImport]] machinery as an
+    * attach. */
+  private def createView(body: String): (Int, String) =
+    try {
+      val req = JsonMethods.parse(body)
+      val vname = str(req \ "name")
+      if (catalog.tableExists(vname))
+        return err(s"$vname already exists", 409)
+      val vv = (req \ "view-version") match {
+        case JNothing | JNull =>
+          return err("CreateViewRequest: view-version required", 400)
+        case x => x
+      }
+      val schemaJ = (req \ "schema") match {
+        case JNothing | JNull => return err("CreateViewRequest: schema required", 400)
+        case s => s.merge(("schema-id" -> 0): JValue)
+      }
+      val doc: JValue =
+        ("format-version" -> 1) ~
+          ("current-version-id" -> 1) ~
+          ("current-schema-id" -> 0) ~
+          ("schemas" -> JArray(List(schemaJ))) ~
+          ("versions" -> JArray(List(vv.merge(
+            (("version-id" -> 1) ~ ("schema-id" -> 0)): JValue)))) ~
+          ("properties" -> ((req \ "properties") match {
+            case o: JObject => o; case _ => JObject(Nil)
+          }))
+      IcebergImport.importIcebergViewMetadataJson(catalog, vname, doc)
+      loadViewResult(vname)
+    } catch {
+      case e: RuntimeException =>
+        err(s"bad CreateViewRequest: ${e.getMessage}", 400)
+    }
 
   /** `POST .../namespaces/{ns}/register`: the spec RegisterTableRequest —
     * adopt a table that already has a `*.metadata.json` on shared storage

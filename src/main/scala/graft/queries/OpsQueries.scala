@@ -720,6 +720,36 @@ object OpsQueries {
       } finally srv.stop()
     }),
 
+    // CATALOG VIEWS as an oracle-checked query: a versioned SQL view is
+    // created through the front door (CREATE VIEW, then CREATE OR REPLACE
+    // appending version 2), exported as public Iceberg VIEW-SPEC v1
+    // metadata, imported into a second catalog, and the IMPORTED view's
+    // rows are what DuckDB hash-checks. Reads substitute the analyzed
+    // plan of the stored SQL, so the aggregation runs exactly as if typed
+    // inline — a view costs nothing at scale that its SELECT doesn't.
+    "q_view_sql" -> ((s, dir) => {
+      import graft.meta.{GraftSql, IceWrite, IcebergExport, IcebergImport, LocalCatalog}
+      val cat = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-view-wh").toString)
+      GraftSql.register("qview", cat)
+      IceWrite.create(s, cat, "sup", tbl(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey")))
+      s.sql("CREATE VIEW qview.v AS SELECT s_nationkey, count(*) AS suppliers " +
+        "FROM qview.sup GROUP BY s_nationkey")
+      s.sql("CREATE OR REPLACE VIEW qview.v AS " +
+        "SELECT s_nationkey, CAST(count(*) AS BIGINT) AS suppliers, " +
+        "CAST(sum(s_suppkey) AS BIGINT) AS key_sum " +
+        "FROM qview.sup WHERE s_suppkey % 3 <> 0 GROUP BY s_nationkey")
+      val path = IcebergExport.exportIcebergViewMetadata(cat, "v")
+      val dst = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-view-dst").toString)
+      val back = IcebergImport.importIcebergViewMetadata(dst, "v2", path)
+      require(graft.meta.Views.versions(back).map(_._1) == Seq(1, 2),
+        "view versions did not survive the spec round trip")
+      GraftSql.register("qviewd", dst)
+      s.sql("SELECT * FROM qviewd.v2")
+    }),
+
     // REST TABLE LIFECYCLE as an oracle-checked query: a spec client
     // CREATES a table in the graft catalog through the public REST
     // catalog's CreateTableRequest (the schema/sort-order JSON is parsed
@@ -3386,6 +3416,11 @@ object OpsQueries {
         |UNION ALL
         |SELECT s_suppkey + 1000000 AS s_suppkey, s_name FROM supplier
         |WHERE s_suppkey % 5 = 0""".stripMargin,
+
+    "q_view_sql" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS suppliers,
+        |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+        |FROM supplier WHERE s_suppkey % 3 <> 0 GROUP BY s_nationkey""".stripMargin,
 
     "q_rest_create" ->
       "SELECT n_nationkey, n_name FROM nation",

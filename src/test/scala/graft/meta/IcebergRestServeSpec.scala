@@ -341,6 +341,82 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("views over REST: list, load, attach, create, drop") {
+    val cat = freshCatalog()
+    GraftSql.register("rsv", cat)
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      IceWrite.create(spark, cat, "t",
+        (1L to 12L).map(i => (i, i * 2L)).toDF("k", "v"))
+      Views.create(spark, cat, "doubled",
+        "SELECT k, v FROM rsv.t WHERE v >= 10")
+
+      // views and tables are separate object kinds on the wire
+      val tl = JsonMethods.parse(get(s"${srv.uri}/v1/p/namespaces/wh/tables").body())
+      assert(JsonMethods.compact(JsonMethods.render(tl)).contains("\"t\"") &&
+        !JsonMethods.compact(JsonMethods.render(tl)).contains("doubled"),
+        "tables listing must exclude views")
+      val vl = JsonMethods.parse(get(s"${srv.uri}/v1/p/namespaces/wh/views").body())
+      assert(JsonMethods.compact(JsonMethods.render(vl)).contains("doubled"))
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh/tables/doubled").statusCode() == 404,
+        "a view must not load from the tables route")
+      val head = http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/views/doubled"))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(head.statusCode() == 204)
+
+      // LoadViewResult: spec v1 metadata with the stable identity
+      val lv = get(s"${srv.uri}/v1/p/namespaces/wh/views/doubled")
+      assert(lv.statusCode() == 200, lv.body())
+      val vm = JsonMethods.parse(lv.body()) \ "metadata"
+      assert((vm \ "format-version") == JInt(1))
+      assert((vm \ "view-uuid") == JString(cat.loadTable("doubled").stableUuid))
+
+      // spec client ATTACH into a second catalog; reads match (table
+      // names inside the SQL resolve via the registered rsv catalog)
+      val dst = freshCatalog()
+      IcebergRestImport.importView(dst, "d2", srv.uri, Seq("wh"), "doubled")
+      GraftSql.register("rsvd", dst)
+      val a = spark.sql("SELECT * FROM rsvd.d2").collect().toSeq.sortBy(_.getLong(0))
+      val b = spark.sql("SELECT * FROM rsv.doubled").collect().toSeq.sortBy(_.getLong(0))
+      assert(a == b && a.size == 8)
+
+      // CREATE a view THROUGH REST (spec CreateViewRequest)
+      val created = http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/views"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name": "vrest",
+            |  "schema": {"type": "struct", "fields": [
+            |    {"id": 1, "name": "k", "required": false, "type": "long"}]},
+            |  "view-version": {"timestamp-ms": 1700000000000,
+            |    "summary": {"engine-name": "spec-client"},
+            |    "representations": [
+            |      {"type": "sql", "sql": "SELECT k FROM rsv.t WHERE k <= 3",
+            |       "dialect": "spark"}],
+            |    "default-namespace": ["wh"]},
+            |  "properties": {"comment": "made over the wire"}}""".stripMargin))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(created.statusCode() == 200, created.body())
+      assert(spark.sql("SELECT count(*) AS c FROM rsv.vrest").head.getLong(0) == 3L)
+      assert(cat.loadTable("vrest").properties.get("comment")
+        .contains("made over the wire"))
+
+      // DROP over the views route; the tables route never touches views
+      val delT = http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/vrest"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(delT.statusCode() == 404)
+      val delV = http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/views/vrest"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(delV.statusCode() == 204 && !cat.tableExists("vrest"))
+    } finally {
+      srv.stop(); GraftSql.unregister("rsv"); GraftSql.unregister("rsvd")
+    }
+  }
+
   test("multi-table transaction commits all-or-nothing") {
     val inner = freshCatalog()
     // a decorator that fails ONE commit on demand — simulating a racing

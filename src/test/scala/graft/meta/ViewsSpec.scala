@@ -1,0 +1,151 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Catalog VIEWS ([[Views]]): front-door DDL, versioned replace, late
+  * binding, DML refusals, plan substitution (pruning flows through), and
+  * the Iceberg view-spec v1 interop loop (export/import + REST
+  * serve/attach). */
+class ViewsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshCatalog(name: String): Catalog = {
+    val c = LocalCatalog(Files.createTempDirectory(s"views-$name").toString)
+    GraftSql.register(name, c)
+    c
+  }
+
+  test("create, read, replace versions, late binding, drop") {
+    val cat = freshCatalog("vw")
+    IceWrite.create(spark, cat, "t",
+      (1L to 20L).map(i => (i, s"n$i")).toDF("id", "name"))
+
+    spark.sql("CREATE VIEW vw.evens AS SELECT id, name FROM vw.t WHERE id % 2 = 0")
+    assert(spark.sql("SELECT count(*) AS c FROM vw.evens").head.getLong(0) == 10L)
+    // the entry is view-marked with the PINNED schema recorded
+    val v1 = cat.loadTable("evens")
+    assert(Views.isView(v1) && v1.schema.map(_.name) == Seq("id", "name"))
+    assert(v1.properties(Views.CurrentVersionKey) == "1")
+
+    // plain CREATE over an existing view refuses; OR REPLACE re-versions
+    val dup = intercept[Exception](
+      spark.sql("CREATE VIEW vw.evens AS SELECT id FROM vw.t"))
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    spark.sql("CREATE OR REPLACE VIEW vw.evens AS SELECT id FROM vw.t WHERE id % 2 = 1")
+    val v2 = cat.loadTable("evens")
+    assert(v2.properties(Views.CurrentVersionKey) == "2" &&
+      Views.versions(v2).map(_._1) == Seq(1, 2) &&
+      v2.schema.map(_.name) == Seq("id"))
+    assert(spark.sql("SELECT count(*) AS c FROM vw.evens").head.getLong(0) == 10L)
+
+    // LATE binding: a base-table commit is visible through the view
+    IceWrite.append(spark, cat, "t", Seq((21L, "n21")).toDF("id", "name"))
+    assert(spark.sql("SELECT count(*) AS c FROM vw.evens").head.getLong(0) == 11L)
+
+    // views COMPOSE (a view over a view)
+    spark.sql("CREATE VIEW vw.evens_top AS SELECT max(id) AS m FROM vw.evens")
+    assert(spark.sql("SELECT m FROM vw.evens_top").head.getLong(0) == 21L)
+
+    // DML against views refuses loudly instead of writing nothing
+    val ins = intercept[Exception](
+      spark.sql("INSERT INTO vw.evens VALUES (99)"))
+    assert(ins.getMessage.contains("VIEW"), ins.getMessage)
+    val del = intercept[Exception](
+      spark.sql("DELETE FROM vw.evens WHERE id = 1"))
+    assert(del.getMessage.contains("VIEW"), del.getMessage)
+    val drt = intercept[Exception](spark.sql("DROP TABLE vw.evens"))
+    assert(drt.getMessage.contains("DROP VIEW"), drt.getMessage)
+    // metadata suffixes address tables, not views
+    val suf = intercept[Exception](
+      spark.sql("SELECT * FROM vw.evens.snapshots"))
+    assert(suf.getMessage.contains("view"), suf.getMessage)
+
+    // SHOW CREATE renders the view form
+    val ddl = spark.sql("SHOW CREATE TABLE vw.evens").head.getString(0)
+    assert(ddl.startsWith("CREATE VIEW vw.evens AS") && ddl.contains("id % 2 = 1"))
+
+    // CREATE TABLE cannot silently replace a view either
+    val ct = intercept[Exception](
+      spark.sql("CREATE TABLE vw.evens (x BIGINT)"))
+    assert(ct.getMessage.contains("already exists"), ct.getMessage)
+
+    // DROP VIEW refuses tables, drops views, honors IF EXISTS
+    val dt = intercept[Exception](spark.sql("DROP VIEW vw.t"))
+    assert(dt.getMessage.contains("TABLE"), dt.getMessage)
+    spark.sql("DROP VIEW vw.evens_top")
+    spark.sql("DROP VIEW vw.evens")
+    assert(!cat.tableExists("evens"))
+    val dm = intercept[Exception](spark.sql("DROP VIEW vw.evens"))
+    assert(dm.getMessage.contains("does not exist"), dm.getMessage)
+    spark.sql("DROP VIEW IF EXISTS vw.evens") // no-op, no throw
+    GraftSql.unregister("vw")
+  }
+
+  test("recursive view definitions refuse at read with a cycle message") {
+    val cat = freshCatalog("vrec")
+    IceWrite.create(spark, cat, "t", Seq((1L, "a")).toDF("id", "name"))
+    spark.sql("CREATE VIEW vrec.a AS SELECT id FROM vrec.t")
+    spark.sql("CREATE VIEW vrec.b AS SELECT id FROM vrec.a")
+    // re-point a at b: a -> b -> a is now a cycle
+    spark.sql("CREATE OR REPLACE VIEW vrec.a AS SELECT id FROM vrec.b")
+    val e = intercept[Exception](spark.sql("SELECT * FROM vrec.a").collect())
+    assert(e.getMessage.contains("recursive"), e.getMessage)
+    // ...and the guard UNWINDS: a non-cyclic read afterwards still works
+    spark.sql("CREATE OR REPLACE VIEW vrec.a AS SELECT id FROM vrec.t")
+    assert(spark.sql("SELECT * FROM vrec.a").count() == 1L)
+    GraftSql.unregister("vrec")
+  }
+
+  test("file pruning flows through a view (plan substitution, not a copy)") {
+    val cat = freshCatalog("vprune")
+    val base = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"))
+    val cut = base.agg(max(col("s_suppkey"))).head.getLong(0) / 2
+    IceWrite.create(spark, cat, "sup", base.filter(col("s_suppkey") <= cut))
+    IceWrite.append(spark, cat, "sup", base.filter(col("s_suppkey") > cut))
+    spark.sql("CREATE VIEW vprune.v AS SELECT * FROM vprune.sup")
+    val probe = spark.sql(s"SELECT * FROM vprune.v WHERE s_suppkey <= $cut")
+    probe.collect()
+    val (total, kept) = graft.exec.GraftScan.pruneStats(probe)
+    assert(total >= 2 && kept < total,
+      s"a filter through the view must prune files: kept $kept of $total")
+    GraftSql.unregister("vprune")
+  }
+
+  test("Iceberg view spec v1: export -> import round-trips versions, uuid, schema") {
+    val cat = freshCatalog("vx")
+    IceWrite.create(spark, cat, "base",
+      (1L to 9L).map(i => (i, i * 10L)).toDF("k", "v"))
+    spark.sql("CREATE VIEW vx.agg AS SELECT k % 3 AS g, sum(v) AS s FROM vx.base GROUP BY k % 3")
+    spark.sql("CREATE OR REPLACE VIEW vx.agg AS " +
+      "SELECT k % 2 AS g, sum(v) AS s FROM vx.base GROUP BY k % 2")
+    val src = cat.loadTable("agg")
+
+    val path = IcebergExport.exportIcebergViewMetadata(cat, "agg")
+    val dst = LocalCatalog(Files.createTempDirectory("views-dst").toString)
+    val back = IcebergImport.importIcebergViewMetadata(dst, "agg2", path)
+    assert(Views.isView(back))
+    assert(Views.versions(back).map(_._1) == Seq(1, 2))
+    assert(back.properties(Views.CurrentVersionKey) == "2")
+    assert(back.properties(Views.SqlKey).contains("k % 2"))
+    assert(back.properties(Views.DialectKey) == "spark")
+    // the spec's immutable view identity carries over
+    assert(back.stableUuid == src.stableUuid)
+    assert(back.schema.map(_.name) == Seq("g", "s"))
+    // table references resolve BY NAME on the reading engine: vx is
+    // registered, so the imported view reads the same base
+    GraftSql.register("vdst", dst)
+    val a = spark.sql("SELECT * FROM vdst.agg2").collect().toSeq.sortBy(_.getLong(0))
+    val b = spark.sql("SELECT * FROM vx.agg").collect().toSeq.sortBy(_.getLong(0))
+    assert(a == b)
+    GraftSql.unregister("vdst"); GraftSql.unregister("vx")
+  }
+}
