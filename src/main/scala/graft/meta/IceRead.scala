@@ -34,8 +34,22 @@ object IceRead {
     require(!Views.isView(meta),
       s"$name is a VIEW — query it through GraftSql (SELECT FROM <cat>.$name) " +
         "or substitute Views.plan")
-    val snap = resolveSnapshot(meta, name, branch)
-    ofSnapshot(spark, meta, snap)
+    val snapOpt =
+      if (branch == "main") meta.snapshotForRef(branch).orElse(meta.currentSnapshot)
+      else Some(resolveSnapshot(meta, name, branch)) // explicit branch stays strict
+    snapOpt match {
+      case Some(snap) => ofSnapshot(spark, meta, snap)
+      case None =>
+        // a table CREATED but never committed to (REST CreateTableRequest,
+        // an attached empty foreign table) reads as EMPTY with its
+        // declared schema — the same contract every engine gives a fresh
+        // table — rather than throwing "no snapshot"
+        require(meta.schema.nonEmpty && meta.schema.forall(_.isTyped),
+          s"table $name has no snapshot and no typed schema to shape an empty read")
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(meta.schema.map(_.toStructField)))
+    }
   }
 
   /** Time travel: the MOR view of a specific historical snapshot. */

@@ -893,7 +893,12 @@ object IcebergExport {
     MetaIO.mkdirs(dir)
     val (schemaJV, _) = schemaJsonWithMax(meta, 2)
     val vs = Views.versions(meta)
-    val dialect = meta.properties.getOrElse(Views.DialectKey, "spark")
+    // dialect is PER VERSION (a replaced imported view has a spark head
+    // over a foreign-dialect history); the table-level key is the
+    // current version's fallback for pre-per-version entries
+    def dialectOf(id: Int): String =
+      meta.properties.getOrElse(Views.versionDialectKey(id),
+        meta.properties.getOrElse(Views.DialectKey, "spark"))
     val j: JValue =
       ("view-uuid" -> meta.stableUuid) ~
         ("format-version" -> 1) ~
@@ -906,7 +911,7 @@ object IcebergExport {
             ("schema-id" -> 0) ~
             ("summary" -> (("engine-name" -> "graft"): JValue)) ~
             ("representations" -> List(
-              ("type" -> "sql") ~ ("sql" -> sql) ~ ("dialect" -> dialect))) ~
+              ("type" -> "sql") ~ ("sql" -> sql) ~ ("dialect" -> dialectOf(id)))) ~
             ("default-namespace" -> List(defaultNamespace))): JValue
         }.toList) ~
         ("version-log" -> vs.map { case (id, _, ts) =>

@@ -247,19 +247,29 @@ object IcebergImport {
     val schemaId = versionsJ.find(v => lng(v \ "version-id") == curId)
       .map(v => (v \ "schema-id") match { case JNothing | JNull => 0L; case x => lng(x) })
       .getOrElse(0L)
+    // refuse NOW, not at a later export/serve: a view accepted without a
+    // resolvable schema would 400 confusingly on every LoadViewResult
     val schema = arr(j \ "schemas").find(s => lng(s \ "schema-id") == schemaId)
       .map(s => arr(s \ "fields").map { f =>
         SchemaField(lng(f \ "id").toInt, str(f \ "name"), ddlOf(f \ "type"),
           nullable = (f \ "required") != JBool(true))
-      }).getOrElse(Nil)
+      }).getOrElse(sys.error(
+        s"importIcebergViewMetadata: the current version's schema-id $schemaId " +
+          "is not in the schemas list"))
+    require(schema.nonEmpty,
+      "importIcebergViewMetadata: the current version's schema has no fields")
     val foreignProps = (j \ "properties") match {
       case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
       case _ => Map.empty[String, String]
     }
     TableMetadata(name, location = "", schema = schema,
       properties = foreignProps ++
-        versions.flatMap { case (id, sql, ts, _) => Seq(
-          Views.versionSqlKey(id) -> sql, Views.versionTsKey(id) -> ts.toString) } ++
+        versions.flatMap { case (id, sql, ts, dialect) => Seq(
+          Views.versionSqlKey(id) -> sql, Views.versionTsKey(id) -> ts.toString) ++
+          // per-version: a mixed-dialect history must re-export each
+          // version under ITS OWN dialect label
+          (if (dialect.nonEmpty) Seq(Views.versionDialectKey(id) -> dialect)
+           else Nil) } ++
         Map(Views.SqlKey -> cur._2, Views.DialectKey -> cur._4,
           Views.CurrentVersionKey -> curId.toString) ++
         ((j \ "view-uuid") match {

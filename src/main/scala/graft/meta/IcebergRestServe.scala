@@ -51,13 +51,28 @@ import org.json4s.jackson.JsonMethods
 final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     prefix: String = "graft", bearerToken: Option[String] = None, port: Int = 0) {
 
-  /** the fully-RENDERED LoadTableResult body cached per
-    * (table, version) — metadata-location must be the actual
+  /** Fully-RENDERED LoadTableResult/LoadViewResult bodies cached per
+    * (STABLE UUID, version) — metadata-location must be the actual
     * `*.metadata.json` file (not its directory), and caching the final
     * body means repeated loads of an unchanged table cost neither a
-    * re-export nor an O(metadata-size) re-parse/re-render. */
+    * re-export nor an O(metadata-size) re-parse/re-render. The uuid key
+    * (not the name) is what makes DROP + RECREATE safe: the recreated
+    * incarnation restarts at version 1 but carries a FRESH uuid, so it
+    * can never hit the previous incarnation's cached body — and tables
+    * and views can never collide however they are named. Older versions
+    * of the same uuid evict on insert, bounding the map. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  private def cached(meta: TableMetadata)(build: => String): String = {
+    val key = (meta.stableUuid, meta.version)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val body = build
+    cache.put(key, body)
+    cache.keySet.removeIf(k => k._1 == key._1 && k._2 < key._2)
+    body
+  }
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -92,6 +107,13 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private def tableOf(path: String): Option[String] = lastSegment(path, tablesRoot)
   private def viewOf(path: String): Option[String] = lastSegment(path, viewsRoot)
 
+  /** View-ness requires the entry's metadata (the kind lives in
+    * properties). Listings call this per entry: the backing catalog's
+    * decoded-metadata cache makes repeats O(1) per unchanged table, so
+    * only the FIRST listing after a server start pays a decode per
+    * entry — tolerable because view kind can flip on drop+recreate, so
+    * any name-keyed cache here would serve the wrong kind after an
+    * out-of-band recreate. */
   private def isViewEntry(name: String): Boolean =
     catalog.tableExists(name) && Views.isView(catalog.loadTable(name))
 
@@ -205,7 +227,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private def loadTableResult(table: String): (Int, String) = {
     val meta = catalog.loadTable(table)
     val body =
-      try cache.computeIfAbsent((table, meta.version), _ => {
+      try cached(meta) {
         val jsonPath = IcebergExport.exportIcebergMetadata(catalog, table)
         // metadata-location is the exported *.metadata.json itself (spec
         // clients that honor it over the embedded copy must land on a
@@ -215,7 +237,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           ("metadata-location" -> jsonPath) ~
             ("metadata" -> JsonMethods.parse(MetaIO.readString(jsonPath))) ~
             ("config" -> JObject(Nil))))
-      })
+      }
       catch {
         // v3 features the v2 wire cannot carry: refuse with the reason
         // rather than serving wrong metadata
@@ -236,7 +258,9 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * spec allows) and the table uuid. */
   private def createTable(body: String): (Int, String) =
     try createTable0(body)
-    catch { case e: RuntimeException =>
+    // Exception, not just RuntimeException: malformed JSON surfaces from
+    // jackson as an IOException and is a CLIENT error
+    catch { case e: Exception =>
       err(s"bad CreateTableRequest: ${e.getMessage}", 400) }
 
   private def createTable0(body: String): (Int, String) = {
@@ -300,14 +324,14 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private def loadViewResult(view: String): (Int, String) = {
     val meta = catalog.loadTable(view)
     val body =
-      try cache.computeIfAbsent((s"view:$view", meta.version), _ => {
+      try cached(meta) {
         val jsonPath = IcebergExport.exportIcebergViewMetadata(
           catalog, view, defaultNamespace = namespace)
         JsonMethods.compact(JsonMethods.render(
           ("metadata-location" -> jsonPath) ~
             ("metadata" -> JsonMethods.parse(MetaIO.readString(jsonPath))) ~
             ("config" -> JObject(Nil))))
-      })
+      }
       catch { case e: IllegalArgumentException => return err(e.getMessage, 400) }
     200 -> body
   }
@@ -316,46 +340,54 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * table creates, the request is synthesized into a view-metadata
     * document and parsed by the same [[IcebergImport]] machinery as an
     * attach. */
-  private def createView(body: String): (Int, String) =
-    try {
-      val req = JsonMethods.parse(body)
-      val vname = str(req \ "name")
-      if (catalog.tableExists(vname))
-        return err(s"$vname already exists", 409)
-      val vv = (req \ "view-version") match {
-        case JNothing | JNull =>
-          return err("CreateViewRequest: view-version required", 400)
-        case x => x
+  private def createView(body: String): (Int, String) = {
+    // the request-shape catch covers parse + import ONLY — once the view
+    // exists, a failure rendering the response must not masquerade as a
+    // 400 "bad request" (the client would retry into a confusing 409)
+    val vname =
+      try {
+        val req = JsonMethods.parse(body)
+        val vname = str(req \ "name")
+        if (catalog.tableExists(vname))
+          return err(s"$vname already exists", 409)
+        val vv = (req \ "view-version") match {
+          case JNothing | JNull =>
+            return err("CreateViewRequest: view-version required", 400)
+          case x => x
+        }
+        val schemaJ = (req \ "schema") match {
+          case JNothing | JNull => return err("CreateViewRequest: schema required", 400)
+          case s => s.merge(("schema-id" -> 0): JValue)
+        }
+        val doc: JValue =
+          ("format-version" -> 1) ~
+            ("current-version-id" -> 1) ~
+            ("current-schema-id" -> 0) ~
+            ("schemas" -> JArray(List(schemaJ))) ~
+            ("versions" -> JArray(List(vv.merge(
+              (("version-id" -> 1) ~ ("schema-id" -> 0)): JValue)))) ~
+            ("properties" -> ((req \ "properties") match {
+              case o: JObject => o; case _ => JObject(Nil)
+            }))
+        IcebergImport.importIcebergViewMetadataJson(catalog, vname, doc)
+        vname
+      } catch {
+        case e: Exception =>
+          return err(s"bad CreateViewRequest: ${e.getMessage}", 400)
       }
-      val schemaJ = (req \ "schema") match {
-        case JNothing | JNull => return err("CreateViewRequest: schema required", 400)
-        case s => s.merge(("schema-id" -> 0): JValue)
-      }
-      val doc: JValue =
-        ("format-version" -> 1) ~
-          ("current-version-id" -> 1) ~
-          ("current-schema-id" -> 0) ~
-          ("schemas" -> JArray(List(schemaJ))) ~
-          ("versions" -> JArray(List(vv.merge(
-            (("version-id" -> 1) ~ ("schema-id" -> 0)): JValue)))) ~
-          ("properties" -> ((req \ "properties") match {
-            case o: JObject => o; case _ => JObject(Nil)
-          }))
-      IcebergImport.importIcebergViewMetadataJson(catalog, vname, doc)
-      loadViewResult(vname)
-    } catch {
-      case e: RuntimeException =>
-        err(s"bad CreateViewRequest: ${e.getMessage}", 400)
-    }
+    loadViewResult(vname)
+  }
 
   /** `POST .../namespaces/{ns}/register`: the spec RegisterTableRequest —
     * adopt a table that already has a `*.metadata.json` on shared storage
     * (the REST analogue of `CALL attach_iceberg`). */
   private def registerTable(body: String): (Int, String) = {
-    val req = JsonMethods.parse(body)
     val (tname, loc) =
-      try (str(req \ "name"), str(req \ "metadata-location"))
-      catch { case e: RuntimeException =>
+      try {
+        val req = JsonMethods.parse(body)
+        (str(req \ "name"), str(req \ "metadata-location"))
+      }
+      catch { case e: Exception =>
         return err(s"bad RegisterTableRequest: ${e.getMessage}", 400) }
     if (catalog.tableExists(tname))
       return err(s"table $tname already exists", 409)
@@ -380,8 +412,12 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     }
 
   /** `POST .../tables/{t}`: the spec CommitTableRequest. */
-  private def commitTable(table: String, body: String): (Int, String) =
-    buildCommit(table, JsonMethods.parse(body)) match {
+  private def commitTable(table: String, body: String): (Int, String) = {
+    val built =
+      try buildCommit(table, JsonMethods.parse(body))
+      catch { case e: Exception =>
+        return err(s"bad CommitTableRequest: ${e.getMessage}", 400) }
+    built match {
       case Left(e) => e
       case Right((base, updated)) =>
         try { catalog.commit(base, updated); loadTableResult(table) }
@@ -390,6 +426,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
             err("concurrent commit — reload and retry", 409)
         }
     }
+  }
 
   /** Validates one CommitTableRequest against the LIVE table state and
     * builds `(base, updated)` WITHOUT committing — shared by the
@@ -546,31 +583,35 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * the honest contract of a catalog whose CAS is per-table (readers
     * can observe the intermediate state inside that rollback window). */
   private def commitTransaction(body: String): (Int, String) = {
-    val req = JsonMethods.parse(body)
-    val changes = (req \ "table-changes") match {
-      case JArray(xs) if xs.nonEmpty => xs
-      case JArray(_) => return err("empty transaction", 400)
-      case o => return err(s"bad table-changes: $o", 400)
-    }
-    val named: List[(String, JValue)] = changes.map { c =>
-      val ident = c \ "identifier"
-      (ident \ "namespace") match {
-        case JArray(List(JString(ns))) if ns == namespace => ()
-        case other => return err(s"unknown namespace in transaction: $other", 400)
+    // ---- phase 1: parse, validate and build EVERY change before
+    // committing ANY (request-shape failures are client errors: 400)
+    val builds: List[(String, TableMetadata, TableMetadata)] = try {
+      val req = JsonMethods.parse(body)
+      val changes = (req \ "table-changes") match {
+        case JArray(xs) if xs.nonEmpty => xs
+        case JArray(_) => return err("empty transaction", 400)
+        case o => return err(s"bad table-changes: $o", 400)
       }
-      str(ident \ "name") -> c
-    }
-    named.groupBy(_._1).collectFirst { case (t, cs) if cs.size > 1 => t }
-      .foreach(t => return err(
-        s"table $t appears twice in one transaction — merge its changes", 400))
-    named.collectFirst { case (t, _) if !catalog.tableExists(t) => t }
-      .foreach(t => return err(s"table $t not found", 404))
-    // ---- phase 1: validate + build EVERY change before committing ANY
-    val builds: List[(String, TableMetadata, TableMetadata)] = named.map {
-      case (t, c) => buildCommit(t, c) match {
+      val named: List[(String, JValue)] = changes.map { c =>
+        val ident = c \ "identifier"
+        (ident \ "namespace") match {
+          case JArray(List(JString(ns))) if ns == namespace => ()
+          case other => return err(s"unknown namespace in transaction: $other", 400)
+        }
+        str(ident \ "name") -> c
+      }
+      named.groupBy(_._1).collectFirst { case (t, cs) if cs.size > 1 => t }
+        .foreach(t => return err(
+          s"table $t appears twice in one transaction — merge its changes", 400))
+      named.collectFirst { case (t, _) if !catalog.tableExists(t) => t }
+        .foreach(t => return err(s"table $t not found", 404))
+      named.map { case (t, c) => buildCommit(t, c) match {
         case Left(e) => return e
         case Right((base, updated)) => (t, base, updated)
-      }
+      }}
+    } catch {
+      case e: Exception =>
+        return err(s"bad CommitTransactionRequest: ${e.getMessage}", 400)
     }
     // ---- phase 2: apply; roll back on a mid-apply CAS loss
     var applied: List[(String, TableMetadata, TableMetadata)] = Nil

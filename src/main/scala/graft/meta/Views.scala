@@ -33,6 +33,7 @@ object Views {
   val CurrentVersionKey = "graft.view.current-version-id"
   def versionSqlKey(id: Int): String = s"graft.view.version.$id.sql"
   def versionTsKey(id: Int): String = s"graft.view.version.$id.timestamp-ms"
+  def versionDialectKey(id: Int): String = s"graft.view.version.$id.dialect"
 
   /** Whether a catalog entry is a view (vs a data table). */
   def isView(m: TableMetadata): Boolean = m.properties.contains(SqlKey)
@@ -54,6 +55,7 @@ object Views {
   def create(spark: SparkSession, catalog: Catalog, name: String, sql: String,
       orReplace: Boolean = false,
       properties: Map[String, String] = Map.empty): TableMetadata = {
+    refuseTempReferences(spark, sql)
     val schema = analyze(spark, sql).schema
     val fields = SchemaField.fromStruct(schema)
     val now = System.currentTimeMillis()
@@ -67,16 +69,56 @@ object Views {
       val nextV = versions(old).map(_._1).max + 1
       catalog.commit(old, old.copy(
         schema = fields,
+        // DialectKey resets too: the replacement SQL just analyzed as
+        // SPARK, whatever dialect an imported predecessor carried
         properties = old.properties ++ properties ++ Map(
-          SqlKey -> sql, CurrentVersionKey -> nextV.toString,
-          versionSqlKey(nextV) -> sql, versionTsKey(nextV) -> now.toString)))
+          SqlKey -> sql, DialectKey -> "spark", CurrentVersionKey -> nextV.toString,
+          versionSqlKey(nextV) -> sql, versionTsKey(nextV) -> now.toString,
+          versionDialectKey(nextV) -> "spark")))
     } else {
       catalog.createTable(TableMetadata(name, location = "",
         schema = fields,
         properties = properties ++ Map(
           SqlKey -> sql, DialectKey -> "spark", CurrentVersionKey -> "1",
-          versionSqlKey(1) -> sql, versionTsKey(1) -> now.toString)))
+          versionSqlKey(1) -> sql, versionTsKey(1) -> now.toString,
+          versionDialectKey(1) -> "spark")))
     }
+  }
+
+  /** Persistent views must reference catalog objects only: a definition
+    * that names a session TEMPORARY view would break (or silently rebind
+    * to something else) in every other session and on every foreign
+    * engine the exported view-spec metadata reaches — the same refusal
+    * Spark gives `CREATE VIEW ... FROM <temp>`. CTE aliases shadow temp
+    * views of the same name and are excluded. */
+  private def refuseTempReferences(spark: SparkSession, sql: String): Unit = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val cteNames = parsed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    def walk(p: LogicalPlan): Unit = p.foreach { node =>
+      node match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          val parts = u.multipartIdentifier
+          val shadowedByCte = parts.lengthCompare(1) == 0 &&
+            cteNames.contains(parts.head.toLowerCase(java.util.Locale.ROOT))
+          if (!shadowedByCte && spark.sessionState.catalog.isTempView(parts))
+            throw new IllegalArgumentException(
+              s"CREATE VIEW: the definition references TEMPORARY view " +
+                s"${parts.mkString(".")} — persistent views may reference " +
+                "catalog objects only")
+        case _ => ()
+      }
+      // subquery expressions (IN/EXISTS/scalar) hold their own plans,
+      // which TreeNode.foreach does not descend into
+      node.expressions.foreach(_.foreach {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          walk(s.plan)
+        case _ => ()
+      })
+    }
+    walk(parsed)
   }
 
   /** Drops a view; refuses when the name holds a data table. */
@@ -102,7 +144,19 @@ object Views {
     require(stack.add(key),
       s"view $catName.$name is recursive (its definition references itself, " +
         "directly or through another view)")
-    try analyze(spark, catalog.loadTable(name).properties(SqlKey))
+    try {
+      val meta = catalog.loadTable(name)
+      // an imported view whose current representation is another engine's
+      // dialect must refuse BY NAME, not be fed to Spark's parser —
+      // foreign syntax can parse to something silently different (e.g.
+      // Trino's "quoted identifiers" become Spark string literals)
+      val dialect = meta.properties.getOrElse(DialectKey, "spark")
+      require(dialect.isEmpty || dialect.equalsIgnoreCase("spark"),
+        s"view $catName.$name stores a '$dialect'-dialect SQL representation " +
+          "this engine cannot execute — re-create it here, or attach a version " +
+          "with a spark representation")
+      analyze(spark, meta.properties(SqlKey))
+    }
     finally stack.remove(key)
   }
 

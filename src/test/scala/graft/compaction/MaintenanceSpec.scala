@@ -252,7 +252,9 @@ class MaintenanceSpec extends AnyFunSuite {
     // (ndv.sketch.* keys are the sketch sidecar's provenance, persisted
     // alongside — they make the next ANALYZE incremental)
     val meta = catalog.loadTable("t_stats")
-    assert(meta.properties.view.filterKeys(!_.startsWith("ndv.sketch.")).toMap == stats)
+    // the table's own identity key (stamped at create) rides alongside
+    assert(meta.properties.view.filterKeys(k =>
+      !k.startsWith("ndv.sketch.") && k != TableMetadata.UuidKey).toMap == stats)
     assert(meta.properties.contains("ndv.sketch.path"))
     assert(stats("stats.snapshot-id") == meta.currentSnapshotId.get.toString)
     // metadata-only property upsert keeps unrelated keys

@@ -589,6 +589,19 @@ class IcebergRestServeSpec extends AnyFunSuite {
         HttpResponse.BodyHandlers.ofString())
       assert(del2.statusCode() == 404, "double drop must 404, not crash")
 
+      // RECREATE under the same name with a different schema: the served
+      // metadata must be the NEW incarnation — the response cache keys by
+      // stable uuid, so the recreated version-1 can never hit the old
+      // incarnation's cached version-1 body
+      val recreated = post("/v1/p/namespaces/wh/tables",
+        """{"name": "events", "schema": {"type": "struct", "fields": [
+          |  {"id": 1, "name": "only", "required": false, "type": "long"}]}}"""
+          .stripMargin)
+      assert(recreated.statusCode() == 200, recreated.body())
+      val served = get(s"${srv.uri}/v1/p/namespaces/wh/tables/events").body()
+      assert(served.contains("\"only\"") && !served.contains("payload"),
+        "drop + recreate must serve the NEW incarnation's schema")
+
       // the endpoint capability list advertises the lifecycle routes
       val cfg = get(s"${srv.uri}/v1/config").body()
       assert(cfg.contains("POST /v1/{prefix}/namespaces/{namespace}/tables\"") &&

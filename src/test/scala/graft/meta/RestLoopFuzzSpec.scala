@@ -113,4 +113,152 @@ class RestLoopFuzzSpec extends AnyFunSuite {
         s"seed $seed: final follower/source divergence")
     } finally srv.stop()
   }
+
+  /** Fuzz of the LIFECYCLE + TRANSACTION surface: random interleavings
+    * of REST table creates, appends from both engines, REST drops, view
+    * creates/drops, and multi-table property transactions (half pinned
+    * to live heads — must land everywhere; half deliberately STALE —
+    * must land NOWHERE). A driver-side model of (tables, rows, applied
+    * transaction rounds, views) is checked after every step. */
+  for (seed <- Seq(11, 42)) test(s"REST lifecycle + transactions fuzz (seed $seed)") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val rnd = new scala.util.Random(seed)
+    val cat = freshCatalog()
+    val catName = s"rlf$seed"
+    GraftSql.register(catName, cat)
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    val http = HttpClient.newHttpClient()
+    def post(path: String, body: String): HttpResponse[String] =
+      http.send(HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    def delete(path: String): Int =
+      http.send(HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+    try {
+      val staging = Files.createTempDirectory("rest-lfz-stage").toString
+      var model = Map.empty[String, Map[Long, String]] // table -> live rows
+      var views = Set.empty[String]
+      var applied = 0 // successful transaction rounds
+      var nextTable = 0
+      var nextKey = 0L
+      def freshRows(n: Int): Seq[(Long, String)] = {
+        val rows = (0 until n).map(i => (nextKey + i, s"x${nextKey + i}"))
+        nextKey += n
+        rows
+      }
+      def randomTable(): Option[String] =
+        if (model.isEmpty) None
+        else Some(model.keys.toSeq.sorted.apply(rnd.nextInt(model.size)))
+
+      for (step <- 1 to 30) {
+        rnd.nextInt(7) match {
+          case 0 => // REST create
+            val t = s"t$nextTable"; nextTable += 1
+            val resp = post("/v1/p/namespaces/wh/tables",
+              s"""{"name": "$t", "schema": {"type": "struct", "fields": [
+                 |{"id": 1, "name": "id", "required": false, "type": "long"},
+                 |{"id": 2, "name": "v", "required": false, "type": "string"}]}}"""
+                .stripMargin)
+            assert(resp.statusCode() == 200, s"step $step create: ${resp.body()}")
+            model += t -> Map.empty
+          case 1 => randomTable().foreach { t => // REST append
+            val rows = freshRows(1 + rnd.nextInt(4))
+            val (p, sz, n, _) = graft.testkit.FileGenerator.writeSingleParquet(
+              spark, IceWrite.withFieldIds(rows.toDF("id", "v"), cat.loadTable(t).schema),
+              java.nio.file.Paths.get(staging, s"a-$seed-$step.parquet"))
+            IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), t,
+              Seq(IcebergRestCommit.AddedFile(p, sz, n)), staging)
+            model += t -> (model(t) ++ rows)
+          }
+          case 2 => randomTable().foreach { t => // native append
+            val rows = freshRows(1 + rnd.nextInt(4))
+            IceWrite.append(spark, cat, t, rows.toDF("id", "v"))
+            model += t -> (model(t) ++ rows)
+          }
+          case 3 if model.size >= 2 => // transaction pinned to LIVE heads
+            val ts = rnd.shuffle(model.keys.toSeq).take(2)
+            val changes = ts.map { t =>
+              val head = cat.loadTable(t).currentSnapshotId.getOrElse(-1L)
+              val reqs = if (head >= 0)
+                s"""[{"type": "assert-ref-snapshot-id", "ref": "main",
+                   |"snapshot-id": $head}]""".stripMargin.replace("\n", " ")
+              else "[]"
+              s"""{"identifier": {"namespace": ["wh"], "name": "$t"},
+                 |"requirements": $reqs,
+                 |"updates": [{"action": "set-properties",
+                 |  "updates": {"round": "${applied + 1}"}}]}"""
+                .stripMargin.replace("\n", " ")
+            }
+            val resp = post("/v1/p/transactions/commit",
+              s"""{"table-changes": [${changes.mkString(",")}]}""")
+            assert(resp.statusCode() == 204, s"step $step txn: ${resp.body()}")
+            applied += 1
+            ts.foreach(t => assert(
+              cat.loadTable(t).properties.get("round").contains(applied.toString),
+              s"step $step: txn round $applied missing on $t"))
+          case 4 if model.size >= 2 => // STALE transaction: all-or-nothing
+            val ts = rnd.shuffle(model.keys.toSeq).take(2)
+            val changes = ts.zipWithIndex.map { case (t, i) =>
+              val head = cat.loadTable(t).currentSnapshotId.getOrElse(-1L)
+              // the SECOND change pins a bogus head — the whole txn must 409
+              val pin = if (i == 0) head else head + 7777
+              s"""{"identifier": {"namespace": ["wh"], "name": "$t"},
+                 |"requirements": [{"type": "assert-ref-snapshot-id",
+                 |  "ref": "main", "snapshot-id": $pin}],
+                 |"updates": [{"action": "set-properties",
+                 |  "updates": {"poison": "yes"}}]}"""
+                .stripMargin.replace("\n", " ")
+            }
+            val resp = post("/v1/p/transactions/commit",
+              s"""{"table-changes": [${changes.mkString(",")}]}""")
+            assert(resp.statusCode() == 409, s"step $step stale txn: ${resp.body()}")
+            ts.foreach(t => assert(!cat.loadTable(t).properties.contains("poison"),
+              s"step $step: stale txn leaked onto $t"))
+          case 5 if model.size >= 2 => // REST drop (keep at least one table)
+            val t = randomTable().get
+            assert(delete(s"/v1/p/namespaces/wh/tables/$t") == 204)
+            model -= t
+            // views OVER THE DROPPED TABLE break at read, loudly (late
+            // binding); views over surviving tables keep working
+            views.filter(_ == s"view_of_$t").foreach { v =>
+              val e = intercept[Exception](
+                spark.sql(s"SELECT * FROM $catName.$v").collect())
+              assert(e.getMessage.contains("does not exist"), e.getMessage)
+            }
+            views.foreach(v => assert(delete(s"/v1/p/namespaces/wh/views/$v") == 204))
+            views = Set.empty
+          case _ => randomTable().foreach { t => // view create or drop
+            val v = s"view_of_$t"
+            if (!views.contains(v) && model.contains(t)) {
+              Views.create(spark, cat, v,
+                s"SELECT id, v FROM $catName.$t WHERE id % 2 = 0", orReplace = false)
+              views += v
+              val expect = model(t).keys.count(_ % 2 == 0)
+              assert(spark.sql(s"SELECT count(*) AS c FROM $catName.$v")
+                .head.getLong(0) == expect, s"step $step: view row count")
+            }
+          }
+        }
+        // ---- invariants every step: listings partition the namespace,
+        // every table's MOR read equals the model
+        val listed = IcebergRestImport.resolvePrefix(srv.uri, None) // touch config
+        val _ = listed
+        val tl = post("/v1/p/namespaces/wh/tables", "").statusCode() // POST {} is 400
+        assert(tl == 400)
+        for ((t, rows) <- model) {
+          val got = IceRead.table(spark, cat, t)
+            .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+          assert(got == rows, s"seed $seed step $step: $t diverged from model " +
+            s"(missing ${(rows.keySet -- got.keySet).take(5)}, " +
+            s"extra ${(got.keySet -- rows.keySet).take(5)})")
+        }
+        assert(cat.listTables.filterNot(n =>
+          Views.isView(cat.loadTable(n))).toSet == model.keySet,
+          s"seed $seed step $step: catalog tables != model")
+      }
+    } finally { srv.stop(); GraftSql.unregister(catName) }
+  }
 }

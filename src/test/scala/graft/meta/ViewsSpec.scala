@@ -120,6 +120,74 @@ class ViewsSpec extends AnyFunSuite {
     GraftSql.unregister("vprune")
   }
 
+  test("foreign dialects, temp-view refusal, missing-schema refusal") {
+    import org.json4s.jackson.JsonMethods
+    val cat = freshCatalog("vdx")
+    IceWrite.create(spark, cat, "base", Seq((1L, 2L), (3L, 4L)).toDF("k", "v"))
+
+    // a FOREIGN view whose representations are all trino-dialect: the
+    // import succeeds (metadata is dialect-agnostic), the READ refuses by
+    // dialect name — Trino's "quoted identifiers" would parse as Spark
+    // string literals and return silently wrong rows otherwise
+    val foreign =
+      """{"view-uuid": "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee",
+        |  "format-version": 1, "current-version-id": 4,
+        |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+        |    {"id": 1, "name": "k", "required": false, "type": "long"}]}],
+        |  "versions": [
+        |    {"version-id": 2, "timestamp-ms": 100, "schema-id": 0,
+        |     "representations": [{"type": "sql",
+        |       "sql": "SELECT \"k\" FROM t", "dialect": "trino"}],
+        |     "default-namespace": ["wh"]},
+        |    {"version-id": 4, "timestamp-ms": 200, "schema-id": 0,
+        |     "representations": [{"type": "sql",
+        |       "sql": "SELECT \"k\" FROM t WHERE \"k\" > 0", "dialect": "trino"}],
+        |     "default-namespace": ["wh"]}]}""".stripMargin
+    IcebergImport.importIcebergViewMetadataJson(cat, "vf", JsonMethods.parse(foreign))
+    val imported = cat.loadTable("vf")
+    assert(Views.versions(imported).map(_._1) == Seq(2, 4), "sparse ids kept verbatim")
+    val e = intercept[Exception](spark.sql("SELECT * FROM vdx.vf").collect())
+    assert(e.getMessage.contains("trino"), e.getMessage)
+
+    // CREATE OR REPLACE with Spark SQL: the head works, and a re-export
+    // labels each version with ITS OWN dialect (trino history, spark head)
+    spark.sql("CREATE OR REPLACE VIEW vdx.vf AS SELECT k FROM vdx.base")
+    assert(spark.sql("SELECT * FROM vdx.vf").count() == 2L)
+    val rex = JsonMethods.parse(MetaIO.readString(
+      IcebergExport.exportIcebergViewMetadata(cat, "vf")))
+    import org.json4s._
+    val dialects = (rex \ "versions") match {
+      case JArray(vs) => vs.map(v =>
+        (v \ "version-id").values.toString ->
+          ((v \ "representations") (0) \ "dialect").values.toString).toMap
+      case _ => fail("no versions")
+    }
+    assert(dialects == Map("2" -> "trino", "4" -> "trino", "5" -> "spark"), dialects)
+
+    // definitions referencing session TEMPORARY views refuse at create
+    Seq((9L, 9L)).toDF("k", "v").createOrReplaceTempView("vdx_tmp")
+    val tmp = intercept[Exception](
+      spark.sql("CREATE VIEW vdx.overtmp AS SELECT k FROM vdx_tmp"))
+    assert(tmp.getMessage.contains("TEMPORARY"), tmp.getMessage)
+    assert(!cat.tableExists("overtmp"))
+    // ...but the same name as a CTE alias shadows the temp view: allowed
+    spark.sql("CREATE VIEW vdx.overcte AS " +
+      "WITH vdx_tmp AS (SELECT k FROM vdx.base) SELECT k FROM vdx_tmp")
+    assert(spark.sql("SELECT * FROM vdx.overcte").count() == 2L)
+
+    // a document whose current version references a MISSING schema
+    // refuses at IMPORT, not with a confusing 400 at a later serve
+    val badSchema = foreign.replace(
+      "\"schemas\": [{\"type\": \"struct\", \"schema-id\": 0",
+      "\"schemas\": [{\"type\": \"struct\", \"schema-id\": 7")
+    val bs = intercept[RuntimeException](
+      IcebergImport.importIcebergViewMetadataJson(cat, "vbad",
+        JsonMethods.parse(badSchema)))
+    assert(bs.getMessage.contains("schema"), bs.getMessage)
+    assert(!cat.tableExists("vbad"))
+    GraftSql.unregister("vdx")
+  }
+
   test("Iceberg view spec v1: export -> import round-trips versions, uuid, schema") {
     val cat = freshCatalog("vx")
     IceWrite.create(spark, cat, "base",
