@@ -60,6 +60,9 @@ import org.apache.spark.sql.types.DataType
   * TRUNCATE TABLE graft.t                              -- one-snapshot empty
   * DROP TABLE [IF EXISTS] graft.t
   * SHOW TABLES IN graft [LIKE 't*']
+  * CREATE [OR REPLACE] VIEW graft.v AS SELECT ...      -- versioned catalog
+  * DROP VIEW [IF EXISTS] graft.v                       -- views ([[Views]])
+  * SHOW VIEWS IN graft [LIKE 'v*']
   * ALTER TABLE graft.t ADD COLUMNS (x DOUBLE,          -- schema evolution:
   *   tag STRING DEFAULT 'none')                        -- v3 initial-default
   * ALTER TABLE graft.t ALTER COLUMN k TYPE BIGINT      -- widening only
@@ -194,6 +197,14 @@ object GraftSql {
               resolve(spark, ns.multipartIdentifier.head).isDefined =>
           ShowTablesCommand(ns.multipartIdentifier.head, st.pattern, st.output)
         case _ => st
+      }
+
+      case sv: org.apache.spark.sql.catalyst.plans.logical.ShowViews => sv.namespace match {
+        case ns: UnresolvedNamespace
+            if ns.multipartIdentifier.lengthCompare(1) == 0 &&
+              resolve(spark, ns.multipartIdentifier.head).isDefined =>
+          ShowViewsCommand(ns.multipartIdentifier.head, sv.pattern, sv.output)
+        case _ => sv
       }
 
       case ac: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
@@ -1490,6 +1501,23 @@ object GraftSql {
       cat.listTables.sorted
         .filter(t => re.forall(_.matcher(t).matches()))
         .map(t => Row(catalogName, t, false))
+    }
+  }
+
+  /** `SHOW VIEWS IN cat [LIKE 'pat']` -> the view-marked catalog entries
+    * ([[Views.isView]]), with Spark's SHOW VIEWS output schema. */
+  final case class ShowViewsCommand(catalogName: String,
+      pattern: Option[String], override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOrDie(spark, catalogName)
+      val re = pattern.map(p =>
+        java.util.regex.Pattern.compile(p.replace("*", ".*"),
+          java.util.regex.Pattern.CASE_INSENSITIVE))
+      cat.listTables.sorted
+        .filter(v => Views.isView(cat.loadTable(v)))
+        .filter(v => re.forall(_.matcher(v).matches()))
+        .map(v => Row(catalogName, v, false))
     }
   }
 }

@@ -72,6 +72,12 @@ class ViewsSpec extends AnyFunSuite {
     val ddl = spark.sql("SHOW CREATE TABLE vw.evens").head.getString(0)
     assert(ddl.startsWith("CREATE VIEW vw.evens AS") && ddl.contains("id % 2 = 1"))
 
+    // SHOW VIEWS lists exactly the view entries (tables excluded)
+    val shown = spark.sql("SHOW VIEWS IN vw").collect()
+      .map(r => r.getString(1)).toSet
+    assert(shown == Set("evens", "evens_top"), shown)
+    assert(spark.sql("SHOW VIEWS IN vw LIKE 'evens'").count() == 1L)
+
     // CREATE TABLE cannot silently replace a view either
     val ct = intercept[Exception](
       spark.sql("CREATE TABLE vw.evens (x BIGINT)"))
