@@ -194,6 +194,75 @@ class ViewsSpec extends AnyFunSuite {
     GraftSql.unregister("vdx")
   }
 
+  test("view-spec round-trip property fuzz: random histories survive import -> export -> import") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val rnd = new scala.util.Random(1234)
+    val cat = LocalCatalog(Files.createTempDirectory("views-fuzz").toString)
+    val types = Seq("long", "string", "int", "double", "boolean", "date")
+    for (case_ <- 1 to 30) {
+      // random SPARSE ascending version ids, mixed dialects, random sqls
+      var id = 0
+      val versionIds = (1 to (1 + rnd.nextInt(5))).map { _ =>
+        id += 1 + rnd.nextInt(4); id
+      }
+      val curId = versionIds(rnd.nextInt(versionIds.size))
+      val dialects = versionIds.map(_ =>
+        Seq("spark", "trino", "hive")(rnd.nextInt(3)))
+      val nFields = 1 + rnd.nextInt(4)
+      val fieldsJ = (1 to nFields).map(i =>
+        (("id" -> i) ~ ("name" -> s"c$i") ~ ("required" -> rnd.nextBoolean()) ~
+          ("type" -> types(rnd.nextInt(types.size)))): JValue)
+      val doc: JValue =
+        ("view-uuid" -> java.util.UUID.nameUUIDFromBytes(
+          s"fuzz-$case_".getBytes).toString) ~
+          ("format-version" -> 1) ~
+          ("current-version-id" -> curId) ~
+          ("schemas" -> List(("type" -> "struct") ~ ("schema-id" -> 0) ~
+            ("fields" -> fieldsJ.toList))) ~
+          ("versions" -> versionIds.zip(dialects).map { case (v, d) =>
+            (("version-id" -> v) ~
+              ("timestamp-ms" -> (1700000000000L + rnd.nextInt(1000000))) ~
+              ("schema-id" -> 0) ~
+              ("representations" -> List(
+                ("type" -> "sql") ~
+                  ("sql" -> s"SELECT c1 FROM t_$case_ WHERE c1 > $v") ~
+                  ("dialect" -> d))) ~
+              ("default-namespace" -> List("wh"))): JValue
+          }.toList) ~
+          ("properties" -> (("owner" -> s"team$case_"): JValue))
+      val name = s"vfz$case_"
+      val first = IcebergImport.importIcebergViewMetadataJson(cat, name, doc)
+      val path = IcebergExport.exportIcebergViewMetadata(cat, name)
+      val cat2 = LocalCatalog(Files.createTempDirectory("views-fuzz2").toString)
+      val second = IcebergImport.importIcebergViewMetadata(cat2, name, path)
+      // versions (sparse ids, sql, timestamps), per-version dialects,
+      // current pointer, identity, schema and foreign properties all
+      // survive the full loop
+      assert(Views.versions(second) == Views.versions(first), s"case $case_")
+      versionIds.zip(dialects).foreach { case (v, d) =>
+        assert(second.properties.get(Views.versionDialectKey(v)).contains(d),
+          s"case $case_ version $v dialect")
+      }
+      assert(second.properties(Views.CurrentVersionKey) == curId.toString)
+      assert(second.stableUuid == first.stableUuid, s"case $case_ uuid")
+      assert(second.schema == first.schema, s"case $case_ schema")
+      assert(second.properties.get("owner").contains(s"team$case_"))
+      // the re-exported doc labels every version with ITS OWN dialect
+      val rex = JsonMethods.parse(MetaIO.readString(path))
+      (rex \ "versions") match {
+        case JArray(vs) => vs.foreach { v =>
+          val vid = (v \ "version-id").values.toString.toInt
+          val want = dialects(versionIds.indexOf(vid))
+          assert(((v \ "representations") (0) \ "dialect") == JString(want),
+            s"case $case_ re-export dialect of version $vid")
+        }
+        case _ => fail(s"case $case_: no versions in re-export")
+      }
+    }
+  }
+
   test("Iceberg view spec v1: export -> import round-trips versions, uuid, schema") {
     val cat = freshCatalog("vx")
     IceWrite.create(spark, cat, "base",
