@@ -905,14 +905,26 @@ object GraftSql {
     }
   }
 
-  /** `CREATE [OR REPLACE] VIEW cat.v AS <query>` -> [[Views.create]].
-    * The definition analyzes at RUN time (it may read graft relations),
-    * pinning the schema and appending a view VERSION. */
+  /** `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] cat.v [(a, b)] AS
+    * <query>` -> [[Views.create]]. The definition analyzes at RUN time
+    * (it may read graft relations), pinning the schema and appending a
+    * view VERSION. A column-alias list renames the query's output
+    * columns (stored as part of the definition, so exports and foreign
+    * readers see the aliased schema); IF NOT EXISTS no-ops when the name
+    * is taken, like Spark's. */
   final case class CreateViewCommand(catalogName: String, view: String,
-      sql: String, orReplace: Boolean) extends LeafRunnableCommand {
+      sql: String, orReplace: Boolean, ifNotExists: Boolean = false,
+      columnAliases: Seq[String] = Nil) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOrDie(spark, catalogName)
-      Views.create(spark, cat, view, sql, orReplace = orReplace)
+      if (ifNotExists && cat.tableExists(view)) return Seq.empty
+      val effectiveSql =
+        if (columnAliases.isEmpty) sql
+        // subquery alias with a column list IS Spark's rename-outputs
+        // form; an alias-count mismatch fails analysis right here at
+        // CREATE, exactly when the user can fix it
+        else s"SELECT * FROM ($sql) AS __graft_view_cols(${columnAliases.mkString(", ")})"
+      Views.create(spark, cat, view, effectiveSql, orReplace = orReplace)
       Seq.empty
     }
   }
@@ -1487,6 +1499,19 @@ object GraftSql {
         .getOrElse(throw new IllegalArgumentException(s"$proc: pass $name"))
   }
 
+  /** Spark's `SHOW ... LIKE` pattern semantics (StringUtils
+    * .filterPattern): `|`-separated alternatives, `*` the only wildcard,
+    * every OTHER character matching literally — so a pattern containing
+    * regex metacharacters (`(`, `+`, ...) matches names that contain
+    * them instead of throwing PatternSyntaxException. Case-insensitive. */
+  private[meta] def showLikePattern(p: String): java.util.regex.Pattern = {
+    val rx = p.trim.split("\\|", -1).map { alt =>
+      alt.split("\\*", -1).map(seg =>
+        if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg)).mkString(".*")
+    }.mkString("|")
+    java.util.regex.Pattern.compile(rx, java.util.regex.Pattern.CASE_INSENSITIVE)
+  }
+
   /** `SHOW TABLES IN cat [LIKE 'pat']` -> `Catalog.listTables`, emitted
     * with Spark's own SHOW TABLES output schema. */
   final case class ShowTablesCommand(catalogName: String,
@@ -1494,10 +1519,7 @@ object GraftSql {
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOrDie(spark, catalogName)
-      val re = pattern.map(p =>
-        java.util.regex.Pattern.compile(
-          p.replace("*", ".*"), // SHOW TABLES glob form ('|' alternation kept)
-          java.util.regex.Pattern.CASE_INSENSITIVE))
+      val re = pattern.map(showLikePattern)
       cat.listTables.sorted
         .filter(t => re.forall(_.matcher(t).matches()))
         .map(t => Row(catalogName, t, false))
@@ -1511,9 +1533,7 @@ object GraftSql {
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOrDie(spark, catalogName)
-      val re = pattern.map(p =>
-        java.util.regex.Pattern.compile(p.replace("*", ".*"),
-          java.util.regex.Pattern.CASE_INSENSITIVE))
+      val re = pattern.map(showLikePattern)
       cat.listTables.sorted
         .filter(v => Views.isView(cat.loadTable(v)))
         .filter(v => re.forall(_.matcher(v).matches()))

@@ -67,9 +67,13 @@ object GraftSqlParser {
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+(BRANCH|TAG)\s+(IF\s+EXISTS\s+)?(\S+?)\s*;?\s*$""".r
   // catalog VIEWS: only when the target catalog is registered — session
-  // (TEMPORARY) views never match this shape and keep Spark's grammar
+  // (TEMPORARY) views never match this shape and keep Spark's grammar.
+  // IF NOT EXISTS and the column-alias-list form `(a, b)` match too, so
+  // they get graft semantics (or a graft refusal) instead of falling
+  // through to Spark's parser and failing with a foreign-catalog error
   private val CreateViewRe =
-    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\S+)\s+AS\s+(.+?)\s*;?\s*$""".r
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """([^\s(]+)\s*(\([^)]*\))?\s+AS\s+(.+?)\s*;?\s*$""").r
   private val DropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\S+?)\s*;?\s*$""".r
 
@@ -103,10 +107,18 @@ object GraftSqlParser {
           strip(ref), isBranch = kind.equalsIgnoreCase("BRANCH"),
           ifExists = ifExists != null))
       }
-      case CreateViewRe(orReplace, ident, query) => target(spark, ident).map {
-        case (cat, v) =>
-          GraftSql.CreateViewCommand(cat, v, query.trim, orReplace != null)
-      }
+      case CreateViewRe(orReplace, ifNotExists, ident, colList, query) =>
+        target(spark, ident).map { case (cat, v) =>
+          require(orReplace == null || ifNotExists == null,
+            s"CREATE VIEW $cat.$v: cannot specify both OR REPLACE and IF NOT EXISTS")
+          val cols = Option(colList).map(_.trim.stripPrefix("(").stripSuffix(")")
+            .split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          cols.foreach(c => require(c.matches("`[^`]+`|[A-Za-z_][A-Za-z0-9_]*"),
+            s"CREATE VIEW $cat.$v: unsupported column specification '$c' — " +
+              "plain column alias names only (no COMMENT clauses)"))
+          GraftSql.CreateViewCommand(cat, v, query.trim, orReplace != null,
+            ifNotExists != null, cols)
+        }
       case DropViewRe(ifExists, ident) => target(spark, ident).map {
         case (cat, v) => GraftSql.DropViewCommand(cat, v, ifExists != null)
       }

@@ -786,8 +786,15 @@ object IcebergExport {
         ("sequence-number" -> snap.sequenceNumber) ~
         ("timestamp-ms" -> snap.timestampMs) ~
         ("manifest-list" -> listPath) ~
-        ("summary" -> (("operation" ->
-          snap.summary.getOrElse("operation", "append")): JValue)) ~
+        // the FULL summary map (spec: map<string,string> with operation
+        // required): custom snapshot properties a writer attached — and
+        // commit-identity markers REST clients rely on for
+        // commit-state-unknown recovery — must survive re-export. Sorted
+        // for byte-stable bodies per version.
+        ("summary" -> (JObject(
+          ("operation" -> (JString(snap.summary.getOrElse("operation", "append")): JValue)) ::
+            snap.summary.toList.filterNot(_._1 == "operation").sortBy(_._1)
+              .map { case (k, v) => k -> (JString(v): JValue) }): JValue)) ~
         ("schema-id" -> 0)
       // v3 row lineage: the first row id assigned by this snapshot (files
       // added here carry explicit values; this is their minimum)

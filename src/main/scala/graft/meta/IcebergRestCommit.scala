@@ -181,14 +181,18 @@ object IcebergRestCommit {
         "parent-snapshot-id" -> curId.map(_.toString).getOrElse("null")),
         carried :+ le)
 
-      // ---- 3. commit
+      // ---- 3. commit. The summary carries a per-attempt marker: servers
+      // that re-render metadata (graft re-exports its own manifest lists)
+      // keep summary keys verbatim, so the marker is how a failed-looking
+      // commit can be CHECKED for having actually applied (below)
       val snapshotJ: JValue =
         ("snapshot-id" -> newSnapId) ~
           ("parent-snapshot-id" -> curId) ~
           ("sequence-number" -> newSeq) ~
           ("timestamp-ms" -> System.currentTimeMillis()) ~
           ("manifest-list" -> listPath) ~
-          ("summary" -> (("operation" -> "append"): JValue)) ~
+          ("summary" -> (("operation" -> "append") ~
+            ("graft.commit-uuid" -> tag): JValue)) ~
           ("schema-id" -> lng(m \ "current-schema-id"))
       val reqJ: JValue =
         ("identifier" -> (("namespace" -> namespace) ~ ("name" -> table))) ~
@@ -206,16 +210,46 @@ object IcebergRestCommit {
           JsonMethods.compact(JsonMethods.render(reqJ)))), authToken)
       resp.statusCode() match {
         case 200 => return newSnapId
-        case 409 if attempt < maxRetries =>
-          // someone moved the head — reload and rebuild. The losing
-          // attempt's staged avro is referenced by NOTHING (the table's
-          // orphan sweep never visits a foreign staging dir), so delete
-          // it here rather than leak two files per lost race
-          MetaIO.delete(mPath); MetaIO.delete(listPath)
-          attempt += 1
         case code =>
-          MetaIO.delete(mPath); MetaIO.delete(listPath)
-          sys.error(s"commit $route failed: HTTP $code ${resp.body().take(500)}")
+          // A non-200 does NOT prove the commit was not applied: a server
+          // can commit first and only then fail rendering the response
+          // (graft's own endpoint 409s a v3-wire export refusal AFTER the
+          // CAS), and catalogs behind proxies can answer 5xx post-apply.
+          // Deleting the staged avro then would leave the COMMITTED
+          // snapshot referencing dead files — table corruption. So:
+          // reload and look for this attempt's unique marker before
+          // touching the staged files (Iceberg's CommitStateUnknown
+          // handling); delete only on a PROVEN no-apply.
+          val applied: Option[Boolean] =
+            try {
+              val re = send(HttpRequest.newBuilder(URI.create(route)).GET(), authToken)
+              if (re.statusCode() != 200) None
+              else Some(arr(JsonMethods.parse(re.body()) \ "metadata" \ "snapshots")
+                .exists(s => (s \ "manifest-list") == JString(listPath) ||
+                  (s \ "summary" \ "graft.commit-uuid") == JString(tag)))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          applied match {
+            case Some(true) =>
+              // applied despite the error answer — the commit IS durable
+              return newSnapId
+            case Some(false) if code == 409 && attempt < maxRetries =>
+              // someone moved the head — reload and rebuild. The losing
+              // attempt's staged avro is referenced by NOTHING (the
+              // table's orphan sweep never visits a foreign staging
+              // dir), so delete it rather than leak two files per race
+              MetaIO.delete(mPath); MetaIO.delete(listPath)
+              attempt += 1
+            case Some(false) =>
+              MetaIO.delete(mPath); MetaIO.delete(listPath)
+              sys.error(s"commit $route failed: HTTP $code ${resp.body().take(500)}")
+            case None =>
+              // commit state UNKNOWN (the follow-up load failed too):
+              // keep the staged files — orphans are recoverable, a
+              // committed snapshot over deleted files is not
+              sys.error(s"commit $route failed with HTTP $code and the " +
+                "follow-up load could not determine whether it applied — " +
+                s"staged files kept: $mPath, $listPath. ${resp.body().take(300)}")
+          }
       }
     }
     sys.error("unreachable")

@@ -52,27 +52,36 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     prefix: String = "graft", bearerToken: Option[String] = None, port: Int = 0) {
 
   /** Fully-RENDERED LoadTableResult/LoadViewResult bodies cached per
-    * (STABLE UUID, version) — metadata-location must be the actual
-    * `*.metadata.json` file (not its directory), and caching the final
-    * body means repeated loads of an unchanged table cost neither a
-    * re-export nor an O(metadata-size) re-parse/re-render. The uuid key
-    * (not the name) is what makes DROP + RECREATE safe: the recreated
-    * incarnation restarts at version 1 but carries a FRESH uuid, so it
-    * can never hit the previous incarnation's cached body — and tables
-    * and views can never collide however they are named. Older versions
-    * of the same uuid evict on insert, bounding the map. */
+    * (catalog entry NAME, stable uuid, version) — metadata-location must
+    * be the actual `*.metadata.json` file (not its directory), and
+    * caching the final body means repeated loads of an unchanged table
+    * cost neither a re-export nor an O(metadata-size) re-parse/re-render.
+    * A native DROP + RECREATE mints a fresh uuid and can never hit the
+    * old body; but REGISTER/import deliberately PRESERVE the foreign
+    * table-uuid and restart the version counter, so a drop + re-register
+    * of the same source could reach a (uuid, version) pair the old
+    * incarnation had cached — hence the name in the key AND [[purge]] on
+    * every lifecycle mutation this server performs. (Out-of-band native
+    * re-registration under the same name while serving is not covered —
+    * mutate served catalogs through the server or restart it.) Older
+    * versions of the same entry evict on insert, bounding the map. */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), String]()
 
-  private def cached(meta: TableMetadata)(build: => String): String = {
-    val key = (meta.stableUuid, meta.version)
+  private def cached(name: String, meta: TableMetadata)(build: => String): String = {
+    val key = (name, meta.stableUuid, meta.version)
     val hit = cache.get(key)
     if (hit != null) return hit
     val body = build
     cache.put(key, body)
-    cache.keySet.removeIf(k => k._1 == key._1 && k._2 < key._2)
+    cache.keySet.removeIf(k => k._1 == key._1 && k._2 == key._2 && k._3 < key._3)
     body
   }
+
+  /** Drops every cached body for catalog entry `name` — on DELETE,
+    * register, and create, so a recurring (uuid, version) from a
+    * re-registered source can never serve a prior incarnation's body. */
+  private def purge(name: String): Unit = cache.keySet.removeIf(_._1 == name)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -150,12 +159,12 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         val t = tableOf(path).get
         if (!catalog.tableExists(t) || isViewEntry(t))
           err(s"table $t not found", 404)
-        else { catalog.dropTable(t); 204 -> "" }
+        else { catalog.dropTable(t); purge(t); 204 -> "" }
       }
       else if (method == "DELETE" && viewOf(path).nonEmpty) {
         val v = viewOf(path).get
         if (!isViewEntry(v)) err(s"view $v not found", 404)
-        else { catalog.dropTable(v); 204 -> "" }
+        else { catalog.dropTable(v); purge(v); 204 -> "" }
       }
       else if (method == "HEAD" && tableOf(path).nonEmpty)
         // spec table-existence check: status only, no body
@@ -227,7 +236,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private def loadTableResult(table: String): (Int, String) = {
     val meta = catalog.loadTable(table)
     val body =
-      try cached(meta) {
+      try cached(table, meta) {
         val jsonPath = IcebergExport.exportIcebergMetadata(catalog, table)
         // metadata-location is the exported *.metadata.json itself (spec
         // clients that honor it over the embedded copy must land on a
@@ -315,6 +324,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       case e: RuntimeException =>
         return err(s"cannot create $tname: ${e.getMessage}", 400)
     }
+    purge(tname)
     loadTableResult(tname)
   }
 
@@ -324,7 +334,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private def loadViewResult(view: String): (Int, String) = {
     val meta = catalog.loadTable(view)
     val body =
-      try cached(meta) {
+      try cached(view, meta) {
         val jsonPath = IcebergExport.exportIcebergViewMetadata(
           catalog, view, defaultNamespace = namespace)
         JsonMethods.compact(JsonMethods.render(
@@ -370,6 +380,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
               case o: JObject => o; case _ => JObject(Nil)
             }))
         IcebergImport.importIcebergViewMetadataJson(catalog, vname, doc)
+        purge(vname)
         vname
       } catch {
         case e: Exception =>
@@ -396,6 +407,9 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       case e: Exception =>
         return err(s"cannot register $tname from $loc: ${e.getMessage}", 400)
     }
+    // a re-registered source PRESERVES its foreign uuid and restarts the
+    // version counter — stale bodies for this name must go
+    purge(tname)
     loadTableResult(tname)
   }
 

@@ -463,7 +463,11 @@ object TableMetadata {
     // physical-rewrite marker (set by compaction commits, consumed by the
     // changelog); copying it forward would mark every later snapshot as a
     // rewrite
-    "rewrite"
+    "rewrite",
+    // REST client per-attempt commit marker ([[IcebergRestCommit]]):
+    // identifies exactly ONE commit for commit-state-unknown recovery —
+    // inheriting it would make every later snapshot claim that identity
+    "graft.commit-uuid"
   )
   def preservedProperties(summary: Map[String, String]): Map[String, String] =
     summary.filterNot { case (k, _) =>

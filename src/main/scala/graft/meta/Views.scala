@@ -92,33 +92,40 @@ object Views {
     * Spark gives `CREATE VIEW ... FROM <temp>`. CTE aliases shadow temp
     * views of the same name and are excluded. */
   private def refuseTempReferences(spark: SparkSession, sql: String): Unit = {
-    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-    val cteNames = parsed.collect {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    // scope-AWARE walk: a CTE name shadows a temp view only inside the
+    // WITH subtree that defines it (each definition additionally sees the
+    // preceding names, plus its own for WITH RECURSIVE) — a same-named
+    // reference in an unrelated subquery is NOT excused, or a
+    // session-dependent definition could slip into the catalog
+    def walk(p: LogicalPlan, scope: Set[String]): Unit = p match {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
-    }.flatten.toSet
-    def walk(p: LogicalPlan): Unit = p.foreach { node =>
-      node match {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-          val parts = u.multipartIdentifier
-          val shadowedByCte = parts.lengthCompare(1) == 0 &&
-            cteNames.contains(parts.head.toLowerCase(java.util.Locale.ROOT))
-          if (!shadowedByCte && spark.sessionState.catalog.isTempView(parts))
-            throw new IllegalArgumentException(
-              s"CREATE VIEW: the definition references TEMPORARY view " +
-                s"${parts.mkString(".")} — persistent views may reference " +
-                "catalog objects only")
-        case _ => ()
-      }
-      // subquery expressions (IN/EXISTS/scalar) hold their own plans,
-      // which TreeNode.foreach does not descend into
-      node.expressions.foreach(_.foreach {
-        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-          walk(s.plan)
-        case _ => ()
-      })
+        var inner = scope
+        w.cteRelations.foreach { r => inner += lc(r._1); walk(r._2, inner) }
+        walk(w.child, inner)
+      case node =>
+        node match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            val parts = u.multipartIdentifier
+            val shadowedByCte =
+              parts.lengthCompare(1) == 0 && scope.contains(lc(parts.head))
+            if (!shadowedByCte && spark.sessionState.catalog.isTempView(parts))
+              throw new IllegalArgumentException(
+                s"CREATE VIEW: the definition references TEMPORARY view " +
+                  s"${parts.mkString(".")} — persistent views may reference " +
+                  "catalog objects only")
+          case _ => ()
+        }
+        node.children.foreach(walk(_, scope))
+        // subquery expressions (IN/EXISTS/scalar) hold their own plans,
+        // which child traversal does not descend into
+        node.expressions.foreach(_.foreach {
+          case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            walk(s.plan, scope)
+          case _ => ()
+        })
     }
-    walk(parsed)
+    walk(spark.sessionState.sqlParser.parsePlan(sql), Set.empty)
   }
 
   /** Drops a view; refuses when the name holds a data table. */
@@ -141,9 +148,14 @@ object Views {
     val key = (catName.toLowerCase(java.util.Locale.ROOT),
       name.toLowerCase(java.util.Locale.ROOT))
     val stack = resolving.get()
-    require(stack.add(key),
-      s"view $catName.$name is recursive (its definition references itself, " +
-        "directly or through another view)")
+    // the add-check stays OUTSIDE the try: the finally below must remove
+    // the key only when THIS frame added it — a cycle detection (add
+    // fails, throws here) must leave the outer frames' guard entries
+    // intact while the exception unwinds through their own finallys
+    if (!stack.add(key))
+      throw new IllegalArgumentException(
+        s"view $catName.$name is recursive (its definition references itself, " +
+          "directly or through another view)")
     try {
       val meta = catalog.loadTable(name)
       // an imported view whose current representation is another engine's

@@ -776,4 +776,132 @@ class IcebergRestServeSpec extends AnyFunSuite {
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     } finally srv.stop()
   }
+
+  test("drop + re-register of the same source serves the NEW incarnation, not a cached body") {
+    // register/import PRESERVE the foreign uuid and restart the version
+    // counter, so (uuid, version) alone recurs across incarnations — the
+    // response cache must purge on lifecycle mutations
+    val src = freshCatalog()
+    IceWrite.create(spark, src, "s", (1L to 5L).map(i => (i, s"n$i")).toDF("a", "b"))
+    val cat = freshCatalog()
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def post(path: String, body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val exp1 = IcebergExport.exportIcebergMetadata(src, "s")
+      val r1 = post("/v1/p/namespaces/wh/register",
+        s"""{"name": "adopt", "metadata-location": "$exp1"}""")
+      assert(r1.statusCode() == 200, r1.body())
+      // prime the cache through a read, too
+      val g1 = JsonMethods.parse(get(
+        s"${srv.uri}/v1/p/namespaces/wh/tables/adopt").body())
+      assert((g1 \ "metadata" \ "snapshots").asInstanceOf[JArray].arr.size == 1)
+
+      // the SOURCE advances; the follower drops + re-registers (same
+      // uuid, version counter restarts — the stale-cache trap)
+      IceWrite.append(spark, src, "s", Seq((100L, "late")).toDF("a", "b"))
+      val exp2 = IcebergExport.exportIcebergMetadata(src, "s")
+      assert(http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/adopt")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 204)
+      val r2 = post("/v1/p/namespaces/wh/register",
+        s"""{"name": "adopt", "metadata-location": "$exp2"}""")
+      assert(r2.statusCode() == 200, r2.body())
+      assert(cat.loadTable("adopt").stableUuid == src.loadTable("s").stableUuid,
+        "re-register must preserve the foreign uuid (the scenario under test)")
+      val g2 = JsonMethods.parse(get(
+        s"${srv.uri}/v1/p/namespaces/wh/tables/adopt").body())
+      assert((g2 \ "metadata" \ "snapshots").asInstanceOf[JArray].arr.size == 2,
+        "a recurring (uuid, version) must serve the NEW incarnation's body")
+      assert((r2.body() != r1.body()) && (g2 \ "metadata" \ "current-snapshot-id") ==
+        JInt(BigInt(src.loadTable("s").currentSnapshotId.get)))
+    } finally srv.stop()
+  }
+
+  test("client commit-state-unknown: a post-apply error response must not delete staged files") {
+    import com.sun.net.httpserver.HttpServer
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "orders", (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"))
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    // a proxy that FORWARDS every request to the real server but answers
+    // 500 to successful commit POSTs — the commit applies server-side,
+    // the client sees an error (the post-apply-5xx shape)
+    // dropCommits=false: POSTs forward, successful commits answer 500
+    // (applied-then-error). dropCommits=true: POSTs are NOT forwarded
+    // (commit does not apply), answer 500, and table GETs start failing
+    // too — the genuinely-UNKNOWN shape.
+    val dropCommits = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failGets = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val proxy = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    proxy.createContext("/", ex => {
+      val path = ex.getRequestURI.toString
+      val body = ex.getRequestBody.readAllBytes()
+      val isCommit = ex.getRequestMethod == "POST" && path.endsWith("/tables/orders")
+      val isTableGet = ex.getRequestMethod == "GET" && path.endsWith("/tables/orders")
+      val (code, bytes) =
+        if (isCommit && dropCommits.get()) {
+          failGets.set(true); (500, "{}".getBytes("UTF-8"))
+        } else if (isTableGet && failGets.get()) (500, "{}".getBytes("UTF-8"))
+        else {
+          val fb = HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+          Option(ex.getRequestHeaders.getFirst("Content-Type"))
+            .foreach(ct => fb.header("Content-Type", ct))
+          val resp = http.send(
+            (if (ex.getRequestMethod == "POST")
+              fb.POST(HttpRequest.BodyPublishers.ofByteArray(body)) else fb.GET()).build(),
+            HttpResponse.BodyHandlers.ofString())
+          val c = if (isCommit && resp.statusCode() == 200) 500 else resp.statusCode()
+          (c, resp.body().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    proxy.start()
+    val proxyUri = s"http://127.0.0.1:${proxy.getAddress.getPort}"
+    try {
+      val staging = Files.createTempDirectory("rest-unknown").toString
+      val schema = cat.loadTable("orders").schema
+      val (p1, sz1, n1, _) = graft.testkit.FileGenerator.writeSingleParquet(
+        spark, IceWrite.withFieldIds(
+          (100L to 109L).map(i => (i, s"x$i")).toDF("id", "name"), schema),
+        java.nio.file.Paths.get(staging, "u1.parquet"))
+      // the commit APPLIES but answers 500: the client must detect the
+      // applied snapshot via its follow-up load and report SUCCESS —
+      // deleting the staged manifests here would corrupt the table
+      val snapId = IcebergRestCommit.appendFiles(proxyUri, Seq("wh"), "orders",
+        Seq(IcebergRestCommit.AddedFile(p1, sz1, n1)), staging)
+      assert(cat.loadTable("orders").currentSnapshotId.contains(snapId))
+      assert(IceRead.table(spark, cat, "orders").count() == 20L,
+        "the applied-despite-500 commit must be readable (staged avro intact)")
+
+      val avros1 = MetaIO.listFiles(staging).map(_._1).filter(_.endsWith(".avro"))
+      assert(avros1.size == 2,
+        s"the applied commit's staged manifest+list must remain: $avros1")
+
+      // now the GENUINELY-UNKNOWN shape: the commit POST is dropped (500,
+      // never applied) and the follow-up load fails too — the client must
+      // KEEP the staged files (deleting could corrupt an applied commit it
+      // cannot observe) and surface the ambiguity
+      dropCommits.set(true)
+      val (p2, sz2, n2, _) = graft.testkit.FileGenerator.writeSingleParquet(
+        spark, IceWrite.withFieldIds(
+          (200L to 209L).map(i => (i, s"y$i")).toDF("id", "name"), schema),
+        java.nio.file.Paths.get(staging, "u2.parquet"))
+      val e = intercept[RuntimeException](
+        IcebergRestCommit.appendFiles(proxyUri, Seq("wh"), "orders",
+          Seq(IcebergRestCommit.AddedFile(p2, sz2, n2)), staging))
+      assert(e.getMessage.contains("could not determine"), e.getMessage)
+      assert(e.getMessage.contains("kept"), e.getMessage)
+      val avros2 = MetaIO.listFiles(staging).map(_._1).filter(_.endsWith(".avro"))
+      assert(avros2.size == 4,
+        s"unknown-state staged files must be KEPT, not deleted: $avros2")
+      // ...and the table was genuinely untouched by the dropped commit
+      assert(IceRead.table(spark, cat, "orders").count() == 20L)
+    } finally { proxy.stop(0); srv.stop() }
+  }
 }

@@ -291,4 +291,97 @@ class ViewsSpec extends AnyFunSuite {
     assert(a == b)
     GraftSql.unregister("vdst"); GraftSql.unregister("vx")
   }
+
+  test("CREATE VIEW IF NOT EXISTS + column alias lists get graft semantics") {
+    val cat = freshCatalog("vine")
+    IceWrite.create(spark, cat, "t", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+
+    // IF NOT EXISTS: creates when absent, no-ops (keeps the original
+    // definition) when the name is taken — not a foreign-catalog error
+    spark.sql("CREATE VIEW IF NOT EXISTS vine.a AS SELECT k FROM vine.t")
+    assert(spark.sql("SELECT * FROM vine.a").count() == 2L)
+    spark.sql("CREATE VIEW IF NOT EXISTS vine.a AS SELECT k FROM vine.t WHERE k = 1")
+    assert(spark.sql("SELECT * FROM vine.a").count() == 2L,
+      "IF NOT EXISTS over an existing view must keep the original definition")
+    assert(cat.loadTable("a").properties(Views.CurrentVersionKey) == "1")
+
+    // both clauses together refuse with a clear graft message
+    val both = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE VIEW IF NOT EXISTS vine.a AS SELECT k FROM vine.t"))
+    assert(both.getMessage.contains("cannot specify both"), both.getMessage)
+
+    // column-alias list renames the query's outputs (no-space form too)
+    spark.sql("CREATE VIEW vine.ren (key, `val`) AS SELECT k, v FROM vine.t")
+    assert(cat.loadTable("ren").schema.map(_.name) == Seq("key", "val"))
+    assert(spark.sql("SELECT key, val FROM vine.ren WHERE key = 2").head.getLong(1) == 20L)
+    spark.sql("CREATE VIEW vine.ren2(a,b) AS SELECT k, v FROM vine.t")
+    assert(cat.loadTable("ren2").schema.map(_.name) == Seq("a", "b"))
+
+    // an alias-count mismatch fails AT CREATE, and nothing is persisted
+    val mism = intercept[Exception](spark.sql(
+      "CREATE VIEW vine.bad (x, y, z) AS SELECT k FROM vine.t"))
+    assert(!cat.tableExists("bad"), mism.getMessage)
+    // COMMENT clauses in the list refuse by name instead of mis-parsing
+    val cmt = intercept[Exception](spark.sql(
+      "CREATE VIEW vine.bad2 (x COMMENT 'c') AS SELECT k FROM vine.t"))
+    assert(cmt.getMessage.contains("column"), cmt.getMessage)
+    GraftSql.unregister("vine")
+  }
+
+  test("temp-view refusal is CTE-scope-aware, cycles report consistently") {
+    val cat = freshCatalog("vsc")
+    import spark.implicits._
+    IceWrite.create(spark, cat, "t", Seq((1L, 2L)).toDF("k", "v"))
+    Seq((9L, 9L)).toDF("k", "v").createOrReplaceTempView("vsc_tmp")
+
+    // a CTE named like the temp view excuses references INSIDE its WITH
+    // subtree only — the same name in an UNRELATED subquery still refers
+    // to the temp view and must refuse
+    val esc = intercept[Exception](spark.sql(
+      "CREATE VIEW vsc.leak AS SELECT * FROM " +
+        "(WITH vsc_tmp AS (SELECT k FROM vsc.t) SELECT k FROM vsc_tmp) a " +
+        "JOIN (SELECT k FROM vsc_tmp) b ON a.k = b.k"))
+    assert(esc.getMessage.contains("TEMPORARY"), esc.getMessage)
+    assert(!cat.tableExists("leak"))
+    // ...while the in-scope shadowing form still creates fine
+    spark.sql("CREATE VIEW vsc.ok AS " +
+      "WITH vsc_tmp AS (SELECT k FROM vsc.t) SELECT k FROM vsc_tmp")
+    assert(spark.sql("SELECT * FROM vsc.ok").count() == 1L)
+
+    // a cyclic view referenced TWICE in one query reports the cycle and
+    // leaves the guard clean — the next (repaired) read works
+    spark.sql("CREATE VIEW vsc.c1 AS SELECT k FROM vsc.t")
+    spark.sql("CREATE VIEW vsc.c2 AS SELECT k FROM vsc.c1")
+    spark.sql("CREATE OR REPLACE VIEW vsc.c1 AS SELECT k FROM vsc.c2")
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM vsc.c1 UNION ALL SELECT * FROM vsc.c1").collect())
+    assert(e1.getMessage.contains("recursive"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM vsc.c1 UNION ALL SELECT * FROM vsc.c1").collect())
+    assert(e2.getMessage.contains("recursive"), e2.getMessage)
+    spark.sql("CREATE OR REPLACE VIEW vsc.c1 AS SELECT k FROM vsc.t")
+    assert(spark.sql("SELECT * FROM vsc.c1 UNION ALL SELECT * FROM vsc.c1")
+      .count() == 2L)
+    GraftSql.unregister("vsc")
+  }
+
+  test("SHOW TABLES/VIEWS LIKE: '|' alternation and literal metacharacters") {
+    val cat = freshCatalog("vsl")
+    IceWrite.create(spark, cat, "t1", Seq((1L, 1L)).toDF("k", "v"))
+    spark.sql("CREATE VIEW vsl.v1 AS SELECT k FROM vsl.t1")
+    spark.sql("CREATE VIEW vsl.v2 AS SELECT v FROM vsl.t1")
+    spark.sql("CREATE VIEW vsl.other AS SELECT k FROM vsl.t1")
+
+    assert(spark.sql("SHOW VIEWS IN vsl LIKE 'v1|v2'").collect()
+      .map(_.getString(1)).toSet == Set("v1", "v2"))
+    assert(spark.sql("SHOW VIEWS IN vsl LIKE 'v*'").collect()
+      .map(_.getString(1)).toSet == Set("v1", "v2"))
+    // a regex metacharacter matches LITERALLY instead of throwing
+    assert(spark.sql("SHOW VIEWS IN vsl LIKE 'v(1)'").count() == 0L)
+    assert(spark.sql("SHOW TABLES IN vsl LIKE 't1|zzz'").collect()
+      .map(_.getString(1)).toSet == Set("t1"))
+    assert(spark.sql("SHOW TABLES IN vsl LIKE 't+'").count() == 0L,
+      "'+' is a literal, not a regex quantifier")
+    GraftSql.unregister("vsl")
+  }
 }
