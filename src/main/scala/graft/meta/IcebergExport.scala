@@ -380,7 +380,7 @@ object IcebergExport {
 
   /** Top-level field ids stamped in a parquet footer, by column name.
     * Footer-only read (no data pages). */
-  private def footerFieldIds(
+  private[meta] def footerFieldIds(
       conf: org.apache.hadoop.conf.Configuration, path: String): Map[String, Option[Int]] = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -391,7 +391,7 @@ object IcebergExport {
     finally r.close()
   }
 
-  private def posDeleteStamped(
+  private[meta] def posDeleteStamped(
       conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
     val ids = footerFieldIds(conf, path)
     ids.get("file_path").flatten.contains(2147483546) &&

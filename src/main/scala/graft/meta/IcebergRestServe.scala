@@ -27,10 +27,14 @@ import org.json4s.jackson.JsonMethods
   *    (`add-snapshot` + `set-snapshot-ref`, `set-properties`/
   *    `remove-properties`) map onto graft's own CAS commit. An added
   *    snapshot's manifest list — written by the client on shared
-  *    storage — is decoded with the import machinery and must be
-  *    APPEND-SHAPED on top of the current head (REST writers get the
-  *    same conservative contract as `cherrypick`); on v3 tables the
-  *    server assigns row lineage from the table's next-row-id cursor.
+  *    storage — is decoded with the import machinery and validated by
+  *    SHAPE ([[buildCommitShape]]): appends, row-deltas (foreign
+  *    DELETE/UPDATE/MERGE adding pos-deletes on v2 / DV Puffin entries
+  *    on v3 / equality deletes), and replace commits (a foreign
+  *    compactor's RewriteFiles, honoring the starting-sequence-number
+  *    rule) are all accepted with per-shape conflict validation; on v3
+  *    tables the server assigns row lineage from the table's
+  *    next-row-id cursor unless a rewrite preserves its own.
   *
   *  - table LIFECYCLE: `POST .../namespaces/{ns}/tables` (spec
   *    CreateTableRequest — the schema/partition-spec/write-order JSON is
@@ -534,36 +538,23 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         val headManifest = meta.currentSnapshot.map(_.manifest).getOrElse(Nil)
         val headKeys = headManifest.map(_.resolutionKey).toSet
         val newKeys = entries.map(_.resolutionKey).toSet
-        // append-shaped only: every live file still present, additions are
-        // plain data files that exist on storage
-        if (!headKeys.subsetOf(newKeys))
-          return err("commit removes files from the current snapshot — only " +
-            "append-shaped commits are accepted over REST", 400)
+        val removed = headManifest.filterNot(f => newKeys.contains(f.resolutionKey))
         val added = entries.filterNot(f => headKeys.contains(f.resolutionKey))
-        if (added.isEmpty)
-          return err("add-snapshot carries no new files", 400)
-        if (!added.forall(_.content == FileContent.Data))
-          return err("only data-file appends are accepted over REST (delete " +
-            "files change MOR semantics and stay with the owning engine)", 400)
-        added.find(f => !MetaIO.exists(f.path)).foreach(f =>
-          return err(s"added data file does not exist: ${f.path}", 400))
+        if (added.isEmpty && removed.isEmpty)
+          return err("add-snapshot carries no change against the current snapshot", 400)
         val newSeq = meta.lastSequenceNumber + 1
-        // server-side row lineage on v3 tables: ids come from THIS table's
-        // cursor, whatever the client proposed
-        var cursor = meta.nextRowId
-        val stamped = added.map { f =>
-          val s = f.copy(sequenceNumber = newSeq,
-            firstRowId = if (meta.formatVersion >= 3) Some(cursor) else None)
-          if (meta.formatVersion >= 3) cursor += f.recordCount
-          s
-        }
+        val (stampedOpt, cursorAfter, defaultOp) =
+          buildCommitShape(meta, headManifest, added, removed, newSeq) match {
+            case Left(e) => return Left(e)
+            case Right(x) => x
+          }
         val snap = Snapshot(snapId, meta.currentSnapshotId, newSeq,
-          System.currentTimeMillis(), headManifest ++ stamped,
+          System.currentTimeMillis(), stampedOpt,
           meta.currentSnapshot.map(s => TableMetadata.preservedProperties(s.summary))
             .getOrElse(Map.empty) ++
-            TableMetadata.computedSummary(headManifest, headManifest ++ stamped) ++
-            summary + ("operation" -> summary.getOrElse("operation", "append")))
-        (Some(snap), cursor)
+            TableMetadata.computedSummary(headManifest, stampedOpt) ++
+            summary + ("operation" -> summary.getOrElse("operation", defaultOp)))
+        (Some(snap), cursorAfter)
     }
     setRefs.find { case (_, _, id) =>
       !meta.snapshots.exists(_.snapshotId == id) && !snapOpt.exists(_.snapshotId == id)
@@ -584,6 +575,160 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       else m.copy(refs = m.refs + (name -> id))
     }
     Right((meta, updated))
+  }
+
+  /** Classifies and validates ONE add-snapshot's manifest delta against
+    * the live head, returning the stamped new manifest, the v3 row-id
+    * cursor after the commit, and the default summary operation. Three
+    * accepted shapes, mirroring the spec's commit kinds:
+    *
+    *  - **append**: nothing removed, additions all data files;
+    *  - **row-delta** (DELETE/UPDATE/MERGE emitted by a foreign engine):
+    *    nothing removed except deletion vectors superseded by a
+    *    replacement DV on the same data file; additions may mix data
+    *    files with position deletes (pos-delete parquet on v2, DV Puffin
+    *    entries on v3 — the v3 spec forbids new pos-delete parquet) and
+    *    equality deletes (which must carry their key ids);
+    *  - **replace** (a compaction's RewriteFiles — the reference's own
+    *    commit shape, core/src/compaction/mod.rs:950-1061): removals of
+    *    any content (rewritten data + compacted-away deletes), additions
+    *    all data. Added files keep the CLIENT's sequence numbers (the
+    *    starting-sequence-number rule: rewritten rows must not outrank
+    *    equality deletes committed after the starting snapshot), which
+    *    must not exceed the commit's own new sequence.
+    *
+    * DV invariants enforced server-side: a referenced data file must be
+    * live in the resulting snapshot, at most one DV per data file, and a
+    * replacement DV must CONTAIN every position of the one it supersedes
+    * (readable cheaply — DV bitmaps are small); a replace commit may not
+    * leave a surviving DV pointing at a removed data file. */
+  private def buildCommitShape(meta: TableMetadata, headManifest: Seq[FileEntry],
+      added: Seq[FileEntry], removed: Seq[FileEntry], newSeq: Long)
+      : Either[(Int, String), (Seq[FileEntry], Long, String)] = {
+    def err(msg: String, code: Int) = Left(IcebergRestServe.this.err(msg, code))
+    added.find(f => !MetaIO.exists(f.path)).foreach(f =>
+      return err(s"added file does not exist: ${f.path}", 400))
+    val addedData = added.filter(_.content == FileContent.Data)
+    val addedDeletes = added.filterNot(_.content == FileContent.Data)
+    val removedKeys = removed.map(_.resolutionKey).toSet
+    val surviving = headManifest.filterNot(f => removedKeys.contains(f.resolutionKey))
+
+    // v3 row lineage: ids come from THIS table's cursor for files that do
+    // not bring their own (a compaction preserving lineage ships explicit
+    // first_row_id per rewritten file — honored; appends/deltas get
+    // server-assigned ranges, whatever the client proposed)
+    var cursor = meta.nextRowId
+    def withLineage(f: FileEntry, keepClientIds: Boolean): FileEntry =
+      if (meta.formatVersion < 3 || f.content != FileContent.Data)
+        f.copy(firstRowId = None)
+      else if (keepClientIds && f.firstRowId.nonEmpty) f
+      else { val s = f.copy(firstRowId = Some(cursor)); cursor += f.recordCount; s }
+
+    if (addedDeletes.isEmpty && removed.isEmpty) {
+      // ---- APPEND
+      val stamped = addedData.map(f =>
+        withLineage(f.copy(sequenceNumber = newSeq), keepClientIds = false))
+      Right((headManifest ++ stamped, cursor, "append"))
+    } else if (addedDeletes.nonEmpty) {
+      // ---- ROW-DELTA
+      val addedDvFiles = addedDeletes.filter(_.isDeletionVector)
+        .flatMap(_.referencedDataFile).toSet
+      removed.find(r => !(r.isDeletionVector &&
+          addedDvFiles.contains(r.referencedDataFile.get))).foreach(r =>
+        return err(s"a commit that adds delete files may remove only deletion " +
+          s"vectors it supersedes — it removes ${r.resolutionKey}", 400))
+      addedDeletes.foreach { d =>
+        d.content match {
+          case FileContent.PositionDeletes if d.isDeletionVector =>
+            if (meta.formatVersion < 3)
+              return err("deletion vectors require a format-version 3 table", 400)
+          case FileContent.PositionDeletes =>
+            if (meta.formatVersion >= 3)
+              return err("v3 tables take positional deletes as deletion vectors " +
+                "(content=1 Puffin entries), not pos-delete parquet", 400)
+            // validate the footer BEFORE the commit: an unstamped
+            // tombstone would poison every later export of this table
+            // (spec readers project delete files by the reserved ids)
+            if (!IcebergExport.posDeleteStamped(MetaIO.hadoopConf, d.path))
+              return err(s"position-delete file ${d.path} lacks the reserved " +
+                "Iceberg field ids (2147483546 file_path / 2147483545 pos) in " +
+                "its parquet footer — stamp them and re-commit", 400)
+          case FileContent.EqualityDeletes =>
+            if (d.equalityFieldIds.isEmpty && d.equalityIds.isEmpty)
+              return err(s"equality-delete file ${d.path} carries no equality_ids", 400)
+            // same pre-commit footer check: the key columns must be
+            // projectable (by id on typed tables, by name otherwise)
+            val footer = IcebergExport.footerFieldIds(MetaIO.hadoopConf, d.path)
+            if (d.equalityFieldIds.nonEmpty) {
+              val footerIds = footer.values.flatten.toSet
+              val missing = d.equalityFieldIds.filterNot(footerIds.contains)
+              if (missing.nonEmpty)
+                return err(s"equality-delete file ${d.path} footer lacks field " +
+                  s"ids ${missing.mkString(",")} for its key columns — spec " +
+                  "readers project delete files by id", 400)
+            } else {
+              val missing = d.equalityIds.filterNot(footer.contains)
+              if (missing.nonEmpty)
+                return err(s"equality-delete file ${d.path} footer lacks key " +
+                  s"columns ${missing.mkString(",")}", 400)
+            }
+          case _ => ()
+        }
+      }
+      // delta additions are all stamped with the commit's sequence: the
+      // delta's own data files do not see its equality deletes (strict <),
+      // and its position deletes apply to everything at or below — the
+      // spec's RowDelta semantics
+      val stamped = added.map(f =>
+        withLineage(f.copy(sequenceNumber = newSeq), keepClientIds = false))
+      val result = surviving ++ stamped
+      val liveDataPaths = result.filter(_.content == FileContent.Data).map(_.path).toSet
+      val removedDvByFile = removed.filter(_.isDeletionVector)
+        .map(d => d.referencedDataFile.get -> d).toMap
+      val survivingDvFiles = surviving.filter(_.isDeletionVector)
+        .flatMap(_.referencedDataFile).toSet
+      stamped.filter(_.isDeletionVector).foreach { dv =>
+        val target = dv.referencedDataFile.get
+        if (!liveDataPaths.contains(target))
+          return err(s"deletion vector references a data file not live in the " +
+            s"resulting snapshot: $target", 400)
+        if (survivingDvFiles.contains(target))
+          return err(s"data file $target already has a deletion vector — the " +
+            "commit must remove the DV it supersedes (one DV per file)", 400)
+        // a replacement DV must contain the superseded DV's positions: DVs
+        // are cumulative per the v3 spec, and a shrinking one would
+        // silently resurrect deleted rows
+        val newBm =
+          try Puffin.decodeDvBlob(Puffin.readBlob(
+            dv.path, dv.contentOffset.get, dv.contentSizeInBytes.get))
+          catch { case e: Exception =>
+            return err(s"cannot read deletion vector blob ${dv.resolutionKey}: " +
+              s"${e.getMessage}", 400) }
+        removedDvByFile.get(target).foreach { old =>
+          val oldBm = Puffin.decodeDvBlob(Puffin.readBlob(
+            old.path, old.contentOffset.get, old.contentSizeInBytes.get))
+          if (!oldBm.positions.forall(newBm.contains))
+            return err(s"replacement deletion vector for $target drops positions " +
+              "of the DV it supersedes — DVs must grow monotonically", 400)
+        }
+      }
+      Right((result, cursor, "overwrite"))
+    } else {
+      // ---- REPLACE (rewrite): removals present, additions all data
+      addedData.find(f => f.sequenceNumber > newSeq || f.sequenceNumber < 0)
+        .foreach(f => return err(s"replace commit proposes sequence number " +
+          s"${f.sequenceNumber} for ${f.path} beyond the commit's own $newSeq", 400))
+      // rewritten files that preserve lineage ship explicit first_row_id;
+      // files without get fresh server-assigned ranges
+      val stamped = addedData.map(f => withLineage(f, keepClientIds = true))
+      val result = surviving ++ stamped
+      val liveDataPaths = result.filter(_.content == FileContent.Data).map(_.path).toSet
+      result.find(f => f.isDeletionVector &&
+          !liveDataPaths.contains(f.referencedDataFile.get)).foreach(f =>
+        return err(s"replace commit removes data file ${f.referencedDataFile.get} " +
+          s"but leaves its deletion vector ${f.resolutionKey} live — remove both", 400))
+      Right((result, cursor, if (addedData.isEmpty) "delete" else "replace"))
+    }
   }
 
   /** `POST /v1/{prefix}/transactions/commit`: the spec MULTI-TABLE

@@ -715,6 +715,18 @@ object OpsQueries {
           java.nio.file.Paths.get(staging, "wb.parquet"))
         IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "t_rest",
           Seq(IcebergRestCommit.AddedFile(p1, sz1, n1)), staging)
+        // FOREIGN DELETE leg: the spec client then removes every supplier
+        // with s_suppkey % 7 = 2 through a row-delta commit (an
+        // equality-delete parquet it wrote itself) — the graft MOR read
+        // below must apply a delete this engine never planned
+        val tMeta = src.loadTable("t_rest")
+        val delKeys = base.filter(col("s_suppkey") % 7 === 2).select("s_suppkey")
+        val (pd, pdSz, pdN, _) = graft.testkit.FileGenerator.writeSingleParquet(
+          s, IceWrite.withFieldIds(delKeys, tMeta.schema),
+          java.nio.file.Paths.get(staging, "fdel.parquet"))
+        IcebergRestCommit.commitDelta(srv.uri, Seq("wh"), "t_rest", Nil,
+          Seq(IcebergRestCommit.AddedDeleteFile(pd, pdSz, pdN, "equality",
+            equalityFieldIds = Seq(tMeta.fieldByName("s_suppkey").get.id))), staging)
         IceRead.table(s, src, "t_rest")
           .filter(col("s_suppkey") <= cut || col("s_suppkey") >= 1000000L)
       } finally srv.stop()
@@ -3412,7 +3424,7 @@ object OpsQueries {
     "q_rest_loop" ->
       """WITH cut AS (SELECT CAST(floor(max(s_suppkey) / 2) AS BIGINT) AS c FROM supplier)
         |SELECT s_suppkey, s_name FROM supplier, cut
-        |WHERE s_suppkey % 9 <> 0 AND s_suppkey <= c
+        |WHERE s_suppkey % 9 <> 0 AND s_suppkey % 7 <> 2 AND s_suppkey <= c
         |UNION ALL
         |SELECT s_suppkey + 1000000 AS s_suppkey, s_name FROM supplier
         |WHERE s_suppkey % 5 = 0""".stripMargin,

@@ -136,8 +136,9 @@ class IcebergRestServeSpec extends AnyFunSuite {
         Seq(IcebergRestCommit.AddedFile(p2, sz2, n2)), staging)
       assert(IceRead.table(spark, cat, "orders").count() == 80L)
 
-      // ---- non-append shapes refuse with 400: a commit whose manifest
-      // list DROPS the table's live files
+      // ---- a commit whose manifest list DROPS every live file is a
+      // legal PURE-REMOVAL since the replace shape landed: it commits as
+      // a whole-table delete (not a 400) and readers see zero rows
       val listSchema = new org.apache.avro.Schema.Parser().parse(
         IcebergExport.manifestListSchemaJsonV(2))
       val emptyList = MetaIO.join(staging, "empty-list.avro")
@@ -145,14 +146,18 @@ class IcebergRestServeSpec extends AnyFunSuite {
       val dropBody = """{"requirements":[],"updates":[
         {"action":"add-snapshot","snapshot":{"snapshot-id":777,
          "sequence-number":99,"timestamp-ms":1,"manifest-list":"""" + emptyList +
-        """","summary":{"operation":"delete"}}}]}"""
+        """","summary":{"operation":"delete"}}},
+        {"action":"set-snapshot-ref","ref-name":"main","type":"branch",
+         "snapshot-id":777}]}"""
       val dropResp = http.send(HttpRequest.newBuilder(
         URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/orders"))
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(dropBody)).build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(dropResp.statusCode() == 400,
-        s"file-dropping commit must 400: ${dropResp.statusCode()} ${dropResp.body()}")
+      assert(dropResp.statusCode() == 200,
+        s"pure-removal commit must land: ${dropResp.statusCode()} ${dropResp.body()}")
+      assert(cat.loadTable("orders").currentSnapshot.get.summary("operation") == "delete")
+      assert(IceRead.table(spark, cat, "orders").count() == 0L)
 
       // set-properties / remove-properties ride the same endpoint
       val propBody = """{"requirements":[],"updates":[

@@ -53,7 +53,7 @@ class RestLoopFuzzSpec extends AnyFunSuite {
       }
 
       for (step <- 1 to 24) {
-        rnd.nextInt(4) match {
+        rnd.nextInt(6) match {
           case 0 => // native append
             val rows = freshRows(1 + rnd.nextInt(5))
             IceWrite.append(spark, src, "t", rows.toDF("id", "v"))
@@ -76,6 +76,31 @@ class RestLoopFuzzSpec extends AnyFunSuite {
                 IceWrite.deleteWhere(spark, src, "t", col("id").isin(victims: _*))
                 model --= victims; deletedSince += victims.size
               }
+            }
+          case 4 => // FOREIGN delete: spec-client equality-delete row-delta
+            val live = model.keys.toSeq.sorted
+            if (live.nonEmpty) {
+              val victims = rnd.shuffle(live).take(1 + rnd.nextInt(4))
+              val (p, sz, n, _) = graft.testkit.FileGenerator.writeSingleParquet(
+                spark, IceWrite.withFieldIds(victims.map(Tuple1(_)).toDF("id"),
+                  src.loadTable("t").schema),
+                java.nio.file.Paths.get(staging, s"fd-$seed-$step.parquet"))
+              IcebergRestCommit.commitDelta(srv.uri, Seq("wh"), "t", Nil,
+                Seq(IcebergRestCommit.AddedDeleteFile(p, sz, n, "equality",
+                  equalityFieldIds = Seq(1))), staging)
+              model --= victims; deletedSince += victims.size
+            }
+          case 5 => // FOREIGN compaction: spec-client replace of the MOR state
+            val head = src.loadTable("t")
+            val files = head.currentSnapshot.get.manifest.map(_.path).distinct
+            if (model.nonEmpty && files.size >= 2) {
+              val live = IceRead.table(spark, src, "t")
+              val (p, sz, n, _) = graft.testkit.FileGenerator.writeSingleParquet(
+                spark, IceWrite.withFieldIds(live, head.schema),
+                java.nio.file.Paths.get(staging, s"rw-$seed-$step.parquet"))
+              IcebergRestCommit.replaceFiles(srv.uri, Seq("wh"), "t", files,
+                Seq(IcebergRestCommit.AddedFile(p, sz, n)), staging)
+              // a rewrite is INVISIBLE: model unchanged, changelog silent
             }
           case 3 => // follower refresh + full invariant check
             val r = IcebergRestImport.refreshTable(dst, "t")
