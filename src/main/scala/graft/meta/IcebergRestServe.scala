@@ -47,11 +47,15 @@ import org.json4s.jackson.JsonMethods
   *    transaction: validate-all-then-apply-all, with compensating
   *    rollback if a racing native commit CAS-fails one table mid-apply.
   *
-  * Renames stay unsupported (405): graft table locations derive from
-  * names, and a metadata-only rename is not expressible here. Optional
-  * bearer-token auth; [[IcebergRestImport]] / [[IcebergRestCommit]] are
-  * the in-repo clients, and the round trip through real sockets is the
-  * contract test. */
+  *  - `POST /v1/{prefix}/tables/rename` (and `views/rename`): a
+  *    metadata-only catalog rename — the entry keeps its uuid, history
+  *    and location ([[Catalog.renameTable]]), data files stay in place;
+  *  - listings take the spec's `pageToken`/`pageSize` query params and
+  *    answer `next-page-token` while more remain.
+  *
+  * Optional bearer-token auth; [[IcebergRestImport]] /
+  * [[IcebergRestCommit]] are the in-repo clients, and the round trip
+  * through real sockets is the contract test. */
 final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     prefix: String = "graft", bearerToken: Option[String] = None, port: Int = 0) {
 
@@ -159,6 +163,10 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         createNamespace(readBody(ex))
       else if (method == "POST" && path == s"/v1/$prefix/transactions/commit")
         commitTransaction(readBody(ex))
+      else if (method == "POST" && path == s"/v1/$prefix/tables/rename")
+        renameEntry(readBody(ex), wantView = false)
+      else if (method == "POST" && path == s"/v1/$prefix/views/rename")
+        renameEntry(readBody(ex), wantView = true)
       else if (method == "DELETE" && tableOf(path).nonEmpty) {
         val t = tableOf(path).get
         if (!catalog.tableExists(t) || isViewEntry(t))
@@ -178,8 +186,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         (if (isViewEntry(viewOf(path).get)) 204 else 404) -> ""
       else if (method != "GET")
         err(s"$method $path not supported: reads, table lifecycle " +
-          "(create/register/drop) and the commit endpoint; renames stay " +
-          "with the graft engine", 405)
+          "(create/register/drop/rename) and the commit endpoint", 405)
       else if (path == "/v1/config")
         // the spec capability list: clients discover that this server
         // takes table COMMITS as well as reads
@@ -196,27 +203,30 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
               "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}",
               "POST /v1/{prefix}/namespaces/{namespace}/register",
               "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+              "POST /v1/{prefix}/tables/rename",
+              "POST /v1/{prefix}/views/rename",
               "POST /v1/{prefix}/transactions/commit",
               "GET /v1/{prefix}/namespaces/{namespace}/views",
               "GET /v1/{prefix}/namespaces/{namespace}/views/{view}",
               "HEAD /v1/{prefix}/namespaces/{namespace}/views/{view}",
               "POST /v1/{prefix}/namespaces/{namespace}/views",
               "DELETE /v1/{prefix}/namespaces/{namespace}/views/{view}"))))
-      else if (path == s"/v1/$prefix/namespaces")
+      else if (path == s"/v1/$prefix/namespaces") {
+        val (page, next) = paginate(Seq(namespace), ex.getRequestURI.getRawQuery)
+        val base: JValue = "namespaces" -> page.map(List(_))
         200 -> JsonMethods.compact(JsonMethods.render(
-          "namespaces" -> List(List(namespace))))
+          next.fold(base)(t => base merge (("next-page-token" -> t): JValue))))
+      }
       else if (path == s"/v1/$prefix/namespaces/$namespace")
         200 -> JsonMethods.compact(JsonMethods.render(
           ("namespace" -> List(namespace)) ~ ("properties" -> JObject(Nil))))
       else if (path == tablesRoot)
         // views are their own object kind — the tables listing excludes them
-        200 -> JsonMethods.compact(JsonMethods.render(
-          "identifiers" -> catalog.listTables.sorted.filterNot(isViewEntry).map(t =>
-            ("namespace" -> List(namespace)) ~ ("name" -> t))))
+        listing(catalog.listTables.sorted.filterNot(isViewEntry),
+          ex.getRequestURI.getRawQuery)
       else if (path == viewsRoot)
-        200 -> JsonMethods.compact(JsonMethods.render(
-          "identifiers" -> catalog.listTables.sorted.filter(isViewEntry).map(v =>
-            ("namespace" -> List(namespace)) ~ ("name" -> v))))
+        listing(catalog.listTables.sorted.filter(isViewEntry),
+          ex.getRequestURI.getRawQuery)
       else if (viewOf(path).nonEmpty) {
         val v = viewOf(path).get
         if (!isViewEntry(v)) err(s"view $v not found", 404)
@@ -415,6 +425,71 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     // version counter — stale bodies for this name must go
     purge(tname)
     loadTableResult(tname)
+  }
+
+  /** Spec listing pagination: `pageToken` resumes EXCLUSIVELY after the
+    * token (which is the last name of the prior page — names are served
+    * sorted, so the token stays a stable resume point under concurrent
+    * creates/drops), `pageSize` bounds the page. A `next-page-token` is
+    * answered while more remain. */
+  private def paginate(names: Seq[String], rawQuery: String)
+      : (Seq[String], Option[String]) = {
+    val params: Map[String, String] = Option(rawQuery).toSeq
+      .flatMap(_.split("&").toSeq).flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(
+          v, java.nio.charset.StandardCharsets.UTF_8))
+        case _ => None
+      }).toMap
+    val resumed = params.get("pageToken").filter(_.nonEmpty)
+      .fold(names)(t => names.dropWhile(_ <= t))
+    params.get("pageSize").flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ > 0) match {
+      case Some(n) if resumed.size > n => (resumed.take(n), Some(resumed(n - 1)))
+      case _ => (resumed, None)
+    }
+  }
+
+  private def listing(names: Seq[String], rawQuery: String): (Int, String) = {
+    val (page, next) = paginate(names, rawQuery)
+    val base: JValue = "identifiers" -> page.map(t =>
+      ("namespace" -> List(namespace)) ~ ("name" -> t))
+    200 -> JsonMethods.compact(JsonMethods.render(
+      next.fold(base)(t => base merge (("next-page-token" -> t): JValue))))
+  }
+
+  /** `POST /v1/{prefix}/tables/rename` (and `views/rename`): the spec
+    * RenameTableRequest — a metadata-only catalog rename
+    * ([[Catalog.renameTable]]: same uuid, same history, same location,
+    * data files untouched). The old name 404s afterwards; the new name
+    * serves the same table. */
+  private def renameEntry(body: String, wantView: Boolean): (Int, String) = {
+    val (from, to) =
+      try {
+        val req = JsonMethods.parse(body)
+        def ident(j: JValue): String = {
+          (j \ "namespace") match {
+            case JArray(List(JString(ns))) if ns == namespace => ()
+            case other => throw new IllegalArgumentException(
+              s"unknown namespace $other (this catalog serves '$namespace')")
+          }
+          str(j \ "name")
+        }
+        (ident(req \ "source"), ident(req \ "destination"))
+      } catch { case e: Exception =>
+        return err(s"bad RenameTableRequest: ${e.getMessage}", 400) }
+    val kind = if (wantView) "view" else "table"
+    if (!catalog.tableExists(from) || isViewEntry(from) != wantView)
+      return err(s"$kind $from not found", 404)
+    if (catalog.tableExists(to))
+      return err(s"$to already exists", 409)
+    try catalog.renameTable(from, to)
+    catch {
+      case e: UnsupportedOperationException => return err(e.getMessage, 405)
+      case e: Exception =>
+        return err(s"cannot rename $from to $to: ${e.getMessage}", 400)
+    }
+    purge(from); purge(to)
+    204 -> ""
   }
 
   /** `POST .../namespaces`: this catalog models exactly ONE namespace, so

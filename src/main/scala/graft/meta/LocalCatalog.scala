@@ -29,6 +29,13 @@ trait Catalog {
     * [[CommitConflictException]] if that version already exists. */
   def commit(base: TableMetadata, updated: TableMetadata): TableMetadata
   def dropTable(name: String): Unit
+  /** Renames the catalog ENTRY only: the table keeps its uuid, history,
+    * and LOCATION — data files stay in place (manifests hold absolute
+    * paths), making a rename metadata-only however large the table.
+    * Default: unsupported. */
+  def renameTable(from: String, to: String): TableMetadata =
+    throw new UnsupportedOperationException(
+      s"renameTable is not supported by ${getClass.getSimpleName}")
   /** All table names in the catalog, sorted. */
   def listTables: Seq[String]
   /** Root of the table's storage (a [[MetaIO]] path string). Known even
@@ -84,14 +91,57 @@ final class LocalCatalog(val warehouse: String,
 
   override def tableExists(name: String): Boolean = MetaIO.exists(hintFile(name))
 
+  private def renamedMarker(root: String): String =
+    MetaIO.join(root, ".graft-renamed")
+
   override def createTable(meta: TableMetadata): TableMetadata = {
     require(!tableExists(meta.name), s"table ${meta.name} already exists")
+    // a RENAMED-AWAY table's data stays under its original root (rename
+    // is metadata-only); a new table adopting that root would make its
+    // orphan sweep delete the renamed table's live files — the marker the
+    // rename left behind turns that collision into a refusal
+    require(!MetaIO.exists(renamedMarker(tableLocation(meta.name))),
+      s"location ${tableLocation(meta.name)} holds the data of a renamed " +
+        s"table (${scala.util.Try(MetaIO.readString(renamedMarker(
+          tableLocation(meta.name)))).getOrElse("")}) — pick another name")
     MetaIO.mkdirs(metaDir(meta.name))
     MetaIO.mkdirs(dataDir(meta.name))
     val m = TableMetadata.withStableUuid(
       meta.copy(version = 1, location = tableLocation(meta.name)))
     writeVersion(m)
     cachePut(m.name, 1, m)
+  }
+
+  /** Metadata-only rename: the current metadata is re-written (full form)
+    * as version 1 of the NEW entry with the LOCATION unchanged, the old
+    * entry's catalog chain is dropped, and — when the old entry lived in
+    * its own root — a marker protects the retained data dir from a later
+    * same-named create. Not atomic versus a concurrent writer on `from`
+    * (a racing commit between the copy and the old-chain delete is lost);
+    * renames are operator actions — serialize them with writes, as every
+    * filesystem Iceberg catalog requires. */
+  override def renameTable(from: String, to: String): TableMetadata = {
+    require(tableExists(from), s"table $from does not exist")
+    require(!tableExists(to), s"table $to already exists")
+    val m = loadTable(from)
+    // a marker on the DESTINATION root blocks the rename like it blocks a
+    // create — unless this very table is renaming back HOME (its location
+    // IS that root, so the data the marker protects is its own)
+    require(m.location == tableLocation(to) ||
+      !MetaIO.exists(renamedMarker(tableLocation(to))),
+      s"location ${tableLocation(to)} holds the data of a renamed table")
+    MetaIO.mkdirs(metaDir(to))
+    val renamed = m.copy(name = to, version = 1)
+    writeVersion(renamed)
+    cachePut(to, 1, renamed)
+    decoded.keySet.removeIf(_._1 == from)
+    MetaIO.deleteRecursive(metaDir(from))
+    if (m.location == tableLocation(from))
+      MetaIO.writeString(renamedMarker(m.location),
+        s"renamed to $to (uuid ${m.stableUuid}) — data retained in place")
+    if (m.location == tableLocation(to)) // renamed back home: root owned again
+      MetaIO.delete(renamedMarker(m.location))
+    renamed
   }
 
   override def loadTable(name: String): TableMetadata = loadVersion(name, currentVersion(name))
@@ -200,9 +250,15 @@ final class LocalCatalog(val warehouse: String,
     MetaIO.listDirNames(warehouse).filter(n => MetaIO.exists(hintFile(n)))
 
   override def dropTable(name: String): Unit = {
+    // a renamed entry's data lives under its ORIGINAL location; dropping
+    // the table must reclaim both that root and the entry's own
+    val loc = if (tableExists(name))
+      scala.util.Try(loadTable(name).location).toOption else None
     decoded.keySet.removeIf(_._1 == name)
     val root = MetaIO.join(warehouse, name)
     if (MetaIO.exists(root)) { MetaIO.deleteRecursive(root); () }
+    loc.filter(_ != root).foreach(l =>
+      if (MetaIO.exists(l)) { MetaIO.deleteRecursive(l); () })
   }
 }
 

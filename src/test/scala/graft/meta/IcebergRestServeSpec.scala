@@ -760,12 +760,13 @@ class IcebergRestServeSpec extends AnyFunSuite {
       val malformed = http.send(post, HttpResponse.BodyHandlers.ofString())
       assert(malformed.statusCode() == 400 &&
         malformed.body().contains("CreateTableRequest"), malformed.body())
-      // ...and genuinely unsupported mutations (rename) still refuse 405
+      // ...and the rename route exists now: a malformed request is a 400
+      // (not the old blanket 405)
       val rename = HttpRequest.newBuilder(
         URI.create(s"${srv.uri}/v1/graft/tables/rename"))
         .header("Authorization", "Bearer s3cret")
         .POST(HttpRequest.BodyPublishers.ofString("{}")).build()
-      assert(http.send(rename, HttpResponse.BodyHandlers.ofString()).statusCode() == 405)
+      assert(http.send(rename, HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
 
       // v3 DV table: served as a format-version 3 LoadTableResult, and a
       // spec client (our import) attaches it with MOR semantics intact
@@ -908,5 +909,109 @@ class IcebergRestServeSpec extends AnyFunSuite {
       // ...and the table was genuinely untouched by the dropped commit
       assert(IceRead.table(spark, cat, "orders").count() == 20L)
     } finally { proxy.stop(0); srv.stop() }
+  }
+
+  test("rename over REST: metadata-only, identity + history preserved, data protected") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "orders",
+      (1L to 30L).map(i => (i, s"n$i")).toDF("id", "name"))
+    IceWrite.deleteWhere(spark, cat, "orders", col("id") % 10 === 0)
+    val uuid = cat.loadTable("orders").stableUuid
+    val snapsBefore = cat.loadTable("orders").snapshots.size
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def post(path: String, body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def renameBody(from: String, to: String) =
+        s"""{"source": {"namespace": ["wh"], "name": "$from"},
+           |"destination": {"namespace": ["wh"], "name": "$to"}}"""
+          .stripMargin.replace("\n", " ")
+      // a LIVE reader primes the cache under the old name first
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh/tables/orders").statusCode() == 200)
+
+      assert(post("/v1/p/tables/rename", renameBody("orders", "archive"))
+        .statusCode() == 204)
+      // old name gone from every route; new name serves the SAME table
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh/tables/orders").statusCode() == 404)
+      val g = JsonMethods.parse(get(
+        s"${srv.uri}/v1/p/namespaces/wh/tables/archive").body())
+      assert((g \ "metadata" \ "table-uuid") == JString(uuid),
+        "rename must preserve the table uuid")
+      assert((g \ "metadata" \ "snapshots").asInstanceOf[JArray].arr.size == snapsBefore,
+        "rename must preserve the full history")
+      // the DATA never moved, reads and writes keep working
+      assert(IceRead.table(spark, cat, "archive").count() == 27L)
+      IceWrite.append(spark, cat, "archive", Seq((500L, "post-rename")).toDF("id", "name"))
+      assert(IceRead.table(spark, cat, "archive").count() == 28L)
+
+      // the old name's root still holds the data: a re-create of the old
+      // name is REFUSED (its orphan sweep would eat the renamed table)
+      val recreate = post("/v1/p/namespaces/wh/tables",
+        """{"name": "orders", "schema": {"type": "struct", "fields": [
+          |{"id": 1, "name": "x", "required": false, "type": "long"}]}}""".stripMargin)
+      assert(recreate.statusCode() == 400 &&
+        recreate.body().contains("renamed"), recreate.body())
+
+      // renaming BACK home is allowed (the marker protects this table's
+      // own data) and releases the name again
+      assert(post("/v1/p/tables/rename", renameBody("archive", "orders"))
+        .statusCode() == 204)
+      assert(IceRead.table(spark, cat, "orders").count() == 28L)
+      assert(cat.loadTable("orders").stableUuid == uuid)
+
+      // view rename rides its own route; the table route 404s views
+      spark.sparkContext.setLogLevel("WARN")
+      Views.create(spark, cat, "v1", "SELECT 1 AS one")
+      assert(post("/v1/p/tables/rename", renameBody("v1", "v2")).statusCode() == 404)
+      assert(post("/v1/p/views/rename", renameBody("v1", "v2")).statusCode() == 204)
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh/views/v1").statusCode() == 404)
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh/views/v2").statusCode() == 200)
+
+      // refusals: missing source 404, occupied destination 409
+      assert(post("/v1/p/tables/rename", renameBody("nope", "x")).statusCode() == 404)
+      IceWrite.create(spark, cat, "other", Seq((1L, "a")).toDF("id", "name"))
+      assert(post("/v1/p/tables/rename", renameBody("other", "orders"))
+        .statusCode() == 409)
+    } finally srv.stop()
+  }
+
+  test("listing pagination: pageToken/pageSize walk 1k tables completely") {
+    val cat = freshCatalog()
+    val names = (0 until 1000).map(i => f"p$i%04d")
+    names.foreach(n => cat.createTable(TableMetadata(n, location = "")))
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      // no params: the full listing, no token
+      val all = JsonMethods.parse(get(
+        s"${srv.uri}/v1/p/namespaces/wh/tables").body())
+      assert((all \ "identifiers").asInstanceOf[JArray].arr.size == 1000)
+      assert((all \ "next-page-token") == JNothing)
+
+      // paged walk: every page bounded, tokens chain, union is exact
+      var token: Option[String] = None
+      var pages = 0
+      val seen = Seq.newBuilder[String]
+      var done = false
+      while (!done) {
+        val q = s"pageSize=137" + token.map(t => s"&pageToken=$t").getOrElse("")
+        val j = JsonMethods.parse(get(
+          s"${srv.uri}/v1/p/namespaces/wh/tables?$q").body())
+        val page = (j \ "identifiers").asInstanceOf[JArray].arr
+          .map(e => (e \ "name").asInstanceOf[JString].s)
+        assert(page.size <= 137)
+        seen ++= page
+        pages += 1
+        (j \ "next-page-token") match {
+          case JString(t) => token = Some(t)
+          case _ => done = true
+        }
+        assert(pages <= 10, "token chain must terminate")
+      }
+      assert(pages == 8, s"1000/137 needs 8 pages, got $pages")
+      assert(seen.result() == names, "paged union must be the exact sorted listing")
+    } finally srv.stop()
   }
 }

@@ -179,7 +179,7 @@ class RestLoopFuzzSpec extends AnyFunSuite {
         else Some(model.keys.toSeq.sorted.apply(rnd.nextInt(model.size)))
 
       for (step <- 1 to 30) {
-        rnd.nextInt(7) match {
+        rnd.nextInt(8) match {
           case 0 => // REST create
             val t = s"t$nextTable"; nextTable += 1
             val resp = post("/v1/p/namespaces/wh/tables",
@@ -255,6 +255,23 @@ class RestLoopFuzzSpec extends AnyFunSuite {
             }
             views.foreach(v => assert(delete(s"/v1/p/namespaces/wh/views/$v") == 204))
             views = Set.empty
+          case 6 => randomTable().foreach { t => // REST rename under live state
+            val t2 = s"${t}_r$step"
+            val resp = post("/v1/p/tables/rename",
+              s"""{"source": {"namespace": ["wh"], "name": "$t"},
+                 |"destination": {"namespace": ["wh"], "name": "$t2"}}"""
+                .stripMargin.replace("\n", " "))
+            assert(resp.statusCode() == 204, s"step $step rename: ${resp.body()}")
+            // identity preserved through the rename: same uuid, same rows
+            // (checked by the per-step model sweep below under the NEW name)
+            model += t2 -> model(t); model -= t
+            // views over the renamed-away name break at read (late
+            // binding, like drops) — clear them out of the model
+            views.filter(_ == s"view_of_$t").foreach { v =>
+              assert(delete(s"/v1/p/namespaces/wh/views/$v") == 204)
+              views -= v
+            }
+          }
           case _ => randomTable().foreach { t => // view create or drop
             val v = s"view_of_$t"
             if (!views.contains(v) && model.contains(t)) {
