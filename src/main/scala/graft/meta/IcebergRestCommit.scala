@@ -122,6 +122,22 @@ object IcebergRestCommit {
       useStartingSequenceNumber = false, operation)
   }
 
+  /** The spec CTAS handshake's client half: commit `files` as the FIRST
+    * snapshot of a table staged with `stage-create=true`, using the
+    * staged response's embedded metadata (a staged table cannot be
+    * loaded) and an `assert-create` requirement. One attempt — a 409
+    * means the staged create lost a race; restage to retry. Returns the
+    * snapshot id. */
+  def commitStagedCreate(uri: String, namespace: Seq[String], table: String,
+      stagedMetadata: JValue, files: Seq[AddedFile], stagingDir: String,
+      authToken: Option[String] = None, prefix: Option[String] = None): Long = {
+    require(files.nonEmpty, "commitStagedCreate: no files given")
+    commitLoop(uri, namespace, table, stagingDir, authToken, prefix,
+      maxRetries = 0, files, Nil, Set.empty,
+      useStartingSequenceNumber = false, "append",
+      stagedMeta = Some(stagedMetadata))
+  }
+
   /** Commits a REPLACE (rewrite): drops `removedPaths` (data or delete
     * files — a Puffin path drops every DV it contains) from the head and
     * adds `files`, stamped with the head's sequence number when
@@ -177,18 +193,22 @@ object IcebergRestCommit {
       stagingDir: String, authToken: Option[String], prefix: Option[String],
       maxRetries: Int, dataFiles: Seq[AddedFile],
       deleteFiles: Seq[AddedDeleteFile], removedPaths: Set[String],
-      useStartingSequenceNumber: Boolean, operation: String): Long = {
+      useStartingSequenceNumber: Boolean, operation: String,
+      stagedMeta: Option[JValue] = None): Long = {
     val route = IcebergRestImport.tableRoute(uri,
       prefix.getOrElse(IcebergRestImport.resolvePrefix(uri, authToken)),
       namespace, table)
 
     var attempt = 0
     while (true) {
-      // ---- 1. load
-      val load = send(HttpRequest.newBuilder(URI.create(route)).GET(), authToken)
-      require(load.statusCode() == 200,
-        s"load $route failed: HTTP ${load.statusCode()} ${load.body().take(300)}")
-      val m = JsonMethods.parse(load.body()) \ "metadata"
+      // ---- 1. load (a STAGED table is not loadable — the stage-create
+      // response's embedded metadata stands in)
+      val m = stagedMeta.getOrElse {
+        val load = send(HttpRequest.newBuilder(URI.create(route)).GET(), authToken)
+        require(load.statusCode() == 200,
+          s"load $route failed: HTTP ${load.statusCode()} ${load.body().take(300)}")
+        JsonMethods.parse(load.body()) \ "metadata"
+      }
       val fv = lng(m \ "format-version").toInt
       val uuid = str(m \ "table-uuid")
       val lastSeq = lng(m \ "last-sequence-number")
@@ -426,12 +446,17 @@ object IcebergRestCommit {
           ("summary" -> (("operation" -> operation) ~
             ("graft.commit-uuid" -> tag): JValue)) ~
           ("schema-id" -> lng(m \ "current-schema-id"))
+      val requirements: List[JValue] =
+        if (stagedMeta.nonEmpty)
+          // the CTAS first commit: assert the table is being CREATED
+          List(("type" -> "assert-create"): JValue)
+        else List(
+          ("type" -> "assert-table-uuid") ~ ("uuid" -> uuid),
+          ("type" -> "assert-ref-snapshot-id") ~ ("ref" -> "main") ~
+            ("snapshot-id" -> curId))
       val reqJ: JValue =
         ("identifier" -> (("namespace" -> namespace) ~ ("name" -> table))) ~
-          ("requirements" -> List[JValue](
-            ("type" -> "assert-table-uuid") ~ ("uuid" -> uuid),
-            ("type" -> "assert-ref-snapshot-id") ~ ("ref" -> "main") ~
-              ("snapshot-id" -> curId))) ~
+          ("requirements" -> requirements) ~
           ("updates" -> List[JValue](
             ("action" -> "add-snapshot") ~ ("snapshot" -> snapshotJ),
             ("action" -> "set-snapshot-ref") ~ ("ref-name" -> "main") ~
@@ -455,7 +480,10 @@ object IcebergRestCommit {
           val applied: Option[Boolean] =
             try {
               val re = send(HttpRequest.newBuilder(URI.create(route)).GET(), authToken)
-              if (re.statusCode() != 200) None
+              // a staged table is only loadable once its first commit
+              // REGISTERED it — a 404 here proves the commit did not land
+              if (re.statusCode() == 404 && stagedMeta.nonEmpty) Some(false)
+              else if (re.statusCode() != 200) None
               else Some(arr(JsonMethods.parse(re.body()) \ "metadata" \ "snapshots")
                 .exists(s => (s \ "manifest-list") == JString(listPath) ||
                   (s \ "summary" \ "graft.commit-uuid") == JString(tag)))

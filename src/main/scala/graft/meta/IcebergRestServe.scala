@@ -40,7 +40,9 @@ import org.json4s.jackson.JsonMethods
   *    CreateTableRequest — the schema/partition-spec/write-order JSON is
   *    synthesized into a metadata document and parsed by the SAME
   *    [[IcebergImport]] machinery as an attach, so create-through-REST
-  *    and attach can never disagree on type mapping);
+  *    and attach can never disagree on type mapping; `stage-create=true`
+  *    runs the spec's CTAS handshake — staged metadata now, atomic
+  *    register on the first `assert-create` commit);
   *    `POST .../namespaces/{ns}/register` (RegisterTableRequest: adopt
   *    an existing `*.metadata.json`); `DELETE .../tables/{t}`;
   *  - `POST /v1/{prefix}/transactions/commit` — the spec MULTI-TABLE
@@ -90,6 +92,15 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * register, and create, so a recurring (uuid, version) from a
     * re-registered source can never serve a prior incarnation's body. */
   private def purge(name: String): Unit = cache.keySet.removeIf(_._1 == name)
+
+  /** Tables STAGED by `stage-create=true` (the spec CTAS handshake),
+    * keyed by name: parsed + validated metadata with uuid and location
+    * assigned, but NOTHING in the catalog — the first commit against the
+    * name materializes create+commit atomically; until then the table is
+    * invisible to every read route, and a crash (or server restart — the
+    * store is in-memory on purpose) leaves no catalog entry. */
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, TableMetadata]()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -149,7 +160,9 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         val t = tableOf(path).get
         // view entries are NOT tables: the table routes answer 404 for
         // them, exactly as the spec separates the two object kinds
-        if (!catalog.tableExists(t) || isViewEntry(t))
+        if (!catalog.tableExists(t) && staged.containsKey(t))
+          commitStagedTable(t, readBody(ex))
+        else if (!catalog.tableExists(t) || isViewEntry(t))
           err(s"table $t not found", 404)
         else commitTable(t, readBody(ex))
       }
@@ -289,8 +302,6 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private def createTable0(body: String): (Int, String) = {
     val req = JsonMethods.parse(body)
     val tname = str(req \ "name")
-    if ((req \ "stage-create") == JBool(true))
-      return err("stage-create is not supported — create the table directly", 400)
     if (catalog.tableExists(tname))
       return err(s"table $tname already exists", 409)
     val schemaJ = (req \ "schema") match {
@@ -333,6 +344,25 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         ("properties" -> properties) ~
         ("current-snapshot-id" -> -1L) ~
         ("snapshots" -> JArray(Nil))
+    if ((req \ "stage-create") == JBool(true)) {
+      // the spec CTAS handshake: validate + assign identity/location but
+      // register NOTHING — the first commit materializes atomically
+      val parsed =
+        try IcebergImport.parseIcebergMetadataJson(tname, doc)
+        catch { case e: RuntimeException =>
+          return err(s"cannot stage $tname: ${e.getMessage}", 400) }
+      val withId = TableMetadata.withStableUuid(
+        parsed.copy(location = catalog.tableLocation(tname)))
+      staged.put(tname, withId)
+      // a staged LoadTableResult has NO metadata-location (nothing is
+      // durable yet); the embedded metadata tells the client where to
+      // write data and which identity to assert
+      return 200 -> JsonMethods.compact(JsonMethods.render(
+        ("metadata" -> doc.merge(
+          (("table-uuid" -> withId.stableUuid) ~
+            ("location" -> withId.location)): JValue)) ~
+          ("config" -> JObject(Nil))))
+    }
     try IcebergImport.importIcebergMetadataJson(catalog, tname, doc)
     catch {
       case e: RuntimeException =>
@@ -340,6 +370,42 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     }
     purge(tname)
     loadTableResult(tname)
+  }
+
+  /** First commit against a STAGED table (the CTAS handshake's second
+    * half). The commit is VALIDATED against the staged metadata before
+    * anything touches the catalog — a refused commit leaves no entry and
+    * no side effects (in particular it must NOT delete the writer's
+    * already-staged data files); only a valid one materializes
+    * create+commit. */
+  private def commitStagedTable(table: String, body: String): (Int, String) = {
+    val stagedMeta = staged.get(table)
+    val built =
+      try buildCommit(table, JsonMethods.parse(body), Some(stagedMeta))
+      catch { case e: Exception =>
+        return err(s"bad CommitTableRequest: ${e.getMessage}", 400) }
+    built match {
+      case Left(e) => e
+      case Right((_, updated)) =>
+        val created =
+          try catalog.createTable(stagedMeta)
+          catch { case e: RuntimeException =>
+            return err(s"staged table $table lost the create race: " +
+              s"${e.getMessage}", 409) }
+        try {
+          catalog.commit(created, updated)
+          staged.remove(table); purge(table)
+          loadTableResult(table)
+        } catch {
+          case _: CommitConflictException =>
+            // only reachable with a racing writer on the entry created
+            // microseconds ago; unwind the materialization so the
+            // handshake stays all-or-nothing
+            try catalog.dropTable(table) catch { case _: Exception => () }
+            purge(table)
+            err("concurrent commit on the staged create — restage and retry", 409)
+        }
+    }
   }
 
   /** `GET .../views/{v}`: the spec LoadViewResult — the Iceberg view-spec
@@ -525,12 +591,15 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * builds `(base, updated)` WITHOUT committing — shared by the
     * single-table commit endpoint and [[commitTransaction]], so a
     * transaction applies exactly the semantics of N single commits. */
-  private def buildCommit(table: String, req: JValue)
+  private def buildCommit(table: String, req: JValue,
+      stagedBase: Option[TableMetadata] = None)
       : Either[(Int, String), (TableMetadata, TableMetadata)] = {
     // shadows the class-level err: inside the builder every refusal is a
     // Left of the same wire shape the endpoints answer
     def err(msg: String, code: Int) = Left(IcebergRestServe.this.err(msg, code))
-    val meta = catalog.loadTable(table)
+    // a STAGED first commit validates against the staged metadata — the
+    // table has no catalog entry yet ([[commitStagedTable]])
+    val meta = stagedBase.getOrElse(catalog.loadTable(table))
 
     // ---- requirements: each validates against the LIVE state; failures
     // answer 409, the spec's "reload and retry" signal
@@ -549,6 +618,14 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           if (want != have)
             return err(s"requirement failed: ref $ref is at " +
               s"${have.getOrElse("absent")}, client expected ${want.getOrElse("absent")}", 409)
+        case JString("assert-create") =>
+          // the CTAS first commit asserts it is creating the table: by
+          // the time this builder runs the staged entry has just been
+          // materialized, so the check is that the entry is still the
+          // PRISTINE materialization (no snapshot snuck in)
+          if (meta.snapshots.nonEmpty || meta.currentSnapshotId.nonEmpty)
+            return err("requirement failed: assert-create against a table " +
+              "that already has snapshots", 409)
         case JString("assert-table-uuid") =>
           // the STABLE identity every export of this table serves — uuid
           // mismatch means the client loaded a different table (the spec

@@ -551,11 +551,15 @@ class IcebergRestServeSpec extends AnyFunSuite {
 
       // duplicate create: the spec's AlreadyExists
       assert(post("/v1/p/namespaces/wh/tables", createReq).statusCode() == 409)
-      // stage-create is refused loudly, not silently ignored
+      // stage-create answers the staged metadata WITHOUT registering
+      // (the full handshake has its own spec below)
       val staged = post("/v1/p/namespaces/wh/tables",
         createReq.replace("\"name\": \"events\"",
           "\"name\": \"staged\", \"stage-create\": true"))
-      assert(staged.statusCode() == 400 && staged.body().contains("stage-create"))
+      assert(staged.statusCode() == 200, staged.body())
+      assert((JsonMethods.parse(staged.body()) \ "metadata-location") == JNothing,
+        "a staged table has no durable metadata yet")
+      assert(!cat.tableExists("staged"), "stage-create must not register")
       // an unconvertible partition transform refuses with the SAME
       // message an attach would produce (shared import machinery)
       val badSpec = post("/v1/p/namespaces/wh/tables",
@@ -975,6 +979,85 @@ class IcebergRestServeSpec extends AnyFunSuite {
       IceWrite.create(spark, cat, "other", Seq((1L, "a")).toDF("id", "name"))
       assert(post("/v1/p/tables/rename", renameBody("other", "orders"))
         .statusCode() == 409)
+    } finally srv.stop()
+  }
+
+  test("stage-create: the CTAS handshake registers atomically on first commit") {
+    val cat = freshCatalog()
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def post(path: String, body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val stagedResp = post("/v1/p/namespaces/wh/tables",
+        """{"name": "ctas", "stage-create": true,
+          |  "schema": {"type": "struct", "fields": [
+          |    {"id": 1, "name": "id", "required": false, "type": "long"},
+          |    {"id": 2, "name": "v", "required": false, "type": "string"}]}}"""
+          .stripMargin)
+      assert(stagedResp.statusCode() == 200, stagedResp.body())
+      val stagedM = JsonMethods.parse(stagedResp.body()) \ "metadata"
+      val stagedUuid = (stagedM \ "table-uuid").asInstanceOf[JString].s
+      val loc = (stagedM \ "location").asInstanceOf[JString].s
+      // invisible everywhere until the first commit — and a "crash" here
+      // (doing nothing) leaves no catalog entry
+      assert(!cat.tableExists("ctas"))
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh/tables/ctas").statusCode() == 404)
+
+      // the CTAS writer stages data under the assigned location...
+      val staging = MetaIO.join(loc, "data")
+      MetaIO.mkdirs(staging)
+      val (p1, sz1, n1, _) = graft.testkit.FileGenerator.writeSingleParquet(
+        spark, IceWrite.withFieldIds(
+          (1L to 12L).map(i => (i, s"c$i")).toDF("id", "v"),
+          Seq(SchemaField(1, "id", "BIGINT"), SchemaField(2, "v", "STRING"))),
+        java.nio.file.Paths.get(staging, "ctas.parquet"))
+
+      // ...a FAILED first commit (nonexistent file) leaves no entry
+      val bad = intercept[RuntimeException](
+        IcebergRestCommit.commitStagedCreate(srv.uri, Seq("wh"), "ctas",
+          stagedM, Seq(IcebergRestCommit.AddedFile("/nope/gone.parquet", 1L, 1L)),
+          staging))
+      assert(bad.getMessage.contains("does not exist"), bad.getMessage)
+      assert(!cat.tableExists("ctas"),
+        "a refused first commit must roll the staged create back out")
+
+      // ...and the real first commit registers create+data atomically
+      val snapId = IcebergRestCommit.commitStagedCreate(srv.uri, Seq("wh"), "ctas",
+        stagedM, Seq(IcebergRestCommit.AddedFile(p1, sz1, n1)), staging)
+      val meta = cat.loadTable("ctas")
+      assert(meta.stableUuid == stagedUuid, "the staged identity is the table's")
+      assert(meta.currentSnapshotId.contains(snapId))
+      assert(IceRead.table(spark, cat, "ctas").count() == 12L)
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh/tables/ctas").statusCode() == 200)
+
+      // a SECOND staged commit for the same name now loses assert-create
+      val again = post("/v1/p/namespaces/wh/tables",
+        """{"name": "ctas", "stage-create": true,
+          |  "schema": {"type": "struct", "fields": [
+          |    {"id": 1, "name": "id", "required": false, "type": "long"}]}}"""
+          .stripMargin)
+      assert(again.statusCode() == 409, "staging an existing name must refuse")
+
+      // race: stage a fresh name, then a DIRECT create takes it — the
+      // staged first commit must lose and leave the direct table intact
+      val s2 = post("/v1/p/namespaces/wh/tables",
+        """{"name": "raced", "stage-create": true,
+          |  "schema": {"type": "struct", "fields": [
+          |    {"id": 1, "name": "id", "required": false, "type": "long"},
+          |    {"id": 2, "name": "v", "required": false, "type": "string"}]}}"""
+          .stripMargin)
+      assert(s2.statusCode() == 200)
+      IceWrite.create(spark, cat, "raced", Seq((99L, "direct")).toDF("id", "v"))
+      val lost = intercept[RuntimeException](
+        IcebergRestCommit.commitStagedCreate(srv.uri, Seq("wh"), "raced",
+          JsonMethods.parse(s2.body()) \ "metadata",
+          Seq(IcebergRestCommit.AddedFile(p1, sz1, n1)), staging))
+      assert(lost.getMessage.contains("409"), lost.getMessage)
+      assert(IceRead.table(spark, cat, "raced").count() == 1L,
+        "the direct table must survive the losing staged commit")
     } finally srv.stop()
   }
 
