@@ -1,0 +1,209 @@
+package graft.meta
+
+/** MECHANICAL translation of a conservative SQL subset from other
+  * engines' dialects (Trino/Presto, Hive) into Spark SQL, so an imported
+  * Iceberg view whose only representation is foreign can still be read
+  * here — the common case the view spec anticipates (engines are asked
+  * to translate representations they understand).
+  *
+  * The contract is soundness over coverage: a translation is produced
+  * ONLY when every construct in the statement is known to mean the same
+  * thing in the source dialect and in Spark; anything else returns None
+  * and the caller refuses by dialect name (exactly as before). The rules:
+  *
+  *  - quoted identifiers: Trino's `"col"` becomes Spark's backquoted
+  *    form; Hive's `"..."`/`'...'` are both string literals and pass
+  *    through as single-quoted literals (Hive identifiers are already
+  *    backquoted, which Spark shares);
+  *  - `||` concatenation, comparison/arithmetic operators, and comments
+  *    pass through (identical);
+  *  - a WORD followed by `(` must be a whitelisted KEYWORD (clause
+  *    syntax shared by both dialects) or a whitelisted FUNCTION with
+  *    identical semantics — a small rename map covers same-semantics
+  *    different-name pairs (`strpos`->`instr`, `starts_with`->
+  *    `startswith`, ...). Any other call form refuses: Trino's `split`
+  *    (literal delimiter) vs Spark's (regex), `date_add(unit, n, ts)`
+  *    vs `date_add(date, n)`, `repeat` (array vs string) are the kind
+  *    of silent-wrong traps the whitelist exists to block;
+  *  - array subscripts / constructors (`[`, `]`) refuse — Trino
+  *    subscripts are 1-based, Spark's are 0-based; lambdas (`->`)
+  *    refuse with them (their useful targets are the excluded
+  *    higher-order functions);
+  *  - `AT TIME ZONE`, `TRY`, and row-field access stay out (no Spark
+  *    equivalent with identical semantics).
+  */
+object DialectTranslate {
+
+  private val Keywords: Set[String] = Set(
+    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "offset", "fetch", "join", "inner", "left", "right", "full", "outer",
+    "cross", "on", "using", "and", "or", "not", "in", "exists", "between",
+    "like", "escape", "is", "null", "true", "false", "case", "when", "then",
+    "else", "end", "as", "cast", "try_cast", "distinct", "all", "union",
+    "intersect", "except", "values", "with", "asc", "desc", "nulls", "first",
+    "last", "over", "partition", "rows", "range", "unbounded", "preceding",
+    "following", "current", "row", "interval", "extract", "filter", "date",
+    "timestamp", "by")
+
+  /** Functions with IDENTICAL name + semantics in Trino/Hive and Spark. */
+  private val Functions: Set[String] = Set(
+    // math
+    "abs", "ceil", "ceiling", "floor", "round", "sqrt", "exp", "ln",
+    "log10", "log2", "power", "pow", "mod", "sign", "greatest", "least",
+    // null handling / conditionals
+    "coalesce", "nullif", "if",
+    // strings
+    "length", "lower", "upper", "trim", "ltrim", "rtrim", "replace",
+    "substr", "substring", "concat", "concat_ws", "reverse", "lpad", "rpad",
+    "translate", "initcap",
+    // date/time (same argument order and unit strings)
+    "year", "month", "day", "hour", "minute", "second", "quarter",
+    "date_trunc", "from_unixtime", "to_unixtime", "now", "current_date",
+    "current_timestamp",
+    // aggregates
+    "count", "sum", "min", "max", "avg", "stddev", "stddev_pop",
+    "stddev_samp", "variance", "var_pop", "var_samp", "count_if",
+    "bool_and", "bool_or", "corr", "covar_pop", "covar_samp",
+    // windows
+    "row_number", "rank", "dense_rank", "ntile", "lag", "lead",
+    "first_value", "last_value", "nth_value",
+    // misc
+    "cardinality", "cast", "try_cast", "extract")
+
+  /** Same semantics, different name: source -> Spark. */
+  private val Renames: Map[String, String] = Map(
+    "strpos" -> "instr",
+    "starts_with" -> "startswith",
+    "ends_with" -> "endswith",
+    "chr" -> "char",
+    "codepoint" -> "ascii")
+
+  /** Bare TYPE names (cast targets) spelled differently. Sized forms
+    * (`varchar(10)`) refuse via the call whitelist before this applies. */
+  private val TypeRenames: Map[String, String] = Map(
+    "varchar" -> "string", "varbinary" -> "binary", "real" -> "float")
+
+  private sealed trait Tok
+  private final case class Word(s: String) extends Tok
+  private final case class Quoted(inner: String) extends Tok // "..." source
+  private final case class Str(raw: String) extends Tok      // '...' verbatim
+  private final case class Other(s: String) extends Tok      // ops, spaces, comments
+
+  /** Some(spark SQL) when `sql` (in `dialect`) is inside the safe
+    * subset; None otherwise — never a best-effort guess. */
+  def toSpark(dialect: String, sql: String): Option[String] = {
+    val d = dialect.toLowerCase(java.util.Locale.ROOT)
+    if (!Set("trino", "presto", "hive").contains(d)) return None
+    val toks = tokenize(sql).getOrElse(return None)
+    // refusal scan: constructs outside the subset
+    val words = toks.collect { case Word(w) => w.toLowerCase(java.util.Locale.ROOT) }
+    if (words.contains("try") || words.contains("at") || words.contains("lateral") ||
+        words.contains("unnest") || words.contains("tablesample") ||
+        words.contains("grouping") || words.contains("array") || words.contains("map"))
+      return None
+    if (toks.exists { case Other(s) =>
+        s.contains("[") || s.contains("]") || s.contains("->") ||
+          s.contains("?") || s.contains("{") || s.contains("}")
+      case _ => false }) return None
+    if (d != "hive" && toks.exists {
+        case Quoted(inner) => inner.contains("`"); case _ => false })
+      return None // a backtick inside a quoted identifier cannot re-quote
+    // every call position must be whitelisted
+    val meaningful = toks.filter {
+      case Other(s) => s.trim.nonEmpty && !s.startsWith("--") && !s.startsWith("/*")
+      case _ => true
+    }
+    meaningful.zip(meaningful.drop(1)).foreach {
+      case (Word(w), Other(op)) if op.trim.startsWith("(") =>
+        val lw = w.toLowerCase(java.util.Locale.ROOT)
+        if (!Keywords.contains(lw) && !Functions.contains(lw) &&
+            !Renames.contains(lw)) return None
+      case (Quoted(_), Other(op)) if op.trim.startsWith("(") =>
+        return None // a quoted-identifier call is never in the subset
+      case _ => ()
+    }
+    // emit
+    val out = new StringBuilder
+    toks.foreach {
+      case Word(w) =>
+        val lw = w.toLowerCase(java.util.Locale.ROOT)
+        out ++= Renames.getOrElse(lw, TypeRenames.getOrElse(lw, w))
+      case Quoted(inner) =>
+        if (d == "hive") // Hive double-quotes are STRING literals
+          out ++= "'" + inner.replace("'", "''") + "'"
+        else out ++= "`" + inner + "`"
+      case Str(raw) => out ++= raw
+      case Other(s) => out ++= s
+    }
+    Some(out.toString)
+  }
+
+  /** Lexes into words / double-quoted / single-quoted / rest, handling
+    * the doubled-quote escapes both dialects share. None on an
+    * unterminated quote. */
+  private def tokenize(sql: String): Option[Vector[Tok]] = {
+    val toks = Vector.newBuilder[Tok]
+    val other = new StringBuilder
+    def flush(): Unit = if (other.nonEmpty) { toks += Other(other.toString); other.clear() }
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        flush()
+        val start = i; i += 1
+        var done = false
+        while (!done) {
+          if (i >= n) return None
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        toks += Str(sql.substring(start, i))
+      } else if (c == '"') {
+        flush()
+        i += 1
+        val inner = new StringBuilder
+        var done = false
+        while (!done) {
+          if (i >= n) return None
+          if (sql.charAt(i) == '"') {
+            if (i + 1 < n && sql.charAt(i + 1) == '"') { inner += '"'; i += 2 }
+            else { done = true; i += 1 }
+          } else { inner += sql.charAt(i); i += 1 }
+        }
+        toks += Quoted(inner.toString)
+      } else if (c == '`') {
+        // backquoted identifier (Hive form — Spark-compatible verbatim)
+        flush()
+        val start = i; i += 1
+        while (i < n && sql.charAt(i) != '`') i += 1
+        if (i >= n) return None
+        i += 1
+        toks += Other(sql.substring(start, i))
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        flush()
+        val start = i
+        while (i < n && sql.charAt(i) != '\n') i += 1
+        toks += Other(sql.substring(start, i))
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        flush()
+        val start = i; i += 2
+        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        if (i + 1 >= n) return None
+        i += 2
+        toks += Other(sql.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        flush()
+        val start = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+        toks += Word(sql.substring(start, i))
+      } else {
+        other += c; i += 1
+      }
+    }
+    flush()
+    Some(toks.result())
+  }
+}

@@ -159,15 +159,21 @@ object Views {
     try {
       val meta = catalog.loadTable(name)
       // an imported view whose current representation is another engine's
-      // dialect must refuse BY NAME, not be fed to Spark's parser —
-      // foreign syntax can parse to something silently different (e.g.
-      // Trino's "quoted identifiers" become Spark string literals)
+      // dialect must never be fed RAW to Spark's parser — foreign syntax
+      // can parse to something silently different (e.g. Trino's "quoted
+      // identifiers" become Spark string literals). The mechanical safe
+      // subset translates ([[DialectTranslate]]); anything beyond it
+      // still refuses BY NAME.
       val dialect = meta.properties.getOrElse(DialectKey, "spark")
-      require(dialect.isEmpty || dialect.equalsIgnoreCase("spark"),
-        s"view $catName.$name stores a '$dialect'-dialect SQL representation " +
-          "this engine cannot execute — re-create it here, or attach a version " +
-          "with a spark representation")
-      analyze(spark, meta.properties(SqlKey))
+      val sql =
+        if (dialect.isEmpty || dialect.equalsIgnoreCase("spark"))
+          meta.properties(SqlKey)
+        else DialectTranslate.toSpark(dialect, meta.properties(SqlKey)).getOrElse(
+          throw new IllegalArgumentException(
+            s"view $catName.$name stores a '$dialect'-dialect SQL representation " +
+              "outside the mechanically-translatable subset — re-create it " +
+              "here, or attach a version with a spark representation"))
+      analyze(spark, sql)
     }
     finally stack.remove(key)
   }

@@ -131,10 +131,11 @@ class ViewsSpec extends AnyFunSuite {
     val cat = freshCatalog("vdx")
     IceWrite.create(spark, cat, "base", Seq((1L, 2L), (3L, 4L)).toDF("k", "v"))
 
-    // a FOREIGN view whose representations are all trino-dialect: the
-    // import succeeds (metadata is dialect-agnostic), the READ refuses by
-    // dialect name — Trino's "quoted identifiers" would parse as Spark
-    // string literals and return silently wrong rows otherwise
+    // a FOREIGN view whose representations are all trino-dialect AND
+    // outside the mechanically-translatable subset (TRY has no Spark
+    // equivalent): the import succeeds (metadata is dialect-agnostic),
+    // the READ refuses by dialect name — feeding foreign syntax raw to
+    // Spark's parser could return silently wrong rows
     val foreign =
       """{"view-uuid": "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee",
         |  "format-version": 1, "current-version-id": 4,
@@ -147,7 +148,7 @@ class ViewsSpec extends AnyFunSuite {
         |     "default-namespace": ["wh"]},
         |    {"version-id": 4, "timestamp-ms": 200, "schema-id": 0,
         |     "representations": [{"type": "sql",
-        |       "sql": "SELECT \"k\" FROM t WHERE \"k\" > 0", "dialect": "trino"}],
+        |       "sql": "SELECT TRY(\"k\" / 0) FROM t", "dialect": "trino"}],
         |     "default-namespace": ["wh"]}]}""".stripMargin
     IcebergImport.importIcebergViewMetadataJson(cat, "vf", JsonMethods.parse(foreign))
     val imported = cat.loadTable("vf")
@@ -363,6 +364,67 @@ class ViewsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM vsc.c1 UNION ALL SELECT * FROM vsc.c1")
       .count() == 2L)
     GraftSql.unregister("vsc")
+  }
+
+  test("trino-dialect views inside the safe subset translate and read; traps refuse") {
+    import org.json4s.jackson.JsonMethods
+    val cat = freshCatalog("vtr")
+    IceWrite.create(spark, cat, "base",
+      (1L to 12L).map(i => (i, i % 3, s"s$i")).toDF("k", "g", "s"))
+
+    def viewDoc(name: String, sql: String, dialect: String = "trino"): Unit =
+      IcebergImport.importIcebergViewMetadataJson(cat, name, JsonMethods.parse(
+        s"""{"view-uuid": "00000000-0000-0000-0000-0000000$name",
+           |  "format-version": 1, "current-version-id": 1,
+           |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+           |    {"id": 1, "name": "k", "required": false, "type": "long"}]}],
+           |  "versions": [{"version-id": 1, "timestamp-ms": 1, "schema-id": 0,
+           |    "representations": [{"type": "sql",
+           |      "sql": ${org.json4s.jackson.JsonMethods.compact(
+                  org.json4s.jackson.JsonMethods.render(org.json4s.JString(sql)))},
+           |      "dialect": "$dialect"}],
+           |    "default-namespace": ["wh"]}]}""".stripMargin))
+
+    // the SAFE subset: quoted identifiers, ||, whitelisted functions,
+    // aggregates, CASE — rows must equal the identical native definition
+    viewDoc("tv1",
+      """SELECT "g", count(*) AS "cnt", sum("k") AS total,
+        |       concat(upper('x'), '-') || cast(max("k") AS varchar) AS tag,
+        |       CASE WHEN avg("k") > 5 THEN 'hi' ELSE 'lo' END AS band
+        |FROM vtr.base WHERE "k" BETWEEN 2 AND 11 GROUP BY "g"""".stripMargin)
+    spark.sql("CREATE VIEW vtr.nat AS " +
+      "SELECT g, count(*) AS cnt, sum(k) AS total, " +
+      "concat(upper('x'), '-') || cast(max(k) AS string) AS tag, " +
+      "CASE WHEN avg(k) > 5 THEN 'hi' ELSE 'lo' END AS band " +
+      "FROM vtr.base WHERE k BETWEEN 2 AND 11 GROUP BY g")
+    val a = spark.sql("SELECT * FROM vtr.tv1").collect().toSeq.sortBy(_.toString)
+    val b = spark.sql("SELECT * FROM vtr.nat").collect().toSeq.sortBy(_.toString)
+    assert(a == b, s"translated trino view diverged:\n$a\n$b")
+    // renamed same-semantics functions map over
+    viewDoc("tv2", """SELECT strpos("s", 's') AS p, starts_with("s", 's') AS w
+      |FROM vtr.base WHERE "k" = 3""".stripMargin)
+    val r = spark.sql("SELECT * FROM vtr.tv2").head
+    assert(r.getInt(0) == 1 && r.getBoolean(1))
+
+    // hive dialect: double quotes are STRING literals, not identifiers
+    viewDoc("hv1", """SELECT count(*) AS c FROM vtr.base WHERE s <> "never"""",
+      dialect = "hive")
+    assert(spark.sql("SELECT * FROM vtr.hv1").head.getLong(0) == 12L)
+
+    // silent-wrong TRAPS refuse by name: split (regex vs literal),
+    // date_add (different argument shapes), array subscripts (1- vs
+    // 0-based), higher-order lambdas
+    for (bad <- Seq(
+        """SELECT split("s", ',') FROM vtr.base""",
+        """SELECT date_add('day', 1, current_date) FROM vtr.base""",
+        """SELECT "arr"[1] FROM vtr.base""",
+        """SELECT transform("arr", x -> x + 1) FROM vtr.base""")) {
+      val n = s"bad${bad.hashCode.abs % 1000}"
+      viewDoc(n, bad)
+      val e = intercept[Exception](spark.sql(s"SELECT * FROM vtr.$n").collect())
+      assert(e.getMessage.contains("trino"), s"$bad => ${e.getMessage}")
+    }
+    GraftSql.unregister("vtr")
   }
 
   test("SHOW TABLES/VIEWS LIKE: '|' alternation and literal metacharacters") {
