@@ -13,8 +13,10 @@ import org.json4s.jackson.JsonMethods
   * them without knowing anything about this engine:
   *
   *  - `GET /v1/config` — prefix handshake;
-  *  - `GET /v1/{prefix}/namespaces` / `.../namespaces/{ns}` — the single
-  *    flat namespace this catalog models;
+  *  - `GET/POST/DELETE /v1/{prefix}/namespaces[...]` — NESTED namespaces
+  *    rooted at this server's root namespace, mapping bijectively onto
+  *    dot-prefixed catalog entry names (`[root, a, b]` table `t` is
+  *    entry `a.b.t`); `parent=` listing, create/drop of empty children;
   *  - `GET /v1/{prefix}/namespaces/{ns}/tables` — table listing;
   *  - `GET /v1/{prefix}/namespaces/{ns}/tables/{t}` — LoadTableResult
   *    with the spec metadata EMBEDDED (produced by [[IcebergExport]]
@@ -122,18 +124,72 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     code -> JsonMethods.compact(JsonMethods.render(
       "error" -> (("message" -> msg) ~ ("type" -> "RESTException") ~ ("code" -> code))))
 
-  private val tablesRoot = s"/v1/$prefix/namespaces/$namespace/tables"
-  private val viewsRoot = s"/v1/$prefix/namespaces/$namespace/views"
+  private val nsRootPath = s"/v1/$prefix/namespaces"
 
-  private def lastSegment(path: String, root: String): Option[String] =
-    Some(path.stripPrefix(s"$root/"))
-      .filter(t => path.startsWith(s"$root/") && t.nonEmpty && !t.contains("/"))
-      .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
+  /** NESTED namespaces: every namespace is rooted at this server's root
+    * (`[root]`, `[root, a]`, `[root, a, b]`, ...). A child namespace maps
+    * onto DOT-prefIXED catalog entry names — table `t` in `[root, a, b]`
+    * is catalog entry `a.b.t` — a bijection the native engine sees as
+    * plain names, so both surfaces address the same entries. Namespaces
+    * exist implicitly while entries live under them; explicitly-created
+    * EMPTY ones are tracked here (session-scoped until a table lands). */
+  private val createdNs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Seq[String]]()
 
-  /** The decoded table name when `path` addresses a single table under
-    * the served namespace (`.../tables/{t}`), else None. */
-  private def tableOf(path: String): Option[String] = lastSegment(path, tablesRoot)
-  private def viewOf(path: String): Option[String] = lastSegment(path, viewsRoot)
+  private def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Decoded namespace segments when `raw` (one path segment, `%1F`-
+    * joined multiparts) is rooted at this server's root. */
+  private def nsSegments(raw: String): Option[Seq[String]] = {
+    val segs = urlDecode(raw).split('\u001f').toSeq
+    Some(segs).filter(s => s.headOption.contains(namespace) && s.forall(_.nonEmpty))
+  }
+
+  /** Catalog-entry prefix of a namespace ("" for the root, "a.b." below). */
+  private def entryPrefix(ns: Seq[String]): String = ns.drop(1).map(_ + ".").mkString
+
+  /** The namespace tail (segments BELOW the root) an entry lives in. */
+  private def nsTailOf(entry: String): Seq[String] =
+    entry.split('.').toSeq.dropRight(1)
+
+  private def entriesIn(ns: Seq[String]): Seq[String] =
+    catalog.listTables.filter(n => nsTailOf(n) == ns.drop(1))
+
+  private def nsExists(ns: Seq[String]): Boolean =
+    ns == Seq(namespace) || createdNs.contains(ns) ||
+      catalog.listTables.exists(n => nsTailOf(n).startsWith(ns.drop(1)))
+
+  /** `/v1/{prefix}/namespaces/{ns}/{tables|views}/{obj}[/plan|/preplan]`
+    * decoded to (namespace segments, kind, CATALOG ENTRY NAME, suffix). */
+  private def objRoute(path: String)
+      : Option[(Seq[String], String, String, Option[String])] = {
+    if (!path.startsWith(nsRootPath + "/")) return None
+    path.stripPrefix(nsRootPath + "/").split("/", -1).toList match {
+      case ns :: kind :: obj :: rest
+          if (kind == "tables" || kind == "views") && obj.nonEmpty =>
+        val suffix = rest match {
+          case Nil => Some(None)
+          case s :: Nil if s == "plan" || s == "preplan" => Some(Some(s))
+          case _ => None
+        }
+        for { n <- nsSegments(ns); sfx <- suffix }
+          yield (n, kind, entryPrefix(n) + urlDecode(obj), sfx)
+      case _ => None
+    }
+  }
+
+  /** `/v1/{prefix}/namespaces/{ns}[/tables|/views|/register]` decoded to
+    * (namespace segments, collection). */
+  private def nsRoute(path: String): Option[(Seq[String], Option[String])] = {
+    if (!path.startsWith(nsRootPath + "/")) return None
+    path.stripPrefix(nsRootPath + "/").split("/", -1).toList match {
+      case ns :: Nil => nsSegments(ns).map((_, None))
+      case ns :: k :: Nil if Set("tables", "views", "register").contains(k) =>
+        nsSegments(ns).map((_, Some(k)))
+      case _ => None
+    }
+  }
 
   /** View-ness requires the entry's metadata (the kind lives in
     * properties). Listings call this per entry: the backing catalog's
@@ -152,27 +208,40 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getRawPath
     val method = ex.getRequestMethod
+    // object routes resolve a namespace + name to ONE catalog entry; the
+    // kind split (tables vs views answer 404 for each other's entries,
+    // exactly as the spec separates the two object kinds) happens here
+    val obj = objRoute(path)
+    def tableOf: Option[String] = obj.collect {
+      case (_, "tables", t, None) => t }
+    def viewOf: Option[String] = obj.collect {
+      case (_, "views", v, None) => v }
+    val nsr = nsRoute(path)
     val (code, body): (Int, String) =
       if (bearerToken.exists(t => !Option(ex.getRequestHeaders.getFirst("Authorization"))
           .contains(s"Bearer $t")))
         err("not authorized", 401)
-      else if (method == "POST" && tableOf(path).nonEmpty) {
-        val t = tableOf(path).get
-        // view entries are NOT tables: the table routes answer 404 for
-        // them, exactly as the spec separates the two object kinds
+      else if (method == "POST" && obj.exists(o => o._2 == "tables" && o._4.nonEmpty)) {
+        val (_, _, t, Some(which)) = obj.get
+        if (!catalog.tableExists(t) || isViewEntry(t)) err(s"table $t not found", 404)
+        else if (which == "preplan") preplanTableScan(t, readBody(ex))
+        else planTableScan(t, readBody(ex))
+      }
+      else if (method == "POST" && tableOf.nonEmpty) {
+        val t = tableOf.get
         if (!catalog.tableExists(t) && staged.containsKey(t))
           commitStagedTable(t, readBody(ex))
         else if (!catalog.tableExists(t) || isViewEntry(t))
           err(s"table $t not found", 404)
         else commitTable(t, readBody(ex))
       }
-      else if (method == "POST" && path == tablesRoot)
-        createTable(readBody(ex))
-      else if (method == "POST" && path == viewsRoot)
-        createView(readBody(ex))
-      else if (method == "POST" && path == s"/v1/$prefix/namespaces/$namespace/register")
-        registerTable(readBody(ex))
-      else if (method == "POST" && path == s"/v1/$prefix/namespaces")
+      else if (method == "POST" && nsr.exists(_._2.contains("tables")))
+        createTable(nsr.get._1, readBody(ex))
+      else if (method == "POST" && nsr.exists(_._2.contains("views")))
+        createView(nsr.get._1, readBody(ex))
+      else if (method == "POST" && nsr.exists(_._2.contains("register")))
+        registerTable(nsr.get._1, readBody(ex))
+      else if (method == "POST" && path == nsRootPath)
         createNamespace(readBody(ex))
       else if (method == "POST" && path == s"/v1/$prefix/transactions/commit")
         commitTransaction(readBody(ex))
@@ -180,23 +249,27 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         renameEntry(readBody(ex), wantView = false)
       else if (method == "POST" && path == s"/v1/$prefix/views/rename")
         renameEntry(readBody(ex), wantView = true)
-      else if (method == "DELETE" && tableOf(path).nonEmpty) {
-        val t = tableOf(path).get
+      else if (method == "DELETE" && tableOf.nonEmpty) {
+        val t = tableOf.get
         if (!catalog.tableExists(t) || isViewEntry(t))
           err(s"table $t not found", 404)
         else { catalog.dropTable(t); purge(t); 204 -> "" }
       }
-      else if (method == "DELETE" && viewOf(path).nonEmpty) {
-        val v = viewOf(path).get
+      else if (method == "DELETE" && viewOf.nonEmpty) {
+        val v = viewOf.get
         if (!isViewEntry(v)) err(s"view $v not found", 404)
         else { catalog.dropTable(v); purge(v); 204 -> "" }
       }
-      else if (method == "HEAD" && tableOf(path).nonEmpty)
+      else if (method == "DELETE" && nsr.exists(_._2.isEmpty))
+        dropNamespace(nsr.get._1)
+      else if (method == "HEAD" && tableOf.nonEmpty)
         // spec table-existence check: status only, no body
-        (if (catalog.tableExists(tableOf(path).get) &&
-          !isViewEntry(tableOf(path).get)) 204 else 404) -> ""
-      else if (method == "HEAD" && viewOf(path).nonEmpty)
-        (if (isViewEntry(viewOf(path).get)) 204 else 404) -> ""
+        (if (catalog.tableExists(tableOf.get) &&
+          !isViewEntry(tableOf.get)) 204 else 404) -> ""
+      else if (method == "HEAD" && viewOf.nonEmpty)
+        (if (isViewEntry(viewOf.get)) 204 else 404) -> ""
+      else if (method == "HEAD" && nsr.exists(_._2.isEmpty))
+        (if (nsExists(nsr.get._1)) 204 else 404) -> ""
       else if (method != "GET")
         err(s"$method $path not supported: reads, table lifecycle " +
           "(create/register/drop/rename) and the commit endpoint", 405)
@@ -208,7 +281,10 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
             ("endpoints" -> List(
               "GET /v1/config",
               "GET /v1/{prefix}/namespaces",
+              "POST /v1/{prefix}/namespaces",
               "GET /v1/{prefix}/namespaces/{namespace}",
+              "HEAD /v1/{prefix}/namespaces/{namespace}",
+              "DELETE /v1/{prefix}/namespaces/{namespace}",
               "GET /v1/{prefix}/namespaces/{namespace}/tables",
               "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}",
               "HEAD /v1/{prefix}/namespaces/{namespace}/tables/{table}",
@@ -218,34 +294,41 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
               "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}",
               "POST /v1/{prefix}/tables/rename",
               "POST /v1/{prefix}/views/rename",
+              "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan",
+              "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/preplan",
               "POST /v1/{prefix}/transactions/commit",
               "GET /v1/{prefix}/namespaces/{namespace}/views",
               "GET /v1/{prefix}/namespaces/{namespace}/views/{view}",
               "HEAD /v1/{prefix}/namespaces/{namespace}/views/{view}",
               "POST /v1/{prefix}/namespaces/{namespace}/views",
               "DELETE /v1/{prefix}/namespaces/{namespace}/views/{view}"))))
-      else if (path == s"/v1/$prefix/namespaces") {
-        val (page, next) = paginate(Seq(namespace), ex.getRequestURI.getRawQuery)
-        val base: JValue = "namespaces" -> page.map(List(_))
-        200 -> JsonMethods.compact(JsonMethods.render(
-          next.fold(base)(t => base merge (("next-page-token" -> t): JValue))))
+      else if (path == nsRootPath)
+        listNamespaces(ex.getRequestURI.getRawQuery)
+      else if (nsr.exists(_._2.isEmpty)) {
+        val ns = nsr.get._1
+        if (!nsExists(ns)) err(s"namespace ${ns.mkString(".")} not found", 404)
+        else 200 -> JsonMethods.compact(JsonMethods.render(
+          ("namespace" -> ns) ~ ("properties" -> JObject(Nil))))
       }
-      else if (path == s"/v1/$prefix/namespaces/$namespace")
-        200 -> JsonMethods.compact(JsonMethods.render(
-          ("namespace" -> List(namespace)) ~ ("properties" -> JObject(Nil))))
-      else if (path == tablesRoot)
+      else if (nsr.exists(_._2.contains("tables"))) {
+        val ns = nsr.get._1
         // views are their own object kind — the tables listing excludes them
-        listing(catalog.listTables.sorted.filterNot(isViewEntry),
+        if (!nsExists(ns)) err(s"namespace ${ns.mkString(".")} not found", 404)
+        else listing(ns, entriesIn(ns).sorted.filterNot(isViewEntry),
           ex.getRequestURI.getRawQuery)
-      else if (path == viewsRoot)
-        listing(catalog.listTables.sorted.filter(isViewEntry),
+      }
+      else if (nsr.exists(_._2.contains("views"))) {
+        val ns = nsr.get._1
+        if (!nsExists(ns)) err(s"namespace ${ns.mkString(".")} not found", 404)
+        else listing(ns, entriesIn(ns).sorted.filter(isViewEntry),
           ex.getRequestURI.getRawQuery)
-      else if (viewOf(path).nonEmpty) {
-        val v = viewOf(path).get
+      }
+      else if (viewOf.nonEmpty) {
+        val v = viewOf.get
         if (!isViewEntry(v)) err(s"view $v not found", 404)
         else loadViewResult(v)
       }
-      else tableOf(path) match {
+      else tableOf match {
         case Some(table) =>
           if (!catalog.tableExists(table)) err(s"table $table not found", 404)
           else if (isViewEntry(table))
@@ -292,16 +375,25 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * transform validation, and refusal messages as attached ones. The
     * server assigns the location (requested locations are ignored, as the
     * spec allows) and the table uuid. */
-  private def createTable(body: String): (Int, String) =
-    try createTable0(body)
+  private def createTable(ns: Seq[String], body: String): (Int, String) =
+    try createTable0(ns, body)
     // Exception, not just RuntimeException: malformed JSON surfaces from
     // jackson as an IOException and is a CLIENT error
     catch { case e: Exception =>
       err(s"bad CreateTableRequest: ${e.getMessage}", 400) }
 
-  private def createTable0(body: String): (Int, String) = {
+  /** Bare object name + namespace -> catalog entry name; refuses names
+    * that would alias into another namespace. */
+  private def entryNameOf(ns: Seq[String], bare: String): Either[(Int, String), String] =
+    if (bare.isEmpty || bare.contains(".") || bare.contains("\u001f"))
+      Left(err(s"invalid object name '$bare' ('.' addresses namespaces)", 400))
+    else Right(entryPrefix(ns) + bare)
+
+  private def createTable0(ns: Seq[String], body: String): (Int, String) = {
     val req = JsonMethods.parse(body)
-    val tname = str(req \ "name")
+    val tname = entryNameOf(ns, str(req \ "name")) match {
+      case Left(e) => return e; case Right(n) => n
+    }
     if (catalog.tableExists(tname))
       return err(s"table $tname already exists", 409)
     val schemaJ = (req \ "schema") match {
@@ -430,14 +522,16 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * table creates, the request is synthesized into a view-metadata
     * document and parsed by the same [[IcebergImport]] machinery as an
     * attach. */
-  private def createView(body: String): (Int, String) = {
+  private def createView(ns: Seq[String], body: String): (Int, String) = {
     // the request-shape catch covers parse + import ONLY — once the view
     // exists, a failure rendering the response must not masquerade as a
     // 400 "bad request" (the client would retry into a confusing 409)
     val vname =
       try {
         val req = JsonMethods.parse(body)
-        val vname = str(req \ "name")
+        val vname = entryNameOf(ns, str(req \ "name")) match {
+          case Left(e) => return e; case Right(n) => n
+        }
         if (catalog.tableExists(vname))
           return err(s"$vname already exists", 409)
         val vv = (req \ "view-version") match {
@@ -472,11 +566,14 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   /** `POST .../namespaces/{ns}/register`: the spec RegisterTableRequest —
     * adopt a table that already has a `*.metadata.json` on shared storage
     * (the REST analogue of `CALL attach_iceberg`). */
-  private def registerTable(body: String): (Int, String) = {
+  private def registerTable(ns: Seq[String], body: String): (Int, String) = {
     val (tname, loc) =
       try {
         val req = JsonMethods.parse(body)
-        (str(req \ "name"), str(req \ "metadata-location"))
+        val n = entryNameOf(ns, str(req \ "name")) match {
+          case Left(e) => return e; case Right(x) => x
+        }
+        (n, str(req \ "metadata-location"))
       }
       catch { case e: Exception =>
         return err(s"bad RegisterTableRequest: ${e.getMessage}", 400) }
@@ -491,6 +588,179 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     // version counter — stale bodies for this name must go
     purge(tname)
     loadTableResult(tname)
+  }
+
+  /** `POST .../tables/{t}/preplan`: the spec's distributed-planning
+    * first half. This server's planning is cheap (manifests are already
+    * decoded), so the answer is a SINGLE plan task — an opaque token
+    * naming the snapshot — which the client hands back to `plan`. */
+  private def preplanTableScan(table: String, body: String): (Int, String) = {
+    val meta = catalog.loadTable(table)
+    val snapId = ((if (body.trim.isEmpty) JNothing
+                   else JsonMethods.parse(body) \ "snapshot-id") match {
+      case JNothing | JNull => meta.currentSnapshotId
+      case v => Some(lng(v))
+    }).getOrElse(return 200 -> JsonMethods.compact(JsonMethods.render(
+      ("plan-status" -> "completed") ~ ("plan-tasks" -> JArray(Nil)))))
+    200 -> JsonMethods.compact(JsonMethods.render(
+      ("plan-status" -> "completed") ~
+        ("plan-tasks" -> List(s"graft-snapshot:$snapId"))))
+  }
+
+  /** `POST .../tables/{t}/plan` (PlanTableScanRequest): server-side scan
+    * planning — the response's `file-scan-tasks` are the MANIFEST-PRUNED
+    * file tasks graft's own reads use ([[graft.exec.ZonePrune]] over
+    * zone maps, identity constants, bucket/truncate transforms), each
+    * with its resolved delete files as indices into a shared
+    * `delete-files` list (the spec's reference encoding) and the
+    * original filter echoed as the residual. A foreign reader gets
+    * graft's pruning without downloading or decoding any metadata.
+    * Unsupported filter shapes degrade to keep-everything — pruning is
+    * advisory, never wrong. */
+  private def planTableScan(table: String, body: String): (Int, String) = {
+    val meta = catalog.loadTable(table)
+    val req = if (body.trim.isEmpty) JObject(Nil) else JsonMethods.parse(body)
+    val snapIdOpt: Option[Long] = (req \ "plan-task") match {
+      case JString(s) if s.startsWith("graft-snapshot:") =>
+        Some(s.stripPrefix("graft-snapshot:").toLong)
+      case JString(other) => return err(s"unknown plan-task $other", 400)
+      case _ => (req \ "snapshot-id") match {
+        case JNothing | JNull => meta.currentSnapshotId
+        case v => Some(lng(v))
+      }
+    }
+    val snap = snapIdOpt match {
+      case None =>
+        return 200 -> JsonMethods.compact(JsonMethods.render(
+          ("plan-status" -> "completed") ~
+            ("file-scan-tasks" -> JArray(Nil)) ~ ("delete-files" -> JArray(Nil))))
+      case Some(id) => meta.snapshotById(id).getOrElse(
+        return err(s"no snapshot $id", 404))
+    }
+    val tasks = meta.scanTasks(snap)
+    val filterJ = req \ "filter"
+    val kept = meta.typedStruct match {
+      case Some(struct) =>
+        val expr = exprOf(filterJ,
+          meta.schema.map(f => f.name -> f.sparkType).toMap)
+          .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+        val identityCols = meta.partitionSpec.filter(_.isIdentity).map(_.column).toSet
+        val bucketFields = meta.partitionSpec.filter(p => p.isBucket || p.isTruncate)
+        tasks.filter(t => graft.exec.ZonePrune.mayMatch(expr, t, struct,
+          identityCols, "UTC", bucketFields, meta.statsRetiredNames))
+      case None => tasks // legacy untyped: no pruning, keep everything
+    }
+    // delete files render ONCE, shared by reference (spec encoding)
+    val byKey = snap.manifest.filter(_.content != FileContent.Data)
+      .map(e => e.resolutionKey -> e).toMap
+    val deleteKeys = kept.flatMap(_.deletes).distinct
+    val deleteIdx = deleteKeys.zipWithIndex.toMap
+    def contentFile(e: FileEntry): JValue =
+      ("content" -> (e.content match {
+        case FileContent.Data => "data"
+        case FileContent.PositionDeletes => "position-deletes"
+        case FileContent.EqualityDeletes => "equality-deletes"
+      })) ~
+        ("file-path" -> e.path) ~
+        ("file-format" -> (if (e.isDeletionVector) "puffin" else "parquet")) ~
+        ("record-count" -> e.recordCount) ~
+        ("file-size-in-bytes" -> e.length) ~
+        ("sequence-number" -> e.sequenceNumber) ~
+        ("spec-id" -> e.specId) ~
+        ("partition" -> JObject(e.partitionValues.toList.sortBy(_._1)
+          .map { case (k, v) => k -> (JString(v): JValue) })) ~
+        ("equality-ids" ->
+          (if (e.equalityFieldIds.isEmpty) JNothing else JArray(
+            e.equalityFieldIds.toList.map(i => JInt(BigInt(i)))))) ~
+        ("referenced-data-file" -> e.referencedDataFile.fold[JValue](JNothing)(JString(_))) ~
+        ("content-offset" -> e.contentOffset.fold[JValue](JNothing)(o => JInt(BigInt(o)))) ~
+        ("content-size-in-bytes" ->
+          e.contentSizeInBytes.fold[JValue](JNothing)(o => JInt(BigInt(o))))
+    val taskJ = kept.map { t =>
+      ("data-file" -> contentFile(t)) ~
+        ("delete-file-references" ->
+          (if (t.deletes.isEmpty) JNothing
+           else JArray(t.deletes.map(k => JInt(BigInt(deleteIdx(k)))).toList))) ~
+        ("residual-filter" -> filterJ)
+    }
+    200 -> JsonMethods.compact(JsonMethods.render(
+      ("plan-status" -> "completed") ~
+        ("file-scan-tasks" -> taskJ) ~
+        ("delete-files" -> deleteKeys.map(k => contentFile(byKey(k))))))
+  }
+
+  /** The spec expression JSON (a bound scan filter) to a Catalyst
+    * expression [[graft.exec.ZonePrune.mayMatch]] understands. Returns
+    * None for shapes outside the subset; AND drops an unparseable side
+    * (conservative for pruning), OR and NOT require both/the child. */
+  private def exprOf(j: JValue,
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def ref(t: JValue): Option[AttributeReference] = (t match {
+      case JString(n) => Some(n)
+      case o => (o \ "term") match { case JString(n) => Some(n); case _ => None }
+    }).flatMap(n => types.get(n).map(dt => AttributeReference(n, dt)()))
+    def lit(v: JValue, dt: DataType): Option[Literal] =
+      try dt match {
+        case LongType => Some(Literal(lng(v)))
+        case IntegerType | ShortType | ByteType => Some(Literal(lng(v).toInt, IntegerType))
+        case DoubleType => v match {
+          case JDouble(d) => Some(Literal(d)); case x => Some(Literal(lng(x).toDouble))
+        }
+        case FloatType => v match {
+          case JDouble(d) => Some(Literal(d.toFloat)); case x => Some(Literal(lng(x).toFloat))
+        }
+        case StringType => v match {
+          case JString(s) => Some(Literal.create(s, StringType)); case _ => None
+        }
+        case BooleanType => v match { case JBool(b) => Some(Literal(b)); case _ => None }
+        case DateType => v match {
+          // the spec serializes dates as days-since-epoch ints; tolerate
+          // the human form too
+          case JString(s) => Some(Literal(
+            java.time.LocalDate.parse(s).toEpochDay.toInt, DateType))
+          case x => Some(Literal(lng(x).toInt, DateType))
+        }
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def cmpOf(mk: (Expression, Expression) => Expression): Option[Expression] =
+      for {
+        a <- ref(j \ "term")
+        l <- lit(j \ "value", a.dataType)
+      } yield mk(a, l)
+    (j \ "type") match {
+      case JString("and") =>
+        (exprOf(j \ "left", types), exprOf(j \ "right", types)) match {
+          case (Some(l), Some(r)) => Some(And(l, r))
+          case (one, other) => one.orElse(other) // dropping a conjunct keeps more
+        }
+      case JString("or") =>
+        for { l <- exprOf(j \ "left", types); r <- exprOf(j \ "right", types) }
+          yield Or(l, r)
+      case JString("not") => exprOf(j \ "child", types).map(Not(_))
+      case JString("lt") => cmpOf(LessThan(_, _))
+      case JString("lt-eq") => cmpOf(LessThanOrEqual(_, _))
+      case JString("gt") => cmpOf(GreaterThan(_, _))
+      case JString("gt-eq") => cmpOf(GreaterThanOrEqual(_, _))
+      case JString("eq") => cmpOf(EqualTo(_, _))
+      case JString("not-eq") => cmpOf((a, l) => Not(EqualTo(a, l)))
+      case JString("starts-with") => cmpOf(StartsWith(_, _))
+      case JString("is-null") => ref(j \ "term").map(IsNull(_))
+      case JString("not-null") => ref(j \ "term").map(IsNotNull(_))
+      case JString("in") => ref(j \ "term").flatMap { a =>
+        (j \ "values") match {
+          case JArray(vs) =>
+            val lits = vs.map(lit(_, a.dataType))
+            if (lits.forall(_.nonEmpty)) Some(In(a, lits.flatten)) else None
+          case _ => None
+        }
+      }
+      case JString("true") => Some(Literal.TrueLiteral)
+      case JString("false") => Some(Literal.FalseLiteral)
+      case _ => None
+    }
   }
 
   /** Spec listing pagination: `pageToken` resumes EXCLUSIVELY after the
@@ -515,12 +785,55 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     }
   }
 
-  private def listing(names: Seq[String], rawQuery: String): (Int, String) = {
+  private def listing(ns: Seq[String], names: Seq[String],
+      rawQuery: String): (Int, String) = {
     val (page, next) = paginate(names, rawQuery)
     val base: JValue = "identifiers" -> page.map(t =>
-      ("namespace" -> List(namespace)) ~ ("name" -> t))
+      ("namespace" -> ns) ~ ("name" -> t.split('.').last))
     200 -> JsonMethods.compact(JsonMethods.render(
       next.fold(base)(t => base merge (("next-page-token" -> t): JValue))))
+  }
+
+  /** `GET /v1/{prefix}/namespaces[?parent=X]`: without `parent`, the
+    * single top-level namespace (this server's root); with it, the
+    * DIRECT children of X — implicit ones (entries live below) plus
+    * explicitly-created empty ones. */
+  private def listNamespaces(rawQuery: String): (Int, String) = {
+    val params: Map[String, String] = Option(rawQuery).toSeq
+      .flatMap(_.split("&").toSeq).flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> urlDecode(v)); case _ => None
+      }).toMap
+    val parent = params.get("parent").map(_.split('\u001f').toSeq)
+    val result: Seq[Seq[String]] = parent match {
+      case None => Seq(Seq(namespace))
+      case Some(p) if !p.headOption.contains(namespace) => Nil
+      case Some(p) =>
+        val tail = p.drop(1)
+        val implicitKids = catalog.listTables.map(nsTailOf)
+          .filter(t => t.length > tail.length && t.startsWith(tail))
+          .map(t => p :+ t(tail.length))
+        val explicitKids = {
+          import scala.jdk.CollectionConverters._
+          createdNs.asScala.toSeq.filter(n =>
+            n.length == p.length + 1 && n.startsWith(p))
+        }
+        (implicitKids ++ explicitKids).distinct.sortBy(_.mkString("\u001f"))
+    }
+    200 -> JsonMethods.compact(JsonMethods.render(
+      ("namespaces" -> result): JValue))
+  }
+
+  private def dropNamespace(ns: Seq[String]): (Int, String) = {
+    if (ns == Seq(namespace))
+      return err("cannot drop the root namespace", 400)
+    if (!nsExists(ns)) return err(s"namespace ${ns.mkString(".")} not found", 404)
+    if (catalog.listTables.exists(n => nsTailOf(n).startsWith(ns.drop(1))))
+      return err(s"namespace ${ns.mkString(".")} is not empty", 409)
+    import scala.jdk.CollectionConverters._
+    if (createdNs.asScala.exists(n => n.length > ns.length && n.startsWith(ns)))
+      return err(s"namespace ${ns.mkString(".")} has child namespaces", 409)
+    createdNs.remove(ns)
+    204 -> ""
   }
 
   /** `POST /v1/{prefix}/tables/rename` (and `views/rename`): the spec
@@ -532,15 +845,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     val (from, to) =
       try {
         val req = JsonMethods.parse(body)
-        def ident(j: JValue): String = {
-          (j \ "namespace") match {
-            case JArray(List(JString(ns))) if ns == namespace => ()
-            case other => throw new IllegalArgumentException(
-              s"unknown namespace $other (this catalog serves '$namespace')")
-          }
-          str(j \ "name")
-        }
-        (ident(req \ "source"), ident(req \ "destination"))
+        (identEntry(req \ "source"), identEntry(req \ "destination"))
       } catch { case e: Exception =>
         return err(s"bad RenameTableRequest: ${e.getMessage}", 400) }
     val kind = if (wantView) "view" else "table"
@@ -558,16 +863,44 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     204 -> ""
   }
 
-  /** `POST .../namespaces`: this catalog models exactly ONE namespace, so
-    * creating it again is the spec's AlreadyExists (409) and anything
-    * else is refused honestly. */
+  /** A spec TableIdentifier ({namespace, name}) to the catalog entry
+    * name, validating the namespace is rooted here. Throws
+    * IllegalArgumentException for the caller's 400 wrapper. */
+  private def identEntry(j: JValue): String = {
+    val ns = (j \ "namespace") match {
+      case JArray(xs) if xs.nonEmpty && xs.forall(_.isInstanceOf[JString]) =>
+        xs.map(_.asInstanceOf[JString].s)
+      case other => throw new IllegalArgumentException(s"bad namespace $other")
+    }
+    require(ns.headOption.contains(namespace),
+      s"unknown namespace ${ns.mkString(".")} (rooted at '$namespace')")
+    entryNameOf(ns, str(j \ "name")) match {
+      case Left((_, msg)) => throw new IllegalArgumentException(msg)
+      case Right(n) => n
+    }
+  }
+
+  /** `POST .../namespaces`: creates a CHILD namespace under the root
+    * (the root itself answers the spec's AlreadyExists; namespaces not
+    * rooted here are refused honestly). */
   private def createNamespace(body: String): (Int, String) =
     (JsonMethods.parse(body) \ "namespace") match {
-      case JArray(List(JString(ns))) if ns == namespace =>
-        err(s"namespace $namespace already exists", 409)
-      case other =>
-        err(s"single-namespace catalog (serves only '$namespace'): " +
-          s"cannot create $other", 400)
+      case JArray(xs) if xs.nonEmpty && xs.forall(_.isInstanceOf[JString]) =>
+        val ns = xs.map(_.asInstanceOf[JString].s)
+        if (!ns.headOption.contains(namespace))
+          err(s"namespaces here are rooted at '$namespace': cannot create " +
+            ns.mkString("."), 400)
+        else if (ns.exists(s => s.isEmpty || s.contains(".") || s.contains("\u001f")))
+          err(s"invalid namespace segment in ${ns.mkString(".")}", 400)
+        else if (nsExists(ns)) err(s"namespace ${ns.mkString(".")} already exists", 409)
+        else if (ns.length > 1 && !nsExists(ns.dropRight(1)))
+          err(s"parent namespace ${ns.dropRight(1).mkString(".")} does not exist", 404)
+        else {
+          createdNs.add(ns)
+          200 -> JsonMethods.compact(JsonMethods.render(
+            ("namespace" -> ns) ~ ("properties" -> JObject(Nil))))
+        }
+      case other => err(s"bad CreateNamespaceRequest: $other", 400)
     }
 
   /** `POST .../tables/{t}`: the spec CommitTableRequest. */
@@ -904,12 +1237,9 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         case o => return err(s"bad table-changes: $o", 400)
       }
       val named: List[(String, JValue)] = changes.map { c =>
-        val ident = c \ "identifier"
-        (ident \ "namespace") match {
-          case JArray(List(JString(ns))) if ns == namespace => ()
-          case other => return err(s"unknown namespace in transaction: $other", 400)
-        }
-        str(ident \ "name") -> c
+        (try identEntry(c \ "identifier")
+         catch { case e: IllegalArgumentException =>
+           return err(s"transaction: ${e.getMessage}", 400) }) -> c
       }
       named.groupBy(_._1).collectFirst { case (t, cs) if cs.size > 1 => t }
         .foreach(t => return err(

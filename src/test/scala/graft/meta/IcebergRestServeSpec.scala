@@ -1061,6 +1061,169 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("server-side scan planning: plan/preplan serve manifest-pruned file tasks") {
+    val cat = freshCatalog()
+    val rows = (1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+    // four RANGE-DISJOINT files so zone maps can discriminate
+    IceWrite.create(spark, cat, "t", rows.filter(col("id") <= 100).repartition(1))
+    for (lo <- Seq(101L, 201L, 301L))
+      IceWrite.append(spark, cat, "t",
+        rows.filter(col("id") > lo - 1 && col("id") <= lo + 99).repartition(1))
+    IceWrite.deleteWhere(spark, cat, "t", col("id") % 50 === 0)
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def post(path: String, body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def tasksOf(body: String): (List[JValue], List[JValue]) = {
+        val resp = post("/v1/p/namespaces/wh/tables/t/plan", body)
+        assert(resp.statusCode() == 200, resp.body())
+        val j = JsonMethods.parse(resp.body())
+        assert((j \ "plan-status") == JString("completed"))
+        ((j \ "file-scan-tasks").asInstanceOf[JArray].arr,
+          (j \ "delete-files").asInstanceOf[JArray].arr)
+      }
+
+      // no filter: every data file is a task, each carrying its resolved
+      // delete references into the SHARED delete-files list
+      val (all, dels) = tasksOf("{}")
+      assert(all.size == 4, s"4 data files expected, got ${all.size}")
+      assert(dels.nonEmpty, "the MOR delete must surface in delete-files")
+      all.foreach { t =>
+        (t \ "delete-file-references") match {
+          case JArray(refs) => refs.foreach { r =>
+            val i = r.asInstanceOf[JInt].num.toInt
+            assert(i >= 0 && i < dels.size, s"dangling delete reference $i")
+            assert((dels(i) \ "content") == JString("position-deletes"))
+          }
+          case _ => fail("every file here has an applicable pos-delete")
+        }
+      }
+
+      // a selective filter: the plan returns FEWER tasks, and exactly as
+      // many as graft's own manifest pruning keeps for the same read
+      val filter = """{"filter": {"type": "lt-eq", "term": "id", "value": 100}}"""
+      val (kept, _) = tasksOf(filter)
+      assert(kept.size < all.size, "the filter must prune files server-side")
+      val probe = IceRead.table(spark, cat, "t").filter(col("id") <= 100)
+      probe.collect()
+      val (total, localKept) = graft.exec.GraftScan.pruneStats(probe)
+      assert(total == 4 && kept.size == localKept,
+        s"plan kept ${kept.size}, graft's own pruning kept $localKept")
+      assert((kept.head \ "residual-filter" \ "type") == JString("lt-eq"),
+        "the filter echoes back as the residual")
+
+      // compound + IN + starts-with filters stay sound (never keep less
+      // than the engine's own pruning)
+      val (k2, _) = tasksOf(
+        """{"filter": {"type": "and",
+          |  "left": {"type": "gt", "term": "id", "value": 90},
+          |  "right": {"type": "lt", "term": "id", "value": 120}}}""".stripMargin)
+      assert(k2.size == 2, s"range straddling two files must keep 2, got ${k2.size}")
+      val (k3, _) = tasksOf("""{"filter": {"type": "in", "term": "id", "values": [350, 360]}}""")
+      assert(k3.size == 1, s"IN within one file must keep 1, got ${k3.size}")
+      // unsupported shapes degrade to keep-everything, never to wrong
+      val (k4, _) = tasksOf("""{"filter": {"type": "st-invalid", "term": "id"}}""")
+      assert(k4.size == 4)
+
+      // preplan hands back an opaque task that plans identically
+      val pre = JsonMethods.parse(post("/v1/p/namespaces/wh/tables/t/preplan", "{}").body())
+      val planTask = (pre \ "plan-tasks").asInstanceOf[JArray].arr.head
+        .asInstanceOf[JString].s
+      val (viaTask, _) = tasksOf(
+        s"""{"plan-task": "$planTask", "filter": {"type": "lt-eq", "term": "id", "value": 100}}""")
+      assert(viaTask.size == kept.size)
+
+      // snapshot-id pins historical state: the pre-delete snapshot has no
+      // delete files
+      val firstSnap = cat.loadTable("t").snapshots.head.snapshotId
+      val (h, hd) = tasksOf(s"""{"snapshot-id": $firstSnap}""")
+      assert(h.size == 1 && hd.isEmpty,
+        "the first snapshot had one file and no deletes")
+    } finally srv.stop()
+  }
+
+  test("nested namespaces: a.b.t round-trips through the spec client") {
+    val cat = freshCatalog()
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def post(path: String, body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // namespace lifecycle: children must chain off an existing parent
+      assert(post("/v1/p/namespaces", """{"namespace": ["wh", "a", "b"]}""")
+        .statusCode() == 404, "missing parent must refuse")
+      assert(post("/v1/p/namespaces", """{"namespace": ["wh", "a"]}""").statusCode() == 200)
+      assert(post("/v1/p/namespaces", """{"namespace": ["wh", "a", "b"]}""")
+        .statusCode() == 200)
+      assert(post("/v1/p/namespaces", """{"namespace": ["wh", "a"]}""").statusCode() == 409)
+      assert(post("/v1/p/namespaces", """{"namespace": ["other", "x"]}""")
+        .statusCode() == 400)
+      // parent= listing walks the tree
+      val kids = JsonMethods.parse(get(
+        s"${srv.uri}/v1/p/namespaces?parent=wh").body()) \ "namespaces"
+      assert(kids == JArray(List(JArray(List(JString("wh"), JString("a"))))), kids)
+
+      // create a table INSIDE wh.a.b through REST; the catalog sees the
+      // dot-prefixed entry, the native engine reads/writes it as a.b.t
+      val created = post("/v1/p/namespaces/wh%1Fa%1Fb/tables",
+        """{"name": "t", "schema": {"type": "struct", "fields": [
+          |  {"id": 1, "name": "id", "required": false, "type": "long"},
+          |  {"id": 2, "name": "v", "required": false, "type": "string"}]}}"""
+          .stripMargin)
+      assert(created.statusCode() == 200, created.body())
+      assert(cat.tableExists("a.b.t"))
+      IceWrite.append(spark, cat, "a.b.t", Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+
+      // spec-client append against the NESTED namespace
+      val staging = Files.createTempDirectory("rest-ns-stage").toString
+      val (p1, sz1, n1, _) = graft.testkit.FileGenerator.writeSingleParquet(
+        spark, IceWrite.withFieldIds(Seq((3L, "z")).toDF("id", "v"),
+          cat.loadTable("a.b.t").schema),
+        java.nio.file.Paths.get(staging, "ns.parquet"))
+      IcebergRestCommit.appendFiles(srv.uri, Seq("wh", "a", "b"), "t",
+        Seq(IcebergRestCommit.AddedFile(p1, sz1, n1)), staging)
+      assert(IceRead.table(spark, cat, "a.b.t").count() == 3L)
+
+      // spec-client ATTACH from the nested namespace: full round trip
+      val dst = freshCatalog()
+      IcebergRestImport.importTable(dst, "back", srv.uri, Seq("wh", "a", "b"), "t")
+      assert(IceRead.table(spark, dst, "back").count() == 3L)
+
+      // listings: the table shows under ITS namespace only, with the
+      // bare name; the root lists nothing
+      val inB = JsonMethods.parse(get(
+        s"${srv.uri}/v1/p/namespaces/wh%1Fa%1Fb/tables").body()) \ "identifiers"
+      assert(inB == JArray(List(JObject(
+        "namespace" -> JArray(List(JString("wh"), JString("a"), JString("b"))),
+        "name" -> JString("t")))), inB)
+      assert((JsonMethods.parse(get(
+        s"${srv.uri}/v1/p/namespaces/wh/tables").body()) \ "identifiers")
+        == JArray(Nil))
+      // namespace existence: implicit for populated, 404 for absent
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh%1Fa%1Fb").statusCode() == 200)
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh%1Fnope").statusCode() == 404)
+
+      // DELETE: non-empty refuses; after the table drops, children then
+      // parents drop cleanly
+      def deleteNs(ns: String): Int = http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/$ns")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(deleteNs("wh%1Fa%1Fb") == 409, "non-empty namespace must refuse drop")
+      assert(http.send(HttpRequest.newBuilder(URI.create(
+        s"${srv.uri}/v1/p/namespaces/wh%1Fa%1Fb/tables/t")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 204)
+      assert(deleteNs("wh%1Fa") == 409, "namespace with children must refuse drop")
+      assert(deleteNs("wh%1Fa%1Fb") == 204)
+      assert(deleteNs("wh%1Fa") == 204)
+      assert(deleteNs("wh") == 400, "the root never drops")
+    } finally srv.stop()
+  }
+
   test("listing pagination: pageToken/pageSize walk 1k tables completely") {
     val cat = freshCatalog()
     val names = (0 until 1000).map(i => f"p$i%04d")
