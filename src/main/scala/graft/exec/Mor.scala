@@ -313,8 +313,13 @@ object Mor {
             s"equality-delete field id $id not in table schema")).name))
       else f
 
-    val eqDeletes =
-      if (formatVersion >= 3) Nil else group.equalityDeleteFiles.map(resolveEq)
+    // EVERY format version applies equality deletes: the v3 spec replaces
+    // position-delete PARQUET with deletion vectors but keeps equality
+    // deletes (streaming engines' delete shape) — graft's own v3 writers
+    // emit DVs, but foreign engines (REST row-delta commits, attached
+    // tables) legitimately add eq-deletes to v3 tables, and skipping them
+    // silently resurrects rows (caught by the v3 REST fuzz)
+    val eqDeletes = group.equalityDeleteFiles.map(resolveEq)
     // v3 deletion vectors ride the position-delete content type but carry a
     // Puffin bitmap blob, not a parquet file — split them out of the
     // parquet-backed anti-join path

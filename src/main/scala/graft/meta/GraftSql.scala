@@ -67,6 +67,7 @@ import org.apache.spark.sql.types.DataType
   *   tag STRING DEFAULT 'none')                        -- v3 initial-default
   * ALTER TABLE graft.t ALTER COLUMN k TYPE BIGINT      -- widening only
   * ALTER TABLE graft.t RENAME COLUMN v TO label        -- id-stable rename
+  * ALTER TABLE graft.t RENAME TO t2                    -- metadata-only
   * ALTER TABLE graft.t DROP COLUMN x
   * ALTER TABLE graft.t SET/UNSET TBLPROPERTIES (...)
   * DESCRIBE [EXTENDED] graft.t
@@ -232,6 +233,22 @@ object GraftSql {
           AlterCommand(cat, t,
             AlterOp.Rename(singleName(rc.column.name), rc.newName)): LogicalPlan
         }.getOrElse(rc)
+
+      case rt: org.apache.spark.sql.catalyst.plans.logical.RenameTable =>
+        (rt.child match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+            idTarget(u.multipartIdentifier)
+          case _ => None
+        }).map { case (cat, t) =>
+          val newName = rt.newName match {
+            case Seq(n) => n
+            case Seq(c, n) if sameIdent(c, cat) => n
+            case other => throw new IllegalArgumentException(
+              s"ALTER TABLE $cat.$t RENAME TO: the new name must stay in " +
+                s"catalog $cat, got ${other.mkString(".")}")
+          }
+          AlterCommand(cat, t, AlterOp.RenameTo(newName)): LogicalPlan
+        }.getOrElse(rt)
 
       case alc: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
         alterTarget(alc.table).map { case (cat, t) =>
@@ -1007,6 +1024,9 @@ object GraftSql {
     final case class AddCols(cols: Seq[(String, String, Option[String])]) extends AlterOp
     final case class DropCols(names: Seq[String], ifExists: Boolean) extends AlterOp
     final case class Rename(from: String, to: String) extends AlterOp
+    /** `ALTER TABLE cat.t RENAME TO t2` — a metadata-only catalog
+      * rename ([[Catalog.renameTable]]: same uuid/history/location). */
+    final case class RenameTo(newName: String) extends AlterOp
     /** (name, new DDL type) — widening only, per Iceberg evolution rules. */
     final case class Widen(cols: Seq[(String, String)]) extends AlterOp
     final case class SetProps(props: Map[String, String]) extends AlterOp
@@ -1046,6 +1066,8 @@ object GraftSql {
         }
         case AlterOp.Rename(from, to) =>
           SchemaEvolution.renameColumn(cat, table, res(from), to)
+        case AlterOp.RenameTo(newName) =>
+          cat.renameTable(table, newName)
         case AlterOp.Widen(cols) => cols.foreach { case (n, ddl) =>
           SchemaEvolution.widenColumnType(cat, table, res(n), ddl)
         }

@@ -30,7 +30,10 @@ import org.json4s.jackson.JsonMethods
   *  - `POST /v1/tables`                 -> create (body = metadata), 409 if exists
   *  - `POST /v1/tables/{name}/commit`   -> CAS commit; the expected base
   *    version rides the `X-Graft-Base-Version` header; 409 on conflict
-  *  - `DELETE /v1/tables/{name}`        -> drop (removes data too)
+  *  - `POST /v1/tables/{name}/rename`   -> metadata-only rename (body
+  *    `{"to": name}`); same uuid/history/location, version continues
+  *  - `DELETE /v1/tables/{name}`        -> drop (removes data too,
+  *    including a renamed entry's original location)
   */
 object RestCatalog {
 
@@ -129,10 +132,40 @@ object RestCatalog {
               s"""{"error": "table $name: commit base version $baseVersion is stale"}""")
           }
 
+        case ("POST", List("tables", name, "rename")) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          JsonMethods.parse(body) \ "to" match {
+            case JString(to) if to.nonEmpty =>
+              // two-key atomicity via a coarse lock — renames are rare
+              // operator actions, and the in-memory store makes the
+              // critical section a couple of map ops
+              val out = store.synchronized {
+                val cur = store.get(name)
+                if (cur == null) Left(404 -> s"table $name not found")
+                else if (store.containsKey(to)) Left(409 -> s"table $to already exists")
+                else {
+                  // metadata-only: the LOCATION stays (data in place);
+                  // the version counter continues so client CAS loops
+                  // never see a version reused across the rename
+                  val renamed = cur.copy(name = to, version = cur.version + 1)
+                  store.put(to, renamed); store.remove(name)
+                  Right(renamed)
+                }
+              }
+              out match {
+                case Right(m) => respond(ex, 200, MetadataJson.write(m))
+                case Left((c, msg)) => respond(ex, c, s"""{"error": "$msg"}""")
+              }
+            case _ => respond(ex, 400, """{"error": "rename needs {\"to\": name}"}""")
+          }
+
         case ("DELETE", List("tables", name)) =>
-          store.remove(name)
+          val cur = store.remove(name)
           val root = MetaIO.join(warehouse, name)
           if (MetaIO.exists(root)) MetaIO.deleteRecursive(root)
+          // a RENAMED entry's data lives under its original location
+          Option(cur).map(_.location).filter(l => l != root && MetaIO.exists(l))
+            .foreach(MetaIO.deleteRecursive)
           respond(ex, 204, "")
 
         case _ => respond(ex, 400, s"""{"error": "unsupported route"}""")
@@ -212,6 +245,18 @@ object RestCatalog {
 
     override def dropTable(name: String): Unit = {
       send(req(s"/v1/tables/$name").DELETE().build()): Unit
+    }
+
+    override def renameTable(from: String, to: String): TableMetadata = {
+      val resp = send(req(s"/v1/tables/$from/rename")
+        .POST(HttpRequest.BodyPublishers.ofString(JsonMethods.compact(
+          JsonMethods.render(JObject("to" -> JString(to)))))).build())
+      resp.statusCode match {
+        case 200 => MetadataJson.read(resp.body)
+        case 404 => throw new IllegalArgumentException(s"table $from does not exist")
+        case 409 => throw new IllegalArgumentException(s"table $to already exists")
+        case c => sys.error(s"rename $from -> $to failed ($c): ${resp.body}")
+      }
     }
 
     override def listTables: Seq[String] = {

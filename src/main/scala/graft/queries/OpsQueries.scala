@@ -732,6 +732,55 @@ object OpsQueries {
       } finally srv.stop()
     }),
 
+    // FOREIGN COMPACTOR over REST as an oracle-checked query: a MOR
+    // supplier table is served; a spec client commits a REPLACE (the
+    // reference's RewriteFiles shape) — every live file + its deletes out,
+    // one rewritten data file in at the STARTING sequence number — then a
+    // foreign equality-delete lands on top. The starting-seq rule is what
+    // makes the later delete outrank the rewritten rows; in-query requires
+    // pin the single-file manifest and the pinned sequence, and the final
+    // graft MOR read is what DuckDB hash-checks.
+    "q_rest_replace" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, IcebergRestCommit, IcebergRestServe,
+        LocalCatalog}
+      val src = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-rest-rw").toString)
+      val base = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      val cut = base.agg(max(col("s_suppkey"))).head.getLong(0) / 2
+      IceWrite.create(s, src, "t_rw", base.filter(col("s_suppkey") <= cut))
+      IceWrite.append(s, src, "t_rw", base.filter(col("s_suppkey") > cut))
+      IceWrite.deleteWhere(s, src, "t_rw", col("s_suppkey") % 9 === 0)
+      val head = src.loadTable("t_rw")
+      val startingSeq = head.currentSnapshot.get.sequenceNumber
+      val removed = head.currentSnapshot.get.manifest.map(_.path).distinct
+      val srv = new IcebergRestServe(src, namespace = "wh", prefix = "p")
+      try {
+        val staging = java.nio.file.Files.createTempDirectory("q-rest-rw-st").toString
+        val live = IceRead.table(s, src, "t_rw")
+        val (cp, cpSz, cpN, _) = graft.testkit.FileGenerator.writeSingleParquet(
+          s, IceWrite.withFieldIds(live, head.schema),
+          java.nio.file.Paths.get(staging, "compacted.parquet"))
+        IcebergRestCommit.replaceFiles(srv.uri, Seq("wh"), "t_rw",
+          removed, Seq(IcebergRestCommit.AddedFile(cp, cpSz, cpN)), staging)
+        val after = src.loadTable("t_rw")
+        val m = after.currentSnapshot.get.manifest
+        require(m.size == 1 && m.head.path == cp,
+          s"replace must leave exactly the rewritten file: $m")
+        require(m.head.sequenceNumber == startingSeq,
+          s"starting-seq rule violated: ${m.head.sequenceNumber} != $startingSeq")
+        require(after.currentSnapshot.get.summary("operation") == "replace")
+        // the foreign DELETE after the rewrite: eq-delete on s_suppkey
+        val delKeys = base.filter(col("s_suppkey") % 7 === 3).select("s_suppkey")
+        val (pd, pdSz, pdN, _) = graft.testkit.FileGenerator.writeSingleParquet(
+          s, IceWrite.withFieldIds(delKeys, after.schema),
+          java.nio.file.Paths.get(staging, "post-del.parquet"))
+        IcebergRestCommit.commitDelta(srv.uri, Seq("wh"), "t_rw", Nil,
+          Seq(IcebergRestCommit.AddedDeleteFile(pd, pdSz, pdN, "equality",
+            equalityFieldIds = Seq(after.fieldByName("s_suppkey").get.id))), staging)
+        IceRead.table(s, src, "t_rw")
+      } finally srv.stop()
+    }),
+
     // CATALOG VIEWS as an oracle-checked query: a versioned SQL view is
     // created through the front door (CREATE VIEW, then CREATE OR REPLACE
     // appending version 2), exported as public Iceberg VIEW-SPEC v1
@@ -3428,6 +3477,10 @@ object OpsQueries {
         |UNION ALL
         |SELECT s_suppkey + 1000000 AS s_suppkey, s_name FROM supplier
         |WHERE s_suppkey % 5 = 0""".stripMargin,
+
+    "q_rest_replace" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey % 9 <> 0 AND s_suppkey % 7 <> 3""".stripMargin,
 
     "q_view_sql" ->
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS suppliers,

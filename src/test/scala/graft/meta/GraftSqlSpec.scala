@@ -829,4 +829,42 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.range(3).createOrReplaceTempView("plain_view")
     assert(spark.sql("SELECT count(*) AS c FROM plain_view").head.getLong(0) == 3)
   }
+
+  test("ALTER TABLE RENAME TO: metadata-only rename through the front door") {
+    import spark.implicits._
+    val cat = freshCatalog("grn")
+    IceWrite.create(spark, cat, "t",
+      (1L to 25L).map(i => (i, s"n$i")).toDF("id", "name"))
+    IceWrite.deleteWhere(spark, cat, "t", col("id") % 5 === 0)
+    val uuid = cat.loadTable("t").stableUuid
+    val snaps = cat.loadTable("t").snapshots.size
+
+    spark.sql("ALTER TABLE grn.t RENAME TO t2")
+    // identity + full MOR history preserved; data untouched
+    assert(cat.loadTable("t2").stableUuid == uuid)
+    assert(cat.loadTable("t2").snapshots.size == snaps)
+    assert(spark.sql("SELECT count(*) AS c FROM grn.t2").head.getLong(0) == 20L)
+    // the old name is GONE from the front door...
+    val gone = intercept[Exception](spark.sql("SELECT * FROM grn.t").collect())
+    assert(gone.getMessage.contains("t"), gone.getMessage)
+    // ...and writes keep working under the new one
+    spark.sql("INSERT INTO grn.t2 VALUES (100, 'post')")
+    assert(spark.sql("SELECT count(*) AS c FROM grn.t2").head.getLong(0) == 21L)
+
+    // qualified new names must stay in the same catalog
+    spark.sql("ALTER TABLE grn.t2 RENAME TO grn.t3")
+    assert(cat.tableExists("t3"))
+    val cross = intercept[Exception](
+      spark.sql("ALTER TABLE grn.t3 RENAME TO other.t4"))
+    assert(cross.getMessage.contains("must stay in"), cross.getMessage)
+    // occupied destination refuses; views refuse the TABLE rename door
+    IceWrite.create(spark, cat, "occupied", Seq((1L, "x")).toDF("id", "name"))
+    val occ = intercept[Exception](
+      spark.sql("ALTER TABLE grn.t3 RENAME TO occupied"))
+    assert(occ.getMessage.contains("already exists"), occ.getMessage)
+    spark.sql("CREATE VIEW grn.v AS SELECT id FROM grn.t3")
+    val vw = intercept[Exception](spark.sql("ALTER TABLE grn.v RENAME TO v2"))
+    assert(vw.getMessage.contains("VIEW"), vw.getMessage)
+    GraftSql.unregister("grn")
+  }
 }

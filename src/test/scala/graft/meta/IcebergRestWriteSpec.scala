@@ -167,6 +167,19 @@ class IcebergRestWriteSpec extends AnyFunSuite {
       val ids = IceRead.tableWithRowIds(spark, cat, "t")
         .select("_row_id").collect().map(_.getLong(0))
       assert(ids.length == 27 && ids.distinct.length == 27)
+
+      // ---- regression pin: the v3 spec KEEPS equality deletes (only
+      // pos-delete parquet is replaced by DVs) — a foreign eq-delete on
+      // a v3 table must mask rows, not silently resurrect them (the MOR
+      // read once skipped eq-deletes entirely on v3; fuzz-caught)
+      val (eq, eqSz, eqN) = writeParquet(IceWrite.withFieldIds(
+        Seq(Tuple1(10L), Tuple1(11L)).toDF("id"), schema), staging, "v3eq.parquet")
+      IcebergRestCommit.commitDelta(srv.uri, Seq("wh"), "t", Nil,
+        Seq(IcebergRestCommit.AddedDeleteFile(eq, eqSz, eqN, "equality",
+          equalityFieldIds = Seq(1))), staging)
+      val after = IceRead.table(spark, cat, "t")
+      assert(after.count() == 25L, "v3 equality deletes must apply")
+      assert(after.filter(col("id").isin(10L, 11L)).count() == 0L)
     } finally srv.stop()
   }
 

@@ -116,6 +116,35 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.refs == Map("main" -> 1L, "audit" -> 1L))
   }
 
+  test("rename: metadata-only, version continues, both clients observe, drop reclaims data") {
+    val c = client()
+    val m1 = c.createTable(meta("rn_a"))
+    val m2 = c.commit(m1, m1.copy(properties = m1.properties + ("k" -> "v")))
+    assert(m2.version == 2)
+    val renamed = c.renameTable("rn_a", "rn_b")
+    assert(renamed.name == "rn_b" && renamed.version == 3,
+      "the version counter must continue across the rename (no CAS reuse)")
+    assert(renamed.location == m1.location, "rename is metadata-only: location stays")
+    assert(renamed.stableUuid == m1.stableUuid)
+    assert(!c.tableExists("rn_a") && c.tableExists("rn_b"))
+    // an independent client sees the rename, and commits CAS on the
+    // renamed entry exactly as before
+    val c2 = client()
+    val live = c2.loadTable("rn_b")
+    assert(live.properties.get("k").contains("v"), "history survives the rename")
+    val m4 = c2.commit(live, live.copy(properties = live.properties + ("k2" -> "w")))
+    assert(m4.version == 4)
+    // refusals mirror the local catalog's
+    intercept[IllegalArgumentException](c.renameTable("rn_missing", "x"))
+    c.createTable(meta("rn_c"))
+    intercept[IllegalArgumentException](c.renameTable("rn_c", "rn_b"))
+    // drop of a renamed entry reclaims the ORIGINAL location's data dir
+    val origRoot = m1.location
+    assert(MetaIO.exists(origRoot))
+    c.dropTable("rn_b")
+    assert(!MetaIO.exists(origRoot), "drop must reclaim the renamed entry's data root")
+  }
+
   test("commits travel as O(change) deltas and apply server-side, removals included") {
     val c = client()
     def entry(i: Int) = FileEntry(s"/x/f$i.parquet", i.toLong, FileContent.Data, 1L, 1L)

@@ -27,11 +27,15 @@ class RestLoopFuzzSpec extends AnyFunSuite {
   private def freshCatalog() =
     LocalCatalog(Files.createTempDirectory("rest-fuzz-wh").toString)
 
-  for (seed <- Seq(7, 23)) test(s"native ops + REST write-backs + follow-refresh (seed $seed)") {
+  // v2 seeds use pos-delete parquet natively; v3 seeds route native
+  // deletes through DELETION VECTORS and additionally pin row-id
+  // uniqueness through every foreign interleaving
+  for ((seed, fv) <- Seq((7, 2), (23, 2), (5, 3), (31, 3)))
+  test(s"native ops + REST write-backs + follow-refresh (seed $seed, v$fv)") {
     val rnd = new scala.util.Random(seed)
     val src = freshCatalog()
     IceWrite.create(spark, src, "t",
-      (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+      (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), formatVersion = fv)
     val srv = new IcebergRestServe(src, namespace = "wh", prefix = "p")
     try {
       val dst = freshCatalog()
@@ -73,7 +77,11 @@ class RestLoopFuzzSpec extends AnyFunSuite {
               val mod = 2 + rnd.nextInt(5)
               val victims = live.filter(id => id % mod == k % mod).take(6)
               if (victims.nonEmpty) {
-                IceWrite.deleteWhere(spark, src, "t", col("id").isin(victims: _*))
+                // v3 routes native deletes through deletion vectors
+                if (fv >= 3)
+                  IceWrite.deleteWhereDv(spark, src, "t", col("id").isin(victims: _*))
+                else
+                  IceWrite.deleteWhere(spark, src, "t", col("id").isin(victims: _*))
                 model --= victims; deletedSince += victims.size
               }
             }
@@ -110,6 +118,15 @@ class RestLoopFuzzSpec extends AnyFunSuite {
               s"seed $seed step $step: follower diverged after refresh " +
                 s"(missing ${(model.keySet -- got.keySet).take(5)}, " +
                 s"extra ${(got.keySet -- model.keySet).take(5)})")
+            if (fv >= 3) {
+              // v3 row lineage stays globally unique through every
+              // foreign interleaving (deltas server-assign, replaces
+              // claim fresh ranges)
+              val ids = IceRead.tableWithRowIds(spark, dst, "t")
+                .select("_row_id").collect().map(_.getLong(0))
+              assert(ids.length == model.size && ids.distinct.length == ids.length,
+                s"seed $seed step $step: duplicate or missing _row_id")
+            }
             if (r.refreshed) {
               // changelog continuity across the refresh window: exactly
               // the net inserts/deletes, nothing for untouched rows
