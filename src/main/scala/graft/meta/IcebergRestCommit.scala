@@ -52,9 +52,13 @@ object IcebergRestCommit {
 
   /** One pre-written parquet data file to register. `partitionValues`
     * uses graft's literal forms (day strings for dates, floor multiples
-    * for truncate, ordinals for bucket), keyed by SOURCE column name. */
+    * for truncate, ordinals for bucket), keyed by SOURCE column name.
+    * `firstRowId` (v3 replace commits only): the preserved row-lineage
+    * range start when this file REWRITES removed files and keeps their
+    * ids — absent, the server assigns a fresh range. */
   final case class AddedFile(path: String, sizeInBytes: Long, recordCount: Long,
-      partitionValues: Map[String, String] = Map.empty)
+      partitionValues: Map[String, String] = Map.empty,
+      firstRowId: Option[Long] = None)
 
   /** One pre-written DELETE file for a row-delta commit.
     *
@@ -282,6 +286,8 @@ object IcebergRestCommit {
         df.put("partition", partitionRecord(f.partitionValues))
         df.put("record_count", java.lang.Long.valueOf(f.recordCount))
         df.put("file_size_in_bytes", java.lang.Long.valueOf(f.sizeInBytes))
+        if (fv >= 3 && f.firstRowId.nonEmpty)
+          df.put("first_row_id", java.lang.Long.valueOf(f.firstRowId.get))
         entry(1, addedDataSeq, df)
       }
       // ---- 2b. added DELETE entries (row-delta shape)

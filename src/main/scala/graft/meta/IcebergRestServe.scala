@@ -139,11 +139,17 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private def urlDecode(s: String): String =
     java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
 
+  /** A decoded path-derived name that is safe to use as a catalog key:
+    * `%2F`/`%5C`-encoded separators or dot-dot segments would otherwise
+    * traverse OUT of the warehouse when joined into filesystem paths. */
+  private def safeName(s: String): Boolean =
+    s.nonEmpty && !s.contains("/") && !s.contains("\\") && s != ".." && s != "."
+
   /** Decoded namespace segments when `raw` (one path segment, `%1F`-
     * joined multiparts) is rooted at this server's root. */
   private def nsSegments(raw: String): Option[Seq[String]] = {
     val segs = urlDecode(raw).split('\u001f').toSeq
-    Some(segs).filter(s => s.headOption.contains(namespace) && s.forall(_.nonEmpty))
+    Some(segs).filter(s => s.headOption.contains(namespace) && s.forall(safeName))
   }
 
   /** Catalog-entry prefix of a namespace ("" for the root, "a.b." below). */
@@ -173,8 +179,9 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           case s :: Nil if s == "plan" || s == "preplan" => Some(Some(s))
           case _ => None
         }
-        for { n <- nsSegments(ns); sfx <- suffix }
-          yield (n, kind, entryPrefix(n) + urlDecode(obj), sfx)
+        for { n <- nsSegments(ns); sfx <- suffix
+              bare = urlDecode(obj) if safeName(bare) }
+          yield (n, kind, entryPrefix(n) + bare, sfx)
       case _ => None
     }
   }
@@ -472,6 +479,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * create+commit. */
   private def commitStagedTable(table: String, body: String): (Int, String) = {
     val stagedMeta = staged.get(table)
+    if (stagedMeta == null) // consumed by a racing staged commit
+      return err(s"table $table not found", 404)
     val built =
       try buildCommit(table, JsonMethods.parse(body), Some(stagedMeta))
       catch { case e: Exception =>
@@ -1206,6 +1215,23 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       // rewritten files that preserve lineage ship explicit first_row_id;
       // files without get fresh server-assigned ranges
       val stamped = addedData.map(f => withLineage(f, keepClientIds = true))
+      if (meta.formatVersion >= 3) {
+        // client-claimed ranges may only re-use the REMOVED files' ids
+        // (that is what preservation means) — overlap with a SURVIVING
+        // file's range, or among the added files themselves, would break
+        // the every-row-id-unique invariant for all future readers
+        val addedRanges = stamped.filter(_.firstRowId.nonEmpty)
+          .map(f => (f.path, f.firstRowId.get, f.firstRowId.get + f.recordCount))
+        val survivingRanges = surviving
+          .filter(f => f.content == FileContent.Data && f.firstRowId.nonEmpty)
+          .map(f => (f.path, f.firstRowId.get, f.firstRowId.get + f.recordCount))
+        for ((p1, lo1, hi1) <- addedRanges;
+             (p2, lo2, hi2) <- addedRanges ++ survivingRanges
+             if p1 != p2 && lo1 < hi2 && lo2 < hi1)
+          return err(s"replace commit claims row-id range [$lo1,$hi1) for $p1 " +
+            s"overlapping [$lo2,$hi2) of $p2 — preserved lineage may only " +
+            "re-use the ids of the files being removed", 400)
+      }
       val result = surviving ++ stamped
       val liveDataPaths = result.filter(_.content == FileContent.Data).map(_.path).toSet
       result.find(f => f.isDeletionVector &&

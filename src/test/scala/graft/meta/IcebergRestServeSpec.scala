@@ -1207,6 +1207,11 @@ class IcebergRestServeSpec extends AnyFunSuite {
       // namespace existence: implicit for populated, 404 for absent
       assert(get(s"${srv.uri}/v1/p/namespaces/wh%1Fa%1Fb").statusCode() == 200)
       assert(get(s"${srv.uri}/v1/p/namespaces/wh%1Fnope").statusCode() == 404)
+      // encoded path separators / dot-dot NEVER reach the filesystem as
+      // catalog keys — they 404 instead of traversing out of the warehouse
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh/tables/..%2F..%2Fetc").statusCode() == 404)
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh/tables/%2E%2E").statusCode() == 404)
+      assert(get(s"${srv.uri}/v1/p/namespaces/wh%1F..%2Fx/tables").statusCode() == 404)
 
       // DELETE: non-empty refuses; after the table drops, children then
       // parents drop cleanly

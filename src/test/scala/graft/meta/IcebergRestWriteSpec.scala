@@ -272,20 +272,37 @@ class IcebergRestWriteSpec extends AnyFunSuite {
           staging))
       assert(dangle.getMessage.contains("deletion vector"), dangle.getMessage)
 
-      // the correct rewrite removes both; fresh lineage is server-assigned
-      val nextBefore = cat.loadTable("t").nextRowId
+      // a rewrite CLAIMING a surviving file's row-id range: refused (the
+      // ids belong to files staying live). Stage a fresh live file first
+      // so there IS a surviving range to collide with.
+      val (xf, xfSz, xfN) = writeParquet(IceWrite.withFieldIds(
+        Seq((500L, "live")).toDF("id", "name"), head.schema), staging, "x.parquet")
+      IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "t",
+        Seq(IcebergRestCommit.AddedFile(xf, xfSz, xfN)), staging)
+      val liveRange = cat.loadTable("t").currentSnapshot.get.manifest
+        .find(_.path == xf).get.firstRowId.get
+      val clash = intercept[RuntimeException](
+        IcebergRestCommit.replaceFiles(srv.uri, Seq("wh"), "t",
+          Seq(dataFile.path, dvEntry.path),
+          Seq(IcebergRestCommit.AddedFile(cp, cpSz, cpN,
+            firstRowId = Some(liveRange))), staging))
+      assert(clash.getMessage.contains("overlapping"), clash.getMessage)
+
+      // the correct rewrite removes both and PRESERVES the removed
+      // file's range explicitly (what a lineage-preserving compactor
+      // ships); the untouched live file keeps its own
       IcebergRestCommit.replaceFiles(srv.uri, Seq("wh"), "t",
         Seq(dataFile.path, dvEntry.path),
-        Seq(IcebergRestCommit.AddedFile(cp, cpSz, cpN)), staging)
+        Seq(IcebergRestCommit.AddedFile(cp, cpSz, cpN,
+          firstRowId = dataFile.firstRowId)), staging)
       val after = cat.loadTable("t")
       val newEntry = after.currentSnapshot.get.manifest.find(_.path == cp).get
-      assert(newEntry.firstRowId.contains(nextBefore),
-        "a rewrite without explicit lineage gets a fresh server-assigned range")
-      assert(after.nextRowId == nextBefore + cpN)
-      assert(IceRead.table(spark, cat, "t").count() == 17L)
+      assert(newEntry.firstRowId == dataFile.firstRowId,
+        "explicitly shipped lineage must be honored")
+      assert(IceRead.table(spark, cat, "t").count() == 18L)
       val ids = IceRead.tableWithRowIds(spark, cat, "t")
         .select("_row_id").collect().map(_.getLong(0))
-      assert(ids.distinct.length == 17)
+      assert(ids.distinct.length == 18)
     } finally srv.stop()
   }
 
