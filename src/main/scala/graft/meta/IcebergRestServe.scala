@@ -60,6 +60,14 @@ import org.json4s.jackson.JsonMethods
   * Optional bearer-token auth; [[IcebergRestImport]] /
   * [[IcebergRestCommit]] are the in-repo clients, and the round trip
   * through real sockets is the contract test. */
+object IcebergRestServe {
+  /** Target data files per preplan shard: bounds every `plan` response
+    * (rendered tasks AND server work per request) however large the
+    * manifest — at 10^6 tracked files preplan answers ~1000 tasks a
+    * reader fleet fans out over, instead of one multi-GB response. */
+  val FilesPerPlanTask: Long = 1000L
+}
+
 final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     prefix: String = "graft", bearerToken: Option[String] = None, port: Int = 0) {
 
@@ -600,9 +608,12 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   }
 
   /** `POST .../tables/{t}/preplan`: the spec's distributed-planning
-    * first half. This server's planning is cheap (manifests are already
-    * decoded), so the answer is a SINGLE plan task — an opaque token
-    * naming the snapshot — which the client hands back to `plan`. */
+    * first half. Small tables answer a SINGLE opaque plan task; at
+    * manifest scale (10^5-10^6 tracked files) the response SHARDS the
+    * snapshot into bounded tasks of ~[[IcebergRestServe.FilesPerPlanTask]]
+    * data files each — a fleet of readers plans in parallel, no one
+    * response carries a million rendered tasks, and each shard's `plan`
+    * call prunes + renders only its slice. */
   private def preplanTableScan(table: String, body: String): (Int, String) = {
     val meta = catalog.loadTable(table)
     val snapId = ((if (body.trim.isEmpty) JNothing
@@ -611,9 +622,17 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       case v => Some(lng(v))
     }).getOrElse(return 200 -> JsonMethods.compact(JsonMethods.render(
       ("plan-status" -> "completed") ~ ("plan-tasks" -> JArray(Nil)))))
+    val snap = meta.snapshotById(snapId).getOrElse(
+      return err(s"no snapshot $snapId", 404))
+    val dataFiles = snap.manifest.count(_.content == FileContent.Data)
+    val shards = math.max(1L,
+      (dataFiles + IcebergRestServe.FilesPerPlanTask - 1) /
+        IcebergRestServe.FilesPerPlanTask).toInt
+    val tasks =
+      if (shards == 1) List(s"graft-snapshot:$snapId")
+      else (0 until shards).map(i => s"graft-snapshot:$snapId:$i:$shards").toList
     200 -> JsonMethods.compact(JsonMethods.render(
-      ("plan-status" -> "completed") ~
-        ("plan-tasks" -> List(s"graft-snapshot:$snapId"))))
+      ("plan-status" -> "completed") ~ ("plan-tasks" -> tasks)))
   }
 
   /** `POST .../tables/{t}/plan` (PlanTableScanRequest): server-side scan
@@ -629,9 +648,17 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private def planTableScan(table: String, body: String): (Int, String) = {
     val meta = catalog.loadTable(table)
     val req = if (body.trim.isEmpty) JObject(Nil) else JsonMethods.parse(body)
+    // `plan-task` tokens: `graft-snapshot:<id>` (whole snapshot) or
+    // `graft-snapshot:<id>:<shard>:<of>` (one preplan shard)
+    var shard: Option[(Int, Int)] = None
     val snapIdOpt: Option[Long] = (req \ "plan-task") match {
       case JString(s) if s.startsWith("graft-snapshot:") =>
-        Some(s.stripPrefix("graft-snapshot:").toLong)
+        s.stripPrefix("graft-snapshot:").split(":") match {
+          case Array(id) => Some(id.toLong)
+          case Array(id, i, of) if i.toInt >= 0 && i.toInt < of.toInt =>
+            shard = Some((i.toInt, of.toInt)); Some(id.toLong)
+          case _ => return err(s"malformed plan-task $s", 400)
+        }
       case JString(other) => return err(s"unknown plan-task $other", 400)
       case _ => (req \ "snapshot-id") match {
         case JNothing | JNull => meta.currentSnapshotId
@@ -646,7 +673,16 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       case Some(id) => meta.snapshotById(id).getOrElse(
         return err(s"no snapshot $id", 404))
     }
-    val tasks = meta.scanTasks(snap)
+    // shard BEFORE filtering: the slice is a stable function of manifest
+    // order, so the union of every shard's pruned answer is exactly the
+    // unsharded answer whatever filter each reader brings
+    val tasks0 = meta.scanTasks(snap)
+    val tasks = shard match {
+      case None => tasks0
+      case Some((i, of)) => tasks0.zipWithIndex.collect {
+        case (t, idx) if idx % of == i => t
+      }
+    }
     val filterJ = req \ "filter"
     val kept = meta.typedStruct match {
       case Some(struct) =>

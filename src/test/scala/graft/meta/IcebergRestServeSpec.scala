@@ -1145,6 +1145,54 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("preplan shards large manifests into bounded plan tasks") {
+    // 2500 synthetic manifest entries (plan never opens data files, so
+    // none need to exist) — preplan must shard, and the union of every
+    // shard's pruned answer must equal the unsharded answer exactly
+    val cat = freshCatalog()
+    val m0 = cat.createTable(TableMetadata("big", location = "",
+      schema = Seq(SchemaField(1, "id", "BIGINT"))))
+    val entries = (0 until 2500).map(i => FileEntry(s"/data/f$i.parquet", 100L,
+      FileContent.Data, 10L, 1L,
+      columnStats = Map("id" -> (s"${i * 10}", s"${i * 10 + 9}"))))
+    cat.commit(m0, m0.copy(snapshots = Seq(Snapshot(1L, None, 1L, 0L, entries)),
+      currentSnapshotId = Some(1L), refs = Map("main" -> 1L),
+      lastSequenceNumber = 1L))
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def post(path: String, body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val pre = JsonMethods.parse(post("/v1/p/namespaces/wh/tables/big/preplan", "{}").body())
+      val planTasks = (pre \ "plan-tasks").asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JString].s)
+      assert(planTasks.size == 3, s"2500 files / 1000 per task = 3, got $planTasks")
+
+      def shardFiles(task: String, filter: String): Seq[String] = {
+        val body = s"""{"plan-task": "$task"$filter}"""
+        val j = JsonMethods.parse(post("/v1/p/namespaces/wh/tables/big/plan", body).body())
+        (j \ "file-scan-tasks").asInstanceOf[JArray].arr
+          .map(t => (t \ "data-file" \ "file-path").asInstanceOf[JString].s)
+      }
+      // no filter: disjoint shards, exact union, every shard bounded
+      val all = planTasks.map(shardFiles(_, ""))
+      assert(all.map(_.size).sum == 2500 && all.forall(_.size <= 1000))
+      assert(all.flatten.distinct.size == 2500, "shards must be disjoint")
+      // with a filter: the sharded union equals the unsharded answer
+      val f = """, "filter": {"type": "lt", "term": "id", "value": 100}"""
+      val unsharded = {
+        val j = JsonMethods.parse(post("/v1/p/namespaces/wh/tables/big/plan",
+          s"""{"snapshot-id": 1$f}""").body())
+        (j \ "file-scan-tasks").asInstanceOf[JArray].arr
+          .map(t => (t \ "data-file" \ "file-path").asInstanceOf[JString].s)
+      }
+      assert(unsharded.size == 10, s"zone maps must keep 10 files, got ${unsharded.size}")
+      assert(planTasks.flatMap(shardFiles(_, f)).toSet == unsharded.toSet)
+    } finally srv.stop()
+  }
+
   test("nested namespaces: a.b.t round-trips through the spec client") {
     val cat = freshCatalog()
     val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
