@@ -56,10 +56,12 @@ object DialectTranslate {
     "length", "lower", "upper", "trim", "ltrim", "rtrim", "replace",
     "substr", "substring", "concat", "concat_ws", "reverse", "lpad", "rpad",
     "translate", "initcap",
-    // date/time (same argument order and unit strings)
+    // date/time — NOTE the deliberate absences: from_unixtime returns a
+    // STRING in Spark but a timestamp in Trino (silently different
+    // frames), date_trunc on DATE input returns date in Trino but
+    // timestamp in Spark, to_unixtime has no Spark twin — all refuse
     "year", "month", "day", "hour", "minute", "second", "quarter",
-    "date_trunc", "from_unixtime", "to_unixtime", "now", "current_date",
-    "current_timestamp",
+    "now", "current_date", "current_timestamp",
     // aggregates
     "count", "sum", "min", "max", "avg", "stddev", "stddev_pop",
     "stddev_samp", "variance", "var_pop", "var_samp", "count_if",

@@ -418,7 +418,11 @@ class ViewsSpec extends AnyFunSuite {
         """SELECT split("s", ',') FROM vtr.base""",
         """SELECT date_add('day', 1, current_date) FROM vtr.base""",
         """SELECT "arr"[1] FROM vtr.base""",
-        """SELECT transform("arr", x -> x + 1) FROM vtr.base""")) {
+        """SELECT transform("arr", x -> x + 1) FROM vtr.base""",
+        // from_unixtime returns STRING in Spark, timestamp in Trino —
+        // the silently-different-frame trap the whitelist must block
+        """SELECT from_unixtime("k") FROM vtr.base""",
+        """SELECT date_trunc('month', current_date) FROM vtr.base""")) {
       val n = s"bad${bad.hashCode.abs % 1000}"
       viewDoc(n, bad)
       val e = intercept[Exception](spark.sql(s"SELECT * FROM vtr.$n").collect())
