@@ -148,7 +148,11 @@ class CompactionE2ESpec extends AnyFunSuite {
     assert(out.count() == 100) // nothing deleted: delSeq (1) is not > dataSeq (1)
   }
 
-  test("v3 format drops equality deletes from the task") {
+  test("v3 format APPLIES equality deletes in the task (spec keeps them; DVs replace pos-parquet only)") {
+    // this test once pinned the OPPOSITE (v3 drops eq-deletes) — a
+    // first-commit-era misreading of the v3 spec that silently
+    // resurrected rows for foreign-written eq-deletes, caught by the v3
+    // REST fuzz in round 9
     val catalog = newCatalog()
     val src = spark.read.parquet(s"$sf/orders.parquet").limit(100)
     FileGenerator.writeTable(spark, catalog, "t_v3", src,
@@ -158,7 +162,8 @@ class CompactionE2ESpec extends AnyFunSuite {
       config = FullCompactionConfig(PlanningParams(maxOutputParallelism = 2))).compact()
     val after = catalog.loadTable("t_v3")
     val dataFiles = after.currentSnapshot.get.manifest.filter(_.content == FileContent.Data)
-    assert(spark.read.parquet(dataFiles.map(_.path): _*).count() == 100)
+    assert(spark.read.parquet(dataFiles.map(_.path): _*).count() == 80,
+      "2 files x 10 eq-deleted rows must be gone from the compacted output")
   }
 
   test("small-files compaction is idempotent (second run plans nothing)") {
