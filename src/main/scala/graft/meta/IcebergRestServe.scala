@@ -184,7 +184,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           if (kind == "tables" || kind == "views") && obj.nonEmpty =>
         val suffix = rest match {
           case Nil => Some(None)
-          case s :: Nil if s == "plan" || s == "preplan" => Some(Some(s))
+          case s :: Nil if s == "plan" || s == "preplan" || s == "metrics" =>
+            Some(Some(s))
           case _ => None
         }
         for { n <- nsSegments(ns); sfx <- suffix
@@ -240,6 +241,11 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         val (_, _, t, Some(which)) = obj.get
         if (!catalog.tableExists(t) || isViewEntry(t)) err(s"table $t not found", 404)
         else if (which == "preplan") preplanTableScan(t, readBody(ex))
+        else if (which == "metrics") {
+          // the spec's scan-metrics sink: servers may accept and discard;
+          // clients that report unconditionally must not fail on 404
+          readBody(ex); 204 -> ""
+        }
         else planTableScan(t, readBody(ex))
       }
       else if (method == "POST" && tableOf.nonEmpty) {
@@ -1021,12 +1027,25 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     var properties = meta.properties
     var addSnap: Option[(Long, String, Map[String, String])] = None
     var setRefs: Seq[(String, String, Long)] = Nil
+    var removeRefs: Seq[String] = Nil
+    var addSchema: Option[(JValue, Option[Int])] = None
+    var setSchemaId: Option[Long] = None
     val updList = (req \ "updates") match {
       case JArray(xs) => xs; case JNothing | JNull => Nil
       case o => return err(s"bad updates: $o", 400)
     }
     updList.foreach { u =>
       (u \ "action") match {
+        case JString("add-schema") =>
+          if (addSchema.nonEmpty) return err("multiple add-schema updates", 400)
+          addSchema = Some(((u \ "schema"),
+            (u \ "last-column-id") match {
+              case JNothing | JNull => None; case v => Some(lng(v).toInt)
+            }))
+        case JString("set-current-schema-id") =>
+          setSchemaId = Some(lng(u \ "schema-id"))
+        case JString("remove-snapshot-ref") =>
+          removeRefs :+= str(u \ "ref-name")
         case JString("add-snapshot") =>
           val s = u \ "snapshot"
           if (addSnap.nonEmpty) return err("multiple add-snapshot updates", 400)
@@ -1091,6 +1110,12 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     }.foreach { case (name, _, id) =>
       return err(s"set-snapshot-ref $name: no snapshot $id", 400)
     }
+    removeRefs.foreach { name =>
+      if (name == "main")
+        return err("remove-snapshot-ref: the main branch cannot be removed", 400)
+      if (!meta.refs.contains(name) && !meta.tags.contains(name))
+        return err(s"remove-snapshot-ref: no branch or tag named $name", 400)
+    }
 
     val updated0 = meta.copy(
       snapshots = meta.snapshots ++ snapOpt.toSeq,
@@ -1098,12 +1123,45 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         .getOrElse(meta.lastSequenceNumber),
       nextRowId = nextRowIdAfter,
       properties = properties)
-    val updated = setRefs.foldLeft(updated0) { case (m, (name, typ, id)) =>
+    // ---- schema evolution (add-schema + set-current-schema-id): the
+    // foreign engine's ALTER TABLE, validated by the SAME rulebook as
+    // the SQL surface (SchemaEvolution.applyForeignSchema)
+    val withSchema = addSchema match {
+      case None =>
+        // set-current-schema-id without add-schema: only the current
+        // schema's id (a no-op) is honest to accept
+        if (setSchemaId.exists(id => id != -1L && id != 0L))
+          return err(s"set-current-schema-id ${setSchemaId.get} without " +
+            "add-schema — this server serves schema-id 0", 400)
+        updated0
+      case Some((sj, lastHint)) =>
+        val proposedId = (sj \ "schema-id") match {
+          case JNothing | JNull => None; case v => Some(lng(v))
+        }
+        // the spec's -1 means "the schema added in this commit"
+        setSchemaId.foreach(id => if (id != -1L && proposedId.exists(_ != id))
+          return err(s"set-current-schema-id $id does not name the added " +
+            s"schema ${proposedId.get}", 400))
+        val fields =
+          try IcebergImport.arr(sj \ "fields").map { f =>
+            val ddl = IcebergImport.ddlOf(f \ "type")
+            SchemaField(lng(f \ "id").toInt, str(f \ "name"), ddl,
+              nullable = (f \ "required") != JBool(true),
+              initialDefault = IcebergImport.defaultSqlOf(ddl, f \ "initial-default"))
+          } catch { case e: Exception =>
+            return err(s"bad add-schema: ${e.getMessage}", 400) }
+        try SchemaEvolution.applyForeignSchema(updated0, fields, lastHint)
+        catch { case e: IllegalArgumentException =>
+          return err(e.getMessage, 400) }
+    }
+    val afterSets = setRefs.foldLeft(withSchema) { case (m, (name, typ, id)) =>
       if (typ == "tag") m.copy(tags = m.tags + (name -> id))
       else if (name == "main")
         m.copy(refs = m.refs + (name -> id), currentSnapshotId = Some(id))
       else m.copy(refs = m.refs + (name -> id))
     }
+    val updated = removeRefs.foldLeft(afterSets)((m, name) =>
+      m.copy(refs = m.refs - name, tags = m.tags - name))
     Right((meta, updated))
   }
 

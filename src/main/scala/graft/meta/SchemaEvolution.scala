@@ -79,7 +79,7 @@ object SchemaEvolution {
     * to what Spark's vectorized parquet reader converts in place —
     * verified: int32 files read as BIGINT, float as DOUBLE, with or
     * without field-id matching). */
-  private val Widenings: Map[String, Set[String]] = Map(
+  private[meta] val Widenings: Map[String, Set[String]] = Map(
     "TINYINT" -> Set("SMALLINT", "INT", "BIGINT"),
     "SMALLINT" -> Set("INT", "BIGINT"),
     "INT" -> Set("BIGINT"),
@@ -126,6 +126,86 @@ object SchemaEvolution {
         // inherit the dropped field's manifest statistics
         properties = meta.withStatsRetired(Seq(name)))
     }
+
+  /** Applies a FOREIGN engine's whole-schema replacement (the REST
+    * commit endpoint's `add-schema` + `set-current-schema-id`) under the
+    * SAME evolution rules as the SQL surface — one rulebook, two doors.
+    * Field ids are authoritative: same id + new name = rename (follows
+    * into sort orders, old name stats-retired), same id + wider type =
+    * widening (lossless promotions only), id absent = drop (partition /
+    * sort / live-eq-key columns refuse), new ids must exceed every id
+    * ever assigned (never reused). Pure function of the metadata —
+    * callers own the CAS. Throws IllegalArgumentException with the
+    * refusal reason. */
+  def applyForeignSchema(meta: TableMetadata, proposed: Seq[SchemaField],
+      lastColumnIdHint: Option[Int]): TableMetadata = {
+    require(proposed.nonEmpty, "add-schema: empty schema")
+    require(meta.schema.nonEmpty && meta.schema.forall(_.isTyped),
+      "add-schema: the table has no typed (field-id) schema to evolve")
+    require(proposed.forall(_.isTyped), "add-schema: untyped field in schema")
+    require(proposed.map(_.id).distinct.size == proposed.size,
+      "add-schema: duplicate field ids")
+    require(proposed.map(_.name.toLowerCase(java.util.Locale.ROOT)).distinct.size
+      == proposed.size, "add-schema: duplicate field names")
+    val cur = meta.schema
+    val curById = cur.map(f => f.id -> f).toMap
+    val maxExisting = math.max(meta.lastColumnId, cur.map(_.id).foldLeft(0)(math.max))
+    val renamedAway = Seq.newBuilder[String]
+    proposed.foreach { f =>
+      // validate the DDL parses to a real Spark type eagerly
+      try f.sparkType
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"add-schema: field ${f.name} type ${f.dataType} invalid: ${e.getMessage}") }
+      curById.get(f.id) match {
+        case Some(old) =>
+          val from = old.dataType.toUpperCase
+          val to = f.dataType.toUpperCase
+          require(from == to || Widenings.get(from).exists(_.contains(to)),
+            s"add-schema: field ${old.name} (id ${f.id}) cannot change " +
+              s"$from to $to (lossless widenings only)")
+          if (old.name != f.name) {
+            require(!meta.partitionSpec.exists(_.column == old.name),
+              s"add-schema: cannot rename partition column ${old.name}")
+            require(!meta.snapshots.exists(_.manifest.exists(x =>
+                x.nameMatched && x.content == FileContent.Data)),
+              s"add-schema: cannot rename ${old.name}: table holds " +
+                "name-addressed imported files (add_files); compact first")
+            renamedAway += old.name
+          }
+        case None =>
+          require(f.id > maxExisting,
+            s"add-schema: new field ${f.name} uses id ${f.id} <= " +
+              s"last-column-id $maxExisting — field ids are never reused")
+      }
+    }
+    val proposedIds = proposed.map(_.id).toSet
+    val dropped = cur.filterNot(f => proposedIds.contains(f.id))
+    dropped.foreach { f =>
+      require(!meta.partitionSpec.exists(_.column == f.name),
+        s"add-schema: cannot drop partition column ${f.name}")
+      require(!meta.sortOrder.exists(_.column == f.name),
+        s"add-schema: cannot drop sort-order column ${f.name}")
+      val liveEqIds = meta.currentSnapshot.toSeq.flatMap(_.manifest)
+        .filter(_.content == FileContent.EqualityDeletes)
+        .flatMap(x => x.equalityFieldIds ++
+          x.equalityIds.flatMap(n => meta.fieldByName(n).map(_.id)))
+      require(!liveEqIds.contains(f.id),
+        s"add-schema: cannot drop equality-delete key column ${f.name}")
+    }
+    val renameMap = proposed.flatMap(f =>
+      curById.get(f.id).filter(_.name != f.name).map(o => o.name -> f.name)).toMap
+    val newLast = (lastColumnIdHint.getOrElse(0) +: maxExisting +:
+      proposed.map(_.id)).max
+    meta.copy(
+      schema = proposed,
+      lastColumnId = newLast,
+      sortOrder = meta.sortOrder.map(s =>
+        s.copy(column = renameMap.getOrElse(s.column, s.column))),
+      properties = {
+        val retire = renamedAway.result() ++ dropped.map(_.name)
+        if (retire.isEmpty) meta.properties else meta.withStatsRetired(retire)
+      })
+  }
 
   /** Replaces the partition spec (metadata-only). Existing files keep
     * their old per-file partition values in the manifest — the format

@@ -1145,6 +1145,77 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("REST schema evolution: add-schema is the foreign ALTER TABLE; refs removable; metrics sink") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "t",
+      (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"))
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def post(path: String, body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def commit(updates: String): HttpResponse[String] =
+        post("/v1/p/namespaces/wh/tables/t",
+          s"""{"requirements": [], "updates": [$updates]}""")
+
+      // rename by id (name->label), add a column (fresh id 3), one commit
+      val ev = commit(
+        """{"action": "add-schema", "last-column-id": 3, "schema":
+          |  {"type": "struct", "schema-id": 1, "fields": [
+          |   {"id": 1, "name": "id", "required": false, "type": "long"},
+          |   {"id": 2, "name": "label", "required": false, "type": "string"},
+          |   {"id": 3, "name": "score", "required": false, "type": "double"}]}},
+          |{"action": "set-current-schema-id", "schema-id": -1}""".stripMargin)
+      assert(ev.statusCode() == 200, ev.body())
+      val m = cat.loadTable("t")
+      assert(m.schema.map(_.name) == Seq("id", "label", "score"))
+      assert(m.lastColumnId == 3)
+      assert(m.statsRetiredNames.contains("name"), "renamed-away name must retire")
+      // the rename resolves BY FIELD ID: existing rows read under label
+      val rows = IceRead.table(spark, cat, "t")
+      assert(rows.filter(col("label") === "n3").count() == 1L)
+      assert(rows.filter(col("score").isNull).count() == 10L)
+
+      // refusals share the SQL rulebook: id reuse and narrowing 400
+      val reuse = commit(
+        """{"action": "add-schema", "schema": {"type": "struct", "fields": [
+          |  {"id": 1, "name": "id", "required": false, "type": "long"},
+          |  {"id": 2, "name": "label", "required": false, "type": "string"},
+          |  {"id": 3, "name": "fresh", "required": false, "type": "string"}]}}"""
+          .stripMargin.replace("\"id\": 3, \"name\": \"fresh\"",
+            "\"id\": 2, \"name\": \"label\"")) // degenerate: same id twice
+      assert(reuse.statusCode() == 400, reuse.body())
+      val narrow = commit(
+        """{"action": "add-schema", "schema": {"type": "struct", "fields": [
+          |  {"id": 1, "name": "id", "required": false, "type": "int"},
+          |  {"id": 2, "name": "label", "required": false, "type": "string"},
+          |  {"id": 3, "name": "score", "required": false, "type": "double"}]}}"""
+          .stripMargin)
+      assert(narrow.statusCode() == 400 &&
+        narrow.body().contains("widenings"), narrow.body())
+
+      // set/remove snapshot refs over REST: tag the head, then remove it
+      val head = cat.loadTable("t").currentSnapshotId.get
+      assert(commit(s"""{"action": "set-snapshot-ref", "ref-name": "keep",
+        "type": "tag", "snapshot-id": $head}""").statusCode() == 200)
+      assert(cat.loadTable("t").tags.get("keep").contains(head))
+      assert(commit("""{"action": "remove-snapshot-ref", "ref-name": "keep"}""")
+        .statusCode() == 200)
+      assert(!cat.loadTable("t").tags.contains("keep"))
+      assert(commit("""{"action": "remove-snapshot-ref", "ref-name": "main"}""")
+        .statusCode() == 400)
+      assert(commit("""{"action": "remove-snapshot-ref", "ref-name": "nope"}""")
+        .statusCode() == 400)
+
+      // the metrics sink accepts and discards (clients report blindly)
+      assert(post("/v1/p/namespaces/wh/tables/t/metrics",
+        """{"report-type": "scan-report", "metrics": {}}""").statusCode() == 204)
+      assert(post("/v1/p/namespaces/wh/tables/nope/metrics", "{}").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("preplan shards large manifests into bounded plan tasks") {
     // 2500 synthetic manifest entries (plan never opens data files, so
     // none need to exist) — preplan must shard, and the union of every
