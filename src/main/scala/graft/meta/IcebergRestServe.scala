@@ -256,6 +256,11 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           err(s"table $t not found", 404)
         else commitTable(t, readBody(ex))
       }
+      else if (method == "POST" && viewOf.nonEmpty) {
+        val v = viewOf.get
+        if (!isViewEntry(v)) err(s"view $v not found", 404)
+        else commitView(v, readBody(ex))
+      }
       else if (method == "POST" && nsr.exists(_._2.contains("tables")))
         createTable(nsr.get._1, readBody(ex))
       else if (method == "POST" && nsr.exists(_._2.contains("views")))
@@ -322,6 +327,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
               "GET /v1/{prefix}/namespaces/{namespace}/views/{view}",
               "HEAD /v1/{prefix}/namespaces/{namespace}/views/{view}",
               "POST /v1/{prefix}/namespaces/{namespace}/views",
+              "POST /v1/{prefix}/namespaces/{namespace}/views/{view}",
               "DELETE /v1/{prefix}/namespaces/{namespace}/views/{view}"))))
       else if (path == nsRootPath)
         listNamespaces(ex.getRequestURI.getRawQuery)
@@ -584,6 +590,126 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           return err(s"bad CreateViewRequest: ${e.getMessage}", 400)
       }
     loadViewResult(vname)
+  }
+
+  /** `POST .../namespaces/{ns}/views/{v}`: the spec's view COMMIT —
+    * how a foreign engine's CREATE OR REPLACE VIEW lands on a served
+    * view. `assert-view-uuid` validates identity (409 on mismatch);
+    * `add-view-version` appends a version (spark representation
+    * preferred, foreign dialects stored under their label and handled
+    * at read by [[DialectTranslate]]'s safe subset); optional
+    * `add-schema` re-pins the declared output schema;
+    * `set-current-view-version` must name the added version (or the
+    * spec's -1). No analysis happens here — this server has no Spark
+    * session, and imported/committed views are LATE-BOUND like every
+    * other foreign view (a bad definition fails at read, by name). */
+  private def commitView(view: String, body: String): (Int, String) = {
+    val req =
+      try JsonMethods.parse(body)
+      catch { case e: Exception =>
+        return err(s"bad CommitViewRequest: ${e.getMessage}", 400) }
+    val meta = catalog.loadTable(view)
+    (req \ "requirements") match {
+      case JArray(rs) => rs.foreach { r =>
+        (r \ "type") match {
+          case JString("assert-view-uuid") =>
+            if (str(r \ "uuid") != meta.stableUuid)
+              return err(s"requirement failed: view uuid is ${meta.stableUuid}, " +
+                s"client expected ${str(r \ "uuid")}", 409)
+          case JString(t) => return err(s"unsupported view requirement: $t", 400)
+          case o => return err(s"bad requirement: $o", 400)
+        }
+      }
+      case JNothing | JNull => ()
+      case o => return err(s"bad requirements: $o", 400)
+    }
+    var addVersion: Option[JValue] = None
+    var setCurrent: Option[Long] = None
+    var newSchema: Option[Seq[SchemaField]] = None
+    var properties = meta.properties
+    (req \ "updates") match {
+      case JArray(us) => us.foreach { u =>
+        (u \ "action") match {
+          case JString("add-view-version") =>
+            if (addVersion.nonEmpty) return err("multiple add-view-version", 400)
+            addVersion = Some(u \ "view-version")
+          case JString("set-current-view-version") =>
+            setCurrent = Some(lng(u \ "view-version-id"))
+          case JString("add-schema") =>
+            newSchema = Some(
+              try IcebergImport.arr(u \ "schema" \ "fields").map { f =>
+                SchemaField(lng(f \ "id").toInt, str(f \ "name"),
+                  IcebergImport.ddlOf(f \ "type"),
+                  nullable = (f \ "required") != JBool(true))
+              } catch { case e: Exception =>
+                return err(s"bad add-schema: ${e.getMessage}", 400) })
+          case JString("set-properties") => (u \ "updates") match {
+            case JObject(kv) =>
+              val props = kv.collect { case (k, JString(v)) => k -> v }
+              props.find(_._1.startsWith("graft.view.")).foreach(p =>
+                return err(s"property ${p._1} is reserved view state", 400))
+              properties ++= props
+            case o => return err(s"bad set-properties: $o", 400)
+          }
+          case JString("remove-properties") => (u \ "removals") match {
+            case JArray(ks) =>
+              val keys = ks.collect { case JString(k) => k }
+              keys.find(_.startsWith("graft.view.")).foreach(k =>
+                return err(s"property $k is reserved view state", 400))
+              properties --= keys
+            case o => return err(s"bad remove-properties: $o", 400)
+          }
+          case JString(a) => return err(s"unsupported view update: $a", 400)
+          case o => return err(s"bad update: $o", 400)
+        }
+      }
+      case JNothing | JNull => ()
+      case o => return err(s"bad updates: $o", 400)
+    }
+    val updated = addVersion match {
+      case None =>
+        if (setCurrent.nonEmpty)
+          return err("set-current-view-version without add-view-version — " +
+            "this server keeps the added version current", 400)
+        meta.copy(schema = newSchema.getOrElse(meta.schema),
+          properties = properties)
+      case Some(vv) =>
+        val reps = IcebergImport.arr(vv \ "representations").collect {
+          case r if (r \ "type") == JString("sql") =>
+            (str(r \ "sql"), (r \ "dialect") match {
+              case JString(d) => d; case _ => ""
+            })
+        }
+        if (reps.isEmpty)
+          return err("add-view-version carries no SQL representation", 400)
+        val (sql, dialect) = reps.find(_._2.equalsIgnoreCase("spark"))
+          .getOrElse(reps.head)
+        val nextV = Views.versions(meta).map(_._1).max + 1
+        val proposedId = (vv \ "version-id") match {
+          case JNothing | JNull => None; case v => Some(lng(v))
+        }
+        setCurrent.foreach(id =>
+          if (id != -1L && !proposedId.contains(id) && id != nextV.toLong)
+            return err(s"set-current-view-version $id does not name the " +
+              s"added version ($nextV)", 400))
+        val ts = (vv \ "timestamp-ms") match {
+          case JNothing | JNull => System.currentTimeMillis(); case v => lng(v)
+        }
+        meta.copy(
+          schema = newSchema.getOrElse(meta.schema),
+          properties = properties ++ Map(
+            Views.SqlKey -> sql, Views.DialectKey -> dialect,
+            Views.CurrentVersionKey -> nextV.toString,
+            Views.versionSqlKey(nextV) -> sql,
+            Views.versionTsKey(nextV) -> ts.toString) ++
+            (if (dialect.nonEmpty)
+              Map(Views.versionDialectKey(nextV) -> dialect) else Map.empty))
+    }
+    try { catalog.commit(meta, updated); loadViewResult(view) }
+    catch {
+      case _: CommitConflictException =>
+        err("concurrent commit — reload and retry", 409)
+    }
   }
 
   /** `POST .../namespaces/{ns}/register`: the spec RegisterTableRequest —

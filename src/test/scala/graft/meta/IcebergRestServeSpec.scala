@@ -1216,6 +1216,63 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("view commit over REST: a foreign CREATE OR REPLACE VIEW versions the served view") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "base",
+      (1L to 12L).map(i => (i, i % 3)).toDF("k", "g"))
+    GraftSql.register("vcr", cat)
+    spark.sql("CREATE VIEW vcr.v AS SELECT k FROM vcr.base WHERE k <= 6")
+    val uuid = cat.loadTable("v").stableUuid
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def post(body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(
+          URI.create(s"${srv.uri}/v1/p/namespaces/wh/views/v"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // a stale client (wrong uuid) gets the spec's 409
+      assert(post("""{"requirements": [{"type": "assert-view-uuid",
+        "uuid": "00000000-0000-0000-0000-000000000000"}], "updates": []}""")
+        .statusCode() == 409)
+      // the foreign replace: new spark-dialect version, current moves
+      val rep = post(
+        s"""{"requirements": [{"type": "assert-view-uuid", "uuid": "$uuid"}],
+           |"updates": [
+           |{"action": "add-view-version", "view-version": {"version-id": 2,
+           |  "timestamp-ms": 12345, "representations": [
+           |  {"type": "sql", "sql": "SELECT k, g FROM vcr.base WHERE k > 6",
+           |   "dialect": "spark"}]}},
+           |{"action": "set-current-view-version", "view-version-id": -1}]}"""
+          .stripMargin)
+      assert(rep.statusCode() == 200, rep.body())
+      val m = cat.loadTable("v")
+      assert(Views.versions(m).map(_._1) == Seq(1, 2))
+      assert(m.properties(Views.CurrentVersionKey) == "2")
+      assert(spark.sql("SELECT * FROM vcr.v").count() == 6L,
+        "the replaced definition must serve reads (k > 6: 6 rows)")
+      // a TRINO version inside the safe subset lands and reads translated
+      val trino = post(
+        s"""{"requirements": [], "updates": [
+           |{"action": "add-view-version", "view-version": {"version-id": 3,
+           |  "representations": [{"type": "sql",
+           |  "sql": "SELECT \\"g\\", count(*) AS c FROM vcr.base GROUP BY \\"g\\"",
+           |  "dialect": "trino"}]}},
+           |{"action": "set-current-view-version", "view-version-id": -1}]}"""
+          .stripMargin)
+      assert(trino.statusCode() == 200, trino.body())
+      assert(spark.sql("SELECT * FROM vcr.v").count() == 3L)
+      // reserved graft.view.* properties refuse; wrong current-id refuses
+      assert(post("""{"requirements": [], "updates": [{"action": "set-properties",
+        "updates": {"graft.view.sql": "boom"}}]}""").statusCode() == 400)
+      assert(post("""{"requirements": [], "updates": [
+        {"action": "add-view-version", "view-version": {"version-id": 9,
+          "representations": [{"type": "sql", "sql": "SELECT 1", "dialect": "spark"}]}},
+        {"action": "set-current-view-version", "view-version-id": 7}]}""")
+        .statusCode() == 400)
+    } finally { srv.stop(); GraftSql.unregister("vcr") }
+  }
+
   test("preplan shards large manifests into bounded plan tasks") {
     // 2500 synthetic manifest entries (plan never opens data files, so
     // none need to exist) — preplan must shard, and the union of every
