@@ -1144,6 +1144,27 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           if (str(r \ "uuid") != meta.stableUuid)
             return err(s"requirement failed: table uuid is " +
               s"${meta.stableUuid}, client expected ${str(r \ "uuid")}", 409)
+        // conforming clients attach these with schema/spec/sort changes;
+        // this server serves schema-id 0 / spec-id 0 and sort-order 0|1
+        case JString("assert-current-schema-id") =>
+          if (lng(r \ "current-schema-id") != 0L)
+            return err("requirement failed: current schema-id is 0", 409)
+        case JString("assert-default-spec-id") =>
+          if (lng(r \ "default-spec-id") != 0L)
+            return err("requirement failed: default spec-id is 0", 409)
+        case JString("assert-default-sort-order-id") =>
+          val served = if (meta.sortOrder.nonEmpty) 1L else 0L
+          if (lng(r \ "default-sort-order-id") != served)
+            return err(s"requirement failed: default sort-order-id is $served", 409)
+        case JString("assert-last-assigned-field-id") =>
+          // stale iff the client's value predates ids already assigned
+          // (the exported last-column-id can exceed the stored one by
+          // export-minted nested element ids, so >= is the honest check)
+          val floor = math.max(meta.lastColumnId,
+            meta.schema.map(_.id).foldLeft(0)(math.max)).toLong
+          if (lng(r \ "last-assigned-field-id") < floor)
+            return err(s"requirement failed: last-assigned-field-id is at " +
+              s"least $floor", 409)
         case JString(t) => return err(s"unsupported requirement: $t", 400)
         case o => return err(s"bad requirement: $o", 400)
       }

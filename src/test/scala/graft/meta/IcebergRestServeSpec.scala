@@ -1213,6 +1213,26 @@ class IcebergRestServeSpec extends AnyFunSuite {
       assert(post("/v1/p/namespaces/wh/tables/t/metrics",
         """{"report-type": "scan-report", "metrics": {}}""").statusCode() == 204)
       assert(post("/v1/p/namespaces/wh/tables/nope/metrics", "{}").statusCode() == 404)
+
+      // conforming clients pin schema state with their commits: the
+      // honest validations accept fresh pins and 409 stale ones
+      val lastId = cat.loadTable("t").lastColumnId
+      assert(post("/v1/p/namespaces/wh/tables/t",
+        s"""{"requirements": [
+           |{"type": "assert-current-schema-id", "current-schema-id": 0},
+           |{"type": "assert-default-spec-id", "default-spec-id": 0},
+           |{"type": "assert-last-assigned-field-id",
+           | "last-assigned-field-id": $lastId}],
+           |"updates": [{"action": "set-properties", "updates": {"pin": "ok"}}]}"""
+          .stripMargin).statusCode() == 200)
+      assert(post("/v1/p/namespaces/wh/tables/t",
+        """{"requirements": [{"type": "assert-last-assigned-field-id",
+          |"last-assigned-field-id": 1}], "updates": []}""".stripMargin)
+        .statusCode() == 409, "a stale field-id pin must 409")
+      assert(post("/v1/p/namespaces/wh/tables/t",
+        """{"requirements": [{"type": "assert-current-schema-id",
+          |"current-schema-id": 5}], "updates": []}""".stripMargin)
+        .statusCode() == 409)
     } finally srv.stop()
   }
 
