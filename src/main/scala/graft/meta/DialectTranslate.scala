@@ -110,6 +110,16 @@ object DialectTranslate {
     if (d != "hive" && toks.exists {
         case Quoted(inner) => inner.contains("`"); case _ => false })
       return None // a backtick inside a quoted identifier cannot re-quote
+    // string-literal semantics diverge: Spark's default parser processes
+    // backslash escapes ('C:\temp' -> tab) where Trino/Hive take the
+    // backslash literally, and our lexer's view of a backslash-adjacent
+    // quote can differ from the source dialect's — any literal carrying a
+    // backslash refuses rather than risking a silently different value
+    if (toks.exists { case Str(raw) => raw.contains("\\"); case _ => false })
+      return None
+    if (d == "hive" && toks.exists {
+        case Quoted(inner) => inner.contains("\\"); case _ => false })
+      return None // same refusal for Hive's double-quoted string literals
     // every call position must be whitelisted
     val meaningful = toks.filter {
       case Other(s) => s.trim.nonEmpty && !s.startsWith("--") && !s.startsWith("/*")
@@ -124,18 +134,57 @@ object DialectTranslate {
         return None // a quoted-identifier call is never in the subset
       case _ => ()
     }
-    // emit
+    // Spark-safe single-quoted literal from decoded content (no
+    // backslashes survive to here, so only the quote needs escaping —
+    // '' would re-lex in Spark as two ADJACENT literals, not an escape)
+    def sparkStr(inner: String): String = "'" + inner.replace("'", "\\'") + "'"
+    // emit. Renames apply only in CALL position (an unquoted Trino column
+    // legally named strpos/chr must stay a column reference), and
+    // TypeRenames only to the AS-target inside a cast(...) paren (a
+    // select alias named `varchar` must keep naming the output column).
+    val isMeaningful: Tok => Boolean = {
+      case Other(s) => s.trim.nonEmpty && !s.startsWith("--") && !s.startsWith("/*")
+      case _ => true
+    }
     val out = new StringBuilder
-    toks.foreach {
-      case Word(w) =>
-        val lw = w.toLowerCase(java.util.Locale.ROOT)
-        out ++= Renames.getOrElse(lw, TypeRenames.getOrElse(lw, w))
-      case Quoted(inner) =>
-        if (d == "hive") // Hive double-quotes are STRING literals
-          out ++= "'" + inner.replace("'", "''") + "'"
-        else out ++= "`" + inner + "`"
-      case Str(raw) => out ++= raw
-      case Other(s) => out ++= s
+    var parenStack: List[Boolean] = Nil // true = opened directly by cast/try_cast
+    var pendingCast = false
+    var prevWord: Option[String] = None // previous meaningful Word, lowercased
+    toks.zipWithIndex.foreach { case (tok, i) =>
+      def nextIsCall: Boolean = toks.drop(i + 1).find(isMeaningful).exists {
+        case Other(s) => s.trim.startsWith("("); case _ => false
+      }
+      tok match {
+        case Word(w) =>
+          val lw = w.toLowerCase(java.util.Locale.ROOT)
+          val inCastTarget =
+            parenStack.headOption.contains(true) && prevWord.contains("as")
+          if (Renames.contains(lw) && nextIsCall) out ++= Renames(lw)
+          else if (TypeRenames.contains(lw) && inCastTarget && !nextIsCall)
+            out ++= TypeRenames(lw)
+          else out ++= w
+          pendingCast = (lw == "cast" || lw == "try_cast") && nextIsCall
+          prevWord = Some(lw)
+        case Quoted(inner) =>
+          if (d == "hive") // Hive double-quotes are STRING literals
+            out ++= sparkStr(inner)
+          else out ++= "`" + inner + "`"
+          pendingCast = false; prevWord = None
+        case Str(raw) =>
+          if (d == "hive") out ++= raw // backslash-free: lexes identically
+          else { // Trino/Presto: '' is the quote escape — decode, re-encode
+            val inner = raw.substring(1, raw.length - 1).replace("''", "'")
+            out ++= sparkStr(inner)
+          }
+          pendingCast = false; prevWord = None
+        case Other(s) =>
+          out ++= s
+          if (!(s.startsWith("--") || s.startsWith("/*"))) s.foreach { c =>
+            if (c == '(') { parenStack ::= pendingCast; pendingCast = false }
+            else if (c == ')') { if (parenStack.nonEmpty) parenStack = parenStack.tail }
+            else if (!c.isWhitespace) { pendingCast = false; prevWord = None }
+          }
+      }
     }
     Some(out.toString)
   }

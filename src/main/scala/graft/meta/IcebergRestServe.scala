@@ -147,11 +147,17 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private def urlDecode(s: String): String =
     java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
 
-  /** A decoded path-derived name that is safe to use as a catalog key:
-    * `%2F`/`%5C`-encoded separators or dot-dot segments would otherwise
-    * traverse OUT of the warehouse when joined into filesystem paths. */
+  /** A decoded name (PATH-derived or BODY-derived — rename/transaction
+    * identifiers, create/register names, namespace segments) that is safe
+    * to use as a catalog key: `/`, `\` or dot segments would traverse OUT
+    * of the warehouse when joined into filesystem paths (a rename
+    * destination of `../x` writes catalog state outside it; a create name
+    * `a/b` nests one table's root inside another's orphan-sweep domain);
+    * `.` would ALIAS into another namespace (entries are dot-joined), and
+    * U+001F is the wire's multipart separator. */
   private def safeName(s: String): Boolean =
-    s.nonEmpty && !s.contains("/") && !s.contains("\\") && s != ".." && s != "."
+    s.nonEmpty && !s.exists(c =>
+      c == '/' || c == '\\' || c == '.' || c == '\u001f')
 
   /** Decoded namespace segments when `raw` (one path segment, `%1F`-
     * joined multiparts) is rooted at this server's root. */
@@ -410,13 +416,20 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       err(s"bad CreateTableRequest: ${e.getMessage}", 400) }
 
   /** Bare object name + namespace -> catalog entry name; refuses names
-    * that would alias into another namespace. */
+    * that would alias into another namespace or traverse out of the
+    * warehouse ([[safeName]] — guarding every BODY-derived name:
+    * create/register/view-create, rename, transaction identifiers). */
   private def entryNameOf(ns: Seq[String], bare: String): Either[(Int, String), String] =
-    if (bare.isEmpty || bare.contains(".") || bare.contains("\u001f"))
-      Left(err(s"invalid object name '$bare' ('.' addresses namespaces)", 400))
+    if (!safeName(bare))
+      Left(err(s"invalid object name '$bare' ('.' addresses namespaces; " +
+        "'/' and '\\' are not allowed)", 400))
     else Right(entryPrefix(ns) + bare)
 
   private def createTable0(ns: Seq[String], body: String): (Int, String) = {
+    // the spec's NoSuchNamespace: creating under a namespace that neither
+    // holds entries nor was explicitly created answers 404
+    if (!nsExists(ns))
+      return err(s"namespace ${ns.mkString(".")} not found", 404)
     val req = JsonMethods.parse(body)
     val tname = entryNameOf(ns, str(req \ "name")) match {
       case Left(e) => return e; case Right(n) => n
@@ -555,6 +568,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     // the request-shape catch covers parse + import ONLY — once the view
     // exists, a failure rendering the response must not masquerade as a
     // 400 "bad request" (the client would retry into a confusing 409)
+    if (!nsExists(ns))
+      return err(s"namespace ${ns.mkString(".")} not found", 404)
     val vname =
       try {
         val req = JsonMethods.parse(body)
@@ -716,6 +731,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * adopt a table that already has a `*.metadata.json` on shared storage
     * (the REST analogue of `CALL attach_iceberg`). */
   private def registerTable(ns: Seq[String], body: String): (Int, String) = {
+    if (!nsExists(ns))
+      return err(s"namespace ${ns.mkString(".")} not found", 404)
     val (tname, loc) =
       try {
         val req = JsonMethods.parse(body)
@@ -868,10 +885,16 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
 
   /** The spec expression JSON (a bound scan filter) to a Catalyst
     * expression [[graft.exec.ZonePrune.mayMatch]] understands. Returns
-    * None for shapes outside the subset; AND drops an unparseable side
-    * (conservative for pruning), OR and NOT require both/the child. */
+    * None for shapes outside the subset. AND may drop an unparseable side
+    * — but ONLY at positive polarity: the drop WEAKENS the predicate,
+    * which is conservative for pruning right up until a NOT above it
+    * flips the weakening into a STRENGTHENING (Not(weaker) prunes files
+    * whose rows match the original filter). `pos` tracks the polarity;
+    * under an odd number of NOTs every child must translate fully or the
+    * whole subtree degrades to keep-everything. */
   private def exprOf(j: JValue,
-      types: Map[String, org.apache.spark.sql.types.DataType])
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      pos: Boolean = true)
       : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._
@@ -909,14 +932,16 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       } yield mk(a, l)
     (j \ "type") match {
       case JString("and") =>
-        (exprOf(j \ "left", types), exprOf(j \ "right", types)) match {
+        (exprOf(j \ "left", types, pos), exprOf(j \ "right", types, pos)) match {
           case (Some(l), Some(r)) => Some(And(l, r))
-          case (one, other) => one.orElse(other) // dropping a conjunct keeps more
+          // dropping a conjunct keeps more — sound ONLY at positive polarity
+          case (one, other) if pos => one.orElse(other)
+          case _ => None
         }
       case JString("or") =>
-        for { l <- exprOf(j \ "left", types); r <- exprOf(j \ "right", types) }
+        for { l <- exprOf(j \ "left", types, pos); r <- exprOf(j \ "right", types, pos) }
           yield Or(l, r)
-      case JString("not") => exprOf(j \ "child", types).map(Not(_))
+      case JString("not") => exprOf(j \ "child", types, !pos).map(Not(_))
       case JString("lt") => cmpOf(LessThan(_, _))
       case JString("lt-eq") => cmpOf(LessThanOrEqual(_, _))
       case JString("gt") => cmpOf(GreaterThan(_, _))
@@ -1051,6 +1076,12 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     }
     require(ns.headOption.contains(namespace),
       s"unknown namespace ${ns.mkString(".")} (rooted at '$namespace')")
+    // BODY-derived segments get the same traversal guard as URL-derived
+    // ones: a namespace like ["graft", "../x"] must never reach the
+    // catalog's path joins
+    ns.drop(1).find(!safeName(_)).foreach(bad => throw new IllegalArgumentException(
+      s"invalid namespace segment '$bad' ('.', '/', '\\' and separator " +
+        "characters are not allowed)"))
     entryNameOf(ns, str(j \ "name")) match {
       case Left((_, msg)) => throw new IllegalArgumentException(msg)
       case Right(n) => n
@@ -1067,8 +1098,9 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         if (!ns.headOption.contains(namespace))
           err(s"namespaces here are rooted at '$namespace': cannot create " +
             ns.mkString("."), 400)
-        else if (ns.exists(s => s.isEmpty || s.contains(".") || s.contains("\u001f")))
-          err(s"invalid namespace segment in ${ns.mkString(".")}", 400)
+        else if (ns.exists(s => !safeName(s)))
+          err(s"invalid namespace segment in ${ns.mkString(".")} " +
+            "('.', '/', '\\' and separator characters are not allowed)", 400)
         else if (nsExists(ns)) err(s"namespace ${ns.mkString(".")} already exists", 409)
         else if (ns.length > 1 && !nsExists(ns.dropRight(1)))
           err(s"parent namespace ${ns.dropRight(1).mkString(".")} does not exist", 404)

@@ -256,7 +256,13 @@ final class LocalCatalog(val warehouse: String,
       scala.util.Try(loadTable(name).location).toOption else None
     decoded.keySet.removeIf(_._1 == name)
     val root = MetaIO.join(warehouse, name)
-    if (MetaIO.exists(root)) { MetaIO.deleteRecursive(root); () }
+    // a root carrying the rename marker holds ANOTHER live entry's data
+    // (rename a->b keeps b's files under warehouse/a): a drop of the stale
+    // name `a` — e.g. an idempotent retry — must not destroy b. Only the
+    // owning entry (whose location IS this root) may reclaim it.
+    val rootIsForeign =
+      MetaIO.exists(renamedMarker(root)) && !loc.contains(root)
+    if (MetaIO.exists(root) && !rootIsForeign) { MetaIO.deleteRecursive(root); () }
     loc.filter(_ != root).foreach(l =>
       if (MetaIO.exists(l)) { MetaIO.deleteRecursive(l); () })
   }

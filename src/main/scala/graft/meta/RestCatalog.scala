@@ -88,13 +88,24 @@ object RestCatalog {
         case ("POST", List("tables")) =>
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val meta = MetadataJson.read(body)
-          val assigned = meta.copy(version = 1,
-            location = MetaIO.join(warehouse, meta.name))
-          if (store.putIfAbsent(meta.name, assigned) != null)
-            respond(ex, 409, s"""{"error": "table ${meta.name} already exists"}""")
-          else {
-            MetaIO.mkdirs(MetaIO.join(warehouse, meta.name, "data"))
-            respond(ex, 201, MetadataJson.write(assigned))
+          val loc = MetaIO.join(warehouse, meta.name)
+          val assigned = meta.copy(version = 1, location = loc)
+          // a renamed-away entry keeps its data under its ORIGINAL root: a
+          // new table adopting that path would interleave two tables' files
+          // (and one's orphan sweep would delete the other's live data) —
+          // same refusal LocalCatalog enforces via its rename marker
+          val outcome = store.synchronized {
+            if (store.values.asScala.exists(m => m.location == loc && m.name != meta.name))
+              Left(409 -> s"location $loc holds the data of a renamed table — pick another name")
+            else if (store.putIfAbsent(meta.name, assigned) != null)
+              Left(409 -> s"table ${meta.name} already exists")
+            else Right(assigned)
+          }
+          outcome match {
+            case Left((c, msg)) => respond(ex, c, s"""{"error": "$msg"}""")
+            case Right(a) =>
+              MetaIO.mkdirs(MetaIO.join(warehouse, meta.name, "data"))
+              respond(ex, 201, MetadataJson.write(a))
           }
 
         case ("POST", List("tables", name, "commit")) =>
@@ -160,13 +171,24 @@ object RestCatalog {
           }
 
         case ("DELETE", List("tables", name)) =>
-          val cur = store.remove(name)
-          val root = MetaIO.join(warehouse, name)
-          if (MetaIO.exists(root)) MetaIO.deleteRecursive(root)
-          // a RENAMED entry's data lives under its original location
-          Option(cur).map(_.location).filter(l => l != root && MetaIO.exists(l))
-            .foreach(MetaIO.deleteRecursive)
-          respond(ex, 204, "")
+          store.synchronized { Option(store.remove(name)) } match {
+            case None =>
+              // drop of a NONEXISTENT entry deletes NOTHING: after a
+              // rename a->b the path warehouse/a still holds b's live
+              // data, and a stale-name delete (an idempotent retry)
+              // reaching the filesystem would destroy it
+              respond(ex, 404, s"""{"error": "table $name not found"}""")
+            case Some(cur) =>
+              // the entry OWNS its location (possibly its pre-rename
+              // root); the name-root is reclaimed only when no surviving
+              // entry's location is that path
+              if (MetaIO.exists(cur.location)) MetaIO.deleteRecursive(cur.location)
+              val root = MetaIO.join(warehouse, name)
+              if (root != cur.location && MetaIO.exists(root) &&
+                  !store.values.asScala.exists(_.location == root))
+                MetaIO.deleteRecursive(root)
+              respond(ex, 204, "")
+          }
 
         case _ => respond(ex, 400, s"""{"error": "unsupported route"}""")
       }
