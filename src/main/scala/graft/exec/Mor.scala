@@ -73,6 +73,20 @@ object Mor {
     * absolute paths. Normalize URIs to paths for joining. */
   def normalizePath(c: Column): Column = regexp_replace(c, "^file:/+", "/")
 
+  /** A MANIFEST path in the exact form Spark renders
+    * `_metadata.file_path` (Hadoop-canonical: empty URI authorities
+    * collapse, `file:` stripped like [[normalizePath]]). Foreign clients
+    * legally commit non-canonical spellings (`slowfs:///x` for
+    * `slowfs:/x`); keying the per-file broadcast maps by the canonical
+    * form keeps the seq-number and row-lineage joins from silently
+    * missing — a miss would DROP equality deletes (null sequence never
+    * wins the strict `<`), resurrecting rows. */
+  def canonicalManifestPath(p: String): String = {
+    val s = try new org.apache.hadoop.fs.Path(p).toString
+            catch { case _: IllegalArgumentException => p }
+    if (s.startsWith("file:")) s.replaceFirst("^file:/+", "/") else s
+  }
+
   /** Reader with parquet field-id resolution enabled, SCOPED to the
     * relations it builds: the parquet source consults the session conf of
     * the relation's own session at scan planning (per-read options are
@@ -140,7 +154,8 @@ object Mor {
 
   private def seqMap(spark: SparkSession, files: Seq[FileEntry]): DataFrame = {
     import spark.implicits._
-    files.map(f => (f.path, f.sequenceNumber)).toDF(FilePathCol, SeqNumCol)
+    files.map(f => (canonicalManifestPath(f.path), f.sequenceNumber))
+      .toDF(FilePathCol, SeqNumCol)
   }
 
   /** Broadcast when the manifest says the delete side is small; otherwise
@@ -148,6 +163,25 @@ object Mor {
     * but cannot OOM the driver). */
   private def gated(df: DataFrame, manifestBytes: Long, maxBytes: Long): DataFrame =
     if (manifestBytes <= maxBytes) broadcast(df) else df
+
+  /** Position-delete `file_path` VALUES are spec'd to equal the data
+    * file's MANIFEST path; the scan side carries the Hadoop-canonical
+    * rendering. When any data file's manifest spelling differs from its
+    * canonical form (a foreign client's `scheme:///` paths), rewrite the
+    * values through the manifest->canonical map — a tiny literal map
+    * expression, codegen'd, no UDF. The common all-canonical case is a
+    * driver-side no-op. */
+  private def canonicalizeFilePathValues(pos: DataFrame,
+      dataFiles: Seq[FileEntry]): DataFrame = {
+    val m = dataFiles.map(f => f.path -> canonicalManifestPath(f.path))
+      .filter { case (k, v) => k != v }
+    if (m.isEmpty) pos
+    else {
+      val mapExpr = map(m.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      pos.withColumn(FilePathCol,
+        coalesce(element_at(mapExpr, col(FilePathCol)), col(FilePathCol)))
+    }
+  }
 
   /** Groups equality-delete files into runs of consecutive identical
     * `equalityIds`, each run becoming one anti-join (the reference's
@@ -219,16 +253,21 @@ object Mor {
       broadcastDeleteBytesMax: Long = BroadcastDeleteBytesMax): DataFrame = {
     require(dvEntries.forall(e => e.isDeletionVector && e.contentSizeInBytes.isDefined),
       "applyDeletionVectors requires DV entries with content-size set")
-    val totalBytes = dvEntries.map(_.contentSizeInBytes.get).sum
-    if (dvEntries.nonEmpty && totalBytes <= broadcastDeleteBytesMax) {
-      val blobs = dvEntries.map { e =>
+    // referenced-data-file spellings compare against the CANONICAL
+    // rendered scan path (see canonicalManifestPath) — a miss would
+    // silently resurrect the DV's rows
+    val dvCanon = dvEntries.map(e =>
+      e.copy(referencedDataFile = e.referencedDataFile.map(canonicalManifestPath)))
+    val totalBytes = dvCanon.map(_.contentSizeInBytes.get).sum
+    if (dvCanon.nonEmpty && totalBytes <= broadcastDeleteBytesMax) {
+      val blobs = dvCanon.map { e =>
         e.referencedDataFile.get -> graft.meta.Puffin.readBlob(
           e.path, e.contentOffset.getOrElse(0L), e.contentSizeInBytes.get)
       }.toMap
       data.filter(!graft.functions.DvExpressions.dvContains(
         col(FilePathCol), col(PosCol), blobs))
     } else {
-      val pos = graft.meta.DeletionVectors.positionsFrame(spark, dvEntries)
+      val pos = graft.meta.DeletionVectors.positionsFrame(spark, dvCanon)
         .select(col("file_path").as(FilePathCol), col("pos").as(PosCol))
       // blob bytes exceeded the gate, so the expanded relation is large:
       // leave the join strategy to Catalyst (shuffled, driver-safe)
@@ -349,8 +388,9 @@ object Mor {
     if (posDeletes.nonEmpty) {
       // position-delete files always carry plain (file_path, pos) — not
       // table-schema columns, so never id-matched
-      val pos = readParquet(posDeletes, None)
-        .select(col("file_path").as(FilePathCol), col("pos").as(PosCol))
+      val pos = canonicalizeFilePathValues(readParquet(posDeletes, None)
+        .select(col("file_path").as(FilePathCol), col("pos").as(PosCol)),
+        group.dataFiles)
       df = df.join(gated(pos, posDeletes.map(_.length).sum, broadcastDeleteBytesMax),
         Seq(FilePathCol, PosCol), "left_anti")
     }
@@ -389,7 +429,7 @@ object Mor {
       import scala.jdk.CollectionConverters._
       val rowMap = spark.createDataFrame(
         group.dataFiles.map(f => org.apache.spark.sql.Row(
-          f.path, f.firstRowId.map(Long.box).orNull,
+          canonicalManifestPath(f.path), f.firstRowId.map(Long.box).orNull,
           Long.box(f.sequenceNumber))).asJava,
         StructType(Seq(
           org.apache.spark.sql.types.StructField(FilePathCol,

@@ -103,7 +103,7 @@ object GraftSql {
     * table name). */
   private val MetadataTables =
     Set("snapshots", "files", "history", "refs", "partitions", "all_files",
-      "entries", "manifests", "position_deletes", "all_entries")
+      "entries", "manifests", "position_deletes", "all_entries", "metrics")
 
   def register(name: String, catalog: Catalog): Unit =
     registry.put(name.toLowerCase(java.util.Locale.ROOT), catalog)
@@ -449,6 +449,7 @@ object GraftSql {
           case "refs" => IceRead.refs(spark, cat, table)
           case "partitions" => IceRead.partitions(spark, cat, table)
           case "all_files" => IceRead.allFiles(spark, cat, table)
+          case "metrics" => IceRead.metrics(spark, cat, table)
           case "entries" => IceRead.entries(spark, cat, table)
           case "manifests" => IceRead.manifests(spark, cat, table)
           case "position_deletes" => IceRead.positionDeletes(spark, cat, table)

@@ -349,6 +349,69 @@ object IceRead {
     }.toDF("made_current_at", "snapshot_id", "parent_id", "is_current_ancestor")
   }
 
+  /** `metrics` metadata table: the spec scan/commit reports foreign
+    * readers POST to the REST metrics endpoint, persisted (bounded, see
+    * [[IcebergRestServe]]) under `<location>/metadata/metrics/` and
+    * served back through SQL — the observability signal a catalog
+    * operator reads (the reference records the analogous registry,
+    * core/src/common/metrics.rs:24-52). Numeric leaves of the report's
+    * `metrics` object flatten to dotted keys (`result-data-files.value`,
+    * `total-planning-duration.total-duration`, ...). Empty for tables
+    * never served or never reported against. */
+  def metrics(spark: SparkSession, catalog: Catalog, name: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = MetaIO.join(catalog.loadTable(name).location, "metadata", "metrics")
+    // bounded by the server's retention (a few hundred small JSON files):
+    // driver-side decode, like every other metadata table
+    val rows: Seq[org.apache.spark.sql.Row] =
+      MetaIO.listFiles(dir).map(_._1).sorted.flatMap { p =>
+        scala.util.Try(JsonMethods.parse(MetaIO.readString(p))).toOption
+      }.map { j =>
+        def strOf(v: JValue): Option[String] = v match {
+          case JString(s) => Some(s); case _ => None
+        }
+        def lngOf(v: JValue): Option[Long] = v match {
+          case JInt(x) => Some(x.toLong); case JLong(x) => Some(x); case _ => None
+        }
+        def flat(prefix: String, v: JValue): Seq[(String, Long)] = v match {
+          case JObject(kv) => kv.flatMap { case (k, x) =>
+            flat(if (prefix.isEmpty) k else s"$prefix.$k", x) }
+          case other => lngOf(other).map(prefix -> _).toSeq
+        }
+        org.apache.spark.sql.Row(
+          lngOf(j \ "received-at-ms").map(Long.box).orNull,
+          strOf(j \ "report-type").orNull,
+          lngOf(j \ "snapshot-id").map(Long.box).orNull,
+          lngOf(j \ "schema-id").map(Long.box).orNull,
+          (j \ "filter") match {
+            case JNothing | JNull => null
+            case f => JsonMethods.compact(JsonMethods.render(f))
+          },
+          (j \ "projected-field-names") match {
+            case JArray(xs) => xs.collect { case JString(s) => s }
+            case _ => Seq.empty[String]
+          },
+          flat("", j \ "metrics").toMap,
+          (j \ "metadata") match {
+            case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          })
+      }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("received_at_ms", LongType),
+      StructField("report_type", StringType),
+      StructField("snapshot_id", LongType),
+      StructField("schema_id", LongType),
+      StructField("filter", StringType),
+      StructField("projected_field_names", ArrayType(StringType, containsNull = false)),
+      StructField("metrics", MapType(StringType, LongType, valueContainsNull = false)),
+      StructField("metadata", MapType(StringType, StringType, valueContainsNull = false))))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** `all_files` metadata table (like Iceberg's `table$all_files`): one
     * row per (snapshot, manifest entry) across the WHOLE history — the
     * input for retention/GC auditing ("which snapshots still pin this

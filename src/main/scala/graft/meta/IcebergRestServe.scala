@@ -69,7 +69,17 @@ object IcebergRestServe {
 }
 
 final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
-    prefix: String = "graft", bearerToken: Option[String] = None, port: Int = 0) {
+    prefix: String = "graft", bearerToken: Option[String] = None, port: Int = 0,
+    /** Newest N posted scan reports kept per table (the spec metrics
+      * endpoint persists into `<location>/metadata/metrics/`); older
+      * files prune on write, bounding storage however chatty the
+      * reader fleet. */
+    metricsRetention: Int = 256) {
+
+  /** Serve-side counters in the reference's registry shape
+    * (core/src/common/metrics.rs:24-52): posted report counts by type,
+    * visible to the operator alongside the compaction metrics. */
+  val metrics = new graft.compaction.Metrics
 
   /** Fully-RENDERED LoadTableResult/LoadViewResult bodies cached per
     * (catalog entry NAME, stable uuid, version) — metadata-location must
@@ -90,10 +100,9 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
 
   private def cached(name: String, meta: TableMetadata)(build: => String): String = {
     val key = (name, meta.stableUuid, meta.version)
-    val hit = cache.get(key)
-    if (hit != null) return hit
-    val body = build
-    cache.put(key, body)
+    // computeIfAbsent: concurrent first-loads of the same version run ONE
+    // export (two would race the same exported *.metadata.json file)
+    val body = cache.computeIfAbsent(key, _ => build)
     cache.keySet.removeIf(k => k._1 == key._1 && k._2 == key._2 && k._3 < key._3)
     body
   }
@@ -114,11 +123,36 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.setExecutor(null)
+  /** Bounded CONCURRENT dispatch: readers (loads, plans, listings) run in
+    * parallel and never take a lock; mutations serialize per catalog
+    * entry through [[withLocks]]. One slow foreign commit (footer
+    * validation, DV bitmap compares — real I/O) no longer head-of-line-
+    * blocks the reader fleet the preplan sharding fans out. */
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+  server.setExecutor(pool)
   server.start()
 
   def uri: String = s"http://127.0.0.1:${server.getAddress.getPort}"
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+  /** Per-entry mutation locks. Multi-name operations (rename, multi-table
+    * transactions) acquire in SORTED order — one global lock order, so no
+    * deadlock — and the catalog's own CAS still backstops racing writers
+    * that bypass this server (a lost CAS answers the spec's 409 retry
+    * signal exactly as before). Commit VALIDATION I/O runs before the
+    * lock is taken ([[commitTable]]); only the commit+serve step holds it. */
+  private val entryLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withLocks[A](names: Seq[String])(body: => A): A = {
+    def go(ls: List[Object]): A = ls match {
+      case Nil => body
+      case h :: t => h.synchronized(go(t))
+    }
+    go(names.distinct.sorted.map(n =>
+      entryLocks.computeIfAbsent(n, _ => new Object)).toList)
+  }
+  /** The namespace-registry lock (createdNs check-then-act sections).
+    * The NUL prefix can never collide with a [[safeName]]d entry. */
+  private val NsLock = "\u0000namespaces"
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -247,17 +281,13 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         val (_, _, t, Some(which)) = obj.get
         if (!catalog.tableExists(t) || isViewEntry(t)) err(s"table $t not found", 404)
         else if (which == "preplan") preplanTableScan(t, readBody(ex))
-        else if (which == "metrics") {
-          // the spec's scan-metrics sink: servers may accept and discard;
-          // clients that report unconditionally must not fail on 404
-          readBody(ex); 204 -> ""
-        }
+        else if (which == "metrics") recordMetrics(t, readBody(ex))
         else planTableScan(t, readBody(ex))
       }
       else if (method == "POST" && tableOf.nonEmpty) {
         val t = tableOf.get
         if (!catalog.tableExists(t) && staged.containsKey(t))
-          commitStagedTable(t, readBody(ex))
+          withLocks(Seq(t))(commitStagedTable(t, readBody(ex)))
         else if (!catalog.tableExists(t) || isViewEntry(t))
           err(s"table $t not found", 404)
         else commitTable(t, readBody(ex))
@@ -265,7 +295,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       else if (method == "POST" && viewOf.nonEmpty) {
         val v = viewOf.get
         if (!isViewEntry(v)) err(s"view $v not found", 404)
-        else commitView(v, readBody(ex))
+        else withLocks(Seq(v))(commitView(v, readBody(ex)))
       }
       else if (method == "POST" && nsr.exists(_._2.contains("tables")))
         createTable(nsr.get._1, readBody(ex))
@@ -274,26 +304,26 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       else if (method == "POST" && nsr.exists(_._2.contains("register")))
         registerTable(nsr.get._1, readBody(ex))
       else if (method == "POST" && path == nsRootPath)
-        createNamespace(readBody(ex))
+        withLocks(Seq(NsLock))(createNamespace(readBody(ex)))
       else if (method == "POST" && path == s"/v1/$prefix/transactions/commit")
         commitTransaction(readBody(ex))
       else if (method == "POST" && path == s"/v1/$prefix/tables/rename")
         renameEntry(readBody(ex), wantView = false)
       else if (method == "POST" && path == s"/v1/$prefix/views/rename")
         renameEntry(readBody(ex), wantView = true)
-      else if (method == "DELETE" && tableOf.nonEmpty) {
+      else if (method == "DELETE" && tableOf.nonEmpty) withLocks(Seq(tableOf.get)) {
         val t = tableOf.get
         if (!catalog.tableExists(t) || isViewEntry(t))
           err(s"table $t not found", 404)
         else { catalog.dropTable(t); purge(t); 204 -> "" }
       }
-      else if (method == "DELETE" && viewOf.nonEmpty) {
+      else if (method == "DELETE" && viewOf.nonEmpty) withLocks(Seq(viewOf.get)) {
         val v = viewOf.get
         if (!isViewEntry(v)) err(s"view $v not found", 404)
         else { catalog.dropTable(v); purge(v); 204 -> "" }
       }
       else if (method == "DELETE" && nsr.exists(_._2.isEmpty))
-        dropNamespace(nsr.get._1)
+        withLocks(Seq(NsLock))(dropNamespace(nsr.get._1))
       else if (method == "HEAD" && tableOf.nonEmpty)
         // spec table-existence check: status only, no body
         (if (catalog.tableExists(tableOf.get) &&
@@ -756,6 +786,38 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     loadTableResult(tname)
   }
 
+  /** `POST .../tables/{t}/metrics` (the spec ReportMetricsRequest):
+    * PERSISTS the posted scan/commit report under the table's own
+    * `metadata/metrics/` (newest [[metricsRetention]] kept, pruned on
+    * write), surfaces it through SQL as the `metrics` metadata table
+    * ([[IceRead.metrics]] — `SELECT * FROM cat.t.metrics`), and counts
+    * it in the serve [[metrics]] registry, mirroring the reference's
+    * recorded registry (core/src/common/metrics.rs:24-52). Served scan
+    * reports are the observability signal a catalog operator reads;
+    * discarding them (the pre-round-10 behavior) wasted it. */
+  private def recordMetrics(table: String, body: String): (Int, String) = {
+    val j =
+      try JsonMethods.parse(body)
+      catch { case e: Exception =>
+        return err(s"bad ReportMetricsRequest: ${e.getMessage}", 400) }
+    val reportType = (j \ "report-type") match {
+      case JString(t) => t; case _ => "unknown"
+    }
+    val stamped = j merge (("received-at-ms" -> System.currentTimeMillis()): JValue)
+    val dir = MetaIO.join(catalog.loadTable(table).location, "metadata", "metrics")
+    withLocks(Seq("\u0000metrics:" + table)) {
+      MetaIO.writeString(MetaIO.join(dir,
+        f"r${System.currentTimeMillis()}%013d-" +
+          s"${java.util.UUID.randomUUID().toString.take(8)}.json"),
+        JsonMethods.compact(JsonMethods.render(stamped)))
+      MetaIO.listFiles(dir).map(_._1).sorted.dropRight(metricsRetention)
+        .foreach(p => MetaIO.delete(p))
+    }
+    metrics.counter("reports_received").incrementAndGet()
+    metrics.counter(s"reports_$reportType").incrementAndGet()
+    204 -> ""
+  }
+
   /** `POST .../tables/{t}/preplan`: the spec's distributed-planning
     * first half. Small tables answer a SINGLE opaque plan task; at
     * manifest scale (10^5-10^6 tracked files) the response SHARDS the
@@ -1051,18 +1113,20 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       } catch { case e: Exception =>
         return err(s"bad RenameTableRequest: ${e.getMessage}", 400) }
     val kind = if (wantView) "view" else "table"
-    if (!catalog.tableExists(from) || isViewEntry(from) != wantView)
-      return err(s"$kind $from not found", 404)
-    if (catalog.tableExists(to))
-      return err(s"$to already exists", 409)
-    try catalog.renameTable(from, to)
-    catch {
-      case e: UnsupportedOperationException => return err(e.getMessage, 405)
-      case e: Exception =>
-        return err(s"cannot rename $from to $to: ${e.getMessage}", 400)
+    withLocks(Seq(from, to)) {
+      if (!catalog.tableExists(from) || isViewEntry(from) != wantView)
+        return err(s"$kind $from not found", 404)
+      if (catalog.tableExists(to))
+        return err(s"$to already exists", 409)
+      try catalog.renameTable(from, to)
+      catch {
+        case e: UnsupportedOperationException => return err(e.getMessage, 405)
+        case e: Exception =>
+          return err(s"cannot rename $from to $to: ${e.getMessage}", 400)
+      }
+      purge(from); purge(to)
+      204 -> ""
     }
-    purge(from); purge(to)
-    204 -> ""
   }
 
   /** A spec TableIdentifier ({namespace, name}) to the catalog entry
@@ -1112,7 +1176,12 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       case other => err(s"bad CreateNamespaceRequest: $other", 400)
     }
 
-  /** `POST .../tables/{t}`: the spec CommitTableRequest. */
+  /** `POST .../tables/{t}`: the spec CommitTableRequest. Validation —
+    * including the real I/O (manifest-list decode, parquet footer checks,
+    * DV bitmap compares) — runs OUTSIDE the entry lock so a slow commit
+    * never serializes the server; the lock covers only the CAS+serve
+    * step, and a commit whose validation raced a concurrent writer loses
+    * the CAS and answers the spec's 409 retry signal. */
   private def commitTable(table: String, body: String): (Int, String) = {
     val built =
       try buildCommit(table, JsonMethods.parse(body))
@@ -1120,12 +1189,13 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         return err(s"bad CommitTableRequest: ${e.getMessage}", 400) }
     built match {
       case Left(e) => e
-      case Right((base, updated)) =>
+      case Right((base, updated)) => withLocks(Seq(table)) {
         try { catalog.commit(base, updated); loadTableResult(table) }
         catch {
           case _: CommitConflictException =>
             err("concurrent commit — reload and retry", 409)
         }
+      }
     }
   }
 
@@ -1518,59 +1588,72 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   /** `POST /v1/{prefix}/transactions/commit`: the spec MULTI-TABLE
     * commit (CommitTransactionRequest). Every change validates against
     * live state and builds its updated metadata BEFORE any table
-    * commits, and this server dispatches requests on a single thread, so
-    * versus other REST writers the transaction is atomic by
-    * construction. A racing NATIVE graft commit can still CAS-fail one
-    * table mid-apply; the already-applied tables are then rolled back
-    * with compensating commits and the whole transaction answers 409 —
-    * the honest contract of a catalog whose CAS is per-table (readers
-    * can observe the intermediate state inside that rollback window). */
+    * commits, under the per-table locks of every involved table
+    * ([[withLocks]], sorted acquisition), so versus other REST writers
+    * the transaction is atomic. A racing NATIVE graft commit can still
+    * CAS-fail one table mid-apply; the already-applied tables are then
+    * rolled back with compensating commits and the whole transaction
+    * answers 409 — the honest contract of a catalog whose CAS is
+    * per-table (readers can observe the intermediate state inside that
+    * rollback window). */
   private def commitTransaction(body: String): (Int, String) = {
-    // ---- phase 1: parse, validate and build EVERY change before
-    // committing ANY (request-shape failures are client errors: 400)
-    val builds: List[(String, TableMetadata, TableMetadata)] = try {
+    // ---- phase 0: parse and resolve the identifiers (cheap, unlocked)
+    val named: List[(String, JValue)] = try {
       val req = JsonMethods.parse(body)
       val changes = (req \ "table-changes") match {
         case JArray(xs) if xs.nonEmpty => xs
         case JArray(_) => return err("empty transaction", 400)
         case o => return err(s"bad table-changes: $o", 400)
       }
-      val named: List[(String, JValue)] = changes.map { c =>
+      changes.map { c =>
         (try identEntry(c \ "identifier")
          catch { case e: IllegalArgumentException =>
            return err(s"transaction: ${e.getMessage}", 400) }) -> c
       }
-      named.groupBy(_._1).collectFirst { case (t, cs) if cs.size > 1 => t }
-        .foreach(t => return err(
-          s"table $t appears twice in one transaction — merge its changes", 400))
-      named.collectFirst { case (t, _) if !catalog.tableExists(t) => t }
-        .foreach(t => return err(s"table $t not found", 404))
-      named.map { case (t, c) => buildCommit(t, c) match {
-        case Left(e) => return e
-        case Right((base, updated)) => (t, base, updated)
-      }}
     } catch {
       case e: Exception =>
         return err(s"bad CommitTransactionRequest: ${e.getMessage}", 400)
     }
-    // ---- phase 2: apply; roll back on a mid-apply CAS loss
-    var applied: List[(String, TableMetadata, TableMetadata)] = Nil
-    builds.foreach { case (t, base, updated) =>
-      try applied ::= ((t, base, catalog.commit(base, updated)))
-      catch {
-        case _: CommitConflictException =>
-          applied.foreach { case (rt, pre, committed) =>
-            val live = catalog.loadTable(rt)
-            // compensate only when OUR commit is still the head — if a
-            // native writer already built on top, its state wins
-            if (live.version == committed.version)
-              try catalog.commit(live, pre)
-              catch { case _: CommitConflictException => () }
-          }
-          return err(s"concurrent commit on $t — transaction rolled back, " +
-            "reload and retry", 409)
+    named.groupBy(_._1).collectFirst { case (t, cs) if cs.size > 1 => t }
+      .foreach(t => return err(
+        s"table $t appears twice in one transaction — merge its changes", 400))
+    // hold every involved table's lock (sorted acquisition) through
+    // build+apply: versus other REST writers the transaction is atomic —
+    // they wait, never observe the intermediate state, and never force a
+    // rollback. A racing NATIVE graft commit can still CAS-fail one table
+    // mid-apply; the compensating rollback below covers that window.
+    withLocks(named.map(_._1)) {
+      // ---- phase 1: validate and build EVERY change before committing ANY
+      val builds: List[(String, TableMetadata, TableMetadata)] = try {
+        named.collectFirst { case (t, _) if !catalog.tableExists(t) => t }
+          .foreach(t => return err(s"table $t not found", 404))
+        named.map { case (t, c) => buildCommit(t, c) match {
+          case Left(e) => return e
+          case Right((base, updated)) => (t, base, updated)
+        }}
+      } catch {
+        case e: Exception =>
+          return err(s"bad CommitTransactionRequest: ${e.getMessage}", 400)
       }
+      // ---- phase 2: apply; roll back on a mid-apply CAS loss
+      var applied: List[(String, TableMetadata, TableMetadata)] = Nil
+      builds.foreach { case (t, base, updated) =>
+        try applied ::= ((t, base, catalog.commit(base, updated)))
+        catch {
+          case _: CommitConflictException =>
+            applied.foreach { case (rt, pre, committed) =>
+              val live = catalog.loadTable(rt)
+              // compensate only when OUR commit is still the head — if a
+              // native writer already built on top, its state wins
+              if (live.version == committed.version)
+                try catalog.commit(live, pre)
+                catch { case _: CommitConflictException => () }
+            }
+            return err(s"concurrent commit on $t — transaction rolled back, " +
+              "reload and retry", 409)
+        }
+      }
+      204 -> ""
     }
-    204 -> ""
   }
 }

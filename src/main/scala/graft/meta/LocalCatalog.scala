@@ -194,7 +194,10 @@ final class LocalCatalog(val warehouse: String,
     // exists; otherwise degrade to the directory listing (cleanup may
     // have pruned early versions, so rolling forward from v1 is not an
     // option), never fail
-    val txt = MetaIO.readString(hint).trim
+    // the read itself can also fail mid-truncate (ChecksumFS EOF on a
+    // concurrent writer's in-place hint rewrite) — same degradation to
+    // the listing fallback, never an error
+    val txt = scala.util.Try(MetaIO.readString(hint)).getOrElse("").trim
     var v =
       if (txt.nonEmpty && txt.forall(_.isDigit) &&
           MetaIO.exists(versionFile(name, txt.toInt))) txt.toInt

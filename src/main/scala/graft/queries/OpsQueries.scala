@@ -781,6 +781,67 @@ object OpsQueries {
       } finally srv.stop()
     }),
 
+    // SERVE-UNDER-COMMIT as an oracle-checked query (the round-10
+    // concurrent-dispatch line): while a background foreign writer lands
+    // three row-delta commits (each validated server-side with real
+    // footer I/O), a reader fleet keeps planning and loading the same
+    // table. The dispatch is concurrent — commits serialize per entry,
+    // readers never wait on them — so this line's bench time tracks
+    // serve throughput under mixed load. The final MOR read (all three
+    // deltas applied) is what DuckDB hash-checks.
+    "q_plan_under_commit" -> ((s, dir) => {
+      import graft.meta.{IceRead, IceWrite, IcebergRestCommit, IcebergRestServe,
+        LocalCatalog}
+      val cat = LocalCatalog(
+        java.nio.file.Files.createTempDirectory("q-puc").toString)
+      val base = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      IceWrite.create(s, cat, "t_puc", base)
+      val head = cat.loadTable("t_puc")
+      val keyId = head.fieldByName("s_suppkey").get.id
+      val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+      try {
+        val staging = java.nio.file.Files.createTempDirectory("q-puc-st").toString
+        // stage the delete-key parquet up front so the writer thread does
+        // pure REST commits (manifest write + server-side validation)
+        val dels = Seq((11L, 0L), (13L, 1L), (17L, 2L)).zipWithIndex.map {
+          case ((m, r), i) =>
+            val keys = base.filter(col("s_suppkey") % m === r).select("s_suppkey")
+            val (p, sz, n, _) = graft.testkit.FileGenerator.writeSingleParquet(
+              s, IceWrite.withFieldIds(keys, head.schema),
+              java.nio.file.Paths.get(staging, s"del$i.parquet"))
+            IcebergRestCommit.AddedDeleteFile(p, sz, n, "equality",
+              equalityFieldIds = Seq(keyId))
+        }
+        @volatile var writerErr: Option[Throwable] = None
+        val writer = new Thread(() => {
+          try dels.foreach(d => IcebergRestCommit.commitDelta(
+            srv.uri, Seq("wh"), "t_puc", Nil, Seq(d), staging))
+          catch { case e: Throwable => writerErr = Some(e) }
+        })
+        writer.start()
+        val http = java.net.http.HttpClient.newHttpClient()
+        var plans = 0
+        while (writer.isAlive || plans < 3) {
+          val plan = http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(
+              s"${srv.uri}/v1/p/namespaces/wh/tables/t_puc/plan"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(plan.statusCode == 200, s"plan under commit: ${plan.body}")
+          val load = http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(
+              s"${srv.uri}/v1/p/namespaces/wh/tables/t_puc")).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(load.statusCode == 200, s"load under commit: ${load.body}")
+          plans += 1
+        }
+        writer.join()
+        writerErr.foreach(throw _)
+        require(plans >= 3, s"reader fleet issued only $plans plan/load rounds")
+        IceRead.table(s, cat, "t_puc")
+      } finally srv.stop()
+    }),
+
     // CATALOG VIEWS as an oracle-checked query: a versioned SQL view is
     // created through the front door (CREATE VIEW, then CREATE OR REPLACE
     // appending version 2), exported as public Iceberg VIEW-SPEC v1
@@ -3481,6 +3542,11 @@ object OpsQueries {
     "q_rest_replace" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE s_suppkey % 9 <> 0 AND s_suppkey % 7 <> 3""".stripMargin,
+
+    "q_plan_under_commit" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey % 11 <> 0 AND s_suppkey % 13 <> 1 AND s_suppkey % 17 <> 2"""
+        .stripMargin,
 
     "q_view_sql" ->
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS suppliers,

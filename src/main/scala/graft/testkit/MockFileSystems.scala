@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{DelegateToFileSystem, FSDataOutputStream, FileStatus, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{DelegateToFileSystem, FSDataInputStream, FSDataOutputStream, FileStatus, Path, RawLocalFileSystem}
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
@@ -146,3 +146,28 @@ class MockS3FileSystem extends InstrumentedLocalFileSystem {
   * check-then-renameInternal — itself non-atomic, matching the store. */
 class MockS3Afs(uri: URI, conf: Configuration)
   extends DelegateToFileSystem(uri, new MockS3FileSystem, conf, "mocks3", false)
+
+/** Injected per-`open` latency for [[SlowLocalFileSystem]] — the
+  * instrument for proving the REST serve dispatch is CONCURRENT: a
+  * commit validating delete-file footers on `slowfs://` paths spends
+  * real wall-clock in I/O, and readers must not queue behind it. */
+object SlowFsLatency {
+  @volatile var openDelayMs: Long = 0L
+}
+
+/** `slowfs://`: faithful local-FS semantics with [[SlowFsLatency]] slept
+  * before every `open` — a deterministic stand-in for the multi-second
+  * object-store reads a real foreign commit's footer validation pays.
+  * Register with `fs.slowfs.impl`. */
+class SlowLocalFileSystem extends InstrumentedLocalFileSystem {
+  protected def schemeName: String = "slowfs"
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val d = SlowFsLatency.openDelayMs
+    if (d > 0) Thread.sleep(d)
+    super.open(f, bufferSize)
+  }
+}
+
+/** `slowfs` binding for the FileContext API. */
+class SlowLocalAfs(uri: URI, conf: Configuration)
+  extends DelegateToFileSystem(uri, new SlowLocalFileSystem, conf, "slowfs", false)

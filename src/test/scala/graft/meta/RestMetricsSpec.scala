@@ -1,0 +1,85 @@
+package graft.meta
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The REST metrics endpoint PERSISTS (round 10): posted spec scan
+  * reports land under the table's `metadata/metrics/` with bounded
+  * retention, read back through SQL as the `metrics` metadata table, and
+  * count into the serve registry — mirroring the reference's recorded
+  * metrics registry (core/src/common/metrics.rs:24-52). */
+class RestMetricsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val http = HttpClient.newHttpClient()
+  private def post(uri: String, body: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(uri))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("scan reports persist, serve back over SQL, and retention bounds them") {
+    val cat = LocalCatalog(Files.createTempDirectory("rest-mx-wh").toString)
+    IceWrite.create(spark, cat, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val snapId = cat.loadTable("t").currentSnapshotId.get
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p",
+      metricsRetention = 5)
+    try {
+      val report =
+        s"""{"report-type": "scan-report", "table-name": "t",
+           | "snapshot-id": $snapId, "schema-id": 0,
+           | "filter": {"type": "eq", "term": "id", "value": 1},
+           | "projected-field-names": ["id", "v"],
+           | "metrics": {
+           |   "total-planning-duration": {"count": 1, "time-unit": "nanoseconds",
+           |     "total-duration": 17000000},
+           |   "result-data-files": {"unit": "count", "value": 2},
+           |   "skipped-data-files": {"unit": "count", "value": 7}},
+           | "metadata": {"engine-name": "probe"}}""".stripMargin
+      val r = post(s"${srv.uri}/v1/p/namespaces/wh/tables/t/metrics", report)
+      assert(r.statusCode() == 204, r.body())
+      assert(srv.metrics.counter("reports_received").get == 1L)
+      assert(srv.metrics.counter("reports_scan-report").get == 1L)
+
+      // read back through SQL: the metrics metadata table
+      GraftSql.register("mx", cat)
+      val row = spark.sql("SELECT * FROM mx.t.metrics").head
+      assert(row.getAs[String]("report_type") == "scan-report")
+      assert(row.getAs[Long]("snapshot_id") == snapId)
+      assert(row.getAs[String]("filter").contains("\"eq\""))
+      assert(row.getSeq[String](row.fieldIndex("projected_field_names")).toSeq
+        == Seq("id", "v"))
+      val m = row.getAs[Map[String, Long]]("metrics")
+      assert(m("result-data-files.value") == 2L)
+      assert(m("skipped-data-files.value") == 7L)
+      assert(m("total-planning-duration.total-duration") == 17000000L)
+      assert(row.getAs[Map[String, String]]("metadata") == Map("engine-name" -> "probe"))
+      assert(row.getAs[Long]("received_at_ms") > 0L)
+
+      // retention: newest 5 survive a burst of 9 more
+      (1 to 9).foreach { i =>
+        assert(post(s"${srv.uri}/v1/p/namespaces/wh/tables/t/metrics",
+          s"""{"report-type": "commit-report", "sequence-number": $i,
+             | "metrics": {"added-data-files": {"unit": "count", "value": $i}}}"""
+            .stripMargin).statusCode() == 204)
+      }
+      val n = spark.sql("SELECT count(*) FROM mx.t.metrics").head.getLong(0)
+      assert(n == 5L, s"retention must bound stored reports, got $n")
+      assert(srv.metrics.counter("reports_received").get == 10L)
+      assert(srv.metrics.counter("reports_commit-report").get == 9L)
+
+      // malformed JSON answers 400; a missing table still 404s
+      assert(post(s"${srv.uri}/v1/p/namespaces/wh/tables/t/metrics",
+        "{not json").statusCode() == 400)
+      assert(post(s"${srv.uri}/v1/p/namespaces/wh/tables/nope/metrics",
+        "{}").statusCode() == 404)
+      GraftSql.unregister("mx")
+    } finally srv.stop()
+  }
+}
