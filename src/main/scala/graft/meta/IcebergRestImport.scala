@@ -35,6 +35,28 @@ object IcebergRestImport {
     resp.body()
   }
 
+  /** The spec client's OAuth2 bootstrap: trade (client_id, client_secret)
+    * for a bearer token at `POST /v1/oauth/tokens` (RFC 6749
+    * client-credentials grant, form-encoded). The returned token rides as
+    * every later call's `authToken`. Throws on a refused grant (the
+    * server answers the OAuth `invalid_client` 401 for a bad secret). */
+  def fetchOauthToken(uri: String, clientId: String, clientSecret: String): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val form = s"grant_type=client_credentials&client_id=${enc(clientId)}" +
+      s"&client_secret=${enc(clientSecret)}"
+    val resp = http.send(HttpRequest.newBuilder(
+        URI.create(s"${uri.stripSuffix("/")}/v1/oauth/tokens"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"OAuth token request failed: HTTP ${resp.statusCode()} ${resp.body().take(300)}")
+    JsonMethods.parse(resp.body()) \ "access_token" match {
+      case org.json4s.JString(t) => t
+      case other => sys.error(s"bad token response: $other")
+    }
+  }
+
   /** The server-assigned route prefix from `GET /v1/config` ("" when the
     * server declares none or does not serve the endpoint). */
   def resolvePrefix(uri: String, authToken: Option[String] = None): String =

@@ -66,6 +66,18 @@ object IcebergRestServe {
     * manifest — at 10^6 tracked files preplan answers ~1000 tasks a
     * reader fleet fans out over, instead of one multi-GB response. */
   val FilesPerPlanTask: Long = 1000L
+
+  /** Unsharded ad-hoc `plan` requests over more data files than this go
+    * ASYNC (`plan-status=submitted` + plan-id polling + paged fetch)
+    * instead of rendering one unbounded inline response. */
+  val AsyncPlanThreshold: Int = 1000
+
+  /** file-scan-tasks per fetched page of a completed async plan. */
+  val PlanPageSize: Int = 1000
+
+  /** Async plans retained (oldest evict) — the memory bound on kept-task
+    * lists held for paging. */
+  val MaxAsyncPlans: Int = 64
 }
 
 final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
@@ -74,7 +86,20 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       * endpoint persists into `<location>/metadata/metrics/`); older
       * files prune on write, bounding storage however chatty the
       * reader fleet. */
-    metricsRetention: Int = 256) {
+    metricsRetention: Int = 256,
+    /** OAuth2 client-credentials registry (client-id -> secret). When
+      * non-empty, `POST /v1/oauth/tokens` trades a valid pair for a
+      * bearer token this server then accepts alongside the static
+      * [[bearerToken]] — the bootstrap a stock spec client performs
+      * before first contact (reference harness:
+      * integration-tests/src/bin/README.md:52). Empty = endpoint off. */
+    oauthClients: Map[String, String] = Map.empty,
+    /** Storage credentials VENDED on every LoadTableResult (the spec's
+      * `storage-credentials` stanza + `config`): object-store warehouses
+      * hand clients the access configuration with the table, so a spec
+      * client needs no out-of-band storage setup. Static server config;
+      * empty = nothing vended. */
+    storageCredentials: Map[String, String] = Map.empty) {
 
   /** Serve-side counters in the reference's registry shape
     * (core/src/common/metrics.rs:24-52): posted report counts by type,
@@ -133,7 +158,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   server.start()
 
   def uri: String = s"http://127.0.0.1:${server.getAddress.getPort}"
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+  def stop(): Unit = { server.stop(0); pool.shutdown(); planPool.shutdown() }
 
   /** Per-entry mutation locks. Multi-name operations (rename, multi-table
     * transactions) acquire in SORTED order — one global lock order, so no
@@ -177,6 +202,12 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * EMPTY ones are tracked here (session-scoped until a table lands). */
   private val createdNs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Seq[String]]()
+
+  /** Namespace properties (create-request `properties` + the spec's
+    * properties-update endpoint). Session-scoped like [[createdNs]];
+    * implicit namespaces (entries live below) may carry properties too. */
+  private val nsProps =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Map[String, String]]()
 
   private def urlDecode(s: String): String =
     java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
@@ -226,6 +257,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           case Nil => Some(None)
           case s :: Nil if s == "plan" || s == "preplan" || s == "metrics" =>
             Some(Some(s))
+          case "plan" :: id :: Nil if id.nonEmpty =>
+            Some(Some("plan/" + urlDecode(id))) // async plan poll/cancel
           case _ => None
         }
         for { n <- nsSegments(ns); sfx <- suffix
@@ -241,7 +274,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     if (!path.startsWith(nsRootPath + "/")) return None
     path.stripPrefix(nsRootPath + "/").split("/", -1).toList match {
       case ns :: Nil => nsSegments(ns).map((_, None))
-      case ns :: k :: Nil if Set("tables", "views", "register").contains(k) =>
+      case ns :: k :: Nil
+          if Set("tables", "views", "register", "properties").contains(k) =>
         nsSegments(ns).map((_, Some(k)))
       case _ => None
     }
@@ -261,6 +295,53 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     new String(ex.getRequestBody.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
 
+  /** OAuth2 tokens issued by [[oauthToken]], with their expiry stamps. */
+  private val issuedTokens =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val TokenTtlMs = 3600L * 1000
+
+  private def authorized(ex: HttpExchange): Boolean = {
+    if (bearerToken.isEmpty && oauthClients.isEmpty) return true
+    val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    if (!h.startsWith("Bearer ")) return false
+    val tok = h.stripPrefix("Bearer ")
+    bearerToken.contains(tok) ||
+      Option(issuedTokens.get(tok)).exists(_ > System.currentTimeMillis())
+  }
+
+  /** `POST /v1/oauth/tokens`: the spec's OAuth2 client-credentials grant
+    * — the ONE unauthenticated route (it IS the bootstrap). Form-encoded
+    * per RFC 6749; a valid (client_id, client_secret) pair answers a
+    * bearer token accepted for [[TokenTtlMs]]; a bad secret answers the
+    * OAuth `invalid_client` 401. */
+  private def oauthToken(body: String): (Int, String) = {
+    if (oauthClients.isEmpty)
+      return err("OAuth token endpoint is not configured on this server", 404)
+    val params: Map[String, String] = body.split("&").toSeq
+      .flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(urlDecode(k) -> urlDecode(v))
+        case _ => None
+      }).toMap
+    def oauthErr(code: Int, error: String, desc: String): (Int, String) =
+      code -> JsonMethods.compact(JsonMethods.render(
+        ("error" -> error) ~ ("error_description" -> desc)))
+    if (!params.get("grant_type").contains("client_credentials"))
+      return oauthErr(400, "unsupported_grant_type",
+        "this server supports grant_type=client_credentials")
+    (params.get("client_id"), params.get("client_secret")) match {
+      case (Some(id), Some(sec)) if oauthClients.get(id).contains(sec) =>
+        val tok = java.util.UUID.randomUUID().toString.replace("-", "")
+        val now = System.currentTimeMillis()
+        issuedTokens.put(tok, now + TokenTtlMs)
+        issuedTokens.entrySet.removeIf(e => e.getValue <= now) // lazy expiry
+        200 -> JsonMethods.compact(JsonMethods.render(
+          ("access_token" -> tok) ~ ("token_type" -> "bearer") ~
+            ("expires_in" -> TokenTtlMs / 1000)))
+      case _ =>
+        oauthErr(401, "invalid_client", "unknown client or wrong secret")
+    }
+  }
+
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getRawPath
     val method = ex.getRequestMethod
@@ -274,15 +355,27 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       case (_, "views", v, None) => v }
     val nsr = nsRoute(path)
     val (code, body): (Int, String) =
-      if (bearerToken.exists(t => !Option(ex.getRequestHeaders.getFirst("Authorization"))
-          .contains(s"Bearer $t")))
+      if (method == "POST" && path == "/v1/oauth/tokens")
+        oauthToken(readBody(ex)) // the bootstrap: unauthenticated by design
+      else if (!authorized(ex))
         err("not authorized", 401)
       else if (method == "POST" && obj.exists(o => o._2 == "tables" && o._4.nonEmpty)) {
         val (_, _, t, Some(which)) = obj.get
         if (!catalog.tableExists(t) || isViewEntry(t)) err(s"table $t not found", 404)
         else if (which == "preplan") preplanTableScan(t, readBody(ex))
         else if (which == "metrics") recordMetrics(t, readBody(ex))
+        else if (which.startsWith("plan/"))
+          err("POST is not supported on a plan id — GET polls, DELETE cancels", 405)
         else planTableScan(t, readBody(ex))
+      }
+      else if ((method == "GET" || method == "DELETE") &&
+          obj.exists(o => o._2 == "tables" && o._4.exists(_.startsWith("plan/")))) {
+        val (_, _, t, Some(sfx)) = obj.get
+        val id = sfx.stripPrefix("plan/")
+        if (!catalog.tableExists(t) || isViewEntry(t)) err(s"table $t not found", 404)
+        else if (method == "GET")
+          planStatus(t, id, ex.getRequestURI.getRawQuery)
+        else cancelPlan(t, id)
       }
       else if (method == "POST" && tableOf.nonEmpty) {
         val t = tableOf.get
@@ -303,6 +396,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         createView(nsr.get._1, readBody(ex))
       else if (method == "POST" && nsr.exists(_._2.contains("register")))
         registerTable(nsr.get._1, readBody(ex))
+      else if (method == "POST" && nsr.exists(_._2.contains("properties")))
+        withLocks(Seq(NsLock))(updateNamespaceProperties(nsr.get._1, readBody(ex)))
       else if (method == "POST" && path == nsRootPath)
         withLocks(Seq(NsLock))(createNamespace(readBody(ex)))
       else if (method == "POST" && path == s"/v1/$prefix/transactions/commit")
@@ -347,6 +442,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
               "GET /v1/{prefix}/namespaces/{namespace}",
               "HEAD /v1/{prefix}/namespaces/{namespace}",
               "DELETE /v1/{prefix}/namespaces/{namespace}",
+              "POST /v1/{prefix}/namespaces/{namespace}/properties",
+              "POST /v1/oauth/tokens",
               "GET /v1/{prefix}/namespaces/{namespace}/tables",
               "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}",
               "HEAD /v1/{prefix}/namespaces/{namespace}/tables/{table}",
@@ -357,7 +454,10 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
               "POST /v1/{prefix}/tables/rename",
               "POST /v1/{prefix}/views/rename",
               "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan",
+              "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
+              "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
               "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/preplan",
+              "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/metrics",
               "POST /v1/{prefix}/transactions/commit",
               "GET /v1/{prefix}/namespaces/{namespace}/views",
               "GET /v1/{prefix}/namespaces/{namespace}/views/{view}",
@@ -371,7 +471,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         val ns = nsr.get._1
         if (!nsExists(ns)) err(s"namespace ${ns.mkString(".")} not found", 404)
         else 200 -> JsonMethods.compact(JsonMethods.render(
-          ("namespace" -> ns) ~ ("properties" -> JObject(Nil))))
+          ("namespace" -> ns) ~ ("properties" -> propsJson(ns))))
       }
       else if (nsr.exists(_._2.contains("tables"))) {
         val ns = nsr.get._1
@@ -411,6 +511,17 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     val body =
       try cached(table, meta) {
         val jsonPath = IcebergExport.exportIcebergMetadata(catalog, table)
+        // storage-credential vending: when configured, every load carries
+        // the access configuration for the table's storage prefix (the
+        // spec's storage-credentials stanza, mirrored into config for
+        // clients that only read the io map) — a stock client needs no
+        // out-of-band storage setup
+        val credConfig: JValue =
+          JObject(storageCredentials.toList.sortBy(_._1)
+            .map { case (k, v) => k -> (JString(v): JValue) })
+        val creds: JValue =
+          if (storageCredentials.isEmpty) JNothing
+          else JArray(List(("prefix" -> meta.location) ~ ("config" -> credConfig)))
         // metadata-location is the exported *.metadata.json itself (spec
         // clients that honor it over the embedded copy must land on a
         // real file), and the whole response renders through json4s so
@@ -418,7 +529,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         JsonMethods.compact(JsonMethods.render(
           ("metadata-location" -> jsonPath) ~
             ("metadata" -> JsonMethods.parse(MetaIO.readString(jsonPath))) ~
-            ("config" -> JObject(Nil))))
+            ("config" -> credConfig) ~
+            ("storage-credentials" -> creds)))
       }
       catch {
         // v3 features the v2 wire cannot carry: refuse with the reason
@@ -895,54 +1007,171 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       }
     }
     val filterJ = req \ "filter"
-    val kept = meta.typedStruct match {
-      case Some(struct) =>
-        val expr = exprOf(filterJ,
-          meta.schema.map(f => f.name -> f.sparkType).toMap)
-          .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
-        val identityCols = meta.partitionSpec.filter(_.isIdentity).map(_.column).toSet
-        val bucketFields = meta.partitionSpec.filter(p => p.isBucket || p.isTruncate)
-        tasks.filter(t => graft.exec.ZonePrune.mayMatch(expr, t, struct,
-          identityCols, "UTC", bucketFields, meta.statsRetiredNames))
-      case None => tasks // legacy untyped: no pruning, keep everything
+    // ---- async arm: an UNSHARDED ad-hoc plan over a big snapshot never
+    // renders inline — at 10^5-10^6 files one response runs to hundreds
+    // of MB and pins a dispatch thread for its whole render. The server
+    // answers the spec's `submitted` + plan-id; the client polls
+    // GET .../plan/{plan-id} and PAGES the completed result
+    // (`pageToken`), or cancels with DELETE. preplan shard tokens stay
+    // synchronous (each shard is bounded by construction).
+    val isAdHoc = (req \ "plan-task") match {
+      case JNothing | JNull => true; case _ => false
     }
-    // delete files render ONCE, shared by reference (spec encoding)
+    if (isAdHoc && tasks.size > IcebergRestServe.AsyncPlanThreshold)
+      return submitAsyncPlan(table, meta, snap, tasks, filterJ)
+    val kept = pruneTasks(meta, tasks, filterJ)
     val byKey = snap.manifest.filter(_.content != FileContent.Data)
       .map(e => e.resolutionKey -> e).toMap
+    200 -> JsonMethods.compact(JsonMethods.render(
+      (("plan-status" -> "completed"): JObject) ~
+        renderScanTasks(kept, byKey, filterJ)))
+  }
+
+  /** Prunes plan tasks with the request filter (polarity-aware
+    * translation + zone/partition pruning) — shared by the synchronous
+    * and async plan arms. */
+  private def pruneTasks(meta: TableMetadata, tasks: Seq[FileEntry],
+      filterJ: JValue): Seq[FileEntry] = meta.typedStruct match {
+    case Some(struct) =>
+      val expr = exprOf(filterJ,
+        meta.schema.map(f => f.name -> f.sparkType).toMap)
+        .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+      val identityCols = meta.partitionSpec.filter(_.isIdentity).map(_.column).toSet
+      val bucketFields = meta.partitionSpec.filter(p => p.isBucket || p.isTruncate)
+      tasks.filter(t => graft.exec.ZonePrune.mayMatch(expr, t, struct,
+        identityCols, "UTC", bucketFields, meta.statsRetiredNames))
+    case None => tasks // legacy untyped: no pruning, keep everything
+  }
+
+  private def contentFileJson(e: FileEntry): JValue =
+    ("content" -> (e.content match {
+      case FileContent.Data => "data"
+      case FileContent.PositionDeletes => "position-deletes"
+      case FileContent.EqualityDeletes => "equality-deletes"
+    })) ~
+      ("file-path" -> e.path) ~
+      ("file-format" -> (if (e.isDeletionVector) "puffin" else "parquet")) ~
+      ("record-count" -> e.recordCount) ~
+      ("file-size-in-bytes" -> e.length) ~
+      ("sequence-number" -> e.sequenceNumber) ~
+      ("spec-id" -> e.specId) ~
+      ("partition" -> JObject(e.partitionValues.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) })) ~
+      ("equality-ids" ->
+        (if (e.equalityFieldIds.isEmpty) JNothing else JArray(
+          e.equalityFieldIds.toList.map(i => JInt(BigInt(i)))))) ~
+      ("referenced-data-file" -> e.referencedDataFile.fold[JValue](JNothing)(JString(_))) ~
+      ("content-offset" -> e.contentOffset.fold[JValue](JNothing)(o => JInt(BigInt(o)))) ~
+      ("content-size-in-bytes" ->
+        e.contentSizeInBytes.fold[JValue](JNothing)(o => JInt(BigInt(o))))
+
+  /** Renders one PAGE of kept tasks with its own `delete-files` list —
+    * references are page-local indices (the spec's reference encoding),
+    * so every page is self-contained. */
+  private def renderScanTasks(kept: Seq[FileEntry],
+      byKey: Map[String, FileEntry], filterJ: JValue): JObject = {
     val deleteKeys = kept.flatMap(_.deletes).distinct
     val deleteIdx = deleteKeys.zipWithIndex.toMap
-    def contentFile(e: FileEntry): JValue =
-      ("content" -> (e.content match {
-        case FileContent.Data => "data"
-        case FileContent.PositionDeletes => "position-deletes"
-        case FileContent.EqualityDeletes => "equality-deletes"
-      })) ~
-        ("file-path" -> e.path) ~
-        ("file-format" -> (if (e.isDeletionVector) "puffin" else "parquet")) ~
-        ("record-count" -> e.recordCount) ~
-        ("file-size-in-bytes" -> e.length) ~
-        ("sequence-number" -> e.sequenceNumber) ~
-        ("spec-id" -> e.specId) ~
-        ("partition" -> JObject(e.partitionValues.toList.sortBy(_._1)
-          .map { case (k, v) => k -> (JString(v): JValue) })) ~
-        ("equality-ids" ->
-          (if (e.equalityFieldIds.isEmpty) JNothing else JArray(
-            e.equalityFieldIds.toList.map(i => JInt(BigInt(i)))))) ~
-        ("referenced-data-file" -> e.referencedDataFile.fold[JValue](JNothing)(JString(_))) ~
-        ("content-offset" -> e.contentOffset.fold[JValue](JNothing)(o => JInt(BigInt(o)))) ~
-        ("content-size-in-bytes" ->
-          e.contentSizeInBytes.fold[JValue](JNothing)(o => JInt(BigInt(o))))
     val taskJ = kept.map { t =>
-      ("data-file" -> contentFile(t)) ~
+      ("data-file" -> contentFileJson(t)) ~
         ("delete-file-references" ->
           (if (t.deletes.isEmpty) JNothing
            else JArray(t.deletes.map(k => JInt(BigInt(deleteIdx(k)))).toList))) ~
         ("residual-filter" -> filterJ)
     }
+    ("file-scan-tasks" -> taskJ) ~
+      ("delete-files" -> deleteKeys.map(k => contentFileJson(byKey(k))))
+  }
+
+  /** One async plan: status transitions under the object's own monitor
+    * (submitted -> completed|failed by the worker, -> cancelled by
+    * DELETE, which always wins). */
+  private final class AsyncPlan(val table: String, val seq: Long,
+      val filterJ: JValue) {
+    var status: String = "submitted"
+    var error: String = ""
+    @volatile var kept: Seq[FileEntry] = Nil
+    @volatile var byKey: Map[String, FileEntry] = Map.empty
+  }
+  private val asyncPlans =
+    new java.util.concurrent.ConcurrentHashMap[String, AsyncPlan]()
+  private val asyncPlanSeq = new java.util.concurrent.atomic.AtomicLong()
+  /** Plan computations run off the dispatch pool, so polls/reads stay
+    * responsive while a million-file prune grinds. */
+  private val planPool = java.util.concurrent.Executors.newFixedThreadPool(2)
+
+  private def submitAsyncPlan(table: String, meta: TableMetadata, snap: Snapshot,
+      tasks: Seq[FileEntry], filterJ: JValue): (Int, String) = {
+    val id = java.util.UUID.randomUUID().toString
+    val plan = new AsyncPlan(table, asyncPlanSeq.incrementAndGet(), filterJ)
+    asyncPlans.put(id, plan)
+    // bound the registry: oldest evict beyond the cap (completed results
+    // hold kept-task lists — the cap is the memory bound)
+    import scala.jdk.CollectionConverters._
+    while (asyncPlans.size > IcebergRestServe.MaxAsyncPlans)
+      asyncPlans.entrySet.asScala.minByOption(_.getValue.seq)
+        .foreach(e => asyncPlans.remove(e.getKey))
+    planPool.submit(new Runnable {
+      def run(): Unit =
+        try {
+          val kept = pruneTasks(meta, tasks, filterJ)
+          plan.byKey = snap.manifest.filter(_.content != FileContent.Data)
+            .map(e => e.resolutionKey -> e).toMap
+          plan.kept = kept
+          plan.synchronized {
+            if (plan.status == "submitted") plan.status = "completed"
+          }
+        } catch {
+          case e: Exception => plan.synchronized {
+            plan.error = Option(e.getMessage).getOrElse(e.toString)
+            if (plan.status == "submitted") plan.status = "failed"
+          }
+        }
+    })
     200 -> JsonMethods.compact(JsonMethods.render(
-      ("plan-status" -> "completed") ~
-        ("file-scan-tasks" -> taskJ) ~
-        ("delete-files" -> deleteKeys.map(k => contentFile(byKey(k))))))
+      ("plan-status" -> "submitted") ~ ("plan-id" -> id)))
+  }
+
+  /** `GET .../tables/{t}/plan/{plan-id}[?pageToken=N]`: the spec's
+    * FetchPlanningResult — submitted/cancelled/failed pass through;
+    * completed answers ONE page of file-scan-tasks (with its own
+    * delete-files) and a `next-page-token` while more remain. */
+  private def planStatus(table: String, id: String, rawQuery: String): (Int, String) = {
+    val p = asyncPlans.get(id)
+    if (p == null || p.table != table)
+      return err(s"no plan $id for table $table", 404)
+    p.synchronized(p.status) match {
+      case "submitted" => 200 -> JsonMethods.compact(JsonMethods.render(
+        (("plan-status" -> "submitted"): JObject)))
+      case "cancelled" => 200 -> JsonMethods.compact(JsonMethods.render(
+        (("plan-status" -> "cancelled"): JObject)))
+      case "failed" => 200 -> JsonMethods.compact(JsonMethods.render(
+        ("plan-status" -> "failed") ~ ("error" -> p.error)))
+      case _ =>
+        val off = Option(rawQuery).toSeq.flatMap(_.split("&").toSeq)
+          .flatMap(_.split("=", 2) match {
+            case Array("pageToken", v) => urlDecode(v).toIntOption; case _ => None
+          }).headOption.getOrElse(0).max(0)
+        val page = p.kept.slice(off, off + IcebergRestServe.PlanPageSize)
+        val base: JObject = (("plan-status" -> "completed"): JObject) ~
+          renderScanTasks(page, p.byKey, p.filterJ)
+        val next = off + IcebergRestServe.PlanPageSize
+        val full: JObject =
+          if (next < p.kept.size) base ~ ("next-page-token" -> next.toString)
+          else base
+        200 -> JsonMethods.compact(JsonMethods.render(full))
+    }
+  }
+
+  /** `DELETE .../tables/{t}/plan/{plan-id}`: cancellation — always wins
+    * (a worker completing concurrently cannot resurrect the plan), and a
+    * cancelled plan's results are never served. Idempotent. */
+  private def cancelPlan(table: String, id: String): (Int, String) = {
+    val p = asyncPlans.get(id)
+    if (p == null || p.table != table)
+      return err(s"no plan $id for table $table", 404)
+    p.synchronized { p.status = "cancelled"; p.kept = Nil; p.byKey = Map.empty }
+    204 -> ""
   }
 
   /** The spec expression JSON (a bound scan filter) to a Catalyst
@@ -1097,6 +1326,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     if (createdNs.asScala.exists(n => n.length > ns.length && n.startsWith(ns)))
       return err(s"namespace ${ns.mkString(".")} has child namespaces", 409)
     createdNs.remove(ns)
+    nsProps.remove(ns)
     204 -> ""
   }
 
@@ -1152,29 +1382,78 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     }
   }
 
+  private def propsJson(ns: Seq[String]): JValue =
+    JObject(Option(nsProps.get(ns)).getOrElse(Map.empty).toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JString(v): JValue) })
+
   /** `POST .../namespaces`: creates a CHILD namespace under the root
     * (the root itself answers the spec's AlreadyExists; namespaces not
-    * rooted here are refused honestly). */
-  private def createNamespace(body: String): (Int, String) =
-    (JsonMethods.parse(body) \ "namespace") match {
+    * rooted here are refused honestly). The request's `properties` are
+    * stored and served on GET. */
+  private def createNamespace(body: String): (Int, String) = {
+    val req = JsonMethods.parse(body)
+    (req \ "namespace") match {
       case JArray(xs) if xs.nonEmpty && xs.forall(_.isInstanceOf[JString]) =>
         val ns = xs.map(_.asInstanceOf[JString].s)
+        val props = (req \ "properties") match {
+          case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty[String, String]
+        }
         if (!ns.headOption.contains(namespace))
           err(s"namespaces here are rooted at '$namespace': cannot create " +
             ns.mkString("."), 400)
         else if (ns.exists(s => !safeName(s)))
           err(s"invalid namespace segment in ${ns.mkString(".")} " +
             "('.', '/', '\\' and separator characters are not allowed)", 400)
+        else if (props.keys.exists(_.startsWith("graft.")))
+          err(s"namespace property ${props.keys.find(_.startsWith("graft.")).get} " +
+            "is reserved", 400)
         else if (nsExists(ns)) err(s"namespace ${ns.mkString(".")} already exists", 409)
         else if (ns.length > 1 && !nsExists(ns.dropRight(1)))
           err(s"parent namespace ${ns.dropRight(1).mkString(".")} does not exist", 404)
         else {
           createdNs.add(ns)
+          if (props.nonEmpty) nsProps.put(ns, props)
           200 -> JsonMethods.compact(JsonMethods.render(
-            ("namespace" -> ns) ~ ("properties" -> JObject(Nil))))
+            ("namespace" -> ns) ~ ("properties" -> propsJson(ns))))
         }
       case other => err(s"bad CreateNamespaceRequest: $other", 400)
     }
+  }
+
+  /** `POST .../namespaces/{ns}/properties` (the spec
+    * UpdateNamespacePropertiesRequest): apply `updates`, drop
+    * `removals`, answer the spec's updated/removed/missing triple. A key
+    * in BOTH lists is a client error; reserved `graft.` keys refuse like
+    * table properties. */
+  private def updateNamespaceProperties(ns: Seq[String], body: String): (Int, String) = {
+    if (!nsExists(ns)) return err(s"namespace ${ns.mkString(".")} not found", 404)
+    val req =
+      try JsonMethods.parse(body)
+      catch { case e: Exception =>
+        return err(s"bad UpdateNamespacePropertiesRequest: ${e.getMessage}", 400) }
+    val removals: Seq[String] = (req \ "removals") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case JNothing | JNull => Nil
+      case o => return err(s"bad removals: $o", 400)
+    }
+    val updates: Map[String, String] = (req \ "updates") match {
+      case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+      case JNothing | JNull => Map.empty
+      case o => return err(s"bad updates: $o", 400)
+    }
+    removals.toSet.intersect(updates.keySet).headOption.foreach(k =>
+      return err(s"property $k appears in both updates and removals", 400))
+    (removals ++ updates.keys).find(k => k.isEmpty || k.startsWith("graft."))
+      .foreach(k => return err(
+        if (k.isEmpty) "empty property key" else s"property $k is reserved", 400))
+    val cur = Option(nsProps.get(ns)).getOrElse(Map.empty)
+    val (removed, missing) = removals.distinct.partition(cur.contains)
+    nsProps.put(ns, cur -- removals ++ updates)
+    200 -> JsonMethods.compact(JsonMethods.render(
+      ("updated" -> updates.keys.toList.sorted) ~
+        ("removed" -> removed.toList) ~ ("missing" -> missing.toList)))
+  }
 
   /** `POST .../tables/{t}`: the spec CommitTableRequest. Validation —
     * including the real I/O (manifest-list decode, parquet footer checks,

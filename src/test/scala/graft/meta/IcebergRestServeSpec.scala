@@ -1328,11 +1328,23 @@ class IcebergRestServeSpec extends AnyFunSuite {
       val all = planTasks.map(shardFiles(_, ""))
       assert(all.map(_.size).sum == 2500 && all.forall(_.size <= 1000))
       assert(all.flatten.distinct.size == 2500, "shards must be disjoint")
-      // with a filter: the sharded union equals the unsharded answer
+      // with a filter: the sharded union equals the unsharded answer.
+      // An unsharded ad-hoc plan over 2500 files goes ASYNC (round 10):
+      // submitted + plan-id, polled to completion, fetched paged
       val f = """, "filter": {"type": "lt", "term": "id", "value": 100}"""
       val unsharded = {
-        val j = JsonMethods.parse(post("/v1/p/namespaces/wh/tables/big/plan",
+        val sub = JsonMethods.parse(post("/v1/p/namespaces/wh/tables/big/plan",
           s"""{"snapshot-id": 1$f}""").body())
+        assert((sub \ "plan-status") == JString("submitted"), sub)
+        val pid = (sub \ "plan-id").asInstanceOf[JString].s
+        var j: JValue = JNothing
+        var polls = 0
+        while ({
+          j = JsonMethods.parse(get(
+            s"${srv.uri}/v1/p/namespaces/wh/tables/big/plan/$pid").body())
+          (j \ "plan-status") == JString("submitted")
+        }) { polls += 1; assert(polls < 200, "plan never completed"); Thread.sleep(25) }
+        assert((j \ "plan-status") == JString("completed"), j)
         (j \ "file-scan-tasks").asInstanceOf[JArray].arr
           .map(t => (t \ "data-file" \ "file-path").asInstanceOf[JString].s)
       }
