@@ -181,25 +181,68 @@ object Dedup {
     val bandRows = docs.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "bh")))
 
-    // within-batch: bucket join -> gated verify -> components -> min id
-    val pairs = lshCandidatePairs(bandRows, maxBucketSize).localCheckpoint(true)
+    // within-batch: bucket histogram -> capped bucket join -> gated
+    // verify -> components -> min id. ONE aggregation powers BOTH the
+    // hot-bucket cap and the broadcast gate: the sum of C(n,2) over
+    // under-cap buckets bounds the candidate count from above, so the
+    // candidate set is never materialized just to count it (the
+    // pre-round-10 pairs.count() was a full extra materialization per
+    // batch, forever).
+    val bandCounts = bandRows.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__n")).localCheckpoint(true)
+    val hot = bandCounts.filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("bh"))
+    val hotGated = if (hot.count() <= MaxBroadcastHotKeys) broadcast(hot) else hot
+    val sized = bandRows.join(hotGated, Seq("band", "bh"), "left_anti")
+      .select(col("id"), col("band"), col("bh"))
+    val pairBound = bandCounts.filter(col("__n") <= maxBucketSize)
+      .agg(coalesce(sum((col("__n") * (col("__n") - lit(1)) / lit(2)).cast("long")),
+        lit(0L)).as("__b")).head.getLong(0)
+    // distinct() stays: a pair surfaces from up to k/rowsPerBand bands,
+    // and every duplicate would drag the WIDE gset arrays through the
+    // verify join once more — the dedup exchange on two id columns is
+    // far cheaper than 4x the verify volume
+    val pairs = sized.select(col("band"), col("bh"), col("id").as("id1"))
+      .join(sized.select(col("band"), col("bh"), col("id").as("id2")),
+        Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
     val sets = docs.select(col("id"), col("gset"))
+    val broadcastable = pairBound <= maxBroadcastCandidates
     val dupPairs =
-      if (pairs.count() <= maxBroadcastCandidates) verifyJaccardSets(pairs, sets, threshold)
+      if (broadcastable) verifyJaccardSets(pairs, sets, threshold)
       else verifyJaccardSetsShuffled(pairs, sets, threshold)
-    // star CC, not min-label: a production near-dup batch can chain long
-    // paths through boilerplate (diameter-bound propagation would need one
-    // round per hop); star rounds converge in O(log^2 n) regardless
-    val dominated = clusterPairsStar(dupPairs)
-      .filter(col("cluster_id") =!= col("id")).select(col("id"))
-    val keepers = docs.join(dominated, Seq("id"), "left_anti")
+    // components of the verified near-dup graph. The broadcast-gated path
+    // ships the candidate pairs through the driver ANYWAY (a broadcast
+    // build IS a driver collect), so for numeric ids the components run
+    // there too: a union-find over <= maxBroadcastCandidates edges
+    // replaces ~20 scheduler round trips of iterative star rounds — per
+    // micro-batch, forever. Over-gate volumes and non-numeric id types
+    // (where a driver ordering could diverge from Spark's) keep the
+    // distributed star CC; both produce the identical dominated set
+    // (every id except its component's minimum).
+    val numericIds = docs.schema("id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val dominated: DataFrame =
+      if (broadcastable && numericIds)
+        // bounded by the gate (<= maxBroadcastCandidates ids): broadcast
+        broadcast(driverDominatedIds(spark, dupPairs, docs.schema("id")))
+      else clusterPairsStar(dupPairs)
+        .filter(col("cluster_id") =!= col("id")).select(col("id"))
+    val keepers0 = docs.join(dominated, Seq("id"), "left_anti")
 
     // cross-run: keeper bands vs the index's bands (REPLAY guard: this
     // batch's own prior commit must not match itself)
     val exists = catalog.tableExists(indexTable)
     val survivors = {
-      if (!exists) keepers
+      if (!exists) keepers0
       else {
+        // keepers feed THREE joins in the cross-run arm (band candidates,
+        // the gset verify, the final anti join): materialize once —
+        // DataFrame subtrees get no common-subexpression reuse, so the
+        // lazy form recomputes the dedup anti-join per consumer. The
+        // first-batch path keeps the lazy form (single consumer).
+        val keepers = keepers0.localCheckpoint(true)
         val idx = graft.meta.IceRead.table(spark, catalog, indexTable)
           .filter(col("batch_id") =!= batchId)
         // the index side gets the SAME hot-bucket cap as the within-batch
@@ -229,12 +272,76 @@ object Dedup {
       .select(col("id"), lit(batchId).as("batch_id"), col("bands"), col("gset"))
       .localCheckpoint(true)
     if (!exists) graft.meta.IceWrite.create(spark, catalog, indexTable, fresh)
-    else if (!fresh.isEmpty)
-      graft.meta.IceWrite.upsert(spark, catalog, indexTable, fresh, keys = Seq("id"))
+    else if (!fresh.isEmpty) {
+      // survivors are first-seen ids in the common case — a plain APPEND
+      // commits them without the upsert's equality-delete sidecar, which
+      // every later read of the index would anti-join against, per batch,
+      // forever. The cheap id-collision probe (fresh is checkpointed and
+      // small; the index side prunes to its id column) keeps the keyed-
+      // by-id contract: a replayed or id-reusing batch falls back to the
+      // idempotent MOR upsert exactly as before.
+      val collides = !fresh.join(
+        graft.meta.IceRead.table(spark, catalog, indexTable).select(col("id")),
+        Seq("id"), "left_semi").isEmpty
+      if (collides)
+        graft.meta.IceWrite.upsert(spark, catalog, indexTable, fresh, keys = Seq("id"))
+      else
+        graft.meta.IceWrite.append(spark, catalog, indexTable, fresh)
+    }
     val mine = graft.meta.IceRead.table(spark, catalog, indexTable)
       .filter(col("batch_id") === batchId)
       .select(col("id").as(idCol))
     b.join(mine, Seq(idCol), "left_semi")
+  }
+
+  /** Driver-side dominated-id computation for a BROADCAST-GATED verified
+    * pair set: union-find with min-as-root (numeric natural ordering ==
+    * Spark's ordering for numeric types), returning every id that is NOT
+    * its component's minimum — exactly [[clusterPairsStar]]'s
+    * `cluster_id =!= id` set, without the per-round scheduler trips. The
+    * caller guarantees the pair count is broadcast-bounded, so the
+    * collect is the same data volume a broadcast build would ship. */
+  private def driverDominatedIds(spark: org.apache.spark.sql.SparkSession,
+      dupPairs: DataFrame,
+      idField: org.apache.spark.sql.types.StructField): DataFrame = {
+    val edges = dupPairs.select(col("id1"), col("id2")).collect()
+    def num(a: Any): Double = a.asInstanceOf[Number].doubleValue()
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      // exact comparisons for the integral types (doubleValue would lose
+      // precision past 2^53); everything else numeric compares as double
+      case (x: java.lang.Long, y: java.lang.Long) => x < y
+      case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+      case (x: java.lang.Short, y: java.lang.Short) => x < y
+      case (x: java.lang.Byte, y: java.lang.Byte) => x < y
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
+      case _ => num(a) < num(b)
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val n = parent.get(c); parent.put(c, r); c = n
+      }
+      r
+    }
+    edges.foreach { row =>
+      val (a, b) = (find(row.get(0)), find(row.get(1)))
+      if (a != b) {
+        // min becomes the root, so the final root IS the component min
+        if (lt(a, b)) parent.put(b, a) else parent.put(a, b)
+      }
+      // seed singletons so iteration below sees every touched id
+      parent.putIfAbsent(row.get(0), find(row.get(0)))
+      parent.putIfAbsent(row.get(1), find(row.get(1)))
+    }
+    import scala.jdk.CollectionConverters._
+    val dominated: Seq[org.apache.spark.sql.Row] = parent.keySet.asScala.toSeq
+      .filter(k => find(k) != k)
+      .map(org.apache.spark.sql.Row(_))
+    spark.createDataFrame(dominated.asJava,
+      org.apache.spark.sql.types.StructType(Seq(idField.copy(name = "id"))))
   }
 
   /** foreachBatch sink producing a continuously-DEDUPED table: each
@@ -882,6 +989,7 @@ object Dedup {
     var edges = pairs
       .select(greatest(col("id1"), col("id2")).as("u"), least(col("id1"), col("id2")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var edgeCount = edges.count()
     var rounds = 0
     var done = false
     while (!done && rounds < maxIter) {
@@ -904,13 +1012,18 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       val next = attach.unionAll(minsS.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint(true)
-      done = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // fixpoint check at HALF the jobs of the naive two-way exceptAll:
+      // both frames are distinct sets, so equal cardinality plus one-way
+      // containment IS equality; the old set's count is carried from the
+      // previous round instead of recomputed
+      val nextCount = next.count()
+      done = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       // the fixpoint check was the last reader of the old edge set —
       // release its blocks before the next round (Blocks.release: the
       // same hygiene as kCore's peel loop)
       graft.util.Blocks.release(edges)
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     require(done, s"clusterPairsStar did not converge in $maxIter rounds")
