@@ -52,7 +52,7 @@ object PlanAudit {
         "q_prune_scan","q_meta_count","q_dpp_star",
         "q_truncate_prune","q_sql_spec_evolve","q_meta_group","q_wap_sql",
         "q_ndv_stats","q_v3_attach","q_meta_partitions","q_theta_sql",
-        "q_view_sql","q_rest_create","q_rest_replace")) {
+        "q_view_sql","q_rest_create","q_rest_replace","q_plan_under_commit")) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
       // materialize THIS df (count() would execute a different plan):
       // AQE final plans + codegen stages exist only post-execution

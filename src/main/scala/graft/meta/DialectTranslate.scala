@@ -50,6 +50,11 @@ object DialectTranslate {
     // math
     "abs", "ceil", "ceiling", "floor", "round", "sqrt", "exp", "ln",
     "log10", "log2", "power", "pow", "mod", "sign", "greatest", "least",
+    // trig / constants / binning — identical IEEE semantics everywhere;
+    // note log(b, x) is log base b in BOTH Trino and Spark
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2",
+    "sinh", "cosh", "tanh", "cbrt", "degrees", "radians", "pi", "e",
+    "log", "width_bucket",
     // null handling / conditionals
     "coalesce", "nullif", "if",
     // strings
@@ -62,13 +67,15 @@ object DialectTranslate {
     // timestamp in Spark, to_unixtime has no Spark twin — all refuse
     "year", "month", "day", "hour", "minute", "second", "quarter",
     "now", "current_date", "current_timestamp",
-    // aggregates
+    // aggregates — approx_distinct deliberately ABSENT: both engines are
+    // HLL-based but different implementations answer different values
     "count", "sum", "min", "max", "avg", "stddev", "stddev_pop",
     "stddev_samp", "variance", "var_pop", "var_samp", "count_if",
     "bool_and", "bool_or", "corr", "covar_pop", "covar_samp",
+    "min_by", "max_by",
     // windows
     "row_number", "rank", "dense_rank", "ntile", "lag", "lead",
-    "first_value", "last_value", "nth_value",
+    "first_value", "last_value", "nth_value", "cume_dist", "percent_rank",
     // misc
     "cardinality", "cast", "try_cast", "extract")
 

@@ -26,13 +26,23 @@ object IcebergRestImport {
   private val http = HttpClient.newHttpClient()
 
   private def get(uri: String, authToken: Option[String]): String = {
+    // advertise gzip: plan pages / big bodies ship ~10x smaller; servers
+    // that ignore the header answer plain and the decode below is a no-op
     val b = HttpRequest.newBuilder(URI.create(uri)).GET()
       .header("Accept", "application/json")
+      .header("Accept-Encoding", "gzip")
     authToken.foreach(t => b.header("Authorization", s"Bearer $t"))
-    val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    val body =
+      if (resp.headers().firstValue("Content-Encoding").orElse("")
+          .toLowerCase(java.util.Locale.ROOT).contains("gzip"))
+        new String(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(resp.body())).readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else new String(resp.body(), java.nio.charset.StandardCharsets.UTF_8)
     require(resp.statusCode() == 200,
-      s"Iceberg REST GET $uri failed: HTTP ${resp.statusCode()} ${resp.body().take(300)}")
-    resp.body()
+      s"Iceberg REST GET $uri failed: HTTP ${resp.statusCode()} ${body.take(300)}")
+    body
   }
 
   /** The spec client's OAuth2 bootstrap: trade (client_id, client_secret)

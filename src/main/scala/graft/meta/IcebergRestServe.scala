@@ -135,7 +135,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   /** Drops every cached body for catalog entry `name` — on DELETE,
     * register, and create, so a recurring (uuid, version) from a
     * re-registered source can never serve a prior incarnation's body. */
-  private def purge(name: String): Unit = cache.keySet.removeIf(_._1 == name)
+  private def purge(name: String): Unit = cache.keySet.removeIf(k =>
+    k._1 == name || k._1 == name + "\u001flocation-only")
 
   /** Tables STAGED by `stage-create=true` (the spec CTAS handshake),
     * keyed by name: parsed + validated metadata with uuid and location
@@ -180,8 +181,22 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private val NsLock = "\u0000namespaces"
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val plain = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")
+    // big-metadata serving: LoadTableResult bodies at 10^5-10^6 tracked
+    // files run to hundreds of MB of JSON — when the client advertises
+    // gzip, ship it compressed (~10x on manifest JSON). Small bodies
+    // skip the CPU.
+    val gzipOk = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase(java.util.Locale.ROOT).contains("gzip"))
+    val bytes =
+      if (gzipOk && plain.length >= 4096) {
+        val bos = new java.io.ByteArrayOutputStream(plain.length / 4)
+        scala.util.Using.resource(
+          new java.util.zip.GZIPOutputStream(bos))(_.write(plain))
+        ex.getResponseHeaders.add("Content-Encoding", "gzip")
+        bos.toByteArray
+      } else plain
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     ex.close()
@@ -496,7 +511,9 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           if (!catalog.tableExists(table)) err(s"table $table not found", 404)
           else if (isViewEntry(table))
             err(s"$table is a view — load it from the views route", 404)
-          else loadTableResult(table)
+          else loadTableResult(table, locationOnly =
+            Option(ex.getRequestURI.getRawQuery)
+              .exists(_.split("&").contains("metadata-location-only=true")))
         case None => err(s"no such route: $path", 404)
       }
     respond(ex, code, body)
@@ -506,7 +523,30 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       respond(ex, code, body)
   }
 
-  private def loadTableResult(table: String): (Int, String) = {
+  /** `locationOnly` (opt-in extension, `?metadata-location-only=true`):
+    * answers metadata-location + vended config WITHOUT the embedded
+    * metadata document — at 10^5-10^6 tracked files the embedded JSON is
+    * hundreds of MB per load, and a reader fleet that fetches the
+    * metadata file from shared storage (once, cached) doesn't need it on
+    * every catalog round trip. The export still runs (the location must
+    * name a real file) and is cached per version like the full body. */
+  private def loadTableResult(table: String,
+      locationOnly: Boolean = false): (Int, String) = {
+    if (locationOnly) {
+      val meta = catalog.loadTable(table)
+      val body =
+        // the U+001F separator cannot appear in a safeName'd entry, so
+          // this synthetic cache key can never collide with a real table
+          try cached(table + "\u001flocation-only", meta) {
+          val jsonPath = IcebergExport.exportIcebergMetadata(catalog, table)
+          JsonMethods.compact(JsonMethods.render(
+            ("metadata-location" -> jsonPath) ~
+              ("config" -> JObject(storageCredentials.toList.sortBy(_._1)
+                .map { case (k, v) => k -> (JString(v): JValue) }))))
+        }
+        catch { case e: IllegalArgumentException => return err(e.getMessage, 409) }
+      return 200 -> body
+    }
     val meta = catalog.loadTable(table)
     val body =
       try cached(table, meta) {

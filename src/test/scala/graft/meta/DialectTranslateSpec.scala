@@ -63,6 +63,31 @@ class DialectTranslateSpec extends AnyFunSuite {
       .contains("SELECT max(x) AS m FROM (SELECT k AS varchar, x FROM u) w"))
   }
 
+  test("round-10 widened tier: trig/constants/binning/min_by/window ranks translate and run") {
+    val spark = graft.SparkTestBase.spark
+    // pass-through names whose semantics are identical in Trino and
+    // Spark; each translated form must also EXECUTE in Spark
+    val widened = Seq(
+      "SELECT sin(1.0), cos(1.0), tan(0.5), asin(0.5), acos(0.5), atan(0.5)",
+      "SELECT atan2(1.0, 2.0), sinh(1.0), cosh(1.0), tanh(1.0), cbrt(27.0)",
+      "SELECT degrees(pi()), radians(180.0), e(), log(2, 8), width_bucket(5.3, 0.0, 10.0, 5)")
+    widened.foreach { sql =>
+      val out = t(sql)
+      assert(out.contains(sql), s"$sql must pass through unchanged: $out")
+      spark.sql(out.get).collect() // the Spark side genuinely has them
+    }
+    assert(t("SELECT min_by(a, b), max_by(a, b) FROM t") ==
+      Some("SELECT min_by(a, b), max_by(a, b) FROM t"))
+    assert(t("SELECT cume_dist() OVER (ORDER BY a), percent_rank() OVER (ORDER BY a) FROM t") ==
+      Some("SELECT cume_dist() OVER (ORDER BY a), percent_rank() OVER (ORDER BY a) FROM t"))
+    // still-refused traps stay refused: approximate aggregates answer
+    // different values per implementation; date/time frames diverge
+    assert(t("SELECT approx_distinct(x) FROM t").isEmpty)
+    assert(t("SELECT format_datetime(ts, 'yyyy') FROM t").isEmpty)
+    assert(t("SELECT from_iso8601_timestamp(s) FROM t").isEmpty)
+    assert(t("SELECT date_trunc('month', d) FROM t").isEmpty)
+  }
+
   test("the existing safe subset still translates") {
     assert(t("""SELECT "g", sum("k") AS total FROM t WHERE "k" BETWEEN 2 AND 11 GROUP BY "g"""") ==
       Some("SELECT `g`, sum(`k`) AS total FROM t WHERE `k` BETWEEN 2 AND 11 GROUP BY `g`"))
