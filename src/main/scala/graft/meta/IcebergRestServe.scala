@@ -75,9 +75,14 @@ object IcebergRestServe {
   /** file-scan-tasks per fetched page of a completed async plan. */
   val PlanPageSize: Int = 1000
 
-  /** Async plans retained (oldest evict) — the memory bound on kept-task
-    * lists held for paging. */
+  /** Async plans retained (oldest evict). */
   val MaxAsyncPlans: Int = 64
+
+  /** TOTAL kept tasks retained across all async plans — the real memory
+    * bound: 64 plans that each kept a 10^6-file snapshot would otherwise
+    * pin ~10 GB of FileEntry lists for paging. Oldest plans evict until
+    * the sum fits; a reader that polls an evicted plan re-submits. */
+  val MaxRetainedPlanTasks: Long = 2000000L
 }
 
 final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
@@ -1140,17 +1145,28 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * responsive while a million-file prune grinds. */
   private val planPool = java.util.concurrent.Executors.newFixedThreadPool(2)
 
+  /** Bounds the registry BOTH ways: plan count AND total retained kept
+    * tasks (the real memory bound — 64 plans each keeping a 10^6-file
+    * snapshot would pin ~10 GB for paging). Oldest evict first, never
+    * the sole survivor; a reader that polls an evicted plan 404s and
+    * re-submits. Called on submit and on completion. */
+  private def evictPlans(): Unit = {
+    import scala.jdk.CollectionConverters._
+    def retainedTasks: Long =
+      asyncPlans.values.asScala.iterator.map(_.kept.size.toLong).sum
+    while (asyncPlans.size > IcebergRestServe.MaxAsyncPlans ||
+        (asyncPlans.size > 1 &&
+          retainedTasks > IcebergRestServe.MaxRetainedPlanTasks))
+      asyncPlans.entrySet.asScala.minByOption(_.getValue.seq)
+        .foreach(e => asyncPlans.remove(e.getKey))
+  }
+
   private def submitAsyncPlan(table: String, meta: TableMetadata, snap: Snapshot,
       tasks: Seq[FileEntry], filterJ: JValue): (Int, String) = {
     val id = java.util.UUID.randomUUID().toString
     val plan = new AsyncPlan(table, asyncPlanSeq.incrementAndGet(), filterJ)
     asyncPlans.put(id, plan)
-    // bound the registry: oldest evict beyond the cap (completed results
-    // hold kept-task lists — the cap is the memory bound)
-    import scala.jdk.CollectionConverters._
-    while (asyncPlans.size > IcebergRestServe.MaxAsyncPlans)
-      asyncPlans.entrySet.asScala.minByOption(_.getValue.seq)
-        .foreach(e => asyncPlans.remove(e.getKey))
+    evictPlans()
     planPool.submit(new Runnable {
       def run(): Unit =
         try {
@@ -1161,6 +1177,10 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           plan.synchronized {
             if (plan.status == "submitted") plan.status = "completed"
           }
+          // the kept list just materialized — re-check the budget (a
+          // burst of big plans completing after their submits would
+          // otherwise exceed it with no submit left to trigger eviction)
+          evictPlans()
         } catch {
           case e: Exception => plan.synchronized {
             plan.error = Option(e.getMessage).getOrElse(e.toString)

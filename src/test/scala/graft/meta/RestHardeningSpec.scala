@@ -81,6 +81,83 @@ class RestHardeningSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("plan filter FUZZ: pruning is advisory, never wrong, under arbitrary polarity") {
+    val cat = freshCatalog()
+    // identity partitions (grp) x range-disjoint id files: both pruning
+    // arms (constEval over partition constants, zone maps) in play
+    val mk = (lo: Long, hi: Long) =>
+      (lo to hi).map(i => (i, s"g${i % 3}", s"n$i")).toDF("id", "grp", "name")
+    IceWrite.create(spark, cat, "t", mk(1L, 100L),
+      partitionSpec = Seq(PartitionField("grp")))
+    IceWrite.append(spark, cat, "t", mk(101L, 200L))
+    IceWrite.append(spark, cat, "t", mk(201L, 300L))
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      import org.apache.spark.sql.Column
+      val rnd = new scala.util.Random(20260816L)
+      // each generated node is (spec filter JSON, GROUND-TRUTH column) —
+      // untranslatable leaves still have real semantics for the truth side
+      def leaf(): (String, Column) = rnd.nextInt(6) match {
+        case 0 =>
+          val g = s"g${rnd.nextInt(3)}"
+          (s"""{"type": "eq", "term": "grp", "value": "$g"}""", col("grp") === g)
+        case 1 =>
+          val n = 1 + rnd.nextInt(300)
+          val (op, c) = Seq(
+            ("lt", col("id") < n), ("gt", col("id") > n),
+            ("lt-eq", col("id") <= n), ("gt-eq", col("id") >= n))(rnd.nextInt(4))
+          (s"""{"type": "$op", "term": "id", "value": $n}""", c)
+        case 2 =>
+          val vs = Seq.fill(3)(1L + rnd.nextInt(300))
+          (s"""{"type": "in", "term": "id", "values": [${vs.mkString(",")}]}""",
+            col("id").isin(vs: _*))
+        case 3 => ("""{"type": "not-null", "term": "grp"}""", col("grp").isNotNull)
+        // UNTRANSLATABLE shapes with real row semantics the server never
+        // sees — the polarity machinery must keep every matching file
+        case 4 => ("""{"type": "st-unknown", "term": "id"}""", col("id") % 7 === 0)
+        case _ => ("""{"type": "st-mystery", "term": "grp"}""", col("id") % 5 === 1)
+      }
+      def gen(depth: Int): (String, Column) =
+        if (depth <= 0) leaf()
+        else rnd.nextInt(4) match {
+          case 0 => val (lj, lc) = gen(depth - 1); val (rj, rc) = gen(depth - 1)
+            (s"""{"type": "and", "left": $lj, "right": $rj}""", lc && rc)
+          case 1 => val (lj, lc) = gen(depth - 1); val (rj, rc) = gen(depth - 1)
+            (s"""{"type": "or", "left": $lj, "right": $rj}""", lc || rc)
+          case 2 => val (cj, cc) = gen(depth - 1)
+            (s"""{"type": "not", "child": $cj}""", !cc)
+          case _ => leaf()
+        }
+      val filters = Seq.fill(60)(gen(2 + rnd.nextInt(2)))
+
+      // ground truth in ONE pass: per data file, does ANY row match each
+      // filter (null-safe: a null predicate row does not match)
+      val paths = cat.loadTable("t").currentSnapshot.get.manifest
+        .filter(_.content == FileContent.Data).map(_.path)
+      val all = spark.read.parquet(paths: _*)
+        .select(col("*"), col("_metadata.file_path").as("__f"))
+      val aggs = filters.zipWithIndex.map { case ((_, truth), i) =>
+        max(when(truth, 1).otherwise(0)).as(s"m$i") }
+      val perFile = all.groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getString(0).replaceFirst("^file:/+", "/") ->
+          (1 to filters.size).map(i => r.getInt(i) == 1)).toMap
+
+      filters.zipWithIndex.foreach { case ((json, _), i) =>
+        val resp = post(s"${srv.uri}/v1/p/namespaces/wh/tables/t/plan",
+          s"""{"filter": $json}""")
+        assert(resp.statusCode() == 200, resp.body())
+        val kept = (JsonMethods.parse(resp.body()) \ "file-scan-tasks")
+          .asInstanceOf[JArray].arr
+          .map(t => (t \ "data-file" \ "file-path").asInstanceOf[JString].s).toSet
+        perFile.foreach { case (f, matches) =>
+          if (matches(i))
+            assert(kept.contains(f),
+              s"filter #$i pruned file $f that has matching rows:\n$json")
+        }
+      }
+    } finally srv.stop()
+  }
+
   test("body-derived identifiers refuse traversal and aliasing (400), keys stay flat") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "t", Seq((1L, "a")).toDF("id", "v"))
