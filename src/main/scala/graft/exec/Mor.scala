@@ -164,22 +164,41 @@ object Mor {
   private def gated(df: DataFrame, manifestBytes: Long, maxBytes: Long): DataFrame =
     if (manifestBytes <= maxBytes) broadcast(df) else df
 
-  /** Position-delete `file_path` VALUES are spec'd to equal the data
-    * file's MANIFEST path; the scan side carries the Hadoop-canonical
-    * rendering. When any data file's manifest spelling differs from its
-    * canonical form (a foreign client's `scheme:///` paths), rewrite the
-    * values through the manifest->canonical map — a tiny literal map
-    * expression, codegen'd, no UDF. The common all-canonical case is a
-    * driver-side no-op. */
+  /** Position-delete `file_path` VALUES are spec'd to name the data
+    * file; the scan side carries the Hadoop-canonical rendering, and
+    * legal URI spellings vary BOTH ways (`scheme:///x` in a manifest for
+    * a canonical `scheme:/x` value, or the inverse — a foreign writer's
+    * own path type re-renders). For every scheme'd data file the remap
+    * holds each plausible spelling (manifest form, canonical form's
+    * empty-authority variant) -> canonical, applied as a BROADCAST left
+    * join (per-row map-probe of a literal CreateMap would be a linear
+    * scan over #files per delete row — quadratic at manifest scale, and
+    * a codegen-breaking expression tree). Scheme-less local paths have
+    * one spelling: the common case stays a driver-side no-op. */
   private def canonicalizeFilePathValues(pos: DataFrame,
       dataFiles: Seq[FileEntry]): DataFrame = {
-    val m = dataFiles.map(f => f.path -> canonicalManifestPath(f.path))
-      .filter { case (k, v) => k != v }
-    if (m.isEmpty) pos
+    val remap: Seq[(String, String)] = dataFiles.flatMap { f =>
+      val canon = canonicalManifestPath(f.path)
+      // scheme:/p <-> scheme:///p (empty authority renders both ways)
+      val variants = Seq(f.path, canon) ++
+        "^([a-zA-Z][a-zA-Z0-9+.-]*):/(?!/)".r.findFirstMatchIn(canon)
+          .map(m => m.group(1) + ":///" + canon.drop(m.group(1).length + 2))
+      variants.distinct.filter(_ != canon).map(_ -> canon)
+    }.distinct
+    if (remap.isEmpty) pos
     else {
-      val mapExpr = map(m.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-      pos.withColumn(FilePathCol,
-        coalesce(element_at(mapExpr, col(FilePathCol)), col(FilePathCol)))
+      val spark = pos.sparkSession
+      import scala.jdk.CollectionConverters._
+      val remapDf = spark.createDataFrame(
+        remap.map { case (k, v) => org.apache.spark.sql.Row(k, v) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__variant",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__canon",
+            org.apache.spark.sql.types.StringType))))
+      pos.join(broadcast(remapDf), pos(FilePathCol) === col("__variant"), "left")
+        .select(coalesce(col("__canon"), pos(FilePathCol)).as(FilePathCol),
+          pos(PosCol))
     }
   }
 

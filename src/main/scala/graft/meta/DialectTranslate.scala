@@ -96,6 +96,7 @@ object DialectTranslate {
   private final case class Word(s: String) extends Tok
   private final case class Quoted(inner: String) extends Tok // "..." source
   private final case class Str(raw: String) extends Tok      // '...' verbatim
+  private final case class Tick(raw: String) extends Tok     // `...` verbatim
   private final case class Other(s: String) extends Tok      // ops, spaces, comments
 
   /** Some(spark SQL) when `sql` (in `dialect`) is inside the safe
@@ -137,8 +138,11 @@ object DialectTranslate {
         val lw = w.toLowerCase(java.util.Locale.ROOT)
         if (!Keywords.contains(lw) && !Functions.contains(lw) &&
             !Renames.contains(lw)) return None
-      case (Quoted(_), Other(op)) if op.trim.startsWith("(") =>
-        return None // a quoted-identifier call is never in the subset
+      case (Quoted(_) | Tick(_), Other(op)) if op.trim.startsWith("(") =>
+        // a quoted/backquoted-identifier call is never in the subset —
+        // `date_format`(...) would bypass the whitelist and run with
+        // Spark's (different) pattern semantics
+        return None
       case _ => ()
     }
     // Spark-safe single-quoted literal from decoded content (no
@@ -183,6 +187,9 @@ object DialectTranslate {
             val inner = raw.substring(1, raw.length - 1).replace("''", "'")
             out ++= sparkStr(inner)
           }
+          pendingCast = false; prevWord = None
+        case Tick(raw) => // backquoted identifier: Spark shares the form
+          out ++= raw
           pendingCast = false; prevWord = None
         case Other(s) =>
           out ++= s
@@ -233,13 +240,16 @@ object DialectTranslate {
         }
         toks += Quoted(inner.toString)
       } else if (c == '`') {
-        // backquoted identifier (Hive form — Spark-compatible verbatim)
+        // backquoted identifier (Hive form — Spark-compatible verbatim);
+        // its OWN token kind: inside an Other it would dodge the
+        // call-position whitelist, and parens in its text would corrupt
+        // the cast-target paren tracking
         flush()
         val start = i; i += 1
         while (i < n && sql.charAt(i) != '`') i += 1
         if (i >= n) return None
         i += 1
-        toks += Other(sql.substring(start, i))
+        toks += Tick(sql.substring(start, i))
       } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         flush()
         val start = i

@@ -374,10 +374,15 @@ object IceRead {
         def lngOf(v: JValue): Option[Long] = v match {
           case JInt(x) => Some(x.toLong); case JLong(x) => Some(x); case _ => None
         }
-        def flat(prefix: String, v: JValue): Seq[(String, Long)] = v match {
+        // DOUBLE leaves: integer counters/timers are exact to 2^53, and a
+        // fractional metric (json4s: JDouble/JDecimal) must not silently
+        // vanish from the observability table
+        def flat(prefix: String, v: JValue): Seq[(String, Double)] = v match {
           case JObject(kv) => kv.flatMap { case (k, x) =>
             flat(if (prefix.isEmpty) k else s"$prefix.$k", x) }
-          case other => lngOf(other).map(prefix -> _).toSeq
+          case JDouble(x) => Seq(prefix -> x)
+          case JDecimal(x) => Seq(prefix -> x.toDouble)
+          case other => lngOf(other).map(prefix -> _.toDouble).toSeq
         }
         org.apache.spark.sql.Row(
           lngOf(j \ "received-at-ms").map(Long.box).orNull,
@@ -406,7 +411,7 @@ object IceRead {
       StructField("schema_id", LongType),
       StructField("filter", StringType),
       StructField("projected_field_names", ArrayType(StringType, containsNull = false)),
-      StructField("metrics", MapType(StringType, LongType, valueContainsNull = false)),
+      StructField("metrics", MapType(StringType, DoubleType, valueContainsNull = false)),
       StructField("metadata", MapType(StringType, StringType, valueContainsNull = false))))
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema)

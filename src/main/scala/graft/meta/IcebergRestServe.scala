@@ -621,6 +621,16 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     val tname = entryNameOf(ns, str(req \ "name")) match {
       case Left(e) => return e; case Right(n) => n
     }
+    // the name is known: take ITS lock for the rest of the create — the
+    // concurrent-dispatch pool would otherwise let a create's
+    // exists-check/mkdirs/write interleave with a locked DELETE of the
+    // same name (half-created state), and two racing creates would
+    // surface the loser's catalog CAS as a confusing 400
+    withLocks(Seq(tname))(createTableLocked(ns, tname, req))
+  }
+
+  private def createTableLocked(ns: Seq[String], tname: String,
+      req: JValue): (Int, String) = {
     if (catalog.tableExists(tname))
       return err(s"table $tname already exists", 409)
     val schemaJ = (req \ "schema") match {
@@ -684,6 +694,10 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     }
     try IcebergImport.importIcebergMetadataJson(catalog, tname, doc)
     catch {
+      // a NATIVE writer's create winning the catalog CAS is the spec's
+      // AlreadyExists (retryable 409), not a malformed request
+      case e: CommitConflictException =>
+        return err(s"table $tname was created concurrently: ${e.getMessage}", 409)
       case e: RuntimeException =>
         return err(s"cannot create $tname: ${e.getMessage}", 400)
     }
@@ -763,6 +777,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         val vname = entryNameOf(ns, str(req \ "name")) match {
           case Left(e) => return e; case Right(n) => n
         }
+        withLocks(Seq(vname)) { // serialize vs locked drops/creates of the name
         if (catalog.tableExists(vname))
           return err(s"$vname already exists", 409)
         val vv = (req \ "view-version") match {
@@ -787,7 +802,10 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         IcebergImport.importIcebergViewMetadataJson(catalog, vname, doc)
         purge(vname)
         vname
+        }
       } catch {
+        case e: CommitConflictException =>
+          return err(s"view was created concurrently: ${e.getMessage}", 409)
         case e: Exception =>
           return err(s"bad CreateViewRequest: ${e.getMessage}", 400)
       }
@@ -930,17 +948,21 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       }
       catch { case e: Exception =>
         return err(s"bad RegisterTableRequest: ${e.getMessage}", 400) }
-    if (catalog.tableExists(tname))
-      return err(s"table $tname already exists", 409)
-    try IcebergImport.importIcebergMetadata(catalog, tname, loc)
-    catch {
-      case e: Exception =>
-        return err(s"cannot register $tname from $loc: ${e.getMessage}", 400)
+    withLocks(Seq(tname)) { // serialize vs locked drops/creates of the name
+      if (catalog.tableExists(tname))
+        return err(s"table $tname already exists", 409)
+      try IcebergImport.importIcebergMetadata(catalog, tname, loc)
+      catch {
+        case e: CommitConflictException =>
+          return err(s"table $tname was created concurrently: ${e.getMessage}", 409)
+        case e: Exception =>
+          return err(s"cannot register $tname from $loc: ${e.getMessage}", 400)
+      }
+      // a re-registered source PRESERVES its foreign uuid and restarts the
+      // version counter — stale bodies for this name must go
+      purge(tname)
+      loadTableResult(tname)
     }
-    // a re-registered source PRESERVES its foreign uuid and restarts the
-    // version counter — stale bodies for this name must go
-    purge(tname)
-    loadTableResult(tname)
   }
 
   /** `POST .../tables/{t}/metrics` (the spec ReportMetricsRequest):
@@ -971,7 +993,13 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         .foreach(p => MetaIO.delete(p))
     }
     metrics.counter("reports_received").incrementAndGet()
-    metrics.counter(s"reports_$reportType").incrementAndGet()
+    // counter names come from the CLIENT: bucket anything but the spec's
+    // two report types, or a hostile/chatty reporter grows the in-memory
+    // registry one AtomicLong per distinct string, forever
+    val bucket =
+      if (reportType == "scan-report" || reportType == "commit-report") reportType
+      else "other"
+    metrics.counter(s"reports_$bucket").incrementAndGet()
     204 -> ""
   }
 
@@ -1171,11 +1199,16 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       def run(): Unit =
         try {
           val kept = pruneTasks(meta, tasks, filterJ)
-          plan.byKey = snap.manifest.filter(_.content != FileContent.Data)
+          val byKey = snap.manifest.filter(_.content != FileContent.Data)
             .map(e => e.resolutionKey -> e).toMap
-          plan.kept = kept
+          // publish ONLY while still submitted: a cancel that already
+          // cleared the plan must not have its kept list repopulated —
+          // that would pin a cancelled 10^6-file list in memory and
+          // charge it against the retained-task budget
           plan.synchronized {
-            if (plan.status == "submitted") plan.status = "completed"
+            if (plan.status == "submitted") {
+              plan.kept = kept; plan.byKey = byKey; plan.status = "completed"
+            }
           }
           // the kept list just materialized — re-check the budget (a
           // burst of big plans completing after their submits would

@@ -88,6 +88,19 @@ class DialectTranslateSpec extends AnyFunSuite {
     assert(t("SELECT date_trunc('month', d) FROM t").isEmpty)
   }
 
+  test("backquoted identifiers: verbatim as names, REFUSED in call position") {
+    // names pass through (Spark shares the form)
+    assert(h("SELECT `weird col` FROM t") == Some("SELECT `weird col` FROM t"))
+    // a backquoted CALL dodges the word whitelist by construction — it
+    // must refuse, not run with Spark's (different) semantics
+    assert(h("SELECT `date_format`(ts, 'y-MM') FROM t").isEmpty)
+    assert(t("SELECT `split`(s, ',') FROM t").isEmpty)
+    // parens inside a backquoted name must not corrupt the cast-target
+    // paren tracking (alias named varchar stays un-renamed)
+    assert(h("SELECT cast(`a)` AS varchar), x AS varchar FROM t")
+      .contains("SELECT cast(`a)` AS string), x AS varchar FROM t"))
+  }
+
   test("the existing safe subset still translates") {
     assert(t("""SELECT "g", sum("k") AS total FROM t WHERE "k" BETWEEN 2 AND 11 GROUP BY "g"""") ==
       Some("SELECT `g`, sum(`k`) AS total FROM t WHERE `k` BETWEEN 2 AND 11 GROUP BY `g`"))

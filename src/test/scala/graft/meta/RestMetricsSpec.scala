@@ -55,10 +55,10 @@ class RestMetricsSpec extends AnyFunSuite {
       assert(row.getAs[String]("filter").contains("\"eq\""))
       assert(row.getSeq[String](row.fieldIndex("projected_field_names")).toSeq
         == Seq("id", "v"))
-      val m = row.getAs[Map[String, Long]]("metrics")
-      assert(m("result-data-files.value") == 2L)
-      assert(m("skipped-data-files.value") == 7L)
-      assert(m("total-planning-duration.total-duration") == 17000000L)
+      val m = row.getAs[Map[String, Double]]("metrics")
+      assert(m("result-data-files.value") == 2.0)
+      assert(m("skipped-data-files.value") == 7.0)
+      assert(m("total-planning-duration.total-duration") == 17000000.0)
       assert(row.getAs[Map[String, String]]("metadata") == Map("engine-name" -> "probe"))
       assert(row.getAs[Long]("received_at_ms") > 0L)
 
