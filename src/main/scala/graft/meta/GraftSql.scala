@@ -1073,8 +1073,10 @@ object GraftSql {
           SchemaEvolution.widenColumnType(cat, table, res(n), ddl)
         }
         case AlterOp.SetProps(props) =>
+          SchemaEvolution.requireUnreservedProps(props.keys)
           SchemaEvolution.updateProperties(cat, table, props)
         case AlterOp.UnsetProps(keys) =>
+          SchemaEvolution.requireUnreservedProps(keys)
           SchemaEvolution.updateProperties(cat, table, Map.empty, keys.toSet)
 
         case AlterOp.AddPartField(f0) =>

@@ -83,6 +83,19 @@ object IcebergRestServe {
     * pin ~10 GB of FileEntry lists for paging. Oldest plans evict until
     * the sum fits; a reader that polls an evicted plan re-submits. */
   val MaxRetainedPlanTasks: Long = 2000000L
+
+  /** DAEMON threads for the dispatch/plan pools: a caller that forgets
+    * stop() must not pin the JVM against exit (the pre-pool dispatch ran
+    * on the server's own thread and had no such pin). stop() remains the
+    * clean-shutdown path. */
+  private[meta] def daemonFactory(prefix: String): java.util.concurrent.ThreadFactory =
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"$prefix-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    }
 }
 
 final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
@@ -126,22 +139,41 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * mutate served catalogs through the server or restart it.) Older
     * versions of the same entry evict on insert, bounding the map. */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), String]()
 
-  private def cached(name: String, meta: TableMetadata)(build: => String): String = {
-    val key = (name, meta.stableUuid, meta.version)
+  /** Per-entry cache GENERATION, bumped by [[purge]]. The epoch is read
+    * BEFORE the route loads the entry's metadata and baked into the cache
+    * key, so a reader that loaded PRE-drop metadata and races a locked
+    * DELETE+register can only insert its stale body under the OLD epoch —
+    * unreachable by every load after the purge. (Without it, concurrent
+    * dispatch let that insert land AFTER purge() under a (name, uuid,
+    * version) key the re-registered incarnation reaches again: register
+    * preserves the foreign uuid and restarts the version counter.) */
+  private val epochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def epochOf(name: String): Long =
+    epochs.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong()).get()
+
+  private def cached(name: String, meta: TableMetadata, epoch: Long)(
+      build: => String): String = {
+    val key = (name, meta.stableUuid, meta.version, epoch)
     // computeIfAbsent: concurrent first-loads of the same version run ONE
     // export (two would race the same exported *.metadata.json file)
     val body = cache.computeIfAbsent(key, _ => build)
-    cache.keySet.removeIf(k => k._1 == key._1 && k._2 == key._2 && k._3 < key._3)
+    cache.keySet.removeIf(k => k._1 == key._1 && k._2 == key._2 &&
+      (k._3 < key._3 || k._4 < key._4))
     body
   }
 
   /** Drops every cached body for catalog entry `name` — on DELETE,
     * register, and create, so a recurring (uuid, version) from a
     * re-registered source can never serve a prior incarnation's body. */
-  private def purge(name: String): Unit = cache.keySet.removeIf(k =>
-    k._1 == name || k._1 == name + "\u001flocation-only")
+  private def purge(name: String): Unit = {
+    epochs.computeIfAbsent(name,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    cache.keySet.removeIf(k =>
+      k._1 == name || k._1 == name + "\u001flocation-only")
+  }
 
   /** Tables STAGED by `stage-create=true` (the spec CTAS handshake),
     * keyed by name: parsed + validated metadata with uuid and location
@@ -159,7 +191,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * entry through [[withLocks]]. One slow foreign commit (footer
     * validation, DV bitmap compares — real I/O) no longer head-of-line-
     * blocks the reader fleet the preplan sharding fans out. */
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(16,
+    IcebergRestServe.daemonFactory("graft-rest-dispatch"))
   server.setExecutor(pool)
   server.start()
 
@@ -320,13 +353,25 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private val TokenTtlMs = 3600L * 1000
 
+  /** Constant-time secret equality (MessageDigest.isEqual): token and
+    * client-secret compares must not leak match length through timing. */
+  private def ctEq(a: String, b: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private def authorized(ex: HttpExchange): Boolean = {
     if (bearerToken.isEmpty && oauthClients.isEmpty) return true
     val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
     if (!h.startsWith("Bearer ")) return false
     val tok = h.stripPrefix("Bearer ")
-    bearerToken.contains(tok) ||
-      Option(issuedTokens.get(tok)).exists(_ > System.currentTimeMillis())
+    val now = System.currentTimeMillis()
+    // the issued-token scan compares every live entry in constant time
+    // (the map stays small: tokens expire after TokenTtlMs and prune on
+    // each issue), instead of a hash lookup keyed by the secret itself
+    import scala.jdk.CollectionConverters._
+    bearerToken.exists(ctEq(_, tok)) ||
+      issuedTokens.entrySet.asScala.exists(e => e.getValue > now && ctEq(e.getKey, tok))
   }
 
   /** `POST /v1/oauth/tokens`: the spec's OAuth2 client-credentials grant
@@ -349,7 +394,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       return oauthErr(400, "unsupported_grant_type",
         "this server supports grant_type=client_credentials")
     (params.get("client_id"), params.get("client_secret")) match {
-      case (Some(id), Some(sec)) if oauthClients.get(id).contains(sec) =>
+      case (Some(id), Some(sec)) if oauthClients.get(id).exists(ctEq(_, sec)) =>
         val tok = java.util.UUID.randomUUID().toString.replace("-", "")
         val now = System.currentTimeMillis()
         issuedTokens.put(tok, now + TokenTtlMs)
@@ -538,11 +583,12 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private def loadTableResult(table: String,
       locationOnly: Boolean = false): (Int, String) = {
     if (locationOnly) {
+      val epoch = epochOf(table) // read BEFORE the load (see [[epochs]])
       val meta = catalog.loadTable(table)
       val body =
         // the U+001F separator cannot appear in a safeName'd entry, so
           // this synthetic cache key can never collide with a real table
-          try cached(table + "\u001flocation-only", meta) {
+          try cached(table + "\u001flocation-only", meta, epoch) {
           val jsonPath = IcebergExport.exportIcebergMetadata(catalog, table)
           JsonMethods.compact(JsonMethods.render(
             ("metadata-location" -> jsonPath) ~
@@ -552,9 +598,10 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         catch { case e: IllegalArgumentException => return err(e.getMessage, 409) }
       return 200 -> body
     }
+    val epoch = epochOf(table) // read BEFORE the load (see [[epochs]])
     val meta = catalog.loadTable(table)
     val body =
-      try cached(table, meta) {
+      try cached(table, meta, epoch) {
         val jsonPath = IcebergExport.exportIcebergMetadata(catalog, table)
         // storage-credential vending: when configured, every load carries
         // the access configuration for the table's storage prefix (the
@@ -650,6 +697,11 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     val properties = (req \ "properties") match {
       case o: JObject => o; case _ => JObject(Nil)
     }
+    // client-supplied reserved keys on a CREATE would forge engine state
+    // the server is about to assign itself (identity, stats retirement) —
+    // the register route is the sanctioned adopt-a-foreign-uuid path
+    properties.obj.map(_._1).find(_.startsWith("graft.")).foreach(k =>
+      return err(s"table property $k is reserved engine state", 400))
     // engines request v3 the way Iceberg itself does: a `format-version`
     // table property on the create
     val fv = (properties \ "format-version") match {
@@ -747,9 +799,10 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * v1 metadata ([[IcebergExport.exportIcebergViewMetadata]]), cached
     * fully-rendered per (view, version) like tables. */
   private def loadViewResult(view: String): (Int, String) = {
+    val epoch = epochOf(view) // read BEFORE the load (see [[epochs]])
     val meta = catalog.loadTable(view)
     val body =
-      try cached(view, meta) {
+      try cached(view, meta, epoch) {
         val jsonPath = IcebergExport.exportIcebergViewMetadata(
           catalog, view, defaultNamespace = namespace)
         JsonMethods.compact(JsonMethods.render(
@@ -1171,7 +1224,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   private val asyncPlanSeq = new java.util.concurrent.atomic.AtomicLong()
   /** Plan computations run off the dispatch pool, so polls/reads stay
     * responsive while a million-file prune grinds. */
-  private val planPool = java.util.concurrent.Executors.newFixedThreadPool(2)
+  private val planPool = java.util.concurrent.Executors.newFixedThreadPool(2,
+    IcebergRestServe.daemonFactory("graft-rest-plan"))
 
   /** Bounds the registry BOTH ways: plan count AND total retained kept
     * tasks (the real memory bound — 64 plans each keeping a 10^6-file
@@ -1233,26 +1287,33 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     val p = asyncPlans.get(id)
     if (p == null || p.table != table)
       return err(s"no plan $id for table $table", 404)
-    p.synchronized(p.status) match {
-      case "submitted" => 200 -> JsonMethods.compact(JsonMethods.render(
-        (("plan-status" -> "submitted"): JObject)))
-      case "cancelled" => 200 -> JsonMethods.compact(JsonMethods.render(
-        (("plan-status" -> "cancelled"): JObject)))
-      case "failed" => 200 -> JsonMethods.compact(JsonMethods.render(
-        ("plan-status" -> "failed") ~ ("error" -> p.error)))
-      case _ =>
-        val off = Option(rawQuery).toSeq.flatMap(_.split("&").toSeq)
-          .flatMap(_.split("=", 2) match {
-            case Array("pageToken", v) => urlDecode(v).toIntOption; case _ => None
-          }).headOption.getOrElse(0).max(0)
-        val page = p.kept.slice(off, off + IcebergRestServe.PlanPageSize)
-        val base: JObject = (("plan-status" -> "completed"): JObject) ~
-          renderScanTasks(page, p.byKey, p.filterJ)
-        val next = off + IcebergRestServe.PlanPageSize
-        val full: JObject =
-          if (next < p.kept.size) base ~ ("next-page-token" -> next.toString)
-          else base
-        200 -> JsonMethods.compact(JsonMethods.render(full))
+    // the WHOLE page (status check + kept slice + byKey snapshot) renders
+    // under one monitor hold: a concurrent DELETE (cancelPlan) between a
+    // status read and the kept read would otherwise answer
+    // plan-status=completed with ZERO tasks and no next-page-token — a
+    // racing client would take that for an empty scan, not a cancellation
+    p.synchronized {
+      p.status match {
+        case "submitted" => 200 -> JsonMethods.compact(JsonMethods.render(
+          (("plan-status" -> "submitted"): JObject)))
+        case "cancelled" => 200 -> JsonMethods.compact(JsonMethods.render(
+          (("plan-status" -> "cancelled"): JObject)))
+        case "failed" => 200 -> JsonMethods.compact(JsonMethods.render(
+          ("plan-status" -> "failed") ~ ("error" -> p.error)))
+        case _ =>
+          val off = Option(rawQuery).toSeq.flatMap(_.split("&").toSeq)
+            .flatMap(_.split("=", 2) match {
+              case Array("pageToken", v) => urlDecode(v).toIntOption; case _ => None
+            }).headOption.getOrElse(0).max(0)
+          val page = p.kept.slice(off, off + IcebergRestServe.PlanPageSize)
+          val base: JObject = (("plan-status" -> "completed"): JObject) ~
+            renderScanTasks(page, p.byKey, p.filterJ)
+          val next = off + IcebergRestServe.PlanPageSize
+          val full: JObject =
+            if (next < p.kept.size) base ~ ("next-page-token" -> next.toString)
+            else base
+          200 -> JsonMethods.compact(JsonMethods.render(full))
+      }
     }
   }
 
@@ -1682,12 +1743,26 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         case JString("set-properties") =>
           (u \ "updates") match {
             case JObject(kv) =>
-              properties ++= kv.collect { case (k, JString(v)) => k -> v }
+              val props = kv.collect { case (k, JString(v)) => k -> v }
+              // reserved engine state refuses here exactly as the
+              // namespace and view doors already do — removing
+              // graft.stats.retired-names would re-arm stale zone maps
+              // after a rename (silently wrong reads), and
+              // graft.table-uuid is spec-immutable identity
+              try SchemaEvolution.requireUnreservedProps(props.map(_._1))
+              catch { case e: IllegalArgumentException =>
+                return err(e.getMessage, 400) }
+              properties ++= props
             case o => return err(s"bad set-properties: $o", 400)
           }
         case JString("remove-properties") =>
           (u \ "removals") match {
-            case JArray(ks) => properties --= ks.collect { case JString(k) => k }
+            case JArray(ks) =>
+              val keys = ks.collect { case JString(k) => k }
+              try SchemaEvolution.requireUnreservedProps(keys)
+              catch { case e: IllegalArgumentException =>
+                return err(e.getMessage, 400) }
+              properties --= keys
             case o => return err(s"bad remove-properties: $o", 400)
           }
         case JString(a) => return err(s"unsupported update: $a", 400)

@@ -308,12 +308,36 @@ object SchemaEvolution {
     }
 
   /** Upserts/removes TABLE-level properties (metadata-only CAS commit —
-    * Iceberg's `updateProperties`). Existing keys not named are kept. */
+    * Iceberg's `updateProperties`). Existing keys not named are kept.
+    *
+    * This is the INTERNAL library API — engine components (Bloom index
+    * registration, ANN/MV provenance, NDV sidecars) write their own
+    * reserved keys through it. The user-facing property DOORS (SQL
+    * `ALTER TABLE SET/UNSET TBLPROPERTIES` and the REST commit
+    * endpoint's `set-properties`/`remove-properties`) must call
+    * [[requireUnreservedProps]] first. */
   def updateProperties(catalog: Catalog, tableName: String,
       upserts: Map[String, String], removes: Set[String] = Set.empty): TableMetadata =
     commitRetry(catalog, tableName) { meta =>
       meta.copy(properties = meta.properties -- removes ++ upserts)
     }
+
+  /** Refuses reserved `graft.`-prefixed table-property keys at the
+    * user-facing property doors. The prefix carries LOAD-BEARING engine
+    * state: `graft.stats.retired-names` is what stops zone-map pruning
+    * from trusting per-file stats recorded under a column name a rename
+    * retired (removing it makes reads of a renamed-column table return
+    * silently wrong rows), `graft.table-uuid` is the spec-immutable
+    * identity that `assert-table-uuid`, refresh validation, and the
+    * served-body cache key on, and `graft.bloom.<col>.*` registers Bloom
+    * sidecars. The namespace and view doors already refuse the prefix
+    * (IcebergRestServe); this is the same guard for tables, shared by
+    * both table doors so they can never diverge. */
+  def requireUnreservedProps(keys: Iterable[String]): Unit =
+    keys.find(_.startsWith("graft.")).foreach(k =>
+      throw new IllegalArgumentException(s"table property $k is reserved " +
+        "engine state and cannot be set or removed through the property " +
+        "surface"))
 
   private def commitRetry(catalog: Catalog, tableName: String)(
       f: TableMetadata => TableMetadata): TableMetadata = {

@@ -305,6 +305,18 @@ class GraftSqlSpec extends AnyFunSuite {
     val props = cat.loadTable("t").properties
     assert(props("team") == "ops" && !props.contains("x"))
 
+    // reserved graft.* keys refuse through the SQL property door: the
+    // rename above retired 'v' in graft.stats.retired-names — unsetting
+    // it would re-arm stale zone maps and read silently wrong rows
+    assert(cat.loadTable("t").statsRetiredNames.nonEmpty)
+    val eReserved = intercept[Exception](spark.sql(
+      "ALTER TABLE g14.t UNSET TBLPROPERTIES ('graft.stats.retired-names')"))
+    assert(eReserved.getMessage.contains("reserved"), eReserved.getMessage)
+    val eReserved2 = intercept[Exception](spark.sql(
+      "ALTER TABLE g14.t SET TBLPROPERTIES ('graft.table-uuid' = 'forged')"))
+    assert(eReserved2.getMessage.contains("reserved"), eReserved2.getMessage)
+    assert(cat.loadTable("t").statsRetiredNames.nonEmpty)
+
     val desc = spark.sql("DESCRIBE g14.t").collect().map(r => r.getString(0) -> r.getString(1))
     assert(desc.toSeq == Seq("k" -> "bigint", "label" -> "string", "tag" -> "string"))
     val ext = spark.sql("DESCRIBE EXTENDED g14.t").collect()

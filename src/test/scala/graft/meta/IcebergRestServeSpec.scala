@@ -1473,4 +1473,59 @@ class IcebergRestServeSpec extends AnyFunSuite {
       assert(seen.result() == names, "paged union must be the exact sorted listing")
     } finally srv.stop()
   }
+
+  test("reserved graft.* table properties refuse on every foreign door") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v0"))
+    // the rename retires v0's per-file stats — the exact property whose
+    // foreign removal would re-arm stale zone maps and read wrong rows
+    SchemaEvolution.renameColumn(cat, "t", "v0", "v")
+    assert(cat.loadTable("t").statsRetiredNames == Set("v0"))
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def post(path: String, body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def commit(upd: String): HttpResponse[String] =
+        post("/v1/p/namespaces/wh/tables/t",
+          s"""{"requirements": [], "updates": [$upd]}""")
+      val before = cat.loadTable("t").properties
+
+      val r1 = commit("""{"action": "remove-properties",
+        "removals": ["graft.stats.retired-names"]}""")
+      assert(r1.statusCode() == 400 && r1.body().contains("reserved"), r1.body())
+      val r2 = commit("""{"action": "set-properties",
+        "updates": {"graft.table-uuid": "11111111-2222-3333-4444-555555555555"}}""")
+      assert(r2.statusCode() == 400 && r2.body().contains("reserved"), r2.body())
+      val r3 = commit("""{"action": "set-properties",
+        "updates": {"graft.bloom.v.paths": "/tmp/forged"}}""")
+      assert(r3.statusCode() == 400, r3.body())
+      // a reserved key hidden among innocent ones refuses the WHOLE commit
+      val r4 = commit("""{"action": "set-properties",
+        "updates": {"owner": "etl", "graft.stats.retired-names": ""}}""")
+      assert(r4.statusCode() == 400, r4.body())
+      assert(cat.loadTable("t").properties == before,
+        "a refused property commit must change nothing")
+
+      // unreserved keys through the same door still land
+      val ok = commit("""{"action": "set-properties", "updates": {"owner": "etl"}}""")
+      assert(ok.statusCode() == 200, ok.body())
+      assert(cat.loadTable("t").properties.get("owner").contains("etl"))
+      val rm = commit("""{"action": "remove-properties", "removals": ["owner"]}""")
+      assert(rm.statusCode() == 200, rm.body())
+      assert(!cat.loadTable("t").properties.contains("owner"))
+      assert(cat.loadTable("t").statsRetiredNames == Set("v0"),
+        "retirement survives the whole exchange")
+
+      // the CREATE door refuses client-forged reserved keys too (register
+      // is the sanctioned adopt-a-foreign-uuid path)
+      val cr = post("/v1/p/namespaces/wh/tables",
+        """{"name": "t2", "schema": {"type": "struct", "fields": [
+          {"id": 1, "name": "id", "required": false, "type": "long"}]},
+          "properties": {"graft.table-uuid": "99999999-0000-0000-0000-000000000000"}}""")
+      assert(cr.statusCode() == 400 && cr.body().contains("reserved"), cr.body())
+    } finally srv.stop()
+  }
 }

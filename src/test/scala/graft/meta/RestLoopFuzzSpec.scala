@@ -196,7 +196,7 @@ class RestLoopFuzzSpec extends AnyFunSuite {
         else Some(model.keys.toSeq.sorted.apply(rnd.nextInt(model.size)))
 
       for (step <- 1 to 30) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 => // REST create
             val t = s"t$nextTable"; nextTable += 1
             val resp = post("/v1/p/namespaces/wh/tables",
@@ -288,6 +288,30 @@ class RestLoopFuzzSpec extends AnyFunSuite {
               assert(delete(s"/v1/p/namespaces/wh/views/$v") == 204)
               views -= v
             }
+          }
+          case 7 => randomTable().foreach { t => // FOREIGN property updates
+            // reserved graft.* keys must 400 through the commit door and
+            // change NOTHING (the per-step model sweep below then proves
+            // reads stay exact); unreserved keys through the same door land
+            val reserved = Seq("graft.stats.retired-names", "graft.table-uuid",
+              "graft.bloom.v.paths")(rnd.nextInt(3))
+            val upd =
+              if (rnd.nextBoolean())
+                s"""{"action": "set-properties", "updates": {"$reserved": "poison"}}"""
+              else
+                s"""{"action": "remove-properties", "removals": ["$reserved"]}"""
+            val before = cat.loadTable(t).properties
+            val refused = post(s"/v1/p/namespaces/wh/tables/$t",
+              s"""{"requirements": [], "updates": [$upd]}""")
+            assert(refused.statusCode() == 400,
+              s"step $step: reserved $reserved answered ${refused.statusCode()}")
+            assert(cat.loadTable(t).properties == before,
+              s"step $step: refused reserved update mutated $t")
+            val landed = post(s"/v1/p/namespaces/wh/tables/$t",
+              s"""{"requirements": [], "updates": [{"action": "set-properties",
+                 |"updates": {"fuzz.step": "$step"}}]}""".stripMargin.replace("\n", " "))
+            assert(landed.statusCode() == 200, s"step $step: ${landed.body()}")
+            assert(cat.loadTable(t).properties.get("fuzz.step").contains(step.toString))
           }
           case _ => randomTable().foreach { t => // view create or drop
             val v = s"view_of_$t"
