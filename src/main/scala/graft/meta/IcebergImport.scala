@@ -283,6 +283,46 @@ object IcebergImport {
     * assigns it at registration). Shared by first attach and
     * [[IcebergRestImport.refreshTable]], which commits the re-parsed
     * state as a new VERSION of an already-attached table. */
+  /** Parses ONE Iceberg partition-spec field (`{source-id, transform,
+    * name}`) against a field-id-indexed schema, enforcing the engine's
+    * literal-faithfulness rules — shared by metadata import and the REST
+    * commit endpoint's `add-spec` door so a spec a foreign client can
+    * commit is exactly a spec this engine could have imported. Returns
+    * (spec field name, graft field, source DDL). Throws
+    * IllegalArgumentException with the refusal reason. */
+  private[meta] def foreignSpecField(byId: Map[Int, SchemaField], f: JValue,
+      label: String): (String, PartitionField, String) = {
+    val src = byId.getOrElse(lng(f \ "source-id").toInt,
+      throw new IllegalArgumentException(
+        s"$label: partition source-id ${f \ "source-id"} not in schema"))
+    val transform = str(f \ "transform")
+    require(transform == "identity" || transform.matches("bucket\\[\\d+\\]") ||
+        transform.matches("truncate\\[\\d+\\]") ||
+        PartitionField.TimeTransforms.contains(transform),
+      s"$label: unsupported partition transform $transform")
+    val srcDdl = src.dataType.trim.toUpperCase
+    if (transform.startsWith("truncate["))
+      // truncate values ride in the SOURCE type; int/long/string have
+      // one faithful literal form (decimal/binary truncation does not
+      // round-trip through graft's string partition values)
+      require(Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR")
+          .contains(srcDdl),
+        s"$label: truncate partition on ${src.name}: $srcDdl has " +
+          "no faithful literal partition-value form here")
+    if (transform == "identity")
+      // graft records partition values as LITERAL strings and prunes by
+      // string equality — only types whose avro partition value has one
+      // faithful literal form may import (timestamps arrive as epoch
+      // micros, decimals as byte buffers: a raw toString would silently
+      // match no user filter, the worst failure mode)
+      require(Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR",
+          "DATE", "BOOLEAN").contains(srcDdl),
+        s"$label: identity partition on ${src.name}: $srcDdl is not " +
+          "importable as a literal partition value (timestamp/decimal/binary " +
+          "identity partitions have no faithful string form here)")
+    (str(f \ "name"), PartitionField(src.name, transform), srcDdl)
+  }
+
   def parseIcebergMetadataJson(name: String, j: JValue): TableMetadata = {
     val fv = lng(j \ "format-version")
     require(fv == 2 || fv == 3,
@@ -316,37 +356,7 @@ object IcebergImport {
       resolvedSpecs.getOrElseUpdate(specId, {
         val fields = specJsonById.getOrElse(specId,
           sys.error(s"importIcebergMetadata: no partition spec with id $specId"))
-        fields.map { f =>
-          val src = byId.getOrElse(lng(f \ "source-id").toInt,
-            sys.error(s"partition source-id ${f \ "source-id"} not in schema"))
-          val transform = str(f \ "transform")
-          require(transform == "identity" || transform.matches("bucket\\[\\d+\\]") ||
-              transform.matches("truncate\\[\\d+\\]") ||
-              PartitionField.TimeTransforms.contains(transform),
-            s"importIcebergMetadata: unsupported partition transform $transform " +
-              s"(spec $specId)")
-          val srcDdl = src.dataType.trim.toUpperCase
-          if (transform.startsWith("truncate["))
-            // truncate values ride in the SOURCE type; int/long/string have
-            // one faithful literal form (decimal/binary truncation does not
-            // round-trip through graft's string partition values)
-            require(Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR")
-                .contains(srcDdl),
-              s"importIcebergMetadata: truncate partition on ${src.name}: $srcDdl has " +
-                "no faithful literal partition-value form here")
-          if (transform == "identity")
-            // graft records partition values as LITERAL strings and prunes by
-            // string equality — only types whose avro partition value has one
-            // faithful literal form may import (timestamps arrive as epoch
-            // micros, decimals as byte buffers: a raw toString would silently
-            // match no user filter, the worst failure mode)
-            require(Set("BIGINT", "LONG", "INT", "INTEGER", "STRING", "VARCHAR",
-                "DATE", "BOOLEAN").contains(srcDdl),
-              s"importIcebergMetadata: identity partition on ${src.name}: $srcDdl is not " +
-                "importable as a literal partition value (timestamp/decimal/binary " +
-                "identity partitions have no faithful string form here)")
-          (str(f \ "name"), PartitionField(src.name, transform), srcDdl)
-        }
+        fields.map(foreignSpecField(byId, _, s"importIcebergMetadata: spec $specId"))
       })
     val specFields = resolveSpec(defaultSpecId) // eager: governs the table
     // graft-relative spec marker (FileEntry.specId): the default spec is 0

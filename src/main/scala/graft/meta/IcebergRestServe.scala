@@ -1712,6 +1712,10 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     var removeRefs: Seq[String] = Nil
     var addSchema: Option[(JValue, Option[Int])] = None
     var setSchemaId: Option[Long] = None
+    var addSpec: Option[JValue] = None
+    var setSpecId: Option[Long] = None
+    var addSortOrder: Option[JValue] = None
+    var setSortOrderId: Option[Long] = None
     val updList = (req \ "updates") match {
       case JArray(xs) => xs; case JNothing | JNull => Nil
       case o => return err(s"bad updates: $o", 400)
@@ -1726,6 +1730,17 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
             }))
         case JString("set-current-schema-id") =>
           setSchemaId = Some(lng(u \ "schema-id"))
+        case JString("add-spec") =>
+          if (addSpec.nonEmpty) return err("multiple add-spec updates", 400)
+          addSpec = Some(u \ "spec")
+        case JString("set-default-spec-id") =>
+          setSpecId = Some(lng(u \ "spec-id"))
+        case JString("add-sort-order") =>
+          if (addSortOrder.nonEmpty)
+            return err("multiple add-sort-order updates", 400)
+          addSortOrder = Some(u \ "sort-order")
+        case JString("set-default-sort-order-id") =>
+          setSortOrderId = Some(lng(u \ "sort-order-id"))
         case JString("remove-snapshot-ref") =>
           removeRefs :+= str(u \ "ref-name")
         case JString("add-snapshot") =>
@@ -1850,7 +1865,77 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         catch { case e: IllegalArgumentException =>
           return err(e.getMessage, 400) }
     }
-    val afterSets = setRefs.foldLeft(withSchema) { case (m, (name, typ, id)) =>
+    // ---- partition-spec evolution (add-spec + set-default-spec-id): the
+    // foreign engine's ALTER TABLE ... ADD/DROP PARTITION FIELD,
+    // validated by the SAME rulebook as the native/SQL surface
+    // (SchemaEvolution.applyPartitionSpec — transform changes get the
+    // identical re-marking snapshot). Applied AFTER schema evolution so
+    // a commit may add a column and partition on it in one exchange.
+    val withSpec = addSpec match {
+      case None =>
+        // set-default-spec-id without add-spec: this server re-exports
+        // the current spec as id 0, so only the no-op is honest
+        if (setSpecId.exists(id => id != -1L && id != 0L))
+          return err(s"set-default-spec-id ${setSpecId.get} without " +
+            "add-spec — this server serves spec-id 0", 400)
+        withSchema
+      case Some(sj) =>
+        val proposedId = (sj \ "spec-id") match {
+          case JNothing | JNull => None; case v => Some(lng(v))
+        }
+        // the spec's -1 means "the spec added in this commit"
+        setSpecId.foreach(id => if (id != -1L && proposedId.exists(_ != id))
+          return err(s"set-default-spec-id $id does not name the added " +
+            s"spec ${proposedId.get}", 400))
+        val byId = withSchema.schema.map(f => f.id -> f).toMap
+        val fields =
+          try IcebergImport.arr(sj \ "fields")
+            .map(f => IcebergImport.foreignSpecField(byId, f, "add-spec")._2)
+          catch { case e: Exception =>
+            return err(s"bad add-spec: ${e.getMessage}", 400) }
+        try SchemaEvolution.applyPartitionSpec(withSchema, fields)
+        catch { case e: IllegalArgumentException =>
+          return err(e.getMessage, 400) }
+    }
+    // ---- sort-order evolution (add-sort-order + set-default-sort-order-
+    // id): Iceberg's replaceSortOrder; empty fields clears to unsorted
+    val withSort = addSortOrder match {
+      case None =>
+        val served = if (withSpec.sortOrder.nonEmpty) 1L else 0L
+        if (setSortOrderId.exists(id => id != -1L && id != served))
+          return err(s"set-default-sort-order-id ${setSortOrderId.get} " +
+            s"without add-sort-order — this server serves sort-order-id " +
+            s"$served", 400)
+        withSpec
+      case Some(oj) =>
+        val proposedId = (oj \ "order-id") match {
+          case JNothing | JNull => None; case v => Some(lng(v))
+        }
+        setSortOrderId.foreach(id => if (id != -1L && proposedId.exists(_ != id))
+          return err(s"set-default-sort-order-id $id does not name the " +
+            s"added order ${proposedId.get}", 400))
+        val byId = withSpec.schema.map(f => f.id -> f).toMap
+        val fields =
+          try IcebergImport.arr(oj \ "fields").map { f =>
+            // accepting a non-identity sort transform and serving it back
+            // as identity would silently change the client's layout
+            // contract — refuse (zorder/hilbert stay engine-internal)
+            val tf = str(f \ "transform")
+            if (tf != "identity") throw new IllegalArgumentException(
+              s"sort transform $tf is not identity")
+            val src = byId.getOrElse(lng(f \ "source-id").toInt,
+              throw new IllegalArgumentException(
+                s"sort source-id ${f \ "source-id"} not in schema"))
+            SortField(src.name,
+              ascending = str(f \ "direction") == "asc",
+              nullsFirst = str(f \ "null-order") == "nulls-first")
+          } catch { case e: Exception =>
+            return err(s"bad add-sort-order: ${e.getMessage}", 400) }
+        try SchemaEvolution.applySortOrder(withSpec, fields)
+        catch { case e: IllegalArgumentException =>
+          return err(e.getMessage, 400) }
+    }
+    val afterSets = setRefs.foldLeft(withSort) { case (m, (name, typ, id)) =>
       if (typ == "tag") m.copy(tags = m.tags + (name -> id))
       else if (name == "main")
         m.copy(refs = m.refs + (name -> id), currentSnapshotId = Some(id))

@@ -240,7 +240,16 @@ object SchemaEvolution {
     * first. */
   def updatePartitionSpec(catalog: Catalog, tableName: String,
       newSpec: Seq[PartitionField]): TableMetadata =
-    commitRetry(catalog, tableName) { meta =>
+    commitRetry(catalog, tableName)(applyPartitionSpec(_, newSpec))
+
+  /** The pure rulebook behind [[updatePartitionSpec]] — ONE set of
+    * evolution rules shared by the native/SQL door (which wraps it in a
+    * CAS commit here) and the REST commit endpoint's `add-spec` +
+    * `set-default-spec-id` door (which applies it inside its own commit
+    * build, the [[applyForeignSchema]] pattern). Throws
+    * IllegalArgumentException with the refusal reason. */
+  def applyPartitionSpec(meta: TableMetadata,
+      newSpec: Seq[PartitionField]): TableMetadata = {
       for (p <- newSpec) {
         require(meta.fieldByName(p.column).nonEmpty,
           s"partition column ${p.column} not in schema")
@@ -298,14 +307,20 @@ object SchemaEvolution {
     * to recluster for multi-column zone-map pruning). */
   def updateSortOrder(catalog: Catalog, tableName: String,
       newOrder: Seq[SortField]): TableMetadata =
-    commitRetry(catalog, tableName) { meta =>
-      for (s <- newOrder) {
-        val cols = graft.exec.SparkExecutor.multiColsOf(s.column).getOrElse(Seq(s.column))
-        for (c <- cols)
-          require(meta.fieldByName(c).nonEmpty, s"sort column $c not in schema")
-      }
-      meta.copy(sortOrder = newOrder)
+    commitRetry(catalog, tableName)(applySortOrder(_, newOrder))
+
+  /** The pure rulebook behind [[updateSortOrder]], shared with the REST
+    * commit endpoint's `add-sort-order` + `set-default-sort-order-id`
+    * door (see [[applyPartitionSpec]]). */
+  def applySortOrder(meta: TableMetadata,
+      newOrder: Seq[SortField]): TableMetadata = {
+    for (s <- newOrder) {
+      val cols = graft.exec.SparkExecutor.multiColsOf(s.column).getOrElse(Seq(s.column))
+      for (c <- cols)
+        require(meta.fieldByName(c).nonEmpty, s"sort column $c not in schema")
     }
+    meta.copy(sortOrder = newOrder)
+  }
 
   /** Upserts/removes TABLE-level properties (metadata-only CAS commit —
     * Iceberg's `updateProperties`). Existing keys not named are kept.

@@ -1,0 +1,222 @@
+package graft.meta
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** "One rulebook, two doors" for PARTITION-SPEC and SORT-ORDER
+  * evolution (the [[ForeignSchemaFuzzSpec]] pattern extended per the
+  * round-10 verdict): a random sequence of spec replacements — identity /
+  * bucket / truncate fields, transform changes (which append the
+  * re-marking snapshot), unpartitioning — and sort-order replacements is
+  * applied to TWIN tables, one through the native [[SchemaEvolution]]
+  * calls and one through the REST commit endpoint's `add-spec` /
+  * `add-sort-order` door. After every step the twins must agree exactly:
+  * partitionSpec, sortOrder, historicalSpecs, snapshot count, and the
+  * multiset of head-manifest specId marks. Appends land on both twins
+  * between steps so transform changes really have live files to re-mark,
+  * and the closing read must be row-identical THROUGH the evolved
+  * layout, filters included. */
+class ForeignSpecFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val http = HttpClient.newHttpClient()
+
+  private def post(uri: String, body: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(uri))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def specJson(byName: Map[String, Int],
+      fields: Seq[PartitionField], specId: Int): String = {
+    val fj = fields.zipWithIndex.map { case (p, i) =>
+      s"""{"source-id": ${byName(p.column)}, "transform": "${p.transform}",
+         |"name": "p_${p.column}_$i", "field-id": ${1000 + i}}"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(",")
+    s"""{"requirements": [], "updates": [
+       |{"action": "add-spec", "spec": {"spec-id": $specId, "fields": [$fj]}},
+       |{"action": "set-default-spec-id", "spec-id": -1}]}""".stripMargin
+  }
+
+  private def orderJson(byName: Map[String, Int], fields: Seq[SortField]): String = {
+    val fj = fields.map { s =>
+      s"""{"transform": "identity", "source-id": ${byName(s.column)},
+         |"direction": "${if (s.ascending) "asc" else "desc"}",
+         |"null-order": "${if (s.nullsFirst) "nulls-first" else "nulls-last"}"}"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(",")
+    s"""{"requirements": [], "updates": [
+       |{"action": "add-sort-order", "sort-order": {"order-id": 7, "fields": [$fj]}},
+       |{"action": "set-default-sort-order-id", "sort-order-id": -1}]}""".stripMargin
+  }
+
+  for (seed <- Seq(17, 53)) test(s"native vs REST spec/sort evolution agree (seed $seed)") {
+    val rnd = new scala.util.Random(seed)
+    val cat = LocalCatalog(Files.createTempDirectory("fspec-wh").toString)
+    val rows = (1L to 20L).map(i => (i, i.toInt, s"n$i")).toDF("id", "cnt", "name")
+    IceWrite.create(spark, cat, "nat", rows)
+    IceWrite.create(spark, cat, "rest", rows)
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      val byName = cat.loadTable("nat").schema.map(f => f.name -> f.id).toMap
+      def commitRest(body: String): HttpResponse[String] =
+        post(s"${srv.uri}/v1/p/namespaces/wh/tables/rest", body)
+
+      val specPool: Seq[Seq[PartitionField]] = Seq(
+        Seq(PartitionField("id", "bucket[4]")),
+        Seq(PartitionField("id", "bucket[8]")), // transform change vs ^ -> re-marking
+        Seq(PartitionField("name", "truncate[2]")),
+        Seq(PartitionField("name", "identity")),
+        Nil, // unpartition
+        Seq(PartitionField("id", "bucket[4]"), PartitionField("name", "truncate[1]")))
+      val orderPool: Seq[Seq[SortField]] = Seq(
+        Seq(SortField("id", ascending = false, nullsFirst = false)),
+        Seq(SortField("name"), SortField("id")),
+        Nil) // clear to unsorted
+
+      var nextKey = 100L
+      var applied = 0
+      for (step <- 1 to 12) {
+        rnd.nextInt(3) match {
+          case 0 => // spec replacement through both doors
+            val spec = specPool(rnd.nextInt(specPool.size))
+            SchemaEvolution.updatePartitionSpec(cat, "nat", spec)
+            val resp = commitRest(specJson(byName, spec, specId = step))
+            assert(resp.statusCode() == 200,
+              s"seed $seed step $step: native accepted spec $spec but REST " +
+                s"refused: ${resp.body()}")
+            applied += 1
+          case 1 => // sort-order replacement through both doors
+            val order = orderPool(rnd.nextInt(orderPool.size))
+            SchemaEvolution.updateSortOrder(cat, "nat", order)
+            val resp = commitRest(orderJson(byName, order))
+            assert(resp.statusCode() == 200,
+              s"seed $seed step $step: native accepted order $order but REST " +
+                s"refused: ${resp.body()}")
+            applied += 1
+          case 2 => // same append on both twins (files for marking to bite)
+            val batch = (nextKey until nextKey + 4)
+              .map(i => (i, i.toInt, s"n$i")).toDF("id", "cnt", "name")
+            nextKey += 4
+            IceWrite.append(spark, cat, "nat", batch)
+            IceWrite.append(spark, cat, "rest", batch)
+        }
+        val a = cat.loadTable("nat"); val b = cat.loadTable("rest")
+        assert(a.partitionSpec == b.partitionSpec,
+          s"seed $seed step $step: spec diverged\n  nat : ${a.partitionSpec}" +
+            s"\n  rest: ${b.partitionSpec}")
+        assert(a.sortOrder == b.sortOrder,
+          s"seed $seed step $step: sort diverged ${a.sortOrder} vs ${b.sortOrder}")
+        assert(a.historicalSpecs == b.historicalSpecs,
+          s"seed $seed step $step: historicalSpecs diverged " +
+            s"${a.historicalSpecs} vs ${b.historicalSpecs}")
+        assert(a.snapshots.size == b.snapshots.size,
+          s"seed $seed step $step: snapshot count diverged (re-marking " +
+            s"snapshot on one door only?) ${a.snapshots.size} vs ${b.snapshots.size}")
+        val marksA = a.currentSnapshot.get.manifest.map(_.specId).sorted
+        val marksB = b.currentSnapshot.get.manifest.map(_.specId).sorted
+        assert(marksA == marksB,
+          s"seed $seed step $step: specId marks diverged $marksA vs $marksB")
+      }
+      assert(applied >= 4, s"seed $seed: too few applied ops to be meaningful")
+
+      // reads through the evolved layout agree, residual filters included
+      val qa = IceRead.table(spark, cat, "nat").where(col("id") > 50)
+        .collect().map(_.toString).sorted
+      val qb = IceRead.table(spark, cat, "rest").where(col("id") > 50)
+        .collect().map(_.toString).sorted
+      assert(qa.sameElements(qb), s"seed $seed: filtered reads diverge")
+      val fa = IceRead.table(spark, cat, "nat").collect().map(_.toString).sorted
+      val fb = IceRead.table(spark, cat, "rest").collect().map(_.toString).sorted
+      assert(fa.sameElements(fb), s"seed $seed: full reads diverge")
+    } finally srv.stop()
+  }
+
+  test("foreign add-spec/add-sort-order refusal matrix") {
+    val cat = LocalCatalog(Files.createTempDirectory("fspec-ref-wh").toString)
+    IceWrite.create(spark, cat, "t",
+      Seq((1L, 0.5, "a"), (2L, 1.5, "b")).toDF("id", "score", "name"))
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def commit(upd: String): HttpResponse[String] =
+        post(s"${srv.uri}/v1/p/namespaces/wh/tables/t",
+          s"""{"requirements": [], "updates": [$upd]}""")
+      val before = cat.loadTable("t")
+
+      // unknown source-id
+      val r1 = commit("""{"action": "add-spec", "spec": {"spec-id": 1, "fields":
+        [{"source-id": 99, "transform": "identity", "name": "x"}]}}""")
+      assert(r1.statusCode() == 400 && r1.body().contains("source-id"), r1.body())
+      // unsupported transform
+      val r2 = commit("""{"action": "add-spec", "spec": {"spec-id": 1, "fields":
+        [{"source-id": 1, "transform": "void", "name": "x"}]}}""")
+      assert(r2.statusCode() == 400 && r2.body().contains("transform"), r2.body())
+      // identity on DOUBLE: no faithful literal partition-value form for
+      // foreign readers — the commit door holds foreign specs to the
+      // importable subset (same rule as metadata import)
+      val r3 = commit("""{"action": "add-spec", "spec": {"spec-id": 1, "fields":
+        [{"source-id": 2, "transform": "identity", "name": "x"}]}}""")
+      assert(r3.statusCode() == 400 && r3.body().contains("identity"), r3.body())
+      // set-default-spec-id naming a spec this server does not serve
+      val r4 = commit("""{"action": "set-default-spec-id", "spec-id": 5}""")
+      assert(r4.statusCode() == 400, r4.body())
+      // non-identity sort transform
+      val r5 = commit("""{"action": "add-sort-order", "sort-order": {"order-id": 1,
+        "fields": [{"transform": "bucket[4]", "source-id": 1,
+        "direction": "asc", "null-order": "nulls-first"}]}}""")
+      assert(r5.statusCode() == 400 && r5.body().contains("identity"), r5.body())
+      // unknown sort source-id
+      val r6 = commit("""{"action": "add-sort-order", "sort-order": {"order-id": 1,
+        "fields": [{"transform": "identity", "source-id": 42,
+        "direction": "asc", "null-order": "nulls-first"}]}}""")
+      assert(r6.statusCode() == 400 && r6.body().contains("source-id"), r6.body())
+      // set-default-sort-order-id naming an order this server does not serve
+      val r7 = commit("""{"action": "set-default-sort-order-id", "sort-order-id": 9}""")
+      assert(r7.statusCode() == 400, r7.body())
+
+      val after = cat.loadTable("t")
+      assert(after.partitionSpec == before.partitionSpec &&
+        after.sortOrder == before.sortOrder &&
+        after.version == before.version,
+        "a refused evolution must change nothing")
+
+      // the happy path still lands: add a column and partition on it in
+      // ONE commit (schema evolution applies before spec evolution)
+      val byName = before.schema.map(f => f.name -> f.id).toMap
+      val nextId = before.lastColumnId + 1
+      val fj = before.schema.map(f =>
+        s"""{"id": ${f.id}, "name": "${f.name}", "required": ${!f.nullable},
+           |"type": "${f.dataType.toUpperCase match {
+          case "BIGINT" => "long"; case "DOUBLE" => "double"; case _ => "string"
+        }}"}""".stripMargin.replace("\n", " ")).mkString(",")
+      val ok = post(s"${srv.uri}/v1/p/namespaces/wh/tables/t",
+        s"""{"requirements": [], "updates": [
+           |{"action": "add-schema", "schema": {"type": "struct", "fields":
+           |  [$fj, {"id": $nextId, "name": "bucketed", "required": false,
+           |   "type": "long"}]}},
+           |{"action": "set-current-schema-id", "schema-id": -1},
+           |{"action": "add-spec", "spec": {"spec-id": 1, "fields":
+           |  [{"source-id": $nextId, "transform": "bucket[4]", "name": "b"}]}},
+           |{"action": "set-default-spec-id", "spec-id": -1},
+           |{"action": "add-sort-order", "sort-order": {"order-id": 1, "fields":
+           |  [{"transform": "identity", "source-id": ${byName("id")},
+           |    "direction": "desc", "null-order": "nulls-last"}]}},
+           |{"action": "set-default-sort-order-id", "sort-order-id": -1}]}"""
+          .stripMargin)
+      assert(ok.statusCode() == 200, ok.body())
+      val evolved = cat.loadTable("t")
+      assert(evolved.schema.exists(_.name == "bucketed"))
+      assert(evolved.partitionSpec == Seq(PartitionField("bucketed", "bucket[4]")))
+      assert(evolved.sortOrder ==
+        Seq(SortField("id", ascending = false, nullsFirst = false)))
+    } finally srv.stop()
+  }
+}

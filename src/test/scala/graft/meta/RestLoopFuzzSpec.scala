@@ -56,8 +56,37 @@ class RestLoopFuzzSpec extends AnyFunSuite {
         rows
       }
 
+      val http = java.net.http.HttpClient.newHttpClient()
+      // the spec pool the foreign client cycles through: bucket growth
+      // (the transform change that appends a re-marking snapshot once
+      // native appends recorded values), and unpartitioning
+      val specPool = Seq(
+        """[{"source-id": 1, "transform": "bucket[4]", "name": "idb"}]""",
+        """[{"source-id": 1, "transform": "bucket[8]", "name": "idb"}]""",
+        "[]")
       for (step <- 1 to 24) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
+          case 6 => // FOREIGN spec evolution, then an immediate foreign write
+            val fields = specPool(rnd.nextInt(specPool.size))
+            val resp = http.send(java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/t"))
+              .header("Content-Type", "application/json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                s"""{"requirements": [], "updates": [
+                   |{"action": "add-spec", "spec": {"spec-id": ${10 + step},
+                   |  "fields": $fields}},
+                   |{"action": "set-default-spec-id", "spec-id": -1}]}"""
+                  .stripMargin)).build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+            assert(resp.statusCode() == 200,
+              s"seed $seed step $step: foreign add-spec refused: ${resp.body()}")
+            val rows = freshRows(1 + rnd.nextInt(4))
+            val (p, sz, n, _) = graft.testkit.FileGenerator.writeSingleParquet(
+              spark, IceWrite.withFieldIds(rows.toDF("id", "v"), src.loadTable("t").schema),
+              java.nio.file.Paths.get(staging, s"se-$seed-$step.parquet"))
+            IcebergRestCommit.appendFiles(srv.uri, Seq("wh"), "t",
+              Seq(IcebergRestCommit.AddedFile(p, sz, n)), staging)
+            model ++= rows; addedSince += rows.size
           case 0 => // native append
             val rows = freshRows(1 + rnd.nextInt(5))
             IceWrite.append(spark, src, "t", rows.toDF("id", "v"))
@@ -101,7 +130,13 @@ class RestLoopFuzzSpec extends AnyFunSuite {
           case 5 => // FOREIGN compaction: spec-client replace of the MOR state
             val head = src.loadTable("t")
             val files = head.currentSnapshot.get.manifest.map(_.path).distinct
-            if (model.nonEmpty && files.size >= 2) {
+            // the spec client refuses to rewrite a head with historical-
+            // spec-marked files (rewriting spec-evolved tables stays with
+            // the serving engine) — with the spec-evolution arm in the
+            // loop that state is reachable, and skipping mirrors what a
+            // real foreign compactor does on the refusal
+            val marked = head.currentSnapshot.get.manifest.exists(_.specId != 0)
+            if (model.nonEmpty && files.size >= 2 && !marked) {
               val live = IceRead.table(spark, src, "t")
               val (p, sz, n, _) = graft.testkit.FileGenerator.writeSingleParquet(
                 spark, IceWrite.withFieldIds(live, head.schema),
