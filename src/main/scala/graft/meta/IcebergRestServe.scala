@@ -1714,6 +1714,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     var setSchemaId: Option[Long] = None
     var addSpec: Option[JValue] = None
     var setSpecId: Option[Long] = None
+    var removeSnaps: Seq[Long] = Nil
     var addSortOrder: Option[JValue] = None
     var setSortOrderId: Option[Long] = None
     val updList = (req \ "updates") match {
@@ -1743,6 +1744,11 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           setSortOrderId = Some(lng(u \ "sort-order-id"))
         case JString("remove-snapshot-ref") =>
           removeRefs :+= str(u \ "ref-name")
+        case JString("remove-snapshots") =>
+          (u \ "snapshot-ids") match {
+            case JArray(xs) => removeSnaps ++= xs.map(lng)
+            case o => return err(s"bad remove-snapshots: $o", 400)
+          }
         case JString("add-snapshot") =>
           val s = u \ "snapshot"
           if (addSnap.nonEmpty) return err("multiple add-snapshot updates", 400)
@@ -1943,7 +1949,29 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     }
     val updated = removeRefs.foldLeft(afterSets)((m, name) =>
       m.copy(refs = m.refs - name, tags = m.tags - name))
-    Right((meta, updated))
+    // ---- remove-snapshots (the spec's snapshot expiry): metadata-only
+    // trim under Maintenance.expireSnapshots' rules — ref-pinned and
+    // current snapshots refuse (a client expires a branch by removing
+    // the ref in the SAME commit, honored because this applies LAST,
+    // against the post-ref-update state). Physical file GC stays
+    // server-side: expiry only unlinks history; orphan reclamation is
+    // the serving engine's maintenance sweep.
+    val expired =
+      if (removeSnaps.isEmpty) updated
+      else {
+        val ids = removeSnaps.toSet
+        ids.find(id => !updated.snapshots.exists(_.snapshotId == id))
+          .foreach(id => return err(s"remove-snapshots: no snapshot $id", 400))
+        val pinned = updated.refs.values.toSet ++ updated.tags.values.toSet ++
+          updated.currentSnapshotId.toSet
+        ids.find(pinned).foreach(id =>
+          return err(s"remove-snapshots: snapshot $id is pinned by a " +
+            "branch, tag, or is current — remove the ref first", 400))
+        updated.copy(snapshots =
+          updated.snapshots.filterNot(s => ids.contains(s.snapshotId)))
+          .pruneUnreferencedHistoricalSpecs
+      }
+    Right((meta, expired))
   }
 
   /** Classifies and validates ONE add-snapshot's manifest delta against

@@ -1474,6 +1474,77 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("remove-snapshots over REST: expiry semantics, pins refuse, GC stays server-side") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "t", Seq((1L, "a")).toDF("id", "v"))
+    for (i <- 2 to 5)
+      IceWrite.append(spark, cat, "t", Seq((i.toLong, s"v$i")).toDF("id", "v"))
+    val snaps = cat.loadTable("t").snapshots.map(_.snapshotId)
+    assert(snaps.size == 5)
+    val Seq(s1, s2, s3, s4, s5) = snaps
+    IceWrite.createTag(cat, "t", "keepme", s3)
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def commit(upds: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(
+          URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/t"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"requirements": [], "updates": [$upds]}""")).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      // pins refuse: current head, tag-pinned, and unknown ids
+      val rCur = commit(s"""{"action": "remove-snapshots", "snapshot-ids": [$s5]}""")
+      assert(rCur.statusCode() == 400 && rCur.body().contains("pinned"), rCur.body())
+      val rTag = commit(s"""{"action": "remove-snapshots", "snapshot-ids": [$s3]}""")
+      assert(rTag.statusCode() == 400 && rTag.body().contains("pinned"), rTag.body())
+      val rNo = commit("""{"action": "remove-snapshots", "snapshot-ids": [999]}""")
+      assert(rNo.statusCode() == 400 && rNo.body().contains("no snapshot"), rNo.body())
+      // one bad id refuses the WHOLE batch
+      val rMix = commit(
+        s"""{"action": "remove-snapshots", "snapshot-ids": [$s1, $s5]}""")
+      assert(rMix.statusCode() == 400, rMix.body())
+      assert(cat.loadTable("t").snapshots.size == 5,
+        "refused expiry must change nothing")
+
+      // the real expiry: drop s1, s2 — reads, lineage of the head, and
+      // the changelog of surviving commits are untouched
+      val ok = commit(
+        s"""{"action": "remove-snapshots", "snapshot-ids": [$s1, $s2]}""")
+      assert(ok.statusCode() == 200, ok.body())
+      val after = cat.loadTable("t")
+      assert(after.snapshots.map(_.snapshotId) == Seq(s3, s4, s5))
+      assert(IceRead.table(spark, cat, "t").count() == 5,
+        "expiry is metadata-only: the head read keeps every row")
+      assert(IceRead.tableAtTag(spark, cat, "t", "keepme").count() == 3)
+      // time-travel to an expired snapshot fails CLEANLY
+      val gone = intercept[IllegalStateException](
+        IceRead.tableAt(spark, cat, "t", s1).count())
+      assert(gone.getMessage.contains("no snapshot"))
+      // changelog across the surviving window still works
+      val chg = Changelog.changesBetween(spark, cat, "t", s3, s5)
+      assert(chg.where(col("_change_type") === "insert").count() == 2)
+
+      // expire a TAGGED snapshot by removing the tag in the SAME commit
+      // (remove-snapshots applies last, against the post-ref-update state)
+      val both = commit(
+        s"""{"action": "remove-snapshot-ref", "ref-name": "keepme"},
+           |{"action": "remove-snapshots", "snapshot-ids": [$s3]}"""
+          .stripMargin.replace("\n", " "))
+      assert(both.statusCode() == 200, both.body())
+      val fin = cat.loadTable("t")
+      assert(fin.snapshots.map(_.snapshotId) == Seq(s4, s5) &&
+        fin.tags.isEmpty)
+      assert(IceRead.table(spark, cat, "t").count() == 5)
+      // GC stays server-side: expired snapshots' files are NOT deleted by
+      // the REST exchange; they surface through the maintenance sweep's
+      // orphan detection instead
+      val orphans = graft.compaction.Maintenance.orphanFiles(cat, "t", olderThanMs = 0L)
+      assert(orphans.isEmpty || orphans.forall(p => MetaIO.exists(p)),
+        "expiry must not have deleted any file")
+    } finally srv.stop()
+  }
+
   test("reserved graft.* table properties refuse on every foreign door") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v0"))

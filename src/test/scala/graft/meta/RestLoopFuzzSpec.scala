@@ -231,7 +231,7 @@ class RestLoopFuzzSpec extends AnyFunSuite {
         else Some(model.keys.toSeq.sorted.apply(rnd.nextInt(model.size)))
 
       for (step <- 1 to 30) {
-        rnd.nextInt(9) match {
+        rnd.nextInt(10) match {
           case 0 => // REST create
             val t = s"t$nextTable"; nextTable += 1
             val resp = post("/v1/p/namespaces/wh/tables",
@@ -347,6 +347,33 @@ class RestLoopFuzzSpec extends AnyFunSuite {
                  |"updates": {"fuzz.step": "$step"}}]}""".stripMargin.replace("\n", " "))
             assert(landed.statusCode() == 200, s"step $step: ${landed.body()}")
             assert(cat.loadTable(t).properties.get("fuzz.step").contains(step.toString))
+          }
+          case 8 => randomTable().foreach { t => // FOREIGN snapshot expiry
+            val m = cat.loadTable(t)
+            val pinned = m.refs.values.toSet ++ m.tags.values.toSet ++
+              m.currentSnapshotId.toSet
+            val victims = m.snapshots.map(_.snapshotId)
+              .filterNot(pinned).take(1 + rnd.nextInt(2))
+            if (victims.nonEmpty) {
+              val resp = post(s"/v1/p/namespaces/wh/tables/$t",
+                s"""{"requirements": [], "updates": [{"action":
+                   |"remove-snapshots",
+                   |"snapshot-ids": [${victims.mkString(",")}]}]}"""
+                  .stripMargin.replace("\n", " "))
+              assert(resp.statusCode() == 200, s"step $step expiry: ${resp.body()}")
+              val after = cat.loadTable(t)
+              assert(victims.forall(id => after.snapshotById(id).isEmpty))
+              // rows unchanged — proven by the per-step model sweep below
+            }
+            // the pinned head always refuses
+            m.currentSnapshotId.foreach { head =>
+              val r = post(s"/v1/p/namespaces/wh/tables/$t",
+                s"""{"requirements": [], "updates": [{"action":
+                   |"remove-snapshots", "snapshot-ids": [$head]}]}"""
+                  .stripMargin.replace("\n", " "))
+              assert(r.statusCode() == 400,
+                s"step $step: expiring the current head must refuse")
+            }
           }
           case _ => randomTable().foreach { t => // view create or drop
             val v = s"view_of_$t"
