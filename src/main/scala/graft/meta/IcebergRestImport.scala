@@ -50,7 +50,14 @@ object IcebergRestImport {
     * client-credentials grant, form-encoded). The returned token rides as
     * every later call's `authToken`. Throws on a refused grant (the
     * server answers the OAuth `invalid_client` 401 for a bad secret). */
-  def fetchOauthToken(uri: String, clientId: String, clientSecret: String): String = {
+  def fetchOauthToken(uri: String, clientId: String, clientSecret: String): String =
+    fetchOauthTokenWithExpiry(uri, clientId, clientSecret)._1
+
+  /** [[fetchOauthToken]] plus the grant's `expires_in` (seconds; the RFC
+    * default when a server omits it is here 3600) — what [[OauthSession]]
+    * schedules its re-auth on. */
+  def fetchOauthTokenWithExpiry(uri: String, clientId: String,
+      clientSecret: String): (String, Long) = {
     def enc(s: String) = java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
     val form = s"grant_type=client_credentials&client_id=${enc(clientId)}" +
       s"&client_secret=${enc(clientSecret)}"
@@ -61,9 +68,35 @@ object IcebergRestImport {
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
       s"OAuth token request failed: HTTP ${resp.statusCode()} ${resp.body().take(300)}")
-    JsonMethods.parse(resp.body()) \ "access_token" match {
+    val j = JsonMethods.parse(resp.body())
+    val tok = j \ "access_token" match {
       case org.json4s.JString(t) => t
       case other => sys.error(s"bad token response: $other")
+    }
+    val expiresIn = j \ "expires_in" match {
+      case org.json4s.JInt(n) => n.toLong
+      case org.json4s.JLong(n) => n
+      case _ => 3600L
+    }
+    (tok, expiresIn)
+  }
+
+  /** `GET .../tables/{t}/credentials` (the spec's LoadCredentialsResponse,
+    * flattened to one config map): the refresh a long job performs when
+    * its vended storage credential nears `s3.session-token-expires-at-ms`
+    * — see [[CredentialSession]]. */
+  def fetchCredentials(uri: String, namespace: Seq[String], table: String,
+      authToken: Option[String] = None,
+      prefix: Option[String] = None): Map[String, String] = {
+    val pfx = prefix.getOrElse(resolvePrefix(uri, authToken))
+    val body = JsonMethods.parse(get(
+      tableRoute(uri, pfx, namespace, table) + "/credentials", authToken))
+    body \ "storage-credentials" match {
+      case JArray(xs) => xs.flatMap(x => x \ "config" match {
+        case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }
+        case _ => Nil
+      }).toMap
+      case _ => Map.empty
     }
   }
 

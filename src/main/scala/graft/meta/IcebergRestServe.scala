@@ -117,7 +117,20 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       * hand clients the access configuration with the table, so a spec
       * client needs no out-of-band storage setup. Static server config;
       * empty = nothing vended. */
-    storageCredentials: Map[String, String] = Map.empty) {
+    storageCredentials: Map[String, String] = Map.empty,
+    /** When > 0, vended storage credentials EXPIRE: every vend mints a
+      * fresh `s3.session-token` stamped with
+      * `s3.session-token-expires-at-ms` = now + TTL (the property names
+      * real S3 REST catalogs use), live server-side until expiry or
+      * [[rotateCredentials]]. Clients refresh through the spec's
+      * `GET .../tables/{table}/credentials` endpoint
+      * ([[CredentialSession]] is the client half). 0 = static vend,
+      * never expires (the pre-round-11 behavior). Expiring vends bypass
+      * the rendered-body cache — each load must carry fresh stamps. */
+    credentialTtlMs: Long = 0L,
+    /** Lifetime of OAuth2 tokens issued by `POST /v1/oauth/tokens`.
+      * Spec default 1 h; tests shrink it to prove client re-auth. */
+    tokenTtlMs: Long = 3600L * 1000) {
 
   /** Serve-side counters in the reference's registry shape
     * (core/src/common/metrics.rs:24-52): posted report counts by type,
@@ -308,7 +321,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           if (kind == "tables" || kind == "views") && obj.nonEmpty =>
         val suffix = rest match {
           case Nil => Some(None)
-          case s :: Nil if s == "plan" || s == "preplan" || s == "metrics" =>
+          case s :: Nil if s == "plan" || s == "preplan" || s == "metrics" ||
+              s == "credentials" =>
             Some(Some(s))
           case "plan" :: id :: Nil if id.nonEmpty =>
             Some(Some("plan/" + urlDecode(id))) // async plan poll/cancel
@@ -351,7 +365,39 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   /** OAuth2 tokens issued by [[oauthToken]], with their expiry stamps. */
   private val issuedTokens =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
-  private val TokenTtlMs = 3600L * 1000
+
+  /** Session tokens minted by expiring credential vends, with their
+    * expiry stamps ([[credentialTtlMs]] > 0 only). */
+  private val liveSessionTokens =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** The config map ONE credential vend hands a client: the static
+    * [[storageCredentials]], plus — when [[credentialTtlMs]] > 0 — a
+    * fresh session token and its expiry stamp. Each call is a distinct
+    * vend (distinct token), as real credential vendors behave. */
+  private def vendedConfig(): Map[String, String] =
+    if (credentialTtlMs <= 0) storageCredentials
+    else {
+      val now = System.currentTimeMillis()
+      val tok = java.util.UUID.randomUUID().toString.replace("-", "")
+      liveSessionTokens.put(tok, now + credentialTtlMs)
+      liveSessionTokens.entrySet.removeIf(e => e.getValue <= now) // lazy expiry
+      storageCredentials ++ Map(
+        "s3.session-token" -> tok,
+        "s3.session-token-expires-at-ms" -> (now + credentialTtlMs).toString)
+    }
+
+  /** True while `tok` is a session token this server vended and has
+    * neither expired nor been rotated away — the check a storage layer
+    * honoring this server's vends performs per access. */
+  def validSessionToken(tok: String): Boolean =
+    Option(liveSessionTokens.get(tok)).exists(_ > System.currentTimeMillis())
+
+  /** Revokes EVERY outstanding vended session token (key compromise,
+    * scheduled rotation): storage access with an old token dies at once;
+    * clients recover by re-fetching from the credentials endpoint, which
+    * mints fresh tokens. */
+  def rotateCredentials(): Unit = liveSessionTokens.clear()
 
   /** Constant-time secret equality (MessageDigest.isEqual): token and
     * client-secret compares must not leak match length through timing. */
@@ -367,7 +413,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     val tok = h.stripPrefix("Bearer ")
     val now = System.currentTimeMillis()
     // the issued-token scan compares every live entry in constant time
-    // (the map stays small: tokens expire after TokenTtlMs and prune on
+    // (the map stays small: tokens expire after tokenTtlMs and prune on
     // each issue), instead of a hash lookup keyed by the secret itself
     import scala.jdk.CollectionConverters._
     bearerToken.exists(ctEq(_, tok)) ||
@@ -377,7 +423,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
   /** `POST /v1/oauth/tokens`: the spec's OAuth2 client-credentials grant
     * — the ONE unauthenticated route (it IS the bootstrap). Form-encoded
     * per RFC 6749; a valid (client_id, client_secret) pair answers a
-    * bearer token accepted for [[TokenTtlMs]]; a bad secret answers the
+    * bearer token accepted for [[tokenTtlMs]]; a bad secret answers the
     * OAuth `invalid_client` 401. */
   private def oauthToken(body: String): (Int, String) = {
     if (oauthClients.isEmpty)
@@ -397,11 +443,11 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       case (Some(id), Some(sec)) if oauthClients.get(id).exists(ctEq(_, sec)) =>
         val tok = java.util.UUID.randomUUID().toString.replace("-", "")
         val now = System.currentTimeMillis()
-        issuedTokens.put(tok, now + TokenTtlMs)
+        issuedTokens.put(tok, now + tokenTtlMs)
         issuedTokens.entrySet.removeIf(e => e.getValue <= now) // lazy expiry
         200 -> JsonMethods.compact(JsonMethods.render(
           ("access_token" -> tok) ~ ("token_type" -> "bearer") ~
-            ("expires_in" -> TokenTtlMs / 1000)))
+            ("expires_in" -> tokenTtlMs / 1000)))
       case _ =>
         oauthErr(401, "invalid_client", "unknown client or wrong secret")
     }
@@ -429,9 +475,17 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         if (!catalog.tableExists(t) || isViewEntry(t)) err(s"table $t not found", 404)
         else if (which == "preplan") preplanTableScan(t, readBody(ex))
         else if (which == "metrics") recordMetrics(t, readBody(ex))
+        else if (which == "credentials")
+          err("POST is not supported on credentials — GET re-vends", 405)
         else if (which.startsWith("plan/"))
           err("POST is not supported on a plan id — GET polls, DELETE cancels", 405)
         else planTableScan(t, readBody(ex))
+      }
+      else if (method == "GET" &&
+          obj.exists(o => o._2 == "tables" && o._4.contains("credentials"))) {
+        val (_, _, t, _) = obj.get
+        if (!catalog.tableExists(t) || isViewEntry(t)) err(s"table $t not found", 404)
+        else loadCredentials(t)
       }
       else if ((method == "GET" || method == "DELETE") &&
           obj.exists(o => o._2 == "tables" && o._4.exists(_.startsWith("plan/")))) {
@@ -523,6 +577,7 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
               "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
               "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/preplan",
               "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/metrics",
+              "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/credentials",
               "POST /v1/{prefix}/transactions/commit",
               "GET /v1/{prefix}/namespaces/{namespace}/views",
               "GET /v1/{prefix}/namespaces/{namespace}/views/{view}",
@@ -580,49 +635,61 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     * metadata file from shared storage (once, cached) doesn't need it on
     * every catalog round trip. The export still runs (the location must
     * name a real file) and is cached per version like the full body. */
+  private def credConfigJson(conf: Map[String, String]): JValue =
+    JObject(conf.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) })
+
   private def loadTableResult(table: String,
       locationOnly: Boolean = false): (Int, String) = {
-    if (locationOnly) {
-      val epoch = epochOf(table) // read BEFORE the load (see [[epochs]])
-      val meta = catalog.loadTable(table)
-      val body =
-        // the U+001F separator cannot appear in a safeName'd entry, so
-          // this synthetic cache key can never collide with a real table
-          try cached(table + "\u001flocation-only", meta, epoch) {
-          val jsonPath = IcebergExport.exportIcebergMetadata(catalog, table)
-          JsonMethods.compact(JsonMethods.render(
-            ("metadata-location" -> jsonPath) ~
-              ("config" -> JObject(storageCredentials.toList.sortBy(_._1)
-                .map { case (k, v) => k -> (JString(v): JValue) }))))
-        }
-        catch { case e: IllegalArgumentException => return err(e.getMessage, 409) }
-      return 200 -> body
-    }
     val epoch = epochOf(table) // read BEFORE the load (see [[epochs]])
     val meta = catalog.loadTable(table)
-    val body =
-      try cached(table, meta, epoch) {
-        val jsonPath = IcebergExport.exportIcebergMetadata(catalog, table)
-        // storage-credential vending: when configured, every load carries
-        // the access configuration for the table's storage prefix (the
-        // spec's storage-credentials stanza, mirrored into config for
-        // clients that only read the io map) — a stock client needs no
-        // out-of-band storage setup
-        val credConfig: JValue =
-          JObject(storageCredentials.toList.sortBy(_._1)
-            .map { case (k, v) => k -> (JString(v): JValue) })
-        val creds: JValue =
-          if (storageCredentials.isEmpty) JNothing
-          else JArray(List(("prefix" -> meta.location) ~ ("config" -> credConfig)))
-        // metadata-location is the exported *.metadata.json itself (spec
-        // clients that honor it over the embedded copy must land on a
-        // real file), and the whole response renders through json4s so
-        // paths with quotes/backslashes stay valid JSON
+    // With EXPIRING vends every response must carry a fresh session
+    // token + stamp, so only the EXPORT (the expensive, racy half — two
+    // concurrent exports would write the same *.metadata.json) is cached
+    // and the body renders per request; with static vends the whole body
+    // caches as before. The export resolves BEFORE any body-cache
+    // compute — ConcurrentHashMap refuses a computeIfAbsent nested
+    // inside another on the same map ("Recursive update"). The U+001F
+    // separator cannot appear in a safeName'd entry, so synthetic cache
+    // keys never collide.
+    val jsonPath =
+      try cached(table + "\u001fexport", meta, epoch)(
+        IcebergExport.exportIcebergMetadata(catalog, table))
+      catch { case e: IllegalArgumentException => return err(e.getMessage, 409) }
+    val conf = vendedConfig()
+    if (locationOnly) {
+      def renderLoc(): String =
         JsonMethods.compact(JsonMethods.render(
           ("metadata-location" -> jsonPath) ~
-            ("metadata" -> JsonMethods.parse(MetaIO.readString(jsonPath))) ~
-            ("config" -> credConfig) ~
-            ("storage-credentials" -> creds)))
+            ("config" -> credConfigJson(conf))))
+      val body =
+        if (credentialTtlMs > 0) renderLoc()
+        else cached(table + "\u001flocation-only", meta, epoch)(renderLoc())
+      return 200 -> body
+    }
+    // storage-credential vending: when configured, every load carries
+    // the access configuration for the table's storage prefix (the
+    // spec's storage-credentials stanza, mirrored into config for
+    // clients that only read the io map) — a stock client needs no
+    // out-of-band storage setup. metadata-location is the exported
+    // *.metadata.json itself (spec clients that honor it over the
+    // embedded copy must land on a real file), and the whole response
+    // renders through json4s so paths with quotes/backslashes stay
+    // valid JSON.
+    def renderBody(): String = {
+      val credConfig = credConfigJson(conf)
+      val creds: JValue =
+        if (conf.isEmpty) JNothing
+        else JArray(List(("prefix" -> meta.location) ~ ("config" -> credConfig)))
+      JsonMethods.compact(JsonMethods.render(
+        ("metadata-location" -> jsonPath) ~
+          ("metadata" -> JsonMethods.parse(MetaIO.readString(jsonPath))) ~
+          ("config" -> credConfig) ~
+          ("storage-credentials" -> creds)))
+    }
+    val body =
+      try {
+        if (credentialTtlMs > 0) renderBody()
+        else cached(table, meta, epoch)(renderBody())
       }
       catch {
         // v3 features the v2 wire cannot carry: refuse with the reason
@@ -630,6 +697,18 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         case e: IllegalArgumentException => return err(e.getMessage, 409)
       }
     200 -> body
+  }
+
+  /** `GET .../tables/{t}/credentials` — the spec's refresh endpoint
+    * (LoadCredentialsResponse): a long job whose vended credential is
+    * about to lapse re-fetches HERE instead of re-loading the whole
+    * table. Every call is a fresh vend; never cached. */
+  private def loadCredentials(table: String): (Int, String) = {
+    val meta = catalog.loadTable(table)
+    200 -> JsonMethods.compact(JsonMethods.render(
+      ("storage-credentials" -> JArray(List(
+        ("prefix" -> meta.location) ~
+          ("config" -> credConfigJson(vendedConfig())))))))
   }
 
   import IcebergImport.{lng, str}
