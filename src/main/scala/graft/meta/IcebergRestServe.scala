@@ -1794,6 +1794,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     var addSpec: Option[JValue] = None
     var setSpecId: Option[Long] = None
     var removeSnaps: Seq[Long] = Nil
+    var setStats: Option[(Long, String)] = None
+    var removeStats: Seq[Long] = Nil
     var addSortOrder: Option[JValue] = None
     var setSortOrderId: Option[Long] = None
     val updList = (req \ "updates") match {
@@ -1828,6 +1830,25 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
             case JArray(xs) => removeSnaps ++= xs.map(lng)
             case o => return err(s"bad remove-snapshots: $o", 400)
           }
+        case JString("set-statistics") =>
+          if (setStats.nonEmpty) return err("multiple set-statistics updates", 400)
+          val s = u \ "statistics"
+          // the statistics object's own snapshot-id is authoritative;
+          // the update's top-level copy is the spec's deprecated form
+          val sid = (s \ "snapshot-id") match {
+            case JNothing | JNull => u \ "snapshot-id" match {
+              case JNothing | JNull =>
+                return err("set-statistics: no snapshot-id", 400)
+              case v => lng(v)
+            }
+            case v => lng(v)
+          }
+          (s \ "statistics-path") match {
+            case JString(p) => setStats = Some((sid, p))
+            case o => return err(s"set-statistics: bad statistics-path $o", 400)
+          }
+        case JString("remove-statistics") =>
+          removeStats :+= lng(u \ "snapshot-id")
         case JString("add-snapshot") =>
           val s = u \ "snapshot"
           if (addSnap.nonEmpty) return err("multiple add-snapshot updates", 400)
@@ -2026,8 +2047,21 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         m.copy(refs = m.refs + (name -> id), currentSnapshotId = Some(id))
       else m.copy(refs = m.refs + (name -> id))
     }
-    val updated = removeRefs.foldLeft(afterSets)((m, name) =>
+    val updated0x = removeRefs.foldLeft(afterSets)((m, name) =>
       m.copy(refs = m.refs - name, tags = m.tags - name))
+    // ---- statistics (the spec's set-statistics / remove-statistics):
+    // a foreign ANALYZE registers its Puffin sidecar as THE provenance
+    // graft's own ANALYZE / SHOW / export serve; applied after ref
+    // updates so an add-snapshot + set-statistics commit binds to the
+    // snapshot it just made current. Removal is idempotent.
+    val withStats0 = setStats match {
+      case None => updated0x
+      case Some((sid, path)) =>
+        try NdvStats.registerForeign(updated0x, sid, path)
+        catch { case e: IllegalArgumentException => return err(e.getMessage, 400) }
+    }
+    val updated = removeStats.foldLeft(withStats0)(
+      (m, sid) => NdvStats.removeForSnapshot(m, sid))
     // ---- remove-snapshots (the spec's snapshot expiry): metadata-only
     // trim under Maintenance.expireSnapshots' rules — ref-pinned and
     // current snapshots refuse (a client expires a branch by removing

@@ -172,6 +172,53 @@ object NdvStats {
     AnalyzeResult(sketches, scanned, incremental, statsPath)
   }
 
+  /** Registers a FOREIGN-written Puffin statistics file (the REST commit
+    * endpoint's `set-statistics`) as this table's NDV provenance — the
+    * same three properties a native ANALYZE records, so export, SHOW,
+    * and the incremental-ANALYZE delta path all see one scheme. Pure:
+    * the REST door applies it inside its own commit. Validations keep
+    * later consumers honest: the snapshot must be the CURRENT one (this
+    * server binds served statistics to the served snapshot), the file
+    * must exist and parse as Puffin, and every theta blob's field id
+    * must resolve in the schema. Blob PAYLOADS are not required to be
+    * graft-decodable — a foreign engine's sketch encoding registers
+    * fine; consumers that cannot decode it degrade to no-stats, never
+    * to wrong numbers. Throws IllegalArgumentException. */
+  private[meta] def registerForeign(meta: TableMetadata, snapshotId: Long,
+      path: String): TableMetadata = {
+    require(meta.currentSnapshotId.contains(snapshotId),
+      s"set-statistics: snapshot $snapshotId is not the current snapshot " +
+        "(this server binds statistics to the served snapshot)")
+    require(scala.util.Try(MetaIO.exists(path)).getOrElse(false),
+      s"set-statistics: statistics file does not exist: $path")
+    val footer =
+      try Puffin.readFooter(path)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"set-statistics: unreadable Puffin file $path: ${e.getMessage}") }
+    val theta = footer.filter(_.blobType == "apache-datasketches-theta-v1")
+    require(theta.nonEmpty,
+      s"set-statistics: no apache-datasketches-theta-v1 blobs in $path")
+    theta.foreach { b =>
+      require(b.fields.size == 1 && meta.schema.exists(_.id == b.fields.head),
+        s"set-statistics: blob field ids ${b.fields.mkString(",")} do not " +
+          "resolve to a schema column")
+    }
+    meta.copy(properties = meta.properties ++ Map(
+      PathKey -> path,
+      SnapshotKey -> snapshotId.toString,
+      SchemaKey -> schemaKeyOf(meta)))
+  }
+
+  /** The `remove-statistics` counterpart: unregisters the provenance
+    * when it names `snapshotId`; otherwise a no-op (removal is
+    * idempotent, like Iceberg's). Physical deletion of the sidecar
+    * stays with the maintenance sweep (orphan detection). */
+  private[meta] def removeForSnapshot(meta: TableMetadata,
+      snapshotId: Long): TableMetadata =
+    if (meta.properties.get(SnapshotKey).contains(snapshotId.toString))
+      meta.copy(properties = meta.properties -- Seq(PathKey, SnapshotKey, SchemaKey))
+    else meta
+
   /** The persisted sketches, when they cover the CURRENT snapshot —
     * what [[IcebergExport]] binds into the metadata `statistics` list
     * when the caller didn't pass sketches explicitly. */

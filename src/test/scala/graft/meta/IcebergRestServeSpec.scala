@@ -1545,6 +1545,98 @@ class IcebergRestServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("set/remove-statistics over REST: foreign ANALYZE registers, graft serves and reuses") {
+    val cat = freshCatalog()
+    IceWrite.create(spark, cat, "t",
+      (1L to 100L).map(i => (i, s"v${i % 7}")).toDF("id", "v"))
+    val meta0 = cat.loadTable("t")
+    val snapId = meta0.currentSnapshotId.get
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      def commit(upd: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(
+          URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/t"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"requirements": [], "updates": [$upd]}""")).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      // the FOREIGN engine's ANALYZE: theta-sketch both columns, write a
+      // Puffin sidecar, register it through the commit endpoint
+      val idSketch = ThetaSketch.empty()
+      (1L to 100L).foreach(idSketch.updateLong)
+      val vSketch = ThetaSketch.empty()
+      (0L to 6L).foreach(i => vSketch.updateString(s"v$i"))
+      val statsPath = MetaIO.join(meta0.location, "stats", "foreign.puffin")
+      val fid = meta0.fieldByName("id").get.id
+      val fv = meta0.fieldByName("v").get.id
+      Puffin.write(statsPath, Seq(
+        Puffin.Blob("apache-datasketches-theta-v1", idSketch.serialize,
+          snapId, 1L, Seq(fid), Map("ndv" -> idSketch.estimate.toString)),
+        Puffin.Blob("apache-datasketches-theta-v1", vSketch.serialize,
+          snapId, 1L, Seq(fv), Map("ndv" -> "7"))))
+
+      // refusals first: wrong snapshot, missing file, junk file
+      val rSnap = commit(s"""{"action": "set-statistics", "statistics":
+        {"snapshot-id": ${snapId + 99}, "statistics-path": "$statsPath"}}""")
+      assert(rSnap.statusCode() == 400 && rSnap.body().contains("current"), rSnap.body())
+      val rMiss = commit(s"""{"action": "set-statistics", "statistics":
+        {"snapshot-id": $snapId, "statistics-path": "${meta0.location}/nope.puffin"}}""")
+      assert(rMiss.statusCode() == 400 && rMiss.body().contains("exist"), rMiss.body())
+      val junk = MetaIO.join(meta0.location, "stats", "junk.puffin")
+      MetaIO.writeString(junk, "not a puffin file")
+      val rJunk = commit(s"""{"action": "set-statistics", "statistics":
+        {"snapshot-id": $snapId, "statistics-path": "$junk"}}""")
+      assert(rJunk.statusCode() == 400, rJunk.body())
+
+      // the real registration
+      val ok = commit(s"""{"action": "set-statistics", "statistics":
+        {"snapshot-id": $snapId, "statistics-path": "$statsPath"}}""")
+      assert(ok.statusCode() == 200, ok.body())
+      val m1 = cat.loadTable("t")
+      assert(m1.properties.get("ndv.sketch.path").contains(statsPath))
+      assert(m1.properties.get("ndv.sketch.snapshot-id").contains(snapId.toString))
+
+      // served back: the next LoadTableResult's statistics list carries
+      // blobs with the foreign cardinalities for external CBOs
+      val ltr = JsonMethods.parse(http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/t")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      val stats = (ltr \ "metadata" \ "statistics").asInstanceOf[JArray].arr
+      assert(stats.size == 1, JsonMethods.compact(JsonMethods.render(ltr \ "metadata" \ "statistics")))
+      val ndvs = (stats.head \ "blob-metadata").asInstanceOf[JArray].arr.map(b =>
+        (b \ "properties" \ "ndv").asInstanceOf[JString].s.toLong).toSet
+      assert(ndvs == Set(idSketch.estimate, 7L),
+        s"served ndvs $ndvs must carry the foreign cardinalities")
+
+      // graft's own ANALYZE REUSES the foreign provenance: after an
+      // append-only delta it takes the incremental path (possible only
+      // because the registered sidecar was read back)
+      IceWrite.append(spark, cat, "t",
+        (101L to 120L).map(i => (i, s"v${i % 7}")).toDF("id", "v"))
+      val res = NdvStats.analyze(spark, cat, "t", Seq("id", "v"))
+      assert(res.incremental,
+        "ANALYZE after an append must ride the foreign-registered sketches")
+      assert(res.sketches("id").estimate >= 115 && res.sketches("id").estimate <= 125,
+        s"id ndv ${res.sketches("id").estimate} must reflect old+new")
+      assert(res.sketches("v").estimate == 7)
+
+      // remove-statistics: idempotent unregistration; the serve stops
+      // carrying a statistics list for the de-registered provenance
+      val m2 = cat.loadTable("t")
+      val sid2 = m2.properties("ndv.sketch.snapshot-id").toLong
+      val rm = commit(s"""{"action": "remove-statistics", "snapshot-id": $sid2}""")
+      assert(rm.statusCode() == 200, rm.body())
+      assert(!cat.loadTable("t").properties.contains("ndv.sketch.path"))
+      val rm2 = commit(s"""{"action": "remove-statistics", "snapshot-id": $sid2}""")
+      assert(rm2.statusCode() == 200, "removal is idempotent")
+      val ltr2 = JsonMethods.parse(http.send(HttpRequest.newBuilder(
+        URI.create(s"${srv.uri}/v1/p/namespaces/wh/tables/t")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      assert((ltr2 \ "metadata" \ "statistics") == JArray(Nil))
+    } finally srv.stop()
+  }
+
   test("reserved graft.* table properties refuse on every foreign door") {
     val cat = freshCatalog()
     IceWrite.create(spark, cat, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v0"))
