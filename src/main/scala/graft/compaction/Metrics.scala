@@ -84,6 +84,18 @@ final class Metrics {
 
   def counter(name: String): AtomicLong = custom.getOrElseUpdate(name, new AtomicLong)
 
+  private val customHists = TrieMap.empty[String, Histogram]
+
+  /** Named histogram with the given envelope, created on first use —
+    * how the serve layer rolls per-table distributions (scan planning
+    * latency, result file counts, commit durations) into this registry
+    * alongside the fixed compaction set. The (start, factor, buckets)
+    * of the FIRST call wins for a name; callers use one envelope per
+    * metric family, like the reference's designed buckets. */
+  def histogram(name: String, start: Double, factor: Double,
+      bucketCount: Int): Histogram =
+    customHists.getOrElseUpdate(name, new Histogram(start, factor, bucketCount))
+
   def snapshot: Map[String, Long] = Map(
     "commit_succeeded" -> commitSucceeded.get,
     "commit_failed" -> commitFailed.get,
@@ -101,5 +113,5 @@ final class Metrics {
     "compaction_duration_ms" -> compactionDurationMs.snapshot,
     "plan_file_count" -> planFileCount.snapshot,
     "plan_size_bytes" -> planSizeBytes.snapshot
-  )
+  ) ++ customHists.map { case (k, h) => k -> h.snapshot }
 }

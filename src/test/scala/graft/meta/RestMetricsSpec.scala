@@ -82,4 +82,68 @@ class RestMetricsSpec extends AnyFunSuite {
       GraftSql.unregister("mx")
     } finally srv.stop()
   }
+
+  test("registry aggregation: N posted reports roll into per-table distributions") {
+    val cat = LocalCatalog(Files.createTempDirectory("rest-agg-wh").toString)
+    IceWrite.create(spark, cat, "t", Seq((1L, "a")).toDF("id", "v"))
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      // 12 scan reports: planning durations 2^i ms (in nanoseconds, the
+      // spec's wire unit), result files i, bytes i MiB
+      val durationsMs = (1 to 12).map(i => math.pow(2.0, i.toDouble))
+      durationsMs.zipWithIndex.foreach { case (ms, i) =>
+        val r = post(s"${srv.uri}/v1/p/namespaces/wh/tables/t/metrics",
+          s"""{"report-type": "scan-report", "metrics": {
+             | "total-planning-duration": {"count": 1,
+             |   "time-unit": "nanoseconds", "total-duration": ${(ms * 1e6).toLong}},
+             | "result-data-files": {"unit": "count", "value": ${i + 1}},
+             | "total-file-size-in-bytes": {"unit": "bytes",
+             |   "value": ${(i + 1) * 1024L * 1024L}}}}""".stripMargin)
+        assert(r.statusCode() == 204, r.body())
+      }
+      // 3 commit reports, durations given in MILLISECONDS directly
+      (1 to 3).foreach { i =>
+        assert(post(s"${srv.uri}/v1/p/namespaces/wh/tables/t/metrics",
+          s"""{"report-type": "commit-report", "metrics": {
+             | "total-duration": {"count": 1, "time-unit": "milliseconds",
+             |   "total-duration": ${i * 100}},
+             | "added-data-files": {"unit": "count", "value": $i}}}"""
+            .stripMargin).statusCode() == 204)
+      }
+
+      val hists = srv.metrics.histogramSnapshots
+      val plan = hists("scan_planning_ms:t")
+      assert(plan.count == 12 && math.abs(plan.sum - durationsMs.sum) < 1.0,
+        s"planning distribution: count=${plan.count} sum=${plan.sum}")
+      // the 1ms x4^8 envelope: bounds 1,4,16,...; durations 2..4096 ms ->
+      // cumulative counts must be monotone and end at 12
+      assert(plan.cumulativeCounts.last == 12)
+      assert(plan.cumulativeCounts == plan.cumulativeCounts.sorted)
+      // le=16ms holds durations 2,4,8,16 -> 4 observations
+      val le16 = plan.bounds.indexWhere(_ >= 16.0)
+      assert(plan.cumulativeCounts(le16) == 4, s"${plan.cumulativeCounts}")
+      val files = hists("scan_result_files:t")
+      assert(files.count == 12 && files.sum == (1 to 12).sum.toDouble)
+      val bytes = hists("scan_result_bytes:t")
+      assert(bytes.count == 12)
+      val cdur = hists("commit_duration_ms:t")
+      assert(cdur.count == 3 && cdur.sum == 600.0)
+      assert(hists("commit_added_files:t").count == 3)
+      // per-TABLE keying: no cross-table histogram exists
+      assert(!hists.keys.exists(k => k.endsWith(":nope")))
+
+      // RESTART RECOVERY: a fresh server over the same catalog rebuilds
+      // the distributions from the persisted reports
+      val srv2 = new IcebergRestServe(cat, namespace = "wh", prefix = "p2")
+      try {
+        assert(srv2.metrics.histogramSnapshots.get("scan_planning_ms:t").isEmpty)
+        val replayed = srv2.rollupPersistedReports()
+        assert(replayed == 15, s"replayed $replayed of 15 persisted reports")
+        val plan2 = srv2.metrics.histogramSnapshots("scan_planning_ms:t")
+        assert(plan2.count == plan.count && plan2.cumulativeCounts == plan.cumulativeCounts,
+          "rebuilt distribution must equal the live one")
+        assert(srv2.metrics.histogramSnapshots("commit_duration_ms:t").sum == 600.0)
+      } finally srv2.stop()
+    } finally srv.stop()
+  }
 }
