@@ -20,11 +20,12 @@ import graft.testkit.FileGenerator
   * The sf1 inputs derive from the driver's sf0.1 parquet (TESTDATA.md
   * forbids inventing data) by 10x replica explosion:
   *
-  *  - DEDUP corpus: each replica's words carry a replica tag, so
-  *    shingles NEVER match across replicas — per-replica near-dup
-  *    structure is exactly sf0.1's, and organic pair counts must land
-  *    ~10x the sf0.1 lines (a checkable scaling law, recorded in the
-  *    output). The d2/d13 corpus then gets the oracle harness's seeding
+  *  - DEDUP corpus: each replica is the plain corpus under a replica-
+  *    rotated substitution cipher, so shingles/grams NEVER match across
+  *    replicas while per-replica near-dup structure is exactly sf0.1's
+  *    — pair counts must land ~10x the sf0.1 lines (a checkable
+  *    scaling law, recorded in the output). The corpus then gets the
+  *    oracle harness's seeding
   *    (half the docs re-appended with " extra", a third duplicated) so
   *    positives exist by construction, as in the timed sf0.1 lines.
   *  - SKEW corpus: one third of the 10x corpus replaced by shared
@@ -85,11 +86,22 @@ object Sf1Anchor {
       .select(col("doc_id"), col("text"))
     val nBase = base.count()
     val reps = 10
-    // replica-tagged words: cross-replica shingles never collide
-    val tagged = base.crossJoin(spark.range(reps).toDF("rep"))
-      .select((col("doc_id") + col("rep") * nBase * 10).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          w => concat(w, lit("_"), col("rep"))), " ").as("text"))
+    // per-replica SUBSTITUTION CIPHER: each replica's alphabet rotates
+    // by its index, so replicas share NO words (shingles and character
+    // grams never collide across replicas) while word lengths, gram
+    // counts, and winnow/minhash structure stay EXACTLY the plain
+    // corpus's per replica. (A first fixture attempt tagged every word
+    // with "_rep" — that lengthened words by 2 chars over this corpus's
+    // ~30-word vocabulary and pushed every k=12 winnow gram bucket over
+    // the 64-doc cap at 10x volume: d13 recall went to literal zero.
+    // The cap did its documented job; the fixture was distorting gram
+    // selectivity. Recorded in BASELINE.md as the sf1 finding.)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val tagged = (0 until reps).map { r =>
+      val rot = alpha.drop(r) + alpha.take(r)
+      base.select((col("doc_id") + lit(r.toLong * nBase * 10)).as("doc_id"),
+        translate(col("text"), alpha, rot).as("text"))
+    }.reduce(_ unionAll _)
       .repartition(cpus.toInt * 2)
       .localCheckpoint(true)
     val nTagged = tagged.count()

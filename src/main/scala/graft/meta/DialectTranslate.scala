@@ -87,6 +87,42 @@ object DialectTranslate {
     "chr" -> "char",
     "codepoint" -> "ascii")
 
+  /** Round-11 tier: the whitelist goes PER-DIALECT, because "identical
+    * semantics" is a property of (source dialect, Spark) pairs — Hive's
+    * `split(str, regex)` is Spark's very function (Spark SQL inherited
+    * Hive's UDF surface), while Trino's `split(str, delim)` takes a
+    * LITERAL delimiter and must keep refusing. Everything here is
+    * mechanically safe by lineage or by published definition:
+    *
+    *  - Hive-only pass-throughs: functions Spark inherited from Hive
+    *    byte-for-byte (split/instr/locate/nvl/elt/find_in_set/
+    *    get_json_object/base64/unbase64/size/lcase/ucase/char_length/
+    *    character_length/datediff — int days between date-truncated
+    *    operands in both). Deliberate absences: `date_add`/`date_sub`
+    *    return STRING before Hive 2.1 and DATE after (version-dependent
+    *    ≠ known-identical), `from_unixtime`/`unix_timestamp` with a
+    *    format argument hit the SimpleDateFormat-vs-DateTimeFormatter
+    *    pattern divergence and this translator cannot see arity,
+    *    `regexp_extract`'s no-match result is not provably identical.
+    *  - Trino-only renames: `day_of_year`/`doy` -> `dayofyear`,
+    *    `day_of_month` -> `dayofmonth`, `week`/`week_of_year` ->
+    *    `weekofyear` (ISO-8601 week numbering on BOTH sides; Trino
+    *    `day_of_week` stays refused — ISO 1=Monday vs Spark 1=Sunday),
+    *    `to_base64`/`from_base64` -> `base64`/`unbase64` (RFC 4648
+    *    standard alphabet both), `levenshtein_distance` ->
+    *    `levenshtein` (classic single-character-edit distance, code-
+    *    point based on both sides). */
+  private val HiveOnlyFunctions: Set[String] = Set(
+    "split", "instr", "locate", "nvl", "elt", "find_in_set",
+    "get_json_object", "base64", "unbase64", "size", "lcase", "ucase",
+    "char_length", "character_length", "datediff")
+  private val TrinoOnlyRenames: Map[String, String] = Map(
+    "day_of_year" -> "dayofyear", "doy" -> "dayofyear",
+    "day_of_month" -> "dayofmonth",
+    "week" -> "weekofyear", "week_of_year" -> "weekofyear",
+    "to_base64" -> "base64", "from_base64" -> "unbase64",
+    "levenshtein_distance" -> "levenshtein")
+
   /** Bare TYPE names (cast targets) spelled differently. Sized forms
     * (`varchar(10)`) refuse via the call whitelist before this applies. */
   private val TypeRenames: Map[String, String] = Map(
@@ -105,6 +141,11 @@ object DialectTranslate {
     val d = dialect.toLowerCase(java.util.Locale.ROOT)
     if (!Set("trino", "presto", "hive").contains(d)) return None
     val toks = tokenize(sql).getOrElse(return None)
+    // dialect-resolved whitelists (see the round-11 tier note above)
+    val functions =
+      if (d == "hive") Functions ++ HiveOnlyFunctions else Functions
+    val renames =
+      if (d == "hive") Renames else Renames ++ TrinoOnlyRenames
     // refusal scan: constructs outside the subset
     val words = toks.collect { case Word(w) => w.toLowerCase(java.util.Locale.ROOT) }
     if (words.contains("try") || words.contains("at") || words.contains("lateral") ||
@@ -136,8 +177,8 @@ object DialectTranslate {
     meaningful.zip(meaningful.drop(1)).foreach {
       case (Word(w), Other(op)) if op.trim.startsWith("(") =>
         val lw = w.toLowerCase(java.util.Locale.ROOT)
-        if (!Keywords.contains(lw) && !Functions.contains(lw) &&
-            !Renames.contains(lw)) return None
+        if (!Keywords.contains(lw) && !functions.contains(lw) &&
+            !renames.contains(lw)) return None
       case (Quoted(_) | Tick(_), Other(op)) if op.trim.startsWith("(") =>
         // a quoted/backquoted-identifier call is never in the subset —
         // `date_format`(...) would bypass the whitelist and run with
@@ -170,7 +211,7 @@ object DialectTranslate {
           val lw = w.toLowerCase(java.util.Locale.ROOT)
           val inCastTarget =
             parenStack.headOption.contains(true) && prevWord.contains("as")
-          if (Renames.contains(lw) && nextIsCall) out ++= Renames(lw)
+          if (renames.contains(lw) && nextIsCall) out ++= renames(lw)
           else if (TypeRenames.contains(lw) && inCastTarget && !nextIsCall)
             out ++= TypeRenames(lw)
           else out ++= w

@@ -88,6 +88,59 @@ class DialectTranslateSpec extends AnyFunSuite {
     assert(t("SELECT date_trunc('month', d) FROM t").isEmpty)
   }
 
+  test("round-11 tier: whitelists are per-dialect; each translated form runs in Spark") {
+    val spark = graft.SparkTestBase.spark
+    // Hive-only pass-throughs: Spark inherited these from Hive verbatim.
+    // The SAME calls keep refusing from Trino (split takes a literal
+    // delimiter there; instr/nvl/etc. aren't the point — split is the trap)
+    val hiveOnly = Seq(
+      "SELECT split('a,b,c', ',')",
+      "SELECT instr('hello', 'll'), locate('l', 'hello')",
+      "SELECT nvl(NULL, 'x'), elt(2, 'a', 'b'), find_in_set('b', 'a,b,c')",
+      "SELECT get_json_object('{\"k\": 1}', '$.k')",
+      "SELECT base64(cast('hi' AS binary)), unbase64('aGk=')",
+      "SELECT size(split('a,b', ',')), lcase('AB'), ucase('ab')",
+      "SELECT char_length('abc'), character_length('abc')",
+      "SELECT datediff('2024-03-01', '2024-02-27')")
+    hiveOnly.foreach { sql =>
+      val out = h(sql)
+      assert(out.contains(sql), s"hive must pass through: $sql -> $out")
+      spark.sql(out.get).collect()
+    }
+    assert(t("SELECT split(s, ',') FROM x").isEmpty,
+      "Trino split takes a LITERAL delimiter — must keep refusing")
+    assert(t("SELECT size(a) FROM x").isEmpty)
+    assert(t("SELECT datediff('day', a, b) FROM x").isEmpty,
+      "Trino datediff(unit, from, to) is a different function")
+
+    // Trino-only renames (and their Spark execution)
+    assert(t("SELECT day_of_year(d), doy(d), day_of_month(d) FROM x") ==
+      Some("SELECT dayofyear(d), dayofyear(d), dayofmonth(d) FROM x"))
+    assert(t("SELECT week(d), week_of_year(d) FROM x") ==
+      Some("SELECT weekofyear(d), weekofyear(d) FROM x"))
+    assert(t("SELECT to_base64(b), from_base64(s) FROM x") ==
+      Some("SELECT base64(b), unbase64(s) FROM x"))
+    assert(t("SELECT levenshtein_distance('kitten', 'sitting')") ==
+      Some("SELECT levenshtein('kitten', 'sitting')"))
+    assert(spark.sql("SELECT levenshtein('kitten', 'sitting')").head.getInt(0) == 3)
+    assert(spark.sql(
+      "SELECT dayofyear(DATE'2024-02-01'), weekofyear(DATE'2024-01-04')")
+      .head() != null)
+    // renames stay out of the OTHER dialect (Hive has no week() function
+    // with ISO semantics guaranteed; a Hive view naming one refuses)
+    assert(h("SELECT week(d) FROM x").isEmpty)
+    assert(h("SELECT to_base64(b) FROM x").isEmpty)
+
+    // deliberate refusals hold on BOTH doors
+    assert(h("SELECT date_add(d, 1) FROM x").isEmpty,
+      "Hive date_add returns string pre-2.1 and date after — version-dependent")
+    assert(h("SELECT from_unixtime(c, 'u') FROM x").isEmpty,
+      "format-arg pattern dialects diverge and arity is invisible here")
+    assert(h("SELECT regexp_extract(s, 'a(b)', 1) FROM x").isEmpty)
+    assert(t("SELECT day_of_week(d) FROM x").isEmpty,
+      "ISO 1=Monday vs Spark 1=Sunday")
+  }
+
   test("backquoted identifiers: verbatim as names, REFUSED in call position") {
     // names pass through (Spark shares the form)
     assert(h("SELECT `weird col` FROM t") == Some("SELECT `weird col` FROM t"))
