@@ -63,10 +63,19 @@ object Sf1Anchor {
       }.getOrElse("null")
     val loadStart = loadavg()
 
-    def time(f: => Unit): Double = {
+    // a swallowed failure must NOT read as a fast line: errors record
+    // into the JSON (and fail the process) so adjudication can never
+    // mistake a crashed line's near-zero seconds for a speedup
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val detail = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timed(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try f catch { case e: Throwable => System.err.println(s"[sf1] ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      try { f; results(name) = (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        results(name) = (System.nanoTime() - t0) / 1e9
+        errors(name) = Option(e.getMessage).getOrElse(e.toString).take(200)
+      }
     }
     // free each line's own checkpoint blocks WITHOUT dropping the
     // fixture corpora later lines still read (the Bench keep-set trick)
@@ -78,8 +87,6 @@ object Sf1Anchor {
         if (!keepIds.contains(id)) r.unpersist(false)
       }
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val detail = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
     // ---- fixtures (untimed) ----
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -119,7 +126,7 @@ object Sf1Anchor {
     markFixtures()
 
     // ---- d2: MinHash+LSH near-dup pairs (vs sf0.1 d2_minhash_pairs) ----
-    results("d2_sf1") = time {
+    timed("d2_sf1") {
       detail("d2_pairs") = graft.ops.Dedup.minHashNearDupPairs(seeded,
         "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
         threshold = 0.5, maxBucketSize = 100).count()
@@ -127,7 +134,7 @@ object Sf1Anchor {
     releaseAll()
 
     // ---- d13: winnowing fingerprint pairs (vs d13_winnow_pairs) ----
-    results("d13_sf1") = time {
+    timed("d13_sf1") {
       detail("d13_pairs") = graft.ops.Dedup.winnowNearDupPairs(seeded,
         "doc_id", "text", k = 12, minOverlapPpm = 500000L,
         maxBucketSize = 64).count()
@@ -135,7 +142,7 @@ object Sf1Anchor {
     releaseAll()
 
     // ---- i2: incremental cross-run MinHash index, two batches ----
-    results("i2_sf1") = time {
+    timed("i2_sf1") {
       val catalog = new LocalCatalog(
         java.nio.file.Files.createTempDirectory("sf1-i2-wh").toString)
       val b0 = tagged.filter(col("doc_id") % 3 =!= 0)
@@ -161,7 +168,7 @@ object Sf1Anchor {
       .localCheckpoint(true)
     markFixtures()
     detail("planted_bucket") = planted.filter(col("doc_id") % 3 === 0).count()
-    results("skew_i2_sf1") = time {
+    timed("skew_i2_sf1") {
       val catalog = new LocalCatalog(
         java.nio.file.Files.createTempDirectory("sf1-skew-wh").toString)
       val b0 = planted.filter(col("doc_id") % 2 === 0)
@@ -181,7 +188,7 @@ object Sf1Anchor {
       .repartition(cpus.toInt * 2)
       .localCheckpoint(true)
     markFixtures()
-    results("b2_sf1") = time {
+    timed("b2_sf1") {
       val catalog = LocalCatalog(
         java.nio.file.Files.createTempDirectory("sf1-ti-wh").toString)
       graft.ops.TextIndex.build(spark, catalog, "sf1_ti",
@@ -212,7 +219,7 @@ object Sf1Anchor {
     detail("lineitem_rows") = nLi * reps
     val before = catalog.loadTable("sf1_li").currentSnapshot.get.manifest
     detail("compaction_input_bytes") = before.map(_.length).sum
-    results("compaction_mor_sf1") = time {
+    timed("compaction_mor_sf1") {
       val c = new Compaction(catalog, "sf1_li", spark,
         config = FullCompactionConfig(PlanningParams(
           targetFileSizeBytes = 512L * 1024 * 1024,
@@ -227,7 +234,14 @@ object Sf1Anchor {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ds = detail.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val load = s""""load":{"start":$loadStart,"end":${loadavg()}}"""
-    println(s"""{"metric":"sf1_anchor","value":${results.values.sum},"unit":"sec","queries":$qs,"detail":$ds,$load,"sf":"$sfDir x10"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", " ").replace("\"", "'")
+          .replace("\n", " ") + "\""
+      }.mkString(",\"errors\":{", ",", "}")
+    println(s"""{"metric":"sf1_anchor","value":${results.values.sum},"unit":"sec","queries":$qs,"detail":$ds$errJson,$load,"sf":"$sfDir x10"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -909,6 +909,10 @@ object GraftSql {
         if (ignoreIfExists) return Seq.empty
         throw new IllegalArgumentException(s"table $catalogName.$table already exists")
       }
+      // the CREATE door refuses reserved keys exactly like ALTER and the
+      // REST create — forged graft.*/ndv.sketch.* engine state must not
+      // land through the oldest door either
+      SchemaEvolution.requireUnreservedProps(properties.keys)
       val df = query.map(ColumnBridge.ofRows(spark, _)).getOrElse(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], declaredSchema.get))
@@ -1239,7 +1243,14 @@ object GraftSql {
       val part =
         if (meta.partitionSpec.isEmpty) ""
         else meta.partitionSpec.map(transformSql).mkString("\nPARTITIONED BY (", ", ", ")")
-      val props = (meta.properties + ("format-version" -> meta.formatVersion.toString))
+      // reserved engine state (graft.* identity/stats, ndv.sketch.*
+      // provenance) stays OUT of the emitted DDL: replaying it would
+      // forge the old table's identity into the new one — and the
+      // CREATE door refuses reserved keys, so emitting them would make
+      // this DDL non-runnable
+      val props = (meta.properties.filterNot { case (k, _) =>
+          k.startsWith("graft.") || k.startsWith("ndv.sketch.") } +
+          ("format-version" -> meta.formatVersion.toString))
         .toSeq.sorted.map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
         .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
       Seq(Row(s"CREATE TABLE $catalogName.$table (\n$cols)$part$props"))

@@ -185,7 +185,8 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     epochs.computeIfAbsent(name,
       _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
     cache.keySet.removeIf(k =>
-      k._1 == name || k._1 == name + "\u001flocation-only")
+      k._1 == name || k._1 == name + "\u001flocation-only" ||
+        k._1 == name + "\u001fexport" || k._1 == name + "\u001fmetadoc")
   }
 
   /** Tables STAGED by `stage-create=true` (the spec CTAS handshake),
@@ -686,9 +687,27 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
           ("config" -> credConfig) ~
           ("storage-credentials" -> creds)))
     }
+    // expiring vends: only the config/storage-credentials stanzas vary
+    // per request, so the big half (the parsed + re-rendered metadata
+    // document) caches under its own key and the body SPLICES — without
+    // this every load re-reads and re-parses the whole document just to
+    // carry a fresh credential stamp. Fragments are valid JSON, so
+    // string splicing is sound.
+    def renderSpliced(): String = {
+      val metaDoc = cached(table + "\u001fmetadoc", meta, epoch)(
+        JsonMethods.compact(JsonMethods.render(
+          JsonMethods.parse(MetaIO.readString(jsonPath)))))
+      def q(v: String): String =
+        JsonMethods.compact(JsonMethods.render(JString(v)))
+      val confJson = JsonMethods.compact(JsonMethods.render(credConfigJson(conf)))
+      val creds =
+        if (conf.isEmpty) ""
+        else s""","storage-credentials":[{"prefix":${q(meta.location)},"config":$confJson}]"""
+      s"""{"metadata-location":${q(jsonPath)},"metadata":$metaDoc,"config":$confJson$creds}"""
+    }
     val body =
       try {
-        if (credentialTtlMs > 0) renderBody()
+        if (credentialTtlMs > 0) renderSpliced()
         else cached(table, meta, epoch)(renderBody())
       }
       catch {
@@ -777,10 +796,11 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
       case o: JObject => o; case _ => JObject(Nil)
     }
     // client-supplied reserved keys on a CREATE would forge engine state
-    // the server is about to assign itself (identity, stats retirement) —
-    // the register route is the sanctioned adopt-a-foreign-uuid path
-    properties.obj.map(_._1).find(_.startsWith("graft.")).foreach(k =>
-      return err(s"table property $k is reserved engine state", 400))
+    // the server is about to assign itself (identity, stats retirement,
+    // ANALYZE provenance) — the register route is the sanctioned
+    // adopt-a-foreign-uuid path, set-statistics the validated stats one
+    try SchemaEvolution.requireUnreservedProps(properties.obj.map(_._1))
+    catch { case e: IllegalArgumentException => return err(e.getMessage, 400) }
     // engines request v3 the way Iceberg itself does: a `format-version`
     // table property on the create
     val fv = (properties \ "format-version") match {
@@ -2046,12 +2066,25 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         catch { case e: IllegalArgumentException =>
           return err(e.getMessage, 400) }
     }
+    val afterSets = setRefs.foldLeft(withSchema) { case (m, (name, typ, id)) =>
+      if (typ == "tag") m.copy(tags = m.tags + (name -> id))
+      else if (name == "main")
+        m.copy(refs = m.refs + (name -> id), currentSnapshotId = Some(id))
+      else m.copy(refs = m.refs + (name -> id))
+    }
+    val afterRemoves = removeRefs.foldLeft(afterSets)((m, name) =>
+      m.copy(refs = m.refs - name, tags = m.tags - name))
     // ---- partition-spec evolution (add-spec + set-default-spec-id): the
     // foreign engine's ALTER TABLE ... ADD/DROP PARTITION FIELD,
     // validated by the SAME rulebook as the native/SQL surface
     // (SchemaEvolution.applyPartitionSpec — transform changes get the
     // identical re-marking snapshot). Applied AFTER schema evolution so
-    // a commit may add a column and partition on it in one exchange.
+    // a commit may add a column and partition on it in one exchange,
+    // and AFTER the ref updates so a combined add-snapshot + add-spec +
+    // set-snapshot-ref commit re-marks the commit's FINAL head — marking
+    // the pre-commit head would orphan the marking snapshot mid-chain
+    // and leave old-transform partition values live under the new
+    // default spec (silently wrong pruning).
     val withSpec = addSpec match {
       case None =>
         // set-default-spec-id without add-spec: this server re-exports
@@ -2059,8 +2092,16 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         if (setSpecId.exists(id => id != -1L && id != 0L))
           return err(s"set-default-spec-id ${setSpecId.get} without " +
             "add-spec — this server serves spec-id 0", 400)
-        withSchema
+        afterRemoves
       case Some(sj) =>
+        // graft materializes only the DEFAULT spec, so a registration-
+        // only add-spec (no set-default-spec-id) cannot be honored as
+        // the spec intends (register now, activate later) — refuse
+        // loudly instead of silently activating
+        if (setSpecId.isEmpty)
+          return err("add-spec without set-default-spec-id — this server " +
+            "materializes only the default spec; send set-default-spec-id " +
+            "(-1 names the added spec)", 400)
         val proposedId = (sj \ "spec-id") match {
           case JNothing | JNull => None; case v => Some(lng(v))
         }
@@ -2068,13 +2109,13 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         setSpecId.foreach(id => if (id != -1L && proposedId.exists(_ != id))
           return err(s"set-default-spec-id $id does not name the added " +
             s"spec ${proposedId.get}", 400))
-        val byId = withSchema.schema.map(f => f.id -> f).toMap
+        val byId = afterRemoves.schema.map(f => f.id -> f).toMap
         val fields =
           try IcebergImport.arr(sj \ "fields")
             .map(f => IcebergImport.foreignSpecField(byId, f, "add-spec")._2)
           catch { case e: Exception =>
             return err(s"bad add-spec: ${e.getMessage}", 400) }
-        try SchemaEvolution.applyPartitionSpec(withSchema, fields)
+        try SchemaEvolution.applyPartitionSpec(afterRemoves, fields)
         catch { case e: IllegalArgumentException =>
           return err(e.getMessage, 400) }
     }
@@ -2089,6 +2130,10 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
             s"$served", 400)
         withSpec
       case Some(oj) =>
+        if (setSortOrderId.isEmpty)
+          return err("add-sort-order without set-default-sort-order-id — " +
+            "this server materializes only the default order; send " +
+            "set-default-sort-order-id (-1 names the added order)", 400)
         val proposedId = (oj \ "order-id") match {
           case JNothing | JNull => None; case v => Some(lng(v))
         }
@@ -2116,23 +2161,16 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
         catch { case e: IllegalArgumentException =>
           return err(e.getMessage, 400) }
     }
-    val afterSets = setRefs.foldLeft(withSort) { case (m, (name, typ, id)) =>
-      if (typ == "tag") m.copy(tags = m.tags + (name -> id))
-      else if (name == "main")
-        m.copy(refs = m.refs + (name -> id), currentSnapshotId = Some(id))
-      else m.copy(refs = m.refs + (name -> id))
-    }
-    val updated0x = removeRefs.foldLeft(afterSets)((m, name) =>
-      m.copy(refs = m.refs - name, tags = m.tags - name))
+
     // ---- statistics (the spec's set-statistics / remove-statistics):
     // a foreign ANALYZE registers its Puffin sidecar as THE provenance
     // graft's own ANALYZE / SHOW / export serve; applied after ref
     // updates so an add-snapshot + set-statistics commit binds to the
     // snapshot it just made current. Removal is idempotent.
     val withStats0 = setStats match {
-      case None => updated0x
+      case None => withSort
       case Some((sid, path)) =>
-        try NdvStats.registerForeign(updated0x, sid, path)
+        try NdvStats.registerForeign(withSort, sid, path)
         catch { case e: IllegalArgumentException => return err(e.getMessage, 400) }
     }
     val updated = removeStats.foldLeft(withStats0)(
@@ -2143,7 +2181,13 @@ final class IcebergRestServe(catalog: Catalog, namespace: String = "graft",
     // the ref in the SAME commit, honored because this applies LAST,
     // against the post-ref-update state). Physical file GC stays
     // server-side: expiry only unlinks history; orphan reclamation is
-    // the serving engine's maintenance sweep.
+    // the serving engine's maintenance sweep. A client MAY sever the
+    // middle of a parent chain (native expiry only ever trims an age
+    // prefix, but keepLast=1 already leaves the head parentless):
+    // reads are unaffected, and changelog/time-travel over a severed
+    // range fails LOUDLY ("not an ancestor" / "no snapshot") rather
+    // than answering silently wrong — the same contract as expired
+    // prefixes, pinned by the serve spec's expiry test.
     val expired =
       if (removeSnaps.isEmpty) updated
       else {

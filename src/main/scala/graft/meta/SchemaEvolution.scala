@@ -347,12 +347,20 @@ object SchemaEvolution {
     * served-body cache key on, and `graft.bloom.<col>.*` registers Bloom
     * sidecars. The namespace and view doors already refuse the prefix
     * (IcebergRestServe); this is the same guard for tables, shared by
-    * both table doors so they can never diverge. */
+    * both table doors so they can never diverge.
+    *
+    * `ndv.sketch.*` (the ANALYZE provenance triple) is reserved too:
+    * the REST `set-statistics` door validates a registration (file
+    * exists, parses as Puffin, theta field ids resolve, snapshot is
+    * current — [[NdvStats.registerForeign]]); letting the raw property
+    * surface write the same keys would feed export and incremental
+    * ANALYZE unvalidated attacker-chosen sidecars. */
   def requireUnreservedProps(keys: Iterable[String]): Unit =
-    keys.find(_.startsWith("graft.")).foreach(k =>
-      throw new IllegalArgumentException(s"table property $k is reserved " +
-        "engine state and cannot be set or removed through the property " +
-        "surface"))
+    keys.find(k => k.startsWith("graft.") || k.startsWith("ndv.sketch."))
+      .foreach(k =>
+        throw new IllegalArgumentException(s"table property $k is reserved " +
+          "engine state and cannot be set or removed through the property " +
+          "surface"))
 
   private def commitRetry(catalog: Catalog, tableName: String)(
       f: TableMetadata => TableMetadata): TableMetadata = {

@@ -140,6 +140,44 @@ class ForeignSpecFuzzSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("combined ref move + transform change re-marks the commit's FINAL head") {
+    val cat = LocalCatalog(Files.createTempDirectory("fspec-comb-wh").toString)
+    IceWrite.create(spark, cat, "t",
+      (1L to 20L).map(i => (i, s"n$i")).toDF("id", "v"),
+      partitionSpec = Seq(PartitionField("id", "bucket[4]")))
+    IceWrite.append(spark, cat, "t",
+      (21L to 40L).map(i => (i, s"n$i")).toDF("id", "v"))
+    val Seq(s1, s2) = cat.loadTable("t").snapshots.map(_.snapshotId)
+    val srv = new IcebergRestServe(cat, namespace = "wh", prefix = "p")
+    try {
+      // one commit: roll main back to s1 AND grow the bucket transform.
+      // The re-marking must apply to the commit's FINAL head (s1) — not
+      // the pre-commit head (s2), which would leave s1's old-transform
+      // partition values live under the new default spec and prune wrong
+      val resp = post(s"${srv.uri}/v1/p/namespaces/wh/tables/t",
+        s"""{"requirements": [], "updates": [
+           |{"action": "set-snapshot-ref", "ref-name": "main",
+           |  "type": "branch", "snapshot-id": $s1},
+           |{"action": "add-spec", "spec": {"spec-id": 1, "fields":
+           |  [{"source-id": 1, "transform": "bucket[8]", "name": "idb"}]}},
+           |{"action": "set-default-spec-id", "spec-id": -1}]}""".stripMargin)
+      assert(resp.statusCode() == 200, resp.body())
+      val after = cat.loadTable("t")
+      assert(after.partitionSpec == Seq(PartitionField("id", "bucket[8]")))
+      val head = after.currentSnapshot.get
+      assert(head.parentId.contains(s1),
+        s"the marking snapshot must parent the post-ref head s1, " +
+          s"got parent ${head.parentId} (head ${head.snapshotId}, s2=$s2)")
+      assert(head.manifest.nonEmpty && head.manifest.forall(f =>
+        f.specId != 0 || !f.partitionValues.contains("id")),
+        "every final-head file recording the changed column must be re-marked")
+      // reads through the evolved head stay exact (s1's 20 rows)
+      assert(IceRead.table(spark, cat, "t").count() == 20)
+      assert(IceRead.table(spark, cat, "t").where(col("id") === 7L).count() == 1,
+        "residual filtering must keep value lookups exact across the change")
+    } finally srv.stop()
+  }
+
   test("foreign add-spec/add-sort-order refusal matrix") {
     val cat = LocalCatalog(Files.createTempDirectory("fspec-ref-wh").toString)
     IceWrite.create(spark, cat, "t",
@@ -151,32 +189,56 @@ class ForeignSpecFuzzSpec extends AnyFunSuite {
           s"""{"requirements": [], "updates": [$upd]}""")
       val before = cat.loadTable("t")
 
+      def specCommit(fields: String): HttpResponse[String] =
+        post(s"${srv.uri}/v1/p/namespaces/wh/tables/t",
+          s"""{"requirements": [], "updates": [
+             |{"action": "add-spec", "spec": {"spec-id": 1, "fields": [$fields]}},
+             |{"action": "set-default-spec-id", "spec-id": -1}]}""".stripMargin)
       // unknown source-id
-      val r1 = commit("""{"action": "add-spec", "spec": {"spec-id": 1, "fields":
-        [{"source-id": 99, "transform": "identity", "name": "x"}]}}""")
+      val r1 = specCommit(
+        """{"source-id": 99, "transform": "identity", "name": "x"}""")
       assert(r1.statusCode() == 400 && r1.body().contains("source-id"), r1.body())
       // unsupported transform
-      val r2 = commit("""{"action": "add-spec", "spec": {"spec-id": 1, "fields":
-        [{"source-id": 1, "transform": "void", "name": "x"}]}}""")
+      val r2 = specCommit(
+        """{"source-id": 1, "transform": "void", "name": "x"}""")
       assert(r2.statusCode() == 400 && r2.body().contains("transform"), r2.body())
       // identity on DOUBLE: no faithful literal partition-value form for
       // foreign readers — the commit door holds foreign specs to the
       // importable subset (same rule as metadata import)
-      val r3 = commit("""{"action": "add-spec", "spec": {"spec-id": 1, "fields":
-        [{"source-id": 2, "transform": "identity", "name": "x"}]}}""")
+      val r3 = specCommit(
+        """{"source-id": 2, "transform": "identity", "name": "x"}""")
       assert(r3.statusCode() == 400 && r3.body().contains("identity"), r3.body())
       // set-default-spec-id naming a spec this server does not serve
       val r4 = commit("""{"action": "set-default-spec-id", "spec-id": 5}""")
       assert(r4.statusCode() == 400, r4.body())
-      // non-identity sort transform
-      val r5 = commit("""{"action": "add-sort-order", "sort-order": {"order-id": 1,
-        "fields": [{"transform": "bucket[4]", "source-id": 1,
+      // registration-only add-spec (no set-default-spec-id): this server
+      // materializes only the default spec — refuse loudly rather than
+      // silently activating what the client meant to register for later
+      val r4b = commit("""{"action": "add-spec", "spec": {"spec-id": 1,
+        "fields": [{"source-id": 1, "transform": "bucket[4]", "name": "b"}]}}""")
+      assert(r4b.statusCode() == 400 &&
+        r4b.body().contains("set-default-spec-id"), r4b.body())
+      val r4c = commit("""{"action": "add-sort-order", "sort-order":
+        {"order-id": 1, "fields": [{"transform": "identity", "source-id": 1,
         "direction": "asc", "null-order": "nulls-first"}]}}""")
+      assert(r4c.statusCode() == 400 &&
+        r4c.body().contains("set-default-sort-order-id"), r4c.body())
+      def orderCommit(fields: String): HttpResponse[String] =
+        post(s"${srv.uri}/v1/p/namespaces/wh/tables/t",
+          s"""{"requirements": [], "updates": [
+             |{"action": "add-sort-order", "sort-order":
+             |  {"order-id": 1, "fields": [$fields]}},
+             |{"action": "set-default-sort-order-id", "sort-order-id": -1}]}"""
+            .stripMargin)
+      // non-identity sort transform
+      val r5 = orderCommit(
+        """{"transform": "bucket[4]", "source-id": 1,
+          "direction": "asc", "null-order": "nulls-first"}""")
       assert(r5.statusCode() == 400 && r5.body().contains("identity"), r5.body())
       // unknown sort source-id
-      val r6 = commit("""{"action": "add-sort-order", "sort-order": {"order-id": 1,
-        "fields": [{"transform": "identity", "source-id": 42,
-        "direction": "asc", "null-order": "nulls-first"}]}}""")
+      val r6 = orderCommit(
+        """{"transform": "identity", "source-id": 42,
+          "direction": "asc", "null-order": "nulls-first"}""")
       assert(r6.statusCode() == 400 && r6.body().contains("source-id"), r6.body())
       // set-default-sort-order-id naming an order this server does not serve
       val r7 = commit("""{"action": "set-default-sort-order-id", "sort-order-id": 9}""")

@@ -1542,6 +1542,20 @@ class IcebergRestServeSpec extends AnyFunSuite {
       val orphans = graft.compaction.Maintenance.orphanFiles(cat, "t", olderThanMs = 0L)
       assert(orphans.isEmpty || orphans.forall(p => MetaIO.exists(p)),
         "expiry must not have deleted any file")
+
+      // a MID-CHAIN removal (the head's parent) is metadata-legal (native
+      // keepLast=1 expiry already leaves the head parentless): reads are
+      // unaffected and changelog over the severed range fails LOUDLY,
+      // never silently wrong
+      val rmMid = commit(
+        s"""{"action": "remove-snapshots", "snapshot-ids": [$s4]}""")
+      assert(rmMid.statusCode() == 200, rmMid.body())
+      assert(cat.loadTable("t").snapshots.map(_.snapshotId) == Seq(s5))
+      assert(IceRead.table(spark, cat, "t").count() == 5,
+        "head reads survive a severed parent chain")
+      val sever = intercept[IllegalArgumentException](
+        Changelog.changesOfLatest(spark, cat, "t").count())
+      assert(sever.getMessage.contains("not an ancestor"), sever.getMessage)
     } finally srv.stop()
   }
 
