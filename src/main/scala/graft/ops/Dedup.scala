@@ -667,6 +667,35 @@ object Dedup {
       .select(col("id1"), col("id2"), col("overlap_ppm"))
   }
 
+  /** CAP-PRESSURE report for [[winnowNearDupPairs]] — the "no silent
+    * caps" instrument the round-11 sf1 anchor motivated: winnow gram
+    * buckets are CORPUS-FREQUENCY driven (unlike LSH band buckets,
+    * which cap per signature), so growing the corpus or shortening the
+    * effective gram span pushes buckets over `maxBucketSize` and recall
+    * degrades — in the anchor's distorted-fixture case to literal ZERO
+    * pairs, silently. One aggregation answers "how close is this
+    * (corpus, k, cap) to the cliff": total distinct gram buckets, how
+    * many exceed the cap, and the ppm of fingerprint OCCURRENCES that
+    * the cap drops (the recall mass at risk). `dropped_occurrence_ppm`
+    * near 1e6 means the pair stage sees almost nothing — raise `k`
+    * (longer, more selective grams) or the cap before trusting the
+    * pair output. */
+  def winnowCapReport(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 5, maxBucketSize: Int = 1000): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val fp = TextAnalysis.winnowFingerprints(spread, idCol, textCol, k, w)
+      .select(col("id"), explode(col("fp_hashes")).as("h"))
+    fp.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+      .agg(
+        count(lit(1)).as("buckets"),
+        sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("over_cap_buckets"),
+        sum(col("__n")).as("occurrences"),
+        sum(when(col("__n") > maxBucketSize, col("__n")).otherwise(0L))
+          .as("dropped_occurrences"))
+      .withColumn("dropped_occurrence_ppm",
+        expr("1000000L * dropped_occurrences div greatest(occurrences, 1L)"))
+  }
+
   /** Cross-TABLE fuzzy join (record linkage): (left_id, right_id) pairs
     * whose texts reach `threshold` word-shingle Jaccard — matching a
     * crawl corpus against a reference set (a benchmark's test split, an

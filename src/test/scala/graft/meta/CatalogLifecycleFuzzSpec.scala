@@ -37,7 +37,7 @@ class CatalogLifecycleFuzzSpec extends AnyFunSuite {
     }
 
     (1 to 60).foreach { _ =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 => // create a fresh table
           val n = s"t$nextId"; val id = nextId; nextId += 1
           val rows = 5L + rnd.nextInt(20)
@@ -74,6 +74,20 @@ class CatalogLifecycleFuzzSpec extends AnyFunSuite {
                   s"recreate of $n failed for the wrong reason: ${e.getMessage}")
             }
           }
+        case 5 if live.nonEmpty => // PROPERTY churn must never move rows
+          val n = live.keys.toSeq(rnd.nextInt(live.size))
+          // reserved engine-state keys refuse at every user door (the
+          // shared guard the doors call) — forging identity, stats
+          // retirement, or ANALYZE provenance is never property churn
+          val reserved = Seq("graft.table-uuid", "graft.stats.retired-names",
+            "graft.bloom.k.paths", "ndv.sketch.path")(rnd.nextInt(4))
+          intercept[IllegalArgumentException](
+            SchemaEvolution.requireUnreservedProps(Seq(reserved)))
+          // legal churn through the engine API is metadata-only: the
+          // per-op model sweep below proves reads stay exact under it
+          SchemaEvolution.updateProperties(cat, n,
+            Map(s"fuzz.k${rnd.nextInt(3)}" -> rnd.nextInt(100).toString),
+            removes = Set(s"fuzz.k${rnd.nextInt(3)}"))
         case _ => ()
       }
       verifyAll()

@@ -64,4 +64,35 @@ class HotBucketCapSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!jPlan.contains("Window"), s"fuzzy-join cap must not plan a window:\n$jPlan")
   }
+
+  test("winnowCapReport flags a selectivity collapse before pairs silently vanish") {
+    // healthy corpus: distinct texts with seeded near-dups — low drop ppm,
+    // pairs flow
+    val healthy = (1L to 120L)
+      .map(i => (i, s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i"))
+      .toDF("doc_id", "text")
+    val seeded = healthy.unionAll(healthy.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text")))
+    val okRow = Dedup.winnowCapReport(seeded, "doc_id", "text",
+      k = 12, maxBucketSize = 64).head
+    assert(okRow.getAs[Long]("dropped_occurrence_ppm") < 100000L,
+      s"healthy corpus must not be near the cap cliff: $okRow")
+    assert(Dedup.winnowNearDupPairs(seeded, "doc_id", "text",
+      k = 12, minOverlapPpm = 500000L, maxBucketSize = 64).count() >= 60)
+
+    // collapsed selectivity (the sf1-anchor failure shape): every doc
+    // shares one boilerplate text, so every gram bucket holds the whole
+    // corpus — the pair stage answers ZERO, and the report says WHY
+    val collapsed = (1L to 200L).map(i => (i, "the same boilerplate " * 8))
+      .toDF("doc_id", "text")
+    val badRow = Dedup.winnowCapReport(collapsed, "doc_id", "text",
+      k = 12, maxBucketSize = 64).head
+    assert(badRow.getAs[Long]("dropped_occurrence_ppm") > 900000L,
+      s"a collapsed corpus must read as cap-saturated: $badRow")
+    assert(badRow.getAs[Long]("over_cap_buckets") > 0)
+    assert(Dedup.winnowNearDupPairs(collapsed, "doc_id", "text",
+      k = 12, minOverlapPpm = 500000L, maxBucketSize = 64).count() == 0,
+      "the cap drops everything — exactly what the report predicts")
+  }
 }
