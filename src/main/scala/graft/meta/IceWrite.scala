@@ -582,13 +582,22 @@ object IceWrite {
     import org.apache.spark.sql.functions.col
     val dataDir = MetaIO.join(table0.location, "data")
     val rowsEstimate = math.max(1L, targetFileSizeBytes / 256L)
-    val keyDf = df.select(keys.map(col): _*).distinct()
-    val delFiles = SparkExecutor.writeDataFiles(spark,
-      if (typed) withFieldIds(keyDf, table0.schema) else keyDf,
-      dataDir, Nil, Nil, rowsEstimate)
+    // ONE pass over the caller's plan: write the data files first, then
+    // derive the equality-delete keys by reading the key columns BACK from
+    // the files just written (column-pruned, tiny) — the old
+    // keys-then-data order ran the whole input plan twice, which doubles
+    // an expensive upsert source (e.g. the text-index postings aggregate)
+    // at any scale. The distinct key set is identical by construction.
     val dataFiles = SparkExecutor.writeDataFiles(spark,
       if (typed) withFieldIds(df, table0.schema) else df,
       dataDir, table0.partitionSpec, table0.sortOrder, rowsEstimate)
+    val keyDf =
+      if (dataFiles.isEmpty) df.select(keys.map(col): _*).distinct() // empty source
+      else spark.read.parquet(dataFiles.map(_.path): _*)
+        .select(keys.map(col): _*).distinct()
+    val delFiles = SparkExecutor.writeDataFiles(spark,
+      if (typed) withFieldIds(keyDf, table0.schema) else keyDf,
+      dataDir, Nil, Nil, rowsEstimate)
     commitSnapshot(catalog, name, Seq(
       StampSet(delFiles, FileContent.EqualityDeletes, keys, eqIdsOf(table0, keys)),
       StampSet(dataFiles, FileContent.Data)),

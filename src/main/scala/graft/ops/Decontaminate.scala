@@ -75,11 +75,9 @@ object Decontaminate {
       .winnowFingerprints(test.select(monotonically_increasing_id().as("__tid"),
         col(testTextCol).as("__t")), "__tid", "__t", k, w)
       .select(explode(col("fp_hashes")).as("h")).distinct()
-    // same spread as winnowNearDupPairs: fingerprinting is compute-heavy
-    // per row, and a single-file corpus would serialize it on 1-2 cores
-    val spread = corpus.repartition(
-      corpus.sparkSession.sparkContext.defaultParallelism)
-    TextAnalysis.winnowFingerprints(spread, idCol, textCol, k, w)
+    // winnowFingerprints spreads itself (grow-only [[Spread]]) — no
+    // unconditional repartition that would shrink a wide corpus at scale
+    TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
       .select(col("id"), explode(col("fp_hashes")).as("h"))
       .join(broadcast(testFp), Seq("h"), "left_semi")
       .groupBy(col("id"))
@@ -110,7 +108,10 @@ object Decontaminate {
   def flaggedByEmbeddingSimilarity(
       corpus: DataFrame, idCol: String, vecCol: String,
       test: DataFrame, testVecCol: String, tau: Double): DataFrame = {
-    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // each corpus row pays |test| fused VecDot loops inside the broadcast
+    // NLJ — spread (grow-only) so the stream side isn't pinned to the
+    // scan's row-group parallelism
+    val c = Spread(corpus).select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__n", Similarity.norm(col("__v")))
       .filter(col("__n").isNotNull && col("__n") > 0)
     val t = test.select(col(testVecCol).as("__tv"))

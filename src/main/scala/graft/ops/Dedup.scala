@@ -26,7 +26,7 @@ object Dedup {
   /** distinct character n-gram shingles per id: (id, gram) — `transform`
     * with an index lambda over `sequence`, then explode + distinct. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 4): DataFrame =
-    df.select(col(idCol).as("id"),
+    Spread(df).select(col(idCol).as("id"),
         explode(expr(
           s"transform(sequence(1, greatest(length($textCol) - ${n - 2}, 1)), i -> substring($textCol, i, $n))"
         )).as("gram"))
@@ -38,7 +38,7 @@ object Dedup {
     * sorted-merge tests on the broadcast arms; explode-for-ranking plus
     * set verification on the prefix arms). */
   def charGramSets(df: DataFrame, idCol: String, textCol: String, n: Int = 4): DataFrame =
-    df.select(col(idCol).as("id"),
+    Spread(df).select(col(idCol).as("id"),
       expr(
         s"""array_sort(array_distinct(transform(
            |  array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 2}, 1)),
@@ -50,7 +50,7 @@ object Dedup {
     * representation — ~5x fewer shingles than char 4-grams on prose, which
     * directly divides the signature stage's md5 bill. */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    Spread(df).select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         explode(expr(
           s"transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)), i -> concat_ws(' ', slice(__toks, i, $n)))"
@@ -489,7 +489,10 @@ object Dedup {
       n: Int = 3, k: Int = 16): DataFrame = {
     require(k % 4 == 0, "k must be a multiple of 4 (4 lanes per md5)")
     val seeds = k / 4
-    val toked = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // the signature+set projection is the corpus's heaviest per-row work
+    // (tokenize + per-gram md5 lanes + xxhash64 set) — spread it over the
+    // cluster instead of the scan's row-group parallelism (guide §2)
+    val toked = Spread(df).select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
     val base = toked.select(col("id"), expr(
       s"""array_distinct(transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
          |                         i -> concat_ws(' ', slice(__toks, i, $n))))""".stripMargin
@@ -513,7 +516,7 @@ object Dedup {
     * Same distinct-shingle semantics as [[wordShingles]], but no explode
     * and no distinct exchange. */
   def wordShingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    Spread(df).select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("id"), expr(
         s"""array_sort(array_distinct(transform(
            |  transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
@@ -645,11 +648,10 @@ object Dedup {
       k: Int = 8, w: Int = 5, minOverlapPpm: Long = 500000L,
       maxBucketSize: Int = 1000): DataFrame = {
     // fingerprinting is compute-heavy per ROW (m hashes + the selection
-    // loop) while the input is byte-light — a single-file corpus arrives
-    // as 1-2 partitions and would serialize the whole pass on one core.
-    // One cheap text shuffle first buys full-cluster parallelism.
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val fp = TextAnalysis.winnowFingerprints(spread, idCol, textCol, k, w)
+    // loop) while the input is byte-light — winnowFingerprints spreads
+    // itself (grow-only [[Spread]]), so no unconditional repartition here
+    // that would SHRINK an already-wide corpus at scale.
+    val fp = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("id"), explode(col("fp_hashes")).as("h"))
       .localCheckpoint(true)
     val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n"))
@@ -682,8 +684,7 @@ object Dedup {
     * pair output. */
   def winnowCapReport(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 5, maxBucketSize: Int = 1000): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val fp = TextAnalysis.winnowFingerprints(spread, idCol, textCol, k, w)
+    val fp = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("id"), explode(col("fp_hashes")).as("h"))
     fp.groupBy(col("h")).agg(count(lit(1)).as("__n"))
       .agg(
@@ -1235,7 +1236,7 @@ object Dedup {
     * token; bit i is the sign of the token-count majority on that nibble's
     * high bit. Returns (id, simhash-bitstring). Single aggregate pass. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    val toks = Spread(df).select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val bitAggs = (1 to 32).map { i =>

@@ -310,7 +310,7 @@ object Multimodal {
       StructField("dhash_lo", LongType),
       StructField("dhash_hi", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    media.select(col("media_id"), col("payload"))
+    Spread(media.select(col("media_id"), col("payload")))
       .mapPartitions { rows =>
         rows.map { r =>
           dHash(r.getAs[Array[Byte]](1)) match {

@@ -120,7 +120,7 @@ object Quality {
     val bigrams = array_distinct(transform(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       (x, i) => concat(x, lit(" "), element_at(toks, i + 2))))
-    val exploded = df.select(col(idCol).as("id"), explode_outer(bigrams).as("bg"))
+    val exploded = Spread(df).select(col(idCol).as("id"), explode_outer(bigrams).as("bg"))
       .withColumn("bh", md5(col("bg"))).drop("bg")
     val tagged = exploded.withColumn("n", count(col("bh")).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("bh"))))
@@ -154,8 +154,10 @@ object Quality {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     // tokenize ONCE (eager localCheckpoint, the d2 signature pattern):
     // both the unigram and the bigram aggregate read the materialized
-    // token arrays instead of re-running normalize+split over the corpus
-    val tokRows = df.select(tokens(col(textCol)).as("__toks")).localCheckpoint(true)
+    // token arrays instead of re-running normalize+split over the corpus.
+    // Spread first: the tokenize pass AND both downstream explode+partial-
+    // aggregate stages inherit this frame's partitioning.
+    val tokRows = Spread(df).select(tokens(col(textCol)).as("__toks")).localCheckpoint(true)
     val toks = col("__toks")
     // slice-then-index (the bigramCoherence guard): short docs yield
     // empty bigram arrays by construction
@@ -207,7 +209,7 @@ object Quality {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
       trainPred: Column): DataFrame = {
-    val base = df.select(col(idCol).as("id"), trainPred.as("__train"),
+    val base = Spread(df).select(col(idCol).as("id"), trainPred.as("__train"),
       tokens(col(textCol)).as("__toks"))
     // (w1, w2) pairs; explode_outer keeps <2-token docs as one null row
     // (slice-then-index: sequence() DESCENDS when start > stop)

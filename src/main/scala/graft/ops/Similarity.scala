@@ -582,7 +582,7 @@ object Similarity {
     // the [[ivfCells]] argmax, with the vector (and its norm) carried
     // through the aggregate — every row of a vec_id group repeats them —
     // so the pair stage needs no join back to the corpus
-    val c = withNorm(corpus, vecCol, "__n")
+    val c = withNorm(Spread(corpus), vecCol, "__n")
       .select(col(idCol).as("vec_id"), col(vecCol).as("__v"), col("__n"))
     val cents = withNorm(centroids, centVecCol, "__cn")
       .select(col(centIdCol).cast("long").as("__cid"), col(centVecCol).as("__c"), col("__cn"))
@@ -607,7 +607,10 @@ object Similarity {
     * pairs (or all pairs when `bruteForce`). Returns (id1, id2). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bruteForce: Boolean = false, planes: Int = 8): DataFrame = {
-    val base = withNorm(df, vecCol, "__n")
+    // the stream side pays one fused VecDot per candidate pair — spread
+    // (grow-only) so a single-row-group corpus doesn't serialize the
+    // whole O(n^2) filter on one core
+    val base = withNorm(Spread(df), vecCol, "__n")
     val simAtLeast = (v1: Column, n1: Column, v2: Column, n2: Column) =>
       cosineWithNorms(v1, n1, v2, n2) >= threshold
     if (bruteForce) {
@@ -654,7 +657,7 @@ object Similarity {
   def nearDupPairsTiled(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tiles: Int = 16): DataFrame = {
     require(tiles >= 2, s"tiles must be >= 2, got $tiles")
-    val base = withNorm(df, vecCol, "__n")
+    val base = withNorm(Spread(df), vecCol, "__n")
       .withColumn("__b", pmod(xxhash64(col(idCol)), lit(tiles)).cast("int"))
     val left = base.select(col(idCol).as("id1"), col(vecCol).as("__v1"),
         col("__n").as("__n1"), col("__b").as("__bi"))

@@ -490,7 +490,7 @@ object TextAnalysis {
     * by a doc's distinct terms). Returns (id, term, rank, score_micro). */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    val toks = Spread(df).select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -553,7 +553,9 @@ object TextAnalysis {
     // array was a plain alias — CollapseProject inlining it into every
     // lambda-body element_at (alias uses inside lambdas are invisible to
     // its use-counter), recomputing the array per element access.
-    df.select(col(idCol).as("id"), lower(normalize(col(textCol))).as("__t"))
+    // Spread (grow-only): O(m*w) per row must not run at the scan's
+    // row-group parallelism; pre-spread callers pass through untouched.
+    Spread(df).select(col(idCol).as("id"), lower(normalize(col(textCol))).as("__t"))
       .withColumn("__m", (length(col("__t")) - (k - 1)).cast("int"))
       .withColumn("__fp",
         graft.functions.WinnowFunctions.winnow_fingerprint(col("__t"), k, w))

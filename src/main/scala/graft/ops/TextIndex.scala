@@ -111,8 +111,9 @@ object TextIndex {
     // (localCheckpoint): stats and tf both derive from it, and without
     // the cut each would re-run the full tokenization scan — twice the
     // dominant cost. ~16 bytes/doc of checkpoint storage buys away a
-    // whole corpus re-read.
-    val base = hitsProjection(df, idCol, textCol, terms).localCheckpoint(true)
+    // whole corpus re-read. Spread first: tokenization is the per-row
+    // hot loop and must not run at the scan's row-group parallelism.
+    val base = hitsProjection(Spread(df), idCol, textCol, terms).localCheckpoint(true)
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
     scoreAndRank(tfOfHits(base), stats, k, if (requireAll) terms.size else 0)
   }
@@ -147,9 +148,12 @@ object TextIndex {
     require(!catalog.tableExists(postingsTable(name)) &&
       !catalog.tableExists(docsTable(name)),
       s"text index '$name' already exists — drop its tables to rebuild")
-    IceWrite.create(spark, catalog, docsTable(name), docRows(corpus, idCol, textCol))
+    // both passes tokenize every row — spread once so neither runs at
+    // the scan's row-group parallelism
+    val c = Spread(corpus)
+    IceWrite.create(spark, catalog, docsTable(name), docRows(c, idCol, textCol))
     IceWrite.create(spark, catalog, postingsTable(name),
-      postingRows(corpus, idCol, textCol))
+      postingRows(c, idCol, textCol))
   }
 
   /** Add documents to the index: postings upsert keyed (term, doc_id),
@@ -161,11 +165,12 @@ object TextIndex {
     * retract postings for terms the new text no longer contains). */
   def append(spark: SparkSession, catalog: Catalog, name: String,
       corpus: DataFrame, idCol: String, textCol: String): Unit = {
-    val docs = docRows(corpus, idCol, textCol).localCheckpoint(true)
+    val c = Spread(corpus)
+    val docs = docRows(c, idCol, textCol).localCheckpoint(true)
     if (!docs.isEmpty) {
       createOrUpsert(spark, catalog, docsTable(name), docs, Seq("doc_id"))
       createOrUpsert(spark, catalog, postingsTable(name),
-        postingRows(corpus, idCol, textCol), Seq("term", "doc_id"))
+        postingRows(c, idCol, textCol), Seq("term", "doc_id"))
       // per-append upserts accumulate small postings files + eq-delete
       // files, and b2-style serve performance rides on term-range file
       // skipping over FEW, well-sorted files — fold the fragments back

@@ -71,12 +71,24 @@ class DedupVerifyGateSpec extends AnyFunSuite {
     val gb = perRow.select(col("id"), col("gset"))
     assert(ga.exceptAll(gb).isEmpty && gb.exceptAll(ga).isEmpty, "gset mismatch")
 
-    // and the per-row plan really is exchange-free before banding — checked
-    // on a plain scan input (the test corpus above has a limit()+union whose
-    // own GlobalLimit exchange would mask the property under test)
+    // and the per-row plan stays narrow before banding — checked on a
+    // plain scan input (the test corpus above has a limit()+union whose
+    // own GlobalLimit exchange would mask the property under test). The
+    // ONLY exchange allowed is [[Spread]]'s grow-only round-robin
+    // repartition (parallelism floor for the per-row hot loop); no KEYED
+    // shuffle may appear, and a pre-spread input gets none at all.
     val plan = Dedup.minHashSignatureSets(docs.select($"doc_id", $"text"), "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"per-row signature plan must not shuffle:\n$plan")
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      s"per-row signature plan must not shuffle on a key:\n$plan")
+    val wide = docs.select($"doc_id", $"text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val widePlan = Dedup.minHashSignatureSets(wide, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // exactly the caller's own exchange: Spread must be a no-op on an
+    // already-wide input
+    assert("Exchange".r.findAllIn(widePlan).length <= 1,
+      s"Spread must not re-partition an already-wide input:\n$widePlan")
   }
 
   test("minHashNearDupPairs selects a regime by candidate count; output identical") {
