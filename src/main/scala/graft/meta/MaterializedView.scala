@@ -96,11 +96,16 @@ object MaterializedView {
     val current = IceRead.table(spark, catalog, mvName)
     // keys-only outer join: both sides shuffle on the group keys (the
     // delta is usually tiny — AQE broadcasts it; neither is force-broadcast)
+    // materialized ONCE: survivors and dead keys both derive from it, and
+    // the commit writes each twice (touched-key delete file + data file) —
+    // the lazy form re-ran the whole changelog diff + view join per read.
+    // Bounded by the TOUCHED groups (delta-left-join), not the view size.
     val merged = delta.join(current, keys, "left")
       .select(keys.map(col) ++
         Seq((coalesce(col(CountCol), lit(0L)) + col("__d_cnt")).as(CountCol)) ++
         aggs.map(a =>
           (coalesce(col(a.outCol), lit(0L)) + col(s"__d_${a.outCol}")).as(a.outCol)): _*)
+      .localCheckpoint(true)
     val survivors = merged.filter(col(CountCol) > 0)
     val dead = merged.filter(col(CountCol) <= 0).select(keys.map(col): _*)
 

@@ -192,12 +192,19 @@ object Dedup {
       .agg(count(lit(1)).as("__n")).localCheckpoint(true)
     val hot = bandCounts.filter(col("__n") > maxBucketSize)
       .select(col("band"), col("bh"))
-    val hotGated = if (hot.count() <= MaxBroadcastHotKeys) broadcast(hot) else hot
+    // ONE driver action answers both gates (hot-key count for the anti-join
+    // strategy, C(n,2) bound for the verify broadcast) — these were two
+    // separate jobs over the same checkpointed blocks, paid per micro-batch
+    val gates = bandCounts.agg(
+      sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("__hot"),
+      sum(when(col("__n") <= maxBucketSize,
+        (col("__n") * (col("__n") - lit(1)) / lit(2)).cast("long"))).as("__b")).head
+    val hotGated =
+      if ((if (gates.isNullAt(0)) 0L else gates.getLong(0)) <= MaxBroadcastHotKeys)
+        broadcast(hot) else hot
     val sized = bandRows.join(hotGated, Seq("band", "bh"), "left_anti")
       .select(col("id"), col("band"), col("bh"))
-    val pairBound = bandCounts.filter(col("__n") <= maxBucketSize)
-      .agg(coalesce(sum((col("__n") * (col("__n") - lit(1)) / lit(2)).cast("long")),
-        lit(0L)).as("__b")).head.getLong(0)
+    val pairBound = if (gates.isNullAt(1)) 0L else gates.getLong(1)
     // distinct() stays: a pair surfaces from up to k/rowsPerBand bands,
     // and every duplicate would drag the WIDE gset arrays through the
     // verify join once more — the dedup exchange on two id columns is
