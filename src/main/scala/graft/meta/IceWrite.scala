@@ -755,8 +755,11 @@ object IceWrite {
         .withColumn("__pos", col("_metadata.row_index"))
         .filter(condition)
         .select(col("__fp").as("file_path"), col("__pos").as("pos")))
-    appendInternal(spark, catalog, name, positions, FileContent.PositionDeletes, Nil,
-      Defaults.TargetFileSize, branch)
+    // REBALANCE: the tombstone projection inherits the scan's partitioning
+    // (one partition per scanned file) and would otherwise land one tiny
+    // pos-delete file per scanned data file; AQE sizes the output instead
+    appendInternal(spark, catalog, name, positions.hint("rebalance"),
+      FileContent.PositionDeletes, Nil, Defaults.TargetFileSize, branch)
   }
 
   /** Row-level UPDATE ... SET ... WHERE: ONE atomic snapshot carries

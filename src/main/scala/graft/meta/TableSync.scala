@@ -63,7 +63,10 @@ object TableSync {
       val pureDel = delKeys.join(ins.select(keys.map(col): _*).distinct(),
         keys, "left_anti")
       if (!pureDel.isEmpty)
-        IceWrite.appendEqualityDeletes(spark, dstCatalog, dstName, pureDel, keys): Unit
+        // REBALANCE: the anti join inherits the frame's partitioning and
+        // would write one tiny tombstone file per partition
+        IceWrite.appendEqualityDeletes(spark, dstCatalog, dstName,
+          pureDel.hint("rebalance"), keys): Unit
     }
   }
 }

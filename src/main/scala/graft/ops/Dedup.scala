@@ -117,9 +117,12 @@ object Dedup {
       // materialized too (cheap: novel keys only) — isEmpty + the commit
       // would otherwise each re-run the index anti-join scan
     }.localCheckpoint(true)
-    if (!exists) graft.meta.IceWrite.create(spark, catalog, indexTable, fresh)
+    // REBALANCE the commit payload (see incrementalMinHash): one file per
+    // pipeline partition per batch would tax every later index read
+    if (!exists)
+      graft.meta.IceWrite.create(spark, catalog, indexTable, fresh.hint("rebalance"))
     else if (!fresh.isEmpty)
-      graft.meta.IceWrite.upsert(spark, catalog, indexTable, fresh,
+      graft.meta.IceWrite.upsert(spark, catalog, indexTable, fresh.hint("rebalance"),
         keys = Seq("fingerprint"))
     val mine = graft.meta.IceRead.table(spark, catalog, indexTable)
       .filter(col("batch_id") === batchId).select(col("fingerprint"))
@@ -278,7 +281,13 @@ object Dedup {
     val fresh = survivors
       .select(col("id"), lit(batchId).as("batch_id"), col("bands"), col("gset"))
       .localCheckpoint(true)
-    if (!exists) graft.meta.IceWrite.create(spark, catalog, indexTable, fresh)
+    // REBALANCE the commit payload: fresh carries the batch's survivor
+    // rows across however many partitions the dedup pipeline ran on —
+    // written as-is that is one tiny file PER PARTITION per batch (every
+    // later index read opens all of them; every commit pays the per-file
+    // protocol round trips). AQE sizes the output instead.
+    val freshOut = fresh.hint("rebalance")
+    if (!exists) graft.meta.IceWrite.create(spark, catalog, indexTable, freshOut)
     else if (!fresh.isEmpty) {
       // survivors are first-seen ids in the common case — a plain APPEND
       // commits them without the upsert's equality-delete sidecar, which
@@ -291,9 +300,9 @@ object Dedup {
         graft.meta.IceRead.table(spark, catalog, indexTable).select(col("id")),
         Seq("id"), "left_semi").isEmpty
       if (collides)
-        graft.meta.IceWrite.upsert(spark, catalog, indexTable, fresh, keys = Seq("id"))
+        graft.meta.IceWrite.upsert(spark, catalog, indexTable, freshOut, keys = Seq("id"))
       else
-        graft.meta.IceWrite.append(spark, catalog, indexTable, fresh)
+        graft.meta.IceWrite.append(spark, catalog, indexTable, freshOut)
     }
     val mine = graft.meta.IceRead.table(spark, catalog, indexTable)
       .filter(col("batch_id") === batchId)
@@ -381,9 +390,10 @@ object Dedup {
           else incrementalExact(spark, catalog, indexTable, batch, idCol, textCol, batchId))
             .localCheckpoint(true)
         if (!survivors.isEmpty) {
+          val out = survivors.hint("rebalance") // AQE-sized output files
           if (!catalog.tableExists(outTable))
-            graft.meta.IceWrite.create(spark, catalog, outTable, survivors): Unit
-          else graft.meta.IceWrite.upsert(spark, catalog, outTable, survivors,
+            graft.meta.IceWrite.create(spark, catalog, outTable, out): Unit
+          else graft.meta.IceWrite.upsert(spark, catalog, outTable, out,
             keys = Seq(idCol)): Unit
         }
       }

@@ -310,7 +310,10 @@ object Multimodal {
       StructField("dhash_lo", LongType),
       StructField("dhash_hi", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    Spread(media.select(col("media_id"), col("payload")))
+    // no Spread here: repartitioning would shuffle the media PAYLOADS —
+    // the one thing a media pipeline must never move twice (guide §8);
+    // measured a net loss even on tiny fixtures
+    media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           dHash(r.getAs[Array[Byte]](1)) match {

@@ -151,7 +151,12 @@ object TextIndex {
     // both passes tokenize every row — spread once so neither runs at
     // the scan's row-group parallelism
     val c = Spread(corpus)
-    IceWrite.create(spark, catalog, docsTable(name), docRows(c, idCol, textCol))
+    // the docs frame is 16 B/row off a wide tokenize stage — REBALANCE
+    // before the write so AQE sizes the output files (1 file for a small
+    // corpus instead of one tiny file per tokenize partition; advisory-
+    // sized files at scale). Postings keep their own term clustering.
+    IceWrite.create(spark, catalog, docsTable(name),
+      docRows(c, idCol, textCol).hint("rebalance"))
     IceWrite.create(spark, catalog, postingsTable(name),
       postingRows(c, idCol, textCol))
   }
@@ -168,7 +173,7 @@ object TextIndex {
     val c = Spread(corpus)
     val docs = docRows(c, idCol, textCol).localCheckpoint(true)
     if (!docs.isEmpty) {
-      createOrUpsert(spark, catalog, docsTable(name), docs, Seq("doc_id"))
+      createOrUpsert(spark, catalog, docsTable(name), docs.hint("rebalance"), Seq("doc_id"))
       createOrUpsert(spark, catalog, postingsTable(name),
         postingRows(c, idCol, textCol), Seq("term", "doc_id"))
       // per-append upserts accumulate small postings files + eq-delete
