@@ -21,7 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
   * Membership decisions are bit-identical to a SQL oracle computing
   * `CAST(c AS DOUBLE) / (n1 + n2 - c) >= t`: same IEEE division, same
   * comparison. The length pre-test (J <= min/max) only ever skips the merge
-  * with a 1e-6 slack, so it cannot flip a boundary pair.
+  * with a 1e-6 slack, so it cannot flip a boundary pair. The merge loop
+  * carries a positional early exit: `need` is the smallest intersection
+  * count whose FINAL double test passes (found by evaluating that exact
+  * test, so it is decision-identical by the monotonicity of correctly
+  * rounded division), and the loop stops once even matching every
+  * remaining element cannot reach it — on failing candidates, the common
+  * case, this cuts the scan to the fraction the threshold leaves open.
   */
 case class SortedJaccardGe(left: Expression, right: Expression, threshold: Double)
     extends BinaryExpression {
@@ -46,12 +52,24 @@ case class SortedJaccardGe(left: Expression, right: Expression, threshold: Doubl
     val n1 = x.numElements()
     val n2 = y.numElements()
     if (n1 < threshold * n2 - 1e-6 || n2 < threshold * n1 - 1e-6) return false
+    // smallest intersection count whose FINAL double test passes — found
+    // by evaluating that exact test, so the positional early exit below
+    // can only fire when the final test provably returns false (the
+    // division is correctly rounded, hence monotone in c)
+    var need = math.ceil(threshold * (n1 + n2) / (1 + threshold)).toLong
+    while (need > 0 && (need - 1).toDouble / (n1 + n2 - (need - 1)) >= threshold) need -= 1
+    while (need.toDouble / (n1 + n2 - need) < threshold) need += 1
     var i = 0; var j = 0; var c = 0L
     while (i < n1 && j < n2) {
       val xi = x.getLong(i); val yj = y.getLong(j)
       if (xi == yj) { c += 1; i += 1; j += 1 }
-      else if (xi < yj) i += 1
-      else j += 1
+      else {
+        if (xi < yj) i += 1 else j += 1
+        // positional filter, tested only on a mismatch advance (a match
+        // never lowers the attainable count): even matching every
+        // remaining element cannot reach `need` — the candidate fails
+        if (n1 - i < need - c && n2 - j < need - c) return false
+      }
     }
     c.toDouble / (n1 + n2 - c) >= threshold
   }
@@ -62,17 +80,23 @@ case class SortedJaccardGe(left: Expression, right: Expression, threshold: Doubl
       val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val need = ctx.freshName("need")
       s"""
          |int $n1 = $a.numElements();
          |int $n2 = $b.numElements();
          |${ev.value} = false;
          |if (!($n1 < $t * $n2 - 1e-6 || $n2 < $t * $n1 - 1e-6)) {
+         |  long $need = (long) java.lang.Math.ceil($t * ($n1 + $n2) / (1 + $t));
+         |  while ($need > 0 && ((double) ($need - 1)) / ($n1 + $n2 - ($need - 1)) >= $t) { $need--; }
+         |  while (((double) $need) / ($n1 + $n2 - $need) < $t) { $need++; }
          |  int $i = 0; int $j = 0; long $c = 0L;
          |  while ($i < $n1 && $j < $n2) {
          |    long $xi = $a.getLong($i); long $yj = $b.getLong($j);
          |    if ($xi == $yj) { $c++; $i++; $j++; }
-         |    else if ($xi < $yj) { $i++; }
-         |    else { $j++; }
+         |    else {
+         |      if ($xi < $yj) { $i++; } else { $j++; }
+         |      if ($n1 - $i < $need - $c && $n2 - $j < $need - $c) break;
+         |    }
          |  }
          |  ${ev.value} = ((double) $c) / ($n1 + $n2 - $c) >= $t;
          |}
@@ -98,7 +122,10 @@ case class SortedJaccardGe(left: Expression, right: Expression, threshold: Doubl
   * IEEE division and comparison). The size pre-test skips the merge only
   * when even a full overlap could not reach t (with 1e-6 slack, so it
   * cannot flip a boundary pair); empty left sets are defined non-contained
-  * in both engines (`n1 > 0` guard rather than 0/0).
+  * in both engines (`n1 > 0` guard rather than 0/0). Same positional
+  * early exit as [[SortedJaccardGe]]: decision-identical by construction,
+  * and at t = 0.9 a failing candidate scans ~10% of the contained set
+  * instead of all of it.
   */
 case class SortedContainmentGe(left: Expression, right: Expression, threshold: Double)
     extends BinaryExpression {
@@ -123,12 +150,20 @@ case class SortedContainmentGe(left: Expression, right: Expression, threshold: D
     val n1 = x.numElements()
     val n2 = y.numElements()
     if (n1 == 0 || n2 < threshold * n1 - 1e-6) return false
+    // smallest intersection count whose FINAL double test passes (same
+    // construction as [[SortedJaccardGe]]): the positional early exit can
+    // only fire when the final test provably returns false
+    var need = math.ceil(threshold * n1).toLong
+    while (need > 0 && (need - 1).toDouble / n1 >= threshold) need -= 1
+    while (need.toDouble / n1 < threshold) need += 1
     var i = 0; var j = 0; var c = 0L
     while (i < n1 && j < n2) {
       val xi = x.getLong(i); val yj = y.getLong(j)
       if (xi == yj) { c += 1; i += 1; j += 1 }
-      else if (xi < yj) i += 1
-      else j += 1
+      else {
+        if (xi < yj) i += 1 else j += 1
+        if (n1 - i < need - c && n2 - j < need - c) return false
+      }
     }
     c.toDouble / n1 >= threshold
   }
@@ -139,17 +174,23 @@ case class SortedContainmentGe(left: Expression, right: Expression, threshold: D
       val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val need = ctx.freshName("need")
       s"""
          |int $n1 = $a.numElements();
          |int $n2 = $b.numElements();
          |${ev.value} = false;
          |if ($n1 > 0 && !($n2 < $t * $n1 - 1e-6)) {
+         |  long $need = (long) java.lang.Math.ceil($t * $n1);
+         |  while ($need > 0 && ((double) ($need - 1)) / $n1 >= $t) { $need--; }
+         |  while (((double) $need) / $n1 < $t) { $need++; }
          |  int $i = 0; int $j = 0; long $c = 0L;
          |  while ($i < $n1 && $j < $n2) {
          |    long $xi = $a.getLong($i); long $yj = $b.getLong($j);
          |    if ($xi == $yj) { $c++; $i++; $j++; }
-         |    else if ($xi < $yj) { $i++; }
-         |    else { $j++; }
+         |    else {
+         |      if ($xi < $yj) { $i++; } else { $j++; }
+         |      if ($n1 - $i < $need - $c && $n2 - $j < $need - $c) break;
+         |    }
          |  }
          |  ${ev.value} = ((double) $c) / $n1 >= $t;
          |}

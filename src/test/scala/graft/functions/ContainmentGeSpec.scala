@@ -57,6 +57,28 @@ class ContainmentGeSpec extends AnyFunSuite {
     assert(got.exists(p => p._1 != p._2))
   }
 
+  test("positional early exit cannot flip a boundary pair: exhaustive c sweep at exact-ratio thresholds") {
+    // sets with intersection EXACTLY c, thresholds at the pair's own
+    // double ratio and one ulp around it — adversarial for the `need`
+    // bound that lets the merge loop exit early
+    val lit = (a: Array[Long]) => Literal.create(ArrayData.toArrayData(a), ArrayType(LongType, false))
+    for {
+      n1 <- 1 to 12
+      n2 <- 1 to 12
+      c <- 0 to math.min(n1, n2)
+    } {
+      val a = (0L until c).toArray ++ (100L until (100L + n1 - c)).toArray
+      val b = (0L until c).toArray ++ (200L until (200L + n2 - c)).toArray
+      val ratio = c.toDouble / n1
+      for (t <- Seq(ratio, Math.nextUp(ratio), Math.nextDown(ratio), ratio - 0.01, ratio + 0.01)
+             if t >= 0.0 && t <= 1.0) {
+        val got = SortedContainmentGe(lit(a), lit(b), t).eval(null)
+        assert(got == refContainGe(a, b, t),
+          s"n1=$n1 n2=$n2 c=$c t=$t ratio=$ratio")
+      }
+    }
+  }
+
   test("subset scores 1.0 regardless of container size; empty left is false") {
     val lit = (a: Array[Long]) => Literal.create(ArrayData.toArrayData(a), ArrayType(LongType, false))
     val small = Array(3L, 7L, 9L)

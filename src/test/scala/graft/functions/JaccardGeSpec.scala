@@ -51,6 +51,29 @@ class JaccardGeSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("positional early exit cannot flip a boundary pair: exhaustive c sweep at exact-ratio thresholds") {
+    // for every (n1, n2, c) shape, build sets with intersection EXACTLY c
+    // (shared prefix 0..c-1, then disjoint tails) and test thresholds AT
+    // the pair's own double ratio and one ulp around it — the adversarial
+    // inputs for the `need` bound that lets the merge loop exit early
+    val lit = (a: Array[Long]) => Literal.create(ArrayData.toArrayData(a), ArrayType(LongType, false))
+    for {
+      n1 <- 1 to 12
+      n2 <- 1 to 12
+      c <- 0 to math.min(n1, n2)
+    } {
+      val a = (0L until c).toArray ++ (100L until (100L + n1 - c)).toArray
+      val b = (0L until c).toArray ++ (200L until (200L + n2 - c)).toArray
+      val ratio = c.toDouble / (n1 + n2 - c)
+      for (t <- Seq(ratio, Math.nextUp(ratio), Math.nextDown(ratio), ratio - 0.01, ratio + 0.01)
+             if t >= 0.0 && t <= 1.0) {
+        val got = SortedJaccardGe(lit(a), lit(b), t).eval(null)
+        assert(got == refJaccardGe(a, b, t),
+          s"n1=$n1 n2=$n2 c=$c t=$t ratio=$ratio")
+      }
+    }
+  }
+
   test("null inputs yield null") {
     val spark = SparkTestBase.spark
     import spark.implicits._
