@@ -32,9 +32,8 @@ object Decontaminate {
     // distinct test grams; constructed ids are irrelevant — only the set
     val testGrams = test.select(col(testTextCol).as("__t"))
       .select(TextAnalysis.tokens(col("__t")).as("__toks"))
-      .select(explode(expr(
-        s"transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)), i -> concat_ws(' ', slice(__toks, i, $n)))"
-      )).as("gram")).distinct()
+      .select(explode(graft.functions.ShingleFunctions.word_ngrams(col("__toks"), n))
+        .as("gram")).distinct()
     grams(corpus, idCol, textCol, n)
       .join(broadcast(testGrams), Seq("gram"), "left_semi")
       .groupBy(col("id"))

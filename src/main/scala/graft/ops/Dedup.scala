@@ -52,9 +52,7 @@ object Dedup {
   def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     Spread(df).select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
-        explode(expr(
-          s"transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)), i -> concat_ws(' ', slice(__toks, i, $n)))"
-        )).as("gram"))
+        explode(graft.functions.ShingleFunctions.word_ngrams(col("__toks"), n)).as("gram"))
       .distinct()
 
   /** Exact dedup: group rows by content fingerprint, keep the minimum id.
@@ -510,21 +508,21 @@ object Dedup {
     // (tokenize + per-gram md5 lanes + xxhash64 set) — spread it over the
     // cluster instead of the scan's row-group parallelism (guide §2)
     val toked = Spread(df).select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-    val base = toked.select(col("id"), expr(
-      s"""array_distinct(transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
-         |                         i -> concat_ws(' ', slice(__toks, i, $n))))""".stripMargin
-    ).as("__grams"))
-    // ALL k lane minima in one fused native loop over the gram array
-    // (graft.functions.MinHashLanes): one MessageDigest per row reused
-    // across grams and seeds, hex written straight into lane buffers —
-    // replaces `seeds` interpreted transform() + aggregate() lambda
-    // chains that each allocated a 32-hex string per gram per row
+    // shingle windows, lane minima, and the hashed verify set are all
+    // fused native loops ([[graft.functions.WordNgrams]],
+    // [[graft.functions.MinHashLanes]], [[graft.functions.XxHash64SortedSet]])
+    // — the interpreted transform()/slice()/concat_ws()/xxhash64() lambda
+    // chains they replace paid per-window lambda frames and intermediate
+    // arrays on every row of the corpus (the signature stage's bill after
+    // md5 itself)
+    val base = toked.select(col("id"),
+      graft.functions.ShingleFunctions.word_ngrams(col("__toks"), n).as("__grams"))
     val withLanes = base.withColumn("__lanes",
       graft.functions.MinHashFunctions.min_hash_lanes(col("__grams"), seeds))
     val mhCols = (0 until k).map { j =>
       element_at(col("__lanes"), j + 1).as(s"mh$j")
     }
-    val gset = expr("array_sort(array_distinct(transform(__grams, g -> xxhash64(g))))").as("gset")
+    val gset = graft.functions.ShingleFunctions.xxhash64_sorted_set(col("__grams")).as("gset")
     withLanes.select(col("id") +: gset +: mhCols: _*)
   }
 
@@ -534,11 +532,8 @@ object Dedup {
     * and no distinct exchange. */
   def wordShingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     Spread(df).select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("id"), expr(
-        s"""array_sort(array_distinct(transform(
-           |  transform(sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
-           |            i -> concat_ws(' ', slice(__toks, i, $n))),
-           |  g -> xxhash64(g))))""".stripMargin).as("gset"))
+      .select(col("id"), graft.functions.ShingleFunctions.xxhash64_sorted_set(
+        graft.functions.ShingleFunctions.word_ngrams(col("__toks"), n)).as("gset"))
 
   /** Exact Jaccard verification against per-row shingle sets: candidates
     * are BROADCAST (they are tiny after LSH), so verification costs two
