@@ -79,8 +79,86 @@ case class XxHash64SortedSet(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `char_ngram_hash_set(text, n)`: ascending-sorted distinct xxhash64 of
+  * the char n-gram windows of a string — the fused form of
+  * `array_sort(array_distinct(transform(array_distinct(transform(
+  * sequence(1, greatest(length(t) - (n-2), 1)), i -> substring(t, i, n))),
+  * g -> xxhash64(g))))`, [[graft.ops.Dedup.charGramSets]]' projection.
+  *
+  * Beyond the lambda overhead, the SQL form is O(len^2) PER ROW:
+  * `substring(t, i, n)` locates code point i by scanning from the start
+  * of the string on every window. Here one pass records the byte offset
+  * of every code point and each window hashes straight off its byte
+  * slice — O(len), zero per-gram allocations. Window semantics replicate
+  * the SQL form exactly, including its short tail window (starts run to
+  * len - n + 2, so the last gram has n-1 code points) and the single
+  * degenerate window of a too-short string. */
+case class CharNgramHashSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"char shingle width must be >= 2, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"char_ngram_hash_set expects string, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleUtil.charNgramHashSet(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleUtil.charNgramHashSet($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashSet =
+    copy(child = newChild)
+}
+
 object ShingleUtil {
   private val Space = UTF8String.fromString(" ")
+
+  /** Sorted distinct xxhash64 of char n-gram windows — see
+    * [[CharNgramHashSet]] for the exact window contract. */
+  def charNgramHashSet(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    // byte offset of each code point (UTF-8 lead bytes), plus the end
+    var cpCount = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) cpCount += 1
+      i += 1
+    }
+    val offs = new Array[Int](cpCount + 1)
+    var cpi = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { offs(cpi) = i; cpi += 1 }
+      i += 1
+    }
+    offs(cpCount) = bytes.length
+    // windows start at code points 0 .. max(cpCount - n + 1, 0) inclusive
+    // (the SQL form's sequence(1, greatest(len - (n-2), 1)) in 0-based)
+    val count = math.max(cpCount - n + 2, 1)
+    val hs = new Array[Long](count)
+    i = 0
+    while (i < count) {
+      val start = offs(i)
+      val end = offs(math.min(i + n, cpCount))
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, end - start, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < count) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    val out = new Array[Long](w)
+    System.arraycopy(hs, 0, out, 0, w)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
 
   /** Distinct n-token windows of a token array, first-occurrence order. */
   def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
@@ -147,4 +225,8 @@ object ShingleFunctions {
   /** Column form of [[XxHash64SortedSet]]. */
   def xxhash64_sorted_set(grams: Column): Column =
     ColumnBridge.column(XxHash64SortedSet(ColumnBridge.expression(grams)))
+
+  /** Column form of [[CharNgramHashSet]]. */
+  def char_ngram_hash_set(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgramHashSet(ColumnBridge.expression(text), n))
 }

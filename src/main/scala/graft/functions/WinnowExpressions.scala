@@ -48,27 +48,52 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   // one digest per deserialized expression instance == per task: reuse
   // across every gram instead of a fresh MessageDigest per hash
   @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
-  private val HexChars = "0123456789abcdef".toCharArray
+  private val HexBytes = "0123456789abcdef".getBytes("US-ASCII")
 
   override def nullSafeEval(input: Any): Any = {
-    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
-    val m = cps.length - k + 1
+    // one String round-trip per ROW (identical semantics to the previous
+    // per-gram `new String(cps, i, k)` path, including invalid-sequence
+    // replacement), then one UTF-8 byte array + a code-point -> byte
+    // offset table so each gram is hashed straight off its byte slice —
+    // no per-gram String/char[]/byte[] allocations
+    val str = input.asInstanceOf[UTF8String].toString
+    val bytes = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // cumulative byte offset of each code point (offs(cpCount) = length)
+    var cpCount = 0
+    var ci = 0
+    while (ci < str.length) {
+      cpCount += 1
+      ci += Character.charCount(str.codePointAt(ci))
+    }
+    val m = cpCount - k + 1
     if (m < w) return new GenericArrayData(Array.empty[Any])
-    // hash every gram once: first 8 md5 bytes as 16 lowercase hex chars
-    val hs = new Array[String](m)
+    val offs = new Array[Int](cpCount + 1)
+    ci = 0
+    var cpi = 0
+    var boff = 0
+    while (ci < str.length) {
+      offs(cpi) = boff
+      val cp = str.codePointAt(ci)
+      boff += (if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4)
+      ci += Character.charCount(cp)
+      cpi += 1
+    }
+    offs(cpCount) = boff
+    // hash every gram once: first 8 md5 bytes, kept as a big-endian long —
+    // unsigned long order IS the 16-lowercase-hex lexicographic order, so
+    // the window selection compares primitives and hex materializes only
+    // for the selected positions
+    val hs = new Array[Long](m)
+    val dig = new Array[Byte](16)
     var i = 0
     while (i < m) {
-      val gram = new String(cps, i, k)
       digest.reset()
-      val dig = digest.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val hex = new Array[Char](16)
+      digest.update(bytes, offs(i), offs(i + k) - offs(i))
+      digest.digest(dig, 0, 16)
+      var h = 0L
       var b = 0
-      while (b < 8) {
-        hex(2 * b) = HexChars((dig(b) >> 4) & 0xf)
-        hex(2 * b + 1) = HexChars(dig(b) & 0xf)
-        b += 1
-      }
-      hs(i) = new String(hex)
+      while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      hs(i) = h
       i += 1
     }
     val seen = new java.util.LinkedHashSet[Integer]()
@@ -78,7 +103,7 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
       var bestH = hs(j)
       var x = j + 1
       while (x < j + w) {
-        if (hs(x).compareTo(bestH) <= 0) { bestH = hs(x); bestP = x }
+        if (java.lang.Long.compareUnsigned(hs(x), bestH) <= 0) { bestH = hs(x); bestP = x }
         x += 1
       }
       seen.add(bestP)
@@ -89,7 +114,14 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     var idx = 0
     while (it.hasNext) {
       val p = it.next().intValue()
-      out(idx) = InternalRow(p + 1, UTF8String.fromString(hs(p)))
+      val h = hs(p)
+      val hex = new Array[Byte](16)
+      var b = 0
+      while (b < 16) {
+        hex(b) = HexBytes(((h >>> ((15 - b) * 4)) & 0xf).toInt)
+        b += 1
+      }
+      out(idx) = InternalRow(p + 1, UTF8String.fromBytes(hex))
       idx += 1
     }
     new GenericArrayData(out)

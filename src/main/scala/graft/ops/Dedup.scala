@@ -38,13 +38,11 @@ object Dedup {
     * sorted-merge tests on the broadcast arms; explode-for-ranking plus
     * set verification on the prefix arms). */
   def charGramSets(df: DataFrame, idCol: String, textCol: String, n: Int = 4): DataFrame =
+    // fused native loop ([[graft.functions.CharNgramHashSet]]): the SQL
+    // transform form it replaces was O(len^2) per row — substring(t, i, n)
+    // re-scans from the string head for every window
     Spread(df).select(col(idCol).as("id"),
-      expr(
-        s"""array_sort(array_distinct(transform(
-           |  array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 2}, 1)),
-           |                           i -> substring($textCol, i, $n))),
-           |  g -> xxhash64(g))))""".stripMargin
-      ).as("gset"))
+      graft.functions.ShingleFunctions.char_ngram_hash_set(col(textCol), n).as("gset"))
 
   /** distinct word n-gram shingles per id: the standard MinHash document
     * representation — ~5x fewer shingles than char 4-grams on prose, which

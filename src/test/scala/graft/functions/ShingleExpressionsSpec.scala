@@ -61,6 +61,61 @@ class ShingleExpressionsSpec extends AnyFunSuite {
     assert(got(1).isNullAt(0) && got(1).isNullAt(1))
   }
 
+  test("char_ngram_hash_set matches the substring/xxhash64 SQL form") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      "a", "b", "ç", "東", "𐍈", " ", "xy")).map(_.mkString)
+    for (n <- Seq(2, 4, 7)) {
+      val df = samples(textGen, 200).map(Tuple1(_)).toDF("t")
+      val sql = expr(
+        s"array_sort(array_distinct(transform(array_distinct(transform(sequence(1, greatest(length(t) - ${n - 2}, 1)), i -> substring(t, i, $n))), g -> xxhash64(g))))")
+      val diff = df.select(sql.as("want"),
+        ShingleFunctions.char_ngram_hash_set(col("t"), n).as("got"))
+        .filter(col("want") =!= col("got"))
+      assert(diff.isEmpty, s"n=$n: ${diff.take(3).mkString("; ")}")
+    }
+  }
+
+  test("winnow_fingerprint byte-slice rewrite matches a per-gram string reference") {
+    // the old formulation, inline: every k-code-point gram as its own
+    // String -> md5 -> 16 lowercase hex chars, window minima with the
+    // later-position tie rule
+    def ref(text: String, k: Int, w: Int): Seq[(Int, String)] = {
+      val cps = text.codePoints().toArray
+      val m = cps.length - k + 1
+      if (m < w) return Seq.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (0 until m).map { i =>
+        val d = md.digest(new String(cps, i, k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d.take(8).map(b => f"${b & 0xff}%02x").mkString
+      }
+      val seen = scala.collection.mutable.LinkedHashSet[Int]()
+      for (j <- 0 to m - w) {
+        var bestP = j
+        for (x <- j + 1 until j + w)
+          if (hs(x).compareTo(hs(bestP)) <= 0) bestP = x
+        seen.add(bestP)
+      }
+      seen.toSeq.map(p => (p + 1, hs(p)))
+    }
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      "a", "b", "ç", "東", "𐍈", " ", "lorem")).map(_.mkString)
+    val texts = samples(textGen, 120) ++ Seq("", "ab", "the quick brown fox" * 10)
+    for ((k, w) <- Seq((8, 5), (3, 2))) {
+      val got = texts.map(Tuple1(_)).toDF("t")
+        .select(WinnowFunctions.winnow_fingerprint(col("t"), k, w).as("fp"))
+        .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => (r.getInt(0), r.getString(1))))
+      texts.zip(got).foreach { case (t, g) =>
+        assert(g == ref(t, k, w), s"k=$k w=$w text=${t.take(40)}")
+      }
+    }
+  }
+
   test("minHashSignatureSets is unchanged by the native rewrite (golden relational form)") {
     val spark = SparkTestBase.spark
     import spark.implicits._
