@@ -313,10 +313,15 @@ object Dedup {
     * `cluster_id =!= id` set, without the per-round scheduler trips. The
     * caller guarantees the pair count is broadcast-bounded, so the
     * collect is the same data volume a broadcast build would ship. */
-  private def driverDominatedIds(spark: org.apache.spark.sql.SparkSession,
-      dupPairs: DataFrame,
-      idField: org.apache.spark.sql.types.StructField): DataFrame = {
-    val edges = dupPairs.select(col("id1"), col("id2")).collect()
+  /** Union-find with min-as-root over collected edge rows (numeric
+    * natural ordering == Spark's ordering for numeric types). Returns the
+    * parent map and a resolver — the shared core of the broadcast-gated
+    * driver-CC arms ([[driverDominatedIds]], [[clusterPairs]],
+    * [[clusterPairsStar]]). Callers guarantee the edge count is
+    * broadcast-bounded, so the collect is the same data volume a
+    * broadcast build would ship. */
+  private def driverUnionFind(edges: Array[org.apache.spark.sql.Row])
+      : (java.util.HashMap[Any, Any], Any => Any) = {
     def num(a: Any): Double = a.asInstanceOf[Number].doubleValue()
     def lt(a: Any, b: Any): Boolean = (a, b) match {
       // exact comparisons for the integral types (doubleValue would lose
@@ -348,6 +353,13 @@ object Dedup {
       parent.putIfAbsent(row.get(0), find(row.get(0)))
       parent.putIfAbsent(row.get(1), find(row.get(1)))
     }
+    (parent, find)
+  }
+
+  private def driverDominatedIds(spark: org.apache.spark.sql.SparkSession,
+      dupPairs: DataFrame,
+      idField: org.apache.spark.sql.types.StructField): DataFrame = {
+    val (parent, find) = driverUnionFind(dupPairs.select(col("id1"), col("id2")).collect())
     import scala.jdk.CollectionConverters._
     val dominated: Seq[org.apache.spark.sql.Row] = parent.keySet.asScala.toSeq
       .filter(k => find(k) != k)
@@ -355,6 +367,26 @@ object Dedup {
     spark.createDataFrame(dominated.asJava,
       org.apache.spark.sql.types.StructType(Seq(idField.copy(name = "id"))))
   }
+
+  /** Driver-side (id, cluster_id = component min) labels for a
+    * broadcast-bounded edge set — the output contract of both CC
+    * implementations, computed in one collect. */
+  private def driverClusterLabels(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame,
+      idField: org.apache.spark.sql.types.StructField): DataFrame = {
+    val (parent, find) = driverUnionFind(edges.collect())
+    import scala.jdk.CollectionConverters._
+    val labels: Seq[org.apache.spark.sql.Row] = parent.keySet.asScala.toSeq
+      .map(k => org.apache.spark.sql.Row(k, find(k)))
+    spark.createDataFrame(labels.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        idField.copy(name = "id"), idField.copy(name = "cluster_id"))))
+  }
+
+  /** True when the pair relation's id type lets the driver arms order ids
+    * exactly as Spark would. */
+  private def numericIdType(pairs: DataFrame): Boolean =
+    pairs.schema.head.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
 
   /** foreachBatch sink producing a continuously-DEDUPED table: each
     * micro-batch is deduplicated against the persisted index (exact
@@ -984,6 +1016,18 @@ object Dedup {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct().localCheckpoint(true)
+    // broadcast-gated driver arm: a bounded edge set resolves in ONE
+    // collect (the volume a broadcast build would ship to the driver
+    // anyway) instead of diameter-many join+aggregate rounds of scheduler
+    // trips; the actual materialized edge count is a tighter gate than
+    // any candidate-stage estimate. Non-numeric ids and over-gate volumes
+    // keep the distributed propagation below — identical labels either
+    // way (min-of-component; self-pairs label themselves).
+    if (numericIdType(pairs) && edges.count() <= MaxBroadcastCandidates) {
+      val out = driverClusterLabels(pairs.sparkSession, edges, pairs.schema.head)
+      graft.util.Blocks.release(edges)
+      return out
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
@@ -1019,17 +1063,54 @@ object Dedup {
     * with the same per-round eager localCheckpoint lineage cut as
     * [[clusterPairs]]. Returns (id, cluster_id), cluster labeled by its
     * minimum id; ids appearing in no pair are not emitted. */
-  def clusterPairsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
-    clusterPairsStarWithRounds(pairs, maxIter)._1
+  def clusterPairsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical (big, small) orientation, materialized ONCE — feeds the
+    // driver gate and whichever arm wins; self-loops handled at the end
+    val edges = canonicalEdges(pairs)
+    val edgeCount = edges.count()
+    // broadcast-gated driver arm (see [[clusterPairs]]): one bounded
+    // collect replaces the O(log^2 n) star rounds' scheduler trips; the
+    // distributed rounds remain for over-gate volumes, non-numeric ids,
+    // and [[clusterPairsStarWithRounds]] (the spec hook stays purely
+    // distributed).
+    val labels =
+      if (numericIdType(pairs) && edgeCount <= MaxBroadcastCandidates) {
+        val out = driverClusterLabels(pairs.sparkSession, edges, pairs.schema.head)
+        graft.util.Blocks.release(edges)
+        out
+      } else starRounds(edges, edgeCount, maxIter)._1
+    withSelfOnly(pairs, labels)
+  }
+
+  private def canonicalEdges(pairs: DataFrame): DataFrame = pairs
+    .select(greatest(col("id1"), col("id2")).as("u"), least(col("id1"), col("id2")).as("v"))
+    .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+
+  /** contract parity with [[clusterPairs]]: an id appearing only as a
+    * self-pair still labels itself. */
+  private def withSelfOnly(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val selfOnly = pairs.filter(col("id1") === col("id2"))
+      .select(col("id1").as("id")).distinct()
+      .join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.unionAll(selfOnly)
+  }
 
   /** [[clusterPairsStar]] plus the number of rounds it took — the spec
-    * hook proving star rounds beat diameter-bound propagation. */
+    * hook proving star rounds beat diameter-bound propagation; always
+    * runs the distributed rounds. */
   def clusterPairsStarWithRounds(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    // canonical (big, small) orientation; self-loops handled at the end
-    var edges = pairs
-      .select(greatest(col("id1"), col("id2")).as("u"), least(col("id1"), col("id2")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    var edgeCount = edges.count()
+    val edges = canonicalEdges(pairs)
+    val (labels, rounds) = starRounds(edges, edges.count(), maxIter)
+    (withSelfOnly(pairs, labels), rounds)
+  }
+
+  /** The alternating large-star/small-star fixpoint over a materialized
+    * canonical edge set. Returns min-id labels for every id in `edges`. */
+  private def starRounds(edges0: DataFrame, edgeCount0: Long, maxIter: Int)
+      : (DataFrame, Int) = {
+    var edges = edges0
+    var edgeCount = edgeCount0
     var rounds = 0
     var done = false
     while (!done && rounds < maxIter) {
@@ -1071,13 +1152,7 @@ object Dedup {
     val labels = edges.select(col("u").as("id"), col("v").as("cluster_id"))
       .unionAll(edges.select(col("v").as("id"), col("v").as("cluster_id")))
       .distinct()
-    // contract parity with clusterPairs: an id appearing only as a
-    // self-pair still labels itself
-    val selfOnly = pairs.filter(col("id1") === col("id2"))
-      .select(col("id1").as("id")).distinct()
-      .join(labels, Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("cluster_id"))
-    (labels.unionAll(selfOnly), rounds)
+    (labels, rounds)
   }
 
   /** Quality-biased keeper selection over dedup clusters: keep ONE

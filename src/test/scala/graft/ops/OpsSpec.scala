@@ -97,8 +97,40 @@ class OpsSpec extends AnyFunSuite {
     val clusters = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.size == 64 && clusters.values.forall(_ == 0L))
     assert(rounds <= 12, s"star CC took $rounds rounds on a 64-node chain")
-    intercept[IllegalArgumentException] { // propagation at the same budget refuses
-      Dedup.clusterPairs(pairs, maxIter = 12)
+    // numeric gated inputs now take the driver union-find arm, which has
+    // no round budget — the chain resolves fine at maxIter=12
+    val viaDriver = Dedup.clusterPairs(pairs, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == clusters)
+    intercept[IllegalArgumentException] { // distributed propagation at the same budget refuses
+      // string ids force the distributed arm (the driver union-find
+      // needs Spark-identical ordering, guaranteed only for numerics)
+      val spairs = pairs.select(
+        format_string("n%03d", $"id1").as("id1"),
+        format_string("n%03d", $"id2").as("id2"))
+      Dedup.clusterPairs(spairs, maxIter = 12)
+    }
+  }
+
+  test("driver union-find arm labels exactly like the distributed arms") {
+    // random multigraphs incl. self-loops and isolated self-pairs; the
+    // numeric gated path (driver) must match the string-keyed distributed
+    // path label for label
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { _ =>
+      val edges = (0 until 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val pairs = edges.toDF("id1", "id2")
+      val spairs = pairs.select(
+        format_string("n%03d", $"id1").as("id1"),
+        format_string("n%03d", $"id2").as("id2"))
+      def norm(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+        df.collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+      def pad(s: Set[(String, String)]): Set[(String, String)] =
+        s.map { case (a, b) => (f"n${a.toLong}%03d", f"n${b.toLong}%03d") }
+      assert(pad(norm(Dedup.clusterPairs(pairs))) == norm(Dedup.clusterPairs(spairs)))
+      assert(pad(norm(Dedup.clusterPairsStar(pairs))) == norm(Dedup.clusterPairsStar(spairs)))
+      // and the two driver-armed entry points agree with each other
+      assert(norm(Dedup.clusterPairs(pairs)) == norm(Dedup.clusterPairsStar(pairs)))
     }
   }
 
