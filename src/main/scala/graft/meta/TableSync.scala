@@ -54,19 +54,29 @@ object TableSync {
         .select(dataCols.map(col): _*)
       val delKeys = frame.filter(col(Changelog.ChangeTypeCol) === "delete")
         .select(keys.map(col): _*).distinct()
+      // ONE aggregate over the checkpointed blocks answers both
+      // emptiness gates (the two isEmpty probes were separate jobs per
+      // snapshot, forever)
+      val counts = frame.agg(
+        sum(when(col(Changelog.ChangeTypeCol) === "insert", 1L).otherwise(0L)),
+        sum(when(col(Changelog.ChangeTypeCol) === "delete", 1L).otherwise(0L))).head
+      val (nIns, nDel) = (if (counts.isNullAt(0)) 0L else counts.getLong(0),
+        if (counts.isNullAt(1)) 0L else counts.getLong(1))
       if (!dstCatalog.tableExists(dstName))
         IceWrite.create(spark, dstCatalog, dstName, ins.limit(0)): Unit
-      if (!ins.isEmpty)
+      if (nIns > 0)
         IceWrite.upsert(spark, dstCatalog, dstName, ins, keys): Unit
       // keys deleted without reinsertion (updates were handled by the
       // upsert's own equality delete)
-      val pureDel = delKeys.join(ins.select(keys.map(col): _*).distinct(),
-        keys, "left_anti")
-      if (!pureDel.isEmpty)
-        // REBALANCE: the anti join inherits the frame's partitioning and
-        // would write one tiny tombstone file per partition
-        IceWrite.appendEqualityDeletes(spark, dstCatalog, dstName,
-          pureDel.hint("rebalance"), keys): Unit
+      if (nDel > 0) {
+        val pureDel = delKeys.join(ins.select(keys.map(col): _*).distinct(),
+          keys, "left_anti")
+        if (!pureDel.isEmpty)
+          // REBALANCE: the anti join inherits the frame's partitioning and
+          // would write one tiny tombstone file per partition
+          IceWrite.appendEqualityDeletes(spark, dstCatalog, dstName,
+            pureDel.hint("rebalance"), keys): Unit
+      }
     }
   }
 }
