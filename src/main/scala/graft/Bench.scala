@@ -196,15 +196,24 @@ object Bench {
       s""""test_sweep_min_ago":$sweepAge}"""
     val detail = compactionDetail.map("," + _).getOrElse("") +
       skewDetail.map("," + _).getOrElse("") + "," + load
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_best":$totalBest,"queries":$qs,"queries_best":$qb$detail,"sf":"$sfDir"}""")
-    // TRUNCATION-PROOF summary: the driver keeps only the tail of stdout,
-    // which on a 150+-query surface cuts off the full line's leading totals.
-    // This final short line restates them (plus the slowest best-of lines)
-    // so any tail capture >= ~400 chars preserves the round's headline
-    // numbers. Emitted LAST on purpose.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","value_best":$totalBest,"queries":$qs,"queries_best":$qb$detail,"sf":"$sfDir"}"""
+    // Short summary first (headline totals + slowest lines survive even a
+    // few-hundred-char tail capture) ...
     val slowest = bestRun.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     println(s"""{"metric":"summary","value":$total,"unit":"sec","value_best":$totalBest,"n_queries":${results.size},"slowest_best":$slowest$detail,"sf":"$sfDir"}""")
+    // ... then the COMPLETE machine-readable record as the LAST stdout
+    // line (rounds 10-11 printed it second-to-last and the driver's
+    // bounded stdout tail truncated it mid-map -> "parsed": null, an
+    // empty PERF file, and an unadjudicable round). Belt and braces: the
+    // same line is mirrored to bench_out.json next to the build, so even
+    // a truncated stdout capture has a complete copy on disk.
+    scala.util.Try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    }
+    println(fullLine)
     spark.stop()
   }
 }

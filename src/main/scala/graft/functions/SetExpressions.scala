@@ -68,7 +68,7 @@ case class SortedJaccardGe(left: Expression, right: Expression, threshold: Doubl
         // positional filter, tested only on a mismatch advance (a match
         // never lowers the attainable count): even matching every
         // remaining element cannot reach `need` — the candidate fails
-        if (n1 - i < need - c && n2 - j < need - c) return false
+        if (n1 - i < need - c || n2 - j < need - c) return false
       }
     }
     c.toDouble / (n1 + n2 - c) >= threshold
@@ -95,7 +95,7 @@ case class SortedJaccardGe(left: Expression, right: Expression, threshold: Doubl
          |    if ($xi == $yj) { $c++; $i++; $j++; }
          |    else {
          |      if ($xi < $yj) { $i++; } else { $j++; }
-         |      if ($n1 - $i < $need - $c && $n2 - $j < $need - $c) break;
+         |      if ($n1 - $i < $need - $c || $n2 - $j < $need - $c) break;
          |    }
          |  }
          |  ${ev.value} = ((double) $c) / ($n1 + $n2 - $c) >= $t;
@@ -162,7 +162,7 @@ case class SortedContainmentGe(left: Expression, right: Expression, threshold: D
       if (xi == yj) { c += 1; i += 1; j += 1 }
       else {
         if (xi < yj) i += 1 else j += 1
-        if (n1 - i < need - c && n2 - j < need - c) return false
+        if (n1 - i < need - c || n2 - j < need - c) return false
       }
     }
     c.toDouble / n1 >= threshold
@@ -189,7 +189,7 @@ case class SortedContainmentGe(left: Expression, right: Expression, threshold: D
          |    if ($xi == $yj) { $c++; $i++; $j++; }
          |    else {
          |      if ($xi < $yj) { $i++; } else { $j++; }
-         |      if ($n1 - $i < $need - $c && $n2 - $j < $need - $c) break;
+         |      if ($n1 - $i < $need - $c || $n2 - $j < $need - $c) break;
          |    }
          |  }
          |  ${ev.value} = ((double) $c) / $n1 >= $t;

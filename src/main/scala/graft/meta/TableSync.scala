@@ -52,30 +52,39 @@ object TableSync {
         c == Changelog.ChangeTypeCol || c == Changelog.SnapshotIdCol).toSeq
       val ins = frame.filter(col(Changelog.ChangeTypeCol) === "insert")
         .select(dataCols.map(col): _*)
-      val delKeys = frame.filter(col(Changelog.ChangeTypeCol) === "delete")
-        .select(keys.map(col): _*).distinct()
-      // ONE aggregate over the checkpointed blocks answers both
-      // emptiness gates (the two isEmpty probes were separate jobs per
-      // snapshot, forever)
-      val counts = frame.agg(
-        sum(when(col(Changelog.ChangeTypeCol) === "insert", 1L).otherwise(0L)),
-        sum(when(col(Changelog.ChangeTypeCol) === "delete", 1L).otherwise(0L))).head
-      val (nIns, nDel) = (if (counts.isNullAt(0)) 0L else counts.getLong(0),
-        if (counts.isNullAt(1)) 0L else counts.getLong(1))
+      // Per-KEY change profile: one groupBy over the checkpointed blocks
+      // carries has-insert/has-delete flags per key group, so a single
+      // driver action answers ALL THREE gates (any insert, any pure
+      // delete) and the pure-delete key set itself is a filter over the
+      // same relation — the r11 form still paid a separate
+      // `pureDel.isEmpty` job (plus a delKeys-anti-insKeys join plan)
+      // inside the nDel>0 branch, per delete-bearing snapshot, forever.
+      // A key group with a NULL component keeps the anti-join semantics
+      // it replaces: null keys never equi-match, so such deletes are
+      // pure deletes even when the same null-keyed row was re-inserted.
+      val isIns = when(col(Changelog.ChangeTypeCol) === "insert", 1).otherwise(0)
+      val isDel = when(col(Changelog.ChangeTypeCol) === "delete", 1).otherwise(0)
+      val perKey = frame.groupBy(keys.map(col): _*)
+        .agg(max(isIns).as("__ins"), max(isDel).as("__del"))
+      val nullKey = keys.map(col(_).isNull).reduce(_ || _)
+      val pureDelPred = col("__del") === 1 && (col("__ins") === 0 || nullKey)
+      val gates = perKey.agg(
+        sum(col("__ins")).as("__nins"),
+        sum(when(pureDelPred, 1L).otherwise(0L)).as("__npure")).head
+      val (nIns, nPure) = (if (gates.isNullAt(0)) 0L else gates.getLong(0),
+        if (gates.isNullAt(1)) 0L else gates.getLong(1))
       if (!dstCatalog.tableExists(dstName))
         IceWrite.create(spark, dstCatalog, dstName, ins.limit(0)): Unit
       if (nIns > 0)
         IceWrite.upsert(spark, dstCatalog, dstName, ins, keys): Unit
       // keys deleted without reinsertion (updates were handled by the
       // upsert's own equality delete)
-      if (nDel > 0) {
-        val pureDel = delKeys.join(ins.select(keys.map(col): _*).distinct(),
-          keys, "left_anti")
-        if (!pureDel.isEmpty)
-          // REBALANCE: the anti join inherits the frame's partitioning and
-          // would write one tiny tombstone file per partition
-          IceWrite.appendEqualityDeletes(spark, dstCatalog, dstName,
-            pureDel.hint("rebalance"), keys): Unit
+      if (nPure > 0) {
+        val pureDel = perKey.filter(pureDelPred).select(keys.map(col): _*)
+        // REBALANCE: the aggregate inherits the frame's partitioning and
+        // would write one tiny tombstone file per partition
+        IceWrite.appendEqualityDeletes(spark, dstCatalog, dstName,
+          pureDel.hint("rebalance"), keys): Unit
       }
     }
   }

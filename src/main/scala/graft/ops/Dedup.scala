@@ -331,7 +331,11 @@ object Dedup {
       case (x: java.lang.Short, y: java.lang.Short) => x < y
       case (x: java.lang.Byte, y: java.lang.Byte) => x < y
       case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
-      case _ => num(a) < num(b)
+      // Double.compare, not <: Spark's ordering (and its min/least) places
+      // NaN GREATEST, while `NaN < x` is always false — a plain < would
+      // let a NaN float/double id become a component root and diverge
+      // from the distributed arm's labels
+      case _ => java.lang.Double.compare(num(a), num(b)) < 0
     }
     val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {
@@ -386,7 +390,7 @@ object Dedup {
   /** True when the pair relation's id type lets the driver arms order ids
     * exactly as Spark would. */
   private def numericIdType(pairs: DataFrame): Boolean =
-    pairs.schema.head.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    pairs.schema("id1").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
 
   /** foreachBatch sink producing a continuously-DEDUPED table: each
     * micro-batch is deduplicated against the persisted index (exact
@@ -1024,7 +1028,7 @@ object Dedup {
     // keep the distributed propagation below — identical labels either
     // way (min-of-component; self-pairs label themselves).
     if (numericIdType(pairs) && edges.count() <= MaxBroadcastCandidates) {
-      val out = driverClusterLabels(pairs.sparkSession, edges, pairs.schema.head)
+      val out = driverClusterLabels(pairs.sparkSession, edges, pairs.schema("id1"))
       graft.util.Blocks.release(edges)
       return out
     }
@@ -1075,7 +1079,7 @@ object Dedup {
     // distributed).
     val labels =
       if (numericIdType(pairs) && edgeCount <= MaxBroadcastCandidates) {
-        val out = driverClusterLabels(pairs.sparkSession, edges, pairs.schema.head)
+        val out = driverClusterLabels(pairs.sparkSession, edges, pairs.schema("id1"))
         graft.util.Blocks.release(edges)
         out
       } else starRounds(edges, edgeCount, maxIter)._1

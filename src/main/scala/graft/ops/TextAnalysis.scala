@@ -482,21 +482,24 @@ object TextAnalysis {
     * Shuffle profile: tf aggregate keyed by (doc, term) with map-side
     * combine; document frequency derived FROM the tf aggregate (tf has
     * exactly one row per (doc, term), so counting rows per term there
-    * equals counting distinct docs per term — measured 2x cheaper than a
-    * second explode + distinct over the raw token relation); one shuffle
-    * join on term (vocabulary can reach 10^8+ distinct terms at corpus
-    * scale, so the df side is NOT broadcast — AQE may still choose to);
-    * and the rank window partitioned by document (parallel, state bounded
-    * by a doc's distinct terms). Returns (id, term, rank, score_micro). */
+    * equals counting distinct docs per term) as a COUNT window
+    * partitioned by term — not a groupBy + self-join: the join form
+    * evaluates the tf subtree twice (DataFrame plans get no
+    * common-subexpression reuse, so the scan + explode + tf exchange are
+    * physically duplicated — the r11 plan regression on this line),
+    * whereas the window reads the single tf relation once behind one
+    * term exchange, the same shuffle the join would have paid; then the
+    * rank window partitioned by document (parallel, state bounded by a
+    * doc's distinct terms). Returns (id, term, rank, score_micro). */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     val toks = Spread(df).select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("score_micro").desc, col("term").asc)
-    tf.join(dfreq, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .withColumn("score_micro", expr("(tf * 1000000) div df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
