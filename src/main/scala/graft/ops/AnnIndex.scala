@@ -102,7 +102,14 @@ object AnnIndex {
   }
 
   /** Cell assignment + PQ encode against one centroid frame, joined to
-    * (vec_id, cell_id, code_0..code_{m-1}). */
+    * (vec_id, cell_id, code_0..code_{m-1}).
+    *
+    * Deliberately NOT Spread: measured (QueryJobProfile, s8) — the
+    * single-task build stages here are not compute-bound (nCells cosines
+    * over fixed-width vectors are microseconds per row), and because the
+    * cells⋈codes join evaluates `vectors` in BOTH subtrees, a Spread
+    * exchange is paid twice and cost s8 ~1.3 s warm (3.99 -> 5.3 s). The
+    * same measure-and-revert call as Multimodal.imageDHashes. */
   private def assignAndEncode(vectors: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, m: Int): DataFrame = {
     val cells = Similarity.ivfCells(vectors, idCol, vecCol, cents, "cell_id", "vec")

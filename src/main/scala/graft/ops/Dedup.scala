@@ -274,31 +274,43 @@ object Dedup {
         keepers.join(matched, Seq("id"), "left_anti")
       }
     }
-    val fresh = survivors
+    val fresh0 = survivors
       .select(col("id"), lit(batchId).as("batch_id"), col("bands"), col("gset"))
-      .localCheckpoint(true)
-    // REBALANCE the commit payload: fresh carries the batch's survivor
-    // rows across however many partitions the dedup pipeline ran on —
-    // written as-is that is one tiny file PER PARTITION per batch (every
-    // later index read opens all of them; every commit pays the per-file
-    // protocol round trips). AQE sizes the output instead.
-    val freshOut = fresh.hint("rebalance")
-    if (!exists) graft.meta.IceWrite.create(spark, catalog, indexTable, freshOut)
-    else if (!fresh.isEmpty) {
+    if (!exists) {
+      // REBALANCE the commit payload: fresh carries the batch's survivor
+      // rows across however many partitions the dedup pipeline ran on —
+      // written as-is that is one tiny file PER PARTITION per batch
+      // (every later index read opens all of them; every commit pays the
+      // per-file protocol round trips). AQE sizes the output instead.
+      graft.meta.IceWrite.create(spark, catalog, indexTable,
+        fresh0.localCheckpoint(true).hint("rebalance")): Unit
+    } else {
       // survivors are first-seen ids in the common case — a plain APPEND
       // commits them without the upsert's equality-delete sidecar, which
       // every later read of the index would anti-join against, per batch,
-      // forever. The cheap id-collision probe (fresh is checkpointed and
-      // small; the index side prunes to its id column) keeps the keyed-
-      // by-id contract: a replayed or id-reusing batch falls back to the
-      // idempotent MOR upsert exactly as before.
-      val collides = !fresh.join(
-        graft.meta.IceRead.table(spark, catalog, indexTable).select(col("id")),
-        Seq("id"), "left_semi").isEmpty
-      if (collides)
-        graft.meta.IceWrite.upsert(spark, catalog, indexTable, freshOut, keys = Seq("id"))
-      else
-        graft.meta.IceWrite.append(spark, catalog, indexTable, freshOut)
+      // forever. The id-collision flag (a replayed or id-reusing batch
+      // falls back to the idempotent MOR upsert exactly as before) rides
+      // the checkpoint materialization as a left-join marker, and ONE
+      // aggregate over the checkpointed blocks then answers BOTH commit
+      // gates — the r11 form paid a separate `fresh.isEmpty` job plus a
+      // semi-join probe with its own index scan, per micro-batch,
+      // forever. The index side dedups its id column first: the index is
+      // id-keyed by contract, but a duplicate id must degrade to the
+      // same upsert the semi-join chose, never to duplicated fresh rows.
+      val idxIds = graft.meta.IceRead.table(spark, catalog, indexTable)
+        .select(col("id")).distinct().withColumn("__dup", lit(1))
+      val fresh = fresh0.join(idxIds, Seq("id"), "left").localCheckpoint(true)
+      val st = fresh.agg(count(lit(1)).as("__n"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("__ndup")).head
+      val (nFresh, nDup) = (st.getLong(0),
+        if (st.isNullAt(1)) 0L else st.getLong(1))
+      if (nFresh > 0) {
+        val freshOut = fresh.drop("__dup").hint("rebalance")
+        if (nDup > 0)
+          graft.meta.IceWrite.upsert(spark, catalog, indexTable, freshOut, keys = Seq("id"))
+        else
+          graft.meta.IceWrite.append(spark, catalog, indexTable, freshOut)
+      }
     }
     val mine = graft.meta.IceRead.table(spark, catalog, indexTable)
       .filter(col("batch_id") === batchId)

@@ -209,17 +209,23 @@ object TextIndex {
   /** Postings carry POSITIONS (1-based token offsets, sorted) alongside
     * tf — the standard positional-index layout: phrase queries resolve
     * from the index alone, and the array's size is exactly tf (no new
-    * asymptotics, ~8 bytes per corpus token). */
+    * asymptotics, ~8 bytes per corpus token).
+    *
+    * Every position of a (term, doc) posting lives in the SAME corpus
+    * row, so the grouping is computed per row by the native
+    * [[graft.functions.TermPostings]] expression instead of pushing the
+    * whole token stream through a posexplode + collect_list aggregation
+    * exchange — the row set is identical (same filter, tf, sorted
+    * positions; see the expression's exactness contract), and the only
+    * shuffle left in the build is the term-range repartition the file
+    * layout needs. */
   private def postingRows(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus.select(col(idCol).as("doc_id"),
       coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)).as("dl"),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
-      // tokens("") is [""] — an empty-text doc must not write a junk
-      // posting under the empty term (normTerms rejects it query-side)
-      .filter(char_length(col("term")) > 0)
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
-        sort_array(collect_list((col("pos") + 1).cast("long"))).as("positions"))
+      explode(graft.functions.PostingsFunctions.term_postings(
+        TextAnalysis.tokens(col(textCol)))).as("__p"))
+      .select(col("__p.term").as("term"), col("doc_id"),
+        col("__p.tf").as("tf"), col("dl"), col("__p.positions").as("positions"))
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
 
