@@ -141,6 +141,20 @@ object Sf1Anchor {
     }
     releaseAll()
 
+    // ---- d13 under the SCALED cap policy (the round-11 anchor lesson
+    // as code, [[Dedup.scaledWinnowCap]]): the cap expresses a document-
+    // frequency threshold, so at 10x docs it is 64 -> 640 and the
+    // medium-hot organic grams the fixed cap would drop keep flowing.
+    // On this selectivity-preserving cipher corpus both caps must be
+    // non-degenerate; the scaled one may only find MORE pairs. ----
+    timed("d13_scaledcap_sf1") {
+      detail("d13_scaled_pairs") = graft.ops.Dedup.winnowNearDupPairs(seeded,
+        "doc_id", "text", k = 12, minOverlapPpm = 500000L,
+        maxBucketSize = graft.ops.Dedup.scaledWinnowCap(
+          detail("seeded_docs"), detail("seeded_docs") / reps, 64)).count()
+    }
+    releaseAll()
+
     // ---- i2: incremental cross-run MinHash index, two batches ----
     timed("i2_sf1") {
       val catalog = new LocalCatalog(

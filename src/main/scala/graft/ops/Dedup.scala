@@ -187,22 +187,39 @@ object Dedup {
     // candidate set is never materialized just to count it (the
     // pre-round-10 pairs.count() was a full extra materialization per
     // batch, forever).
+    // histogram stays LAZY: one codegen'd aggregate answers both gates
+    // (hot-key count for the anti-join strategy, C(n,2) bound for the
+    // verify broadcast) — the r11 form paid a checkpoint job for the
+    // histogram blocks plus the gates job, per micro-batch, forever.
+    // Organic corpora have ZERO over-cap buckets, so the common case is
+    // now one job and NO anti join in the plan at all; when hot keys
+    // exist they are collected (the gate just proved the set is
+    // broadcast-bounded — the same rows a broadcast build would ship,
+    // recomputed over the checkpointed docs blocks) and anti-joined as
+    // a local relation. A collect_list fold of the keys into the gates
+    // aggregate was tried and measured WORSE: it forces the whole gates
+    // aggregate off whole-stage codegen into ObjectHashAggregate, taxing
+    // every batch to save a job only skewed batches pay.
     val bandCounts = bandRows.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("__n")).localCheckpoint(true)
-    val hot = bandCounts.filter(col("__n") > maxBucketSize)
-      .select(col("band"), col("bh"))
-    // ONE driver action answers both gates (hot-key count for the anti-join
-    // strategy, C(n,2) bound for the verify broadcast) — these were two
-    // separate jobs over the same checkpointed blocks, paid per micro-batch
+      .agg(count(lit(1)).as("__n"))
     val gates = bandCounts.agg(
       sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("__hot"),
       sum(when(col("__n") <= maxBucketSize,
         (col("__n") * (col("__n") - lit(1)) / lit(2)).cast("long"))).as("__b")).head
-    val hotGated =
-      if ((if (gates.isNullAt(0)) 0L else gates.getLong(0)) <= MaxBroadcastHotKeys)
-        broadcast(hot) else hot
-    val sized = bandRows.join(hotGated, Seq("band", "bh"), "left_anti")
-      .select(col("id"), col("band"), col("bh"))
+    val nHot = if (gates.isNullAt(0)) 0L else gates.getLong(0)
+    val hot = bandCounts.filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("bh"))
+    val sized =
+      if (nHot == 0L) bandRows.select(col("id"), col("band"), col("bh"))
+      else if (nHot <= MaxBroadcastHotKeys) {
+        val hotLocal = spark.createDataFrame(
+          java.util.Arrays.asList(hot.collect(): _*),
+          org.apache.spark.sql.types.StructType(
+            Seq(bandRows.schema("band"), bandRows.schema("bh"))))
+        bandRows.join(broadcast(hotLocal), Seq("band", "bh"), "left_anti")
+          .select(col("id"), col("band"), col("bh"))
+      } else bandRows.join(hot, Seq("band", "bh"), "left_anti")
+        .select(col("id"), col("band"), col("bh"))
     val pairBound = if (gates.isNullAt(1)) 0L else gates.getLong(1)
     // distinct() stays: a pair surfaces from up to k/rowsPerBand bands,
     // and every duplicate would drag the WIDE gset arrays through the
@@ -499,16 +516,32 @@ object Dedup {
     * genuinely needs its count, e.g. [[dropBoilerplateLines]]) keep the
     * window form. */
   private[ops] def dropHotBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    // materialized once (eager checkpoint): the count gating the join
-    // strategy and the join itself read the same tiny blocks
-    val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    // ONE bounded collect replaces the r11 checkpoint + count probe (two
+    // driver actions per call, plus pinned blocks and a broadcast-build
+    // job at execution): the over-cap key list is what a broadcast would
+    // ship to the driver anyway, so fetch it directly. The LIMIT keeps
+    // the transfer bounded — seeing MaxBroadcastHotKeys + 1 rows proves
+    // the list is over-gate without materializing the rest.
+    val histogram = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
       .select(keys.map(col): _*)
-      .localCheckpoint(true)
-    val gated = if (hot.count() <= MaxBroadcastHotKeys) broadcast(hot) else hot
-    // re-project: a using-column join moves the key columns first, and a
-    // positional consumer (union, exceptAll) downstream would mis-zip
-    df.join(gated, keys, "left_anti").select(df.columns.map(col): _*)
+    val hotRows = histogram.limit(MaxBroadcastHotKeys.toInt + 1).collect()
+    if (hotRows.isEmpty) df // no over-cap bucket: nothing to drop, no join at all
+    else if (hotRows.length <= MaxBroadcastHotKeys) {
+      // local relation: the anti join broadcasts in-driver rows, no
+      // distributed build side, no checkpoint blocks to pin
+      val keySchema = org.apache.spark.sql.types.StructType(keys.map(df.schema(_)))
+      val hotLocal = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*), keySchema)
+      // re-project: a using-column join moves the key columns first, and a
+      // positional consumer (union, exceptAll) downstream would mis-zip
+      df.join(broadcast(hotLocal), keys, "left_anti").select(df.columns.map(col): _*)
+    } else {
+      // pathological over-gate corpus (most buckets slightly over-cap can
+      // push |rows|/cap past a million keys): recompute the histogram
+      // distributed and shuffle the anti join, exactly the r11 fallback
+      df.join(histogram, keys, "left_anti").select(df.columns.map(col): _*)
+    }
   }
 
   /** Over-cap key lists above this many keys fall back to a shuffled anti
@@ -725,6 +758,35 @@ object Dedup {
         expr("1000000L * __shared div least(__n1, __n2)"))
       .filter(col("overlap_ppm") >= minOverlapPpm)
       .select(col("id1"), col("id2"), col("overlap_ppm"))
+  }
+
+  /** Corpus-size-scaled bucket cap for winnow-fingerprint pair joins —
+    * the round-11 sf1 anchor's finding made POLICY. Winnow gram buckets
+    * are CORPUS-FREQUENCY driven: a gram carried by a fixed fraction f
+    * of documents populates a bucket of f * corpusDocs rows, so a cap
+    * tuned at `baseDocs` silently drops ever-more-common (still organic)
+    * grams as the corpus grows — in the anchor's distorted-fixture case
+    * all the way to zero recall at 10x volume. Scaling the cap linearly
+    * with the corpus keeps the DOCUMENT-FREQUENCY threshold the cap
+    * actually expresses (drop grams shared by more than baseCap/baseDocs
+    * of the corpus) constant at every scale. Identity at the tuned size
+    * and below (never returns less than `baseCap`, so the oracle-pinned
+    * sf0.01/sf0.1 parameters are reproduced exactly); ceil division so
+    * the threshold fraction never tightens on the way up. LSH band
+    * buckets (capped per signature, not per corpus) deliberately do NOT
+    * scale this way. */
+  def scaledWinnowCap(corpusDocs: Long, baseDocs: Long, baseCap: Int): Int = {
+    require(baseDocs > 0 && baseCap > 0 && corpusDocs >= 0,
+      s"need baseDocs > 0, baseCap > 0, corpusDocs >= 0; " +
+        s"got corpusDocs=$corpusDocs baseDocs=$baseDocs baseCap=$baseCap")
+    if (corpusDocs <= baseDocs) baseCap
+    else {
+      // BigInt: baseCap * corpusDocs overflows Long near the saturation
+      // point, and a driver-side once-per-query computation can afford
+      // exact arithmetic
+      val scaled = (BigInt(baseCap) * corpusDocs + baseDocs - 1) / baseDocs
+      if (scaled > Int.MaxValue) Int.MaxValue else scaled.toInt
+    }
   }
 
   /** CAP-PRESSURE report for [[winnowNearDupPairs]] — the "no silent

@@ -32,14 +32,28 @@ class HotBucketCapSpec extends AnyFunSuite {
     assert(viaGroup.count() === 500L)
   }
 
-  test("cap path plans: no Window node, broadcast anti join present") {
+  test("cap path plans: no Window; anti join only when hot buckets exist") {
+    // 52 buckets of ~4 rows under cap=10: NO over-cap bucket exists, so
+    // the cap must cost NOTHING in the plan — no Window, no anti join
+    // (the r11 form always planned the anti join and paid a histogram
+    // checkpoint + count probe per call even when there was nothing to drop)
     val bands = (1 to 200).map(i => (i.toLong, i % 4, s"h${i % 13}"))
       .toDF("id", "band", "bh")
     val plan = Dedup.lshCandidatePairs(bands, maxBucketSize = 10)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"cap must not plan a window:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"cap must drop hot rows via a broadcast anti join:\n$plan")
+    assert(!plan.contains("LeftAnti"),
+      s"no hot bucket -> the cap must vanish from the plan:\n$plan")
+    // planted hot bucket: the anti join appears, broadcast, and its build
+    // side is the driver-collected key list (a local relation, not a
+    // distributed subtree with its own checkpoint blocks)
+    val hot = (1 to 40).map(i => (i.toLong, 0, "same")) ++
+      (100 to 120).map(i => (i.toLong, 1, s"h$i"))
+    val hotPlan = Dedup.lshCandidatePairs(hot.toDF("id", "band", "bh"), maxBucketSize = 10)
+      .queryExecution.executedPlan.toString
+    assert(!hotPlan.contains("Window"), s"cap must not plan a window:\n$hotPlan")
+    assert(hotPlan.contains("LeftAnti") && hotPlan.contains("LocalTableScan"),
+      s"hot bucket -> broadcast anti join against the collected key list:\n$hotPlan")
   }
 
   test("planted mega-hot bucket: bounded candidates, hot rows never pair") {
@@ -94,5 +108,32 @@ class HotBucketCapSpec extends AnyFunSuite {
     assert(Dedup.winnowNearDupPairs(collapsed, "doc_id", "text",
       k = 12, minOverlapPpm = 500000L, maxBucketSize = 64).count() == 0,
       "the cap drops everything — exactly what the report predicts")
+  }
+
+  test("scaledWinnowCap: identity at/below the tuned size, ceil-linear above") {
+    assert(Dedup.scaledWinnowCap(5000, 5000, 64) === 64)
+    assert(Dedup.scaledWinnowCap(100, 5000, 64) === 64) // never below the tuned cap
+    assert(Dedup.scaledWinnowCap(50000, 5000, 64) === 640) // the sf1 anchor's 10x
+    assert(Dedup.scaledWinnowCap(5001, 5000, 64) === 65) // ceil: never tightens
+    assert(Dedup.scaledWinnowCap(Long.MaxValue / 2, 1, 64) === Int.MaxValue)
+    // the cap IS a document-frequency threshold: cap(n)/n >= baseCap/baseDocs
+    for (n <- Seq(5001L, 7919L, 50000L, 1000000L))
+      assert(Dedup.scaledWinnowCap(n, 5000, 64).toLong * 5000 >= 64L * n)
+  }
+
+  test("scaled cap recovers recall the fixed cap loses at 2x volume") {
+    // 16 identical docs: every gram bucket holds all 16. A cap tuned to 8
+    // at an 8-doc corpus drops every bucket at 16 docs (the anchor's
+    // zero-recall collapse in miniature); the scaled cap (8 * 16/8 = 16)
+    // keeps them, and every doc pairs with every other.
+    val t = "the winnowing guarantee makes shared runs fingerprintable end"
+    val docs = (1L to 16L).map(i => (i, t)).toDF("doc_id", "text")
+    val fixed = Dedup.winnowNearDupPairs(docs, "doc_id", "text",
+      k = 8, w = 5, minOverlapPpm = 500000L, maxBucketSize = 8)
+    assert(fixed.isEmpty, "over-cap buckets are dropped whole at the fixed cap")
+    val scaled = Dedup.winnowNearDupPairs(docs, "doc_id", "text",
+      k = 8, w = 5, minOverlapPpm = 500000L,
+      maxBucketSize = Dedup.scaledWinnowCap(16, 8, 8))
+    assert(scaled.count() === 120L) // C(16,2)
   }
 }
