@@ -22,6 +22,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // long-session hygiene: ContextCleaner reclaims shuffle files and
+      // broadcast blocks only when the driver GCs, and a 24g heap may
+      // not GC for most of a 183-query session — the default 30min
+      // periodic GC never fires inside one bench, so cleanup lands as
+      // one burst on whatever line is running late in the session
+      // (measured: the skew block). 2min spreads it; the setting exists
+      // in Spark precisely for long-running many-query drivers.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
