@@ -30,8 +30,23 @@ object SkewProfile {
         val i = s.stageInfo
         val ms = (for { a <- i.completionTime; b <- i.submissionTime } yield a - b)
           .getOrElse(-1L)
-        rows.add((i.stageId, ms, i.name.take(90)))
+        rows.add((i.stageId, ms, s"${i.numTasks}t ${i.name.take(60)}"))
       }
+    })
+
+    // per-ACTION accounting: every SQL action (count/collect/checkpoint/
+    // save) reports its function name, wall ms, and the head of its
+    // executed plan — the job-level view above can't name SQL-thread jobs
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def head(qe: org.apache.spark.sql.execution.QueryExecution): String =
+        scala.util.Try(qe.executedPlan.toString.linesIterator
+          .filterNot(_.trim.isEmpty).take(2).mkString(" | ").take(150)).getOrElse("?")
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.add((funcName, durationNs / 1000000L, head(qe)))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     })
 
     val boiler = ("Licensed under the Apache License Version 2.0 you may not use " +
@@ -50,14 +65,19 @@ object SkewProfile {
     rows.clear()
 
     def phase(name: String)(f: => Unit): Unit = {
-      rows.clear()
+      rows.clear(); actions.clear()
       val t0 = System.nanoTime()
       f
+      // the listener bus is async: give QueryExecutionListener events a
+      // beat to drain before reading them
+      Thread.sleep(300)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[prof] PHASE $name%-12s ${secs}%6.2f s")
       import scala.jdk.CollectionConverters._
-      rows.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (id, ms, cs) =>
-        println(f"[prof]    job $id%4d ${ms}%6d ms  $cs")
+      val acts = actions.asScala.toSeq
+      println(f"[prof]    actions=${acts.size} action-ms-sum=${acts.map(_._2).sum}")
+      acts.sortBy(-_._2).take(14).foreach { case (fn, ms, plan) =>
+        println(f"[prof]    act $fn%-16s ${ms}%6d ms  $plan")
       }
     }
 

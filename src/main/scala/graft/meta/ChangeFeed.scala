@@ -79,11 +79,36 @@ final class ChangeFeed(
     * per snapshot, checkpointing after each. Returns the number of
     * snapshots processed. Run it on a schedule (or in [[followWhile]]'s
     * loop) to tail the table. */
-  def poll(handler: (DataFrame, Snapshot) => Unit): Int = {
+  def poll(handler: (DataFrame, Snapshot) => Unit): Int =
+    pollPrepared((frame, _) => frame)(handler)
+
+  /** [[poll]] with a PREFETCH stage: `prepare` (typically an eager
+    * materialization of the changelog frame — it is a MOR diff plan the
+    * handler reads several times) runs for snapshot k+1 on a background
+    * thread while `handler` applies snapshot k. The two are independent
+    * by construction — a changelog frame reads only the SOURCE table's
+    * immutable committed snapshots, the handler writes elsewhere — so the
+    * apply stage's commit I/O overlaps the next diff's compute instead of
+    * serializing with it (guide §2.6). Delivery contract unchanged:
+    * handlers run in commit order, the checkpoint still advances only
+    * after the handler returns, and `prepare` has no side effects to
+    * un-do when a crash re-delivers a snapshot. A prepare failure for
+    * snapshot k+1 surfaces when k+1 is processed — exactly where the
+    * sequential form would have thrown it. */
+  def pollPrepared(prepare: (DataFrame, Snapshot) => DataFrame)(
+      handler: (DataFrame, Snapshot) => Unit): Int = {
     val todo = pending(checkpoint())
-    for (snap <- todo) {
-      val frame = Changelog.changesBetween(
-        spark, catalog, name, snap.parentId.getOrElse(0L), snap.snapshotId)
+    if (todo.isEmpty) return 0
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    def prepared(snap: Snapshot): DataFrame = prepare(Changelog.changesBetween(
+      spark, catalog, name, snap.parentId.getOrElse(0L), snap.snapshotId), snap)
+    var next: Future[DataFrame] = Future(prepared(todo.head))
+    todo.zipWithIndex.foreach { case (snap, i) =>
+      val frame = Await.result(next, Duration.Inf)
+      if (i + 1 < todo.size) { val upNext = todo(i + 1); next = Future(prepared(upNext)) }
       handler(frame, snap)
       saveCheckpoint(snap.snapshotId)
     }

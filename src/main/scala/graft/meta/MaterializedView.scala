@@ -121,10 +121,21 @@ object MaterializedView {
     val table0 = catalog.loadTable(name)
     val dataDir = MetaIO.join(table0.location, "data")
     val touchedKeys = survivors.select(keys.map(col): _*).unionAll(deadKeys).distinct()
-    val delFiles = SparkExecutor.writeDataFiles(spark,
-      IceWrite.withFieldIds(touchedKeys, table0.schema), dataDir, Nil, Nil, Long.MaxValue)
-    val dataFiles = SparkExecutor.writeDataFiles(spark,
-      IceWrite.withFieldIds(survivors, table0.schema), dataDir, Nil, Nil, Long.MaxValue)
+    // the touched-key delete file and the survivor data file both derive
+    // from the SAME checkpointed merge blocks and write to disjoint UUID
+    // paths — two independent pure writes, so they run concurrently
+    // (guide §2.6) instead of serializing two commands per refresh; the
+    // CAS commit below still sees both complete or neither
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val delFut = scala.concurrent.Future(SparkExecutor.writeDataFiles(spark,
+      IceWrite.withFieldIds(touchedKeys, table0.schema), dataDir, Nil, Nil, Long.MaxValue))
+    val dataFut = scala.concurrent.Future(SparkExecutor.writeDataFiles(spark,
+      IceWrite.withFieldIds(survivors, table0.schema), dataDir, Nil, Nil, Long.MaxValue))
+    val delFiles = scala.concurrent.Await.result(
+      delFut, scala.concurrent.duration.Duration.Inf)
+    val dataFiles = scala.concurrent.Await.result(
+      dataFut, scala.concurrent.duration.Duration.Inf)
     val eqFieldIds = keys.map(k => table0.fieldByName(k).getOrElse(
       throw new IllegalArgumentException(s"key column $k not in view schema")).id)
 

@@ -41,13 +41,15 @@ object TableSync {
       branch: String = "main"): Int = {
     require(keys.nonEmpty, "mirror needs at least one key column")
     val feed = new ChangeFeed(spark, srcCatalog, srcName, checkpointFile, branch)
-    feed.poll { (rawFrame, _) =>
-      // ONE materialization per snapshot: the changelog frame is a MOR
-      // diff plan, and the apply below reads it up to five times (insert
-      // split, emptiness probes, upsert write, pure-delete anti join) —
-      // each read re-ran the whole diff. The frame is the snapshot's
-      // change volume, the same rows the upsert writes anyway.
-      val frame = rawFrame.localCheckpoint(true)
+    // ONE materialization per snapshot: the changelog frame is a MOR
+    // diff plan, and the apply below reads it up to five times (insert
+    // split, emptiness probes, upsert write, pure-delete anti join) —
+    // each read re-ran the whole diff. The frame is the snapshot's
+    // change volume, the same rows the upsert writes anyway. It runs in
+    // pollPrepared's PREFETCH slot: snapshot k+1's diff (pure reads of
+    // the immutable source) materializes while snapshot k's commits
+    // apply to the destination, instead of serializing with them.
+    feed.pollPrepared((rawFrame, _) => rawFrame.localCheckpoint(true)) { (frame, _) =>
       val dataCols = frame.columns.filterNot(c =>
         c == Changelog.ChangeTypeCol || c == Changelog.SnapshotIdCol).toSeq
       val ins = frame.filter(col(Changelog.ChangeTypeCol) === "insert")

@@ -170,6 +170,26 @@ object Dedup {
     // back to it, so a re-read source (limit, sample, a moving stream)
     // cannot diverge between what was committed and what is emitted
     val b = batch.localCheckpoint(true)
+    // the cross-run arm's hot-bucket histogram reads ONLY the index table
+    // — nothing the within-batch pipeline below produces — so its collect
+    // runs concurrently with that pipeline (guide §2.6: independent jobs
+    // back-fill the executor slots each in-flight stage's tail frees).
+    // Single-writer contract: nothing commits to the index between here
+    // and the sequential point, so the prefetch sees the same snapshot
+    // the sequential form would.
+    val exists = catalog.tableExists(indexTable)
+    val idxHotPrefetch =
+      if (!exists) None
+      else Some {
+        val idx = graft.meta.IceRead.table(spark, catalog, indexTable)
+          .filter(col("batch_id") =!= batchId)
+        val idxBandRows = idx.select(col("id").as("old_id"),
+          posexplode(col("bands")).as(Seq("band", "bh")))
+        val fut = scala.concurrent.Future(
+          hotBucketKeyRows(idxBandRows, Seq("band", "bh"), maxBucketSize))(
+          scala.concurrent.ExecutionContext.global)
+        (idxBandRows, fut)
+      }
     val sigSets = minHashSignatureSets(b, idCol, textCol, n, k)
     // (id, bands, gset), materialized once: feeds the bucket join, both
     // verify stages, and the commit payload. Band hashes share
@@ -256,7 +276,6 @@ object Dedup {
 
     // cross-run: keeper bands vs the index's bands (REPLAY guard: this
     // batch's own prior commit must not match itself)
-    val exists = catalog.tableExists(indexTable)
     val survivors = {
       if (!exists) keepers0
       else {
@@ -274,11 +293,14 @@ object Dedup {
         // candidates per keeper in that bucket — per batch, forever,
         // growing with the index. Over-cap buckets are dropped whole
         // (the lshCandidatePairs recall trade, same knob + skew-immune
-        // [[dropHotBuckets]] form).
-        val idxBands = dropHotBuckets(
-          idx.select(col("id").as("old_id"),
-            posexplode(col("bands")).as(Seq("band", "bh"))),
-          Seq("band", "bh"), maxBucketSize)
+        // [[dropHotBuckets]] form). The histogram collect was prefetched
+        // above, concurrent with the whole within-batch pipeline; a
+        // failure surfaces here exactly as the sequential form's would.
+        val (idxBandRows, idxHotFut) = idxHotPrefetch.get
+        val (idxHotRows, idxHotHist) = scala.concurrent.Await.result(
+          idxHotFut, scala.concurrent.duration.Duration.Inf)
+        val idxBands = dropHotKeyRows(idxBandRows, Seq("band", "bh"),
+          idxHotRows, idxHotHist)
         val keeperBands = keepers.select(col("id"),
           posexplode(col("bands")).as(Seq("band", "bh")))
         val cand = keeperBands.join(idxBands, Seq("band", "bh"))
@@ -516,16 +538,33 @@ object Dedup {
     * genuinely needs its count, e.g. [[dropBoilerplateLines]]) keep the
     * window form. */
   private[ops] def dropHotBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    // ONE bounded collect replaces the r11 checkpoint + count probe (two
-    // driver actions per call, plus pinned blocks and a broadcast-build
-    // job at execution): the over-cap key list is what a broadcast would
-    // ship to the driver anyway, so fetch it directly. The LIMIT keeps
-    // the transfer bounded — seeing MaxBroadcastHotKeys + 1 rows proves
-    // the list is over-gate without materializing the rest.
+    val (hotRows, histogram) = hotBucketKeyRows(df, keys, cap)
+    dropHotKeyRows(df, keys, hotRows, histogram)
+  }
+
+  /** The collect half of [[dropHotBuckets]]: ONE bounded collect replaces
+    * the r11 checkpoint + count probe (two driver actions per call, plus
+    * pinned blocks and a broadcast-build job at execution) — the over-cap
+    * key list is what a broadcast would ship to the driver anyway, so
+    * fetch it directly. The LIMIT keeps the transfer bounded: seeing
+    * MaxBroadcastHotKeys + 1 rows proves the list is over-gate without
+    * materializing the rest. Split from the apply half so a caller whose
+    * input does not depend on its other in-flight work can run this
+    * collect CONCURRENTLY with that work (guide §2.6 — the next job's
+    * tasks back-fill executors freed by the current job's tail);
+    * [[incrementalMinHash]] prefetches the index-side histogram this way. */
+  private[ops] def hotBucketKeyRows(df: DataFrame, keys: Seq[String], cap: Int)
+      : (Array[org.apache.spark.sql.Row], DataFrame) = {
     val histogram = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
       .select(keys.map(col): _*)
-    val hotRows = histogram.limit(MaxBroadcastHotKeys.toInt + 1).collect()
+    (histogram.limit(MaxBroadcastHotKeys.toInt + 1).collect(), histogram)
+  }
+
+  /** The apply half of [[dropHotBuckets]] over an already-collected hot-key
+    * list (and the lazy histogram frame for the over-gate fallback). */
+  private[ops] def dropHotKeyRows(df: DataFrame, keys: Seq[String],
+      hotRows: Array[org.apache.spark.sql.Row], histogram: DataFrame): DataFrame = {
     if (hotRows.isEmpty) df // no over-cap bucket: nothing to drop, no join at all
     else if (hotRows.length <= MaxBroadcastHotKeys) {
       // local relation: the anti join broadcasts in-driver rows, no

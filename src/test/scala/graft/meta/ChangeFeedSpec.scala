@@ -52,6 +52,39 @@ class ChangeFeedSpec extends AnyFunSuite {
     }) == 1)
   }
 
+  test("pollPrepared: prepare runs once per snapshot, handlers stay ordered, " +
+      "checkpoint still advances per handled snapshot") {
+    val catalog = newCatalog()
+    IceWrite.create(spark, catalog, "t_feedp", df(Seq((1L, "a", 10L))))      // 1
+    IceWrite.append(spark, catalog, "t_feedp", df(Seq((2L, "b", 20L))))      // 2
+    IceWrite.upsert(spark, catalog, "t_feedp", df(Seq((2L, "b2", 21L))), Seq("id")) // 3
+
+    val ck = Files.createTempDirectory("feedp-ck").resolve("ck").toString
+    val feed = new ChangeFeed(spark, catalog, "t_feedp", ck)
+    val prepared = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val handled = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, String)])]
+    val ckAtHandle = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val n = feed.pollPrepared { (frame, snap) =>
+      prepared.add(snap.snapshotId)
+      frame.localCheckpoint(true)
+    } { (frame, snap) =>
+      // the checkpoint must not have advanced past the PREVIOUS snapshot
+      // when this handler runs, no matter how far prepare has raced ahead
+      ckAtHandle += feed.checkpoint()
+      handled += snap.snapshotId ->
+        frame.collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    }
+    assert(n == 3)
+    assert(handled.map(_._1).toSeq == Seq(1L, 2L, 3L), "commit order")
+    assert(prepared.asInstanceOf[java.util.Set[Long]].size == 3, "one prepare per snapshot")
+    assert(ckAtHandle.toSeq == Seq(0L, 1L, 2L), "checkpoint trails the handler")
+    // frames are identical to the sequential poll's
+    assert(handled(0)._2 == Set((1L, "insert")))
+    assert(handled(1)._2 == Set((2L, "insert")))
+    assert(handled(2)._2 == Set((2L, "insert"), (2L, "delete")))
+    assert(feed.checkpoint() == 3L)
+  }
+
   test("restart resumes from the durable checkpoint; compaction advances it rowlessly") {
     val catalog = newCatalog()
     IceWrite.create(spark, catalog, "t_feed2", df(Seq((1L, "a", 10L), (2L, "b", 20L)))) // 1
