@@ -90,8 +90,17 @@ object AnnIndex {
       val upd = Similarity.kmeansUpdate(corpus, idCol, vecCol, cents, "cell_id", "vec")
       cents = centroidsFromUpdate(upd).localCheckpoint(true)
     }
-    IceWrite.create(spark, catalog, centroidsTable(name), cents)
+    // the centroids-table write and the codes computation both read the
+    // CHECKPOINTED cents frame and nothing of each other — the write's
+    // commit I/O overlaps the assign+encode stages (guide §2.6). The
+    // failure window is the sequential form's: a crash can leave the
+    // centroids table without codes either way.
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val centsWrite = scala.concurrent.Future(
+      IceWrite.create(spark, catalog, centroidsTable(name), cents))
     val codes = assignAndEncode(corpus, idCol, vecCol, cents, m).localCheckpoint(true)
+    scala.concurrent.Await.result(centsWrite, scala.concurrent.duration.Duration.Inf): Unit
     IceWrite.create(spark, catalog, codesTable(name), codes)
     val dim = cents.select(size(col("vec"))).take(1)
       .headOption.map(_.getInt(0))

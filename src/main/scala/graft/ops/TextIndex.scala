@@ -155,10 +155,20 @@ object TextIndex {
     // before the write so AQE sizes the output files (1 file for a small
     // corpus instead of one tiny file per tokenize partition; advisory-
     // sized files at scale). Postings keep their own term clustering.
-    IceWrite.create(spark, catalog, docsTable(name),
-      docRows(c, idCol, textCol).hint("rebalance"))
-    IceWrite.create(spark, catalog, postingsTable(name),
-      postingRows(c, idCol, textCol))
+    // The two creates write DIFFERENT tables from the same source frame
+    // — independent commits, so they run concurrently (guide §2.6: the
+    // postings build's stages back-fill the docs write's commit wait).
+    // Crash recovery is unchanged in kind: a failed build can leave
+    // either table behind, and rebuild requires dropping whatever
+    // exists — exactly the sequential form's wedge-and-drop contract.
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val docsF = scala.concurrent.Future(IceWrite.create(spark, catalog,
+      docsTable(name), docRows(c, idCol, textCol).hint("rebalance")))
+    val postF = scala.concurrent.Future(IceWrite.create(spark, catalog,
+      postingsTable(name), postingRows(c, idCol, textCol)))
+    scala.concurrent.Await.result(docsF, scala.concurrent.duration.Duration.Inf): Unit
+    scala.concurrent.Await.result(postF, scala.concurrent.duration.Duration.Inf): Unit
   }
 
   /** Add documents to the index: postings upsert keyed (term, doc_id),
