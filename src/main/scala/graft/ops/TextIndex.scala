@@ -183,9 +183,17 @@ object TextIndex {
     val c = Spread(corpus)
     val docs = docRows(c, idCol, textCol).localCheckpoint(true)
     if (!docs.isEmpty) {
-      createOrUpsert(spark, catalog, docsTable(name), docs.hint("rebalance"), Seq("doc_id"))
+      // different tables, independent CAS chains: the docs upsert's
+      // commit I/O overlaps the postings tokenize+upsert (guide §2.6) —
+      // the doc-comment's crash contract already covers either commit
+      // landing without the other (the next append completes it)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val docsF = scala.concurrent.Future(createOrUpsert(spark, catalog,
+        docsTable(name), docs.hint("rebalance"), Seq("doc_id")))
       createOrUpsert(spark, catalog, postingsTable(name),
         postingRows(c, idCol, textCol), Seq("term", "doc_id"))
+      scala.concurrent.Await.result(docsF, scala.concurrent.duration.Duration.Inf): Unit
       // per-append upserts accumulate small postings files + eq-delete
       // files, and b2-style serve performance rides on term-range file
       // skipping over FEW, well-sorted files — fold the fragments back
